@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Engine session factory. Pins the semantics every operator relies on:
+  *   - session time zone UTC (timestamps are instants; Oslo civil dates are
+  *     derived explicitly via `from_utc_timestamp`, SURVEY.md §2.4 C2);
+  *   - ANSI off: the reference's coercers are lenient (`safe_int("abc")` →
+  *     None, fetch_clickup_data.py:793-801), so casts must yield null, not
+  *     throw;
+  *   - shuffle partitions sized to the local core count (the 100 TB deploy
+  *     would size this to ~2-3× total executor cores and rely on AQE
+  *     coalescing, which stays enabled).
+  */
+object GraftSession {
+  def tune(b: SparkSession.Builder, cpus: String): SparkSession.Builder = b
+    .config("spark.sql.shuffle.partitions", cpus)
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.ansi.enabled", "false")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
+    .config("spark.ui.enabled", "false")
+
+  def local(cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")): SparkSession = {
+    val s = tune(SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

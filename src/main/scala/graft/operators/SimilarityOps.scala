@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`array<float>`).
+  *
+  * Two tiers:
+  *  - [[cosine]] / [[bruteForceTopK]]: exact baseline. Per-partition local
+  *    work + a single global top-k — the k-row result is the only thing
+  *    that crosses the wire (TakeOrderedAndProject), no driver collect of
+  *    the corpus.
+  *  - [[ivfAssign]] / [[ivfTopK]]: IVF-style scale path — vectors are
+  *    bucketed by nearest centroid; a query probes only `nprobe` buckets,
+  *    cutting scanned vectors by ~nlist/nprobe. At 100 TB the table is
+  *    written partitioned by `centroid` so probing is partition pruning.
+  *  - [[embeddingNearDupPairs]]: cosine near-dup pairs within blocks.
+  *
+  * All arithmetic in double via codegen'd higher-order functions — no UDFs.
+  */
+object SimilarityOps {
+
+  /** Cosine similarity of two `array<numeric>` columns, in double. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, x) => acc + x))
+    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
+  }
+
+  /** Exact top-k by cosine against one query vector. The `orderBy + limit`
+    * compiles to TakeOrderedAndProject: per-partition top-k then a k-sized
+    * merge on the driver — O(n) scan, O(k) result, no shuffle of the corpus.
+    */
+  def bruteForceTopK(vectors: DataFrame, idCol: String, vecCol: String,
+                     queryVec: Seq[Float], k: Int): DataFrame = {
+    val q = lit(queryVec.toArray)
+    vectors
+      .withColumn("score", round(cosine(col(vecCol), q), 4))
+      .select(col(idCol), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Assign each vector to its nearest centroid (IVF coarse quantizer).
+    * Centroids are broadcast; assignment is a map-side cross with nlist
+    * centroids — O(n·nlist), no shuffle.
+    */
+  def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("__sim").desc, col(cidCol))
+    vectors.crossJoin(broadcast(centroids.select(col(cidCol), col(cvecCol))))
+      .withColumn("__sim", cosine(col(vecCol), col(cvecCol)))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col(vecCol), col(cidCol).as("centroid"),
+        round(col("__sim"), 4).as("centroid_sim"))
+  }
+
+  /** IVF search: probe the `nprobe` centroids nearest the query, scan only
+    * vectors assigned to them, exact-rank the survivors.
+    */
+  def ivfTopK(assigned: DataFrame, idCol: String, vecCol: String,
+              centroids: DataFrame, cidCol: String, cvecCol: String,
+              queryVec: Seq[Float], k: Int, nprobe: Int): DataFrame = {
+    val q = lit(queryVec.toArray)
+    val probes = centroids
+      .withColumn("__sim", cosine(col(cvecCol), q))
+      .orderBy(col("__sim").desc, col(cidCol)).limit(nprobe)
+      .select(col(cidCol).as("centroid"))
+    assigned.join(broadcast(probes), Seq("centroid"))
+      .withColumn("score", round(cosine(col(vecCol), q), 4))
+      .select(col(idCol), col("centroid"), col("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs within blocks (`blockCol` — a
+    * label, an IVF centroid, or an LSH bucket). Exact within each block;
+    * the block structure is what keeps the pair count sub-quadratic.
+    */
+  def embeddingNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                            blockCol: String, threshold: Double): DataFrame = {
+    val l = vectors.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
+      col(vecCol).as("v_a"))
+    val r = vectors.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
+      col(vecCol).as("v_b"))
+    l.join(r, Seq("blk")).filter(col("id_a") < col("id_b"))
+      .withColumn("score", round(cosine(col("v_a"), col("v_b")), 4))
+      .filter(col("score") >= threshold)
+      .select(col("blk"), col("id_a"), col("id_b"), col("score"))
+  }
+
+  /** Random-hyperplane LSH bucket key (sign bits of `nbits` deterministic
+    * pseudo-random projections). The planes are derived from xxhash64 of
+    * (bit, dimension) — reproducible with no stored model.
+    */
+  def rhpBucket(vec: Column, dims: Int, nbits: Int): Column = {
+    val bits = (0 until nbits).map { b =>
+      val proj = aggregate(zip_with(vec, lit((0 until dims).map(d =>
+          ((java.lang.Long.hashCode(b.toLong * 1315423911L + d * 2654435761L) % 1000) / 1000.0) - 0.5
+        ).toArray),
+        (x, p) => x.cast("double") * p), lit(0.0), (acc, x) => acc + x)
+      when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+}

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * tokenization/statistics, quality scoring, n-gram language-ID heuristic,
+  * and document fingerprinting. All pure column expressions (codegen'd,
+  * shuffle-free per-row work) — at 100 TB these run map-side at scan speed.
+  */
+object TextOps {
+
+  /** Whitespace tokenization; empty/blank text → empty array. */
+  def tokens(text: Column): Column =
+    when(length(trim(text)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(text), "\\s+"))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count: word pieces after splitting words longer than
+    * `piece` chars into ceil(len/piece) pieces — a cheap, deterministic
+    * proxy for tokenizer cost accounting.
+    */
+  def subwordCount(text: Column, piece: Int = 4): Column =
+    coalesce(aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + ceil(length(t).cast("double") / piece).cast("long")), lit(0L))
+
+  /** Word n-gram shingles: n consecutive tokens joined by single spaces. */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+  }
+
+  /** Quality-scoring signals: length, token stats, punctuation/alpha ratios,
+    * stopword ratio, type-token ratio. `stopwords` must be lowercase.
+    */
+  def qualitySignals(df: DataFrame, text: Column, stopwords: Seq[String]): DataFrame = {
+    val toks = tokens(lower(text))
+    val n = size(toks)
+    val sw = lit(stopwords.toArray)
+    val nStop = size(filter(toks, t => array_contains(sw, t)))
+    val nChars = length(text)
+    val nAlpha = length(regexp_replace(text, "[^A-Za-z]", ""))
+    val nPunct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    df.withColumn("n_chars_m", nChars.cast("long"))
+      .withColumn("n_tokens", n.cast("long"))
+      .withColumn("n_types", size(array_distinct(toks)).cast("long"))
+      .withColumn("mean_word_len",
+        round(when(n > 0, nChars.cast("double") / n).otherwise(lit(0.0)), 4))
+      .withColumn("alpha_ratio",
+        round(when(nChars > 0, nAlpha.cast("double") / nChars).otherwise(lit(0.0)), 4))
+      .withColumn("punct_ratio",
+        round(when(nChars > 0, nPunct.cast("double") / nChars).otherwise(lit(0.0)), 4))
+      .withColumn("stopword_ratio",
+        round(when(n > 0, nStop.cast("double") / n).otherwise(lit(0.0)), 4))
+      .withColumn("type_token_ratio",
+        round(when(n > 0, size(array_distinct(toks)).cast("double") / n)
+          .otherwise(lit(0.0)), 4))
+  }
+
+  /** Composite quality score in [0,1]: favors mid-length docs with healthy
+    * stopword presence and low punctuation density.
+    */
+  def qualityScore(text: Column, stopwords: Seq[String]): Column = {
+    val toks = tokens(lower(text))
+    val n = size(toks).cast("double")
+    val sw = lit(stopwords.toArray)
+    val stopRatio = when(n > 0,
+      size(filter(toks, t => array_contains(sw, t))).cast("double") / n).otherwise(0.0)
+    val lenScore = least(n / lit(100.0), lit(1.0))
+    val punct = length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double")
+    val punctRatio = when(length(text) > 0, punct / length(text)).otherwise(0.0)
+    round(lit(0.5) * lenScore + lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
+      lit(0.2) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0))), 4)
+  }
+
+  /** Language-ID heuristic: per-language stopword hit counts; predicted
+    * language = argmax (ties broken by language order). `profiles` maps a
+    * language code to its (lowercase) marker-word set.
+    */
+  def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
+    val toks = tokens(lower(text))
+    val scored = profiles.map { case (lang, words) =>
+      struct(size(filter(toks, t => array_contains(lit(words.toArray), t))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    // array_max on (hits, lang) structs: max hits, then lexicographically
+    // LAST lang among ties — make tie-break deterministic-first by ordering
+    // profiles so preferred languages sort higher.
+    array_max(array(scored: _*)).getField("lang")
+  }
+
+  /** Document fingerprints:
+    *  - `fingerprintMd5`: md5 of whitespace-normalized lowercase text
+    *    (stable content hash for exact dedup);
+    *  - `rollingHash`: polynomial rolling hash over code points,
+    *    acc = (acc*31 + cp) mod 1e9+7 — order-sensitive, cheap to maintain
+    *    incrementally, matches the classic Rabin-Karp shape.
+    */
+  def normalized(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  def fingerprintMd5(text: Column): Column = md5(normalized(text))
+
+  def rollingHash(text: Column, mod: Long = 1000000007L, mult: Long = 31L): Column =
+    aggregate(filter(split(text, ""), ch => length(ch) > 0), lit(0L),
+      (acc, ch) => pmod(acc * mult + ascii(ch), lit(mod)))
+}
