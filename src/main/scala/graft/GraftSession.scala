@@ -18,6 +18,10 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
+    // events.parquet stores TIMESTAMP(NANOS) which Spark cannot read
+    // natively; read as long and convert at the source boundary
+    // (QuerySpec.t truncates ns → µs, matching DuckDB/pandas readers).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.sql.autoBroadcastJoinThreshold", 64L * 1024 * 1024)
     .config("spark.ui.enabled", "false")
 

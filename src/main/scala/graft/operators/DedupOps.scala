@@ -28,15 +28,24 @@ object DedupOps {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
-  /** MinHash signature: for each of `numHashes` hash functions, the min of
-    * xxhash64(seed_j, shingle) over the document's shingle set. Pure
-    * column expression — signatures computed map-side in one pass.
+  /** MinHash signatures via double hashing (Kirsch-Mitzenmacher):
+    * h_j(s) = h1(s) + j·h2(s), so each shingle is hashed twice regardless
+    * of `numHashes`. Computed as explode → per-shingle hash → groupBy(id)
+    * with `numHashes` MIN aggregates: map-side partial aggregation means
+    * only `numHashes` longs per document cross the shuffle — the plan that
+    * holds at 100 TB. Documents with no shingles are dropped (they cannot
+    * be near-duplicates).
     */
-  def minhashSignature(textCol: Column, shingleWords: Int, numHashes: Int): Column = {
-    val sh = array_distinct(shingles(textCol, shingleWords))
-    array((0 until numHashes).map { j =>
-      coalesce(array_min(transform(sh, s => xxhash64(lit(j), s))), lit(Long.MaxValue))
-    }: _*)
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        shingleWords: Int, numHashes: Int): DataFrame = {
+    val hashed = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), shingleWords))).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h1"), xxhash64(lit(1), col("s")).as("h2"))
+    val mins = (0 until numHashes).map(j =>
+      min(col("h1") + lit(j.toLong) * col("h2")).as(s"m$j"))
+    hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until numHashes).map(j => col(s"m$j")): _*).as("sig"))
   }
 
   /** MinHash+LSH candidate pairs: band the signature (`bands` bands of
@@ -52,8 +61,8 @@ object DedupOps {
                       shingleWords: Int = 5, numHashes: Int = 16,
                       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
     val rows = numHashes / bands
-    val sig = docs.select(col(idCol).as("id"),
-      minhashSignature(col(textCol), shingleWords, numHashes).as("sig"))
+    val sig = minhashSignatures(docs, idCol, textCol, shingleWords, numHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sig.select(col("id"), explode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
@@ -73,6 +82,7 @@ object DedupOps {
                             threshold: Double): DataFrame = {
     val sh = docs.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleWords)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -85,28 +95,45 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** Exact n-gram-Jaccard near-dup pairs via an inverted-index join:
-    * explode distinct shingles → self-join on (block, shingle) → count
-    * intersections per pair → Jaccard from |A|+|B|-∩. This is the exact
-    * (non-approximate) baseline: work is Σ_shingle df(shingle)², bounded by
-    * blocking (`blockCol`, e.g. language) and by the natural rarity of long
-    * shingles — never O(n²) over documents.
+  /** Exact n-gram-Jaccard near-dup pairs via a prefix-filtered inverted
+    * index (AllPairs/SSJoin): shingles are put in a canonical order (by
+    * xxhash64); any pair with Jaccard ≥ t must share a token within the
+    * first |s| − ⌈t·|s|⌉ + 1 tokens, so only that prefix is indexed. The
+    * candidate join then touches Σ_prefix-token df² instead of Σ_token df²,
+    * and each candidate is verified with the exact intersection. Exact — no
+    * recall loss — and never O(n²) over documents. The prefix uses
+    * t − 0.001 so pairs that only reach t after 4-dp rounding still
+    * generate candidates.
     */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                         blockCol: String, shingleWords: Int,
                         threshold: Double): DataFrame = {
+    val tPrefix = math.max(threshold - 0.001, 0.0)
+    // canonical order on the shingle HASHES: primitive long sort + long
+    // join keys (string shingles only appear again in verification)
+    val distinctSh = array_distinct(shingles(col(textCol), shingleWords))
+    // The shingle table feeds both sides of the candidate self-join and the
+    // verification join; persist it so the (generator-heavy) shingling runs
+    // once, not once per branch. At cluster scale this is the materialized
+    // signature table (checkpoint to storage instead of memory).
     val sh = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      array_distinct(shingles(col(textCol), shingleWords)).as("sh"))
-    val inv = sh.select(col("id"), col("blk"), explode(col("sh")).as("tok"))
-    val sizes = sh.select(col("id"), size(col("sh")).as("n"))
-    val inter = inv.as("l").join(inv.as("r"),
+      distinctSh.as("sh"),
+      array_sort(transform(distinctSh, s => xxhash64(s))).as("hs"))
+      .withColumn("n", size(col("sh")))
+      .filter(col("n") > 0)
+      .withColumn("prefix",
+        slice(col("hs"), lit(1), (col("n") - ceil(lit(tPrefix) * col("n")) + 1).cast("int")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv = sh.select(col("id"), col("blk"), explode(col("prefix")).as("tok"))
+    val cands = inv.as("l").join(inv.as("r"),
         col("l.blk") === col("r.blk") && col("l.tok") === col("r.tok") &&
           col("l.id") < col("r.id"))
-      .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(broadcast(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n", "n_a")), "id_a")
-      .join(broadcast(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n", "n_b")), "id_b")
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+    val full = sh.select(col("id"), col("sh"), col("n"))
+    cands
+      .join(full.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
+      .join(full.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
@@ -115,24 +142,24 @@ object DedupOps {
 
   /** SimHash signatures: 64-bit signature where bit k is set when the
     * majority of the document's shingle hashes have bit k set. Near-dups
-    * differ in few bits (small Hamming distance). Computed map-side in two
-    * codegen'd steps: per-bit counts via a single array-aggregate pass over
-    * the shingle hashes, then the majority vote per bit.
+    * differ in few bits (small Hamming distance). Computed as explode →
+    * xxhash64 → groupBy(id) with 64 SUM aggregates (vectorized hash agg,
+    * map-side partials; 64 longs per doc cross the shuffle). Documents
+    * with no shingles are dropped.
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleWords: Int = 3): DataFrame = {
-    val sh = array_distinct(shingles(col(textCol), shingleWords))
-    val hashes = transform(sh, s => xxhash64(s))
-    val zero = array((0 until 64).map(_ => lit(0L)): _*)
-    val bitCounts = aggregate(hashes, zero, (acc, h) =>
-      zip_with(acc, array((0 until 64).map(b =>
-        shiftright(h, b).bitwiseAND(1L)): _*), (x, y) => x + y))
-    docs.select(col(idCol).as("id"), size(hashes).as("__n"),
-        bitCounts.as("__bc"))
+    val hashed = docs
+      .select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), shingleWords))).as("s"))
+      .select(col("id"), xxhash64(col("s")).as("h"))
+    val bitSums = (0 until 64).map(b =>
+      sum(shiftright(col("h"), b).bitwiseAND(1L)).as(s"b$b"))
+    hashed.groupBy(col("id"))
+      .agg(count(lit(1)).as("n"), bitSums: _*)
       .select(col("id"),
         (0 until 64).map(b =>
-          when(element_at(col("__bc"), b + 1) * 2 >= col("__n"),
-            lit(1L << b)).otherwise(lit(0L)))
+          when(col(s"b$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
   }
 
@@ -143,16 +170,14 @@ object DedupOps {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleWords: Int = 3, maxHamming: Int = 3): DataFrame = {
     val sigs = simhashSignatures(docs, idCol, textCol, shingleWords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col("id"), col("sig"), explode(
       array((0 until 4).map(c => struct(lit(c).as("chunk"),
         shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("ckey"))): _*))
       .as("cc"))
       .select(col("id"), col("sig"), col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
-    val popcountXor = (a: Column, b: Column) => {
-      val x = a.bitwiseXOR(b)
-      (0 until 64).map(i => shiftright(x, i).bitwiseAND(1L))
-        .reduce(_ + _).cast("int")
-    }
+    val popcountXor = (a: Column, b: Column) =>
+      bit_count(a.bitwiseXOR(b)).cast("int")
     chunked.as("l").join(chunked.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&
           col("l.id") < col("r.id"))

@@ -56,7 +56,7 @@ object Multimodal {
       .withColumn("head_md5", md5(substring(b, 1, 64)))
       .withColumn("frame_sample", transform(
         sequence(lit(0), least(lit(maxFrames - 1),
-          greatest((length(b) - 1) / stride, lit(0)))),
+          greatest(floor((length(b) - 1) / stride).cast("int"), lit(0)))),
         i => hex(substring(b, i * stride + 1, lit(1)))))
   }
 

@@ -21,16 +21,26 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityOps {
 
+  /** Dot product of two `array<numeric>` columns, in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** L2 norm of an `array<numeric>` column, in double. */
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
   /** Cosine similarity of two `array<numeric>` columns, in double. */
   def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
-    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, x) => acc + x))
-    when(na > 0 && nb > 0, dot / (na * nb)).otherwise(lit(0.0))
+    val na = l2norm(a)
+    val nb = l2norm(b)
+    when(na > 0 && nb > 0, dot(a, b) / (na * nb)).otherwise(lit(0.0))
   }
+
+  /** Cosine from a precomputed dot and norms (norms computed once per
+    * vector instead of once per pair — the O(n·k) plan for pair scoring).
+    */
+  def cosineFrom(d: Column, na: Column, nb: Column): Column =
+    when(na > 0 && nb > 0, d / (na * nb)).otherwise(lit(0.0))
 
   /** Exact top-k by cosine against one query vector. The `orderBy + limit`
     * compiles to TakeOrderedAndProject: per-partition top-k then a k-sized
@@ -86,12 +96,16 @@ object SimilarityOps {
     */
   def embeddingNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                             blockCol: String, threshold: Double): DataFrame = {
-    val l = vectors.select(col(blockCol).as("blk"), col(idCol).as("id_a"),
-      col(vecCol).as("v_a"))
-    val r = vectors.select(col(blockCol).as("blk"), col(idCol).as("id_b"),
-      col(vecCol).as("v_b"))
+    // norms once per vector (O(n)), not once per pair (O(pairs))
+    val n = vectors.select(col(blockCol).as("blk"), col(idCol).as("id"),
+      col(vecCol).as("v"), l2norm(col(vecCol)).as("nrm"))
+    val l = n.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"),
+      col("nrm").as("n_a"))
+    val r = n.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"),
+      col("nrm").as("n_b"))
     l.join(r, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("score", round(cosine(col("v_a"), col("v_b")), 4))
+      .withColumn("score",
+        round(cosineFrom(dot(col("v_a"), col("v_b")), col("n_a"), col("n_b")), 4))
       .filter(col("score") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("score"))
   }

@@ -25,12 +25,29 @@ object TextOps {
     coalesce(aggregate(tokens(text), lit(0L),
       (acc, t) => acc + ceil(length(t).cast("double") / piece).cast("long")), lit(0L))
 
-  /** Word n-gram shingles: n consecutive tokens joined by single spaces. */
+  /** Word n-gram shingles: n consecutive tokens joined by single spaces.
+    *
+    * Built from n-1 shifted `zip_with`s instead of a
+    * `transform(sequence(...), i => slice(toks, i, n))` loop: higher-order
+    * lambdas are interpreted (no codegen), and any non-lambda subexpression
+    * inside the lambda body is re-evaluated per element — the slice-based
+    * form re-tokenizes the document once per shingle, O(tokens²). Here
+    * every lambda touches only its lambda variables, so tokenization runs
+    * once per row.
+    */
   def shingles(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    when(size(toks) < n, array().cast("array<string>")).otherwise(
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    if (n == 1) toks
+    else {
+      // zip_with pads the shorter (shifted) side with nulls → concat turns
+      // the last n-1 entries null → the closing slice drops them.
+      val joined = (2 to n).foldLeft(toks) { (acc, k) =>
+        zip_with(acc, slice(toks, lit(k), size(toks)),
+          (a, b) => concat(a, lit(" "), b))
+      }
+      when(size(toks) >= n, slice(joined, lit(1), size(toks) - (n - 1)))
+        .otherwise(array().cast("array<string>"))
+    }
   }
 
   /** Quality-scoring signals: length, token stats, punctuation/alpha ratios,
@@ -43,7 +60,7 @@ object TextOps {
     val nStop = size(filter(toks, t => array_contains(sw, t)))
     val nChars = length(text)
     val nAlpha = length(regexp_replace(text, "[^A-Za-z]", ""))
-    val nPunct = length(regexp_replace(text, "[^\\p{Punct}]", ""))
+    val nPunct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", ""))
     df.withColumn("n_chars_m", nChars.cast("long"))
       .withColumn("n_tokens", n.cast("long"))
       .withColumn("n_types", size(array_distinct(toks)).cast("long"))
@@ -70,10 +87,13 @@ object TextOps {
     val stopRatio = when(n > 0,
       size(filter(toks, t => array_contains(sw, t))).cast("double") / n).otherwise(0.0)
     val lenScore = least(n / lit(100.0), lit(1.0))
-    val punct = length(regexp_replace(text, "[^\\p{Punct}]", "")).cast("double")
+    val punct = length(regexp_replace(text, "[a-zA-Z0-9\\s]", "")).cast("double")
     val punctRatio = when(length(text) > 0, punct / length(text)).otherwise(0.0)
+    // round at 6 decimals: the weight lattice (halves/thousandths over
+    // token counts) terminates at ≤6 decimal digits, so no value sits on a
+    // rounding tie where engines' double→decimal conventions disagree.
     round(lit(0.5) * lenScore + lit(0.3) * least(stopRatio * 5.0, lit(1.0)) +
-      lit(0.2) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0))), 4)
+      lit(0.2) * (lit(1.0) - least(punctRatio * 10.0, lit(1.0))), 6)
   }
 
   /** Language-ID heuristic: per-language stopword hit counts; predicted

@@ -1,0 +1,554 @@
+package graft.queries
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.Coercers._
+import graft.operators.{Dedup, MergeOps}
+import graft.queries.QuerySpec.{sinkDir, t}
+
+/** Reference-parity query corpus: one graded query per SURVEY.md §2 operator
+  * (sources, projection/flatten, filters, scalar functions, explode, dedup,
+  * joins, aggregations, merge, sinks), expressed over the driver's test
+  * tables with a DuckDB oracle each. See COVERAGE.md for the op → query map.
+  */
+object ParityQueries {
+
+  // Shared sub-expression for C6/C7/C8/C9/C10/E1 coercer inputs: a
+  // deterministic "dirty string" column manufactured from lineitem.
+  private val tsLit = (s: String) => lit(s).cast("timestamp")
+
+  val all: Seq[QuerySpec] = Seq(
+
+    // ── S: sources ────────────────────────────────────────────────────────
+    QuerySpec("s1_time_range_scan",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate").between(tsLit("1996-01-01"), tsLit("1996-12-31")))
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_shipdate, l_quantity
+             |FROM lineitem
+             |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QuerySpec("s2_hierarchy_walk", (s, d) => {
+      // space=region, folder=nation, list=customer; folder-less branch
+      // mirrors fetch_clickup_data.py:255-272 with the '' sentinel.
+      val sp = t(s, d, "region").select(
+        col("r_regionkey").cast("string").as("space_id"), col("r_name").as("space_name"))
+      val fo = t(s, d, "nation").select(
+        col("n_nationkey").cast("string").as("folder_id"), col("n_name").as("folder_name"),
+        col("n_regionkey").cast("string").as("space_id"))
+      val inFolder = t(s, d, "customer")
+        .select(col("c_custkey").cast("string").as("list_id"), col("c_name").as("list_name"),
+          col("c_nationkey").cast("string").as("folder_id"))
+        .join(broadcast(fo), Seq("folder_id"))
+      val folderLess = fo.select(col("space_id"), col("folder_id").as("list_id"),
+        col("folder_name").as("list_name"))
+        .withColumn("folder_id", lit("")).withColumn("folder_name", lit(""))
+      inFolder.unionByName(folderLess.select(inFolder.columns.map(col).toSeq: _*))
+        .join(broadcast(sp), Seq("space_id"))
+        .select("space_id", "space_name", "folder_id", "folder_name", "list_id", "list_name")
+        .orderBy("space_id", "folder_id", "list_id")
+    },
+      Some("""SELECT * FROM (
+             |  SELECT CAST(r_regionkey AS VARCHAR) space_id, r_name space_name,
+             |         CAST(n_nationkey AS VARCHAR) folder_id, n_name folder_name,
+             |         CAST(c_custkey AS VARCHAR) list_id, c_name list_name
+             |  FROM customer JOIN nation ON c_nationkey=n_nationkey
+             |  JOIN region ON n_regionkey=r_regionkey
+             |  UNION ALL
+             |  SELECT CAST(r_regionkey AS VARCHAR), r_name, '', '',
+             |         CAST(n_nationkey AS VARCHAR), n_name
+             |  FROM nation JOIN region ON n_regionkey=r_regionkey
+             |) ORDER BY space_id, folder_id, list_id""".stripMargin)),
+
+    QuerySpec("s3_archived_axis", (s, d) => {
+      val o = t(s, d, "orders")
+      o.filter(col("o_orderstatus") =!= "F").withColumn("archived", lit(false))
+        .unionByName(o.filter(col("o_orderstatus") === "F").withColumn("archived", lit(true)))
+        .select("o_orderkey", "o_orderstatus", "archived")
+        .orderBy("o_orderkey")
+    },
+      Some("""SELECT * FROM (
+             |  SELECT o_orderkey, o_orderstatus, false archived FROM orders WHERE o_orderstatus <> 'F'
+             |  UNION ALL
+             |  SELECT o_orderkey, o_orderstatus, true FROM orders WHERE o_orderstatus = 'F'
+             |) ORDER BY o_orderkey""".stripMargin)),
+
+    QuerySpec("s4_list_scoped_scan",
+      (s, d) => t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+             |FROM customer WHERE c_mktsegment = 'BUILDING' ORDER BY c_custkey""".stripMargin)),
+
+    QuerySpec("s5_const_filter",
+      (s, d) => t(s, d, "part").filter(col("p_size") === 15)
+        .select("p_partkey", "p_name", "p_brand", "p_size").orderBy("p_partkey"),
+      Some("""SELECT p_partkey, p_name, p_brand, p_size FROM part
+             |WHERE p_size = 15 ORDER BY p_partkey""".stripMargin)),
+
+    // ── T: projection / flatten ──────────────────────────────────────────
+    QuerySpec("t1_flatten_json",
+      (s, d) => t(s, d, "events").select(col("event_id"), col("user_id"),
+        from_json(col("props"), new StructType().add("k", LongType))
+          .getField("k").as("prop_k"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, user_id,
+             |  TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) prop_k
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    QuerySpec("t2_nullif_ids",
+      (s, d) => t(s, d, "lineitem").select(strOrNull(
+          when(col("l_returnflag") === "N", "").otherwise(col("l_returnflag")))
+          .as("flag_or_null"))
+        .groupBy("flag_or_null").agg(count(lit(1)).as("n"))
+        .orderBy(col("flag_or_null").asc_nulls_first),
+      Some("""SELECT CASE WHEN l_returnflag='N' THEN NULL ELSE l_returnflag END flag_or_null,
+             |count(*) n FROM lineitem GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin)),
+
+    QuerySpec("t3_field_lookup",
+      (s, d) => t(s, d, "lineitem").filter(col("l_orderkey") <= 50)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          map_from_entries(array(
+            struct(lit("qty").as("k"), col("l_quantity").as("v")),
+            struct(lit("price").as("k"), col("l_extendedprice").as("v"))))
+            .getItem("price").as("price_val"))
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice price_val
+             |FROM lineitem WHERE l_orderkey <= 50 ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // ── F: filters ───────────────────────────────────────────────────────
+    QuerySpec("f2_derived_bool",
+      (s, d) => t(s, d, "orders").withColumn("closed", col("o_orderstatus") === "F")
+        .groupBy("closed").agg(count(lit(1)).as("n"),
+          countDistinct("o_custkey").as("nd_cust"))
+        .orderBy("closed"),
+      Some("""SELECT o_orderstatus='F' closed, count(*) n, count(DISTINCT o_custkey) nd_cust
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QuerySpec("f4_in_filter",
+      (s, d) => t(s, d, "lineitem").filter(col("l_suppkey").isin(1, 3, 5, 7))
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n"),
+          round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy("l_suppkey"),
+      Some("""SELECT l_suppkey, count(*) n, round(sum(l_quantity),2) sum_qty
+             |FROM lineitem WHERE l_suppkey IN (1,3,5,7) GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QuerySpec("f6_declared_filters",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_returnflag") === "N" && col("l_linestatus") === "O" &&
+          col("l_shipdate") >= tsLit("1998-01-01"))
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty")),
+      Some("""SELECT count(*) n, round(sum(l_quantity),2) sum_qty FROM lineitem
+             |WHERE l_returnflag='N' AND l_linestatus='O'
+             |  AND l_shipdate >= TIMESTAMP '1998-01-01'""".stripMargin)),
+
+    // ── C: scalar functions ──────────────────────────────────────────────
+    QuerySpec("c1_epoch_ms_roundtrip",
+      (s, d) => t(s, d, "events").select(col("event_id"),
+        unix_millis(col("ts")).as("ms"),
+        timestamp_millis(unix_millis(col("ts"))).as("ts_ms"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id, epoch_ms(ts) ms, epoch_ms(epoch_ms(ts)) ts_ms
+             |FROM events ORDER BY event_id""".stripMargin)),
+
+    QuerySpec("c2_oslo_civil_date",
+      // date emitted as ISO string: DATE-typed columns round-trip
+      // differently through pandas/duckdb readers (midnight-datetime vs
+      // date), which would false-fail the value compare.
+      (s, d) => t(s, d, "events")
+        .select(osloDate(col("ts")).cast("string").as("oslo_date"))
+        .groupBy("oslo_date").agg(count(lit(1)).as("n")).orderBy("oslo_date"),
+      Some("""SELECT CAST(CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE) AS VARCHAR) oslo_date,
+             |count(*) n FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QuerySpec("c3_ms_to_hours", (s, d) => {
+      val ms = when(col("event_type") === "error", lit(null).cast("long"))
+        .otherwise(floor(col("value") * 3600000).cast("long"))
+      t(s, d, "events").select(col("event_id"), ms.as("ms"),
+        round(msToHours(ms), 4).as("hrs")).orderBy("event_id")
+    },
+      Some("""SELECT event_id, ms, round(coalesce(ms/3600000.0, 0.0), 4) hrs FROM (
+             |  SELECT event_id, CASE WHEN event_type='error' THEN NULL
+             |    ELSE CAST(floor(value*3600000) AS BIGINT) END ms FROM events
+             |) ORDER BY event_id""".stripMargin)),
+
+    QuerySpec("c4_ms_rounded_hours", (s, d) => {
+      val ms = when(col("event_type") === "error", lit(null).cast("long"))
+        .otherwise(floor(col("value") * 3600000).cast("long"))
+      t(s, d, "events").select(col("event_id"), msToRoundedHours(ms).as("hours_2dp"))
+        .orderBy("event_id")
+    },
+      Some("""SELECT event_id, round(ms/3600000.0, 2) hours_2dp FROM (
+             |  SELECT event_id, CASE WHEN event_type='error' THEN NULL
+             |    ELSE CAST(floor(value*3600000) AS BIGINT) END ms FROM events
+             |) ORDER BY event_id""".stripMargin)),
+
+    QuerySpec("c5_sha256_email", (s, d) => {
+      val email = when(col("c_custkey") % 10 === 0, lit(""))
+        .otherwise(concat(lower(translate(col("c_name"), "#", "_")), lit("@example.com")))
+      t(s, d, "customer").select(col("c_custkey"), email.as("email"),
+        sha256OrNull(email).as("email_sha256")).orderBy("c_custkey")
+    },
+      Some("""SELECT c_custkey, email,
+             |  CASE WHEN length(email) > 0 THEN sha256(email) END email_sha256
+             |FROM (SELECT c_custkey, CASE WHEN c_custkey % 10 = 0 THEN ''
+             |  ELSE lower(translate(c_name,'#','_')) || '@example.com' END email
+             |  FROM customer) ORDER BY c_custkey""".stripMargin)),
+
+    QuerySpec("c6_safe_bool", (s, d) => {
+      val raw = (col("l_linenumber") % 7)
+      val rawStr = when(raw === 0, "true").when(raw === 1, "YES")
+        .when(raw === 2, " on ").when(raw === 3, "1").when(raw === 4, "0")
+        .when(raw === 5, "false").otherwise("junk")
+      t(s, d, "lineitem").select(rawStr.as("raw"), safeBoolStr(rawStr).as("b_str"),
+        col("l_discount"))
+        .groupBy("raw", "b_str")
+        .agg(count(lit(1)).as("n"),
+          sum(when(safeBoolNum(col("l_discount")), 1L).otherwise(0L)).as("n_num_true"))
+        .orderBy("raw")
+    },
+      Some("""WITH t AS (SELECT CASE l_linenumber % 7 WHEN 0 THEN 'true' WHEN 1 THEN 'YES'
+             |  WHEN 2 THEN ' on ' WHEN 3 THEN '1' WHEN 4 THEN '0' WHEN 5 THEN 'false'
+             |  ELSE 'junk' END raw, l_discount FROM lineitem)
+             |SELECT raw, coalesce(lower(trim(raw)) IN ('true','1','yes','on'), false) b_str,
+             |  count(*) n,
+             |  CAST(sum(CASE WHEN coalesce(l_discount <> 0, false) THEN 1 ELSE 0 END) AS BIGINT) n_num_true
+             |FROM t GROUP BY 1,2 ORDER BY 1""".stripMargin)),
+
+    QuerySpec("c7_safe_int", (s, d) => {
+      val m = col("l_linenumber") % 5
+      val raw = when(m === 0, lit("3.7")).when(m === 1, col("l_quantity").cast("string"))
+        .when(m === 2, lit("abc")).when(m === 3, lit("-2.9")).otherwise(lit(""))
+      t(s, d, "lineitem").filter(col("l_orderkey") <= 300)
+        .select(col("l_orderkey"), col("l_linenumber"), raw.as("raw"),
+          safeInt(raw).as("si"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+      Some("""WITH t AS (SELECT l_orderkey, l_linenumber,
+             |  CASE l_linenumber % 5 WHEN 0 THEN '3.7' WHEN 1 THEN CAST(l_quantity AS VARCHAR)
+             |    WHEN 2 THEN 'abc' WHEN 3 THEN '-2.9' ELSE '' END raw
+             |  FROM lineitem WHERE l_orderkey <= 300)
+             |SELECT l_orderkey, l_linenumber, raw,
+             |  CASE WHEN TRY_CAST(raw AS DOUBLE) IS NOT NULL AND NOT isnan(TRY_CAST(raw AS DOUBLE))
+             |    THEN CAST(trunc(TRY_CAST(raw AS DOUBLE)) AS BIGINT) END si
+             |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QuerySpec("c8_safe_float", (s, d) => {
+      val m = col("l_linenumber") % 5
+      val raw = when(m === 0, lit("3.7")).when(m === 1, col("l_quantity").cast("string"))
+        .when(m === 2, lit("abc")).when(m === 3, lit("-2.9")).otherwise(lit(""))
+      t(s, d, "lineitem").filter(col("l_orderkey") <= 300)
+        .select(col("l_orderkey"), col("l_linenumber"), raw.as("raw"),
+          safeFloat(raw).as("sf_null"), safeFloatDefault(raw, 0.0).as("sf_def"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+      Some("""WITH t AS (SELECT l_orderkey, l_linenumber,
+             |  CASE l_linenumber % 5 WHEN 0 THEN '3.7' WHEN 1 THEN CAST(l_quantity AS VARCHAR)
+             |    WHEN 2 THEN 'abc' WHEN 3 THEN '-2.9' ELSE '' END raw
+             |  FROM lineitem WHERE l_orderkey <= 300),
+             |c AS (SELECT *, CASE WHEN TRY_CAST(raw AS DOUBLE) IS NOT NULL
+             |    AND NOT isnan(TRY_CAST(raw AS DOUBLE)) THEN TRY_CAST(raw AS DOUBLE) END sf_null
+             |  FROM t)
+             |SELECT l_orderkey, l_linenumber, raw, sf_null, coalesce(sf_null, 0.0) sf_def
+             |FROM c ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QuerySpec("c9_checkbox_bool", (s, d) => {
+      val m = col("l_linenumber") % 3
+      val raw = when(m === 0, lit("true")).when(m === 1, lit("false"))
+        .otherwise(lit(null).cast("string"))
+      t(s, d, "lineitem").select(raw.as("raw"), checkboxBool(raw).as("cb"))
+        .groupBy("raw", "cb").agg(count(lit(1)).as("n"))
+        .orderBy(col("raw").asc_nulls_first)
+    },
+      Some("""WITH t AS (SELECT CASE l_linenumber % 3 WHEN 0 THEN 'true' WHEN 1 THEN 'false' END raw
+             |  FROM lineitem)
+             |SELECT raw, coalesce(raw = 'true', false) cb, count(*) n
+             |FROM t GROUP BY 1,2 ORDER BY 1 NULLS FIRST""".stripMargin)),
+
+    QuerySpec("c10_split_trim_sentinel", (s, d) => {
+      val m = col("l_linenumber") % 4
+      val raw = when(m === 0, lit("a, b ,c,"))
+        .when(m === 1, concat(col("l_returnflag"), lit(","), col("l_linestatus"), lit(" , ")))
+        .when(m === 2, lit("")).otherwise(lit(",,,"))
+      val arr = splitTrimDropEmpty(raw)
+      t(s, d, "lineitem")
+        .select(array_join(arr, "|").as("toks"), size(arr).cast("long").as("n_toks"))
+        .groupBy("toks", "n_toks").agg(count(lit(1)).as("n"))
+        .orderBy("toks", "n_toks")
+    },
+      Some("""WITH t AS (SELECT CASE l_linenumber % 4 WHEN 0 THEN 'a, b ,c,'
+             |    WHEN 1 THEN l_returnflag || ',' || l_linestatus || ' , '
+             |    WHEN 2 THEN '' ELSE ',,,' END raw FROM lineitem),
+             |c AS (SELECT list_filter(list_transform(str_split(coalesce(raw,''), ','),
+             |    x -> trim(x)), x -> length(x) > 0) cleaned FROM t),
+             |f AS (SELECT CASE WHEN len(cleaned)=0 THEN [''] ELSE cleaned END final FROM c)
+             |SELECT array_to_string(final,'|') toks, CAST(len(final) AS BIGINT) n_toks, count(*) n
+             |FROM f GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    QuerySpec("c11_array_join_ids",
+      (s, d) => t(s, d, "lineitem").filter(col("l_orderkey") <= 500)
+        .groupBy("l_orderkey")
+        .agg(array_join(transform(array_sort(collect_list(col("l_linenumber"))),
+          x => x.cast("string")), ", ").as("line_ids"))
+        .orderBy("l_orderkey"),
+      Some("""SELECT l_orderkey,
+             |  string_agg(CAST(l_linenumber AS VARCHAR), ', ' ORDER BY l_linenumber) line_ids
+             |FROM lineitem WHERE l_orderkey <= 500 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QuerySpec("c12_names_join",
+      (s, d) => t(s, d, "customer").filter(col("c_custkey") <= 200)
+        .groupBy("c_nationkey")
+        .agg(array_join(array_sort(collect_list(col("c_name"))), ", ").as("name_list"))
+        .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, string_agg(c_name, ', ' ORDER BY c_name) AS name_list
+             |FROM customer WHERE c_custkey <= 200 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ── D1 dedup + A9 window order ───────────────────────────────────────
+    QuerySpec("d1_dedup_latest",
+      (s, d) => Dedup.latestByKey(t(s, d, "events"), Seq("user_id"), "ts", "event_id")
+        .select("user_id", "event_id", "ts", "event_type", "value")
+        .orderBy("user_id"),
+      Some("""SELECT user_id, event_id, ts, event_type, value FROM events
+             |QUALIFY row_number() OVER (PARTITION BY user_id
+             |  ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) = 1
+             |ORDER BY user_id""".stripMargin)),
+
+    // ── E1 explode with sentinel ─────────────────────────────────────────
+    QuerySpec("e1_explode_sentinel", (s, d) => {
+      val m = col("l_linenumber") % 4
+      val raw = when(m === 0, lit("a, b ,c,"))
+        .when(m === 1, concat(col("l_returnflag"), lit(","), col("l_linestatus"), lit(" , ")))
+        .when(m === 2, lit("")).otherwise(lit(",,,"))
+      t(s, d, "lineitem").filter(col("l_orderkey") <= 100)
+        .select(explode(splitTrimDropEmpty(raw)).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n")).orderBy("tok")
+    },
+      Some("""WITH t AS (SELECT CASE l_linenumber % 4 WHEN 0 THEN 'a, b ,c,'
+             |    WHEN 1 THEN l_returnflag || ',' || l_linestatus || ' , '
+             |    WHEN 2 THEN '' ELSE ',,,' END raw FROM lineitem WHERE l_orderkey <= 100),
+             |c AS (SELECT list_filter(list_transform(str_split(coalesce(raw,''), ','),
+             |    x -> trim(x)), x -> length(x) > 0) cleaned FROM t),
+             |e AS (SELECT unnest(CASE WHEN len(cleaned)=0 THEN [''] ELSE cleaned END) tok FROM c)
+             |SELECT tok, count(*) n FROM e GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // ── J: joins ─────────────────────────────────────────────────────────
+    QuerySpec("j1_fact_dim_left_join",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate").between(tsLit("1997-01-01"), tsLit("1997-01-31")))
+        .join(t(s, d, "part"), col("l_partkey") === col("p_partkey"), "left")
+        .select("l_orderkey", "l_linenumber", "l_partkey", "p_brand", "p_type")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_partkey, p_brand, p_type
+             |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+             |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-01-31'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QuerySpec("j2_fact_dim_key_join",
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate").between(tsLit("1996-06-01"), tsLit("1996-06-30")))
+        .join(t(s, d, "supplier"), col("l_suppkey") === col("s_suppkey"), "left")
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "s_name", "s_nationkey")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_suppkey, s_name, s_nationkey
+             |FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+             |WHERE l_shipdate BETWEEN TIMESTAMP '1996-06-01' AND TIMESTAMP '1996-06-30'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    QuerySpec("j3_estimate_vs_actual",
+      (s, d) => t(s, d, "part")
+        .join(t(s, d, "lineitem"), col("p_partkey") === col("l_partkey"), "left")
+        .groupBy("p_partkey", "p_name", "p_retailprice")
+        .agg(round(sum("l_extendedprice"), 2).as("actual_value"))
+        .withColumn("variance_value", round(col("actual_value") - col("p_retailprice"), 2))
+        .filter(col("p_retailprice").isNotNull)
+        .orderBy(col("variance_value").desc_nulls_last, col("p_partkey")),
+      Some("""WITH g AS (SELECT p_partkey, p_name, p_retailprice,
+             |    round(sum(l_extendedprice),2) actual_value
+             |  FROM part LEFT JOIN lineitem ON p_partkey = l_partkey GROUP BY 1,2,3)
+             |SELECT p_partkey, p_name, p_retailprice, actual_value,
+             |  round(actual_value - p_retailprice, 2) variance_value
+             |FROM g WHERE p_retailprice IS NOT NULL
+             |ORDER BY variance_value DESC NULLS LAST, p_partkey""".stripMargin)),
+
+    QuerySpec("j4_merge_match_fullouter", (s, d) => {
+      val o = t(s, d, "orders")
+      val tt = o.filter(col("o_orderkey") <= 2000)
+        .select(col("o_orderkey"), col("o_totalprice").as("tp"))
+      val ss = o.filter(col("o_orderkey").between(1001, 3000))
+        .select(col("o_orderkey"), (col("o_totalprice") * 2).as("sp"))
+      tt.join(ss, Seq("o_orderkey"), "full_outer")
+        .select(col("o_orderkey"),
+          when(col("tp").isNotNull && col("sp").isNotNull, "matched")
+            .when(col("tp").isNull, "insert").otherwise("delete").as("cat"),
+          round(coalesce(col("sp"), col("tp")), 2).as("price"))
+        .orderBy("o_orderkey")
+    },
+      Some("""WITH t AS (SELECT o_orderkey, o_totalprice tp FROM orders WHERE o_orderkey <= 2000),
+             |s AS (SELECT o_orderkey, o_totalprice*2 sp FROM orders
+             |  WHERE o_orderkey BETWEEN 1001 AND 3000)
+             |SELECT coalesce(t.o_orderkey, s.o_orderkey) o_orderkey,
+             |  CASE WHEN t.tp IS NOT NULL AND s.sp IS NOT NULL THEN 'matched'
+             |    WHEN t.tp IS NULL THEN 'insert' ELSE 'delete' END cat,
+             |  round(coalesce(s.sp, t.tp), 2) price
+             |FROM t FULL OUTER JOIN s ON t.o_orderkey = s.o_orderkey
+             |ORDER BY 1""".stripMargin)),
+
+    // ── A: aggregations ──────────────────────────────────────────────────
+    QuerySpec("a1_count_grouped",
+      (s, d) => t(s, d, "orders").groupBy("o_orderpriority", "o_orderstatus")
+        .agg(count(lit(1)).as("n")).orderBy("o_orderpriority", "o_orderstatus"),
+      Some("""SELECT o_orderpriority, o_orderstatus, count(*) n FROM orders
+             |GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    QuerySpec("a2_sum_grouped",
+      (s, d) => t(s, d, "lineitem").groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) sum_qty,
+             |  round(sum(l_extendedprice),2) sum_base,
+             |  round(sum(l_extendedprice*(1-l_discount)),2) sum_disc,
+             |  round(avg(l_quantity),4) avg_qty, count(*) n
+             |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    QuerySpec("a3_conditional_agg",
+      (s, d) => t(s, d, "orders").groupBy("o_orderpriority")
+        .agg(sum(when(col("o_orderstatus") === "F", 1L).otherwise(0L)).as("n_f"),
+          sum(when(col("o_orderstatus") === "O", 1L).otherwise(0L)).as("n_o"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  CAST(sum(CASE WHEN o_orderstatus='F' THEN 1 ELSE 0 END) AS BIGINT) n_f,
+             |  CAST(sum(CASE WHEN o_orderstatus='O' THEN 1 ELSE 0 END) AS BIGINT) n_o,
+             |  count(*) n
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QuerySpec("a4_count_distinct",
+      (s, d) => t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(countDistinct("o_custkey").as("nd_cust"), count(lit(1)).as("n"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, count(DISTINCT o_custkey) nd_cust, count(*) n
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QuerySpec("a5_min_max_dates",
+      (s, d) => t(s, d, "orders").groupBy("o_orderstatus")
+        .agg(min("o_orderdate").as("min_d"), max("o_orderdate").as("max_d"))
+        .orderBy("o_orderstatus"),
+      Some("""SELECT o_orderstatus, min(o_orderdate) min_d, max(o_orderdate) max_d
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QuerySpec("a6_a7_having",
+      (s, d) => t(s, d, "lineitem").groupBy("l_partkey")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(max("l_quantity"), 2).as("max_qty"))
+        .withColumn("spread", round(col("sum_qty") - col("max_qty"), 2))
+        .filter(col("sum_qty") > 300)
+        .orderBy("l_partkey"),
+      Some("""SELECT l_partkey, round(sum(l_quantity),2) sum_qty,
+             |  round(max(l_quantity),2) max_qty,
+             |  round(round(sum(l_quantity),2) - round(max(l_quantity),2), 2) spread
+             |FROM lineitem GROUP BY 1 HAVING round(sum(l_quantity),2) > 300
+             |ORDER BY 1""".stripMargin)),
+
+    QuerySpec("a8_multi_order_by",
+      (s, d) => t(s, d, "customer").filter(col("c_custkey") <= 500)
+        .select("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+        .orderBy(col("c_mktsegment"), col("c_acctbal").desc, col("c_custkey")),
+      Some("""SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+             |WHERE c_custkey <= 500
+             |ORDER BY c_mktsegment, c_acctbal DESC, c_custkey""".stripMargin)),
+
+    QuerySpec("a45_health_scan",
+      (s, d) => t(s, d, "events").agg(count(lit(1)).as("n"),
+        countDistinct("user_id").as("nd_users"),
+        min("ts").as("min_ts"), max("ts").as("max_ts")),
+      Some("""SELECT count(*) n, count(DISTINCT user_id) nd_users,
+             |min(ts) min_ts, max(ts) max_ts FROM events""".stripMargin)),
+
+    // ── M: merge + sinks ─────────────────────────────────────────────────
+    QuerySpec("m1_merge_refresh", (s, d) => {
+      val ev = t(s, d, "events")
+      val fact = ev.filter(col("ts") < tsLit("2024-01-28"))
+        .select(col("event_id").as("id"), col("ts"),
+          to_date(col("ts")).as("start_date_oslo"), col("event_type"), col("value"))
+      val staging = ev.filter(col("event_type") =!= "error")
+        .select(col("event_id").as("id"), col("ts"),
+          to_date(col("ts")).as("start_date_oslo"), col("event_type"),
+          (col("value") * 2).as("value"))
+      MergeOps.mergeRefresh(fact, staging, days = 7,
+        todayOslo = LocalDate.parse("2024-01-30"))
+        .withColumn("start_date_oslo", col("start_date_oslo").cast("string"))
+        .orderBy("id")
+    },
+      Some("""WITH fact AS (SELECT event_id id, ts, CAST(ts AS DATE) d,
+             |    event_type, value v FROM events WHERE ts < TIMESTAMP '2024-01-28'),
+             |sw AS (SELECT event_id id, ts, CAST(ts AS DATE) d,
+             |    event_type, value*2 v FROM events
+             |  WHERE event_type <> 'error'
+             |    AND CAST(ts AS DATE) BETWEEN DATE '2024-01-23' AND DATE '2024-01-30'),
+             |m AS (SELECT * FROM sw
+             |  UNION ALL
+             |  SELECT f.* FROM fact f
+             |  WHERE f.id NOT IN (SELECT id FROM sw)
+             |    AND f.d NOT BETWEEN DATE '2024-01-23' AND DATE '2024-01-30')
+             |SELECT id, ts, CAST(d AS VARCHAR) start_date_oslo, event_type, v AS "value"
+             |FROM m ORDER BY id""".stripMargin)),
+
+    QuerySpec("m2_merge_full_reindex", (s, d) => {
+      val ev = t(s, d, "events")
+      val fact = ev.filter(col("event_id") % 3 === 0)
+        .select(col("event_id").as("id"), col("event_type"), (col("value") + 1).as("value"))
+      val staging = ev.filter(col("event_id") % 5 =!= 0)
+        .select(col("event_id").as("id"), col("event_type"), col("value"))
+      MergeOps.mergeFullReindex(fact, staging).orderBy("id")
+    },
+      Some("""SELECT event_id id, event_type, value FROM events
+             |WHERE event_id % 5 <> 0 ORDER BY id""".stripMargin)),
+
+    QuerySpec("m3_m6_dim_truncate_load", (s, d) => {
+      val dim = t(s, d, "nation")
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"), col("r_name"))
+      val path = sinkDir(d, "m3_dim")
+      MergeOps.ensureTable(s, dim.schema, path) // M6: create-if-not-exists
+      MergeOps.truncateLoad(dim, path)          // M3: WRITE_TRUNCATE
+      MergeOps.ensureTable(s, dim.schema, path) // M6: idempotent re-ensure
+      s.read.parquet(path).orderBy("n_nationkey")
+    },
+      Some("""SELECT n_nationkey, n_name, r_name FROM nation
+             |JOIN region ON n_regionkey = r_regionkey ORDER BY n_nationkey""".stripMargin)),
+
+    QuerySpec("m4_staging_load", (s, d) => {
+      val staging = Dedup.latestByKey(t(s, d, "events"), Seq("user_id"), "ts", "event_id")
+      val path = sinkDir(d, "m4_staging")
+      MergeOps.loadStaging(staging, path)
+      s.read.parquet(path).groupBy("event_type").agg(count(lit(1)).as("n"))
+        .orderBy("event_type")
+    },
+      Some("""WITH dd AS (SELECT * FROM events QUALIFY row_number() OVER (
+             |  PARTITION BY user_id ORDER BY ts DESC NULLS LAST, event_id DESC NULLS LAST) = 1)
+             |SELECT event_type, count(*) n FROM dd GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    QuerySpec("m5_csv_roundtrip", (s, d) => {
+      val agg = t(s, d, "lineitem").groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+      val path = sinkDir(d, "m5_csv")
+      MergeOps.csvBackup(agg, path)
+      s.read.option("header", "true")
+        .schema(new StructType().add("l_returnflag", StringType)
+          .add("n", LongType).add("sum_qty", DoubleType))
+        .csv(path).orderBy("l_returnflag")
+    },
+      Some("""SELECT l_returnflag, count(*) n, round(sum(l_quantity),2) sum_qty
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+  )
+}

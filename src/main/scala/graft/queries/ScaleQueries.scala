@@ -1,0 +1,237 @@
+package graft.queries
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Dedup, DedupOps, Multimodal, SimilarityOps, TextOps}
+import graft.queries.QuerySpec.t
+import graft.streaming.Streams
+
+/** LLM-training-data-pipeline queries over `documents`/`embeddings`/`events`
+  * (x1…x12) + the Structured-Streaming re-expression of the windowed agg.
+  * Thresholds sit in empirically-measured gaps of the seed=42 data (3-gram
+  * Jaccard: near-dup pairs ≥0.95, next candidate ≤0.06; within-label cosine:
+  * top pairs ≈0.47, next ≈0.41 → τ=0.44), so float noise cannot flip rows.
+  * Queries whose operators use xxhash64 (minhash/simhash internals) have no
+  * SQL-expressible oracle only when the hash leaks into the OUTPUT; candidate
+  * generation via LSH + exact verification keeps x2 oracle-checkable.
+  */
+object ScaleQueries {
+
+  private val streamRun = new AtomicInteger(0)
+
+  private val stopwords = Seq("the", "a", "value", "data", "row", "table")
+  private val langProfiles = Seq(
+    "alpha" -> Seq("table", "row", "scan"),
+    "beta" -> Seq("join", "merge", "hash"),
+    "gamma" -> Seq("window", "batch", "stream"))
+
+  val all: Seq[QuerySpec] = Seq(
+
+    QuerySpec("x1_exact_dedup",
+      (s, d) => DedupOps.exactDedup(t(s, d, "documents"), "doc_id", "text")
+        .select(col("doc_id"), col("dup_count").cast("long").as("dup_count"))
+        .orderBy("doc_id"),
+      Some("""SELECT min(doc_id) doc_id, CAST(count(*) AS BIGINT) dup_count
+             |FROM documents
+             |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+             |ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("x2_minhash_lsh_neardup",
+      (s, d) => DedupOps.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleWords = 5, numHashes = 16, bands = 8, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(
+             |    range(0, greatest(len(tk)-4, 0)),
+             |    i -> array_to_string(tk[i+1:i+5], ' '))) s FROM toks),
+             |inv AS (SELECT doc_id, unnest(s) tok FROM sh WHERE len(s) > 0),
+             |sizes AS (SELECT doc_id, len(s) n FROM sh),
+             |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+             |  FROM inv a JOIN inv b ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |  GROUP BY 1,2)
+             |SELECT id_a, id_b, round(i*1.0/(sa.n + sb.n - i), 4) jaccard
+             |FROM inter JOIN sizes sa ON id_a = sa.doc_id
+             |JOIN sizes sb ON id_b = sb.doc_id
+             |WHERE round(i*1.0/(sa.n + sb.n - i), 4) >= 0.5
+             |ORDER BY 1,2""".stripMargin)),
+
+    QuerySpec("x3_ngram_jaccard_neardup",
+      (s, d) => DedupOps.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+        blockCol = "lang", shingleWords = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') tk
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |sh AS (SELECT doc_id, lang, list_distinct(list_transform(
+             |    range(0, greatest(len(tk)-2, 0)),
+             |    i -> array_to_string(tk[i+1:i+3], ' '))) s FROM toks),
+             |inv AS (SELECT doc_id, lang, unnest(s) tok FROM sh WHERE len(s) > 0),
+             |sizes AS (SELECT doc_id, len(s) n FROM sh),
+             |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+             |  FROM inv a JOIN inv b ON a.tok = b.tok AND a.lang = b.lang
+             |    AND a.doc_id < b.doc_id GROUP BY 1,2)
+             |SELECT id_a, id_b, round(i*1.0/(sa.n + sb.n - i), 4) jaccard
+             |FROM inter JOIN sizes sa ON id_a = sa.doc_id
+             |JOIN sizes sb ON id_b = sb.doc_id
+             |WHERE round(i*1.0/(sa.n + sb.n - i), 4) >= 0.5
+             |ORDER BY 1,2""".stripMargin)),
+
+    // SimHash signatures/pairs use xxhash64 → no DuckDB equivalent; the
+    // driver records a rows-only check. Correctness is covered by ScalaTest
+    // (planted near-dups must pair, distant docs must not).
+    QuerySpec("x4_simhash_neardup",
+      (s, d) => DedupOps.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleWords = 3, maxHamming = 3)
+        .orderBy("id_a", "id_b"),
+      None),
+
+    QuerySpec("x5_embed_cosine_neardup",
+      (s, d) => SimilarityOps.embeddingNearDupPairs(t(s, d, "embeddings"),
+        "vec_id", "embedding", blockCol = "label", threshold = 0.44)
+        .orderBy("id_a", "id_b"),
+      Some("""SELECT a.label blk, a.vec_id id_a, b.vec_id id_b,
+             |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) score
+             |FROM embeddings a JOIN embeddings b
+             |  ON a.label = b.label AND a.vec_id < b.vec_id
+             |WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.44
+             |ORDER BY 2,3""".stripMargin)),
+
+    QuerySpec("x6_cosine_topk", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      SimilarityOps.bruteForceTopK(emb.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", q, 10)
+    },
+      Some("""SELECT vec_id, round(CAST(list_cosine_similarity(embedding,
+             |    (SELECT embedding FROM embeddings WHERE vec_id = 0)) AS DOUBLE), 4) score
+             |FROM embeddings WHERE vec_id <> 0
+             |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
+
+    QuerySpec("x7_ann_ivf_topk", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val assigned = SimilarityOps.ivfAssign(emb.filter(col("vec_id") >= 16),
+        "vec_id", "embedding", cents, "cid", "cvec")
+      SimilarityOps.ivfTopK(assigned, "vec_id", "embedding", cents, "cid", "cvec",
+        q, k = 10, nprobe = 4)
+    },
+      Some("""WITH cent AS (SELECT vec_id cid, embedding cvec FROM embeddings WHERE vec_id < 16),
+             |q AS (SELECT embedding qe FROM embeddings WHERE vec_id = 0),
+             |probes AS (SELECT cid FROM cent, q
+             |  ORDER BY list_cosine_similarity(cvec, qe) DESC, cid LIMIT 4),
+             |assign AS (SELECT e.vec_id, e.embedding, c.cid centroid
+             |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id >= 16
+             |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             |    ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) = 1)
+             |SELECT a.vec_id, a.centroid,
+             |  round(CAST(list_cosine_similarity(a.embedding, (SELECT qe FROM q)) AS DOUBLE), 4) score
+             |FROM assign a JOIN probes p ON a.centroid = p.cid
+             |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
+
+    QuerySpec("x8_text_stats", (s, d) => {
+      val docs = t(s, d, "documents")
+      val toks = TextOps.tokens(col("text"))
+      docs.select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"),
+        size(array_distinct(toks)).cast("long").as("n_types"),
+        TextOps.subwordCount(col("text"), 4).cast("long").as("n_subwords"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH t AS (SELECT doc_id, text,
+             |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |    ELSE regexp_split_to_array(trim(text), '\s+') END tok FROM documents)
+             |SELECT doc_id, CAST(len(tok) AS BIGINT) n_tokens,
+             |  CAST(length(text) AS BIGINT) n_chars_calc,
+             |  CAST(len(list_distinct(tok)) AS BIGINT) n_types,
+             |  CAST(coalesce(list_sum(list_transform(tok,
+             |    x -> CAST(ceil(length(x)/4.0) AS BIGINT))), 0) AS BIGINT) n_subwords
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("x9_quality_score",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextOps.qualityScore(col("text"), stopwords).as("quality"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id, text,
+             |    regexp_split_to_array(trim(lower(text)), '\s+') tok FROM documents),
+             |m AS (SELECT doc_id, text, CAST(len(tok) AS DOUBLE) n,
+             |    CAST(len(list_filter(tok, x -> list_contains(
+             |      ['the','a','value','data','row','table'], x))) AS DOUBLE) nstop,
+             |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) npunct
+             |  FROM t)
+             |SELECT doc_id, round(
+             |  0.5 * least(n/100.0, 1.0) +
+             |  0.3 * least((nstop/n)*5.0, 1.0) +
+             |  0.2 * (1.0 - least((npunct/length(text))*10.0, 1.0)), 6) quality
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("x10_lang_id",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"), TextOps.langId(col("text"), langProfiles).as("predicted"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    regexp_split_to_array(trim(lower(text)), '\s+') tok FROM documents),
+             |sc AS (SELECT doc_id, [
+             |  {'hits': len(list_filter(tok, x -> list_contains(['table','row','scan'], x))),
+             |   'lang': 'alpha'},
+             |  {'hits': len(list_filter(tok, x -> list_contains(['join','merge','hash'], x))),
+             |   'lang': 'beta'},
+             |  {'hits': len(list_filter(tok, x -> list_contains(['window','batch','stream'], x))),
+             |   'lang': 'gamma'}] arr FROM t)
+             |SELECT doc_id, (list_sort(arr))[-1].lang predicted FROM sc
+             |ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("x11_fingerprint",
+      (s, d) => t(s, d, "documents").select(col("doc_id"),
+        TextOps.fingerprintMd5(col("text")).as("fp_md5"),
+        TextOps.rollingHash(col("text")).as("fp_roll"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) fp_md5,
+             |  CASE WHEN length(text) = 0 THEN 0 ELSE
+             |    list_reduce(list_transform(range(1, length(text)+1),
+             |      i -> CAST(unicode(substr(text, CAST(i AS INT), 1)) AS BIGINT)),
+             |      (a, b) -> (a*31 + b) % 1000000007) END fp_roll
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("x12_multimodal_features", (s, d) => {
+      val m = Multimodal.asMedia(t(s, d, "documents"), "text", "text/plain")
+      Multimodal.blobFeatures(m, "media_bytes", stride = 50, maxFrames = 8)
+        .select(col("doc_id"), col("n_bytes"), col("content_md5"), col("head_md5"),
+          array_join(col("frame_sample"), "|").as("frames"),
+          col("media_meta.width").as("meta_w"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) nb FROM documents)
+             |SELECT doc_id, CAST(nb AS BIGINT) n_bytes, md5(text) content_md5,
+             |  md5(left(text, 64)) head_md5,
+             |  array_to_string(list_transform(range(0, least(8, (nb-1)//50 + 1)),
+             |    i -> upper(lpad(to_hex(unicode(substr(text, CAST(i*50+1 AS INT), 1))), 2, '0'))),
+             |    '|') frames,
+             |  CAST(nb % 320 + 64 AS INT) meta_w
+             |FROM t ORDER BY doc_id""".stripMargin)),
+
+    QuerySpec("st1_stream_hourly_agg", (s, d) => {
+      val schema = new StructType()
+        .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
+        .add("event_type", StringType).add("value", DoubleType).add("props", StringType)
+      val run = streamRun.incrementAndGet()
+      val sink = s"graft_stream_$run"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runWindowedAggAvailableNow(s, d, "events.parquet", schema, sink, ckpt)
+        .select(col("window_start"), col("event_type"), col("n"),
+          round(col("total_value"), 3).as("total_value"))
+        .orderBy("window_start", "event_type")
+    },
+      Some("""SELECT date_trunc('hour', ts) window_start, event_type, count(*) n,
+             |  round(sum(value), 3) total_value
+             |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
+  )
+}

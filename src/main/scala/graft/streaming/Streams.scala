@@ -30,14 +30,21 @@ object Streams {
       .select(col("w.start").as("window_start"), col("event_type"),
         col("n"), col("total_value"))
 
-  /** Read a parquet directory as a bounded stream (Trigger.AvailableNow
-    * drains it in micro-batches then stops) and run the windowed agg into
-    * an in-memory sink. Returns the final result table.
+  /** Read parquet files matching `glob` under `dir` as a bounded stream
+    * (Trigger.AvailableNow drains micro-batches then stops) and run the
+    * windowed agg into an in-memory sink. Returns the final result table.
     */
-  def runWindowedAggAvailableNow(spark: SparkSession, path: String,
+  def runWindowedAggAvailableNow(spark: SparkSession, dir: String, glob: String,
                                  schema: StructType, sinkName: String,
                                  checkpoint: String): DataFrame = {
-    val stream = spark.readStream.schema(schema).parquet(path)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir)
+    // ns-as-long timestamps → µs truncation at the source boundary
+    val stream =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      else raw
     val q = windowedAgg(stream)
       .writeStream.format("memory").queryName(sinkName)
       .outputMode("complete")
