@@ -1,0 +1,93 @@
+package graft
+
+import java.time.LocalDate
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, MergeOps}
+
+/** D1 keep-latest semantics and the M1/M2 merge algebra, including the
+  * golden regression mirroring BUG_FIX_SUMMARY.md:68-71 (full backfill →
+  * 60-day refresh → historical rows survive).
+  */
+class DedupMergeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def entries(rows: (String, String, java.sql.Date, Double)*): DataFrame =
+    rows.toDF("id", "at", "start_date_oslo", "value")
+
+  test("D1 keeps max-`at` per id, nulls last, deterministic tie-break (ref :1774-1777)") {
+    val df = Seq(
+      ("e1", "2024-01-02 10:00:00", 1.0),
+      ("e1", "2024-01-03 10:00:00", 2.0), // latest → kept
+      ("e1", null, 3.0),                  // null at → never wins
+      ("e2", null, 4.0),                  // all-null group → kept
+      ("e3", "2024-01-01 00:00:00", 5.0),
+      ("e3", "2024-01-01 00:00:00", 6.0)  // tie on at → max tiebreak col wins
+    ).toDF("id", "at_s", "value")
+      .withColumn("at", col("at_s").cast("timestamp")).drop("at_s")
+    val out = Dedup.latestByKey(df, Seq("id"), "at", "value")
+      .orderBy("id").select("id", "value").as[(String, Double)].collect()
+    assert(out.toSeq == Seq(("e1", 2.0), ("e2", 4.0), ("e3", 6.0)))
+  }
+
+  test("M2 full reindex: fact becomes exactly (deduplicated) staging (ref :1335-1399)") {
+    val fact = entries(
+      ("a", "x", java.sql.Date.valueOf("2024-01-01"), 1.0),
+      ("b", "x", java.sql.Date.valueOf("2024-01-02"), 2.0))
+    val staging = entries(
+      ("b", "y", java.sql.Date.valueOf("2024-01-02"), 20.0), // update
+      ("c", "y", java.sql.Date.valueOf("2024-01-03"), 30.0)) // insert; 'a' deleted
+    val out = MergeOps.mergeFullReindex(fact, staging)
+      .orderBy("id").select("id", "value").as[(String, Double)].collect()
+    assert(out.toSeq == Seq(("b", 20.0), ("c", 30.0)))
+  }
+
+  test("M1 refresh: windowed upsert + delete guard protects history (BUG_FIX_SUMMARY.md:16-50)") {
+    val today = LocalDate.parse("2024-03-01")
+    // Full backfill (the fact after a reindex): one historical row far
+    // outside any refresh window + three recent rows.
+    val fact = entries(
+      ("hist", "x", java.sql.Date.valueOf("2024-01-01"), 1.0),
+      ("r1", "x", java.sql.Date.valueOf("2024-02-25"), 2.0),
+      ("r2", "x", java.sql.Date.valueOf("2024-02-26"), 3.0),
+      ("r3", "x", java.sql.Date.valueOf("2024-02-27"), 4.0))
+    // 7-day refresh: r1 updated, r2 gone upstream (deleted), r3 untouched
+    // upstream but still present, r4 new. Staging also carries an
+    // out-of-window row that must be ignored by the source filter.
+    val staging = entries(
+      ("r1", "y", java.sql.Date.valueOf("2024-02-25"), 20.0),
+      ("r3", "y", java.sql.Date.valueOf("2024-02-27"), 4.0),
+      ("r4", "y", java.sql.Date.valueOf("2024-02-28"), 5.0),
+      ("oow", "y", java.sql.Date.valueOf("2024-01-15"), 99.0))
+    val merged = MergeOps.mergeRefresh(fact, staging, days = 7, todayOslo = today)
+    val out = merged.orderBy("id").select("id", "value").as[(String, Double)].collect()
+    assert(out.toSeq == Seq(
+      ("hist", 1.0), // survives: outside window, NOT deleted (the bug-fix guard)
+      ("r1", 20.0),  // updated
+      ("r3", 4.0),   // re-asserted
+      ("r4", 5.0)))  // inserted; r2 deleted (in-window, absent from staging)
+  }
+
+  test("M1 is idempotent: mergeRefresh(merge(f,s), s) == merge(f,s)") {
+    val today = LocalDate.parse("2024-03-01")
+    val fact = entries(
+      ("hist", "x", java.sql.Date.valueOf("2024-01-01"), 1.0),
+      ("r1", "x", java.sql.Date.valueOf("2024-02-25"), 2.0))
+    val staging = entries(
+      ("r1", "y", java.sql.Date.valueOf("2024-02-25"), 20.0),
+      ("r4", "y", java.sql.Date.valueOf("2024-02-28"), 5.0))
+    val once = MergeOps.mergeRefresh(fact, staging, 7, today)
+    val twice = MergeOps.mergeRefresh(once, staging, 7, today)
+    assert(rows(once.orderBy("id")) == rows(twice.orderBy("id")))
+  }
+
+  test("M1 null-date fact rows are kept (BigQuery NULL BETWEEN → not deleted)") {
+    val fact = Seq(("n1", "x", null: java.sql.Date, 1.0))
+      .toDF("id", "at", "start_date_oslo", "value")
+    val staging = entries(("r1", "y", java.sql.Date.valueOf("2024-02-28"), 5.0))
+    val out = MergeOps.mergeRefresh(fact, staging, 7, LocalDate.parse("2024-03-01"))
+    assert(out.count() == 2)
+  }
+}

@@ -1,0 +1,106 @@
+package graft
+
+import java.nio.file.Files
+import java.time.LocalDate
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{MergeOps, Multimodal}
+import graft.streaming.Streams
+
+/** Structured-Streaming re-expression of the refresh loop and the
+  * multimodal binary plumbing.
+  */
+class StreamingMultimodalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming windowed agg over a bounded file stream equals the batch agg") {
+    val dir = Files.createTempDirectory("graft_stream_in").toString
+    val events = Seq(
+      (1L, "2024-01-01 10:10:00", "click", 1.0),
+      (2L, "2024-01-01 10:40:00", "click", 2.0),
+      (3L, "2024-01-01 11:05:00", "view", 3.0),
+      (4L, "2024-01-01 11:20:00", "click", 4.0)
+    ).toDF("event_id", "ts_s", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    events.write.mode("overwrite").parquet(dir)
+
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val out = Streams.runWindowedAggAvailableNow(spark, dir, "*.parquet",
+      events.schema, "graft_test_sink", ckpt)
+      .orderBy("window_start", "event_type")
+      .select($"window_start".cast("string"), $"event_type", $"n", $"total_value")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01 10:00:00", "click", 2L, 3.0),
+      ("2024-01-01 11:00:00", "click", 1L, 4.0),
+      ("2024-01-01 11:00:00", "view", 1L, 3.0)))
+  }
+
+  test("streaming foreachBatch merge equals the batch merge (M1 via watermark loop)") {
+    val factDir = Files.createTempDirectory("graft_fact").toString + "/fact"
+    val inDir = Files.createTempDirectory("graft_merge_in").toString
+    val today = LocalDate.parse("2024-03-01")
+
+    def entryDf(rows: Seq[(String, String, String, Double)]) =
+      rows.toDF("id", "at_s", "d_s", "value")
+        .withColumn("at", col("at_s").cast("timestamp"))
+        .withColumn("start_utc", col("at"))
+        .withColumn("start_date_oslo", col("d_s").cast("date"))
+        .drop("at_s", "d_s")
+
+    // seed fact: one historical + one in-window row
+    val fact0 = entryDf(Seq(
+      ("hist", "2024-01-01 10:00:00", "2024-01-01", 1.0),
+      ("r1", "2024-02-26 10:00:00", "2024-02-26", 2.0)))
+    fact0.write.parquet(factDir)
+
+    // stream a refresh batch: r1 updated (twice — dedup keeps latest), r2 new
+    val batch = entryDf(Seq(
+      ("r1", "2024-02-27 09:00:00", "2024-02-26", 10.0),
+      ("r1", "2024-02-27 10:00:00", "2024-02-26", 20.0),
+      ("r2", "2024-02-27 11:00:00", "2024-02-27", 5.0)))
+    batch.write.mode("overwrite").parquet(inDir)
+
+    val stream = spark.readStream.schema(batch.schema).parquet(inDir)
+    val ckpt = Files.createTempDirectory("graft_ckpt2").toString
+    Streams.streamingMerge(spark, stream, factDir, days = 7, todayOslo = today,
+      checkpoint = ckpt, sinkName = "unused")
+
+    val out = spark.read.parquet(factDir).orderBy("id")
+      .select("id", "value").as[(String, Double)].collect().toSeq
+    assert(out == Seq(("hist", 1.0), ("r1", 20.0), ("r2", 5.0)))
+  }
+
+  test("multimodal: media wrap, blob features, stub decode, resize") {
+    val df = Seq((1L, "hello world, this is binary payload text"),
+      (2L, "x")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(df, "text", "text/plain")
+    assert(media.schema("media_meta").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val feats = Multimodal.blobFeatures(media, "media_bytes", stride = 10, maxFrames = 3)
+      .orderBy("doc_id").collect()
+    assert(feats(0).getAs[Long]("n_bytes") == 40L)
+    assert(feats(0).getAs[scala.collection.Seq[String]]("frame_sample").length == 3)
+    assert(feats(1).getAs[scala.collection.Seq[String]]("frame_sample").toSeq == Seq("78")) // hex('x')
+    val decoded = Multimodal.stubDecode(media, features = 4)
+    val v = decoded.orderBy("doc_id").collect()(0)
+      .getAs[scala.collection.Seq[Double]]("decoded_features")
+    assert(v.length == 4)
+    assert(v.forall(x => x > 0 && x < 256))
+    val resized = Multimodal.resizeFeatures(decoded, "decoded_features", 2)
+      .orderBy("doc_id").collect()(0)
+      .getAs[scala.collection.Seq[Double]]("decoded_features_resized")
+    assert(resized.length == 2)
+  }
+
+  test("M3/M6: ensureTable is idempotent and truncateLoad replaces content") {
+    val path = Files.createTempDirectory("graft_dim").toString + "/dim"
+    val schema = Seq((1, "a")).toDF("k", "v").schema
+    MergeOps.ensureTable(spark, schema, path)
+    MergeOps.ensureTable(spark, schema, path) // second call: no-op, no error
+    assert(spark.read.parquet(path).count() == 0)
+    MergeOps.truncateLoad(Seq((1, "a"), (2, "b")).toDF("k", "v"), path)
+    MergeOps.truncateLoad(Seq((3, "c")).toDF("k", "v"), path) // WRITE_TRUNCATE
+    assert(spark.read.parquet(path).as[(Int, String)].collect().toSeq == Seq((3, "c")))
+  }
+}

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{DedupOps, SimilarityOps, TextOps}
+
+/** LLM-pipeline operators: text stats, fingerprints, exact + fuzzy dedup
+  * (MinHash-LSH, SimHash, n-gram Jaccard), similarity search.
+  */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog and then " +
+    "runs far away into the deep green forest tonight"
+  private val nearDup = base + " quietly"           // one appended word
+  private val distinct1 = "completely different words appear here with no overlap " +
+    "whatsoever in any shingle of this sentence at all today"
+
+  private def docs = Seq(
+    (1L, base), (2L, nearDup), (3L, distinct1), (4L, base)
+  ).toDF("doc_id", "text")
+
+  test("TextOps.tokens / shingles handle short and empty inputs") {
+    def sh(s: String, n: Int): Seq[String] =
+      Seq(s).toDF("t").select(TextOps.shingles(col("t"), n).as("s"))
+        .collect()(0).getSeq[String](0).toSeq
+    assert(sh("a b c d", 3) == Seq("a b c", "b c d"))
+    assert(sh("a b", 3) == Seq.empty)
+    assert(sh("", 3) == Seq.empty)
+    assert(sh("  a   b  ", 2) == Seq("a b"))
+  }
+
+  test("rollingHash matches a reference implementation") {
+    def ref(s: String): Long =
+      s.foldLeft(0L)((a, c) => (a * 31 + c.toInt) % 1000000007L)
+    val got = Seq("abc", "hello world", "").toDF("t")
+      .select(TextOps.rollingHash(col("t")).as("h")).collect().map(_.getLong(0))
+    assert(got(0) == ref("abc"))
+    assert(got(1) == ref("hello world"))
+    assert(got(2) == 0L)
+  }
+
+  test("exact dedup keeps min-id doc and counts duplicates") {
+    val out = DedupOps.exactDedup(docs, "doc_id", "text")
+      .select("doc_id", "dup_count").orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L)) // doc 4 == doc 1
+    assert(out(0).getLong(1) == 2L)
+  }
+
+  test("MinHash-LSH finds the planted near-dup pair and nothing else") {
+    val pairs = DedupOps.minhashLshPairs(docs.filter($"doc_id" =!= 4),
+      "doc_id", "text", shingleWords = 3, numHashes = 16, bands = 8,
+      threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("n-gram Jaccard (prefix-filtered) finds the same pair with the exact score") {
+    val blocked = docs.filter($"doc_id" =!= 4).withColumn("blk", lit("x"))
+    val out = DedupOps.ngramJaccardPairs(blocked, "doc_id", "text", "blk", 3, 0.5)
+      .collect()
+    assert(out.length == 1)
+    assert((out(0).getLong(0), out(0).getLong(1)) == ((1L, 2L)))
+    // base has 18 distinct 3-gram shingles... verify against brute force
+    val a = base.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val b = nearDup.split("\\s+").sliding(3).map(_.mkString(" ")).toSet
+    val expected = BigDecimal(a.intersect(b).size.toDouble / a.union(b).size)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(0).getDouble(2) == expected)
+  }
+
+  test("SimHash pairs the planted near-dup with small Hamming distance") {
+    val pairs = DedupOps.simhashPairs(docs.filter($"doc_id" =!= 4),
+      "doc_id", "text", shingleWords = 3, maxHamming = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)))
+  }
+
+  test("cosine and brute-force top-k") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),
+      (2L, Array(0.9f, 0.1f, 0.0f)),
+      (3L, Array(0.0f, 1.0f, 0.0f)),
+      (4L, Array(-1.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cos = vecs.filter($"vec_id" === 2)
+      .select(SimilarityOps.cosine(col("embedding"), lit(Array(1.0f, 0.0f, 0.0f))))
+      .collect()(0).getDouble(0)
+    assert(math.abs(cos - 0.9 / math.sqrt(0.82)) < 1e-9)
+    val top = SimilarityOps.bruteForceTopK(vecs.filter($"vec_id" =!= 1),
+      "vec_id", "embedding", Seq(1.0f, 0.0f, 0.0f), 2)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(top == Seq(2L, 3L))
+  }
+
+  test("IVF assignment routes vectors to the nearest centroid; zero-vector guard") {
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("cid", "cvec")
+    val vecs = Seq(
+      (10L, Array(0.9f, 0.1f)), (11L, Array(0.2f, 0.8f)),
+      (12L, Array(0.0f, 0.0f))) // zero vector → cosine 0 everywhere
+      .toDF("vec_id", "embedding")
+    val assigned = SimilarityOps.ivfAssign(vecs, "vec_id", "embedding",
+      cents, "cid", "cvec")
+      .select("vec_id", "centroid").as[(Long, Long)].collect().toMap
+    assert(assigned(10L) == 0L)
+    assert(assigned(11L) == 1L)
+    assert(assigned(12L) == 0L) // tie on 0.0 → lowest cid (deterministic)
+  }
+
+  test("langId picks argmax profile with deterministic ties") {
+    val out = Seq("table row table scan", "join merge join hash", "nothing here")
+      .toDF("t").select(TextOps.langId(col("t"), Seq(
+        "alpha" -> Seq("table", "row", "scan"),
+        "beta" -> Seq("join", "merge", "hash"))).as("l"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "alpha")
+    assert(out(1) == "beta")
+    assert(out(2) == "beta") // 0-0 tie → lexicographically last profile
+  }
+}
