@@ -1,0 +1,18 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+import graft.functions.CosineSimilarity
+
+/** SparkSessionExtensions hook: registers the engine's native expressions
+  * so they're callable from SQL (`SELECT graft_cosine(a, b)`) as well as
+  * the Column API. Wire with
+  * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
+  * `builder.withExtensions(new GraftExtensions)` — GraftSession does the
+  * latter.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction(CosineSimilarity.registration)
+  }
+}

@@ -14,6 +14,7 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def tune(b: SparkSession.Builder, cpus: String): SparkSession.Builder = b
+    .withExtensions(new GraftExtensions)
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.ansi.enabled", "false")

@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shuffle-shape utilities for the 100 TB deployment: skew salting and
+  * bucketed (co-located) joins. Results are provably identical to the
+  * unsalted/unbucketed plans — only the physical shuffle changes — and the
+  * equivalence is asserted in ScaleOpsSpec.
+  */
+object ScaleOps {
+
+  /** Two-phase skew-safe grouped SUM/COUNT: group by (key, salt) with
+    * map-side partials, then re-group by key. A hot key's rows spread over
+    * `saltBuckets` reducers in phase 1; phase 2 only merges `saltBuckets`
+    * partial rows per key. Use when one key holds ≫ 1/partitions of the
+    * data and AQE skew handling isn't enough (e.g. aggregation, where AQE
+    * can't split a reducer).
+    */
+  def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                     saltBuckets: Int): DataFrame = {
+    val salted = df.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
+    val phase1 = salted
+      .groupBy((keyCols.map(col) :+ col("__salt")): _*)
+      .agg(sum(col(valueCol)).as("__s"), count(lit(1)).as("__n"))
+    phase1.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__s")).as(s"sum_$valueCol"),
+        sum(col("__n")).cast("long").as("n"))
+  }
+
+  /** Skew-safe inner equi-join: explode the (small) right side into
+    * `saltBuckets` copies, salt the left side's rows, join on
+    * (key, salt). Left rows of a hot key spread across `saltBuckets`
+    * reducers instead of one. Right side grows ×saltBuckets — use for a
+    * moderate-size right side that is too big to broadcast but far smaller
+    * than the skewed left.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+                 saltBuckets: Int): DataFrame = {
+    val saltedLeft = left.withColumn("__salt",
+      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
+    val explodedRight = right.withColumn("__salt",
+      explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
+    saltedLeft.join(explodedRight, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Write a table bucketed by `key` so repeated joins/aggregations on
+    * that key are shuffle-free (co-located scans). Bucketed writes need a
+    * catalog table, not a bare path.
+    */
+  def writeBucketed(df: DataFrame, table: String, key: String,
+                    buckets: Int): Unit =
+    df.write.mode(SaveMode.Overwrite)
+      .bucketBy(buckets, key).sortBy(key)
+      .format("parquet").saveAsTable(table)
+
+  /** Join two same-bucketed catalog tables on their bucket key: with
+    * matching bucket specs Catalyst plans a SortMergeJoin with NO Exchange
+    * on either side (assert via .explain — absence of Exchange).
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   key: String): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), Seq(key))
+}

@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.{CosineSimilarity => NativeCos}
+
 /** Similarity search over embedding columns (`array<float>`).
   *
   * Two tiers:
@@ -17,7 +19,10 @@ import org.apache.spark.sql.functions._
   *    written partitioned by `centroid` so probing is partition pruning.
   *  - [[embeddingNearDupPairs]]: cosine near-dup pairs within blocks.
   *
-  * All arithmetic in double via codegen'd higher-order functions — no UDFs.
+  * Hot-path scoring uses the native codegen expression
+  * [[graft.functions.CosineSimilarity]] (HOF lambdas are interpreted in
+  * Spark); [[cosine]]/[[dot]] remain as the built-in-only reference
+  * implementations with identical accumulation order. No UDFs.
   */
 object SimilarityOps {
 
@@ -50,7 +55,7 @@ object SimilarityOps {
                      queryVec: Seq[Float], k: Int): DataFrame = {
     val q = lit(queryVec.toArray)
     vectors
-      .withColumn("score", round(cosine(col(vecCol), q), 4))
+      .withColumn("score", round(NativeCos(col(vecCol), q), 4))
       .select(col(idCol), col("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
@@ -65,7 +70,7 @@ object SimilarityOps {
     val w = Window.partitionBy(col(idCol))
       .orderBy(col("__sim").desc, col(cidCol))
     vectors.crossJoin(broadcast(centroids.select(col(cidCol), col(cvecCol))))
-      .withColumn("__sim", cosine(col(vecCol), col(cvecCol)))
+      .withColumn("__sim", NativeCos(col(vecCol), col(cvecCol)))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col(idCol), col(vecCol), col(cidCol).as("centroid"),
@@ -80,11 +85,11 @@ object SimilarityOps {
               queryVec: Seq[Float], k: Int, nprobe: Int): DataFrame = {
     val q = lit(queryVec.toArray)
     val probes = centroids
-      .withColumn("__sim", cosine(col(cvecCol), q))
+      .withColumn("__sim", NativeCos(col(cvecCol), q))
       .orderBy(col("__sim").desc, col(cidCol)).limit(nprobe)
       .select(col(cidCol).as("centroid"))
     assigned.join(broadcast(probes), Seq("centroid"))
-      .withColumn("score", round(cosine(col(vecCol), q), 4))
+      .withColumn("score", round(NativeCos(col(vecCol), q), 4))
       .select(col(idCol), col("centroid"), col("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
@@ -96,16 +101,12 @@ object SimilarityOps {
     */
   def embeddingNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                             blockCol: String, threshold: Double): DataFrame = {
-    // norms once per vector (O(n)), not once per pair (O(pairs))
     val n = vectors.select(col(blockCol).as("blk"), col(idCol).as("id"),
-      col(vecCol).as("v"), l2norm(col(vecCol)).as("nrm"))
-    val l = n.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"),
-      col("nrm").as("n_a"))
-    val r = n.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"),
-      col("nrm").as("n_b"))
+      col(vecCol).as("v"))
+    val l = n.select(col("blk"), col("id").as("id_a"), col("v").as("v_a"))
+    val r = n.select(col("blk"), col("id").as("id_b"), col("v").as("v_b"))
     l.join(r, Seq("blk")).filter(col("id_a") < col("id_b"))
-      .withColumn("score",
-        round(cosineFrom(dot(col("v_a"), col("v_b")), col("n_a"), col("n_b")), 4))
+      .withColumn("score", round(NativeCos(col("v_a"), col("v_b")), 4))
       .filter(col("score") >= threshold)
       .select(col("blk"), col("id_a"), col("id_b"), col("score"))
   }

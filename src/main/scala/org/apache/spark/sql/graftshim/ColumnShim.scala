@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+package graftshim
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge to the `private[sql]` classic Column↔Expression converters, for
+  * wiring native Catalyst expressions (graft.functions.CosineSimilarity)
+  * into the public Column API. Lives under org.apache.spark.sql solely to
+  * satisfy the access qualifier; no Spark internals are modified.
+  */
+object ColumnShim {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CosineSimilarity => NativeCos}
+import graft.operators.{ScaleOps, SimilarityOps}
+
+/** Native codegen cosine expression + shuffle-shape utilities. */
+class ScaleNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(-1.0f, 0.5f, 2.5f)),
+    (3L, Array(0.0f, 0.0f, 0.0f)), (4L, Array(0.1f, 0.2f, 0.3f))
+  ).toDF("id", "v")
+
+  test("native cosine is bitwise-identical to the HOF reference implementation") {
+    val out = vecs.crossJoin(vecs.select($"id".as("id2"), $"v".as("v2")))
+      .select(NativeCos($"v", $"v2").as("native"),
+        SimilarityOps.cosine($"v", $"v2").as("ref"))
+      .collect()
+    out.foreach { r =>
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    }
+  }
+
+  test("native cosine is registered in SQL via GraftExtensions") {
+    vecs.createOrReplaceTempView("nv")
+    val r = spark.sql(
+      "SELECT graft_cosine(a.v, b.v) c FROM nv a JOIN nv b ON a.id=1 AND b.id=4")
+      .collect()(0).getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-9) // parallel vectors
+    // zero-norm guard
+    val z = spark.sql(
+      "SELECT graft_cosine(a.v, b.v) c FROM nv a JOIN nv b ON a.id=1 AND b.id=3")
+      .collect()(0).getDouble(0)
+    assert(z == 0.0)
+  }
+
+  test("salted aggregation equals plain aggregation") {
+    val df = (1 to 1000).map(i => (if (i % 10 == 0) "hot" else s"k${i % 7}", i.toDouble))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum("v").as("sum_v"), count(lit(1)).as("n"))
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    val salted = ScaleOps.saltedSumCount(df, Seq("k"), "v", saltBuckets = 8)
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+    assert(plain.toSeq == salted.toSeq)
+  }
+
+  test("salted join equals plain inner join") {
+    val left = (1 to 500).map(i => (s"k${i % 5}", i)).toDF("k", "lv")
+    val right = Seq(("k0", "a"), ("k1", "b"), ("k2", "c")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).orderBy("k", "lv")
+      .collect().map(_.toSeq)
+    val salted = ScaleOps.saltedJoin(left, right, "k", saltBuckets = 4)
+      .select("k", "lv", "rv").orderBy("k", "lv").collect().map(_.toSeq)
+    assert(plain.toSeq == salted.toSeq)
+  }
+
+  test("bucketed join plans without an Exchange on either side") {
+    for (t <- Seq("bkt_a", "bkt_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"spark-warehouse/$t")
+      if (loc.exists()) org.apache.commons.io.FileUtils.deleteDirectory(loc)
+    }
+    val a = (1 to 100).map(i => (i.toLong, s"a$i")).toDF("k", "av")
+    val b = (1 to 100).map(i => (i.toLong, s"b$i")).toDF("k", "bv")
+    ScaleOps.writeBucketed(a, "bkt_a", "k", buckets = 4)
+    ScaleOps.writeBucketed(b, "bkt_b", "k", buckets = 4)
+    // force a sort-merge join (tiny test tables would otherwise broadcast)
+    // to observe the bucketing effect: no shuffle Exchange on either side
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = ScaleOps.bucketedJoin(spark, "bkt_a", "bkt_b", "k")
+      assert(joined.count() == 100)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join should be shuffle-free:\n$plan")
+      assert(plan.contains("Bucketed: true"), s"scan should use buckets:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+}
