@@ -232,6 +232,27 @@ object ScaleQueries {
     },
       Some("""SELECT date_trunc('hour', ts) window_start, event_type, count(*) n,
              |  round(sum(value), 3) total_value
-             |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
+             |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    QuerySpec("st2_sessionize_stateful", (s, d) => {
+      val schema = new StructType()
+        .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
+        .add("event_type", StringType).add("value", DoubleType).add("props", StringType)
+      val run = streamRun.incrementAndGet()
+      val sink = s"graft_sessions_$run"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runSessionizeAvailableNow(s, d, "events.parquet", schema,
+        gapMinutes = 60, sink, ckpt)
+        .orderBy("user_id", "session_id")
+    },
+      Some("""WITH e AS (SELECT user_id, event_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR ts - lag(ts) OVER w > INTERVAL 60 MINUTE THEN 1 ELSE 0 END brk
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS INT) session_id FROM e)
+             |SELECT user_id, session_id, min(ts) session_start, max(ts) session_end,
+             |  count(*) n, round(sum(value), 3) total_value
+             |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
   )
 }

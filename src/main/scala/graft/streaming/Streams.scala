@@ -4,7 +4,7 @@ import java.time.LocalDate
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.operators.{Dedup, MergeOps}
@@ -48,6 +48,89 @@ object Streams {
     val q = windowedAgg(stream)
       .writeStream.format("memory").queryName(sinkName)
       .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(sinkName)
+  }
+
+  /** Typed event row for stateful sessionization. */
+  case class SessionEvent(event_id: Long, ts: java.sql.Timestamp,
+                          user_id: Long, value: Double)
+
+  /** One emitted session. */
+  case class UserSession(user_id: Long, session_id: Int,
+                         session_start: java.sql.Timestamp,
+                         session_end: java.sql.Timestamp,
+                         n: Long, total_value: Double)
+
+  /** Per-user carry-over state between micro-batches: last seen event time
+    * and the number of sessions already emitted.
+    */
+  case class SessionState(lastTs: Long, sessionsEmitted: Int)
+
+  /** Stateful sessionization via `flatMapGroupsWithState`
+    * (KeyValueGroupedDataset custom state — the idiomatic Spark slot for
+    * per-key streaming logic): events of a user belong to one session while
+    * inter-event gaps stay ≤ `gapMinutes`. Sessions are numbered per user
+    * in event-time order.
+    *
+    * Scale: state is O(1) per user (last timestamp + a counter); the group
+    * shuffle is the only exchange. Events inside one micro-batch are
+    * sorted per group — bounded by per-user batch volume, not corpus size.
+    */
+  def sessionize(spark: SparkSession, events: DataFrame, gapMinutes: Int): DataFrame = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    val typed = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("value")).as[SessionEvent]
+    val out = typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) =>
+          val evs = it.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            val prior = state.getOption.getOrElse(SessionState(Long.MinValue, 0))
+            val sessions = scala.collection.mutable.ArrayBuffer.empty[UserSession]
+            var sid = prior.sessionsEmitted
+            var cur = scala.collection.mutable.ArrayBuffer.empty[SessionEvent]
+            var lastTs = prior.lastTs
+            def flush(): Unit = if (cur.nonEmpty) {
+              sid += 1
+              sessions += UserSession(user, sid, cur.head.ts, cur.last.ts,
+                cur.size.toLong,
+                BigDecimal(cur.map(_.value).sum)
+                  .setScale(3, BigDecimal.RoundingMode.HALF_UP).toDouble)
+              cur = scala.collection.mutable.ArrayBuffer.empty[SessionEvent]
+            }
+            evs.foreach { e =>
+              if (lastTs != Long.MinValue && e.ts.getTime - lastTs > gapMs) flush()
+              cur += e
+              lastTs = e.ts.getTime
+            }
+            flush()
+            state.update(SessionState(lastTs, sid))
+            sessions.iterator
+          }
+      }
+    out.toDF()
+  }
+
+  /** Run sessionization over a bounded file stream into a memory sink. */
+  def runSessionizeAvailableNow(spark: SparkSession, dir: String, glob: String,
+                                schema: StructType, gapMinutes: Int,
+                                sinkName: String, checkpoint: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.readStream.schema(schema).option("pathGlobFilter", glob).parquet(dir)
+    val stream =
+      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val q = sessionize(spark, stream, gapMinutes)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()

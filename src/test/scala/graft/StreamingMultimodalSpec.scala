@@ -72,6 +72,21 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out == Seq(("hist", 1.0), ("r1", 20.0), ("r2", 5.0)))
   }
 
+  test("stateful sessionization: gap splits, per-user numbering, value sums") {
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", 7L, 1.0),
+      (2L, "2024-01-01 10:30:00", 7L, 2.0),  // same session (gap 30m ≤ 60m)
+      (3L, "2024-01-01 12:00:00", 7L, 4.0),  // gap 90m → new session
+      (4L, "2024-01-01 09:00:00", 9L, 8.0)   // other user
+    ).toDF("event_id", "ts_s", "user_id", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = Streams.sessionize(spark, events, gapMinutes = 60)
+      .orderBy("user_id", "session_id")
+      .select($"user_id", $"session_id", $"n", $"total_value")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(out == Seq((7L, 1, 2L, 3.0), (7L, 2, 1L, 4.0), (9L, 1, 1L, 8.0)))
+  }
+
   test("multimodal: media wrap, blob features, stub decode, resize") {
     val df = Seq((1L, "hello world, this is binary payload text"),
       (2L, "x")).toDF("doc_id", "text")
