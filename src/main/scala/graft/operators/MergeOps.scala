@@ -116,4 +116,54 @@ object MergeOps {
     updated.write.mode(SaveMode.Overwrite)
       .partitionBy(dateCol).parquet(factPath)
   }
+
+  /** The full at-scale refresh: M1 semantics against a date-partitioned
+    * fact table, rewriting ONLY the affected partitions. Affected =
+    *   - every window date (upserts + windowed deletes), plus
+    *   - the old partitions of out-of-window fact rows whose id reappears
+    *     in the staging window (their stale copy must vanish).
+    * Untouched partitions are not rewritten (asserted in DedupMergeSpec by
+    * file-level comparison). A window partition whose rows are all deleted
+    * produces no output under dynamic overwrite, so its directory is
+    * dropped explicitly.
+    *
+    * The affected-date list is collected driver-side — it is metadata
+    * (≤ days + a handful of moved dates), not data.
+    */
+  def refreshPartitioned(spark: org.apache.spark.sql.SparkSession,
+                         factPath: String, staging: DataFrame, days: Int,
+                         todayOslo: LocalDate,
+                         dateCol: String = "start_date_oslo",
+                         keyCol: String = "id"): Unit = {
+    val lo = lit(java.sql.Date.valueOf(todayOslo.minusDays(days.toLong)))
+    val hi = lit(java.sql.Date.valueOf(todayOslo))
+    def inWindow(c: Column): Column = c.between(lo, hi)
+
+    val fact = spark.read.parquet(factPath)
+    val stagingW = staging.filter(inWindow(col(dateCol)))
+    val movedDates = fact
+      .join(broadcast(stagingW.select(col(keyCol))), Seq(keyCol))
+      .filter(!coalesce(inWindow(col(dateCol)), lit(false)))
+      .select(col(dateCol))
+    val affected = stagingW.select(col(dateCol))
+      .unionByName(fact.filter(inWindow(col(dateCol))).select(col(dateCol)))
+      .unionByName(movedDates)
+      .distinct().collect().map(_.getDate(0)).toSet
+
+    val merged = mergeRefresh(fact, staging, days, todayOslo, dateCol, keyCol)
+      .filter(col(dateCol).isin(affected.toSeq: _*))
+    val writtenDates = merged.select(col(dateCol)).distinct()
+      .collect().map(_.getDate(0)).toSet
+    overwriteDatePartitions(merged, factPath, dateCol)
+
+    // drop affected partitions that became empty — dynamic overwrite only
+    // replaces partitions present in the written frame, so a fully-deleted
+    // window partition would otherwise keep its stale files
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(factPath)
+    val fs = base.getFileSystem(conf)
+    (affected -- writtenDates).foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(base, s"$dateCol=$d"), true)
+    }
+  }
 }

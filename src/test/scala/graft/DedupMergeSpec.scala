@@ -83,6 +83,40 @@ class DedupMergeSpec extends SparkSpec {
     assert(rows(once.orderBy("id")) == rows(twice.orderBy("id")))
   }
 
+  test("refreshPartitioned rewrites only affected date partitions") {
+    val base = java.nio.file.Files.createTempDirectory("graft_part").toString + "/fact"
+    val today = LocalDate.parse("2024-03-01")
+    // partitions: hist (2024-01-01, untouched), 02-24 (fully deleted),
+    // 02-26 (updated); staging adds 02-28
+    entries(
+      ("hist", "x", java.sql.Date.valueOf("2024-01-01"), 1.0),
+      ("del1", "x", java.sql.Date.valueOf("2024-02-24"), 9.0),
+      ("r1", "x", java.sql.Date.valueOf("2024-02-26"), 2.0))
+      .write.partitionBy("start_date_oslo").parquet(base)
+
+    def partFiles(d: String): Map[String, Long] = {
+      val dir = new java.io.File(s"$base/start_date_oslo=$d")
+      if (!dir.exists()) Map.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val histBefore = partFiles("2024-01-01")
+    assert(histBefore.nonEmpty)
+
+    val staging = entries(
+      ("r1", "y", java.sql.Date.valueOf("2024-02-26"), 20.0),
+      ("r4", "y", java.sql.Date.valueOf("2024-02-28"), 5.0))
+    MergeOps.refreshPartitioned(spark, base, staging, days = 7, todayOslo = today)
+
+    val out = spark.read.parquet(base).orderBy("id")
+      .select("id", "value").as[(String, Double)].collect().toSeq
+    assert(out == Seq(("hist", 1.0), ("r1", 20.0), ("r4", 5.0)))
+    // untouched partition: exact same files, same mtimes
+    assert(partFiles("2024-01-01") == histBefore)
+    // fully-deleted window partition directory is gone
+    assert(partFiles("2024-02-24").isEmpty)
+  }
+
   test("M1 null-date fact rows are kept (BigQuery NULL BETWEEN → not deleted)") {
     val fact = Seq(("n1", "x", null: java.sql.Date, 1.0))
       .toDF("id", "at", "start_date_oslo", "value")
