@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.CosineSimilarity
+import graft.functions.{CosineSimilarity, SortedArrayIntersectCount}
 
 /** SparkSessionExtensions hook: registers the engine's native expressions
   * so they're callable from SQL (`SELECT graft_cosine(a, b)`) as well as
@@ -14,5 +14,6 @@ import graft.functions.CosineSimilarity
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineSimilarity.registration)
+    ext.injectFunction(SortedArrayIntersectCount.registration)
   }
 }

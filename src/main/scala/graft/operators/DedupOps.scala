@@ -129,11 +129,16 @@ object DedupOps {
         col("l.blk") === col("r.blk") && col("l.tok") === col("r.tok") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
-    val full = sh.select(col("id"), col("sh"), col("n"))
+    // verification via the native O(n+m) merge-scan over the already
+    // hash-sorted arrays (exact up to 64-bit shingle-hash collisions —
+    // ~n²·pairs/2⁶⁴, vanishingly small; the DuckDB oracle computes true
+    // string-set Jaccard and agrees)
+    val full = sh.select(col("id"), col("hs"), col("n"))
     cands
-      .join(full.select(col("id").as("id_a"), col("sh").as("sh_a"), col("n").as("n_a")), "id_a")
-      .join(full.select(col("id").as("id_b"), col("sh").as("sh_b"), col("n").as("n_b")), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))))
+      .join(full.select(col("id").as("id_a"), col("hs").as("hs_a"), col("n").as("n_a")), "id_a")
+      .join(full.select(col("id").as("id_b"), col("hs").as("hs_b"), col("n").as("n_b")), "id_b")
+      .withColumn("inter",
+        graft.functions.SortedArrayIntersectCount(col("hs_a"), col("hs_b")))
       .withColumn("jaccard", round(col("inter").cast("double") /
         (col("n_a") + col("n_b") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
