@@ -7,7 +7,11 @@ import org.apache.spark.sql.functions._
 import graft.operators.TextOps.{normalized, shingles, tokens}
 
 /** Document-deduplication operators for training-data pipelines: exact,
-  * MinHash+LSH, SimHash, and n-gram-Jaccard near-dup. Scale invariants:
+  * MinHash+LSH (Broder 1997; banding per Leskovec/Rajaraman/Ullman MMDS
+  * ch.3; double hashing per Kirsch & Mitzenmacher 2006), SimHash
+  * (Charikar 2002, as deployed in Manku et al. WWW'07), and exact
+  * n-gram-Jaccard via prefix-filtered inverted index (Chaudhuri et al.
+  * SSJoin ICDE'06; Bayardo et al. All-Pairs WWW'07). Scale invariants:
   *  - no stage is O(n²) over the corpus — candidate generation is always
   *    band/bucket-blocked (LSH) or inverted-index joins on shared tokens;
   *  - the only shuffles are hash-partitioned groupBys/joins on

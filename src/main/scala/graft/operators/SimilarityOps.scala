@@ -13,7 +13,10 @@ import graft.functions.{CosineSimilarity => NativeCos}
   *    work + a single global top-k — the k-row result is the only thing
   *    that crosses the wire (TakeOrderedAndProject), no driver collect of
   *    the corpus.
-  *  - [[ivfAssign]] / [[ivfTopK]]: IVF-style scale path — vectors are
+  *  - [[ivfAssign]] / [[ivfTopK]]: IVF-style scale path (coarse
+  *    quantization as in Jégou et al., "Product Quantization for Nearest
+  *    Neighbor Search", TPAMI 2011; random-hyperplane LSH alternative per
+  *    Charikar 2002 in [[rhpBucket]]) — vectors are
   *    bucketed by nearest centroid; a query probes only `nprobe` buckets,
   *    cutting scanned vectors by ~nlist/nprobe. At 100 TB the table is
   *    written partitioned by `centroid` so probing is partition pruning.
