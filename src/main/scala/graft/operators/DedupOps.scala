@@ -149,6 +149,40 @@ object DedupOps {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Connected components over a near-dup pair list (hash-to-min label
+    * propagation): every node converges to the minimum doc id reachable in
+    * its component — the canonical representative a dedup pipeline keeps.
+    * Driver loop carries only the convergence counter (metadata, ≤
+    * component-diameter iterations); all data work is joins/groupBys. At
+    * trillion-edge scale swap the propagation step for the large-star/
+    * small-star formulation (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14) — same interface.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
+                          maxIter: Int = 20): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
+      .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
+      .distinct().persist(lvl)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).persist(lvl)
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val prop = edges.join(labels, edges("b") === labels("id"))
+        .select(col("a").as("id"), col("lbl"))
+      val newLabels = labels.unionByName(prop)
+        .groupBy("id").agg(min("lbl").as("lbl")).persist(lvl)
+      changed = newLabels.join(labels.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      labels.unpersist()
+      labels = newLabels
+      i += 1
+    }
+    labels.select(col("id"), col("lbl").as("cluster_root"),
+      (col("lbl") === col("id")).as("is_canonical"))
+  }
+
   /** SimHash signatures: 64-bit signature where bit k is set when the
     * majority of the document's shingle hashes have bit k set. Near-dups
     * differ in few bits (small Hamming distance). Computed as explode →

@@ -77,6 +77,16 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("connected components: chain merges into one cluster with min-id root") {
+    val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("id_a", "id_b")
+    val cc = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+      .orderBy("id")
+      .select($"id", $"cluster_root", $"is_canonical")
+      .as[(Long, Long, Boolean)].collect().toSeq
+    assert(cc == Seq((3L, 3L, true), (5L, 3L, false), (9L, 3L, false),
+      (20L, 20L, true), (21L, 20L, false)))
+  }
+
   test("cosine and brute-force top-k") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f, 0.0f)),
