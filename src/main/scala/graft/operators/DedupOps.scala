@@ -160,22 +160,24 @@ object DedupOps {
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
                           maxIter: Int = 20): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    // localCheckpoint (not persist): iterative plans nest one level per
+    // round, and re-analyzing/re-optimizing the growing tree quickly
+    // dominates the tiny per-round data work. Checkpointing truncates the
+    // lineage so every round plans against a materialized leaf.
     val edges = pairs.select(col(aCol).as("a"), col(bCol).as("b"))
       .unionByName(pairs.select(col(bCol).as("a"), col(aCol).as("b")))
-      .distinct().persist(lvl)
+      .distinct().localCheckpoint(true)
     var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id")).persist(lvl)
+      .withColumn("lbl", col("id")).localCheckpoint(true)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
       val prop = edges.join(labels, edges("b") === labels("id"))
         .select(col("a").as("id"), col("lbl"))
       val newLabels = labels.unionByName(prop)
-        .groupBy("id").agg(min("lbl").as("lbl")).persist(lvl)
+        .groupBy("id").agg(min("lbl").as("lbl")).localCheckpoint(true)
       changed = newLabels.join(labels.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).count()
-      labels.unpersist()
       labels = newLabels
       i += 1
     }

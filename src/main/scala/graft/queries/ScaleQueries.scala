@@ -250,6 +250,129 @@ object ScaleQueries {
              |  CAST(nb % 320 + 64 AS INT) meta_w
              |FROM t ORDER BY doc_id""".stripMargin)),
 
+    QuerySpec("x14_embed_norm_quant", (s, d) => {
+      // embedding preprocessing: L2 norm, int8 quantization (scale by
+      // max-abs), reconstruction error — per-vector scalars only, so the
+      // hash compare stays float-safe
+      val e = t(s, d, "embeddings")
+      val v = col("embedding")
+      val dotSelf = aggregate(transform(v, x => x.cast("double") * x.cast("double")),
+        lit(0.0), (a, x) => a + x)
+      val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
+      val scale = maxAbs / lit(127.0)
+      val err = aggregate(
+        transform(v, x => abs(x.cast("double") -
+          round(x.cast("double") / scale, 0) * scale)),
+        lit(0.0), (a, x) => a + x) / size(v)
+      e.select(col("vec_id"),
+        round(sqrt(dotSelf), 4).as("l2_norm"),
+        size(v).cast("long").as("n_dims"),
+        round(maxAbs, 4).as("max_abs"),
+        round(err, 6).as("quant_err"))
+        .orderBy("vec_id")
+    },
+      Some("""SELECT vec_id,
+             |  round(sqrt(list_sum(list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))), 4) l2_norm,
+             |  CAST(len(embedding) AS BIGINT) n_dims,
+             |  round(list_max(list_transform(embedding,
+             |    x -> abs(CAST(x AS DOUBLE)))), 4) max_abs,
+             |  round(list_sum(list_transform(embedding,
+             |    x -> abs(CAST(x AS DOUBLE) - round(CAST(x AS DOUBLE) /
+             |      (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))/127.0), 0)
+             |      * (list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))/127.0))))
+             |    / len(embedding), 6) quant_err
+             |FROM embeddings ORDER BY vec_id""".stripMargin)),
+
+    QuerySpec("x15_vocabulary", (s, d) => {
+      // corpus vocabulary: term frequency + document frequency — the
+      // inverted-index groupBy that backs tokenizer/vocab training
+      val toks = t(s, d, "documents")
+        .select(col("doc_id"), explode(TextOps.tokens(lower(col("text")))).as("tok"))
+      toks.groupBy("tok")
+        .agg(count(lit(1)).as("tf"), countDistinct("doc_id").as("df"))
+        .orderBy(col("tf").desc, col("tok"))
+    },
+      Some("""SELECT tok, count(*) tf, count(DISTINCT doc_id) df
+             |FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) tok
+             |      FROM documents WHERE length(trim(text)) > 0)
+             |GROUP BY tok ORDER BY tf DESC, tok""".stripMargin)),
+
+    QuerySpec("x16_corpus_stats", (s, d) => {
+      val stats = t(s, d, "documents")
+        .select(TextOps.tokenCount(col("text")).cast("double").as("n_tok"))
+      stats.agg(count(lit(1)).as("n_docs"),
+        round(avg("n_tok"), 4).as("mean_tokens"),
+        round(expr("percentile(n_tok, 0.5)"), 4).as("p50_tokens"),
+        round(expr("percentile(n_tok, 0.95)"), 4).as("p95_tokens"),
+        round(min("n_tok"), 4).as("min_tokens"),
+        round(max("n_tok"), 4).as("max_tokens"))
+    },
+      Some("""SELECT count(*) n_docs,
+             |  round(avg(n_tok), 4) mean_tokens,
+             |  round(quantile_cont(n_tok, 0.5), 4) p50_tokens,
+             |  round(quantile_cont(n_tok, 0.95), 4) p95_tokens,
+             |  round(min(n_tok), 4) min_tokens,
+             |  round(max(n_tok), 4) max_tokens
+             |FROM (SELECT CAST(CASE WHEN length(trim(text))=0 THEN 0
+             |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS DOUBLE) n_tok
+             |  FROM documents)""".stripMargin)),
+
+    QuerySpec("x17_training_selection", (s, d) => {
+      // capstone composition: quality filter → exact dedup → drop
+      // non-canonical near-dups — the "select the training set" pipeline
+      val docs = t(s, d, "documents")
+      val quality = docs.withColumn("q", TextOps.qualityScore(col("text"), stopwords))
+        .filter(col("q") >= 0.7)
+      val deduped = DedupOps.exactDedup(quality, "doc_id", "text")
+      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCol = "lang", shingleWords = 3, threshold = 0.5)
+      val dropIds = DedupOps.connectedComponents(pairs, "id_a", "id_b")
+        .filter(!col("is_canonical")).select(col("id").as("doc_id"))
+      deduped.join(dropIds, Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("q"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH RECURSIVE t AS (SELECT doc_id, text,
+             |    regexp_split_to_array(trim(lower(text)), '\s+') tok FROM documents),
+             |m AS (SELECT doc_id, text, CAST(len(tok) AS DOUBLE) n,
+             |    CAST(len(list_filter(tok, x -> list_contains(
+             |      ['the','a','value','data','row','table'], x))) AS DOUBLE) nstop,
+             |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) npunct
+             |  FROM t),
+             |q AS (SELECT doc_id, text, round(
+             |    0.5 * least(n/100.0, 1.0) + 0.3 * least((nstop/n)*5.0, 1.0) +
+             |    0.2 * (1.0 - least((npunct/length(text))*10.0, 1.0)), 6) q
+             |  FROM m),
+             |qf AS (SELECT * FROM q WHERE q >= 0.7),
+             |dd AS (SELECT doc_id, q FROM qf
+             |  QUALIFY row_number() OVER (PARTITION BY
+             |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
+             |    ORDER BY doc_id) = 1),
+             |toks2 AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') tk
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |sh AS (SELECT doc_id, lang, list_distinct(list_transform(
+             |    range(0, greatest(len(tk)-2, 0)),
+             |    i -> array_to_string(tk[i+1:i+3], ' '))) s FROM toks2),
+             |inv AS (SELECT doc_id, lang, unnest(s) tok FROM sh WHERE len(s) > 0),
+             |sizes AS (SELECT doc_id, len(s) n FROM sh),
+             |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+             |  FROM inv a JOIN inv b ON a.tok = b.tok AND a.lang = b.lang
+             |    AND a.doc_id < b.doc_id GROUP BY 1,2),
+             |pairs AS (SELECT id_a, id_b
+             |  FROM inter JOIN sizes sa ON id_a = sa.doc_id
+             |  JOIN sizes sb ON id_b = sb.doc_id
+             |  WHERE round(i*1.0/(sa.n + sb.n - i), 4) >= 0.5),
+             |edges AS (SELECT id_a a, id_b b FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach(src, dst) AS (SELECT a, b FROM edges
+             |  UNION SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+             |noncanon AS (SELECT src doc_id FROM reach GROUP BY src
+             |  HAVING least(src, min(dst)) <> src)
+             |SELECT doc_id, q FROM dd
+             |WHERE doc_id NOT IN (SELECT doc_id FROM noncanon)
+             |ORDER BY doc_id""".stripMargin)),
+
     QuerySpec("st1_stream_hourly_agg", (s, d) => {
       val schema = new StructType()
         .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
