@@ -45,7 +45,10 @@ object DedupOps {
     val hashed = docs
       .select(col(idCol).as("id"),
         explode(array_distinct(shingles(col(textCol), shingleWords))).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h1"), xxhash64(lit(1), col("s")).as("h2"))
+      .select(col("id"), xxhash64(col("s")).as("h1"))
+      // h2 derived by re-hashing the 8-byte h1, not the shingle string —
+      // halves the string-hash work per shingle
+      .select(col("id"), col("h1"), xxhash64(col("h1")).as("h2"))
     val mins = (0 until numHashes).map(j =>
       min(col("h1") + lit(j.toLong) * col("h2")).as(s"m$j"))
     hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
