@@ -15,7 +15,8 @@ run / fork := true
 // trailing "[success]" banner so the driver can json-parse Bench's
 // single-line result from stdout (it is the last stdout line).
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-ThisBuild / showSuccess := false
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
