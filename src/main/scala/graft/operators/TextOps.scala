@@ -112,6 +112,39 @@ object TextOps {
     array_max(array(scored: _*)).getField("lang")
   }
 
+  /** Character n-gram shingles of the whitespace-normalized text. Shifted
+    * zip_with composition (same reasoning as [[shingles]]: lambdas must
+    * only touch lambda variables or the interpreted HOF path goes O(n²)).
+    */
+  def charNgrams(text: Column, n: Int): Column = {
+    val chars = filter(split(normalized(text), ""), c => length(c) > 0)
+    if (n == 1) chars
+    else {
+      val joined = (2 to n).foldLeft(chars) { (acc, k) =>
+        zip_with(acc, slice(chars, lit(k), size(chars)),
+          (a, b) => concat(a, b))
+      }
+      when(size(chars) >= n, slice(joined, lit(1), size(chars) - (n - 1)))
+        .otherwise(array().cast("array<string>"))
+    }
+  }
+
+  /** Language-ID via character-n-gram profiles (the classic Cavnar-Trenkle
+    * n-gram heuristic shape): score = |doc's char-trigram set ∩ profile
+    * trigram set|, predicted = argmax (ties → lexicographically last
+    * language). Profiles are each language's most characteristic
+    * trigrams.
+    */
+  def langIdNgram(text: Column, profiles: Seq[(String, Seq[String])],
+                  n: Int = 3): Column = {
+    val grams = array_distinct(charNgrams(text, n))
+    val scored = profiles.map { case (lang, gs) =>
+      struct(size(filter(grams, g => array_contains(lit(gs.toArray), g))).as("hits"),
+        lit(lang).as("lang"))
+    }
+    array_max(array(scored: _*)).getField("lang")
+  }
+
   /** Document fingerprints:
     *  - `fingerprintMd5`: md5 of whitespace-normalized lowercase text
     *    (stable content hash for exact dedup);

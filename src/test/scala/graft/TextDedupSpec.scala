@@ -119,6 +119,22 @@ class TextDedupSpec extends SparkSpec {
     assert(assigned(12L) == 0L) // tie on 0.0 → lowest cid (deterministic)
   }
 
+  test("char n-grams + n-gram language-ID heuristic") {
+    def grams(s: String, n: Int): Seq[String] =
+      Seq(s).toDF("t").select(TextOps.charNgrams(col("t"), n).as("g"))
+        .collect()(0).getSeq[String](0).toSeq
+    assert(grams("abcd", 3) == Seq("abc", "bcd"))
+    assert(grams("ab", 3) == Seq.empty)
+    assert(grams("a  b", 2) == Seq("a ", " b")) // whitespace normalized first
+    val profiles = Seq(
+      "en" -> Seq("the", "ing", "and"),
+      "de" -> Seq("der", "sch", "ung"))
+    val out = Seq("the thing and the rest", "der schlange der achtung")
+      .toDF("t").select(TextOps.langIdNgram(col("t"), profiles).as("l"))
+      .collect().map(_.getString(0)).toSeq
+    assert(out == Seq("en", "de"))
+  }
+
   test("langId picks argmax profile with deterministic ties") {
     val out = Seq("table row table scan", "join merge join hash", "nothing here")
       .toDF("t").select(TextOps.langId(col("t"), Seq(
