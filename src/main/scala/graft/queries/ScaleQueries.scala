@@ -373,6 +373,41 @@ object ScaleQueries {
              |WHERE doc_id NOT IN (SELECT doc_id FROM noncanon)
              |ORDER BY doc_id""".stripMargin)),
 
+    QuerySpec("x18_topk_per_group", (s, d) => {
+      // grouped top-k via the typed Aggregator (bounded buffer — no full
+      // per-group sort): 3 nearest neighbors of the query vector per label
+      import s.implicits._
+      val emb = t(s, d, "embeddings")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val scored = emb.filter(col("vec_id") =!= 0)
+        .select(col("label"),
+          col("vec_id").as("id"),
+          round(graft.functions.CosineSimilarity(col("embedding"),
+            lit(q.toArray)), 4).as("score"))
+      val agg = new graft.functions.TopKByScore(3).toColumn
+      scored.as[(Int, Long, Double)]
+        .map { case (label, id, score) =>
+          (label, graft.functions.ScoredId(id, score)) }
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(agg.name("topk"))
+        .flatMap { case (label, top) =>
+          top.zipWithIndex.map { case (sc, i) =>
+            (label, i + 1, sc.id, sc.score) } }
+        .toDF("label", "rnk", "vec_id", "score")
+        .withColumn("rnk", col("rnk").cast("int"))
+        .orderBy("label", "rnk")
+    },
+      Some("""WITH q AS (SELECT embedding qe FROM embeddings WHERE vec_id = 0),
+             |s AS (SELECT label, vec_id,
+             |    round(CAST(list_cosine_similarity(embedding, (SELECT qe FROM q)) AS DOUBLE), 4) score
+             |  FROM embeddings WHERE vec_id <> 0)
+             |SELECT label, CAST(row_number() OVER (PARTITION BY label
+             |    ORDER BY score DESC, vec_id) AS INT) rnk, vec_id, score
+             |FROM s
+             |QUALIFY rnk <= 3
+             |ORDER BY label, rnk""".stripMargin)),
+
     QuerySpec("st1_stream_hourly_agg", (s, d) => {
       val schema = new StructType()
         .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)

@@ -77,6 +77,18 @@ class TextDedupSpec extends SparkSpec {
     assert(!pairs.contains((1L, 3L)))
   }
 
+  test("TopKByScore aggregator: bounded buffer, deterministic ties") {
+    import graft.functions.{ScoredId, TopKByScore}
+    val agg = new TopKByScore(2)
+    val fromReduce = Seq(ScoredId(1, 0.5), ScoredId(2, 0.9), ScoredId(3, 0.9),
+      ScoredId(4, 0.1)).foldLeft(agg.zero)(agg.reduce)
+    assert(fromReduce == Seq(ScoredId(2, 0.9), ScoredId(3, 0.9)))
+    // merge of partial buffers preserves the same global result
+    val m = agg.merge(Seq(ScoredId(3, 0.9), ScoredId(4, 0.1)),
+      Seq(ScoredId(2, 0.9), ScoredId(1, 0.5)))
+    assert(m == Seq(ScoredId(2, 0.9), ScoredId(3, 0.9)))
+  }
+
   test("connected components: chain merges into one cluster with min-id root") {
     val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("id_a", "id_b")
     val cc = DedupOps.connectedComponents(pairs, "id_a", "id_b")
