@@ -45,6 +45,13 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    // any null element → 0.0, matching the HOF reference implementation
+    // (null poisons the aggregate sums, and `when(null > 0, …)` falls
+    // through to the otherwise(0.0) branch)
+    var k = 0
+    while (k < x.numElements()) { if (x.isNullAt(k)) return 0.0; k += 1 }
+    k = 0
+    while (k < y.numElements()) { if (y.isNullAt(k)) return 0.0; k += 1 }
     val lf = isFloat(left); val rf = isFloat(right)
     @inline def xv(i: Int): Double = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
     @inline def yv(i: Int): Double = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
@@ -65,22 +72,31 @@ case class CosineSimilarity(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
       val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
-      val n = ctx.freshName("n")
+      val n = ctx.freshName("n"); val anyNull = ctx.freshName("anyNull")
       s"""
+         |boolean $anyNull = false;
+         |for (int $i = 0; $i < $a.numElements() && !$anyNull; $i++) {
+         |  if ($a.isNullAt($i)) $anyNull = true;
+         |}
+         |for (int $i = 0; $i < $b.numElements() && !$anyNull; $i++) {
+         |  if ($b.isNullAt($i)) $anyNull = true;
+         |}
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $dot = 0.0, $na = 0.0, $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double av = (double) $a.$lGet($i);
-         |  double bv = (double) $b.$rGet($i);
-         |  $dot += av * bv; $na += av * av; $nb += bv * bv;
+         |if (!$anyNull) {
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    double av = (double) $a.$lGet($i);
+         |    double bv = (double) $b.$rGet($i);
+         |    $dot += av * bv; $na += av * av; $nb += bv * bv;
+         |  }
+         |  for (int $i = $n; $i < $a.numElements(); $i++) {
+         |    double av = (double) $a.$lGet($i); $na += av * av;
+         |  }
+         |  for (int $i = $n; $i < $b.numElements(); $i++) {
+         |    double bv = (double) $b.$rGet($i); $nb += bv * bv;
+         |  }
          |}
-         |for (int $i = $n; $i < $a.numElements(); $i++) {
-         |  double av = (double) $a.$lGet($i); $na += av * av;
-         |}
-         |for (int $i = $n; $i < $b.numElements(); $i++) {
-         |  double bv = (double) $b.$rGet($i); $nb += bv * bv;
-         |}
-         |${ev.value} = ($na > 0.0 && $nb > 0.0)
+         |${ev.value} = (!$anyNull && $na > 0.0 && $nb > 0.0)
          |  ? $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb)) : 0.0;
        """.stripMargin
     })

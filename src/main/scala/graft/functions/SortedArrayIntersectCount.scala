@@ -40,10 +40,16 @@ case class SortedArrayIntersectCount(left: Expression, right: Expression)
     val y = b.asInstanceOf[ArrayData]
     var i = 0; var j = 0; var c = 0
     while (i < x.numElements() && j < y.numElements()) {
-      val xv = x.getLong(i); val yv = y.getLong(j)
-      if (xv == yv) { c += 1; i += 1; j += 1 }
-      else if (xv < yv) i += 1
-      else j += 1
+      // null slots can never match anything — skip them (upstream producers
+      // emit non-null hash arrays; this guards ad-hoc SQL callers)
+      if (x.isNullAt(i)) i += 1
+      else if (y.isNullAt(j)) j += 1
+      else {
+        val xv = x.getLong(i); val yv = y.getLong(j)
+        if (xv == yv) { c += 1; i += 1; j += 1 }
+        else if (xv < yv) i += 1
+        else j += 1
+      }
     }
     c
   }
@@ -55,9 +61,13 @@ case class SortedArrayIntersectCount(left: Expression, right: Expression)
       s"""
          |int $i = 0, $j = 0, $c = 0;
          |while ($i < $a.numElements() && $j < $b.numElements()) {
-         |  long xv = $a.getLong($i); long yv = $b.getLong($j);
-         |  if (xv == yv) { $c++; $i++; $j++; }
-         |  else if (xv < yv) { $i++; } else { $j++; }
+         |  if ($a.isNullAt($i)) { $i++; }
+         |  else if ($b.isNullAt($j)) { $j++; }
+         |  else {
+         |    long xv = $a.getLong($i); long yv = $b.getLong($j);
+         |    if (xv == yv) { $c++; $i++; $j++; }
+         |    else if (xv < yv) { $i++; } else { $j++; }
+         |  }
          |}
          |${ev.value} = $c;
        """.stripMargin

@@ -80,7 +80,13 @@ object DedupOps {
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
-    verifyJaccard(cands, docs, idCol, textCol, shingleWords, threshold)
+    // materialize the (small) verified pair set, then release the cached
+    // signature table — operators that cache internally must not leak
+    // storage for the session lifetime
+    val out = verifyJaccard(cands, docs, idCol, textCol, shingleWords, threshold)
+      .localCheckpoint(true)
+    sig.unpersist()
+    out
   }
 
   /** Exact shingle-set Jaccard for candidate pairs (verification step). */
@@ -90,7 +96,7 @@ object DedupOps {
     val sh = docs.select(col(idCol).as("id"),
       array_distinct(shingles(col(textCol), shingleWords)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cands
+    val out = cands
       .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
@@ -100,6 +106,9 @@ object DedupOps {
         .otherwise(lit(1.0)), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** Exact n-gram-Jaccard near-dup pairs via a prefix-filtered inverted
@@ -132,7 +141,7 @@ object DedupOps {
         slice(col("hs"), lit(1), (col("n") - ceil(lit(tPrefix) * col("n")) + 1).cast("int")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val inv = sh.select(col("id"), col("blk"), explode(col("prefix")).as("tok"))
-    val cands = inv.as("l").join(inv.as("r"),
+    val candsPre = inv.as("l").join(inv.as("r"),
         col("l.blk") === col("r.blk") && col("l.tok") === col("r.tok") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
@@ -141,7 +150,7 @@ object DedupOps {
     // ~n²·pairs/2⁶⁴, vanishingly small; the DuckDB oracle computes true
     // string-set Jaccard and agrees)
     val full = sh.select(col("id"), col("hs"), col("n"))
-    cands
+    val out = candsPre
       .join(full.select(col("id").as("id_a"), col("hs").as("hs_a"), col("n").as("n_a")), "id_a")
       .join(full.select(col("id").as("id_b"), col("hs").as("hs_b"), col("n").as("n_b")), "id_b")
       .withColumn("inter",
@@ -150,6 +159,9 @@ object DedupOps {
         (col("n_a") + col("n_b") - col("inter")).cast("double"), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
   }
 
   /** Connected components over a near-dup pair list (hash-to-min label
@@ -226,7 +238,7 @@ object DedupOps {
       .select(col("id"), col("sig"), col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
     val popcountXor = (a: Column, b: Column) =>
       bit_count(a.bitwiseXOR(b)).cast("int")
-    chunked.as("l").join(chunked.as("r"),
+    val out = chunked.as("l").join(chunked.as("r"),
         col("l.chunk") === col("r.chunk") && col("l.ckey") === col("r.ckey") &&
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b"),
@@ -234,5 +246,8 @@ object DedupOps {
       .withColumn("hamming", popcountXor(col("sig_a"), col("sig_b")))
       .filter(col("hamming") <= maxHamming)
       .select(col("id_a"), col("id_b"), col("hamming"))
+      .localCheckpoint(true)
+    sigs.unpersist()
+    out
   }
 }

@@ -105,6 +105,27 @@ object MergeOps {
     }
   }
 
+  /** Crash-safe full-table replacement: write to `<dest>.tmp`, move the
+    * old table aside, move the new one in, then drop the old. A crash at
+    * any point leaves either the old table, or the new table, or the old
+    * table recoverable at `<dest>.old` — never nothing (the reference gets
+    * the same property from staging+MERGE, docs/reference.md:193-197).
+    */
+  def atomicSwapWrite(spark: org.apache.spark.sql.SparkSession,
+                      df: DataFrame, dest: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val destP = new org.apache.hadoop.fs.Path(dest)
+    val tmpP = new org.apache.hadoop.fs.Path(dest + ".tmp")
+    val oldP = new org.apache.hadoop.fs.Path(dest + ".old")
+    val fs = destP.getFileSystem(conf)
+    fs.delete(tmpP, true)
+    df.write.mode(SaveMode.Overwrite).parquet(tmpP.toString)
+    fs.delete(oldP, true)
+    if (fs.exists(destP)) fs.rename(destP, oldP)
+    fs.rename(tmpP, destP)
+    fs.delete(oldP, true)
+  }
+
   /** Commit helper: rewrite only the date partitions present in `updated`
     * (dynamic partition overwrite) — the 100 TB refresh path. The fact table
     * must be written partitioned by `dateCol`.
@@ -150,8 +171,12 @@ object MergeOps {
       .unionByName(movedDates)
       .distinct().collect().map(_.getDate(0)).toSet
 
+    // localCheckpoint: materialize once — the merge plan would otherwise
+    // execute twice (writtenDates collect + the write), and the write
+    // overwrites partitions the plan is still reading from
     val merged = mergeRefresh(fact, staging, days, todayOslo, dateCol, keyCol)
       .filter(col(dateCol).isin(affected.toSeq: _*))
+      .localCheckpoint(true)
     val writtenDates = merged.select(col(dateCol)).distinct()
       .collect().map(_.getDate(0)).toSet
     overwriteDatePartitions(merged, factPath, dateCol)

@@ -120,9 +120,15 @@ object SimilarityOps {
     */
   def rhpBucket(vec: Column, dims: Int, nbits: Int): Column = {
     val bits = (0 until nbits).map { b =>
-      val proj = aggregate(zip_with(vec, lit((0 until dims).map(d =>
-          ((java.lang.Long.hashCode(b.toLong * 1315423911L + d * 2654435761L) % 1000) / 1000.0) - 0.5
-        ).toArray),
+      // floorMod keeps each plane component uniform in [-0.5, 0.5); a
+      // signed % would center the planes at -0.5 and collapse mostly
+      // non-negative embeddings into one bucket
+      val plane = (0 until dims).map { d =>
+        (java.lang.Math.floorMod(
+          java.lang.Long.hashCode(b.toLong * 1315423911L + d * 2654435761L).toLong,
+          1000L) / 1000.0) - 0.5
+      }.toArray
+      val proj = aggregate(zip_with(vec, lit(plane),
         (x, p) => x.cast("double") * p), lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }

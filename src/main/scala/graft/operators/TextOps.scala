@@ -97,7 +97,9 @@ object TextOps {
   }
 
   /** Language-ID heuristic: per-language stopword hit counts; predicted
-    * language = argmax (ties broken by language order). `profiles` maps a
+    * language = argmax. Ties break on the lexicographically GREATEST
+    * language code (struct comparison is field-by-field: hits, then lang
+    * string) — the order of `profiles` does not matter. `profiles` maps a
     * language code to its (lowercase) marker-word set.
     */
   def langId(text: Column, profiles: Seq[(String, Seq[String])]): Column = {
@@ -106,9 +108,6 @@ object TextOps {
       struct(size(filter(toks, t => array_contains(lit(words.toArray), t))).as("hits"),
         lit(lang).as("lang"))
     }
-    // array_max on (hits, lang) structs: max hits, then lexicographically
-    // LAST lang among ties — make tie-break deterministic-first by ordering
-    // profiles so preferred languages sort higher.
     array_max(array(scored: _*)).getField("lang")
   }
 
@@ -131,9 +130,9 @@ object TextOps {
 
   /** Language-ID via character-n-gram profiles (the classic Cavnar-Trenkle
     * n-gram heuristic shape): score = |doc's char-trigram set ∩ profile
-    * trigram set|, predicted = argmax (ties → lexicographically last
-    * language). Profiles are each language's most characteristic
-    * trigrams.
+    * trigram set|, predicted = argmax; ties break on the lexicographically
+    * greatest language code (profile order is irrelevant). Profiles are
+    * each language's most characteristic trigrams.
     */
   def langIdNgram(text: Column, profiles: Seq[(String, Seq[String])],
                   n: Int = 3): Column = {

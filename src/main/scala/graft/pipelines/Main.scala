@@ -61,11 +61,7 @@ object Main {
         val merged =
           if (cmd == "refresh") MergeOps.mergeRefresh(fact, staging, days, today)
           else MergeOps.mergeFullReindex(fact, staging)
-        // atomic write-temp-then-swap (staging+MERGE parity,
-        // docs/reference.md:193-197)
-        val tmp = s"$wh/fact_time_entries.tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        swap(spark, tmp, s"$wh/fact_time_entries")
+        MergeOps.atomicSwapWrite(spark, merged, s"$wh/fact_time_entries")
         println(s"$cmd: fact rows = " +
           spark.read.parquet(s"$wh/fact_time_entries").count())
 
@@ -109,14 +105,6 @@ object Main {
 
       case other => sys.error(s"unknown command: $other\n$describe")
     }
-  }
-
-  private def swap(spark: SparkSession, tmp: String, dest: String): Unit = {
-    val conf = spark.sparkContext.hadoopConfiguration
-    val destPath = new org.apache.hadoop.fs.Path(dest)
-    val fs = destPath.getFileSystem(conf)
-    fs.delete(destPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), destPath)
   }
 
   /** main.py:225-280 analog: self-describing surface. */

@@ -76,6 +76,17 @@ object Streams {
     * inter-event gaps stay ≤ `gapMinutes`. Sessions are numbered per user
     * in event-time order.
     *
+    * Batch-boundary semantics: sessions are FINALIZED at the end of each
+    * micro-batch (append sink — emitted rows are immutable). An event in a
+    * later micro-batch within the gap of the previous batch's last event
+    * therefore starts a new session rather than extending the emitted one.
+    * [[runSessionizeAvailableNow]] configures no rate limits, so
+    * Trigger.AvailableNow drains the input in a single batch and the
+    * output matches global (batch-SQL) sessionization exactly; a
+    * continuously-running deployment that needs exact cross-batch sessions
+    * should emit on event-time timeout (watermark + state-held open
+    * session) and accept unbounded emission latency instead.
+    *
     * Scale: state is O(1) per user (last timestamp + a counter); the group
     * shuffle is the only exchange. Events inside one micro-batch are
     * sorted per group — bounded by per-user batch volume, not corpus size.
@@ -149,19 +160,18 @@ object Streams {
     val q = entries.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val staging = Dedup.dedupTimeEntries(batch)
-        val fact =
-          try spark.read.parquet(factPath)
-          catch { case _: Throwable => spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema) }
-        val merged = MergeOps.mergeRefresh(fact, staging, days, todayOslo)
-        // write-temp-then-swap for atomicity (no Delta in the jar set)
-        val tmp = factPath + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
         val conf = spark.sparkContext.hadoopConfiguration
-        val fs = new org.apache.hadoop.fs.Path(factPath).getFileSystem(conf)
-        fs.delete(new org.apache.hadoop.fs.Path(factPath), true)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp),
-          new org.apache.hadoop.fs.Path(factPath))
+        val factP = new org.apache.hadoop.fs.Path(factPath)
+        val fs = factP.getFileSystem(conf)
+        // only a genuinely-absent fact is treated as empty; any read error
+        // on an existing table must abort the batch — an empty `fact` here
+        // would make the merge silently truncate all out-of-window history
+        val fact =
+          if (fs.exists(factP)) spark.read.parquet(factPath)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], batch.schema)
+        val merged = MergeOps.mergeRefresh(fact, staging, days, todayOslo)
+        MergeOps.atomicSwapWrite(spark, merged, factPath)
         ()
       }
       .option("checkpointLocation", checkpoint)
