@@ -25,6 +25,15 @@ class ScaleNativeSpec extends SparkSpec {
     }
   }
 
+  test("native cosine matches HOF semantics for null array elements (0.0)") {
+    val df = spark.sql(
+      "SELECT array(1.0F, cast(null as float), 3.0F) a, array(1.0F, 2.0F, 3.0F) b")
+    val r = df.select(NativeCos($"a", $"b").as("native"),
+      SimilarityOps.cosine($"a", $"b").as("ref")).collect()(0)
+    assert(r.getDouble(0) == 0.0)
+    assert(r.getDouble(1) == 0.0)
+  }
+
   test("native cosine is registered in SQL via GraftExtensions") {
     vecs.createOrReplaceTempView("nv")
     val r = spark.sql(
