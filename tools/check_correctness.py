@@ -20,8 +20,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             return None
         if hasattr(v, "to_pydatetime"):
             v = v.to_pydatetime()
-        if isinstance(v, float):
-            return round(v, 9)
+        # floats compare EXACTLY (bitwise): verified 2026-08-12 that every
+        # oracle matches with no tolerance — keep it that strict so value
+        # drift is caught before the driver's hash compare sees it
         if hasattr(v, "item"):
             v = v.item()
         return v
