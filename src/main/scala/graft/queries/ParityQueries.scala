@@ -17,9 +17,25 @@ import graft.queries.QuerySpec.{sinkDir, t}
   */
 object ParityQueries {
 
-  // Shared sub-expression for C6/C7/C8/C9/C10/E1 coercer inputs: a
-  // deterministic "dirty string" column manufactured from lineitem.
+  /** Timestamp literal helper for date-window predicates. */
   private val tsLit = (s: String) => lit(s).cast("timestamp")
+
+  /** Deterministic "dirty" coercer inputs manufactured from lineitem —
+    * shared by c7/c8 (numeric strings) and c10/e1 (csv strings). The
+    * DuckDB oracles carry the same CASE expressions verbatim; edit both
+    * together.
+    */
+  private def dirtyNumStr: org.apache.spark.sql.Column = {
+    val m = col("l_linenumber") % 5
+    when(m === 0, lit("3.7")).when(m === 1, col("l_quantity").cast("string"))
+      .when(m === 2, lit("abc")).when(m === 3, lit("-2.9")).otherwise(lit(""))
+  }
+  private def dirtyCsv: org.apache.spark.sql.Column = {
+    val m = col("l_linenumber") % 4
+    when(m === 0, lit("a, b ,c,"))
+      .when(m === 1, concat(col("l_returnflag"), lit(","), col("l_linestatus"), lit(" , ")))
+      .when(m === 2, lit("")).otherwise(lit(",,,"))
+  }
 
   val all: Seq[QuerySpec] = Seq(
 
@@ -99,7 +115,7 @@ object ParityQueries {
           .getField("k").as("prop_k"))
         .orderBy("event_id"),
       Some("""SELECT event_id, user_id,
-             |  TRY_CAST(regexp_extract(props, '"k": (-?\d+)', 1) AS BIGINT) prop_k
+             |  TRY_CAST(regexp_extract(props, '"k":\s*(-?\d+(?:\.\d+)?)', 1) AS BIGINT) prop_k
              |FROM events ORDER BY event_id""".stripMargin)),
 
     QuerySpec("t2_nullif_ids",
@@ -222,9 +238,7 @@ object ParityQueries {
              |FROM t GROUP BY 1,2 ORDER BY 1""".stripMargin)),
 
     QuerySpec("c7_safe_int", (s, d) => {
-      val m = col("l_linenumber") % 5
-      val raw = when(m === 0, lit("3.7")).when(m === 1, col("l_quantity").cast("string"))
-        .when(m === 2, lit("abc")).when(m === 3, lit("-2.9")).otherwise(lit(""))
+      val raw = dirtyNumStr
       t(s, d, "lineitem").filter(col("l_orderkey") <= 300)
         .select(col("l_orderkey"), col("l_linenumber"), raw.as("raw"),
           safeInt(raw).as("si"))
@@ -240,9 +254,7 @@ object ParityQueries {
              |FROM t ORDER BY l_orderkey, l_linenumber""".stripMargin)),
 
     QuerySpec("c8_safe_float", (s, d) => {
-      val m = col("l_linenumber") % 5
-      val raw = when(m === 0, lit("3.7")).when(m === 1, col("l_quantity").cast("string"))
-        .when(m === 2, lit("abc")).when(m === 3, lit("-2.9")).otherwise(lit(""))
+      val raw = dirtyNumStr
       t(s, d, "lineitem").filter(col("l_orderkey") <= 300)
         .select(col("l_orderkey"), col("l_linenumber"), raw.as("raw"),
           safeFloat(raw).as("sf_null"), safeFloatDefault(raw, 0.0).as("sf_def"))
@@ -272,11 +284,7 @@ object ParityQueries {
              |FROM t GROUP BY 1,2 ORDER BY 1 NULLS FIRST""".stripMargin)),
 
     QuerySpec("c10_split_trim_sentinel", (s, d) => {
-      val m = col("l_linenumber") % 4
-      val raw = when(m === 0, lit("a, b ,c,"))
-        .when(m === 1, concat(col("l_returnflag"), lit(","), col("l_linestatus"), lit(" , ")))
-        .when(m === 2, lit("")).otherwise(lit(",,,"))
-      val arr = splitTrimDropEmpty(raw)
+      val arr = splitTrimDropEmpty(dirtyCsv)
       t(s, d, "lineitem")
         .select(array_join(arr, "|").as("toks"), size(arr).cast("long").as("n_toks"))
         .groupBy("toks", "n_toks").agg(count(lit(1)).as("n"))
@@ -321,12 +329,8 @@ object ParityQueries {
 
     // ── E1 explode with sentinel ─────────────────────────────────────────
     QuerySpec("e1_explode_sentinel", (s, d) => {
-      val m = col("l_linenumber") % 4
-      val raw = when(m === 0, lit("a, b ,c,"))
-        .when(m === 1, concat(col("l_returnflag"), lit(","), col("l_linestatus"), lit(" , ")))
-        .when(m === 2, lit("")).otherwise(lit(",,,"))
       t(s, d, "lineitem").filter(col("l_orderkey") <= 100)
-        .select(explode(splitTrimDropEmpty(raw)).as("tok"))
+        .select(explode(splitTrimDropEmpty(dirtyCsv)).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n")).orderBy("tok")
     },
       Some("""WITH t AS (SELECT CASE l_linenumber % 4 WHEN 0 THEN 'a, b ,c,'
@@ -477,24 +481,31 @@ object ParityQueries {
     // ── M: merge + sinks ─────────────────────────────────────────────────
     QuerySpec("m1_merge_refresh", (s, d) => {
       val ev = t(s, d, "events")
+      // Oslo civil dates (C2), not UTC dates: the windowed-delete guard is
+      // defined in Oslo days (fetch_clickup_data.py:1281-1282), and events
+      // between 23:00Z and midnight land on the NEXT Oslo date — the exact
+      // boundary the M1 parity check must exercise.
       val fact = ev.filter(col("ts") < tsLit("2024-01-28"))
         .select(col("event_id").as("id"), col("ts"),
-          to_date(col("ts")).as("start_date_oslo"), col("event_type"), col("value"))
+          osloDate(col("ts")).as("start_date_oslo"), col("event_type"), col("value"))
       val staging = ev.filter(col("event_type") =!= "error")
         .select(col("event_id").as("id"), col("ts"),
-          to_date(col("ts")).as("start_date_oslo"), col("event_type"),
+          osloDate(col("ts")).as("start_date_oslo"), col("event_type"),
           (col("value") * 2).as("value"))
       MergeOps.mergeRefresh(fact, staging, days = 7,
         todayOslo = LocalDate.parse("2024-01-30"))
         .withColumn("start_date_oslo", col("start_date_oslo").cast("string"))
         .orderBy("id")
     },
-      Some("""WITH fact AS (SELECT event_id id, ts, CAST(ts AS DATE) d,
+      Some("""WITH fact AS (SELECT event_id id, ts,
+             |    CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE) d,
              |    event_type, value v FROM events WHERE ts < TIMESTAMP '2024-01-28'),
-             |sw AS (SELECT event_id id, ts, CAST(ts AS DATE) d,
+             |sw AS (SELECT event_id id, ts,
+             |    CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE) d,
              |    event_type, value*2 v FROM events
              |  WHERE event_type <> 'error'
-             |    AND CAST(ts AS DATE) BETWEEN DATE '2024-01-23' AND DATE '2024-01-30'),
+             |    AND CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE)
+             |      BETWEEN DATE '2024-01-23' AND DATE '2024-01-30'),
              |m AS (SELECT * FROM sw
              |  UNION ALL
              |  SELECT f.* FROM fact f
@@ -519,6 +530,11 @@ object ParityQueries {
         .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
         .select(col("n_nationkey"), col("n_name"), col("r_name"))
       val path = sinkDir(d, "m3_dim")
+      // wipe the sink so the CREATE branch of ensureTable runs every time,
+      // not just on pristine machines
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(path), true)
       MergeOps.ensureTable(s, dim.schema, path) // M6: create-if-not-exists
       MergeOps.truncateLoad(dim, path)          // M3: WRITE_TRUNCATE
       MergeOps.ensureTable(s, dim.schema, path) // M6: idempotent re-ensure

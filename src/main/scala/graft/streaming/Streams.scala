@@ -52,7 +52,20 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkName)
+    detachSink(spark, sinkName, checkpoint)
+  }
+
+  /** Copy a memory sink's result out, then drop the sink view and its
+    * checkpoint directory — repeated bounded runs must not pin result
+    * tables in driver memory or litter checkpoint dirs.
+    */
+  private def detachSink(spark: SparkSession, sinkName: String,
+                         checkpoint: String): DataFrame = {
+    val out = spark.table(sinkName).localCheckpoint(true)
+    spark.catalog.dropTempView(sinkName)
+    val p = new org.apache.hadoop.fs.Path(checkpoint)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    out
   }
 
   /** Typed event row for stateful sessionization. */
@@ -146,7 +159,7 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    spark.table(sinkName)
+    detachSink(spark, sinkName, checkpoint)
   }
 
   /** Streaming upsert: each micro-batch is deduped (D1) and merged into the
