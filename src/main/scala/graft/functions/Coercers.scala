@@ -55,11 +55,14 @@ object Coercers {
     coalesce(c.cast("double") =!= 0.0, lit(false))
 
   /** C7 — safe_int: Python `int(float(x))` (truncation toward zero), null on
-    * unparseable/NaN input (fetch_clickup_data.py:793-801).
+    * unparseable/NaN/infinite input (fetch_clickup_data.py:793-801 —
+    * `int(float('inf'))` raises in Python, so infinities coerce to None;
+    * without the magnitude guard Spark's cast would clamp to Long.MaxValue).
     */
   def safeInt(c: Column): Column = {
     val d = c.cast("double")
-    when(d.isNotNull && !isnan(d), d.cast("long"))
+    when(d.isNotNull && !isnan(d) && abs(d) < lit(9.223372036854776e18),
+      d.cast("long"))
   }
 
   /** C8 — safe_float: `float(x)` or null (arr, fetch_clickup_data.py:575-580). */

@@ -6,10 +6,14 @@ import org.apache.spark.sql.functions._
 
 /** D1 — keep-latest-per-key deduplication (SURVEY.md §2.6).
   *
-  * Reference: sort by `at` with nulls last, keep the last row per `id` →
-  * max-`at` wins (fetch_clickup_data.py:1774-1777). The pandas tie-break is
-  * stable-sort order; we replace it with a deterministic total order: max
-  * order column, then max tie-break column (SURVEY.md §7 "hard parts").
+  * Reference: `sort_values('at', na_position='last')` (ascending, nulls
+  * LAST) then `drop_duplicates(keep='last')` (fetch_clickup_data.py:1776)
+  * — so within an id the kept row is the max-`at` row, EXCEPT that a
+  * null-`at` row sorts after every timestamp and therefore wins. The
+  * pandas tie-break is stable-sort order; we replace it with a
+  * deterministic total order (max tie-break column) per SURVEY.md §7.
+  * `nullsWin` selects the reference-faithful null preference
+  * ([[dedupTimeEntries]]) vs the conventional nulls-lose ordering.
   *
   * Scale: one hash shuffle on the key; the window + row_number is executed
   * as a single sort within each partition. For a 100 TB fact keyed by a
@@ -19,19 +23,23 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   def latestByKey(df: DataFrame, key: Seq[String], orderCol: String,
-                  tieBreak: String): DataFrame = {
+                  tieBreak: String, nullsWin: Boolean = false): DataFrame = {
+    val primary =
+      if (nullsWin) col(orderCol).desc_nulls_first
+      else col(orderCol).desc_nulls_last
     val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col(orderCol).desc_nulls_last, col(tieBreak).desc_nulls_last)
+      .orderBy(primary, col(tieBreak).desc_nulls_last)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
   }
 
-  /** The reference's exact use: dedup staged time entries on `id` by latest
-    * `at` (tie-break on `id` is a no-op since `id` is the key; use start_utc).
+  /** The reference's exact use: dedup staged time entries on `id`; the
+    * null-`at`-wins preference mirrors pandas' na_position='last' +
+    * keep='last' (tie-break on start_utc — `id` is the key).
     */
   def dedupTimeEntries(df: DataFrame): DataFrame =
-    latestByKey(df, Seq("id"), "at", "start_utc")
+    latestByKey(df, Seq("id"), "at", "start_utc", nullsWin = true)
 
   /** Window spec reusable inside query-level expressions. */
   def latestWindow(key: Seq[Column], order: Seq[Column]) =

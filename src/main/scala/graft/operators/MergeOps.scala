@@ -121,8 +121,14 @@ object MergeOps {
     fs.delete(tmpP, true)
     df.write.mode(SaveMode.Overwrite).parquet(tmpP.toString)
     fs.delete(oldP, true)
-    if (fs.exists(destP)) fs.rename(destP, oldP)
-    fs.rename(tmpP, destP)
+    // Hadoop rename reports failure by RETURNING FALSE — an unchecked
+    // false here would either nest tmp inside a still-existing dest or
+    // delete the only surviving copy below
+    if (fs.exists(destP) && !fs.rename(destP, oldP))
+      sys.error(s"atomicSwapWrite: could not move $destP aside")
+    if (!fs.rename(tmpP, destP))
+      sys.error(s"atomicSwapWrite: could not move $tmpP into place " +
+        s"(previous table preserved at $oldP)")
     fs.delete(oldP, true)
   }
 
@@ -131,12 +137,13 @@ object MergeOps {
     * must be written partitioned by `dateCol`.
     */
   def overwriteDatePartitions(updated: DataFrame, factPath: String,
-                              dateCol: String = "start_date_oslo"): Unit = {
-    updated.sparkSession.conf
-      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+                              dateCol: String = "start_date_oslo"): Unit =
+    // per-writer option, not a session conf mutation — a shared session
+    // (e.g. the HTTP server) must not have every later partitioned
+    // overwrite silently switched to dynamic mode
     updated.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(dateCol).parquet(factPath)
-  }
 
   /** The full at-scale refresh: M1 semantics against a date-partitioned
     * fact table, rewriting ONLY the affected partitions. Affected =
@@ -166,19 +173,31 @@ object MergeOps {
       .join(broadcast(stagingW.select(col(keyCol))), Seq(keyCol))
       .filter(!coalesce(inWindow(col(dateCol)), lit(false)))
       .select(col(dateCol))
-    val affected = stagingW.select(col(dateCol))
+    // null dates are a real partition (__HIVE_DEFAULT_PARTITION__): a
+    // null-date fact row whose id reappears in staging must have its old
+    // partition rewritten too, or the stale copy survives as a duplicate
+    val affectedRaw = stagingW.select(col(dateCol))
       .unionByName(fact.filter(inWindow(col(dateCol))).select(col(dateCol)))
       .unionByName(movedDates)
-      .distinct().collect().map(_.getDate(0)).toSet
+      .distinct().collect().map(r => Option(r.getDate(0)))
+    val affected = affectedRaw.flatten.toSet
+    val affectedHasNull = affectedRaw.contains(None)
+    def inAffected(c: Column): Column = {
+      val nonNullHit = c.isin(affected.toSeq: _*)
+      if (affectedHasNull) coalesce(nonNullHit, lit(false)) || c.isNull
+      else coalesce(nonNullHit, lit(false))
+    }
 
     // localCheckpoint: materialize once — the merge plan would otherwise
     // execute twice (writtenDates collect + the write), and the write
     // overwrites partitions the plan is still reading from
     val merged = mergeRefresh(fact, staging, days, todayOslo, dateCol, keyCol)
-      .filter(col(dateCol).isin(affected.toSeq: _*))
+      .filter(inAffected(col(dateCol)))
       .localCheckpoint(true)
-    val writtenDates = merged.select(col(dateCol)).distinct()
-      .collect().map(_.getDate(0)).toSet
+    val writtenRaw = merged.select(col(dateCol)).distinct()
+      .collect().map(r => Option(r.getDate(0)))
+    val writtenDates = writtenRaw.flatten.toSet
+    val writtenHasNull = writtenRaw.contains(None)
     overwriteDatePartitions(merged, factPath, dateCol)
 
     // drop affected partitions that became empty — dynamic overwrite only
@@ -189,6 +208,10 @@ object MergeOps {
     val fs = base.getFileSystem(conf)
     (affected -- writtenDates).foreach { d =>
       fs.delete(new org.apache.hadoop.fs.Path(base, s"$dateCol=$d"), true)
+    }
+    if (affectedHasNull && !writtenHasNull) {
+      fs.delete(new org.apache.hadoop.fs.Path(base,
+        s"$dateCol=__HIVE_DEFAULT_PARTITION__"), true)
     }
   }
 }

@@ -37,11 +37,25 @@ object HttpApi {
     server
   }
 
+  /** JSON string escape covering quotes, backslashes, and control chars —
+    * exception messages and captured logs routinely contain newlines.
+    */
+  private def jsonStr(s: String): String = "\"" + s.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
+
   private def handle(spark: SparkSession, ex: HttpExchange): Unit = {
     val path = ex.getRequestURI.getPath
     val params = Option(ex.getRequestURI.getQuery).getOrElse("").split("&")
       .filter(_.contains("=")).map { kv =>
-        val Array(k, v) = kv.split("=", 2); k -> v
+        val Array(k, v) = kv.split("=", 2)
+        k -> java.net.URLDecoder.decode(v, StandardCharsets.UTF_8)
       }.toMap
     try {
       (ex.getRequestMethod, path) match {
@@ -59,15 +73,15 @@ object HttpApi {
           Console.withOut(new java.io.PrintStream(out)) {
             Main.run(spark, cmd, params)
           }
-          respond(ex, 200, s"""{"status":"success","detail":"${
-            out.toString(StandardCharsets.UTF_8).trim.replace("\"", "'")}"}""")
+          respond(ex, 200, s"""{"status":"success","detail":${
+            jsonStr(out.toString(StandardCharsets.UTF_8).trim)}}""")
         case (m, p) =>
-          respond(ex, 404, s"""{"status":"error","detail":"no route $m $p"}""")
+          respond(ex, 404, s"""{"status":"error","detail":${jsonStr(s"no route $m $p")}}""")
       }
     } catch {
       case e: Throwable =>
-        respond(ex, 500, s"""{"status":"error","detail":"${
-          Option(e.getMessage).getOrElse(e.getClass.getName).replace("\"", "'")}"}""")
+        respond(ex, 500, s"""{"status":"error","detail":${
+          jsonStr(Option(e.getMessage).getOrElse(e.getClass.getName))}}""")
     }
   }
 

@@ -51,8 +51,12 @@ object Main {
       case "refresh" | "full_reindex" =>
         // fact pipeline: flatten → dedup → CSV backup → staging → merge
         // (fetch_clickup_data.py:1738-1797)
+        // materialize once: CSV backup, staging load, and the merge all
+        // consume this frame — re-executing the flatten+dedup shuffle three
+        // times would triple the cost and let at/start_utc ties resolve
+        // differently per sink
         val staging = Pipelines.timeEntryPipeline(
-          raw("time_entries", ClickUpSchemas.rawTimeEntry))
+          raw("time_entries", ClickUpSchemas.rawTimeEntry)).localCheckpoint(true)
         MergeOps.csvBackup(staging, s"$wh/csv_backups/time_entries")
         MergeOps.loadStaging(staging, s"$wh/staging_time_entries")
         MergeOps.ensureTable(spark, ClickUpSchemas.factTimeEntries, s"$wh/fact_time_entries")

@@ -29,9 +29,8 @@ object Pipelines {
       startTs.as("start_utc"),
       epochMsToTs(nullIfZero(col("end"))).as("end_utc"),
       safeInt(col("duration")).as("duration_ms"),
-      // duration_hours: 0.0 when duration is 0/missing (:820)
-      coalesce(when(safeInt(col("duration")) =!= 0,
-        safeFloat(col("duration")) / lit(3600000.0)), lit(0.0)).as("duration_hours"),
+      // duration_hours: 0.0 when duration is 0/missing/unparseable (:820)
+      msToHours(col("duration")).as("duration_hours"),
       coalesce(col("billable"), lit(false)).as("billable"),
       s(col("description")).as("description"),
       s(col("source")).as("source"),
@@ -69,9 +68,16 @@ object Pipelines {
     when(i =!= 0, c)
   }
 
-  /** Fact pipeline tail: flatten → dedup keep-latest (D1). */
-  def timeEntryPipeline(raw: DataFrame): DataFrame =
-    Dedup.dedupTimeEntries(flattenTimeEntries(raw))
+  /** Fact pipeline tail: flatten → dedup keep-latest (D1). The reference
+    * only dedups when at least one `at` is non-null
+    * (fetch_clickup_data.py:1775 `if ... not df['at'].isna().all()`); the
+    * guard is one cheap existence probe.
+    */
+  def timeEntryPipeline(raw: DataFrame): DataFrame = {
+    val flat = flattenTimeEntries(raw)
+    if (flat.filter(col("at").isNotNull).isEmpty) flat
+    else Dedup.dedupTimeEntries(flat)
+  }
 
   /** S2 — hierarchy walk for dim_lists (fetch_clickup_data.py:196-279):
     * spaces × folders × lists, plus folder-less lists with the `''` sentinel
@@ -161,6 +167,12 @@ object Pipelines {
       explode(splitTrimDropEmpty(cfValue(Cf.connected))).as("connected_list_id"),
       safeFloatDefault(cfValue(Cf.hoursDiscount), 0.0).as("hours_discount"),
       s(col("status.status")).as("status"),
+      // NOTE: unlike the time-entry fields (safe_int first, so 0 AND "0"
+      // are falsy → null), the reference tests the RAW value here
+      // (:589-596 `if date_created:`): string "0" is truthy → epoch 0 →
+      // 1970-01-01. Under this schema date_created is always a string, so
+      // plain epochMsToTs reproduces that exactly; Python's int-0 case is
+      // unrepresentable here.
       epochMsToTs(col("date_created")).as("date_created"),
       joinNames(coalesce(col("assignees"), array())).as("assignees"),
       safeFloat(cfValue(Cf.arr)).as("arr")

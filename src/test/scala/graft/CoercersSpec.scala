@@ -19,7 +19,7 @@ class CoercersSpec extends SparkSpec with TableDrivenPropertyChecks {
     val cases = Table(("in", "out"),
       ("3.7", 3L), ("-2.9", -2L), ("42", 42L), ("1e3", 1000L), (" 5 ", 5L))
     forAll(cases) { (in, out) => assert(one(safeInt(lit(in))) == out) }
-    for (bad <- Seq("abc", "", "NaN", "nan")) {
+    for (bad <- Seq("abc", "", "NaN", "nan", "Infinity", "-Infinity", "1e300")) {
       assert(one(safeInt(lit(bad))) == null, s"safe_int($bad)")
     }
     assert(one(safeInt(lit(null).cast("string"))) == null)

@@ -32,6 +32,35 @@ class DedupMergeSpec extends SparkSpec {
     assert(out.toSeq == Seq(("e1", 2.0), ("e2", 4.0), ("e3", 6.0)))
   }
 
+  test("dedupTimeEntries: null-at wins per pandas na_position='last' + keep='last' (ref :1776)") {
+    val df = Seq(
+      ("e1", "2024-01-02 10:00:00", "2024-01-01 09:00:00"),
+      ("e1", null, "2024-01-01 10:00:00") // null at → sorts last → kept
+    ).toDF("id", "at_s", "start_s")
+      .withColumn("at", col("at_s").cast("timestamp"))
+      .withColumn("start_utc", col("start_s").cast("timestamp"))
+      .drop("at_s", "start_s")
+    val kept = Dedup.dedupTimeEntries(df).collect()
+    assert(kept.length == 1)
+    assert(kept(0).getAs[java.sql.Timestamp]("at") == null)
+  }
+
+  test("refreshPartitioned deletes stale null-date copies of re-matched ids") {
+    val base = java.nio.file.Files.createTempDirectory("graft_nullpart").toString + "/fact"
+    val today = LocalDate.parse("2024-03-01")
+    Seq(("x1", "a", null.asInstanceOf[java.sql.Date], 1.0),
+      ("keepnull", "a", null.asInstanceOf[java.sql.Date], 7.0))
+      .toDF("id", "at", "start_date_oslo", "value")
+      .write.partitionBy("start_date_oslo").parquet(base)
+    // staging re-asserts x1 with a real in-window date
+    val staging = entries(("x1", "y", java.sql.Date.valueOf("2024-02-26"), 2.0))
+    MergeOps.refreshPartitioned(spark, base, staging, days = 7, todayOslo = today)
+    val out = spark.read.parquet(base).orderBy("id")
+      .select("id", "value").as[(String, Double)].collect().toSeq
+    // x1's stale null-date copy is gone; unrelated null-date row survives
+    assert(out == Seq(("keepnull", 7.0), ("x1", 2.0)))
+  }
+
   test("M2 full reindex: fact becomes exactly (deduplicated) staging (ref :1335-1399)") {
     val fact = entries(
       ("a", "x", java.sql.Date.valueOf("2024-01-01"), 1.0),
