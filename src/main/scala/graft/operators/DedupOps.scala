@@ -25,10 +25,13 @@ object DedupOps {
     * group on the 128-bit digest, never the full text.
     */
   def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(md5(normalized(col(textCol)))).orderBy(col(idCol))
+    // null text is NOT evidence of duplication — give each null-text doc
+    // its own group instead of collapsing them all into one survivor
+    val grp = coalesce(md5(normalized(col(textCol))),
+      concat(lit("null-"), col(idCol).cast("string")))
+    val w = Window.partitionBy(grp).orderBy(col(idCol))
     docs.withColumn("__rn", row_number().over(w))
-      .withColumn("dup_count", count(lit(1)).over(
-        Window.partitionBy(md5(normalized(col(textCol))))))
+      .withColumn("dup_count", count(lit(1)).over(Window.partitionBy(grp)))
       .filter(col("__rn") === 1).drop("__rn")
   }
 
@@ -67,6 +70,10 @@ object DedupOps {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       shingleWords: Int = 5, numHashes: Int = 16,
                       bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands): " +
+        "rows=0 degenerates every band key to a constant (O(n^2) join) and a " +
+        "remainder silently discards hash functions")
     val rows = numHashes / bands
     val sig = minhashSignatures(docs, idCol, textCol, shingleWords, numHashes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -126,16 +133,17 @@ object DedupOps {
                         threshold: Double): DataFrame = {
     val tPrefix = math.max(threshold - 0.001, 0.0)
     // canonical order on the shingle HASHES: primitive long sort + long
-    // join keys (string shingles only appear again in verification)
+    // join keys; the string shingles themselves are never needed again
+    // (verification runs on the sorted hash arrays), so only `hs` is
+    // computed and cached — not the much larger string arrays.
     val distinctSh = array_distinct(shingles(col(textCol), shingleWords))
     // The shingle table feeds both sides of the candidate self-join and the
     // verification join; persist it so the (generator-heavy) shingling runs
     // once, not once per branch. At cluster scale this is the materialized
     // signature table (checkpoint to storage instead of memory).
     val sh = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      distinctSh.as("sh"),
       array_sort(transform(distinctSh, s => xxhash64(s))).as("hs"))
-      .withColumn("n", size(col("sh")))
+      .withColumn("n", size(col("hs")))
       .filter(col("n") > 0)
       .withColumn("prefix",
         slice(col("hs"), lit(1), (col("n") - ceil(lit(tPrefix) * col("n")) + 1).cast("int")))
@@ -174,7 +182,7 @@ object DedupOps {
     * MapReduce and Beyond", SoCC'14) — same interface.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 64): DataFrame = {
     // localCheckpoint (not persist): iterative plans nest one level per
     // round, and re-analyzing/re-optimizing the growing tree quickly
     // dominates the tiny per-round data work. Checkpointing truncates the
@@ -196,6 +204,11 @@ object DedupOps {
       labels = newLabels
       i += 1
     }
+    if (changed > 0)
+      sys.error(s"connectedComponents did not converge in $maxIter rounds " +
+        s"($changed labels still changing) — raise maxIter (component " +
+        "diameter exceeds it); returning partial labels would silently " +
+        "split clusters")
     labels.select(col("id"), col("lbl").as("cluster_root"),
       (col("lbl") === col("id")).as("is_canonical"))
   }
@@ -229,11 +242,25 @@ object DedupOps {
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleWords: Int = 3, maxHamming: Int = 3): DataFrame = {
+    // pigeonhole: a pair within hamming h must agree on at least one of
+    // h+1 signature chunks — the chunk count must track maxHamming or
+    // recall silently degrades
+    val chunks = maxHamming + 1
+    require(chunks >= 2 && chunks <= 16, s"maxHamming=$maxHamming out of range")
+    val base = 64 / chunks
+    val bounds = (0 until chunks).map { c =>
+      val start = c * base
+      val width = if (c == chunks - 1) 64 - start else base
+      (c, start, width)
+    }
     val sigs = simhashSignatures(docs, idCol, textCol, shingleWords)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col("id"), col("sig"), explode(
-      array((0 until 4).map(c => struct(lit(c).as("chunk"),
-        shiftright(col("sig"), c * 16).bitwiseAND(0xFFFFL).as("ckey"))): _*))
+      array(bounds.map { case (c, start, width) =>
+        val mask = if (width >= 64) -1L else (1L << width) - 1
+        struct(lit(c).as("chunk"),
+          shiftright(col("sig"), start).bitwiseAND(mask).as("ckey"))
+      }: _*))
       .as("cc"))
       .select(col("id"), col("sig"), col("cc.chunk").as("chunk"), col("cc.ckey").as("ckey"))
     val popcountXor = (a: Column, b: Column) =>

@@ -91,15 +91,18 @@ object Multimodal {
     }(enc).toDF(schema.fieldNames: _*)
   }
 
-  /** "Resize": re-bucket the stub feature vector to `newSize` by averaging
-    * adjacent buckets — the plumbing twin of an image resize.
+  /** "Resize": re-bucket the feature vector to `newSize` by averaging each
+    * source bucket — the plumbing twin of an area-mean image resize.
     */
   def resizeFeatures(df: DataFrame, featCol: String, newSize: Int): DataFrame = {
     val f = col(featCol)
     df.withColumn(s"${featCol}_resized", transform(
       sequence(lit(0), lit(newSize - 1)), i => {
-        val src = (i * size(f)) / newSize
-        element_at(f, (src + 1).cast("int"))
+        val start = floor((i * size(f)).cast("double") / newSize).cast("int")
+        val end = floor(((i + 1) * size(f)).cast("double") / newSize).cast("int")
+        val len = greatest(end - start, lit(1))
+        val bucket = slice(f, start + 1, len)
+        aggregate(bucket, lit(0.0), (acc, x) => acc + x) / len
       }))
   }
 }

@@ -19,8 +19,12 @@ object ScaleOps {
     */
   def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: String,
                      saltBuckets: Int): DataFrame = {
+    // salt from row CONTENT, not monotonically_increasing_id: ids depend on
+    // partition layout/row order, so a stage retry could re-salt rows
+    // differently and double-count (SPARK-23207 class). Identical rows
+    // share a salt — still correct, marginally less spread.
     val salted = df.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
+      pmod(xxhash64(df.columns.map(col).toSeq: _*), lit(saltBuckets.toLong)))
     val phase1 = salted
       .groupBy((keyCols.map(col) :+ col("__salt")): _*)
       .agg(sum(col(valueCol)).as("__s"), count(lit(1)).as("__n"))
@@ -38,8 +42,9 @@ object ScaleOps {
     */
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
                  saltBuckets: Int): DataFrame = {
+    // content-derived salt (see saltedSumCount)
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(saltBuckets.toLong)))
+      pmod(xxhash64(left.columns.map(col).toSeq: _*), lit(saltBuckets.toLong)))
     val explodedRight = right.withColumn("__salt",
       explode(sequence(lit(0L), lit(saltBuckets.toLong - 1))))
     saltedLeft.join(explodedRight, Seq(key, "__salt")).drop("__salt")

@@ -70,14 +70,22 @@ object SimilarityOps {
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
                 centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__sim").desc, col(cidCol))
-    vectors.crossJoin(broadcast(centroids.select(col(cidCol), col(cvecCol))))
+    // argmax via max_by with map-side partial aggregation: the nlist
+    // copies per vector collapse BEFORE the exchange, so only one row per
+    // id crosses the shuffle (a row_number window would shuffle all
+    // n×nlist rows, embeddings included). Tie-break: higher sim, then
+    // lower centroid id (the negated cid makes the ordering struct unique,
+    // so max_by is deterministic).
+    val scored = vectors
+      .crossJoin(broadcast(centroids.select(col(cidCol), col(cvecCol))))
       .withColumn("__sim", NativeCos(col(vecCol), col(cvecCol)))
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(idCol), col(vecCol), col(cidCol).as("centroid"),
-        round(col("__sim"), 4).as("centroid_sim"))
+    scored.groupBy(col(idCol))
+      .agg(max_by(
+        struct(col(vecCol).as("v"), col(cidCol).as("c"), col("__sim").as("s")),
+        struct(col("__sim").as("s"), (-col(cidCol)).as("nc"))).as("best"))
+      .select(col(idCol), col("best.v").as(vecCol),
+        col("best.c").as("centroid"),
+        round(col("best.s"), 4).as("centroid_sim"))
   }
 
   /** IVF search: probe the `nprobe` centroids nearest the query, scan only

@@ -65,7 +65,9 @@ object TextOps {
       .withColumn("n_tokens", n.cast("long"))
       .withColumn("n_types", size(array_distinct(toks)).cast("long"))
       .withColumn("mean_word_len",
-        round(when(n > 0, nChars.cast("double") / n).otherwise(lit(0.0)), 4))
+        round(when(n > 0, coalesce(aggregate(toks, lit(0L),
+          (acc, t) => acc + length(t)), lit(0L)).cast("double") / n)
+          .otherwise(lit(0.0)), 4))
       .withColumn("alpha_ratio",
         round(when(nChars > 0, nAlpha.cast("double") / nChars).otherwise(lit(0.0)), 4))
       .withColumn("punct_ratio",

@@ -36,8 +36,8 @@ object Streams {
     */
   def runWindowedAggAvailableNow(spark: SparkSession, dir: String, glob: String,
                                  schema: StructType, sinkName: String,
-                                 checkpoint: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                                 checkpoint: String): DataFrame =
+    withNanosAsLong(spark) {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
     // ns-as-long timestamps → µs truncation at the source boundary
@@ -53,6 +53,23 @@ object Streams {
       .start()
     q.awaitTermination()
     detachSink(spark, sinkName, checkpoint)
+    }
+
+  /** Run `body` with spark.sql.legacy.parquet.nanosAsLong set, restoring
+    * the previous value afterwards — a shared session must not have every
+    * later parquet read silently reinterpret nanos columns as longs.
+    * The conf stays set for the whole (bounded) streaming run because the
+    * file source consults it at scan time, not plan time.
+    */
+  private def withNanosAsLong[A](spark: SparkSession)(body: => A): A = {
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
   }
 
   /** Copy a memory sink's result out, then drop the sink view and its
@@ -145,8 +162,8 @@ object Streams {
   /** Run sessionization over a bounded file stream into a memory sink. */
   def runSessionizeAvailableNow(spark: SparkSession, dir: String, glob: String,
                                 schema: StructType, gapMinutes: Int,
-                                sinkName: String, checkpoint: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+                                sinkName: String, checkpoint: String): DataFrame =
+    withNanosAsLong(spark) {
     val raw = spark.readStream.schema(schema).option("pathGlobFilter", glob).parquet(dir)
     val stream =
       if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
@@ -160,7 +177,7 @@ object Streams {
       .start()
     q.awaitTermination()
     detachSink(spark, sinkName, checkpoint)
-  }
+    }
 
   /** Streaming upsert: each micro-batch is deduped (D1) and merged into the
     * fact path with M1's windowed-refresh semantics via foreachBatch — the
