@@ -85,6 +85,17 @@ object Streams {
     out
   }
 
+  /** Streaming twin of D1: drop duplicate keys across micro-batches with
+    * bounded state — the watermark on `tsCol` lets Spark expire per-key
+    * state once late data can no longer arrive (without it, dedup state
+    * grows forever). First occurrence wins (streaming semantics; the batch
+    * D1 keep-latest variant needs the upsert in [[streamingMerge]]).
+    */
+  def streamingDedup(events: DataFrame, keyCols: Seq[String], tsCol: String,
+                     watermark: String = "1 hour"): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicates(keyCols :+ tsCol)
+
   /** Typed event row for stateful sessionization. */
   case class SessionEvent(event_id: Long, ts: java.sql.Timestamp,
                           user_id: Long, value: Double)

@@ -72,6 +72,29 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out == Seq(("hist", 1.0), ("r1", 20.0), ("r2", 5.0)))
   }
 
+  test("streaming dedup drops duplicate keys across a bounded stream") {
+    val dir = Files.createTempDirectory("graft_dedup_in").toString
+    val events = Seq(
+      (1L, "2024-01-01 10:00:00", 5.0),
+      (1L, "2024-01-01 10:00:00", 5.0), // exact duplicate
+      (2L, "2024-01-01 11:00:00", 7.0)
+    ).toDF("id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    events.write.mode("overwrite").parquet(dir)
+    val ckpt = Files.createTempDirectory("graft_ckpt3").toString
+    val q = Streams.streamingDedup(
+        spark.readStream.schema(events.schema).parquet(dir), Seq("id"), "ts")
+      .writeStream.format("memory").queryName("graft_dedup_sink")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("graft_dedup_sink").orderBy("id")
+      .select($"id", $"value").as[(Long, Double)].collect().toSeq
+    spark.catalog.dropTempView("graft_dedup_sink")
+    assert(out == Seq((1L, 5.0), (2L, 7.0)))
+  }
+
   test("stateful sessionization: gap splits, per-user numbering, value sums") {
     val events = Seq(
       (1L, "2024-01-01 10:00:00", 7L, 1.0),
