@@ -32,5 +32,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default: local[32] runs every executor thread in the one driver
+  // JVM, and the persist-heavy near-dup suite degrades 8-15x when the heap
+  // is tight (BENCH_r02 vs its controlled re-run) — headroom is cheaper
+  // than spill thrash on a 128 GiB box
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

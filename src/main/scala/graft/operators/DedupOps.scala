@@ -96,25 +96,34 @@ object DedupOps {
     out
   }
 
-  /** Exact shingle-set Jaccard for candidate pairs (verification step). */
+  /** Exact shingle-set Jaccard for candidate pairs (verification step).
+    * Works on hash-sorted long arrays + the native O(n+m) merge-scan —
+    * the same verification shape as [[ngramJaccardPairs]] — so what gets
+    * persisted and joined is one long per distinct shingle, never the
+    * string shingles themselves (exact up to 64-bit hash collisions,
+    * ~pairs·n²/2⁶⁴; the DuckDB oracle computes true string-set Jaccard and
+    * agrees).
+    */
   private def verifyJaccard(cands: DataFrame, docs: DataFrame, idCol: String,
                             textCol: String, shingleWords: Int,
                             threshold: Double): DataFrame = {
-    val sh = docs.select(col(idCol).as("id"),
-      array_distinct(shingles(col(textCol), shingleWords)).as("sh"))
+    val hs = docs.select(col(idCol).as("id"),
+      array_sort(transform(array_distinct(shingles(col(textCol), shingleWords)),
+        s => xxhash64(s))).as("hs"))
+      .withColumn("n", size(col("hs")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val out = cands
-      .join(sh.withColumnRenamed("id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-      .join(sh.withColumnRenamed("id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni",
-        (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
+      .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a"), col("n").as("n_a")), "id_a")
+      .join(hs.select(col("id").as("id_b"), col("hs").as("hs_b"), col("n").as("n_b")), "id_b")
+      .withColumn("inter",
+        graft.functions.SortedArrayIntersectCount(col("hs_a"), col("hs_b")).cast("double"))
+      .withColumn("uni", (col("n_a") + col("n_b")).cast("double") - col("inter"))
       .withColumn("jaccard", round(when(col("uni") > 0, col("inter") / col("uni"))
         .otherwise(lit(1.0)), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
       .localCheckpoint(true)
-    sh.unpersist()
+    hs.unpersist()
     out
   }
 
@@ -192,23 +201,29 @@ object DedupOps {
       .distinct().localCheckpoint(true)
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id")).localCheckpoint(true)
-    var changed = 1L
+    val lblType = labels.schema("lbl").dataType
+    var converged = false
     var i = 0
-    while (changed > 0 && i < maxIter) {
+    while (!converged && i < maxIter) {
       val prop = edges.join(labels, edges("b") === labels("id"))
         .select(col("a").as("id"), col("lbl"))
-      val newLabels = labels.unionByName(prop)
-        .groupBy("id").agg(min("lbl").as("lbl")).localCheckpoint(true)
-      changed = newLabels.join(labels.withColumnRenamed("lbl", "old"), "id")
-        .filter(col("lbl") =!= col("old")).count()
-      labels = newLabels
+      // carry the previous label through the relabel aggregation (exactly
+      // one non-null `old` per id — from its single `labels` row) so
+      // convergence is read off the checkpointed result itself: one heavy
+      // join+agg job per round, then a trivial scan of the cached blocks —
+      // instead of a second full join against the previous round's labels
+      val newLabels = labels.select(col("id"), col("lbl"), col("lbl").as("old"))
+        .unionByName(prop.withColumn("old", lit(null).cast(lblType)))
+        .groupBy("id").agg(min("lbl").as("lbl"), max("old").as("old"))
+        .localCheckpoint(true)
+      converged = newLabels.filter(col("lbl") =!= col("old")).isEmpty
+      labels = newLabels.select(col("id"), col("lbl"))
       i += 1
     }
-    if (changed > 0)
-      sys.error(s"connectedComponents did not converge in $maxIter rounds " +
-        s"($changed labels still changing) — raise maxIter (component " +
-        "diameter exceeds it); returning partial labels would silently " +
-        "split clusters")
+    if (!converged)
+      sys.error(s"connectedComponents did not converge in $maxIter rounds — " +
+        "raise maxIter (component diameter exceeds it); returning partial " +
+        "labels would silently split clusters")
     labels.select(col("id"), col("lbl").as("cluster_root"),
       (col("lbl") === col("id")).as("is_canonical"))
   }
