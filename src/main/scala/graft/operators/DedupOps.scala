@@ -228,32 +228,46 @@ object DedupOps {
       (col("lbl") === col("id")).as("is_canonical"))
   }
 
-  /** SimHash signatures: 64-bit signature where bit k is set when the
-    * majority of the document's shingle hashes have bit k set. Near-dups
-    * differ in few bits (small Hamming distance). Computed as explode →
-    * xxhash64 → groupBy(id) with 64 SUM aggregates (vectorized hash agg,
-    * map-side partials; 64 longs per doc cross the shuffle). Documents
-    * with no shingles are dropped.
+  /** Signature width for [[simhashSignatures]]: 60 bits = the first 15 hex
+    * chars of md5, so the per-shingle hash is exactly reproducible in ANSI
+    * SQL (a base-16 fold over the hex digits) and the whole simhash output
+    * is oracle-checkable — xxhash64 was not. 60 of 64 bits costs ~6% of the
+    * distance resolution; the majority-vote semantics are unchanged, and at
+    * cluster scale any 64-bit hash can be swapped in behind this constant.
+    */
+  val SimhashBits = 60
+
+  /** 60-bit per-shingle hash: value of the first 15 hex digits of md5. */
+  private def shingleHash(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** SimHash signatures: [[SimhashBits]]-bit signature where bit k is set
+    * when the majority of the document's shingle hashes have bit k set.
+    * Near-dups differ in few bits (small Hamming distance). Computed as
+    * explode → md5-derived hash → groupBy(id) with one SUM per bit
+    * (vectorized hash agg, map-side partials; SimhashBits longs per doc
+    * cross the shuffle). Documents with no shingles are dropped.
     */
   def simhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         shingleWords: Int = 3): DataFrame = {
     val hashed = docs
       .select(col(idCol).as("id"),
         explode(array_distinct(shingles(col(textCol), shingleWords))).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h"))
-    val bitSums = (0 until 64).map(b =>
+      .select(col("id"), shingleHash(col("s")).as("h"))
+    val bitSums = (0 until SimhashBits).map(b =>
       sum(shiftright(col("h"), b).bitwiseAND(1L)).as(s"b$b"))
     hashed.groupBy(col("id"))
       .agg(count(lit(1)).as("n"), bitSums: _*)
       .select(col("id"),
-        (0 until 64).map(b =>
+        (0 until SimhashBits).map(b =>
           when(col(s"b$b") * 2 >= col("n"), lit(1L << b)).otherwise(lit(0L)))
           .reduce((a, b) => a.bitwiseOR(b)).as("sig"))
   }
 
-  /** SimHash near-dup pairs, blocked by 16-bit signature chunks (a
-    * Hamming-distance ≤ 3 pair must share at least one of 4 chunks —
-    * pigeonhole), verified by popcount of XOR. No O(n²) stage.
+  /** SimHash near-dup pairs, blocked by signature chunks (a
+    * Hamming-distance ≤ h pair must share at least one of h+1 chunks —
+    * pigeonhole, so the blocking is lossless), verified by popcount of
+    * XOR. No O(n²) stage.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    shingleWords: Int = 3, maxHamming: Int = 3): DataFrame = {
@@ -261,11 +275,11 @@ object DedupOps {
     // h+1 signature chunks — the chunk count must track maxHamming or
     // recall silently degrades
     val chunks = maxHamming + 1
-    require(chunks >= 2 && chunks <= 16, s"maxHamming=$maxHamming out of range")
-    val base = 64 / chunks
+    require(chunks >= 2 && chunks <= 15, s"maxHamming=$maxHamming out of range")
+    val base = SimhashBits / chunks
     val bounds = (0 until chunks).map { c =>
       val start = c * base
-      val width = if (c == chunks - 1) 64 - start else base
+      val width = if (c == chunks - 1) SimhashBits - start else base
       (c, start, width)
     }
     val sigs = simhashSignatures(docs, idCol, textCol, shingleWords)

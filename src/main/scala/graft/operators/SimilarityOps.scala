@@ -122,24 +122,78 @@ object SimilarityOps {
       .select(col("blk"), col("id_a"), col("id_b"), col("score"))
   }
 
+  /** Hyperplane `b` of the deterministic random-hyperplane family: `dims`
+    * components, each a hash of (bit, dimension) mapped into [-0.5, 0.5).
+    * Reproducible with no stored model — and exactly re-derivable in SQL
+    * (the x5b oracle embeds these values as literals), which is why the
+    * derivation lives in one place.
+    */
+  def rhpPlane(b: Int, dims: Int): Array[Double] =
+    // floorMod keeps each plane component uniform in [-0.5, 0.5); a
+    // signed % would center the planes at -0.5 and collapse mostly
+    // non-negative embeddings into one bucket
+    (0 until dims).map { d =>
+      (java.lang.Math.floorMod(
+        java.lang.Long.hashCode(b.toLong * 1315423911L + d * 2654435761L).toLong,
+        1000L) / 1000.0) - 0.5
+    }.toArray
+
   /** Random-hyperplane LSH bucket key (sign bits of `nbits` deterministic
-    * pseudo-random projections). The planes are derived from xxhash64 of
-    * (bit, dimension) — reproducible with no stored model.
+    * pseudo-random projections, Charikar 2002).
     */
   def rhpBucket(vec: Column, dims: Int, nbits: Int): Column = {
     val bits = (0 until nbits).map { b =>
-      // floorMod keeps each plane component uniform in [-0.5, 0.5); a
-      // signed % would center the planes at -0.5 and collapse mostly
-      // non-negative embeddings into one bucket
-      val plane = (0 until dims).map { d =>
-        (java.lang.Math.floorMod(
-          java.lang.Long.hashCode(b.toLong * 1315423911L + d * 2654435761L).toLong,
-          1000L) / 1000.0) - 0.5
-      }.toArray
-      val proj = aggregate(zip_with(vec, lit(plane),
+      val proj = aggregate(zip_with(vec, lit(rhpPlane(b, dims)),
         (x, p) => x.cast("double") * p), lit(0.0), (acc, x) => acc + x)
       when(proj >= 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
     }
     bits.reduce((a, b) => a.bitwiseOR(b))
+  }
+
+  /** Scale-safe cosine near-dup pairs: banded random-hyperplane LSH.
+    *
+    * The label-blocked [[embeddingNearDupPairs]] demo is exact but
+    * quadratic within a block — with a handful of labels that is quadratic
+    * in the corpus. Here the block key is data-independent: an `nbits`
+    * sign-bit signature ([[rhpBucket]]) split into `bands` bands of
+    * nbits/bands bits; a candidate pair must share at least one band key,
+    * and every candidate is verified exactly with native cosine ≥
+    * `threshold`. Same contract as [[DedupOps.minhashLshPairs]]:
+    * probabilistic candidate generation — P(caught) = 1-(1-p^rows)^bands
+    * with p = 1-θ/π — then exact verification, so no false positives.
+    *
+    * Scale: bucket population is corpus/2^rows per band on centered data;
+    * grow `rows` (bits per band) with log₂(corpus) to bound bucket sizes,
+    * and `bands` with the recall target. The band-key self-join is the
+    * only shuffle; no O(n²) stage.
+    */
+  def rhpNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                      dims: Int, nbits: Int, bands: Int,
+                      threshold: Double): DataFrame = {
+    require(bands >= 1 && nbits % bands == 0 && nbits <= 63,
+      s"nbits ($nbits) must be a positive multiple of bands ($bands), ≤ 63")
+    val rows = nbits / bands
+    val mask = (1L << rows) - 1
+    val sig = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      rhpBucket(col(vecCol), dims, nbits).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("id"), explode(
+      array((0 until bands).map(b => struct(lit(b).as("band"),
+        shiftright(col("sig"), b * rows).bitwiseAND(mask).as("bkey"))): _*))
+      .as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val cands = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+    val out = cands
+      .join(sig.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("score", round(NativeCos(col("v_a"), col("v_b")), 4))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+      .localCheckpoint(true)
+    sig.unpersist()
+    out
   }
 }

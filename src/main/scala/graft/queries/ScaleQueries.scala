@@ -14,9 +14,10 @@ import graft.streaming.Streams
   * Thresholds sit in empirically-measured gaps of the seed=42 data (3-gram
   * Jaccard: near-dup pairs ≥0.95, next candidate ≤0.06; within-label cosine:
   * top pairs ≈0.47, next ≈0.41 → τ=0.44), so float noise cannot flip rows.
-  * Queries whose operators use xxhash64 (minhash/simhash internals) have no
-  * SQL-expressible oracle only when the hash leaks into the OUTPUT; candidate
-  * generation via LSH + exact verification keeps x2 oracle-checkable.
+  * Engine-internal hashes never leak into an un-checkable output: minhash
+  * (xxhash64) is candidate-generation only — exact verification keeps x2
+  * oracle-checkable — and simhash derives its 60-bit signature from md5 so
+  * the oracle can rebuild it digit-by-digit (x4).
   */
 object ScaleQueries {
 
@@ -117,14 +118,40 @@ object ScaleQueries {
              |  least(src, min(dst)) = src is_canonical
              |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
 
-    // SimHash signatures/pairs use xxhash64 → no DuckDB equivalent; the
-    // driver records a rows-only check. Correctness is covered by ScalaTest
-    // (planted near-dups must pair, distant docs must not).
+    // The oracle rebuilds the 60-bit md5-derived signature digit-by-digit
+    // (base-16 fold over the first 15 hex chars — the reason SimhashBits
+    // is 60) and pairs exhaustively; the engine's chunk blocking is
+    // pigeonhole-lossless for hamming ≤ 3, so both sides must emit the
+    // identical pair set. The per-bit SUM columns are generated, not
+    // hand-written.
     QuerySpec("x4_simhash_neardup",
       (s, d) => DedupOps.simhashPairs(t(s, d, "documents"), "doc_id", "text",
         shingleWords = 3, maxHamming = 3)
         .orderBy("id_a", "id_b"),
-      None),
+      Some {
+        val bitSums = (0 until DedupOps.SimhashBits)
+          .map(b => s"sum((h >> $b) & 1) s$b").mkString(", ")
+        val sigTerms = (0 until DedupOps.SimhashBits)
+          .map(b => s"(CASE WHEN 2*s$b >= n THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
+          .mkString(" + ")
+        s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') tk
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |sh AS (SELECT doc_id, list_distinct(list_transform(
+           |    range(0, greatest(len(tk)-2, 0)),
+           |    i -> array_to_string(tk[i+1:i+3], ' '))) s FROM toks),
+           |inv AS (SELECT doc_id, unnest(s) tok FROM sh WHERE len(s) > 0),
+           |hh AS (SELECT doc_id, list_reduce(list_transform(range(1, 16),
+           |    i -> CAST(strpos('0123456789abcdef',
+           |      substr(md5(tok), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+           |    (a, b) -> a*16 + b) h FROM inv),
+           |bits AS (SELECT doc_id, count(*) n, $bitSums FROM hh GROUP BY doc_id),
+           |sg AS (SELECT doc_id, $sigTerms sig FROM bits)
+           |SELECT a.doc_id id_a, b.doc_id id_b,
+           |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) hamming
+           |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+           |ORDER BY 1, 2""".stripMargin
+      }),
 
     QuerySpec("x5_embed_cosine_neardup",
       (s, d) => SimilarityOps.embeddingNearDupPairs(t(s, d, "embeddings"),
@@ -136,6 +163,48 @@ object ScaleQueries {
              |  ON a.label = b.label AND a.vec_id < b.vec_id
              |WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.44
              |ORDER BY 2,3""".stripMargin)),
+
+    // Scale-safe twin of x5: the block key is a banded random-hyperplane
+    // signature instead of the data-dependent label, so bucket sizes are
+    // bounded by construction (no quadratic-within-block stage). The
+    // planes are deterministic (SimilarityOps.rhpPlane), so the oracle
+    // re-derives the exact band keys from plane literals generated by the
+    // same Scala function — candidate generation AND verification are both
+    // hash-checked, not just rows-only.
+    QuerySpec("x5b_embed_rhp_neardup",
+      (s, d) => SimilarityOps.rhpNearDupPairs(t(s, d, "embeddings"),
+        "vec_id", "embedding", dims = 64, nbits = 32, bands = 16,
+        threshold = 0.44)
+        .orderBy("id_a", "id_b"),
+      Some {
+        val dims = 64; val nbits = 32; val nBands = 16; val rows = nbits / nBands
+        def planeLit(b: Int): String =
+          SimilarityOps.rhpPlane(b, dims).mkString("[", ", ", "]")
+        val projCols = (0 until nbits).map(b =>
+          s"list_reduce(list_transform(range(1, ${dims + 1}), " +
+            s"j -> e[j] * (${planeLit(b)})[j]), (x, y) -> x + y) p$b")
+          .mkString(", ")
+        val bitList = (0 until nbits)
+          .map(b => s"CASE WHEN p$b >= 0 THEN 1 ELSE 0 END")
+          .mkString("[", ", ", "]")
+        val bkeyExpr = (0 until rows)
+          .map(r => s"bv[i*$rows + ${r + 1}] * ${1L << r}").mkString(" + ")
+        s"""WITH v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+           |  FROM embeddings),
+           |pj AS (SELECT vec_id, $projCols FROM v),
+           |bt AS (SELECT vec_id, $bitList bv FROM pj),
+           |bnd AS (SELECT vec_id, i band, $bkeyExpr bkey FROM bt, range(0, $nBands) t(i)),
+           |cand AS (SELECT DISTINCT a.vec_id id_a, b.vec_id id_b
+           |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
+           |    AND a.vec_id < b.vec_id)
+           |SELECT id_a, id_b, round(CAST(list_cosine_similarity(ea.embedding,
+           |    eb.embedding) AS DOUBLE), 4) score
+           |FROM cand JOIN embeddings ea ON id_a = ea.vec_id
+           |JOIN embeddings eb ON id_b = eb.vec_id
+           |WHERE round(CAST(list_cosine_similarity(ea.embedding,
+           |    eb.embedding) AS DOUBLE), 4) >= 0.44
+           |ORDER BY 1, 2""".stripMargin
+      }),
 
     QuerySpec("x6_cosine_topk", (s, d) => {
       val emb = t(s, d, "embeddings")
@@ -319,14 +388,12 @@ object ScaleQueries {
              |GROUP BY tok ORDER BY tf DESC, tok""".stripMargin)),
 
     QuerySpec("x16_corpus_stats", (s, d) => {
+      // exact percentile path — DuckDB-reproducible; the approx_percentile
+      // cluster-scale path of the same operator is bound-checked in
+      // ScaleNativeSpec (sketch output isn't bit-stable across layouts)
       val stats = t(s, d, "documents")
         .select(TextOps.tokenCount(col("text")).cast("double").as("n_tok"))
-      stats.agg(count(lit(1)).as("n_docs"),
-        round(avg("n_tok"), 4).as("mean_tokens"),
-        round(expr("percentile(n_tok, 0.5)"), 4).as("p50_tokens"),
-        round(expr("percentile(n_tok, 0.95)"), 4).as("p95_tokens"),
-        round(min("n_tok"), 4).as("min_tokens"),
-        round(max("n_tok"), 4).as("max_tokens"))
+      graft.operators.ScaleOps.corpusStats(stats, "n_tok", "tokens", exact = true)
     },
       Some("""SELECT count(*) n_docs,
              |  round(avg(n_tok), 4) mean_tokens,
@@ -456,6 +523,32 @@ object ScaleQueries {
       val sink = s"graft_sessions_$run"
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
       Streams.runSessionizeAvailableNow(s, d, "events.parquet", schema,
+        gapMinutes = 60, sink, ckpt)
+        .orderBy("user_id", "session_id")
+    },
+      Some("""WITH e AS (SELECT user_id, event_id, ts, value,
+             |    CASE WHEN lag(ts) OVER w IS NULL
+             |      OR ts - lag(ts) OVER w > INTERVAL 60 MINUTE THEN 1 ELSE 0 END brk
+             |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+             |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id
+             |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS INT) session_id FROM e)
+             |SELECT user_id, session_id, min(ts) session_start, max(ts) session_end,
+             |  count(*) n, round(sum(value), 3) total_value
+             |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // Same oracle as st2, but the engine side is the event-time-timeout
+    // sessionizer run genuinely multi-batch (maxFilesPerTrigger=1 + a
+    // sentinel to seal the final sessions) — proving the cross-batch-exact
+    // semantics hold under micro-batch slicing, not just AvailableNow's
+    // single drain.
+    QuerySpec("st3_sessionize_eventtime", (s, d) => {
+      val schema = new StructType()
+        .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
+        .add("event_type", StringType).add("value", DoubleType).add("props", StringType)
+      val run = streamRun.incrementAndGet()
+      val sink = s"graft_sessions_et_$run"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runSessionizeEventTimeAvailableNow(s, d, "events.parquet", schema,
         gapMinutes = 60, sink, ckpt)
         .orderBy("user_id", "session_id")
     },

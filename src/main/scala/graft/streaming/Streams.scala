@@ -85,16 +85,20 @@ object Streams {
     out
   }
 
-  /** Streaming twin of D1: drop duplicate keys across micro-batches with
-    * bounded state — the watermark on `tsCol` lets Spark expire per-key
-    * state once late data can no longer arrive (without it, dedup state
-    * grows forever). First occurrence wins (streaming semantics; the batch
-    * D1 keep-latest variant needs the upsert in [[streamingMerge]]).
+  /** Streaming twin of D1: drop duplicate KEYS across micro-batches with
+    * bounded state. `dropDuplicatesWithinWatermark` keys the state on
+    * `keyCols` alone — a same-key event with a different timestamp is
+    * still a duplicate (matching D1's per-id dedup), unlike
+    * `dropDuplicates(key :+ ts)` which only filters exact (key, ts)
+    * replays. The watermark on `tsCol` bounds the state: a key's entry
+    * expires once events that old can no longer arrive. First occurrence
+    * wins (streaming semantics; the batch D1 keep-latest variant needs the
+    * upsert in [[streamingMerge]]).
     */
   def streamingDedup(events: DataFrame, keyCols: Seq[String], tsCol: String,
                      watermark: String = "1 hour"): DataFrame =
     events.withWatermark(tsCol, watermark)
-      .dropDuplicates(keyCols :+ tsCol)
+      .dropDuplicatesWithinWatermark(keyCols)
 
   /** Typed event row for stateful sessionization. */
   case class SessionEvent(event_id: Long, ts: java.sql.Timestamp,
@@ -125,8 +129,8 @@ object Streams {
     * Trigger.AvailableNow drains the input in a single batch and the
     * output matches global (batch-SQL) sessionization exactly; a
     * continuously-running deployment that needs exact cross-batch sessions
-    * should emit on event-time timeout (watermark + state-held open
-    * session) and accept unbounded emission latency instead.
+    * should use [[sessionizeEventTime]], which holds open sessions in
+    * state and emits on event-time timeout.
     *
     * Scale: state is O(1) per user (last timestamp + a counter); the group
     * shuffle is the only exchange. Events inside one micro-batch are
@@ -170,6 +174,144 @@ object Streams {
     out.toDF()
   }
 
+  /** One open (not yet watermark-closed) session span held in state.
+    * Bounds are epoch MICROseconds — `Timestamp.getTime` is milliseconds
+    * and would silently truncate the µs part of parquet event times.
+    */
+  case class OpenSession(start: Long, end: Long, n: Long, total: Double)
+
+  private def toMicros(t: java.sql.Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+
+  private def fromMicros(us: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(Math.floorDiv(us, 1000L))
+    t.setNanos((Math.floorMod(us, 1000000L) * 1000L).toInt)
+    t
+  }
+
+  /** State for [[sessionizeEventTime]]: open spans + sessions emitted. */
+  case class EventTimeSessionState(open: List[OpenSession], emitted: Int)
+
+  /** Cross-batch-EXACT sessionization: the event-time-timeout variant of
+    * [[sessionize]]. A session is held open in state until the watermark
+    * passes its end + gap — only then can no future event extend it — and
+    * is emitted by an event-time timer. Unlike [[sessionize]] (which
+    * finalizes at micro-batch boundaries), the emitted sessions equal
+    * global batch-SQL sessionization for ANY micro-batch slicing of the
+    * input, at the cost of emission latency bounded by the watermark
+    * delay. Asserted against the batch plan under `maxFilesPerTrigger=1`
+    * in StreamingMultimodalSpec.
+    *
+    * Mechanics: events merge into the open spans as intervals (two spans
+    * whose gap an arriving event bridges coalesce; aggregates combine
+    * exactly), so arrival order — within or across batches — cannot change
+    * the result. Spans close strictly in start order (they are disjoint
+    * and > gap apart), so per-user session numbering matches the batch
+    * plan. State is O(open spans) per user — bounded by the watermark
+    * delay, not the stream length; closed state is removed by the timer.
+    */
+  def sessionizeEventTime(spark: SparkSession, events: DataFrame,
+                          gapMinutes: Int,
+                          watermarkDelay: String = "1 hour"): DataFrame = {
+    import spark.implicits._
+    val gapMs = gapMinutes * 60000L
+    val typed = events.select(col("event_id"), col("ts"), col("user_id"),
+      col("value")).withWatermark("ts", watermarkDelay).as[SessionEvent]
+    val out = typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EventTimeSessionState, UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, it: Iterator[SessionEvent], state: GroupState[EventTimeSessionState]) =>
+          val gapUs = gapMs * 1000L
+          val prior = state.getOption.getOrElse(EventTimeSessionState(Nil, 0))
+          // 1. fold the batch's events into the open spans
+          var spans = prior.open
+          it.toSeq.sortBy(e => (toMicros(e.ts), e.event_id)).foreach { e =>
+            val t = toMicros(e.ts)
+            val (hit, miss) = spans.partition(s =>
+              t >= s.start - gapUs && t <= s.end + gapUs)
+            val merged = hit.foldLeft(OpenSession(t, t, 1, e.value)) { (a, s) =>
+              OpenSession(math.min(a.start, s.start), math.max(a.end, s.end),
+                a.n + s.n, a.total + s.total)
+            }
+            spans = merged :: miss
+          }
+          spans = spans.sortBy(_.start)
+          // 2. emit every span the watermark has sealed (end + gap passed:
+          // no admissible event can extend it); spans are disjoint and
+          // > gap apart, so they seal in start order and numbering is
+          // batch-exact
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = spans.partition(s => s.end + gapUs < wmUs)
+          var sid = prior.emitted
+          val emitted = closed.map { s =>
+            sid += 1
+            UserSession(user, sid, fromMicros(s.start), fromMicros(s.end), s.n,
+              BigDecimal(s.total).setScale(3, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble)
+          }
+          state.update(EventTimeSessionState(open, sid))
+          if (open.nonEmpty)
+            // max(…, wm+1): the timer must be strictly in the future even
+            // if a late-but-delivered event created an already-sealed span
+            state.setTimeoutTimestamp(math.max(
+              Math.floorDiv(open.map(_.end).min + gapUs, 1000L) + 1,
+              state.getCurrentWatermarkMs() + 1))
+          emitted.iterator
+      }
+    out.toDF()
+  }
+
+  /** Run [[sessionizeEventTime]] over a bounded file stream, forced
+    * multi-batch (`maxFilesPerTrigger=1`), into a memory sink. Bounded
+    * streams end, but event-time timers only fire when the watermark
+    * advances — so a sentinel event (user_id = -1) one full watermark +
+    * gap past the real data is unioned in from a temp dir to seal every
+    * real session before the run terminates, then filtered from the
+    * result. The watermark delay is sized to the data's full time span so
+    * no real session seals until all files are ingested — emission order
+    * (and thus numbering) is then independent of file arrival order.
+    */
+  def runSessionizeEventTimeAvailableNow(spark: SparkSession, dir: String,
+                                         glob: String, schema: StructType,
+                                         gapMinutes: Int, sinkName: String,
+                                         checkpoint: String): DataFrame =
+    withNanosAsLong(spark) {
+    def fixTs(df: DataFrame): DataFrame =
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else df
+    val gapMs = gapMinutes * 60000L
+    val batchView = fixTs(spark.read.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir))
+      .agg(min(col("ts")), max(col("ts"))).head()
+    val (minTs, maxTs) = (batchView.getTimestamp(0), batchView.getTimestamp(1))
+    val delayMs = (maxTs.getTime - minTs.getTime) + gapMs + 60000L
+    val sentinelTs = new java.sql.Timestamp(maxTs.getTime + delayMs + gapMs + 3600000L)
+    val sentinelDir = java.nio.file.Files.createTempDirectory("graft_sentinel").toString
+    import spark.implicits._
+    val sentinel = Seq((-1L, sentinelTs, -1L, "sentinel", 0.0, ""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    sentinel.write.mode("overwrite").parquet(sentinelDir)
+    val real = fixTs(spark.readStream.schema(schema).option("pathGlobFilter", glob)
+      .option("maxFilesPerTrigger", "1").parquet(dir))
+      .select("event_id", "ts", "user_id", "value")
+    val sent = spark.readStream.schema(sentinel.schema).parquet(sentinelDir)
+      .select("event_id", "ts", "user_id", "value")
+    val q = sessionizeEventTime(spark, real.unionByName(sent), gapMinutes,
+        watermarkDelay = s"$delayMs milliseconds")
+      .filter(col("user_id") =!= -1L)
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = detachSink(spark, sinkName, checkpoint)
+    val p = new org.apache.hadoop.fs.Path(sentinelDir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    out
+    }
+
   /** Run sessionization over a bounded file stream into a memory sink. */
   def runSessionizeAvailableNow(spark: SparkSession, dir: String, glob: String,
                                 schema: StructType, gapMinutes: Int,
@@ -200,7 +342,13 @@ object Streams {
                      sinkName: String): Unit = {
     val q = entries.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val staging = Dedup.dedupTimeEntries(batch)
+        // mirror the batch pipeline's guard (Pipelines.timeEntryPipeline /
+        // fetch_clickup_data.py:1775): dedup only when at least one `at`
+        // is non-null — an all-null-`at` micro-batch passes through
+        // unchanged, keeping stream and batch runs byte-identical
+        val staging =
+          if (batch.filter(col("at").isNotNull).isEmpty) batch
+          else Dedup.dedupTimeEntries(batch)
         val conf = spark.sparkContext.hadoopConfiguration
         val factP = new org.apache.hadoop.fs.Path(factPath)
         val fs = factP.getFileSystem(conf)

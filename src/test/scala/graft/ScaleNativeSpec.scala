@@ -67,6 +67,52 @@ class ScaleNativeSpec extends SparkSpec {
     assert(plain.toSeq == salted.toSeq)
   }
 
+  test("rhpNearDupPairs matches exact all-pairs cosine near-dups (no false " +
+    "positives by construction; full recall on the seed corpus)") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("score", round(NativeCos(col("a.embedding"), col("b.embedding")), 4))
+      .filter(col("score") >= 0.44)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val lsh = SimilarityOps.rhpNearDupPairs(emb, "vec_id", "embedding",
+      dims = 64, nbits = 32, bands = 16, threshold = 0.44)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    assert(lsh == exact, s"missed pairs (recall < 1 on this corpus): ${exact -- lsh}")
+    assert(exact.nonEmpty, "corpus should contain at least one near-dup pair")
+  }
+
+  test("corpusStats approx path stays within the GK rank-error bound of exact") {
+    import graft.operators.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(TextOps.tokenCount(col("text")).cast("double").as("n_tok"))
+      .repartition(7) // sketch merge order must not matter for the bound
+    val n = docs.count()
+    val accuracy = 10000
+    val exact = ScaleOps.corpusStats(docs, "n_tok", "tokens", exact = true).collect()(0)
+    val approx = ScaleOps.corpusStats(docs, "n_tok", "tokens", exact = false,
+      accuracy = accuracy).collect()(0)
+    // non-percentile columns are identical by construction
+    assert(exact.getLong(0) == approx.getLong(0))
+    assert(exact.getDouble(1) == approx.getDouble(1))
+    assert(exact.getDouble(4) == approx.getDouble(4))
+    assert(exact.getDouble(5) == approx.getDouble(5))
+    // percentile columns: the GK guarantee is on RANK, not value — check
+    // that each approx value's true rank is within n/accuracy (+1 for the
+    // exact path's interpolation) of the target rank
+    val sorted = docs.orderBy("n_tok").collect().map(_.getDouble(0))
+    val tol = n.toDouble / accuracy + 1
+    for ((p, idx) <- Seq(0.5 -> 2, 0.95 -> 3)) {
+      val v = approx.getDouble(idx)
+      val lo = sorted.count(_ < v) // ranks the value could occupy
+      val hi = sorted.count(_ <= v)
+      val target = p * n
+      assert(target >= lo - tol && target <= hi + tol,
+        s"approx p$p=$v rank window [$lo,$hi] vs target $target (tol $tol)")
+    }
+  }
+
   test("bucketed join plans without an Exchange on either side") {
     for (t <- Seq("bkt_a", "bkt_b")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")

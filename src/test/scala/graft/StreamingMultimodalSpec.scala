@@ -77,6 +77,7 @@ class StreamingMultimodalSpec extends SparkSpec {
     val events = Seq(
       (1L, "2024-01-01 10:00:00", 5.0),
       (1L, "2024-01-01 10:00:00", 5.0), // exact duplicate
+      (1L, "2024-01-01 10:05:00", 6.0), // same KEY, different ts — still a dup
       (2L, "2024-01-01 11:00:00", 7.0)
     ).toDF("id", "ts_s", "value")
       .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
@@ -93,6 +94,57 @@ class StreamingMultimodalSpec extends SparkSpec {
       .select($"id", $"value").as[(Long, Double)].collect().toSeq
     spark.catalog.dropTempView("graft_dedup_sink")
     assert(out == Seq((1L, 5.0), (2L, 7.0)))
+  }
+
+  test("event-time sessionization equals batch SQL under maxFilesPerTrigger=1") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_et_in")
+    def eventsDf(rows: Seq[(Long, String, Long, Double)]) =
+      rows.toDF("event_id", "ts_s", "user_id", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    // file 1: user 7 starts a session; user 9 a session that will stay
+    // file 2: extends user 7's open session ACROSS the batch boundary
+    //         (10:30 is within the 60 m gap of 10:00) and starts a new one
+    // file 3: sentinel far in the future — seals everything
+    val f1 = eventsDf(Seq((1L, "2024-01-01 10:00:00", 7L, 1.0),
+      (4L, "2024-01-01 09:00:00", 9L, 8.0)))
+    val f2 = eventsDf(Seq((2L, "2024-01-01 10:30:00", 7L, 2.0),
+      (3L, "2024-01-01 12:00:00", 7L, 4.0)))
+    val f3 = eventsDf(Seq((99L, "2024-01-03 00:00:00", -1L, 0.0)))
+    for ((df, i) <- Seq(f1, f2, f3).zipWithIndex) {
+      val sub = dir.resolve(s"f$i").toString
+      df.coalesce(1).write.parquet(sub)
+      // file source processes oldest-mtime first: pin the order
+      val part = new java.io.File(sub).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      part.setLastModified(1700000000000L + i * 10000L)
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_et").toString
+    val stream = spark.readStream.schema(f1.schema)
+      .option("maxFilesPerTrigger", "1").option("recursiveFileLookup", "true")
+      .parquet(dir.toString)
+    val q = Streams.sessionizeEventTime(spark, stream, gapMinutes = 60,
+        watermarkDelay = "0 seconds")
+      .writeStream.format("memory").queryName("graft_et_sink")
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = spark.table("graft_et_sink")
+      .filter($"user_id" =!= -1L)
+      .orderBy("user_id", "session_id")
+      .select($"user_id", $"session_id", $"n", $"total_value")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    spark.catalog.dropTempView("graft_et_sink")
+    // equals the single-batch (= batch SQL) sessionization of the same data
+    val batch = Streams.sessionize(spark,
+      f1.unionByName(f2), gapMinutes = 60)
+      .orderBy("user_id", "session_id")
+      .select($"user_id", $"session_id", $"n", $"total_value")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(out == batch)
+    assert(out == Seq((7L, 1, 2L, 3.0), (7L, 2, 1L, 4.0), (9L, 1, 1L, 8.0)))
   }
 
   test("stateful sessionization: gap splits, per-user numbering, value sums") {
