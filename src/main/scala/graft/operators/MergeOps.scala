@@ -84,10 +84,19 @@ object MergeOps {
   /** M5 — CSV backup sink (df.to_csv, fetch_clickup_data.py:1779-1782 etc.).
     * Single file to mirror the reference's one-file backup; callers at
     * cluster scale drop the coalesce.
+    *
+    * With `stamp` set, the backup lands in `<path>/<stamp>/` — the
+    * Spark-directory equivalent of the reference's timestamped filename
+    * (`..._backup_%Y%m%d_%H%M%S.csv`, fetch_clickup_data.py:1780), so
+    * history is RETAINED across runs instead of each run overwriting the
+    * last. The stamp is injected (not clocked here) so runs are testable
+    * and replayable.
     */
-  def csvBackup(df: DataFrame, path: String, singleFile: Boolean = true): Unit = {
+  def csvBackup(df: DataFrame, path: String, singleFile: Boolean = true,
+                stamp: Option[String] = None): Unit = {
     val out = if (singleFile) df.coalesce(1) else df
-    out.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    val dest = stamp.fold(path)(s => s"$path/$s")
+    out.write.mode(SaveMode.Overwrite).option("header", "true").csv(dest)
   }
 
   /** M6 — idempotent ensure-table (CREATE IF NOT EXISTS with explicit schema,

@@ -177,15 +177,25 @@ object SimilarityOps {
     val sig = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
       rhpBucket(col(vecCol), dims, nbits).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val banded = sig.select(col("id"), explode(
+    val banded = sig.select(col("id"), col("sig"), explode(
       array((0 until bands).map(b => struct(lit(b).as("band"),
         shiftright(col("sig"), b * rows).bitwiseAND(mask).as("bkey"))): _*))
       .as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .select(col("id"), col("sig"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    // emit each pair from its FIRST shared band only (band b is first iff
+    // no band b' < b also matches, read off the signature XOR map-side) —
+    // dedup without a distinct, so the wide candidate stream never
+    // shuffles: it flows straight into the (broadcast) verify joins
+    val xorSig = col("l.sig").bitwiseXOR(col("r.sig"))
+    val firstMatch = (0 until bands).map { bp =>
+      (col("l.band") <= lit(bp)) ||
+        (shiftright(xorSig, bp * rows).bitwiseAND(mask) =!= 0)
+    }.reduce(_ && _)
     val cands = banded.as("l").join(banded.as("r"),
         col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
           col("l.id") < col("r.id"))
-      .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+      .filter(firstMatch)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
     val out = cands
       .join(sig.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
       .join(sig.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")

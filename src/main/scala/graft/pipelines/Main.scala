@@ -43,6 +43,12 @@ object Main {
     val days = opts.getOrElse("days", "60").toInt
     val today = opts.get("today").map(LocalDate.parse)
       .getOrElse(LocalDate.now(java.time.ZoneId.of("Europe/Oslo")))
+    // timestamped backups (fetch_clickup_data.py:1780 '%Y%m%d_%H%M%S'):
+    // each run's CSV backup is retained under its own stamp; --stamp
+    // overrides the clock for reproducible runs/tests
+    val stamp = opts.getOrElse("stamp",
+      java.time.LocalDateTime.now(java.time.ZoneId.of("Europe/Oslo"))
+        .format(java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd_HHmmss")))
 
     def raw(name: String, schema: org.apache.spark.sql.types.StructType): DataFrame =
       spark.read.schema(schema).json(s"$in/$name")
@@ -57,7 +63,7 @@ object Main {
         // differently per sink
         val staging = Pipelines.timeEntryPipeline(
           raw("time_entries", ClickUpSchemas.rawTimeEntry)).localCheckpoint(true)
-        MergeOps.csvBackup(staging, s"$wh/csv_backups/time_entries")
+        MergeOps.csvBackup(staging, s"$wh/csv_backups/time_entries", stamp = Some(stamp))
         MergeOps.loadStaging(staging, s"$wh/staging_time_entries")
         MergeOps.ensureTable(spark, ClickUpSchemas.factTimeEntries, s"$wh/fact_time_entries")
         val fact = spark.read.schema(ClickUpSchemas.factTimeEntries)
@@ -74,25 +80,25 @@ object Main {
           raw("spaces", ClickUpSchemas.rawSpace),
           raw("folders", ClickUpSchemas.rawFolder),
           raw("lists", ClickUpSchemas.rawList))
-        MergeOps.csvBackup(dim, s"$wh/csv_backups/lists")
+        MergeOps.csvBackup(dim, s"$wh/csv_backups/lists", stamp = Some(stamp))
         MergeOps.truncateLoad(dim, s"$wh/dim_lists")
         println(s"lists: ${spark.read.parquet(s"$wh/dim_lists").count()} rows")
 
       case "tasks" =>
         val dim = Pipelines.transformTasks(raw("tasks", ClickUpSchemas.rawTask))
-        MergeOps.csvBackup(dim, s"$wh/csv_backups/tasks")
+        MergeOps.csvBackup(dim, s"$wh/csv_backups/tasks", stamp = Some(stamp))
         MergeOps.truncateLoad(dim, s"$wh/dim_tasks")
         println(s"tasks: ${spark.read.parquet(s"$wh/dim_tasks").count()} rows")
 
       case "accounts" =>
         val dim = Pipelines.transformAccounts(raw("accounts", ClickUpSchemas.rawTask))
-        MergeOps.csvBackup(dim, s"$wh/csv_backups/accounts")
+        MergeOps.csvBackup(dim, s"$wh/csv_backups/accounts", stamp = Some(stamp))
         MergeOps.truncateLoad(dim, s"$wh/dim_accounts")
         println(s"accounts: ${spark.read.parquet(s"$wh/dim_accounts").count()} rows")
 
       case "apps" =>
         val dim = Pipelines.transformApps(raw("apps", ClickUpSchemas.rawTask))
-        MergeOps.csvBackup(dim, s"$wh/csv_backups/apps")
+        MergeOps.csvBackup(dim, s"$wh/csv_backups/apps", stamp = Some(stamp))
         MergeOps.truncateLoad(dim, s"$wh/dim_apps")
         println(s"apps: ${spark.read.parquet(s"$wh/dim_apps").count()} rows")
 
@@ -122,5 +128,6 @@ object Main {
       |  apps         dim_apps filtered team scan (S5, M3)
       |  health       warehouse reachability probe
       |  describe     this text
-      |options: --in <rawDir> --warehouse <dir> --days N --today YYYY-MM-DD""".stripMargin
+      |options: --in <rawDir> --warehouse <dir> --days N --today YYYY-MM-DD
+      |         --stamp yyyyMMdd_HHmmss (backup stamp; defaults to now)""".stripMargin
 }

@@ -54,8 +54,26 @@ class CliPipelineSpec extends SparkSpec {
       r.getAs[String]("id") -> r.getAs[Double]("duration_hours")).toMap
     assert(byId == Map("hist" -> 1.0, "r1" -> 2.0, "r2" -> 0.5))
     // CSV backup written (M5)
-    assert(Files.list(Paths.get(wh, "csv_backups", "time_entries"))
+    assert(Files.walk(Paths.get(wh, "csv_backups", "time_entries"))
       .anyMatch(p => p.toString.endsWith(".csv")))
+  }
+
+  test("timestamped CSV backups retain history across runs (C13 retention)") {
+    val in = Files.createTempDirectory("graft_bk_in").toString
+    val wh = Files.createTempDirectory("graft_bk_wh").toString
+    val jan1 = 1704103200000L
+    writeFixture(in, "time_entries", Seq(entry("e1", jan1, jan1, 3600000L)))
+    // two runs with distinct stamps — the reference keeps a file per run
+    // (fetch_clickup_data.py:1780); both backups must survive
+    for (s <- Seq("20240101_100000", "20240101_160000"))
+      Main.run(spark, "full_reindex",
+        Map("in" -> in, "warehouse" -> wh, "stamp" -> s))
+    val base = Paths.get(wh, "csv_backups", "time_entries")
+    val stamps = Files.list(base).filter(Files.isDirectory(_))
+      .map[String](_.getFileName.toString).sorted().toArray.toSeq
+    assert(stamps == Seq("20240101_100000", "20240101_160000"))
+    for (s <- stamps.map(_.toString))
+      assert(Files.list(base.resolve(s)).anyMatch(_.toString.endsWith(".csv")))
   }
 
   test("dimension pipelines write all four dims; health reports them") {
