@@ -23,17 +23,11 @@ object Bench {
       }
       (name, (System.nanoTime() - t0) / 1e9, err)
     }
-    def jstr(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
     val qs = results.map { case (k, v, err) =>
       "\"" + k + "\":" + (if (err.isEmpty) v else -1.0) }.mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => "\"" + k + "\":" + jstr(e) }
-      .mkString("{", ",", "}")
+    val errs = results.collect {
+      case (k, _, Some(e)) => "\"" + k + "\":" + JsonUtil.jstr(e)
+    }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val nFailed = results.count(_._3.nonEmpty)
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errs,"sf":"$sfDir"}""")

@@ -33,9 +33,13 @@ object SparkEntry {
       out.head(1) // probe: events needs the nanosAsLong session conf
       out
     } catch {
-      case _: Throwable =>
+      case e: Throwable =>
         // same flagship shape over lineitem if the caller's session can't
-        // read the nanos-timestamped events table
+        // read the nanos-timestamped events table — say so instead of
+        // silently switching datasets (a crash here must be diagnosable)
+        System.err.println(s"[entry] events table unreadable " +
+          s"(${e.getClass.getSimpleName}: ${e.getMessage}); falling back " +
+          "to the lineitem flagship shape")
         val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
         hoursPerUser(li, "l_orderkey", "l_shipdate", "l_linenumber",
           "l_suppkey", "l_quantity")

@@ -44,13 +44,18 @@ object DedupOps {
     * be near-duplicates).
     */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        shingleWords: Int, numHashes: Int): DataFrame = {
-    val hashed = docs
-      .select(col(idCol).as("id"),
-        explode(array_distinct(shingles(col(textCol), shingleWords))).as("s"))
-      .select(col("id"), xxhash64(col("s")).as("h1"))
-      // h2 derived by re-hashing the 8-byte h1, not the shingle string —
-      // halves the string-hash work per shingle
+                        shingleWords: Int, numHashes: Int): DataFrame =
+    signaturesFromHashes(shingleHashes(docs, idCol, textCol, shingleWords),
+      numHashes)
+
+  /** MinHash signatures from a [[shingleHashes]] table: h1 is the stored
+    * per-shingle hash, h2 re-hashes the 8-byte h1 (halving the string-hash
+    * work per shingle). The single implementation both the standalone
+    * signature API and [[minhashLshPairs]] call — the two must never
+    * drift, or candidate recall silently changes.
+    */
+  private def signaturesFromHashes(hs: DataFrame, numHashes: Int): DataFrame = {
+    val hashed = hs.select(col("id"), explode(col("hs")).as("h1"))
       .select(col("id"), col("h1"), xxhash64(col("h1")).as("h2"))
     val mins = (0 until numHashes).map(j =>
       min(col("h1") + lit(j.toLong) * col("h2")).as(s"m$j"))
@@ -75,8 +80,13 @@ object DedupOps {
         "rows=0 degenerates every band key to a constant (O(n^2) join) and a " +
         "remainder silently discards hash functions")
     val rows = numHashes / bands
-    val sig = minhashSignatures(docs, idCol, textCol, shingleWords, numHashes)
+    // ONE shingling pass: h1 of the minhash double-hashing scheme IS
+    // xxhash64(shingle), so the verifier's sorted-hash array doubles as
+    // the signature input. The text is shingled once and only longs are
+    // cached/shuffled from here on.
+    val hs = shingleHashes(docs, idCol, textCol, shingleWords)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sig = signaturesFromHashes(hs, numHashes)
     val banded = sig.select(col("id"), explode(
       transform(sequence(lit(0), lit(bands - 1)),
         b => struct(b.as("band"),
@@ -88,31 +98,36 @@ object DedupOps {
           col("l.id") < col("r.id"))
       .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
     // materialize the (small) verified pair set, then release the cached
-    // signature table — operators that cache internally must not leak
+    // shingle-hash table — operators that cache internally must not leak
     // storage for the session lifetime
-    val out = verifyJaccard(cands, docs, idCol, textCol, shingleWords, threshold)
-      .localCheckpoint(true)
-    sig.unpersist()
+    val out = verifyJaccard(cands, hs, threshold).localCheckpoint(true)
+    hs.unpersist()
     out
   }
 
-  /** Exact shingle-set Jaccard for candidate pairs (verification step).
-    * Works on hash-sorted long arrays + the native O(n+m) merge-scan —
-    * the same verification shape as [[ngramJaccardPairs]] — so what gets
-    * persisted and joined is one long per distinct shingle, never the
-    * string shingles themselves (exact up to 64-bit hash collisions,
-    * ~pairs·n²/2⁶⁴; the DuckDB oracle computes true string-set Jaccard and
-    * agrees).
+  /** (id, hs, n): per-document sorted array of distinct-shingle xxhash64
+    * values — the shared operand of signature generation and exact
+    * verification. Documents with no shingles are dropped.
     */
-  private def verifyJaccard(cands: DataFrame, docs: DataFrame, idCol: String,
-                            textCol: String, shingleWords: Int,
-                            threshold: Double): DataFrame = {
-    val hs = docs.select(col(idCol).as("id"),
+  private def shingleHashes(docs: DataFrame, idCol: String, textCol: String,
+                            shingleWords: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
       array_sort(transform(array_distinct(shingles(col(textCol), shingleWords)),
         s => xxhash64(s))).as("hs"))
       .withColumn("n", size(col("hs")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val out = cands
+      .filter(col("n") > 0)
+
+  /** Exact shingle-set Jaccard for candidate pairs (verification step).
+    * Works on the hash-sorted long arrays of [[shingleHashes]] + the
+    * native O(n+m) merge-scan — the same verification shape as
+    * [[ngramJaccardPairs]] — so what gets joined is one long per distinct
+    * shingle, never the string shingles themselves (exact up to 64-bit
+    * hash collisions, ~pairs·n²/2⁶⁴; the DuckDB oracle computes true
+    * string-set Jaccard and agrees).
+    */
+  private def verifyJaccard(cands: DataFrame, hs: DataFrame,
+                            threshold: Double): DataFrame =
+    cands
       .join(hs.select(col("id").as("id_a"), col("hs").as("hs_a"), col("n").as("n_a")), "id_a")
       .join(hs.select(col("id").as("id_b"), col("hs").as("hs_b"), col("n").as("n_b")), "id_b")
       .withColumn("inter",
@@ -122,10 +137,6 @@ object DedupOps {
         .otherwise(lit(1.0)), 4))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-      .localCheckpoint(true)
-    hs.unpersist()
-    out
-  }
 
   /** Exact n-gram-Jaccard near-dup pairs via a prefix-filtered inverted
     * index (AllPairs/SSJoin): shingles are put in a canonical order (by

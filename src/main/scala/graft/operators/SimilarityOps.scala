@@ -170,8 +170,9 @@ object SimilarityOps {
   def rhpNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                       dims: Int, nbits: Int, bands: Int,
                       threshold: Double): DataFrame = {
-    require(bands >= 1 && nbits % bands == 0 && nbits <= 63,
-      s"nbits ($nbits) must be a positive multiple of bands ($bands), ≤ 63")
+    require(bands >= 1 && nbits >= bands && nbits % bands == 0 && nbits <= 63,
+      s"nbits ($nbits) must be a positive multiple of bands ($bands), ≤ 63: " +
+        "nbits=0 would leave every vector in one bucket (O(n^2) join)")
     val rows = nbits / bands
     val mask = (1L << rows) - 1
     val sig = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),

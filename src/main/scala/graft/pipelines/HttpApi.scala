@@ -37,18 +37,10 @@ object HttpApi {
     server
   }
 
-  /** JSON string escape covering quotes, backslashes, and control chars —
-    * exception messages and captured logs routinely contain newlines.
+  /** JSON string escape (shared, graft.JsonUtil) — exception messages and
+    * captured logs routinely contain newlines.
     */
-  private def jsonStr(s: String): String = "\"" + s.flatMap {
-    case '"' => "\\\""
-    case '\\' => "\\\\"
-    case '\n' => "\\n"
-    case '\r' => "\\r"
-    case '\t' => "\\t"
-    case c if c < ' ' => f"\\u${c.toInt}%04x"
-    case c => c.toString
-  } + "\""
+  private def jsonStr(s: String): String = graft.JsonUtil.jstr(s)
 
   /** Capture a pipeline run's stdout (the row-count lines) for the JSON
     * `detail` field.
@@ -66,7 +58,10 @@ object HttpApi {
   private def modeFields(cmd: String, params: Map[String, String]): String =
     cmd match {
       case "refresh" =>
-        s""""mode":"refresh","days":${params.getOrElse("days", "60").toInt},"""
+        // toIntOption: this also runs while BUILDING the error body for a
+        // malformed ?days= — a throw here would lose the mode/days fields
+        // the reference's error shape carries (main.py:51-55)
+        s""""mode":"refresh","days":${params.get("days").flatMap(_.toIntOption).getOrElse(60)},"""
       case "full_reindex" => """"mode":"full_reindex","""
       case _ => ""
     }

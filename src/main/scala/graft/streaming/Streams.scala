@@ -207,8 +207,11 @@ object Streams {
     * exactly), so arrival order — within or across batches — cannot change
     * the result. Spans close strictly in start order (they are disjoint
     * and > gap apart), so per-user session numbering matches the batch
-    * plan. State is O(open spans) per user — bounded by the watermark
-    * delay, not the stream length; closed state is removed by the timer.
+    * plan. State per user = the open spans (bounded by the watermark
+    * delay, not stream length) plus, once they all seal, one retained
+    * counter for session-numbering continuity — the same O(1)-per-user
+    * floor as [[sessionize]]'s NoTimeout state. (Removing state on seal
+    * would restart a returning user's numbering at 1.)
     */
   def sessionizeEventTime(spark: SparkSession, events: DataFrame,
                           gapMinutes: Int,
@@ -264,12 +267,17 @@ object Streams {
   /** Run [[sessionizeEventTime]] over a bounded file stream, forced
     * multi-batch (`maxFilesPerTrigger=1`), into a memory sink. Bounded
     * streams end, but event-time timers only fire when the watermark
-    * advances — so a sentinel event (user_id = -1) one full watermark +
-    * gap past the real data is unioned in from a temp dir to seal every
-    * real session before the run terminates, then filtered from the
-    * result. The watermark delay is sized to the data's full time span so
-    * no real session seals until all files are ingested — emission order
-    * (and thus numbering) is then independent of file arrival order.
+    * advances — so a sentinel event (user_id = -1, filtered from the
+    * result) past the real data seals every session before the run ends.
+    *
+    * The sentinel is published in a SECOND AvailableNow run over the same
+    * checkpoint, strictly after the first run has drained every real file:
+    * if it shared a batch with real data (both sources ingest in batch 1
+    * under AvailableNow regardless of rate limits), the watermark would
+    * jump past the real events of later files and the stateful operator
+    * would drop them as late. Phase 1 also sizes the watermark delay to
+    * the data's full span, so no session seals mid-ingest — emission
+    * order (and thus numbering) is independent of file arrival order.
     */
   def runSessionizeEventTimeAvailableNow(spark: SparkSession, dir: String,
                                          glob: String, schema: StructType,
@@ -291,24 +299,40 @@ object Streams {
     import spark.implicits._
     val sentinel = Seq((-1L, sentinelTs, -1L, "sentinel", 0.0, ""))
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    // a FILE sink, not a memory sink: the memory sink refuses checkpoint
+    // recovery, and the two-phase protocol below is a checkpoint restart
+    val outDir = java.nio.file.Files.createTempDirectory("graft_et_out").toString
+    def startRun() = {
+      val real = fixTs(spark.readStream.schema(schema).option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", "1").parquet(dir))
+        .select("event_id", "ts", "user_id", "value")
+      val sent = spark.readStream.schema(sentinel.schema).parquet(sentinelDir)
+        .select("event_id", "ts", "user_id", "value")
+      sessionizeEventTime(spark, real.unionByName(sent), gapMinutes,
+          watermarkDelay = s"$delayMs milliseconds")
+        .filter(col("user_id") =!= -1L)
+        .writeStream.format("parquet").option("path", outDir)
+        .queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    }
+    // phase 1: sentinel dir still empty — drain the real files; nothing
+    // seals (watermark stays a full data-span behind), nothing emits
+    val q1 = startRun()
+    q1.awaitTermination()
+    // phase 2: publish the sentinel; the restarted query resumes from the
+    // checkpoint, ingests one new file, and the timers flush every session
     sentinel.write.mode("overwrite").parquet(sentinelDir)
-    val real = fixTs(spark.readStream.schema(schema).option("pathGlobFilter", glob)
-      .option("maxFilesPerTrigger", "1").parquet(dir))
-      .select("event_id", "ts", "user_id", "value")
-    val sent = spark.readStream.schema(sentinel.schema).parquet(sentinelDir)
-      .select("event_id", "ts", "user_id", "value")
-    val q = sessionizeEventTime(spark, real.unionByName(sent), gapMinutes,
-        watermarkDelay = s"$delayMs milliseconds")
-      .filter(col("user_id") =!= -1L)
-      .writeStream.format("memory").queryName(sinkName)
-      .outputMode("append")
-      .option("checkpointLocation", checkpoint)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    val out = detachSink(spark, sinkName, checkpoint)
-    val p = new org.apache.hadoop.fs.Path(sentinelDir)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    val q2 = startRun()
+    q2.awaitTermination()
+    val out = spark.read.parquet(outDir).localCheckpoint(true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    for (d <- Seq(sentinelDir, outDir, checkpoint)) {
+      val p = new org.apache.hadoop.fs.Path(d)
+      p.getFileSystem(conf).delete(p, true)
+    }
     out
     }
 

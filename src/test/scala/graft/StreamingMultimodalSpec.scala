@@ -147,6 +147,38 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out == Seq((7L, 1, 2L, 3.0), (7L, 2, 1L, 4.0), (9L, 1, 1L, 8.0)))
   }
 
+  test("event-time sessionization runner: multi-file input with cross-file " +
+    "out-of-order events still equals batch SQL (sentinel published only " +
+    "after the real files drain)") {
+    val dir = Files.createTempDirectory("graft_et2_in")
+    def eventsDf(rows: Seq[(Long, String, Long, Double)]) =
+      rows.toDF("event_id", "ts_s", "user_id", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    // file A (processed first): LATER events; file B: EARLIER events for
+    // the same user — if the sentinel shared a batch with file A, the
+    // watermark would jump and file B's events would be dropped as late
+    val fA = eventsDf(Seq((3L, "2024-01-01 12:00:00", 7L, 4.0),
+      (4L, "2024-01-01 11:00:00", 8L, 8.0)))
+    val fB = eventsDf(Seq((1L, "2024-01-01 10:00:00", 7L, 1.0),
+      (2L, "2024-01-01 10:30:00", 7L, 2.0)))
+    for ((df, i) <- Seq(fA, fB).zipWithIndex) {
+      val sub = dir.resolve(s"g$i")
+      df.coalesce(1).write.parquet(sub.toString)
+      val part = new java.io.File(sub.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = dir.resolve(s"ev$i.parquet")
+      Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + i * 10000L)
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_et2").toString
+    val out = Streams.runSessionizeEventTimeAvailableNow(spark, dir.toString,
+      "ev*.parquet", fA.schema, gapMinutes = 60, "graft_et2_sink", ckpt)
+      .orderBy("user_id", "session_id")
+      .select($"user_id", $"session_id", $"n", $"total_value")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(out == Seq((7L, 1, 2L, 3.0), (7L, 2, 1L, 4.0), (8L, 1, 1L, 8.0)))
+  }
+
   test("stateful sessionization: gap splits, per-user numbering, value sums") {
     val events = Seq(
       (1L, "2024-01-01 10:00:00", 7L, 1.0),
