@@ -2,6 +2,7 @@ package graft.queries
 
 import java.util.concurrent.atomic.AtomicInteger
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -498,6 +499,81 @@ object ScaleQueries {
              |FROM s
              |QUALIFY rnk <= 3
              |ORDER BY label, rnk""".stripMargin)),
+
+    // Per-source quota: cap each source's contribution at the k
+    // highest-quality docs — the "domain balancing" step of corpus
+    // curation. Window row_number is the oracle-exact form; at 100 TB the
+    // same semantics run on the bounded-buffer TopKByScore aggregator
+    // (x18) without sorting whole partitions.
+    QuerySpec("x19_source_quota", (s, d) => {
+      val scored = t(s, d, "documents")
+        .withColumn("q", TextOps.qualityScore(col("text"), stopwords))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("q").desc, col("doc_id"))
+      scored.withColumn("rnk", row_number().over(w).cast("int"))
+        .filter(col("rnk") <= 10)
+        .select(col("source"), col("rnk"), col("doc_id"), col("q"))
+        .orderBy("source", "rnk")
+    },
+      Some("""WITH t AS (SELECT doc_id, source, text,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END tok
+             |  FROM documents),
+             |m AS (SELECT doc_id, source, text, CAST(len(tok) AS DOUBLE) n,
+             |    CAST(len(list_filter(tok, x -> list_contains(
+             |      ['the','a','value','data','row','table'], x))) AS DOUBLE) nstop,
+             |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) npunct
+             |  FROM t),
+             |q AS (SELECT doc_id, source, round(
+             |    0.5 * least(n/100.0, 1.0) +
+             |    0.3 * (CASE WHEN n > 0 THEN least((nstop/n)*5.0, 1.0) ELSE 0.0 END) +
+             |    0.2 * (1.0 - (CASE WHEN length(text) > 0
+             |      THEN least((npunct/length(text))*10.0, 1.0) ELSE 0.0 END)), 6) q
+             |  FROM m)
+             |SELECT source, CAST(row_number() OVER (PARTITION BY source
+             |    ORDER BY q DESC, doc_id) AS INT) rnk, doc_id, q
+             |FROM q
+             |QUALIFY rnk <= 10
+             |ORDER BY source, rnk""".stripMargin)),
+
+    // Token-budget packing: take docs in quality order until a global
+    // token budget is spent — the "fill the training mix" step. The
+    // running sum is a global window here (oracle-exact); the 100 TB form
+    // is two-pass: bucket by quality quantile, per-bucket partial sums,
+    // then broadcast bucket offsets — same output, no single-partition
+    // sort.
+    QuerySpec("x20_token_budget", (s, d) => {
+      val scored = t(s, d, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextOps.qualityScore(col("text"), stopwords).as("q"))
+      val w = Window.orderBy(col("q").desc, col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      scored.withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .filter(col("cum_tok") <= 5000)
+        .select(col("doc_id"), col("n_tok"), col("q"), col("cum_tok"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH t AS (SELECT doc_id, text,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |      ELSE regexp_split_to_array(trim(lower(text)), '\s+') END tok
+             |  FROM documents),
+             |m AS (SELECT doc_id, text, CAST(len(tok) AS DOUBLE) n,
+             |    CAST(len(tok) AS BIGINT) n_tok,
+             |    CAST(len(list_filter(tok, x -> list_contains(
+             |      ['the','a','value','data','row','table'], x))) AS DOUBLE) nstop,
+             |    CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) npunct
+             |  FROM t),
+             |q AS (SELECT doc_id, n_tok, round(
+             |    0.5 * least(n/100.0, 1.0) +
+             |    0.3 * (CASE WHEN n > 0 THEN least((nstop/n)*5.0, 1.0) ELSE 0.0 END) +
+             |    0.2 * (1.0 - (CASE WHEN length(text) > 0
+             |      THEN least((npunct/length(text))*10.0, 1.0) ELSE 0.0 END)), 6) q
+             |  FROM m),
+             |c AS (SELECT doc_id, n_tok, q, CAST(sum(n_tok) OVER (
+             |    ORDER BY q DESC, doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT) cum_tok
+             |  FROM q)
+             |SELECT doc_id, n_tok, q, cum_tok FROM c
+             |WHERE cum_tok <= 5000 ORDER BY doc_id""".stripMargin)),
 
     QuerySpec("st1_stream_hourly_agg", (s, d) => {
       val schema = new StructType()

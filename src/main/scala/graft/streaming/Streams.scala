@@ -91,9 +91,11 @@ object Streams {
     * still a duplicate (matching D1's per-id dedup), unlike
     * `dropDuplicates(key :+ ts)` which only filters exact (key, ts)
     * replays. The watermark on `tsCol` bounds the state: a key's entry
-    * expires once events that old can no longer arrive. First occurrence
-    * wins (streaming semantics; the batch D1 keep-latest variant needs the
-    * upsert in [[streamingMerge]]).
+    * expires once events that old can no longer arrive. The first
+    * occurrence in ARRIVAL order wins — across micro-batches that is the
+    * earlier batch; within one batch it follows partition order, so which
+    * same-key row survives is not value-deterministic (the batch D1
+    * keep-latest variant needs the upsert in [[streamingMerge]]).
     */
   def streamingDedup(events: DataFrame, keyCols: Seq[String], tsCol: String,
                      watermark: String = "1 hour"): DataFrame =

@@ -93,7 +93,11 @@ class StreamingMultimodalSpec extends SparkSpec {
     val out = spark.table("graft_dedup_sink").orderBy("id")
       .select($"id", $"value").as[(Long, Double)].collect().toSeq
     spark.catalog.dropTempView("graft_dedup_sink")
-    assert(out == Seq((1L, 5.0), (2L, 7.0)))
+    // exactly one survivor per key; WHICH same-key row survives follows
+    // arrival order within the batch (nondeterministic across partitions)
+    assert(out.map(_._1) == Seq(1L, 2L))
+    assert(Set(5.0, 6.0).contains(out(0)._2))
+    assert(out(1)._2 == 7.0)
   }
 
   test("event-time sessionization equals batch SQL under maxFilesPerTrigger=1") {
