@@ -537,19 +537,19 @@ object ScaleQueries {
              |ORDER BY source, rnk""".stripMargin)),
 
     // Token-budget packing: take docs in quality order until a global
-    // token budget is spent — the "fill the training mix" step. The
-    // running sum is a global window here (oracle-exact); the 100 TB form
-    // is two-pass: bucket by quality quantile, per-bucket partial sums,
-    // then broadcast bucket offsets — same output, no single-partition
-    // sort.
+    // token budget is spent — the "fill the training mix" step. Runs the
+    // SCALE plan (ScaleOps.tokenBudgetPack: range partitioning +
+    // driver-side prefix sum over partition totals — metadata, not data —
+    // + per-partition parallel windows) rather than a single-partition
+    // global window; the two forms are output-identical for any boundary
+    // placement, asserted in ScaleNativeSpec, so the oracle checks the
+    // scale plan directly.
     QuerySpec("x20_token_budget", (s, d) => {
       val scored = t(s, d, "documents").select(col("doc_id"),
         TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
         TextOps.qualityScore(col("text"), stopwords).as("q"))
-      val w = Window.orderBy(col("q").desc, col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      scored.withColumn("cum_tok", sum(col("n_tok")).over(w))
-        .filter(col("cum_tok") <= 5000)
+      graft.operators.ScaleOps.tokenBudgetPack(scored, "n_tok", "q",
+        "doc_id", budget = 5000L)
         .select(col("doc_id"), col("n_tok"), col("q"), col("cum_tok"))
         .orderBy("doc_id")
     },

@@ -51,6 +51,10 @@ object ProfileRhp {
         round(graft.functions.CosineSimilarity(col("v_a"), col("v_b")), 4))
       .filter(col("score") >= 0.44)
     time("verify") { out.count() }
+    println("=== verify executed plan (join strategy audit) ===")
+    println(out.queryExecution.executedPlan.toString.linesIterator
+      .filter(l => l.contains("Join") || l.contains("Exchange"))
+      .mkString("\n"))
     time("full_query_1") {
       SimilarityOps.rhpNearDupPairs(emb, "vec_id", "embedding", dims, nbits,
         bands, 0.44).count()

@@ -83,6 +83,35 @@ class ScaleNativeSpec extends SparkSpec {
     assert(exact.nonEmpty, "corpus should contain at least one near-dup pair")
   }
 
+  test("tokenBudgetPack equals the single-partition window form and plans " +
+    "no SinglePartition exchange") {
+    import graft.operators.TextOps
+    import org.apache.spark.sql.expressions.{Window => W}
+    val scored = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"),
+        TextOps.qualityScore(col("text"), Seq("the", "a", "value", "data",
+          "row", "table")).as("q"))
+    val w = W.orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val reference = scored.withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .filter(col("cum_tok") <= 5000)
+      .select("doc_id", "n_tok", "q", "cum_tok").orderBy("doc_id")
+      .collect().map(_.toSeq).toSeq
+    // several partition counts: output must be boundary-invariant
+    for (parts <- Seq(1, 3, 8)) {
+      val packed = ScaleOps.tokenBudgetPack(scored, "n_tok", "q", "doc_id",
+        budget = 5000L, partitions = parts)
+        .select("doc_id", "n_tok", "q", "cum_tok").orderBy("doc_id")
+      assert(packed.collect().map(_.toSeq).toSeq == reference,
+        s"parts=$parts diverged from the global-window reference")
+    }
+    val plan = ScaleOps.tokenBudgetPack(scored, "n_tok", "q", "doc_id", 5000L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"),
+      s"scale form must not gather to one partition:\n$plan")
+  }
+
   test("corpusStats approx path stays within the GK rank-error bound of exact") {
     import graft.operators.TextOps
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
