@@ -9,9 +9,13 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // JVM/codegen warmup so the first measured query doesn't absorb JIT +
     // session-init cost (otherwise whichever query runs first reads ~4 s
-    // slower than steady state)
+    // slower than steady state); count() over every benchmark table also
+    // pulls the parquet into the page cache, so the first query touching a
+    // table isn't charged for cold disk reads the rest never pay
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    spark.read.parquet(s"$sfDir/region.parquet").count()
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings"))
+      spark.read.parquet(s"$sfDir/$t.parquet").count()
     // A crashed query must FAIL the bench visibly, not masquerade as a fast
     // row: failures record -1 (never a valid duration) plus the error text,
     // and are excluded from the total.

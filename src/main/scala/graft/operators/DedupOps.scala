@@ -254,6 +254,64 @@ object DedupOps {
   private def shingleHash(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** Connected components via alternating large-star / small-star rounds
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14): converges in O(log n) rounds regardless of component
+    * DIAMETER — the form for graphs (long chains, deep link structures)
+    * where [[connectedComponents]]'s hash-to-min propagation would need
+    * diameter-many rounds. Same output contract; equivalence asserted in
+    * TextDedupSpec on both the corpus pairs and a random graph.
+    *
+    * Each round is two groupBy+join passes over the current edge set:
+    *  - large-star: every neighbor v > u re-points to min(Γ(u) ∪ {u});
+    *  - small-star: every neighbor v ≤ u (plus u itself) points to the
+    *    minimum of u's not-larger neighborhood.
+    * Both are hash shuffles on node id — no stage is quadratic, and edge
+    * multiplicity never grows (each pass emits ≤ one edge per input
+    * edge).
+    */
+  def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
+                              maxIter: Int = 64): DataFrame = {
+    val nodes = pairs.select(col(aCol).as("n"))
+      .unionByName(pairs.select(col(bCol).as("n"))).distinct()
+      .localCheckpoint(true)
+    var edges = pairs.select(greatest(col(aCol), col(bCol)).as("u"),
+        least(col(aCol), col(bCol)).as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint(true)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // large-star over the bidirectional adjacency
+      val adj = edges.unionByName(
+        edges.select(col("v").as("u"), col("u").as("v")))
+      val minsL = adj.groupBy("u").agg(least(min(col("v")), col("u")).as("m"))
+      val ls = adj.join(minsL, "u").filter(col("v") > col("u"))
+        .select(greatest(col("v"), col("m")).as("u"),
+          least(col("v"), col("m")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star over the large→small directed edges
+      val minsS = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val next = ls.join(minsS, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(minsS.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+      i += 1
+    }
+    if (!converged)
+      sys.error(s"connectedComponentsStar did not converge in $maxIter " +
+        "rounds — raise maxIter; returning partial labels would silently " +
+        "split clusters")
+    val labeled = edges.select(col("u").as("id"), col("v").as("lbl"))
+    nodes.join(labeled, nodes("n") === labeled("id"), "left")
+      .select(col("n").as("id"), coalesce(col("lbl"), col("n")).as("cluster_root"))
+      .withColumn("is_canonical", col("cluster_root") === col("id"))
+  }
+
   /** SimHash signatures: [[SimhashBits]]-bit signature where bit k is set
     * when the majority of the document's shingle hashes have bit k set.
     * Near-dups differ in few bits (small Hamming distance). Computed as

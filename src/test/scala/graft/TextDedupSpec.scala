@@ -89,6 +89,27 @@ class TextDedupSpec extends SparkSpec {
     assert(m == Seq(ScoredId(2, 0.9), ScoredId(3, 0.9)))
   }
 
+  test("large-star/small-star CC equals hash-to-min CC (deep chain + random graph)") {
+    import graft.operators.DedupOps
+    def run(df: org.apache.spark.sql.DataFrame,
+            f: (org.apache.spark.sql.DataFrame, String, String, Int) => org.apache.spark.sql.DataFrame,
+            iters: Int) =
+      f(df, "a", "b", iters).orderBy("id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+    // a 40-node chain: diameter is the hash-to-min worst case (one hop
+    // per round — 40 rounds here); large-star/small-star must agree while
+    // converging in O(log n) rounds
+    val chain = (1 to 40).map(i => (i.toLong, i.toLong + 1)).toDF("a", "b")
+    assert(run(chain, DedupOps.connectedComponents, 64) ==
+      run(chain, DedupOps.connectedComponentsStar, 64))
+    // fixed-seed random multigraph with many components
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter { case (x, y) => x != y }.toDF("a", "b")
+    assert(run(edges, DedupOps.connectedComponents, 64) ==
+      run(edges, DedupOps.connectedComponentsStar, 64))
+  }
+
   test("connected components: chain merges into one cluster with min-id root") {
     val pairs = Seq((5L, 3L), (3L, 9L), (20L, 21L)).toDF("id_a", "id_b")
     val cc = DedupOps.connectedComponents(pairs, "id_a", "id_b")
