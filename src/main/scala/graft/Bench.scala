@@ -25,7 +25,14 @@ object Bench {
         case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(200))
       }
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val elapsed = (System.nanoTime() - t0) / 1e9
+      // between queries (outside the timed window): drop the finished
+      // query's localCheckpoint/persist blocks. The async ContextCleaner
+      // only reclaims them after a GC notices the dropped references, so
+      // across 60+ queries orphaned blocks otherwise accumulate and the
+      // late heavy queries pay for the whole suite's memory pressure.
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      (name, elapsed, err)
     }
     val qs = results.map { case (k, v, err) =>
       "\"" + k + "\":" + (if (err.isEmpty) v else -1.0) }.mkString("{", ",", "}")

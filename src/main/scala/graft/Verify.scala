@@ -17,6 +17,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop the finished query's checkpoint/persist blocks (see Bench) —
+      // the dump must not build memory pressure across 60+ queries
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     }
     // full JSON escaping (JsonUtil): a tab or CR in builder-authored SQL
     // would otherwise make the driver's json.load fail and silently zero
