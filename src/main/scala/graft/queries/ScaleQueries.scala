@@ -25,6 +25,36 @@ object ScaleQueries {
   private val streamRun = new AtomicInteger(0)
 
   private val stopwords = Seq("the", "a", "value", "data", "row", "table")
+
+  /** Shared by x13 (hash-to-min) and x13b (large-star/small-star): the two
+    * clustering implementations have one output contract, so they are
+    * graded against the identical recursive-CTE oracle.
+    */
+  private val x13OracleSql: Option[String] =
+    Some("""WITH RECURSIVE toks AS (SELECT doc_id, lang,
+           |    regexp_split_to_array(trim(text), '\s+') tk
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |sh AS (SELECT doc_id, lang, list_distinct(list_transform(
+           |    range(0, greatest(len(tk)-2, 0)),
+           |    i -> array_to_string(tk[i+1:i+3], ' '))) s FROM toks),
+           |inv AS (SELECT doc_id, lang, unnest(s) tok FROM sh WHERE len(s) > 0),
+           |sizes AS (SELECT doc_id, len(s) n FROM sh),
+           |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+           |  FROM inv a JOIN inv b ON a.tok = b.tok AND a.lang = b.lang
+           |    AND a.doc_id < b.doc_id GROUP BY 1,2),
+           |pairs AS (SELECT id_a, id_b
+           |  FROM inter JOIN sizes sa ON id_a = sa.doc_id
+           |  JOIN sizes sb ON id_b = sb.doc_id
+           |  WHERE round(i*1.0/(sa.n + sb.n - i), 4) >= 0.5),
+           |edges AS (SELECT id_a a, id_b b FROM pairs
+           |  UNION SELECT id_b, id_a FROM pairs),
+           |reach(src, dst) AS (
+           |  SELECT a, b FROM edges
+           |  UNION
+           |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
+           |SELECT src doc_id, least(src, min(dst)) cluster_root,
+           |  least(src, min(dst)) = src is_canonical
+           |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)
   private val langProfiles = Seq(
     "alpha" -> Seq("table", "row", "scan"),
     "beta" -> Seq("join", "merge", "hash"),
@@ -94,30 +124,20 @@ object ScaleQueries {
         .select(col("id").as("doc_id"), col("cluster_root"), col("is_canonical"))
         .orderBy("doc_id")
     },
-      Some("""WITH RECURSIVE toks AS (SELECT doc_id, lang,
-             |    regexp_split_to_array(trim(text), '\s+') tk
-             |  FROM documents WHERE length(trim(text)) > 0),
-             |sh AS (SELECT doc_id, lang, list_distinct(list_transform(
-             |    range(0, greatest(len(tk)-2, 0)),
-             |    i -> array_to_string(tk[i+1:i+3], ' '))) s FROM toks),
-             |inv AS (SELECT doc_id, lang, unnest(s) tok FROM sh WHERE len(s) > 0),
-             |sizes AS (SELECT doc_id, len(s) n FROM sh),
-             |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
-             |  FROM inv a JOIN inv b ON a.tok = b.tok AND a.lang = b.lang
-             |    AND a.doc_id < b.doc_id GROUP BY 1,2),
-             |pairs AS (SELECT id_a, id_b
-             |  FROM inter JOIN sizes sa ON id_a = sa.doc_id
-             |  JOIN sizes sb ON id_b = sb.doc_id
-             |  WHERE round(i*1.0/(sa.n + sb.n - i), 4) >= 0.5),
-             |edges AS (SELECT id_a a, id_b b FROM pairs
-             |  UNION SELECT id_b, id_a FROM pairs),
-             |reach(src, dst) AS (
-             |  SELECT a, b FROM edges
-             |  UNION
-             |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a)
-             |SELECT src doc_id, least(src, min(dst)) cluster_root,
-             |  least(src, min(dst)) = src is_canonical
-             |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)),
+      x13OracleSql),
+
+    // Same clustering, computed by the O(log n)-round large-star/
+    // small-star formulation — the deep-graph scale path graded against
+    // the identical recursive-CTE oracle (both implementations share one
+    // output contract).
+    QuerySpec("x13b_neardup_clusters_star", (s, d) => {
+      val pairs = DedupOps.ngramJaccardPairs(t(s, d, "documents"),
+        "doc_id", "text", blockCol = "lang", shingleWords = 3, threshold = 0.5)
+      DedupOps.connectedComponentsStar(pairs, "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("cluster_root"), col("is_canonical"))
+        .orderBy("doc_id")
+    },
+      x13OracleSql),
 
     // The oracle rebuilds the 60-bit md5-derived signature digit-by-digit
     // (base-16 fold over the first 15 hex chars — the reason SimhashBits
