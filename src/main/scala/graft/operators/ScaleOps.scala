@@ -91,12 +91,15 @@ object ScaleOps {
                       partitions: Int = 0): DataFrame = {
     val n = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
-    val ranged = df
+    val (ranged, releaseRanged) = Checkpoints.tracked(df
       .repartitionByRange(n, col(orderCol).desc, col(idCol))
-      .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .withColumn("__pid", spark_partition_id()))
+    // coalesce: a partition whose tokCol values are ALL null (null-text
+    // docs sort together under the range order) sums to null — its slice
+    // contributes nothing to downstream offsets, matching the window
+    // form's null-skipping sum
     val totals = ranged.groupBy(col("__pid"))
-      .agg(sum(col(tokCol)).as("t"))
+      .agg(coalesce(sum(col(tokCol)), lit(0L)).as("t"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
     // prefix-sum in ascending pid order; empty partitions simply don't
     // appear (they contribute no rows and no offset)
@@ -111,10 +114,16 @@ object ScaleOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offExpr = coalesce(
       element_at(typedLit(offsetOf), col("__pid")), lit(0L))
-    ranged.withColumn("__cum", sum(col(tokCol)).over(w) + offExpr)
+    // materialize the (budget-bounded) result, then release the pinned
+    // range layout — operators that cache internally must not leak
+    // storage for the session lifetime
+    val out = ranged.withColumn("__cum", sum(col(tokCol)).over(w) + offExpr)
       .filter(col("__cum") <= budget)
       .withColumnRenamed("__cum", "cum_tok")
       .drop("__pid")
+      .localCheckpoint(true)
+    releaseRanged()
+    out
   }
 
   /** Corpus-level distribution stats over one numeric column (x16):

@@ -51,6 +51,10 @@ object ProfileRhp {
         round(graft.functions.CosineSimilarity(col("v_a"), col("v_b")), 4))
       .filter(col("score") >= 0.44)
     time("verify") { out.count() }
+    // collect() on THIS Dataset so the printed plan is the final AQE plan
+    // of an executed QueryExecution — count() runs a separate one whose
+    // adaptive plan here would still show isFinalPlan=false
+    out.collect()
     println("=== verify executed plan (join strategy audit) ===")
     println(out.queryExecution.executedPlan.toString.linesIterator
       .filter(l => l.contains("Join") || l.contains("Exchange"))

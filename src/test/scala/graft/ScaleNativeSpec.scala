@@ -110,6 +110,16 @@ class ScaleNativeSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("SinglePartition"),
       s"scale form must not gather to one partition:\n$plan")
+    // null-token docs cluster under the range order (nulls last): a
+    // partition holding ONLY nulls must contribute a zero offset, not NPE
+    // the driver-side prefix sum
+    val nulls = spark.range(9001, 9021).selectExpr("id AS doc_id",
+      "CAST(null AS BIGINT) AS n_tok", "CAST(null AS DOUBLE) AS q")
+    val packedN = ScaleOps.tokenBudgetPack(scored.unionByName(nulls),
+      "n_tok", "q", "doc_id", budget = 5000L, partitions = 8)
+      .select("doc_id", "n_tok", "q", "cum_tok").orderBy("doc_id")
+    assert(packedN.collect().map(_.toSeq).toSeq == reference,
+      "null-token rows must drop out (null running sum) without changing the packed set")
   }
 
   test("corpusStats approx path stays within the GK rank-error bound of exact") {
