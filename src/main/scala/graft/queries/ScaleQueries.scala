@@ -595,6 +595,28 @@ object ScaleQueries {
              |SELECT doc_id, n_tok, q, cum_tok FROM c
              |WHERE cum_tok <= 5000 ORDER BY doc_id""".stripMargin)),
 
+    // As-of join (J5): each purchase aligned with the user's latest view
+    // at-or-before it. The oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
+    // independent implementation of the semantics, not a rendering of the
+    // engine's union+window plan.
+    QuerySpec("j5_asof_join", (s, d) => {
+      val ev = t(s, d, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val r = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+          col("value").as("view_value"))
+      graft.operators.AsOfJoin.asofJoin(l, r, Seq("user_id"), "ts", "ts",
+        Seq("view_id", "view_value"))
+        .orderBy("event_id")
+    },
+      Some("""SELECT l.event_id, l.user_id, l.ts, l.value,
+             |  r.event_id AS asof_view_id, r.value AS asof_view_value
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+             |  ON l.user_id = r.user_id AND l.ts >= r.ts
+             |ORDER BY l.event_id""".stripMargin)),
+
     QuerySpec("st1_stream_hourly_agg", (s, d) => {
       val schema = new StructType()
         .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)

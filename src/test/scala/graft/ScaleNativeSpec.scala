@@ -83,6 +83,33 @@ class ScaleNativeSpec extends SparkSpec {
     assert(exact.nonEmpty, "corpus should contain at least one near-dup pair")
   }
 
+  test("asofJoin: inclusive boundary, latest-wins, left-outer nulls") {
+    import graft.operators.AsOfJoin
+    def df(rows: Seq[(Long, Long, String, Double)]) =
+      rows.toDF("id", "k", "ts_s", "v")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val left = df(Seq(
+      (1L, 1L, "2024-01-01 10:00:00", 1.0),  // equal-ts right must match
+      (2L, 1L, "2024-01-01 11:00:00", 2.0),  // latest of two earlier rights
+      (3L, 2L, "2024-01-01 09:00:00", 3.0))) // no earlier right → nulls
+    val right = df(Seq(
+      (10L, 1L, "2024-01-01 10:00:00", 5.0),
+      (11L, 1L, "2024-01-01 10:30:00", 7.0),
+      (12L, 2L, "2024-01-01 09:30:00", 9.0)))
+      .select(col("k"), col("ts"), col("id").as("rid"), col("v").as("rv"))
+    val out = AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "ts",
+      Seq("rid", "rv"))
+      .orderBy("id")
+      .select($"id", $"asof_rid", $"asof_rv")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(out == Seq(
+      (1L, Some(10L), Some(5.0)),
+      (2L, Some(11L), Some(7.0)),
+      (3L, None, None)))
+  }
+
   test("tokenBudgetPack equals the single-partition window form and plans " +
     "no SinglePartition exchange") {
     import graft.operators.TextOps
