@@ -617,6 +617,32 @@ object ScaleQueries {
              |  ON l.user_id = r.user_id AND l.ts >= r.ts
              |ORDER BY l.event_id""".stripMargin)),
 
+    // Range join (J6): how many error events fired within ±5 minutes of
+    // each purchase, across all users — a pure non-equi time-proximity
+    // join. The engine decomposes it into a bucketized hash join
+    // (RangeJoin.withinTolerance); the oracle is the naive non-equi JOIN,
+    // independent of the bucket trick.
+    QuerySpec("j6_range_join", (s, d) => {
+      val ev = t(s, d, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "ts")
+      val r = ev.filter(col("event_type") === "error")
+        .select(col("ts"), col("event_id").as("err_id"))
+      val pairs = graft.operators.RangeJoin.withinTolerance(
+        l, r, "ts", "ts", toleranceMs = 5 * 60000L, Seq("err_id"))
+      val counts = pairs.groupBy("event_id")
+        .agg(count(col("near_err_id")).as("n_near_errors"))
+      l.join(counts, Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_near_errors"), lit(0L)).as("n_near_errors"))
+        .orderBy("event_id")
+    },
+      Some("""SELECT l.event_id, count(r.event_id) n_near_errors
+             |FROM (SELECT event_id, ts FROM events WHERE event_type = 'purchase') l
+             |LEFT JOIN (SELECT event_id, ts FROM events WHERE event_type = 'error') r
+             |  ON abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 300000000
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     QuerySpec("st1_stream_hourly_agg", (s, d) => {
       val schema = new StructType()
         .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)

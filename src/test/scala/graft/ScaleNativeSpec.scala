@@ -110,6 +110,37 @@ class ScaleNativeSpec extends SparkSpec {
       (3L, None, None)))
   }
 
+  test("range join: bucketized pairs equal the brute-force non-equi join, " +
+    "boundary inclusive, cross-bucket matches found") {
+    import graft.operators.RangeJoin
+    def df(rows: Seq[(Long, String)]) = rows.toDF("id", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val left = df(Seq((1L, "2024-01-01 10:00:00"), (2L, "2024-01-01 10:20:00")))
+    val right = df(Seq(
+      (10L, "2024-01-01 10:04:59"),  // inside
+      (11L, "2024-01-01 10:05:00"),  // exactly tolerance — inclusive
+      (12L, "2024-01-01 10:26:00"),  // outside (6 min)
+      (13L, "2024-01-01 09:55:30"))) // inside, in the PREVIOUS bucket
+      .select(col("ts"), col("id").as("rid"))
+    val got = RangeJoin.withinTolerance(left, right, "ts", "ts",
+      toleranceMs = 5 * 60000L, Seq("rid"))
+      .select($"id", $"near_rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L), (1L, 11L), (1L, 13L)))
+    // brute force agreement on a bigger random set
+    val rnd = new scala.util.Random(11)
+    def rts(i: Int) = f"2024-01-01 ${10 + rnd.nextInt(3)}%02d:${rnd.nextInt(60)}%02d:${rnd.nextInt(60)}%02d"
+    val bigL = df((1 to 60).map(i => (i.toLong, rts(i))))
+    val bigR = df((1 to 60).map(i => (1000L + i, rts(i))))
+      .select(col("ts"), col("id").as("rid"))
+    val bucketed = RangeJoin.withinTolerance(bigL, bigR, "ts", "ts",
+      toleranceMs = 7 * 60000L, Seq("rid"))
+      .select($"id", $"near_rid").as[(Long, Long)].collect().toSet
+    val brute = bigL.crossJoin(bigR.select($"rid", $"ts".as("rts")))
+      .filter(abs(unix_micros($"ts") - unix_micros($"rts")) <= 7 * 60000000L)
+      .select($"id", $"rid").as[(Long, Long)].collect().toSet
+    assert(bucketed == brute)
+  }
+
   test("tokenBudgetPack equals the single-partition window form and plans " +
     "no SinglePartition exchange") {
     import graft.operators.TextOps
