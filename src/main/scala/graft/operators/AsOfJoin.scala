@@ -15,7 +15,11 @@ import org.apache.spark.sql.functions._
   *    shuffle shape as any grouped window, independent of how many right
   *    rows precede each left row;
   *  - at equal timestamps the right row sorts first (`__isl` tiebreak),
-  *    so the match is inclusive (`right.ts <= left.ts`);
+  *    so the match is inclusive (`right.ts <= left.ts`); among right rows
+  *    sharing (key, ts), the greatest first-right-column value wins
+  *    (deterministic — engines differ on this tie, so callers with
+  *    duplicate (key, ts) right rows should dedupe first if they need a
+  *    specific policy);
   *  - left rows with no earlier right row keep nulls (left-outer
   *    semantics).
   *
@@ -46,8 +50,13 @@ object AsOfJoin {
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val unioned = lTagged.unionByName(rTagged.select(lTagged.columns.map(col): _*))
+    // third sort key: when several RIGHT rows share (key, ts), the winner
+    // is the one with the greatest first right column (deterministic;
+    // left rows are unaffected — __isl already orders them after every
+    // same-ts right row)
     val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(col("__ts").asc, col("__isl").asc)
+      .orderBy(col("__ts").asc, col("__isl").asc,
+        col(prefix + rightCols.head).asc_nulls_first)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = rightCols.foldLeft(unioned) { (df, c) =>
       df.withColumn(prefix + c, last(col(prefix + c), ignoreNulls = true).over(w))
