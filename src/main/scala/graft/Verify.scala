@@ -5,13 +5,20 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // dev-only third arg: comma-separated name prefixes to dump a subset
+    // (oracle_sql.json is filtered to match so check_correctness.py lines
+    // up); the driver always calls with exactly two args = full run
+    val keep: String => Boolean = if (args.length > 2) {
+      val prefixes = args(2).split(",").toSeq
+      name => prefixes.exists(name.startsWith)
+    } else _ => true
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = GraftSession.tune(
       SparkSession.builder().master(s"local[$cpus]"), cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -24,7 +31,7 @@ object Verify {
     // full JSON escaping (JsonUtil): a tab or CR in builder-authored SQL
     // would otherwise make the driver's json.load fail and silently zero
     // the round's correctness.
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => keep(kv._1))
       .map { case (k, v) => s"${JsonUtil.jstr(k)}: ${JsonUtil.jstr(v)}" }
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)

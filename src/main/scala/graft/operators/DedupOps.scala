@@ -285,6 +285,21 @@ object DedupOps {
       pairs.select(greatest(col(aCol), col(bCol)).as("u"),
           least(col(aCol), col(bCol)).as("v"))
         .filter(col("u") =!= col("v")).distinct())
+    // Convergence probe: ONE aggregate over the already-checkpointed frame
+    // — (row count, wrapping sum of xxhash64(u,v)), order-invariant, so
+    // equal signatures on two distinct-row edge sets mean set equality up
+    // to a 2^-64-scale checksum collision. The earlier
+    // `next.count() == edges.count() && next.except(edges).isEmpty` form
+    // was three actions per round, one of them a full distinct shuffle
+    // over the edge set — it doubled the round cost of an algorithm whose
+    // whole point is few cheap rounds. Each frame is signed once: the
+    // signature carries across iterations, so convergence costs a single
+    // cheap scan of the new frame per round.
+    def edgeSig(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var prevSig = edgeSig(edges)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -304,10 +319,11 @@ object DedupOps {
           .select(col("v").as("u"), col("m").as("v"))
           .unionByName(minsS.select(col("u"), col("m").as("v")))
           .filter(col("u") =!= col("v")).distinct())
-      converged = next.count() == edges.count() &&
-        next.except(edges).isEmpty
-      releaseEdges() // superseded round (the except above already ran)
+      val nextSig = edgeSig(next)
+      converged = nextSig == prevSig
+      releaseEdges() // superseded round (the signature above already ran)
       edges = next
+      prevSig = nextSig
       releaseEdges = releaseNext
       i += 1
     }

@@ -617,6 +617,29 @@ object ScaleQueries {
              |  ON l.user_id = r.user_id AND l.ts >= r.ts
              |ORDER BY l.event_id""".stripMargin)),
 
+    // As-of join, forward-exclusive (J5b): each purchase aligned with the
+    // user's NEXT view strictly after it — the direction/allowExactMatches
+    // surface (pandas merge_asof parity) exercised against DuckDB's native
+    // ASOF LEFT JOIN with the inequality flipped to `l.ts < r.ts`.
+    QuerySpec("j5b_asof_forward", (s, d) => {
+      val ev = t(s, d, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val r = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+          col("value").as("view_value"))
+      graft.operators.AsOfJoin.asofJoin(l, r, Seq("user_id"), "ts", "ts",
+        Seq("view_id", "view_value"),
+        direction = "forward", allowExactMatches = false)
+        .orderBy("event_id")
+    },
+      Some("""SELECT l.event_id, l.user_id, l.ts, l.value,
+             |  r.event_id AS asof_view_id, r.value AS asof_view_value
+             |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+             |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+             |  ON l.user_id = r.user_id AND l.ts < r.ts
+             |ORDER BY l.event_id""".stripMargin)),
+
     // Range join (J6): how many error events fired within ±5 minutes of
     // each purchase, across all users — a pure non-equi time-proximity
     // join. The engine decomposes it into a bucketized hash join

@@ -110,6 +110,77 @@ class ScaleNativeSpec extends SparkSpec {
       (3L, None, None)))
   }
 
+  test("asofJoin: null payload columns in the matched row survive (no " +
+    "backfill from older rows, no cross-row column mixing)") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 1L, "2024-01-01 11:00:00"))
+      .toDF("id", "k", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    // matched row (10:30) has rv=null and rname set; the OLDER row (10:00)
+    // has rv=5.0 and rname=null — a per-column ignoreNulls fill would
+    // produce the mixed (5.0, "b") phantom row
+    val right = Seq(
+      (10L, 1L, "2024-01-01 10:00:00", Some(5.0), None: Option[String]),
+      (11L, 1L, "2024-01-01 10:30:00", None: Option[Double], Some("b")))
+      .toDF("rid", "k", "ts_s", "rv", "rname")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "ts",
+      Seq("rid", "rv", "rname"))
+      .select($"id", $"asof_rid", $"asof_rv", $"asof_rname")
+      .collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 11L, "must match the 10:30 row")
+    assert(r.isNullAt(2), "matched row's null rv must survive, not backfill 5.0")
+    assert(r.getString(3) == "b")
+  }
+
+  test("asofJoin: duplicate (key, ts) right rows pick one whole row " +
+    "deterministically (greatest first right column)") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 1L, "2024-01-01 11:00:00"))
+      .toDF("id", "k", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val right = Seq(
+      (10L, 1L, "2024-01-01 10:30:00", Some(5.0)),
+      (11L, 1L, "2024-01-01 10:30:00", None: Option[Double]))
+      .toDF("rid", "k", "ts_s", "rv")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val r = AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "ts",
+      Seq("rid", "rv"))
+      .select($"asof_rid", $"asof_rv").collect().head
+    // greatest rid (11) wins — and its null rv comes WITH it (whole-row pick)
+    assert(r.getLong(0) == 11L)
+    assert(r.isNullAt(1), "winner's own null rv must ride along, not rid=10's 5.0")
+  }
+
+  test("asofJoin: direction and allowExactMatches match merge_asof semantics") {
+    import graft.operators.AsOfJoin
+    def df(rows: Seq[(Long, Long, String)]) = rows.toDF("id", "k", "ts_s")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val left = df(Seq((1L, 1L, "2024-01-01 10:00:00")))
+    val right = df(Seq(
+      (10L, 1L, "2024-01-01 09:00:00"),
+      (11L, 1L, "2024-01-01 10:00:00"),
+      (12L, 1L, "2024-01-01 11:00:00")))
+      .select(col("k"), col("ts"), col("id").as("rid"))
+    def run(dir: String, exact: Boolean): Option[Long] = {
+      val r = AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("rid"),
+        direction = dir, allowExactMatches = exact)
+        .select($"asof_rid").collect().head
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    assert(run("backward", true) == Some(11L))  // equal ts matches
+    assert(run("backward", false) == Some(10L)) // strictly earlier
+    assert(run("forward", true) == Some(11L))   // equal ts matches
+    assert(run("forward", false) == Some(12L))  // strictly later
+    // forward with no later right row → left-outer null
+    val lateLeft = df(Seq((2L, 1L, "2024-01-01 12:00:00")))
+    val r2 = AsOfJoin.asofJoin(lateLeft, right, Seq("k"), "ts", "ts",
+      Seq("rid"), direction = "forward").select($"asof_rid").collect().head
+    assert(r2.isNullAt(0))
+  }
+
   test("range join: bucketized pairs equal the brute-force non-equi join, " +
     "boundary inclusive, cross-bucket matches found") {
     import graft.operators.RangeJoin
