@@ -37,6 +37,28 @@ object ParityQueries {
       .when(m === 2, lit("")).otherwise(lit(",,,"))
   }
 
+  /** Shared by m1_merge_refresh and st4_stream_merge_incremental: the
+    * batch MERGE and its sliced-stream replay have ONE output contract,
+    * so both are graded against the identical oracle.
+    */
+  private val m1OracleSql: String =
+    """WITH fact AS (SELECT event_id id, ts,
+      |    CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE) d,
+      |    event_type, value v FROM events WHERE ts < TIMESTAMP '2024-01-28'),
+      |sw AS (SELECT event_id id, ts,
+      |    CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE) d,
+      |    event_type, value*2 v FROM events
+      |  WHERE event_type <> 'error'
+      |    AND CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE)
+      |      BETWEEN DATE '2024-01-23' AND DATE '2024-01-30'),
+      |m AS (SELECT * FROM sw
+      |  UNION ALL
+      |  SELECT f.* FROM fact f
+      |  WHERE f.id NOT IN (SELECT id FROM sw)
+      |    AND f.d NOT BETWEEN DATE '2024-01-23' AND DATE '2024-01-30')
+      |SELECT id, ts, CAST(d AS VARCHAR) start_date_oslo, event_type, v AS "value"
+      |FROM m ORDER BY id""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     // ── S: sources ────────────────────────────────────────────────────────
@@ -497,22 +519,39 @@ object ParityQueries {
         .withColumn("start_date_oslo", col("start_date_oslo").cast("string"))
         .orderBy("id")
     },
-      Some("""WITH fact AS (SELECT event_id id, ts,
-             |    CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE) d,
-             |    event_type, value v FROM events WHERE ts < TIMESTAMP '2024-01-28'),
-             |sw AS (SELECT event_id id, ts,
-             |    CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE) d,
-             |    event_type, value*2 v FROM events
-             |  WHERE event_type <> 'error'
-             |    AND CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE)
-             |      BETWEEN DATE '2024-01-23' AND DATE '2024-01-30'),
-             |m AS (SELECT * FROM sw
-             |  UNION ALL
-             |  SELECT f.* FROM fact f
-             |  WHERE f.id NOT IN (SELECT id FROM sw)
-             |    AND f.d NOT BETWEEN DATE '2024-01-23' AND DATE '2024-01-30')
-             |SELECT id, ts, CAST(d AS VARCHAR) start_date_oslo, event_type, v AS "value"
-             |FROM m ORDER BY id""".stripMargin)),
+      Some(m1OracleSql)),
+
+    // ST4 — the SAME M1 semantics with staging replayed as a sliced
+    // micro-batch stream (maxFilesPerTrigger=1 over a 4-file staging dump)
+    // through Streams.streamingMergeIncremental: per-batch windowed upsert
+    // + one end-of-cycle sweep over the accumulated seen-id set. Graded
+    // against the IDENTICAL DuckDB oracle as m1_merge_refresh — the proof
+    // that the reference's incremental MERGE semantics survive micro-batch
+    // slicing byte-for-byte.
+    QuerySpec("st4_stream_merge_incremental", (s, d) => {
+      val ev = t(s, d, "events")
+      val fact = ev.filter(col("ts") < tsLit("2024-01-28"))
+        .select(col("event_id").as("id"), col("ts"),
+          osloDate(col("ts")).as("start_date_oslo"), col("event_type"), col("value"))
+      val staging = ev.filter(col("event_type") =!= "error")
+        .select(col("event_id").as("id"), col("ts"),
+          osloDate(col("ts")).as("start_date_oslo"), col("event_type"),
+          (col("value") * 2).as("value"))
+      val base = java.nio.file.Files.createTempDirectory("graft_stmerge").toString
+      val factPath = s"$base/fact"
+      fact.write.parquet(factPath)
+      staging.repartition(4).write.parquet(s"$base/staging")
+      val stream = s.readStream.schema(staging.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/staging")
+      graft.streaming.Streams.streamingMergeIncremental(s, stream, factPath,
+        s"$base/seen_ids", days = 7, todayOslo = LocalDate.parse("2024-01-30"),
+        checkpoint = s"$base/ckpt")
+      val out = s.read.parquet(factPath).localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out.withColumn("start_date_oslo", col("start_date_oslo").cast("string"))
+        .orderBy("id")
+    }, Some(m1OracleSql)),
 
     QuerySpec("m2_merge_full_reindex", (s, d) => {
       val ev = t(s, d, "events")

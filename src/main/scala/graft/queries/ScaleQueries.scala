@@ -60,6 +60,16 @@ object ScaleQueries {
     "beta" -> Seq("join", "merge", "hash"),
     "gamma" -> Seq("window", "batch", "stream"))
 
+  /** Char-trigram profiles for x10b (langIdNgram): each language's
+    * characteristic trigrams — the trigram decomposition of the same
+    * marker words as [[langProfiles]], so the two lang-ID variants are
+    * comparable on the same corpus.
+    */
+  private val langNgramProfiles = Seq(
+    "alpha" -> Seq("tab", "abl", "ble", "row", "sca", "can"),
+    "beta" -> Seq("joi", "oin", "mer", "erg", "rge", "has", "ash"),
+    "gamma" -> Seq("win", "ind", "dow", "bat", "atc", "tch", "eam"))
+
   val all: Seq[QuerySpec] = Seq(
 
     QuerySpec("x1_exact_dedup",
@@ -318,6 +328,35 @@ object ScaleQueries {
              |   'lang': 'beta'},
              |  {'hits': len(list_filter(tok, x -> list_contains(['window','batch','stream'], x))),
              |   'lang': 'gamma'}] arr FROM t)
+             |SELECT doc_id, (list_sort(arr))[-1].lang predicted FROM sc
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Char-n-gram language ID (x10b): the Cavnar-Trenkle-shaped variant —
+    // score = |distinct char trigrams of the normalized text ∩ profile|,
+    // argmax with the same greatest-(hits, lang) struct tie policy as x10.
+    // The oracle rebuilds the trigram decomposition positionally
+    // (range + substr over the same normalization) — independent of the
+    // engine's shifted zip_with composition.
+    QuerySpec("x10b_lang_id_ngram",
+      (s, d) => t(s, d, "documents")
+        .select(col("doc_id"),
+          TextOps.langIdNgram(col("text"), langNgramProfiles).as("predicted"))
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) norm
+             |  FROM documents),
+             |g AS (SELECT doc_id, CASE WHEN length(norm) >= 3 THEN
+             |    list_distinct(list_transform(range(1, length(norm)-1),
+             |      i -> substr(norm, CAST(i AS INT), 3)))
+             |    ELSE CAST([] AS VARCHAR[]) END grams FROM t),
+             |sc AS (SELECT doc_id, [
+             |  {'hits': len(list_filter(grams, x -> list_contains(
+             |     ['tab','abl','ble','row','sca','can'], x))), 'lang': 'alpha'},
+             |  {'hits': len(list_filter(grams, x -> list_contains(
+             |     ['joi','oin','mer','erg','rge','has','ash'], x))), 'lang': 'beta'},
+             |  {'hits': len(list_filter(grams, x -> list_contains(
+             |     ['win','ind','dow','bat','atc','tch','eam'], x))), 'lang': 'gamma'}
+             |  ] arr FROM g)
              |SELECT doc_id, (list_sort(arr))[-1].lang predicted FROM sc
              |ORDER BY doc_id""".stripMargin)),
 

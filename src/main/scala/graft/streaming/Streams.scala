@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.time.LocalDate
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -393,5 +393,72 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Streaming M1 for an INCREMENTALLY SLICED staging feed — the exactness
+    * proof behind st4. [[streamingMerge]] applies the full windowed-delete
+    * MERGE per micro-batch, which is correct only when each batch is a
+    * complete staging snapshot (the reference's per-fetch loop): slicing
+    * one snapshot across batches would let each batch's windowed delete
+    * wipe the previous batches' upserts, keeping only the LAST slice.
+    * This variant decomposes M1 into the pieces that commute with
+    * micro-batch slicing:
+    *
+    *  - per batch: filter to the refresh window W, upsert (replace
+    *    matched ids, insert new — no delete), and append the batch's ids
+    *    to a seen-ids side table (an id column only — metadata-sized
+    *    relative to the data);
+    *  - after the stream drains: ONE windowed sweep deletes fact rows
+    *    with date ∈ W whose id was never asserted this cycle.
+    *
+    * For staging sliced arbitrarily across batches (each id in one slice,
+    * as any partitioned replay of a deduped snapshot gives), the final
+    * fact equals the single-shot `MergeOps.mergeRefresh` byte-for-byte:
+    * upserts compose per id, and the deferred sweep sees the union of all
+    * slices' ids — graded by st4 against the SAME DuckDB oracle as
+    * m1_merge_refresh. If an id appears in several slices, the last slice
+    * wins (the stream's arrival-order analogue of D1 keep-latest).
+    */
+  def streamingMergeIncremental(spark: SparkSession, entries: DataFrame,
+                                factPath: String, seenIdsPath: String,
+                                days: Int, todayOslo: LocalDate,
+                                checkpoint: String,
+                                dateCol: String = "start_date_oslo",
+                                keyCol: String = "id",
+                                prepBatch: DataFrame => DataFrame = identity): Unit = {
+    val lo = lit(java.sql.Date.valueOf(todayOslo.minusDays(days.toLong)))
+    val hi = lit(java.sql.Date.valueOf(todayOslo))
+    def inWindow(c: org.apache.spark.sql.Column) =
+      coalesce(c.between(lo, hi), lit(false))
+    val q = entries.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val bw = prepBatch(batch).filter(inWindow(col(dateCol)))
+        bw.select(col(keyCol)).write.mode(SaveMode.Append).parquet(seenIdsPath)
+        val conf = spark.sparkContext.hadoopConfiguration
+        val factP = new org.apache.hadoop.fs.Path(factPath)
+        val fs = factP.getFileSystem(conf)
+        val fact =
+          if (fs.exists(factP)) spark.read.parquet(factPath)
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], bw.schema)
+        val upserted = fact
+          .join(broadcast(bw.select(col(keyCol))), Seq(keyCol), "left_anti")
+          .unionByName(bw)
+        MergeOps.atomicSwapWrite(spark, upserted, factPath)
+        ()
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    // end-of-cycle sweep: in-window fact rows must have been asserted by
+    // some slice this cycle; out-of-window (and null-date) rows are history
+    // and survive untouched — same guard as MergeOps.mergeRefresh
+    val fact = spark.read.parquet(factPath)
+    val seen = spark.read.parquet(seenIdsPath).distinct()
+    val swept = fact.filter(!inWindow(col(dateCol)))
+      .unionByName(fact.filter(inWindow(col(dateCol)))
+        .join(seen, Seq(keyCol), "left_semi"))
+    MergeOps.atomicSwapWrite(spark, swept, factPath)
   }
 }
