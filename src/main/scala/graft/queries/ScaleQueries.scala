@@ -399,6 +399,38 @@ object ScaleQueries {
              |  CAST(nb % 320 + 64 AS INT) meta_w
              |FROM t ORDER BY doc_id""".stripMargin)),
 
+    // Real-codec multimodal decode (x12b): synthPpm builds a
+    // spec-conformant binary PPM (P6) per doc_id — header + raw RGB, a
+    // pure formula of the id — and decodePpm PARSES it back (magic,
+    // comment-tolerant header, single-whitespace terminator, byte-strided
+    // channel sums). The oracle recomputes dimensions and channel means
+    // from the generating formula alone, so any header mis-parse or
+    // channel mis-stride in the decoder hash-mismatches.
+    QuerySpec("x12b_ppm_decode", (s, d) => {
+      val ids = t(s, d, "documents").select("doc_id")
+      Multimodal.decodePpm(Multimodal.synthPpm(ids, "doc_id"))
+        .select(col("doc_id"), col("ppm_width"), col("ppm_height"),
+          round(col("r_mean"), 6).as("r_mean"),
+          round(col("g_mean"), 6).as("g_mean"),
+          round(col("b_mean"), 6).as("b_mean"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH dims AS (SELECT doc_id, 1 + doc_id % 8 w, 1 + doc_id % 6 h
+             |  FROM documents),
+             |m AS (SELECT doc_id, w, h,
+             |  list_sum(list_transform(range(0, w*h),
+             |    i -> (doc_id*7 + (3*i)*13) % 256)) rs,
+             |  list_sum(list_transform(range(0, w*h),
+             |    i -> (doc_id*7 + (3*i+1)*13) % 256)) gs,
+             |  list_sum(list_transform(range(0, w*h),
+             |    i -> (doc_id*7 + (3*i+2)*13) % 256)) bs
+             |  FROM dims)
+             |SELECT doc_id, CAST(w AS INT) ppm_width, CAST(h AS INT) ppm_height,
+             |  round(CAST(rs AS DOUBLE)/(w*h), 6) r_mean,
+             |  round(CAST(gs AS DOUBLE)/(w*h), 6) g_mean,
+             |  round(CAST(bs AS DOUBLE)/(w*h), 6) b_mean
+             |FROM m ORDER BY doc_id""".stripMargin)),
+
     QuerySpec("x14_embed_norm_quant", (s, d) => {
       // embedding preprocessing: L2 norm, int8 quantization (scale by
       // max-abs), reconstruction error — per-vector scalars only, so the

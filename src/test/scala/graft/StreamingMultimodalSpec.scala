@@ -219,6 +219,55 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(resized.length == 2)
   }
 
+  test("PPM codec: parseP6 reads a hand-built image exactly, tolerates " +
+    "header comments, and rejects malformed blobs") {
+    // 2x1 image: pixels (10,20,30), (40,50,60) — means (25, 35, 45)
+    val good = "P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    assert(Multimodal.parseP6(good) == Some((2, 1, 255, 25.0, 35.0, 45.0)))
+    // netpbm comment lines inside the header
+    val commented = "P6\n# a comment\n2 1 # trailing\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](10, 20, 30, 40, 50, 60)
+    assert(Multimodal.parseP6(commented) == Some((2, 1, 255, 25.0, 35.0, 45.0)))
+    // high bytes read unsigned (200,210,220)
+    val high = "P6\n1 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](200.toByte, 210.toByte, 220.toByte)
+    assert(Multimodal.parseP6(high) == Some((1, 1, 255, 200.0, 210.0, 220.0)))
+    assert(Multimodal.parseP6(null).isEmpty)
+    assert(Multimodal.parseP6("P5\n1 1\n255\n ".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.parseP6("P6\n2 1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3)).isEmpty) // truncated payload
+    assert(Multimodal.parseP6("P6\n1 1\n65535\n".getBytes("US-ASCII") ++
+      Array[Byte](1, 2, 3, 4, 5, 6)).isEmpty) // 2-byte samples rejected
+    assert(Multimodal.parseP6("P6\n0 1\n255\n".getBytes("US-ASCII")).isEmpty)
+  }
+
+  test("PPM codec: synthPpm output is a decodable spec-conformant P6 and " +
+    "decodePpm nulls out corrupt blobs instead of failing") {
+    val ids = Seq(3L, 12L, 40L).toDF("doc_id")
+    val out = Multimodal.decodePpm(Multimodal.synthPpm(ids, "doc_id"))
+      .orderBy("doc_id").collect()
+    for (r <- out) {
+      val id = r.getAs[Long]("doc_id")
+      assert(r.getAs[Int]("ppm_width") == (1 + id % 8).toInt)
+      assert(r.getAs[Int]("ppm_height") == (1 + id % 6).toInt)
+      assert(r.getAs[Int]("ppm_maxval") == 255)
+    }
+    // formula check for doc_id=3: w=4, h=4, byte k = (21 + 13k) % 256
+    val r3 = out(0)
+    val n = 4 * 4
+    def mean(ch: Int) = (0 until n).map(i => (21 + 13 * (3 * i + ch)) % 256)
+      .sum.toDouble / n
+    assert(r3.getAs[Double]("r_mean") == mean(0))
+    assert(r3.getAs[Double]("g_mean") == mean(1))
+    assert(r3.getAs[Double]("b_mean") == mean(2))
+    // corrupt blob → null features, job survives
+    val bad = Seq((1L, "not a ppm".getBytes("US-ASCII"))).toDF("doc_id", "media_bytes")
+    val badOut = Multimodal.decodePpm(bad).collect().head
+    assert(badOut.isNullAt(badOut.fieldIndex("ppm_width")))
+    assert(badOut.isNullAt(badOut.fieldIndex("r_mean")))
+  }
+
   test("M3/M6: ensureTable is idempotent and truncateLoad replaces content") {
     val path = Files.createTempDirectory("graft_dim").toString + "/dim"
     val schema = Seq((1, "a")).toDF("k", "v").schema
