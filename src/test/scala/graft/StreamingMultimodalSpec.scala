@@ -183,6 +183,63 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out == Seq((7L, 1, 2L, 3.0), (7L, 2, 1L, 4.0), (8L, 1, 1L, 8.0)))
   }
 
+  test("event-time sessionization with a production watermark delay seals " +
+    "sessions MID-STREAM (bounded state, no sentinel)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = Files.createTempDirectory("graft_et3_in")
+    def eventsDf(rows: Seq[(Long, String, Long, Double)]) =
+      rows.toDF("event_id", "ts_s", "user_id", "value")
+        .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    // user 7's session ends 10:10; by file f2 the watermark (10 min delay)
+    // is far past 10:10 + gap, so 7 must emit while f3 is still unread.
+    // user 9's session (14:00) is never sealed by the watermark → stays in
+    // state, proving retention is (delay + gap)-bounded, not stream-length.
+    val files = Seq(
+      eventsDf(Seq((1L, "2024-01-01 10:00:00", 7L, 1.0),
+        (2L, "2024-01-01 10:10:00", 7L, 2.0))),
+      eventsDf(Seq((3L, "2024-01-01 12:00:00", 8L, 4.0))),
+      eventsDf(Seq((4L, "2024-01-01 12:05:00", 8L, 1.0))),
+      eventsDf(Seq((5L, "2024-01-01 14:00:00", 9L, 8.0))))
+    for ((df, i) <- files.zipWithIndex) {
+      val sub = dir.resolve(s"f$i").toString
+      df.coalesce(1).write.parquet(sub)
+      val part = new java.io.File(sub).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      part.setLastModified(1700000000000L + i * 10000L)
+    }
+    val ckpt = Files.createTempDirectory("graft_ckpt_et3").toString
+    val stream = spark.readStream.schema(files.head.schema)
+      .option("maxFilesPerTrigger", "1").option("recursiveFileLookup", "true")
+      .parquet(dir.toString)
+    val emitted = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Long)]()
+    val q = Streams.sessionizeEventTime(spark, stream, gapMinutes = 60,
+        watermarkDelay = "10 minutes")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        val rows = batch.select($"user_id", $"session_id", $"n")
+          .as[(Long, Int, Long)].collect()
+        emitted.synchronized {
+          emitted ++= rows.map(r => (batchId, r._1, r._2, r._3))
+        }
+        ()
+      }
+      .outputMode("append")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val out = emitted.synchronized(emitted.toList)
+    val maxBatch = out.map(_._1).max
+    val u7 = out.filter(_._2 == 7L)
+    // user 7 sealed and emitted mid-stream: strictly before the last batch
+    // that produced output, with the correct merged span (n = 2)
+    assert(u7 == List((u7.head._1, 7L, 1, 2L)))
+    assert(u7.head._1 < maxBatch,
+      s"user 7 should seal mid-stream, not in the final batch ($out)")
+    // user 9 is younger than (delay + gap): held open, never emitted
+    assert(!out.exists(_._2 == 9L))
+  }
+
   test("stateful sessionization: gap splits, per-user numbering, value sums") {
     val events = Seq(
       (1L, "2024-01-01 10:00:00", 7L, 1.0),
