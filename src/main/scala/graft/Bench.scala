@@ -19,23 +19,48 @@ object Bench {
     // A crashed query must FAIL the bench visibly, not masquerade as a fast
     // row: failures record -1 (never a valid duration) plus the error text,
     // and are excluded from the total.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    //
+    // Median-of-N (default 3): the host reclaims page cache aggressively,
+    // so single-run sf0.1 totals swing ~3× with DIFFERENT queries inflating
+    // each run (measurements in PERF.md). Per-query medians across whole-
+    // suite passes (pass-major order, so a query's samples are minutes
+    // apart and don't share one cache eviction) land inside the steady-state
+    // envelope reproducibly; a single pass cannot.
+    val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    val samples = scala.collection.mutable.Map[String, List[Double]]()
+      .withDefaultValue(Nil)
+    val errors = scala.collection.mutable.Map[String, String]()
+    for (_ <- 1 to passes; (name, fn) <- named) {
       val t0 = System.nanoTime()
       val err = try { fn(spark, sfDir).count(); None } catch {
         case e: Throwable =>
           Some(s"${e.getClass.getSimpleName}: ${Option(e.getMessage).getOrElse("")}".take(200))
       }
       val elapsed = (System.nanoTime() - t0) / 1e9
+      err match {
+        case Some(e) => errors(name) = e
+        case None    => samples(name) = elapsed :: samples(name)
+      }
       // between queries (outside the timed window): drop the finished
       // query's localCheckpoint/persist blocks. The async ContextCleaner
       // only reclaims them after a GC notices the dropped references, so
       // across 60+ queries orphaned blocks otherwise accumulate and the
       // late heavy queries pay for the whole suite's memory pressure.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
-      (name, elapsed, err)
     }
-    val qs = results.map { case (k, v, err) =>
-      "\"" + k + "\":" + (if (err.isEmpty) v else -1.0) }.mkString("{", ",", "}")
+    def median(xs: List[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
+    // a query that failed in ANY pass reports -1: a flaky crash must not
+    // hide behind the passes that succeeded
+    val results = named.map { case (name, _) =>
+      if (errors.contains(name)) (name, -1.0, Some(errors(name)))
+      else (name, median(samples(name)), None)
+    }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val errs = results.collect {
       case (k, _, Some(e)) => "\"" + k + "\":" + JsonUtil.jstr(e)
     }.mkString("{", ",", "}")
