@@ -273,6 +273,43 @@ object ScaleQueries {
              |FROM assign a JOIN probes p ON a.centroid = p.cid
              |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // IVF probing AT REST (x7b): same search as x7, but the assigned
+    // vectors are first written partitioned by centroid and the probe is a
+    // literal IN over the partition column — the scan's PartitionFilters
+    // prune to nprobe of nlist directories (plan-asserted in
+    // TextDedupSpec), which is the 100 TB scale story: probing is I/O
+    // elimination, not a post-scan join. Same oracle as x7 — the layout
+    // must not change the answer.
+    QuerySpec("x7b_ann_ivf_pruned", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val assigned = SimilarityOps.ivfAssign(emb.filter(col("vec_id") >= 16),
+        "vec_id", "embedding", cents, "cid", "cvec")
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rest").toString
+      val schema = SimilarityOps.ivfWritePartitioned(assigned, dir)
+      val out = SimilarityOps.ivfProbeAtRest(s, dir, schema, "vec_id",
+        "embedding", cents, "cid", "cvec", q, k = 10, nprobe = 4)
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    },
+      Some("""WITH cent AS (SELECT vec_id cid, embedding cvec FROM embeddings WHERE vec_id < 16),
+             |q AS (SELECT embedding qe FROM embeddings WHERE vec_id = 0),
+             |probes AS (SELECT cid FROM cent, q
+             |  ORDER BY list_cosine_similarity(cvec, qe) DESC, cid LIMIT 4),
+             |assign AS (SELECT e.vec_id, e.embedding, c.cid centroid
+             |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id >= 16
+             |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             |    ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) = 1)
+             |SELECT a.vec_id, a.centroid,
+             |  round(CAST(list_cosine_similarity(a.embedding, (SELECT qe FROM q)) AS DOUBLE), 4) score
+             |FROM assign a JOIN probes p ON a.centroid = p.cid
+             |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
+
     QuerySpec("x8_text_stats", (s, d) => {
       val docs = t(s, d, "documents")
       val toks = TextOps.tokens(col("text"))

@@ -152,6 +152,50 @@ class TextDedupSpec extends SparkSpec {
     assert(assigned(12L) == 0L) // tie on 0.0 → lowest cid (deterministic)
   }
 
+  test("IVF at rest: probe scan prunes to exactly nprobe partitions and " +
+    "matches the in-memory probe") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(-1f, 0f)), (3L, Array(0f, -1f))).toDF("cid", "cvec")
+    // three vectors in each centroid's cone → 4 non-empty partitions
+    val vecs = (0 until 12).map { i =>
+      val b = Seq(Array(1f, 0f), Array(0f, 1f), Array(-1f, 0f),
+        Array(0f, -1f))(i % 4)
+      (100L + i, Array(b(0) * 0.9f + (i / 4) * 0.01f, b(1) * 0.9f))
+    }.toDF("vec_id", "embedding")
+    val assigned = SimilarityOps.ivfAssign(vecs, "vec_id", "embedding",
+      cents, "cid", "cvec")
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rest_t").toString
+    val schema = SimilarityOps.ivfWritePartitioned(assigned, dir)
+    val q = Seq(0.9f, 0.2f)
+    val atRest = SimilarityOps.ivfProbeAtRest(spark, dir, schema, "vec_id",
+      "embedding", cents, "cid", "cvec", q, k = 6, nprobe = 2)
+    val inMem = SimilarityOps.ivfTopK(assigned, "vec_id", "embedding",
+      cents, "cid", "cvec", q, k = 6, nprobe = 2)
+    val a = atRest.select("vec_id", "centroid", "score")
+      .as[(Long, Long, Double)].collect().toSeq
+    val b = inMem.select("vec_id", "centroid", "score")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(a == b)
+    assert(a.size == 6) // 2 probed partitions × 3 vectors
+    // plan audit: the probe must reach the scan as a PARTITION filter that
+    // prunes 4 directories down to nprobe = 2 — I/O elimination, not a
+    // post-scan filter
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case other => other.collect { case f: FileSourceScanExec => f }
+    }
+    val scan = scans(atRest.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains(dir)))
+      .getOrElse(fail("no FileSourceScan over the at-rest table in the plan"))
+    assert(scan.partitionFilters.exists(_.references.exists(_.name == "centroid")))
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"expected pruning to 2 partitions, scanned ${scan.selectedPartitions.partitionCount}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
   test("char n-grams + n-gram language-ID heuristic") {
     def grams(s: String, n: Int): Seq[String] =
       Seq(s).toDF("t").select(TextOps.charNgrams(col("t"), n).as("g"))
