@@ -167,6 +167,88 @@ object MergeOps {
     * The affected-date list is collected driver-side — it is metadata
     * (≤ days + a handful of moved dates), not data.
     */
+  /** Collect a frame of (possibly null) dates driver-side: metadata only —
+    * callers pass distinct partition-key frames bounded by the refresh
+    * window, never data.
+    */
+  private def dateSet(df: DataFrame, dateCol: String): (Set[java.sql.Date], Boolean) = {
+    val raw = df.select(col(dateCol)).distinct().collect().map(r => Option(r.getDate(0)))
+    (raw.flatten.toSet, raw.contains(None))
+  }
+
+  /** Drop affected partitions that the rewrite emitted no rows for —
+    * dynamic overwrite only replaces partitions present in the written
+    * frame, so an emptied partition would otherwise keep its stale files.
+    */
+  private def dropEmptiedPartitions(spark: org.apache.spark.sql.SparkSession,
+                                    factPath: String, dateCol: String,
+                                    affected: (Set[java.sql.Date], Boolean),
+                                    written: (Set[java.sql.Date], Boolean)): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val base = new org.apache.hadoop.fs.Path(factPath)
+    val fs = base.getFileSystem(conf)
+    (affected._1 -- written._1).foreach { d =>
+      fs.delete(new org.apache.hadoop.fs.Path(base, s"$dateCol=$d"), true)
+    }
+    if (affected._2 && !written._2) {
+      fs.delete(new org.apache.hadoop.fs.Path(base,
+        s"$dateCol=__HIVE_DEFAULT_PARTITION__"), true)
+    }
+  }
+
+  /** Upsert (replace matched ids, insert new — NO delete) into a
+    * date-partitioned fact, rewriting only the affected partitions: the
+    * incoming rows' dates plus the old partitions of any id that moved
+    * (its stale copy must vanish from where it used to live). The
+    * per-micro-batch kernel of the partitioned streaming merge — per-batch
+    * cost is O(batch + affected partitions), not O(table).
+    */
+  def upsertPartitioned(spark: org.apache.spark.sql.SparkSession,
+                        factPath: String, rows: DataFrame,
+                        dateCol: String = "start_date_oslo",
+                        keyCol: String = "id"): Unit = {
+    val fact = spark.read.parquet(factPath)
+    val ids = rows.select(col(keyCol))
+    // a stale copy can live under any date (or the null partition)
+    val staleDates = fact.join(broadcast(ids), Seq(keyCol)).select(col(dateCol))
+    val affected = dateSet(rows.select(col(dateCol)).unionByName(staleDates), dateCol)
+    def inAffected(c: Column): Column = {
+      val hit = coalesce(c.isin(affected._1.toSeq: _*), lit(false))
+      if (affected._2) hit || c.isNull else hit
+    }
+    // localCheckpoint: the write below overwrites partitions this plan is
+    // still reading from
+    val merged = fact.filter(inAffected(col(dateCol)))
+      .join(broadcast(ids), Seq(keyCol), "left_anti")
+      .unionByName(rows)
+      .localCheckpoint(true)
+    val written = dateSet(merged, dateCol)
+    overwriteDatePartitions(merged, factPath, dateCol)
+    dropEmptiedPartitions(spark, factPath, dateCol, affected, written)
+  }
+
+  /** End-of-cycle windowed delete against a date-partitioned fact: drop
+    * in-window rows whose id was not asserted this cycle (`seenIds`),
+    * rewriting only window partitions. Out-of-window partitions are never
+    * read or written.
+    */
+  def sweepPartitionedWindow(spark: org.apache.spark.sql.SparkSession,
+                             factPath: String, seenIds: DataFrame,
+                             days: Int, todayOslo: LocalDate,
+                             dateCol: String = "start_date_oslo",
+                             keyCol: String = "id"): Unit = {
+    val lo = lit(java.sql.Date.valueOf(todayOslo.minusDays(days.toLong)))
+    val hi = lit(java.sql.Date.valueOf(todayOslo))
+    val inWin = spark.read.parquet(factPath)
+      .filter(coalesce(col(dateCol).between(lo, hi), lit(false)))
+    val affected = dateSet(inWin, dateCol) // BETWEEN is null-false: no null slot
+    val kept = inWin.join(seenIds.select(col(keyCol)), Seq(keyCol), "left_semi")
+      .localCheckpoint(true)
+    val written = dateSet(kept, dateCol)
+    overwriteDatePartitions(kept, factPath, dateCol)
+    dropEmptiedPartitions(spark, factPath, dateCol, affected, written)
+  }
+
   def refreshPartitioned(spark: org.apache.spark.sql.SparkSession,
                          factPath: String, staging: DataFrame, days: Int,
                          todayOslo: LocalDate,
@@ -185,16 +267,12 @@ object MergeOps {
     // null dates are a real partition (__HIVE_DEFAULT_PARTITION__): a
     // null-date fact row whose id reappears in staging must have its old
     // partition rewritten too, or the stale copy survives as a duplicate
-    val affectedRaw = stagingW.select(col(dateCol))
+    val affected = dateSet(stagingW.select(col(dateCol))
       .unionByName(fact.filter(inWindow(col(dateCol))).select(col(dateCol)))
-      .unionByName(movedDates)
-      .distinct().collect().map(r => Option(r.getDate(0)))
-    val affected = affectedRaw.flatten.toSet
-    val affectedHasNull = affectedRaw.contains(None)
+      .unionByName(movedDates), dateCol)
     def inAffected(c: Column): Column = {
-      val nonNullHit = c.isin(affected.toSeq: _*)
-      if (affectedHasNull) coalesce(nonNullHit, lit(false)) || c.isNull
-      else coalesce(nonNullHit, lit(false))
+      val hit = coalesce(c.isin(affected._1.toSeq: _*), lit(false))
+      if (affected._2) hit || c.isNull else hit
     }
 
     // localCheckpoint: materialize once — the merge plan would otherwise
@@ -203,24 +281,8 @@ object MergeOps {
     val merged = mergeRefresh(fact, staging, days, todayOslo, dateCol, keyCol)
       .filter(inAffected(col(dateCol)))
       .localCheckpoint(true)
-    val writtenRaw = merged.select(col(dateCol)).distinct()
-      .collect().map(r => Option(r.getDate(0)))
-    val writtenDates = writtenRaw.flatten.toSet
-    val writtenHasNull = writtenRaw.contains(None)
+    val written = dateSet(merged, dateCol)
     overwriteDatePartitions(merged, factPath, dateCol)
-
-    // drop affected partitions that became empty — dynamic overwrite only
-    // replaces partitions present in the written frame, so a fully-deleted
-    // window partition would otherwise keep its stale files
-    val conf = spark.sparkContext.hadoopConfiguration
-    val base = new org.apache.hadoop.fs.Path(factPath)
-    val fs = base.getFileSystem(conf)
-    (affected -- writtenDates).foreach { d =>
-      fs.delete(new org.apache.hadoop.fs.Path(base, s"$dateCol=$d"), true)
-    }
-    if (affectedHasNull && !writtenHasNull) {
-      fs.delete(new org.apache.hadoop.fs.Path(base,
-        s"$dateCol=__HIVE_DEFAULT_PARTITION__"), true)
-    }
+    dropEmptiedPartitions(spark, factPath, dateCol, affected, written)
   }
 }

@@ -6,6 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.operators.{Dedup, MergeOps}
+import graft.streaming.Streams
 
 /** D1 keep-latest semantics and the M1/M2 merge algebra, including the
   * golden regression mirroring BUG_FIX_SUMMARY.md:68-71 (full backfill →
@@ -143,6 +144,54 @@ class DedupMergeSpec extends SparkSpec {
     // untouched partition: exact same files, same mtimes
     assert(partFiles("2024-01-01") == histBefore)
     // fully-deleted window partition directory is gone
+    assert(partFiles("2024-02-24").isEmpty)
+  }
+
+  test("partitioned streaming merge: sliced batches upsert only affected " +
+    "partitions, sweep deletes unseen window rows, history files untouched") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files.createTempDirectory("graft_stpart").toString
+    val base = s"$root/fact"
+    val today = LocalDate.parse("2024-03-01")
+    entries(
+      ("hist", "x", java.sql.Date.valueOf("2024-01-01"), 1.0),
+      ("del1", "x", java.sql.Date.valueOf("2024-02-24"), 9.0),
+      ("r1", "x", java.sql.Date.valueOf("2024-02-26"), 2.0))
+      .write.partitionBy("start_date_oslo").parquet(base)
+    def partFiles(d: String): Map[String, Long] = {
+      val dir = new java.io.File(s"$base/start_date_oslo=$d")
+      if (!dir.exists()) Map.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val histBefore = partFiles("2024-01-01")
+    assert(histBefore.nonEmpty)
+    // staging sliced across two micro-batches
+    val slices = Seq(
+      entries(("r1", "y", java.sql.Date.valueOf("2024-02-26"), 20.0)),
+      entries(("r4", "y", java.sql.Date.valueOf("2024-02-28"), 5.0)))
+    val stagingDir = java.nio.file.Files.createTempDirectory("graft_stpart_in")
+    for ((df, i) <- slices.zipWithIndex) {
+      val sub = stagingDir.resolve(s"g$i")
+      df.coalesce(1).write.parquet(sub.toString)
+      val part = new java.io.File(sub.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dest = stagingDir.resolve(s"s$i.parquet")
+      java.nio.file.Files.move(part.toPath, dest)
+      dest.toFile.setLastModified(1700000000000L + i * 10000L)
+    }
+    val stream = spark.readStream.schema(slices.head.schema)
+      .option("pathGlobFilter", "s*.parquet")
+      .option("maxFilesPerTrigger", 1).parquet(stagingDir.toString)
+    Streams.streamingMergeIncrementalPartitioned(spark, stream, base,
+      s"$root/seen", days = 7, todayOslo = today, checkpoint = s"$root/ckpt")
+    val out = spark.read.parquet(base).orderBy("id")
+      .select("id", "value").as[(String, Double)].collect().toSeq
+    // same result as single-shot mergeRefresh on the unsliced staging
+    assert(out == Seq(("hist", 1.0), ("r1", 20.0), ("r4", 5.0)))
+    // history partition: exact same files, same mtimes — never rewritten
+    assert(partFiles("2024-01-01") == histBefore)
+    // fully-swept window partition directory is gone
     assert(partFiles("2024-02-24").isEmpty)
   }
 
