@@ -50,6 +50,73 @@ object TextOps {
     }
   }
 
+  /** Benchmark decontamination: docs sharing at least one word `n`-gram
+    * with any benchmark document, with the count of distinct shared
+    * shingles (the standard n-gram-collision test-set leak check used when
+    * assembling training corpora — cf. the 13-gram filter in Brown et al.,
+    * "Language Models are Few-Shot Learners", 2020, §4).
+    *
+    * Scale: benchmark/test sets are tiny next to the corpus, so the
+    * distinct benchmark-shingle side BROADCASTS — the corpus is scanned
+    * once map-side, never shuffled on text; only (id, hit) pairs reach the
+    * final count aggregation (map-side partial). Both sides deduplicate
+    * shingles before the join, so the count is exactly "distinct
+    * contaminated n-grams". For corpora where even the shingle strings are
+    * too wide, join on `md5(shingle)` instead — same plan shape.
+    */
+  def contaminationHits(docs: DataFrame, bench: DataFrame, idCol: String,
+                        textCol: String, shingleWords: Int): DataFrame = {
+    val bsh = bench
+      .select(explode(shingles(col(textCol), shingleWords)).as("sh")).distinct()
+    docs.select(col(idCol),
+        explode(array_distinct(shingles(col(textCol), shingleWords))).as("sh"))
+      .join(broadcast(bsh), "sh")
+      .groupBy(col(idCol)).agg(count("*").as("n_hits"))
+  }
+
+  /** Intra-document repetition signals over word `n`-grams — the Gopher
+    * repetition filters (Rae et al., "Scaling Language Models: ... Gopher",
+    * 2021, §A1.3): duplicate-n-gram fraction (1 − distinct/total) and the
+    * share of the single most frequent n-gram. High values mark the
+    * boilerplate/looping documents a training pipeline drops.
+    *
+    * Plan: explode → two-level aggregation ((id, gram) counts, then per-id
+    * sum/count/max — both with map-side partials). No per-row O(tokens²)
+    * higher-order lambda counting; the quadratic work becomes a hash
+    * aggregate.
+    */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int): DataFrame = {
+    val grams = docs.select(col(idCol),
+      explode(shingles(col(textCol), n)).as("g"))
+    grams.groupBy(col(idCol), col("g")).agg(count("*").as("c"))
+      .groupBy(col(idCol)).agg(
+        sum("c").as("total"), count("*").as("distinct"), max("c").as("top"))
+      .select(col(idCol), col("total").as(s"n_${n}grams"),
+        round(lit(1.0) - col("distinct") / col("total"), 4).as(s"dup_frac_$n"),
+        round(col("top") / col("total"), 4).as(s"top_frac_$n"))
+  }
+
+  /** Email-matching pattern shared by redaction and counting — kept to a
+    * syntax subset valid in both Java regex and RE2 (the DuckDB oracle).
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone-like pattern (`+CC-NNN-NNNN`), same dual-dialect subset. */
+  val phonePattern = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+
+  /** PII redaction: replace emails and phone-like sequences with typed
+    * placeholder tags. Pure per-row regex work — codegen'd, map-side, runs
+    * at scan speed; pair with [[piiCounts]] to audit how much was redacted.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(regexp_replace(text, emailPattern, "[EMAIL]"),
+      phonePattern, "[PHONE]")
+
+  /** Per-row counts of redactable spans, for redaction audits. */
+  def piiCounts(text: Column): (Column, Column) =
+    (regexp_count(text, lit(emailPattern)), regexp_count(text, lit(phonePattern)))
+
   /** Quality-scoring signals: length, token stats, punctuation/alpha ratios,
     * stopword ratio, type-token ratio. `stopwords` must be lowercase.
     */

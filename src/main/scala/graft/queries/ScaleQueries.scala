@@ -703,6 +703,82 @@ object ScaleQueries {
              |SELECT doc_id, n_tok, q, cum_tok FROM c
              |WHERE cum_tok <= 5000 ORDER BY doc_id""".stripMargin)),
 
+    // Benchmark decontamination (x21): docs sharing any 4-word shingle
+    // with the held-out "benchmark" slice (doc_id % 97 = 0). The distinct
+    // benchmark-shingle side broadcasts — the corpus is never shuffled on
+    // text; the oracle rebuilds both shingle sets with the x3 machinery
+    // and joins on the raw strings.
+    QuerySpec("x21_decontamination", (s, d) => {
+      val docs = t(s, d, "documents")
+      TextOps.contaminationHits(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        "doc_id", "text", shingleWords = 4)
+        .orderBy("doc_id")
+    },
+      Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(
+             |    range(0, greatest(len(tk)-3, 0)),
+             |    i -> array_to_string(tk[i+1:i+4], ' '))) s FROM toks),
+             |bench AS (SELECT DISTINCT unnest(s) g FROM sh WHERE doc_id % 97 = 0),
+             |cand AS (SELECT doc_id, unnest(s) g FROM sh WHERE doc_id % 97 <> 0)
+             |SELECT doc_id, count(*) n_hits FROM cand JOIN bench USING (g)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Intra-document repetition (x22): Gopher-style duplicate-2-gram
+    // fraction and top-2-gram share per document — the boilerplate/looping
+    // filter signals. Explode + two hash aggregations, no per-row
+    // quadratic lambda.
+    QuerySpec("x22_repetition_stats", (s, d) =>
+      TextOps.repetitionSignals(t(s, d, "documents"), "doc_id", "text", n = 2)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |g AS (SELECT doc_id, unnest(list_transform(
+             |    range(0, greatest(len(tk)-1, 0)),
+             |    i -> array_to_string(tk[i+1:i+2], ' '))) gr FROM toks),
+             |c AS (SELECT doc_id, gr, count(*) c FROM g GROUP BY 1, 2),
+             |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) total,
+             |    count(*) dst, max(c) top FROM c GROUP BY doc_id)
+             |SELECT doc_id, total AS n_2grams,
+             |  round(1.0 - CAST(dst AS DOUBLE)/total, 4) dup_frac_2,
+             |  round(CAST(top AS DOUBLE)/total, 4) top_frac_2
+             |FROM a ORDER BY doc_id""".stripMargin)),
+
+    // PII redaction audit (x23): deterministic synthetic PII (an email for
+    // doc_id % 5 = 0, a phone for doc_id % 7 = 0) appended to the text,
+    // then redacted with typed tags and counted. Pure per-row regex —
+    // map-side at scan speed; the oracle re-runs the same RE2-safe
+    // patterns in DuckDB over the same enriched text.
+    QuerySpec("x23_pii_redaction", (s, d) => {
+      val docs = t(s, d, "documents")
+      val withEmail = when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com now"))).otherwise(col("text"))
+      val enriched = when(col("doc_id") % 7 === 0,
+        concat(withEmail, lit(" call +1-555-"),
+          lpad(col("doc_id") % 10000, 4, "0"))).otherwise(withEmail)
+      val (ne, np) = TextOps.piiCounts(enriched)
+      docs.select(col("doc_id"),
+        ne.cast("long").as("n_emails"), np.cast("long").as("n_phones"),
+        TextOps.redactPii(enriched).as("redacted"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH e AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 5 = 0 THEN text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+             |    ELSE text END t1 FROM documents),
+             |f AS (SELECT doc_id,
+             |  CASE WHEN doc_id % 7 = 0 THEN t1 || ' call +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+             |    ELSE t1 END t2 FROM e)
+             |SELECT doc_id,
+             |  CAST(len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) n_emails,
+             |  CAST(len(regexp_extract_all(t2, '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}')) AS BIGINT) n_phones,
+             |  regexp_replace(regexp_replace(t2,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+             |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') redacted
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
     // As-of join (J5): each purchase aligned with the user's latest view
     // at-or-before it. The oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
     // independent implementation of the semantics, not a rendering of the

@@ -196,6 +196,48 @@ class TextDedupSpec extends SparkSpec {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
+  test("contaminationHits counts distinct shared shingles, broadcast bench side") {
+    val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta unrelated words here"),   // 2 shared 3-grams
+      (2L, "alpha beta gamma delta alpha beta gamma delta"), // dups count once
+      (3L, "nothing in common at all today friends")
+    ).toDF("doc_id", "text")
+    val out = TextOps.contaminationHits(corpus, bench, "doc_id", "text", 3)
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq
+    // doc 1 shares "alpha beta gamma" + "beta gamma delta"; doc 2 shares the
+    // same two, each counted once despite repeating; doc 3 absent
+    assert(out == Seq((1L, 2L), (2L, 2L)))
+  }
+
+  test("repetitionSignals: duplicate-gram fraction and top-gram share") {
+    val docs = Seq(
+      (1L, "a b a b a b"),     // 2-grams: ab,ba,ab,ba,ab → total 5, distinct 2, top 3
+      (2L, "w x y z")          // 3 distinct 2-grams, no repeats
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionSignals(docs, "doc_id", "text", 2)
+      .orderBy("doc_id").as[(Long, Long, Double, Double)].collect().toSeq
+    assert(out == Seq(
+      (1L, 5L, BigDecimal(1 - 2.0 / 5).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble, 0.6),
+      (2L, 3L, 0.0, BigDecimal(1.0 / 3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
+  test("redactPii replaces emails and phones with tags; piiCounts audits") {
+    val df = Seq(
+      (1L, "reach me at jo.doe+x@mail-svc.example.org or +47-555-1234 ok"),
+      (2L, "no pii here"),
+      (3L, "two mails a@b.co c@d.org and +1-555-0000")
+    ).toDF("doc_id", "text")
+    val (ne, np) = TextOps.piiCounts(col("text"))
+    val out = df.select(col("doc_id"), TextOps.redactPii(col("text")).as("r"),
+        ne.as("ne"), np.as("np"))
+      .orderBy("doc_id").as[(Long, String, Int, Int)].collect().toSeq
+    assert(out(0)._2 == "reach me at [EMAIL] or [PHONE] ok")
+    assert((out(0)._3, out(0)._4) == ((1, 1)))
+    assert(out(1)._2 == "no pii here" && out(1)._3 == 0 && out(1)._4 == 0)
+    assert(out(2)._2 == "two mails [EMAIL] [EMAIL] and [PHONE]")
+  }
+
   test("char n-grams + n-gram language-ID heuristic") {
     def grams(s: String, n: Int): Seq[String] =
       Seq(s).toDF("t").select(TextOps.charNgrams(col("t"), n).as("g"))
