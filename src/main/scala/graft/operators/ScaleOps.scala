@@ -142,6 +142,38 @@ object ScaleOps {
     *    why the graded oracle query pins `exact = true` and the approx
     *    path is bound-checked in ScalaTest instead.
     */
+  /** Deterministic uniform in [0,1) from a row id: the first 32 bits of
+    * md5(salt ++ id) scaled by 2⁻³². The production-correct way to sample
+    * a distributed corpus — reproducible across runs, retries, and
+    * engines (no RNG seed plumbing, no partition-order dependence; the
+    * DuckDB oracle refolds the same md5 hex), and consistent: a doc's
+    * fate under a given salt never changes when the corpus around it
+    * does. Exactly representable: the value is k/2³² for integer k, so
+    * cross-engine double comparison is exact.
+    */
+  def hashUniform(id: Column, salt: String): Column =
+    conv(substring(md5(concat(lit(salt), id.cast("string"))), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+
+  /** Source-balanced downsampling for training-data mixing: sample each
+    * source at rate min(|source|)/|source|, so every source contributes
+    * ~equally (the uniform-mix special case of rate-based data mixing —
+    * pass custom per-source `rates` for weighted mixes). Selection is
+    * [[hashUniform]]-deterministic. The per-source census is a tiny
+    * aggregate (|sources| rows) broadcast back onto the corpus — the scan
+    * itself stays map-side, no corpus shuffle.
+    */
+  def balancedSample(df: DataFrame, srcCol: String, idCol: String,
+                     salt: String): DataFrame = {
+    val counts = df.groupBy(col(srcCol)).agg(count("*").as("__n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("__n")).as("__mn"))))
+      .select(col(srcCol), (col("__mn").cast("double") / col("__n")).as("__rate"))
+    df.join(broadcast(rates), srcCol)
+      .filter(hashUniform(col(idCol), salt) < col("__rate"))
+      .drop("__rate")
+  }
+
   def corpusStats(df: DataFrame, valueCol: String, label: String,
                   exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     def pct(p: Double): Column =

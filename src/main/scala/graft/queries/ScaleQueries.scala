@@ -779,6 +779,31 @@ object ScaleQueries {
              |    '\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g') redacted
              |FROM f ORDER BY doc_id""".stripMargin)),
 
+    // Balanced hash sampling for data mixing (x24): downsample every lang
+    // to the size of the smallest (en 218 → ~64 at sf0.01) with a
+    // DETERMINISTIC md5-derived uniform — reproducible across runs,
+    // engines, and retries, no RNG seed plumbing. The oracle refolds the
+    // same md5 hex base-16 (the x4 idiom) so even the per-row keep/drop
+    // decision is hash-checked. Census + rates are a tiny broadcast; the
+    // corpus scan stays map-side.
+    QuerySpec("x24_balanced_sample", (s, d) =>
+      graft.operators.ScaleOps.balancedSample(
+        t(s, d, "documents").select("doc_id", "lang"),
+        "lang", "doc_id", salt = "mix1:")
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT lang, count(*) n FROM documents GROUP BY lang),
+             |m AS (SELECT min(n) mn FROM c),
+             |r AS (SELECT lang, CAST(mn AS DOUBLE)/n rate FROM c, m),
+             |u AS (SELECT doc_id, lang,
+             |  list_reduce(list_transform(range(1, 9),
+             |    i -> CAST(strpos('0123456789abcdef',
+             |      substr(md5('mix1:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |    (a, b) -> a*16 + b) / 4294967296.0 uval
+             |  FROM documents)
+             |SELECT u.doc_id, u.lang FROM u JOIN r USING (lang)
+             |WHERE u.uval < r.rate ORDER BY doc_id""".stripMargin)),
+
     // As-of join (J5): each purchase aligned with the user's latest view
     // at-or-before it. The oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
     // independent implementation of the semantics, not a rendering of the

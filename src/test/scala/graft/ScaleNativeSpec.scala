@@ -281,6 +281,30 @@ class ScaleNativeSpec extends SparkSpec {
     }
   }
 
+  test("hashUniform is deterministic, salt-sensitive, in [0,1); " +
+    "balancedSample equalizes skewed groups and is run-stable") {
+    val u = (1L to 200L).toDF("id")
+      .select(ScaleOps.hashUniform(col("id"), "s1:").as("u"),
+        ScaleOps.hashUniform(col("id"), "s2:").as("u2"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    assert(u.forall { case (a, b) => a >= 0.0 && a < 1.0 && b >= 0.0 && b < 1.0 })
+    assert(u.count { case (a, b) => a != b } > 190) // salts decorrelate
+    // skewed groups: 160 'big' + 40 'small'
+    val docs = (1L to 200L).map(i => (i, if (i <= 160) "big" else "small"))
+      .toDF("id", "src")
+    val kept = ScaleOps.balancedSample(docs, "src", "id", "mix:")
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(kept("small") == 40L) // rate 1.0 keeps everything
+    // big sampled at 0.25: expectation 40, binomial sd ≈ 5.5
+    assert(kept("big") > 20L && kept("big") < 60L, s"got ${kept("big")}")
+    // deterministic: a second run keeps the identical id set
+    val a = ScaleOps.balancedSample(docs, "src", "id", "mix:")
+      .select("id").as[Long].collect().toSet
+    val b = ScaleOps.balancedSample(docs, "src", "id", "mix:")
+      .select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("bucketed join plans without an Exchange on either side") {
     for (t <- Seq("bkt_a", "bkt_b")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
