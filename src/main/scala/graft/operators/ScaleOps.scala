@@ -169,10 +169,20 @@ object ScaleOps {
     val rates = counts
       .crossJoin(broadcast(counts.agg(min(col("__n")).as("__mn"))))
       .select(col(srcCol), (col("__mn").cast("double") / col("__n")).as("__rate"))
+    sampleByRates(df, srcCol, idCol, salt, rates)
+  }
+
+  /** Weighted data mixing: sample each source at its own rate (a frame of
+    * (source, __rate) — e.g. upweight code, downweight crawl). Same
+    * [[hashUniform]] determinism; rates are a broadcast-sized dimension.
+    * Rates > 1 keep everything (uniform is < 1 by construction) — upsample
+    * by unioning extra epochs with distinct salts instead.
+    */
+  def sampleByRates(df: DataFrame, srcCol: String, idCol: String,
+                    salt: String, rates: DataFrame): DataFrame =
     df.join(broadcast(rates), srcCol)
       .filter(hashUniform(col(idCol), salt) < col("__rate"))
       .drop("__rate")
-  }
 
   def corpusStats(df: DataFrame, valueCol: String, label: String,
                   exact: Boolean = true, accuracy: Int = 10000): DataFrame = {

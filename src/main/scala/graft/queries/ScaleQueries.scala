@@ -804,6 +804,29 @@ object ScaleQueries {
              |SELECT u.doc_id, u.lang FROM u JOIN r USING (lang)
              |WHERE u.uval < r.rate ORDER BY doc_id""".stripMargin)),
 
+    // Hourly resample + gap fill (x25): every user's span expanded to a
+    // dense hourly grid with zero-filled empty buckets (sequence+explode
+    // from each key's span row — no driver calendar, no cross join). The
+    // oracle regenerates the grid with generate_series. Restricted to
+    // user_id % 10 = 0 to keep the dumped grid bounded at sf0.1.
+    QuerySpec("x25_resample_gapfill", (s, d) =>
+      graft.operators.Resample.gapFillHourly(
+        t(s, d, "events").filter(col("user_id") % 10 === 0),
+        "user_id", "ts", "value")
+        .withColumn("sum_value", round(col("sum_value"), 3))
+        .orderBy("user_id", "hour"),
+      Some("""WITH b AS (SELECT user_id, date_trunc('hour', ts) h,
+             |    count(*) n_events, sum(value) sum_value
+             |  FROM events WHERE user_id % 10 = 0 GROUP BY 1, 2),
+             |s AS (SELECT user_id, min(h) mn, max(h) mx FROM b GROUP BY 1),
+             |g AS (SELECT user_id, unnest(generate_series(mn, mx,
+             |    INTERVAL 1 HOUR)) h FROM s)
+             |SELECT g.user_id, g.h AS hour,
+             |  coalesce(b.n_events, 0) n_events,
+             |  round(coalesce(b.sum_value, 0.0), 3) sum_value
+             |FROM g LEFT JOIN b USING (user_id, h)
+             |ORDER BY 1, 2""".stripMargin)),
+
     // As-of join (J5): each purchase aligned with the user's latest view
     // at-or-before it. The oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
     // independent implementation of the semantics, not a rendering of the

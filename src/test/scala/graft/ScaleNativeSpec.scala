@@ -305,6 +305,25 @@ class ScaleNativeSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("gapFillHourly zero-fills interior gaps per key, spans are per-key") {
+    import graft.operators.Resample
+    val ev = Seq(
+      (7L, "2024-01-01 10:15:00", 1.0),
+      (7L, "2024-01-01 10:45:00", 2.0), // same bucket as above
+      (7L, "2024-01-01 13:05:00", 4.0), // leaves 11:00 and 12:00 empty
+      (9L, "2024-01-01 03:00:00", 8.0)  // single-bucket key: no gap rows
+    ).toDF("user_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val out = Resample.gapFillHourly(ev, "user_id", "ts", "value")
+      .orderBy("user_id", "hour")
+      .select(col("user_id"), date_format(col("hour"), "HH").cast("int").as("h"),
+        col("n_events"), col("sum_value"))
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      (7L, 10, 2L, 3.0), (7L, 11, 0L, 0.0), (7L, 12, 0L, 0.0),
+      (7L, 13, 1L, 4.0), (9L, 3, 1L, 8.0)))
+  }
+
   test("bucketed join plans without an Exchange on either side") {
     for (t <- Seq("bkt_a", "bkt_b")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
