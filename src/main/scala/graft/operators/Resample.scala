@@ -22,12 +22,20 @@ object Resample {
     * are on the natural keys; skew in grid length is bounded by
     * span/step, not event count, so a hot key with a billion events
     * costs the same grid as a cold one.
+    *
+    * `buckets` feeds two consumers (span agg + join); without
+    * materialization Spark re-derives each from a separate full scan of
+    * `events`. It is checkpointed once — the bucketed frame is the
+    * already-reduced (key, hour) side, orders of magnitude smaller than
+    * raw events — and the blocks are released by the caller's normal
+    * per-query cleanup (Bench releases persistent RDDs between queries).
     */
   def gapFillHourly(events: DataFrame, keyCol: String, tsCol: String,
                     valCol: String): DataFrame = {
     val buckets = events
       .groupBy(col(keyCol), date_trunc("hour", col(tsCol)).as("hour"))
       .agg(count("*").as("n_events"), sum(col(valCol)).as("sum_value"))
+      .localCheckpoint(true)
     val grid = buckets
       .groupBy(col(keyCol))
       .agg(min("hour").as("__min_h"), max("hour").as("__max_h"))
