@@ -557,6 +557,28 @@ object ParityQueries {
         .orderBy("id")
     }, Some(m1OracleSql)),
 
+    // T4 — JSON-lines source round-trip: the reference's raw payloads are
+    // JSON (api.clickup.com responses); re-expressed as the Spark `json`
+    // data source. A deterministic events slice is written as JSON lines
+    // and read back with an explicit schema + microsecond timestampFormat
+    // (the default format truncates micros — a silent precision loss this
+    // query would catch as a hash mismatch). Oracle reads the same slice
+    // straight from parquet: the JSON hop must be value-exact.
+    QuerySpec("t4_json_source", (s, d) => {
+      val ev = t(s, d, "events").filter(col("event_id") % 100 === 0)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val dir = java.nio.file.Files.createTempDirectory("graft_json").toString + "/ev"
+      val fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+      ev.write.option("timestampFormat", fmt).json(dir)
+      val back = s.read.schema(ev.schema).option("timestampFormat", fmt)
+        .json(dir).localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      back.orderBy("event_id")
+    },
+      Some("""SELECT event_id, ts, user_id, event_type, value, props
+             |FROM events WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin)),
+
     QuerySpec("m2_merge_full_reindex", (s, d) => {
       val ev = t(s, d, "events")
       val fact = ev.filter(col("event_id") % 3 === 0)
