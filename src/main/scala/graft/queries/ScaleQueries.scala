@@ -804,6 +804,27 @@ object ScaleQueries {
              |SELECT u.doc_id, u.lang FROM u JOIN r USING (lang)
              |WHERE u.uval < r.rate ORDER BY doc_id""".stripMargin)),
 
+    // Per-doc TF-IDF top terms (x26): rational smoothed form
+    // tf·(N+1)/(df+1) — same ranking as the log form but transcendental-
+    // free, so the oracle's doubles agree bit-for-bit. The tf aggregate is
+    // checkpointed once and feeds df, N, and the score join; the per-doc
+    // top-3 is a rank window (WindowGroupLimit = map-side partial top-k).
+    QuerySpec("x26_tfidf_top_terms", (s, d) =>
+      TextOps.tfidfTopTerms(t(s, d, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank"),
+      Some("""WITH toks AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) term
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |tf AS (SELECT doc_id, term, count(*) tf FROM toks GROUP BY 1, 2),
+             |dfreq AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+             |n AS (SELECT count(DISTINCT doc_id) nd FROM tf),
+             |sc AS (SELECT t.doc_id, t.term,
+             |    t.tf * (nd + 1.0) / (d.df + 1.0) s,
+             |    row_number() OVER (PARTITION BY t.doc_id
+             |      ORDER BY t.tf * (nd + 1.0) / (d.df + 1.0) DESC, t.term) rk
+             |  FROM tf t JOIN dfreq d USING (term), n)
+             |SELECT doc_id, term, CAST(rk AS INT) rank, round(s, 4) score
+             |FROM sc WHERE rk <= 3 ORDER BY doc_id, rank""".stripMargin)),
+
     // Hourly resample + gap fill (x25): every user's span expanded to a
     // dense hourly grid with zero-filled empty buckets (sequence+explode
     // from each key's span row — no driver calendar, no cross join). The

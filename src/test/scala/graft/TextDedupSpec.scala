@@ -222,6 +222,21 @@ class TextDedupSpec extends SparkSpec {
       (2L, 3L, 0.0, BigDecimal(1.0 / 3).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)))
   }
 
+  test("tfidfTopTerms ranks rare repeated terms first, deterministic ties") {
+    val docs = Seq(
+      (1L, "rare rare common common common"),
+      (2L, "common common other"),
+      (3L, "common zebra")
+    ).toDF("doc_id", "text")
+    val out = TextOps.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank")
+      .select("doc_id", "term", "rank").as[(Long, String, Int)].collect().toSeq
+    // doc 1: "rare" tf=2 df=1 → 2·4/2=4.0 beats "common" tf=3 df=3 → 3·4/4=3.0
+    assert(out.take(2) == Seq((1L, "rare", 1), (1L, "common", 2)))
+    // doc 3: zebra (1·4/2=2.0) beats common (1·4/4=1.0)
+    assert(out.drop(4) == Seq((3L, "zebra", 1), (3L, "common", 2)))
+  }
+
   test("redactPii replaces emails and phones with tags; piiCounts audits") {
     val df = Seq(
       (1L, "reach me at jo.doe+x@mail-svc.example.org or +47-555-1234 ok"),
