@@ -27,6 +27,7 @@ object Bench {
     // apart and don't share one cache eviction) land inside the steady-state
     // envelope reproducibly; a single pass cannot.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
+    require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)

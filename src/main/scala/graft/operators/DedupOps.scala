@@ -286,9 +286,13 @@ object DedupOps {
           least(col(aCol), col(bCol)).as("v"))
         .filter(col("u") =!= col("v")).distinct())
     // Convergence probe: ONE aggregate over the already-checkpointed frame
-    // — (row count, wrapping sum of xxhash64(u,v)), order-invariant, so
-    // equal signatures on two distinct-row edge sets mean set equality up
-    // to a 2^-64-scale checksum collision. The earlier
+    // — (row count, XOR-fold of xxhash64(u,v)), order-invariant, so equal
+    // signatures on two distinct-row edge sets mean set equality up to a
+    // 2^-64-scale checksum collision. bit_xor (not a wrapping sum): XOR
+    // has no overflow semantics at all, so the probe behaves identically
+    // under spark.sql.ansi.enabled — a LongType sum would throw on
+    // overflow in ANSI mode. XOR cancellation of repeated rows is moot
+    // here because both frames are `.distinct()`. The earlier
     // `next.count() == edges.count() && next.except(edges).isEmpty` form
     // was three actions per round, one of them a full distinct shuffle
     // over the edge set — it doubled the round cost of an algorithm whose
@@ -296,7 +300,8 @@ object DedupOps {
     // signature carries across iterations, so convergence costs a single
     // cheap scan of the new frame per round.
     def edgeSig(df: DataFrame): (Long, Long) = {
-      val r = df.agg(count(lit(1)), sum(xxhash64(col("u"), col("v")))).head()
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(u, v))")).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
     var prevSig = edgeSig(edges)

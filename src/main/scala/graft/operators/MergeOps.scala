@@ -200,8 +200,18 @@ object MergeOps {
     * date-partitioned fact, rewriting only the affected partitions: the
     * incoming rows' dates plus the old partitions of any id that moved
     * (its stale copy must vanish from where it used to live). The
-    * per-micro-batch kernel of the partitioned streaming merge — per-batch
-    * cost is O(batch + affected partitions), not O(table).
+    * per-micro-batch kernel of the partitioned streaming merge.
+    *
+    * Cost, stated precisely: WRITES are O(batch + affected partitions) —
+    * out-of-window partition files are never rewritten. The stale-id
+    * probe, however, is a column-pruned READ of (keyCol, dateCol) across
+    * the whole fact per batch: a stale copy of a batch id can live under
+    * any date, so without a secondary index the probe cannot prune. At
+    * 100 TB that read is two thin columns against a broadcast id set
+    * (no shuffle), but it is not free; a deployment where the batch:table
+    * ratio makes it hurt should maintain a compact id→date index table
+    * (bucketed by id) and probe that instead — the write path here is
+    * unchanged by such an index.
     */
   def upsertPartitioned(spark: org.apache.spark.sql.SparkSession,
                         factPath: String, rows: DataFrame,

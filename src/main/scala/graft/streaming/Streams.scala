@@ -480,9 +480,12 @@ object Streams {
     * runs [[MergeOps.upsertPartitioned]] — rewriting only the batch's date
     * partitions plus the old partitions of moved ids — and the end-of-cycle
     * windowed delete runs [[MergeOps.sweepPartitionedWindow]] over window
-    * partitions only. Per-batch cost: O(batch + window partitions).
-    * Out-of-window partitions are never read, never rewritten (file-level
-    * assertion in DedupMergeSpec). Same slicing contract and same final
+    * partitions only. Per-batch WRITE cost: O(batch + affected
+    * partitions); out-of-window partition FILES are never rewritten
+    * (file-level assertion in DedupMergeSpec). The per-batch stale-id
+    * probe does read (keyCol, dateCol) — column-pruned — across all
+    * partitions; see [[MergeOps.upsertPartitioned]] for the precise cost
+    * statement and the id-index escape hatch. Same slicing contract and same final
     * fact as the full-table variant: byte-equal to single-shot
     * `MergeOps.mergeRefresh`, graded against the identical m1 oracle.
     *
@@ -506,21 +509,39 @@ object Streams {
         // stale-date probe, partition rewrite)
         val bw = prepBatch(batch).filter(inWindow(col(dateCol)))
           .localCheckpoint(true)
-        bw.select(col(keyCol)).write.mode(SaveMode.Append).parquet(seenIdsPath)
-        val factP = new org.apache.hadoop.fs.Path(factPath)
-        val fs = factP.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        if (fs.exists(factP))
-          MergeOps.upsertPartitioned(spark, factPath, bw, dateCol, keyCol)
-        else
-          MergeOps.overwriteDatePartitions(bw, factPath, dateCol)
+        // An all-out-of-window batch writes NOTHING: a partitioned write of
+        // an empty frame creates a directory with no data files, and the
+        // next batch's schema inference over factPath would then fail.
+        // Leaving factPath nonexistent until the first in-window row keeps
+        // both reads (upsert probe, sweep) well-defined.
+        if (!bw.isEmpty) {
+          bw.select(col(keyCol)).write.mode(SaveMode.Append).parquet(seenIdsPath)
+          val factP = new org.apache.hadoop.fs.Path(factPath)
+          val fs = factP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          if (fs.exists(factP))
+            MergeOps.upsertPartitioned(spark, factPath, bw, dateCol, keyCol)
+          else
+            MergeOps.overwriteDatePartitions(bw, factPath, dateCol)
+        }
         ()
       }
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    MergeOps.sweepPartitionedWindow(spark,
-      factPath, spark.read.parquet(seenIdsPath).distinct(), days, todayOslo,
-      dateCol, keyCol)
+    // If no batch carried an in-window row, factPath was never created and
+    // there is nothing to sweep. If the fact pre-existed (e.g. a prior
+    // cycle) but THIS cycle asserted no ids, sweep with an empty seen set —
+    // every in-window row is stale by the window contract.
+    val factP = new org.apache.hadoop.fs.Path(factPath)
+    val fs = factP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(factP)) {
+      val seenP = new org.apache.hadoop.fs.Path(seenIdsPath)
+      val seen =
+        if (fs.exists(seenP)) spark.read.parquet(seenIdsPath).distinct()
+        else spark.read.parquet(factPath).select(col(keyCol)).limit(0)
+      MergeOps.sweepPartitionedWindow(spark, factPath, seen, days, todayOslo,
+        dateCol, keyCol)
+    }
   }
 }
