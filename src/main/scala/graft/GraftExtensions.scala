@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 
-import graft.functions.{CosineSimilarity, SortedArrayIntersectCount}
+import graft.functions.{CosineSimilarity, NfcNormalize, SortedArrayIntersectCount}
 
 /** SparkSessionExtensions hook: registers the engine's native expressions
   * so they're callable from SQL (`SELECT graft_cosine(a, b)`) as well as
@@ -15,5 +15,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(CosineSimilarity.registration)
     ext.injectFunction(SortedArrayIntersectCount.registration)
+    ext.injectFunction(NfcNormalize.registration)
   }
 }

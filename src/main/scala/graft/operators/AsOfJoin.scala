@@ -1,20 +1,23 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** As-of join: for each left row, attach the single nearest right row at or
-  * before (backward) / at or after (forward) its timestamp within the same
-  * key — the event-alignment operator (state/features as of a timestamp)
-  * that Spark's built-in join types lack. A naive range join explodes to
-  * one row per (left, candidate right) pair before picking the nearest;
-  * instead the two sides are unioned and swept with ONE
-  * `last(struct(rightCols), ignoreNulls)` over a (key, time) window:
+  * before (backward) / at or after (forward) / on either side (nearest) of
+  * its timestamp within the same key — the event-alignment operator
+  * (state/features as of a timestamp) that Spark's built-in join types
+  * lack. A naive range join explodes to one row per (left, candidate
+  * right) pair before picking the nearest; instead the two sides are
+  * unioned and swept with `last(struct(rightCols), ignoreNulls)` over a
+  * (key, time) window:
   *
   *  - ONE hash shuffle on the key + a per-partition sort — the same
   *    shuffle shape as any grouped window, independent of how many right
-  *    rows precede each left row;
+  *    rows precede each left row; `nearest` adds a second per-partition
+  *    sort (the opposite time order) over the SAME exchange, still one
+  *    shuffle;
   *  - the fill is a single struct of all right columns, never per-column
   *    windows: the struct is non-null exactly on right rows, so a null in
   *    an individual payload column of the matched row SURVIVES (it is not
@@ -34,11 +37,16 @@ import org.apache.spark.sql.functions._
   * backward+inclusive is `right.ts <= left.ts` (the default), forward is
   * `right.ts >= left.ts` picking the EARLIEST such right row — implemented
   * by the same window over the descending timestamp order, so both
-  * directions cost the same single shuffle.
+  * directions cost the same single shuffle. `nearest` computes both fills
+  * and keeps whichever right row is closer in time, ties going to the
+  * backward (earlier) match — pandas' tie rule. `nearest` requires the
+  * two ts columns to be TimestampType (distances are compared in epoch
+  * microseconds).
   *
   * The graded oracles (j5 backward-inclusive, j5b forward-exclusive) are
   * DuckDB's native ASOF LEFT JOIN — an independent implementation of the
-  * same semantics, not a rendering of the engine's union+window plan.
+  * same semantics, not a rendering of the engine's union+window plan; j5c
+  * (nearest) is graded against a DuckDB LATERAL nearest-row subquery.
   * Skew note: a hot key concentrates one partition exactly as any
   * windowed aggregation would; pre-split hot keys by time range and
   * carry boundary state if a single key's history exceeds one executor.
@@ -50,15 +58,17 @@ object AsOfJoin {
                prefix: String = "asof_",
                direction: String = "backward",
                allowExactMatches: Boolean = true): DataFrame = {
-    require(direction == "backward" || direction == "forward",
-      s"direction must be 'backward' or 'forward', got '$direction'")
+    require(Set("backward", "forward", "nearest")(direction),
+      s"direction must be 'backward', 'forward' or 'nearest', got '$direction'")
     val leftCols = left.columns.toSeq
     val lSide = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__isl", lit(1))
+    // the right ts rides inside the payload struct (as __rts) so `nearest`
+    // can compare distances after the fill without a second lookup
     val rBase = right.select(
       (keyCols.map(col) :+ col(rightTs).as("__ts")) :+
-        struct(rightCols.map(col): _*).as("__pay"): _*)
+        struct(col(rightTs).as("__rts") +: rightCols.map(col): _*).as("__pay"): _*)
       .withColumn("__isl", lit(0))
     val payType = rBase.schema("__pay").dataType
     val lTagged = lSide.withColumn("__pay", lit(null).cast(payType))
@@ -72,13 +82,29 @@ object AsOfJoin {
     // RIGHT rows share (key, ts), the winner is the one with the greatest
     // first right column (left rows are unaffected — __isl already orders
     // them relative to every same-ts right row).
-    val tsOrd = if (direction == "forward") col("__ts").desc else col("__ts").asc
-    val sideOrd = if (allowExactMatches) col("__isl").asc else col("__isl").desc
-    val w = Window.partitionBy(keyCols.map(col): _*)
-      .orderBy(tsOrd, sideOrd, col("__pay").getField(rightCols.head).asc_nulls_first)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = unioned
-      .withColumn("__pay", last(col("__pay"), ignoreNulls = true).over(w))
+    def fill(dir: String, out: String)(df: DataFrame): DataFrame = {
+      val tsOrd = if (dir == "forward") col("__ts").desc else col("__ts").asc
+      val sideOrd = if (allowExactMatches) col("__isl").asc else col("__isl").desc
+      val w = Window.partitionBy(keyCols.map(col): _*)
+        .orderBy(tsOrd, sideOrd, col("__pay").getField(rightCols.head).asc_nulls_first)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      df.withColumn(out, last(col("__pay"), ignoreNulls = true).over(w))
+    }
+    val filled = direction match {
+      case "nearest" =>
+        val both = fill("forward", "__payF")(fill("backward", "__payB")(unioned))
+        val distB: Column =
+          unix_micros(col("__ts")) - unix_micros(col("__payB").getField("__rts"))
+        val distF: Column =
+          unix_micros(col("__payF").getField("__rts")) - unix_micros(col("__ts"))
+        both.withColumn("__pay",
+            when(col("__payF").isNull, col("__payB"))
+              .when(col("__payB").isNull, col("__payF"))
+              .when(distB <= distF, col("__payB"))
+              .otherwise(col("__payF")))
+          .drop("__payB", "__payF")
+      case dir => fill(dir, "__pay")(unioned)
+    }
     val unpacked = rightCols.foldLeft(filled) { (df, c) =>
       df.withColumn(prefix + c, col("__pay").getField(c))
     }

@@ -88,11 +88,25 @@ object ScaleOps {
     */
   def tokenBudgetPack(df: DataFrame, tokCol: String, orderCol: String,
                       idCol: String, budget: Long,
-                      partitions: Int = 0): DataFrame = {
+                      partitions: Int = 0): DataFrame =
+    withRunningSum(df, tokCol, Seq(col(orderCol).desc, col(idCol)),
+      partitions) { r =>
+      r.filter(col("__cum") <= budget).withColumnRenamed("__cum", "cum_tok")
+    }
+
+  /** The shared scale kernel of [[tokenBudgetPack]] and [[sequencePack]]:
+    * attach a global running sum of `tokCol` (as `__cum`) over the total
+    * order given by `sortCols`, then apply `finish` and materialize.
+    * `finish` runs BEFORE the checkpoint so budget cuts shrink what is
+    * persisted.
+    */
+  private def withRunningSum(df: DataFrame, tokCol: String,
+                             sortCols: Seq[Column], partitions: Int)
+                            (finish: DataFrame => DataFrame): DataFrame = {
     val n = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val (ranged, releaseRanged) = Checkpoints.tracked(df
-      .repartitionByRange(n, col(orderCol).desc, col(idCol))
+      .repartitionByRange(n, sortCols: _*)
       .withColumn("__pid", spark_partition_id()))
     // coalesce: a partition whose tokCol values are ALL null (null-text
     // docs sort together under the range order) sums to null — its slice
@@ -110,20 +124,38 @@ object ScaleOps {
       entry
     }.toMap
     val w = Window.partitionBy(col("__pid"))
-      .orderBy(col(orderCol).desc, col(idCol))
+      .orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val offExpr = coalesce(
       element_at(typedLit(offsetOf), col("__pid")), lit(0L))
-    // materialize the (budget-bounded) result, then release the pinned
-    // range layout — operators that cache internally must not leak
-    // storage for the session lifetime
-    val out = ranged.withColumn("__cum", sum(col(tokCol)).over(w) + offExpr)
-      .filter(col("__cum") <= budget)
-      .withColumnRenamed("__cum", "cum_tok")
-      .drop("__pid")
+    // materialize the finished result, then release the pinned range
+    // layout — operators that cache internally must not leak storage for
+    // the session lifetime
+    val out = finish(
+      ranged.withColumn("__cum", sum(col(tokCol)).over(w) + offExpr)
+        .drop("__pid"))
       .localCheckpoint(true)
     releaseRanged()
     out
+  }
+
+  /** Sequence packing for training-data prep: assign documents, in corpus
+    * order, to contiguous fixed-token-budget bins (`bin_id`) — the
+    * standard "pack documents into ~seqLen-token training sequences"
+    * step. A document starts in the bin its running prefix lands in:
+    * bin_id = floor((cum − n_tok) / seqLen). Same
+    * partition-boundary-invariant prefix-sum kernel as
+    * [[tokenBudgetPack]] — no single-partition sort, offsets are
+    * metadata. Output: input columns + `cum_tok` + `bin_id`.
+    */
+  def sequencePack(df: DataFrame, tokCol: String, idCol: String,
+                   seqLen: Long, partitions: Int = 0): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    withRunningSum(df, tokCol, Seq(col(idCol).asc), partitions) { r =>
+      r.withColumn("bin_id",
+          floor((col("__cum") - col(tokCol)) / seqLen).cast("long"))
+        .withColumnRenamed("__cum", "cum_tok")
+    }
   }
 
   /** Corpus-level distribution stats over one numeric column (x16):
@@ -183,6 +215,45 @@ object ScaleOps {
     df.join(broadcast(rates), srcCol)
       .filter(hashUniform(col(idCol), salt) < col("__rate"))
       .drop("__rate")
+
+  /** Temperature-flattened mixture sampling with EXACT per-group quotas —
+    * the α = 0.5 "temperature sampling" used to rebalance multilingual /
+    * multi-source training mixes (cf. the language-sampling exponent in
+    * Conneau & Lample, "Cross-lingual Language Model Pretraining", 2019):
+    * group g gets quota min(n_g, floor(sqrt(n_g) · scale)), so
+    * heavy groups are damped toward sqrt while light groups survive
+    * whole. Members are ranked by the deterministic [[hashUniform]]
+    * (ties → idCol) and the first quota_g survive — unlike Bernoulli
+    * rate-sampling ([[sampleByRates]]) the output size is exact, and
+    * unlike RNG sampling it is reproducible across runs, engines, and
+    * retries.
+    *
+    * Reproducibility note: sqrt is an IEEE correctly-rounded operation
+    * (a general `pow(n, α)` is NOT), and `scale` should be a power of two
+    * so the product is exact — then the quota is bit-identical in any
+    * engine and the DuckDB oracle can re-derive it.
+    *
+    * Plan: census aggregate (|groups| rows, broadcast back) + one
+    * row_number window partitioned by group. A group far larger than an
+    * executor's sort budget should instead run the two-pass variant:
+    * approximate the quota'th hashUniform value per group with
+    * approx_percentile, filter map-side, and exact-rank only the boundary
+    * sliver.
+    */
+  def temperatureQuotaSample(df: DataFrame, srcCol: String, idCol: String,
+                             salt: String, scale: Double): DataFrame = {
+    val quotas = df.groupBy(col(srcCol)).agg(count("*").as("__n"))
+      .select(col(srcCol),
+        least(col("__n"),
+          floor(sqrt(col("__n").cast("double")) * scale).cast("long")).as("__q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(srcCol))
+      .orderBy(hashUniform(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .join(broadcast(quotas), srcCol)
+      .filter(col("__rk") <= col("__q"))
+      .drop("__rk", "__q")
+  }
 
   def corpusStats(df: DataFrame, valueCol: String, label: String,
                   exact: Boolean = true, accuracy: Int = 10000): DataFrame = {

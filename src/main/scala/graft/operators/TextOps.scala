@@ -263,4 +263,70 @@ object TextOps {
   def rollingHash(text: Column, mod: Long = 1000000007L, mult: Long = 31L): Column =
     aggregate(filter(split(text, ""), ch => length(ch) > 0), lit(0L),
       (acc, ch) => pmod(acc * mult + ascii(ch), lit(mod)))
+
+  /** Cross-document duplicate-SPAN removal: every word `n`-gram that occurs
+    * in ≥ 2 distinct documents marks its n-token span in each of them;
+    * marked tokens are deleted and the survivors rejoined — the
+    * substring-level dedup of Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better" (2022), at word granularity. Unlike
+    * document-level near-dedup (x2/x3/x4), this removes boilerplate that
+    * rides INSIDE otherwise-unique documents.
+    *
+    * Plan (all hash shuffles, nothing quadratic):
+    *  1. shingle with start positions (posexplode over [[shingles]] — the
+    *     array index IS the start-token index);
+    *  2. duplicated grams = groupBy(gram) having count_distinct(doc) ≥ 2
+    *     (two-level hash aggregate);
+    *  3. covered positions = dup-gram occurrences exploded to their n
+    *     token offsets, distinct per (doc, pos);
+    *  4. kept tokens = posexplode(tokens) anti-join covered, then
+    *     per-doc sort-free reassembly: collect_list of (pos, tok) structs,
+    *     array_sort (struct order = pos order), transform + array_join.
+    * The duplicated-gram frame joins by shuffle, not broadcast — its size
+    * is corpus-dependent and unbounded. `hashGrams = true` is the 100 TB
+    * form: steps 2-3 group and join on `xxhash64(gram)` (8 bytes) instead
+    * of the n-word string, shrinking the gram shuffle payload; a hash
+    * collision between distinct grams can only ever delete an extra span,
+    * at risk ~2⁻⁶⁴·|grams|², and the two modes are asserted output-equal
+    * in ScalaTest. The graded query (x28) runs the string form so the
+    * DuckDB oracle checks the exact semantics.
+    *
+    * Output: (idCol, text_clean, n_removed) — one row per input document,
+    * empty-text documents included with text_clean = '' and n_removed = 0.
+    */
+  def removeDuplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int, hashGrams: Boolean = false): DataFrame = {
+    val gramKey = if (hashGrams) xxhash64(col("col")) else col("col")
+    val grams = docs.select(col(idCol),
+      posexplode(shingles(col(textCol), n)))
+      .withColumnRenamed("pos", "__i")
+      .withColumn("__g", gramKey).drop("col")
+    val dup = grams.groupBy(col("__g"))
+      .agg(countDistinct(col(idCol)).as("__nd"))
+      .filter(col("__nd") >= 2).select("__g")
+    // materialized once: covered feeds BOTH the anti-join and the removal
+    // counts — without this the whole shingle→dup-gram pipeline runs twice
+    // (it is the plan's only reused subtree; Verify/Bench release the
+    // blocks per-query)
+    val covered = grams.join(dup, "__g")
+      .select(col(idCol),
+        explode(sequence(col("__i"), col("__i") + lit(n - 1))).as("__p"))
+      .distinct()
+      .localCheckpoint(true)
+    val tokPos = docs.select(col(idCol), posexplode(tokens(col(textCol))))
+      .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__t")
+    val kept = tokPos.join(covered, Seq(idCol, "__p"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("__p"), col("__t")))),
+        x => x("__t")), " ").as("text_clean"))
+    val removed = covered.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_removed"))
+    docs.select(col(idCol))
+      .join(kept, Seq(idCol), "left")
+      .join(removed, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+  }
 }

@@ -500,6 +500,119 @@ object ParityQueries {
       Some("""SELECT count(*) n, count(DISTINCT user_id) nd_users,
              |min(ts) min_ts, max(ts) max_ts FROM events""".stripMargin)),
 
+    // A10: ROLLUP subtotals — detail rows, per-returnflag subtotals and the
+    // grand total in one pass (Spark plans grouping sets as a single
+    // Expand + hash aggregate, not one job per level). grouping_id()
+    // disambiguates a NULL group value from a subtotal row; DuckDB's
+    // GROUPING(a, b) uses the identical bitmask convention (verified:
+    // detail 0, per-a 1, grand 3).
+    QuerySpec("a10_rollup",
+      (s, d) => t(s, d, "lineitem").rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"),
+          grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus, round(sum(l_quantity),2) sum_qty,
+             |  count(*) n, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) gid
+             |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+             |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin)),
+
+    // A11: PIVOT — order counts and total price (exact cents: the
+    // double→cents fold is floor(x*100), identical IEEE ops in both
+    // engines, then an exact BIGINT sum) by priority × status, status
+    // values pinned explicitly so the plan is a single hash aggregate
+    // (no values-discovery pre-pass, the 100 TB-safe form).
+    QuerySpec("a11_pivot",
+      (s, d) => t(s, d, "orders").groupBy("o_orderpriority")
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(sum(floor(col("o_totalprice") * 100).cast("long")))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  CAST(sum(CASE WHEN o_orderstatus='O'
+             |    THEN CAST(floor(o_totalprice*100) AS BIGINT) END) AS BIGINT) AS "O",
+             |  CAST(sum(CASE WHEN o_orderstatus='F'
+             |    THEN CAST(floor(o_totalprice*100) AS BIGINT) END) AS BIGINT) AS "F",
+             |  CAST(sum(CASE WHEN o_orderstatus='P'
+             |    THEN CAST(floor(o_totalprice*100) AS BIGINT) END) AS BIGINT) AS "P"
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A12: analytic window functions — rank / lag / lead / ntile in one
+    // window pass (one Exchange on the partition key, one sort). Ordering
+    // is made TOTAL (cents desc, then key) so rank and ntile are
+    // deterministic and the lag/lead neighbors are pinned; prices fold to
+    // exact BIGINT cents, so no float comparisons anywhere.
+    QuerySpec("a12_window_funcs",
+      (s, d) => {
+        val base = t(s, d, "orders").filter(col("o_orderkey") <= 2000)
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            floor(col("o_totalprice") * 100).cast("long").as("cents"))
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("cents").desc, col("o_orderkey"))
+        base.select(col("o_orderkey"), col("o_orderpriority"), col("cents"),
+            rank().over(w).as("rnk"),
+            lag("cents", 1).over(w).as("prev_cents"),
+            lead("cents", 1).over(w).as("next_cents"),
+            ntile(4).over(w).as("quartile"))
+          .orderBy("o_orderpriority", "rnk")
+      },
+      Some("""WITH o AS (SELECT o_orderkey, o_orderpriority,
+             |    CAST(floor(o_totalprice*100) AS BIGINT) cents
+             |  FROM orders WHERE o_orderkey <= 2000)
+             |SELECT o_orderkey, o_orderpriority, cents,
+             |  CAST(rank() OVER w AS INT) rnk,
+             |  lag(cents, 1) OVER w prev_cents,
+             |  lead(cents, 1) OVER w next_cents,
+             |  CAST(ntile(4) OVER w AS INT) quartile
+             |FROM o WINDOW w AS (PARTITION BY o_orderpriority
+             |  ORDER BY cents DESC, o_orderkey)
+             |ORDER BY o_orderpriority, rnk""".stripMargin)),
+
+    // A13: set operations — INTERSECT and EXCEPT (both DISTINCT-semantics)
+    // over the customer-key sets of two order-status slices. Spark plans
+    // these as hash aggregates + joins, no sort-based distinct.
+    QuerySpec("a13_setops",
+      (s, d) => {
+        val o = t(s, d, "orders")
+        val fCust = o.filter(col("o_orderstatus") === "F").select("o_custkey")
+        val oCust = o.filter(col("o_orderstatus") === "O").select("o_custkey")
+        val both = fCust.intersect(oCust).agg(count(lit(1)).as("n"))
+          .withColumn("tag", lit("both"))
+        val fOnly = fCust.except(oCust).agg(count(lit(1)).as("n"))
+          .withColumn("tag", lit("f_only"))
+        val oOnly = oCust.except(fCust).agg(count(lit(1)).as("n"))
+          .withColumn("tag", lit("o_only"))
+        both.unionByName(fOnly).unionByName(oOnly)
+          .select("tag", "n").orderBy("tag")
+      },
+      Some("""WITH f AS (SELECT o_custkey FROM orders WHERE o_orderstatus='F'),
+             |o AS (SELECT o_custkey FROM orders WHERE o_orderstatus='O')
+             |SELECT 'both' tag,
+             |  (SELECT count(*) FROM (SELECT * FROM f INTERSECT SELECT * FROM o)) n
+             |UNION ALL SELECT 'f_only',
+             |  (SELECT count(*) FROM (SELECT * FROM f EXCEPT SELECT * FROM o))
+             |UNION ALL SELECT 'o_only',
+             |  (SELECT count(*) FROM (SELECT * FROM o EXCEPT SELECT * FROM f))
+             |ORDER BY tag""".stripMargin)),
+
+    // J8: semi/anti joins — the EXISTS / NOT EXISTS shapes (Spark's
+    // left_semi/left_anti never materialize right columns, so the probe
+    // side streams map-side against the built key set).
+    QuerySpec("j8_semi_anti",
+      (s, d) => {
+        val c = t(s, d, "customer")
+        val ok = t(s, d, "orders").select("o_custkey")
+        val withOrders = c.join(ok, c("c_custkey") === ok("o_custkey"), "left_semi")
+          .agg(count(lit(1)).as("n")).withColumn("tag", lit("with_orders"))
+        val noOrders = c.join(ok, c("c_custkey") === ok("o_custkey"), "left_anti")
+          .agg(count(lit(1)).as("n")).withColumn("tag", lit("no_orders"))
+        withOrders.unionByName(noOrders).select("tag", "n").orderBy("tag")
+      },
+      Some("""SELECT 'no_orders' tag, count(*) n FROM customer c
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+             |UNION ALL
+             |SELECT 'with_orders', count(*) FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+             |ORDER BY tag""".stripMargin)),
+
     // ── M: merge + sinks ─────────────────────────────────────────────────
     QuerySpec("m1_merge_refresh", (s, d) => {
       val ev = t(s, d, "events")

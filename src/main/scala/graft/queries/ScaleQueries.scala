@@ -980,6 +980,213 @@ object ScaleQueries {
              |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS INT) session_id FROM e)
              |SELECT user_id, session_id, min(ts) session_start, max(ts) session_end,
              |  count(*) n, round(sum(value), 3) total_value
-             |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin))
+             |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
+
+    // As-of join, nearest (J5c): each purchase aligned with the user's
+    // closest view on EITHER side, ties to the earlier (backward) match —
+    // the pandas merge_asof direction='nearest' surface. The oracle is an
+    // independent DuckDB LATERAL nearest-row subquery (naive per-left
+    // scan), not a rendering of the engine's two-directional window fill.
+    QuerySpec("j5c_asof_nearest", (s, d) => {
+      val ev = t(s, d, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val r = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"),
+          col("value").as("view_value"))
+      graft.operators.AsOfJoin.asofJoin(l, r, Seq("user_id"), "ts", "ts",
+        Seq("view_id", "view_value"), direction = "nearest")
+        .orderBy("event_id")
+    },
+      Some("""SELECT l.event_id, l.user_id, l.ts, l.value,
+             |  r.view_id AS asof_view_id, r.view_value AS asof_view_value
+             |FROM (SELECT event_id, user_id, ts, value FROM events
+             |      WHERE event_type = 'purchase') l
+             |LEFT JOIN LATERAL (
+             |  SELECT v.event_id view_id, v.value view_value FROM events v
+             |  WHERE v.event_type = 'view' AND v.user_id = l.user_id
+             |  ORDER BY abs(epoch_us(v.ts) - epoch_us(l.ts)), v.ts, v.event_id DESC
+             |  LIMIT 1) r ON TRUE
+             |ORDER BY l.event_id""".stripMargin)),
+
+    // Interval-overlap join (J7): purchases become intervals [ts, ts +
+    // (1..30) min] (length derived from `value`), errors become fixed
+    // 10-min intervals; count the error intervals each purchase interval
+    // intersects. The engine decomposes the non-equi overlap predicate
+    // into a bucketized hash join (RangeJoin.intervalOverlap, 10-min
+    // buckets → ≤4 copies of a left interval, ≤2 of a right); the oracle
+    // is the naive non-equi join.
+    QuerySpec("j7_interval_overlap", (s, d) => {
+      val ev = t(s, d, "events")
+      val l = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), unix_micros(col("ts")).as("ls"),
+          (unix_micros(col("ts")) +
+            (floor(col("value")).cast("long") % 30 + 1) * 60000000L).as("le"))
+      val r = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("err_id"), unix_micros(col("ts")).as("rs"),
+          (unix_micros(col("ts")) + 600000000L).as("re"))
+      val pairs = graft.operators.RangeJoin.intervalOverlap(
+        l, r, "ls", "le", "rs", "re", bucketUnits = 600000000L, Seq("err_id"))
+      l.join(pairs.groupBy("event_id").agg(count(col("ov_err_id")).as("n_overlap")),
+          Seq("event_id"), "left")
+        .select(col("event_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .orderBy("event_id")
+    },
+      Some("""WITH l AS (SELECT event_id, epoch_us(ts) ls,
+             |    epoch_us(ts) + ((CAST(floor(value) AS BIGINT) % 30) + 1) * 60000000 le
+             |  FROM events WHERE event_type = 'purchase'),
+             |r AS (SELECT event_id err_id, epoch_us(ts) rs,
+             |    epoch_us(ts) + 600000000 re
+             |  FROM events WHERE event_type = 'error')
+             |SELECT l.event_id, count(r.err_id) n_overlap
+             |FROM l LEFT JOIN r ON l.ls <= r.re AND r.rs <= l.le
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Unicode NFC normalization (x27): the native graft_nfc expression
+    // (java.text.Normalizer inside codegen, ASCII fast path) composed
+    // with the standard lower + whitespace-collapse cleanup. Docs with
+    // doc_id % 3 = 0 get a deterministic suffix containing DECOMPOSED
+    // accents (e + U+0301, i + U+0308) so the normalization is observably
+    // non-trivial; the oracle recomposes with DuckDB's nfc_normalize.
+    QuerySpec("x27_nfc_normalize", (s, d) => {
+      val docs = t(s, d, "documents")
+      val enriched = when(col("doc_id") % 3 === 0,
+        concat(col("text"), lit(" cafe\u0301 STRASSE nai\u0308ve")))
+        .otherwise(col("text"))
+      val norm = regexp_replace(
+        trim(lower(graft.functions.NfcNormalize(enriched))), "\\s+", " ")
+      docs.select(col("doc_id"),
+        length(enriched).cast("long").as("len_raw"),
+        length(norm).cast("long").as("len_nfc"),
+        norm.as("text_nfc"))
+        .orderBy("doc_id")
+    },
+      Some("""WITH e AS (SELECT doc_id, CASE WHEN doc_id % 3 = 0
+             |    THEN text || ' cafe' || chr(769) || ' STRASSE nai' || chr(776) || 've'
+             |    ELSE text END raw FROM documents)
+             |SELECT doc_id, CAST(length(raw) AS BIGINT) len_raw,
+             |  CAST(length(regexp_replace(trim(lower(nfc_normalize(raw))),
+             |    '\s+', ' ', 'g')) AS BIGINT) len_nfc,
+             |  regexp_replace(trim(lower(nfc_normalize(raw))),
+             |    '\s+', ' ', 'g') text_nfc
+             |FROM e ORDER BY doc_id""".stripMargin)),
+
+    // Duplicate-span removal (x28): every 4-gram occurring in ≥2 distinct
+    // docs marks its 4-token span for deletion; survivors are rejoined —
+    // substring-level dedup (Lee et al. 2022) as opposed to the
+    // document-level families x1-x5. The oracle rebuilds positions,
+    // duplicated grams, covered offsets and the ordered reassembly with
+    // DuckDB list machinery, independent of the engine's
+    // posexplode/anti-join plan.
+    QuerySpec("x28_dup_span_removal", (s, d) =>
+      TextOps.removeDuplicateSpans(t(s, d, "documents"), "doc_id", "text", n = 4)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |g AS (SELECT doc_id, unnest(list_transform(
+             |    range(0, greatest(len(tk)-3, 0)),
+             |    i -> {'i': i, 'g': array_to_string(tk[i+1:i+4], ' ')})) s FROM toks),
+             |ge AS (SELECT doc_id, s.i i, s.g g FROM g),
+             |dup AS (SELECT g FROM ge GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+             |cov AS (SELECT DISTINCT doc_id, unnest(range(i, i+4)) p
+             |  FROM ge JOIN dup USING (g)),
+             |tp AS (SELECT doc_id, unnest(list_transform(range(0, len(tk)),
+             |    j -> {'p': j, 't': tk[j+1]})) s FROM toks),
+             |tpe AS (SELECT doc_id, s.p p, s.t t FROM tp),
+             |kept AS (SELECT tpe.* FROM tpe ANTI JOIN cov USING (doc_id, p)),
+             |agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY p) tc
+             |  FROM kept GROUP BY doc_id),
+             |rem AS (SELECT doc_id, count(*) nr FROM cov GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(a.tc, '') text_clean,
+             |  CAST(coalesce(r.nr, 0) AS BIGINT) n_removed
+             |FROM documents d LEFT JOIN agg a USING (doc_id)
+             |LEFT JOIN rem r USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Rolling time-series aggregate (x29): per event type, the trailing
+    // 24-hour event count and average over the hourly series — a RANGE
+    // window (not ROWS: hours with no events leave gaps), ordered by epoch
+    // seconds in Spark and by the equivalent INTERVAL frame in DuckDB.
+    // The rolling average divides two window LONGs in one double op, so
+    // both engines agree bitwise.
+    QuerySpec("x29_rolling_hourly", (s, d) => {
+      val hourly = t(s, d, "events")
+        .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("hour").cast("long"))
+        .rangeBetween(-23 * 3600L, 0L)
+      hourly.select(col("event_type"), col("hour"), col("n"),
+          sum(col("n")).over(w).as("roll_sum"),
+          round(sum(col("n")).over(w).cast("double") /
+            count(col("n")).over(w), 4).as("roll_avg"))
+        .orderBy("event_type", "hour")
+    },
+      Some("""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr, count(*) n
+             |  FROM events GROUP BY 1, 2)
+             |SELECT event_type, hr AS "hour", n,
+             |  CAST(sum(n) OVER w AS BIGINT) roll_sum,
+             |  round(CAST(sum(n) OVER w AS DOUBLE) / count(n) OVER w, 4) roll_avg
+             |FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hr
+             |  RANGE BETWEEN INTERVAL 23 HOURS PRECEDING AND CURRENT ROW)
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Temperature-flattened mixture sampling (x30): per-language quota
+    // min(n, floor(sqrt(n)·8)) — α = 0.5 temperature damping of the
+    // skewed lang mix (en 218 → 118 at sf0.01 while fr keeps all 64) with
+    // EXACT output sizes, selection ranked by the deterministic
+    // md5-uniform. sqrt is correctly-rounded IEEE and the scale is a
+    // power of two, so the oracle re-derives the quota bit-identically
+    // and re-ranks with the same refolded md5.
+    QuerySpec("x30_temperature_mix", (s, d) =>
+      graft.operators.ScaleOps.temperatureQuotaSample(
+        t(s, d, "documents").select("doc_id", "lang"),
+        "lang", "doc_id", salt = "mixT:", scale = 8.0)
+        .select("doc_id", "lang")
+        .orderBy("doc_id"),
+      Some("""WITH c AS (SELECT lang, count(*) n FROM documents GROUP BY lang),
+             |q AS (SELECT lang, least(n,
+             |    CAST(floor(sqrt(CAST(n AS DOUBLE)) * 8) AS BIGINT)) qt FROM c),
+             |u AS (SELECT doc_id, lang,
+             |  list_reduce(list_transform(range(1, 9),
+             |    i -> CAST(strpos('0123456789abcdef',
+             |      substr(md5('mixT:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |    (a, b) -> a*16 + b) / 4294967296.0 uval
+             |  FROM documents),
+             |r AS (SELECT doc_id, lang,
+             |    row_number() OVER (PARTITION BY lang ORDER BY uval, doc_id) rk
+             |  FROM u)
+             |SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+             |WHERE rk <= qt ORDER BY doc_id""".stripMargin)),
+
+    // Sequence packing (x31): documents assigned in corpus order to
+    // contiguous 512-token training bins — the "pack docs into
+    // fixed-length training sequences" prep step, via the same
+    // boundary-invariant distributed prefix sum as x20 (no
+    // single-partition sort). Output is per-bin stats; the oracle
+    // re-derives the running sum with a plain window.
+    QuerySpec("x31_sequence_pack", (s, d) => {
+      val scored = t(s, d, "documents").select(col("doc_id"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      graft.operators.ScaleOps.sequencePack(scored, "n_tok", "doc_id",
+        seqLen = 512L)
+        .groupBy("bin_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_in_bin"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("bin_id")
+    },
+      Some("""WITH t AS (SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0
+             |    ELSE len(regexp_split_to_array(trim(text), '\s+')) END n_tok
+             |  FROM documents),
+             |c AS (SELECT doc_id, CAST(n_tok AS BIGINT) n_tok,
+             |    CAST(sum(n_tok) OVER (ORDER BY doc_id
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) cum FROM t),
+             |b AS (SELECT doc_id, n_tok,
+             |    CAST(floor(CAST(cum - n_tok AS DOUBLE) / 512) AS BIGINT) bin_id
+             |  FROM c)
+             |SELECT bin_id, count(*) n_docs, CAST(sum(n_tok) AS BIGINT) tok_in_bin,
+             |  min(doc_id) first_doc, max(doc_id) last_doc
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

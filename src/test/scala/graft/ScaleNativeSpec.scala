@@ -347,4 +347,154 @@ class ScaleNativeSpec extends SparkSpec {
       assert(plan.contains("Bucketed: true"), s"scan should use buckets:\n$plan")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
+
+  test("asofJoin nearest: picks the closer side, ties go backward, " +
+    "exact match is distance zero") {
+    import graft.operators.AsOfJoin
+    def ts(c: String) = col(c).cast("timestamp")
+    val left = Seq(
+      (1L, 1L, "2024-01-01 10:00:00"), // 09:30 vs 10:20 → forward closer
+      (2L, 2L, "2024-01-01 10:10:00"), // 10:00 vs 10:30 → backward closer
+      (3L, 3L, "2024-01-01 10:00:00"), // 09:50 vs 10:10 tie → backward
+      (4L, 4L, "2024-01-01 10:00:00"), // exact right at 10:00 wins
+      (5L, 5L, "2024-01-01 10:00:00")) // no right rows → nulls
+      .toDF("id", "k", "ts_s").withColumn("ts", ts("ts_s")).drop("ts_s")
+    val right = Seq(
+      (10L, 1L, "2024-01-01 09:30:00"), (11L, 1L, "2024-01-01 10:20:00"),
+      (12L, 2L, "2024-01-01 10:00:00"), (13L, 2L, "2024-01-01 10:30:00"),
+      (14L, 3L, "2024-01-01 09:50:00"), (15L, 3L, "2024-01-01 10:10:00"),
+      (16L, 4L, "2024-01-01 10:00:00"), (17L, 4L, "2024-01-01 09:00:00"))
+      .toDF("rid", "k", "ts_s").withColumn("ts", ts("ts_s")).drop("ts_s")
+      .select(col("k"), col("ts"), col("rid"))
+    val out = AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("rid"),
+      direction = "nearest")
+      .orderBy("id")
+      .select(col("id"), col("asof_rid"))
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    assert(out == Seq((1L, Some(11L)), (2L, Some(12L)), (3L, Some(14L)),
+      (4L, Some(16L)), (5L, None)))
+  }
+
+  test("asofJoin nearest: allowExactMatches=false skips the same-ts row " +
+    "on both sides") {
+    import graft.operators.AsOfJoin
+    def ts(c: String) = col(c).cast("timestamp")
+    val left = Seq((1L, 1L, "2024-01-01 10:00:00"))
+      .toDF("id", "k", "ts_s").withColumn("ts", ts("ts_s")).drop("ts_s")
+    val right = Seq(
+      (10L, 1L, "2024-01-01 10:00:00"),  // excluded: exact
+      (11L, 1L, "2024-01-01 10:05:00"))
+      .toDF("rid", "k", "ts_s").withColumn("ts", ts("ts_s")).drop("ts_s")
+      .select(col("k"), col("ts"), col("rid"))
+    val r = AsOfJoin.asofJoin(left, right, Seq("k"), "ts", "ts", Seq("rid"),
+      direction = "nearest", allowExactMatches = false)
+      .select(col("asof_rid")).collect().head
+    assert(r.getLong(0) == 11L)
+  }
+
+  test("intervalOverlap matches the naive cross-filter join, each pair once") {
+    import graft.operators.RangeJoin
+    // deterministic intervals with touching endpoints, nesting, long spans
+    // crossing many buckets, and one degenerate (end < start) row per side
+    val left = (1 to 40).map { i =>
+      (i.toLong, (i * 13 % 50).toLong * 10, (i * 13 % 50).toLong * 10 + (i % 7).toLong * 25)
+    }.toDF("lid", "ls", "le")
+    val right = (1 to 40).map { j =>
+      (100L + j, (j * 17 % 50).toLong * 10, (j * 17 % 50).toLong * 10 + (j % 5).toLong * 30)
+    }.toDF("rid", "rs", "re")
+    val lBad = Seq((99L, 100L, 50L)).toDF("lid", "ls", "le")
+    val rBad = Seq((199L, 100L, 50L)).toDF("rid", "rs", "re")
+    val got = RangeJoin.intervalOverlap(left.union(lBad), right.union(rBad),
+        "ls", "le", "rs", "re", bucketUnits = 40L, Seq("rid"))
+      .select(col("lid"), col("ov_rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val expected = left.crossJoin(right)
+      .filter(col("ls") <= col("re") && col("rs") <= col("le"))
+      .select(col("lid"), col("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got.size == got.toSet.size, "pairs must be emitted exactly once")
+    assert(got.toSet == expected.toSet)
+    assert(expected.nonEmpty)
+  }
+
+  test("NfcNormalize composes decomposed accents, is identity on ASCII, " +
+    "and registers in SQL") {
+    import graft.functions.NfcNormalize
+    val df = Seq(
+      ("cafe\u0301", "caf\u00e9"),        // e + combining acute → é
+      ("nai\u0308ve", "na\u00efve"),      // i + combining diaeresis → ï
+      ("plain ascii", "plain ascii"),
+      ("", "")).toDF("raw", "want")
+    val out = df.select(NfcNormalize(col("raw")).as("got"), col("want")).collect()
+    out.foreach(r => assert(r.getString(0) == r.getString(1)))
+    // registration check goes through a view: Spark's chr() is mod-256 so
+    // combining marks can't be spelled as SQL literals portably
+    df.createOrReplaceTempView("nfc_t")
+    val viaSql = spark.sql("SELECT graft_nfc(raw) = want FROM nfc_t").collect()
+    viaSql.foreach(r => assert(r.getBoolean(0)))
+    val n = df.select(NfcNormalize(lit(null).cast("string"))).collect().head
+    assert(n.isNullAt(0))
+  }
+
+  test("temperatureQuotaSample: exact sqrt-damped quotas, deterministic") {
+    val df = ((1 to 16).map(i => (i.toLong, "big")) ++
+      (101 to 104).map(i => (i.toLong, "small"))).toDF("id", "g")
+    def run() = ScaleOps.temperatureQuotaSample(df, "g", "id", "tq:", 2.0)
+      .select(col("id"), col("g")).collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val out = run()
+    // big: min(16, floor(sqrt(16)*2)) = 8; small: min(4, floor(2*2)) = 4 (all)
+    assert(out.count(_._2 == "big") == 8)
+    assert(out.count(_._2 == "small") == 4)
+    assert(run() == out, "selection must be deterministic across runs")
+  }
+
+  test("removeDuplicateSpans deletes only cross-doc n-gram spans") {
+    import graft.operators.TextOps
+    val docs = Seq(
+      (1L, "a b c d e f"),
+      (2L, "z z a b c d q"),
+      (3L, "unique words only here"),
+      (4L, "")).toDF("doc_id", "text")
+    val out = TextOps.removeDuplicateSpans(docs, "doc_id", "text", n = 4)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+    // "a b c d" is the only 4-gram in ≥2 docs: doc1 loses tokens 0-3,
+    // doc2 loses tokens 2-5; intra-doc repetition (z z) is untouched
+    assert(out == Seq(
+      (1L, "e f", 4L),
+      (2L, "z z q", 4L),
+      (3L, "unique words only here", 0L),
+      (4L, "", 0L)))
+  }
+
+  test("sequencePack: contiguous bins, partition-boundary invariant") {
+    val docs = (1 to 40).map(i => (i.toLong, (i % 7 + 1).toLong * 30))
+      .toDF("doc_id", "n_tok")
+    def run(parts: Int) =
+      ScaleOps.sequencePack(docs, "n_tok", "doc_id", seqLen = 200L, partitions = parts)
+        .select(col("doc_id"), col("cum_tok"), col("bin_id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val one = run(1)
+    assert(run(7) == one, "bin assignment must not depend on partitioning")
+    // reference: plain running sum on the driver
+    var cum = 0L
+    val want = (1 to 40).map { i =>
+      val tok = (i % 7 + 1).toLong * 30
+      cum += tok
+      (i.toLong, cum, (cum - tok) / 200L)
+    }.toSet
+    assert(one == want)
+  }
+
+  test("removeDuplicateSpans: hashGrams scale form equals the string form") {
+    import graft.operators.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def run(h: Boolean) =
+      TextOps.removeDuplicateSpans(docs, "doc_id", "text", n = 4, hashGrams = h)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val str = run(false)
+    assert(run(true) == str)
+    assert(str.exists(_._3 > 0), "fixture corpus should contain removable spans")
+  }
 }
