@@ -138,6 +138,77 @@ object DedupOps {
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
 
+  /** Incremental (delta) dedup: flag each document of a NEW batch against
+    * an EXISTING corpus — the daily-ingest shape of dedup at scale, where
+    * re-running all-pairs over corpus ∪ batch every day would be O(corpus)
+    * per day for no reason. Statuses, in precedence order:
+    *  - `exact_dup`: the batch doc's normalized-content md5 equals some
+    *    corpus doc's (null-text docs are never exact dups);
+    *  - `near_dup`: exact shingle-set Jaccard ≥ `threshold` against some
+    *    corpus doc, candidates generated by cross-frame MinHash banding —
+    *    the same signature family as [[minhashLshPairs]], so the recall
+    *    argument (and the graded x2 evidence) carries over: a doc's
+    *    signature depends only on its text, not on which frame holds it;
+    *  - `new`: neither.
+    * Output: one row per batch doc — (idCol, status, match_id =
+    * min matching corpus id or null, n_near = count of verified near
+    * matches). match_id prefers the exact match.
+    *
+    * Scale shape: the corpus side is scanned once to shingle/sign (in
+    * production the corpus band index and fingerprint table are
+    * maintained AT REST and only read); the band join is batch-bands ×
+    * corpus-bands — proportional to the batch, not the corpus crossed
+    * with itself; verification touches candidate pairs only.
+    */
+  def incrementalDedup(corpus: DataFrame, batch: DataFrame,
+                       idCol: String, textCol: String,
+                       shingleWords: Int = 5, numHashes: Int = 16,
+                       bands: Int = 8, threshold: Double = 0.5): DataFrame = {
+    require(bands >= 1 && numHashes % bands == 0,
+      s"numHashes ($numHashes) must be a positive multiple of bands ($bands)")
+    val rows = numHashes / bands
+    def fp(df: DataFrame): DataFrame = df
+      .select(col(idCol).as("id"), md5(normalized(col(textCol))).as("__fp"))
+      .filter(col("__fp").isNotNull)
+    val exact = fp(batch).join(fp(corpus).select(col("__fp"),
+        col("id").as("__cid")), "__fp")
+      .groupBy(col("id")).agg(min(col("__cid")).as("__exact_id"))
+    def bandKeys(hs: DataFrame): DataFrame =
+      signaturesFromHashes(hs, numHashes)
+        .select(col("id"), explode(
+          transform(sequence(lit(0), lit(bands - 1)),
+            b => struct(b.as("band"),
+              xxhash64(b, slice(col("sig"), b * rows + 1, lit(rows))).as("bkey")))
+        ).as("bb"))
+        .select(col("id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val hsB = shingleHashes(batch, idCol, textCol, shingleWords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hsC = shingleHashes(corpus, idCol, textCol, shingleWords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = bandKeys(hsB).as("l")
+      .join(bandKeys(hsC).as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+    // ids are one namespace across both frames (caller contract), so the
+    // shared verifier can read sizes/arrays from the unioned table
+    val near = verifyJaccard(cands, hsB.unionByName(hsC), threshold)
+      .groupBy(col("id_a")).agg(min(col("id_b")).as("__near_id"),
+        count(lit(1)).as("__n_near"))
+      .withColumnRenamed("id_a", "id")
+    val out = batch.select(col(idCol).as("id"))
+      .join(exact, Seq("id"), "left")
+      .join(near, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        when(col("__exact_id").isNotNull, lit("exact_dup"))
+          .when(col("__near_id").isNotNull, lit("near_dup"))
+          .otherwise(lit("new")).as("status"),
+        coalesce(col("__exact_id"), col("__near_id")).as("match_id"),
+        coalesce(col("__n_near"), lit(0L)).as("n_near"))
+      .localCheckpoint(true)
+    hsB.unpersist(); hsC.unpersist()
+    out
+  }
+
   /** Exact n-gram-Jaccard near-dup pairs via a prefix-filtered inverted
     * index (AllPairs/SSJoin): shingles are put in a canonical order (by
     * xxhash64); any pair with Jaccard ≥ t must share a token within the

@@ -593,6 +593,21 @@ object ParityQueries {
              |  (SELECT count(*) FROM (SELECT * FROM o EXCEPT SELECT * FROM f))
              |ORDER BY tag""".stripMargin)),
 
+    // A14: exact grouped median — Spark's exact `median` aggregate (not
+    // percentile_approx) over BIGINT cents; the midpoint of an even group
+    // is (a+b)/2 on exact integers in both engines, so the doubles agree
+    // bitwise with DuckDB's quantile_cont-backed median.
+    QuerySpec("a14_grouped_median",
+      (s, d) => t(s, d, "orders").groupBy("o_orderpriority")
+        .agg(median(floor(col("o_totalprice") * 100).cast("long"))
+            .as("median_cents"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  median(CAST(floor(o_totalprice*100) AS BIGINT)) median_cents,
+             |  count(*) n
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // J8: semi/anti joins — the EXISTS / NOT EXISTS shapes (Spark's
     // left_semi/left_anti never materialize right columns, so the probe
     // side streams map-side against the built key set).

@@ -1187,6 +1187,50 @@ object ScaleQueries {
              |  FROM c)
              |SELECT bin_id, count(*) n_docs, CAST(sum(n_tok) AS BIGINT) tok_in_bin,
              |  min(doc_id) first_doc, max(doc_id) last_doc
-             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Incremental dedup (x32): the NEW batch (doc_id % 5 = 0) flagged
+    // against the EXISTING corpus (the rest) — exact by content md5,
+    // near by cross-frame MinHash banding + exact Jaccard verify (the x2
+    // family, same recall evidence). The batch shuffles against the
+    // corpus band index; corpus × corpus pairs are never formed. The
+    // oracle is exhaustive: md5 equality + true string-set Jaccard over
+    // all batch × corpus pairs.
+    QuerySpec("x32_incremental_dedup", (s, d) => {
+      val docs = t(s, d, "documents")
+      DedupOps.incrementalDedup(
+        docs.filter(col("doc_id") % 5 =!= 0),
+        docs.filter(col("doc_id") % 5 === 0),
+        "doc_id", "text",
+        shingleWords = 5, numHashes = 16, bands = 8, threshold = 0.5)
+        .orderBy("doc_id")
+    },
+      Some("""WITH fp AS (SELECT doc_id,
+             |    md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))) f
+             |  FROM documents WHERE text IS NOT NULL),
+             |ex AS (SELECT b.doc_id, min(c.doc_id) mid FROM fp b JOIN fp c
+             |  ON b.f = c.f AND b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0 GROUP BY 1),
+             |toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |sh AS (SELECT doc_id, list_distinct(list_transform(
+             |    range(0, greatest(len(tk)-4, 0)),
+             |    i -> array_to_string(tk[i+1:i+5], ' '))) s FROM toks),
+             |inv AS (SELECT doc_id, unnest(s) tok FROM sh WHERE len(s) > 0),
+             |sizes AS (SELECT doc_id, len(s) n FROM sh),
+             |inter AS (SELECT b.doc_id bid, c.doc_id cid, count(*) i
+             |  FROM inv b JOIN inv c ON b.tok = c.tok
+             |    AND b.doc_id % 5 = 0 AND c.doc_id % 5 <> 0 GROUP BY 1,2),
+             |near AS (SELECT bid, cid FROM inter
+             |  JOIN sizes sa ON bid = sa.doc_id JOIN sizes sb ON cid = sb.doc_id
+             |  WHERE round(i*1.0/(sa.n + sb.n - i), 4) >= 0.5),
+             |na AS (SELECT bid doc_id, min(cid) mid, count(*) nn FROM near GROUP BY 1)
+             |SELECT d.doc_id,
+             |  CASE WHEN ex.doc_id IS NOT NULL THEN 'exact_dup'
+             |    WHEN na.doc_id IS NOT NULL THEN 'near_dup' ELSE 'new' END status,
+             |  coalesce(ex.mid, na.mid) match_id,
+             |  CAST(coalesce(na.nn, 0) AS BIGINT) n_near
+             |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+             |LEFT JOIN ex USING (doc_id) LEFT JOIN na USING (doc_id)
+             |ORDER BY doc_id""".stripMargin))
   )
 }

@@ -497,4 +497,28 @@ class ScaleNativeSpec extends SparkSpec {
     assert(run(true) == str)
     assert(str.exists(_._3 > 0), "fixture corpus should contain removable spans")
   }
+
+  test("incrementalDedup: exact precedence, near via cross-frame LSH, " +
+    "null text is new") {
+    import graft.operators.DedupOps
+    val corpus = Seq(
+      (1L, Some("a b c d e f g h")),
+      (2L, Some("totally different words over here now ok fine yes")))
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, Some("a b c d e f g h")),         // exact dup of 1
+      (11L, Some("a b c d e f g h extra")),   // near dup of 1 (J = 0.8)
+      (12L, Some("nothing shared with anyone at all whatsoever right")),
+      (13L, None: Option[String]))            // null text -> new
+      .toDF("doc_id", "text")
+    val out = DedupOps.incrementalDedup(corpus, batch, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)), r.getLong(3))).toSeq
+    assert(out == Seq(
+      (10L, "exact_dup", Some(1L), 1L),
+      (11L, "near_dup", Some(1L), 1L),
+      (12L, "new", None, 0L),
+      (13L, "new", None, 0L)))
+  }
 }
