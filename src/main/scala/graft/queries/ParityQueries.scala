@@ -707,6 +707,22 @@ object ParityQueries {
       Some("""SELECT event_id, ts, user_id, event_type, value, props
              |FROM events WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin)),
 
+    // T5: ORC source round-trip — same slice and oracle as t4 (the oracle
+    // reads the original parquet, so the check is that ORC write+read is
+    // lossless, timestamps included: ORC carries nanos, micros survive).
+    QuerySpec("t5_orc_source", (s, d) => {
+      val ev = t(s, d, "events").filter(col("event_id") % 100 === 0)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString + "/ev"
+      ev.write.orc(dir)
+      val back = s.read.schema(ev.schema).orc(dir).localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      back.orderBy("event_id")
+    },
+      Some("""SELECT event_id, ts, user_id, event_type, value, props
+             |FROM events WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin)),
+
     QuerySpec("m2_merge_full_reindex", (s, d) => {
       val ev = t(s, d, "events")
       val fact = ev.filter(col("event_id") % 3 === 0)
