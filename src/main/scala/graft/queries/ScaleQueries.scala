@@ -982,6 +982,30 @@ object ScaleQueries {
              |  count(*) n, round(sum(value), 3) total_value
              |FROM s GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
 
+    // Stream-stream interval join (st5): purchases and views are BOTH
+    // unbounded streams; Spark's join state store buffers each side and
+    // the event-time bound in the condition gives watermark-driven
+    // eviction. For the bounded drain the emitted pairs equal the batch
+    // non-equi join exactly — the oracle is that batch join.
+    QuerySpec("st5_stream_stream_join", (s, d) => {
+      val schema = new StructType()
+        .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
+        .add("event_type", StringType).add("value", DoubleType).add("props", StringType)
+      val run = streamRun.incrementAndGet()
+      val sink = s"graft_ssj_$run"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runStreamStreamJoinAvailableNow(s, d, "events.parquet", schema,
+        lookbackMinutes = 30, sink, ckpt)
+        .orderBy("purchase_id", "view_id")
+    },
+      Some("""SELECT l.event_id purchase_id, l.user_id, l.ts p_ts,
+             |  r.event_id view_id, r.ts v_ts, r."value" view_value
+             |FROM events l JOIN events r
+             |  ON l.event_type = 'purchase' AND r.event_type = 'view'
+             |  AND l.user_id = r.user_id
+             |  AND r.ts BETWEEN l.ts - INTERVAL 30 MINUTE AND l.ts
+             |ORDER BY 1, 4""".stripMargin)),
+
     // As-of join, nearest (J5c): each purchase aligned with the user's
     // closest view on EITHER side, ties to the earlier (backward) match —
     // the pandas merge_asof direction='nearest' surface. The oracle is an

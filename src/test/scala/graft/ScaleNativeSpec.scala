@@ -521,4 +521,44 @@ class ScaleNativeSpec extends SparkSpec {
       (12L, "new", None, 0L),
       (13L, "new", None, 0L)))
   }
+
+  test("streamIntervalJoin: pairs form ACROSS micro-batches and equal the " +
+    "batch join under file slicing") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = java.nio.file.Files.createTempDirectory("graft_ssj_t").toString
+    def ts(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    // views early, purchases late — with maxFilesPerTrigger=1 the matching
+    // sides arrive in DIFFERENT micro-batches
+    val views = Seq((100L, 1L, ts(0), "view"), (101L, 1L, ts(20), "view"),
+      (102L, 2L, ts(5), "view"))
+    val purchases = Seq((200L, 1L, ts(25), "purchase"),
+      (201L, 2L, ts(50), "purchase")) // 45 min after the view: outside 30m
+    import spark.implicits._
+    views.toDF("event_id", "user_id", "ts", "event_type")
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    purchases.toDF("event_id", "user_id", "ts", "event_type")
+      .repartition(2).write.mode("append").parquet(dir)
+    val schema = spark.read.parquet(dir).schema
+    val src = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val l = src.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+    val r = src.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"), col("ts").as("v_ts"))
+    val joined = graft.streaming.Streams.streamIntervalJoin(
+      l, r, "user_id", "p_ts", "v_ts", lookbackMinutes = 30,
+      watermarkDelay = "30 days")
+      .select("purchase_id", "view_id")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ssj_ck").toString
+    val q = joined.writeStream.format("memory").queryName("ssj_t")
+      .outputMode("append").option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val got = spark.table("ssj_t").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    spark.catalog.dropTempView("ssj_t")
+    // batch reference: purchase 200 matches views 100 (25m back) and 101
+    // (5m back); purchase 201's only view is 45m back -> no match
+    assert(got == Set((200L, 100L), (200L, 101L)))
+  }
 }
