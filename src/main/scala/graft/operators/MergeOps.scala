@@ -196,6 +196,114 @@ object MergeOps {
     }
   }
 
+  /** Id-hash bucket for the id→date index layout: the index is written
+    * `partitionBy(IdxBucketCol)` so a probe for a batch's ids prunes to
+    * the batch's buckets before reading a row. Int-typed so the read-back
+    * partition values (directory names) infer to the same type and the
+    * probe's literal IN prunes statically (a cast around the partition
+    * column is what breaks pruning — see [[SimilarityOps.ivfWritePartitioned]]).
+    */
+  val IdxBucketCol = "__bucket"
+  private def idxBucket(c: Column, nBuckets: Int): Column =
+    pmod(xxhash64(c), lit(nBuckets.toLong)).cast("int")
+
+  /** Create (or replace) the id→date index from `entries` — a frame with
+    * at least (keyCol, dateCol). Used to bootstrap the index from an
+    * existing fact's two thin columns (one column-pruned scan, paid once)
+    * and at fact creation.
+    */
+  def buildIdDateIndex(entries: DataFrame, indexPath: String,
+                       dateCol: String = "start_date_oslo",
+                       keyCol: String = "id", nBuckets: Int = 32): Unit =
+    entries.select(col(keyCol), col(dateCol))
+      .withColumn(IdxBucketCol, idxBucket(col(keyCol), nBuckets))
+      .write.mode(SaveMode.Overwrite).partitionBy(IdxBucketCol)
+      .parquet(indexPath)
+
+  /** Distinct id-hash buckets of `ids` — driver-collected metadata
+    * (≤ nBuckets ints), the literal partition filter of every index probe.
+    */
+  private def idxBuckets(ids: DataFrame, keyCol: String, nBuckets: Int): Seq[Int] =
+    ids.select(idxBucket(col(keyCol), nBuckets).as(IdxBucketCol))
+      .distinct().collect().map(_.getInt(0)).toSeq
+
+  /** The stale-date probe against the id→date index: reads ONLY the index
+    * partitions (id-hash buckets) that can contain the batch's ids —
+    * PartitionFilters prune the rest before a row is read (plan-asserted
+    * in DedupMergeSpec). Replaces [[upsertPartitioned]]'s whole-fact
+    * (keyCol, dateCol) scan with O(batch-buckets / nBuckets) of a
+    * two-thin-column table.
+    */
+  private[graft] def staleDatesViaIndex(spark: org.apache.spark.sql.SparkSession,
+                                        indexPath: String, ids: DataFrame,
+                                        dateCol: String, keyCol: String,
+                                        nBuckets: Int): DataFrame = {
+    val buckets = idxBuckets(ids, keyCol, nBuckets)
+    spark.read.parquet(indexPath)
+      .filter(col(IdxBucketCol).isin(buckets: _*))
+      .join(broadcast(ids.select(col(keyCol))), Seq(keyCol))
+      .select(col(dateCol))
+  }
+
+  /** Merge `rows` into the id→date index: affected buckets (those of the
+    * batch's ids) are rewritten as (old entries − batch ids) ∪ batch
+    * entries via dynamic partition overwrite; every other bucket's files
+    * are untouched. An upsert can never empty a bucket (each affected
+    * bucket receives the batch entry that made it affected), so no
+    * emptied-partition cleanup is needed here — unlike [[deleteFromIndex]].
+    */
+  def upsertIdDateIndex(spark: org.apache.spark.sql.SparkSession,
+                        indexPath: String, rows: DataFrame,
+                        dateCol: String = "start_date_oslo",
+                        keyCol: String = "id", nBuckets: Int = 32): Unit = {
+    val entriesNew = rows.select(col(keyCol), col(dateCol))
+      .withColumn(IdxBucketCol, idxBucket(col(keyCol), nBuckets))
+    val p = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      entriesNew.write.partitionBy(IdxBucketCol).parquet(indexPath)
+    } else {
+      val buckets = idxBuckets(rows, keyCol, nBuckets)
+      val existing = spark.read.parquet(indexPath)
+        .filter(col(IdxBucketCol).isin(buckets: _*))
+        .join(broadcast(rows.select(col(keyCol))), Seq(keyCol), "left_anti")
+      // localCheckpoint: the write overwrites bucket partitions this plan
+      // is still reading from
+      val merged = existing.select(col(keyCol), col(dateCol), col(IdxBucketCol))
+        .unionByName(entriesNew).localCheckpoint(true)
+      merged.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(IdxBucketCol).parquet(indexPath)
+    }
+  }
+
+  /** Remove `ids` from the id→date index (the sweep's counterpart of
+    * [[upsertIdDateIndex]]): only the ids' buckets are rewritten; a bucket
+    * left empty has its partition directory dropped (dynamic overwrite
+    * would otherwise keep the stale files).
+    */
+  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
+                      indexPath: String, ids: DataFrame,
+                      keyCol: String = "id", nBuckets: Int = 32): Unit = {
+    val buckets = idxBuckets(ids, keyCol, nBuckets)
+    if (buckets.nonEmpty) {
+      val kept = spark.read.parquet(indexPath)
+        .filter(col(IdxBucketCol).isin(buckets: _*))
+        .join(broadcast(ids.select(col(keyCol))), Seq(keyCol), "left_anti")
+        .localCheckpoint(true)
+      val written = kept.select(col(IdxBucketCol)).distinct()
+        .collect().map(_.getInt(0)).toSet
+      kept.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(IdxBucketCol).parquet(indexPath)
+      val base = new org.apache.hadoop.fs.Path(indexPath)
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      (buckets.toSet -- written).foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(base, s"$IdxBucketCol=$b"), true)
+      }
+    }
+  }
+
   /** Upsert (replace matched ids, insert new — NO delete) into a
     * date-partitioned fact, rewriting only the affected partitions: the
     * incoming rows' dates plus the old partitions of any id that moved
@@ -204,23 +312,38 @@ object MergeOps {
     *
     * Cost, stated precisely: WRITES are O(batch + affected partitions) —
     * out-of-window partition files are never rewritten. The stale-id
-    * probe, however, is a column-pruned READ of (keyCol, dateCol) across
-    * the whole fact per batch: a stale copy of a batch id can live under
-    * any date, so without a secondary index the probe cannot prune. At
-    * 100 TB that read is two thin columns against a broadcast id set
-    * (no shuffle), but it is not free; a deployment where the batch:table
-    * ratio makes it hurt should maintain a compact id→date index table
-    * (bucketed by id) and probe that instead — the write path here is
-    * unchanged by such an index.
+    * probe depends on `indexPath`:
+    *  - None: a column-pruned READ of (keyCol, dateCol) across the whole
+    *    fact per batch — a stale copy of a batch id can live under any
+    *    date, so without a secondary index the probe cannot prune. At
+    *    100 TB that is two thin columns against a broadcast id set (no
+    *    shuffle), but it is O(table ids) per batch.
+    *  - Some(path): the probe reads an id→date index bucketed by
+    *    xxhash64(id) % nBuckets ([[staleDatesViaIndex]]) — partition
+    *    pruning cuts the probe to the batch's buckets, O(batch × bucket
+    *    size). The index is bootstrapped from the fact's two thin columns
+    *    on first use and maintained here ([[upsertIdDateIndex]]) and in
+    *    [[sweepPartitionedWindow]] ([[deleteFromIndex]]); the fact write
+    *    path is unchanged by the index.
     */
   def upsertPartitioned(spark: org.apache.spark.sql.SparkSession,
                         factPath: String, rows: DataFrame,
                         dateCol: String = "start_date_oslo",
-                        keyCol: String = "id"): Unit = {
+                        keyCol: String = "id",
+                        indexPath: Option[String] = None,
+                        indexBuckets: Int = 32): Unit = {
     val fact = spark.read.parquet(factPath)
     val ids = rows.select(col(keyCol))
     // a stale copy can live under any date (or the null partition)
-    val staleDates = fact.join(broadcast(ids), Seq(keyCol)).select(col(dateCol))
+    val staleDates = indexPath match {
+      case Some(ip) =>
+        val ipP = new org.apache.hadoop.fs.Path(ip)
+        if (!ipP.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(ipP))
+          buildIdDateIndex(fact, ip, dateCol, keyCol, indexBuckets)
+        staleDatesViaIndex(spark, ip, ids, dateCol, keyCol, indexBuckets)
+      case None =>
+        fact.join(broadcast(ids), Seq(keyCol)).select(col(dateCol))
+    }
     val affected = dateSet(rows.select(col(dateCol)).unionByName(staleDates), dateCol)
     def inAffected(c: Column): Column = {
       val hit = coalesce(c.isin(affected._1.toSeq: _*), lit(false))
@@ -235,28 +358,40 @@ object MergeOps {
     val written = dateSet(merged, dateCol)
     overwriteDatePartitions(merged, factPath, dateCol)
     dropEmptiedPartitions(spark, factPath, dateCol, affected, written)
+    indexPath.foreach(ip =>
+      upsertIdDateIndex(spark, ip, rows, dateCol, keyCol, indexBuckets))
   }
 
   /** End-of-cycle windowed delete against a date-partitioned fact: drop
     * in-window rows whose id was not asserted this cycle (`seenIds`),
     * rewriting only window partitions. Out-of-window partitions are never
-    * read or written.
+    * read or written. With `indexPath` set, the swept ids are also removed
+    * from the id→date index, keeping it exactly equal to the fact's
+    * (keyCol, dateCol) projection.
     */
   def sweepPartitionedWindow(spark: org.apache.spark.sql.SparkSession,
                              factPath: String, seenIds: DataFrame,
                              days: Int, todayOslo: LocalDate,
                              dateCol: String = "start_date_oslo",
-                             keyCol: String = "id"): Unit = {
+                             keyCol: String = "id",
+                             indexPath: Option[String] = None,
+                             indexBuckets: Int = 32): Unit = {
     val lo = lit(java.sql.Date.valueOf(todayOslo.minusDays(days.toLong)))
     val hi = lit(java.sql.Date.valueOf(todayOslo))
     val inWin = spark.read.parquet(factPath)
       .filter(coalesce(col(dateCol).between(lo, hi), lit(false)))
     val affected = dateSet(inWin, dateCol) // BETWEEN is null-false: no null slot
+    // materialized BEFORE the overwrite below invalidates the lazy inWin scan
+    val deleted = indexPath.map(_ => inWin
+      .join(seenIds.select(col(keyCol)), Seq(keyCol), "left_anti")
+      .select(col(keyCol)).localCheckpoint(true))
     val kept = inWin.join(seenIds.select(col(keyCol)), Seq(keyCol), "left_semi")
       .localCheckpoint(true)
     val written = dateSet(kept, dateCol)
     overwriteDatePartitions(kept, factPath, dateCol)
     dropEmptiedPartitions(spark, factPath, dateCol, affected, written)
+    for (ip <- indexPath; del <- deleted)
+      deleteFromIndex(spark, ip, del, keyCol, indexBuckets)
   }
 
   def refreshPartitioned(spark: org.apache.spark.sql.SparkSession,

@@ -673,9 +673,13 @@ object ParityQueries {
       staging.repartition(4).write.parquet(s"$base/staging")
       val stream = s.readStream.schema(staging.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/staging")
+      // indexPath: the at-scale configuration — the per-batch stale-id
+      // probe reads the bucketed id→date index (partition-pruned to the
+      // batch's buckets), never the whole fact (r5 VERDICT item 2)
       graft.streaming.Streams.streamingMergeIncrementalPartitioned(s, stream,
         factPath, s"$base/seen_ids", days = 7,
-        todayOslo = LocalDate.parse("2024-01-30"), checkpoint = s"$base/ckpt")
+        todayOslo = LocalDate.parse("2024-01-30"), checkpoint = s"$base/ckpt",
+        indexPath = Some(s"$base/fact_idx"))
       val out = s.read.parquet(factPath)
         .select("id", "ts", "start_date_oslo", "event_type", "value")
         .localCheckpoint(true)

@@ -553,14 +553,28 @@ object Streams {
     * partitions only. Per-batch WRITE cost: O(batch + affected
     * partitions); out-of-window partition FILES are never rewritten
     * (file-level assertion in DedupMergeSpec). The per-batch stale-id
-    * probe does read (keyCol, dateCol) — column-pruned — across all
-    * partitions; see [[MergeOps.upsertPartitioned]] for the precise cost
-    * statement and the id-index escape hatch. Same slicing contract and same final
+    * probe either reads (keyCol, dateCol) — column-pruned — across all
+    * partitions, or, with `indexPath` set, probes a bucketed id→date
+    * index with partition pruning; see [[MergeOps.upsertPartitioned]] for
+    * the precise cost statement. Same slicing contract and same final
     * fact as the full-table variant: byte-equal to single-shot
     * `MergeOps.mergeRefresh`, graded against the identical m1 oracle.
     *
     * The fact at `factPath` must be written `partitionBy(dateCol)`; if the
     * path does not exist yet, the first batch creates it.
+    *
+    * `indexPath`: optional id→date index (see
+    * [[MergeOps.upsertPartitioned]]) — bootstrapped from the fact on the
+    * first batch, probed instead of the whole-fact (keyCol, dateCol) scan,
+    * and maintained by both the per-batch upsert and the end-of-cycle
+    * sweep. This is the at-scale configuration: per-batch READ cost drops
+    * from O(table ids) to O(batch × bucket size).
+    *
+    * `allowEmptyCycle`: a cycle that asserted NO in-window ids against a
+    * pre-existing fact is, by the window contract, a directive to delete
+    * every in-window row — but an upstream outage produces exactly the
+    * same empty feed. Refuse to sweep (fail loudly) unless the caller
+    * explicitly opts in to empty-cycle deletes.
     */
   def streamingMergeIncrementalPartitioned(spark: SparkSession, entries: DataFrame,
                                            factPath: String, seenIdsPath: String,
@@ -568,7 +582,9 @@ object Streams {
                                            checkpoint: String,
                                            dateCol: String = "start_date_oslo",
                                            keyCol: String = "id",
-                                           prepBatch: DataFrame => DataFrame = identity): Unit = {
+                                           prepBatch: DataFrame => DataFrame = identity,
+                                           indexPath: Option[String] = None,
+                                           allowEmptyCycle: Boolean = false): Unit = {
     val lo = lit(java.sql.Date.valueOf(todayOslo.minusDays(days.toLong)))
     val hi = lit(java.sql.Date.valueOf(todayOslo))
     def inWindow(c: org.apache.spark.sql.Column) =
@@ -576,22 +592,29 @@ object Streams {
     val q = entries.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // materialize once: the batch feeds three plans (seen-ids append,
-        // stale-date probe, partition rewrite)
+        // stale-date probe, partition rewrite). LAZY checkpoint + count():
+        // the count is the action that materializes the checkpoint, so
+        // emptiness costs no second job per batch (an eager checkpoint
+        // followed by isEmpty ran two).
         val bw = prepBatch(batch).filter(inWindow(col(dateCol)))
-          .localCheckpoint(true)
+          .localCheckpoint(false)
         // An all-out-of-window batch writes NOTHING: a partitioned write of
         // an empty frame creates a directory with no data files, and the
         // next batch's schema inference over factPath would then fail.
         // Leaving factPath nonexistent until the first in-window row keeps
         // both reads (upsert probe, sweep) well-defined.
-        if (!bw.isEmpty) {
+        if (bw.count() > 0) {
           bw.select(col(keyCol)).write.mode(SaveMode.Append).parquet(seenIdsPath)
           val factP = new org.apache.hadoop.fs.Path(factPath)
           val fs = factP.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (fs.exists(factP))
-            MergeOps.upsertPartitioned(spark, factPath, bw, dateCol, keyCol)
-          else
+            MergeOps.upsertPartitioned(spark, factPath, bw, dateCol, keyCol,
+              indexPath)
+          else {
             MergeOps.overwriteDatePartitions(bw, factPath, dateCol)
+            indexPath.foreach(ip =>
+              MergeOps.upsertIdDateIndex(spark, ip, bw, dateCol, keyCol))
+          }
         }
         ()
       }
@@ -601,17 +624,25 @@ object Streams {
     q.awaitTermination()
     // If no batch carried an in-window row, factPath was never created and
     // there is nothing to sweep. If the fact pre-existed (e.g. a prior
-    // cycle) but THIS cycle asserted no ids, sweep with an empty seen set —
-    // every in-window row is stale by the window contract.
+    // cycle) but THIS cycle asserted no ids, sweeping would delete every
+    // in-window row — indistinguishable from an upstream outage, so that
+    // path fails loudly unless allowEmptyCycle (ADVICE r5).
     val factP = new org.apache.hadoop.fs.Path(factPath)
     val fs = factP.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(factP)) {
       val seenP = new org.apache.hadoop.fs.Path(seenIdsPath)
       val seen =
         if (fs.exists(seenP)) spark.read.parquet(seenIdsPath).distinct()
-        else spark.read.parquet(factPath).select(col(keyCol)).limit(0)
+        else if (allowEmptyCycle)
+          spark.read.parquet(factPath).select(col(keyCol)).limit(0)
+        else sys.error(
+          s"streamingMergeIncrementalPartitioned: this cycle asserted no " +
+            s"in-window ids ($seenIdsPath absent) but a fact exists at " +
+            s"$factPath — sweeping now would delete every in-window row. " +
+            s"If an empty cycle is genuinely expected (not an upstream " +
+            s"outage), pass allowEmptyCycle = true.")
       MergeOps.sweepPartitionedWindow(spark, factPath, seen, days, todayOslo,
-        dateCol, keyCol)
+        dateCol, keyCol, indexPath)
     }
   }
 }

@@ -195,6 +195,107 @@ class DedupMergeSpec extends SparkSpec {
     assert(partFiles("2024-02-24").isEmpty)
   }
 
+  test("indexed partitioned streaming merge: same result, index == fact " +
+    "projection, probe scans only pruned index buckets") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stidx").toString
+    val base = s"$root/fact"
+    val idx = s"$root/fact_idx"
+    val today = LocalDate.parse("2024-03-01")
+    entries(
+      ("hist", "x", java.sql.Date.valueOf("2024-01-01"), 1.0),
+      ("del1", "x", java.sql.Date.valueOf("2024-02-24"), 9.0),
+      ("r1", "x", java.sql.Date.valueOf("2024-02-26"), 2.0))
+      .write.partitionBy("start_date_oslo").parquet(base)
+    def partFiles(d: String): Map[String, Long] = {
+      val dir = new java.io.File(s"$base/start_date_oslo=$d")
+      if (!dir.exists()) Map.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified()).toMap
+    }
+    val histBefore = partFiles("2024-01-01")
+    val slices = Seq(
+      entries(("r1", "y", java.sql.Date.valueOf("2024-02-26"), 20.0)),
+      entries(("r4", "y", java.sql.Date.valueOf("2024-02-28"), 5.0)))
+    val stagingDir = java.nio.file.Files.createTempDirectory("graft_stidx_in")
+    for ((df, i) <- slices.zipWithIndex) {
+      val sub = stagingDir.resolve(s"g$i")
+      df.coalesce(1).write.parquet(sub.toString)
+      val part = new java.io.File(sub.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, stagingDir.resolve(s"s$i.parquet"))
+    }
+    val stream = spark.readStream.schema(slices.head.schema)
+      .option("pathGlobFilter", "s*.parquet")
+      .option("maxFilesPerTrigger", 1).parquet(stagingDir.toString)
+    Streams.streamingMergeIncrementalPartitioned(spark, stream, base,
+      s"$root/seen", days = 7, todayOslo = today, checkpoint = s"$root/ckpt",
+      indexPath = Some(idx))
+    // same final fact as the unindexed path / single-shot mergeRefresh
+    val out = spark.read.parquet(base).orderBy("id")
+      .select("id", "value").as[(String, Double)].collect().toSeq
+    assert(out == Seq(("hist", 1.0), ("r1", 20.0), ("r4", 5.0)))
+    assert(partFiles("2024-01-01") == histBefore) // history files untouched
+    // the maintained index is exactly the fact's (id, date) projection —
+    // upserts added r4, replaced r1, and the sweep removed del1
+    val idxRows = spark.read.parquet(idx).select("id", "start_date_oslo")
+      .as[(String, java.sql.Date)].collect().toSet
+    val factRows = spark.read.parquet(base).select("id", "start_date_oslo")
+      .as[(String, java.sql.Date)].collect().toSet
+    assert(idxRows == factRows)
+    // plan/file-level: the stale-date probe reads ONLY the index, and its
+    // scan prunes to the probed ids' buckets before reading a row
+    val probe = MergeOps.staleDatesViaIndex(spark, idx,
+      Seq("r1").toDF("id"), "start_date_oslo", "id", nBuckets = 32)
+    probe.collect() // execute THIS plan so its scan metrics populate
+    def scansOf(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+      p.collect { // AQE wrappers are leaves: recurse explicitly
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scansOf(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          scansOf(s.plan)
+      }.flatten
+    val scans = scansOf(probe.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.relation.location.rootPaths
+      .forall(_.toString.contains("fact_idx"))), "probe must scan the index only")
+    val partsRead = scans.map(_.metrics("numPartitions").value).sum
+    val totalBuckets = new java.io.File(idx).listFiles()
+      .count(_.getName.startsWith("__bucket="))
+    assert(partsRead == 1 && totalBuckets > 1,
+      s"expected 1 pruned bucket of $totalBuckets, read $partsRead")
+  }
+
+  test("empty cycle against a pre-existing fact fails loudly unless opted in") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stempty").toString
+    val base = s"$root/fact"
+    val today = LocalDate.parse("2024-03-01")
+    entries(
+      ("hist", "x", java.sql.Date.valueOf("2024-01-01"), 1.0),
+      ("r1", "x", java.sql.Date.valueOf("2024-02-26"), 2.0))
+      .write.partitionBy("start_date_oslo").parquet(base)
+    // the staging feed carries only an out-of-window row — the shape an
+    // upstream outage produces: no batch asserts an in-window id
+    val staging = entries(("oow", "y", java.sql.Date.valueOf("2024-01-15"), 9.0))
+    val stagingDir = java.nio.file.Files
+      .createTempDirectory("graft_stempty_in").toString + "/in"
+    staging.coalesce(1).write.parquet(stagingDir)
+    def run(allow: Boolean, ckpt: String): Unit =
+      Streams.streamingMergeIncrementalPartitioned(spark,
+        spark.readStream.schema(staging.schema).parquet(stagingDir),
+        base, s"$root/seen_$allow", days = 7, todayOslo = today,
+        checkpoint = s"$root/$ckpt", allowEmptyCycle = allow)
+    val e = intercept[RuntimeException](run(allow = false, "ckpt1"))
+    assert(e.getMessage.contains("allowEmptyCycle"))
+    // nothing was deleted by the refusal
+    assert(spark.read.parquet(base).count() == 2)
+    // explicit opt-in: the windowed delete applies (r1 swept, history kept)
+    run(allow = true, "ckpt2")
+    val out = spark.read.parquet(base).select("id").as[String].collect().toSeq
+    assert(out == Seq("hist"))
+  }
+
   test("M1 null-date fact rows are kept (BigQuery NULL BETWEEN → not deleted)") {
     val fact = Seq(("n1", "x", null: java.sql.Date, 1.0))
       .toDF("id", "at", "start_date_oslo", "value")
