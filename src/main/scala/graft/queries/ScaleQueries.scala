@@ -55,6 +55,55 @@ object ScaleQueries {
            |SELECT src doc_id, least(src, min(dst)) cluster_root,
            |  least(src, min(dst)) = src is_canonical
            |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)
+  /** The x5c corpus: embeddings (as double) plus derived near-duplicates —
+    * every 25th vector blended with its successor at α ∈ {0, 0.2, 0.4},
+    * ids offset by 1,000,000. The DuckDB oracle re-derives the identical
+    * rows (same double ops, same order), so the selective-τ query has
+    * real accept AND reject cases despite the base corpus's max natural
+    * pair cosine of ~0.51.
+    */
+  private def augmentedEmbeddings(s: org.apache.spark.sql.SparkSession,
+                                  d: String): org.apache.spark.sql.DataFrame = {
+    val base = t(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val nxt = base.select((col("vec_id") - 1).as("vec_id"),
+      col("embedding").as("emb2"))
+    base.unionByName(
+      base.join(nxt, Seq("vec_id")).filter(col("vec_id") % 25 === 0)
+        .withColumn("__a", col("vec_id") % 75 / lit(25) * lit(0.2))
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          zip_with(col("embedding"), col("emb2"),
+            (x, y) => x * (lit(1.0) - col("__a")) + y * col("__a"))
+            .as("embedding")))
+  }
+
+  /** Shared by x28 (string grams) and x28b (xxhash64 grams): one output
+    * contract — the hash key never leaks into the result — so both forms
+    * are graded against the identical DuckDB reconstruction.
+    */
+  private val x28OracleSql: Option[String] =
+    Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+           |  FROM documents WHERE length(trim(text)) > 0),
+           |g AS (SELECT doc_id, unnest(list_transform(
+           |    range(0, greatest(len(tk)-3, 0)),
+           |    i -> {'i': i, 'g': array_to_string(tk[i+1:i+4], ' ')})) s FROM toks),
+           |ge AS (SELECT doc_id, s.i i, s.g g FROM g),
+           |dup AS (SELECT g FROM ge GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
+           |cov AS (SELECT DISTINCT doc_id, unnest(range(i, i+4)) p
+           |  FROM ge JOIN dup USING (g)),
+           |tp AS (SELECT doc_id, unnest(list_transform(range(0, len(tk)),
+           |    j -> {'p': j, 't': tk[j+1]})) s FROM toks),
+           |tpe AS (SELECT doc_id, s.p p, s.t t FROM tp),
+           |kept AS (SELECT tpe.* FROM tpe ANTI JOIN cov USING (doc_id, p)),
+           |agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY p) tc
+           |  FROM kept GROUP BY doc_id),
+           |rem AS (SELECT doc_id, count(*) nr FROM cov GROUP BY doc_id)
+           |SELECT d.doc_id, coalesce(a.tc, '') text_clean,
+           |  CAST(coalesce(r.nr, 0) AS BIGINT) n_removed
+           |FROM documents d LEFT JOIN agg a USING (doc_id)
+           |LEFT JOIN rem r USING (doc_id)
+           |ORDER BY doc_id""".stripMargin)
+
   private val langProfiles = Seq(
     "alpha" -> Seq("table", "row", "scan"),
     "beta" -> Seq("join", "merge", "hash"),
@@ -184,16 +233,10 @@ object ScaleQueries {
            |ORDER BY 1, 2""".stripMargin
       }),
 
-    QuerySpec("x5_embed_cosine_neardup",
-      (s, d) => SimilarityOps.embeddingNearDupPairs(t(s, d, "embeddings"),
-        "vec_id", "embedding", blockCol = "label", threshold = 0.44)
-        .orderBy("id_a", "id_b"),
-      Some("""SELECT a.label blk, a.vec_id id_a, b.vec_id id_b,
-             |  round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) score
-             |FROM embeddings a JOIN embeddings b
-             |  ON a.label = b.label AND a.vec_id < b.vec_id
-             |WHERE round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) >= 0.44
-             |ORDER BY 2,3""".stripMargin)),
+    // x5 (label-blocked cosine near-dup demo) retired in r6: quadratic
+    // within a block, carried weak since r2. The operator survives as the
+    // oracle-exact demo, asserted against brute force in ScaleNativeSpec;
+    // the graded family is x5b (recall-1 regime) + x5c (selective regime).
 
     // Scale-safe twin of x5: the block key is a banded random-hyperplane
     // signature instead of the data-dependent label, so bucket sizes are
@@ -234,6 +277,59 @@ object ScaleQueries {
            |JOIN embeddings eb ON id_b = eb.vec_id
            |WHERE round(CAST(list_cosine_similarity(ea.embedding,
            |    eb.embedding) AS DOUBLE), 4) >= 0.44
+           |ORDER BY 1, 2""".stripMargin
+      }),
+
+    // x5c — the PRODUCTION regime of the RHP family (r5 VERDICT item 3):
+    // high threshold (τ=0.92), 9-bit band keys (nbits=63, bands=7 → 512
+    // buckets per band), where LSH actually prunes: candidates ≪
+    // all-pairs (measured in PERF.md). The base corpus's max pair cosine
+    // is ~0.51, so near-duplicates are DERIVED deterministically in both
+    // engines: every 25th vector blended with its successor at
+    // α ∈ {0, 0.2, 0.4} (pair cosine ≈ 1.0 / 0.97 / ≤0.855) — the α=0.4
+    // blends exercise verify-reject below τ. τ=0.92 sits in an
+    // empirically-verified gap (no pair score in [0.87, 0.955] at sf0.01
+    // or sf0.1). All blend arithmetic is double with identical operation
+    // order in both engines.
+    QuerySpec("x5c_embed_rhp_selective",
+      (s, d) => SimilarityOps.rhpNearDupPairs(augmentedEmbeddings(s, d),
+        "vec_id", "embedding", dims = 64, nbits = 63, bands = 7,
+        threshold = 0.92)
+        .orderBy("id_a", "id_b"),
+      Some {
+        val dims = 64; val nbits = 63; val nBands = 7; val rows = nbits / nBands
+        def planeLit(b: Int): String =
+          SimilarityOps.rhpPlane(b, dims).mkString("[", ", ", "]")
+        val projCols = (0 until nbits).map(b =>
+          s"list_reduce(list_transform(range(1, ${dims + 1}), " +
+            s"j -> e[j] * (${planeLit(b)})[j]), (x, y) -> x + y) p$b")
+          .mkString(", ")
+        val bitList = (0 until nbits)
+          .map(b => s"CASE WHEN p$b >= 0 THEN 1 ELSE 0 END")
+          .mkString("[", ", ", "]")
+        val bkeyExpr = (0 until rows)
+          .map(r => s"bv[i*$rows + ${r + 1}] * ${1L << r}").mkString(" + ")
+        s"""WITH ebase AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+           |  FROM embeddings),
+           |pert AS (SELECT a.vec_id + 1000000 vec_id,
+           |    list_transform(range(1, ${dims + 1}),
+           |      j -> a.e[j] * (1 - (a.vec_id % 75)/25*0.2)
+           |        + b.e[j] * ((a.vec_id % 75)/25*0.2)) e
+           |  FROM ebase a JOIN ebase b ON b.vec_id = a.vec_id + 1
+           |  WHERE a.vec_id % 25 = 0),
+           |v AS (SELECT * FROM ebase UNION ALL SELECT * FROM pert),
+           |pj AS (SELECT vec_id, $projCols FROM v),
+           |bt AS (SELECT vec_id, $bitList bv FROM pj),
+           |bnd AS (SELECT vec_id, i band, $bkeyExpr bkey FROM bt, range(0, $nBands) t(i)),
+           |cand AS (SELECT DISTINCT a.vec_id id_a, b.vec_id id_b
+           |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
+           |    AND a.vec_id < b.vec_id)
+           |SELECT id_a, id_b, round(CAST(list_cosine_similarity(va.e,
+           |    vb.e) AS DOUBLE), 4) score
+           |FROM cand JOIN v va ON id_a = va.vec_id
+           |JOIN v vb ON id_b = vb.vec_id
+           |WHERE round(CAST(list_cosine_similarity(va.e,
+           |    vb.e) AS DOUBLE), 4) >= 0.92
            |ORDER BY 1, 2""".stripMargin
       }),
 
@@ -1006,6 +1102,36 @@ object ScaleQueries {
              |  AND r.ts BETWEEN l.ts - INTERVAL 30 MINUTE AND l.ts
              |ORDER BY 1, 4""".stripMargin)),
 
+    // Streaming dedup (st6): the watermark-bounded
+    // dropDuplicatesWithinWatermark operator, graded. Every 10th event is
+    // written TWICE as separate file groups and replayed one file per
+    // micro-batch, so most duplicates arrive in a DIFFERENT micro-batch
+    // than their original — the cross-batch state is what's under test.
+    // Duplicate copies are byte-identical full rows, so which copy wins
+    // is value-irrelevant and the drained output is deterministic: exactly
+    // the original slice. Oracle = that slice straight from parquet.
+    QuerySpec("st6_stream_dedup", (s, d) => {
+      val ev = t(s, d, "events").filter(col("event_id") % 10 === 0)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val run = streamRun.incrementAndGet()
+      val base = java.nio.file.Files.createTempDirectory("graft_stdedup").toString
+      ev.repartition(3).write.parquet(s"$base/in")
+      ev.repartition(2).write.mode(org.apache.spark.sql.SaveMode.Append)
+        .parquet(s"$base/in")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val out = Streams.runStreamingDedupAvailableNow(s, stream,
+        keyCols = Seq("event_id"), tsCol = "ts",
+        watermarkDelay = "3650 days", sinkName = s"graft_stdedup_$run",
+        checkpoint = s"$base/ckpt")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out.orderBy("event_id")
+    },
+      Some("""SELECT event_id, ts, user_id, event_type, "value"
+             |FROM events WHERE event_id % 10 = 0 ORDER BY event_id""".stripMargin)),
+
     // As-of join, nearest (J5c): each purchase aligned with the user's
     // closest view on EITHER side, ties to the earlier (backward) match —
     // the pandas merge_asof direction='nearest' surface. The oracle is an
@@ -1106,27 +1232,20 @@ object ScaleQueries {
     QuerySpec("x28_dup_span_removal", (s, d) =>
       TextOps.removeDuplicateSpans(t(s, d, "documents"), "doc_id", "text", n = 4)
         .orderBy("doc_id"),
-      Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
-             |  FROM documents WHERE length(trim(text)) > 0),
-             |g AS (SELECT doc_id, unnest(list_transform(
-             |    range(0, greatest(len(tk)-3, 0)),
-             |    i -> {'i': i, 'g': array_to_string(tk[i+1:i+4], ' ')})) s FROM toks),
-             |ge AS (SELECT doc_id, s.i i, s.g g FROM g),
-             |dup AS (SELECT g FROM ge GROUP BY g HAVING count(DISTINCT doc_id) >= 2),
-             |cov AS (SELECT DISTINCT doc_id, unnest(range(i, i+4)) p
-             |  FROM ge JOIN dup USING (g)),
-             |tp AS (SELECT doc_id, unnest(list_transform(range(0, len(tk)),
-             |    j -> {'p': j, 't': tk[j+1]})) s FROM toks),
-             |tpe AS (SELECT doc_id, s.p p, s.t t FROM tp),
-             |kept AS (SELECT tpe.* FROM tpe ANTI JOIN cov USING (doc_id, p)),
-             |agg AS (SELECT doc_id, string_agg(t, ' ' ORDER BY p) tc
-             |  FROM kept GROUP BY doc_id),
-             |rem AS (SELECT doc_id, count(*) nr FROM cov GROUP BY doc_id)
-             |SELECT d.doc_id, coalesce(a.tc, '') text_clean,
-             |  CAST(coalesce(r.nr, 0) AS BIGINT) n_removed
-             |FROM documents d LEFT JOIN agg a USING (doc_id)
-             |LEFT JOIN rem r USING (doc_id)
-             |ORDER BY doc_id""".stripMargin)),
+      x28OracleSql),
+
+    // Same operator, hashGrams=true (x28b): the 100 TB form — dup-gram
+    // grouping and the covered-offset join run on xxhash64(gram) (8 bytes)
+    // instead of the n-word string. The hash never reaches the output
+    // (same (doc_id, text_clean, n_removed) contract), so the IDENTICAL
+    // string-form oracle hash-checks it: a collision-induced divergence
+    // or any keying bug shows up as a value mismatch, not a weaker
+    // rows-only pass.
+    QuerySpec("x28b_dup_span_hashed", (s, d) =>
+      TextOps.removeDuplicateSpans(t(s, d, "documents"), "doc_id", "text",
+        n = 4, hashGrams = true)
+        .orderBy("doc_id"),
+      x28OracleSql),
 
     // Rolling time-series aggregate (x29): per event type, the trailing
     // 24-hour event count and average over the hourly series — a RANGE
@@ -1255,6 +1374,46 @@ object ScaleQueries {
              |  CAST(coalesce(na.nn, 0) AS BIGINT) n_near
              |FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
              |LEFT JOIN ex USING (doc_id) LEFT JOIN na USING (doc_id)
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Salted two-phase aggregation (x33, r5 VERDICT item 7): the skew
+    // machinery graded. events.event_type is a handful of hot keys over
+    // the whole table — exactly the shape where one reducer would take
+    // the entire corpus and AQE cannot split an aggregation. The salted
+    // plan spreads each key over 16 (key, salt) groups with map-side
+    // partials, then merges ≤16 partial rows per key (two-phase
+    // HashAggregate, plan-audited in PERF.md). Values are summed as
+    // integer cents so the re-association is order-exact in both engines.
+    QuerySpec("x33_salted_skew_agg", (s, d) =>
+      graft.operators.ScaleOps.saltedSumCount(
+        t(s, d, "events").select(col("event_type"),
+          floor(col("value") * 100).as("cents")),
+        Seq("event_type"), "cents", saltBuckets = 16)
+        .orderBy("event_type"),
+      Some("""SELECT event_type,
+             |  CAST(sum(CAST(floor("value"*100) AS BIGINT)) AS BIGINT) sum_cents,
+             |  count(*) n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Salted inner join (x34): the hot-key join twin of x33. Left =
+    // events on user_id; right = a derived per-user dim (first-seen ts)
+    // too big to assume broadcastable at 100 TB user counts — the salt
+    // explodes the right side 8× and spreads each hot user's left rows
+    // over 8 reducers. Aggregated down so the graded output is compact;
+    // the oracle is the plain join.
+    QuerySpec("x34_salted_join", (s, d) => {
+      val ev = t(s, d, "events")
+      val dim = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"))
+      graft.operators.ScaleOps.saltedJoin(
+        ev.select("event_id", "user_id", "event_type"), dim, "user_id",
+        saltBuckets = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), min(col("first_ts")).as("min_first_ts"))
+        .orderBy("event_type")
+    },
+      Some("""WITH dim AS (SELECT user_id, min(ts) first_ts FROM events GROUP BY 1)
+             |SELECT e.event_type, count(*) n, min(d.first_ts) min_first_ts
+             |FROM events e JOIN dim d USING (user_id)
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

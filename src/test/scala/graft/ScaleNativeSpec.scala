@@ -83,6 +83,22 @@ class ScaleNativeSpec extends SparkSpec {
     assert(exact.nonEmpty, "corpus should contain at least one near-dup pair")
   }
 
+  test("embeddingNearDupPairs (retired x5 demo) equals brute-force within " +
+    "label blocks") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = emb.as("a").join(emb.as("b"),
+        col("a.label") === col("b.label") && col("a.vec_id") < col("b.vec_id"))
+      .withColumn("score", round(NativeCos(col("a.embedding"), col("b.embedding")), 4))
+      .filter(col("score") >= 0.44)
+      .select(col("a.label"), col("a.vec_id").as("id_a"),
+        col("b.vec_id").as("id_b"), col("score"))
+      .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    val blocked = SimilarityOps.embeddingNearDupPairs(emb, "vec_id",
+      "embedding", blockCol = "label", threshold = 0.44)
+      .collect().map(r => (r.get(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(blocked == exact)
+  }
+
   test("asofJoin: inclusive boundary, latest-wins, left-outer nulls") {
     import graft.operators.AsOfJoin
     def df(rows: Seq[(Long, Long, String, Double)]) =
