@@ -727,6 +727,25 @@ object ParityQueries {
       Some("""SELECT event_id, ts, user_id, event_type, value, props
              |FROM events WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin)),
 
+    // T6: Avro source round-trip — same slice and oracle as t4/t5. The
+    // spark-avro DataSource module is not resolvable offline, so the
+    // engine carries its own Avro source on avro-mapred (AvroSource);
+    // the check is that the Avro hop is value-exact, timestamps at
+    // microsecond precision via the timestamp-micros logical type.
+    QuerySpec("t6_avro_source", (s, d) => {
+      val ev = t(s, d, "events").filter(col("event_id") % 100 === 0)
+        .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      val dir = java.nio.file.Files.createTempDirectory("graft_avro").toString + "/ev"
+      graft.sources.AvroSource.write(ev, dir)
+      val back = graft.sources.AvroSource.read(s, dir, ev.schema)
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      back.orderBy("event_id")
+    },
+      Some("""SELECT event_id, ts, user_id, event_type, value, props
+             |FROM events WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin)),
+
     QuerySpec("m2_merge_full_reindex", (s, d) => {
       val ev = t(s, d, "events")
       val fact = ev.filter(col("event_id") % 3 === 0)

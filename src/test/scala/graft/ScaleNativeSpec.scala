@@ -99,6 +99,20 @@ class ScaleNativeSpec extends SparkSpec {
     assert(blocked == exact)
   }
 
+  test("AvroSource round-trips nullable columns, nulls and µs timestamps") {
+    import graft.sources.AvroSource
+    val dir = java.nio.file.Files.createTempDirectory("graft_avro_t").toString + "/d"
+    val ts = java.sql.Timestamp.valueOf("2024-01-02 03:04:05.123456")
+    val in = Seq(
+      (1L, Some(ts), Some("a"), Some(1.5)),
+      (2L, None, None, None))
+      .toDF("id", "ts", "s", "v")
+    AvroSource.write(in, dir)
+    val back = AvroSource.read(spark, dir, in.schema)
+    assert(rows(back.orderBy("id")) == rows(in.orderBy("id")))
+    assert(back.filter(col("id") === 1).head().getTimestamp(1) == ts)
+  }
+
   test("asofJoin: inclusive boundary, latest-wins, left-outer nulls") {
     import graft.operators.AsOfJoin
     def df(rows: Seq[(Long, Long, String, Double)]) =
