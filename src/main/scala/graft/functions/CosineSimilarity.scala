@@ -116,5 +116,9 @@ object CosineSimilarity {
   val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_cosine"),
     new ExpressionInfo(classOf[CosineSimilarity].getName, "graft_cosine"),
-    (children: Seq[Expression]) => CosineSimilarity(children(0), children(1)))
+    (children: Seq[Expression]) => {
+      if (children.length != 2) throw new IllegalArgumentException(
+        s"graft_cosine expects exactly 2 arguments, got ${children.length}")
+      CosineSimilarity(children(0), children(1))
+    })
 }

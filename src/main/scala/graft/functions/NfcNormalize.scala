@@ -66,5 +66,12 @@ object NfcNormalize {
   val registration: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
     FunctionIdentifier("graft_nfc"),
     new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
-    (children: Seq[Expression]) => NfcNormalize(children.head))
+    (children: Seq[Expression]) => {
+      // descriptive arity error: children.head on zero args would throw a
+      // bare NoSuchElementException, and extra args would be SILENTLY
+      // dropped (worse) — ADVICE r5
+      if (children.length != 1) throw new IllegalArgumentException(
+        s"graft_nfc expects exactly 1 argument, got ${children.length}")
+      NfcNormalize(children.head)
+    })
 }

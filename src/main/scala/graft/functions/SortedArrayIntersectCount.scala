@@ -87,5 +87,9 @@ object SortedArrayIntersectCount {
     FunctionIdentifier("graft_sorted_intersect_count"),
     new ExpressionInfo(classOf[SortedArrayIntersectCount].getName,
       "graft_sorted_intersect_count"),
-    (children: Seq[Expression]) => SortedArrayIntersectCount(children(0), children(1)))
+    (children: Seq[Expression]) => {
+      if (children.length != 2) throw new IllegalArgumentException(
+        s"graft_sorted_intersect_count expects exactly 2 arguments, got ${children.length}")
+      SortedArrayIntersectCount(children(0), children(1))
+    })
 }

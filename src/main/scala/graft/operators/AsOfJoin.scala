@@ -39,9 +39,10 @@ import org.apache.spark.sql.functions._
   * by the same window over the descending timestamp order, so both
   * directions cost the same single shuffle. `nearest` computes both fills
   * and keeps whichever right row is closer in time, ties going to the
-  * backward (earlier) match — pandas' tie rule. `nearest` requires the
-  * two ts columns to be TimestampType (distances are compared in epoch
-  * microseconds).
+  * backward (earlier) match — pandas' tie rule. `nearest` accepts
+  * timestamp (distance in epoch µs), date (days) or numeric ts columns —
+  * the same generality as backward/forward — and validates the types up
+  * front with a clear error instead of failing deep in analysis.
   *
   * The graded oracles (j5 backward-inclusive, j5b forward-exclusive) are
   * DuckDB's native ASOF LEFT JOIN — an independent implementation of the
@@ -60,6 +61,27 @@ object AsOfJoin {
                allowExactMatches: Boolean = true): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"direction must be 'backward', 'forward' or 'nearest', got '$direction'")
+    // nearest compares DISTANCES, so it needs a numeric position for each
+    // ts; validate here (ADVICE r5) — an unsupported type would otherwise
+    // surface as an obscure analysis error on unix_micros
+    val tsType = left.schema(leftTs).dataType
+    if (direction == "nearest") {
+      val rt = right.schema(rightTs).dataType
+      require(tsType == rt,
+        s"asofJoin(nearest): left/right ts types must match, got " +
+          s"${tsType.catalogString} vs ${rt.catalogString}")
+      require(tsType == org.apache.spark.sql.types.TimestampType ||
+        tsType == org.apache.spark.sql.types.DateType ||
+        tsType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+        s"asofJoin(nearest): ts must be timestamp, date or numeric, got " +
+          s"${tsType.catalogString}")
+    }
+    // numeric time position for distance comparison, by ts type
+    def tsPos(c: Column): Column = tsType match {
+      case org.apache.spark.sql.types.TimestampType => unix_micros(c)
+      case org.apache.spark.sql.types.DateType => unix_date(c)
+      case _ => c.cast("double")
+    }
     val leftCols = left.columns.toSeq
     val lSide = left
       .withColumn("__ts", col(leftTs))
@@ -94,9 +116,9 @@ object AsOfJoin {
       case "nearest" =>
         val both = fill("forward", "__payF")(fill("backward", "__payB")(unioned))
         val distB: Column =
-          unix_micros(col("__ts")) - unix_micros(col("__payB").getField("__rts"))
+          tsPos(col("__ts")) - tsPos(col("__payB").getField("__rts"))
         val distF: Column =
-          unix_micros(col("__payF").getField("__rts")) - unix_micros(col("__ts"))
+          tsPos(col("__payF").getField("__rts")) - tsPos(col("__ts"))
         both.withColumn("__pay",
             when(col("__payF").isNull, col("__payB"))
               .when(col("__payB").isNull, col("__payF"))

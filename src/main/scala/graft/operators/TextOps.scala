@@ -305,14 +305,16 @@ object TextOps {
       .agg(countDistinct(col(idCol)).as("__nd"))
       .filter(col("__nd") >= 2).select("__g")
     // materialized once: covered feeds BOTH the anti-join and the removal
-    // counts — without this the whole shingle→dup-gram pipeline runs twice
-    // (it is the plan's only reused subtree; Verify/Bench release the
-    // blocks per-query)
-    val covered = grams.join(dup, "__g")
+    // counts — without this the whole shingle→dup-gram pipeline runs
+    // twice. tracked + release (not a bare localCheckpoint): the operator
+    // materializes its OUTPUT below and frees covered's blocks before
+    // returning, so long-lived library sessions don't accumulate one
+    // checkpoint per call (ADVICE r5; same contract as minhashLshPairs /
+    // incrementalDedup with their cached inputs)
+    val (covered, releaseCovered) = Checkpoints.tracked(grams.join(dup, "__g")
       .select(col(idCol),
         explode(sequence(col("__i"), col("__i") + lit(n - 1))).as("__p"))
-      .distinct()
-      .localCheckpoint(true)
+      .distinct())
     val tokPos = docs.select(col(idCol), posexplode(tokens(col(textCol))))
       .withColumnRenamed("pos", "__p").withColumnRenamed("col", "__t")
     val kept = tokPos.join(covered, Seq(idCol, "__p"), "left_anti")
@@ -322,11 +324,14 @@ object TextOps {
         x => x("__t")), " ").as("text_clean"))
     val removed = covered.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_removed"))
-    docs.select(col(idCol))
+    val out = docs.select(col(idCol))
       .join(kept, Seq(idCol), "left")
       .join(removed, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("text_clean"), lit("")).as("text_clean"),
         coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+      .localCheckpoint(true)
+    releaseCovered()
+    out
   }
 }

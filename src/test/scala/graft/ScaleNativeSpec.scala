@@ -465,6 +465,37 @@ class ScaleNativeSpec extends SparkSpec {
     viaSql.foreach(r => assert(r.getBoolean(0)))
     val n = df.select(NfcNormalize(lit(null).cast("string"))).collect().head
     assert(n.isNullAt(0))
+    // arity errors are descriptive, not NoSuchElementException / silent drop
+    for (bad <- Seq("SELECT graft_nfc()", "SELECT graft_nfc('a', 'b')")) {
+      val e = intercept[Exception](spark.sql(bad).collect())
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("exactly 1 argument")), s"for $bad: $e")
+    }
+  }
+
+  test("asofJoin nearest is type-generic over numeric ts and rejects " +
+    "unsupported/mismatched ts types up front") {
+    import graft.operators.AsOfJoin
+    val left = Seq((1L, 1L, 100L), (2L, 1L, 205L)).toDF("id", "k", "t")
+    val right = Seq((10L, 1L, 90L), (11L, 1L, 210L))
+      .toDF("rid", "k", "rt").select("k", "rt", "rid")
+    val out = AsOfJoin.asofJoin(left, right, Seq("k"), "t", "rt", Seq("rid"),
+      direction = "nearest")
+      .orderBy("id").select("id", "asof_rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // t=100: |100-90|=10 < |210-100|=110 → 10; t=205: 115 vs 5 → 11
+    assert(out == Seq((1L, 10L), (2L, 11L)))
+    val sLeft = left.withColumn("t", col("t").cast("string"))
+    val sRight = right.withColumn("rt", col("rt").cast("string"))
+    val e1 = intercept[IllegalArgumentException](
+      AsOfJoin.asofJoin(sLeft, sRight, Seq("k"), "t", "rt", Seq("rid"),
+        direction = "nearest"))
+    assert(e1.getMessage.contains("timestamp, date or numeric"))
+    val e2 = intercept[IllegalArgumentException](
+      AsOfJoin.asofJoin(left, sRight, Seq("k"), "t", "rt", Seq("rid"),
+        direction = "nearest"))
+    assert(e2.getMessage.contains("types must match"))
   }
 
   test("temperatureQuotaSample: exact sqrt-damped quotas, deterministic") {
