@@ -209,14 +209,18 @@ object MergeOps {
 
   /** Create (or replace) the id→date index from `entries` — a frame with
     * at least (keyCol, dateCol). Used to bootstrap the index from an
-    * existing fact's two thin columns (one column-pruned scan, paid once)
-    * and at fact creation.
+    * existing fact's two thin columns (one column-pruned scan, paid once
+    * per index lifetime), at fact creation, and as the end-of-cycle
+    * COMPACTION of the append-only log ([[appendIdDateIndex]]). The
+    * repartition on the bucket column yields one task → one file per
+    * bucket at any scale.
     */
   def buildIdDateIndex(entries: DataFrame, indexPath: String,
                        dateCol: String = "start_date_oslo",
                        keyCol: String = "id", nBuckets: Int = 32): Unit =
     entries.select(col(keyCol), col(dateCol))
       .withColumn(IdxBucketCol, idxBucket(col(keyCol), nBuckets))
+      .repartition(col(IdxBucketCol))
       .write.mode(SaveMode.Overwrite).partitionBy(IdxBucketCol)
       .parquet(indexPath)
 
@@ -245,64 +249,27 @@ object MergeOps {
       .select(col(dateCol))
   }
 
-  /** Merge `rows` into the id→date index: affected buckets (those of the
-    * batch's ids) are rewritten as (old entries − batch ids) ∪ batch
-    * entries via dynamic partition overwrite; every other bucket's files
-    * are untouched. An upsert can never empty a bucket (each affected
-    * bucket receives the batch entry that made it affected), so no
-    * emptied-partition cleanup is needed here — unlike [[deleteFromIndex]].
+  /** Append `rows`' (keyCol, dateCol) entries to the id→date index — the
+    * per-micro-batch maintenance, LOG-STRUCTURED: no read-modify-write,
+    * just one small partitioned append (one file per touched bucket).
+    * The index therefore accumulates SUPERSET entries within a cycle
+    * (an id that moved keeps its old date entry until compaction), which
+    * the probe tolerates by construction: an extra (id, date) entry can
+    * only mark an extra partition "affected", and rewriting an
+    * unaffected partition is correctness-neutral. The same tolerance
+    * makes foreachBatch's at-least-once replay safe — a replayed batch
+    * just re-appends duplicates. [[sweepPartitionedWindow]] compacts the
+    * log back to exactly the fact's (id, date) projection once per
+    * cycle via [[buildIdDateIndex]].
     */
-  def upsertIdDateIndex(spark: org.apache.spark.sql.SparkSession,
-                        indexPath: String, rows: DataFrame,
+  def appendIdDateIndex(rows: DataFrame, indexPath: String,
                         dateCol: String = "start_date_oslo",
-                        keyCol: String = "id", nBuckets: Int = 32): Unit = {
-    val entriesNew = rows.select(col(keyCol), col(dateCol))
+                        keyCol: String = "id", nBuckets: Int = 32): Unit =
+    rows.select(col(keyCol), col(dateCol))
       .withColumn(IdxBucketCol, idxBucket(col(keyCol), nBuckets))
-    val p = new org.apache.hadoop.fs.Path(indexPath)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) {
-      entriesNew.write.partitionBy(IdxBucketCol).parquet(indexPath)
-    } else {
-      val buckets = idxBuckets(rows, keyCol, nBuckets)
-      val existing = spark.read.parquet(indexPath)
-        .filter(col(IdxBucketCol).isin(buckets: _*))
-        .join(broadcast(rows.select(col(keyCol))), Seq(keyCol), "left_anti")
-      // localCheckpoint: the write overwrites bucket partitions this plan
-      // is still reading from
-      val merged = existing.select(col(keyCol), col(dateCol), col(IdxBucketCol))
-        .unionByName(entriesNew).localCheckpoint(true)
-      merged.write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(IdxBucketCol).parquet(indexPath)
-    }
-  }
-
-  /** Remove `ids` from the id→date index (the sweep's counterpart of
-    * [[upsertIdDateIndex]]): only the ids' buckets are rewritten; a bucket
-    * left empty has its partition directory dropped (dynamic overwrite
-    * would otherwise keep the stale files).
-    */
-  def deleteFromIndex(spark: org.apache.spark.sql.SparkSession,
-                      indexPath: String, ids: DataFrame,
-                      keyCol: String = "id", nBuckets: Int = 32): Unit = {
-    val buckets = idxBuckets(ids, keyCol, nBuckets)
-    if (buckets.nonEmpty) {
-      val kept = spark.read.parquet(indexPath)
-        .filter(col(IdxBucketCol).isin(buckets: _*))
-        .join(broadcast(ids.select(col(keyCol))), Seq(keyCol), "left_anti")
-        .localCheckpoint(true)
-      val written = kept.select(col(IdxBucketCol)).distinct()
-        .collect().map(_.getInt(0)).toSet
-      kept.write.mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(IdxBucketCol).parquet(indexPath)
-      val base = new org.apache.hadoop.fs.Path(indexPath)
-      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      (buckets.toSet -- written).foreach { b =>
-        fs.delete(new org.apache.hadoop.fs.Path(base, s"$IdxBucketCol=$b"), true)
-      }
-    }
-  }
+      .repartition(col(IdxBucketCol))
+      .write.mode(SaveMode.Append).partitionBy(IdxBucketCol)
+      .parquet(indexPath)
 
   /** Upsert (replace matched ids, insert new — NO delete) into a
     * date-partitioned fact, rewriting only the affected partitions: the
@@ -322,9 +289,11 @@ object MergeOps {
     *    xxhash64(id) % nBuckets ([[staleDatesViaIndex]]) — partition
     *    pruning cuts the probe to the batch's buckets, O(batch × bucket
     *    size). The index is bootstrapped from the fact's two thin columns
-    *    on first use and maintained here ([[upsertIdDateIndex]]) and in
-    *    [[sweepPartitionedWindow]] ([[deleteFromIndex]]); the fact write
-    *    path is unchanged by the index.
+    *    on first use, maintained here by a log-structured APPEND
+    *    ([[appendIdDateIndex]] — O(batch) per batch, no read-modify-
+    *    write), and compacted once per cycle by
+    *    [[sweepPartitionedWindow]]; the fact write path is unchanged by
+    *    the index.
     */
   def upsertPartitioned(spark: org.apache.spark.sql.SparkSession,
                         factPath: String, rows: DataFrame,
@@ -359,15 +328,17 @@ object MergeOps {
     overwriteDatePartitions(merged, factPath, dateCol)
     dropEmptiedPartitions(spark, factPath, dateCol, affected, written)
     indexPath.foreach(ip =>
-      upsertIdDateIndex(spark, ip, rows, dateCol, keyCol, indexBuckets))
+      appendIdDateIndex(rows, ip, dateCol, keyCol, indexBuckets))
   }
 
   /** End-of-cycle windowed delete against a date-partitioned fact: drop
     * in-window rows whose id was not asserted this cycle (`seenIds`),
     * rewriting only window partitions. Out-of-window partitions are never
-    * read or written. With `indexPath` set, the swept ids are also removed
-    * from the id→date index, keeping it exactly equal to the fact's
-    * (keyCol, dateCol) projection.
+    * read or written. With `indexPath` set, the id→date index's
+    * append-only log is COMPACTED here — rebuilt from the post-sweep
+    * fact's two thin columns (one column-pruned scan per cycle), which
+    * both removes the swept ids and collapses the cycle's superset
+    * entries back to exactly the fact's (keyCol, dateCol) projection.
     */
   def sweepPartitionedWindow(spark: org.apache.spark.sql.SparkSession,
                              factPath: String, seenIds: DataFrame,
@@ -381,17 +352,13 @@ object MergeOps {
     val inWin = spark.read.parquet(factPath)
       .filter(coalesce(col(dateCol).between(lo, hi), lit(false)))
     val affected = dateSet(inWin, dateCol) // BETWEEN is null-false: no null slot
-    // materialized BEFORE the overwrite below invalidates the lazy inWin scan
-    val deleted = indexPath.map(_ => inWin
-      .join(seenIds.select(col(keyCol)), Seq(keyCol), "left_anti")
-      .select(col(keyCol)).localCheckpoint(true))
     val kept = inWin.join(seenIds.select(col(keyCol)), Seq(keyCol), "left_semi")
       .localCheckpoint(true)
     val written = dateSet(kept, dateCol)
     overwriteDatePartitions(kept, factPath, dateCol)
     dropEmptiedPartitions(spark, factPath, dateCol, affected, written)
-    for (ip <- indexPath; del <- deleted)
-      deleteFromIndex(spark, ip, del, keyCol, indexBuckets)
+    indexPath.foreach(ip => buildIdDateIndex(
+      spark.read.parquet(factPath), ip, dateCol, keyCol, indexBuckets))
   }
 
   def refreshPartitioned(spark: org.apache.spark.sql.SparkSession,

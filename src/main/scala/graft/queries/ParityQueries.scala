@@ -59,6 +59,42 @@ object ParityQueries {
       |SELECT id, ts, CAST(d AS VARCHAR) start_date_oslo, event_type, v AS "value"
       |FROM m ORDER BY id""".stripMargin
 
+  /** Shared body of st4/st4b: M1 semantics with staging replayed as a
+    * sliced micro-batch stream (maxFilesPerTrigger=1 over a 4-file
+    * staging dump) through Streams.streamingMergeIncrementalPartitioned —
+    * per-batch windowed upsert rewriting ONLY affected date partitions +
+    * one end-of-cycle sweep over window partitions. `indexed` toggles the
+    * id→date index (st4b's at-scale probe configuration).
+    */
+  private def stMergeIncremental(s: org.apache.spark.sql.SparkSession,
+                                 d: String, indexed: Boolean): org.apache.spark.sql.DataFrame = {
+    val ev = t(s, d, "events")
+    val fact = ev.filter(col("ts") < tsLit("2024-01-28"))
+      .select(col("event_id").as("id"), col("ts"),
+        osloDate(col("ts")).as("start_date_oslo"), col("event_type"), col("value"))
+    val staging = ev.filter(col("event_type") =!= "error")
+      .select(col("event_id").as("id"), col("ts"),
+        osloDate(col("ts")).as("start_date_oslo"), col("event_type"),
+        (col("value") * 2).as("value"))
+    val base = java.nio.file.Files.createTempDirectory("graft_stmerge").toString
+    val factPath = s"$base/fact"
+    fact.write.partitionBy("start_date_oslo").parquet(factPath)
+    staging.repartition(4).write.parquet(s"$base/staging")
+    val stream = s.readStream.schema(staging.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/staging")
+    graft.streaming.Streams.streamingMergeIncrementalPartitioned(s, stream,
+      factPath, s"$base/seen_ids", days = 7,
+      todayOslo = LocalDate.parse("2024-01-30"), checkpoint = s"$base/ckpt",
+      indexPath = if (indexed) Some(s"$base/fact_idx") else None)
+    val out = s.read.parquet(factPath)
+      .select("id", "ts", "start_date_oslo", "event_type", "value")
+      .localCheckpoint(true)
+    val p = new org.apache.hadoop.fs.Path(base)
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+    out.withColumn("start_date_oslo", col("start_date_oslo").cast("string"))
+      .orderBy("id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // ── S: sources ────────────────────────────────────────────────────────
@@ -658,36 +694,20 @@ object ParityQueries {
     // against the IDENTICAL DuckDB oracle as m1_merge_refresh — the proof
     // that the reference's incremental MERGE semantics survive micro-batch
     // slicing byte-for-byte.
-    QuerySpec("st4_stream_merge_incremental", (s, d) => {
-      val ev = t(s, d, "events")
-      val fact = ev.filter(col("ts") < tsLit("2024-01-28"))
-        .select(col("event_id").as("id"), col("ts"),
-          osloDate(col("ts")).as("start_date_oslo"), col("event_type"), col("value"))
-      val staging = ev.filter(col("event_type") =!= "error")
-        .select(col("event_id").as("id"), col("ts"),
-          osloDate(col("ts")).as("start_date_oslo"), col("event_type"),
-          (col("value") * 2).as("value"))
-      val base = java.nio.file.Files.createTempDirectory("graft_stmerge").toString
-      val factPath = s"$base/fact"
-      fact.write.partitionBy("start_date_oslo").parquet(factPath)
-      staging.repartition(4).write.parquet(s"$base/staging")
-      val stream = s.readStream.schema(staging.schema)
-        .option("maxFilesPerTrigger", 1).parquet(s"$base/staging")
-      // indexPath: the at-scale configuration — the per-batch stale-id
-      // probe reads the bucketed id→date index (partition-pruned to the
-      // batch's buckets), never the whole fact (r5 VERDICT item 2)
-      graft.streaming.Streams.streamingMergeIncrementalPartitioned(s, stream,
-        factPath, s"$base/seen_ids", days = 7,
-        todayOslo = LocalDate.parse("2024-01-30"), checkpoint = s"$base/ckpt",
-        indexPath = Some(s"$base/fact_idx"))
-      val out = s.read.parquet(factPath)
-        .select("id", "ts", "start_date_oslo", "event_type", "value")
-        .localCheckpoint(true)
-      val p = new org.apache.hadoop.fs.Path(base)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
-      out.withColumn("start_date_oslo", col("start_date_oslo").cast("string"))
-        .orderBy("id")
-    }, Some(m1OracleSql)),
+    QuerySpec("st4_stream_merge_incremental",
+      (s, d) => stMergeIncremental(s, d, indexed = false), Some(m1OracleSql)),
+
+    // ST4b — identical run with the id→date INDEX enabled (r5 VERDICT
+    // item 2): the per-batch stale-id probe reads the bucketed index
+    // (partition-pruned to the batch's buckets) instead of the whole
+    // fact's (id, date) columns; the index is maintained as an
+    // append-only log per batch and compacted by the sweep. Same oracle:
+    // the index must not change a byte of the output. At this toy scale
+    // the index's fixed costs (bootstrap + compaction thin scans) make
+    // st4b SLOWER than st4 — the trade inverts when the fact dwarfs the
+    // batch (PERF.md r6).
+    QuerySpec("st4b_stream_merge_indexed",
+      (s, d) => stMergeIncremental(s, d, indexed = true), Some(m1OracleSql)),
 
     // T4 — JSON-lines source round-trip: the reference's raw payloads are
     // JSON (api.clickup.com responses); re-expressed as the Spark `json`

@@ -636,7 +636,7 @@ object Streams {
           else {
             MergeOps.overwriteDatePartitions(bw, factPath, dateCol)
             indexPath.foreach(ip =>
-              MergeOps.upsertIdDateIndex(spark, ip, bw, dateCol, keyCol))
+              MergeOps.buildIdDateIndex(bw, ip, dateCol, keyCol))
           }
         }
         ()
