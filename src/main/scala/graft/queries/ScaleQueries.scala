@@ -1414,6 +1414,28 @@ object ScaleQueries {
       Some("""WITH dim AS (SELECT user_id, min(ts) first_ts FROM events GROUP BY 1)
              |SELECT e.event_type, count(*) n, min(d.first_ts) min_first_ts
              |FROM events e JOIN dim d USING (user_id)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Bucketed co-located join (x35): both sides written bucketBy(user_id)
+    // as catalog tables, so the join plans SortMergeJoin with NO Exchange
+    // on either side (asserted in ScaleNativeSpec) — the repeated-join
+    // amortization story at 100 TB: pay the layout shuffle once at write
+    // time, never again per query. Oracle = the plain join; the layout
+    // must not change a byte.
+    QuerySpec("x35_bucketed_join", (s, d) => {
+      val ev = t(s, d, "events").select("event_id", "user_id", "value")
+      val dim = t(s, d, "events").groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"))
+      graft.operators.ScaleOps.writeBucketed(ev, "graft_x35_ev", "user_id", 8)
+      graft.operators.ScaleOps.writeBucketed(dim, "graft_x35_dim", "user_id", 8)
+      graft.operators.ScaleOps.bucketedJoin(s, "graft_x35_ev", "graft_x35_dim",
+        "user_id")
+        .groupBy("n_events").agg(count(lit(1)).as("n_rows"))
+        .orderBy("n_events")
+    },
+      Some("""WITH dim AS (SELECT user_id, count(*) n_events FROM events GROUP BY 1)
+             |SELECT d.n_events, count(*) n_rows
+             |FROM events e JOIN dim d USING (user_id)
              |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }
