@@ -53,13 +53,22 @@ object ScaleOps {
 
   /** Write a table bucketed by `key` so repeated joins/aggregations on
     * that key are shuffle-free (co-located scans). Bucketed writes need a
-    * catalog table, not a bare path.
+    * catalog table, not a bare path. A fresh session's in-memory catalog
+    * forgets the table while its managed-table DIRECTORY survives in the
+    * warehouse, so Overwrite alone fails LOCATION_ALREADY_EXISTS on the
+    * second session — drop both the entry and any orphaned location first.
     */
   def writeBucketed(df: DataFrame, table: String, key: String,
-                    buckets: Int): Unit =
+                    buckets: Int): Unit = {
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val wh = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table.toLowerCase)
+    wh.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(wh, true)
     df.write.mode(SaveMode.Overwrite)
       .bucketBy(buckets, key).sortBy(key)
       .format("parquet").saveAsTable(table)
+  }
 
   /** Join two same-bucketed catalog tables on their bucket key: with
     * matching bucket specs Catalyst plans a SortMergeJoin with NO Exchange
