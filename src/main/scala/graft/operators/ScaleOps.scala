@@ -264,6 +264,52 @@ object ScaleOps {
       .drop("__rk", "__q")
   }
 
+  /** Deterministic stratified split (train/val/test …): within each
+    * stratum (`strataCol`), members are ranked by [[hashUniform]]
+    * (ties → idCol) and assigned to the named splits by EXACT cumulative
+    * boundaries floor(cumFraction_i · n_g) — the last split takes the
+    * remainder, so the splits partition every stratum exactly. Unlike
+    * Bernoulli threshold splitting the per-stratum proportions are exact;
+    * unlike RNG splitting the assignment is reproducible across runs,
+    * engines, and retries, and a row's split never changes when other
+    * rows come and go (fixed salt). Plan: census broadcast + one rank
+    * window per stratum — the same shape as [[temperatureQuotaSample]].
+    *
+    * Float note for oracle writers: cumulative fractions are plain double
+    * sums (0.8 + 0.1 = 0.9000000000000001), so an independent
+    * re-derivation must use the SAME cumulative values —
+    * [[cumulativeFractions]] exposes them for SQL generation.
+    */
+  def stratifiedSplit(df: DataFrame, strataCol: String, idCol: String,
+                      salt: String, splits: Seq[(String, Double)],
+                      outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got ${splits.map(_._2).sum}")
+    val cums = cumulativeFractions(splits)
+    val counts = df.groupBy(col(strataCol)).agg(count("*").as("__n"))
+    def assign(rest: List[(String, Double)]): Column = rest match {
+      case (name, cf) :: tail =>
+        when(col("__rk") <= floor(lit(cf) * col("__n")).cast("long"), lit(name))
+          .otherwise(assign(tail))
+      case Nil => lit(splits.last._1)
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(hashUniform(col(idCol), salt).asc, col(idCol).asc)
+    df.withColumn("__rk", row_number().over(w))
+      .join(broadcast(counts), strataCol)
+      .withColumn(outCol, assign(splits.zip(cums).map {
+        case ((n, _), cf) => (n, cf) }.dropRight(1).toList))
+      .drop("__rk", "__n")
+  }
+
+  /** The exact cumulative-fraction doubles [[stratifiedSplit]] compares
+    * against, for independent re-derivations (oracle SQL embeds these
+    * verbatim — `Double.toString` round-trips bit-exactly).
+    */
+  def cumulativeFractions(splits: Seq[(String, Double)]): Seq[Double] =
+    splits.map(_._2).scanLeft(0.0)(_ + _).tail
+
   def corpusStats(df: DataFrame, valueCol: String, label: String,
                   exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     def pct(p: Double): Column =

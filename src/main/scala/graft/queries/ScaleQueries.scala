@@ -1416,6 +1416,41 @@ object ScaleQueries {
              |FROM events e JOIN dim d USING (user_id)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Deterministic stratified train/val/test split (x36): per-lang exact
+    // proportions (80/10/10) by md5-uniform rank — the reproducible split
+    // every training pipeline needs. The oracle re-ranks with the same
+    // refolded md5 and compares against the ENGINE's cumulative-fraction
+    // doubles embedded verbatim (0.8 + 0.1 = 0.9000000000000001 — a
+    // hand-written 0.9 literal would flip boundary rows).
+    QuerySpec("x36_stratified_split", (s, d) =>
+      graft.operators.ScaleOps.stratifiedSplit(
+        t(s, d, "documents").select("doc_id", "lang"),
+        "lang", "doc_id", salt = "split1:",
+        splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select("doc_id", "lang", "split")
+        .orderBy("doc_id"),
+      Some {
+        val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+        val cums = graft.operators.ScaleOps.cumulativeFractions(splits)
+        val cases = splits.zip(cums).dropRight(1)
+          .map { case ((n, _), cf) =>
+            s"WHEN rk <= floor($cf * n) THEN '$n'" }
+          .mkString(" ")
+        s"""WITH c AS (SELECT lang, count(*) n FROM documents GROUP BY 1),
+           |u AS (SELECT doc_id, lang,
+           |  list_reduce(list_transform(range(1, 9),
+           |    i -> CAST(strpos('0123456789abcdef',
+           |      substr(md5('split1:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+           |    (a, b) -> a*16 + b) / 4294967296.0 uval
+           |  FROM documents),
+           |r AS (SELECT doc_id, lang, n,
+           |    row_number() OVER (PARTITION BY lang ORDER BY uval, doc_id) rk
+           |  FROM u JOIN c USING (lang))
+           |SELECT doc_id, lang,
+           |  CASE $cases ELSE '${splits.last._1}' END split
+           |FROM r ORDER BY doc_id""".stripMargin
+      }),
+
     // Bucketed co-located join (x35): both sides written bucketBy(user_id)
     // as catalog tables, so the join plans SortMergeJoin with NO Exchange
     // on either side (asserted in ScaleNativeSpec) — the repeated-join

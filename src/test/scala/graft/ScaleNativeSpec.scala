@@ -498,6 +498,23 @@ class ScaleNativeSpec extends SparkSpec {
     assert(e2.getMessage.contains("types must match"))
   }
 
+  test("stratifiedSplit: exact per-stratum proportions, disjoint cover, " +
+    "deterministic, tiny-stratum remainder goes to the last split") {
+    val df = ((1 to 100).map(i => (i.toLong, "big")) ++
+      Seq((1001L, "tiny"))).toDF("id", "g")
+    def run() = ScaleOps.stratifiedSplit(df, "g", "id", "s1:",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select(col("id"), col("g"), col("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    val out = run()
+    assert(out.length == 101, "splits must cover every row exactly once")
+    val big = out.filter(_._2 == "big").groupBy(_._3).view.mapValues(_.size).toMap
+    assert(big == Map("train" -> 80, "val" -> 10, "test" -> 10))
+    // n=1 stratum: floor(0.8*1)=floor(cum2*1)=0 → the remainder split
+    assert(out.filter(_._2 == "tiny").map(_._3).toSeq == Seq("test"))
+    assert(run().toSeq == out.toSeq, "assignment must be deterministic")
+  }
+
   test("temperatureQuotaSample: exact sqrt-damped quotas, deterministic") {
     val df = ((1 to 16).map(i => (i.toLong, "big")) ++
       (101 to 104).map(i => (i.toLong, "small"))).toDF("id", "g")
