@@ -294,6 +294,13 @@ object MergeOps {
     *    write), and compacted once per cycle by
     *    [[sweepPartitionedWindow]]; the fact write path is unchanged by
     *    the index.
+    *
+    * The index is DERIVED state, never the source of truth: within a
+    * cycle it may hold superset entries (harmless — see
+    * [[appendIdDateIndex]]), and if it is ever suspect (e.g. a crash
+    * mid-write left a partial directory, which could under-mark affected
+    * partitions), deleting the directory heals it — the next batch
+    * re-bootstraps from the fact's own columns.
     */
   def upsertPartitioned(spark: org.apache.spark.sql.SparkSession,
                         factPath: String, rows: DataFrame,
