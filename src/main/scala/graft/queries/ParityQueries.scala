@@ -766,6 +766,32 @@ object ParityQueries {
       Some("""SELECT event_id, ts, user_id, event_type, value, props
              |FROM events WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin)),
 
+    // T7: schema evolution across parquet file generations — older files
+    // lack a column that newer files carry (the reference's tables gained
+    // columns across deployments, e.g. BUG_FIX_SUMMARY.md's explicit
+    // INSERT-column fix exists because schemas drifted). mergeSchema
+    // reconciles at read time; old rows surface the new column as NULL.
+    // Oracle derives the same null pattern from the slice predicate.
+    QuerySpec("t7_schema_evolution", (s, d) => {
+      val ev = t(s, d, "events").filter(col("event_id") % 100 === 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_evol").toString + "/ev"
+      // generation 1: two columns; generation 2: adds `value`
+      ev.filter(col("event_id") % 200 === 0)
+        .select("event_id", "user_id").write.parquet(dir)
+      ev.filter(col("event_id") % 200 === 100)
+        .select("event_id", "user_id", "value")
+        .write.mode(org.apache.spark.sql.SaveMode.Append).parquet(dir)
+      val back = s.read.option("mergeSchema", "true").parquet(dir)
+        .select("event_id", "user_id", "value")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      back.orderBy("event_id")
+    },
+      Some("""SELECT event_id, user_id,
+             |  CASE WHEN event_id % 200 = 100 THEN "value" END AS "value"
+             |FROM events WHERE event_id % 100 = 0 ORDER BY event_id""".stripMargin)),
+
     QuerySpec("m2_merge_full_reindex", (s, d) => {
       val ev = t(s, d, "events")
       val fact = ev.filter(col("event_id") % 3 === 0)

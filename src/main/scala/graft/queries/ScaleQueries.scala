@@ -1416,6 +1416,34 @@ object ScaleQueries {
              |FROM events e JOIN dim d USING (user_id)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Weighted data mixing (x37): sampleByRates with an explicit
+    // per-source rate dimension — the general form whose uniform special
+    // case x24 grades (downweight the dominant crawl language, keep the
+    // rare ones whole: the CCNet/ROOTS mixing knob). Rates are exact
+    // binary fractions so rate literals parse to identical doubles in
+    // both engines; the md5-uniform is k/2^32 — every comparison is
+    // exact, no float noise possible.
+    QuerySpec("x37_weighted_mix", (s, d) => {
+      import s.implicits._
+      val rates = Seq(("en", 0.25), ("de", 0.5), ("es", 0.5),
+        ("fr", 1.0), ("zh", 0.75)).toDF("lang", "__rate")
+      graft.operators.ScaleOps.sampleByRates(
+        t(s, d, "documents").select("doc_id", "lang"),
+        "lang", "doc_id", salt = "mixW:", rates)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+      Some("""WITH r(lang, rate) AS (VALUES ('en', 0.25), ('de', 0.5),
+             |    ('es', 0.5), ('fr', 1.0), ('zh', 0.75)),
+             |u AS (SELECT doc_id, lang,
+             |  list_reduce(list_transform(range(1, 9),
+             |    i -> CAST(strpos('0123456789abcdef',
+             |      substr(md5('mixW:' || CAST(doc_id AS VARCHAR)), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |    (a, b) -> a*16 + b) / 4294967296.0 uval
+             |  FROM documents)
+             |SELECT u.doc_id, u.lang FROM u JOIN r USING (lang)
+             |WHERE u.uval < r.rate ORDER BY doc_id""".stripMargin)),
+
     // Deterministic stratified train/val/test split (x36): per-lang exact
     // proportions (80/10/10) by md5-uniform rank — the reproducible split
     // every training pipeline needs. The oracle re-ranks with the same
