@@ -404,4 +404,93 @@ object MergeOps {
     overwriteDatePartitions(merged, factPath, dateCol)
     dropEmptiedPartitions(spark, factPath, dateCol, affected, written)
   }
+
+  /** SCD Type 2 apply: fold a batch of updates into a slowly-changing
+    * dimension that tracks attribute history as (valid_from, valid_to,
+    * is_current) versions.
+    *
+    * Semantics (the standard Kimball Type-2 merge):
+    *   - update with CHANGED attributes for a current row → that row is
+    *     closed (valid_to = effectiveDate, is_current = false) and a new
+    *     current version is inserted (valid_from = effectiveDate);
+    *   - update identical to the current attributes → no-op (no empty
+    *     version chains);
+    *   - update for an unseen key → new current row inserted;
+    *   - historical (already-closed) rows pass through untouched.
+    *
+    * `updates` carries (keyCol, attrCols…); the dimension carries the same
+    * plus valid_from/valid_to (DATE, valid_to null while current) and
+    * is_current. Change detection compares attrCols null-safely (<=>).
+    *
+    * Scale: one full-outer hash join between the CURRENT slice and the
+    * update batch (full-outer is what detects brand-new keys, and Spark
+    * cannot broadcast a full-outer side — the current slice shuffles once
+    * on the key). History rows stream through untouched: with the dim
+    * partitioned on is_current, the closed majority is never even read.
+    * No window, no full-dim shuffle.
+    */
+  def scd2Apply(dim: DataFrame, updates: DataFrame, keyCol: String,
+                attrCols: Seq[String],
+                effectiveDate: java.sql.Date): DataFrame = {
+    val eff = lit(effectiveDate)
+    val history = dim.filter(!col("is_current"))
+    val current = dim.filter(col("is_current"))
+    val upd = updates.select(
+      col(keyCol).as("__k"),
+      struct(attrCols.map(col): _*).as("__new"))
+    val joined = current.join(upd, col(keyCol) === col("__k"), "full_outer")
+    val changed = col("__k").isNotNull && col(keyCol).isNotNull &&
+      !(struct(attrCols.map(col): _*) <=> col("__new"))
+    // current rows: kept as-is (no update / identical update), or closed
+    val keptOrClosed = joined.filter(col(keyCol).isNotNull)
+      .select(col(keyCol) +: attrCols.map(col) :+
+        col("valid_from") :+
+        when(changed, eff).otherwise(col("valid_to")).as("valid_to") :+
+        when(changed, lit(false)).otherwise(col("is_current"))
+          .as("is_current"): _*)
+    // inserted versions: changed keys + brand-new keys
+    val inserted = joined.filter(changed || col(keyCol).isNull)
+      .select(col("__k").as(keyCol) +:
+        attrCols.map(a => col("__new")(a).as(a)) :+
+        eff.as("valid_from") :+
+        lit(null).cast("date").as("valid_to") :+
+        lit(true).as("is_current"): _*)
+    history.unionByName(keptOrClosed).unionByName(inserted)
+  }
+
+  /** Snapshot diff (CDC derivation): compare two versions of a table on a
+    * key and emit one row per changed key with change_type ∈
+    * {insert, delete, update} and the names of the columns that differ.
+    * Unchanged keys produce no output. The inverse of MERGE: where M1/M2
+    * apply a delta, this RECOVERS the delta between two snapshots — the
+    * first step of incremental downstream refresh when the upstream only
+    * publishes full dumps.
+    *
+    * Scale: one full outer hash join on the key (both sides shuffle once —
+    * unavoidable for whole-snapshot comparison; with both snapshots
+    * bucketed on the key via [[ScaleOps.writeBucketed]] even that exchange
+    * disappears). Column comparison is map-side expression work;
+    * unchanged rows are filtered before any further stage sees them.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame, keyCol: String,
+                   compareCols: Seq[String]): DataFrame = {
+    val b = before.select(col(keyCol).as("__bk") +:
+      compareCols.map(c => col(c).as(s"__b_$c")): _*)
+    val a = after.select(col(keyCol).as("__ak") +:
+      compareCols.map(c => col(c).as(s"__a_$c")): _*)
+    val j = b.join(a, col("__bk") === col("__ak"), "full_outer")
+    val diffCols = array(compareCols.map(c =>
+      when(!(col(s"__b_$c") <=> col(s"__a_$c")), lit(c))): _*)
+    j.withColumn("change_type",
+        when(col("__bk").isNull, lit("insert"))
+          .when(col("__ak").isNull, lit("delete"))
+          .otherwise(lit("update")))
+      .withColumn("changed_cols",
+        when(col("change_type") === "update",
+          filter(diffCols, x => x.isNotNull)).otherwise(array()))
+      .filter(col("change_type") =!= "update" || size(col("changed_cols")) > 0)
+      .select(coalesce(col("__bk"), col("__ak")).as(keyCol),
+        col("change_type"),
+        array_join(col("changed_cols"), ",").as("changed_cols"))
+  }
 }

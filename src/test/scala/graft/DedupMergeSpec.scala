@@ -303,4 +303,69 @@ class DedupMergeSpec extends SparkSpec {
     val out = MergeOps.mergeRefresh(fact, staging, 7, LocalDate.parse("2024-03-01"))
     assert(out.count() == 2)
   }
+
+  test("M7 scd2Apply: change closes+inserts, identical update no-ops, " +
+    "new key inserts, history passes through") {
+    val d0 = java.sql.Date.valueOf("2020-01-01")
+    val dPrev = java.sql.Date.valueOf("2019-01-01")
+    val eff = java.sql.Date.valueOf("2024-06-01")
+    val dim = Seq(
+      (1L, "A", d0, Option.empty[java.sql.Date], true),
+      (2L, "B", d0, Option.empty[java.sql.Date], true),
+      (3L, "C", d0, Option.empty[java.sql.Date], true),
+      (1L, "A0", dPrev, Some(d0), false) // closed history version
+    ).toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val upd = Seq((1L, "A2"), (2L, "B"), (9L, "NEW")).toDF("k", "attr")
+    val out = MergeOps.scd2Apply(dim, upd, "k", Seq("attr"), eff)
+      .orderBy("k", "valid_from")
+      .select($"k", $"attr", $"valid_from".cast("string"),
+        $"valid_to".cast("string"), $"is_current")
+      .as[(Long, String, String, Option[String], Boolean)].collect().toSeq
+    assert(out == Seq(
+      (1L, "A0", "2019-01-01", Some("2020-01-01"), false), // history untouched
+      (1L, "A", "2020-01-01", Some("2024-06-01"), false),  // closed
+      (1L, "A2", "2024-06-01", None, true),                // new version
+      (2L, "B", "2020-01-01", None, true),                 // identical → no-op
+      (3L, "C", "2020-01-01", None, true),                 // no update → kept
+      (9L, "NEW", "2024-06-01", None, true)))              // brand-new key
+  }
+
+  test("M7 scd2Apply: null-safe attr compare (null → value is a change; " +
+    "null → null is not)") {
+    val d0 = java.sql.Date.valueOf("2020-01-01")
+    val eff = java.sql.Date.valueOf("2024-06-01")
+    val dim = Seq(
+      (1L, Option.empty[String], d0, Option.empty[java.sql.Date], true),
+      (2L, Option.empty[String], d0, Option.empty[java.sql.Date], true)
+    ).toDF("k", "attr", "valid_from", "valid_to", "is_current")
+    val upd = Seq((1L, Some("X")), (2L, Option.empty[String])).toDF("k", "attr")
+    val out = MergeOps.scd2Apply(dim, upd, "k", Seq("attr"), eff)
+    assert(out.count() == 3) // k=1 closed+inserted, k=2 untouched
+    assert(out.filter($"k" === 2 && $"is_current" && $"valid_from" === lit(d0))
+      .count() == 1)
+  }
+
+  test("M8 snapshotDiff: insert/delete/update typed, changed column names " +
+    "listed, unchanged keys absent") {
+    val before = Seq((1L, 10.0, "X"), (2L, 20.0, "Y"), (3L, 30.0, "Z"))
+      .toDF("k", "p", "s")
+    val after = Seq((1L, 10.0, "X"), (2L, 21.0, "W"), (4L, 40.0, "V"))
+      .toDF("k", "p", "s")
+    val out = MergeOps.snapshotDiff(before, after, "k", Seq("p", "s"))
+      .orderBy("k")
+      .as[(Long, String, String)].collect().toSeq
+    assert(out == Seq(
+      (2L, "update", "p,s"),
+      (3L, "delete", ""),
+      (4L, "insert", "")))
+  }
+
+  test("M8 snapshotDiff: null vs value is a change, null vs null is not") {
+    val before = Seq((1L, Option.empty[String]), (2L, Option.empty[String]))
+      .toDF("k", "s")
+    val after = Seq((1L, Some("x")), (2L, Option.empty[String])).toDF("k", "s")
+    val out = MergeOps.snapshotDiff(before, after, "k", Seq("s"))
+      .as[(Long, String, String)].collect().toSeq
+    assert(out == Seq((1L, "update", "s")))
+  }
 }

@@ -639,4 +639,51 @@ class ScaleNativeSpec extends SparkSpec {
     // (5m back); purchase 201's only view is 45m back -> no match
     assert(got == Set((200L, 100L), (200L, 101L)))
   }
+
+  test("zScoreByGroup: exact z on a hand-computable group; n=1 group → null") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("h", 7.0))
+      .toDF("grp", "v")
+    val out = ScaleOps.zScoreByGroup(df, "grp", "v", "z")
+      .orderBy("grp", "v")
+      .select($"grp", $"v", $"z")
+      .as[(String, Double, Option[Double])].collect().toSeq
+    // g: mean 2, sample sd 1 → z = -1, 0, 1 (exact — integer cents)
+    assert(out == Seq(
+      ("g", 1.0, Some(-1.0)), ("g", 2.0, Some(0.0)), ("g", 3.0, Some(1.0)),
+      ("h", 7.0, None)))
+  }
+
+  test("zScoreByGroup: constant group (sd=0) → null, not Inf/NaN") {
+    val df = Seq(("g", 5.0), ("g", 5.0), ("g", 5.0)).toDF("grp", "v")
+    val out = ScaleOps.zScoreByGroup(df, "grp", "v", "z")
+      .select($"z").as[Option[Double]].collect().toSeq
+    assert(out == Seq(None, None, None))
+  }
+
+  test("winsorizeByGroup clips at the ceil(p·n) order statistics per group") {
+    val df = ((1 to 100).map(i => ("g", i.toDouble)) :+ ("h", 42.0))
+      .toDF("grp", "v")
+    val out = ScaleOps.winsorizeByGroup(df, "grp", "v", "w",
+      pLo = 0.05, pHi = 0.95)
+    val g = out.filter($"grp" === "g").select($"v", $"w")
+      .as[(Double, Double)].collect().toMap
+    // cut ranks: ceil(100·0.05)=5 → lo=5.0; ceil(100·0.95)=95 → hi=95.0
+    assert(g(1.0) == 5.0 && g(4.0) == 5.0 && g(5.0) == 5.0)
+    assert(g(50.0) == 50.0)
+    assert(g(95.0) == 95.0 && g(96.0) == 95.0 && g(100.0) == 95.0)
+    // singleton group: lo = hi = the value → unchanged
+    val h = out.filter($"grp" === "h").select($"w").as[Double].collect().toSeq
+    assert(h == Seq(42.0))
+  }
+
+  test("winsorizeByGroup with duplicate values at the cut is deterministic") {
+    // ties at the cut rank: the VALUE at rank ceil(p·n) is well-defined
+    // regardless of which physical row takes the rank
+    val df = Seq.fill(10)(("g", 1.0)).++(Seq.fill(10)(("g", 2.0)))
+      .toDF("grp", "v")
+    val out = ScaleOps.winsorizeByGroup(df, "grp", "v", "w",
+      pLo = 0.25, pHi = 0.75)
+    // lo rank 5 → 1.0, hi rank 15 → 2.0: nothing actually clips
+    assert(out.filter($"v" =!= $"w").count() == 0)
+  }
 }

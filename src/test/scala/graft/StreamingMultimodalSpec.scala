@@ -335,4 +335,23 @@ class StreamingMultimodalSpec extends SparkSpec {
     MergeOps.truncateLoad(Seq((3, "c")).toDF("k", "v"), path) // WRITE_TRUNCATE
     assert(spark.read.parquet(path).as[(Int, String)].collect().toSeq == Seq((3, "c")))
   }
+
+  test("stream-static enrich over per-file micro-batches equals the batch join") {
+    val base = Files.createTempDirectory("graft_enrich").toString
+    val events = (1L to 20L).map(i => (i, i % 4, s"e$i"))
+      .toDF("event_id", "user_id", "tag")
+    events.repartition(5).write.parquet(s"$base/in")
+    val dim = Seq((0L, "seg_a"), (1L, "seg_b"), (2L, "seg_c"), (3L, "seg_d"))
+      .toDF("user_id", "segment")
+    val stream = spark.readStream.schema(events.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+    val got = Streams.runStreamStaticEnrichAvailableNow(spark, stream, dim,
+      "user_id", "enrich_t", s"$base/ckpt")
+      .orderBy("event_id")
+      .select("event_id", "segment")
+      .as[(Long, String)].collect().toSeq
+    val want = events.join(dim, Seq("user_id")).orderBy("event_id")
+      .select("event_id", "segment").as[(Long, String)].collect().toSeq
+    assert(got == want) // stateless per batch — slicing cannot change the set
+  }
 }

@@ -279,4 +279,59 @@ class TextDedupSpec extends SparkSpec {
     assert(out(1) == "beta")
     assert(out(2) == "beta") // 0-0 tie → lexicographically last profile
   }
+
+  test("bm25 matches a driver-side reference computation (same formula)") {
+    val corpus = Seq(
+      (1L, "spark merge spark row"),   // dl=4, spark tf=2, merge tf=1
+      (2L, "table row scan filter"),   // dl=4, no hits
+      (3L, "merge merge merge spark table join") // dl=6
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25(corpus, "doc_id", "text", Seq("spark", "merge"))
+      .orderBy("doc_id")
+      .as[(Long, Double, Long)].collect().toSeq
+    // reference: N=3, avgdl=14/3; df(spark)=2, df(merge)=2
+    val n = 3.0; val avgdl = 14.0 / 3.0
+    def idf(df: Double) = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+    def term(tf: Double, dl: Double, df: Double) =
+      idf(df) * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (1L, r4(term(1, 4, 2) + term(2, 4, 2)), 2L),  // merge + spark (term order)
+      (3L, r4(term(3, 6, 2) + term(1, 6, 2)), 2L)))
+    // doc 2 has no query terms → absent, not zero-scored
+  }
+
+  test("bm25 empty/blank docs count in N and avgdl but never match") {
+    val corpus = Seq((1L, "spark"), (2L, ""), (3L, "  ")).toDF("doc_id", "text")
+    val got = TextOps.bm25(corpus, "doc_id", "text", Seq("spark"))
+      .as[(Long, Double, Long)].collect().toSeq
+    assert(got.map(_._1) == Seq(1L))
+  }
+
+  test("chunkText: stride grid, short tails, exact offsets, empty docs dropped") {
+    val docs = Seq(
+      (1L, "abcdefghij"), // len 10: starts 0,4,8 at stride 4
+      (2L, ""),           // no chunks
+      (3L, "xyz")         // one short chunk
+    ).toDF("doc_id", "text")
+    val got = TextOps.chunkText(docs, "doc_id", "text",
+      chunkChars = 5, strideChars = 4)
+      .orderBy("doc_id", "chunk_idx")
+      .as[(Long, Long, Long, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0L, 0L, "abcde", 5L),
+      (1L, 1L, 4L, "efghi", 5L),  // overlap of 1 char with chunk 0
+      (1L, 2L, 8L, "ij", 2L),     // tail shorter than chunkChars
+      (3L, 0L, 0L, "xyz", 3L)))
+  }
+
+  test("chunkText rejects non-positive sizes") {
+    val docs = Seq((1L, "abc")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextOps.chunkText(docs, "doc_id", "text", 0, 4)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.chunkText(docs, "doc_id", "text", 5, -1)
+    }
+  }
 }
