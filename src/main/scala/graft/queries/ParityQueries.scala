@@ -930,6 +930,61 @@ object ParityQueries {
              |WHERE b.o_orderkey IS NULL OR a.o_orderkey IS NULL
              |  OR b.o_totalprice IS DISTINCT FROM a.o_totalprice
              |  OR b.o_orderstatus IS DISTINCT FROM a.o_orderstatus
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // A15: the classic star-schema analytics shape (TPC-H Q3) — two
+    // selective dim filters, a 3-way join into the fact, grouped revenue,
+    // top-20. Exercises what a15 is FOR at scale: Catalyst broadcasts the
+    // filtered customer dim, pushes both date predicates into the scans,
+    // and TakeOrderedAndProject bounds the driver to 20 rows. Revenue is
+    // an exact integer product (cents × discount-% — both 2-decimal) so
+    // the double sum order cannot flip the hash.
+    QuerySpec("a15_star_join_q3", (s, d) => {
+      val cutoff = lit("1995-03-15").cast("date")
+      val cust = t(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+        .select("c_custkey")
+      val ord = t(s, d, "orders").filter(col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+      val li = t(s, d, "lineitem").filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100.0).cast("long") *
+            (lit(100L) - round(col("l_discount") * 100.0).cast("long")))
+            .as("rev_e4"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(round(sum(col("rev_e4")).cast("double") / 10000.0, 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(20)
+    },
+      Some("""SELECT l_orderkey, o_orderdate, o_orderpriority,
+             |  round(CAST(CAST(sum(CAST(round(l_extendedprice*100.0) AS BIGINT) *
+             |    (100 - CAST(round(l_discount*100.0) AS BIGINT))) AS BIGINT)
+             |    AS DOUBLE) / 10000.0, 2) revenue
+             |FROM customer
+             |JOIN orders ON c_custkey = o_custkey
+             |JOIN lineitem ON o_orderkey = l_orderkey
+             |WHERE c_mktsegment = 'BUILDING'
+             |  AND o_orderdate < DATE '1995-03-15'
+             |  AND l_shipdate > DATE '1995-03-15'
+             |GROUP BY 1, 2, 3
+             |ORDER BY revenue DESC, o_orderdate, l_orderkey
+             |LIMIT 20""".stripMargin)),
+
+    // A16: CUBE — all four grouping-set combinations in one pass (the
+    // sibling of a10's ROLLUP), quantities summed as exact cents.
+    QuerySpec("a16_cube",
+      (s, d) => t(s, d, "lineitem").cube("l_returnflag", "l_linestatus")
+        .agg((sum(round(col("l_quantity") * 100.0).cast("long"))
+          .cast("double") / 100.0).as("sum_qty"),
+          count(lit(1)).as("n"), grouping_id().as("gid"))
+        .orderBy(col("gid"), col("l_returnflag"), col("l_linestatus")),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  CAST(CAST(sum(CAST(round(l_quantity*100.0) AS BIGINT)) AS BIGINT)
+             |    AS DOUBLE) / 100.0 sum_qty,
+             |  count(*) n, CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) gid
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin))
   )
 }

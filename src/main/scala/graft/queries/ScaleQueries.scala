@@ -1625,6 +1625,78 @@ object ScaleQueries {
              |SELECT user_id, event_id, ts, event_type, "value",
              |  first_ts, n_user_events
              |FROM events JOIN dim USING (user_id)
-             |ORDER BY event_id""".stripMargin))
+             |ORDER BY event_id""".stripMargin)),
+
+    // Column profiling (x42): the dataset-card table — nulls / exact
+    // distinct / lexical min-max per column, ALL columns in one aggregate
+    // pass (the unpivot touches one row). Oracle = per-column UNION ALL.
+    QuerySpec("x42_column_profile", (s, d) =>
+      graft.operators.Analytics.profileColumns(
+        t(s, d, "documents"), Seq("lang", "source", "n_chars"))
+        .orderBy("col_name"),
+      Some(Seq("lang", "source", "n_chars").map(c =>
+        s"""SELECT '$c' col_name,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) n_distinct,
+           |  min(CAST($c AS VARCHAR)) min_val,
+           |  max(CAST($c AS VARCHAR)) max_val FROM documents""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"))),
+
+    // Fixed-width histogram (x43): bin assignment on exact integer cents
+    // (integer division — no float boundary), only the ≤ nBins partial
+    // rows shuffle. 20-wide bins over events.value.
+    QuerySpec("x43_histogram", (s, d) =>
+      graft.operators.Analytics.histogram(
+        t(s, d, "events"), "value", lo = 0.0, width = 20.0, nBins = 17)
+        .orderBy("bin"),
+      Some("""WITH b AS (SELECT least(greatest(
+             |    (CAST(round("value"*100.0) AS BIGINT) - 0) // 2000, 0), 17) bin
+             |  FROM events)
+             |SELECT bin, 0.0 + CAST(bin AS DOUBLE) * 20.0 bin_lo, count(*) n
+             |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Cohort retention (x44): customers bucketed by first-order month,
+    // counted per months-since-cohort — the retention triangle (orders
+    // spans 6+ years, so the triangle is real; events spans one month).
+    // Month arithmetic is pure integers; exchanges carry per-user rows,
+    // never the fact.
+    QuerySpec("x44_cohort_retention", (s, d) =>
+      graft.operators.Analytics.cohortRetention(
+        t(s, d, "orders"), "o_custkey", "o_orderdate")
+        .orderBy("cohort_month", "month_offset"),
+      Some("""WITH fm AS (SELECT o_custkey,
+             |    CAST(date_trunc('month', min(o_orderdate)) AS DATE) cm
+             |  FROM orders GROUP BY 1),
+             |am AS (SELECT DISTINCT o_custkey,
+             |    CAST(date_trunc('month', o_orderdate) AS DATE) am FROM orders)
+             |SELECT CAST(cm AS VARCHAR) cohort_month,
+             |  CAST((year(am) - year(cm)) * 12 + (month(am) - month(cm))
+             |    AS BIGINT) month_offset,
+             |  count(*) n_users
+             |FROM am JOIN fm USING (o_custkey)
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Strict-sequence funnel (x45): view → click after first view →
+    // purchase after that click, each stage anchored on the user's FIRST
+    // qualifying event. Oracle = three chained min-CTEs.
+    QuerySpec("x45_funnel", (s, d) =>
+      graft.operators.Analytics.funnel(
+        t(s, d, "events"), "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+        .orderBy("stage_idx"),
+      Some("""WITH v AS (SELECT user_id, min(ts) a FROM events
+             |    WHERE event_type = 'view' GROUP BY 1),
+             |c AS (SELECT e.user_id, min(e.ts) a FROM events e
+             |  JOIN v USING (user_id)
+             |  WHERE e.event_type = 'click' AND e.ts > v.a GROUP BY 1),
+             |p AS (SELECT e.user_id, min(e.ts) a FROM events e
+             |  JOIN c USING (user_id)
+             |  WHERE e.event_type = 'purchase' AND e.ts > c.a GROUP BY 1)
+             |SELECT * FROM (
+             |  SELECT CAST(1 AS BIGINT) stage_idx, 'view' stage,
+             |    (SELECT count(*) FROM v) n_users
+             |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
+             |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p))
+             |ORDER BY stage_idx""".stripMargin))
   )
 }

@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Analytics
+
+/** Warehouse-analytics operators: profiling, histogram, cohorts, funnel. */
+class AnalyticsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("profileColumns: nulls, exact distinct, lexical min/max per column") {
+    val df = Seq(
+      (Some("b"), Some(10L)), (Some("a"), Some(9L)),
+      (None, Some(10L)), (Some("a"), None)
+    ).toDF("s", "n")
+    val out = Analytics.profileColumns(df, Seq("s", "n")).orderBy("col_name")
+      .as[(String, Long, Long, Option[String], Option[String])]
+      .collect().toSeq
+    assert(out == Seq(
+      ("n", 1L, 2L, Some("10"), Some("9")), // lexical: "10" < "9"
+      ("s", 1L, 2L, Some("a"), Some("b")))) // distinct excludes nulls
+  }
+
+  test("profileColumns rejects an empty column list") {
+    intercept[IllegalArgumentException] {
+      Analytics.profileColumns(Seq(1).toDF("a"), Seq.empty)
+    }
+  }
+
+  test("histogram: exact-cent bin edges, clamped under/overflow bins, " +
+    "empty bins absent") {
+    val df = Seq(-5.0, 0.0, 9.99, 10.0, 10.01, 25.0, 999.0).toDF("v")
+    val out = Analytics.histogram(df, "v", lo = 0.0, width = 10.0, nBins = 3)
+      .orderBy("bin").as[(Long, Double, Long)].collect().toSeq
+    assert(out == Seq(
+      (0L, 0.0, 3L),   // -5 clamps up, 0.0, 9.99
+      (1L, 10.0, 2L),  // 10.0 lands on its edge, 10.01
+      (2L, 20.0, 1L),  // 25.0; bin 3 would be empty -> absent? no: 999 -> top
+      (3L, 30.0, 1L))) // overflow clamps into the open top bin
+  }
+
+  test("cohortRetention: month-offset triangle over a two-cohort fixture") {
+    val df = Seq(
+      (1L, "2024-01-05"), (1L, "2024-01-20"), (1L, "2024-03-09"), // u1: 0, 2
+      (2L, "2024-02-11"),                                         // u2: 0
+      (3L, "2024-01-02"), (3L, "2024-02-28")                      // u3: 0, 1
+    ).toDF("u", "d").withColumn("ts", col("d").cast("timestamp"))
+    val out = Analytics.cohortRetention(df, "u", "ts")
+      .orderBy("cohort_month", "month_offset")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-01", 0L, 2L), // u1, u3 active in their cohort month
+      ("2024-01-01", 1L, 1L), // u3 in Feb
+      ("2024-01-01", 2L, 1L), // u1 in Mar
+      ("2024-02-01", 0L, 1L))) // u2
+  }
+
+  test("cohortRetention: year boundary offsets are (Δyear)·12 + Δmonth") {
+    val df = Seq((1L, "2023-11-15"), (1L, "2024-02-01"))
+      .toDF("u", "d").withColumn("ts", col("d").cast("timestamp"))
+    val out = Analytics.cohortRetention(df, "u", "ts")
+      .orderBy("month_offset").as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(("2023-11-01", 0L, 1L), ("2023-11-01", 3L, 1L)))
+  }
+
+  test("funnel: strict ordering against FIRST qualifying event per stage") {
+    val df = Seq(
+      // u1 completes: view@1, click@2, buy@3
+      (1L, 1, "view"), (1L, 2, "click"), (1L, 3, "buy"),
+      // u2: click BEFORE first view only → stops at view stage
+      (2L, 2, "click"), (2L, 5, "view"),
+      // u3: view then buy, no click → stops after view
+      (3L, 1, "view"), (3L, 4, "buy"),
+      // u4: anchored on FIRST view (t=1); click at 2 counts even though a
+      // later view (t=9) exists; buy at 3 follows the first click
+      (4L, 1, "view"), (4L, 9, "view"), (4L, 2, "click"), (4L, 3, "buy"),
+      // u5: never views → excluded everywhere
+      (5L, 1, "click"), (5L, 2, "buy")
+    ).toDF("u", "t", "typ")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val out = Analytics.funnel(df, "u", "ts", "typ",
+      Seq("view", "click", "buy"))
+      .orderBy("stage_idx").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, "view", 4L),   // u1 u2 u3 u4
+      (2L, "click", 2L),  // u1 u4 (u2's click precedes their first view)
+      (3L, "buy", 2L)))   // u1 u4 (u3 never clicked)
+  }
+
+  test("funnel: ties at the anchor do not count (strictly after)") {
+    val df = Seq((1L, 1, "view"), (1L, 1, "click")).toDF("u", "t", "typ")
+      .withColumn("ts", col("t").cast("timestamp"))
+    val out = Analytics.funnel(df, "u", "ts", "typ", Seq("view", "click"))
+      .orderBy("stage_idx").as[(Long, String, Long)].collect().toSeq
+    assert(out == Seq((1L, "view", 1L), (2L, "click", 0L)))
+  }
+}
