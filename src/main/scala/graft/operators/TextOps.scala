@@ -361,11 +361,14 @@ object TextOps {
     val base = docs.select(col(idCol), tokens(col(textCol)).as("__tok"))
       .withColumn("__dl", size(col("__tok")).cast("long"))
     val stats = base.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
+    // materialized once: tf feeds BOTH the score rows and df — without
+    // this the scan+explode+shuffle subtree runs twice (x26 precedent)
     val tf = base
       .select(col(idCol), col("__dl"), explode(col("__tok")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"), first(col("__dl")).as("__dl"))
+      .localCheckpoint(true)
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
       .withColumn("__avgdl",
