@@ -310,6 +310,32 @@ object ScaleOps {
   def cumulativeFractions(splits: Seq[(String, Double)]): Seq[Double] =
     splits.map(_._2).scanLeft(0.0)(_ + _).tail
 
+  /** Heavy-hitter detection via Count–Min sketch + exact verification:
+    * find every key occurring ≥ `threshold` times without an exact count
+    * of EVERY key.
+    *
+    * Pass 1 builds the sketch — per-partition counter matrices merged by
+    * elementwise add, so the only thing crossing the wire is depth×width
+    * longs per partition, NEVER the rows or the distinct-key set (at
+    * 100 TB with billions of distinct keys, that skipped shuffle is the
+    * point). Pass 2 prefilters rows map-side against the broadcast sketch
+    * (pure codegen expressions, zero UDFs) and exact-counts only the
+    * survivors. CMS estimates never undercount, so no true heavy hitter
+    * is lost; overcounted light keys are removed by the exact HAVING —
+    * the output is EXACT for any depth/width (they only tune how much
+    * pass 2 counts).
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, threshold: Long,
+                   depth: Int = 4, width: Int = 2048): DataFrame = {
+    val sketch = graft.functions.CountMinSketch.build(df, keyCol, depth, width)
+    val est = graft.functions.CountMinSketch.estimate(
+      col(keyCol), sketch, depth, width)
+    df.filter(est >= threshold)
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= threshold)
+  }
+
   /** Per-group z-score normalization (feature scaling per source/stratum —
     * the standard prep before mixing heterogeneous training signals).
     * Appends `outCol` = (x − mean_g) / stddev_g using the SAMPLE stddev.

@@ -1627,6 +1627,18 @@ object ScaleQueries {
              |FROM events JOIN dim USING (user_id)
              |ORDER BY event_id""".stripMargin)),
 
+    // Heavy hitters (x46): Count–Min sketch candidates + exact verify —
+    // the sketch (a few KB) replaces the all-distinct-keys shuffle;
+    // one-sided CMS error means the exact HAVING makes the output
+    // parameter-independent, so the oracle is the plain GROUP BY.
+    QuerySpec("x46_heavy_hitters", (s, d) =>
+      graft.operators.ScaleOps.heavyHitters(
+        t(s, d, "events"), "user_id", threshold = 80L)
+        .orderBy("user_id"),
+      Some("""SELECT user_id, count(*) n FROM events
+             |GROUP BY 1 HAVING count(*) >= 80
+             |ORDER BY user_id""".stripMargin)),
+
     // Column profiling (x42): the dataset-card table — nulls / exact
     // distinct / lexical min-max per column, ALL columns in one aggregate
     // pass (the unpivot touches one row). Oracle = per-column UNION ALL.
