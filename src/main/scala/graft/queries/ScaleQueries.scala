@@ -1627,6 +1627,75 @@ object ScaleQueries {
              |FROM events JOIN dim USING (user_id)
              |ORDER BY event_id""".stripMargin)),
 
+    // Native session windows (x47): Spark's built-in session_window
+    // operator (dynamic-gap gapless merge, half-open [start, last+gap)) —
+    // the batch twin of st2/st3's hand-rolled sessionization, graded
+    // against an independent gaps-and-islands oracle (lag + running sum
+    // of breaks), NOT a rendering of the operator. Sums are exact cents.
+    QuerySpec("x47_session_window", (s, d) =>
+      t(s, d, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("sw"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100.0).cast("long")).as("sum_cents"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n"), col("sum_cents"))
+        .orderBy("user_id", "session_start"),
+      Some("""WITH e AS (SELECT user_id, ts,
+             |    CAST(round("value"*100.0) AS BIGINT) cents,
+             |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |        IS NULL
+             |      OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+             |        >= INTERVAL 6 HOUR
+             |      THEN 1 ELSE 0 END brk
+             |  FROM events),
+             |i AS (SELECT user_id, ts, cents,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+             |      ROWS UNBOUNDED PRECEDING) island FROM e)
+             |SELECT user_id, min(ts) session_start,
+             |  max(ts) + INTERVAL 6 HOUR session_end,
+             |  count(*) n, CAST(sum(cents) AS BIGINT) sum_cents
+             |FROM i GROUP BY user_id, island
+             |ORDER BY user_id, session_start""".stripMargin)),
+
+    // Unpivot/melt (x48): the wide→long reshaping every feature pipeline
+    // needs (Spark 3.4+ Dataset.unpivot → Expand, one pass, no join/union
+    // of re-scans). Oracle = DuckDB UNPIVOT. Values normalized to exact
+    // cents so the long column is one BIGINT.
+    QuerySpec("x48_unpivot_melt", (s, d) =>
+      t(s, d, "lineitem").filter(col("l_orderkey") <= 500)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity") * 100.0).cast("long").as("qty_cents"),
+          round(col("l_extendedprice") * 100.0).cast("long").as("price_cents"),
+          round(col("l_discount") * 100.0).cast("long").as("disc_cents"))
+        .unpivot(Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("qty_cents"), col("price_cents"), col("disc_cents")),
+          "measure", "cents")
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+      Some("""SELECT l_orderkey, l_linenumber, measure,
+             |  CAST(cents AS BIGINT) cents FROM (
+             |  SELECT l_orderkey, l_linenumber,
+             |    CAST(round(l_quantity*100.0) AS BIGINT) qty_cents,
+             |    CAST(round(l_extendedprice*100.0) AS BIGINT) price_cents,
+             |    CAST(round(l_discount*100.0) AS BIGINT) disc_cents
+             |  FROM lineitem WHERE l_orderkey <= 500)
+             |UNPIVOT (cents FOR measure IN (qty_cents, price_cents, disc_cents))
+             |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)),
+
+    // Ad-hoc JSON path extraction (x49): get_json_object over the props
+    // payload — the schemaless sibling of T1's full from_json flatten
+    // (exploratory pipelines reach for a path before declaring a schema).
+    // Pure per-row expression; null propagation for missing paths.
+    QuerySpec("x49_json_path", (s, d) =>
+      t(s, d, "events")
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_val"),
+          get_json_object(col("props"), "$.missing").as("missing_val"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS BIGINT) k_val,
+             |  json_extract_string(props, '$.missing') missing_val
+             |FROM events ORDER BY event_id""".stripMargin)),
+
     // Heavy hitters (x46): Count–Min sketch candidates + exact verify —
     // the sketch (a few KB) replaces the all-distinct-keys shuffle;
     // one-sided CMS error means the exact HAVING makes the output
