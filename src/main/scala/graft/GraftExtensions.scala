@@ -6,7 +6,9 @@ import graft.functions.{CosineSimilarity, NfcNormalize, SortedArrayIntersectCoun
 
 /** SparkSessionExtensions hook: registers the engine's native expressions
   * so they're callable from SQL (`SELECT graft_cosine(a, b)`) as well as
-  * the Column API. Wire with
+  * the Column API, plus the optimizer rule that rewrites naive
+  * abs-tolerance joins to the bucketed equi-join shape
+  * ([[graft.plans.IntervalJoinRule]]). Wire with
   * `.config("spark.sql.extensions", "graft.GraftExtensions")` or
   * `builder.withExtensions(new GraftExtensions)` — GraftSession does the
   * latter.
@@ -16,5 +18,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(CosineSimilarity.registration)
     ext.injectFunction(SortedArrayIntersectCount.registration)
     ext.injectFunction(NfcNormalize.registration)
+    ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRule)
   }
 }

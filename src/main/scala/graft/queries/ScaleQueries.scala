@@ -1681,6 +1681,31 @@ object ScaleQueries {
              |UNPIVOT (cents FOR measure IN (qty_cents, price_cents, disc_cents))
              |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin)),
 
+    // Optimizer-rewritten tolerance join (j9): the query is written in the
+    // NAIVE O(n²) spelling — abs(Δ epoch-micros) ≤ 30 s with NO equi key —
+    // and relies on graft.plans.IntervalJoinRule (SparkSessionExtensions
+    // optimizer rule) to plan it as a bucketed equi-join instead of a
+    // nested-loop product. The oracle runs the same naive predicate in
+    // DuckDB; ExtensionRuleSpec asserts the plan shape.
+    QuerySpec("j9_rule_rewritten_join", (s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"),
+          unix_micros(col("ts")).as("v_us"))
+      p.join(v, abs(col("p_us") - col("v_us")) <= lit(30000000L))
+        .select("purchase_id", "view_id", "p_us", "v_us")
+        .orderBy("purchase_id", "view_id")
+    },
+      Some("""SELECT p.event_id purchase_id, v.event_id view_id,
+             |  epoch_us(p.ts) p_us, epoch_us(v.ts) v_us
+             |FROM events p JOIN events v
+             |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+             |  AND abs(epoch_us(p.ts) - epoch_us(v.ts)) <= 30000000
+             |ORDER BY purchase_id, view_id""".stripMargin)),
+
     // Ad-hoc JSON path extraction (x49): get_json_object over the props
     // payload — the schemaless sibling of T1's full from_json flatten
     // (exploratory pipelines reach for a path before declaring a schema).
