@@ -78,13 +78,19 @@ object CountMinSketch {
   }
 
   /** Build the sketch of `keys` (a Dataset-able LONG column is extracted
-    * by the caller); returns the flattened depth×width counters.
+    * by the caller); returns the flattened depth×width counters. NULL
+    * keys are excluded — a null can't be a sketch key (deserializing one
+    * into a primitive would also crash the aggregator), so null-keyed
+    * rows are invisible to [[graft.operators.ScaleOps.heavyHitters]];
+    * callers who need SQL's "NULL is a group" semantics must coalesce a
+    * sentinel first.
     */
   def build(keys: org.apache.spark.sql.DataFrame, keyCol: String,
             depth: Int, width: Int): Array[Long] = {
     val spark = keys.sparkSession
     import spark.implicits._
-    keys.select(col(keyCol).cast("long")).as[Long]
+    keys.select(col(keyCol).cast("long"))
+      .filter(col(keyCol).isNotNull).as[Long]
       .select(new Agg(depth, width).toColumn).head()
   }
 

@@ -14,14 +14,16 @@ object Analytics {
   /** Per-column data profile (the dataset-card table): null count, exact
     * distinct count, lexical min/max — one OUTPUT row per profiled column.
     *
-    * Single scan: all per-column aggregates compute in ONE aggregate node
-    * (map-side partials, one exchange to a single row), then the wide row
-    * unpivots via stack — the unpivot touches one row, not the data. At
-    * 100 TB swap countDistinct for approx_count_distinct and keep the
-    * shape; exact distinct is the right default for a correctness-graded
-    * profile. n_distinct excludes nulls (SQL COUNT DISTINCT semantics);
-    * min/max are of the STRING rendering so heterogeneous columns profile
-    * uniformly.
+    * Single scan, one exchange to a single row — but NOT free of CPU
+    * fan-out: n exact countDistincts in one aggregate make Catalyst plan
+    * a RewriteDistinctAggregates Expand that projects each input row
+    * (n+1)× before the partial aggregate (shuffle stays tiny — partials
+    * collapse map-side — the cost is CPU on the scan side). At 100 TB
+    * swap countDistinct for approx_count_distinct, which needs no Expand
+    * and keeps this a true single-pass; exact distinct is the right
+    * default for a correctness-graded profile. n_distinct excludes nulls
+    * (SQL COUNT DISTINCT semantics); min/max are of the STRING rendering
+    * so heterogeneous columns profile uniformly.
     */
   def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profileColumns needs at least one column")
@@ -59,9 +61,13 @@ object Analytics {
     val widthC = math.round(width * 100)
     require(widthC > 0, s"width must be ≥ 0.01 (got $width)")
     val cents = round(col(valueCol) * 100.0).cast("long")
-    val bin = least(greatest((cents - loC).cast("long").divide(widthC)
-      .cast("long"), lit(0L)), lit(nBins.toLong))
-    df.select(bin.as("bin"))
+    // `div` = IntegralDivide: TRUE integer division. Column./ would go
+    // through double, whose 53-bit mantissa mis-bins once the quotient
+    // magnitude grows — the docstring's exactness claim requires this
+    df.select(cents.as("__c"))
+      .selectExpr(
+        s"least(greatest((__c - ${loC}L) div ${widthC}L, 0L), " +
+          s"${nBins.toLong}L) as bin")
       .groupBy("bin")
       .agg(count(lit(1)).as("n"))
       .withColumn("bin_lo", lit(lo) + col("bin").cast("double") * lit(width))
@@ -102,9 +108,11 @@ object Analytics {
     * One aggregate per stage over (user, ts) pairs pre-filtered to that
     * stage's event type — each pass scans the events of ONE type (column
     * + predicate pushdown at the source), joined to the previous stage's
-    * per-user anchor (users × 1 row, broadcastable at any realistic
-    * funnel size). Stage count is the number of passes; funnels are ≤ a
-    * handful of stages, so this stays linear in events with tiny joins.
+    * per-user anchor (one row per surviving user; no broadcast hint —
+    * stage-1 anchors can exceed the broadcast cap at firehose user
+    * counts, so AQE chooses broadcast only once the funnel has narrowed).
+    * Stage count is the number of passes; funnels are ≤ a handful of
+    * stages, so this stays linear in events.
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
              typeCol: String, stages: Seq[String]): DataFrame = {
@@ -123,7 +131,10 @@ object Analytics {
           val qualified = prev match {
             case None => base
             case Some((anchor, _)) =>
-              base.join(broadcast(anchor), Seq("__u"))
+              // no broadcast hint: stage-1 anchors are per-user rows and
+              // can exceed the broadcast cap at firehose scale — let
+              // AQE pick broadcast when the anchor shrinks
+              base.join(anchor, Seq("__u"))
                 .filter(col("__ts") > col("__anchor"))
                 .select(col("__u"), col("__ts"))
           }

@@ -323,7 +323,9 @@ object ScaleOps {
     * survivors. CMS estimates never undercount, so no true heavy hitter
     * is lost; overcounted light keys are removed by the exact HAVING —
     * the output is EXACT for any depth/width (they only tune how much
-    * pass 2 counts).
+    * pass 2 counts). NULL keys are excluded throughout (the sketch skips
+    * them and a null estimate fails the prefilter) — unlike SQL GROUP BY,
+    * where NULL forms a group; coalesce a sentinel if that group matters.
     */
   def heavyHitters(df: DataFrame, keyCol: String, threshold: Long,
                    depth: Int = 4, width: Int = 2048): DataFrame = {
@@ -357,10 +359,12 @@ object ScaleOps {
                     outCol: String, scale: Int = 2): DataFrame = {
     val unit = math.pow(10.0, scale)
     val cents = round(col(valueCol) * unit).cast("long")
+    // count NON-NULL values (count(__c), not count(*)) so rows with a
+    // null value can't deflate the mean/variance; their own z is null
     val census = df
       .select(col(groupCol), cents.as("__c"))
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("__n"), sum(col("__c")).as("__s"),
+      .agg(count(col("__c")).as("__n"), sum(col("__c")).as("__s"),
         sum(col("__c") * col("__c")).as("__ss"))
     // var = (n·Σx² − (Σx)²) / (n·(n−1)) in fixed-point² — exact integer
     // numerator, then two IEEE divisions; mirrored verbatim in oracle SQL
@@ -392,8 +396,11 @@ object ScaleOps {
   def winsorizeByGroup(df: DataFrame, groupCol: String, valueCol: String,
                        outCol: String, pLo: Double = 0.01,
                        pHi: Double = 0.99): DataFrame = {
+    // null values are excluded from rank/count (they'd sort first and
+    // shift every cut rank) and pass through unclipped below
     val ranked = df
       .select(col(groupCol), col(valueCol).as("__v"))
+      .filter(col("__v").isNotNull)
       .withColumn("__rk", row_number().over(
         Window.partitionBy(col(groupCol)).orderBy(col("__v"))))
     val census = ranked
@@ -405,9 +412,13 @@ object ScaleOps {
       .groupBy(col(groupCol))
       .agg(min(when(col("__rk") === col("__lo_rk"), col("__v"))).as("__lo"),
         min(when(col("__rk") === col("__hi_rk"), col("__v"))).as("__hi"))
-    df.join(broadcast(cuts), groupCol)
+    // least/greatest IGNORE nulls, which would silently rewrite a null
+    // value to the low cut — keep nulls null explicitly. Left join: an
+    // all-null group has no cuts row
+    df.join(broadcast(cuts), Seq(groupCol), "left")
       .withColumn(outCol,
-        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+        when(col(valueCol).isNotNull,
+          least(greatest(col(valueCol), col("__lo")), col("__hi"))))
       .drop("__lo", "__hi")
   }
 

@@ -412,7 +412,7 @@ object TextOps {
       .select(col(idCol),
         (col("__start") / strideChars).cast("long").as("chunk_idx"),
         col("__start").cast("long").as("chunk_start"),
-        expr(s"substring(__text, cast(__start as int) + 1, $chunkChars)")
+        substr(col("__text"), col("__start") + 1, lit(chunkChars))
           .as("chunk_text"))
       .withColumn("chunk_chars", length(col("chunk_text")).cast("long"))
   }

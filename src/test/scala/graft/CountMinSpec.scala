@@ -49,6 +49,15 @@ class CountMinSpec extends SparkSpec {
     assert(got == Seq((1L, 20L), (2L, 20L), (3L, 20L)))
   }
 
+  test("null keys don't crash the sketch build; heavyHitters skips them " +
+    "(documented divergence from SQL's null group)") {
+    val df = (Seq.fill(25)(Some(7L)) ++ Seq.fill(30)(Option.empty[Long]))
+      .toDF("k")
+    val got = ScaleOps.heavyHitters(df, "k", threshold = 20L)
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((7L, 25L))) // the 30-row null "group" is excluded
+  }
+
   test("heavyHitters equals plain GROUP BY/HAVING on real-ish data") {
     val rows = (1L to 500L).map(i => i % 37)
     val df = keysDf(rows)

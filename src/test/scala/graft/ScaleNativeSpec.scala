@@ -676,6 +676,36 @@ class ScaleNativeSpec extends SparkSpec {
     assert(h == Seq(42.0))
   }
 
+  test("zScoreByGroup: null values don't dilute the census; their z is null") {
+    val df = Seq(("g", Some(1.0)), ("g", Some(3.0)), ("g", Option.empty[Double]))
+      .toDF("grp", "v")
+    val out = ScaleOps.zScoreByGroup(df, "grp", "v", "z")
+      .orderBy($"v".asc_nulls_last)
+      .select($"v", $"z")
+      .as[(Option[Double], Option[Double])].collect().toSeq
+    // census over the 2 non-null values: mean 2, sd sqrt(2) -> z = ∓1/√2;
+    // a count(*) census would have divided by n=3 and skewed both
+    val e = 1.0 / math.sqrt(2.0)
+    assert(out(0)._2.exists(z => math.abs(z + e) < 1e-12))
+    assert(out(1)._2.exists(z => math.abs(z - e) < 1e-12))
+    assert(out(2) == (None, None))
+  }
+
+  test("winsorizeByGroup: null values pass through null and don't shift " +
+    "the cut ranks") {
+    val df = (Seq.tabulate(100)(i => ("g", Some(i + 1.0))) ++
+      Seq.fill(50)(("g", Option.empty[Double]))).toDF("grp", "v")
+    val out = ScaleOps.winsorizeByGroup(df, "grp", "v", "w",
+      pLo = 0.05, pHi = 0.95)
+    // ranks computed over the 100 non-null values only: cuts 5.0 / 95.0
+    val nn = out.filter($"v".isNotNull).select($"v", $"w")
+      .as[(Double, Double)].collect().toMap
+    assert(nn(1.0) == 5.0 && nn(95.0) == 95.0 && nn(100.0) == 95.0)
+    val nulls = out.filter($"v".isNull).select($"w")
+      .as[Option[Double]].collect().toSeq
+    assert(nulls.length == 50 && nulls.forall(_.isEmpty))
+  }
+
   test("winsorizeByGroup with duplicate values at the cut is deterministic") {
     // ties at the cut rank: the VALUE at rank ceil(p·n) is well-defined
     // regardless of which physical row takes the rank
