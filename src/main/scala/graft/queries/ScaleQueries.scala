@@ -1706,6 +1706,28 @@ object ScaleQueries {
              |  AND abs(epoch_us(p.ts) - epoch_us(v.ts)) <= 30000000
              |ORDER BY purchase_id, view_id""".stripMargin)),
 
+    // Regex extract-all (x50): pattern occurrences extracted to an array
+    // per row (entity mining — URLs/ids/emails out of raw text), the
+    // array-producing sibling of x23's count/replace surfaces. Pattern
+    // stays in the Java∩RE2 dual-dialect subset; arrays render to a
+    // joined string so the compare is dtype-stable.
+    QuerySpec("x50_regexp_extract_all", (s, d) =>
+      t(s, d, "documents")
+        .select(col("doc_id"),
+          array_join(regexp_extract_all(col("text"),
+            lit("\\bs[a-z]+"), lit(0)), ",").as("hits"),
+          size(regexp_extract_all(col("text"),
+            lit("\\bs[a-z]+"), lit(0))).cast("long").as("n_hits"))
+        .orderBy("doc_id"),
+      // coalesce: DuckDB renders the no-match empty list as NULL where
+      // Spark's array_join gives ''
+      Some("""SELECT doc_id,
+             |  coalesce(array_to_string(regexp_extract_all(text,
+             |    '\bs[a-z]+'), ','), '') hits,
+             |  CAST(coalesce(len(regexp_extract_all(text,
+             |    '\bs[a-z]+')), 0) AS BIGINT) n_hits
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
     // Ad-hoc JSON path extraction (x49): get_json_object over the props
     // payload — the schemaless sibling of T1's full from_json flatten
     // (exploratory pipelines reach for a path before declaring a schema).
