@@ -49,7 +49,9 @@ object Analytics {
   /** Fixed-width histogram over a 2-decimal numeric column, computed on
     * exact integer "cents" so bin assignment is integer division — no
     * float boundary can disagree cross-engine (x33's fixed-point trick).
-    * Bins below `lo` clamp into bin 0; `nBins` is an open top bin.
+    * Bins below `lo` clamp into bin 0; `nBins` is an open top bin. NULL
+    * values are excluded before binning (a null bin expression would
+    * otherwise clamp into bin 0 via null-skipping greatest — ADVICE r6).
     * Output: (bin, bin_lo, n) — one row per NON-EMPTY bin.
     *
     * Map-side: bin assignment is a per-row expression; the only shuffle
@@ -64,7 +66,8 @@ object Analytics {
     // `div` = IntegralDivide: TRUE integer division. Column./ would go
     // through double, whose 53-bit mantissa mis-bins once the quotient
     // magnitude grows — the docstring's exactness claim requires this
-    df.select(cents.as("__c"))
+    df.filter(col(valueCol).isNotNull)
+      .select(cents.as("__c"))
       .selectExpr(
         s"least(greatest((__c - ${loC}L) div ${widthC}L, 0L), " +
           s"${nBins.toLong}L) as bin")

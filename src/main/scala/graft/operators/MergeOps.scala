@@ -418,9 +418,18 @@ object MergeOps {
     *   - update for an unseen key → new current row inserted;
     *   - historical (already-closed) rows pass through untouched.
     *
-    * `updates` carries (keyCol, attrCols…); the dimension carries the same
-    * plus valid_from/valid_to (DATE, valid_to null while current) and
-    * is_current. Change detection compares attrCols null-safely (<=>).
+    * `updates` carries (keyCol, attrCols…) with AT MOST ONE row per key
+    * (pre-aggregate multi-row batches with D1 keep-latest first — two
+    * updates for one key in one batch would each close/reopen the same
+    * current row and emit duplicate versions). Change detection compares
+    * attrCols null-safely (<=>).
+    *
+    * NULL keys (ADVICE r6): a null key never equals anything under the
+    * join, so a null-key current row is indistinguishable from an
+    * unmatched update inside the full-outer result — it is pre-split here
+    * and passed through UNCHANGED (like history), and null-key update
+    * rows are dropped (they could only ever insert a null-key version
+    * that no later update could match again).
     *
     * Scale: one full-outer hash join between the CURRENT slice and the
     * update batch (full-outer is what detects brand-new keys, and Spark
@@ -433,9 +442,13 @@ object MergeOps {
                 attrCols: Seq[String],
                 effectiveDate: java.sql.Date): DataFrame = {
     val eff = lit(effectiveDate)
-    val history = dim.filter(!col("is_current"))
-    val current = dim.filter(col("is_current"))
-    val upd = updates.select(
+    // null-key current rows pass through with history (see scaladoc) —
+    // without the pre-split they'd fall out of keptOrClosed and be
+    // re-emitted by the inserted branch with every attribute nulled
+    val history = dim.filter(!col("is_current") ||
+      (col("is_current") && col(keyCol).isNull))
+    val current = dim.filter(col("is_current") && col(keyCol).isNotNull)
+    val upd = updates.filter(col(keyCol).isNotNull).select(
       col(keyCol).as("__k"),
       struct(attrCols.map(col): _*).as("__new"))
     val joined = current.join(upd, col(keyCol) === col("__k"), "full_outer")

@@ -323,16 +323,18 @@ object ScaleOps {
     * survivors. CMS estimates never undercount, so no true heavy hitter
     * is lost; overcounted light keys are removed by the exact HAVING —
     * the output is EXACT for any depth/width (they only tune how much
-    * pass 2 counts). NULL keys are excluded throughout (the sketch skips
-    * them and a null estimate fails the prefilter) — unlike SQL GROUP BY,
-    * where NULL forms a group; coalesce a sentinel if that group matters.
+    * pass 2 counts). NULL keys form a group, matching SQL GROUP BY
+    * (r6 VERDICT item 8): the sketch itself skips nulls (a null estimate
+    * is null), so null rows are passed through the prefilter explicitly
+    * and exact-counted with everything else — they are ONE group, so the
+    * pass-2 bound is unchanged, and the exact HAVING still decides.
     */
   def heavyHitters(df: DataFrame, keyCol: String, threshold: Long,
                    depth: Int = 4, width: Int = 2048): DataFrame = {
     val sketch = graft.functions.CountMinSketch.build(df, keyCol, depth, width)
     val est = graft.functions.CountMinSketch.estimate(
       col(keyCol), sketch, depth, width)
-    df.filter(est >= threshold)
+    df.filter(est >= threshold || col(keyCol).isNull)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= threshold)
@@ -367,8 +369,11 @@ object ScaleOps {
       .agg(count(col("__c")).as("__n"), sum(col("__c")).as("__s"),
         sum(col("__c") * col("__c")).as("__ss"))
     // var = (n·Σx² − (Σx)²) / (n·(n−1)) in fixed-point² — exact integer
-    // numerator, then two IEEE divisions; mirrored verbatim in oracle SQL
-    df.join(broadcast(census), groupCol)
+    // numerator, then two IEEE divisions; mirrored verbatim in oracle SQL.
+    // LEFT join (matching winsorizeByGroup): a NULL group key never equals
+    // the census key, so an inner join would silently drop null-group rows
+    // from the output entirely — here they survive with a null z (ADVICE r6)
+    df.join(broadcast(census), Seq(groupCol), "left")
       .withColumn("__mean",
         col("__s").cast("double") / col("__n").cast("double") / lit(unit))
       .withColumn("__sd", sqrt(

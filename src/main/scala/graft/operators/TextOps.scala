@@ -338,6 +338,9 @@ object TextOps {
   /** BM25 relevance scoring of every document against a fixed term set
     * (Robertson/Spärck Jones; the classic retrieval scorer — used in
     * training-data pipelines to mine topic-relevant subsets of a crawl).
+    * EVERY document produces a row — docs containing none of the query
+    * terms score (bm25 = 0.0, n_terms_hit = 0) rather than vanishing
+    * (ADVICE r6), so consumers can threshold or mix on the full corpus.
     *
     * Scale shape: the corpus is tokenized map-side and filtered to the
     * query terms BEFORE the shuffle — only matching postings (|terms| ≤ a
@@ -362,13 +365,15 @@ object TextOps {
       .withColumn("__dl", size(col("__tok")).cast("long"))
     val stats = base.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
     // materialized once: tf feeds BOTH the score rows and df — without
-    // this the scan+explode+shuffle subtree runs twice (x26 precedent)
-    val tf = base
+    // this the scan+explode+shuffle subtree runs twice (x26 precedent).
+    // Tracked checkpoint: released once the (doc-count-sized) result is
+    // materialized, so long sessions don't pin one block set per call
+    // (ADVICE r6 — the funnel release pattern)
+    val (tf, releaseTf) = Checkpoints.tracked(base
       .select(col(idCol), col("__dl"), explode(col("__tok")).as("term"))
       .filter(col("term").isin(queryTerms: _*))
       .groupBy(col(idCol), col("term"))
-      .agg(count(lit(1)).as("tf"), first(col("__dl")).as("__dl"))
-      .localCheckpoint(true)
+      .agg(count(lit(1)).as("tf"), first(col("__dl")).as("__dl")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(broadcast(dfreq), "term").crossJoin(broadcast(stats))
       .withColumn("__avgdl",
@@ -380,12 +385,22 @@ object TextOps {
         (col("tf").cast("double") * lit(k1 + 1.0)) /
         (col("tf").cast("double") + lit(k1) *
           (lit(1.0 - b) + lit(b) * col("__dl").cast("double") / col("__avgdl"))))
-    scored.groupBy(col(idCol))
+    val hits = scored.groupBy(col(idCol))
       .agg(
         aggregate(array_sort(collect_list(struct(col("term"), col("__c")))),
           lit(0.0), (acc, x) => acc + x("__c")).as("__s"),
-        count(lit(1)).as("n_terms_hit"))
-      .select(col(idCol), round(col("__s"), 4).as("bm25"), col("n_terms_hit"))
+        count(lit(1)).as("__nt"))
+    // EVERY document gets a score row (ADVICE r6): docs containing none of
+    // the query terms have no postings, so without this left join they'd
+    // silently vanish from the output instead of scoring 0
+    val out = base.select(col(idCol))
+      .join(hits, Seq(idCol), "left")
+      .select(col(idCol),
+        round(coalesce(col("__s"), lit(0.0)), 4).as("bm25"),
+        coalesce(col("__nt"), lit(0L)).as("n_terms_hit"))
+      .localCheckpoint(true)
+    releaseTf()
+    out
   }
 
   /** Fixed-size overlapping character chunking (RAG / context-window prep):

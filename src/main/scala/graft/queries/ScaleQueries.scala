@@ -1529,10 +1529,13 @@ object ScaleQueries {
              |      (CAST(tf AS DOUBLE) + 1.2 *
              |        (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) c
              |  FROM tf JOIN dl USING (doc_id) CROSS JOIN st
-             |  JOIN dfq USING (term))
-             |SELECT doc_id, round(list_sum(list(c ORDER BY term)), 4) bm25,
-             |  count(*) n_terms_hit
-             |FROM sc GROUP BY doc_id ORDER BY bm25 DESC, doc_id""".stripMargin)),
+             |  JOIN dfq USING (term)),
+             |agg AS (SELECT doc_id, round(list_sum(list(c ORDER BY term)), 4) s,
+             |    count(*) nt FROM sc GROUP BY doc_id)
+             |SELECT d.doc_id, coalesce(a.s, 0.0) bm25,
+             |  CAST(coalesce(a.nt, 0) AS BIGINT) n_terms_hit
+             |FROM documents d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY bm25 DESC, doc_id""".stripMargin)),
 
     // Overlapping character chunking (x39): RAG / context-window prep —
     // 200-char chunks every 120 chars. Pure sequence+explode, map-side;
@@ -1570,7 +1573,7 @@ object ScaleQueries {
              |      - CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100.0)
              |    / (sqrt(CAST(n * ss - s * s AS DOUBLE) /
              |        CAST(n * (n - 1) AS DOUBLE)) / 100.0), 4) z
-             |FROM events e JOIN c USING (event_type)
+             |FROM events e LEFT JOIN c USING (event_type)
              |ORDER BY event_id""".stripMargin)),
 
     // Winsorization (x41): outlier clipping per event_type at the exact
@@ -1746,12 +1749,19 @@ object ScaleQueries {
     // Heavy hitters (x46): Count–Min sketch candidates + exact verify —
     // the sketch (a few KB) replaces the all-distinct-keys shuffle;
     // one-sided CMS error means the exact HAVING makes the output
-    // parameter-independent, so the oracle is the plain GROUP BY.
+    // parameter-independent, so the oracle is the plain GROUP BY. Every
+    // 37th key is nulled so the NULL group (SQL GROUP BY semantics,
+    // r6 VERDICT item 8) is oracle-visible: it clears the threshold at
+    // both SFs and must appear in both engines' outputs.
     QuerySpec("x46_heavy_hitters", (s, d) =>
       graft.operators.ScaleOps.heavyHitters(
-        t(s, d, "events"), "user_id", threshold = 80L)
+        t(s, d, "events").withColumn("user_id",
+          when(col("event_id") % 37 === 0, lit(null)).otherwise(col("user_id"))),
+        "user_id", threshold = 80L)
         .orderBy("user_id"),
-      Some("""SELECT user_id, count(*) n FROM events
+      Some("""SELECT user_id, count(*) n FROM (
+             |  SELECT CASE WHEN event_id % 37 = 0 THEN NULL
+             |    ELSE user_id END user_id FROM events)
              |GROUP BY 1 HAVING count(*) >= 80
              |ORDER BY user_id""".stripMargin)),
 
@@ -1779,7 +1789,7 @@ object ScaleQueries {
         .orderBy("bin"),
       Some("""WITH b AS (SELECT least(greatest(
              |    (CAST(round("value"*100.0) AS BIGINT) - 0) // 2000, 0), 17) bin
-             |  FROM events)
+             |  FROM events WHERE "value" IS NOT NULL)
              |SELECT bin, 0.0 + CAST(bin AS DOUBLE) * 20.0 bin_lo, count(*) n
              |FROM b GROUP BY 1 ORDER BY 1""".stripMargin)),
 

@@ -49,13 +49,19 @@ class CountMinSpec extends SparkSpec {
     assert(got == Seq((1L, 20L), (2L, 20L), (3L, 20L)))
   }
 
-  test("null keys don't crash the sketch build; heavyHitters skips them " +
-    "(documented divergence from SQL's null group)") {
+  test("null keys form a group (SQL GROUP BY semantics, r6 VERDICT item 8) " +
+    "even though the sketch itself skips them") {
     val df = (Seq.fill(25)(Some(7L)) ++ Seq.fill(30)(Option.empty[Long]))
       .toDF("k")
     val got = ScaleOps.heavyHitters(df, "k", threshold = 20L)
-      .as[(Long, Long)].collect().toSeq
-    assert(got == Seq((7L, 25L))) // the 30-row null "group" is excluded
+      .as[(Option[Long], Long)].collect().toSeq.sortBy(_._1)
+    // the 30-row null group clears the threshold and is reported, exactly
+    // like GROUP BY; below-threshold null groups are still dropped by the
+    // exact HAVING
+    assert(got == Seq((None, 30L), (Some(7L), 25L)))
+    val below = ScaleOps.heavyHitters(df, "k", threshold = 28L)
+      .as[(Option[Long], Long)].collect().toSeq
+    assert(below == Seq((None, 30L)))
   }
 
   test("heavyHitters equals plain GROUP BY/HAVING on real-ish data") {

@@ -297,15 +297,18 @@ class TextDedupSpec extends SparkSpec {
     def r4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
     assert(got == Seq(
       (1L, r4(term(1, 4, 2) + term(2, 4, 2)), 2L),  // merge + spark (term order)
+      (2L, 0.0, 0L),                                // no hits → explicit zero row
       (3L, r4(term(3, 6, 2) + term(1, 6, 2)), 2L)))
-    // doc 2 has no query terms → absent, not zero-scored
   }
 
-  test("bm25 empty/blank docs count in N and avgdl but never match") {
+  test("bm25 empty/blank docs count in N and avgdl and score zero") {
     val corpus = Seq((1L, "spark"), (2L, ""), (3L, "  ")).toDF("doc_id", "text")
     val got = TextOps.bm25(corpus, "doc_id", "text", Seq("spark"))
-      .as[(Long, Double, Long)].collect().toSeq
-    assert(got.map(_._1) == Seq(1L))
+      .orderBy("doc_id").as[(Long, Double, Long)].collect().toSeq
+    // every doc emits a row (ADVICE r6); the no-hit docs score exactly 0
+    assert(got.map(_._1) == Seq(1L, 2L, 3L))
+    assert(got.filter(_._1 != 1L).forall(r => r._2 == 0.0 && r._3 == 0L))
+    assert(got.head._2 > 0.0)
   }
 
   test("chunkText: stride grid, short tails, exact offsets, empty docs dropped") {
