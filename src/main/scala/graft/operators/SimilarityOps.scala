@@ -257,4 +257,96 @@ object SimilarityOps {
     sig.unpersist()
     out
   }
+
+  /** splitmix64 (Steele/Lea/Flood, "Fast Splittable Pseudorandom Number
+    * Generators", OOPSLA 2014) — the full add-constant + finalizer. The V2
+    * plane family needs a stronger mixer than [[rhpPlane]]'s
+    * `Long.hashCode` of a linear form: hashCode only XOR-folds the halves,
+    * so planes at nearby indices come out CORRELATED (measured mean |bit
+    * corr| 0.21 on the test corpus vs 0.087 for splitmix — PERF.md r7),
+    * and correlated sign bits collapse bucket populations, forfeiting most
+    * of the LSH pruning factor (the r6 verdict's 26× vs ~146×).
+    */
+  private def splitmix64(x0: Long): Long = {
+    var z = x0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Hyperplane `b` of the V2 family: components uniform in [-0.5, 0.5)
+    * from splitmix64(b·1000003 + d), at 10⁻⁵ resolution. Deterministic and
+    * data-independent like [[rhpPlane]] — the x5d oracle embeds these
+    * values as SQL literals — but decorrelated across plane indices, which
+    * is what buys the pruning factor back (see [[splitmix64]]).
+    */
+  def rhpPlaneV2(b: Int, dims: Int): Array[Double] =
+    (0 until dims).map { d =>
+      (java.lang.Long.remainderUnsigned(
+        splitmix64(b.toLong * 1000003L + d), 100000L) / 100000.0) - 0.5
+    }.toArray
+
+  /** Banded random-hyperplane near-dup pairs, WIDE band keys: band `i`
+    * packs the sign bits of planes [i·rowsPerBand, (i+1)·rowsPerBand) into
+    * its own long, so total bits = bands × rowsPerBand is NOT capped at 63
+    * (the single-signature [[rhpNearDupPairs]] limit — its 9-bit bands cap
+    * selectivity at 512 buckets/band). Planes are the decorrelated
+    * [[rhpPlaneV2]] family.
+    *
+    * Same contract as [[rhpNearDupPairs]]: candidate pair ⇔ ≥ 1 shared
+    * band key; every candidate exactly verified (native cosine ≥
+    * `threshold`), so no false positives; each pair emitted from its FIRST
+    * shared band only (map-side array compare — no distinct shuffle of the
+    * candidate stream). Recall 1-(1-p^rows)^bands with p = 1-θ/π.
+    *
+    * The production regime this enables (x5d, rowsPerBand=12, bands=10):
+    * 4096 buckets/band — measured ≥ 250× candidate pruning vs all-pairs at
+    * sf0.01 AND sf0.1 with full recall on every derived near-dup (PERF.md
+    * r7), vs 26× for x5c's 9-bit bands on correlated planes. Bucket
+    * population is corpus/2^rowsPerBand per band: grow rowsPerBand with
+    * log₂(corpus) to hold it constant at 100 TB.
+    */
+  def rhpNearDupPairsBanded(vectors: DataFrame, idCol: String, vecCol: String,
+                            dims: Int, rowsPerBand: Int, bands: Int,
+                            threshold: Double): DataFrame = {
+    require(rowsPerBand >= 1 && rowsPerBand <= 63 && bands >= 1,
+      s"rowsPerBand ($rowsPerBand) must be in [1, 63] and bands ($bands) >= 1")
+    val keyCols = (0 until bands).map { band =>
+      (0 until rowsPerBand).map { r =>
+        val proj = aggregate(
+          zip_with(col(vecCol), lit(rhpPlaneV2(band * rowsPerBand + r, dims)),
+            (x, p) => x.cast("double") * p), lit(0.0), (acc, x) => acc + x)
+        when(proj >= 0, shiftleft(lit(1L), r)).otherwise(lit(0L))
+      }.reduce((a, b) => a.bitwiseOR(b))
+    }
+    val sig = vectors.select(col(idCol).as("id"), col(vecCol).as("v"),
+      array(keyCols: _*).as("ks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val banded = sig.select(col("id"), col("ks"),
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        element_at(col("ks"), b + 1).as("bkey"))): _*)).as("bb"))
+      .select(col("id"), col("ks"), col("bb.band").as("band"),
+        col("bb.bkey").as("bkey"))
+    // first-shared-band dedup, the rhpNearDupPairs trick with the XOR map
+    // replaced by an element-wise array compare: band b emits the pair iff
+    // no earlier band b' also matched
+    val firstMatch = (0 until bands).map { bp =>
+      (col("l.band") <= lit(bp)) ||
+        (element_at(col("l.ks"), bp + 1) =!= element_at(col("r.ks"), bp + 1))
+    }.reduce(_ && _)
+    val cands = banded.as("l").join(banded.as("r"),
+        col("l.band") === col("r.band") && col("l.bkey") === col("r.bkey") &&
+          col("l.id") < col("r.id"))
+      .filter(firstMatch)
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b"))
+    val out = cands
+      .join(sig.select(col("id").as("id_a"), col("v").as("v_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("v").as("v_b")), "id_b")
+      .withColumn("score", round(NativeCos(col("v_a"), col("v_b")), 4))
+      .filter(col("score") >= threshold)
+      .select(col("id_a"), col("id_b"), col("score"))
+      .localCheckpoint(true)
+    sig.unpersist()
+    out
+  }
 }

@@ -333,6 +333,58 @@ object ScaleQueries {
            |ORDER BY 1, 2""".stripMargin
       }),
 
+    // x5d — the PRUNING-RECOVERED regime (r6 VERDICT item 1): same
+    // augmented corpus and τ=0.92 as x5c, but (a) planes drawn from the
+    // splitmix64-mixed rhpPlaneV2 family — x5c's Long.hashCode planes are
+    // mutually CORRELATED (mean |bit corr| 0.21 vs 0.087), which is what
+    // collapsed its pruning to 26× — and (b) 12-bit band keys packed
+    // per-band (4096 buckets/band × 10 bands = 120 planes, impossible in
+    // the single-63-bit-signature form). Measured with the oracle's own
+    // cand CTE: ~267×/~265× candidate pruning vs all-pairs at
+    // sf0.01/sf0.1 with FULL recall (every pair ≥ τ caught — x5c itself
+    // misses one at sf0.01). PERF.md r7 has the numbers.
+    QuerySpec("x5d_embed_rhp_banded",
+      (s, d) => SimilarityOps.rhpNearDupPairsBanded(augmentedEmbeddings(s, d),
+        "vec_id", "embedding", dims = 64, rowsPerBand = 12, bands = 10,
+        threshold = 0.92)
+        .orderBy("id_a", "id_b"),
+      Some {
+        val dims = 64; val rows = 12; val nBands = 10; val nbits = rows * nBands
+        def planeLit(b: Int): String =
+          SimilarityOps.rhpPlaneV2(b, dims).mkString("[", ", ", "]")
+        val projCols = (0 until nbits).map(b =>
+          s"list_reduce(list_transform(range(1, ${dims + 1}), " +
+            s"j -> e[j] * (${planeLit(b)})[j]), (x, y) -> x + y) p$b")
+          .mkString(", ")
+        val bitList = (0 until nbits)
+          .map(b => s"CASE WHEN p$b >= 0 THEN 1 ELSE 0 END")
+          .mkString("[", ", ", "]")
+        val bkeyExpr = (0 until rows)
+          .map(r => s"bv[i*$rows + ${r + 1}] * ${1L << r}").mkString(" + ")
+        s"""WITH ebase AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+           |  FROM embeddings),
+           |pert AS (SELECT a.vec_id + 1000000 vec_id,
+           |    list_transform(range(1, ${dims + 1}),
+           |      j -> a.e[j] * (1 - (a.vec_id % 75)/25*0.2)
+           |        + b.e[j] * ((a.vec_id % 75)/25*0.2)) e
+           |  FROM ebase a JOIN ebase b ON b.vec_id = a.vec_id + 1
+           |  WHERE a.vec_id % 25 = 0),
+           |v AS (SELECT * FROM ebase UNION ALL SELECT * FROM pert),
+           |pj AS (SELECT vec_id, $projCols FROM v),
+           |bt AS (SELECT vec_id, $bitList bv FROM pj),
+           |bnd AS (SELECT vec_id, i band, $bkeyExpr bkey FROM bt, range(0, $nBands) t(i)),
+           |cand AS (SELECT DISTINCT a.vec_id id_a, b.vec_id id_b
+           |  FROM bnd a JOIN bnd b ON a.band = b.band AND a.bkey = b.bkey
+           |    AND a.vec_id < b.vec_id)
+           |SELECT id_a, id_b, round(CAST(list_cosine_similarity(va.e,
+           |    vb.e) AS DOUBLE), 4) score
+           |FROM cand JOIN v va ON id_a = va.vec_id
+           |JOIN v vb ON id_b = vb.vec_id
+           |WHERE round(CAST(list_cosine_similarity(va.e,
+           |    vb.e) AS DOUBLE), 4) >= 0.92
+           |ORDER BY 1, 2""".stripMargin
+      }),
+
     QuerySpec("x6_cosine_topk", (s, d) => {
       val emb = t(s, d, "embeddings")
       val q = emb.filter(col("vec_id") === 0).select("embedding")
@@ -1707,6 +1759,53 @@ object ScaleQueries {
              |FROM events p JOIN events v
              |  ON p.event_type = 'purchase' AND v.event_type = 'view'
              |  AND abs(epoch_us(p.ts) - epoch_us(v.ts)) <= 30000000
+             |ORDER BY purchase_id, view_id""".stripMargin)),
+
+    // j9b — the BETWEEN spelling of the tolerance join (r6 VERDICT item 6):
+    // `v_us BETWEEN p_us - 45s AND p_us + 45s` with NO equi key, rewritten
+    // by the widened IntervalJoinRule to the same bucketed equi-join
+    // (plan-asserted in ExtensionRuleSpec). Oracle runs the naive BETWEEN.
+    QuerySpec("j9b_rule_between_join", (s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"),
+          unix_micros(col("ts")).as("v_us"))
+      p.join(v, col("v_us").between(col("p_us") - 45000000L,
+        col("p_us") + 45000000L))
+        .select("purchase_id", "view_id", "p_us", "v_us")
+        .orderBy("purchase_id", "view_id")
+    },
+      Some("""SELECT p.event_id purchase_id, v.event_id view_id,
+             |  epoch_us(p.ts) p_us, epoch_us(v.ts) v_us
+             |FROM events p JOIN events v
+             |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+             |  AND epoch_us(v.ts) BETWEEN epoch_us(p.ts) - 45000000
+             |    AND epoch_us(p.ts) + 45000000
+             |ORDER BY purchase_id, view_id""".stripMargin)),
+
+    // j9c — the TIMESTAMP spelling (r6 VERDICT item 6): the tolerance is
+    // an ANSI interval over raw timestamp columns; the rule normalizes both
+    // keys to epoch-micros (UnixMicros) for bucketing and re-checks the
+    // interval predicate exactly. Oracle mirrors in epoch_us arithmetic.
+    QuerySpec("j9c_rule_ts_interval_join", (s, d) => {
+      val ev = t(s, d, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("ts").as("v_ts"))
+      p.join(v, abs(col("p_ts") - col("v_ts")) <= expr("INTERVAL 20 SECONDS"))
+        .select(col("purchase_id"), col("view_id"),
+          unix_micros(col("p_ts")).as("p_us"), unix_micros(col("v_ts")).as("v_us"))
+        .orderBy("purchase_id", "view_id")
+    },
+      Some("""SELECT p.event_id purchase_id, v.event_id view_id,
+             |  epoch_us(p.ts) p_us, epoch_us(v.ts) v_us
+             |FROM events p JOIN events v
+             |  ON p.event_type = 'purchase' AND v.event_type = 'view'
+             |  AND abs(epoch_us(p.ts) - epoch_us(v.ts)) <= 20000000
              |ORDER BY purchase_id, view_id""".stripMargin)),
 
     // Regex extract-all (x50): pattern occurrences extracted to an array

@@ -60,4 +60,66 @@ class ExtensionRuleSpec extends SparkSpec {
     assert(df.select("lid", "rid").as[(Long, Long)].collect().toSet ==
       Set((1L, 10L), (1L, 50L), (2L, 20L), (3L, 30L)))
   }
+
+  test("BETWEEN spelling is rewritten (plan) and equals brute force") {
+    val j = left.join(right, $"lk".between($"rk" - 25L, $"rk" + 25L))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Generate explode"), plan)
+    assert(j.select("lid", "rid").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (1L, 50L), (2L, 20L), (3L, 30L)))
+  }
+
+  test("timestamp abs-interval spelling is rewritten (plan) and equals " +
+    "brute force") {
+    val lt = Seq((1L, 1000000L), (2L, 60000000L), (3L, 61500000L))
+      .toDF("lid", "us").select($"lid", timestamp_micros($"us").as("lts"))
+    val rt = Seq((10L, 2500000L), (20L, 59000000L), (30L, 100000000L))
+      .toDF("rid", "us").select($"rid", timestamp_micros($"us").as("rts"))
+    val j = lt.join(rt, abs($"lts" - $"rts") <= expr("INTERVAL 2 SECONDS"))
+    val plan = j.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(plan.contains("Generate explode"), plan)
+    // |1.0-2.5|=1.5s in; |60-59|=1s in; |61.5-59|=2.5s out; 100s isolated
+    assert(j.select("lid", "rid").as[(Long, Long)].collect().toSet ==
+      Set((1L, 10L), (2L, 20L)))
+  }
+
+  test("property: all three spellings equal brute force on randomized " +
+    "frames, nulls included") {
+    val rnd = new scala.util.Random(4207)
+    for (trial <- 1 to 3) {
+      val delta = Seq(1L, 7L, 1000L)(trial - 1)
+      def mk(n: Int, tag: String) = (1 to n).map { i =>
+        val k: java.lang.Long =
+          if (rnd.nextInt(10) == 0) null
+          else java.lang.Long.valueOf(rnd.nextLong() % (delta * 20))
+        (i.toLong, k)
+      }.toDF(s"${tag}id", s"${tag}k")
+      val l = mk(60, "l")
+      val r = mk(60, "r")
+      val lRows = l.collect().map(x =>
+        (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getLong(1))))
+      val rRows = r.collect().map(x =>
+        (x.getLong(0), if (x.isNullAt(1)) None else Some(x.getLong(1))))
+      val want = (for {
+        (lid, Some(lk)) <- lRows; (rid, Some(rk)) <- rRows
+        if math.abs(lk - rk) <= delta
+      } yield (lid, rid)).toSet
+      val viaAbs = l.join(r, abs($"lk" - $"rk") <= lit(delta))
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val viaBetween = l.join(r, $"lk".between($"rk" - delta, $"rk" + delta))
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      val pad = f"${delta}%06d" // delta micros as fractional seconds
+      val viaTs = l.select($"lid", timestamp_micros($"lk").as("lts"))
+        .join(r.select($"rid", timestamp_micros($"rk").as("rts")),
+          abs($"lts" - $"rts") <= expr(s"INTERVAL '0 00:00:00.$pad' DAY TO SECOND"))
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(viaAbs == want, s"abs trial $trial")
+      assert(viaBetween == want, s"between trial $trial")
+      assert(viaTs == want, s"ts trial $trial")
+    }
+  }
 }

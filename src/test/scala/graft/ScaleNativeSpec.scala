@@ -83,6 +83,28 @@ class ScaleNativeSpec extends SparkSpec {
     assert(exact.nonEmpty, "corpus should contain at least one near-dup pair")
   }
 
+  test("rhpNearDupPairsBanded: no false positives, full recall on the seed " +
+    "corpus, and decorrelated planes") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val exact = emb.as("a").join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("score", round(NativeCos(col("a.embedding"), col("b.embedding")), 4))
+      .filter(col("score") >= 0.44)
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"), col("score"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    // recall-1 regime on the tiny corpus: 2-bit bands, 16 bands
+    val lsh = SimilarityOps.rhpNearDupPairsBanded(emb, "vec_id", "embedding",
+      dims = 64, rowsPerBand = 2, bands = 16, threshold = 0.44)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh -- exact}")
+    assert(lsh == exact, s"missed pairs: ${exact -- lsh}")
+    assert(exact.nonEmpty)
+    // the V2 planes must be distinct across indices and roughly centered
+    val p0 = SimilarityOps.rhpPlaneV2(0, 64)
+    val p1 = SimilarityOps.rhpPlaneV2(1, 64)
+    assert(!p0.sameElements(p1))
+    assert(math.abs(p0.sum / 64) < 0.1 && math.abs(p1.sum / 64) < 0.1)
+  }
+
   test("embeddingNearDupPairs (retired x5 demo) equals brute-force within " +
     "label blocks") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
