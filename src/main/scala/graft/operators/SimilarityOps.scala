@@ -148,6 +148,64 @@ object SimilarityOps {
       .limit(k)
   }
 
+  /** Batched ANN join (r6 VERDICT item 3): for EVERY query row, the
+    * approximate top-k corpus neighbors — the many-queries form of
+    * [[ivfTopK]], which serves one query vector per run. The shape a
+    * training-data pipeline needs to link/dedup millions of queries
+    * against a corpus in one job.
+    *
+    * Plan, stage by stage (no cartesian anywhere):
+    *  1. corpus → nearest centroid ([[ivfAssign]]: broadcast centroids,
+    *     map-side argmax, one row per vector crosses the shuffle);
+    *  2. queries × broadcast centroids → per-query top-`nprobe` probe
+    *     list, collapsed BEFORE any exchange: only (qid, sim, cid)
+    *     triples are projected into the aggregate, so query VECTORS never
+    *     ride the probe shuffle, and each query emits exactly nprobe
+    *     probe rows;
+    *  3. probes ⋈ assigned corpus on the centroid — an EQUI join, so
+    *     candidates are only the vectors in probed buckets
+    *     (~nprobe/nlist of the corpus per query);
+    *  4. exact cosine on candidates + one row_number window per query —
+    *     only k rows per query survive.
+    *
+    * At rest, combine with [[ivfWritePartitioned]]: stage 3's scan prunes
+    * to the UNION of all queries' probed centroids. Output:
+    * (query_id, neighbor_id, score, nn_rank), ranked by rounded score
+    * with neighbor-id tie-break (deterministic cross-engine — the x7
+    * conventions).
+    */
+  def annJoin(queries: DataFrame, qidCol: String, qvecCol: String,
+              corpus: DataFrame, cidCol: String, cvecCol: String,
+              centroids: DataFrame, centIdCol: String, centVecCol: String,
+              k: Int, nprobe: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, cidCol, cvecCol,
+      centroids, centIdCol, centVecCol)
+    // per-query probe list: sort (−sim, cid) structs so the slice keeps
+    // (sim DESC, cid ASC) — the same deterministic order ivfTopK's
+    // orderBy/limit uses for its single query
+    val sims = queries
+      .crossJoin(broadcast(centroids.select(col(centIdCol), col(centVecCol))))
+      .select(col(qidCol).as("__qid"), col(centIdCol).as("__pc"),
+        NativeCos(col(qvecCol), col(centVecCol)).as("__sim"))
+    val probes = sims.groupBy(col("__qid"))
+      .agg(slice(array_sort(collect_list(struct((-col("__sim")).as("ns"),
+        col("__pc").as("c")))), 1, nprobe).as("__ps"))
+      .select(col("__qid"), explode(col("__ps")).as("__p"))
+      .select(col("__qid"), col("__p.c").as("centroid"))
+    val qprobed = queries
+      .select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))
+      .join(probes, "__qid")
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("score").desc, col(cidCol))
+    qprobed.join(assigned.select(col(cidCol), col(cvecCol), col("centroid")),
+        "centroid")
+      .withColumn("score", round(NativeCos(col("__qv"), col(cvecCol)), 4))
+      .withColumn("nn_rank", row_number().over(w).cast("long"))
+      .filter(col("nn_rank") <= k)
+      .select(col("__qid").as("query_id"), col(cidCol).as("neighbor_id"),
+        col("score"), col("nn_rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs within blocks (`blockCol`).
     *
     * ==DEMO / ORACLE BASELINE ONLY — NOT FOR PRODUCTION CORPORA==

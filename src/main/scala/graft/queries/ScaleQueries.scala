@@ -421,6 +421,50 @@ object ScaleQueries {
              |FROM assign a JOIN probes p ON a.centroid = p.cid
              |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // Batched ANN join (x51, r6 VERDICT item 3): every 10th vector is a
+    // query, searched against the rest of the corpus in ONE job — shared
+    // centroid assignment, per-query probe lists collapsed map-side, equi
+    // join on the probed centroid (no cartesian), per-query top-k window
+    // (only k rows per query survive). The oracle mirrors the IVF
+    // computation exactly (assignment argmax, nprobe probe list, rounded
+    // score + id tie-break) — the x7 convention, since IVF search is
+    // approximate by design and the approximation must be reproducible.
+    QuerySpec("x51_ann_join", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val queries = emb.filter(col("vec_id") % 10 === 0)
+      val corpus = emb.filter(col("vec_id") >= 16 && col("vec_id") % 10 =!= 0)
+      SimilarityOps.annJoin(queries, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", cents, "cid", "cvec",
+        k = 5, nprobe = 4)
+        .orderBy("query_id", "nn_rank")
+    },
+      Some("""WITH cent AS (SELECT vec_id cid, embedding cvec FROM embeddings
+             |  WHERE vec_id < 16),
+             |qs AS (SELECT vec_id qid, embedding qe FROM embeddings
+             |  WHERE vec_id % 10 = 0),
+             |corpus AS (SELECT vec_id, embedding FROM embeddings
+             |  WHERE vec_id >= 16 AND vec_id % 10 <> 0),
+             |assign AS (SELECT co.vec_id, co.embedding, c.cid centroid
+             |  FROM corpus co CROSS JOIN cent c
+             |  QUALIFY row_number() OVER (PARTITION BY co.vec_id
+             |    ORDER BY list_cosine_similarity(co.embedding, c.cvec) DESC,
+             |      c.cid) = 1),
+             |probes AS (SELECT q.qid, c.cid FROM qs q CROSS JOIN cent c
+             |  QUALIFY row_number() OVER (PARTITION BY q.qid
+             |    ORDER BY list_cosine_similarity(c.cvec, q.qe) DESC,
+             |      c.cid) <= 4),
+             |scored AS (SELECT p.qid query_id, a.vec_id neighbor_id,
+             |    round(CAST(list_cosine_similarity(a.embedding, q.qe)
+             |      AS DOUBLE), 4) score
+             |  FROM probes p JOIN assign a ON a.centroid = p.cid
+             |  JOIN qs q ON q.qid = p.qid)
+             |SELECT query_id, neighbor_id, score, CAST(rk AS BIGINT) nn_rank
+             |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, neighbor_id) rk FROM scored)
+             |WHERE rk <= 5 ORDER BY query_id, nn_rank""".stripMargin)),
+
     // IVF probing AT REST (x7b): same search as x7, but the assigned
     // vectors are first written partitioned by centroid and the probe is a
     // literal IN over the partition column — the scan's PartitionFilters

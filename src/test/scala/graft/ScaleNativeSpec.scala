@@ -105,6 +105,37 @@ class ScaleNativeSpec extends SparkSpec {
     assert(math.abs(p0.sum / 64) < 0.1 && math.abs(p1.sum / 64) < 0.1)
   }
 
+  test("annJoin equals per-query ivfTopK and plans without a cartesian") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") >= 16 && col("vec_id") % 10 =!= 0)
+    val joined = SimilarityOps.annJoin(queries, "vec_id", "embedding",
+      corpus, "vec_id", "embedding", cents, "cid", "cvec", k = 3, nprobe = 4)
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+    // only k rows per query survive — Spark prunes each group to k BEFORE
+    // the final rank (WindowGroupLimit), the plan shape the operator is for
+    assert(plan.contains("WindowGroupLimit"), plan)
+    val got = joined.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    // the batched join must return exactly what the single-query ivfTopK
+    // returns for each query, rank included
+    val assigned = SimilarityOps.ivfAssign(corpus, "vec_id", "embedding",
+      cents, "cid", "cvec")
+    val want = queries.select("vec_id", "embedding").collect().flatMap { qr =>
+      val qid = qr.getLong(0)
+      val qv = qr.getSeq[Float](1)
+      SimilarityOps.ivfTopK(assigned, "vec_id", "embedding", cents, "cid",
+        "cvec", qv, k = 3, nprobe = 4)
+        .collect().zipWithIndex
+        .map { case (r, i) => (qid, r.getLong(0), r.getDouble(2), (i + 1).toLong) }
+    }.toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("embeddingNearDupPairs (retired x5 demo) equals brute-force within " +
     "label blocks") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
