@@ -445,22 +445,38 @@ object DedupOps {
   /** SimHash near-dup pairs, blocked by signature chunks (a
     * Hamming-distance ≤ h pair must share at least one of h+1 chunks —
     * pigeonhole, so the blocking is lossless), verified by popcount of
-    * XOR. No O(n²) stage.
+    * XOR. No O(n²) stage. The blocking/verify kernel is the shared
+    * [[hammingPairs]] — any ≤64-bit signature family (simhash here, the
+    * perceptual hash in [[Multimodal]]/x52) pairs through it.
     */
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-                   shingleWords: Int = 3, maxHamming: Int = 3): DataFrame = {
+                   shingleWords: Int = 3, maxHamming: Int = 3): DataFrame =
+    hammingPairs(simhashSignatures(docs, idCol, textCol, shingleWords),
+      "id", "sig", SimhashBits, maxHamming)
+
+  /** Hamming-distance ≤ `maxHamming` pairs over precomputed `nBits`-bit
+    * long signatures, chunk-blocked: a pair within hamming h must agree
+    * exactly on at least one of h+1 signature chunks (pigeonhole — the
+    * blocking is LOSSLESS), so candidates come from h+1 equi-joins on
+    * chunk keys, never an all-pairs product; every candidate is verified
+    * by popcount of XOR. Output: (id_a, id_b, hamming), id_a < id_b.
+    */
+  def hammingPairs(sigs0: DataFrame, idCol: String, sigCol: String,
+                   nBits: Int, maxHamming: Int): DataFrame = {
     // pigeonhole: a pair within hamming h must agree on at least one of
     // h+1 signature chunks — the chunk count must track maxHamming or
     // recall silently degrades
     val chunks = maxHamming + 1
     require(chunks >= 2 && chunks <= 15, s"maxHamming=$maxHamming out of range")
-    val base = SimhashBits / chunks
+    require(nBits >= chunks && nBits <= 64, s"nBits=$nBits out of range")
+    val base = nBits / chunks
     val bounds = (0 until chunks).map { c =>
       val start = c * base
-      val width = if (c == chunks - 1) SimhashBits - start else base
+      val width = if (c == chunks - 1) nBits - start else base
       (c, start, width)
     }
-    val sigs = simhashSignatures(docs, idCol, textCol, shingleWords)
+    val sigs = sigs0.select(col(idCol).as("id"), col(sigCol).as("sig"))
+      .filter(col("sig").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sigs.select(col("id"), col("sig"), explode(
       array(bounds.map { case (c, start, width) =>

@@ -660,6 +660,73 @@ object ScaleQueries {
              |  round(CAST(bs AS DOUBLE)/(w*h), 6) b_mean
              |FROM m ORDER BY doc_id""".stripMargin)),
 
+    // Perceptual-hash near-dup over DECODED image bytes (x52, r6 VERDICT
+    // item 5): a synthetic image corpus — every doc a P6 + a "tiny"
+    // re-encode-style variant per 5th id (+2e6) and a "heavy" content
+    // change per 5th+2 id (+3e6) — is hashed from its ACTUAL perturbed
+    // binary (Multimodal.decodePpmPhash) and paired by hamming ≤ 3 via
+    // the pigeonhole chunk blocking (DedupOps.hammingPairs — x4's shape,
+    // so no O(n²) stage). The oracle rebuilds every variant's 63-bit hash
+    // digit-by-digit from the pure integer pixel formula and pairs
+    // exhaustively — blocking is lossless, so the pair sets must be
+    // identical. Tiny variants hash equal (hamming 0, caught); heavy
+    // variants land at hamming ≥ 6 (rejected); natural near-collisions of
+    // the structured formula fill in the 1–3 band in both engines.
+    QuerySpec("x52_phash_neardup", (s, d) => {
+      val ids = t(s, d, "documents").select("doc_id")
+      val base = ids.select(col("doc_id"), col("doc_id").as("img_id"),
+        lit("base").as("variant"))
+      val tiny = ids.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), (col("doc_id") + 2000000L).as("img_id"),
+          lit("tiny").as("variant"))
+      val heavy = ids.filter(col("doc_id") % 5 === 2)
+        .select(col("doc_id"), (col("doc_id") + 3000000L).as("img_id"),
+          lit("heavy").as("variant"))
+      val imgs = Multimodal.synthPpmVariant(
+        base.unionByName(tiny).unionByName(heavy), "doc_id", "variant")
+      val hashed = Multimodal.decodePpmPhash(imgs, "media_bytes")
+        .select("img_id", "phash")
+      DedupOps.hammingPairs(hashed, "img_id", "phash",
+        nBits = 63, maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    },
+      Some {
+        // byte(k0 + off) of image (doc_id, pert): the synthPpmVariant
+        // formula verbatim — base (id*7 + k*13) % 256; tiny bumps the
+        // last pixel's bytes (+1), heavy every 7th byte (+128)
+        def byteExpr(off: Int): String =
+          s"""(CASE
+             |  WHEN pert = 1 AND k0 + $off >= w*h*3 - 3
+             |    THEN ((doc_id*7 + (k0+$off)*13) % 256 + 1) % 256
+             |  WHEN pert = 2 AND (k0 + $off) % 7 = 0
+             |    THEN ((doc_id*7 + (k0+$off)*13) % 256 + 128) % 256
+             |  ELSE (doc_id*7 + (k0+$off)*13) % 256 END)""".stripMargin
+        s"""WITH ids AS (
+           |  SELECT doc_id, doc_id img_id, 0 pert FROM documents
+           |  UNION ALL SELECT doc_id, doc_id + 2000000, 1 FROM documents
+           |    WHERE doc_id % 5 = 0
+           |  UNION ALL SELECT doc_id, doc_id + 3000000, 2 FROM documents
+           |    WHERE doc_id % 5 = 2),
+           |dims AS (SELECT doc_id, img_id, pert,
+           |    8 + doc_id % 9 w, 8 + doc_id % 7 h FROM ids),
+           |g AS (SELECT doc_id, img_id, pert, w, h, t.b b,
+           |    ((((t.b // 8) * h) // 8) * w + ((t.b % 8) * w) // 8) * 3 k0
+           |  FROM dims, range(0, 63) t(b)),
+           |s AS (SELECT img_id, b,
+           |    ${byteExpr(0)} + ${byteExpr(1)} + ${byteExpr(2)} sb FROM g),
+           |tot AS (SELECT img_id, sum(sb) total FROM s GROUP BY 1),
+           |bits AS (SELECT s.img_id, b,
+           |    CASE WHEN 63*sb > total THEN 1 ELSE 0 END bt
+           |  FROM s JOIN tot USING (img_id)),
+           |ph AS (SELECT img_id,
+           |    sum(bt * (CAST(1 AS BIGINT) << b)) phash FROM bits GROUP BY 1)
+           |SELECT a.img_id id_a, b.img_id id_b,
+           |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) hamming
+           |FROM ph a JOIN ph b ON a.img_id < b.img_id
+           |WHERE bit_count(xor(a.phash, b.phash)) <= 3
+           |ORDER BY 1, 2""".stripMargin
+      }),
+
     QuerySpec("x14_embed_norm_quant", (s, d) => {
       // embedding preprocessing: L2 norm, int8 quantization (scale by
       // max-abs), reconstruction error — per-vector scalars only, so the

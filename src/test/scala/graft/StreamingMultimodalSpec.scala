@@ -325,6 +325,47 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(badOut.isNullAt(badOut.fieldIndex("r_mean")))
   }
 
+  test("phash: tiny variants hash identical, heavy variants far, corrupt " +
+    "blobs null out, and hammingPairs equals exhaustive popcount") {
+    import graft.operators.DedupOps
+    val ids = Seq(0L, 2L, 7L, 15L, 40L).toDF("doc_id")
+    val base = ids.select(col("doc_id"), col("doc_id").as("img_id"),
+      lit("base").as("variant"))
+    val tiny = ids.select(col("doc_id"), (col("doc_id") + 100L).as("img_id"),
+      lit("tiny").as("variant"))
+    val heavy = ids.select(col("doc_id"), (col("doc_id") + 200L).as("img_id"),
+      lit("heavy").as("variant"))
+    val hashed = Multimodal.decodePpmPhash(Multimodal.synthPpmVariant(
+      base.unionByName(tiny).unionByName(heavy), "doc_id", "variant"))
+    val byImg = hashed.select("img_id", "phash").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    for (id <- Seq(0L, 2L, 7L, 15L, 40L)) {
+      // tiny = last-pixel touch: sampled grid (63 of 64 cells) never sees
+      // it, so the perceptual hash is IDENTICAL
+      assert(ham(byImg(id), byImg(id + 100)) == 0, s"tiny $id")
+      // heavy = every-7th-byte +128: far beyond any near-dup threshold
+      assert(ham(byImg(id), byImg(id + 200)) > 3, s"heavy $id")
+      // 63-bit hash: the BIGINT sign bit stays clear in any engine
+      assert(byImg(id) >= 0L)
+    }
+    // hammingPairs (chunk-blocked) == exhaustive all-pairs popcount
+    val pairs = DedupOps.hammingPairs(hashed, "img_id", "phash", 63, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val all = byImg.toSeq
+    val want = (for {
+      (a, ha) <- all; (b, hb) <- all if a < b && ham(ha, hb) <= 3
+    } yield (a, b, ham(ha, hb))).toSet
+    assert(pairs == want)
+    assert(pairs.nonEmpty)
+    // corrupt blob → null phash, dropped from pairing instead of failing
+    val bad = Seq((1L, "nope".getBytes("US-ASCII"))).toDF("img_id", "media_bytes")
+    val badOut = Multimodal.decodePpmPhash(bad).collect().head
+    assert(badOut.isNullAt(badOut.fieldIndex("phash")))
+    assert(DedupOps.hammingPairs(
+      Multimodal.decodePpmPhash(bad), "img_id", "phash", 63, 3).count() == 0)
+  }
+
   test("M3/M6: ensureTable is idempotent and truncateLoad replaces content") {
     val path = Files.createTempDirectory("graft_dim").toString + "/dim"
     val schema = Seq((1, "a")).toDF("k", "v").schema
