@@ -51,6 +51,51 @@ object ScaleOps {
     saltedLeft.join(explodedRight, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Run `body` with AQE's skew-join splitting tuned to fire at the given
+    * partition-size thresholds, restoring every touched session conf
+    * afterward (set-and-restore, not mutate — a shared session must not
+    * keep test-scale thresholds). Broadcast is disabled for the scope so
+    * the join actually SHUFFLES — AQE skew splitting only applies to
+    * shuffle joins, which is also why this path complements the manual
+    * salt: [[saltedJoin]]/[[saltedSumCount]] remain necessary when the
+    * skewed side feeds an AGGREGATION (AQE cannot split a reducer whose
+    * output must be one group) or when runtime re-planning is off.
+    *
+    * At the 100 TB deploy the DEFAULT thresholds (256 MB) are the right
+    * ones and this wrapper is unnecessary — it exists so the skew split
+    * is exercisable and plan-assertable at test scale.
+    */
+  def withAqeSkewJoin[T](spark: SparkSession, thresholdBytes: Long,
+                         advisoryBytes: Long, factor: Double = 2.0)
+                        (body: => T): T = {
+    val keys = Seq(
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        thresholdBytes.toString)
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        factor.toString)
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        advisoryBytes.toString)
+      // coalescing would re-merge the freshly split partitions at toy sizes
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      body
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** Write a table bucketed by `key` so repeated joins/aggregations on
     * that key are shuffle-free (co-located scans). Bucketed writes need a
     * catalog table, not a bare path. A fresh session's in-memory catalog

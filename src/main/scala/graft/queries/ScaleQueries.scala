@@ -1579,6 +1579,39 @@ object ScaleQueries {
              |FROM events e JOIN dim d USING (user_id)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // AQE skew-join (x53, r6 VERDICT item 7): the RUNTIME twin of x34's
+    // manual salt — a large-large join on a 2/3-hot key planned as a
+    // plain shuffle join and left to AQE's skew split (thresholds scoped
+    // to test scale by withAqeSkewJoin; at 100 TB the defaults apply).
+    // ScaleNativeSpec asserts the final adaptive plan actually contains
+    // skew-split partitions; the manual salt remains necessary for
+    // AGGREGATION skew (x33), where AQE cannot split a reducer.
+    QuerySpec("x53_aqe_skew_join", (s, d) => {
+      val ev = t(s, d, "events").select(col("event_id"), col("event_type"),
+        when(col("event_id") % 3 =!= 0, lit(1L))
+          .otherwise(col("user_id") + 1000000L).as("skew_key"))
+      // dim materialized: the skew rule only matches sorts DIRECTLY over
+      // shuffle stages (see ScaleNativeSpec) — and a real dim would be a
+      // table scan anyway
+      val dim = ev.groupBy("skew_key").agg(count(lit(1)).as("n_key_events"))
+        .localCheckpoint(true)
+      graft.operators.ScaleOps.withAqeSkewJoin(s,
+        thresholdBytes = 16 * 1024, advisoryBytes = 8 * 1024) {
+        ev.join(dim, "skew_key")
+          .groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum(col("n_key_events")).as("sum_nk"))
+          .localCheckpoint(true) // materialize INSIDE the conf scope
+      }.orderBy("event_type")
+    },
+      Some("""WITH e AS (SELECT event_id, event_type,
+             |    CASE WHEN event_id % 3 <> 0 THEN 1
+             |      ELSE user_id + 1000000 END skew_key FROM events),
+             |dim AS (SELECT skew_key, count(*) n_key_events FROM e GROUP BY 1)
+             |SELECT e.event_type, count(*) n,
+             |  CAST(sum(d.n_key_events) AS BIGINT) sum_nk
+             |FROM e JOIN dim d USING (skew_key)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Weighted data mixing (x37): sampleByRates with an explicit
     // per-source rate dimension — the general form whose uniform special
     // case x24 grades (downweight the dominant crawl language, keep the

@@ -67,6 +67,38 @@ class ScaleNativeSpec extends SparkSpec {
     assert(plain.toSeq == salted.toSeq)
   }
 
+  test("AQE skew join splits the hot partition (final plan shows skewed " +
+    "reader) and result equals the plain join") {
+    import graft.operators.ScaleOps
+    // 2/3 of rows share key 1 — one reducer partition dwarfs the median
+    val fact = (1 to 20000)
+      .map(i => (if (i % 3 != 0) 1L else (i % 50) + 2L, i.toLong))
+      .toDF("k", "v")
+    // dim MATERIALIZED before the join: OptimizeSkewedJoin only matches a
+    // sort-merge join whose children are sorts DIRECTLY over shuffle
+    // stages — an aggregate fused between the dim's shuffle and its sort
+    // hides the stage and silently disables the skew split
+    val dim = fact.groupBy("k").agg(count(lit(1)).as("n_k")).localCheckpoint(true)
+    // aggregate on a DIFFERENT shape than the join key: a groupBy on k
+    // right after the join would REQUIRE the join's hash partitioning,
+    // and AQE refuses to split partitions whose distribution is needed
+    // downstream — the global agg leaves the join free to split
+    val want = fact.join(dim, "k")
+      .agg(sum($"v").as("sv"), sum($"n_k").as("sn"))
+      .collect().map(_.toSeq).toSeq
+    val (got, plan) = ScaleOps.withAqeSkewJoin(spark,
+      thresholdBytes = 16 * 1024, advisoryBytes = 8 * 1024) {
+      val joined = fact.join(dim, "k")
+        .agg(sum($"v").as("sv"), sum($"n_k").as("sn"))
+      val rows = joined.collect().map(_.toSeq).toSeq // materialize: AQE final plan
+      (rows, joined.queryExecution.executedPlan.toString)
+    }
+    assert(got == want)
+    // the skewed side's shuffle reader must mark split partitions
+    assert(plan.contains("skew=true") || plan.contains("isSkew=true") ||
+      plan.contains("skewed"), plan)
+  }
+
   test("rhpNearDupPairs matches exact all-pairs cosine near-dups (no false " +
     "positives by construction; full recall on the seed corpus)") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
