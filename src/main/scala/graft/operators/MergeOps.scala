@@ -204,21 +204,36 @@ object MergeOps {
     * column is what breaks pruning — see [[SimilarityOps.ivfWritePartitioned]]).
     */
   val IdxBucketCol = "__bucket"
+
+  /** Entry-recency column of the id→date index: 0 for bootstrap/compacted
+    * entries, `batchId + 1` for per-batch appends — so compaction can keep
+    * exactly the LATEST date per id without reading the fact. Compaction
+    * resets survivors to 0, so within any one cycle (one streaming
+    * checkpoint's monotone batchIds) appends always outrank carried
+    * entries; a cycle must RESUME its checkpoint (the normal streaming
+    * contract) — a cycle that died before its sweep and was then restarted
+    * on a FRESH checkpoint would replay lower seqs than the orphaned log
+    * holds, and the index should be deleted to heal (it re-bootstraps).
+    */
+  val IdxSeqCol = "__seq"
+
   private def idxBucket(c: Column, nBuckets: Int): Column =
     pmod(xxhash64(c), lit(nBuckets.toLong)).cast("int")
 
   /** Create (or replace) the id→date index from `entries` — a frame with
     * at least (keyCol, dateCol). Used to bootstrap the index from an
     * existing fact's two thin columns (one column-pruned scan, paid once
-    * per index lifetime), at fact creation, and as the end-of-cycle
-    * COMPACTION of the append-only log ([[appendIdDateIndex]]). The
-    * repartition on the bucket column yields one task → one file per
-    * bucket at any scale.
+    * per index LIFETIME — not per cycle; the per-cycle maintenance is
+    * [[appendIdDateIndex]] + [[compactIdDateIndex]]) and at fact
+    * creation. The repartition on the bucket column yields one task → one
+    * file per bucket at any scale — which is also what lets compaction
+    * detect "bucket grew this cycle" as "more than one data file".
     */
   def buildIdDateIndex(entries: DataFrame, indexPath: String,
                        dateCol: String = "start_date_oslo",
                        keyCol: String = "id", nBuckets: Int = 32): Unit =
     entries.select(col(keyCol), col(dateCol))
+      .withColumn(IdxSeqCol, lit(0L))
       .withColumn(IdxBucketCol, idxBucket(col(keyCol), nBuckets))
       .repartition(col(IdxBucketCol))
       .write.mode(SaveMode.Overwrite).partitionBy(IdxBucketCol)
@@ -258,18 +273,85 @@ object MergeOps {
     * only mark an extra partition "affected", and rewriting an
     * unaffected partition is correctness-neutral. The same tolerance
     * makes foreachBatch's at-least-once replay safe — a replayed batch
-    * just re-appends duplicates. [[sweepPartitionedWindow]] compacts the
-    * log back to exactly the fact's (id, date) projection once per
-    * cycle via [[buildIdDateIndex]].
+    * just re-appends duplicates (same `seq`, same rows — max-by ties are
+    * identical entries). [[sweepPartitionedWindow]] compacts the log back
+    * to exactly the fact's (id, date) projection once per cycle via
+    * [[compactIdDateIndex]] — per TOUCHED bucket, not per fact.
+    *
+    * `seq` stamps entry recency ([[IdxSeqCol]]): pass the micro-batch's
+    * `batchId + 1` so compaction can order an id's entries without
+    * reading the fact (bootstrap/compacted entries carry 0).
     */
   def appendIdDateIndex(rows: DataFrame, indexPath: String,
                         dateCol: String = "start_date_oslo",
-                        keyCol: String = "id", nBuckets: Int = 32): Unit =
+                        keyCol: String = "id", nBuckets: Int = 32,
+                        seq: Long = 1L): Unit =
     rows.select(col(keyCol), col(dateCol))
+      .withColumn(IdxSeqCol, lit(seq))
       .withColumn(IdxBucketCol, idxBucket(col(keyCol), nBuckets))
       .repartition(col(IdxBucketCol))
       .write.mode(SaveMode.Append).partitionBy(IdxBucketCol)
       .parquet(indexPath)
+
+  /** End-of-cycle index compaction, INCREMENTAL (r6 VERDICT item 2): only
+    * buckets whose log grew this cycle (detectable from layout — appends
+    * add one file per touched bucket, so "grew" = more than one data
+    * file) plus the buckets holding swept ids are rewritten; every other
+    * bucket's file is left byte-identical (asserted in DedupMergeSpec).
+    * Replaces the previous whole-fact [[buildIdDateIndex]] rebuild, which
+    * was a full two-column fact scan per cycle — O(fact) where this is
+    * O(churned buckets).
+    *
+    * Per touched bucket: keep each id's LATEST entry (max ([[IdxSeqCol]],
+    * date) — the bootstrap holds 0, appends hold their batch's seq, so
+    * the latest append is the fact's current date for the id), drop ids
+    * in `sweptIds`, reset survivors' seq to 0, and rewrite just those
+    * bucket partitions (dynamic overwrite + explicit delete of emptied
+    * buckets). The result is exactly the post-sweep fact's (keyCol,
+    * dateCol) projection — same contract the full rebuild had.
+    */
+  def compactIdDateIndex(spark: org.apache.spark.sql.SparkSession,
+                         indexPath: String, sweptIds: DataFrame,
+                         dateCol: String = "start_date_oslo",
+                         keyCol: String = "id", nBuckets: Int = 32): Unit = {
+    val rootP = new org.apache.hadoop.fs.Path(indexPath)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) return
+    // grown buckets from the directory layout: metadata-scale (nBuckets
+    // dirs), no data read
+    val grown = fs.listStatus(rootP).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$IdxBucketCol="))
+      .filter(d => fs.listStatus(d.getPath)
+        .count(f => f.getPath.getName.endsWith(".parquet")) > 1)
+      .map(_.getPath.getName.stripPrefix(s"$IdxBucketCol=").toInt)
+    val swept = idxBuckets(sweptIds, keyCol, nBuckets)
+    val touched = (grown ++ swept).distinct
+    if (touched.isEmpty) return
+    val idx = spark.read.parquet(indexPath)
+      .filter(col(IdxBucketCol).isin(touched: _*))
+    val latest = idx.groupBy(col(keyCol))
+      .agg(max_by(struct(col(dateCol), col(IdxSeqCol)),
+        struct(col(IdxSeqCol), col(dateCol))).as("__b"))
+      .select(col(keyCol), col("__b")(dateCol).as(dateCol))
+    // localCheckpoint: the overwrite below replaces partitions this plan
+    // is still reading from
+    val compacted = latest
+      .join(sweptIds.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+      .withColumn(IdxSeqCol, lit(0L))
+      .withColumn(IdxBucketCol, idxBucket(col(keyCol), nBuckets))
+      .repartition(col(IdxBucketCol))
+      .localCheckpoint(true)
+    val written = compacted.select(col(IdxBucketCol)).distinct()
+      .collect().map(_.getInt(0)).toSet
+    compacted.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(IdxBucketCol).parquet(indexPath)
+    // a touched bucket whose ids were all swept emits no rows — dynamic
+    // overwrite leaves its stale files; drop the directory explicitly
+    (touched.toSet -- written).foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(rootP, s"$IdxBucketCol=$b"), true)
+    }
+  }
 
   /** Upsert (replace matched ids, insert new — NO delete) into a
     * date-partitioned fact, rewriting only the affected partitions: the
@@ -307,7 +389,8 @@ object MergeOps {
                         dateCol: String = "start_date_oslo",
                         keyCol: String = "id",
                         indexPath: Option[String] = None,
-                        indexBuckets: Int = 32): Unit = {
+                        indexBuckets: Int = 32,
+                        indexSeq: Long = 1L): Unit = {
     val fact = spark.read.parquet(factPath)
     val ids = rows.select(col(keyCol))
     // a stale copy can live under any date (or the null partition)
@@ -335,17 +418,19 @@ object MergeOps {
     overwriteDatePartitions(merged, factPath, dateCol)
     dropEmptiedPartitions(spark, factPath, dateCol, affected, written)
     indexPath.foreach(ip =>
-      appendIdDateIndex(rows, ip, dateCol, keyCol, indexBuckets))
+      appendIdDateIndex(rows, ip, dateCol, keyCol, indexBuckets, indexSeq))
   }
 
   /** End-of-cycle windowed delete against a date-partitioned fact: drop
     * in-window rows whose id was not asserted this cycle (`seenIds`),
     * rewriting only window partitions. Out-of-window partitions are never
     * read or written. With `indexPath` set, the id→date index's
-    * append-only log is COMPACTED here — rebuilt from the post-sweep
-    * fact's two thin columns (one column-pruned scan per cycle), which
-    * both removes the swept ids and collapses the cycle's superset
-    * entries back to exactly the fact's (keyCol, dateCol) projection.
+    * append-only log is compacted INCREMENTALLY ([[compactIdDateIndex]]):
+    * the swept ids' entries are removed and the cycle's superset entries
+    * collapse back to exactly the fact's (keyCol, dateCol) projection —
+    * touching only the buckets that changed, never the fact itself (the
+    * swept-id set is materialized from the window BEFORE it is
+    * overwritten; it is window-bounded, not table-bounded).
     */
   def sweepPartitionedWindow(spark: org.apache.spark.sql.SparkSession,
                              factPath: String, seenIds: DataFrame,
@@ -359,13 +444,17 @@ object MergeOps {
     val inWin = spark.read.parquet(factPath)
       .filter(coalesce(col(dateCol).between(lo, hi), lit(false)))
     val affected = dateSet(inWin, dateCol) // BETWEEN is null-false: no null slot
+    // materialize BEFORE the overwrite below invalidates the fact read
+    val sweptIds = indexPath.map(_ =>
+      inWin.join(seenIds.select(col(keyCol)), Seq(keyCol), "left_anti")
+        .select(col(keyCol)).localCheckpoint(true))
     val kept = inWin.join(seenIds.select(col(keyCol)), Seq(keyCol), "left_semi")
       .localCheckpoint(true)
     val written = dateSet(kept, dateCol)
     overwriteDatePartitions(kept, factPath, dateCol)
     dropEmptiedPartitions(spark, factPath, dateCol, affected, written)
-    indexPath.foreach(ip => buildIdDateIndex(
-      spark.read.parquet(factPath), ip, dateCol, keyCol, indexBuckets))
+    for (ip <- indexPath; sw <- sweptIds)
+      compactIdDateIndex(spark, ip, sw, dateCol, keyCol, indexBuckets)
   }
 
   def refreshPartitioned(spark: org.apache.spark.sql.SparkSession,

@@ -652,7 +652,7 @@ object Streams {
     def inWindow(c: org.apache.spark.sql.Column) =
       coalesce(c.between(lo, hi), lit(false))
     val q = entries.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // materialize once: the batch feeds three plans (seen-ids append,
         // stale-date probe, partition rewrite). LAZY checkpoint + count():
         // the count is the action that materializes the checkpoint, so
@@ -670,8 +670,12 @@ object Streams {
           val factP = new org.apache.hadoop.fs.Path(factPath)
           val fs = factP.getFileSystem(spark.sparkContext.hadoopConfiguration)
           if (fs.exists(factP))
+            // seq = batchId + 1: appends outrank the bootstrap/compacted
+            // entries (seq 0) and later batches outrank earlier ones, so
+            // the sweep's per-bucket compaction keeps each id's latest
+            // date without reading the fact (MergeOps.IdxSeqCol)
             MergeOps.upsertPartitioned(spark, factPath, bw, dateCol, keyCol,
-              indexPath)
+              indexPath, indexSeq = batchId + 1)
           else {
             MergeOps.overwriteDatePartitions(bw, factPath, dateCol)
             indexPath.foreach(ip =>

@@ -267,6 +267,83 @@ class DedupMergeSpec extends SparkSpec {
       s"expected 1 pruned bucket of $totalBuckets, read $partsRead")
   }
 
+  test("index compaction is incremental: untouched bucket files are " +
+    "byte-identical across a cycle; touched buckets compact to exactly " +
+    "the fact projection at seq 0, one file per bucket") {
+    val root = java.nio.file.Files.createTempDirectory("graft_stcompact").toString
+    val base = s"$root/fact"
+    val idx = s"$root/fact_idx"
+    val today = LocalDate.parse("2024-03-01")
+    val histIds = (0 until 20).map(i => s"h$i")
+    val winIds = (0 until 20).map(i => s"w$i")
+    val fact = entries(
+      (histIds.map(id => (id, "x", java.sql.Date.valueOf("2024-01-01"), 1.0)) ++
+        winIds.map(id => (id, "x", java.sql.Date.valueOf("2024-02-26"), 2.0))): _*)
+    fact.write.partitionBy("start_date_oslo").parquet(base)
+
+    def runCycle(tag: String, slice: DataFrame): Unit = {
+      val stagingDir = java.nio.file.Files
+        .createTempDirectory(s"graft_stcompact_$tag")
+      val sub = stagingDir.resolve("g")
+      slice.coalesce(1).write.parquet(sub.toString)
+      val part = new java.io.File(sub.toString).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, stagingDir.resolve("s0.parquet"))
+      val stream = spark.readStream.schema(slice.schema)
+        .option("pathGlobFilter", "s*.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(stagingDir.toString)
+      Streams.streamingMergeIncrementalPartitioned(spark, stream, base,
+        s"$root/seen_$tag", days = 7, todayOslo = today,
+        checkpoint = s"$root/ckpt_$tag", indexPath = Some(idx))
+    }
+    // cycle 1: assert every in-window id (no sweeps) — bootstraps the
+    // index and leaves every bucket compacted to one file at seq 0
+    runCycle("c1", entries(winIds.map(id =>
+      (id, "y", java.sql.Date.valueOf("2024-02-26"), 3.0)): _*))
+    def bucketFiles(): Map[String, Set[String]] =
+      new java.io.File(idx).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+        .map(d => d.getName -> d.listFiles()
+          .filter(_.getName.endsWith(".parquet"))
+          .map(f => s"${f.getName}:${f.length}:${f.lastModified}").toSet)
+        .toMap
+    val before = bucketFiles()
+    assert(before.nonEmpty && before.values.forall(_.size == 1),
+      s"cycle-1 compaction must leave one file per bucket: $before")
+    // cycle 2: w0 moves date, w1..w18 re-asserted, w19 missing → swept
+    runCycle("c2", entries(
+      (("w0", "y", java.sql.Date.valueOf("2024-02-28"), 4.0) +:
+        (1 until 19).map(i => (s"w$i", "y",
+          java.sql.Date.valueOf("2024-02-26"), 3.0))): _*))
+    val after = bucketFiles()
+    // which buckets were touched this cycle? the asserted ids' buckets
+    // (appends) plus the swept id's bucket
+    val bucketOf = (winIds ++ histIds).toDF("id")
+      .select($"id", pmod(xxhash64($"id"), lit(32L)).cast("int").as("b"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val touched = ((0 until 19).map(i => bucketOf(s"w$i")) :+ bucketOf("w19"))
+      .toSet.map((b: Int) => s"__bucket=$b")
+    val untouched = before.keySet -- touched
+    assert(untouched.nonEmpty, "fixture must leave some bucket untouched")
+    for (b <- untouched)
+      assert(after.get(b).contains(before(b)),
+        s"untouched bucket $b was rewritten: ${before(b)} -> ${after.get(b)}")
+    // every remaining bucket: exactly one file (the append log is gone)
+    assert(after.values.forall(_.size == 1), after.toString)
+    // the compacted index is exactly the fact's (id, date) projection,
+    // all entries at seq 0 — w19 swept, w0 at its moved date
+    val idxRows = spark.read.parquet(idx)
+      .select("id", "start_date_oslo", MergeOps.IdxSeqCol)
+      .as[(String, java.sql.Date, Long)].collect().toSet
+    val factRows = spark.read.parquet(base).select("id", "start_date_oslo")
+      .as[(String, java.sql.Date)].collect().toSet
+    assert(idxRows.map(r => (r._1, r._2)) == factRows)
+    assert(idxRows.forall(_._3 == 0L))
+    assert(!idxRows.exists(_._1 == "w19"))
+    assert(idxRows.exists(r => r._1 == "w0" &&
+      r._2 == java.sql.Date.valueOf("2024-02-28")))
+  }
+
   test("empty cycle against a pre-existing fact fails loudly unless opted in") {
     val root = java.nio.file.Files.createTempDirectory("graft_stempty").toString
     val base = s"$root/fact"
