@@ -29,6 +29,23 @@ object Bench {
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Throwaway warm pass for the cache-mode-sensitive family (r6 VERDICT
+    // item 4): the streaming micro-batch queries (st*) and the
+    // checkpoint-heavy near-dup/cluster queries read 1.5-2.5x slower on
+    // their FIRST run after something else (a test suite, Verify) has
+    // churned the page cache — which made the official artifact depend on
+    // what ran before it (driver r6: +20% vs the same HEAD run clean).
+    // One untimed pass re-primes their file/checkpoint I/O paths before
+    // any measured pass; median-of-N then sees only steady-state samples.
+    val warmFirst = named.filter { case (name, _) =>
+      name.startsWith("st") || Set("x4_simhash_neardup",
+        "x13_neardup_clusters", "x13b_neardup_clusters_star",
+        "x17_training_selection").contains(name)
+    }
+    for ((_, fn) <- warmFirst) {
+      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    }
     val samples = scala.collection.mutable.Map[String, List[Double]]()
       .withDefaultValue(Nil)
     val errors = scala.collection.mutable.Map[String, String]()
