@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Dedup, DedupOps, Multimodal, SimilarityOps, TextOps}
+import graft.operators.{ClusterOps, Dedup, DedupOps, Multimodal, SimilarityOps, TextOps}
 import graft.queries.QuerySpec.t
 import graft.streaming.Streams
 
@@ -501,6 +501,121 @@ object ScaleQueries {
              |  round(CAST(list_cosine_similarity(a.embedding, (SELECT qe FROM q)) AS DOUBLE), 4) score
              |FROM assign a JOIN probes p ON a.centroid = p.cid
              |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
+
+    // Distributed k-means fit (x55): Lloyd's over the embedding corpus —
+    // the trainer the IVF coarse quantizer (x7/x7b/x51) was missing; until
+    // now centroids were arbitrary corpus vectors. Two full (assign,
+    // re-mean) rounds from a deterministic first-k init, then a final
+    // assignment for member stats. The oracle unrolls both iterations as
+    // CTEs; cross-engine float safety comes from rounding centroid
+    // components to 6 dp after every M-step (both engines then feed
+    // bit-identical doubles to the next E-step) and from per-centroid
+    // SCALAR outputs only (the x14 convention — no float arrays in the
+    // hash). Assignment argmax ties break on lowest cid in both engines.
+    QuerySpec("x55_kmeans_fit", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val init = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cents = ClusterOps.kmeansFit(emb, "vec_id", "embedding",
+        init, "cid", "cvec", iters = 2)
+      val assigned = SimilarityOps.ivfAssign(emb, "vec_id", "embedding",
+        cents, "cid", "cvec")
+      val stats = assigned.groupBy(col("centroid").as("cid"))
+        .agg(count(lit(1)).as("n_members"),
+          round(avg(col("centroid_sim")), 4).as("avg_sim"))
+      val scalars = cents.select(col("cid"),
+        round(sqrt(aggregate(col("cvec"), lit(0.0), (a, x) => a + x * x)), 4)
+          .as("centroid_norm"),
+        round(aggregate(col("cvec"), lit(0.0), (a, x) => a + x) /
+          size(col("cvec")), 6).as("centroid_mean"))
+      stats.join(scalars, "cid").orderBy("cid")
+    },
+      Some("""WITH c0 AS (SELECT CAST(vec_id AS BIGINT) cid,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) cvec
+             |  FROM embeddings WHERE vec_id < 8),
+             |a0 AS (SELECT e.vec_id, e.embedding, c.cid
+             |  FROM embeddings e CROSS JOIN c0 c
+             |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             |    ORDER BY list_cosine_similarity(list_transform(e.embedding,
+             |      x -> CAST(x AS DOUBLE)), c.cvec) DESC, c.cid) = 1),
+             |m0 AS (SELECT cid, generate_subscripts(embedding, 1) pos,
+             |    CAST(unnest(embedding) AS DOUBLE) val FROM a0),
+             |c1 AS (SELECT cid, list(round(m, 6) ORDER BY pos) cvec
+             |  FROM (SELECT cid, pos, avg(val) m FROM m0 GROUP BY cid, pos)
+             |  GROUP BY cid),
+             |a1 AS (SELECT e.vec_id, e.embedding, c.cid
+             |  FROM embeddings e CROSS JOIN c1 c
+             |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             |    ORDER BY list_cosine_similarity(list_transform(e.embedding,
+             |      x -> CAST(x AS DOUBLE)), c.cvec) DESC, c.cid) = 1),
+             |m1 AS (SELECT cid, generate_subscripts(embedding, 1) pos,
+             |    CAST(unnest(embedding) AS DOUBLE) val FROM a1),
+             |c2 AS (SELECT cid, list(round(m, 6) ORDER BY pos) cvec
+             |  FROM (SELECT cid, pos, avg(val) m FROM m1 GROUP BY cid, pos)
+             |  GROUP BY cid),
+             |af AS (SELECT e.vec_id, c.cid,
+             |    round(CAST(list_cosine_similarity(list_transform(e.embedding,
+             |      x -> CAST(x AS DOUBLE)), c.cvec) AS DOUBLE), 4) sim
+             |  FROM embeddings e CROSS JOIN c2 c
+             |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             |    ORDER BY list_cosine_similarity(list_transform(e.embedding,
+             |      x -> CAST(x AS DOUBLE)), c.cvec) DESC, c.cid) = 1),
+             |sc AS (SELECT cid,
+             |    round(sqrt(list_sum(list_transform(cvec, x -> x*x))), 4) centroid_norm,
+             |    round(list_sum(cvec)/len(cvec), 6) centroid_mean FROM c2)
+             |SELECT f.cid, CAST(count(*) AS BIGINT) n_members,
+             |  round(avg(f.sim), 4) avg_sim, sc.centroid_norm, sc.centroid_mean
+             |FROM af f JOIN sc USING (cid)
+             |GROUP BY f.cid, sc.centroid_norm, sc.centroid_mean
+             |ORDER BY f.cid""".stripMargin)),
+
+    // Semantic dedup (x56, SemDeDup — Abbas et al. 2023): k-means clusters
+    // as the blocking structure, then keep-lowest-id within each cluster
+    // for pairs with cosine >= tau. One trained M-step (iters=1) keeps the
+    // unrolled oracle readable while still exercising fit -> dedup
+    // composition; tau=0.45 sits on the 4 dp-rounded sims both engines
+    // agree on exactly. Output is one row per vector with its verdict and
+    // the shadowing doc — the auditable form (a bare keep-list hides WHY a
+    // doc was dropped).
+    QuerySpec("x56_semantic_dedup", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val init = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cents = ClusterOps.kmeansFit(emb, "vec_id", "embedding",
+        init, "cid", "cvec", iters = 1)
+      ClusterOps.semanticDedup(emb, "vec_id", "embedding",
+        cents, "cid", "cvec", tau = 0.45)
+        .orderBy("vec_id")
+    },
+      Some("""WITH c0 AS (SELECT CAST(vec_id AS BIGINT) cid,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) cvec
+             |  FROM embeddings WHERE vec_id < 8),
+             |a0 AS (SELECT e.vec_id, e.embedding, c.cid
+             |  FROM embeddings e CROSS JOIN c0 c
+             |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             |    ORDER BY list_cosine_similarity(list_transform(e.embedding,
+             |      x -> CAST(x AS DOUBLE)), c.cvec) DESC, c.cid) = 1),
+             |m0 AS (SELECT cid, generate_subscripts(embedding, 1) pos,
+             |    CAST(unnest(embedding) AS DOUBLE) val FROM a0),
+             |c1 AS (SELECT cid, list(round(m, 6) ORDER BY pos) cvec
+             |  FROM (SELECT cid, pos, avg(val) m FROM m0 GROUP BY cid, pos)
+             |  GROUP BY cid),
+             |af AS (SELECT e.vec_id, e.embedding, c.cid centroid
+             |  FROM embeddings e CROSS JOIN c1 c
+             |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             |    ORDER BY list_cosine_similarity(list_transform(e.embedding,
+             |      x -> CAST(x AS DOUBLE)), c.cvec) DESC, c.cid) = 1),
+             |shadows AS (SELECT b.vec_id sid, min(a.vec_id) dup_of
+             |  FROM af a JOIN af b ON a.centroid = b.centroid
+             |    AND a.vec_id < b.vec_id
+             |  WHERE round(CAST(list_cosine_similarity(
+             |      list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+             |      list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+             |    AS DOUBLE), 4) >= 0.45
+             |  GROUP BY b.vec_id)
+             |SELECT f.vec_id, f.centroid, s.dup_of IS NULL kept, s.dup_of
+             |FROM af f LEFT JOIN shadows s ON f.vec_id = s.sid
+             |ORDER BY f.vec_id""".stripMargin)),
 
     QuerySpec("x8_text_stats", (s, d) => {
       val docs = t(s, d, "documents")

@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{ClusterOps, SimilarityOps}
+
+/** ClusterOps: Lloyd's k-means fit + SemDeDup semantic dedup. */
+class ClusterSpec extends SparkSpec {
+
+  private def vecDf(rows: Seq[(Long, Seq[Float])]) = {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("v", ArrayType(FloatType), nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map { case (i, v) => Row(i, v) }, 2),
+      schema)
+  }
+
+  // two tight direction bundles around +x and +y, plus init vectors inside
+  private val corpus = vecDf(Seq(
+    0L -> Seq(1.0f, 0.05f, 0.0f),
+    1L -> Seq(0.05f, 1.0f, 0.0f),
+    2L -> Seq(1.0f, 0.1f, 0.02f),
+    3L -> Seq(0.9f, 0.0f, 0.05f),
+    4L -> Seq(0.1f, 0.9f, 0.0f),
+    5L -> Seq(0.0f, 1.1f, 0.04f),
+    6L -> Seq(2.0f, 0.1f, 0.0f)))
+
+  private def init = corpus.filter(col("id") < 2)
+    .select(col("id").as("cid"), col("v").as("cvec"))
+
+  test("kmeansFit converges to the two direction bundles") {
+    val cents = ClusterOps.kmeansFit(corpus, "id", "v", init, "cid", "cvec",
+      iters = 2)
+    val assigned = SimilarityOps.ivfAssign(corpus, "id", "v", cents, "cid", "cvec")
+      .select("id", "centroid").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(0L, 2L, 3L, 6L).map(assigned) == Set(0L))
+    assert(Set(1L, 4L, 5L).map(assigned) == Set(1L))
+    // centroid of the +x bundle points dominantly along x
+    val c0 = cents.filter(col("cid") === 0).head.getSeq[Double](1)
+    assert(c0.head > 5 * math.abs(c0(1)))
+  }
+
+  test("kmeansFit is deterministic across reruns and rounds components") {
+    val a = ClusterOps.kmeansFit(corpus, "id", "v", init, "cid", "cvec", iters = 2)
+      .orderBy("cid").collect().map(_.getSeq[Double](1))
+    val b = ClusterOps.kmeansFit(corpus, "id", "v", init, "cid", "cvec", iters = 2)
+      .orderBy("cid").collect().map(_.getSeq[Double](1))
+    assert(a.map(_.toList).toList == b.map(_.toList).toList)
+    // every component carries at most 6 decimals (the cross-engine contract)
+    a.flatten.foreach { x =>
+      assert((BigDecimal(x) * BigDecimal(1000000)).isWhole, s"unrounded $x")
+    }
+  }
+
+  test("kmeansFit drops a cluster that loses all members") {
+    // both corpus points sit on +x; the +y init centroid empties out
+    val lopsided = vecDf(Seq(0L -> Seq(1.0f, 0.0f), 1L -> Seq(0.9f, 0.01f)))
+    val init2 = vecDf(Seq(0L -> Seq(1.0f, 0.0f), 1L -> Seq(0.0f, 1.0f)))
+      .select(col("id").as("cid"), col("v").as("cvec"))
+    val cents = ClusterOps.kmeansFit(lopsided, "id", "v", init2, "cid", "cvec",
+      iters = 1)
+    assert(cents.select("cid").collect().map(_.getLong(0)).toSeq == Seq(0L))
+  }
+
+  test("semanticDedup keeps lowest id per near-dup group, within cluster only") {
+    val cents = ClusterOps.kmeansFit(corpus, "id", "v", init, "cid", "cvec",
+      iters = 2)
+    val out = ClusterOps.semanticDedup(corpus, "id", "v", cents, "cid", "cvec",
+      tau = 0.98)
+      .orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getBoolean(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    val byId = out.map(t => t._1 -> t).toMap
+    // 0,2,6 are mutually ~parallel (+x): 0 kept, 2 and 6 shadowed by 0
+    assert(byId(0L) == ((0L, true, None)))
+    assert(byId(2L) == ((2L, false, Some(0L))))
+    assert(byId(6L) == ((6L, false, Some(0L))))
+    // 3 is +x but ~8.5 deg off: below tau=0.98? cos(0,3) = .9*1/(norm) ~ 0.996 → shadowed
+    assert(!byId(3L)._2)
+    // +y bundle: 1 kept; 5 is ~parallel to 1 → shadowed by 1
+    assert(byId(1L) == ((1L, true, None)))
+    assert(byId(5L)._3.contains(1L))
+    // every vector appears exactly once
+    assert(out.length == 7)
+  }
+}
