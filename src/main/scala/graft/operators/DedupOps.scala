@@ -500,4 +500,75 @@ object DedupOps {
     sigs.unpersist()
     out
   }
+
+  /** Edit-distance similarity self-join (Ed-Join — Xiao, Wang, Lin,
+    * VLDB'08): all pairs with `levenshtein ≤ maxDist`, without the n²
+    * cross join. Candidate generation uses q-gram prefix filtering:
+    * one edit operation disturbs at most `q` q-grams, so two strings
+    * within distance d share all but ≤ q·d gram TYPES — under a global
+    * total order on grams, any matching pair must collide inside the
+    * first q·d+1 grams of both sides (pigeonhole). The global order is
+    * rarest-first (document frequency, then gram) — the Ed-Join ordering
+    * that makes prefixes land on the most selective grams. Verification
+    * runs Spark's codegen `levenshtein` on candidates only, plus the
+    * |len(a)−len(b)| ≤ d length filter.
+    *
+    * Completeness guard: strings too short for the pigeonhole bound
+    * (fewer than q·d+1 distinct grams, i.e. len < q·(d+1)) can match
+    * while sharing zero grams ("ab"→"cd" at d=2). Every string with
+    * len < q·(d+1)+d — the longest partner such a short string can have —
+    * additionally enters one shared fallback block, so those pairs are
+    * still generated. The blocking is therefore LOSSLESS: the oracle is
+    * brute-force levenshtein, not a re-derivation of the filter.
+    *
+    * Scale: the inverted prefix index carries q·d+1 rows per string
+    * (constant), the gram-frequency table is ≤ |alphabet|^q rows
+    * (broadcast), and the only per-pair work is on candidates that share
+    * a rare gram. Output: (id_a, id_b, dist), id_a < id_b.
+    */
+  def editDistancePairs(docs: DataFrame, idCol: String, strCol: String,
+                        maxDist: Int, q: Int = 2): DataFrame = {
+    require(maxDist >= 1 && q >= 1, "maxDist and q must be >= 1")
+    val prefixLen = q * maxDist + 1
+    val shortLen = q * (maxDist + 1) + maxDist // longest partner of a short string
+    // raw (un-normalized) char q-grams — blocking must see exactly the
+    // characters levenshtein compares
+    val chars = filter(split(col(strCol), ""), c => length(c) > 0)
+    val grams =
+      if (q == 1) chars
+      else {
+        val joined = (2 to q).foldLeft(chars) { (acc, k) =>
+          zip_with(acc, slice(chars, lit(k), size(chars)), (a, b) => concat(a, b))
+        }
+        when(size(chars) >= q, slice(joined, lit(1), size(chars) - (q - 1)))
+          .otherwise(array().cast("array<string>"))
+      }
+    val base = docs.select(col(idCol).as("id"), col(strCol).as("s"),
+      array_distinct(grams).as("gs"), length(col(strCol)).as("len"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inv0 = base.select(col("id"), explode(col("gs")).as("tok"))
+    val freq = inv0.groupBy("tok").agg(count(lit(1)).as("df"))
+    val prefix = inv0.join(broadcast(freq), "tok")
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))))
+      .filter(col("rk") <= prefixLen)
+      .select(col("id"), col("tok"))
+    val shortBlock = base.filter(col("len") < shortLen)
+      .select(col("id"), lit(" short").as("tok"))
+    val inv = prefix.unionByName(shortBlock)
+    val cands = inv.as("l").join(inv.as("r"),
+        col("l.tok") === col("r.tok") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("id_a"), col("r.id").as("id_b")).distinct()
+    val strs = base.select(col("id"), col("s"), col("len"))
+    val out = cands
+      .join(strs.select(col("id").as("id_a"), col("s").as("s_a"), col("len").as("len_a")), "id_a")
+      .join(strs.select(col("id").as("id_b"), col("s").as("s_b"), col("len").as("len_b")), "id_b")
+      .filter(abs(col("len_a") - col("len_b")) <= maxDist)
+      .withColumn("dist", levenshtein(col("s_a"), col("s_b")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+      .localCheckpoint(true)
+    base.unpersist()
+    out
+  }
 }

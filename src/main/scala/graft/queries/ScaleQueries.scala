@@ -617,6 +617,25 @@ object ScaleQueries {
              |FROM af f LEFT JOIN shadows s ON f.vec_id = s.sid
              |ORDER BY f.vec_id""".stripMargin)),
 
+    // Edit-distance similarity join (x54, Ed-Join): all supplier-name
+    // pairs within levenshtein 1, generated via the rarest-first q-gram
+    // prefix index — NOT the n² cross join. The blocking is lossless
+    // (pigeonhole on q·d+1 prefix grams + short-string fallback block), so
+    // the oracle is the brute-force definition: any blocking bug shows up
+    // as missing rows. The length-difference pre-filter appears on both
+    // sides (it is part of the metric's contract, |len Δ| ≤ d).
+    QuerySpec("x54_edit_distance_join", (s, d) => {
+      val sup = t(s, d, "supplier")
+      DedupOps.editDistancePairs(sup, "s_suppkey", "s_name", maxDist = 1)
+        .orderBy("id_a", "id_b")
+    },
+      Some("""SELECT a.s_suppkey id_a, b.s_suppkey id_b,
+             |  CAST(levenshtein(a.s_name, b.s_name) AS BIGINT) dist
+             |FROM supplier a JOIN supplier b ON a.s_suppkey < b.s_suppkey
+             |  AND abs(length(a.s_name) - length(b.s_name)) <= 1
+             |WHERE levenshtein(a.s_name, b.s_name) <= 1
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     QuerySpec("x8_text_stats", (s, d) => {
       val docs = t(s, d, "documents")
       val toks = TextOps.tokens(col("text"))

@@ -337,4 +337,36 @@ class TextDedupSpec extends SparkSpec {
       TextOps.chunkText(docs, "doc_id", "text", 5, -1)
     }
   }
+
+  test("editDistancePairs: blocked join == brute force, short strings included") {
+    // exercises every blocking path: near-identical long strings (prefix
+    // gram collision), a pair sharing ZERO grams at d=2 ("ab"/"cd" — only
+    // the short-string fallback block can find it), length-filter kills,
+    // and an empty string
+    val docs = Seq(
+      (1L, "warehouse pallet 07"), (2L, "warehouse pallet 17"),
+      (3L, "warehouse pallet 0"), (4L, "completely different row"),
+      (5L, "ab"), (6L, "cd"), (7L, "abx"), (8L, ""),
+      (9L, "warehouse pallet 078")
+    ).toDF("id", "s")
+    for (d <- Seq(1, 2)) {
+      val got = DedupOps.editDistancePairs(docs, "id", "s", maxDist = d)
+        .orderBy("id_a", "id_b")
+        .as[(Long, Long, Long)].collect().toSeq
+      val brute = docs.as("a").join(docs.as("b"),
+          col("a.id") < col("b.id") &&
+            abs(length(col("a.s")) - length(col("b.s"))) <= d &&
+            levenshtein(col("a.s"), col("b.s")) <= d)
+        .select(col("a.id"), col("b.id"),
+          levenshtein(col("a.s"), col("b.s")).cast("long"))
+        .orderBy("a.id", "b.id")
+        .as[(Long, Long, Long)].collect().toSeq
+      assert(got == brute, s"maxDist=$d")
+      if (d == 2) {
+        // the zero-shared-gram pair is present — the fallback block works
+        assert(got.contains((5L, 6L, 2L)))
+        assert(got.contains((1L, 2L, 1L)))
+      }
+    }
+  }
 }
