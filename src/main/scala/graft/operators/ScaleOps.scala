@@ -472,6 +472,52 @@ object ScaleOps {
       .drop("__lo", "__hi")
   }
 
+  /** Morton (Z-order) curve value over n integer columns — the multi-
+    * dimensional clustering key behind data-skipping layouts (Delta/
+    * Iceberg `ZORDER BY`, re-expressed from the public bit-interleave
+    * definition). Bit b of column i lands at interleaved position
+    * b·n + (n−1−i): column 0 owns the most significant bit of each
+    * group, so ordering by the result alternates locality across all
+    * columns instead of nesting one inside the other.
+    *
+    * Inputs must already be bucketed to `[0, 2^bits)` (callers mod/scale
+    * — keeping that explicit keeps the expression pure bit arithmetic,
+    * codegen-friendly, and exactly reproducible in oracle SQL). Static
+    * fold over bits×cols shiftleft/and/or — no UDF, stays inside
+    * whole-stage codegen.
+    */
+  def zorderValue(cols: Seq[Column], bits: Int): Column = {
+    val n = cols.size
+    require(n >= 2, "zorderValue needs at least two columns")
+    require(bits >= 1 && bits * n <= 63, s"bits*cols must fit a long, got $bits*$n")
+    cols.zipWithIndex.map { case (c, i) =>
+      (0 until bits).map { b =>
+        shiftleft(shiftright(c.cast("long"), b).bitwiseAND(lit(1L)),
+          b * n + (n - 1 - i))
+      }.reduce(_.bitwiseOR(_))
+    }.reduce(_.bitwiseOR(_))
+  }
+
+  /** Write `df` clustered along the Z-order curve of `cols`: range-
+    * partition on the curve value (so each output file owns a contiguous
+    * curve segment), sort within partitions, drop the helper column.
+    * Every file then covers a small hyper-rectangle in ALL clustered
+    * dimensions at once, so a min/max-stats reader (parquet row groups,
+    * Delta/Iceberg file stats) skips files for predicates on ANY of the
+    * clustered columns — a linear sort gives that for the leading column
+    * only. Quantified in ScaleNativeSpec: per-file value range of the
+    * SECOND clustered column shrinks ~√files vs a linear layout.
+    */
+  def zorderWrite(df: DataFrame, cols: Seq[String], bits: Int,
+                  path: String, numFiles: Int): Unit = {
+    val z = zorderValue(cols.map(col), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   def corpusStats(df: DataFrame, valueCol: String, label: String,
                   exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     def pct(p: Double): Column =

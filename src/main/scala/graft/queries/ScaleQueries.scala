@@ -677,6 +677,40 @@ object ScaleQueries {
              |WHERE levenshtein(a.s_name, b.s_name) <= 1
              |ORDER BY id_a, id_b""".stripMargin)),
 
+    // Z-order curve (x57): the multi-dimensional clustering key for
+    // data-skipping layouts (zorderWrite range-partitions on it so each
+    // file owns a curve segment — the ~sqrt(files) per-file range
+    // narrowing is quantified in ScaleNativeSpec). Graded on the curve
+    // VALUE math: the oracle rebuilds the 20-bit interleave bit-by-bit
+    // with SQL shift/and/or, and the bucket aggregation (count/sum/min/
+    // max over zval >> 12) makes every single bit of every row's curve
+    // value hash-visible without dumping 60k rows.
+    QuerySpec("x57_zorder_curve", (s, d) => {
+      val o = t(s, d, "orders")
+      val x = col("o_custkey") % 1024
+      val y = datediff(col("o_orderdate").cast("date"), lit("1970-01-01")) % 1024
+      val z = graft.operators.ScaleOps.zorderValue(Seq(x, y), 10)
+      o.select(z.as("zval"))
+        .select(shiftright(col("zval"), 12).as("zbucket"), col("zval"))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n_rows"), sum(col("zval")).as("sum_z"),
+          min(col("zval")).as("min_z"), max(col("zval")).as("max_z"))
+        .orderBy("zbucket")
+    }, {
+      val xTerms = (0 until 10).map(b => s"(((xv >> $b) & 1) << ${2 * b + 1})")
+        .mkString(" | ")
+      val yTerms = (0 until 10).map(b => s"(((yv >> $b) & 1) << ${2 * b})")
+        .mkString(" | ")
+      Some(s"""WITH base AS (SELECT o_custkey % 1024 xv,
+             |    (CAST(o_orderdate AS DATE) - DATE '1970-01-01') % 1024 yv
+             |  FROM orders),
+             |zv AS (SELECT CAST(($xTerms) | ($yTerms) AS BIGINT) zval FROM base)
+             |SELECT CAST(zval >> 12 AS BIGINT) zbucket,
+             |  CAST(count(*) AS BIGINT) n_rows, CAST(sum(zval) AS BIGINT) sum_z,
+             |  min(zval) min_z, max(zval) max_z
+             |FROM zv GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
     // HLL distinct sketch (x60): the cross-engine-checkable twin of
     // approx_count_distinct — registers derived from md5 so the oracle
     // rebuilds the whole sketch (index digits, leading-zero rho, register

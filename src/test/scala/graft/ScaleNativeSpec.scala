@@ -801,4 +801,49 @@ class ScaleNativeSpec extends SparkSpec {
     // lo rank 5 → 1.0, hi rank 15 → 2.0: nothing actually clips
     assert(out.filter($"v" =!= $"w").count() == 0)
   }
+
+  test("zorderValue interleaves bits with column 0 most significant") {
+    val df = Seq((3L, 1L)).toDF("x", "y") // x=0b11, y=0b01
+    // bit layout (bits=2, n=2): x0→pos1, x1→pos3, y0→pos0, y1→pos2
+    // x=11, y=01 → positions 3,1 set from x; 0 from y → 0b1011 = 11
+    val z = df.select(ScaleOps.zorderValue(Seq($"x", $"y"), 2)).head.getLong(0)
+    assert(z == 11L)
+    // order flip: zorder(y,x) puts y's bits high → 0b0111 = 7
+    val z2 = df.select(ScaleOps.zorderValue(Seq($"y", $"x"), 2)).head.getLong(0)
+    assert(z2 == 7L)
+    intercept[IllegalArgumentException] {
+      ScaleOps.zorderValue(Seq($"x"), 2)
+    }
+    intercept[IllegalArgumentException] {
+      ScaleOps.zorderValue(Seq($"x", $"y"), 32)
+    }
+  }
+
+  test("zorderWrite narrows per-file ranges of the NON-leading column") {
+    // 64x64 grid; 16 files. Linear sort by x: each file spans the full y
+    // range (0..63). Z-order: each file covers a ~16x16 tile, so the
+    // per-file y-range is ~16 — the data-skipping win for y-predicates.
+    val grid = (for (x <- 0 until 64; y <- 0 until 64) yield (x, y))
+      .toDF("x", "y")
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zord").toString
+    val linDir = java.nio.file.Files.createTempDirectory("graft_lin").toString
+    ScaleOps.zorderWrite(grid, Seq("x", "y"), 6, zDir, numFiles = 16)
+    grid.repartitionByRange(16, $"x").sortWithinPartitions($"x")
+      .write.mode("overwrite").parquet(linDir)
+    def avgYSpan(path: String): Double = {
+      val spans = spark.read.parquet(path)
+        .groupBy(input_file_name().as("f"))
+        .agg((max($"y") - min($"y")).as("span"))
+        .collect().map(_.getAs[Int]("span").toDouble)
+      spans.sum / spans.length
+    }
+    val zSpan = avgYSpan(zDir)
+    val linSpan = avgYSpan(linDir)
+    assert(linSpan > 60.0, s"linear layout should span ~full y, got $linSpan")
+    assert(zSpan <= 20.0, s"z-order file y-span should be ~tile-sized, got $zSpan")
+    Seq(zDir, linDir).foreach { d0 =>
+      val p = new org.apache.hadoop.fs.Path(d0)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    }
+  }
 }
