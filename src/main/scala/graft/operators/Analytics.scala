@@ -176,22 +176,44 @@ object Analytics {
   def hllDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   p: Int = 9): DataFrame = {
     require(p >= 4 && p <= 12, s"p must be in [4,12], got $p")
-    val m = 1 << p
-    val h = md5(col(valueCol).cast("string"))
-    val idx = conv(substring(h, 1, 3), 16, 10).cast("long") % m
-    val rest = substring(h, 4, 16)
+    val gs = groupCols.map(col)
+    val reg = df.filter(col(valueCol).isNotNull)
+      .select((gs :+ hllIdx(col(valueCol), p).as("__idx")
+        :+ hllRho(col(valueCol)).as("__rho")): _*)
+      .groupBy((gs :+ col("__idx")): _*)
+      .agg(max(col("__rho")).as("__M"))
+    hllFinalize(reg, groupCols, p)
+  }
+
+  /** Register index: low p bits of the first 3 md5 hex chars (16³ is
+    * divisible by 2^p for p ≤ 12 — unbiased mod). */
+  def hllIdx(value: Column, p: Int): Column =
+    conv(substring(md5(value.cast("string")), 1, 3), 16, 10).cast("long") % (1 << p)
+
+  /** Leading-zero rank over the 64-bit tail (md5 hex chars 4–19), capped
+    * at 65 when all zero — disjoint from the index bits. */
+  def hllRho(value: Column): Column = {
+    val rest = substring(md5(value.cast("string")), 4, 16)
     val zeros = length(regexp_extract(rest, "^0*", 0))
     val c1 = rest.substr(zeros + 1, lit(1))
     val lz = when(c1 === "1", 3)
       .when(c1.isin("2", "3"), 2)
       .when(c1.isin("4", "5", "6", "7"), 1)
       .otherwise(0)
-    val rho = when(zeros === 16, lit(65)).otherwise(zeros * 4 + lz + 1)
+    when(zeros === 16, lit(65)).otherwise(zeros * 4 + lz + 1)
+  }
+
+  /** Harmonic-mean finalization over a register table (groupCols, __idx,
+    * __M → one estimate row per group). Split out so sketch STATE can be
+    * maintained elsewhere — e.g. a streaming aggregation
+    * ([[graft.streaming.Streams.windowedHllRegisters]]) — and finalized as
+    * a cheap batch over ≤ m rows per group, which is exactly how mergeable
+    * sketches are meant to be consumed.
+    */
+  def hllFinalize(reg: DataFrame, groupCols: Seq[String], p: Int): DataFrame = {
+    require(p >= 4 && p <= 12, s"p must be in [4,12], got $p")
+    val m = 1 << p
     val gs = groupCols.map(col)
-    val reg = df.filter(col(valueCol).isNotNull)
-      .select((gs :+ idx.as("__idx") :+ rho.as("__rho")): _*)
-      .groupBy((gs :+ col("__idx")): _*)
-      .agg(max(col("__rho")).as("__M"))
     // alpha written as the same literal arithmetic the oracle uses — the
     // IEEE op sequence, not just the value, is the cross-engine contract
     val alphaMM = lit(0.7213) / (lit(1.0) + lit(1.079) / m) * m * m

@@ -1448,6 +1448,59 @@ object ScaleQueries {
              |  round(sum(value), 3) total_value
              |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
 
+    // Streaming HLL (st8): per-hour approximate distinct event ids with
+    // sketch registers AS the streaming state — O(2^p) rows per window
+    // where st6's exact streaming dedup carries one state row per key;
+    // register max is replay-insensitive, so at-least-once redelivery
+    // cannot move the answer. The stream stops at the register table;
+    // finalization is batch (hllFinalize), the mergeable-sketch contract.
+    // Graded beside the exact per-window count (x60 convention) with the
+    // oracle rebuilding every register from md5.
+    QuerySpec("st8_stream_hll_distinct", (s, d) => {
+      val schema = new StructType()
+        .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
+        .add("event_type", StringType).add("value", DoubleType).add("props", StringType)
+      val run = streamRun.incrementAndGet()
+      val sink = s"graft_hll_$run"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val est = Streams.runWindowedHllAvailableNow(s, d, "events.parquet",
+        schema, "event_id", p = 9, sink, ckpt)
+      val exact = t(s, d, "events")
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+        .agg(countDistinct(col("event_id")).as("n_exact"))
+      // no derived rel_err column here (unlike x60): the fixture's
+      // boundary hours hold single-digit exact counts, and a 2-dp
+      // estimate divided by a small integer lands exactly on 5e-5
+      // rounding boundaries where Spark (BigDecimal-of-toString HALF_UP)
+      // and DuckDB (raw-double) legitimately disagree — both raw columns
+      // stay, so any error metric is derivable
+      exact.join(est, "window_start")
+        .orderBy("window_start")
+    },
+      Some("""WITH h AS (SELECT date_trunc('hour', ts) w,
+             |    md5(CAST(event_id AS VARCHAR)) hx FROM events),
+             |b AS (SELECT w,
+             |    list_reduce(list_transform(range(1, 4),
+             |      i -> CAST(strpos('0123456789abcdef',
+             |        substr(hx, CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |      (a, b) -> a*16 + b) % 512 idx,
+             |    substr(hx, 4, 16) rest FROM h),
+             |r AS (SELECT w, idx, length(regexp_extract(rest, '^0*')) z,
+             |    substr(rest, length(regexp_extract(rest, '^0*')) + 1, 1) c1
+             |  FROM b),
+             |rr AS (SELECT w, idx, CASE WHEN z = 16 THEN 65 ELSE z*4 +
+             |    (CASE WHEN c1 = '1' THEN 3 WHEN c1 IN ('2','3') THEN 2
+             |          WHEN c1 IN ('4','5','6','7') THEN 1 ELSE 0 END) + 1
+             |  END rho FROM r),
+             |reg AS (SELECT w, idx, max(rho) M FROM rr GROUP BY w, idx),
+             |est AS (SELECT w, sum(pow(2.0, -M)) + (512 - count(*)) S
+             |  FROM reg GROUP BY w),
+             |ex AS (SELECT date_trunc('hour', ts) w,
+             |    count(DISTINCT event_id) n_exact FROM events GROUP BY 1)
+             |SELECT ex.w window_start, ex.n_exact,
+             |  round(0.7213/(1.0 + 1.079/512)*512*512/S, 2) hll_distinct
+             |FROM ex JOIN est ON ex.w = est.w ORDER BY 1""".stripMargin)),
+
     QuerySpec("st2_sessionize_stateful", (s, d) => {
       val schema = new StructType()
         .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)

@@ -55,6 +55,53 @@ object Streams {
     detachSink(spark, sinkName, checkpoint)
     }
 
+  /** Streaming HLL: maintain per-window distinct-count SKETCH REGISTERS as
+    * the streaming aggregation state — the O(2^p)-per-window approximate
+    * twin of [[streamingDedup]]-then-count, whose exact answer carries one
+    * state row per KEY. The stream stage stops at the register table
+    * (groupBy(window, idx).max(rho) — max is order- and replay-
+    * insensitive, so at-least-once delivery cannot move the answer);
+    * finalization ([[graft.operators.Analytics.hllFinalize]]) is a batch
+    * over ≤ 2^p rows per window, the canonical way a mergeable sketch is
+    * consumed. Output: (window_start, __idx, __M).
+    */
+  def windowedHllRegisters(events: DataFrame, valueCol: String, p: Int,
+                           watermark: String = "1 hour",
+                           window: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .filter(col(valueCol).isNotNull)
+      .select(org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
+        graft.operators.Analytics.hllIdx(col(valueCol), p).as("__idx"),
+        graft.operators.Analytics.hllRho(col(valueCol)).as("__rho"))
+      .groupBy(col("w"), col("__idx"))
+      .agg(max(col("__rho")).as("__M"))
+      .select(col("w.start").as("window_start"), col("__idx"), col("__M"))
+
+  /** Drain `dir`/`glob` as an AvailableNow stream maintaining HLL windowed
+    * registers, then finalize to (window_start, hll_distinct). */
+  def runWindowedHllAvailableNow(spark: SparkSession, dir: String, glob: String,
+                                 schema: StructType, valueCol: String, p: Int,
+                                 sinkName: String, checkpoint: String): DataFrame =
+    withNanosAsLong(spark) {
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob).parquet(dir)
+      val stream =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        else raw
+      val q = windowedHllRegisters(stream, valueCol, p)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val reg = detachSink(spark, sinkName, checkpoint)
+      graft.operators.Analytics.hllFinalize(reg, Seq("window_start"), p)
+    }
+
   /** Run `body` with spark.sql.legacy.parquet.nanosAsLong set, restoring
     * the previous value afterwards — a shared session must not have every
     * later parquet read silently reinterpret nanos columns as longs.

@@ -72,6 +72,36 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out == Seq(("hist", 1.0), ("r1", 20.0), ("r2", 5.0)))
   }
 
+  test("streaming HLL registers equal the batch sketch and finalize identically") {
+    val dir = Files.createTempDirectory("graft_hll_in").toString
+    // two hourly windows, duplicated ids across files (at-least-once
+    // redelivery): the register max must absorb replays
+    val mk = (ids: Seq[Long], ts: String) => ids.map(i => (i, ts, "e", 1.0))
+      .toDF("event_id", "ts_s", "event_type", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    val f1 = mk(1L to 2000L, "2024-01-01 10:10:00")
+    val f2 = mk(1000L to 3000L, "2024-01-01 10:40:00") // overlap 1000-2000
+      .union(mk(1L to 2000L, "2024-01-01 11:20:00"))
+    f1.write.mode("append").parquet(dir)
+    f2.write.mode("append").parquet(dir)
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val est = Streams.runWindowedHllAvailableNow(spark, dir, "*.parquet",
+      f1.schema, "event_id", 9, "graft_hll_sink", ckpt)
+      .orderBy("window_start")
+      .select($"window_start".cast("string"), $"hll_distinct")
+      .as[(String, Double)].collect().toSeq
+    val batch = spark.read.parquet(dir)
+      .select(date_trunc("hour", $"ts").as("w"), $"event_id")
+    val exp = graft.operators.Analytics.hllDistinct(batch, Seq("w"), "event_id", 9)
+      .orderBy("w").select($"w".cast("string"), $"hll_distinct")
+      .as[(String, Double)].collect().toSeq
+    assert(est == exp)
+    assert(est.map(_._1) == Seq("2024-01-01 10:00:00", "2024-01-01 11:00:00"))
+    // sanity (both windows above the 2.5m raw-HLL floor): 3000 and 2000
+    assert(math.abs(est(0)._2 - 3000) / 3000.0 < 0.19)
+    assert(math.abs(est(1)._2 - 2000) / 2000.0 < 0.19)
+  }
+
   test("streaming dedup drops duplicate keys across a bounded stream") {
     val dir = Files.createTempDirectory("graft_dedup_in").toString
     val events = Seq(
