@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CosineSimilarity => NativeCos}
+import graft.functions.{CosineSimilarity => NativeCos, L2DistanceSq => NativeL2}
 
 /** Similarity search over embedding columns (`array<float>`).
   *
@@ -446,5 +446,124 @@ object SimilarityOps {
       .localCheckpoint(true)
     sig.unpersist()
     out
+  }
+
+  // --------------------------------------------------------------------
+  // Product quantization (Jégou et al., "Product Quantization for Nearest
+  // Neighbor Search", TPAMI 2011 — the memory half of IVF-PQ; the IVF
+  // half is ivfAssign/ivfWritePartitioned above). A d-dim vector is split
+  // into m subvectors of dsub dims; each subspace gets its own k-codeword
+  // codebook (Lloyd's under SQUARED L2 — the native NativeL2 expression);
+  // a vector is then stored as m small integers. At 100 TB this is the
+  // lever that makes the corpus fit: 64×4-byte floats → m codes (packable
+  // to m bytes for k ≤ 256; kept as longs here for plan clarity), a 64×
+  // compression, scored WITHOUT decompression via an m×k lookup table per
+  // query (ADC). Determinism follows the kmeansFit contract: codebook
+  // components rounded 6 dp per iteration, argmin ties → lowest codeword
+  // id, ADC sums accumulated in subspace order.
+  // --------------------------------------------------------------------
+
+  /** (id, sub, subvec) rows: vector split into m contiguous dsub-dim
+    * subvectors. posexplode index = subspace id. */
+  private def pqSubspaces(df: DataFrame, idCol: String, vecCol: String,
+                          m: Int, dsub: Int): DataFrame =
+    df.select(col(idCol).cast("long").as("id"),
+      posexplode(transform(sequence(lit(0), lit(m - 1)),
+        s0 => slice(col(vecCol), s0 * dsub + lit(1), lit(dsub))))
+        .as(Seq("sub", "subvec")))
+
+  /** Train per-subspace codebooks: `iters` Lloyd's rounds under squared
+    * L2, all m subspaces in ONE set of plans (subspace is a column, not a
+    * loop). Init codewords are `init`'s subvectors (cid = its idCol —
+    * deterministic first-k init, the kmeansFit contract). Returns
+    * (sub, cid, cvec: array<double>), components rounded to `roundTo`;
+    * codewords that lose all members are dropped (documented kmeansFit
+    * convention). The codebook is k·m·dsub doubles — metadata scale,
+    * collected and re-planted per iteration exactly like kmeansFit.
+    */
+  def pqTrain(vectors: DataFrame, idCol: String, vecCol: String,
+              init: DataFrame, m: Int, dsub: Int,
+              iters: Int, roundTo: Int = 6): DataFrame = {
+    require(m >= 1 && dsub >= 1 && iters >= 0, "m, dsub >= 1; iters >= 0")
+    val spark = vectors.sparkSession
+    var cb = materializeCodebook(spark,
+      pqSubspaces(init, idCol, vecCol, m, dsub)
+        .select(col("sub"), col("id").as("cid"),
+          transform(col("subvec"), x => x.cast("double")).as("cvec")))
+    for (_ <- 1 to iters) {
+      val assigned = pqSubspaces(vectors, idCol, vecCol, m, dsub)
+        .join(broadcast(cb), "sub")
+        .withColumn("__d", NativeL2(col("subvec"), col("cvec")))
+        .groupBy(col("id"), col("sub"))
+        .agg(min_by(struct(col("subvec").as("v"), col("cid").as("c")),
+          struct(col("__d").as("d"), col("cid").as("c"))).as("best"))
+        .select(col("sub"), col("best.c").as("cid"), col("best.v").as("subvec"))
+      val means = assigned
+        .select(col("sub"), col("cid"), posexplode(col("subvec")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("cid"), col("pos"))
+        .agg(avg(col("v").cast("double")).as("mn"))
+        .groupBy(col("sub"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mn")))).as("pm"))
+        .select(col("sub"), col("cid"),
+          transform(col("pm"), x => round(x.getField("mn"), roundTo)).as("cvec"))
+      cb = materializeCodebook(spark, means)
+    }
+    cb
+  }
+
+  private def materializeCodebook(spark: org.apache.spark.sql.SparkSession,
+                                  cb: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("sub", IntegerType, nullable = false),
+      StructField("cid", LongType, nullable = false),
+      StructField("cvec", ArrayType(DoubleType), nullable = false)))
+    val rows = cb.collect().map(r => Row(r.getInt(0), r.getLong(1), r.getSeq[Double](2)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
+  }
+
+  /** Encode each vector as its m nearest codeword ids, in subspace order:
+    * (id, codes: array<long>). The compressed representation an IVF-PQ
+    * index stores instead of the raw floats.
+    */
+  def pqEncode(vectors: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, m: Int, dsub: Int): DataFrame =
+    pqSubspaces(vectors, idCol, vecCol, m, dsub)
+      .join(broadcast(codebook), "sub")
+      .withColumn("__d", NativeL2(col("subvec"), col("cvec")))
+      .groupBy(col("id"), col("sub"))
+      .agg(min_by(col("cid"), struct(col("__d").as("d"), col("cid").as("c")))
+        .as("code"))
+      .groupBy(col("id"))
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("code")))),
+        x => x.getField("code")).as("codes"))
+
+  /** Asymmetric-distance top-k over PQ codes: the query is NOT quantized —
+    * an m×k lookup table of (query subvector ↔ codeword) squared distances
+    * is built once (broadcast, metadata scale) and each stored vector's
+    * approximate distance is the sum of m table entries selected by its
+    * codes. The corpus floats are never touched: the scan reads codes
+    * only. Sum runs in subspace order (sorted struct fold) so the oracle's
+    * ordered list_sum reproduces it bitwise. Output: (id, approx_dist)
+    * ascending, ties on id.
+    */
+  def pqTopK(codes: DataFrame, codebook: DataFrame, queryVec: Seq[Float],
+             m: Int, dsub: Int, k: Int): DataFrame = {
+    val q = lit(queryVec.toArray.map(_.toDouble))
+    val lut = codebook
+      .withColumn("__qd",
+        NativeL2(slice(q, col("sub") * dsub + lit(1), lit(dsub)), col("cvec")))
+      .select(col("sub"), col("cid"), col("__qd"))
+    codes.select(col("id"), posexplode(col("codes")).as(Seq("sub", "cid")))
+      .join(broadcast(lut), Seq("sub", "cid"))
+      .groupBy(col("id"))
+      .agg(array_sort(collect_list(struct(col("sub"), col("__qd")))).as("ds"))
+      .select(col("id"),
+        round(aggregate(transform(col("ds"), x => x.getField("__qd")),
+          lit(0.0), (a, x) => a + x), 4).as("approx_dist"))
+      .orderBy(col("approx_dist"), col("id"))
+      .limit(k)
   }
 }

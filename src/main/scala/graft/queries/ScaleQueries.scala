@@ -543,6 +543,63 @@ object ScaleQueries {
              |FROM assign a JOIN probes p ON a.centroid = p.cid
              |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)),
 
+    // Product-quantization ANN (x62, Jégou et al. 2011 — the memory half
+    // of IVF-PQ): 64-dim floats → 4 codeword ids (64× compression when
+    // packed to bytes), searched WITHOUT decompression via a per-query
+    // 4×16 lookup table (asymmetric distance). The oracle replays the
+    // whole pipeline — per-subspace Lloyd's round, encoding, LUT, ordered
+    // ADC sum — with the subspace as DATA (range(0,4)), not unrolled SQL.
+    // Every distance is a sequential sum of identical doubles in both
+    // engines, so argmins and the final ranking agree exactly.
+    QuerySpec("x62_pq_topk", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val init = emb.filter(col("vec_id") < 16)
+      val corpus = emb.filter(col("vec_id") >= 16)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val cb = SimilarityOps.pqTrain(corpus, "vec_id", "embedding",
+        init, m = 4, dsub = 16, iters = 1)
+      val codes = SimilarityOps.pqEncode(corpus, "vec_id", "embedding",
+        cb, m = 4, dsub = 16)
+      SimilarityOps.pqTopK(codes, cb, q, m = 4, dsub = 16, k = 10)
+        .withColumnRenamed("id", "vec_id")
+    },
+      Some("""WITH ss AS (SELECT unnest(range(0, 4)) s),
+             |v AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+             |  FROM embeddings),
+             |sub AS (SELECT vec_id, s, list_slice(e, s*16+1, s*16+16) sv
+             |  FROM v, ss),
+             |c0 AS (SELECT s, CAST(vec_id AS BIGINT) cid, sv cvec FROM sub
+             |  WHERE vec_id < 16),
+             |corp AS (SELECT * FROM sub WHERE vec_id >= 16),
+             |a0 AS (SELECT co.vec_id, co.s, co.sv, c.cid
+             |  FROM corp co JOIN c0 c ON co.s = c.s
+             |  QUALIFY row_number() OVER (PARTITION BY co.vec_id, co.s
+             |    ORDER BY list_sum(list_transform(range(1, 17),
+             |      i -> (co.sv[i] - c.cvec[i])*(co.sv[i] - c.cvec[i]))),
+             |      c.cid) = 1),
+             |m0 AS (SELECT s, cid, generate_subscripts(sv, 1) pos,
+             |    unnest(sv) val FROM a0),
+             |c1 AS (SELECT s, cid, list(round(mn, 6) ORDER BY pos) cvec
+             |  FROM (SELECT s, cid, pos, avg(val) mn FROM m0
+             |    GROUP BY s, cid, pos) GROUP BY s, cid),
+             |enc AS (SELECT co.vec_id, co.s, c.cid
+             |  FROM corp co JOIN c1 c ON co.s = c.s
+             |  QUALIFY row_number() OVER (PARTITION BY co.vec_id, co.s
+             |    ORDER BY list_sum(list_transform(range(1, 17),
+             |      i -> (co.sv[i] - c.cvec[i])*(co.sv[i] - c.cvec[i]))),
+             |      c.cid) = 1),
+             |q AS (SELECT s, sv qv FROM sub WHERE vec_id = 0),
+             |lut AS (SELECT c.s, c.cid, list_sum(list_transform(range(1, 17),
+             |    i -> (q.qv[i] - c.cvec[i])*(q.qv[i] - c.cvec[i]))) qd
+             |  FROM c1 c JOIN q ON c.s = q.s),
+             |sc0 AS (SELECT e.vec_id, list(l.qd ORDER BY e.s) ds
+             |  FROM enc e JOIN lut l ON e.s = l.s AND e.cid = l.cid
+             |  GROUP BY e.vec_id)
+             |SELECT vec_id, round(list_sum(ds), 4) approx_dist
+             |FROM sc0 ORDER BY approx_dist, vec_id LIMIT 10""".stripMargin)),
+
     // Distributed k-means fit (x55): Lloyd's over the embedding corpus —
     // the trainer the IVF coarse quantizer (x7/x7b/x51) was missing; until
     // now centroids were arbitrary corpus vectors. Two full (assign,

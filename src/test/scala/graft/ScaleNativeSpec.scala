@@ -802,6 +802,60 @@ class ScaleNativeSpec extends SparkSpec {
     assert(out.filter($"v" =!= $"w").count() == 0)
   }
 
+  test("NativeL2 squared distance matches the HOF reference bitwise; null element maximally far") {
+    import graft.functions.{L2DistanceSq => NativeL2}
+    val df = Seq(
+      (Array(1.0f, 2.0f, -3.5f), Array(0.5, -1.25, 4.0)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.1, 0.2, 0.3))
+    ).toDF("a", "b")
+    val hof = aggregate(
+      zip_with($"a", $"b", (x, y) => {
+        val d = x.cast("double") - y; d * d
+      }), lit(0.0), (acc, x) => acc + x)
+    assert(df.filter(NativeL2($"a", $"b") =!= hof).count() == 0)
+    // length mismatch: tail counts as distance from zero
+    val lm = Seq((Array(3.0f), Array(0.0, 4.0))).toDF("a", "b")
+      .select(NativeL2($"a", $"b")).head.getDouble(0)
+    assert(lm == 25.0)
+    // null element → MaxValue (never wins an argmin)
+    val ne = Seq((Array[java.lang.Float](1.0f, null), Array(1.0, 1.0)))
+      .toDF("a", "b").select(NativeL2($"a", $"b")).head.getDouble(0)
+    assert(ne == Double.MaxValue)
+  }
+
+  test("PQ: encode picks nearest codewords; ADC top-k finds the planted neighbor") {
+    // corpus of 4-dim vectors in two subspaces of 2 dims; codewords are
+    // trained from the first 4 vectors (1 Lloyd's round)
+    val vecs = Seq(
+      (0L, Array(0f, 0f, 10f, 10f)), (1L, Array(5f, 5f, 0f, 0f)),
+      (2L, Array(0f, 1f, 10f, 9f)), (3L, Array(5f, 4f, 0f, 1f)),
+      (10L, Array(0.1f, 0.4f, 9.8f, 9.7f)),   // near codeword bundle {0,2}
+      (11L, Array(5.2f, 4.4f, 0.3f, 0.4f)),   // near bundle {1,3}
+      (12L, Array(0.2f, 0.6f, 0.2f, 0.9f))    // mixed: sub0~{0,2}, sub1~{1,3}
+    ).toDF("vec_id", "v")
+    val init = vecs.filter($"vec_id" < 4)
+    val corpus = vecs.filter($"vec_id" >= 10)
+    val cb = SimilarityOps.pqTrain(corpus, "vec_id", "v", init,
+      m = 2, dsub = 2, iters = 1)
+    // codebook covers both subspaces, codes reference existing codewords
+    val cbRows = cb.collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(cbRows.map(_._1).toSet == Set(0, 1))
+    val codes = SimilarityOps.pqEncode(corpus, "vec_id", "v", cb, m = 2, dsub = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(codes.values.forall(_.length == 2))
+    val valid = cbRows.toSet
+    assert(codes.values.flatten.forall(c =>
+      valid.exists(_._2 == c)), codes.toString)
+    // 12's subspaces disagree: sub0 near the {0,2} word, sub1 near {1,3}
+    assert(codes(12L)(0) != codes(12L)(1))
+    // ADC: query right on top of vector 10 must rank it first
+    val top = SimilarityOps.pqTopK(codes.keys.toSeq.sorted
+      .map(k => (k, codes(k))).toDF("id", "codes"), cb,
+      Seq(0.1f, 0.4f, 9.8f, 9.7f), m = 2, dsub = 2, k = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top.head == 10L, top.toString)
+  }
+
   test("zorderValue interleaves bits with column 0 most significant") {
     val df = Seq((3L, 1L)).toDF("x", "y") // x=0b11, y=0b01
     // bit layout (bits=2, n=2): x0→pos1, x1→pos3, y0→pos0, y1→pos2
