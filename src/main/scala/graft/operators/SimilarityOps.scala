@@ -524,6 +524,32 @@ object SimilarityOps {
       new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)), schema)
   }
 
+  /** IVF-PQ front half: assign each vector to its nearest centroid under
+    * SQUARED L2 (the IVF-PQ convention — cosine is [[ivfAssign]]'s) and
+    * attach the RESIDUAL vector − centroid, which is what the PQ codebook
+    * then quantizes: residuals cluster around zero much tighter than raw
+    * vectors, so the same codebook budget buys far less quantization
+    * error (Jégou et al. 2011 §IV). Broadcast centroids, map-side argmin,
+    * one row per vector over the shuffle — the ivfAssign shape under the
+    * other metric. Output: (idCol, vecCol, centroid, residual:
+    * array<double>). Centroids must be array<double> (exact float-widened
+    * doubles are fine).
+    */
+  def l2AssignResiduals(vectors: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame, cidCol: String,
+                        cvecCol: String): DataFrame =
+    vectors
+      .crossJoin(broadcast(centroids.select(col(cidCol), col(cvecCol))))
+      .withColumn("__d", NativeL2(col(vecCol), col(cvecCol)))
+      .groupBy(col(idCol))
+      .agg(min_by(
+        struct(col(vecCol).as("v"), col(cidCol).as("c"), col(cvecCol).as("cv")),
+        struct(col("__d").as("d"), col(cidCol).as("c"))).as("best"))
+      .select(col(idCol), col("best.v").as(vecCol),
+        col("best.c").as("centroid"),
+        zip_with(col("best.v"), col("best.cv"),
+          (a, b) => a.cast("double") - b).as("residual"))
+
   /** Encode each vector as its m nearest codeword ids, in subspace order:
     * (id, codes: array<long>). The compressed representation an IVF-PQ
     * index stores instead of the raw floats.

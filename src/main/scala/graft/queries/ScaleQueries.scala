@@ -600,6 +600,114 @@ object ScaleQueries {
              |SELECT vec_id, round(list_sum(ds), 4) approx_dist
              |FROM sc0 ORDER BY approx_dist, vec_id LIMIT 10""".stripMargin)),
 
+    // IVF-PQ capstone (x63): the complete billion-scale ANN architecture
+    // composed from graded parts — L2 coarse quantizer (partition/prune),
+    // RESIDUAL encoding (vector − centroid, what the codebook actually
+    // quantizes — Jégou §IV), per-subspace PQ codebooks, and probing that
+    // touches only nprobe centroids' codes with a per-probe LUT built
+    // from the query's residual against THAT centroid. Probe selection is
+    // driver math on 8 metadata rows (sequential double sums — bitwise
+    // equal to the oracle's list_sum). Corpus floats are read once at
+    // build; search reads codes only.
+    QuerySpec("x63_ivfpq_topk", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"),
+          transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      val corpus = emb.filter(col("vec_id") >= 16)
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .head().getSeq[Float](0)
+      val ar = SimilarityOps.l2AssignResiduals(corpus, "vec_id", "embedding",
+        cents, "cid", "cvec")
+        .localCheckpoint(true) // reused by train, encode, and cent lookup
+      val initR = ar.filter(col("vec_id") < 32)
+        .select(col("vec_id"), col("residual"))
+      val cb = SimilarityOps.pqTrain(ar, "vec_id", "residual", initR,
+        m = 4, dsub = 16, iters = 1)
+      val codes = SimilarityOps.pqEncode(ar, "vec_id", "residual",
+        cb, m = 4, dsub = 16)
+      // probe: 2 nearest centroids to q by L2 — 8 metadata rows on the
+      // driver, same sequential arithmetic as the oracle's list_sum
+      val centRows = cents.collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      def l2(a: Seq[Float], b: Seq[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < a.length) { val d0 = a(i).toDouble - b(i); s += d0 * d0; i += 1 }
+        s
+      }
+      val probes = centRows.sortBy { case (cid, cv) => (l2(q, cv), cid) }.take(2)
+      val lut = probes.map { case (pc, pcv) =>
+        val qr = q.indices.map(i => q(i).toDouble - pcv(i)).toArray
+        cb.select(lit(pc).as("centroid"), col("sub"), col("cid"),
+          graft.functions.L2DistanceSq(
+            slice(lit(qr), col("sub") * 16 + lit(1), lit(16)),
+            col("cvec")).as("__qd"))
+      }.reduce(_.unionByName(_))
+      codes.join(ar.select(col("vec_id").as("id"), col("centroid")), "id")
+        .filter(col("centroid").isin(probes.map(_._1): _*))
+        .select(col("id"), col("centroid"), posexplode(col("codes")).as(Seq("sub", "cid")))
+        .join(broadcast(lut), Seq("centroid", "sub", "cid"))
+        .groupBy(col("id"))
+        .agg(array_sort(collect_list(struct(col("sub"), col("__qd")))).as("ds"))
+        .select(col("id").as("vec_id"),
+          round(aggregate(transform(col("ds"), x => x.getField("__qd")),
+            lit(0.0), (a, x) => a + x), 4).as("approx_dist"))
+        .orderBy(col("approx_dist"), col("vec_id"))
+        .limit(10)
+    },
+      Some("""WITH ss AS (SELECT unnest(range(0, 4)) s),
+             |v AS (SELECT vec_id,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+             |  FROM embeddings),
+             |cent AS (SELECT CAST(vec_id AS BIGINT) cid, e cv FROM v
+             |  WHERE vec_id < 8),
+             |corp AS (SELECT vec_id, e FROM v WHERE vec_id >= 16),
+             |ca AS (SELECT co.vec_id, co.e, c.cid cent,
+             |    list_transform(range(1, 65), i -> co.e[i] - c.cv[i]) r
+             |  FROM corp co JOIN cent c ON true
+             |  QUALIFY row_number() OVER (PARTITION BY co.vec_id
+             |    ORDER BY list_sum(list_transform(range(1, 65),
+             |      i -> (co.e[i] - c.cv[i])*(co.e[i] - c.cv[i]))), c.cid) = 1),
+             |sub AS (SELECT vec_id, cent, s, list_slice(r, s*16+1, s*16+16) sv
+             |  FROM ca, ss),
+             |c0 AS (SELECT s, CAST(vec_id AS BIGINT) cid, sv cvec FROM sub
+             |  WHERE vec_id < 32),
+             |a0 AS (SELECT su.vec_id, su.s, su.sv, c.cid
+             |  FROM sub su JOIN c0 c ON su.s = c.s
+             |  QUALIFY row_number() OVER (PARTITION BY su.vec_id, su.s
+             |    ORDER BY list_sum(list_transform(range(1, 17),
+             |      i -> (su.sv[i] - c.cvec[i])*(su.sv[i] - c.cvec[i]))),
+             |      c.cid) = 1),
+             |m0 AS (SELECT s, cid, generate_subscripts(sv, 1) pos,
+             |    unnest(sv) val FROM a0),
+             |c1 AS (SELECT s, cid, list(round(mn, 6) ORDER BY pos) cvec
+             |  FROM (SELECT s, cid, pos, avg(val) mn FROM m0
+             |    GROUP BY s, cid, pos) GROUP BY s, cid),
+             |enc AS (SELECT su.vec_id, su.cent, su.s, c.cid
+             |  FROM sub su JOIN c1 c ON su.s = c.s
+             |  QUALIFY row_number() OVER (PARTITION BY su.vec_id, su.s
+             |    ORDER BY list_sum(list_transform(range(1, 17),
+             |      i -> (su.sv[i] - c.cvec[i])*(su.sv[i] - c.cvec[i]))),
+             |      c.cid) = 1),
+             |qv AS (SELECT e qe FROM v WHERE vec_id = 0),
+             |probes AS (SELECT c.cid cent, list_transform(range(1, 65),
+             |    i -> q.qe[i] - c.cv[i]) qr
+             |  FROM cent c, qv q
+             |  ORDER BY list_sum(list_transform(range(1, 65),
+             |    i -> (q.qe[i] - c.cv[i])*(q.qe[i] - c.cv[i]))), c.cid
+             |  LIMIT 2),
+             |lut AS (SELECT p.cent, c.s, c.cid,
+             |    list_sum(list_transform(range(1, 17),
+             |      i -> (list_slice(p.qr, c.s*16+1, c.s*16+16)[i] - c.cvec[i])
+             |        *(list_slice(p.qr, c.s*16+1, c.s*16+16)[i] - c.cvec[i]))) qd
+             |  FROM c1 c, probes p),
+             |sc0 AS (SELECT e.vec_id, list(l.qd ORDER BY e.s) ds
+             |  FROM enc e JOIN lut l
+             |    ON e.cent = l.cent AND e.s = l.s AND e.cid = l.cid
+             |  GROUP BY e.vec_id)
+             |SELECT vec_id, round(list_sum(ds), 4) approx_dist
+             |FROM sc0 ORDER BY approx_dist, vec_id LIMIT 10""".stripMargin)),
+
     // Distributed k-means fit (x55): Lloyd's over the embedding corpus —
     // the trainer the IVF coarse quantizer (x7/x7b/x51) was missing; until
     // now centroids were arbitrary corpus vectors. Two full (assign,
