@@ -1737,6 +1737,40 @@ object ScaleQueries {
              |  AND r.ts BETWEEN l.ts - INTERVAL 30 MINUTE AND l.ts
              |ORDER BY 1, 4""".stripMargin)),
 
+    // Streaming LEFT OUTER stream-stream join (st9): st5's interval join
+    // with the outer contract — a purchase with no same-user view in the
+    // 30-min lookback emits a null-matched row, but only once the global
+    // watermark (min of both inputs' max event time, minus the 1-hour
+    // delay) closes its join window; younger unmatched purchases hold
+    // their verdict back. The oracle states that rule explicitly: matched
+    // rows unconditionally, null rows only when p_ts < watermark — the
+    // honest semantics of an eventual outer join, not a scaffolding
+    // artifact (fixture verified free of ts == watermark boundary hits at
+    // both SFs).
+    QuerySpec("st9_stream_stream_outer", (s, d) => {
+      val schema = new StructType()
+        .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
+        .add("event_type", StringType).add("value", DoubleType).add("props", StringType)
+      val run = streamRun.incrementAndGet()
+      val sink = s"graft_ssjo_$run"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runStreamStreamJoinAvailableNow(s, d, "events.parquet", schema,
+        lookbackMinutes = 30, sink, ckpt,
+        joinType = "leftOuter", watermarkDelay = "1 hour")
+        .orderBy("purchase_id", "view_id")
+    },
+      Some("""WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+             |v AS (SELECT * FROM events WHERE event_type = 'view'),
+             |wm AS (SELECT least((SELECT max(ts) FROM p),
+             |    (SELECT max(ts) FROM v)) - INTERVAL 1 HOUR w)
+             |SELECT l.event_id purchase_id, l.user_id, l.ts p_ts,
+             |  r.event_id view_id, r.ts v_ts, r."value" view_value
+             |FROM p l LEFT JOIN v r
+             |  ON l.user_id = r.user_id
+             |  AND r.ts BETWEEN l.ts - INTERVAL 30 MINUTE AND l.ts
+             |WHERE r.event_id IS NOT NULL OR l.ts < (SELECT w FROM wm)
+             |ORDER BY 1, 4""".stripMargin)),
+
     // Streaming dedup (st6): the watermark-bounded
     // dropDuplicatesWithinWatermark operator, graded. Every 10th event is
     // written TWICE as separate file groups and replayed one file per

@@ -72,6 +72,34 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out == Seq(("hist", 1.0), ("r1", 20.0), ("r2", 5.0)))
   }
 
+  test("stream-stream LEFT OUTER join: matches emit, old unmatched flush, young unmatched hold") {
+    val dir = Files.createTempDirectory("graft_ssjo_in").toString
+    val rows = Seq(
+      // purchase with a view 10 min earlier -> matched, emits regardless of age
+      (1L, "2024-01-01 10:00:00", 7L, "view", 1.0),
+      (2L, "2024-01-01 10:10:00", 7L, "purchase", 5.0),
+      // old unmatched purchase: watermark (max ts - 1h) passes it -> null row
+      (3L, "2024-01-01 09:00:00", 8L, "purchase", 2.0),
+      // young unmatched purchase within the last hour -> verdict held back
+      (4L, "2024-01-01 11:50:00", 9L, "purchase", 3.0),
+      // late view advancing the clock on both inputs
+      (5L, "2024-01-01 12:00:00", 6L, "view", 0.5)
+    ).map { case (id, ts, u, t0, v) => (id, ts, u, t0, v, "{}") }
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.mode("append").parquet(dir)
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val out = Streams.runStreamStreamJoinAvailableNow(spark, dir, "*.parquet",
+      rows.schema, lookbackMinutes = 30, "graft_ssjo_test", ckpt,
+      joinType = "leftOuter", watermarkDelay = "1 hour")
+      .select($"purchase_id", $"view_id")
+      .as[(Long, Option[Long])].collect().toSeq.sortBy(_._1)
+    // wm = min(max purchase 11:50, max view 12:00) - 1h = 10:50:
+    // p2 matched (emits), p3 (09:00) < wm -> null row, p4 (11:50) held
+    assert(out == Seq((2L, Some(1L)), (3L, None)))
+  }
+
   test("streaming HLL registers equal the batch sketch and finalize identically") {
     val dir = Files.createTempDirectory("graft_hll_in").toString
     // two hourly windows, duplicated ids across files (at-least-once
