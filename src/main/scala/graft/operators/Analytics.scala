@@ -185,6 +185,60 @@ object Analytics {
     hllFinalize(reg, groupCols, p)
   }
 
+  /** Approximate percentiles from a single-pass fixed-width INTEGER
+    * histogram — the scale path where exact percentiles (a14's `median`)
+    * need a full sort per group. Two scans total: a one-row min/max
+    * metadata pre-pass fixes the global bin domain, then one
+    * groupBy(group, bin) count whose shuffle is ≤ groups × nBins rows;
+    * percentile extraction runs on that metadata-sized histogram.
+    *
+    * Everything after the scan is INTEGER arithmetic on purpose: bin =
+    * (c − min) div width, target rank = ceil(p·n), within-bin linear
+    * interpolation ((target − below) · width) div (cnt + 1) — so the
+    * DuckDB oracle reproduces every intermediate exactly (`div` ≡ `//`
+    * on non-negatives), with none of the float-rounding boundaries a
+    * quotient-of-doubles design would risk. Error bound: ± one bin width
+    * = (max−min)/nBins. Input `centsCol` must be integral (use the a11
+    * `floor(x·100)` cents fold for money — callers convert the BIGINT
+    * output back to display units); nulls are excluded.
+    */
+  def approxPercentilesBinned(df: DataFrame, groupCols: Seq[String],
+                              centsCol: Column, nBins: Int,
+                              ps: Seq[(String, Double)]): DataFrame = {
+    require(nBins >= 2 && ps.nonEmpty, "need nBins >= 2 and percentiles")
+    val gs = groupCols.map(col)
+    val base = df.filter(centsCol.isNotNull)
+      .select((gs :+ centsCol.cast("long").as("__c")): _*)
+    val mm = base.agg(min(col("__c")), max(col("__c"))).head()
+    val mn = mm.getLong(0)
+    val width = (mm.getLong(1) - mn) / nBins + 1
+    val hist = base
+      .select((gs :+ expr(s"(__c - ${mn}L) div ${width}L").as("__bin")): _*)
+      .groupBy((gs :+ col("__bin")): _*)
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__cum", sum(col("__cnt")).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(gs: _*).orderBy(col("__bin"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val n = hist.groupBy(gs: _*).agg(max(col("__cum")).as("n_rows"))
+    val out = ps.foldLeft(n) { case (acc, (name, p)) =>
+      val withT = hist.join(n, groupCols)
+        .withColumn("__t", ceil(lit(p) * col("n_rows")).cast("long"))
+        .filter(col("__cum") >= col("__t"))
+      val pick = withT
+        .groupBy(gs: _*)
+        .agg(min_by(
+          struct(col("__bin"), col("__cum"), col("__cnt"), col("__t")),
+          col("__bin")).as("__b"))
+        .select(gs :+
+          (lit(mn) + lit(width) * col("__b.__bin") +
+            expr(s"((__b.__t - (__b.__cum - __b.__cnt)) * ${width}L) div (__b.__cnt + 1)"))
+            .cast("long").as(name): _*)
+      acc.join(pick, groupCols)
+    }
+    out
+  }
+
   /** Register index: low p bits of the first 3 md5 hex chars (16³ is
     * divisible by 2^p for p ≤ 12 — unbiased mod). */
   def hllIdx(value: Column, p: Int): Column =

@@ -876,6 +876,53 @@ object ScaleQueries {
              |FROM zv GROUP BY 1 ORDER BY 1""".stripMargin)
     }),
 
+    // Approximate percentiles (x61): single-pass fixed-bin histogram +
+    // integer within-bin interpolation — the scale path where exact
+    // percentiles (a14) need a full sort per group. Deliberately ALL
+    // integer after the scan (bin ids, cumulative counts, `div`
+    // interpolation), so the oracle reproduces every intermediate with
+    // `//` and there is no float-rounding boundary anywhere. Error is
+    // bounded by one bin width; nBins is the knob.
+    QuerySpec("x61_approx_percentiles", (s, d) => {
+      val li = t(s, d, "lineitem")
+      Analytics.approxPercentilesBinned(li, Seq("l_returnflag"),
+        floor(col("l_extendedprice") * 100).cast("long"), nBins = 1024,
+        Seq(("p50_cents", 0.5), ("p95_cents", 0.95), ("p99_cents", 0.99)))
+        .orderBy("l_returnflag")
+    },
+      Some("""WITH c AS (SELECT l_returnflag g,
+             |    CAST(floor(l_extendedprice*100) AS BIGINT) c FROM lineitem),
+             |w AS (SELECT min(c) mn, (max(c) - min(c)) // 1024 + 1 wd FROM c),
+             |h0 AS (SELECT g, (c - (SELECT mn FROM w)) // (SELECT wd FROM w) bin,
+             |    count(*) cnt FROM c GROUP BY 1, 2),
+             |h AS (SELECT g, bin, cnt, sum(cnt) OVER (PARTITION BY g
+             |    ORDER BY bin ROWS UNBOUNDED PRECEDING) cum FROM h0),
+             |n AS (SELECT g, max(cum) n FROM h GROUP BY g),
+             |p50 AS (SELECT h.g, (SELECT mn FROM w) + (SELECT wd FROM w)*bin +
+             |    ((CAST(ceil(0.50*n.n) AS BIGINT) - (cum - cnt))
+             |      * (SELECT wd FROM w)) // (cnt + 1) v
+             |  FROM h JOIN n ON h.g = n.g
+             |  WHERE cum >= CAST(ceil(0.50*n.n) AS BIGINT)
+             |  QUALIFY row_number() OVER (PARTITION BY h.g ORDER BY bin) = 1),
+             |p95 AS (SELECT h.g, (SELECT mn FROM w) + (SELECT wd FROM w)*bin +
+             |    ((CAST(ceil(0.95*n.n) AS BIGINT) - (cum - cnt))
+             |      * (SELECT wd FROM w)) // (cnt + 1) v
+             |  FROM h JOIN n ON h.g = n.g
+             |  WHERE cum >= CAST(ceil(0.95*n.n) AS BIGINT)
+             |  QUALIFY row_number() OVER (PARTITION BY h.g ORDER BY bin) = 1),
+             |p99 AS (SELECT h.g, (SELECT mn FROM w) + (SELECT wd FROM w)*bin +
+             |    ((CAST(ceil(0.99*n.n) AS BIGINT) - (cum - cnt))
+             |      * (SELECT wd FROM w)) // (cnt + 1) v
+             |  FROM h JOIN n ON h.g = n.g
+             |  WHERE cum >= CAST(ceil(0.99*n.n) AS BIGINT)
+             |  QUALIFY row_number() OVER (PARTITION BY h.g ORDER BY bin) = 1)
+             |SELECT n.g l_returnflag, CAST(n.n AS BIGINT) n_rows,
+             |  CAST(p50.v AS BIGINT) p50_cents, CAST(p95.v AS BIGINT) p95_cents,
+             |  CAST(p99.v AS BIGINT) p99_cents
+             |FROM n JOIN p50 ON n.g = p50.g JOIN p95 ON n.g = p95.g
+             |JOIN p99 ON n.g = p99.g
+             |ORDER BY 1""".stripMargin)),
+
     // HLL distinct sketch (x60): the cross-engine-checkable twin of
     // approx_count_distinct — registers derived from md5 so the oracle
     // rebuilds the whole sketch (index digits, leading-zero rho, register

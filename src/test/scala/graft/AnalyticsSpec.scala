@@ -119,6 +119,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(gotN == got)
   }
 
+  test("approxPercentilesBinned: within one bin width of exact, all-integer") {
+    // group a: 1..10000 (uniform), group b: constant 42
+    val rows = (1 to 10000).map(i => ("a", i.toLong)) ++
+      Seq.fill(100)(("b", 42L))
+    val df = rows.toDF("g", "cents")
+    val out = Analytics.approxPercentilesBinned(df, Seq("g"), col("cents"),
+      nBins = 256, ps = Seq(("p50", 0.5), ("p95", 0.95)))
+      .orderBy("g").collect()
+    val a = out(0); val b = out(1)
+    assert(a.getLong(1) == 10000L && b.getLong(1) == 100L)
+    // domain [1, 10000] in 256 bins -> width 40; approx within one width
+    assert(math.abs(a.getLong(2) - 5000L) <= 40, s"p50=${a.getLong(2)}")
+    assert(math.abs(a.getLong(3) - 9500L) <= 40, s"p95=${a.getLong(3)}")
+    // a constant group: every value sits in one bin, so any percentile
+    // lands inside that bin (the interpolation spreads WITHIN the bin —
+    // still inside the one-bin-width error contract)
+    assert(math.abs(b.getLong(2) - 42L) <= 40)
+    assert(math.abs(b.getLong(3) - 42L) <= 40)
+    // deterministic across reruns
+    val again = Analytics.approxPercentilesBinned(df, Seq("g"), col("cents"),
+      nBins = 256, ps = Seq(("p50", 0.5), ("p95", 0.95)))
+      .orderBy("g").collect()
+    assert(out.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("hllDistinct rejects out-of-range precision") {
     val df = Seq(("a", "x")).toDF("g", "v")
     intercept[IllegalArgumentException] { Analytics.hllDistinct(df, Seq("g"), "v", p = 3) }
