@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -116,4 +116,50 @@ object ClusterOps {
       .select(col(idCol), col("centroid"),
         col("dup_of").isNull.as("kept"), col("dup_of"))
   }
+
+  /** Batch-perceptron linear probe over an embedding column — the
+    * quality-classifier primitive of LLM data curation (train a cheap
+    * linear head on labeled embeddings, score the corpus with one dot
+    * product per row). Labels must be ±1 (`labelCol`).
+    *
+    * Per epoch: margin = w·x (sequential-fold dot — bitwise reproducible
+    * from identical doubles), misclassified rows (sign(margin) ≠ y, with
+    * sign(0) = −1) contribute the element-wise MEAN of y·x as the batch
+    * gradient, and w ← round(w + lr·g) at `roundTo` decimals — the
+    * kmeansFit determinism contract: every margin the next epoch sees is
+    * bit-identical in any engine. The driver loop carries only w (dims
+    * doubles — metadata); per-epoch work is one scan + a (pos)-keyed
+    * aggregation whose shuffle is ≤ tasks × dims rows. Returns the final
+    * weights and the per-epoch error counts.
+    */
+  def linearProbeTrain(vectors: DataFrame, vecCol: String, labelCol: Column,
+                       dims: Int, epochs: Int, lr: Double = 1.0,
+                       roundTo: Int = 6): (Array[Double], Seq[Long]) = {
+    require(dims >= 1 && epochs >= 1, "dims and epochs must be >= 1")
+    var w = Array.fill(dims)(0.0)
+    val errs = scala.collection.mutable.ArrayBuffer.empty[Long]
+    for (_ <- 1 to epochs) {
+      val margin = linearMargin(col(vecCol), w)
+      val pred = when(margin > 0, lit(1.0)).otherwise(lit(-1.0))
+      val errRows = vectors.filter(pred =!= labelCol)
+        .select(labelCol.as("__y"),
+          posexplode(transform(col(vecCol), x => x.cast("double")))
+            .as(Seq("__pos", "__v")))
+      val grad = errRows.groupBy(col("__pos"))
+        .agg(avg(col("__y") * col("__v")).as("__g"))
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      errs += vectors.filter(pred =!= labelCol).count()
+      w = w.indices.map { i =>
+        BigDecimal(w(i) + lr * grad.getOrElse(i, 0.0))
+          .setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }.toArray
+    }
+    (w, errs.toSeq)
+  }
+
+  /** w·x as a sequential left fold over the vector — same accumulation
+    * order as the oracle's `list_sum(list_transform(...))`. */
+  def linearMargin(vec: Column, w: Array[Double]): Column =
+    aggregate(zip_with(vec, lit(w), (x, wi) => x.cast("double") * wi),
+      lit(0.0), (acc, x) => acc + x)
 }

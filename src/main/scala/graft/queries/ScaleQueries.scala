@@ -823,6 +823,66 @@ object ScaleQueries {
              |FROM af f LEFT JOIN shadows s ON f.vec_id = s.sid
              |ORDER BY f.vec_id""".stripMargin)),
 
+    // Linear probe / quality-classifier training (x64): batch perceptron
+    // on labeled embeddings (label 2 vs rest), two epochs, then corpus
+    // scoring — the cheap-linear-head primitive of LLM data curation.
+    // Weights round to 6 dp per epoch (the kmeans contract) and every
+    // margin is a sequential dot over identical doubles, so sign
+    // decisions agree bitwise cross-engine; outputs are confusion COUNTS
+    // (integers) plus one rounded norm. The oracle unrolls both epochs;
+    // epoch 1 from w=0 reduces to the positive-class mean (sign(0) = −1).
+    QuerySpec("x64_linear_probe", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val y = when(col("label") === 2, lit(1.0)).otherwise(lit(-1.0))
+      val (w, errs) = ClusterOps.linearProbeTrain(emb, "embedding", y,
+        dims = 64, epochs = 2)
+      val margin = ClusterOps.linearMargin(col("embedding"), w)
+      val pred = when(margin > 0, lit(1.0)).otherwise(lit(-1.0))
+      val wNorm = BigDecimal(math.sqrt(w.foldLeft(0.0)((a, x) => a + x * x)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      emb.agg(
+        count(when(y === 1.0, 1)).as("n_pos"),
+        count(when(y === -1.0, 1)).as("n_neg"),
+        count(when(pred === 1.0 && y === 1.0, 1)).as("tp"),
+        count(when(pred === 1.0 && y === -1.0, 1)).as("fp"),
+        count(when(pred === -1.0 && y === -1.0, 1)).as("tn"),
+        count(when(pred === -1.0 && y === 1.0, 1)).as("fn"))
+        .withColumn("err_e1", lit(errs.head))
+        .withColumn("err_e2", lit(errs(1)))
+        .withColumn("w_norm", lit(wNorm))
+    },
+      Some("""WITH v AS (SELECT vec_id,
+             |    CASE WHEN label = 2 THEN 1.0 ELSE -1.0 END y,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) e
+             |  FROM embeddings),
+             |p1 AS (SELECT generate_subscripts(e, 1) pos, unnest(e) val
+             |  FROM v WHERE y = 1.0),
+             |w1 AS (SELECT list(round(g, 6) ORDER BY pos) w FROM (
+             |    SELECT pos, avg(val) g FROM p1 GROUP BY pos)),
+             |m2 AS (SELECT v.vec_id, v.y, v.e,
+             |    list_sum(list_transform(range(1, 65),
+             |      i -> v.e[i] * w1.w[i])) mg FROM v, w1),
+             |e2 AS (SELECT generate_subscripts(e, 1) pos, y * unnest(e) yv
+             |  FROM m2 WHERE (CASE WHEN mg > 0 THEN 1.0 ELSE -1.0 END) <> y),
+             |g2 AS (SELECT pos, avg(yv) g FROM e2 GROUP BY pos),
+             |w2 AS (SELECT list(round(w1.w[g2.pos] + g2.g, 6)
+             |    ORDER BY g2.pos) w FROM g2, w1),
+             |m3 AS (SELECT v.y, list_sum(list_transform(range(1, 65),
+             |    i -> v.e[i] * w2.w[i])) mg FROM v, w2)
+             |SELECT
+             |  (SELECT count(*) FROM v WHERE y = 1.0) n_pos,
+             |  (SELECT count(*) FROM v WHERE y = -1.0) n_neg,
+             |  count(*) FILTER (m3.mg > 0 AND m3.y = 1.0) tp,
+             |  count(*) FILTER (m3.mg > 0 AND m3.y = -1.0) fp,
+             |  count(*) FILTER (m3.mg <= 0 AND m3.y = -1.0) tn,
+             |  count(*) FILTER (m3.mg <= 0 AND m3.y = 1.0) fn,
+             |  (SELECT count(*) FROM v WHERE y = 1.0) err_e1,
+             |  (SELECT count(*) FROM m2
+             |    WHERE (CASE WHEN mg > 0 THEN 1.0 ELSE -1.0 END) <> y) err_e2,
+             |  (SELECT round(sqrt(list_sum(list_transform(w, x -> x*x))), 4)
+             |    FROM w2) w_norm
+             |FROM m3""".stripMargin)),
+
     // Edit-distance similarity join (x54, Ed-Join): all supplier-name
     // pairs within levenshtein 1, generated via the rarest-first q-gram
     // prefix index — NOT the n² cross join. The blocking is lossless

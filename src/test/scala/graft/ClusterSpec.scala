@@ -65,6 +65,31 @@ class ClusterSpec extends SparkSpec {
     assert(cents.select("cid").collect().map(_.getLong(0)).toSeq == Seq(0L))
   }
 
+  test("linearProbeTrain separates a linearly separable set; deterministic") {
+    val data = vecDf(Seq(
+      0L -> Seq(1.0f, 0.2f, 0.0f), 1L -> Seq(0.9f, 0.1f, 0.1f),
+      2L -> Seq(1.1f, 0.0f, 0.2f),
+      3L -> Seq(-1.0f, 0.1f, 0.0f), 4L -> Seq(-0.8f, 0.2f, 0.1f),
+      5L -> Seq(-1.2f, 0.0f, 0.1f)))
+    val y = when(col("id") < 3, lit(1.0)).otherwise(lit(-1.0))
+    val (w, errs) = ClusterOps.linearProbeTrain(data, "v", y,
+      dims = 3, epochs = 2)
+    // epoch 1 from w=0 misclassifies exactly the positives (sign(0) = -1)
+    assert(errs.head == 3L)
+    // the positive-mean direction separates this set -> epoch 2 clean
+    assert(errs(1) == 0L)
+    val margin = ClusterOps.linearMargin(col("v"), w)
+    val preds = data.select(col("id"), when(margin > 0, 1.0).otherwise(-1.0))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert((0L to 2L).forall(preds(_) == 1.0))
+    assert((3L to 5L).forall(preds(_) == -1.0))
+    // weights carry at most 6 decimals and reruns are identical
+    w.foreach(x => assert((BigDecimal(x) * BigDecimal(1000000)).isWhole))
+    val (w2, errs2) = ClusterOps.linearProbeTrain(data, "v", y,
+      dims = 3, epochs = 2)
+    assert(w.toSeq == w2.toSeq && errs == errs2)
+  }
+
   test("semanticDedup keeps lowest id per near-dup group, within cluster only") {
     val cents = ClusterOps.kmeansFit(corpus, "id", "v", init, "cid", "cvec",
       iters = 2)
