@@ -472,6 +472,58 @@ object ScaleOps {
       .drop("__lo", "__hi")
   }
 
+  /** Bloom-filter join pruning — the self-built, oracle-checkable twin of
+    * Spark's runtime bloom filter (`InjectRuntimeFilter`): hash the SMALL
+    * (selective) join side's keys into a bitmap on the driver, then
+    * filter the BIG side with a pure bit-test EXPRESSION before its
+    * shuffle. No false negatives (deterministic md5 positions), so the
+    * exact join downstream sees every true match; false positives only
+    * cost wasted shuffle rows, quantified by the caller via the pass
+    * count. The bitmap is mBits/8 bytes (8 KB at 2^16) embedded as a
+    * literal long-array — the probe filter is codegen bit arithmetic, no
+    * join, no UDF. Build-side collect is ≤ min(distinct keys · k, mBits)
+    * positions — metadata for a selective build, the same contract as
+    * Spark's own BloomFilterAggregate subquery.
+    */
+  def bloomBitmapBuild(build: DataFrame, keyCol: Column,
+                       mBits: Int, kHashes: Int): Array[Long] = {
+    require(mBits >= 64 && (mBits & (mBits - 1)) == 0,
+      s"mBits must be a power of two >= 64, got $mBits")
+    require(kHashes >= 1 && kHashes <= 8, s"kHashes in [1,8], got $kHashes")
+    val pos = bloomPositions(keyCol, mBits, kHashes)
+    val bits = build.filter(keyCol.isNotNull)
+      .select(explode(array(pos: _*)).as("__b")).distinct()
+      .collect().map(_.getLong(0))
+    val words = Array.fill(mBits / 64)(0L)
+    bits.foreach(b => words((b / 64).toInt) |= (1L << (b % 64).toInt))
+    words
+  }
+
+  /** Boolean membership expression over [[bloomBitmapBuild]]'s bitmap:
+    * true iff all kHashes positions of `keyCol` are set. Null keys fail
+    * the test (they cannot equi-join anyway). */
+  def bloomProbe(keyCol: Column, words: Array[Long],
+                 mBits: Int, kHashes: Int): Column = {
+    // single-bit masks as a literal lookup table — the Column-API shift
+    // functions only take literal shift amounts
+    val masks = Array.tabulate(64)(1L << _)
+    bloomPositions(keyCol, mBits, kHashes).map { p =>
+      (element_at(lit(words), (p / lit(64L)).cast("int") + 1)
+        .bitwiseAND(element_at(lit(masks),
+          p.bitwiseAND(lit(63L)).cast("int") + 1)) =!= 0)
+    }.reduce(_ && _)
+  }
+
+  /** kHashes bit positions from md5("bloom<j>:" ++ key): 8 hex chars → 32
+    * bits, mod mBits (power of two divides 2^32 — unbiased). The exact
+    * digit-by-digit recipe the DuckDB oracle rebuilds. */
+  private def bloomPositions(keyCol: Column, mBits: Int,
+                             kHashes: Int): Seq[Column] =
+    (0 until kHashes).map { j =>
+      conv(substring(md5(concat(lit(s"bloom$j:"), keyCol.cast("string"))),
+        1, 8), 16, 10).cast("long") % mBits
+    }
+
   /** Morton (Z-order) curve value over n integer columns — the multi-
     * dimensional clustering key behind data-skipping layouts (Delta/
     * Iceberg `ZORDER BY`, re-expressed from the public bit-interleave

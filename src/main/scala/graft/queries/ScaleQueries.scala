@@ -823,6 +823,59 @@ object ScaleQueries {
              |FROM af f LEFT JOIN shadows s ON f.vec_id = s.sid
              |ORDER BY f.vec_id""".stripMargin)),
 
+    // Bloom-filter join pruning (x65): the big side (orders) is filtered
+    // by a bit-test expression over an 8192-bit bitmap built from the
+    // selective side (nation-3 customers) BEFORE any shuffle — the
+    // self-built, gradeable twin of Spark's runtime bloom filter. The
+    // oracle rebuilds every md5 bit position, so n_bloom_pass grades the
+    // bitmap math itself (false positives included), while n_matched /
+    // sum_cents grade the exact join the filter feeds — proving no false
+    // negatives. All-integer output.
+    QuerySpec("x65_bloom_join_prune", (s, d) => {
+      val orders = t(s, d, "orders")
+      val cust = t(s, d, "customer").filter(col("c_nationkey") === 3)
+      val mBits = 8192; val kH = 3
+      val words = graft.operators.ScaleOps.bloomBitmapBuild(
+        cust, col("c_custkey"), mBits, kH)
+      val pass = orders.filter(graft.operators.ScaleOps.bloomProbe(
+        col("o_custkey"), words, mBits, kH))
+        .localCheckpoint(true)
+      val matched = pass.join(cust.select(col("c_custkey")),
+        pass("o_custkey") === col("c_custkey"))
+      matched.agg(
+        count(lit(1)).as("n_matched"),
+        sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+        .crossJoin(orders.agg(count(lit(1)).as("n_probe")))
+        .crossJoin(pass.agg(count(lit(1)).as("n_bloom_pass")))
+        .select("n_probe", "n_bloom_pass", "n_matched", "sum_cents")
+    },
+      Some("""WITH bk AS (SELECT DISTINCT c_custkey k FROM customer
+             |  WHERE c_nationkey = 3),
+             |js AS (SELECT unnest(range(0, 3)) j),
+             |bits AS (SELECT DISTINCT list_reduce(list_transform(range(1, 9),
+             |    i -> CAST(strpos('0123456789abcdef', substr(md5('bloom' ||
+             |      CAST(j AS VARCHAR) || ':' || CAST(k AS VARCHAR)),
+             |      CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |    (a, b) -> a*16 + b) % 8192 bt
+             |  FROM bk, js),
+             |op AS (SELECT o.o_orderkey, o.o_custkey, o.o_totalprice,
+             |    list_reduce(list_transform(range(1, 9),
+             |      i -> CAST(strpos('0123456789abcdef', substr(md5('bloom' ||
+             |        CAST(js.j AS VARCHAR) || ':' || CAST(o.o_custkey AS VARCHAR)),
+             |        CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |      (a, b) -> a*16 + b) % 8192 p
+             |  FROM orders o, js),
+             |pass AS (SELECT o_orderkey, any_value(o_custkey) o_custkey,
+             |    any_value(o_totalprice) o_totalprice
+             |  FROM op LEFT JOIN bits b ON op.p = b.bt
+             |  GROUP BY o_orderkey HAVING count(b.bt) = 3),
+             |m AS (SELECT p.* FROM pass p JOIN bk ON p.o_custkey = bk.k)
+             |SELECT (SELECT count(*) FROM orders) n_probe,
+             |  (SELECT count(*) FROM pass) n_bloom_pass,
+             |  count(*) n_matched,
+             |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) sum_cents
+             |FROM m""".stripMargin)),
+
     // Linear probe / quality-classifier training (x64): batch perceptron
     // on labeled embeddings (label 2 vs rest), two epochs, then corpus
     // scoring — the cheap-linear-head primitive of LLM data curation.

@@ -802,6 +802,26 @@ class ScaleNativeSpec extends SparkSpec {
     assert(out.filter($"v" =!= $"w").count() == 0)
   }
 
+  test("bloom filter: zero false negatives, bounded bitmap, null-safe probe") {
+    val build = (1L to 50L).map(i => i * 7).toDF("k")
+    val words = ScaleOps.bloomBitmapBuild(build, $"k", mBits = 1024, kHashes = 3)
+    assert(words.length == 16) // 1024 bits = 16 longs
+    // every member passes — the no-false-negative contract
+    val members = build.filter(ScaleOps.bloomProbe($"k", words, 1024, 3)).count()
+    assert(members == 50L)
+    // non-members mostly fail; with 150 set bits of 1024 the FP rate is
+    // (150/1024)^3 ~ 0.3% — assert well under half leak through
+    val nonMembers = (1L to 1000L).map(i => i * 7 + 1).toDF("k")
+    val fp = nonMembers.filter(ScaleOps.bloomProbe($"k", words, 1024, 3)).count()
+    assert(fp < 100, s"fp=$fp")
+    // null keys fail the probe (cannot equi-join anyway)
+    val withNull = Seq[java.lang.Long](7L, null).toDF("k")
+    assert(withNull.filter(ScaleOps.bloomProbe($"k", words, 1024, 3)).count() == 1L)
+    intercept[IllegalArgumentException] {
+      ScaleOps.bloomBitmapBuild(build, $"k", mBits = 1000, kHashes = 3)
+    }
+  }
+
   test("NativeL2 squared distance matches the HOF reference bitwise; null element maximally far") {
     import graft.functions.{L2DistanceSq => NativeL2}
     val df = Seq(
