@@ -216,12 +216,27 @@ object Analytics {
       .select((gs :+ expr(s"(__c - ${mn}L) div ${width}L").as("__bin")): _*)
       .groupBy((gs :+ col("__bin")): _*)
       .agg(count(lit(1)).as("__cnt"))
-      .withColumn("__cum", sum(col("__cnt")).over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(gs: _*).orderBy(col("__bin"))
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    percentilesFromHist(hist, groupCols, mn, width, ps)
+  }
+
+  /** Percentile extraction from an already-built integer histogram
+    * (groupCols, __bin, __cnt) — split out so the histogram can be
+    * maintained elsewhere, e.g. as STREAMING state
+    * ([[graft.streaming.Streams.windowedHistogramRegisters]]), and
+    * finalized as a metadata-sized batch — the same mergeable-sketch
+    * consumption contract as [[hllFinalize]]. Same all-integer
+    * arithmetic as [[approxPercentilesBinned]].
+    */
+  def percentilesFromHist(hist0: DataFrame, groupCols: Seq[String],
+                          mn: Long, width: Long,
+                          ps: Seq[(String, Double)]): DataFrame = {
+    val gs = groupCols.map(col)
+    val hist = hist0.withColumn("__cum", sum(col("__cnt")).over(
+      org.apache.spark.sql.expressions.Window
+        .partitionBy(gs: _*).orderBy(col("__bin"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
     val n = hist.groupBy(gs: _*).agg(max(col("__cum")).as("n_rows"))
-    val out = ps.foldLeft(n) { case (acc, (name, p)) =>
+    ps.foldLeft(n) { case (acc, (name, p)) =>
       val withT = hist.join(n, groupCols)
         .withColumn("__t", ceil(lit(p) * col("n_rows")).cast("long"))
         .filter(col("__cum") >= col("__t"))
@@ -236,7 +251,6 @@ object Analytics {
             .cast("long").as(name): _*)
       acc.join(pick, groupCols)
     }
-    out
   }
 
   /** Register index: low p bits of the first 3 md5 hex chars (16³ is

@@ -1826,6 +1826,49 @@ object ScaleQueries {
              |  round(0.7213/(1.0 + 1.079/512)*512*512/S, 2) hll_distinct
              |FROM ex JOIN est ON ex.w = est.w ORDER BY 1""".stripMargin)),
 
+    // Streaming approximate percentiles (st10): the x61 histogram sketch
+    // with per-window bin counts AS the streaming state (≤ nBins rows per
+    // window vs. a full per-window sort for exact percentiles), finalized
+    // by the same all-integer extraction. Fixed [0, 64·1024) cent domain
+    // (checked to cover both SFs; out-of-range clamps to edge bins) —
+    // a stream cannot take the batch operator's min/max pre-pass.
+    QuerySpec("st10_stream_percentiles", (s, d) => {
+      val schema = new StructType()
+        .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
+        .add("event_type", StringType).add("value", DoubleType).add("props", StringType)
+      val run = streamRun.incrementAndGet()
+      val sink = s"graft_hist_$run"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runWindowedPercentilesAvailableNow(s, d, "events.parquet",
+        schema, floor(col("value") * 100).cast("long"), loCents = 0L,
+        widthCents = 64L, nBins = 1024,
+        ps = Seq(("p50_cents", 0.5), ("p95_cents", 0.95)), sink, ckpt)
+        .orderBy("window_start")
+    },
+      Some("""WITH c AS (SELECT date_trunc('hour', ts) w,
+             |    least(greatest(CAST(floor("value"*100) AS BIGINT), 0) // 64,
+             |      1023) bin FROM events),
+             |h AS (SELECT w, bin, count(*) cnt FROM c GROUP BY 1, 2),
+             |hh AS (SELECT w, bin, cnt, sum(cnt) OVER (PARTITION BY w
+             |    ORDER BY bin ROWS UNBOUNDED PRECEDING) cum FROM h),
+             |n AS (SELECT w, max(cum) n FROM hh GROUP BY w),
+             |p50 AS (SELECT hh.w, 0 + 64*bin +
+             |    ((CAST(ceil(0.50*n.n) AS BIGINT) - (cum - cnt)) * 64)
+             |      // (cnt + 1) v
+             |  FROM hh JOIN n ON hh.w = n.w
+             |  WHERE cum >= CAST(ceil(0.50*n.n) AS BIGINT)
+             |  QUALIFY row_number() OVER (PARTITION BY hh.w ORDER BY bin) = 1),
+             |p95 AS (SELECT hh.w, 0 + 64*bin +
+             |    ((CAST(ceil(0.95*n.n) AS BIGINT) - (cum - cnt)) * 64)
+             |      // (cnt + 1) v
+             |  FROM hh JOIN n ON hh.w = n.w
+             |  WHERE cum >= CAST(ceil(0.95*n.n) AS BIGINT)
+             |  QUALIFY row_number() OVER (PARTITION BY hh.w ORDER BY bin) = 1)
+             |SELECT n.w window_start, CAST(n.n AS BIGINT) n_rows,
+             |  CAST(p50.v AS BIGINT) p50_cents, CAST(p95.v AS BIGINT) p95_cents
+             |FROM n JOIN p50 ON n.w = p50.w JOIN p95 ON n.w = p95.w
+             |ORDER BY 1""".stripMargin)),
+
     QuerySpec("st2_sessionize_stateful", (s, d) => {
       val schema = new StructType()
         .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)

@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.time.LocalDate
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types.StructType
@@ -100,6 +100,64 @@ object Streams {
       q.awaitTermination()
       val reg = detachSink(spark, sinkName, checkpoint)
       graft.operators.Analytics.hllFinalize(reg, Seq("window_start"), p)
+    }
+
+  /** Streaming binned histogram — the percentile-sketch sibling of
+    * [[windowedHllRegisters]]: per-window integer bin counts ARE the
+    * streaming state (≤ nBins rows per window), finalized to approximate
+    * percentiles by [[graft.operators.Analytics.percentilesFromHist]]'s
+    * all-integer extraction. Unlike HLL's max, counts are NOT
+    * replay-insensitive — correctness leans on the file source's
+    * exactly-once delivery, which is the honest trade of any counting
+    * sketch. The value domain must be fixed up front (`loCents`, `width`,
+    * `nBins`; out-of-range clamps to the edge bins) — a streaming
+    * operator cannot take x61's min/max pre-pass, and at scale the
+    * domain comes from a historical profile.
+    */
+  def windowedHistogramRegisters(events: DataFrame, valueCents: Column,
+                                 loCents: Long, widthCents: Long, nBins: Int,
+                                 watermark: String = "1 hour",
+                                 window: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .filter(valueCents.isNotNull)
+      .withColumn("__cents", valueCents)
+      .select(org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
+        expr(s"least(greatest(__cents - ${loCents}L, 0L) div ${widthCents}L, " +
+          s"${nBins - 1}L)").as("__bin"))
+      .groupBy(col("w"), col("__bin"))
+      .agg(count(lit(1)).as("__cnt"))
+      .select(col("w.start").as("window_start"), col("__bin"), col("__cnt"))
+
+  /** Drain `dir`/`glob` as an AvailableNow stream maintaining windowed
+    * histogram state over `valueCents`, then finalize to approximate
+    * percentiles per window. */
+  def runWindowedPercentilesAvailableNow(spark: SparkSession, dir: String,
+                                         glob: String, schema: StructType,
+                                         valueCents: Column, loCents: Long,
+                                         widthCents: Long, nBins: Int,
+                                         ps: Seq[(String, Double)],
+                                         sinkName: String,
+                                         checkpoint: String): DataFrame =
+    withNanosAsLong(spark) {
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob).parquet(dir)
+      val stream =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        else raw
+      val q = windowedHistogramRegisters(stream, valueCents, loCents,
+        widthCents, nBins)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val reg = detachSink(spark, sinkName, checkpoint)
+      graft.operators.Analytics.percentilesFromHist(reg,
+        Seq("window_start"), loCents, widthCents, ps)
     }
 
   /** Run `body` with spark.sql.legacy.parquet.nanosAsLong set, restoring

