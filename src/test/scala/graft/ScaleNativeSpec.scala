@@ -876,6 +876,37 @@ class ScaleNativeSpec extends SparkSpec {
     assert(top.head == 10L, top.toString)
   }
 
+  test("IVF-PQ residuals: assignment, residual math, probe restriction") {
+    // two far-apart centroid cones; residuals must be vector - OWN centroid
+    val cents = Seq((0L, Array(10.0, 0.0, 0.0, 0.0)), (1L, Array(0.0, 10.0, 0.0, 0.0)))
+      .toDF("cid", "cvec")
+    val vecs = Seq(
+      (10L, Array(9.0f, 1.0f, 0.5f, 0.0f)),
+      (11L, Array(1.0f, 9.0f, 0.0f, 0.5f)),
+      (12L, Array(11.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val ar = SimilarityOps.l2AssignResiduals(vecs, "vec_id", "embedding",
+      cents, "cid", "cvec")
+    val got = ar.select("vec_id", "centroid", "residual")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getSeq[Double](2))).toMap
+    assert(got(10L)._1 == 0L && got(11L)._1 == 1L && got(12L)._1 == 0L)
+    // residual = x - centroid, element-wise, double-exact
+    assert(got(10L)._2 == Seq(-1.0, 1.0, 0.5, 0.0))
+    assert(got(12L)._2 == Seq(1.0, 0.0, 0.0, 1.0))
+    // PQ over residuals reconstructs neighbors within the probed cone:
+    // train 1 round with the vectors themselves as init codewords
+    val cb = SimilarityOps.pqTrain(ar, "vec_id", "residual",
+      ar.select(col("vec_id"), col("residual")), m = 2, dsub = 2, iters = 1)
+    val codes = SimilarityOps.pqEncode(ar, "vec_id", "residual", cb, m = 2, dsub = 2)
+    assert(codes.count() == 3)
+    // every vector's code decodes to a codeword of the right subspace
+    val valid = cb.select("sub", "cid").collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    codes.collect().foreach { r =>
+      val cs = r.getSeq[Long](1)
+      cs.zipWithIndex.foreach { case (c, s) => assert(valid.contains((s, c))) }
+    }
+  }
+
   test("zorderValue interleaves bits with column 0 most significant") {
     val df = Seq((3L, 1L)).toDF("x", "y") // x=0b11, y=0b01
     // bit layout (bits=2, n=2): x0→pos1, x1→pos3, y0→pos0, y1→pos2
