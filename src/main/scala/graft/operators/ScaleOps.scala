@@ -524,6 +524,46 @@ object ScaleOps {
         1, 8), 16, 10).cast("long") % mBits
     }
 
+  /** Count-sketch table for join-SIZE estimation: (d, j, cnt) rows where
+    * j is the md5 bucket of the key under hash row d — the md5-positioned
+    * (hence oracle-rebuildable, unlike splitmix64's wrapping arithmetic)
+    * twin of [[graft.functions.CountMinSketch]]. ≤ depth × width rows per
+    * input regardless of size: the statistic a planner wants (broadcast?
+    * skew? shuffle budget?) WITHOUT executing the join.
+    */
+  def cmsCountTable(df: DataFrame, keyCol: Column,
+                    depth: Int, width: Int): DataFrame = {
+    require(depth >= 1 && depth <= 8, s"depth in [1,8], got $depth")
+    require(width >= 2 && (width & (width - 1)) == 0 && width <= (1 << 20),
+      s"width must be a power of two in [2, 2^20], got $width")
+    val pos = (0 until depth).map { dd =>
+      conv(substring(md5(concat(lit(s"cms$dd:"), keyCol.cast("string"))),
+        1, 8), 16, 10).cast("long") % width
+    }
+    df.filter(keyCol.isNotNull)
+      .select(posexplode(array(pos: _*)).as(Seq("d", "j")))
+      .groupBy(col("d"), col("j")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Equi-join cardinality estimate from two count-sketch tables: per
+    * hash row, the inner product Σ_j cntA[j]·cntB[j] upper-bounds the true
+    * join size (collision cross-terms are non-negative); min over the
+    * depth rows tightens it (AMS/CMS inner-product estimate — Alon,
+    * Matias, Szegedy '96; Cormode & Muthukrishnan '05). All integer, so
+    * the whole estimate hash-grades cross-engine. One row: cms_join_size.
+    */
+  def cmsJoinSizeEstimate(a: DataFrame, aKey: Column,
+                          b: DataFrame, bKey: Column,
+                          depth: Int, width: Int): DataFrame = {
+    val ta = cmsCountTable(a, aKey, depth, width)
+      .withColumnRenamed("cnt", "cnt_a")
+    val tb = cmsCountTable(b, bKey, depth, width)
+      .withColumnRenamed("cnt", "cnt_b")
+    ta.join(tb, Seq("d", "j"))
+      .groupBy(col("d")).agg(sum(col("cnt_a") * col("cnt_b")).as("ip"))
+      .agg(min(col("ip")).as("cms_join_size"))
+  }
+
   /** Morton (Z-order) curve value over n integer columns — the multi-
     * dimensional clustering key behind data-skipping layouts (Delta/
     * Iceberg `ZORDER BY`, re-expressed from the public bit-interleave

@@ -876,6 +876,37 @@ object ScaleQueries {
              |  CAST(sum(CAST(floor(o_totalprice*100) AS BIGINT)) AS BIGINT) sum_cents
              |FROM m""".stripMargin)),
 
+    // Join-size estimation from count sketches (x67): the self-join size
+    // of orders on o_custkey — a genuinely many-to-many shape — estimated
+    // from two depth×width count tables WITHOUT executing the join (the
+    // statistic a planner needs for broadcast/skew/shuffle decisions),
+    // beside the exact answer Σ n_k². md5 bucket positions make the
+    // estimate itself oracle-rebuildable (splitmix64's wrapping multiply
+    // is not expressible in DuckDB — the x46 CMS grades by exact-verify
+    // for exactly that reason); everything is integer arithmetic, and
+    // the estimate upper-bounds the exact size by construction.
+    QuerySpec("x67_join_size_estimate", (s, d) => {
+      val orders = t(s, d, "orders")
+      val est = graft.operators.ScaleOps.cmsJoinSizeEstimate(
+        orders, col("o_custkey"), orders, col("o_custkey"),
+        depth = 3, width = 65536)
+      val exact = orders.groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .agg(sum(col("n") * col("n")).as("exact_join_size"))
+      exact.crossJoin(est)
+    },
+      Some("""WITH ks AS (SELECT o_custkey k, count(*) n FROM orders GROUP BY 1),
+             |ds AS (SELECT unnest(range(0, 3)) d),
+             |pos AS (SELECT d, list_reduce(list_transform(range(1, 9),
+             |    i -> CAST(strpos('0123456789abcdef', substr(md5('cms' ||
+             |      CAST(d AS VARCHAR) || ':' || CAST(k AS VARCHAR)),
+             |      CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |    (a, b) -> a*16 + b) % 65536 j, n
+             |  FROM ks, ds),
+             |ct AS (SELECT d, j, sum(n) cnt FROM pos GROUP BY d, j),
+             |ip AS (SELECT d, sum(cnt*cnt) ip FROM ct GROUP BY d)
+             |SELECT (SELECT CAST(sum(n*n) AS BIGINT) FROM ks) exact_join_size,
+             |  (SELECT CAST(min(ip) AS BIGINT) FROM ip) cms_join_size""".stripMargin)),
+
     // Linear probe / quality-classifier training (x64): batch perceptron
     // on labeled embeddings (label 2 vs rest), two epochs, then corpus
     // scoring — the cheap-linear-head primitive of LLM data curation.

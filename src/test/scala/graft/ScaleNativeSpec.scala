@@ -802,6 +802,30 @@ class ScaleNativeSpec extends SparkSpec {
     assert(out.filter($"v" =!= $"w").count() == 0)
   }
 
+  test("cmsJoinSizeEstimate upper-bounds the exact join size; exact for one key") {
+    // skewed keys: key 1 x 20 rows, key 2 x 5, keys 3..12 x 1
+    val rows = Seq.fill(20)(1L) ++ Seq.fill(5)(2L) ++ (3L to 12L)
+    val df = rows.toDF("k")
+    val exact = 20L * 20 + 5L * 5 + 10 // Σ n_k² = 435
+    val est = ScaleOps.cmsJoinSizeEstimate(df, $"k", df, $"k",
+      depth = 3, width = 256).head.getLong(0)
+    assert(est >= exact, s"est=$est")          // collision terms only add
+    assert(est <= rows.size.toLong * rows.size) // trivial upper bound
+    // single key: no collisions possible -> estimate is exact
+    val one = Seq.fill(7)(42L).toDF("k")
+    val estOne = ScaleOps.cmsJoinSizeEstimate(one, $"k", one, $"k",
+      depth = 3, width = 256).head.getLong(0)
+    assert(estOne == 49L)
+    // nulls are excluded (cannot equi-join)
+    val withNull = df.union(Seq[java.lang.Long](null).toDF("k"))
+    val estN = ScaleOps.cmsJoinSizeEstimate(withNull, $"k", withNull, $"k",
+      depth = 3, width = 256).head.getLong(0)
+    assert(estN == est)
+    intercept[IllegalArgumentException] {
+      ScaleOps.cmsCountTable(df, $"k", depth = 3, width = 300)
+    }
+  }
+
   test("bloom filter: zero false negatives, bounded bitmap, null-safe probe") {
     val build = (1L to 50L).map(i => i * 7).toDF("k")
     val words = ScaleOps.bloomBitmapBuild(build, $"k", mBits = 1024, kHashes = 3)
