@@ -210,6 +210,14 @@ object Analytics {
     val base = df.filter(centsCol.isNotNull)
       .select((gs :+ centsCol.cast("long").as("__c")): _*)
     val mm = base.agg(min(col("__c")), max(col("__c"))).head()
+    if (mm.isNullAt(0)) {
+      // all-null/empty input: an empty result with the right schema, not
+      // a NullPointerException off the metadata row
+      return percentilesFromHist(
+        base.limit(0).withColumn("__bin", lit(0L))
+          .withColumn("__cnt", lit(0L)).drop("__c"),
+        groupCols, 0L, 1L, ps)
+    }
     val mn = mm.getLong(0)
     val width = (mm.getLong(1) - mn) / nBins + 1
     val hist = base

@@ -130,7 +130,9 @@ object ClusterOps {
     * bit-identical in any engine. The driver loop carries only w (dims
     * doubles — metadata); per-epoch work is one scan + a (pos)-keyed
     * aggregation whose shuffle is ≤ tasks × dims rows. Returns the final
-    * weights and the per-epoch error counts.
+    * weights and the per-epoch error counts. Contract: every vector has
+    * exactly `dims` elements — a shorter vector zip_withs against null
+    * weights and its margin degrades to the null→−1 prediction branch.
     */
   def linearProbeTrain(vectors: DataFrame, vecCol: String, labelCol: Column,
                        dims: Int, epochs: Int, lr: Double = 1.0,

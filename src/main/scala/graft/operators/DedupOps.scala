@@ -524,7 +524,9 @@ object DedupOps {
     * Scale: the inverted prefix index carries q·d+1 rows per string
     * (constant), the gram-frequency table is ≤ |alphabet|^q rows
     * (broadcast), and the only per-pair work is on candidates that share
-    * a rare gram. Output: (id_a, id_b, dist), id_a < id_b.
+    * a rare gram. Output: (id_a, id_b, dist), id_a < id_b. NULL strings
+    * produce no pairs (levenshtein with a null is undefined — SQL-null
+    * semantics on both engines); ids are assumed unique per row.
     */
   def editDistancePairs(docs: DataFrame, idCol: String, strCol: String,
                         maxDist: Int, q: Int = 2): DataFrame = {

@@ -559,9 +559,11 @@ object ScaleOps {
       .withColumnRenamed("cnt", "cnt_a")
     val tb = cmsCountTable(b, bKey, depth, width)
       .withColumnRenamed("cnt", "cnt_b")
+    // coalesce: an empty (or key-disjoint) side leaves no inner-product
+    // rows at all — the estimate is 0, not a NULL row
     ta.join(tb, Seq("d", "j"))
       .groupBy(col("d")).agg(sum(col("cnt_a") * col("cnt_b")).as("ip"))
-      .agg(min(col("ip")).as("cms_join_size"))
+      .agg(coalesce(min(col("ip")), lit(0L)).as("cms_join_size"))
   }
 
   /** Morton (Z-order) curve value over n integer columns — the multi-
@@ -574,8 +576,11 @@ object ScaleOps {
     *
     * Inputs must already be bucketed to `[0, 2^bits)` (callers mod/scale
     * — keeping that explicit keeps the expression pure bit arithmetic,
-    * codegen-friendly, and exactly reproducible in oracle SQL). Static
-    * fold over bits×cols shiftleft/and/or — no UDF, stays inside
+    * codegen-friendly, and exactly reproducible in oracle SQL); each
+    * input is masked to its low `bits` anyway, so an out-of-contract
+    * value (in particular a NEGATIVE, whose sign bits `shiftright` would
+    * smear across the curve) degrades to wraparound, never garbage.
+    * Static fold over bits×cols shift/and/or — no UDF, stays inside
     * whole-stage codegen.
     */
   def zorderValue(cols: Seq[Column], bits: Int): Column = {
@@ -583,8 +588,9 @@ object ScaleOps {
     require(n >= 2, "zorderValue needs at least two columns")
     require(bits >= 1 && bits * n <= 63, s"bits*cols must fit a long, got $bits*$n")
     cols.zipWithIndex.map { case (c, i) =>
+      val masked = c.cast("long").bitwiseAND(lit((1L << bits) - 1))
       (0 until bits).map { b =>
-        shiftleft(shiftright(c.cast("long"), b).bitwiseAND(lit(1L)),
+        shiftleft(shiftright(masked, b).bitwiseAND(lit(1L)),
           b * n + (n - 1 - i))
       }.reduce(_.bitwiseOR(_))
     }.reduce(_.bitwiseOR(_))
