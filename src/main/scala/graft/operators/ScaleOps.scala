@@ -533,16 +533,25 @@ object ScaleOps {
     */
   def cmsCountTable(df: DataFrame, keyCol: Column,
                     depth: Int, width: Int): DataFrame = {
+    df.filter(keyCol.isNotNull)
+      .select(posexplode(array(cmsPositions(keyCol, depth, width): _*))
+        .as(Seq("d", "j")))
+      .groupBy(col("d"), col("j")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The md5 bucket positions shared by [[cmsCountTable]] and the
+    * streaming register form
+    * ([[graft.streaming.Streams.windowedCmsRegisters]]): position d =
+    * md5("cms<d>:" ++ key) first 8 hex chars mod width (2^32 divisible by
+    * any power-of-two width — unbiased). */
+  def cmsPositions(keyCol: Column, depth: Int, width: Int): Seq[Column] = {
     require(depth >= 1 && depth <= 8, s"depth in [1,8], got $depth")
     require(width >= 2 && (width & (width - 1)) == 0 && width <= (1 << 20),
       s"width must be a power of two in [2, 2^20], got $width")
-    val pos = (0 until depth).map { dd =>
+    (0 until depth).map { dd =>
       conv(substring(md5(concat(lit(s"cms$dd:"), keyCol.cast("string"))),
         1, 8), 16, 10).cast("long") % width
     }
-    df.filter(keyCol.isNotNull)
-      .select(posexplode(array(pos: _*)).as(Seq("d", "j")))
-      .groupBy(col("d"), col("j")).agg(count(lit(1)).as("cnt"))
   }
 
   /** Equi-join cardinality estimate from two count-sketch tables: per

@@ -1804,14 +1804,18 @@ object ScaleQueries {
              |  round(sum(value), 3) total_value
              |FROM events GROUP BY 1,2 ORDER BY 1,2""".stripMargin)),
 
-    // Streaming HLL (st8): per-hour approximate distinct event ids with
+    // Streaming HLL (st8): per-DAY approximate distinct event ids with
     // sketch registers AS the streaming state — O(2^p) rows per window
     // where st6's exact streaming dedup carries one state row per key;
     // register max is replay-insensitive, so at-least-once redelivery
     // cannot move the answer. The stream stops at the register table;
     // finalization is batch (hllFinalize), the mergeable-sketch contract.
     // Graded beside the exact per-window count (x60 convention) with the
-    // oracle rebuilding every register from md5.
+    // oracle rebuilding every register from md5. Daily windows + p=6
+    // keep every window (302-364 / 3205-3471 distinct ids per day at
+    // sf0.01/0.1) above the 2.5m raw-HLL validity floor — hourly windows
+    // hold single-digit counts where the uncorrected estimate is pure
+    // small-range bias (x60's scaladoc regime note, measured here).
     QuerySpec("st8_stream_hll_distinct", (s, d) => {
       val schema = new StructType()
         .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
@@ -1820,9 +1824,9 @@ object ScaleQueries {
       val sink = s"graft_hll_$run"
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
       val est = Streams.runWindowedHllAvailableNow(s, d, "events.parquet",
-        schema, "event_id", p = 9, sink, ckpt)
+        schema, "event_id", p = 6, sink, ckpt, window = "1 day")
       val exact = t(s, d, "events")
-        .groupBy(date_trunc("hour", col("ts")).as("window_start"))
+        .groupBy(date_trunc("day", col("ts")).as("window_start"))
         .agg(countDistinct(col("event_id")).as("n_exact"))
       // no derived rel_err column here (unlike x60): the fixture's
       // boundary hours hold single-digit exact counts, and a 2-dp
@@ -1833,13 +1837,13 @@ object ScaleQueries {
       exact.join(est, "window_start")
         .orderBy("window_start")
     },
-      Some("""WITH h AS (SELECT date_trunc('hour', ts) w,
+      Some("""WITH h AS (SELECT date_trunc('day', ts) w,
              |    md5(CAST(event_id AS VARCHAR)) hx FROM events),
              |b AS (SELECT w,
              |    list_reduce(list_transform(range(1, 4),
              |      i -> CAST(strpos('0123456789abcdef',
              |        substr(hx, CAST(i AS INT), 1)) - 1 AS BIGINT)),
-             |      (a, b) -> a*16 + b) % 512 idx,
+             |      (a, b) -> a*16 + b) % 64 idx,
              |    substr(hx, 4, 16) rest FROM h),
              |r AS (SELECT w, idx, length(regexp_extract(rest, '^0*')) z,
              |    substr(rest, length(regexp_extract(rest, '^0*')) + 1, 1) c1
@@ -1849,12 +1853,12 @@ object ScaleQueries {
              |          WHEN c1 IN ('4','5','6','7') THEN 1 ELSE 0 END) + 1
              |  END rho FROM r),
              |reg AS (SELECT w, idx, max(rho) M FROM rr GROUP BY w, idx),
-             |est AS (SELECT w, sum(pow(2.0, -M)) + (512 - count(*)) S
+             |est AS (SELECT w, sum(pow(2.0, -M)) + (64 - count(*)) S
              |  FROM reg GROUP BY w),
-             |ex AS (SELECT date_trunc('hour', ts) w,
+             |ex AS (SELECT date_trunc('day', ts) w,
              |    count(DISTINCT event_id) n_exact FROM events GROUP BY 1)
              |SELECT ex.w window_start, ex.n_exact,
-             |  round(0.7213/(1.0 + 1.079/512)*512*512/S, 2) hll_distinct
+             |  round(0.7213/(1.0 + 1.079/64)*64*64/S, 2) hll_distinct
              |FROM ex JOIN est ON ex.w = est.w ORDER BY 1""".stripMargin)),
 
     // Streaming approximate percentiles (st10): the x61 histogram sketch
@@ -1899,6 +1903,62 @@ object ScaleQueries {
              |  CAST(p50.v AS BIGINT) p50_cents, CAST(p95.v AS BIGINT) p95_cents
              |FROM n JOIN p50 ON n.w = p50.w JOIN p95 ON n.w = p95.w
              |ORDER BY 1""".stripMargin)),
+
+    // Streaming CMS key frequencies (st11): the third sketch-as-stream-
+    // state operator (HLL = cardinality st8, histogram = distribution
+    // st10, CMS = frequency). Per-window (d, j, cnt) registers, bounded
+    // by depth×width per window; finalized as min-over-depth point
+    // estimates for a fixed probe-key set, graded beside the exact
+    // per-window counts — md5 positions make the ESTIMATE itself
+    // oracle-checkable, collisions included. width = 256 over ~150
+    // (sf0.01) / ~1500 (sf0.1) users so collisions genuinely occur and
+    // the over-estimate property is exercised, not vacuous.
+    QuerySpec("st11_stream_cms_counts", (s, d) => {
+      val schema = new StructType()
+        .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
+        .add("event_type", StringType).add("value", DoubleType).add("props", StringType)
+      val run = streamRun.incrementAndGet()
+      val sink = s"graft_cms_$run"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val probes = Seq(1L, 2L, 3L, 4L, 5L)
+      val est = Streams.runWindowedCmsAvailableNow(s, d, "events.parquet",
+        schema, col("user_id"), depth = 3, width = 256, probes, sink, ckpt)
+      val exact = t(s, d, "events")
+        .filter(col("user_id").isin(probes: _*))
+        .groupBy(date_trunc("hour", col("ts")).as("window_start"),
+          col("user_id").as("probe_key"))
+        .agg(count(lit(1)).as("exact_count"))
+      est.join(exact, Seq("window_start", "probe_key"), "left")
+        .select(col("window_start"), col("probe_key"), col("cms_count"),
+          coalesce(col("exact_count"), lit(0L)).as("exact_count"))
+        .orderBy("window_start", "probe_key")
+    },
+      Some("""WITH ds AS (SELECT unnest(range(0, 3)) d),
+             |pk AS (SELECT unnest([1, 2, 3, 4, 5]) k),
+             |pos AS (SELECT k, d, list_reduce(list_transform(range(1, 9),
+             |    i -> CAST(strpos('0123456789abcdef', substr(md5('cms' ||
+             |      CAST(d AS VARCHAR) || ':' || CAST(k AS VARCHAR)),
+             |      CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |    (a, b) -> a*16 + b) % 256 j FROM pk, ds),
+             |ev AS (SELECT date_trunc('hour', ts) w, user_id FROM events),
+             |evp AS (SELECT w, d, list_reduce(list_transform(range(1, 9),
+             |    i -> CAST(strpos('0123456789abcdef', substr(md5('cms' ||
+             |      CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)),
+             |      CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |    (a, b) -> a*16 + b) % 256 j FROM ev, ds),
+             |reg AS (SELECT w, d, j, count(*) cnt FROM evp GROUP BY 1, 2, 3),
+             |wins AS (SELECT DISTINCT w FROM ev),
+             |est AS (SELECT wi.w, p.k, min(coalesce(r.cnt, 0)) est
+             |  FROM wins wi CROSS JOIN pos p
+             |  LEFT JOIN reg r ON r.w = wi.w AND r.d = p.d AND r.j = p.j
+             |  GROUP BY wi.w, p.k),
+             |ex AS (SELECT date_trunc('hour', ts) w, user_id k, count(*) n
+             |  FROM events WHERE user_id IN (1, 2, 3, 4, 5) GROUP BY 1, 2)
+             |SELECT est.w window_start, CAST(est.k AS BIGINT) probe_key,
+             |  CAST(est.est AS BIGINT) cms_count,
+             |  CAST(coalesce(ex.n, 0) AS BIGINT) exact_count
+             |FROM est LEFT JOIN ex ON est.w = ex.w AND est.k = ex.k
+             |ORDER BY 1, 2""".stripMargin)),
 
     QuerySpec("st2_sessionize_stateful", (s, d) => {
       val schema = new StructType()

@@ -82,7 +82,8 @@ object Streams {
     * registers, then finalize to (window_start, hll_distinct). */
   def runWindowedHllAvailableNow(spark: SparkSession, dir: String, glob: String,
                                  schema: StructType, valueCol: String, p: Int,
-                                 sinkName: String, checkpoint: String): DataFrame =
+                                 sinkName: String, checkpoint: String,
+                                 window: String = "1 hour"): DataFrame =
     withNanosAsLong(spark) {
       val raw = spark.readStream.schema(schema)
         .option("pathGlobFilter", glob).parquet(dir)
@@ -91,7 +92,8 @@ object Streams {
           raw.withColumn("ts",
             org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
         else raw
-      val q = windowedHllRegisters(stream, valueCol, p)
+      val q = windowedHllRegisters(stream, valueCol, p,
+        watermark = window, window = window)
         .writeStream.format("memory").queryName(sinkName)
         .outputMode("complete")
         .option("checkpointLocation", checkpoint)
@@ -158,6 +160,68 @@ object Streams {
       val reg = detachSink(spark, sinkName, checkpoint)
       graft.operators.Analytics.percentilesFromHist(reg,
         Seq("window_start"), loCents, widthCents, ps)
+    }
+
+  /** Streaming Count-Min registers — the frequency sibling of
+    * [[windowedHllRegisters]] (cardinality) and
+    * [[windowedHistogramRegisters]] (distribution), completing the
+    * sketch-as-stream-state trilogy: per-window (d, j, cnt) cells,
+    * ≤ depth × width rows per window regardless of key cardinality.
+    * md5 positions (ScaleOps.cmsPositions) so the finalize estimates are
+    * oracle-rebuildable; count-based state shares st10's honest reliance
+    * on exactly-once delivery.
+    */
+  def windowedCmsRegisters(events: DataFrame, keyCol: Column,
+                           depth: Int, width: Int,
+                           watermark: String = "1 hour",
+                           window: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .filter(keyCol.isNotNull)
+      .select(org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
+        posexplode(array(
+          graft.operators.ScaleOps.cmsPositions(keyCol, depth, width): _*))
+          .as(Seq("d", "j")))
+      .groupBy(col("w"), col("d"), col("j"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("window_start"), col("d"), col("j"), col("cnt"))
+
+  /** Drain a bounded stream into windowed CMS registers, then finalize:
+    * for each probe key and window, the point estimate min over depth
+    * rows of its register cells (0 when a cell never materialized).
+    * Estimates upper-bound the true per-window frequency by construction.
+    */
+  def runWindowedCmsAvailableNow(spark: SparkSession, dir: String,
+                                 glob: String, schema: StructType,
+                                 keyCol: Column, depth: Int, width: Int,
+                                 probeKeys: Seq[Long], sinkName: String,
+                                 checkpoint: String): DataFrame =
+    withNanosAsLong(spark) {
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob).parquet(dir)
+      val stream =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+        else raw
+      val q = windowedCmsRegisters(stream, keyCol, depth, width)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val reg = detachSink(spark, sinkName, checkpoint)
+      import spark.implicits._
+      val probePos = probeKeys.toDF("probe_key")
+        .select(col("probe_key"), posexplode(array(
+          graft.operators.ScaleOps.cmsPositions(col("probe_key"), depth, width): _*))
+          .as(Seq("d", "j")))
+      val windows = reg.select(col("window_start")).distinct()
+      windows.crossJoin(probePos)
+        .join(reg, Seq("window_start", "d", "j"), "left")
+        .groupBy(col("window_start"), col("probe_key"))
+        .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
     }
 
   /** Run `body` with spark.sql.legacy.parquet.nanosAsLong set, restoring
