@@ -138,6 +138,38 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(exp.count() == 2) // the batch variant still runs on this shape
   }
 
+  test("streaming CMS registers equal the batch count table; estimates bound exact") {
+    val dir = Files.createTempDirectory("graft_cms_in").toString
+    val rows = ((1 to 60).map(i => (i.toLong, "2024-01-01 10:05:00", (i % 7).toLong)) ++
+      (1 to 40).map(i => (100L + i, "2024-01-01 11:15:00", (i % 3).toLong)))
+      .map { case (id, ts, u) => (id, ts, u, "e", 1.0, "{}") }
+      .toDF("event_id", "ts_s", "user_id", "event_type", "value", "props")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.write.mode("append").parquet(dir)
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val probes = Seq(0L, 1L, 2L, 6L)
+    val got = Streams.runWindowedCmsAvailableNow(spark, dir, "*.parquet",
+      rows.schema, col("user_id"), depth = 3, width = 64, probes,
+      "graft_cms_sink", ckpt)
+      .orderBy("window_start", "probe_key")
+      .select($"window_start".cast("string"), $"probe_key", $"cms_count")
+      .as[(String, Long, Long)].collect().toSeq
+    // every (window, probe) cell present, incl. zero rows (user 6 in h11)
+    assert(got.size == 8)
+    val exact = rows.filter($"user_id".isin(probes: _*))
+      .groupBy(date_trunc("hour", $"ts").cast("string").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got.foreach { case (w, k, est) =>
+      val ex = exact.getOrElse((w, k), 0L)
+      assert(est >= ex, s"($w,$k): est=$est < exact=$ex")
+    }
+    // user 6 never appears in hour 11 -> its estimate can only be collisions
+    val h11u6 = got.find(t => t._1.startsWith("2024-01-01 11") && t._2 == 6L).get
+    assert(h11u6._3 <= 40L)
+  }
+
   test("streaming HLL registers equal the batch sketch and finalize identically") {
     val dir = Files.createTempDirectory("graft_hll_in").toString
     // two hourly windows, duplicated ids across files (at-least-once
