@@ -573,4 +573,50 @@ object DedupOps {
     base.unpersist()
     out
   }
+
+  /** Sorted-neighborhood dedup (Hernández & Stolfo SIGMOD'95, the classic
+    * entity-resolution blocking alternative to LSH): sort the corpus on a
+    * cheap blocking key, slide a `window`-row window over the TOTAL order,
+    * verify each in-window pair by Levenshtein distance over a bounded
+    * prefix. Finds near-dups whose edits cluster in the tail (shared
+    * prefix sorts them adjacent) — a different recall profile from the
+    * shingle/minhash families, which is why real pipelines run both.
+    *
+    * Scale shape: the global sort is [[ScaleOps.globalRank]]'s
+    * range-partition + metadata-offset kernel — NO single-partition
+    * exchange. The window expands to `window-1` rank-shifted copies of the
+    * rank frame joined on rank equality (an equi-join AQE can plan
+    * freely); candidate count is exactly (w-1)·n — linear in the corpus,
+    * never quadratic. Verification (the only O(len²) work) runs on
+    * candidates alone over `prefixChars`-bounded prefixes.
+    *
+    * Output: (id_a, id_b, dist) for in-window pairs with
+    * `levenshtein(prefix_a, prefix_b) <= maxDist`, id_a the rank-lower
+    * doc. All-integer — hash-compares cross-engine with no float terms.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+                              textCol: String, keyChars: Int, window: Int,
+                              prefixChars: Int, maxDist: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2 (got $window)")
+    // null text folds to '' (both here and in any oracle) so the sort
+    // order and the levenshtein verification are engine-independent —
+    // engines disagree on NULL placement in ORDER BY
+    val txt = coalesce(col(textCol), lit(""))
+    val ranked = ScaleOps.globalRank(
+      docs.select(col(idCol), txt.as("__txt"),
+        lower(substring(trim(txt), 1, keyChars)).as("__key")),
+      Seq(col("__key"), col(idCol)))
+    val left = ranked.select(
+      col(idCol).as("id_a"), col("__rank").as("__ra"),
+      substring(col("__txt"), 1, prefixChars).as("__pa"))
+      .withColumn("__off", explode(array((1 until window).map(lit): _*)))
+      .withColumn("__rb", col("__ra") + col("__off"))
+    val right = ranked.select(
+      col(idCol).as("id_b"), col("__rank").as("__rb"),
+      substring(col("__txt"), 1, prefixChars).as("__pb"))
+    left.join(right, "__rb")
+      .withColumn("dist", levenshtein(col("__pa"), col("__pb")).cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist"))
+  }
 }

@@ -148,6 +148,20 @@ object ScaleOps {
       r.filter(col("__cum") <= budget).withColumnRenamed("__cum", "cum_tok")
     }
 
+  /** Global 1-based dense row rank over the total order `sortCols`,
+    * attached as `__rank` — WITHOUT a single-partition sort. Same
+    * partition-boundary-invariant prefix-sum kernel as
+    * [[tokenBudgetPack]]: range-partition on the sort key, per-partition
+    * window rank, plus a metadata-scale offset map (one long per
+    * partition collected to the driver). Callers must pass a tie-free
+    * total order (append a unique id) or ranks are nondeterministic.
+    */
+  def globalRank(df: DataFrame, sortCols: Seq[Column],
+                 partitions: Int = 0): DataFrame =
+    withRunningSum(df.withColumn("__one", lit(1L)), "__one", sortCols,
+      partitions)(r => r.withColumnRenamed("__cum", "__rank"))
+      .drop("__one")
+
   /** The shared scale kernel of [[tokenBudgetPack]] and [[sequencePack]]:
     * attach a global running sum of `tokCol` (as `__cum`) over the total
     * order given by `sortCols`, then apply `finish` and materialize.

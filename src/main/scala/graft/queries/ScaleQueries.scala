@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{Analytics, ClusterOps, Dedup, DedupOps, Multimodal, SimilarityOps, TextOps}
+import graft.operators.{Analytics, ClusterOps, Dedup, DedupOps, GraphOps, Multimodal, SimilarityOps, TextOps}
 import graft.queries.QuerySpec.t
 import graft.streaming.Streams
 
@@ -2878,6 +2878,103 @@ object ScaleQueries {
              |    (SELECT count(*) FROM v) n_users
              |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM c)
              |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM p))
-             |ORDER BY stage_idx""".stripMargin))
+             |ORDER BY stage_idx""".stripMargin)),
+
+    // Bigram LM quality scoring (x68): the CCNet/perplexity-filter shape —
+    // add-one-smoothed bigram statistics trained on the corpus itself,
+    // every doc scored by mean bigram log-probability. All counts and V
+    // are integers; the per-doc sum is an ordered fold over bigram
+    // position matching list_sum(list(... ORDER BY pos)); ln() is the one
+    // libm call (x38 precedent). Docs with < 2 tokens carry (0, NULL).
+    QuerySpec("x68_bigram_lm", (s, d) =>
+      TextOps.bigramLmScore(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some("""WITH t AS (SELECT doc_id,
+             |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |      ELSE regexp_split_to_array(trim(text), '\s+') END tok
+             |  FROM documents),
+             |bg AS (SELECT doc_id, pos, tok[pos] w1, tok[pos + 1] w2
+             |  FROM (SELECT doc_id, tok,
+             |      unnest(range(1, len(tok))) pos FROM t)),
+             |c1 AS (SELECT w1, count(*) c1 FROM bg GROUP BY 1),
+             |c2 AS (SELECT w1, w2, count(*) c2 FROM bg GROUP BY 1, 2),
+             |v AS (SELECT count(DISTINCT w) v
+             |  FROM (SELECT unnest(tok) w FROM t)),
+             |lp AS (SELECT bg.doc_id, bg.pos,
+             |    ln((CAST(c2 AS DOUBLE) + 1.0) /
+             |       (CAST(c1 AS DOUBLE) + CAST(v AS DOUBLE))) lp
+             |  FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+             |  CROSS JOIN v),
+             |agg AS (SELECT doc_id,
+             |    round(list_sum(list(lp ORDER BY pos)) / count(*), 4) s,
+             |    count(*) nb FROM lp GROUP BY doc_id)
+             |SELECT d.doc_id, CAST(coalesce(a.nb, 0) AS BIGINT) n_bigrams,
+             |  a.s lm_score
+             |FROM documents d LEFT JOIN agg a USING (doc_id)
+             |ORDER BY d.doc_id""".stripMargin)),
+
+    // Sorted-neighborhood dedup (x69): the fifth near-dup family —
+    // Hernández-Stolfo merge/purge. Global sort on a 24-char blocking key
+    // via the globalRank prefix-sum kernel (range partition + metadata
+    // offsets, NO single-partition exchange), window of 5, Levenshtein
+    // verify over 80-char prefixes. All-integer output.
+    QuerySpec("x69_sorted_neighborhood", (s, d) =>
+      DedupOps.sortedNeighborhoodPairs(t(s, d, "documents"), "doc_id",
+        "text", keyChars = 24, window = 5, prefixChars = 80, maxDist = 20)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH b AS (SELECT doc_id, coalesce(text, '') txt,
+             |    lower(substr(trim(coalesce(text, '')), 1, 24)) k
+             |  FROM documents),
+             |r AS (SELECT doc_id, txt,
+             |    row_number() OVER (ORDER BY k, doc_id) rn FROM b)
+             |SELECT a.doc_id id_a, c.doc_id id_b,
+             |  CAST(levenshtein(substr(a.txt, 1, 80), substr(c.txt, 1, 80))
+             |    AS BIGINT) dist
+             |FROM r a JOIN r c ON c.rn > a.rn AND c.rn <= a.rn + 4
+             |WHERE levenshtein(substr(a.txt, 1, 80), substr(c.txt, 1, 80)) <= 20
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Fixed-iteration PageRank (x70): iterative graph analytics over the
+    // customer↔supplier trade graph (both directions of each distinct
+    // (cust, supp) pair, so no dangling nodes). 5 iterations, d=0.85;
+    // per-node in-sums are ordered folds over source id and each
+    // iteration rounds to 12 dp, so the chain is bitwise reproducible —
+    // the oracle replays all 5 iterations as chained CTEs.
+    QuerySpec("x70_pagerank", (s, d) => {
+      val pairs = t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      GraphOps.pageRank(edges, "a", "b", iterations = 5).orderBy("node")
+    },
+      Some {
+        val head =
+          """WITH pairs AS (SELECT DISTINCT
+            |    'c' || CAST(o_custkey AS VARCHAR) a,
+            |    's' || CAST(l_suppkey AS VARCHAR) b
+            |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            |e AS (SELECT a s, b t FROM pairs
+            |  UNION ALL SELECT b, a FROM pairs),
+            |nodes AS (SELECT DISTINCT s node FROM e),
+            |deg AS (SELECT s node, count(*) dg FROM e GROUP BY 1),
+            |nn AS (SELECT count(*) n FROM nodes),
+            |p0 AS (SELECT node, 1.0 / nn.n pr FROM nodes, nn)""".stripMargin
+        val iters = (1 to 5).map { i =>
+          s"""s$i AS (SELECT e.t node,
+             |    list_sum(list(p.pr / d.dg ORDER BY e.s)) m
+             |  FROM e JOIN p${i - 1} p ON e.s = p.node
+             |  JOIN deg d ON e.s = d.node GROUP BY e.t),
+             |p$i AS (SELECT n.node,
+             |    round((1.0 - 0.85) / nn.n +
+             |      0.85 * coalesce(s$i.m, 0.0), 12) pr
+             |  FROM nodes n CROSS JOIN nn
+             |  LEFT JOIN s$i ON n.node = s$i.node)""".stripMargin
+        }.mkString(",\n", ",\n", "\n")
+        head + iters +
+          "SELECT node, pr pagerank FROM p5 ORDER BY node"
+      })
   )
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-import graft.operators.{ClusterOps, SimilarityOps}
+import graft.operators.{ClusterOps, GraphOps, SimilarityOps}
 
 /** ClusterOps: Lloyd's k-means fit + SemDeDup semantic dedup. */
 class ClusterSpec extends SparkSpec {
@@ -110,5 +110,53 @@ class ClusterSpec extends SparkSpec {
     assert(byId(5L)._3.contains(1L))
     // every vector appears exactly once
     assert(out.length == 7)
+  }
+
+  /** Driver-side replica of pageRank's exact arithmetic contract (ordered
+    * in-sum fold, 12-dp round per iteration) — the operator must match it
+    * BITWISE, not approximately. */
+  private def refPageRank(edges: Seq[(String, String)],
+                          iters: Int): Map[String, Double] = {
+    val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+    val n = nodes.size
+    val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
+    val base = (1.0 - 0.85) / n
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to iters) {
+      val in = edges.groupBy(_._2).map { case (t, es) =>
+        t -> es.map(e => (e._1, pr(e._1) / deg(e._1))).sortBy(_._1)
+          .foldLeft(0.0)((a, x) => a + x._2)
+      }
+      pr = nodes.map(v => v -> BigDecimal(
+        base + 0.85 * in.getOrElse(v, 0.0))
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+    }
+    pr
+  }
+
+  test("pageRank: cycle is uniform; star concentrates on the hub; " +
+    "bitwise equal to the reference chain; mass conserved w/o dangling") {
+    import spark.implicits._
+    // 3-cycle: symmetric — stays uniform at 1/3 every iteration
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a"))
+    val gotCyc = GraphOps.pageRank(cyc.toDF("s", "t"), "s", "t", 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotCyc == refPageRank(cyc, 4))
+    assert(gotCyc.values.toSet.size == 1)
+    // undirected star (hub h, leaves l1..l4, both directions → no
+    // dangling): hub outranks every leaf, total mass stays 1
+    val star = Seq("l1", "l2", "l3", "l4").flatMap(l =>
+      Seq(("h", l), (l, "h")))
+    val gotStar = GraphOps.pageRank(star.toDF("s", "t"), "s", "t", 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotStar == refPageRank(star, 5))
+    assert(gotStar("h") > gotStar("l1"))
+    assert(math.abs(gotStar.values.sum - 1.0) < 1e-9)
+    // dangling sink (a→b, nothing out of b): b's mass leaks — documented
+    val dang = Seq(("a", "b"))
+    val gotDang = GraphOps.pageRank(dang.toDF("s", "t"), "s", "t", 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(gotDang == refPageRank(dang, 3))
+    assert(gotDang.values.sum < 1.0)
   }
 }

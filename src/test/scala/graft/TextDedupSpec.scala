@@ -433,4 +433,74 @@ class TextDedupSpec extends SparkSpec {
       }
     }
   }
+
+  test("bigramLmScore: add-one bigram LM matches hand computation; " +
+    "short/empty docs carry (0, NULL)") {
+    // corpus: bigrams (a,b)×3, (b,a)×1, (b,c)×1; prefixes a:3, b:2;
+    // vocab {a,b,c,x} → V=4
+    val corpus = Seq(
+      (1L, "a b a b"), (2L, "a b c"), (3L, "x"), (4L, "")
+    ).toDF("doc_id", "text")
+    val got = TextOps.bigramLmScore(corpus, "doc_id", "text")
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toSeq
+    val lnAB = math.log((3.0 + 1.0) / (3.0 + 4.0)) // P(b|a) = 4/7
+    val lnBA = math.log((1.0 + 1.0) / (2.0 + 4.0)) // P(a|b) = 2/6
+    val lnBC = math.log((1.0 + 1.0) / (2.0 + 4.0)) // P(c|b) = 2/6
+    def r4(x: Double): Double =
+      BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(
+      (1L, 3L, Some(r4((lnAB + lnBA + lnAB) / 3.0))),
+      (2L, 2L, Some(r4((lnAB + lnBC) / 2.0))),
+      (3L, 0L, None),
+      (4L, 0L, None)))
+    // the planted-near-dup corpus scores its duplicate pair identically
+    val same = TextOps.bigramLmScore(docs, "doc_id", "text")
+      .filter(col("doc_id").isin(1L, 4L))
+      .select("lm_score").distinct().count()
+    assert(same == 1L)
+  }
+
+  test("sortedNeighborhoodPairs: window pairs over the blocking-key total " +
+    "order, Levenshtein-verified — matches a driver-side replica") {
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to a.length; j <- 1 to b.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+      d(a.length)(b.length)
+    }
+    val corpus = Seq(
+      (1L, "apple pie recipe with cinnamon"),
+      (2L, "apple pie recipe with cinnamon!"),
+      (3L, "zebra crossing rules for town planners"),
+      (4L, "apple pie recipe and sugar"),
+      (5L, "mango chutney"))
+    val (kc, w, pc, md) = (10, 3, 40, 10)
+    // replica: sort by (lower 10-char key, id), pair rank-distance < w,
+    // verify lev over 40-char prefixes
+    val ranked = corpus
+      .map { case (id, t) => (id, t, t.trim.take(kc).toLowerCase) }
+      .sortBy { case (id, _, k) => (k, id) }
+    val expected = (for {
+      i <- ranked.indices; j <- (i + 1) until math.min(i + w, ranked.size)
+      d = lev(ranked(i)._2.take(pc), ranked(j)._2.take(pc)) if d <= md
+    } yield (ranked(i)._1, ranked(j)._1, d.toLong)).sortBy(p => (p._1, p._2))
+    val got = DedupOps.sortedNeighborhoodPairs(
+      corpus.toDF("doc_id", "text"), "doc_id", "text", kc, w, pc, md)
+      .orderBy("id_a", "id_b")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // the adjacent planted pair (1,2) is found with distance 1
+    assert(got.contains((1L, 2L, 1L)))
+    // null text folds to '' and never crashes the sort or the verify
+    val withNull = (corpus :+ (6L, null: String)).toDF("doc_id", "text")
+    val gn = DedupOps.sortedNeighborhoodPairs(
+      withNull, "doc_id", "text", kc, w, pc, md).collect()
+    assert(gn.nonEmpty)
+  }
 }
