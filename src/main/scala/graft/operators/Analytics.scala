@@ -263,6 +263,53 @@ object Analytics {
 
   /** Register index: low p bits of the first 3 md5 hex chars (16³ is
     * divisible by 2^p for p ≤ 12 — unbiased mod). */
+  /** Frequent co-occurring item pairs (the support-counting core of
+    * A-Priori, Agrawal & Srikant VLDB'94): items sharing a basket, pair
+    * support counted, thresholded, with lift. The market-basket shape —
+    * and, in a training-data pipeline, the "which sources/tags co-occur
+    * in the same crawl snapshot" diagnostic.
+    *
+    * Scale shape: the basket frame is deduped and materialized ONCE; the
+    * A-Priori prune (an item in a pair with support ≥ s must itself have
+    * support ≥ s — provably lossless for minItemSupport ≤ minPairSupport)
+    * shrinks the frame BEFORE the pair self-join, which shuffles on the
+    * basket key and is quadratic only in per-basket item count (bounded
+    * by the largest basket, never the corpus). Support counting is a
+    * map-side-combinable groupBy.
+    *
+    * Determinism: supports are integers; lift = supp·N/(sa·sb) is one
+    * double multiply-divide chain in a fixed association, rounded to 6.
+    */
+  def frequentPairs(df: DataFrame, basketCol: String, itemCol: String,
+                    minItemSupport: Long, minPairSupport: Long): DataFrame = {
+    val (b, releaseB) = Checkpoints.tracked(
+      df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+        .filter(col("__b").isNotNull && col("__i").isNotNull)
+        .distinct())
+    val nBaskets = b.select(countDistinct(col("__b"))).head().getLong(0)
+    val items = b.groupBy(col("__i")).agg(count(lit(1)).as("__s"))
+      .filter(col("__s") >= minItemSupport)
+    val kept = b.join(items, "__i")
+    val pairs = kept.select(col("__b"), col("__i").as("item_a"),
+        col("__s").as("support_a"))
+      .join(kept.select(col("__b"), col("__i").as("item_b"),
+        col("__s").as("support_b")), "__b")
+      .filter(col("item_a") < col("item_b"))
+      .groupBy(col("item_a"), col("item_b"))
+      .agg(count(lit(1)).as("support"),
+        first(col("support_a")).as("support_a"),
+        first(col("support_b")).as("support_b"))
+      .filter(col("support") >= minPairSupport)
+      .withColumn("lift", round(
+        col("support").cast("double") * lit(nBaskets) /
+          (col("support_a") * col("support_b")).cast("double"), 6))
+      .select(col("item_a"), col("item_b"), col("support"),
+        col("support_a"), col("support_b"), col("lift"))
+      .localCheckpoint(true)
+    releaseB()
+    pairs
+  }
+
   def hllIdx(value: Column, p: Int): Column =
     conv(substring(md5(value.cast("string")), 1, 3), 16, 10).cast("long") % (1 << p)
 

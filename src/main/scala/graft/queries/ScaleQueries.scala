@@ -2975,6 +2975,58 @@ object ScaleQueries {
         }.mkString(",\n", ",\n", "\n")
         head + iters +
           "SELECT node, pr pagerank FROM p5 ORDER BY node"
-      })
+      }),
+
+    // Frequent co-occurring part pairs (x71): A-Priori support counting
+    // over order baskets — item-support prune (lossless for minItem ≤
+    // minPair) BEFORE the pair self-join, which is quadratic only in
+    // basket size (≤17 here), never the corpus. Integer supports + one
+    // fixed-association lift.
+    QuerySpec("x71_frequent_pairs", (s, d) =>
+      graft.operators.Analytics.frequentPairs(
+        t(s, d, "lineitem"), "l_orderkey", "l_partkey",
+        minItemSupport = 2L, minPairSupport = 2L)
+        .orderBy("item_a", "item_b"),
+      Some("""WITH b AS (SELECT DISTINCT l_orderkey bk, l_partkey it
+             |  FROM lineitem),
+             |n AS (SELECT count(DISTINCT bk) nb FROM b),
+             |s AS (SELECT it, count(*) sp FROM b GROUP BY 1
+             |  HAVING count(*) >= 2),
+             |k AS (SELECT b.bk, b.it, s.sp FROM b JOIN s USING (it)),
+             |p AS (SELECT a.it item_a, c.it item_b, count(*) support,
+             |    min(a.sp) support_a, min(c.sp) support_b
+             |  FROM k a JOIN k c ON a.bk = c.bk AND a.it < c.it
+             |  GROUP BY 1, 2 HAVING count(*) >= 2)
+             |SELECT item_a, item_b, support, support_a, support_b,
+             |  round(CAST(support AS DOUBLE) * (SELECT nb FROM n) /
+             |    CAST(support_a * support_b AS DOUBLE), 6) lift
+             |FROM p ORDER BY item_a, item_b""".stripMargin)),
+
+    // Skyline / Pareto frontier (x72): orders no other order beats on
+    // BOTH total price (max) and order date (min) — multi-criteria
+    // selection as local-skyline + broadcast-refine, never O(n²) in the
+    // corpus. The oracle is the O(n log n) 2-D sweep (per-date max +
+    // running max over earlier dates), validated against the NOT EXISTS
+    // dominance definition on sf0.001.
+    QuerySpec("x72_skyline", (s, d) => {
+      val o = t(s, d, "orders").withColumn("__od",
+        datediff(col("o_orderdate"), lit("1970-01-01").cast("date")))
+      graft.operators.SkylineOps.skyline(o, Seq("o_totalprice"), Seq("__od"))
+        .select(col("o_orderkey"), col("o_totalprice"), col("o_orderdate"))
+        .orderBy("o_orderkey")
+    },
+      Some("""WITH d AS (SELECT o_orderkey, o_totalprice, o_orderdate
+             |  FROM orders),
+             |dm AS (SELECT o_orderdate, max(o_totalprice) dmax FROM d
+             |  GROUP BY 1),
+             |cm AS (SELECT o_orderdate, dmax,
+             |    max(dmax) OVER (ORDER BY o_orderdate
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+             |      prevmax FROM dm)
+             |SELECT d.o_orderkey, d.o_totalprice, d.o_orderdate
+             |FROM d JOIN cm USING (o_orderdate)
+             |WHERE d.o_totalprice = cm.dmax
+             |  AND (cm.prevmax IS NULL OR d.o_totalprice > cm.prevmax)
+             |ORDER BY d.o_orderkey""".stripMargin))
   )
 }

@@ -149,4 +149,63 @@ class AnalyticsSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Analytics.hllDistinct(df, Seq("g"), "v", p = 3) }
     intercept[IllegalArgumentException] { Analytics.hllDistinct(df, Seq("g"), "v", p = 13) }
   }
+
+  test("frequentPairs: supports, threshold, lift; A-Priori prune is " +
+    "lossless when minItemSupport <= minPairSupport") {
+    val baskets = Seq(
+      (1L, 1L), (1L, 2L), (1L, 3L),
+      (2L, 1L), (2L, 2L),
+      (3L, 1L), (3L, 2L), (3L, 4L), (3L, 4L), // dup (3,4) row dedupes
+      (4L, 3L), (4L, 4L)
+    ).toDF("bk", "it")
+    val got = Analytics.frequentPairs(baskets, "bk", "it", 2L, 2L)
+      .orderBy("item_a", "item_b")
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSeq
+    // only (1,2) reaches pair support 2 (it has 3); lift = 3·4/(3·3)
+    assert(got == Seq((1L, 2L, 3L, 3L, 3L,
+      BigDecimal(3.0 * 4 / 9).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)))
+    // prune losslessness: minItemSupport 1 (no prune) = minItemSupport 2
+    val unpruned = Analytics.frequentPairs(baskets, "bk", "it", 1L, 2L)
+      .select("item_a", "item_b", "support")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val pruned = Analytics.frequentPairs(baskets, "bk", "it", 2L, 2L)
+      .select("item_a", "item_b", "support")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(unpruned == pruned)
+    // null basket/item rows are ignored
+    val withNull = baskets.union(
+      Seq((Option.empty[Long], Option(9L))).toDF("bk", "it"))
+    assert(Analytics.frequentPairs(withNull, "bk", "it", 2L, 2L)
+      .count() == 1L)
+  }
+
+  test("skyline: dominance on (max, min) dims; exact-tie rows all " +
+    "survive; null dims excluded; multi-partition merge correct") {
+    import graft.operators.SkylineOps
+    val pts = Seq(
+      (1L, 5.0, 5L), (2L, 3.0, 1L), (3L, 5.0, 7L),
+      (4L, 2.0, 1L), (5L, 5.0, 5L))
+      .toDF("id", "gain", "cost")
+    val got = SkylineOps.skyline(pts.repartition(3), Seq("gain"), Seq("cost"))
+      .select("id").as[Long].collect().toSeq.sorted
+    // 1 dominates 3 (same gain, lower cost); 2 dominates 4; 1 and 5 tie
+    assert(got == Seq(1L, 2L, 5L))
+    // a row with a null dim is excluded, everything else unaffected
+    val withNull = Seq((6L, Option.empty[Double], Option(1L)))
+      .toDF("id", "gain", "cost")
+    val got2 = SkylineOps.skyline(
+      pts.select(col("id"), col("gain").cast("double").as("gain"),
+        col("cost")).unionByName(
+        withNull.select(col("id"), col("gain").cast("double").as("gain"),
+          col("cost"))),
+      Seq("gain"), Seq("cost"))
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(got2 == Seq(1L, 2L, 5L))
+    // single-objective degenerates to argmax (all ties kept)
+    val one = SkylineOps.skyline(pts, Seq("gain"), Nil)
+      .select("id").as[Long].collect().toSeq.sorted
+    assert(one == Seq(1L, 3L, 5L))
+    intercept[IllegalArgumentException] { SkylineOps.skyline(pts, Nil, Nil) }
+  }
 }
