@@ -310,6 +310,109 @@ object Analytics {
     pairs
   }
 
+  /** First-order Markov transition matrix over per-entity event
+    * sequences: count (from_state → to_state) adjacencies in each
+    * entity's time-ordered stream, with row-normalized transition
+    * probability — the sequence-mining shape behind next-action
+    * prediction and funnel-drop diagnosis.
+    *
+    * One shuffle (partition by entity for the lag window — per-entity
+    * state bounded by that entity's event count), then a
+    * map-side-combinable count over at most |states|² cells. Determinism:
+    * counts are integers; p is one division of integers, rounded to 6.
+    * Ordering ties on `tsCol` break by `idCol` — a total order.
+    */
+  def transitionMatrix(events: DataFrame, entityCol: String, tsCol: String,
+                       idCol: String, stateCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol)).orderBy(col(tsCol), col(idCol))
+    val trans = events
+      .withColumn("__from", lag(col(stateCol), 1).over(w))
+      .filter(col("__from").isNotNull)
+      .groupBy(col("__from").as("from_state"),
+        col(stateCol).as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val totals = trans.groupBy(col("from_state"))
+      .agg(sum(col("n")).as("__tot"))
+    trans.join(broadcast(totals), "from_state")
+      .withColumn("p", round(
+        col("n").cast("double") / col("__tot").cast("double"), 6))
+      .select(col("from_state"), col("to_state"), col("n"), col("p"))
+  }
+
+  /** MAD outlier gate (Hampel / robust z): per group, median and median
+    * absolute deviation of an exact-cents rendering of `valueCol`, and
+    * the count of rows with |dev| > 3·MAD — the data-quality screen that
+    * survives the heavy tails that break mean/stddev gates.
+    *
+    * ALL-INTEGER determinism trick: medians of integers can be *.5, so
+    * the operator works in doubled units end to end — `med2` = 2·median
+    * (cents), `dev` = |2·cents − med2| (exact integer), `mad2` =
+    * 2·median(dev) — and the gate compares `2·dev > 3·mad2` on integers.
+    * No float is ever compared, so the output hash-matches any engine.
+    *
+    * Two median passes + two broadcast joins back (group-count-sized
+    * frames); the only row-scale work is two scans. Null values are
+    * excluded (SQL aggregate semantics).
+    */
+  def madOutliers(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val cents = floor(col(valueCol) * 100).cast("long")
+    val base = df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol), cents.as("__c"))
+    val med = base.groupBy(col(groupCol))
+      .agg((median(col("__c")) * 2).cast("long").as("med2_cents"))
+    val dev = base.join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col("__c") * 2 - col("med2_cents")))
+    val mad = dev.groupBy(col(groupCol))
+      .agg((median(col("__dev")) * 2).cast("long").as("mad2"),
+        first(col("med2_cents")).as("med2_cents"))
+    dev.drop("med2_cents").join(broadcast(mad), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("__dev") * 2 > col("mad2") * 3, 1))
+          .as("n_outliers"),
+        first(col("med2_cents")).as("med2_cents"),
+        first(col("mad2")).as("mad2"))
+      .select(col(groupCol), col("n"), col("n_outliers"),
+        col("med2_cents"), col("mad2"))
+  }
+
+  /** Grouped OLS trend (least-squares slope of value over time, per
+    * entity): the churn-risk / drift primitive. Works on INTEGER
+    * renderings — x = whole minutes since `anchor`, y = cents — so every
+    * sufficient statistic (n, Σx, Σy, Σxy, Σx²) is an exact BIGINT sum in
+    * any order (no float summation-order hazard at all), and the slope
+    *   (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+    * is one integer-derived division, rounded to 8. Groups whose x are
+    * all equal (denominator 0 — incl. single-event groups) carry a NULL
+    * slope. Overflow headroom: |x| ≤ minutes in the data span, so n·Σx²
+    * stays ≪ 2⁶³ for any realistic group (documented bound: span·√n <
+    * 3·10⁹ minutes).
+    *
+    * One map-side-combinable groupBy — single shuffle, metadata-sized
+    * output. slope is cents-per-minute.
+    */
+  def groupedTrend(df: DataFrame, groupCol: String, tsCol: String,
+                   valueCol: String, anchor: String): DataFrame = {
+    val x = ((unix_timestamp(col(tsCol)) -
+      unix_timestamp(lit(anchor).cast("timestamp"))) / 60L)
+      .cast("long")
+    val y = floor(col(valueCol) * 100).cast("long")
+    df.filter(col(valueCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(groupCol), x.as("__x"), y.as("__y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .withColumn("__den", col("n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("slope_cents_per_min", when(col("__den") =!= 0, round(
+        (col("n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+          col("__den").cast("double"), 8)))
+      .select(col(groupCol), col("n"), col("slope_cents_per_min"))
+  }
+
   def hllIdx(value: Column, p: Int): Column =
     conv(substring(md5(value.cast("string")), 1, 3), 16, 10).cast("long") % (1 << p)
 

@@ -3027,6 +3027,74 @@ object ScaleQueries {
              |FROM d JOIN cm USING (o_orderdate)
              |WHERE d.o_totalprice = cm.dmax
              |  AND (cm.prevmax IS NULL OR d.o_totalprice > cm.prevmax)
-             |ORDER BY d.o_orderkey""".stripMargin))
+             |ORDER BY d.o_orderkey""".stripMargin)),
+
+    // Markov transition matrix (x73): first-order (from → to) adjacency
+    // counts over each user's time-ordered event stream + row-normalized
+    // probability. One shuffle on user for the lag window; ≤ |states|²
+    // output cells. Integer counts, one rounded division.
+    QuerySpec("x73_transition_matrix", (s, d) =>
+      graft.operators.Analytics.transitionMatrix(
+        t(s, d, "events"), "user_id", "ts", "event_id", "event_type")
+        .orderBy("from_state", "to_state"),
+      Some("""WITH t AS (SELECT user_id, event_type,
+             |    lag(event_type) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) f
+             |  FROM events),
+             |tr AS (SELECT f from_state, event_type to_state, count(*) n
+             |  FROM t WHERE f IS NOT NULL GROUP BY 1, 2),
+             |tt AS (SELECT from_state, sum(n) tot FROM tr GROUP BY 1)
+             |SELECT tr.from_state, tr.to_state, tr.n,
+             |  round(CAST(tr.n AS DOUBLE) / CAST(tot AS DOUBLE), 6) p
+             |FROM tr JOIN tt USING (from_state)
+             |ORDER BY from_state, to_state""".stripMargin)),
+
+    // MAD outlier gate (x74): robust per-group outlier counts via median
+    // absolute deviation — all comparisons in doubled integer units
+    // (med2/mad2), so NO float is ever compared; see
+    // Analytics.madOutliers. Two exact-median passes (a14 machinery).
+    QuerySpec("x74_mad_outliers", (s, d) =>
+      graft.operators.Analytics.madOutliers(
+        t(s, d, "events"), "event_type", "value")
+        .orderBy("event_type"),
+      Some("""WITH b AS (SELECT event_type g,
+             |    CAST(floor(value * 100) AS BIGINT) c
+             |  FROM events WHERE value IS NOT NULL),
+             |m AS (SELECT g, CAST(median(c) * 2 AS BIGINT) med2
+             |  FROM b GROUP BY 1),
+             |dv AS (SELECT b.g, abs(b.c * 2 - m.med2) dev, m.med2
+             |  FROM b JOIN m USING (g)),
+             |md AS (SELECT g, CAST(median(dev) * 2 AS BIGINT) mad2
+             |  FROM dv GROUP BY 1)
+             |SELECT dv.g event_type, count(*) n,
+             |  count(*) FILTER (dv.dev * 2 > md.mad2 * 3) n_outliers,
+             |  min(dv.med2) med2_cents, min(md.mad2) mad2
+             |FROM dv JOIN md USING (g)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Grouped OLS trend (x75): per-user least-squares slope of value
+    // (cents) over time (whole minutes since the anchor). Every
+    // sufficient statistic is an exact BIGINT sum — no float
+    // summation-order hazard exists — and the slope is one division.
+    // floor(floor(t)/60) ≡ floor(t/60) makes Spark's whole-second
+    // unix_timestamp and DuckDB's fractional epoch() agree exactly.
+    QuerySpec("x75_grouped_trend", (s, d) =>
+      graft.operators.Analytics.groupedTrend(
+        t(s, d, "events"), "user_id", "ts", "value",
+        anchor = "2024-01-01 00:00:00")
+        .orderBy("user_id"),
+      Some("""WITH b AS (SELECT user_id,
+             |    CAST(floor((epoch(ts) - epoch(TIMESTAMP '2024-01-01')) / 60)
+             |      AS BIGINT) x,
+             |    CAST(floor(value * 100) AS BIGINT) y
+             |  FROM events WHERE value IS NOT NULL AND ts IS NOT NULL),
+             |s AS (SELECT user_id, count(*) n, sum(x) sx, sum(y) sy,
+             |    sum(x * y) sxy, sum(x * x) sxx FROM b GROUP BY 1)
+             |SELECT user_id, n,
+             |  CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+             |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             |      CAST(n * sxx - sx * sx AS DOUBLE), 8) END
+             |    slope_cents_per_min
+             |FROM s ORDER BY user_id""".stripMargin))
   )
 }

@@ -208,4 +208,59 @@ class AnalyticsSpec extends SparkSpec {
     assert(one == Seq(1L, 3L, 5L))
     intercept[IllegalArgumentException] { SkylineOps.skyline(pts, Nil, Nil) }
   }
+
+  test("transitionMatrix: per-entity lag adjacency, ties break by id, " +
+    "row-normalized p") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:01"), 1L, "A"),
+      (1L, ts("2024-01-01 00:00:02"), 2L, "B"),
+      (1L, ts("2024-01-01 00:00:03"), 3L, "A"),
+      (2L, ts("2024-01-01 00:00:01"), 4L, "A"),
+      (2L, ts("2024-01-01 00:00:02"), 5L, "B"),
+      // u3: identical ts — order must fall back to event_id (C before D)
+      (3L, ts("2024-01-01 00:00:09"), 6L, "C"),
+      (3L, ts("2024-01-01 00:00:09"), 7L, "D")
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = Analytics.transitionMatrix(ev, "user_id", "ts", "event_id",
+      "event_type").orderBy("from_state", "to_state")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("A", "B", 2L, 1.0), ("B", "A", 1L, 1.0),
+      ("C", "D", 1L, 1.0)))
+  }
+
+  test("madOutliers: doubled-unit integer medians, .5-median groups, " +
+    "heavy tail flagged") {
+    val df = Seq(
+      ("g1", 1.0), ("g1", 1.0), ("g1", 1.0), ("g1", 1.0), ("g1", 100.0),
+      ("g2", 1.0), ("g2", 2.0)
+    ).toDF("g", "v")
+    val got = Analytics.madOutliers(df, "g", "v").orderBy("g")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    // g1: med2 = 2·100c = 200, devs (half-cents) [0,0,0,0,19800] →
+    //     mad2 = 0, outlier = the 100.0 row only
+    // g2: med = 150c → med2 = 300; devs [100, 100] → mad2 = 200;
+    //     200 > 600 false → 0 outliers
+    assert(got == Seq(("g1", 5L, 1L, 200L, 0L), ("g2", 2L, 0L, 300L, 200L)))
+  }
+
+  test("groupedTrend: exact integer sufficient statistics; slope in " +
+    "cents/min; degenerate groups carry NULL") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      ("a", ts("2024-01-01 00:00:00"), 1.0),
+      ("a", ts("2024-01-01 00:10:00"), 2.0),   // +100 cents over 10 min
+      ("b", ts("2024-01-01 00:05:00"), 7.0),   // single event
+      ("c", ts("2024-01-01 00:07:01"), 1.0),   // same minute twice
+      ("c", ts("2024-01-01 00:07:59"), 9.0)
+    ).toDF("u", "ts", "v")
+    val got = Analytics.groupedTrend(df, "u", "ts", "v",
+      anchor = "2024-01-01 00:00:00").orderBy("u")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got == Seq(("a", 2L, Some(10.0)), ("b", 1L, None),
+      ("c", 2L, None)))
+  }
 }
