@@ -74,4 +74,77 @@ object GraphOps {
     releaseE()
     out
   }
+
+  /** Per-node triangle counts over an undirected graph (Cohen's
+    * MapReduce triangle enumeration with degree-ordered orientation,
+    * a.k.a. node-iterator++): orient every edge from its lower-(degree,
+    * id) endpoint to the higher one, build wedges by self-joining the
+    * oriented edges on their source, and close each wedge with one
+    * equi-join back onto the oriented edge set. Each triangle is
+    * enumerated exactly once (its lowest-rank vertex owns it), then
+    * exploded to its three corners for the per-node count.
+    *
+    * WHY the degree ordering matters at scale: out-degree under this
+    * orientation is bounded by O(√m), so the wedge self-join — the only
+    * super-linear step — generates at most O(m^1.5) rows even on
+    * power-law graphs where a naive id-ordering would square the hub
+    * degrees. All three joins are hash-shuffles on node/endpoint keys
+    * (AQE re-plans / broadcasts the node-sized degree frame when small);
+    * no step holds more than one adjacency in memory.
+    *
+    * Input edges may be directed, duplicated, or self-looped — the
+    * operator canonicalizes (self-loops dropped, (a,b)=(b,a), distinct).
+    * Output: (node, n_tri) for every node in ≥1 triangle — integer
+    * counts only, so the result hash-matches any engine.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+                     dstCol: String): DataFrame = {
+    val canon = edges
+      .select(col(srcCol).cast("string").as("__a"),
+        col(dstCol).cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("__u"),
+        greatest(col("__a"), col("__b")).as("__v"))
+      .distinct()
+    val (e, releaseE) = Checkpoints.tracked(canon)
+    val deg = e.select(col("__u").as("node"))
+      .union(e.select(col("__v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+    // Orient low-rank → high-rank where rank = (degree, id) — a strict
+    // total order, so exactly one direction survives per edge. The
+    // target's rank rides along for the wedge filter below.
+    val withDeg = e
+      .join(deg.select(col("node").as("__u"), col("__d").as("__du")), "__u")
+      .join(deg.select(col("node").as("__v"), col("__d").as("__dv")), "__v")
+    val oriented = withDeg.select(
+      when(col("__du") < col("__dv") ||
+          (col("__du") === col("__dv") && col("__u") < col("__v")),
+        struct(col("__u").as("s"), col("__v").as("t"), col("__dv").as("td")))
+        .otherwise(
+          struct(col("__v").as("s"), col("__u").as("t"), col("__du").as("td")))
+        .as("__e"))
+      .select(col("__e.s").as("__s"), col("__e.t").as("__t"),
+        col("__e.td").as("__td"))
+    val (o, releaseO) = Checkpoints.tracked(oriented)
+    // Wedges (x, y) centered at s with rank(x) < rank(y): the closing
+    // edge, if present, is oriented x → y (orientation always points up
+    // the rank order), so one equi-join on BOTH endpoints closes it.
+    val wedges = o.select(col("__s"), col("__t").as("__x"), col("__td").as("__dx"))
+      .join(o.select(col("__s"), col("__t").as("__y"), col("__td").as("__dy")),
+        "__s")
+      .filter(col("__dx") < col("__dy") ||
+        (col("__dx") === col("__dy") && col("__x") < col("__y")))
+    val tri = wedges
+      .join(o.select(col("__s").as("__x"), col("__t").as("__y")),
+        Seq("__x", "__y"))
+      .select(col("__s"), col("__x"), col("__y"))
+    val out = tri
+      .select(explode(array(col("__s"), col("__x"), col("__y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .localCheckpoint(true)
+    releaseO()
+    releaseE()
+    out
+  }
 }

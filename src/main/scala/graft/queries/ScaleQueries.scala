@@ -3095,6 +3095,35 @@ object ScaleQueries {
              |    ELSE round(CAST(n * sxy - sx * sy AS DOUBLE) /
              |      CAST(n * sxx - sx * sx AS DOUBLE), 8) END
              |    slope_cents_per_min
-             |FROM s ORDER BY user_id""".stripMargin))
+             |FROM s ORDER BY user_id""".stripMargin)),
+
+    // Triangle counting (x76): per-part triangle participation in the
+    // co-purchase graph (parts sharing an order — edges linear in
+    // orders, the x71 basket shape). Spark side enumerates via
+    // degree-ordered orientation (wedge fan-out bounded O(sqrt m) per
+    // node); the oracle is the simple id-ordered 3-way self-join —
+    // different enumeration order, identical integer counts.
+    QuerySpec("x76_triangle_counts", (s, d) => {
+      val li = t(s, d, "lineitem")
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+      val edges = li.join(li.withColumnRenamed("p", "q"), "o")
+        .filter(col("p") < col("q"))
+        .select(col("p").as("a"), col("q").as("b"))
+      graft.operators.GraphOps.triangleCounts(edges, "a", "b")
+        .orderBy("node")
+    },
+      Some("""WITH li AS (SELECT DISTINCT l_orderkey o, l_partkey p
+             |  FROM lineitem),
+             |e AS (SELECT DISTINCT a.p u, b.p v
+             |  FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+             |tri AS (SELECT e1.u a, e1.v b, e2.v c
+             |  FROM e e1 JOIN e e2 ON e1.v = e2.u
+             |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+             |n AS (SELECT a node FROM tri
+             |  UNION ALL SELECT b FROM tri
+             |  UNION ALL SELECT c FROM tri)
+             |SELECT CAST(node AS VARCHAR) node, count(*) n_tri
+             |FROM n GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

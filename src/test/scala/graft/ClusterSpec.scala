@@ -159,4 +159,28 @@ class ClusterSpec extends SparkSpec {
     assert(gotDang == refPageRank(dang, 3))
     assert(gotDang.values.sum < 1.0)
   }
+
+  test("triangleCounts: K4 has 3 per node; canonicalization kills dupes/" +
+    "loops/direction; open wedge and hub-star count zero") {
+    import spark.implicits._
+    def tri(edges: Seq[(String, String)]): Map[String, Long] =
+      GraphOps.triangleCounts(edges.toDF("s", "t"), "s", "t")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // K4: every node sits in C(3,2)=3 triangles; 4 triangles total
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b
+    } yield (a, b)
+    val gotK4 = tri(k4)
+    assert(gotK4 == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // duplicates, reversed direction, and self-loops change nothing
+    assert(tri(k4 ++ k4.map(_.swap) ++ Seq(("a", "a"))) == gotK4)
+    // open wedge a-b-c (no closing edge) and a hub star have no
+    // triangles → empty result, not zero rows per node
+    assert(tri(Seq(("a", "b"), ("b", "c"))).isEmpty)
+    assert(tri(Seq("h" -> "x", "h" -> "y", "h" -> "z")).isEmpty)
+    // triangle + pendant: pendant node absent, triangle nodes count 1
+    assert(tri(Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))) ==
+      Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
+  }
 }
