@@ -595,4 +595,67 @@ object MergeOps {
         col("change_type"),
         array_join(col("changed_cols"), ",").as("changed_cols"))
   }
+
+  /** Incremental maintenance of a grouped (COUNT, SUM) aggregate from two
+    * fact snapshots — the materialized-view refresh that does NOT rescan
+    * the fact: diff `before`→`after` on the row key, turn each change
+    * into signed contributions (−1/−cents for the vanished state, +1/
+    * +cents for the new one — an update that moves a row across groups
+    * naturally splits into one of each), aggregate the deltas, and apply
+    * them to `prevAgg` with one group-sized full-outer join. Groups whose
+    * maintained count reaches 0 are dropped, matching what a recompute
+    * over `after` would produce.
+    *
+    * `prevAgg` must be the (groupCol, n, sum_cents) aggregate of
+    * `before` (e.g. the previous cycle's output of this operator —
+    * self-composing across cycles).
+    *
+    * Scale shape: the only fact-scale exchange is the snapshot diff's
+    * key join (with both snapshots bucketed on the key via
+    * [[ScaleOps.writeBucketed]] even that exchange disappears — same
+    * argument as [[snapshotDiff]]); unchanged rows are filtered before
+    * any aggregation, so the delta aggregate is sized by the CHANGED
+    * rows, and the final join by the group count. A recompute touches
+    * |after| rows every cycle; this touches |changes|.
+    *
+    * Determinism: value is fixed-point cents (BIGINT) end to end — no
+    * float ever exists, so maintained ≡ recomputed bitwise.
+    */
+  def maintainGroupedAgg(prevAgg: DataFrame, before: DataFrame,
+                         after: DataFrame, keyCol: String, groupCol: String,
+                         valueCol: String): DataFrame = {
+    def cents(side: String) =
+      floor(col(s"__${side}_v") * 100).cast("long").as(s"__${side}_c")
+    val b = before.select(col(keyCol).as("__bk"),
+      col(groupCol).as("__b_g"), col(valueCol).as("__b_v"))
+    val a = after.select(col(keyCol).as("__ak"),
+      col(groupCol).as("__a_g"), col(valueCol).as("__a_v"))
+    val changed = b.join(a, col("__bk") === col("__ak"), "full_outer")
+      .filter(col("__bk").isNull || col("__ak").isNull ||
+        !(col("__b_g") <=> col("__a_g")) || !(col("__b_v") <=> col("__a_v")))
+      .select(col("__b_g"), cents("b"), col("__a_g"), cents("a"),
+        col("__bk"), col("__ak"))
+    val minus = changed.filter(col("__bk").isNotNull)
+      .select(col("__b_g").as(groupCol), lit(-1L).as("__dn"),
+        (-coalesce(col("__b_c"), lit(0L))).as("__ds"))
+    val plus = changed.filter(col("__ak").isNotNull)
+      .select(col("__a_g").as(groupCol), lit(1L).as("__dn"),
+        coalesce(col("__a_c"), lit(0L)).as("__ds"))
+    val delta = minus.union(plus).groupBy(col(groupCol))
+      .agg(sum(col("__dn")).as("__dn"), sum(col("__ds")).as("__ds"))
+    // Null-safe (<=>) join: a NULL group key is ONE group in SQL GROUP BY,
+    // so prev and delta null-group rows must pair, not pass each other.
+    val prev = prevAgg.select(col(groupCol).as("__pg"),
+      col("n").as("__pn"), col("sum_cents").as("__ps"))
+    prev.join(delta.withColumnRenamed(groupCol, "__dg"),
+        col("__pg") <=> col("__dg"), "full_outer")
+      .select(
+        (when(col("__pn").isNotNull, col("__pg"))
+          .otherwise(col("__dg"))).as(groupCol),
+        (coalesce(col("__pn"), lit(0L)) + coalesce(col("__dn"), lit(0L)))
+          .as("n"),
+        (coalesce(col("__ps"), lit(0L)) + coalesce(col("__ds"), lit(0L)))
+          .as("sum_cents"))
+      .filter(col("n") > 0)
+  }
 }

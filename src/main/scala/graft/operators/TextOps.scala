@@ -498,4 +498,54 @@ object TextOps {
     releaseBg()
     out
   }
+
+  /** PMI collocation mining: for every adjacent token pair occurring at
+    * least `minCount` times across the corpus, the pointwise mutual
+    * information `ln( p(w1,w2) / (p(w1,·)·p(·,w2)) )` with margins taken
+    * over bigram slots — the standard phrase/collocation detector
+    * (Church & Hanks 1990) used to mine multi-word expressions before
+    * tokenizer training.
+    *
+    * Scale shape: one explode (linear in tokens), three map-side-
+    * combinable counts (pair, left margin, right margin), and two
+    * hash-joins of the pair frame against the vocab-sized margins; the
+    * total-slot scalar broadcasts. The minCount filter is applied on the
+    * pair counts BEFORE the margin joins, so rare-pair rows never reach
+    * a shuffle.
+    *
+    * Determinism: counts are exact BIGINTs; pmi evaluates in the fixed
+    * association `(c12·N) / (cl·cr)` with each factor cast to double
+    * BEFORE multiplying (no i64 overflow at any corpus size; double
+    * products are IEEE-exact-associated the same way in the oracle),
+    * then one `ln` (libm, x38/x68 precedent) rounded to 4.
+    */
+  def pmiCollocations(docs: DataFrame, textCol: String,
+                      minCount: Long): DataFrame = {
+    val base = docs.select(tokens(col(textCol)).as("__tok"))
+    val n = size(col("__tok"))
+    val (bg, releaseBg) = Checkpoints.tracked(base
+      .filter(n >= 2)
+      .select(
+        slice(col("__tok"), lit(1), n - 1).as("__a"),
+        slice(col("__tok"), lit(2), n - 1).as("__b"))
+      .select(explode(arrays_zip(col("__a"), col("__b"))).as("__bg"))
+      .select(col("__bg")("__a").as("w1"), col("__bg")("__b").as("w2")))
+    val pairs = bg.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val left = bg.groupBy(col("w1")).agg(count(lit(1)).as("__cl"))
+    val right = bg.groupBy(col("w2")).agg(count(lit(1)).as("__cr"))
+    val total = bg.agg(count(lit(1)).as("__nn"))
+    val out = pairs
+      .join(left, Seq("w1"))
+      .join(right, Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", round(log(
+        (col("n").cast("double") * col("__nn").cast("double")) /
+          (col("__cl").cast("double") * col("__cr").cast("double"))), 4))
+      .select(col("w1"), col("w2"), col("n"), col("pmi"))
+      .localCheckpoint(true)
+    releaseBg()
+    out
+  }
 }

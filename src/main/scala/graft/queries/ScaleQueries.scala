@@ -3124,6 +3124,55 @@ object ScaleQueries {
              |  UNION ALL SELECT b FROM tri
              |  UNION ALL SELECT c FROM tri)
              |SELECT CAST(node AS VARCHAR) node, count(*) n_tri
-             |FROM n GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM n GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // PMI collocations (x77): pointwise mutual information over adjacent
+    // token pairs with bigram-slot margins (Church & Hanks). minCount
+    // prunes BEFORE the margin joins; pmi = ln((c12·N)/(cl·cr)) with
+    // double casts before the products (no i64 overflow at any corpus
+    // size), one libm ln (x38/x68 precedent), round 4.
+    QuerySpec("x77_pmi_collocations", (s, d) =>
+      graft.operators.TextOps.pmiCollocations(
+        t(s, d, "documents"), "text", minCount = 5L)
+        .orderBy("w1", "w2"),
+      Some("""WITH t AS (SELECT CASE WHEN length(trim(text)) = 0
+             |    THEN CAST([] AS VARCHAR[])
+             |    ELSE regexp_split_to_array(trim(text), '\s+') END tok
+             |  FROM documents),
+             |bg AS (SELECT tok[pos] w1, tok[pos + 1] w2
+             |  FROM (SELECT tok, unnest(range(1, len(tok))) pos FROM t)),
+             |c12 AS (SELECT w1, w2, count(*) n FROM bg GROUP BY 1, 2),
+             |cl AS (SELECT w1, count(*) cl FROM bg GROUP BY 1),
+             |cr AS (SELECT w2, count(*) cr FROM bg GROUP BY 1),
+             |nn AS (SELECT count(*) nn FROM bg)
+             |SELECT w1, w2, n, round(ln(
+             |    (CAST(n AS DOUBLE) * CAST(nn AS DOUBLE)) /
+             |    (CAST(cl AS DOUBLE) * CAST(cr AS DOUBLE))), 4) pmi
+             |FROM c12 JOIN cl USING (w1) JOIN cr USING (w2) CROSS JOIN nn
+             |WHERE n >= 5 ORDER BY w1, w2""".stripMargin)),
+
+    // Incremental aggregate maintenance (x78): maintain a grouped
+    // (COUNT, SUM-cents) view across two fact snapshots by diffing on
+    // the row key and applying signed deltas — the fact is NOT
+    // rescanned (delta agg is |changes|-sized; final join group-sized).
+    // before = orders < 1997-01-01; after drops pre-1993-06 rows and
+    // adds 1997+ rows, so the diff exercises inserts AND deletes. The
+    // oracle recomputes directly over `after` — maintained must be
+    // bitwise-identical (all-BIGINT path).
+    QuerySpec("x78_incremental_agg", (s, d) => {
+      val orders = t(s, d, "orders")
+      val before = orders.filter(col("o_orderdate") < lit("1997-01-01"))
+      val after = orders.filter(col("o_orderdate") >= lit("1993-06-01"))
+      val prevAgg = before.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_cents"))
+      graft.operators.MergeOps.maintainGroupedAgg(
+        prevAgg, before, after, "o_orderkey", "o_orderpriority",
+        "o_totalprice").orderBy("o_orderpriority")
+    },
+      Some("""SELECT o_orderpriority, count(*) n,
+             |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) sum_cents
+             |FROM orders WHERE o_orderdate >= DATE '1993-06-01'
+             |GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -445,4 +445,42 @@ class DedupMergeSpec extends SparkSpec {
       .as[(Long, String, String)].collect().toSeq
     assert(out == Seq((1L, "update", "s")))
   }
+
+  test("maintainGroupedAgg: insert/delete/value-update/group-move deltas " +
+    "equal a recompute; emptied group dropped; null group is ONE group; " +
+    "self-composes across cycles") {
+    import spark.implicits._
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"g").agg(
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum(
+          org.apache.spark.sql.functions.floor($"v" * 100)
+            .cast("long")).as("sum_cents"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getLong(2))).toSet
+    val before = Seq(
+      (1L, "g1", 1.0), (2L, "g1", 2.0),   // 2 stays, 1 deleted
+      (3L, "g2", 5.0),                    // value update
+      (4L, "g2", 7.0),                    // moves g2 → g3
+      (5L, "lone", 9.0),                  // group emptied by delete
+      (6L, null.asInstanceOf[String], 4.0) // null group, untouched
+    ).toDF("k", "g", "v")
+    val after = Seq(
+      (2L, "g1", 2.0),
+      (3L, "g2", 5.5),
+      (4L, "g3", 7.0),
+      (6L, null.asInstanceOf[String], 4.0),
+      (7L, null.asInstanceOf[String], 1.0), // null-group insert
+      (8L, "g4", 3.0)                       // brand-new group
+    ).toDF("k", "g", "v")
+    val got = MergeOps.maintainGroupedAgg(agg(before), before, after,
+      "k", "g", "v")
+    assert(canon(got) == canon(agg(after)))
+    // second cycle composes on the first cycle's output
+    val third = Seq((2L, "g1", 2.0), (9L, "g1", 1.5)).toDF("k", "g", "v")
+    val got2 = MergeOps.maintainGroupedAgg(got, after, third, "k", "g", "v")
+    assert(canon(got2) == canon(agg(third)))
+  }
 }

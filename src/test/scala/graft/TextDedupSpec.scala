@@ -503,4 +503,26 @@ class TextDedupSpec extends SparkSpec {
       withNull, "doc_id", "text", kc, w, pc, md).collect()
     assert(gn.nonEmpty)
   }
+
+  test("pmiCollocations: hand-computed PMI, minCount prune, " +
+    "empty/short docs ignored") {
+    import spark.implicits._
+    // corpus of bigram slots: "a b" ×3, "a c" ×1 → N=4;
+    // left(a)=4, right(b)=3, right(c)=1
+    val docs = Seq("a b", "a b", "a b", "a c", "", "solo")
+      .toDF("text")
+    val got = TextOps.pmiCollocations(docs, "text", minCount = 1L)
+      .orderBy("w1", "w2")
+      .as[(String, String, Long, Double)].collect().toSeq
+    def pmi(c12: Long, cl: Long, cr: Long, nn: Long) =
+      BigDecimal(math.log((c12.toDouble * nn.toDouble) /
+        (cl.toDouble * cr.toDouble)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got == Seq(("a", "b", 3L, pmi(3, 4, 3, 4)),
+      ("a", "c", 1L, pmi(1, 4, 1, 4))))
+    // minCount prunes the rare pair before any margin join
+    val pruned = TextOps.pmiCollocations(docs, "text", minCount = 2L)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(pruned == Seq(("a", "b", 3L, pmi(3, 4, 3, 4))))
+  }
 }
