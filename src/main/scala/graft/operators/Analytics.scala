@@ -413,6 +413,52 @@ object Analytics {
       .select(col(groupCol), col("n"), col("slope_cents_per_min"))
   }
 
+  /** Seasonal-baseline anomaly gate: learn the mean event volume per
+    * (day-of-week, hour) bucket from everything before `cutoff`, then
+    * flag each post-cutoff (date, hour) bucket whose count exceeds
+    * `mult`× the seasonal mean — the traffic-spike / ingestion-anomaly
+    * screen that respects weekly periodicity instead of a flat
+    * threshold.
+    *
+    * ALL-INTEGER gate: the seasonal mean `base_n / n_days` is never
+    * materialized as a float — the comparison cross-multiplies to
+    * `n · n_days > mult · base_n` over BIGINTs, so the output
+    * hash-matches any engine. Buckets unseen in training but on a
+    * trained weekday flag as anomalies (n · n_days > 0); weekdays with
+    * zero training days flag nothing (no evidence either way) — both
+    * documented edges, not accidents.
+    *
+    * Scale shape: two map-side-combinable aggregates over disjoint time
+    * slices of the fact plus one distinct over (dow, date); the
+    * baseline (≤168 rows) and day-census (≤7 rows) broadcast back onto
+    * the eval aggregate. The fact is touched exactly twice, never
+    * shuffled on a row key.
+    */
+  def seasonalAnomalies(events: DataFrame, tsCol: String, cutoff: String,
+                        mult: Int = 2): DataFrame = {
+    val ts = col(tsCol)
+    val train = events.filter(ts.isNotNull && ts < lit(cutoff).cast("timestamp"))
+    val evalE = events.filter(ts >= lit(cutoff).cast("timestamp"))
+    val base = train.groupBy(dayofweek(ts).as("dow"), hour(ts).as("hr"))
+      .agg(count(lit(1)).as("base_n"))
+    val slots = train.select(dayofweek(ts).as("dow"), to_date(ts).as("__d"))
+      .distinct()
+      .groupBy(col("dow")).agg(count(lit(1)).as("n_days"))
+    // date emitted as ISO string (c2 precedent): DATE columns round-trip
+    // as midnight-datetimes through some readers, false-failing compares
+    evalE.groupBy(to_date(ts).cast("string").as("dt"),
+        dayofweek(ts).as("dow"), hour(ts).as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(base), Seq("dow", "hr"), "left")
+      .join(broadcast(slots), Seq("dow"), "left")
+      .select(col("dt"), col("dow"), col("hr"), col("n"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        coalesce(col("n_days"), lit(0L)).as("n_days"),
+        (col("n") * coalesce(col("n_days"), lit(0L)) >
+          lit(mult.toLong) * coalesce(col("base_n"), lit(0L)))
+          .as("is_anomaly"))
+  }
+
   def hllIdx(value: Column, p: Int): Column =
     conv(substring(md5(value.cast("string")), 1, 3), 16, 10).cast("long") % (1 << p)
 

@@ -147,4 +147,58 @@ object GraphOps {
     releaseE()
     out
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007, made
+    * DETERMINISTIC): every node starts labeled with its own id; each
+    * iteration relabels every node with the label most frequent among its
+    * in-neighbors, ties broken by the SMALLEST label — a total order, so
+    * unlike the classic randomized sweep the result is bitwise
+    * reproducible. Pass both directions of each edge for undirected
+    * community detection; after `iterations` rounds, nodes sharing a
+    * label are one community.
+    *
+    * Scale shape per iteration: one equi-join of the edge frame to the
+    * node-sized label frame, two map-side-combinable aggregates
+    * ((node,label) counts → per-node max), one filter-join to apply the
+    * tiebreak, and a left join back onto the node set (isolated /
+    * in-edge-less nodes keep their label). Label frames checkpoint-and-
+    * release per iteration so the plan stays shallow (pageRank pattern).
+    * Per-node state is bounded by in-degree; no step is super-linear.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+                       iterations: Int): DataFrame = {
+    require(iterations >= 1, s"iterations must be >= 1 (got $iterations)")
+    val (e, releaseE) = Checkpoints.tracked(edges
+      .select(col(srcCol).cast("string").as("__s"),
+        col(dstCol).cast("string").as("__t"))
+      .filter(col("__s").isNotNull && col("__t").isNotNull)
+      .distinct())
+    val (nodes, releaseNodes) = Checkpoints.tracked(
+      e.select(col("__s").as("node"))
+        .union(e.select(col("__t").as("node"))).distinct())
+    var lbl = nodes.withColumn("__l", col("node"))
+    var releasePrev: () => Unit = () => ()
+    for (_ <- 1 to iterations) {
+      val cnts = e
+        .join(lbl.select(col("node").as("__s"), col("__l")), "__s")
+        .groupBy(col("__t"), col("__l"))
+        .agg(count(lit(1)).as("__c"))
+      val best = cnts.groupBy(col("__t")).agg(max(col("__c")).as("__mx"))
+      val winner = cnts.join(best, "__t")
+        .filter(col("__c") === col("__mx"))
+        .groupBy(col("__t")).agg(min(col("__l")).as("__w"))
+      val (next, releaseNext) = Checkpoints.tracked(lbl
+        .join(winner.withColumnRenamed("__t", "node"), Seq("node"), "left")
+        .select(col("node"), coalesce(col("__w"), col("__l")).as("__l")))
+      releasePrev()
+      lbl = next
+      releasePrev = releaseNext
+    }
+    val out = lbl.select(col("node"), col("__l").as("community"))
+      .localCheckpoint(true)
+    releasePrev()
+    releaseNodes()
+    releaseE()
+    out
+  }
 }

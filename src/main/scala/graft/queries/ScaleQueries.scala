@@ -3173,6 +3173,75 @@ object ScaleQueries {
       Some("""SELECT o_orderpriority, count(*) n,
              |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) sum_cents
              |FROM orders WHERE o_orderdate >= DATE '1993-06-01'
-             |GROUP BY 1 ORDER BY 1""".stripMargin))
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Label propagation communities (x79): deterministic synchronous
+    // variant (most-frequent neighbor label, ties to the SMALLEST — a
+    // total order, unlike the classic randomized sweep) over the
+    // customer↔supplier trade graph, 4 rounds. Oracle replays every
+    // round as chained CTEs with the same max-count/min-label tiebreak.
+    QuerySpec("x79_label_propagation", (s, d) => {
+      val pairs = t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      graft.operators.GraphOps.labelPropagation(edges, "a", "b",
+        iterations = 4).orderBy("node")
+    },
+      Some {
+        val head =
+          """WITH pairs AS (SELECT DISTINCT
+            |    'c' || CAST(o_custkey AS VARCHAR) a,
+            |    's' || CAST(l_suppkey AS VARCHAR) b
+            |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+            |e AS (SELECT a s, b t FROM pairs
+            |  UNION ALL SELECT b, a FROM pairs),
+            |nodes AS (SELECT DISTINCT s node FROM e),
+            |p0 AS (SELECT node, node lbl FROM nodes)""".stripMargin
+        val iters = (1 to 4).map { i =>
+          s"""c$i AS (SELECT e.t node, p.lbl, count(*) c
+             |  FROM e JOIN p${i - 1} p ON e.s = p.node GROUP BY 1, 2),
+             |b$i AS (SELECT node, max(c) mx FROM c$i GROUP BY 1),
+             |s$i AS (SELECT c.node, min(c.lbl) lbl
+             |  FROM c$i c JOIN b$i b ON c.node = b.node AND c.c = b.mx
+             |  GROUP BY 1),
+             |p$i AS (SELECT n.node, coalesce(s$i.lbl, p.lbl) lbl
+             |  FROM nodes n LEFT JOIN s$i ON n.node = s$i.node
+             |  JOIN p${i - 1} p ON n.node = p.node)""".stripMargin
+        }.mkString(",\n", ",\n", "\n")
+        head + iters +
+          "SELECT node, lbl community FROM p4 ORDER BY node"
+      }),
+
+    // Seasonal anomaly gate (x80): (dow, hour) baseline from the first
+    // three weeks of events, post-cutoff (date, hour) buckets flagged
+    // when n·n_days > mult·base_n — the seasonal mean is never
+    // materialized as a float (integer cross-multiplication).
+    QuerySpec("x80_seasonal_anomalies", (s, d) =>
+      graft.operators.Analytics.seasonalAnomalies(
+        t(s, d, "events"), "ts", cutoff = "2024-01-22 00:00:00", mult = 2)
+        .orderBy("dt", "hr"),
+      Some("""WITH tr AS (SELECT ts FROM events
+             |  WHERE ts IS NOT NULL AND ts < TIMESTAMP '2024-01-22'),
+             |ev AS (SELECT ts FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-22'),
+             |base AS (SELECT dayofweek(ts) + 1 dow, hour(ts) hr,
+             |    count(*) base_n FROM tr GROUP BY 1, 2),
+             |slots AS (SELECT dow, count(*) n_days FROM (
+             |    SELECT DISTINCT dayofweek(ts) + 1 dow, CAST(ts AS DATE) d
+             |    FROM tr) GROUP BY 1),
+             |cur AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) dt,
+             |    dayofweek(ts) + 1 dow,
+             |    hour(ts) hr, count(*) n FROM ev GROUP BY 1, 2, 3)
+             |SELECT cur.dt, cur.dow, cur.hr, cur.n,
+             |  coalesce(base_n, 0) base_n, coalesce(n_days, 0) n_days,
+             |  cur.n * coalesce(n_days, 0) > 2 * coalesce(base_n, 0)
+             |    is_anomaly
+             |FROM cur LEFT JOIN base USING (dow, hr)
+             |LEFT JOIN slots USING (dow)
+             |ORDER BY dt, hr""".stripMargin))
   )
 }

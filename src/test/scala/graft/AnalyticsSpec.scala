@@ -263,4 +263,41 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Seq(("a", 2L, Some(10.0)), ("b", 1L, None),
       ("c", 2L, None)))
   }
+
+  test("seasonalAnomalies: integer cross-multiplied gate; unseen bucket " +
+    "on trained dow flags; untrained dow does not; null ts excluded") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // train (before Jan 15): two Mondays at 10h with 2 events each →
+    // base_n=4, n_days=2 (mean 2/h); one Monday 11h event → base_n=1
+    val rows = Seq(
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 10:30:00"),
+      ts("2024-01-08 10:00:00"), ts("2024-01-08 10:30:00"),
+      ts("2024-01-08 11:00:00"),
+      // eval: Monday Jan 15 10h ×5 (5·2 > 2·4 → anomaly),
+      // Monday 11h ×1 (1·2 ≤ 2·1 → fine),
+      // Monday 9h ×1 (unseen bucket, trained dow: 1·2 > 0 → anomaly),
+      // Tuesday Jan 16 10h ×9 (dow never trained: 9·0 > 0 false)
+      ts("2024-01-15 10:01:00"), ts("2024-01-15 10:02:00"),
+      ts("2024-01-15 10:03:00"), ts("2024-01-15 10:04:00"),
+      ts("2024-01-15 10:05:00"),
+      ts("2024-01-15 11:01:00"),
+      ts("2024-01-15 09:01:00"),
+      ts("2024-01-16 10:01:00"), ts("2024-01-16 10:02:00"),
+      ts("2024-01-16 10:03:00"), ts("2024-01-16 10:04:00"),
+      ts("2024-01-16 10:05:00"), ts("2024-01-16 10:06:00"),
+      ts("2024-01-16 10:07:00"), ts("2024-01-16 10:08:00"),
+      ts("2024-01-16 10:09:00")
+    ).map(Option(_)) :+ Option.empty[Timestamp]
+    val df = rows.toDF("ts")
+    val got = Analytics.seasonalAnomalies(df, "ts", "2024-01-15 00:00:00")
+      .orderBy("dt", "hr")
+      .collect().map(r => (r.getString(0), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getBoolean(6))).toSeq
+    assert(got == Seq(
+      ("2024-01-15", 9, 1L, 0L, 2L, true),
+      ("2024-01-15", 10, 5L, 4L, 2L, true),
+      ("2024-01-15", 11, 1L, 1L, 2L, false),
+      ("2024-01-16", 10, 9L, 0L, 0L, false)))
+  }
 }

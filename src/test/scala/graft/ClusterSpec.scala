@@ -183,4 +183,32 @@ class ClusterSpec extends SparkSpec {
     assert(tri(Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"))) ==
       Map("a" -> 1L, "b" -> 1L, "c" -> 1L))
   }
+
+  test("labelPropagation: two cliques joined by a bridge resolve to two " +
+    "communities; min-label tiebreak is deterministic; isolated-source " +
+    "node keeps its label") {
+    import spark.implicits._
+    def lp(edges: Seq[(String, String)], iters: Int): Map[String, String] =
+      GraphOps.labelPropagation(
+        (edges ++ edges.map(_.swap)).toDF("s", "t"), "s", "t", iters)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // K3 {a1,a2,a3} — K3 {b1,b2,b3} with one bridge a3-b1: each clique
+    // collapses onto its smallest label
+    val twoCliques = Seq(("a1", "a2"), ("a1", "a3"), ("a2", "a3"),
+      ("b1", "b2"), ("b1", "b3"), ("b2", "b3"), ("a3", "b1"))
+    val got = lp(twoCliques, 4)
+    assert(got("a1") == "a1" && got("a2") == "a1")
+    assert(got("b2") == got("b3") && got("b2") == got("b1"))
+    assert(Set(got("a1"), got("b2")).size == 2)
+    // tiebreak: node t with equally-frequent neighbor labels x and y
+    // takes the smaller ("x") — and repeated runs agree bitwise
+    val tie = Seq(("x", "t"), ("y", "t"))
+    assert(lp(tie, 1)("t") == "x")
+    assert(lp(tie, 3) == lp(tie, 3))
+    // directed edge only: source has no in-edges → keeps its own label
+    val directed = GraphOps.labelPropagation(
+      Seq(("a", "b")).toDF("s", "t"), "s", "t", 2)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(directed == Map("a" -> "a", "b" -> "a"))
+  }
 }
