@@ -459,6 +459,99 @@ object Analytics {
           .as("is_anomaly"))
   }
 
+  /** Distribution-shape profile of one categorical column: Shannon
+    * entropy (nats), Herfindahl-Hirschman concentration, and top-class
+    * share — the corpus-balance card consulted before mixing/sampling
+    * decisions (a skewed source mix shows up here first).
+    *
+    * Determinism: the ONLY float summation (Σ c·ln c for entropy) is an
+    * ordered fold over the key-sorted class census (x70/x68 pattern), so
+    * it is bitwise reproducible; HHI's numerator Σc² and N stay exact
+    * BIGINTs with ONE division at the end, and top_share is one
+    * division. NULL keys are excluded and reported as `n_nulls` (ln of
+    * a null class is meaningless; SQL engines disagree on null
+    * ordering inside folds).
+    *
+    * Scale shape: one map-side-combinable census (|classes| rows), then
+    * a single-row fold over it — the fact is touched once; nothing
+    * fact-sized shuffles.
+    */
+  def distributionStats(df: DataFrame, keyCol: String): DataFrame = {
+    val nulls = df.agg(
+      count(when(col(keyCol).isNull, 1)).as("n_nulls"))
+    val census = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("__k"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__e",
+        col("__c").cast("double") * log(col("__c").cast("double")))
+    census.agg(
+        sum(col("__c")).as("n"),
+        count(lit(1)).as("n_keys"),
+        sum(col("__c") * col("__c")).as("__ss"),
+        max(col("__c")).as("__mx"),
+        aggregate(array_sort(collect_list(struct(col("__k"), col("__e")))),
+          lit(0.0), (acc, x) => acc + x("__e")).as("__h"))
+      .crossJoin(broadcast(nulls))
+      .select(col("n"), col("n_keys"), col("n_nulls"),
+        round(log(col("n").cast("double")) -
+          col("__h") / col("n").cast("double"), 6).as("entropy_nats"),
+        round(col("__ss").cast("double") /
+          (col("n").cast("double") * col("n").cast("double")), 6).as("hhi"),
+        round(col("__mx").cast("double") / col("n").cast("double"), 6)
+          .as("top_share"))
+  }
+
+  /** Pearson chi-square test of independence between two categorical
+    * columns: observed cell counts vs the independence expectation
+    * `rowTot·colTot/N`, `χ² = Σ (o−e)²/e` — the drift / association
+    * screen between e.g. source and label, or event type and weekday.
+    *
+    * Determinism: all counts are exact BIGINTs; each cell's e and term
+    * derive through IEEE divisions in a fixed association, and the final
+    * Σ over cells is an ordered fold over the (a,b)-sorted cell list —
+    * bitwise reproducible. NULLs in either column are excluded
+    * (documented; a null category has no margin). Output also carries
+    * the degrees of freedom (r_a−1)(r_b−1).
+    *
+    * Scale shape: one (a,b) census off the fact (map-side combinable),
+    * margins and N are re-aggregations of that census (never of the
+    * fact), and the fold runs over |cells| rows on one row.
+    */
+  def chiSquareIndependence(df: DataFrame, aCol: String,
+                            bCol: String): DataFrame = {
+    val cells0 = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val (cells, releaseCells) = Checkpoints.tracked(cells0)
+    val rowTot = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val colTot = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__rb"))
+    val totals = cells.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__a")).as("__da"),
+      countDistinct(col("__b")).as("__db"))
+    val terms = cells
+      .join(rowTot, "__a").join(colTot, "__b")
+      .crossJoin(broadcast(totals))
+      .withColumn("__e",
+        col("__ra").cast("double") * col("__rb").cast("double") /
+          col("__n").cast("double"))
+      .withColumn("__t",
+        (col("__o").cast("double") - col("__e")) *
+          (col("__o").cast("double") - col("__e")) / col("__e"))
+    val out = terms.agg(
+        first(col("__n")).as("n"),
+        first(col("__da")).as("r_a"),
+        first(col("__db")).as("r_b"),
+        ((first(col("__da")) - 1) * (first(col("__db")) - 1)).as("dof"),
+        round(aggregate(
+          array_sort(collect_list(struct(col("__a"), col("__b"), col("__t")))),
+          lit(0.0), (acc, x) => acc + x("__t")), 6).as("chi2"))
+    val collected = out.localCheckpoint(true)
+    releaseCells()
+    collected
+  }
+
   def hllIdx(value: Column, p: Int): Column =
     conv(substring(md5(value.cast("string")), 1, 3), 16, 10).cast("long") % (1 << p)
 

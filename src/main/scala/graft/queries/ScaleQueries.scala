@@ -3242,6 +3242,59 @@ object ScaleQueries {
              |    is_anomaly
              |FROM cur LEFT JOIN base USING (dow, hr)
              |LEFT JOIN slots USING (dow)
-             |ORDER BY dt, hr""".stripMargin))
+             |ORDER BY dt, hr""".stripMargin)),
+
+    // Distribution-shape profile (x81): Shannon entropy + HHI + top
+    // share of the event_type mix. The one float sum (Σ c·ln c) is an
+    // ordered fold over the key-sorted census (x70 pattern); HHI's Σc²
+    // and N stay BIGINT with a single final division.
+    QuerySpec("x81_distribution_stats", (s, d) =>
+      graft.operators.Analytics.distributionStats(
+        t(s, d, "events"), "event_type"),
+      Some("""WITH nn AS (SELECT count(*) FILTER (event_type IS NULL)
+             |    n_nulls FROM events),
+             |c AS (SELECT CAST(event_type AS VARCHAR) k, count(*) c
+             |  FROM events WHERE event_type IS NOT NULL GROUP BY 1),
+             |t AS (SELECT sum(c) n, count(*) n_keys, sum(c * c) ss,
+             |    max(c) mx,
+             |    list_sum(list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+             |      ORDER BY k)) h
+             |  FROM c)
+             |SELECT n, n_keys, nn.n_nulls,
+             |  round(ln(CAST(n AS DOUBLE)) - h / CAST(n AS DOUBLE), 6)
+             |    entropy_nats,
+             |  round(CAST(ss AS DOUBLE) /
+             |    (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)), 6) hhi,
+             |  round(CAST(mx AS DOUBLE) / CAST(n AS DOUBLE), 6) top_share
+             |FROM t CROSS JOIN nn""".stripMargin)),
+
+    // Chi-square independence (x82): event_type × day-of-week
+    // association screen. Exact BIGINT margins off a |cells|-sized
+    // census; χ² is an ordered fold over the (a,b)-sorted cells.
+    QuerySpec("x82_chi_square", (s, d) =>
+      graft.operators.Analytics.chiSquareIndependence(
+        t(s, d, "events").select(col("event_type"),
+          dayofweek(col("ts")).as("dow")),
+        "event_type", "dow"),
+      Some("""WITH cells AS (SELECT CAST(event_type AS VARCHAR) a,
+             |    CAST(dayofweek(ts) + 1 AS VARCHAR) b, count(*) o
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |ra AS (SELECT a, sum(o) ra FROM cells GROUP BY 1),
+             |rb AS (SELECT b, sum(o) rb FROM cells GROUP BY 1),
+             |tt AS (SELECT sum(o) n, count(DISTINCT a) da,
+             |    count(DISTINCT b) db FROM cells),
+             |terms AS (SELECT cells.a, cells.b, n, da, db,
+             |    CAST(o AS DOUBLE) o,
+             |    CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE) /
+             |      CAST(n AS DOUBLE) e
+             |  FROM cells JOIN ra USING (a) JOIN rb USING (b)
+             |  CROSS JOIN tt)
+             |SELECT min(n) n, min(da) r_a, min(db) r_b,
+             |  (min(da) - 1) * (min(db) - 1) dof,
+             |  round(list_sum(list((o - e) * (o - e) / e ORDER BY a, b)),
+             |    6) chi2
+             |FROM terms""".stripMargin))
   )
 }

@@ -300,4 +300,38 @@ class AnalyticsSpec extends SparkSpec {
       ("2024-01-15", 11, 1L, 1L, 2L, false),
       ("2024-01-16", 10, 9L, 0L, 0L, false)))
   }
+
+  test("distributionStats: hand-computed entropy/HHI/top-share; uniform " +
+    "maxes entropy; nulls counted apart") {
+    val df = Seq("a", "a", "a", "b", null).toDF("k")
+    val r = Analytics.distributionStats(df, "k").collect().head
+    // census a=3, b=1: N=4, H = ln4 − (3ln3 + 1ln1)/4
+    val h = BigDecimal(math.log(4.0) - 3.0 * math.log(3.0) / 4.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((4L, 2L, 1L)))
+    assert(r.getDouble(3) == h)
+    assert(r.getDouble(4) == (9.0 + 1.0) / 16.0)  // HHI = (9+1)/16
+    assert(r.getDouble(5) == 0.75)
+    // two equally-likely classes → entropy = ln 2 exactly
+    val u = Analytics.distributionStats(
+      Seq("x", "y").toDF("k"), "k").collect().head
+    assert(u.getDouble(3) == BigDecimal(math.log(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("chiSquareIndependence: independent 2x2 scores zero; " +
+    "hand-computed dependent table; dof; nulls excluded") {
+    // perfectly independent: o == e everywhere → chi2 = 0
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"),
+      (null, "x"), ("a", null)).toDF("u", "v")
+    val ri = Analytics.chiSquareIndependence(ind, "u", "v").collect().head
+    assert((ri.getLong(0), ri.getLong(1), ri.getLong(2), ri.getLong(3),
+      ri.getDouble(4)) == ((4L, 2L, 2L, 1L, 0.0)))
+    // dependent 2x2: cells (a,x)=3 (a,y)=1 (b,x)=1 (b,y)=3 → N=8,
+    // every e=2, chi2 = 4·(1²/2) = 2
+    val dep = (Seq.fill(3)(("a", "x")) ++ Seq(("a", "y"), ("b", "x")) ++
+      Seq.fill(3)(("b", "y"))).toDF("u", "v")
+    val rd = Analytics.chiSquareIndependence(dep, "u", "v").collect().head
+    assert(rd.getDouble(4) == 2.0 && rd.getLong(3) == 1L)
+  }
 }
