@@ -552,6 +552,45 @@ object Analytics {
     collected
   }
 
+  /** Grouped Pearson correlation between two INTEGER-rendered columns
+    * (callers fix the units — cents, whole minutes — upstream, x75
+    * style): per group,
+    *   r = (n·Σxy − Σx·Σy) / (√(n·Σxx − (Σx)²) · √(n·Σyy − (Σy)²))
+    * — the feature-association screen run before training-mix or
+    * leakage decisions.
+    *
+    * Determinism: all five sufficient statistics are exact BIGINT sums
+    * (order-proof by construction); the numerator stays BIGINT; each
+    * variance factor is cast to double SEPARATELY and rooted (√a·√b,
+    * NOT √(a·b) — the i64 product would overflow), giving one fixed
+    * IEEE association mirrored in the oracle; round 8. Groups with a
+    * degenerate x or y (zero variance, incl. single rows) carry NULL r.
+    * Rows with a null in either column are excluded.
+    *
+    * Scale shape: one map-side-combinable groupBy over the fact; output
+    * is group-sized. Overflow headroom mirrors x75: n·Σx² < 2⁶³.
+    */
+  def groupedPearson(df: DataFrame, groupCol: String, xCol: String,
+                     yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol), x.as("__x"), y.as("__y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .withColumn("__vx", col("n") * col("__sxx") - col("__sx") * col("__sx"))
+      .withColumn("__vy", col("n") * col("__syy") - col("__sy") * col("__sy"))
+      .withColumn("r", when(col("__vx") > 0 && col("__vy") > 0, round(
+        (col("n") * col("__sxy") - col("__sx") * col("__sy")).cast("double") /
+          (sqrt(col("__vx").cast("double")) * sqrt(col("__vy").cast("double"))),
+        8)))
+      .select(col(groupCol), col("n"), col("r"))
+  }
+
   def hllIdx(value: Column, p: Int): Column =
     conv(substring(md5(value.cast("string")), 1, 3), 16, 10).cast("long") % (1 << p)
 

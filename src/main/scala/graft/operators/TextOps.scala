@@ -548,4 +548,49 @@ object TextOps {
     releaseBg()
     out
   }
+
+  /** Pairwise vocabulary Jaccard between document groups (sources,
+    * languages, snapshots): |V_a ∩ V_b| / |V_a ∪ V_b| over each group's
+    * DISTINCT token set — the corpus-overlap screen behind source
+    * dedup-budgeting and contamination triage.
+    *
+    * Scale shape: one distinct (group, token) projection (the only
+    * fact-scale work), a group-sized census, and a token-keyed
+    * self-join whose per-token fan-out is bounded by |groups|² — a
+    * stopword shared by every group costs |groups|² rows, NOT
+    * corpus², so the join survives any corpus size; the census
+    * broadcasts back onto the |groups|²-bounded pair frame.
+    *
+    * Determinism: pure integer set sizes; jaccard = one division of
+    * BIGINTs (|A∪B| = na + nb − inter stays integer), round 6. Only
+    * pairs with a non-empty intersection appear (disjoint pairs carry
+    * no evidence row — documented). Null group / null text rows are
+    * excluded.
+    */
+  def vocabJaccard(docs: DataFrame, groupCol: String,
+                   textCol: String): DataFrame = {
+    val (vocab, releaseV) = Checkpoints.tracked(docs
+      .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        explode(tokens(col(textCol))).as("__w"))
+      .distinct())
+    val sizes = vocab.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val pairs = vocab.select(col("__g").as("g_a"), col("__w"))
+      .join(vocab.select(col("__g").as("g_b"), col("__w")), "__w")
+      .filter(col("g_a") < col("g_b"))
+      .groupBy(col("g_a"), col("g_b"))
+      .agg(count(lit(1)).as("n_common"))
+    val out = pairs
+      .join(broadcast(sizes.select(col("__g").as("g_a"), col("__n").as("__na"))),
+        "g_a")
+      .join(broadcast(sizes.select(col("__g").as("g_b"), col("__n").as("__nb"))),
+        "g_b")
+      .select(col("g_a"), col("g_b"), col("n_common"),
+        round(col("n_common").cast("double") /
+          (col("__na") + col("__nb") - col("n_common")).cast("double"), 6)
+          .as("jaccard"))
+      .localCheckpoint(true)
+    releaseV()
+    out
+  }
 }

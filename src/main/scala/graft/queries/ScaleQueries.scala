@@ -3295,6 +3295,59 @@ object ScaleQueries {
              |  (min(da) - 1) * (min(db) - 1) dof,
              |  round(list_sum(list((o - e) * (o - e) / e ORDER BY a, b)),
              |    6) chi2
-             |FROM terms""".stripMargin))
+             |FROM terms""".stripMargin)),
+
+    // Grouped Pearson correlation (x83): per event_type, r between
+    // whole-minutes-since-anchor and cents — all five sufficient stats
+    // exact BIGINTs, numerator BIGINT, √vx·√vy separately rooted (i64
+    // product would overflow), one division, round 8.
+    QuerySpec("x83_grouped_pearson", (s, d) =>
+      graft.operators.Analytics.groupedPearson(
+        t(s, d, "events")
+          .filter(col("ts").isNotNull && col("value").isNotNull)
+          .select(col("event_type"),
+            floor((unix_timestamp(col("ts")) -
+              unix_timestamp(lit("2024-01-01 00:00:00").cast("timestamp")))
+              / 60L).as("x"),
+            floor(col("value") * 100).as("y")),
+        "event_type", "x", "y").orderBy("event_type"),
+      Some("""WITH b AS (SELECT event_type,
+             |    CAST(floor((epoch(ts) - epoch(TIMESTAMP '2024-01-01'))
+             |      / 60) AS BIGINT) x,
+             |    CAST(floor(value * 100) AS BIGINT) y
+             |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+             |s AS (SELECT event_type, count(*) n, sum(x) sx, sum(y) sy,
+             |    sum(x * y) sxy, sum(x * x) sxx, sum(y * y) syy
+             |  FROM b GROUP BY 1)
+             |SELECT event_type, n,
+             |  CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             |    THEN round(CAST(n * sxy - sx * sy AS DOUBLE) /
+             |      (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+             |       sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 8)
+             |    END r
+             |FROM s ORDER BY event_type""".stripMargin)),
+
+    // Vocabulary Jaccard between sources (x84): |Va∩Vb|/|Va∪Vb| over
+    // distinct token sets. Token-join fan-out bounded |groups|² per
+    // token (a universal stopword costs 400 rows, not corpus²);
+    // integer set sizes, one division.
+    QuerySpec("x84_vocab_jaccard", (s, d) =>
+      graft.operators.TextOps.vocabJaccard(
+        t(s, d, "documents"), "source", "text")
+        .orderBy("g_a", "g_b"),
+      Some("""WITH t AS (SELECT source,
+             |    regexp_split_to_array(trim(text), '\s+') tok
+             |  FROM documents
+             |  WHERE source IS NOT NULL AND text IS NOT NULL
+             |    AND length(trim(text)) > 0),
+             |v AS (SELECT DISTINCT source g, unnest(tok) w FROM t),
+             |s AS (SELECT g, count(*) n FROM v GROUP BY 1),
+             |i AS (SELECT a.g g_a, b.g g_b, count(*) n_common
+             |  FROM v a JOIN v b USING (w) WHERE a.g < b.g GROUP BY 1, 2)
+             |SELECT g_a, g_b, n_common,
+             |  round(CAST(n_common AS DOUBLE) /
+             |    CAST(sa.n + sb.n - n_common AS DOUBLE), 6) jaccard
+             |FROM i JOIN s sa ON g_a = sa.g JOIN s sb ON g_b = sb.g
+             |ORDER BY g_a, g_b""".stripMargin))
   )
 }

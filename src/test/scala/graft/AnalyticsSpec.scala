@@ -334,4 +334,21 @@ class AnalyticsSpec extends SparkSpec {
     val rd = Analytics.chiSquareIndependence(dep, "u", "v").collect().head
     assert(rd.getDouble(4) == 2.0 && rd.getLong(3) == 1L)
   }
+
+  test("groupedPearson: perfect +/-1 lines, zero-variance and single-row " +
+    "groups NULL, null coords excluded") {
+    val df = Seq(
+      ("a", Some(0L), Some(0L)), ("a", Some(1L), Some(2L)),
+      ("a", Some(2L), Some(4L)),
+      ("b", Some(0L), Some(1L)), ("b", Some(1L), Some(1L)),
+      ("c", Some(0L), Some(0L)), ("c", Some(1L), Some(-1L)),
+      ("d", Some(5L), Some(5L)),
+      ("a", None, Some(9L)), ("a", Some(9L), None)
+    ).toDF("g", "x", "y")
+    val got = Analytics.groupedPearson(df, "g", "x", "y").orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    assert(got == Seq(("a", 3L, Some(1.0)), ("b", 2L, None),
+      ("c", 2L, Some(-1.0)), ("d", 1L, None)))
+  }
 }

@@ -525,4 +525,19 @@ class TextDedupSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().toSeq
     assert(pruned == Seq(("a", "b", 3L, pmi(3, 4, 3, 4))))
   }
+
+  test("vocabJaccard: distinct-token sets, disjoint pairs absent, " +
+    "dup tokens counted once, null group/text excluded") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "a b c"), ("s1", "a a b"),       // V(s1) = {a,b,c}
+      ("s2", "b c d"),                        // V(s2) = {b,c,d}
+      ("s3", "x"),                            // disjoint from both
+      (null.asInstanceOf[String], "a b"), ("s1", null.asInstanceOf[String])
+    ).toDF("src", "text")
+    val got = TextOps.vocabJaccard(docs, "src", "text")
+      .orderBy("g_a", "g_b")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(("s1", "s2", 2L, 0.5)))
+  }
 }
