@@ -3348,6 +3348,41 @@ object ScaleQueries {
              |  round(CAST(n_common AS DOUBLE) /
              |    CAST(sa.n + sb.n - n_common AS DOUBLE), 6) jaccard
              |FROM i JOIN s sa ON g_a = sa.g JOIN s sb ON g_b = sb.g
-             |ORDER BY g_a, g_b""".stripMargin))
+             |ORDER BY g_a, g_b""".stripMargin)),
+
+    // Streaming seasonal anomaly (st12): live stream reduced to hourly
+    // counts (the mergeable state, replay-commutative), seasonal gate
+    // applied BATCH-side against the static pre-cutoff baseline —
+    // x80's integer cross-multiplied gate, so the streamed answer is
+    // bitwise equal to batch regardless of micro-batch slicing.
+    QuerySpec("st12_stream_seasonal_anomaly", (s, d) => {
+      val schema = new StructType()
+        .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
+        .add("event_type", StringType).add("value", DoubleType)
+        .add("props", StringType)
+      val run = streamRun.incrementAndGet()
+      val sink = s"graft_stream_$run"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runSeasonalAnomalyAvailableNow(s, d, "events.parquet", schema,
+        t(s, d, "events"), cutoff = "2024-01-22 00:00:00", mult = 2,
+        sink, ckpt).orderBy("window_start")
+    },
+      Some("""WITH tr AS (SELECT ts FROM events
+             |  WHERE ts IS NOT NULL AND ts < TIMESTAMP '2024-01-22'),
+             |base AS (SELECT dayofweek(ts) + 1 dow, hour(ts) hr,
+             |    count(*) base_n FROM tr GROUP BY 1, 2),
+             |slots AS (SELECT dow, count(*) n_days FROM (
+             |    SELECT DISTINCT dayofweek(ts) + 1 dow, CAST(ts AS DATE) d
+             |    FROM tr) GROUP BY 1),
+             |cur AS (SELECT date_trunc('hour', ts) window_start,
+             |    dayofweek(ts) + 1 dow, hour(ts) hr, count(*) n
+             |  FROM events WHERE ts >= TIMESTAMP '2024-01-22'
+             |  GROUP BY 1, 2, 3)
+             |SELECT window_start, n, coalesce(base_n, 0) base_n,
+             |  coalesce(n_days, 0) n_days,
+             |  n * coalesce(n_days, 0) > 2 * coalesce(base_n, 0) is_anomaly
+             |FROM cur LEFT JOIN base USING (dow, hr)
+             |LEFT JOIN slots USING (dow)
+             |ORDER BY window_start""".stripMargin))
   )
 }

@@ -55,6 +55,64 @@ object Streams {
     detachSink(spark, sinkName, checkpoint)
     }
 
+  /** Streaming seasonal-anomaly gate: the live stream is reduced to
+    * per-hour event counts (windowed aggregation — the mergeable state;
+    * counts are replay-commutative across micro-batches), and the
+    * seasonal judgment happens BATCH-side against a (dow, hour)
+    * baseline learned from the static pre-`cutoff` slice — the st8/st10
+    * convention of stopping the stream at the smallest sufficient
+    * state. The gate is [[graft.operators.Analytics.seasonalAnomalies]]'
+    * integer cross-multiplication `n·n_days > mult·base_n`, so no float
+    * ever exists and the streamed answer is bitwise equal to the batch
+    * one regardless of micro-batch slicing.
+    */
+  def runSeasonalAnomalyAvailableNow(spark: SparkSession, dir: String,
+                                     glob: String, schema: StructType,
+                                     train: DataFrame, cutoff: String,
+                                     mult: Int, sinkName: String,
+                                     checkpoint: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val counts = withNanosAsLong(spark) {
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob).parquet(dir)
+      val stream =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
+      val q = stream
+        .filter(col("ts") >= lit(cutoff).cast("timestamp"))
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("__w"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("__w.start").as("window_start"), col("n"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      detachSink(spark, sinkName, checkpoint)
+    }
+    val ts = col("ts")
+    val tr = train.filter(ts.isNotNull && ts < lit(cutoff).cast("timestamp"))
+    val base = tr.groupBy(dayofweek(ts).as("__dow"), hour(ts).as("__hr"))
+      .agg(count(lit(1)).as("base_n"))
+    val slots = tr.select(dayofweek(ts).as("__dow"), to_date(ts).as("__d"))
+      .distinct()
+      .groupBy(col("__dow")).agg(count(lit(1)).as("n_days"))
+    counts
+      .withColumn("__dow", dayofweek(col("window_start")))
+      .withColumn("__hr", hour(col("window_start")))
+      .join(broadcast(base), Seq("__dow", "__hr"), "left")
+      .join(broadcast(slots), Seq("__dow"), "left")
+      .select(col("window_start"), col("n"),
+        coalesce(col("base_n"), lit(0L)).as("base_n"),
+        coalesce(col("n_days"), lit(0L)).as("n_days"),
+        (col("n") * coalesce(col("n_days"), lit(0L)) >
+          lit(mult.toLong) * coalesce(col("base_n"), lit(0L)))
+          .as("is_anomaly"))
+  }
+
   /** Streaming HLL: maintain per-window distinct-count SKETCH REGISTERS as
     * the streaming aggregation state — the O(2^p)-per-window approximate
     * twin of [[streamingDedup]]-then-count, whose exact answer carries one

@@ -37,6 +37,35 @@ class StreamingMultimodalSpec extends SparkSpec {
       ("2024-01-01 11:00:00", "view", 1L, 3.0)))
   }
 
+  test("streaming seasonal anomaly: hourly stream counts + static baseline " +
+    "gate equal the hand computation") {
+    val dir = Files.createTempDirectory("graft_stream_in").toString
+    // train: Mondays Jan 1 + Jan 8 at 10h, two events each (base_n=4,
+    // n_days=2); eval: Monday Jan 15 10h ×5 (5·2 > 2·4 → anomaly) and
+    // 11h ×1 (unseen bucket on trained dow → anomaly)
+    val events = Seq(
+      (1L, "2024-01-01 10:05:00", 1.0), (2L, "2024-01-01 10:35:00", 1.0),
+      (3L, "2024-01-08 10:05:00", 1.0), (4L, "2024-01-08 10:35:00", 1.0),
+      (5L, "2024-01-15 10:01:00", 1.0), (6L, "2024-01-15 10:02:00", 1.0),
+      (7L, "2024-01-15 10:03:00", 1.0), (8L, "2024-01-15 10:04:00", 1.0),
+      (9L, "2024-01-15 10:05:00", 1.0),
+      (10L, "2024-01-15 11:01:00", 1.0)
+    ).toDF("event_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    events.write.mode("overwrite").parquet(dir)
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val out = Streams.runSeasonalAnomalyAvailableNow(spark, dir, "*.parquet",
+      events.schema, events, "2024-01-15 00:00:00", 2,
+      "graft_seasonal_sink", ckpt)
+      .orderBy("window_start")
+      .select($"window_start".cast("string"), $"n", $"base_n", $"n_days",
+        $"is_anomaly")
+      .as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-15 10:00:00", 5L, 4L, 2L, true),
+      ("2024-01-15 11:00:00", 1L, 0L, 2L, true)))
+  }
+
   test("streaming foreachBatch merge equals the batch merge (M1 via watermark loop)") {
     val factDir = Files.createTempDirectory("graft_fact").toString + "/fact"
     val inDir = Files.createTempDirectory("graft_merge_in").toString
