@@ -591,6 +591,102 @@ object Analytics {
       .select(col(groupCol), col("n"), col("r"))
   }
 
+  /** Population stability index between a reference and a current slice
+    * of one numeric column — THE standard drift gate in front of a
+    * model or training-mix refresh: bin both slices on identical
+    * fixed-width integer-cent edges ([[histogram]]'s exact `div`
+    * binning), then `PSI = Σ_bins (p_ref − p_cur)·ln(p_ref/p_cur)`.
+    * Bins populated on only one side carry no finite term — they are
+    * EXCLUDED from the sum and REPORTED in `n_bins_skipped` instead of
+    * being fudged with an epsilon (documented choice; an epsilon would
+    * make the number depend on an arbitrary constant).
+    *
+    * Determinism: bin counts are exact BIGINTs off the same `div`
+    * binning as x43; each term derives through IEEE divisions in a
+    * fixed association; the Σ is an ordered fold over the bin-sorted
+    * term list (x70 pattern); round 6.
+    *
+    * Scale shape: two map-side-combinable bin censuses (≤ nBins+1 rows
+    * each) are ALL that leaves the facts; everything after is
+    * metadata-sized.
+    */
+  def psi(ref: DataFrame, cur: DataFrame, valueCol: String, lo: Double,
+          width: Double, nBins: Int): DataFrame = {
+    val loC = math.round(lo * 100)
+    val widthC = math.round(width * 100)
+    require(widthC > 0, s"width must be ≥ 0.01 (got $width)")
+    def bins(df: DataFrame, out: String) = df
+      .filter(col(valueCol).isNotNull)
+      .select(round(col(valueCol) * 100.0).cast("long").as("__c"))
+      .selectExpr(
+        s"least(greatest((__c - ${loC}L) div ${widthC}L, 0L), " +
+          s"${nBins.toLong}L) as bin")
+      .groupBy("bin").agg(count(lit(1)).as(out))
+    val joined = bins(ref, "__nr").join(bins(cur, "__nc"),
+      Seq("bin"), "full_outer")
+    val tot = joined.agg(sum(col("__nr")).as("__tr"),
+      sum(col("__nc")).as("__tc"))
+    joined.crossJoin(broadcast(tot))
+      .withColumn("__pr", col("__nr").cast("double") / col("__tr").cast("double"))
+      .withColumn("__pc", col("__nc").cast("double") / col("__tc").cast("double"))
+      .withColumn("__t", when(col("__nr").isNotNull && col("__nc").isNotNull,
+        (col("__pr") - col("__pc")) * log(col("__pr") / col("__pc"))))
+      .agg(
+        coalesce(sum(col("__nr")), lit(0L)).as("n_ref"),
+        coalesce(sum(col("__nc")), lit(0L)).as("n_cur"),
+        count(col("__t")).as("n_bins_used"),
+        (count(lit(1)) - count(col("__t"))).as("n_bins_skipped"),
+        round(aggregate(
+          array_sort(collect_list(
+            when(col("__t").isNotNull, struct(col("bin"), col("__t"))))),
+          lit(0.0), (acc, x) => acc + x("__t")), 6).as("psi"))
+  }
+
+  /** Per-entity inter-arrival statistics: gaps in whole seconds between
+    * consecutive events of each entity's time-ordered stream — count,
+    * min, max, exact median, exact p90 — the burstiness / liveness
+    * profile behind bot screens and session-gap tuning.
+    *
+    * Determinism: timestamps floor to whole seconds BEFORE
+    * differencing (so fractional-epoch engines agree, x75 precedent);
+    * gaps are BIGINTs; the median rides the doubled-units med2 trick
+    * (x74 — integer medians can be *.5); p90 is the exact ceil(0.9·n)
+    * ORDER STATISTIC picked by explicit rank arithmetic `(9n+9) div 10`
+    * (x41 convention, not quantile_disc) — value-deterministic under
+    * ties because rank selects the k-th smallest VALUE.
+    *
+    * Scale shape: one shuffle on entity for the lag window, one
+    * map-side-combinable stats pass, and one rank pass over the gap
+    * frame feeding a per-entity single-row pick; output is
+    * entity-sized. Ordering ties on `tsCol` break by `idCol`.
+    */
+  def interArrivalStats(events: DataFrame, entityCol: String, tsCol: String,
+                        idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol)).orderBy(col(tsCol), col(idCol))
+    val secs = unix_timestamp(col(tsCol))
+    val gaps = events.filter(col(tsCol).isNotNull)
+      .select(col(entityCol), col(idCol), col(tsCol), secs.as("__s"))
+      .withColumn("__p", lag(col("__s"), 1).over(w))
+      .filter(col("__p").isNotNull)
+      .select(col(entityCol), (col("__s") - col("__p")).as("__g"))
+    val (g, releaseG) = Checkpoints.tracked(gaps)
+    val stats = g.groupBy(col(entityCol))
+      .agg(count(lit(1)).as("n_gaps"), min(col("__g")).as("min_gap_s"),
+        max(col("__g")).as("max_gap_s"),
+        (median(col("__g")) * 2).cast("long").as("med2_gap_s"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol)).orderBy(col("__g"))
+    val p90 = g.withColumn("__rn", row_number().over(rw))
+      .join(stats.selectExpr(entityCol, "(n_gaps * 9 + 9) div 10 as __k"),
+        Seq(entityCol))
+      .filter(col("__rn") === col("__k"))
+      .select(col(entityCol), col("__g").as("p90_gap_s"))
+    val out = stats.join(p90, Seq(entityCol)).localCheckpoint(true)
+    releaseG()
+    out
+  }
+
   def hllIdx(value: Column, p: Int): Column =
     conv(substring(md5(value.cast("string")), 1, 3), 16, 10).cast("long") % (1 << p)
 

@@ -3383,6 +3383,69 @@ object ScaleQueries {
              |  n * coalesce(n_days, 0) > 2 * coalesce(base_n, 0) is_anomaly
              |FROM cur LEFT JOIN base USING (dow, hr)
              |LEFT JOIN slots USING (dow)
-             |ORDER BY window_start""".stripMargin))
+             |ORDER BY window_start""".stripMargin)),
+
+    // PSI value drift (x85): population stability index of the events
+    // value mix, first half of January vs second half, on x43's exact
+    // div binning. One-sided bins are excluded AND counted (no epsilon
+    // fudge); Σ is an ordered fold over bin-sorted terms.
+    QuerySpec("x85_psi_drift", (s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      graft.operators.Analytics.psi(
+        ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+        ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+        "value", lo = 0.0, width = 20.0, nBins = 17)
+    },
+      Some("""WITH r AS (SELECT least(greatest(
+             |      (CAST(round("value"*100.0) AS BIGINT) - 0) // 2000,
+             |      0), 17) bin, count(*) nr
+             |    FROM events WHERE "value" IS NOT NULL
+             |      AND ts IS NOT NULL AND ts < TIMESTAMP '2024-01-16'
+             |    GROUP BY 1),
+             |c AS (SELECT least(greatest(
+             |      (CAST(round("value"*100.0) AS BIGINT) - 0) // 2000,
+             |      0), 17) bin, count(*) nc
+             |    FROM events WHERE "value" IS NOT NULL
+             |      AND ts >= TIMESTAMP '2024-01-16'
+             |    GROUP BY 1),
+             |j AS (SELECT coalesce(r.bin, c.bin) bin, nr, nc
+             |  FROM r FULL JOIN c ON r.bin = c.bin),
+             |tt AS (SELECT sum(nr) tr, sum(nc) tc FROM j),
+             |terms AS (SELECT bin, nr, nc,
+             |    CASE WHEN nr IS NOT NULL AND nc IS NOT NULL THEN
+             |      (CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE) -
+             |       CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE)) *
+             |      ln((CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE)) /
+             |         (CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE))) END t
+             |  FROM j CROSS JOIN tt)
+             |SELECT coalesce(sum(nr), 0) n_ref, coalesce(sum(nc), 0) n_cur,
+             |  count(t) n_bins_used, count(*) - count(t) n_bins_skipped,
+             |  round(list_sum(list(t ORDER BY bin) FILTER (t IS NOT NULL)),
+             |    6) psi
+             |FROM terms""".stripMargin)),
+
+    // Inter-arrival stats (x86): per-user whole-second gaps between
+    // consecutive events — exact median via doubled units (x74) and
+    // exact p90 by explicit rank arithmetic (x41 convention). Seconds
+    // floor BEFORE differencing so fractional-epoch engines agree.
+    QuerySpec("x86_interarrival", (s, d) =>
+      graft.operators.Analytics.interArrivalStats(
+        t(s, d, "events"), "user_id", "ts", "event_id")
+        .orderBy("user_id"),
+      Some("""WITH o AS (SELECT user_id u,
+             |    CAST(floor(epoch(ts)) AS BIGINT) s,
+             |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+             |      PARTITION BY user_id ORDER BY ts, event_id) p
+             |  FROM events WHERE ts IS NOT NULL),
+             |g AS (SELECT u, s - p gap FROM o WHERE p IS NOT NULL),
+             |c AS (SELECT u, count(*) n, min(gap) mn, max(gap) mx,
+             |    CAST(median(gap) * 2 AS BIGINT) med2 FROM g GROUP BY 1),
+             |r AS (SELECT u, gap, row_number() OVER (
+             |    PARTITION BY u ORDER BY gap) rn FROM g),
+             |p AS (SELECT r.u, r.gap p90 FROM r JOIN c
+             |  ON r.u = c.u AND r.rn = (9 * c.n + 9) // 10)
+             |SELECT c.u user_id, c.n n_gaps, c.mn min_gap_s,
+             |  c.mx max_gap_s, c.med2 med2_gap_s, p.p90 p90_gap_s
+             |FROM c JOIN p ON c.u = p.u ORDER BY 1""".stripMargin))
   )
 }

@@ -351,4 +351,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Seq(("a", 3L, Some(1.0)), ("b", 2L, None),
       ("c", 2L, Some(-1.0)), ("d", 1L, None)))
   }
+
+  test("psi: identical slices score 0; hand-computed shifted mix; " +
+    "one-sided bins skipped and counted, not epsilon-fudged") {
+    val ref = Seq(10.0, 10.0, 10.0, 30.0).toDF("v")   // bins 0×3, 1×1
+    val same = Analytics.psi(ref, ref, "v", lo = 0.0, width = 20.0,
+      nBins = 5).collect().head
+    assert((same.getLong(0), same.getLong(1), same.getLong(2),
+      same.getLong(3), same.getDouble(4)) == ((4L, 4L, 2L, 0L, 0.0)))
+    // cur: bins 0×1, 1×3  → psi = (.75−.25)ln3 + (.25−.75)ln(1/3) = ln3
+    val cur = Seq(10.0, 30.0, 30.0, 30.0).toDF("v")
+    val drift = Analytics.psi(ref, cur, "v", 0.0, 20.0, 5).collect().head
+    val ln3 = BigDecimal(0.5 * math.log(3.0) - 0.5 * math.log(1.0 / 3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(drift.getDouble(4) == ln3)
+    // one-sided bin: cur2 adds bin 2 (50.0) absent from ref → skipped=1
+    val cur2 = Seq(10.0, 30.0, 50.0).toDF("v")
+    val sk = Analytics.psi(ref, cur2, "v", 0.0, 20.0, 5).collect().head
+    assert(sk.getLong(2) == 2L && sk.getLong(3) == 1L)
+  }
+
+  test("interArrivalStats: hand gaps, .5 median in doubled units, exact " +
+    "p90 rank, single-event entities absent, ts tiebreak by id") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      // u1 gaps: 10, 20, 30, 40 s → med2 = 50 (25.0·2), p90 rank
+      // ceil(3.6)=4 → 40; min 10 max 40
+      (1L, 1L, ts("2024-01-01 00:00:00")),
+      (1L, 2L, ts("2024-01-01 00:00:10")),
+      (1L, 3L, ts("2024-01-01 00:00:30")),
+      (1L, 4L, ts("2024-01-01 00:01:00")),
+      (1L, 5L, ts("2024-01-01 00:01:40")),
+      // u2: equal ts — id order makes gaps (0, 5)
+      (2L, 6L, ts("2024-01-01 00:00:00")),
+      (2L, 7L, ts("2024-01-01 00:00:00")),
+      (2L, 8L, ts("2024-01-01 00:00:05")),
+      // u3: single event → no gaps → absent
+      (3L, 9L, ts("2024-01-01 00:00:00"))
+    ).toDF("user_id", "event_id", "ts")
+    val got = Analytics.interArrivalStats(ev, "user_id", "ts", "event_id")
+      .orderBy("user_id")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 4L, 10L, 40L, 50L, 40L),
+      (2L, 2L, 0L, 5L, 5L, 5L)))
+  }
 }
