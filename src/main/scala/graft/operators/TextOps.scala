@@ -593,4 +593,53 @@ object TextOps {
     releaseV()
     out
   }
+
+  /** MinHash-sketched vocabulary similarity between document groups —
+    * the FIXED-SIZE scale path beside [[vocabJaccard]]'s exact
+    * computation: each group's vocabulary collapses to `numHashes`
+    * minima (Kirsch-Mitzenmacher h1 + j·h2, all arithmetic mod 1e9+7 so
+    * no engine can overflow), and pair similarity is signature
+    * agreement `matches/k`.
+    *
+    * WHY this is the 100 TB shape: min() is DUPLICATE-INSENSITIVE, so
+    * there is no fact-scale distinct and no token self-join at all —
+    * one explode feeds k map-side MIN aggregates (k longs per group
+    * cross the shuffle), and the pair stage touches only the
+    * |groups|-row signature table. vocabJaccard's exact path shuffles
+    * the distinct vocabulary; this shuffles k·|groups| longs.
+    *
+    * Determinism: hashes are md5-derived (15 hex digits → BIGINT, the
+    * DedupOps convention the oracle rebuilds digit-by-digit), moduli
+    * fix every value below 2⁶³ in both engines, and matches/k is one
+    * rounded division. Groups with no tokens have no signature and are
+    * absent from the output (documented).
+    */
+  def minhashVocabSimilarity(docs: DataFrame, groupCol: String,
+                             textCol: String,
+                             numHashes: Int = 16): DataFrame = {
+    def md5Long(c: Column) =
+      conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+    val toks = docs
+      .filter(col(groupCol).isNotNull && col(textCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        explode(tokens(col(textCol))).as("__w"))
+    val hashed = toks.select(col("__g"),
+      (md5Long(col("__w")) % 1000000000L).as("__h1"),
+      (md5Long(concat(col("__w"), lit("#2"))) % 1000000000L + 1L).as("__h2"))
+    val mins = (0 until numHashes).map(j =>
+      min((col("__h1") + lit(j.toLong) * col("__h2")) % 1000000007L)
+        .as(s"__m$j"))
+    val sig = hashed.groupBy(col("__g")).agg(mins.head, mins.tail: _*)
+    val a = sig.select(col("__g").as("g_a") +:
+      (0 until numHashes).map(j => col(s"__m$j").as(s"__a$j")): _*)
+    val b = sig.select(col("__g").as("g_b") +:
+      (0 until numHashes).map(j => col(s"__m$j").as(s"__b$j")): _*)
+    val matches = (0 until numHashes).map(j =>
+      when(col(s"__a$j") === col(s"__b$j"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    a.join(b, col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"), matches.as("matches"),
+        round(matches.cast("double") / lit(numHashes.toDouble), 4)
+          .as("est_jaccard"))
+  }
 }

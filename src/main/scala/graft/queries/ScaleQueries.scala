@@ -3446,6 +3446,39 @@ object ScaleQueries {
              |  ON r.u = c.u AND r.rn = (9 * c.n + 9) // 10)
              |SELECT c.u user_id, c.n n_gaps, c.mn min_gap_s,
              |  c.mx max_gap_s, c.med2 med2_gap_s, p.p90 p90_gap_s
-             |FROM c JOIN p ON c.u = p.u ORDER BY 1""".stripMargin))
+             |FROM c JOIN p ON c.u = p.u ORDER BY 1""".stripMargin)),
+
+    // MinHash vocab similarity (x87): the fixed-size sketch path beside
+    // x84's exact Jaccard — min() is duplicate-insensitive, so NO
+    // fact-scale distinct and NO token self-join exist; k longs per
+    // group cross the shuffle. Oracle rebuilds both md5 hashes
+    // digit-by-digit (x4 machinery) and replays the mod arithmetic.
+    QuerySpec("x87_minhash_vocab_sim", (s, d) =>
+      graft.operators.TextOps.minhashVocabSimilarity(
+        t(s, d, "documents"), "source", "text", numHashes = 16)
+        .orderBy("g_a", "g_b"),
+      Some {
+        val h = (c: String) =>
+          s"""list_reduce(list_transform(range(1, 16),
+             |      i -> CAST(strpos('0123456789abcdef',
+             |        substr(md5($c), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |      (a, b) -> a * 16 + b)""".stripMargin
+        val minCols = (0 until 16).map(j =>
+          s"min((h1m + $j * h2m) % 1000000007) m$j").mkString(", ")
+        val matchTerms = (0 until 16).map(j =>
+          s"(CASE WHEN a.m$j = b.m$j THEN 1 ELSE 0 END)").mkString(" + ")
+        s"""WITH t AS (SELECT source g,
+           |    unnest(regexp_split_to_array(trim(text), '\\s+')) w
+           |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+           |    AND length(trim(text)) > 0),
+           |hh AS (SELECT g, ${h("w")} % 1000000000 h1m,
+           |    (${h("w || '#2'")} % 1000000000) + 1 h2m FROM t),
+           |sig AS (SELECT g, $minCols FROM hh GROUP BY g)
+           |SELECT a.g g_a, b.g g_b,
+           |  CAST($matchTerms AS BIGINT) matches,
+           |  round(CAST($matchTerms AS DOUBLE) / 16.0, 4) est_jaccard
+           |FROM sig a JOIN sig b ON a.g < b.g
+           |ORDER BY 1, 2""".stripMargin
+      })
   )
 }

@@ -540,4 +540,25 @@ class TextDedupSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().toSeq
     assert(got == Seq(("s1", "s2", 2L, 0.5)))
   }
+
+  test("minhashVocabSimilarity: identical vocab matches k/k; duplicate " +
+    "tokens are signature-invariant; estimates bounded; empty group absent") {
+    import spark.implicits._
+    val docs = Seq(
+      ("s1", "alpha beta gamma"), ("s2", "alpha alpha beta beta gamma"),
+      ("s3", "zeta eta theta iota kappa"),
+      ("s4", "")  // no tokens → no signature
+    ).toDF("src", "text")
+    val got = TextOps.minhashVocabSimilarity(docs, "src", "text", 16)
+      .orderBy("g_a", "g_b")
+      .as[(String, String, Long, Double)].collect().toSeq
+    val bySrc = got.map(r => (r._1, r._2) -> r).toMap
+    // s1 and s2 have the SAME vocabulary → all 16 minima agree
+    assert(bySrc(("s1", "s2"))._3 == 16L &&
+      bySrc(("s1", "s2"))._4 == 1.0)
+    // only pairs among s1..s3 exist (s4 absent): 3 pairs
+    assert(got.size == 3)
+    assert(got.forall(r => r._3 >= 0L && r._3 <= 16L &&
+      r._4 >= 0.0 && r._4 <= 1.0))
+  }
 }
