@@ -703,6 +703,105 @@ object Analytics {
     when(zeros === 16, lit(65)).otherwise(zeros * 4 + lz + 1)
   }
 
+  /** Exact two-sample Kolmogorov-Smirnov statistic between two slices of
+    * one numeric column: `D = max_v |F_a(v) − F_b(v)|` over the pooled
+    * support — the distribution-drift twin of [[psi]] that needs no
+    * binning choice at all.
+    *
+    * ALL-INTEGER until the final division: values render to cents; per
+    * distinct cent the two counts cumulate over the value order, and the
+    * sup runs over `|cum_a·n_b − cum_b·n_a|` — an exact BIGINT — so the
+    * maximizing value is found by integer comparison alone, and
+    * D = D_num/(n_a·n_b) is ONE division, round 6. (Overflow bound:
+    * cum·n < 2⁶³ ⇒ fine to ~3·10⁹ rows per side.)
+    *
+    * Scale shape: two map-side-combinable value censuses are all that
+    * leave the facts; the cumulative window runs over the pooled census
+    * — sized by distinct VALUES, never rows (and at extreme value
+    * cardinality the x20 globalRank prefix-sum kernel is the drop-in
+    * replacement for its one ordered exchange) — then a single-row max.
+    */
+  def ksStatistic(a: DataFrame, b: DataFrame,
+                  valueCol: String): DataFrame = {
+    def census(df: DataFrame, out: String) = df
+      .filter(col(valueCol).isNotNull)
+      .select(floor(col(valueCol) * 100).cast("long").as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as(out))
+    val merged = census(a, "__ca").join(census(b, "__cb"),
+      Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = merged
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+    val tot = cum.agg(max(col("__cuma")).as("__na"),
+      max(col("__cumb")).as("__nb"))
+    cum.crossJoin(broadcast(tot))
+      .agg(first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
+        max(abs(col("__cuma") * col("__nb") -
+          col("__cumb") * col("__na"))).as("__dnum"))
+      .select(col("n_a"), col("n_b"),
+        round(col("__dnum").cast("double") /
+          (col("n_a") * col("n_b")).cast("double"), 6).as("d_stat"))
+  }
+
+  /** HLL set algebra between two segments WITHOUT joining them: distinct
+    * cardinality of A, B, A∪B from mergeable registers (union = register-
+    * wise MAX — the defining property of HLL), and |A∩B| by inclusion-
+    * exclusion, with the Jaccard estimate — the audience-overlap
+    * question answered from two sketch scans instead of a user-level
+    * join.
+    *
+    * At 100 TB this is the point: each side reduces to m=2^p register
+    * rows map-side (the only shuffle), the merge touches 2m rows, and
+    * NOTHING user-keyed ever crosses the network, where the exact
+    * answer needs a distinct + join over both segments. The exact
+    * counts ride along (x60 convention) so the estimate is graded
+    * against its truth: the p=5 default keeps both segments above the
+    * 2.5·m raw-HLL validity floor at every test SF (st8 note).
+    *
+    * Determinism: md5-derived idx/rho ([[hllIdx]]/[[hllRho]]);
+    * finalization is [[hllFinalize]]'s literal IEEE op sequence; the
+    * intersection derives from the ROUNDED estimates (clamped at 0 —
+    * HLL noise can push inclusion-exclusion negative), so the oracle
+    * replays every step bit for bit.
+    */
+  def hllSetAlgebra(a: DataFrame, b: DataFrame, valueCol: String,
+                    p: Int = 5): DataFrame = {
+    def regs(df: DataFrame) = df.filter(col(valueCol).isNotNull)
+      .select(hllIdx(col(valueCol), p).as("__idx"),
+        hllRho(col(valueCol)).as("__rho"))
+      .groupBy(col("__idx")).agg(max(col("__rho")).as("__M"))
+    val (ra, relA) = Checkpoints.tracked(regs(a))
+    val (rb, relB) = Checkpoints.tracked(regs(b))
+    val ru = ra.unionAll(rb).groupBy(col("__idx")).agg(max(col("__M")).as("__M"))
+    def est(reg: DataFrame, name: String) =
+      hllFinalize(reg, Nil, p).withColumnRenamed("hll_distinct", name)
+    val exactA = a.filter(col(valueCol).isNotNull)
+      .select(col(valueCol)).distinct()
+    val exactB = b.filter(col(valueCol).isNotNull)
+      .select(col(valueCol)).distinct()
+    val exacts = exactA.unionAll(exactB)
+      .agg(countDistinct(col(valueCol)).as("exact_union"))
+      .crossJoin(exactA.join(exactB, Seq(valueCol), "left_semi")
+        .agg(count(lit(1)).as("exact_inter")))
+    val out = est(ra, "est_a").crossJoin(est(rb, "est_b"))
+      .crossJoin(est(ru, "est_union"))
+      .withColumn("est_inter",
+        greatest(round(col("est_a") + col("est_b") - col("est_union"), 2),
+          lit(0.0)))
+      .withColumn("est_jaccard",
+        round(col("est_inter") / col("est_union"), 4))
+      .crossJoin(broadcast(exacts))
+      .select(col("est_a"), col("est_b"), col("est_union"), col("est_inter"),
+        col("est_jaccard"), col("exact_union"), col("exact_inter"))
+      .localCheckpoint(true)
+    relA(); relB()
+    out
+  }
+
   /** Harmonic-mean finalization over a register table (groupCols, __idx,
     * __M → one estimate row per group). Split out so sketch STATE can be
     * maintained elsewhere — e.g. a streaming aggregation

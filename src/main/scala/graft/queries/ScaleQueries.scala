@@ -3479,6 +3479,91 @@ object ScaleQueries {
            |  round(CAST($matchTerms AS DOUBLE) / 16.0, 4) est_jaccard
            |FROM sig a JOIN sig b ON a.g < b.g
            |ORDER BY 1, 2""".stripMargin
-      })
+      }),
+
+    // HLL set algebra (x88): audience overlap of the two January halves
+    // from mergeable registers — union is register-wise MAX, |A∩B| by
+    // inclusion-exclusion on the rounded estimates — no user-keyed join
+    // for the estimates; exacts ride along (x60 convention). p=5 keeps
+    // both segments above the 2.5·m raw-HLL validity floor.
+    QuerySpec("x88_hll_set_algebra", (s, d) => {
+      val ev = t(s, d, "events")
+      graft.operators.Analytics.hllSetAlgebra(
+        ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+        ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+        "user_id", p = 5)
+    },
+      Some {
+        def regCte(tag: String, cond: String) =
+          s"""h$tag AS (SELECT md5(CAST(user_id AS VARCHAR)) hx
+             |  FROM events WHERE user_id IS NOT NULL AND $cond),
+             |b$tag AS (SELECT list_reduce(list_transform(range(1, 4),
+             |      i -> CAST(strpos('0123456789abcdef',
+             |        substr(hx, CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |      (a, b) -> a*16 + b) % 32 idx,
+             |    substr(hx, 4, 16) rest FROM h$tag),
+             |r$tag AS (SELECT idx, length(regexp_extract(rest, '^0*')) z,
+             |    substr(rest, length(regexp_extract(rest, '^0*')) + 1, 1) c1
+             |  FROM b$tag),
+             |rr$tag AS (SELECT idx, CASE WHEN z = 16 THEN 65 ELSE z*4 +
+             |    (CASE WHEN c1 = '1' THEN 3 WHEN c1 IN ('2','3') THEN 2
+             |          WHEN c1 IN ('4','5','6','7') THEN 1 ELSE 0 END) + 1
+             |  END rho FROM r$tag),
+             |reg$tag AS (SELECT idx, max(rho) M FROM rr$tag GROUP BY idx)"""
+        val e = "round(0.7213/(1.0 + 1.079/32)*32*32/" +
+          "(sum(pow(2.0, -M)) + (32 - count(*))), 2)"
+        s"""WITH ${regCte("a", "ts < TIMESTAMP '2024-01-16'")},
+           |${regCte("b", "ts >= TIMESTAMP '2024-01-16'")},
+           |regu AS (SELECT idx, max(M) M FROM (
+           |    SELECT * FROM rega UNION ALL SELECT * FROM regb)
+           |  GROUP BY idx),
+           |ea AS (SELECT $e e FROM rega),
+           |eb AS (SELECT $e e FROM regb),
+           |eu AS (SELECT $e e FROM regu),
+           |exu AS (SELECT count(DISTINCT user_id) exact_union FROM events
+           |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+           |exi AS (SELECT count(*) exact_inter FROM (
+           |    SELECT DISTINCT user_id FROM events
+           |      WHERE user_id IS NOT NULL AND ts < TIMESTAMP '2024-01-16'
+           |    INTERSECT
+           |    SELECT DISTINCT user_id FROM events
+           |      WHERE user_id IS NOT NULL AND ts >= TIMESTAMP '2024-01-16'))
+           |SELECT ea.e est_a, eb.e est_b, eu.e est_union,
+           |  greatest(round(ea.e + eb.e - eu.e, 2), 0.0) est_inter,
+           |  round(greatest(round(ea.e + eb.e - eu.e, 2), 0.0) / eu.e, 4)
+           |    est_jaccard,
+           |  exact_union, exact_inter
+           |FROM ea, eb, eu, exu, exi""".stripMargin
+      }),
+
+    // Exact two-sample KS statistic (x89): distribution drift between
+    // the January halves with NO binning choice — sup|F_a − F_b| found
+    // by integer comparison on |cum_a·n_b − cum_b·n_a|, one final
+    // division. Window runs over the distinct-cents census, not rows.
+    QuerySpec("x89_ks_drift", (s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      graft.operators.Analytics.ksStatistic(
+        ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+        ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+        "value")
+    },
+      Some("""WITH ca AS (SELECT CAST(floor("value"*100) AS BIGINT) v,
+             |    count(*) c FROM events
+             |  WHERE "value" IS NOT NULL AND ts IS NOT NULL
+             |    AND ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+             |cb AS (SELECT CAST(floor("value"*100) AS BIGINT) v,
+             |    count(*) c FROM events
+             |  WHERE "value" IS NOT NULL AND ts >= TIMESTAMP '2024-01-16'
+             |  GROUP BY 1),
+             |m AS (SELECT coalesce(ca.v, cb.v) v, coalesce(ca.c, 0) ia,
+             |    coalesce(cb.c, 0) ib
+             |  FROM ca FULL JOIN cb ON ca.v = cb.v),
+             |c AS (SELECT v, sum(ia) OVER (ORDER BY v) cuma,
+             |    sum(ib) OVER (ORDER BY v) cumb FROM m),
+             |t AS (SELECT max(cuma) na, max(cumb) nb FROM c)
+             |SELECT t.na n_a, t.nb n_b,
+             |  round(CAST(max(abs(cuma * t.nb - cumb * t.na)) AS DOUBLE) /
+             |    CAST(t.na * t.nb AS DOUBLE), 6) d_stat
+             |FROM c CROSS JOIN t GROUP BY t.na, t.nb""".stripMargin))
   )
 }

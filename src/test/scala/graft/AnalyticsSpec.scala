@@ -396,4 +396,37 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Seq((1L, 4L, 10L, 40L, 50L, 40L),
       (2L, 2L, 0L, 5L, 5L, 5L)))
   }
+
+  test("hllSetAlgebra: identical segments give inter = a = union; exact " +
+    "counts right; disjointish segments keep jaccard in [0,1]") {
+    val a = (1L to 200L).toDF("u")
+    val same = Analytics.hllSetAlgebra(a, a, "u", p = 5).collect().head
+    // identical registers: union == a == b, inclusion-exclusion == a
+    assert(same.getDouble(0) == same.getDouble(2))
+    assert(same.getDouble(3) == same.getDouble(0))
+    assert(same.getDouble(4) == 1.0)
+    assert(same.getLong(5) == 200L && same.getLong(6) == 200L)
+    // overlapping halves: A = 1..200, B = 101..300 → inter 100, union 300
+    val b = (101L to 300L).toDF("u")
+    val ov = Analytics.hllSetAlgebra(a, b, "u", p = 5).collect().head
+    assert(ov.getLong(5) == 300L && ov.getLong(6) == 100L)
+    assert(ov.getDouble(4) >= 0.0 && ov.getDouble(4) <= 1.0)
+    assert(ov.getDouble(2) >= ov.getDouble(0) - 0.01)  // union est ≥ max side
+  }
+
+  test("ksStatistic: identical slices 0; hand-computed shifted sample; " +
+    "disjoint supports reach 1; nulls excluded") {
+    val a = Seq(Some(1.0), Some(2.0), Some(3.0), Some(4.0), None).toDF("v")
+    val same = Analytics.ksStatistic(a, a, "v").collect().head
+    assert((same.getLong(0), same.getLong(1), same.getDouble(2)) ==
+      ((4L, 4L, 0.0)))
+    // b shifted by +2: sup|F| = 1/2 at v in {2,3,4}
+    val b = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    val sh = Analytics.ksStatistic(a, b, "v").collect().head
+    assert(sh.getDouble(2) == 0.5)
+    // disjoint supports: D = 1
+    val c = Seq(100.0, 101.0).toDF("v")
+    assert(Analytics.ksStatistic(a, c, "v").collect().head.getDouble(2)
+      == 1.0)
+  }
 }
