@@ -747,6 +747,94 @@ object Analytics {
           (col("n_a") * col("n_b")).cast("double"), 6).as("d_stat"))
   }
 
+  /** Per-group exact two-sample KS: [[ksStatistic]] computed
+    * independently inside every group — the production drift question
+    * ("WHICH source/type drifted?") instead of the corpus-level one.
+    * Same all-integer sup arithmetic; the cumulative window partitions
+    * by group, so there is no global exchange at all — per-partition
+    * state is bounded by that group's distinct values. Groups present
+    * in only one slice carry D = 1 by convention IF the other side is
+    * empty but the group exists; here such groups appear with n=0 on
+    * one side and d_stat 1.0 (every CDF step is unmatched) — falls out
+    * of the arithmetic, not a special case.
+    */
+  def ksStatisticByGroup(a: DataFrame, b: DataFrame, groupCol: String,
+                         valueCol: String): DataFrame = {
+    def census(df: DataFrame, out: String) = df
+      .filter(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol), floor(col(valueCol) * 100).cast("long").as("__v"))
+      .groupBy(col(groupCol), col("__v")).agg(count(lit(1)).as(out))
+    val merged = census(a, "__ca").join(census(b, "__cb"),
+      Seq(groupCol, "__v"), "full_outer")
+      .select(col(groupCol), col("__v"),
+        coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val cum = merged
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+    val tot = cum.groupBy(col(groupCol))
+      .agg(max(col("__cuma")).as("__na"), max(col("__cumb")).as("__nb"))
+    cum.join(broadcast(tot), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
+        max(abs(col("__cuma") * col("__nb") -
+          col("__cumb") * col("__na"))).as("__dnum"))
+      .select(col(groupCol), col("n_a"), col("n_b"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          round(col("__dnum").cast("double") /
+            (col("n_a") * col("n_b")).cast("double"), 6))
+          .otherwise(lit(1.0)).as("d_stat"))
+  }
+
+  /** Mann-Whitney U between two slices of one numeric column, EXACT and
+    * entirely integer — the rank-based drift/treatment test that, unlike
+    * KS, weighs by how far mass moved, and unlike the t-test, needs no
+    * normality: pooled midranks (ties averaged) in DOUBLED units (x74 —
+    * a midrank can be *.5, so rank2 = 2·rank is the exact BIGINT), then
+    *   U_a = R_a − n_a(n_a+1)/2   (pairs where a beats b, ties half)
+    * computed in doubled units throughout, and the rank-biserial effect
+    * size `U_a/(n_a·n_b)·2 − 1` (+1 = a entirely above b, −1 = entirely
+    * below, 0 = exchangeable) as the ONE division, round 6. No libm
+    * call anywhere.
+    *
+    * Scale shape: one pooled value census (map-side combinable), one
+    * cumulative window over it (distinct-values sized), and per-side
+    * rank sums as census-weighted integer folds — the facts are touched
+    * once each, nothing row-scale shuffles.
+    */
+  def mannWhitneyU(a: DataFrame, b: DataFrame,
+                   valueCol: String): DataFrame = {
+    def census(df: DataFrame, out: String) = df
+      .filter(col(valueCol).isNotNull)
+      .select(floor(col(valueCol) * 100).cast("long").as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as(out))
+    val merged = census(a, "__ca").join(census(b, "__cb"),
+      Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb"))
+      .withColumn("__c", col("__ca") + col("__cb"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    // midrank2(v) = 2·avg rank of the tied block = (cum before) + (cum
+    // incl.) + 1 in doubled units — integer by construction
+    val ranked = merged
+      .withColumn("__cum", sum(col("__c")).over(w))
+      .withColumn("__mr2", (col("__cum") - col("__c")) + col("__cum") + 1L)
+    ranked.agg(
+        sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        sum(col("__ca") * col("__mr2")).as("__ra2"))
+      .select(col("n_a"), col("n_b"),
+        // U2 = 2·U_a = R_a2 − n_a(n_a+1)  (all BIGINT)
+        (col("__ra2") - col("n_a") * (col("n_a") + 1L)).as("u2_a"),
+        round(
+          (col("__ra2") - col("n_a") * (col("n_a") + 1L)).cast("double") /
+            (col("n_a") * col("n_b")).cast("double") - lit(1.0), 6)
+          .as("rank_biserial"))
+  }
+
   /** HLL set algebra between two segments WITHOUT joining them: distinct
     * cardinality of A, B, A∪B from mergeable registers (union = register-
     * wise MAX — the defining property of HLL), and |A∩B| by inclusion-

@@ -3564,6 +3564,71 @@ object ScaleQueries {
              |SELECT t.na n_a, t.nb n_b,
              |  round(CAST(max(abs(cuma * t.nb - cumb * t.na)) AS DOUBLE) /
              |    CAST(t.na * t.nb AS DOUBLE), 6) d_stat
-             |FROM c CROSS JOIN t GROUP BY t.na, t.nb""".stripMargin))
+             |FROM c CROSS JOIN t GROUP BY t.na, t.nb""".stripMargin)),
+
+    // Per-group KS drift (x90): which event_type drifted between the
+    // January halves — x89's integer sup arithmetic with the cumulative
+    // window PARTITIONED by group, so no global exchange exists.
+    QuerySpec("x90_ks_by_group", (s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      graft.operators.Analytics.ksStatisticByGroup(
+        ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+        ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+        "event_type", "value").orderBy("event_type")
+    },
+      Some("""WITH ca AS (SELECT event_type g,
+             |    CAST(floor("value"*100) AS BIGINT) v, count(*) c
+             |  FROM events WHERE "value" IS NOT NULL
+             |    AND event_type IS NOT NULL AND ts IS NOT NULL
+             |    AND ts < TIMESTAMP '2024-01-16' GROUP BY 1, 2),
+             |cb AS (SELECT event_type g,
+             |    CAST(floor("value"*100) AS BIGINT) v, count(*) c
+             |  FROM events WHERE "value" IS NOT NULL
+             |    AND event_type IS NOT NULL
+             |    AND ts >= TIMESTAMP '2024-01-16' GROUP BY 1, 2),
+             |m AS (SELECT coalesce(ca.g, cb.g) g, coalesce(ca.v, cb.v) v,
+             |    coalesce(ca.c, 0) ia, coalesce(cb.c, 0) ib
+             |  FROM ca FULL JOIN cb ON ca.g = cb.g AND ca.v = cb.v),
+             |c AS (SELECT g, v,
+             |    sum(ia) OVER (PARTITION BY g ORDER BY v) cuma,
+             |    sum(ib) OVER (PARTITION BY g ORDER BY v) cumb FROM m),
+             |t AS (SELECT g, max(cuma) na, max(cumb) nb FROM c GROUP BY 1)
+             |SELECT c.g event_type, t.na n_a, t.nb n_b,
+             |  CASE WHEN t.na > 0 AND t.nb > 0 THEN
+             |    round(CAST(max(abs(cuma * t.nb - cumb * t.na)) AS DOUBLE) /
+             |      CAST(t.na * t.nb AS DOUBLE), 6) ELSE 1.0 END d_stat
+             |FROM c JOIN t ON c.g = t.g GROUP BY c.g, t.na, t.nb
+             |ORDER BY 1""".stripMargin)),
+
+    // Mann-Whitney U (x91): rank-based drift between the January halves
+    // — EXACT, all-integer (midranks in doubled units, x74 trick), no
+    // libm call anywhere; rank-biserial effect size is the one division.
+    QuerySpec("x91_mann_whitney", (s, d) => {
+      val ev = t(s, d, "events").filter(col("ts").isNotNull)
+      graft.operators.Analytics.mannWhitneyU(
+        ev.filter(col("ts") < lit("2024-01-16").cast("timestamp")),
+        ev.filter(col("ts") >= lit("2024-01-16").cast("timestamp")),
+        "value")
+    },
+      Some("""WITH ca AS (SELECT CAST(floor("value"*100) AS BIGINT) v,
+             |    count(*) c FROM events
+             |  WHERE "value" IS NOT NULL AND ts IS NOT NULL
+             |    AND ts < TIMESTAMP '2024-01-16' GROUP BY 1),
+             |cb AS (SELECT CAST(floor("value"*100) AS BIGINT) v,
+             |    count(*) c FROM events
+             |  WHERE "value" IS NOT NULL AND ts >= TIMESTAMP '2024-01-16'
+             |  GROUP BY 1),
+             |m AS (SELECT coalesce(ca.v, cb.v) v, coalesce(ca.c, 0) ia,
+             |    coalesce(cb.c, 0) ib
+             |  FROM ca FULL JOIN cb ON ca.v = cb.v),
+             |c AS (SELECT v, ia, ib, ia + ib cc,
+             |    sum(ia + ib) OVER (ORDER BY v) cum FROM m),
+             |s AS (SELECT sum(ia) na, sum(ib) nb, sum(ia * mr2) ra2
+             |  FROM (SELECT ia, ib, (cum - cc) + cum + 1 mr2 FROM c))
+             |SELECT na n_a, nb n_b,
+             |  ra2 - na * (na + 1) u2_a,
+             |  round(CAST(ra2 - na * (na + 1) AS DOUBLE) /
+             |    CAST(na * nb AS DOUBLE) - 1.0, 6) rank_biserial
+             |FROM s""".stripMargin))
   )
 }

@@ -429,4 +429,35 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.ksStatistic(a, c, "v").collect().head.getDouble(2)
       == 1.0)
   }
+
+  test("ksStatisticByGroup: per-group sup independent; one-sided group " +
+    "carries 1.0; null group excluded") {
+    val a = Seq(("g1", 1.0), ("g1", 2.0), ("g2", 5.0), ("only_a", 7.0),
+      (null.asInstanceOf[String], 9.0)).toDF("g", "v")
+    val b = Seq(("g1", 1.0), ("g1", 2.0), ("g2", 6.0)).toDF("g", "v")
+    val got = Analytics.ksStatisticByGroup(a, b, "g", "v").orderBy("g")
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("g1", 2L, 2L, 0.0), ("g2", 1L, 1L, 1.0),
+      ("only_a", 1L, 0L, 1.0)))
+  }
+
+  test("mannWhitneyU: exchangeable 0; complete separation ±1; ties get " +
+    "exact midranks in doubled units") {
+    val a = Seq(1.0, 2.0).toDF("v")
+    val b = Seq(3.0, 4.0).toDF("v")
+    // a entirely below b: U_a = 0 → u2 = 0, r = −1
+    val lo = Analytics.mannWhitneyU(a, b, "v").collect().head
+    assert((lo.getLong(2), lo.getDouble(3)) == ((0L, -1.0)))
+    val hi = Analytics.mannWhitneyU(b, a, "v").collect().head
+    assert((hi.getLong(2), hi.getDouble(3)) == ((8L, 1.0)))
+    // identical → exchangeable: r = 0, U_a = na·nb/2 → u2 = na·nb
+    val same = Analytics.mannWhitneyU(a, a, "v").collect().head
+    assert((same.getLong(2), same.getDouble(3)) == ((4L, 0.0)))
+    // ties: a=[1,1], b=[1,3] → pooled ranks of the three 1s are midrank
+    // 2 (mr2=4): R_a = 4, U_a = 4−3 = 1 → u2 = 2, r = 2·1/4−1 = −0.5
+    val ta = Seq(1.0, 1.0).toDF("v")
+    val tb = Seq(1.0, 3.0).toDF("v")
+    val tied = Analytics.mannWhitneyU(ta, tb, "v").collect().head
+    assert((tied.getLong(2), tied.getDouble(3)) == ((2L, -0.5)))
+  }
 }
