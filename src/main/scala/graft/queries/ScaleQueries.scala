@@ -3629,6 +3629,54 @@ object ScaleQueries {
              |  ra2 - na * (na + 1) u2_a,
              |  round(CAST(ra2 - na * (na + 1) AS DOUBLE) /
              |    CAST(na * nb AS DOUBLE) - 1.0, 6) rank_biserial
-             |FROM s""".stripMargin))
+             |FROM s""".stripMargin)),
+
+    // Streaming PSI drift monitor (st13): per-DAY PSI of the live value
+    // mix vs the frozen pre-cutoff baseline — stream state is st10's
+    // bin registers (≤ nBins rows/window); all PSI semantics (x85:
+    // one-sided bins excluded AND reported, ordered fold) run
+    // batch-side on (windows × bins)-sized frames.
+    QuerySpec("st13_stream_psi_drift", (s, d) => {
+      val schema = new StructType()
+        .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
+        .add("event_type", StringType).add("value", DoubleType)
+        .add("props", StringType)
+      val run = streamRun.incrementAndGet()
+      val sink = s"graft_psi_$run"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runWindowedPsiAvailableNow(s, d, "events.parquet", schema,
+        t(s, d, "events"), loCents = 0L, widthCents = 2000L, nBins = 18,
+        cutoff = "2024-01-22 00:00:00", sink, ckpt)
+        .orderBy("window_start")
+    },
+      Some("""WITH rb AS (SELECT least(greatest(
+             |      CAST(floor("value"*100) AS BIGINT), 0) // 2000, 17) bin,
+             |    count(*) nr FROM events
+             |  WHERE ts IS NOT NULL AND ts < TIMESTAMP '2024-01-22'
+             |  GROUP BY 1),
+             |wb AS (SELECT date_trunc('day', ts) ws, least(greatest(
+             |      CAST(floor("value"*100) AS BIGINT), 0) // 2000, 17) bin,
+             |    count(*) nc FROM events
+             |  WHERE ts >= TIMESTAMP '2024-01-22' GROUP BY 1, 2),
+             |tt AS (SELECT sum(nr) tr FROM rb),
+             |ww AS (SELECT ws, sum(nc) tc FROM wb GROUP BY 1),
+             |grid AS (SELECT w.ws, rb.bin, rb.nr
+             |  FROM (SELECT DISTINCT ws FROM wb) w CROSS JOIN rb),
+             |j AS (SELECT coalesce(g.ws, wb.ws) ws,
+             |    coalesce(g.bin, wb.bin) bin, g.nr, wb.nc
+             |  FROM grid g FULL JOIN wb
+             |    ON g.ws = wb.ws AND g.bin = wb.bin),
+             |terms AS (SELECT j.ws, j.bin, j.nr, j.nc, ww.tc, tt.tr,
+             |    CASE WHEN nr IS NOT NULL AND nc IS NOT NULL THEN
+             |      (CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE) -
+             |       CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE)) *
+             |      ln((CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE)) /
+             |         (CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE))) END t
+             |  FROM j JOIN ww ON j.ws = ww.ws CROSS JOIN tt)
+             |SELECT ws window_start, min(tr) n_ref, min(tc) n_cur,
+             |  count(t) n_bins_used, count(*) - count(t) n_bins_skipped,
+             |  round(list_sum(list(t ORDER BY bin) FILTER (t IS NOT NULL)),
+             |    6) psi
+             |FROM terms GROUP BY ws ORDER BY ws""".stripMargin))
   )
 }

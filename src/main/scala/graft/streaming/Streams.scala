@@ -220,6 +220,72 @@ object Streams {
         Seq("window_start"), loCents, widthCents, ps)
     }
 
+  /** Streaming PSI drift monitor: per-window PSI of the live value mix
+    * against a FROZEN pre-`cutoff` baseline — the production "did
+    * today's data shift?" alarm. The stream stops at
+    * [[windowedHistogramRegisters]]' per-window bin counts (≤ nBins
+    * rows per window of state); everything PSI — totals, one-sided-bin
+    * accounting, the ordered fold — runs batch-side over
+    * (windows × bins)-sized frames, mirroring
+    * [[graft.operators.Analytics.psi]]'s exact semantics (one-sided
+    * bins excluded AND reported, no epsilon fudge). Counts share st10's
+    * honest reliance on exactly-once file-source delivery.
+    */
+  def runWindowedPsiAvailableNow(spark: SparkSession, dir: String,
+                                 glob: String, schema: StructType,
+                                 train: DataFrame, loCents: Long,
+                                 widthCents: Long, nBins: Int,
+                                 cutoff: String, sinkName: String,
+                                 checkpoint: String,
+                                 windowLen: String = "1 day"): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cents = floor(col("value") * 100).cast("long")
+    val wb = withNanosAsLong(spark) {
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob).parquet(dir)
+      val stream =
+        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+        else raw
+      val q = windowedHistogramRegisters(
+        stream.filter(col("ts") >= lit(cutoff).cast("timestamp")),
+        cents, loCents, widthCents, nBins,
+        watermark = windowLen, window = windowLen)
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      detachSink(spark, sinkName, checkpoint)
+    }
+    val rb = train
+      .filter(col("ts").isNotNull &&
+        col("ts") < lit(cutoff).cast("timestamp") && cents.isNotNull)
+      .withColumn("__cents", cents)
+      .select(expr(s"least(greatest(__cents - ${loCents}L, 0L) div " +
+        s"${widthCents}L, ${nBins - 1}L)").as("__bin"))
+      .groupBy(col("__bin")).agg(count(lit(1)).as("__nr"))
+    val tr = rb.agg(sum(col("__nr")).as("__tr"))
+    val ww = wb.groupBy(col("window_start")).agg(sum(col("__cnt")).as("__tc"))
+    val grid = wb.select(col("window_start")).distinct().crossJoin(rb)
+    val j = grid.join(wb, Seq("window_start", "__bin"), "full_outer")
+    j.join(broadcast(ww), Seq("window_start"))
+      .crossJoin(broadcast(tr))
+      .withColumn("__pr", col("__nr").cast("double") / col("__tr").cast("double"))
+      .withColumn("__pc", col("__cnt").cast("double") / col("__tc").cast("double"))
+      .withColumn("__t", when(col("__nr").isNotNull && col("__cnt").isNotNull,
+        (col("__pr") - col("__pc")) * log(col("__pr") / col("__pc"))))
+      .groupBy(col("window_start"))
+      .agg(first(col("__tr")).as("n_ref"), first(col("__tc")).as("n_cur"),
+        count(col("__t")).as("n_bins_used"),
+        (count(lit(1)) - count(col("__t"))).as("n_bins_skipped"),
+        round(aggregate(
+          array_sort(collect_list(
+            when(col("__t").isNotNull, struct(col("__bin"), col("__t"))))),
+          lit(0.0), (acc, x) => acc + x("__t")), 6).as("psi"))
+  }
+
   /** Streaming Count-Min registers — the frequency sibling of
     * [[windowedHllRegisters]] (cardinality) and
     * [[windowedHistogramRegisters]] (distribution), completing the

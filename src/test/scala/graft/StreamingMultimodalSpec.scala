@@ -66,6 +66,37 @@ class StreamingMultimodalSpec extends SparkSpec {
       ("2024-01-15 11:00:00", 1L, 0L, 2L, true)))
   }
 
+  test("streaming PSI: identical live/baseline mixes score 0; day with a " +
+    "novel bin reports it skipped") {
+    val dir = Files.createTempDirectory("graft_stream_in").toString
+    // baseline (before Jan 15): values 10 ×2, 30 ×2 → bins 0,1
+    // day 1 (Jan 15): same mix → psi 0, used 2, skipped 0
+    // day 2 (Jan 16): 10, 50 → bin 2 novel (skipped), bin 1 ref-only
+    val events = Seq(
+      (1L, "2024-01-10 10:00:00", 10.0), (2L, "2024-01-10 11:00:00", 10.0),
+      (3L, "2024-01-11 10:00:00", 30.0), (4L, "2024-01-11 11:00:00", 30.0),
+      (5L, "2024-01-15 10:00:00", 10.0), (6L, "2024-01-15 11:00:00", 10.0),
+      (7L, "2024-01-15 12:00:00", 30.0), (8L, "2024-01-15 13:00:00", 30.0),
+      (9L, "2024-01-16 10:00:00", 10.0), (10L, "2024-01-16 11:00:00", 50.0)
+    ).toDF("event_id", "ts_s", "value")
+      .withColumn("ts", col("ts_s").cast("timestamp")).drop("ts_s")
+    events.write.mode("overwrite").parquet(dir)
+    val ckpt = Files.createTempDirectory("graft_ckpt").toString
+    val out = Streams.runWindowedPsiAvailableNow(spark, dir, "*.parquet",
+      events.schema, events, loCents = 0L, widthCents = 2000L, nBins = 18,
+      cutoff = "2024-01-15 00:00:00", "graft_psi_sink", ckpt)
+      .orderBy("window_start")
+      .select($"window_start".cast("string"), $"n_ref", $"n_cur",
+        $"n_bins_used", $"n_bins_skipped", $"psi")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq(
+      ("2024-01-15 00:00:00", 4L, 4L, 2L, 0L, 0.0),
+      // day 2: bin0 both (t≠0), bin1 ref-only, bin2 live-only → 2 skipped
+      ("2024-01-16 00:00:00", 4L, 2L, 1L, 2L,
+        BigDecimal((0.5 - 0.5) * math.log(1.0))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)))
+  }
+
   test("streaming foreachBatch merge equals the batch merge (M1 via watermark loop)") {
     val factDir = Files.createTempDirectory("graft_fact").toString + "/fact"
     val inDir = Files.createTempDirectory("graft_merge_in").toString
