@@ -835,6 +835,89 @@ object Analytics {
           .as("rank_biserial"))
   }
 
+  /** Benford first-digit screen: the distribution of leading significant
+    * digits of a positive amount column against Benford's law
+    * `P(d) = ln(1+1/d)/ln(10)` — the classic fabricated-data /
+    * unit-mix-error tripwire for financial-ish columns.
+    *
+    * The leading digit is taken from the DECIMAL STRING of the exact
+    * cents rendering (substring of a BIGINT's digits — no log10 float
+    * path to mis-digit at powers of ten); shares and expectations are
+    * one division each; nonpositive and null values are excluded (they
+    * have no leading significant digit). Output: one row per digit 1-9
+    * with observed share, Benford share, and |diff|.
+    *
+    * Scale shape: one map-side-combinable 9-row census; everything else
+    * is constant arithmetic on it.
+    */
+  def benfordDigits(df: DataFrame, valueCol: String): DataFrame = {
+    val cents = floor(col(valueCol) * 100).cast("long")
+    val census = df.filter(col(valueCol).isNotNull && cents > 0)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit")).agg(count(lit(1)).as("n"))
+    val tot = census.agg(sum(col("n")).as("__t"))
+    census.crossJoin(broadcast(tot))
+      .withColumn("share",
+        round(col("n").cast("double") / col("__t").cast("double"), 6))
+      .withColumn("benford", round(
+        log(lit(1.0) + lit(1.0) / col("digit").cast("double")) /
+          log(lit(10.0)), 6))
+      .select(col("digit"), col("n"), col("share"), col("benford"),
+        round(abs(col("share") - col("benford")), 6).as("abs_diff"))
+  }
+
+  /** Embedding-centroid drift between two vector sets: per-dimension
+    * mean vectors compared by cosine and L2 — the cheap first-order
+    * "did the embedding distribution move?" probe run before expensive
+    * re-clustering (a new encoder version, a new corpus slice).
+    *
+    * Determinism with float inputs: components render to EXACT
+    * micro-unit BIGINTs (round(x·10⁶)) so the per-dimension cross-row
+    * sums are order-proof; the per-dimension means are one division
+    * each, and the three dot products fold ORDERED BY dimension (x70
+    * pattern, ≤ dims terms). Output: n_a, n_b, cosine of the centroids,
+    * L2 of their difference (micro-unit scale preserved → values in the
+    * original embedding units), round 6.
+    *
+    * Scale shape: each side is one posexplode (rows × dims, map-local)
+    * into a dims-sized map-side-combinable sum census; the fold runs
+    * over ≤ dims rows. Nothing row-scale shuffles.
+    */
+  def centroidDrift(a: DataFrame, b: DataFrame,
+                    vecCol: String): DataFrame = {
+    def sums(df: DataFrame, s: String, n: String) = df
+      .filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .select(col("__d"),
+        round(col("__x").cast("double") * 1000000d).cast("long").as("__q"))
+      .groupBy(col("__d"))
+      .agg(sum(col("__q")).as(s), count(lit(1)).as(n))
+    val merged = sums(a, "__sa", "__na").join(sums(b, "__sb", "__nb"), "__d")
+      .withColumn("__ca",
+        col("__sa").cast("double") / col("__na").cast("double") / lit(1e6))
+      .withColumn("__cb",
+        col("__sb").cast("double") / col("__nb").cast("double") / lit(1e6))
+    merged.agg(
+        first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
+        aggregate(array_sort(collect_list(struct(col("__d"),
+          (col("__ca") * col("__cb")).as("__t")))),
+          lit(0.0), (acc, x) => acc + x("__t")).as("__dot"),
+        aggregate(array_sort(collect_list(struct(col("__d"),
+          (col("__ca") * col("__ca")).as("__t")))),
+          lit(0.0), (acc, x) => acc + x("__t")).as("__aa"),
+        aggregate(array_sort(collect_list(struct(col("__d"),
+          (col("__cb") * col("__cb")).as("__t")))),
+          lit(0.0), (acc, x) => acc + x("__t")).as("__bb"),
+        aggregate(array_sort(collect_list(struct(col("__d"),
+          ((col("__ca") - col("__cb")) * (col("__ca") - col("__cb")))
+            .as("__t")))),
+          lit(0.0), (acc, x) => acc + x("__t")).as("__dd"))
+      .select(col("n_a"), col("n_b"),
+        round(col("__dot") / (sqrt(col("__aa")) * sqrt(col("__bb"))), 6)
+          .as("cosine_centroids"),
+        round(sqrt(col("__dd")), 6).as("l2_shift"))
+  }
+
   /** HLL set algebra between two segments WITHOUT joining them: distinct
     * cardinality of A, B, A∪B from mergeable registers (union = register-
     * wise MAX — the defining property of HLL), and |A∩B| by inclusion-

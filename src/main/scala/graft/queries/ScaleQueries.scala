@@ -3677,6 +3677,63 @@ object ScaleQueries {
              |  count(t) n_bins_used, count(*) - count(t) n_bins_skipped,
              |  round(list_sum(list(t ORDER BY bin) FILTER (t IS NOT NULL)),
              |    6) psi
-             |FROM terms GROUP BY ws ORDER BY ws""".stripMargin))
+             |FROM terms GROUP BY ws ORDER BY ws""".stripMargin)),
+
+    // Benford first-digit screen (x92): leading digits of order totals
+    // vs ln(1+1/d)/ln(10) — digit taken from the BIGINT cents' decimal
+    // string, no float log10 to mis-digit at powers of ten.
+    QuerySpec("x92_benford", (s, d) =>
+      graft.operators.Analytics.benfordDigits(
+        t(s, d, "orders"), "o_totalprice").orderBy("digit"),
+      Some("""WITH c AS (SELECT CAST(substr(CAST(
+             |      CAST(floor(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+             |      1, 1) AS INT) digit, count(*) n
+             |  FROM orders WHERE o_totalprice IS NOT NULL
+             |    AND CAST(floor(o_totalprice * 100) AS BIGINT) > 0
+             |  GROUP BY 1),
+             |t AS (SELECT sum(n) tt FROM c)
+             |SELECT digit, n,
+             |  round(CAST(n AS DOUBLE) / CAST(tt AS DOUBLE), 6) "share",
+             |  round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)
+             |    benford,
+             |  round(abs(round(CAST(n AS DOUBLE) / CAST(tt AS DOUBLE), 6) -
+             |    round(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 6)),
+             |    6) abs_diff
+             |FROM c CROSS JOIN t ORDER BY digit""".stripMargin)),
+
+    // Embedding-centroid drift (x93): per-dim means of the two id-halves
+    // of the corpus compared by cosine + L2. Micro-unit BIGINT sums make
+    // the cross-row reductions order-proof; the ≤64-term dot products
+    // fold ordered by dimension.
+    QuerySpec("x93_centroid_drift", (s, d) => {
+      val e = t(s, d, "embeddings")
+      graft.operators.Analytics.centroidDrift(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 === 1), "embedding")
+    },
+      Some("""WITH dims AS (SELECT unnest(range(1, 65)) i),
+             |qa AS (SELECT i, sum(CAST(round(
+             |      CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) s,
+             |    count(*) n
+             |  FROM embeddings CROSS JOIN dims
+             |  WHERE vec_id % 2 = 0 GROUP BY i),
+             |qb AS (SELECT i, sum(CAST(round(
+             |      CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) s,
+             |    count(*) n
+             |  FROM embeddings CROSS JOIN dims
+             |  WHERE vec_id % 2 = 1 GROUP BY i),
+             |m AS (SELECT qa.i,
+             |    CAST(qa.s AS DOUBLE) / CAST(qa.n AS DOUBLE) / 1e6 ca,
+             |    CAST(qb.s AS DOUBLE) / CAST(qb.n AS DOUBLE) / 1e6 cb,
+             |    qa.n na, qb.n nb
+             |  FROM qa JOIN qb ON qa.i = qb.i)
+             |SELECT min(na) n_a, min(nb) n_b,
+             |  round(list_sum(list(ca * cb ORDER BY i)) /
+             |    (sqrt(list_sum(list(ca * ca ORDER BY i))) *
+             |     sqrt(list_sum(list(cb * cb ORDER BY i)))), 6)
+             |    cosine_centroids,
+             |  round(sqrt(list_sum(list((ca - cb) * (ca - cb) ORDER BY i))),
+             |    6) l2_shift
+             |FROM m""".stripMargin))
   )
 }

@@ -460,4 +460,34 @@ class AnalyticsSpec extends SparkSpec {
     val tied = Analytics.mannWhitneyU(ta, tb, "v").collect().head
     assert((tied.getLong(2), tied.getDouble(3)) == ((2L, -0.5)))
   }
+
+  test("benfordDigits: digits from the cents string; nonpositive/null " +
+    "excluded; shares sum to 1; benford column exact") {
+    val df = Seq(Some(1.23), Some(19.99), Some(2.5), Some(0.009),
+      Some(-5.0), None, Some(900.0)).toDF("v")
+    // cents: 123→1, 1999→1, 250→2, 0 (excluded), -500 (excluded), 90000→9
+    val got = Analytics.benfordDigits(df, "v").orderBy("digit")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(got == Seq((1, 2L, 0.5), (2, 1L, 0.25), (9, 1L, 0.25)))
+    val ben = Analytics.benfordDigits(df, "v").orderBy("digit")
+      .collect().map(_.getDouble(3)).toSeq
+    assert(ben.head == BigDecimal(math.log(2.0) / math.log(10.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
+  test("centroidDrift: identical sets cosine 1 / shift 0; hand-computed " +
+    "orthogonal shift; counts per side") {
+    val a = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(1.0f, 0.0f)))
+      .toDF("id", "vec")
+    val same = Analytics.centroidDrift(a, a, "vec").collect().head
+    assert((same.getLong(0), same.getLong(1)) == ((2L, 2L)))
+    assert(same.getDouble(2) == 1.0 && same.getDouble(3) == 0.0)
+    // b centroid (0,1): cosine 0, l2 = √2
+    val b = Seq((3L, Array(0.0f, 1.0f))).toDF("id", "vec")
+    val ortho = Analytics.centroidDrift(a, b, "vec").collect().head
+    assert(ortho.getDouble(2) == 0.0)
+    assert(ortho.getDouble(3) == BigDecimal(math.sqrt(2.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
 }
