@@ -918,6 +918,61 @@ object Analytics {
         round(sqrt(col("__dd")), 6).as("l2_shift"))
   }
 
+  /** Per-group embedding dispersion: each group's centroid plus the mean
+    * and max cosine distance of its members to that centroid — the
+    * cluster-cohesion / label-quality card ("is this source's embedding
+    * space tight or smeared?") that pairs with [[centroidDrift]]'s
+    * between-group probe.
+    *
+    * Determinism over float rows: centroids come from exact micro-unit
+    * BIGINT sums (as [[centroidDrift]]); each member's cosine-to-centroid
+    * is a per-row in-array fold (array order — deterministic); and the
+    * cross-row MEAN of those cosines — the one float reduction a naive
+    * version would leave order-dependent — is made exact by quantizing
+    * each cosine to 1e−6 BIGINTs and summing INTEGERS (not by an
+    * ordered fold, so it scales to any group size). One division at the
+    * end; max needs no such care (order-free).
+    *
+    * Scale shape: one posexplode into a (groups × dims) census, the
+    * centroid broadcast back onto the vectors, one map-side-combinable
+    * stats pass. Per-group state is dims-sized; nothing collects.
+    */
+  def groupDispersion(df: DataFrame, groupCol: String,
+                      vecCol: String): DataFrame = {
+    val cents = df.filter(col(vecCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol), posexplode(col(vecCol)).as(Seq("__d", "__x")))
+      .select(col(groupCol), col("__d"),
+        round(col("__x").cast("double") * 1000000d).cast("long").as("__q"))
+      .groupBy(col(groupCol), col("__d"))
+      .agg(sum(col("__q")).as("__s"), count(lit(1)).as("__n"))
+      .withColumn("__c",
+        col("__s").cast("double") / col("__n").cast("double") / lit(1e6))
+      .groupBy(col(groupCol))
+      .agg(aggregate(array_sort(collect_list(struct(col("__d"), col("__c")))),
+        lit(0.0), (acc, x) => acc + x("__c") * x("__c")).as("__cc"),
+        sort_array(collect_list(struct(col("__d"), col("__c"))))
+          .as("__centroid"))
+    val joined = df.filter(col(vecCol).isNotNull && col(groupCol).isNotNull)
+      .join(broadcast(cents), Seq(groupCol))
+    // per-row: dot(v, centroid) and ||v|| are in-array ordered folds;
+    // cosine distance quantized to 1e-6 for the exact integer mean
+    val dot = aggregate(zip_with(col(vecCol),
+      col("__centroid"), (x, c) => x.cast("double") * c("__c")),
+      lit(0.0), (acc, t) => acc + t)
+    val vv = aggregate(transform(col(vecCol),
+      x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, t) => acc + t)
+    val cosDist = lit(1.0) - dot / (sqrt(vv) * sqrt(col("__cc")))
+    joined
+      .withColumn("__cd6", round(cosDist * 1000000d).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__cd6")).cast("double") /
+          count(lit(1)).cast("double") / lit(1e6), 6).as("mean_cos_dist"),
+        round(max(col("__cd6")).cast("double") / lit(1e6), 6)
+          .as("max_cos_dist"))
+  }
+
   /** HLL set algebra between two segments WITHOUT joining them: distinct
     * cardinality of A, B, A∪B from mergeable registers (union = register-
     * wise MAX — the defining property of HLL), and |A∩B| by inclusion-

@@ -3734,6 +3734,39 @@ object ScaleQueries {
              |    cosine_centroids,
              |  round(sqrt(list_sum(list((ca - cb) * (ca - cb) ORDER BY i))),
              |    6) l2_shift
-             |FROM m""".stripMargin))
+             |FROM m""".stripMargin)),
+
+    // Per-label embedding dispersion (x94): cluster-cohesion card —
+    // centroid from micro-unit BIGINT sums, per-vector cosine distance
+    // as an in-array fold, and the cross-row MEAN made exact by
+    // quantizing each cosine to 1e-6 BIGINTs (integer sum, not an
+    // ordered fold — scales to any group size).
+    QuerySpec("x94_group_dispersion", (s, d) =>
+      graft.operators.Analytics.groupDispersion(
+        t(s, d, "embeddings"), "label", "embedding").orderBy("label"),
+      Some("""WITH e AS (SELECT label g, embedding FROM embeddings
+             |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+             |dims AS (SELECT unnest(range(1, 65)) i),
+             |q AS (SELECT g, i, sum(CAST(round(
+             |      CAST(embedding[i] AS DOUBLE) * 1000000) AS BIGINT)) s,
+             |    count(*) n
+             |  FROM e CROSS JOIN dims GROUP BY 1, 2),
+             |c AS (SELECT g, i,
+             |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6 c FROM q),
+             |cc AS (SELECT g, list_sum(list(c * c ORDER BY i)) cc
+             |  FROM c GROUP BY 1),
+             |cl AS (SELECT g, list(c ORDER BY i) cl FROM c GROUP BY 1),
+             |d AS (SELECT e.g, CAST(round((1.0 -
+             |      list_sum(list_transform(range(1, 65),
+             |        i -> CAST(embedding[i] AS DOUBLE) * cl[CAST(i AS INT)]))
+             |      / (sqrt(list_sum(list_transform(embedding,
+             |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) *
+             |         sqrt(cc))) * 1000000) AS BIGINT) cd6
+             |  FROM e JOIN cl ON e.g = cl.g JOIN cc ON e.g = cc.g)
+             |SELECT g "label", count(*) n,
+             |  round(CAST(sum(cd6) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             |    / 1e6, 6) mean_cos_dist,
+             |  round(CAST(max(cd6) AS DOUBLE) / 1e6, 6) max_cos_dist
+             |FROM d GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

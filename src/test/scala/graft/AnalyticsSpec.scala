@@ -490,4 +490,18 @@ class AnalyticsSpec extends SparkSpec {
     assert(ortho.getDouble(3) == BigDecimal(math.sqrt(2.0))
       .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
   }
+
+  test("groupDispersion: hand-computed cohesion; singleton group is " +
+    "perfectly tight; null group/vec excluded") {
+    val df = Seq(
+      ("g1", Array(1.0f, 0.0f)), ("g1", Array(0.0f, 1.0f)),
+      ("g2", Array(3.0f, 4.0f)),
+      (null.asInstanceOf[String], Array(9.0f, 9.0f)),
+      ("g3", null.asInstanceOf[Array[Float]])
+    ).toDF("g", "vec")
+    val got = Analytics.groupDispersion(df, "g", "vec").orderBy("g")
+      .as[(String, Long, Double, Double)].collect().toSeq
+    // g1 centroid (.5,.5): each member's cos dist = 1 − 1/√2 → 0.292893
+    assert(got == Seq(("g1", 2L, 0.292893, 0.292893), ("g2", 1L, 0.0, 0.0)))
+  }
 }
