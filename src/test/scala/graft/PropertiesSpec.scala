@@ -80,4 +80,46 @@ class PropertiesSpec extends SparkSpec {
       assert(r.getLong(0) < r.getLong(1))
     }
   }
+
+  test("two-sample stat properties on random frames: KS symmetric in " +
+    "[0,1], MWU rank-biserial antisymmetric, PSI self-drift zero, " +
+    "MWU identity exchangeable") {
+    import graft.operators.Analytics
+    val gen = Gen.listOfN(40, Gen.chooseNum(-50.0, 50.0))
+    for (seed <- 0 until 3) {
+      val xs = samples(gen, 1).head.map(v => math.rint(v * 100) / 100)
+      val ys = samples(gen, 1).flatten.take(40).map(_ + seed * 3.0)
+        .map(v => math.rint(v * 100) / 100)
+      val a = xs.toDF("v")
+      val b = ys.toDF("v")
+      val kab = Analytics.ksStatistic(a, b, "v").collect().head.getDouble(2)
+      val kba = Analytics.ksStatistic(b, a, "v").collect().head.getDouble(2)
+      assert(kab == kba && kab >= 0.0 && kab <= 1.0)
+      val rab = Analytics.mannWhitneyU(a, b, "v").collect().head.getDouble(3)
+      val rba = Analytics.mannWhitneyU(b, a, "v").collect().head.getDouble(3)
+      assert(math.abs(rab + rba) < 1e-9)
+      assert(Analytics.mannWhitneyU(a, a, "v").collect().head.getDouble(3)
+        == 0.0)
+      val self = Analytics.psi(a, a, "v", -60.0, 10.0, 12).collect().head
+      assert(self.getDouble(4) == 0.0 && self.getLong(3) == 0L)
+    }
+  }
+
+  test("triangle counts are invariant under edge direction, duplication, " +
+    "and row order on random graphs") {
+    import graft.operators.GraphOps
+    val edgeGen = Gen.listOfN(60,
+      Gen.zip(Gen.chooseNum(0, 11), Gen.chooseNum(0, 11)))
+    for (seed <- 0 until 3) {
+      val edges = samples(edgeGen, 1).flatten
+        .map { case (x, y) => (s"n$x", s"n$y") }
+      val base = GraphOps.triangleCounts(edges.toDF("s", "t"), "s", "t")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val mangled = scala.util.Random.shuffle(
+        edges ++ edges.map(_.swap) ++ edges)
+      val again = GraphOps.triangleCounts(mangled.toDF("s", "t"), "s", "t")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(base == again)
+    }
+  }
 }
