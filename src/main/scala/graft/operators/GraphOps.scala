@@ -148,6 +148,52 @@ object GraphOps {
     out
   }
 
+  /** k-core peeling (Seidman 1983), FIXED-ROUND: repeatedly drop nodes
+    * of degree < k and the edges touching them; after `rounds` rounds,
+    * emit surviving nodes with their residual degree — the dense-
+    * substructure extractor behind spam-ring and community-core
+    * detection. A fixed round count (vs run-to-fixpoint) keeps the
+    * operator replayable by any engine: the oracle replays the SAME
+    * rounds, and on graphs whose peeling converges earlier the extra
+    * rounds are no-ops.
+    *
+    * Scale shape per round: one map-side-combinable degree count and two
+    * semi-joins of the edge frame against the ≥k node set — all hash
+    * exchanges on node keys; the edge frame shrinks monotonically and is
+    * checkpoint-and-released each round (pageRank pattern), so plan
+    * depth stays constant in `rounds`.
+    */
+  def kCore(edges: DataFrame, srcCol: String, dstCol: String,
+            k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1 (got $k, $rounds)")
+    val init = edges
+      .select(col(srcCol).cast("string").as("__a"),
+        col(dstCol).cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("__u"),
+        greatest(col("__a"), col("__b")).as("__v"))
+      .distinct()
+    var (e, releaseE) = Checkpoints.tracked(
+      init.select(col("__u").as("__s"), col("__v").as("__t"))
+        .union(init.select(col("__v").as("__s"), col("__u").as("__t"))))
+    for (_ <- 1 to rounds) {
+      val keep = e.groupBy(col("__s")).agg(count(lit(1)).as("__dg"))
+        .filter(col("__dg") >= k).select(col("__s"))
+      val (next, releaseNext) = Checkpoints.tracked(e
+        .join(keep, Seq("__s"), "left_semi")
+        .join(keep.withColumnRenamed("__s", "__t"), Seq("__t"), "left_semi"))
+      releaseE()
+      e = next
+      releaseE = releaseNext
+    }
+    val out = e.groupBy(col("__s").as("node"))
+      .agg(count(lit(1)).as("degree"))
+      .localCheckpoint(true)
+    releaseE()
+    out
+  }
+
   /** Synchronous label propagation (Raghavan et al. 2007, made
     * DETERMINISTIC): every node starts labeled with its own id; each
     * iteration relabels every node with the label most frequent among its

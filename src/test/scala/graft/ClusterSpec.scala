@@ -211,4 +211,25 @@ class ClusterSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     assert(directed == Map("a" -> "a", "b" -> "a"))
   }
+
+  test("kCore: K4 with a pendant tail peels to the clique at k=3; " +
+    "cascade removal needs the extra round; k above max degree empties") {
+    import spark.implicits._
+    def core(edges: Seq[(String, String)], k: Int, rounds: Int) =
+      GraphOps.kCore(edges.toDF("s", "t"), "s", "t", k, rounds)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k4 = for {
+      a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b
+    } yield (a, b)
+    // tail d-e-f: e,f die round 1-2 (cascade), K4 survives with deg 3
+    val g = k4 ++ Seq(("d", "e"), ("e", "f"))
+    assert(core(g, 3, 4) ==
+      Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L))
+    // after ONE round the cascade hasn't reached e yet (f gone, e stays)
+    assert(core(g, 2, 1).contains("e"))
+    assert(!core(g, 2, 3).contains("f"))
+    // k larger than any degree → empty graph
+    assert(core(k4, 5, 3).isEmpty)
+  }
 }
