@@ -835,6 +835,79 @@ object Analytics {
           .as("rank_biserial"))
   }
 
+  /** RFM (recency / frequency / monetary) scoring — the classic
+    * customer-value segmentation: per entity, days since last activity,
+    * event count, and total cents, each then scored 1-5 by quintile
+    * rank. Quintiles use `ntile(5)` over a TOTAL order (metric, then
+    * entity id as tiebreak) so equal metric values split
+    * deterministically — the id tiebreak is what makes the output
+    * hash-stable across engines and partitionings.
+    *
+    * All arithmetic is integer (whole days, counts, cents; ntile is
+    * rank arithmetic). Recency scores 5 for MOST recent (rank by
+    * recency descending would invert — we rank days ascending and flip
+    * to 6−ntile), frequency/monetary score 5 for the largest.
+    *
+    * Scale shape: one map-side-combinable per-entity aggregate, then
+    * three entity-sized ntile windows. The windows are global-ordered:
+    * entity-count-sized frames — the x20 globalRank kernel is the
+    * drop-in at extreme entity cardinality.
+    */
+  def rfmScores(df: DataFrame, entityCol: String, tsCol: String,
+                valueCol: String, anchor: String): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val base = df
+      .filter(col(entityCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(entityCol))
+      .agg(
+        datediff(lit(anchor).cast("date"), max(to_date(col(tsCol))))
+          .cast("long").as("recency_days"),
+        count(lit(1)).as("frequency"),
+        coalesce(sum(floor(col(valueCol) * 100).cast("long")), lit(0L))
+          .as("monetary_cents"))
+    base
+      .withColumn("r_score", lit(6) - ntile(5).over(
+        W.orderBy(col("recency_days"), col(entityCol))))
+      .withColumn("f_score", ntile(5).over(
+        W.orderBy(col("frequency"), col(entityCol))))
+      .withColumn("m_score", ntile(5).over(
+        W.orderBy(col("monetary_cents"), col(entityCol))))
+  }
+
+  /** Time-decayed sum with a half-life, ALL-INTEGER: weight for an event
+    * `n = floor(age/halfLife)` half-lives old is exactly 2^−n, carried
+    * as the BIGINT numerator `2^(S−n)` over the fixed denominator 2^S
+    * (S=20; events older than 20 half-lives weigh exactly 0) — so the
+    * decayed sum is an exact integer sum of `cents·2^(S−n)` terms
+    * (bounded ≪ 2⁶³ for any realistic group) and ONE final division by
+    * 2^S renders it. No pow(), no float accumulation, bitwise equal on
+    * any engine at any parallelism — the trick that makes "decayed
+    * revenue" gradeable at all.
+    *
+    * Output per group: n events, decayed cents (round 4). One map-side
+    * combinable aggregate; group-sized output.
+    */
+  def timeDecayedSum(df: DataFrame, groupCol: String, tsCol: String,
+                     valueCol: String, halfLifeDays: Int,
+                     anchor: String): DataFrame = {
+    require(halfLifeDays >= 1, s"halfLifeDays must be >= 1 (got $halfLifeDays)")
+    val S = 20
+    val age = datediff(lit(anchor).cast("date"), to_date(col(tsCol)))
+      .cast("long")
+    val n = floor(age / lit(halfLifeDays.toLong)).cast("long")
+    val cents = floor(col(valueCol) * 100).cast("long")
+    df.filter(col(groupCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol), cents.as("__c"), n.as("__n"))
+      .withColumn("__t", col("__c") * expr(
+        s"CASE WHEN __n >= $S OR __n < 0 THEN 0L " +
+          s"ELSE shiftleft(1L, $S - cast(__n AS int)) END"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__t")).cast("double") / lit((1L << S).toDouble), 4)
+          .as("decayed_cents"))
+  }
+
   /** Benford first-digit screen: the distribution of leading significant
     * digits of a positive amount column against Benford's law
     * `P(d) = ln(1+1/d)/ln(10)` — the classic fabricated-data /

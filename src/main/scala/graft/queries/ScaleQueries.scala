@@ -3801,6 +3801,46 @@ object ScaleQueries {
         }.mkString(",\n", ",\n", "\n")
         head + rounds +
           "SELECT s node, count(*) degree FROM e6 GROUP BY 1 ORDER BY 1"
-      })
+      }),
+
+    // RFM scoring (x96): recency/frequency/monetary quintiles per user —
+    // ntile over a TOTAL order (metric, then id) so equal metrics split
+    // deterministically; all integer arithmetic.
+    QuerySpec("x96_rfm_scores", (s, d) =>
+      graft.operators.Analytics.rfmScores(
+        t(s, d, "events"), "user_id", "ts", "value",
+        anchor = "2024-02-01").orderBy("user_id"),
+      Some("""WITH b AS (SELECT user_id,
+             |    CAST(DATE '2024-02-01' - max(CAST(ts AS DATE)) AS BIGINT)
+             |      recency_days,
+             |    count(*) frequency,
+             |    coalesce(sum(CAST(floor("value" * 100) AS BIGINT)), 0)
+             |      monetary_cents
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1)
+             |SELECT user_id, recency_days, frequency, monetary_cents,
+             |  6 - ntile(5) OVER (ORDER BY recency_days, user_id) r_score,
+             |  ntile(5) OVER (ORDER BY frequency, user_id) f_score,
+             |  ntile(5) OVER (ORDER BY monetary_cents, user_id) m_score
+             |FROM b ORDER BY user_id""".stripMargin)),
+
+    // Time-decayed revenue (x97): weekly half-life, ALL-INTEGER — weight
+    // 2^-n carried as the BIGINT numerator 2^(20-n), one division by
+    // 2^20 at the end. No pow(), no float accumulation.
+    QuerySpec("x97_time_decayed", (s, d) =>
+      graft.operators.Analytics.timeDecayedSum(
+        t(s, d, "events"), "event_type", "ts", "value",
+        halfLifeDays = 7, anchor = "2024-02-01").orderBy("event_type"),
+      Some("""WITH b AS (SELECT event_type,
+             |    CAST(floor("value" * 100) AS BIGINT) c,
+             |    CAST(DATE '2024-02-01' - CAST(ts AS DATE) AS BIGINT) // 7 n
+             |  FROM events WHERE event_type IS NOT NULL
+             |    AND ts IS NOT NULL AND "value" IS NOT NULL),
+             |w AS (SELECT event_type, c * (CASE WHEN n >= 20 OR n < 0
+             |    THEN 0 ELSE (CAST(1 AS BIGINT) << CAST(20 - n AS INT))
+             |    END) wt FROM b)
+             |SELECT event_type, count(*) n,
+             |  round(CAST(sum(wt) AS DOUBLE) / 1048576.0, 4) decayed_cents
+             |FROM w GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

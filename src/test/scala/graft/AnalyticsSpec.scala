@@ -504,4 +504,41 @@ class AnalyticsSpec extends SparkSpec {
     // g1 centroid (.5,.5): each member's cos dist = 1 − 1/√2 → 0.292893
     assert(got == Seq(("g1", 2L, 0.292893, 0.292893), ("g2", 1L, 0.0, 0.0)))
   }
+
+  test("rfmScores: integer metrics; quintile split with id tiebreak; " +
+    "recency flipped so 5 = most recent") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = (1L to 5L).flatMap { u =>
+      // user u: u events, last on Jan u*2, value u each
+      (1L to u).map(i => (u, ts(f"2024-01-${u * 2}%02d 10:00:00"),
+        u.toDouble))
+    }.toDF("user_id", "ts", "value")
+    val got = Analytics.rfmScores(ev, "user_id", "ts", "value",
+      anchor = "2024-02-01").orderBy("user_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4), r.getInt(5), r.getInt(6))).toSeq
+    // user 5: most recent (Jan 10), most frequent, top monetary → 5/5/5
+    assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(got(4) == ((5L, 22L, 5L, 2500L, 5, 5, 5)))
+    // user 1: oldest/least → 1/1/1
+    assert(got(0) == ((1L, 30L, 1L, 100L, 1, 1, 1)))
+  }
+
+  test("timeDecayedSum: exact power-of-two weights; >=20 half-lives and " +
+    "future events weigh zero; one division at the end") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      ("g", ts("2024-02-01 09:00:00"), 1.0),   // age 0  → w 1
+      ("g", ts("2024-01-25 09:00:00"), 1.0),   // age 7  → w 1/2
+      ("g", ts("2024-01-18 09:00:00"), 1.0),   // age 14 → w 1/4
+      ("g", ts("2023-01-01 09:00:00"), 1.0),   // 56 half-lives → 0
+      ("g", ts("2024-03-01 09:00:00"), 1.0)    // future → 0
+    ).toDF("g", "ts", "v")
+    val got = Analytics.timeDecayedSum(ev, "g", "ts", "v",
+      halfLifeDays = 7, anchor = "2024-02-01").collect().head
+    assert(got.getLong(1) == 5L)
+    assert(got.getDouble(2) == 100.0 + 50.0 + 25.0)
+  }
 }
