@@ -908,6 +908,39 @@ object Analytics {
           .as("decayed_cents"))
   }
 
+  /** Per-group Gini coefficient of a nonnegative amount — the
+    * concentration / inequality card ("is this source's volume owned by
+    * three customers?") behind mix-rebalancing decisions:
+    *   G = (2·Σ i·x_(i) − (n+1)·Σx) / (n·Σx),  x ascending.
+    *
+    * ALL-INTEGER numerator: ranks are integers, values are cents, and
+    * Σ i·x_(i) is TIE-PROOF without any tiebreak — permuting equal
+    * values cannot change the sum (the values are equal) — so the rank
+    * window needs no id column and the result is hash-stable at any
+    * parallelism. One division by n·Σx at the end, round 6; groups with
+    * zero total carry NULL. Overflow bound: n·max_cents·n < 2⁶³ — fine
+    * to ~10⁹ rows of ≤ 10⁶-cent values per group.
+    *
+    * Scale shape: one rank window partitioned by group (per-partition
+    * state bounded by the group), one map-side-combinable stats pass.
+    */
+  def giniByGroup(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame = {
+    val cents = floor(col(valueCol) * 100).cast("long")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__c"))
+    df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), cents.as("__c"))
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col("__c")).as("__t"),
+        sum(col("__i") * col("__c")).as("__a"))
+      .select(col(groupCol), col("n"),
+        when(col("__t") > 0, round(
+          (lit(2L) * col("__a") - (col("n") + 1L) * col("__t")).cast("double") /
+            (col("n") * col("__t")).cast("double"), 6)).as("gini"))
+  }
+
   /** Benford first-digit screen: the distribution of leading significant
     * digits of a positive amount column against Benford's law
     * `P(d) = ln(1+1/d)/ln(10)` — the classic fabricated-data /

@@ -3841,6 +3841,26 @@ object ScaleQueries {
              |    END) wt FROM b)
              |SELECT event_type, count(*) n,
              |  round(CAST(sum(wt) AS DOUBLE) / 1048576.0, 4) decayed_cents
-             |FROM w GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM w GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Gini concentration (x98): per event_type inequality of value —
+    // the rank-weighted sum Σ i·x_(i) is tie-proof (equal values
+    // commute), so the rank window needs no tiebreak; all-BIGINT
+    // numerator, one division.
+    QuerySpec("x98_gini", (s, d) =>
+      graft.operators.Analytics.giniByGroup(
+        t(s, d, "events"), "event_type", "value").orderBy("event_type"),
+      Some("""WITH b AS (SELECT event_type g,
+             |    CAST(floor("value" * 100) AS BIGINT) c FROM events
+             |  WHERE event_type IS NOT NULL AND "value" IS NOT NULL),
+             |r AS (SELECT g, c, CAST(row_number() OVER (
+             |    PARTITION BY g ORDER BY c) AS BIGINT) i FROM b),
+             |s AS (SELECT g, count(*) n, sum(c) t, sum(i * c) a
+             |  FROM r GROUP BY 1)
+             |SELECT g event_type, n,
+             |  CASE WHEN t > 0 THEN round(
+             |    CAST(2 * a - (n + 1) * t AS DOUBLE) /
+             |    CAST(n * t AS DOUBLE), 6) END gini
+             |FROM s ORDER BY 1""".stripMargin))
   )
 }

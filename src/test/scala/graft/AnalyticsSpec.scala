@@ -541,4 +541,20 @@ class AnalyticsSpec extends SparkSpec {
     assert(got.getLong(1) == 5L)
     assert(got.getDouble(2) == 100.0 + 50.0 + 25.0)
   }
+
+  test("giniByGroup: uniform 0; hand-computed concentration; all-one-" +
+    "owner approaches (n-1)/n; zero-total NULL; tie-proof") {
+    val df = Seq(
+      ("eq", 5.0), ("eq", 5.0), ("eq", 5.0), ("eq", 5.0),
+      ("cc", 0.0), ("cc", 0.0), ("cc", 0.0), ("cc", 10.0),
+      ("z", 0.0)
+    ).toDF("g", "v")
+    val got = Analytics.giniByGroup(df, "g", "v").orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toSeq
+    // eq: equal shares → G = 0; cc: one owner of 4 → G = (n−1)/n = .75
+    // z: total 0 → NULL
+    assert(got == Seq(("cc", 4L, Some(0.75)), ("eq", 4L, Some(0.0)),
+      ("z", 1L, None)))
+  }
 }
