@@ -102,6 +102,54 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Cohort LTV curve — [[cohortRetention]]'s revenue twin: entities
+    * bucketed by first-activity month, revenue accumulated per
+    * months-since-cohort offset, divided by cohort size for the
+    * cumulative-LTV-per-user curve every payback model reads off.
+    *
+    * All integer until the last division: month offsets are year/month
+    * arithmetic, revenue is exact summed cents, the running total is a
+    * cumulative window over the ≤(cohorts × offsets) cell grid (not the
+    * fact), cohort sizes are counts; ltv = cum/size, round 4.
+    *
+    * Scale shape: one per-entity first-month aggregate, one
+    * (cohort, offset) cents aggregate — both map-side-combinable — and
+    * a window over the metadata-sized grid.
+    */
+  def cohortLtv(events: DataFrame, userCol: String, tsCol: String,
+                valueCol: String): DataFrame = {
+    val firstMonth = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(userCol))
+      .agg(date_trunc("month", min(col(tsCol))).cast("date").as("__cm"))
+    val sizes = firstMonth.groupBy(col("__cm"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val cells = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(userCol),
+        date_trunc("month", col(tsCol)).cast("date").as("__am"),
+        floor(col(valueCol) * 100).cast("long").as("__c"))
+      .join(firstMonth, userCol)
+      .withColumn("month_offset",
+        ((year(col("__am")) - year(col("__cm"))) * 12 +
+          (month(col("__am")) - month(col("__cm")))).cast("long"))
+      .groupBy(col("__cm"), col("month_offset"))
+      .agg(count(lit(1)).as("n_events"), sum(col("__c")).as("__rev"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__cm")).orderBy(col("month_offset"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    cells
+      .withColumn("cum_cents", sum(col("__rev")).over(w))
+      .join(broadcast(sizes), Seq("__cm"))
+      .select(col("__cm").cast("string").as("cohort_month"),
+        col("month_offset"), col("n_events"), col("cum_cents"),
+        col("cohort_size"),
+        round(col("cum_cents").cast("double") /
+          col("cohort_size").cast("double") / lit(100.0), 4)
+          .as("ltv_per_user"))
+  }
+
   /** Ordered funnel: how many users performed stage 1, then stage 2
     * STRICTLY AFTER their first stage-1 event, then stage 3 after that,
     * … Each stage anchors on the user's FIRST qualifying event (the

@@ -3861,6 +3861,35 @@ object ScaleQueries {
              |  CASE WHEN t > 0 THEN round(
              |    CAST(2 * a - (n + 1) * t AS DOUBLE) /
              |    CAST(n * t AS DOUBLE), 6) END gini
-             |FROM s ORDER BY 1""".stripMargin))
+             |FROM s ORDER BY 1""".stripMargin)),
+
+    // Cohort LTV curve (x99): x44's revenue twin over the multi-year
+    // orders span — cumulative cents per (cohort, offset) cell grid,
+    // divided by cohort size. Integer until the last division.
+    QuerySpec("x99_cohort_ltv", (s, d) =>
+      graft.operators.Analytics.cohortLtv(
+        t(s, d, "orders"), "o_custkey", "o_orderdate", "o_totalprice")
+        .orderBy("cohort_month", "month_offset"),
+      Some("""WITH f AS (SELECT o_custkey u,
+             |    CAST(date_trunc('month', min(o_orderdate)) AS DATE) cm
+             |  FROM orders GROUP BY 1),
+             |sz AS (SELECT cm, count(*) cohort_size FROM f GROUP BY 1),
+             |o AS (SELECT o_custkey u,
+             |    CAST(date_trunc('month', o_orderdate) AS DATE) am,
+             |    CAST(floor(o_totalprice * 100) AS BIGINT) c FROM orders),
+             |cells AS (SELECT f.cm,
+             |    CAST((year(am) - year(cm)) * 12 +
+             |      (month(am) - month(cm)) AS BIGINT) mo,
+             |    count(*) n_events, sum(c) rev
+             |  FROM o JOIN f ON o.u = f.u GROUP BY 1, 2),
+             |cum AS (SELECT cm, mo, n_events,
+             |    sum(rev) OVER (PARTITION BY cm ORDER BY mo
+             |      ROWS UNBOUNDED PRECEDING) cum_cents FROM cells)
+             |SELECT CAST(cm AS VARCHAR) cohort_month, mo month_offset,
+             |  n_events, cum_cents, cohort_size,
+             |  round(CAST(cum_cents AS DOUBLE) /
+             |    CAST(cohort_size AS DOUBLE) / 100.0, 4) ltv_per_user
+             |FROM cum JOIN sz USING (cm)
+             |ORDER BY 1, 2""".stripMargin))
   )
 }

@@ -557,4 +557,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Seq(("cc", 4L, Some(0.75)), ("eq", 4L, Some(0.0)),
       ("z", 1L, None)))
   }
+
+  test("cohortLtv: cumulative per-user curve; cohort sized by entities " +
+    "not events; offsets cross year boundaries") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2023-12-05 00:00:00"), 1.0),   // u1 cohort 2023-12
+      (1L, ts("2024-01-20 00:00:00"), 2.0),   // offset 1 (year crossed)
+      (2L, ts("2023-12-15 00:00:00"), 3.0),   // u2 same cohort
+      (3L, ts("2024-02-01 00:00:00"), 10.0)   // own cohort
+    ).toDF("u", "ts", "v")
+    val got = Analytics.cohortLtv(ev, "u", "ts", "v")
+      .orderBy("cohort_month", "month_offset")
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("2023-12-01", 0L, 2L, 400L, 2L, 2.0),
+      ("2023-12-01", 1L, 1L, 600L, 2L, 3.0),
+      ("2024-02-01", 0L, 1L, 1000L, 1L, 10.0)))
+  }
 }
