@@ -102,6 +102,61 @@ object Analytics {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Referential-integrity and constraint audit between a fact and its
+    * dimension: orphaned fact rows (key missing from the dim),
+    * childless dim rows (no fact ever references them), plus arbitrary
+    * named predicate checks — per-row (`factChecks`) and cross-table
+    * (`joinedChecks`, evaluated on fact⋈dim) — the DQ gate a pipeline
+    * runs before trusting a load. Output: one (check, n_violations) row
+    * per check, integer counts only.
+    *
+    * Scale shape: the orphan/childless probes are single key-hash
+    * anti-joins (dim side broadcasts when small; AQE decides); per-row
+    * checks are map-side counting over one fact scan — they share it
+    * via one aggregate pass — and joined checks ride a single fact⋈dim
+    * hash join. Nothing quadratic, nothing collected.
+    */
+  def integrityAudit(fact: DataFrame, dim: DataFrame, factKey: String,
+                     dimKey: String, factChecks: Seq[(String, Column)],
+                     joinedChecks: Seq[(String, Column)] = Nil): DataFrame = {
+    val spark = fact.sparkSession
+    import spark.implicits._
+    def one(name: String, n: DataFrame): DataFrame =
+      n.select(lit(name).as("check"), col("n").cast("long").as("n_violations"))
+    val orphans = one("orphan_fact_rows",
+      fact.join(dim, fact(factKey) === dim(dimKey), "left_anti")
+        .agg(count(lit(1)).as("n")))
+    val childless = one("childless_dim_rows",
+      dim.join(fact, dim(dimKey) === fact(factKey), "left_anti")
+        .agg(count(lit(1)).as("n")))
+    // all per-row checks in ONE fact scan (conditional counts)
+    val rowChecks: Seq[DataFrame] =
+      if (factChecks.isEmpty) Nil
+      else {
+        val agg = fact.agg(
+          count(when(factChecks.head._2, 1)).as("__c0"),
+          factChecks.tail.zipWithIndex.map { case ((_, p), i) =>
+            count(when(p, 1)).as(s"__c${i + 1}") }: _*)
+        factChecks.zipWithIndex.map { case ((name, _), i) =>
+          one(name, agg.select(col(s"__c$i").as("n")))
+        }
+      }
+    val joined: Seq[DataFrame] =
+      if (joinedChecks.isEmpty) Nil
+      else {
+        val j = fact.join(dim, fact(factKey) === dim(dimKey))
+        val agg = j.agg(
+          count(when(joinedChecks.head._2, 1)).as("__j0"),
+          joinedChecks.tail.zipWithIndex.map { case ((_, p), i) =>
+            count(when(p, 1)).as(s"__j${i + 1}") }: _*)
+        joinedChecks.zipWithIndex.map { case ((name, _), i) =>
+          one(name, agg.select(col(s"__j$i").as("n")))
+        }
+      }
+    (Seq(orphans, childless) ++ rowChecks ++ joined)
+      .reduce(_ unionByName _)
+  }
+
   /** Cohort LTV curve — [[cohortRetention]]'s revenue twin: entities
     * bucketed by first-activity month, revenue accumulated per
     * months-since-cohort offset, divided by cohort size for the

@@ -3890,6 +3890,45 @@ object ScaleQueries {
              |  round(CAST(cum_cents AS DOUBLE) /
              |    CAST(cohort_size AS DOUBLE) / 100.0, 4) ltv_per_user
              |FROM cum JOIN sz USING (cm)
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Integrity audit (x100): lineitem↔orders DQ gate — the synthetic
+    // data REALLY violates (257 childless orders, 29k ship-before-order
+    // rows at sf0.01), so the audit's numbers are load-bearing, not
+    // vacuous zeros. Anti-joins + one conditional-count pass + one
+    // joined pass.
+    QuerySpec("x100_integrity_audit", (s, d) =>
+      graft.operators.Analytics.integrityAudit(
+        t(s, d, "lineitem"), t(s, d, "orders"),
+        "l_orderkey", "o_orderkey",
+        factChecks = Seq(
+          ("qty_out_of_bounds",
+            col("l_quantity") < 1 || col("l_quantity") > 50),
+          ("nonpositive_price", col("l_extendedprice") <= 0),
+          ("discount_out_of_range",
+            col("l_discount") < 0 || col("l_discount") > 1)),
+        joinedChecks = Seq(
+          ("ship_before_order", col("l_shipdate") < col("o_orderdate"))))
+        .orderBy("check"),
+      Some("""SELECT 'childless_dim_rows' "check", CAST((
+             |    SELECT count(*) FROM orders WHERE o_orderkey NOT IN (
+             |      SELECT l_orderkey FROM lineitem)) AS BIGINT) n_violations
+             |UNION ALL
+             |SELECT 'discount_out_of_range', (SELECT count(*) FROM lineitem
+             |  WHERE l_discount < 0 OR l_discount > 1)
+             |UNION ALL
+             |SELECT 'nonpositive_price', (SELECT count(*) FROM lineitem
+             |  WHERE l_extendedprice <= 0)
+             |UNION ALL
+             |SELECT 'orphan_fact_rows', (SELECT count(*) FROM lineitem
+             |  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+             |UNION ALL
+             |SELECT 'qty_out_of_bounds', (SELECT count(*) FROM lineitem
+             |  WHERE l_quantity < 1 OR l_quantity > 50)
+             |UNION ALL
+             |SELECT 'ship_before_order', (SELECT count(*)
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+             |  WHERE l_shipdate < o_orderdate)
+             |ORDER BY 1""".stripMargin))
   )
 }

@@ -576,4 +576,21 @@ class AnalyticsSpec extends SparkSpec {
       ("2023-12-01", 1L, 1L, 600L, 2L, 3.0),
       ("2024-02-01", 0L, 1L, 1000L, 1L, 10.0)))
   }
+
+  test("integrityAudit: orphans, childless dims, per-row and joined " +
+    "checks each counted; clean data reports zeros") {
+    val fact = Seq((1L, 5.0, 10), (1L, -2.0, 10), (9L, 1.0, 3))
+      .toDF("fk", "amount", "q")
+    val dim = Seq((1L, 5), (2L, 99)).toDF("dk", "lim")
+    val got = Analytics.integrityAudit(fact, dim, "fk", "dk",
+      factChecks = Seq(("neg_amount", col("amount") < 0)),
+      joinedChecks = Seq(("q_over_lim", col("q") > col("lim"))))
+      .orderBy("check")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(
+      ("childless_dim_rows", 1L),   // dk=2
+      ("neg_amount", 1L),
+      ("orphan_fact_rows", 1L),     // fk=9
+      ("q_over_lim", 2L)))          // both fk=1 rows: 10 > 5
+  }
 }
