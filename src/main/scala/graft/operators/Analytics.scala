@@ -157,6 +157,36 @@ object Analytics {
       .reduce(_ unionByName _)
   }
 
+  /** Rolling N-day active entities (the WAU/MAU curve): for every
+    * calendar day with activity, the count of DISTINCT entities active
+    * in the trailing `windowDays` window. Distinct counts cannot
+    * cumulate through a running-sum window, so the standard exact shape
+    * is: reduce the fact to the (day, entity) census ONCE, then expand
+    * each census row into the ≤ windowDays days it contributes to via a
+    * bounded range join, and count distinct per day — expansion is
+    * windowDays × |census|, never windowDays × |fact|.
+    *
+    * All integers; day keys emitted as ISO strings (c2 precedent).
+    * Days with zero activity produce no row (documented — the census
+    * has nothing to expand).
+    */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+                         windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1 (got $windowDays)")
+    val census = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull)
+      .select(to_date(col(tsCol)).as("__d"), col(userCol).as("__u"))
+      .distinct()
+    val days = census.select(col("__d").as("__day")).distinct()
+    days.join(census,
+        col("__d") <= col("__day") &&
+          col("__d") >= date_sub(col("__day"), windowDays - 1))
+      .groupBy(col("__day"))
+      .agg(countDistinct(col("__u")).as("active_users"))
+      .select(col("__day").cast("string").as("day"),
+        col("active_users"))
+  }
+
   /** Cohort LTV curve — [[cohortRetention]]'s revenue twin: entities
     * bucketed by first-activity month, revenue accumulated per
     * months-since-cohort offset, divided by cohort size for the

@@ -3929,6 +3929,23 @@ object ScaleQueries {
              |SELECT 'ship_before_order', (SELECT count(*)
              |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
              |  WHERE l_shipdate < o_orderdate)
-             |ORDER BY 1""".stripMargin))
+             |ORDER BY 1""".stripMargin)),
+
+    // Rolling 7-day active users (x101): the WAU curve — (day, user)
+    // census once, bounded range-join expansion (7 × census, never
+    // 7 × fact), distinct count per day. Integer counts; ISO-string
+    // days (c2 precedent).
+    QuerySpec("x101_rolling_wau", (s, d) =>
+      graft.operators.Analytics.rollingActiveUsers(
+        t(s, d, "events"), "user_id", "ts", windowDays = 7)
+        .orderBy("day"),
+      Some("""WITH census AS (SELECT DISTINCT CAST(ts AS DATE) d, user_id
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |days AS (SELECT DISTINCT d dd FROM census)
+             |SELECT CAST(dd AS VARCHAR) "day",
+             |  count(DISTINCT user_id) active_users
+             |FROM days JOIN census
+             |  ON d <= dd AND d >= dd - 6
+             |GROUP BY dd ORDER BY 1""".stripMargin))
   )
 }

@@ -593,4 +593,22 @@ class AnalyticsSpec extends SparkSpec {
       ("orphan_fact_rows", 1L),     // fk=9
       ("q_over_lim", 2L)))          // both fk=1 rows: 10 > 5
   }
+
+  test("rollingActiveUsers: trailing window dedups entities, window " +
+    "slides off, inactive days absent") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-01 11:00:00")),   // same user same day: dedup
+      (2L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-09 10:00:00"))    // day 1 outside 7d of day 9
+    ).toDF("u", "ts")
+    val got = Analytics.rollingActiveUsers(ev, "u", "ts", 7)
+      .orderBy("day").as[(String, Long)].collect().toSeq
+    // day 1: {1}; day 2: {1,2}; day 9: window 3-9 → {2?} no — day 2 is
+    // 2024-01-02, 9−6=3 → day 2 excluded → {1}
+    assert(got == Seq(("2024-01-01", 1L), ("2024-01-02", 2L),
+      ("2024-01-09", 1L)))
+  }
 }
