@@ -105,6 +105,33 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("maintainGroupedAgg equals a full recompute over random CDC " +
+    "cycles (inserts, deletes, updates, group moves)") {
+    import graft.operators.MergeOps
+    import org.apache.spark.sql.functions.{count => fcount, floor => ffloor, lit => flit, sum => fsum}
+    def agg(df: org.apache.spark.sql.DataFrame) = df.groupBy($"g")
+      .agg(fcount(flit(1)).as("n"),
+        fsum(ffloor($"v" * 100).cast("long")).as("sum_cents"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val rowGen = Gen.zip(Gen.chooseNum(0L, 60L),
+      Gen.oneOf("g1", "g2", "g3", "g4"), Gen.chooseNum(-30.0, 90.0))
+    for (seed <- 0 until 3) {
+      val before = samples(Gen.listOfN(40, rowGen), 1).flatten
+        .groupBy(_._1).map(_._2.head).toSeq  // unique keys
+      // next snapshot: drop ~1/3, mutate ~1/3 (value and/or group), add new
+      val after = before.zipWithIndex.collect {
+        case ((k, g, v), i) if i % 3 == 0 => (k, g, v)            // kept
+        case ((k, g, v), i) if i % 3 == 1 =>
+          (k, if (i % 2 == 0) g else "g_moved", math.rint(v) + 0.25)
+      } ++ Seq((1000L + seed, "g_new", 7.5), (2000L + seed, "g1", 1.0))
+      val (bDF, aDF) = (before.toDF("k", "g", "v"), after.toDF("k", "g", "v"))
+      val maintained = MergeOps.maintainGroupedAgg(agg(bDF), bDF, aDF,
+        "k", "g", "v")
+      assert(canon(maintained) == canon(agg(aDF)), s"seed $seed")
+    }
+  }
+
   test("triangle counts are invariant under edge direction, duplication, " +
     "and row order on random graphs") {
     import graft.operators.GraphOps
