@@ -284,6 +284,42 @@ object ScaleOps {
       .filter(hashUniform(col(idCol), salt) < col("__rate"))
       .drop("__rate")
 
+  /** Weighted sampling WITHOUT replacement, exactly k per group
+    * (Efraimidis & Spirakis 2006, "Weighted random sampling with a
+    * reservoir": rank rows by key u^(1/w) descending — equivalently
+    * ln(u)/w — and keep each group's top k; inclusion probabilities are
+    * then proportional-to-weight without replacement). The distributed
+    * form of the weighted reservoir: keys are independent per row, so
+    * the sample falls out of ONE row_number window per group — Spark's
+    * rank-limit pushdown plans WindowGroupLimit on both sides of the
+    * exchange (the x19 shape), keeping every per-task buffer at k.
+    * Unlike Bernoulli rate sampling ([[sampleByRates]]) the output size
+    * is exact, and unlike RNG sampling it is reproducible across runs,
+    * partition layouts, and engines.
+    *
+    * Determinism / cross-engine: u = (2·md5₃₂ + 1)/2³³ — the midpoint
+    * uniform over the 32-bit hash of salt+id: exactly representable,
+    * never 0 or 1 (ln is always finite) — and ln(u)/w is rounded to
+    * 12 dp before ranking, ties broken by id, so engines whose libm ln
+    * differs in the last ulp still rank identically. Rows with NULL or
+    * non-positive weight are excluded (no sampling probability).
+    *
+    * Output: input columns + `es_key` (rounded ranking key) + `rk`.
+    */
+  def weightedSample(df: DataFrame, grpCol: String, idCol: String,
+                     weightCol: String, salt: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    val u = (conv(substring(md5(concat(lit(salt),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") * 2 + 1) /
+      8589934592.0
+    val w = Window.partitionBy(col(grpCol))
+      .orderBy(col("es_key").desc, col(idCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("es_key", round(log(u) / col(weightCol).cast("double"), 12))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+  }
+
   /** Temperature-flattened mixture sampling with EXACT per-group quotas —
     * the α = 0.5 "temperature sampling" used to rebalance multilingual /
     * multi-source training mixes (cf. the language-sampling exponent in

@@ -3946,6 +3946,111 @@ object ScaleQueries {
              |  count(DISTINCT user_id) active_users
              |FROM days JOIN census
              |  ON d <= dd AND d >= dd - 6
-             |GROUP BY dd ORDER BY 1""".stripMargin))
+             |GROUP BY dd ORDER BY 1""".stripMargin)),
+
+    // Small-file compaction planner (x104): table maintenance at scale —
+    // group each partition's sub-threshold slices into ~target-byte
+    // rewrite tasks (size-desc first-fit via window prefix sum, tasks
+    // never span partitions), keep healthy slices untouched. The graded
+    // manifest derives from documents data so the oracle can rebuild it;
+    // MergeOps.fileManifest is the real-FS entry point (tested on an
+    // actual small-file directory in DedupMergeSpec).
+    QuerySpec("x104_compaction_plan", (s, d) => {
+      val slices = t(s, d, "documents")
+        .groupBy(col("source"), (col("doc_id") % 50).as("slice_id"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      graft.operators.MergeOps.compactionPlan(
+        slices, "source", "slice_id", "bytes",
+        targetBytes = 4000L, smallThreshold = 1500L)
+        .orderBy("source", "slice_id")
+    },
+      Some("""WITH sl AS (SELECT source, doc_id % 50 slice_id,
+             |    sum(n_chars) bytes FROM documents GROUP BY 1, 2),
+             |sm AS (SELECT source, slice_id, bytes,
+             |    sum(bytes) OVER (PARTITION BY source
+             |      ORDER BY bytes DESC, slice_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) cum
+             |  FROM sl WHERE bytes < 1500)
+             |SELECT source, slice_id, bytes, 'rewrite' AS "action",
+             |  CAST(floor((cum - bytes) / 4000) AS BIGINT) task_id
+             |FROM sm
+             |UNION ALL
+             |SELECT source, slice_id, bytes, 'keep', NULL
+             |FROM sl WHERE bytes >= 1500
+             |ORDER BY source, slice_id""".stripMargin)),
+
+    // Weighted sampling without replacement (x103): Efraimidis-Spirakis
+    // A-ES keys (ln(u)/w, top-k per group) — the principled
+    // "sample k docs per source proportional-to-quality" primitive for
+    // data mixing. u is the exactly-representable midpoint uniform from
+    // md5 (x24/x37 convention); the key rounds to 12 dp before ranking
+    // so libm-ln ulp differences cannot flip ranks cross-engine.
+    QuerySpec("x103_weighted_sample", (s, d) =>
+      graft.operators.ScaleOps.weightedSample(
+        t(s, d, "orders").select("o_orderkey", "o_orderpriority",
+          "o_totalprice"),
+        "o_orderpriority", "o_orderkey", "o_totalprice",
+        salt = "esample:", k = 50)
+        .orderBy("o_orderpriority", "rk"),
+      Some("""WITH u AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |    (CAST(list_reduce(list_transform(range(1, 9),
+             |      i -> CAST(strpos('0123456789abcdef',
+             |        substr(md5('esample:' || CAST(o_orderkey AS VARCHAR)),
+             |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |      (a, b) -> a*16 + b) AS DOUBLE) * 2 + 1) / 8589934592.0 uval
+             |  FROM orders
+             |  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+             |keyed AS (SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |    round(ln(uval) / CAST(o_totalprice AS DOUBLE), 12) es_key
+             |  FROM u),
+             |ranked AS (SELECT *, row_number() OVER (
+             |    PARTITION BY o_orderpriority
+             |    ORDER BY es_key DESC, o_orderkey) rk FROM keyed)
+             |SELECT o_orderkey, o_orderpriority, o_totalprice, es_key, rk
+             |FROM ranked WHERE rk <= 50
+             |ORDER BY o_orderpriority, rk""".stripMargin)),
+
+    // Winnowing fingerprint near-dup (x102): the MOSS local-fingerprinting
+    // algorithm (Schleimer et al. SIGMOD'03) — window-min over position-
+    // ordered 60-bit md5 gram hashes, so the inverted index is
+    // ~2/(w+1)-dense vs full shingling while still guaranteeing every
+    // shared run of w+k-1 tokens yields a shared fingerprint. The oracle
+    // rebuilds each hash digit-by-digit (x4 convention) and replays the
+    // window min + full-window filter with SQL window functions.
+    QuerySpec("x102_winnowing_neardup", (s, d) =>
+      DedupOps.winnowingPairs(t(s, d, "documents"), "doc_id", "text",
+        shingleWords = 4, window = 4, minShared = 3)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_split_to_array(trim(text), '\s+') tk
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |sh AS (SELECT doc_id, list_transform(
+             |    range(0, greatest(len(tk)-3, 0)),
+             |    i -> array_to_string(tk[i+1:i+4], ' ')) s FROM toks),
+             |p AS (SELECT doc_id, s[pos+1] g, pos
+             |  FROM (SELECT doc_id, s, unnest(range(0, len(s))) pos
+             |        FROM sh WHERE len(s) > 0)),
+             |hh AS (SELECT doc_id, pos, list_reduce(list_transform(range(1, 16),
+             |    i -> CAST(strpos('0123456789abcdef',
+             |      substr(md5(g), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |    (a, b) -> a*16 + b) h FROM p),
+             |wm AS (SELECT doc_id, pos,
+             |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+             |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) wmin,
+             |    count(*) OVER (PARTITION BY doc_id) m
+             |  FROM hh),
+             |fp AS (SELECT DISTINCT doc_id, wmin FROM wm
+             |  WHERE pos <= greatest(m - 4, 0)),
+             |nf AS (SELECT doc_id, count(*) nf FROM fp GROUP BY 1),
+             |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b,
+             |    count(*) n_shared
+             |  FROM fp a JOIN fp b ON a.wmin = b.wmin
+             |    AND a.doc_id < b.doc_id
+             |  GROUP BY 1, 2 HAVING count(*) >= 3)
+             |SELECT id_a, id_b, n_shared,
+             |  round(n_shared * 1.0 / least(ca.nf, cb.nf), 4) overlap
+             |FROM pairs JOIN nf ca ON id_a = ca.doc_id
+             |JOIN nf cb ON id_b = cb.doc_id
+             |ORDER BY 1, 2""".stripMargin))
   )
 }

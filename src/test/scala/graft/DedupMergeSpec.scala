@@ -483,4 +483,55 @@ class DedupMergeSpec extends SparkSpec {
     val got2 = MergeOps.maintainGroupedAgg(got, after, third, "k", "g", "v")
     assert(canon(got2) == canon(agg(third)))
   }
+
+  test("compactionPlan: big slices keep, small slices pack size-desc into " +
+    "~target tasks that never span partitions") {
+    val slices = Seq(
+      ("p1", 1L, 900L), ("p1", 2L, 800L), ("p1", 3L, 700L),
+      ("p1", 4L, 600L), ("p1", 5L, 5000L),
+      ("p2", 6L, 100L), ("p2", 7L, 100L), ("p3", 8L, 1500L)
+    ).toDF("part", "id", "bytes")
+    val got = MergeOps.compactionPlan(slices, "part", "id", "bytes",
+      targetBytes = 2000L, smallThreshold = 1500L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getString(3),
+          if (r.isNullAt(4)) -1L else r.getLong(4))).toMap
+    // p1 small slices in size-desc order: 900,800,700,600 → cums
+    // 900,1700,2400,3000 → tasks floor((cum-b)/2000) = 0,0,0,1
+    assert(got(("p1", 1L)) == ((900L, "rewrite", 0L)))
+    assert(got(("p1", 2L)) == ((800L, "rewrite", 0L)))
+    assert(got(("p1", 3L)) == ((700L, "rewrite", 0L)))
+    assert(got(("p1", 4L)) == ((600L, "rewrite", 1L)))
+    // ≥ threshold → keep, null task (incl. the exactly-at-threshold slice)
+    assert(got(("p1", 5L)) == ((5000L, "keep", -1L)))
+    assert(got(("p3", 8L)) == ((1500L, "keep", -1L)))
+    // p2's packing is independent of p1's (task ids restart per partition)
+    assert(got(("p2", 6L)) == ((100L, "rewrite", 0L)))
+    assert(got(("p2", 7L)) == ((100L, "rewrite", 0L)))
+  }
+
+  test("fileManifest lists real files with parent-dir partition keys and " +
+    "feeds compactionPlan") {
+    val dir = "/tmp/graft_test_compact"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    // a deliberately fragmented write: one tiny file per repartition slice
+    Seq.tabulate(20)(i => (i.toLong, "x" * (50 + i), s"d${i % 2}"))
+      .toDF("id", "payload", "part")
+      .repartition(5)
+      .write.partitionBy("part").mode("overwrite").parquet(dir)
+    val mf = MergeOps.fileManifest(spark, dir)
+    val rows = mf.collect()
+    assert(rows.nonEmpty && rows.forall(_.getLong(2) > 0))
+    assert(rows.map(_.getString(0)).toSet == Set("part=d0", "part=d1"))
+    assert(rows.forall(r => r.getString(1).endsWith(".parquet")))
+    val plan = MergeOps.compactionPlan(mf, "part", "file", "bytes",
+      targetBytes = 1L << 20, smallThreshold = 1L << 20)
+    // every small parquet fragment lands in task 0 of its partition
+    // (total bytes per partition here ≪ 1 MiB target)
+    val acts = plan.collect()
+    assert(acts.forall(r => r.getString(3) == "rewrite" && r.getLong(4) == 0L))
+    fs.delete(p, true)
+  }
 }

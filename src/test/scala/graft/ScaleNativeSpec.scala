@@ -975,4 +975,38 @@ class ScaleNativeSpec extends SparkSpec {
       p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
     }
   }
+
+  test("weightedSample (A-ES): matches a driver-side replica, exact k, " +
+    "excludes non-positive/null weights") {
+    val rows = (1L to 40L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b", (i % 7 + 1).toDouble)) ++
+      Seq((41L, "a", 0.0), (42L, "a", -3.0))
+    val df = rows.toDF("id", "grp", "w")
+      .unionByName(Seq((43L, "b", null.asInstanceOf[java.lang.Double]))
+        .toDF("id", "grp", "w"))
+    val got = ScaleOps.weightedSample(df, "grp", "id", "w", "t:", k = 5)
+      .select("id", "grp", "es_key", "rk")
+      .collect().map(r => (r.getString(1), r.getLong(3)) ->
+        (r.getLong(0), r.getDouble(2))).toMap
+    // driver-side replica of the key chain
+    def key(id: Long, w: Double): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"t:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble * 2 + 1) /
+        8589934592.0
+      BigDecimal(math.log(u) / w).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble
+    }
+    val expect = rows.filter(_._3 > 0)
+      .map { case (i, g, w) => (g, i, key(i, w)) }
+      .groupBy(_._1).flatMap { case (g, rs) =>
+        rs.sortBy(r => (-r._3, r._2)).take(5).zipWithIndex
+          .map { case ((_, i, k0), ix) => (g, ix + 1L) -> (i, k0) }
+      }
+    assert(got == expect)
+    // exactly k per group; excluded ids never sampled
+    assert(got.keys.count(_._1 == "a") == 5 && got.keys.count(_._1 == "b") == 5)
+    assert(!got.values.exists(v => Seq(41L, 42L, 43L).contains(v._1)))
+  }
 }

@@ -69,6 +69,41 @@ class TextDedupSpec extends SparkSpec {
     assert(out(0).getDouble(2) == expected)
   }
 
+  test("winnowing fingerprints match a driver-side replica; pairs find the dups") {
+    // driver-side replica of the algorithm: position-ordered k-gram hashes
+    // (60-bit md5 prefix), window-min over full windows, short-doc fallback
+    def h60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    def replica(text: String, k: Int, w: Int): Set[Long] = {
+      val hs = text.trim.split("\\s+").toSeq.sliding(k)
+        .filter(_.size == k).map(g => h60(g.mkString(" "))).toVector
+      if (hs.isEmpty) Set.empty
+      else if (hs.size <= w) Set(hs.min)
+      else hs.sliding(w).filter(_.size == w).map(_.min).toSet
+    }
+    val fp = DedupOps.winnowingFingerprints(docs, "doc_id", "text", 4, 4)
+      .as[(Long, Long)].collect().groupBy(_._1).map { case (k, v) =>
+        k -> v.map(_._2).toSet }
+    for (id <- Seq(1L, 2L, 3L, 4L))
+      assert(fp(id) == replica(docs.filter($"doc_id" === id)
+        .select("text").as[String].head(), 4, 4), s"doc $id")
+    // short doc (< one full window of shingles) still fingerprints
+    val short = Seq((9L, "a b c d e")).toDF("doc_id", "text")
+    val sfp = DedupOps.winnowingFingerprints(short, "doc_id", "text", 4, 4)
+      .as[(Long, Long)].collect()
+    assert(sfp.map(_._2).toSet == replica("a b c d e", 4, 4) && sfp.length == 1)
+    // pairing: exact dup (1,4) fully overlaps, near-dup (1,2)/(2,4) high
+    // overlap, distinct doc 3 appears in no pair
+    val pairs = DedupOps.winnowingPairs(docs, "doc_id", "text", 4, 4, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    assert(pairs.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)))
+    assert(pairs((1L, 4L)) == 1.0)
+    assert(pairs((1L, 2L)) >= 0.8)
+  }
+
   test("SimHash pairs the planted near-dup with small Hamming distance") {
     val pairs = DedupOps.simhashPairs(docs.filter($"doc_id" =!= 4),
       "doc_id", "text", shingleWords = 3, maxHamming = 8)
