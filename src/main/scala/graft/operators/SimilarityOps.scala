@@ -69,7 +69,16 @@ object SimilarityOps {
     * centroids — O(n·nlist), no shuffle.
     */
   def ivfAssign(vectors: DataFrame, idCol: String, vecCol: String,
-                centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame = {
+                centroids: DataFrame, cidCol: String, cvecCol: String): DataFrame =
+    ivfAssignKeep(vectors, idCol, vecCol, Nil, centroids, cidCol, cvecCol)
+
+  /** [[ivfAssign]] with rider columns: `keepCols` travel inside the
+    * max_by struct, so callers needing extra per-vector attributes on the
+    * assignment (e.g. [[hardNegatives]]' label) pay no second join.
+    */
+  private def ivfAssignKeep(vectors: DataFrame, idCol: String, vecCol: String,
+                            keepCols: Seq[String], centroids: DataFrame,
+                            cidCol: String, cvecCol: String): DataFrame = {
     // argmax via max_by with map-side partial aggregation: the nlist
     // copies per vector collapse BEFORE the exchange, so only one row per
     // id crosses the shuffle (a row_number window would shuffle all
@@ -79,13 +88,15 @@ object SimilarityOps {
     val scored = vectors
       .crossJoin(broadcast(centroids.select(col(cidCol), col(cvecCol))))
       .withColumn("__sim", NativeCos(col(vecCol), col(cvecCol)))
+    val payload = struct(col(vecCol).as("v") +: col(cidCol).as("c") +:
+      col("__sim").as("s") +: keepCols.map(col): _*)
     scored.groupBy(col(idCol))
-      .agg(max_by(
-        struct(col(vecCol).as("v"), col(cidCol).as("c"), col("__sim").as("s")),
+      .agg(max_by(payload,
         struct(col("__sim").as("s"), (-col(cidCol)).as("nc"))).as("best"))
-      .select(col(idCol), col("best.v").as(vecCol),
-        col("best.c").as("centroid"),
-        round(col("best.s"), 4).as("centroid_sim"))
+      .select(col(idCol) +: col("best.v").as(vecCol) +:
+        col("best.c").as("centroid") +:
+        round(col("best.s"), 4).as("centroid_sim") +:
+        keepCols.map(c => col(s"best.$c").as(c)): _*)
   }
 
   /** IVF search: probe the `nprobe` centroids nearest the query, scan only
@@ -220,21 +231,10 @@ object SimilarityOps {
               k: Int, nprobe: Int): DataFrame = {
     val assigned = ivfAssign(corpus, cidCol, cvecCol,
       centroids, centIdCol, centVecCol)
-    // per-query probe list: sort (−sim, cid) structs so the slice keeps
-    // (sim DESC, cid ASC) — the same deterministic order ivfTopK's
-    // orderBy/limit uses for its single query
-    val sims = queries
-      .crossJoin(broadcast(centroids.select(col(centIdCol), col(centVecCol))))
-      .select(col(qidCol).as("__qid"), col(centIdCol).as("__pc"),
-        NativeCos(col(qvecCol), col(centVecCol)).as("__sim"))
-    val probes = sims.groupBy(col("__qid"))
-      .agg(slice(array_sort(collect_list(struct((-col("__sim")).as("ns"),
-        col("__pc").as("c")))), 1, nprobe).as("__ps"))
-      .select(col("__qid"), explode(col("__ps")).as("__p"))
-      .select(col("__qid"), col("__p.c").as("centroid"))
     val qprobed = queries
       .select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))
-      .join(probes, "__qid")
+      .join(probeList(queries, qidCol, qvecCol,
+        centroids, centIdCol, centVecCol, nprobe), "__qid")
     val w = Window.partitionBy(col("__qid"))
       .orderBy(col("score").desc, col(cidCol))
     qprobed.join(assigned.select(col(cidCol), col(cvecCol), col("centroid")),
@@ -244,6 +244,65 @@ object SimilarityOps {
       .filter(col("nn_rank") <= k)
       .select(col("__qid").as("query_id"), col(cidCol).as("neighbor_id"),
         col("score"), col("nn_rank"))
+  }
+
+  /** Per-query top-`nprobe` probe list as (__qid, centroid): sort
+    * (−sim, cid) structs so the slice keeps (sim DESC, cid ASC) — the
+    * same deterministic order ivfTopK's orderBy/limit uses for its single
+    * query. Collapsed BEFORE any exchange: only (qid, sim, cid) triples
+    * are projected into the aggregate, so query VECTORS never ride the
+    * probe shuffle. Shared by [[annJoin]] and [[hardNegatives]].
+    */
+  private def probeList(queries: DataFrame, qidCol: String, qvecCol: String,
+                        centroids: DataFrame, centIdCol: String,
+                        centVecCol: String, nprobe: Int): DataFrame = {
+    val sims = queries
+      .crossJoin(broadcast(centroids.select(col(centIdCol), col(centVecCol))))
+      .select(col(qidCol).as("__qid"), col(centIdCol).as("__pc"),
+        NativeCos(col(qvecCol), col(centVecCol)).as("__sim"))
+    sims.groupBy(col("__qid"))
+      .agg(slice(array_sort(collect_list(struct((-col("__sim")).as("ns"),
+        col("__pc").as("c")))), 1, nprobe).as("__ps"))
+      .select(col("__qid"), explode(col("__ps")).as("__p"))
+      .select(col("__qid"), col("__p.c").as("centroid"))
+  }
+
+  /** Hard-negative mining (contrastive-training data prep, cf. the
+    * in-batch/ANN-negative regimes of DPR, Karpukhin et al. 2020): for
+    * EVERY vector, the top-k most-similar vectors with a DIFFERENT label —
+    * the "hardest" negatives an embedding model should learn to push
+    * apart. Same staged plan as [[annJoin]] (shared [[probeList]], shared
+    * [[ivfAssign]] — the label rides the assignment's max_by struct, no
+    * extra join), with the label-mismatch predicate applied to candidates
+    * BEFORE the per-query top-k window, so positives cannot crowd
+    * negatives out of the k slots. Null labels count as their own class
+    * (null vs 'a' IS a mismatch; null vs null is not — null-safe compare).
+    *
+    * Output: (query_id, neighbor_id, neighbor_label, score, nn_rank).
+    */
+  def hardNegatives(vectors: DataFrame, idCol: String, vecCol: String,
+                    labelCol: String,
+                    centroids: DataFrame, centIdCol: String,
+                    centVecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val base = vectors.select(col(idCol).as("__id"), col(vecCol).as("__v"),
+      col(labelCol).as("__lbl"))
+    val assigned = ivfAssignKeep(base, "__id", "__v", Seq("__lbl"),
+      centroids, centIdCol, centVecCol)
+    val qside = base
+      .select(col("__id").as("__qid"), col("__v").as("__qv"),
+        col("__lbl").as("__ql"))
+      .join(probeList(base, "__id", "__v",
+        centroids, centIdCol, centVecCol, nprobe), "__qid")
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("score").desc, col("__id"))
+    qside.join(assigned.select(col("__id"), col("__v"), col("__lbl"),
+        col("centroid")), "centroid")
+      .filter(col("__id") =!= col("__qid") && !(col("__lbl") <=> col("__ql")))
+      .withColumn("score", round(NativeCos(col("__qv"), col("__v")), 4))
+      .withColumn("nn_rank", row_number().over(w).cast("long"))
+      .filter(col("nn_rank") <= k)
+      .select(col("__qid").as("query_id"), col("__id").as("neighbor_id"),
+        col("__lbl").as("neighbor_label"), col("score"), col("nn_rank"))
   }
 
   /** Embedding-cosine near-duplicate pairs within blocks (`blockCol`).

@@ -3948,6 +3948,62 @@ object ScaleQueries {
              |  ON d <= dd AND d >= dd - 6
              |GROUP BY dd ORDER BY 1""".stripMargin)),
 
+    // Hard-negative mining (x105): per-vector top-k most-similar
+    // DIFFERENT-label vectors via the x51 ANN-join machinery (shared
+    // probe/assign stages, label riding the assignment's max_by struct) —
+    // the contrastive-training prep an embedding pipeline runs corpus-wide.
+    // Mismatch filter precedes the top-k window so positives can't crowd
+    // out the k negative slots.
+    QuerySpec("x105_hard_negatives", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      SimilarityOps.hardNegatives(emb.filter(col("vec_id") >= 16),
+        "vec_id", "embedding", "label", cents, "cid", "cvec",
+        k = 5, nprobe = 4)
+        .orderBy("query_id", "nn_rank")
+    },
+      Some("""WITH cent AS (SELECT vec_id cid, embedding cvec FROM embeddings
+             |  WHERE vec_id < 16),
+             |base AS (SELECT vec_id, embedding, label FROM embeddings
+             |  WHERE vec_id >= 16),
+             |assign AS (SELECT b.vec_id, b.embedding, b.label,
+             |    c.cid centroid
+             |  FROM base b CROSS JOIN cent c
+             |  QUALIFY row_number() OVER (PARTITION BY b.vec_id
+             |    ORDER BY list_cosine_similarity(b.embedding, c.cvec) DESC,
+             |      c.cid) = 1),
+             |probes AS (SELECT q.vec_id qid, c.cid FROM base q CROSS JOIN cent c
+             |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+             |    ORDER BY list_cosine_similarity(c.cvec, q.embedding) DESC,
+             |      c.cid) <= 4),
+             |cand AS (SELECT p.qid, a.vec_id, a.label,
+             |    a.embedding ae, q.embedding qe
+             |  FROM probes p JOIN assign a ON a.centroid = p.cid
+             |  JOIN base q ON q.vec_id = p.qid
+             |  WHERE a.vec_id <> p.qid AND a.label IS DISTINCT FROM q.label),
+             |dots AS (SELECT qid, vec_id, label,
+             |    list_reduce(list_transform(range(1, len(ae) + 1),
+             |      j -> CAST(qe[j] AS DOUBLE) * CAST(ae[j] AS DOUBLE)),
+             |      (x, y) -> x + y) dot,
+             |    list_reduce(list_transform(range(1, len(qe) + 1),
+             |      j -> CAST(qe[j] AS DOUBLE) * CAST(qe[j] AS DOUBLE)),
+             |      (x, y) -> x + y) na,
+             |    list_reduce(list_transform(range(1, len(ae) + 1),
+             |      j -> CAST(ae[j] AS DOUBLE) * CAST(ae[j] AS DOUBLE)),
+             |      (x, y) -> x + y) nb
+             |  FROM cand),
+             |scored AS (SELECT qid query_id, vec_id neighbor_id,
+             |    label neighbor_label,
+             |    round(CASE WHEN na > 0 AND nb > 0
+             |      THEN dot / (sqrt(na) * sqrt(nb)) ELSE 0.0 END, 4) score
+             |  FROM dots)
+             |SELECT query_id, neighbor_id, neighbor_label, score,
+             |  CAST(rk AS BIGINT) nn_rank
+             |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+             |    ORDER BY score DESC, neighbor_id) rk FROM scored)
+             |WHERE rk <= 5 ORDER BY query_id, nn_rank""".stripMargin)),
+
     // Small-file compaction planner (x104): table maintenance at scale —
     // group each partition's sub-threshold slices into ~target-byte
     // rewrite tasks (size-desc first-fit via window prefix sum, tasks

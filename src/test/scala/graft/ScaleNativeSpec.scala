@@ -976,6 +976,43 @@ class ScaleNativeSpec extends SparkSpec {
     }
   }
 
+  test("hardNegatives: equals brute-force different-label top-k at full " +
+    "probe; excludes self; null label is its own class") {
+    val vs = Seq(
+      (1L, Array(1.0f, 0.0f), "a"), (2L, Array(0.9f, 0.1f), "a"),
+      (3L, Array(0.8f, 0.2f), "b"), (4L, Array(0.0f, 1.0f), "b"),
+      (5L, Array(0.7f, 0.3f), null.asInstanceOf[String]),
+      (6L, Array(0.6f, 0.4f), null.asInstanceOf[String])
+    ).toDF("id", "v", "lbl")
+    val cents = Seq((0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 1.0f)))
+      .toDF("cid", "cvec")
+    // nprobe = nlist ⇒ ANN candidates = whole corpus ⇒ equals brute force
+    val got = SimilarityOps.hardNegatives(vs, "id", "v", "lbl",
+      cents, "cid", "cvec", k = 2, nprobe = 2)
+      .select("query_id", "neighbor_id", "nn_rank")
+      .as[(Long, Long, Long)].collect().toSet
+    val rows = Seq((1L, Array(1.0, 0.0), Option("a")),
+      (2L, Array(0.9, 0.1), Option("a")), (3L, Array(0.8, 0.2), Option("b")),
+      (4L, Array(0.0, 1.0), Option("b")), (5L, Array(0.7, 0.3), None),
+      (6L, Array(0.6, 0.4), None))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val r = dot / (math.sqrt(a.map(x => x * x).sum) *
+        math.sqrt(b.map(x => x * x).sum))
+      BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = rows.flatMap { case (qi, qv, ql) =>
+      rows.filter { case (ni, _, nl) => ni != qi && nl != ql }
+        .map { case (ni, nv, _) => (qi, ni, cos(qv, nv)) }
+        .sortBy { case (_, ni, s) => (-s, ni) }.take(2).zipWithIndex
+        .map { case ((q, n, _), ix) => (q, n, ix + 1L) }
+    }.toSet
+    assert(got == expect)
+    // null-labeled 5 and 6 never appear as each other's negatives
+    assert(!got.contains((5L, 6L, 1L)) && !got.contains((5L, 6L, 2L)))
+    assert(!got.exists { case (q, n, _) => q == n })
+  }
+
   test("weightedSample (A-ES): matches a driver-side replica, exact k, " +
     "excludes non-positive/null weights") {
     val rows = (1L to 40L).map(i =>
