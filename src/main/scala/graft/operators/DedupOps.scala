@@ -329,6 +329,60 @@ object DedupOps {
   private def shingleHash(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
+  /** (chunk idx, start bit, width) triples for the pigeonhole blocking
+    * shared by [[hammingPairs]] and the streaming near-dup
+    * (graft.streaming.Streams.streamingSimhashPairs): a pair within
+    * Hamming distance h must agree exactly on at least one of h+1
+    * signature chunks — the chunk count must track maxHamming or recall
+    * silently degrades.
+    */
+  private[graft] def chunkBounds(nBits: Int, maxHamming: Int): Seq[(Int, Int, Int)] = {
+    val chunks = maxHamming + 1
+    require(chunks >= 2 && chunks <= 15, s"maxHamming=$maxHamming out of range")
+    require(nBits >= chunks && nBits <= 64, s"nBits=$nBits out of range")
+    val base = nBits / chunks
+    (0 until chunks).map { c =>
+      val start = c * base
+      val width = if (c == chunks - 1) nBits - start else base
+      (c, start, width)
+    }
+  }
+
+  /** Distinct-shingle 60-bit hash array for one row — the materialize-once
+    * operand of [[simhashSigFromHashes]]. Callers MUST bind this to its
+    * own column before folding: HOFs are CodegenFallback (no common-
+    * subexpression elimination), so inlining it into each per-bit fold
+    * would re-shingle the document SimhashBits times.
+    */
+  def shingleHashArray(text: Column, shingleWords: Int): Column =
+    transform(array_distinct(shingles(text, shingleWords)),
+      s => shingleHash(s))
+
+  /** Per-ROW SimHash signature from a precomputed [[shingleHashArray]]
+    * column — the streaming form of [[simhashSignatures]]: same 60-bit
+    * md5 shingle hash, same majority vote, but computed as higher-order
+    * folds over the row's own hash array, so it needs NO groupBy (a
+    * streaming aggregation would demand watermark+update mode and could
+    * not feed a downstream stateful operator in append mode). Empty
+    * array → NULL.
+    *
+    * Cost note: HOF lambdas are interpreted, so this does
+    * SimhashBits×|shingles| interpreted steps per row (~4 s for 5 000
+    * docs at sf0.1) — right for per-micro-batch volumes; the batch path
+    * keeps the vectorized hash-aggregate form. Equality of the two forms
+    * is asserted in TextDedupSpec.
+    */
+  def simhashSigFromHashes(hsCol: Column): Column = {
+    val n = size(hsCol)
+    val bits = (0 until SimhashBits).map { b =>
+      when(aggregate(hsCol, lit(0L),
+        (acc, h) => acc + shiftright(h, b).bitwiseAND(1L)) * 2 >= n,
+        lit(1L << b)).otherwise(lit(0L))
+    }
+    when(n > 0, bits.reduce((a, c) => a.bitwiseOR(c)))
+      .otherwise(lit(null).cast("long"))
+  }
+
   /** Connected components via alternating large-star / small-star rounds
     * (Kiveris et al., "Connected Components in MapReduce and Beyond",
     * SoCC'14): converges in O(log n) rounds regardless of component
@@ -463,18 +517,7 @@ object DedupOps {
     */
   def hammingPairs(sigs0: DataFrame, idCol: String, sigCol: String,
                    nBits: Int, maxHamming: Int): DataFrame = {
-    // pigeonhole: a pair within hamming h must agree on at least one of
-    // h+1 signature chunks — the chunk count must track maxHamming or
-    // recall silently degrades
-    val chunks = maxHamming + 1
-    require(chunks >= 2 && chunks <= 15, s"maxHamming=$maxHamming out of range")
-    require(nBits >= chunks && nBits <= 64, s"nBits=$nBits out of range")
-    val base = nBits / chunks
-    val bounds = (0 until chunks).map { c =>
-      val start = c * base
-      val width = if (c == chunks - 1) nBits - start else base
-      (c, start, width)
-    }
+    val bounds = chunkBounds(nBits, maxHamming)
     val sigs = sigs0.select(col(idCol).as("id"), col(sigCol).as("sig"))
       .filter(col("sig").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

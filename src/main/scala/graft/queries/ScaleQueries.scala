@@ -55,6 +55,37 @@ object ScaleQueries {
            |SELECT src doc_id, least(src, min(dst)) cluster_root,
            |  least(src, min(dst)) = src is_canonical
            |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin)
+  /** Shared by x4 (batch SimHash) and st14 (streaming SimHash): one
+    * output contract — canonical (id_a < id_b, hamming ≤ 3) pairs over
+    * the whole documents table — so both grade against the identical
+    * digit-by-digit signature rebuild (the st4b-vs-m1 pattern: the
+    * streaming form must not change the answer).
+    */
+  private val simhashOracleSql: String = {
+    val bitSums = (0 until DedupOps.SimhashBits)
+      .map(b => s"sum((h >> $b) & 1) s$b").mkString(", ")
+    val sigTerms = (0 until DedupOps.SimhashBits)
+      .map(b => s"(CASE WHEN 2*s$b >= n THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') tk
+       |  FROM documents WHERE length(trim(text)) > 0),
+       |sh AS (SELECT doc_id, list_distinct(list_transform(
+       |    range(0, greatest(len(tk)-2, 0)),
+       |    i -> array_to_string(tk[i+1:i+3], ' '))) s FROM toks),
+       |inv AS (SELECT doc_id, unnest(s) tok FROM sh WHERE len(s) > 0),
+       |hh AS (SELECT doc_id, list_reduce(list_transform(range(1, 16),
+       |    i -> CAST(strpos('0123456789abcdef',
+       |      substr(md5(tok), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+       |    (a, b) -> a*16 + b) h FROM inv),
+       |bits AS (SELECT doc_id, count(*) n, $bitSums FROM hh GROUP BY doc_id),
+       |sg AS (SELECT doc_id, $sigTerms sig FROM bits)
+       |SELECT a.doc_id id_a, b.doc_id id_b,
+       |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) hamming
+       |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+       |ORDER BY 1, 2""".stripMargin
+  }
+
   /** The x5c corpus: embeddings (as double) plus derived near-duplicates —
     * every 25th vector blended with its successor at α ∈ {0, 0.2, 0.4},
     * ids offset by 1,000,000. The DuckDB oracle re-derives the identical
@@ -208,30 +239,7 @@ object ScaleQueries {
       (s, d) => DedupOps.simhashPairs(t(s, d, "documents"), "doc_id", "text",
         shingleWords = 3, maxHamming = 3)
         .orderBy("id_a", "id_b"),
-      Some {
-        val bitSums = (0 until DedupOps.SimhashBits)
-          .map(b => s"sum((h >> $b) & 1) s$b").mkString(", ")
-        val sigTerms = (0 until DedupOps.SimhashBits)
-          .map(b => s"(CASE WHEN 2*s$b >= n THEN (CAST(1 AS BIGINT) << $b) ELSE 0 END)")
-          .mkString(" + ")
-        s"""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') tk
-           |  FROM documents WHERE length(trim(text)) > 0),
-           |sh AS (SELECT doc_id, list_distinct(list_transform(
-           |    range(0, greatest(len(tk)-2, 0)),
-           |    i -> array_to_string(tk[i+1:i+3], ' '))) s FROM toks),
-           |inv AS (SELECT doc_id, unnest(s) tok FROM sh WHERE len(s) > 0),
-           |hh AS (SELECT doc_id, list_reduce(list_transform(range(1, 16),
-           |    i -> CAST(strpos('0123456789abcdef',
-           |      substr(md5(tok), CAST(i AS INT), 1)) - 1 AS BIGINT)),
-           |    (a, b) -> a*16 + b) h FROM inv),
-           |bits AS (SELECT doc_id, count(*) n, $bitSums FROM hh GROUP BY doc_id),
-           |sg AS (SELECT doc_id, $sigTerms sig FROM bits)
-           |SELECT a.doc_id id_a, b.doc_id id_b,
-           |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) hamming
-           |FROM sg a JOIN sg b ON a.doc_id < b.doc_id
-           |WHERE bit_count(xor(a.sig, b.sig)) <= 3
-           |ORDER BY 1, 2""".stripMargin
-      }),
+      Some(simhashOracleSql)),
 
     // x5 (label-blocked cosine near-dup demo) retired in r6: quadratic
     // within a block, carried weak since r2. The operator survives as the
@@ -3947,6 +3955,29 @@ object ScaleQueries {
              |FROM days JOIN census
              |  ON d <= dd AND d >= dd - 6
              |GROUP BY dd ORDER BY 1""".stripMargin)),
+
+    // Streaming SimHash near-dup (st14): x4's fuzzy dedup as documents
+    // ARRIVE — per-row signatures (no groupBy, append-mode-safe),
+    // pigeonhole bucket state via flatMapGroupsWithState, pairs emitted
+    // when the later member lands. Graded against the IDENTICAL oracle
+    // as x4 (the st4b-vs-m1 pattern): slicing into micro-batches must
+    // not change the pair set.
+    QuerySpec("st14_stream_simhash_neardup", (s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val run = streamRun.incrementAndGet()
+      val base = java.nio.file.Files.createTempDirectory("graft_stsim").toString
+      docs.repartition(3).write.parquet(s"$base/in")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val out = Streams.runStreamingSimhashAvailableNow(s, stream,
+        "doc_id", "text", shingleWords = 3, maxHamming = 3,
+        sinkName = s"graft_stsim_$run", checkpoint = s"$base/ckpt")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out.orderBy("id_a", "id_b")
+    },
+      Some(simhashOracleSql)),
 
     // Hard-negative mining (x105): per-vector top-k most-similar
     // DIFFERENT-label vectors via the x51 ANN-join machinery (shared

@@ -583,4 +583,40 @@ class StreamingMultimodalSpec extends SparkSpec {
       .select("event_id", "segment").as[(Long, String)].collect().toSeq
     assert(got == want) // stateless per batch — slicing cannot change the set
   }
+
+  test("streaming simhash near-dup equals the batch pair set under " +
+    "1-file micro-batch slicing; per-row signature equals the groupBy form") {
+    import graft.operators.DedupOps
+    val base = "the quick brown fox jumps over the lazy dog and then " +
+      "runs far away into the deep green forest tonight"
+    val docs = Seq(
+      (1L, base), (2L, base + " quietly"),
+      (3L, "completely different words appear here with no overlap " +
+        "whatsoever in any shingle of this sentence at all today"),
+      (4L, base), (5L, "")
+    ).toDF("doc_id", "text")
+    // per-row HOF signature ≡ vectorized groupBy signature, doc by doc
+    val rowSigs = docs
+      .withColumn("__hs", DedupOps.shingleHashArray(col("text"), 3))
+      .select(col("doc_id"), DedupOps.simhashSigFromHashes(col("__hs")).as("sig"))
+      .filter(col("sig").isNotNull)
+      .as[(Long, Long)].collect().toMap
+    val batchSigs = DedupOps.simhashSignatures(docs, "doc_id", "text", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(rowSigs == batchSigs) // empty doc 5 absent from both
+    // streaming pairs over 1-file micro-batches ≡ batch simhashPairs
+    val dir = Files.createTempDirectory("graft_stsim_test").toString
+    docs.repartition(4).write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
+    val got = Streams.runStreamingSimhashAvailableNow(spark, stream,
+      "doc_id", "text", shingleWords = 3, maxHamming = 3,
+      sinkName = "graft_stsim_test", checkpoint = s"$dir/ckpt")
+      .as[(Long, Long, Int)].collect().toSet
+    val want = DedupOps.simhashPairs(docs, "doc_id", "text", 3, 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == want && got.contains((1L, 4L, 0)))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 }
