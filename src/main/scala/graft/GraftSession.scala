@@ -19,6 +19,13 @@ object GraftSession {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.ansi.enabled", "false")
     .config("spark.sql.adaptive.enabled", "true")
+    // Without this, AQE's coalescer keeps ≥ default-parallelism partitions
+    // ("parallelism first"), so a 2k-row rank frame still shuffles into 32
+    // tasks × 10 iterations in the graph/k-means loops — pure scheduling
+    // overhead. False = honor advisoryPartitionSizeInBytes and collapse
+    // node-sized exchanges to one task; at 100 TB the advisory size (64 MB)
+    // keeps real shuffles wide, so this only trims the tiny-frame tail.
+    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     // events.parquet stores TIMESTAMP(NANOS) which Spark cannot read
     // natively; read as long and convert at the source boundary
     // (QuerySpec.t truncates ns → µs, matching DuckDB/pandas readers).

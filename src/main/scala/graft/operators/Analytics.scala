@@ -998,13 +998,15 @@ object Analytics {
         count(lit(1)).as("frequency"),
         coalesce(sum(floor(col(valueCol) * 100).cast("long")), lit(0L))
           .as("monetary_cents"))
+    // ntile is int32 in Spark but BIGINT in ANSI engines — emit long so
+    // downstream schema comparisons agree.
     base
-      .withColumn("r_score", lit(6) - ntile(5).over(
-        W.orderBy(col("recency_days"), col(entityCol))))
+      .withColumn("r_score", (lit(6) - ntile(5).over(
+        W.orderBy(col("recency_days"), col(entityCol)))).cast("long"))
       .withColumn("f_score", ntile(5).over(
-        W.orderBy(col("frequency"), col(entityCol))))
+        W.orderBy(col("frequency"), col(entityCol))).cast("long"))
       .withColumn("m_score", ntile(5).over(
-        W.orderBy(col("monetary_cents"), col(entityCol))))
+        W.orderBy(col("monetary_cents"), col(entityCol))).cast("long"))
   }
 
   /** Time-decayed sum with a half-life, ALL-INTEGER: weight for an event

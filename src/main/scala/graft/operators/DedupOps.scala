@@ -712,14 +712,30 @@ object DedupOps {
     * embedded in a large one, where symmetric Jaccard dilutes away).
     * Candidate generation is the inverted-index self-join on fingerprints;
     * no O(n²) stage, and the index is 2/(window+1)-dense vs full shingling.
+    *
+    * `maxDocFreq` is the hot-shingle guard (standard winnowing practice —
+    * MOSS's "ignore common code" pass): a fingerprint appearing in more
+    * than `maxDocFreq` documents is boilerplate, not evidence of copying,
+    * and is dropped BEFORE the self-join — it contributes to neither
+    * n_shared nor candidate generation (denominator |fp| counts stay
+    * uncapped: they describe the document, not the index). This bounds
+    * every inverted-index bucket at `maxDocFreq` docs, so the join emits
+    * ≤ |buckets|·f²/2 rows — linear in the corpus for fixed f — and one
+    * viral shingle can never square a bucket at 100 TB.
     */
   def winnowingPairs(docs: DataFrame, idCol: String, textCol: String,
                      shingleWords: Int = 4, window: Int = 4,
-                     minShared: Long = 3): DataFrame = {
+                     minShared: Long = 3, maxDocFreq: Long = 512): DataFrame = {
     val fp = winnowingFingerprints(docs, idCol, textCol, shingleWords, window)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nf = fp.groupBy(col("id")).agg(count(lit(1)).as("nf"))
-    val shared = fp.as("l").join(fp.as("r"),
+    // fp is distinct (id, fp), so count == doc frequency; the hot list is
+    // tiny (only boilerplate survives the HAVING) and anti-joins map-side
+    val capped = fp.join(
+      fp.groupBy(col("fp")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxDocFreq),
+      Seq("fp"), "left_anti")
+    val shared = capped.as("l").join(capped.as("r"),
         col("l.fp") === col("r.fp") && col("l.id") < col("r.id"))
       .groupBy(col("l.id").as("id_a"), col("r.id").as("id_b"))
       .agg(count(lit(1)).as("n_shared"))

@@ -26,11 +26,19 @@ object GraphOps {
     * the previous one released, so the plan stays shallow at any
     * iteration count. Per-node state is bounded by in-degree.
     *
-    * Determinism (cross-engine hash compare): per-node in-sums are
-    * ORDERED folds over source id (matching `list_sum(list(… ORDER BY
-    * src))`); every other term derives from integer counts via IEEE
-    * +,*,/ in a fixed association; each iteration rounds to 12 dp, so
-    * the whole chain is bitwise reproducible.
+    * Determinism (cross-engine hash compare): the ENTIRE iteration runs
+    * in 10¹²-scaled fixed-point BIGINTs ("picopoints") — rank starts at
+    * round(10¹²/N); each edge contributes `pr12(u) div outdeg(u)`
+    * (truncating integer division); in-sums are plain integer `sum`s
+    * (addition commutes, so no ordering and no per-node array: state per
+    * grouping key is O(1), hub-safe at any in-degree, unlike a
+    * `collect_list` fold which would materialize one array element per
+    * in-edge); damping applies as `(d₆·m) div 10⁶` with d₆ =
+    * round(damping·10⁶) — damping is quantized to 6 dp. Not one float
+    * operation touches the chain until the single final division
+    * pr12/10¹², so the result is bitwise identical on any engine with
+    * 64-bit integers. Overflow bound: total mass ≤ 1 keeps every in-sum
+    * ≤ 10¹², so d₆·m ≤ 10¹⁸ < 2⁶³.
     *
     * Output: (node, pagerank) — one row per node.
     */
@@ -46,28 +54,29 @@ object GraphOps {
         .union(e.select(col("__t").as("node"))).distinct())
     val n = nodes.count()
     val deg = e.groupBy(col("__s").as("node")).agg(count(lit(1)).as("__deg"))
-    val base = (1.0 - damping) / n
-    var pr = nodes.withColumn("__pr", lit(1.0 / n))
+    val base12 = math.round((1.0 - damping) / n * 1e12)
+    val d6 = math.round(damping * 1e6)
+    var pr = nodes.withColumn("__pr12", lit(math.round(1e12 / n)))
     var releasePrev: () => Unit = () => ()
     for (_ <- 1 to iterations) {
       val sums = e
-        .join(pr.select(col("node").as("__s"), col("__pr")), "__s")
+        .join(pr.select(col("node").as("__s"), col("__pr12")), "__s")
         .join(deg.select(col("node").as("__s"), col("__deg")), "__s")
-        .select(col("__t"), col("__s"),
-          (col("__pr") / col("__deg")).as("__c"))
+        .select(col("__t"),
+          expr("__pr12 div __deg").as("__ci"))
         .groupBy(col("__t"))
-        .agg(aggregate(array_sort(collect_list(struct(col("__s"), col("__c")))),
-          lit(0.0), (acc, x) => acc + x("__c")).as("__m"))
+        .agg(sum(col("__ci")).as("__m12"))
       val (next, releaseNext) = Checkpoints.tracked(nodes
         .join(sums.withColumnRenamed("__t", "node"), Seq("node"), "left")
-        .select(col("node"), round(
-          lit(base) + lit(damping) * coalesce(col("__m"), lit(0.0)),
-          12).as("__pr")))
+        .select(col("node"),
+          expr(s"(${d6}L * coalesce(__m12, 0L)) div 1000000L + ${base12}L")
+            .as("__pr12")))
       releasePrev() // next is already materialized (tracked is eager)
       pr = next
       releasePrev = releaseNext
     }
-    val out = pr.select(col("node"), col("__pr").as("pagerank"))
+    val out = pr.select(col("node"),
+        (col("__pr12").cast("double") / lit(1e12)).as("pagerank"))
       .localCheckpoint(true)
     releasePrev()
     releaseNodes()

@@ -726,4 +726,90 @@ object MergeOps {
     }
     rows.toSeq.toDF("part", "file", "bytes")
   }
+
+  /** Execute a compaction plan against a one-level-partitioned parquet
+    * table (`<root>/<partition>/<files>`): every `rewrite` task from
+    * [[compactionPlan]] over [[fileManifest]]'s listing is materialized as
+    * ONE compacted file, `keep` files are preserved byte-identical (moved
+    * by rename, never re-encoded), and each touched partition is committed
+    * with the same write-temp-then-swap contract as [[atomicSwapWrite]]:
+    * build `<part>.tmp` (compacted outputs + renamed keeps), move the old
+    * partition to `<part>.old`, move tmp into place, drop old. A crash
+    * leaves either the old partition, the new one, or a recoverable
+    * `<part>.old`/`<part>.tmp` pair — never nothing. Partitions whose plan
+    * is all-`keep` are NOT touched at all (no rename, no mtime change).
+    *
+    * Scale shape: the plan and listing are metadata; each task's rewrite
+    * reads only its own slices (never the healthy files). The driver loop
+    * is over TOUCHED partitions only — each iteration is an independent
+    * small job, so a 100 TB deployment can submit them concurrently from a
+    * thread pool without changing the commit protocol (swaps are per
+    * partition and do not interact).
+    *
+    * Returns the executed plan (the [[compactionPlan]] output) so callers
+    * can audit what was rewritten.
+    */
+  def compactionExecute(spark: org.apache.spark.sql.SparkSession,
+                        tableRoot: String, targetBytes: Long,
+                        smallThreshold: Long): DataFrame = {
+    val plan = compactionPlan(fileManifest(spark, tableRoot),
+      "part", "file", "bytes", targetBytes, smallThreshold)
+      .localCheckpoint(true) // the listing must not be re-taken mid-swap
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootP = new org.apache.hadoop.fs.Path(tableRoot)
+    val fs = rootP.getFileSystem(conf)
+    // metadata-scale collect: one row per FILE in the listing, grouped to
+    // (partition → task → slices); only partitions with ≥1 rewrite task
+    // of ≥2 slices are worth a swap (a 1-slice task is already compact)
+    val byPart = plan.filter(col("action") === "rewrite").collect()
+      .map(r => (r.getString(0), r.getLong(4), r.getString(1)))
+      .groupBy(_._1)
+      .map { case (p, rs) =>
+        p -> rs.groupBy(_._2).view.mapValues(_.map(_._3).toSeq.sorted).toMap }
+      .filter(_._2.exists(_._2.size >= 2))
+    for ((part, tasks) <- byPart.toSeq.sortBy(_._1)) {
+      val partP = new org.apache.hadoop.fs.Path(rootP, part)
+      val tmpP = new org.apache.hadoop.fs.Path(rootP, part + ".tmp")
+      val oldP = new org.apache.hadoop.fs.Path(rootP, part + ".old")
+      fs.delete(tmpP, true)
+      fs.mkdirs(tmpP)
+      val rewritten = tasks.flatMap { case (tid, slices) =>
+        if (slices.size < 2) None // nothing to gain; falls through as keep
+        else {
+          val work = new org.apache.hadoop.fs.Path(tmpP, s".work_$tid")
+          spark.read.parquet(slices.map(s =>
+              new org.apache.hadoop.fs.Path(partP, s).toString): _*)
+            .coalesce(1)
+            .write.mode(SaveMode.Overwrite).parquet(work.toString)
+          // lift the single data file out of Spark's job dir under a
+          // deterministic name; drop _SUCCESS etc. with the job dir
+          val data = fs.listStatus(work).map(_.getPath)
+            .filter(p => !p.getName.startsWith("_") && !p.getName.startsWith("."))
+          require(data.length == 1,
+            s"compactionExecute: expected 1 data file in $work, got ${data.length}")
+          if (!fs.rename(data.head,
+              new org.apache.hadoop.fs.Path(tmpP, s"compacted-$tid.parquet")))
+            sys.error(s"compactionExecute: could not place compacted-$tid in $tmpP")
+          fs.delete(work, true)
+          Some(tid -> slices.toSet)
+        }
+      }
+      val rewrittenFiles = rewritten.values.flatten.toSet
+      // keep files move by RENAME — byte-identical, no re-encode, no I/O
+      fs.listStatus(partP).map(_.getPath)
+        .filter(p => !rewrittenFiles.contains(p.getName))
+        .foreach { p =>
+          if (!fs.rename(p, new org.apache.hadoop.fs.Path(tmpP, p.getName)))
+            sys.error(s"compactionExecute: could not move keep file $p")
+        }
+      fs.delete(oldP, true)
+      if (!fs.rename(partP, oldP))
+        sys.error(s"compactionExecute: could not move $partP aside")
+      if (!fs.rename(tmpP, partP))
+        sys.error(s"compactionExecute: could not move $tmpP into place " +
+          s"(partition preserved at $oldP)")
+      fs.delete(oldP, true)
+    }
+    plan
+  }
 }

@@ -18,15 +18,16 @@ final case class QuerySpec(
     oracle: Option[String])
 
 object QuerySpec {
-  /** Read one of the driver's test tables. `events.ts` is parquet
-    * TIMESTAMP(NANOS): Spark reads it as long (nanosAsLong) and we truncate
-    * to microseconds here — the same value DuckDB/pandas readers see.
+  /** Read one of the driver's test tables. `events.ts` varies by generator
+    * vintage — TIMESTAMP(NANOS) (long under nanosAsLong, truncated to µs)
+    * or TIMESTAMP(MICROS, NTZ) (reinterpreted as a UTC instant) —
+    * normalized to TimestampType at this source boundary so every query
+    * sees the same values DuckDB/pandas readers see.
     */
   def t(spark: SparkSession, dir: String, name: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    if (name == "events")
-      df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    if (name == "events") graft.streaming.Streams.normalizeTs(df)
     else df
   }
 

@@ -1797,9 +1797,7 @@ object ScaleQueries {
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     QuerySpec("st1_stream_hourly_agg", (s, d) => {
-      val schema = new StructType()
-        .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
-        .add("event_type", StringType).add("value", DoubleType).add("props", StringType)
+      val schema = Streams.eventsFileSchema(s, d)
       val run = streamRun.incrementAndGet()
       val sink = s"graft_stream_$run"
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
@@ -1825,9 +1823,7 @@ object ScaleQueries {
     // hold single-digit counts where the uncorrected estimate is pure
     // small-range bias (x60's scaladoc regime note, measured here).
     QuerySpec("st8_stream_hll_distinct", (s, d) => {
-      val schema = new StructType()
-        .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
-        .add("event_type", StringType).add("value", DoubleType).add("props", StringType)
+      val schema = Streams.eventsFileSchema(s, d)
       val run = streamRun.incrementAndGet()
       val sink = s"graft_hll_$run"
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
@@ -1865,7 +1861,7 @@ object ScaleQueries {
              |  FROM reg GROUP BY w),
              |ex AS (SELECT date_trunc('day', ts) w,
              |    count(DISTINCT event_id) n_exact FROM events GROUP BY 1)
-             |SELECT ex.w window_start, ex.n_exact,
+             |SELECT CAST(ex.w AS TIMESTAMP) window_start, ex.n_exact,
              |  round(0.7213/(1.0 + 1.079/64)*64*64/S, 2) hll_distinct
              |FROM ex JOIN est ON ex.w = est.w ORDER BY 1""".stripMargin)),
 
@@ -1876,9 +1872,7 @@ object ScaleQueries {
     // (checked to cover both SFs; out-of-range clamps to edge bins) —
     // a stream cannot take the batch operator's min/max pre-pass.
     QuerySpec("st10_stream_percentiles", (s, d) => {
-      val schema = new StructType()
-        .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
-        .add("event_type", StringType).add("value", DoubleType).add("props", StringType)
+      val schema = Streams.eventsFileSchema(s, d)
       val run = streamRun.incrementAndGet()
       val sink = s"graft_hist_$run"
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
@@ -1922,9 +1916,7 @@ object ScaleQueries {
     // (sf0.01) / ~1500 (sf0.1) users so collisions genuinely occur and
     // the over-estimate property is exercised, not vacuous.
     QuerySpec("st11_stream_cms_counts", (s, d) => {
-      val schema = new StructType()
-        .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
-        .add("event_type", StringType).add("value", DoubleType).add("props", StringType)
+      val schema = Streams.eventsFileSchema(s, d)
       val run = streamRun.incrementAndGet()
       val sink = s"graft_cms_$run"
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
@@ -1969,9 +1961,7 @@ object ScaleQueries {
              |ORDER BY 1, 2""".stripMargin)),
 
     QuerySpec("st2_sessionize_stateful", (s, d) => {
-      val schema = new StructType()
-        .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
-        .add("event_type", StringType).add("value", DoubleType).add("props", StringType)
+      val schema = Streams.eventsFileSchema(s, d)
       val run = streamRun.incrementAndGet()
       val sink = s"graft_sessions_$run"
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
@@ -1995,9 +1985,7 @@ object ScaleQueries {
     // semantics hold under micro-batch slicing, not just AvailableNow's
     // single drain.
     QuerySpec("st3_sessionize_eventtime", (s, d) => {
-      val schema = new StructType()
-        .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
-        .add("event_type", StringType).add("value", DoubleType).add("props", StringType)
+      val schema = Streams.eventsFileSchema(s, d)
       val run = streamRun.incrementAndGet()
       val sink = s"graft_sessions_et_$run"
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
@@ -2021,9 +2009,7 @@ object ScaleQueries {
     // eviction. For the bounded drain the emitted pairs equal the batch
     // non-equi join exactly — the oracle is that batch join.
     QuerySpec("st5_stream_stream_join", (s, d) => {
-      val schema = new StructType()
-        .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
-        .add("event_type", StringType).add("value", DoubleType).add("props", StringType)
+      val schema = Streams.eventsFileSchema(s, d)
       val run = streamRun.incrementAndGet()
       val sink = s"graft_ssj_$run"
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
@@ -2050,9 +2036,7 @@ object ScaleQueries {
     // artifact (fixture verified free of ts == watermark boundary hits at
     // both SFs).
     QuerySpec("st9_stream_stream_outer", (s, d) => {
-      val schema = new StructType()
-        .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
-        .add("event_type", StringType).add("value", DoubleType).add("props", StringType)
+      val schema = Streams.eventsFileSchema(s, d)
       val run = streamRun.incrementAndGet()
       val sink = s"graft_ssjo_$run"
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
@@ -2945,9 +2929,12 @@ object ScaleQueries {
     // Fixed-iteration PageRank (x70): iterative graph analytics over the
     // customer↔supplier trade graph (both directions of each distinct
     // (cust, supp) pair, so no dangling nodes). 5 iterations, d=0.85;
-    // per-node in-sums are ordered folds over source id and each
-    // iteration rounds to 12 dp, so the chain is bitwise reproducible —
-    // the oracle replays all 5 iterations as chained CTEs.
+    // the whole chain is 10¹²-scaled fixed-point BIGINT arithmetic
+    // (truncating `div` contributions, integer damping (850000·m) div 10⁶
+    // — order-independent sums, O(1) per-node state, hub-safe, zero float
+    // ops before the final /10¹²) so the result is bitwise identical on
+    // any 64-bit-integer engine — the oracle replays all 5 iterations as
+    // chained CTEs with the same integer arithmetic.
     QuerySpec("x70_pagerank", (s, d) => {
       val pairs = t(s, d, "orders")
         .join(t(s, d, "lineitem"),
@@ -2969,20 +2956,23 @@ object ScaleQueries {
             |nodes AS (SELECT DISTINCT s node FROM e),
             |deg AS (SELECT s node, count(*) dg FROM e GROUP BY 1),
             |nn AS (SELECT count(*) n FROM nodes),
-            |p0 AS (SELECT node, 1.0 / nn.n pr FROM nodes, nn)""".stripMargin
+            |bb AS (SELECT CAST(round((1.0 - CAST(0.85 AS DOUBLE)) / nn.n
+            |    * 1e12, 0) AS BIGINT) b12,
+            |  CAST(round(1e12 / nn.n, 0) AS BIGINT) p12 FROM nn),
+            |p0 AS (SELECT node, bb.p12 pr FROM nodes, bb)""".stripMargin
         val iters = (1 to 5).map { i =>
           s"""s$i AS (SELECT e.t node,
-             |    list_sum(list(p.pr / d.dg ORDER BY e.s)) m
+             |    CAST(sum(p.pr // d.dg) AS BIGINT) m
              |  FROM e JOIN p${i - 1} p ON e.s = p.node
              |  JOIN deg d ON e.s = d.node GROUP BY e.t),
              |p$i AS (SELECT n.node,
-             |    round((1.0 - 0.85) / nn.n +
-             |      0.85 * coalesce(s$i.m, 0.0), 12) pr
-             |  FROM nodes n CROSS JOIN nn
+             |    (850000 * coalesce(s$i.m, 0)) // 1000000 + bb.b12 pr
+             |  FROM nodes n CROSS JOIN bb
              |  LEFT JOIN s$i ON n.node = s$i.node)""".stripMargin
         }.mkString(",\n", ",\n", "\n")
         head + iters +
-          "SELECT node, pr pagerank FROM p5 ORDER BY node"
+          "SELECT node, CAST(pr AS DOUBLE) / 1e12 pagerank " +
+          "FROM p5 ORDER BY node"
       }),
 
     // Frequent co-occurring part pairs (x71): A-Priori support counting
@@ -3179,7 +3169,8 @@ object ScaleQueries {
         "o_totalprice").orderBy("o_orderpriority")
     },
       Some("""SELECT o_orderpriority, count(*) n,
-             |  sum(CAST(floor(o_totalprice * 100) AS BIGINT)) sum_cents
+             |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+             |    AS BIGINT) sum_cents
              |FROM orders WHERE o_orderdate >= DATE '1993-06-01'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
@@ -3244,7 +3235,8 @@ object ScaleQueries {
              |cur AS (SELECT CAST(CAST(ts AS DATE) AS VARCHAR) dt,
              |    dayofweek(ts) + 1 dow,
              |    hour(ts) hr, count(*) n FROM ev GROUP BY 1, 2, 3)
-             |SELECT cur.dt, cur.dow, cur.hr, cur.n,
+             |SELECT cur.dt, CAST(cur.dow AS INTEGER) dow,
+             |  CAST(cur.hr AS INTEGER) hr, cur.n,
              |  coalesce(base_n, 0) base_n, coalesce(n_days, 0) n_days,
              |  cur.n * coalesce(n_days, 0) > 2 * coalesce(base_n, 0)
              |    is_anomaly
@@ -3268,7 +3260,7 @@ object ScaleQueries {
              |    list_sum(list(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
              |      ORDER BY k)) h
              |  FROM c)
-             |SELECT n, n_keys, nn.n_nulls,
+             |SELECT CAST(n AS BIGINT) n, n_keys, nn.n_nulls,
              |  round(ln(CAST(n AS DOUBLE)) - h / CAST(n AS DOUBLE), 6)
              |    entropy_nats,
              |  round(CAST(ss AS DOUBLE) /
@@ -3299,7 +3291,7 @@ object ScaleQueries {
              |      CAST(n AS DOUBLE) e
              |  FROM cells JOIN ra USING (a) JOIN rb USING (b)
              |  CROSS JOIN tt)
-             |SELECT min(n) n, min(da) r_a, min(db) r_b,
+             |SELECT CAST(min(n) AS BIGINT) n, min(da) r_a, min(db) r_b,
              |  (min(da) - 1) * (min(db) - 1) dof,
              |  round(list_sum(list((o - e) * (o - e) / e ORDER BY a, b)),
              |    6) chi2
@@ -3364,10 +3356,7 @@ object ScaleQueries {
     // x80's integer cross-multiplied gate, so the streamed answer is
     // bitwise equal to batch regardless of micro-batch slicing.
     QuerySpec("st12_stream_seasonal_anomaly", (s, d) => {
-      val schema = new StructType()
-        .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
-        .add("event_type", StringType).add("value", DoubleType)
-        .add("props", StringType)
+      val schema = Streams.eventsFileSchema(s, d)
       val run = streamRun.incrementAndGet()
       val sink = s"graft_stream_$run"
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
@@ -3426,7 +3415,8 @@ object ScaleQueries {
              |      ln((CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE)) /
              |         (CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE))) END t
              |  FROM j CROSS JOIN tt)
-             |SELECT coalesce(sum(nr), 0) n_ref, coalesce(sum(nc), 0) n_cur,
+             |SELECT CAST(coalesce(sum(nr), 0) AS BIGINT) n_ref,
+             |  CAST(coalesce(sum(nc), 0) AS BIGINT) n_cur,
              |  count(t) n_bins_used, count(*) - count(t) n_bins_skipped,
              |  round(list_sum(list(t ORDER BY bin) FILTER (t IS NOT NULL)),
              |    6) psi
@@ -3568,7 +3558,8 @@ object ScaleQueries {
              |  FROM ca FULL JOIN cb ON ca.v = cb.v),
              |c AS (SELECT v, sum(ia) OVER (ORDER BY v) cuma,
              |    sum(ib) OVER (ORDER BY v) cumb FROM m),
-             |t AS (SELECT max(cuma) na, max(cumb) nb FROM c)
+             |t AS (SELECT CAST(max(cuma) AS BIGINT) na,
+             |    CAST(max(cumb) AS BIGINT) nb FROM c)
              |SELECT t.na n_a, t.nb n_b,
              |  round(CAST(max(abs(cuma * t.nb - cumb * t.na)) AS DOUBLE) /
              |    CAST(t.na * t.nb AS DOUBLE), 6) d_stat
@@ -3600,7 +3591,8 @@ object ScaleQueries {
              |c AS (SELECT g, v,
              |    sum(ia) OVER (PARTITION BY g ORDER BY v) cuma,
              |    sum(ib) OVER (PARTITION BY g ORDER BY v) cumb FROM m),
-             |t AS (SELECT g, max(cuma) na, max(cumb) nb FROM c GROUP BY 1)
+             |t AS (SELECT g, CAST(max(cuma) AS BIGINT) na,
+             |    CAST(max(cumb) AS BIGINT) nb FROM c GROUP BY 1)
              |SELECT c.g event_type, t.na n_a, t.nb n_b,
              |  CASE WHEN t.na > 0 AND t.nb > 0 THEN
              |    round(CAST(max(abs(cuma * t.nb - cumb * t.na)) AS DOUBLE) /
@@ -3631,7 +3623,9 @@ object ScaleQueries {
              |  FROM ca FULL JOIN cb ON ca.v = cb.v),
              |c AS (SELECT v, ia, ib, ia + ib cc,
              |    sum(ia + ib) OVER (ORDER BY v) cum FROM m),
-             |s AS (SELECT sum(ia) na, sum(ib) nb, sum(ia * mr2) ra2
+             |s AS (SELECT CAST(sum(ia) AS BIGINT) na,
+             |    CAST(sum(ib) AS BIGINT) nb,
+             |    CAST(sum(ia * mr2) AS BIGINT) ra2
              |  FROM (SELECT ia, ib, (cum - cc) + cum + 1 mr2 FROM c))
              |SELECT na n_a, nb n_b,
              |  ra2 - na * (na + 1) u2_a,
@@ -3645,10 +3639,7 @@ object ScaleQueries {
     // one-sided bins excluded AND reported, ordered fold) run
     // batch-side on (windows × bins)-sized frames.
     QuerySpec("st13_stream_psi_drift", (s, d) => {
-      val schema = new StructType()
-        .add("event_id", LongType).add("ts", LongType).add("user_id", LongType)
-        .add("event_type", StringType).add("value", DoubleType)
-        .add("props", StringType)
+      val schema = Streams.eventsFileSchema(s, d)
       val run = streamRun.incrementAndGet()
       val sink = s"graft_psi_$run"
       val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
@@ -3681,7 +3672,9 @@ object ScaleQueries {
              |      ln((CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE)) /
              |         (CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE))) END t
              |  FROM j JOIN ww ON j.ws = ww.ws CROSS JOIN tt)
-             |SELECT ws window_start, min(tr) n_ref, min(tc) n_cur,
+             |SELECT CAST(ws AS TIMESTAMP) window_start,
+             |  CAST(min(tr) AS BIGINT) n_ref,
+             |  CAST(min(tc) AS BIGINT) n_cur,
              |  count(t) n_bins_used, count(*) - count(t) n_bins_skipped,
              |  round(list_sum(list(t ORDER BY bin) FILTER (t IS NOT NULL)),
              |    6) psi
@@ -3822,8 +3815,8 @@ object ScaleQueries {
              |    CAST(DATE '2024-02-01' - max(CAST(ts AS DATE)) AS BIGINT)
              |      recency_days,
              |    count(*) frequency,
-             |    coalesce(sum(CAST(floor("value" * 100) AS BIGINT)), 0)
-             |      monetary_cents
+             |    CAST(coalesce(sum(CAST(floor("value" * 100) AS BIGINT)),
+             |      0) AS BIGINT) monetary_cents
              |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
              |  GROUP BY 1)
              |SELECT user_id, recency_days, frequency, monetary_cents,
@@ -3891,8 +3884,9 @@ object ScaleQueries {
              |    count(*) n_events, sum(c) rev
              |  FROM o JOIN f ON o.u = f.u GROUP BY 1, 2),
              |cum AS (SELECT cm, mo, n_events,
-             |    sum(rev) OVER (PARTITION BY cm ORDER BY mo
-             |      ROWS UNBOUNDED PRECEDING) cum_cents FROM cells)
+             |    CAST(sum(rev) OVER (PARTITION BY cm ORDER BY mo
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT) cum_cents
+             |  FROM cells)
              |SELECT CAST(cm AS VARCHAR) cohort_month, mo month_offset,
              |  n_events, cum_cents, cohort_size,
              |  round(CAST(cum_cents AS DOUBLE) /
@@ -4052,7 +4046,8 @@ object ScaleQueries {
         .orderBy("source", "slice_id")
     },
       Some("""WITH sl AS (SELECT source, doc_id % 50 slice_id,
-             |    sum(n_chars) bytes FROM documents GROUP BY 1, 2),
+             |    CAST(sum(n_chars) AS BIGINT) bytes
+             |  FROM documents GROUP BY 1, 2),
              |sm AS (SELECT source, slice_id, bytes,
              |    sum(bytes) OVER (PARTITION BY source
              |      ORDER BY bytes DESC, slice_id
@@ -4101,9 +4096,11 @@ object ScaleQueries {
     // algorithm (Schleimer et al. SIGMOD'03) — window-min over position-
     // ordered 60-bit md5 gram hashes, so the inverted index is
     // ~2/(w+1)-dense vs full shingling while still guaranteeing every
-    // shared run of w+k-1 tokens yields a shared fingerprint. The oracle
-    // rebuilds each hash digit-by-digit (x4 convention) and replays the
-    // window min + full-window filter with SQL window functions.
+    // shared run of w+k-1 tokens yields a shared fingerprint. Fingerprints
+    // in > 512 docs are boilerplate and dropped pre-join (the hot-shingle
+    // guard bounding every index bucket). The oracle rebuilds each hash
+    // digit-by-digit (x4 convention) and replays the window min +
+    // full-window filter + frequency cap with SQL window functions.
     QuerySpec("x102_winnowing_neardup", (s, d) =>
       DedupOps.winnowingPairs(t(s, d, "documents"), "doc_id", "text",
         shingleWords = 4, window = 4, minShared = 3)
@@ -4129,9 +4126,13 @@ object ScaleQueries {
              |fp AS (SELECT DISTINCT doc_id, wmin FROM wm
              |  WHERE pos <= greatest(m - 4, 0)),
              |nf AS (SELECT doc_id, count(*) nf FROM fp GROUP BY 1),
+             |hot AS (SELECT wmin FROM fp GROUP BY wmin
+             |  HAVING count(*) > 512),
+             |fpc AS (SELECT doc_id, wmin FROM fp
+             |  WHERE wmin NOT IN (SELECT wmin FROM hot)),
              |pairs AS (SELECT a.doc_id id_a, b.doc_id id_b,
              |    count(*) n_shared
-             |  FROM fp a JOIN fp b ON a.wmin = b.wmin
+             |  FROM fpc a JOIN fpc b ON a.wmin = b.wmin
              |    AND a.doc_id < b.doc_id
              |  GROUP BY 1, 2 HAVING count(*) >= 3)
              |SELECT id_a, id_b, n_shared,

@@ -37,14 +37,11 @@ object Streams {
   def runWindowedAggAvailableNow(spark: SparkSession, dir: String, glob: String,
                                  schema: StructType, sinkName: String,
                                  checkpoint: String): DataFrame =
-    withNanosAsLong(spark) {
+    withReplayConfs(spark) {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir)
     // ns-as-long timestamps → µs truncation at the source boundary
-    val stream =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-      else raw
+    val stream = normalizeTs(raw)
     val q = windowedAgg(stream)
       .writeStream.format("memory").queryName(sinkName)
       .outputMode("complete")
@@ -72,13 +69,10 @@ object Streams {
                                      mult: Int, sinkName: String,
                                      checkpoint: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    val counts = withNanosAsLong(spark) {
+    val counts = withReplayConfs(spark) {
       val raw = spark.readStream.schema(schema)
         .option("pathGlobFilter", glob).parquet(dir)
-      val stream =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else raw
+      val stream = normalizeTs(raw)
       val q = stream
         .filter(col("ts") >= lit(cutoff).cast("timestamp"))
         .withWatermark("ts", "1 hour")
@@ -142,14 +136,10 @@ object Streams {
                                  schema: StructType, valueCol: String, p: Int,
                                  sinkName: String, checkpoint: String,
                                  window: String = "1 hour"): DataFrame =
-    withNanosAsLong(spark) {
+    withReplayConfs(spark) {
       val raw = spark.readStream.schema(schema)
         .option("pathGlobFilter", glob).parquet(dir)
-      val stream =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts",
-            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-        else raw
+      val stream = normalizeTs(raw)
       val q = windowedHllRegisters(stream, valueCol, p,
         watermark = window, window = window)
         .writeStream.format("memory").queryName(sinkName)
@@ -199,14 +189,10 @@ object Streams {
                                          ps: Seq[(String, Double)],
                                          sinkName: String,
                                          checkpoint: String): DataFrame =
-    withNanosAsLong(spark) {
+    withReplayConfs(spark) {
       val raw = spark.readStream.schema(schema)
         .option("pathGlobFilter", glob).parquet(dir)
-      val stream =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts",
-            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-        else raw
+      val stream = normalizeTs(raw)
       val q = windowedHistogramRegisters(stream, valueCents, loCents,
         widthCents, nBins)
         .writeStream.format("memory").queryName(sinkName)
@@ -240,13 +226,10 @@ object Streams {
                                  windowLen: String = "1 day"): DataFrame = {
     import org.apache.spark.sql.functions._
     val cents = floor(col("value") * 100).cast("long")
-    val wb = withNanosAsLong(spark) {
+    val wb = withReplayConfs(spark) {
       val raw = spark.readStream.schema(schema)
         .option("pathGlobFilter", glob).parquet(dir)
-      val stream =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else raw
+      val stream = normalizeTs(raw)
       val q = windowedHistogramRegisters(
         stream.filter(col("ts") >= lit(cutoff).cast("timestamp")),
         cents, loCents, widthCents, nBins,
@@ -320,14 +303,10 @@ object Streams {
                                  keyCol: Column, depth: Int, width: Int,
                                  probeKeys: Seq[Long], sinkName: String,
                                  checkpoint: String): DataFrame =
-    withNanosAsLong(spark) {
+    withReplayConfs(spark) {
       val raw = spark.readStream.schema(schema)
         .option("pathGlobFilter", glob).parquet(dir)
-      val stream =
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts",
-            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-        else raw
+      val stream = normalizeTs(raw)
       val q = windowedCmsRegisters(stream, keyCol, depth, width)
         .writeStream.format("memory").queryName(sinkName)
         .outputMode("complete")
@@ -348,16 +327,62 @@ object Streams {
         .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
     }
 
+  /** Normalize the events `ts` column to TimestampType regardless of how the
+    * generator wrote it: TIMESTAMP(NANOS) arrives as a nanos long (under
+    * nanosAsLong) and is truncated to µs — the value DuckDB/pandas readers
+    * see; TIMESTAMP(MICROS, isAdjustedToUTC=false) arrives as TIMESTAMP_NTZ
+    * and is reinterpreted as an instant (session TZ is pinned UTC, so the
+    * wall-clock IS the instant). Works on static and streaming frames.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = df.schema("ts").dataType match {
+    case org.apache.spark.sql.types.LongType =>
+      df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    case org.apache.spark.sql.types.TimestampNTZType =>
+      df.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
+    case _ => df
+  }
+
+  /** Static footer schema of `events.parquet` in `dir`, read under
+    * nanosAsLong so a TIMESTAMP(NANOS) file yields a long `ts` — pass this
+    * to readStream and let [[normalizeTs]] handle whichever type appears.
+    */
+  def eventsFileSchema(spark: SparkSession, dir: String): StructType =
+    withReplayConfs(spark) {
+      spark.read.parquet(s"$dir/events.parquet").schema
+    }
+
   /** Run `body` with spark.sql.legacy.parquet.nanosAsLong set, restoring
     * the previous value afterwards — a shared session must not have every
     * later parquet read silently reinterpret nanos columns as longs.
     * The conf stays set for the whole (bounded) streaming run because the
     * file source consults it at scan time, not plan time.
     */
-  private def withNanosAsLong[A](spark: SparkSession)(body: => A): A = {
-    val key = "spark.sql.legacy.parquet.nanosAsLong"
+  private def withNanosAsLong[A](spark: SparkSession)(body: => A): A =
+    withConf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true")(body)
+
+  /** Confs for the bounded-replay runners (`run*AvailableNow` — memory
+    * sink + AvailableNow, the test/dev harness surface): nanosAsLong for
+    * the file source, plus a LOW state-partition count. A stateful
+    * streaming query fixes its state-store partitioning to
+    * spark.sql.shuffle.partitions at FIRST start (persisted in the
+    * checkpoint, and — unlike batch — never AQE-coalesced), so a replay
+    * over a few thousand rows would otherwise pay 32 state dirs × every
+    * micro-batch of checkpoint I/O for state that fits in one. A real
+    * deployment starts the production transforms ([[windowedAgg]] etc.)
+    * under its own session sizing; SPARK_GRAFT_STREAM_PARTITIONS
+    * overrides the replay default.
+    */
+  private def withReplayConfs[A](spark: SparkSession)(body: => A): A =
+    withConf(spark, "spark.sql.legacy.parquet.nanosAsLong", "true") {
+      withConf(spark, "spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTITIONS", "8"))(body)
+    }
+
+  private def withConf[A](spark: SparkSession, key: String,
+                          value: String)(body: => A): A = {
     val prior = spark.conf.getOption(key)
-    spark.conf.set(key, "true")
+    spark.conf.set(key, value)
     try body
     finally prior match {
       case Some(v) => spark.conf.set(key, v)
@@ -435,14 +460,10 @@ object Streams {
                                       checkpoint: String,
                                       joinType: String = "inner",
                                       watermarkDelay: String = "3650 days"): DataFrame =
-    withNanosAsLong(spark) {
-      def src(): DataFrame = {
-        val raw = spark.readStream.schema(schema)
-          .option("pathGlobFilter", glob).parquet(dir)
-        if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-          raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-        else raw
-      }
+    withReplayConfs(spark) {
+      def src(): DataFrame = normalizeTs(
+        spark.readStream.schema(schema)
+          .option("pathGlobFilter", glob).parquet(dir))
       val l = src().filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           col("ts").as("p_ts"))
@@ -841,11 +862,8 @@ object Streams {
                                          glob: String, schema: StructType,
                                          gapMinutes: Int, sinkName: String,
                                          checkpoint: String): DataFrame =
-    withNanosAsLong(spark) {
-    def fixTs(df: DataFrame): DataFrame =
-      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else df
+    withReplayConfs(spark) {
+    def fixTs(df: DataFrame): DataFrame = normalizeTs(df)
     val gapMs = gapMinutes * 60000L
     val batchView = fixTs(spark.read.schema(schema)
       .option("pathGlobFilter", glob).parquet(dir))
@@ -898,12 +916,9 @@ object Streams {
   def runSessionizeAvailableNow(spark: SparkSession, dir: String, glob: String,
                                 schema: StructType, gapMinutes: Int,
                                 sinkName: String, checkpoint: String): DataFrame =
-    withNanosAsLong(spark) {
+    withReplayConfs(spark) {
     val raw = spark.readStream.schema(schema).option("pathGlobFilter", glob).parquet(dir)
-    val stream =
-      if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+    val stream = normalizeTs(raw)
     val q = sessionize(spark, stream, gapMinutes)
       .writeStream.format("memory").queryName(sinkName)
       .outputMode("append")

@@ -517,12 +517,12 @@ class AnalyticsSpec extends SparkSpec {
     val got = Analytics.rfmScores(ev, "user_id", "ts", "value",
       anchor = "2024-02-01").orderBy("user_id")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getInt(4), r.getInt(5), r.getInt(6))).toSeq
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
     // user 5: most recent (Jan 10), most frequent, top monetary → 5/5/5
     assert(got.map(_._1) == Seq(1L, 2L, 3L, 4L, 5L))
-    assert(got(4) == ((5L, 22L, 5L, 2500L, 5, 5, 5)))
+    assert(got(4) == ((5L, 22L, 5L, 2500L, 5L, 5L, 5L)))
     // user 1: oldest/least → 1/1/1
-    assert(got(0) == ((1L, 30L, 1L, 100L, 1, 1, 1)))
+    assert(got(0) == ((1L, 30L, 1L, 100L, 1L, 1L, 1L)))
   }
 
   test("timeDecayedSum: exact power-of-two weights; >=20 half-lives and " +

@@ -112,26 +112,26 @@ class ClusterSpec extends SparkSpec {
     assert(out.length == 7)
   }
 
-  /** Driver-side replica of pageRank's exact arithmetic contract (ordered
-    * in-sum fold, 12-dp round per iteration) — the operator must match it
+  /** Driver-side replica of pageRank's exact arithmetic contract
+    * (10¹²-scaled fixed-point BIGINT chain: truncating-div
+    * contributions, order-independent integer in-sums, integer damping
+    * (850000·m) div 10⁶, one final /10¹²) — the operator must match it
     * BITWISE, not approximately. */
   private def refPageRank(edges: Seq[(String, String)],
                           iters: Int): Map[String, Double] = {
     val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
     val n = nodes.size
     val deg = edges.groupBy(_._1).view.mapValues(_.size).toMap
-    val base = (1.0 - 0.85) / n
-    var pr = nodes.map(_ -> 1.0 / n).toMap
+    val base12 = math.round((1.0 - 0.85) / n * 1e12)
+    var pr = nodes.map(_ -> math.round(1e12 / n)).toMap
     for (_ <- 1 to iters) {
       val in = edges.groupBy(_._2).map { case (t, es) =>
-        t -> es.map(e => (e._1, pr(e._1) / deg(e._1))).sortBy(_._1)
-          .foldLeft(0.0)((a, x) => a + x._2)
+        t -> es.map(e => pr(e._1) / deg(e._1)).sum
       }
-      pr = nodes.map(v => v -> BigDecimal(
-        base + 0.85 * in.getOrElse(v, 0.0))
-        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
+      pr = nodes.map(v =>
+        v -> (850000L * in.getOrElse(v, 0L) / 1000000L + base12)).toMap
     }
-    pr
+    pr.view.mapValues(_.toDouble / 1e12).toMap
   }
 
   test("pageRank: cycle is uniform; star concentrates on the hub; " +

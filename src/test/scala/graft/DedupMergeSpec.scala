@@ -534,4 +534,53 @@ class DedupMergeSpec extends SparkSpec {
     assert(acts.forall(r => r.getString(3) == "rewrite" && r.getLong(4) == 0L))
     fs.delete(p, true)
   }
+
+  test("compactionExecute: fragmented partition compacted on disk (file " +
+    "count drops, rows and keep bytes preserved, untouched partition " +
+    "byte-identical)") {
+    val dir = "/tmp/graft_test_compact_exec"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    // part=frag: 6 tiny fragments; part=ok: one healthy file
+    Seq.tabulate(60)(i => (i.toLong, "x" * 40, "frag"))
+      .toDF("id", "payload", "part").repartition(6)
+      .write.partitionBy("part").mode("overwrite").parquet(dir)
+    Seq.tabulate(60)(i => (i.toLong + 1000, "y" * 40, "ok"))
+      .toDF("id", "payload", "part").coalesce(1)
+      .write.partitionBy("part").mode("append").parquet(dir)
+    def listing(part: String): Map[String, (Long, Long)] =
+      fs.listStatus(new org.apache.hadoop.fs.Path(p, part))
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .map(f => f.getPath.getName ->
+          ((f.getLen, f.getModificationTime))).toMap
+    val okBefore = listing("part=ok")
+    val fragBefore = listing("part=frag")
+    assert(fragBefore.size == 6)
+    val before = spark.read.parquet(dir).select("id", "payload", "part")
+      .collect().toSet
+    // healthy files (≥ threshold) keep; the 6 fragments pack into 1 task
+    MergeOps.compactionExecute(spark, dir,
+      targetBytes = 1L << 20, smallThreshold = 8192L)
+    val fragAfter = listing("part=frag")
+    assert(fragAfter.size == 1 &&
+      fragAfter.keySet.head.startsWith("compacted-"))
+    // untouched partition: same files, same bytes, same mtimes (no swap)
+    assert(listing("part=ok") == okBefore)
+    // no tmp/old residue anywhere
+    assert(fs.listStatus(p).map(_.getPath.getName).forall(n =>
+      !n.endsWith(".tmp") && !n.endsWith(".old")))
+    // table contents identical
+    assert(spark.read.parquet(dir).select("id", "payload", "part")
+      .collect().toSet == before)
+    // idempotent: a second run has no multi-slice rewrite task left, so
+    // no partition is touched (same files, same mtimes)
+    val plan2 = MergeOps.compactionExecute(spark, dir,
+      targetBytes = 1L << 20, smallThreshold = 8192L)
+    val multi = plan2.filter(col("action") === "rewrite")
+      .groupBy("part", "task_id").count().filter(col("count") >= 2)
+    assert(multi.isEmpty)
+    assert(listing("part=frag") == fragAfter)
+    fs.delete(p, true)
+  }
 }

@@ -102,6 +102,12 @@ class TextDedupSpec extends SparkSpec {
     assert(pairs.keySet == Set((1L, 2L), (1L, 4L), (2L, 4L)))
     assert(pairs((1L, 4L)) == 1.0)
     assert(pairs((1L, 2L)) >= 0.8)
+    // hot-shingle guard: with maxDocFreq = 1 every shared fingerprint is
+    // "boilerplate" and no pair can form — the cap gates candidate
+    // generation itself, not just scoring
+    val gated = DedupOps.winnowingPairs(docs, "doc_id", "text", 4, 4, 3,
+      maxDocFreq = 1)
+    assert(gated.isEmpty)
   }
 
   test("SimHash pairs the planted near-dup with small Hamming distance") {

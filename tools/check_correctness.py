@@ -3,8 +3,13 @@
 
 Runs each oracle_sql.json query in DuckDB over the same parquet tables and
 compares against the Verify parquet dumps: schema (column names), row count,
-and values (columns sorted by name, rows sorted, doubles compared exactly
-after both sides' explicit rounding).
+types (the driver's hash is TYPE-SENSITIVE: a DuckDB HUGEINT from
+SUM(BIGINT) vs a Spark int64, or an int32 ntile vs a BIGINT oracle, fails
+the gate even when every value is bit-identical — so we compare the typed
+DuckDB schema of the oracle result against the typed schema of the Verify
+parquet, per column, before looking at values), and values (columns sorted
+by name, rows sorted, doubles compared exactly after both sides' explicit
+rounding).
 """
 import json, math, sys
 import duckdb
@@ -29,6 +34,28 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     rows = [tuple(norm(v) for v in row) for row in df.itertuples(index=False)]
     rows.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
     return rows
+
+# Types Spark cannot emit to parquet — their appearance in an oracle result
+# means the oracle SQL needs an explicit CAST (the pandas .df() path silently
+# flattens them to int64, which is why value comparison alone misses this).
+_UNREACHABLE = {"HUGEINT", "UHUGEINT", "UBIGINT", "UINTEGER", "USMALLINT",
+                "UTINYINT"}
+
+def type_mismatches(con, sql, parquet_path):
+    """Per-column typed-schema diff between the oracle result and the Verify
+    parquet, as DuckDB sees both. Returns a list of problem strings."""
+    rel = con.sql(sql)
+    oracle_types = dict(zip(rel.columns, (str(t) for t in rel.types)))
+    prel = con.sql(f"SELECT * FROM '{parquet_path}/*.parquet'")
+    got_types = dict(zip(prel.columns, (str(t) for t in prel.types)))
+    probs = []
+    for c in sorted(set(oracle_types) & set(got_types)):
+        ot, gt = oracle_types[c], got_types[c]
+        if ot in _UNREACHABLE:
+            probs.append(f"{c}: oracle {ot} (unreachable from Spark — add CAST)")
+        elif ot != gt:
+            probs.append(f"{c}: oracle {ot} vs spark {gt}")
+    return probs
 
 def main(sf_dir: str, out_dir: str):
     con = duckdb.connect()
@@ -55,6 +82,11 @@ def main(sf_dir: str, out_dir: str):
             continue
         if len(exp) != len(got):
             print(f"FAIL {name}: rows {len(got)} vs oracle {len(exp)}")
+            fail += 1
+            continue
+        probs = type_mismatches(con, sql, f"{out_dir}/{name}")
+        if probs:
+            print(f"FAIL {name}: type mismatch: {'; '.join(probs)}")
             fail += 1
             continue
         ce, cg = canon(exp), canon(got)
