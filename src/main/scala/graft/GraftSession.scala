@@ -18,14 +18,16 @@ object GraftSession {
     .config("spark.sql.shuffle.partitions", cpus)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.ansi.enabled", "false")
+    // AQE coalescing stays "parallelism first" (the default): measured at
+    // sf0.1 (PERF.md r9), parallelismFirst=false — coalesce purely by the
+    // 64 MB advisory size — serialized every compute-heavy mid-size
+    // shuffle (triangle wedge join 13.6→33.2 s, k-core 13.8→20.5 s, the
+    // md5-hashing near-dup family +30-70%) because a few-MB exchange of
+    // expensive rows collapsed to one task on a 32-core box. Bytes are
+    // the wrong proxy for work when per-row cost is high; at 100 TB real
+    // shuffles exceed the advisory size and coalesce identically either
+    // way, so the default costs nothing there.
     .config("spark.sql.adaptive.enabled", "true")
-    // Without this, AQE's coalescer keeps ≥ default-parallelism partitions
-    // ("parallelism first"), so a 2k-row rank frame still shuffles into 32
-    // tasks × 10 iterations in the graph/k-means loops — pure scheduling
-    // overhead. False = honor advisoryPartitionSizeInBytes and collapse
-    // node-sized exchanges to one task; at 100 TB the advisory size (64 MB)
-    // keeps real shuffles wide, so this only trims the tiny-frame tail.
-    .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
     // events.parquet stores TIMESTAMP(NANOS) which Spark cannot read
     // natively; read as long and convert at the source boundary
     // (QuerySpec.t truncates ns → µs, matching DuckDB/pandas readers).

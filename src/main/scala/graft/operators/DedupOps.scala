@@ -275,7 +275,8 @@ object DedupOps {
     * MapReduce and Beyond", SoCC'14) — same interface.
     */
   def connectedComponents(pairs: DataFrame, aCol: String, bCol: String,
-                          maxIter: Int = 64): DataFrame = {
+                          maxIter: Int = 64): DataFrame =
+    GraphOps.withCappedShuffle(pairs) {
     // localCheckpoint (not persist): iterative plans nest one level per
     // round, and re-analyzing/re-optimizing the growing tree quickly
     // dominates the tiny per-round data work. Checkpointing truncates the
@@ -402,7 +403,8 @@ object DedupOps {
     * edge).
     */
   def connectedComponentsStar(pairs: DataFrame, aCol: String, bCol: String,
-                              maxIter: Int = 64): DataFrame = {
+                              maxIter: Int = 64): DataFrame =
+    GraphOps.withCappedShuffle(pairs) {
     val (nodes, releaseNodes) = Checkpoints.tracked(
       pairs.select(col(aCol).as("n"))
         .unionByName(pairs.select(col(bCol).as("n"))).distinct())
@@ -749,5 +751,45 @@ object DedupOps {
       .localCheckpoint(true)
     fp.unpersist()
     out
+  }
+
+  /** Dedup RESOLUTION — the step every near-dup family feeds: turn a pair
+    * list (from [[minhashLshPairs]], [[simhashPairs]], [[winnowingPairs]],
+    * exact-hash equality, …) into per-document keep/drop decisions. Pairs
+    * are clustered with [[connectedComponents]]; within each cluster the
+    * SURVIVOR is the row with the highest `scoreCol` (ties → lowest id) —
+    * "keep the best copy", the standard crawl-pipeline policy (score =
+    * quality, length, recency…). Documents in no pair are their own
+    * singleton cluster and always survive.
+    *
+    * Scale shape: CC is the iterative hash-to-min label propagation
+    * (per-round cost O(edges), rounds ≤ component diameter); survivor
+    * choice is ONE row_number window partitioned by cluster root (state =
+    * one row per member) plus a winners join keyed by root — no stage
+    * touches more than the pair graph + one row per document.
+    *
+    * Output: (idCol, cluster_root, canonical_id, keep) — one row per
+    * document in `universe`; `keep` marks survivors, `canonical_id` is the
+    * survivor every dropped row deduplicates TO (the provenance pointer a
+    * training-data pipeline records).
+    */
+  def dedupResolution(pairs: DataFrame, aCol: String, bCol: String,
+                      universe: DataFrame, idCol: String,
+                      scoreCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val members = universe
+      .select(col(idCol).as("__id"), col(scoreCol).as("__q"))
+      .join(cc.select(col("id").as("__id"), col("cluster_root")),
+        Seq("__id"), "left")
+      .withColumn("cluster_root", coalesce(col("cluster_root"), col("__id")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_root"))
+      .orderBy(col("__q").desc_nulls_last, col("__id").asc)
+    val ranked = members.withColumn("__rk", row_number().over(w))
+    val winners = ranked.filter(col("__rk") === 1)
+      .select(col("cluster_root"), col("__id").as("canonical_id"))
+    ranked.join(winners, "cluster_root")
+      .select(col("__id").as(idCol), col("cluster_root"),
+        col("canonical_id"), (col("__rk") === 1).as("keep"))
   }
 }

@@ -11,6 +11,28 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Run `body` with spark.sql.shuffle.partitions capped at `cap`,
+    * restoring the previous value afterwards. The iterative operators'
+    * per-round frames are node/edge-sized (thousands to a few hundred
+    * thousand cheap rows), and each round launches 2-4 shuffles — at the
+    * session's full width (32 locally, thousands on a cluster) the
+    * per-round cost is task scheduling, not data. Capping keeps real
+    * multi-way parallelism (unlike AQE advisory-size coalescing, which
+    * measured 1.5-2.4× WORSE here by collapsing expensive mid-size
+    * exchanges to one task — PERF.md r9) while cutting the task count
+    * per round. At true 100 TB graph scale, raise the cap with
+    * SPARK_GRAFT_GRAPH_PARTITIONS or size the session's
+    * shuffle.partitions below it.
+    */
+  private[operators] def withCappedShuffle[T](df: DataFrame)(body: => T): T = {
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val cap = sys.env.getOrElse("SPARK_GRAFT_GRAPH_PARTITIONS", "8").toInt
+    spark.conf.set(key, math.min(prev.toInt, cap).toString)
+    try body finally spark.conf.set(key, prev)
+  }
+
   /** Fixed-iteration PageRank with damping `d`:
     * `pr_{k+1}(v) = (1-d)/N + d * Σ_{u→v} pr_k(u)/outdeg(u)`, from the
     * uniform start `pr_0 = 1/N`. Nodes = distinct sources ∪ targets.
@@ -43,7 +65,8 @@ object GraphOps {
     * Output: (node, pagerank) — one row per node.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-               iterations: Int, damping: Double = 0.85): DataFrame = {
+               iterations: Int, damping: Double = 0.85): DataFrame =
+    withCappedShuffle(edges) {
     require(iterations >= 1, s"iterations must be >= 1 (got $iterations)")
     val (e, releaseE) = Checkpoints.tracked(edges
       .select(col(srcCol).cast("string").as("__s"),
@@ -82,7 +105,7 @@ object GraphOps {
     releaseNodes()
     releaseE()
     out
-  }
+    }
 
   /** Per-node triangle counts over an undirected graph (Cohen's
     * MapReduce triangle enumeration with degree-ordered orientation,
@@ -173,7 +196,7 @@ object GraphOps {
     * depth stays constant in `rounds`.
     */
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
-            k: Int, rounds: Int): DataFrame = {
+            k: Int, rounds: Int): DataFrame = withCappedShuffle(edges) {
     require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1 (got $k, $rounds)")
     val init = edges
       .select(col(srcCol).cast("string").as("__a"),
@@ -221,7 +244,8 @@ object GraphOps {
     * Per-node state is bounded by in-degree; no step is super-linear.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
-                       iterations: Int): DataFrame = {
+                       iterations: Int): DataFrame =
+    withCappedShuffle(edges) {
     require(iterations >= 1, s"iterations must be >= 1 (got $iterations)")
     val (e, releaseE) = Checkpoints.tracked(edges
       .select(col(srcCol).cast("string").as("__s"),

@@ -642,4 +642,99 @@ object TextOps {
         round(matches.cast("double") / lit(numHashes.toDouble), 4)
           .as("est_jaccard"))
   }
+
+  /** Gopher/C4-style STRUCTURAL quality gates (Rae et al. 2021 §A1.1,
+    * Raffel et al. 2020 §2.2) — the hard pass/fail filters a crawl
+    * pipeline applies before any scoring model ([[qualityScore]] is the
+    * soft complement). Per document:
+    *   - word_count_ok:    minWords ≤ |words| ≤ maxWords;
+    *   - mean_word_len_ok: 3 ≤ mean word length ≤ 10;
+    *   - symbol_ok:        (# words containing `#`/`...`/`…`) < 10 % of words;
+    *   - alpha_ok:         (# words containing a letter) ≥ 80 % of words;
+    *   - bullet_ok:        (# lines starting `-`/`*`/`•`) < 90 % of lines;
+    *   - ellipsis_ok:      (# lines ending `...`/`…`) < 30 % of lines;
+    *   - terminal_punct:   trimmed text ends in `.`/`!`/`?`/`"` (C4);
+    *   - pass_all:         conjunction of the above.
+    * Empty/blank documents fail every gate.
+    *
+    * Determinism: every ratio threshold is an integer CROSS-MULTIPLICATION
+    * (10·n_symbol < n_words, 5·n_alpha ≥ 4·n_words, …) — no float ever
+    * exists, so the booleans hash-match any engine. Pure per-row column
+    * expressions (one tokenization, lambdas touch lambda vars only) —
+    * map-side at scan speed, no shuffle, prunable at 100 TB.
+    *
+    * Output: (idCol, n_words, n_lines, word_count_ok, mean_word_len_ok,
+    * symbol_ok, alpha_ok, bullet_ok, ellipsis_ok, terminal_punct,
+    * pass_all).
+    */
+  def gopherQualityFlags(docs: DataFrame, idCol: String, textCol: String,
+                         minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nWords = size(toks).cast("long")
+    val sumWordChars = coalesce(aggregate(toks, lit(0L),
+      (acc, w) => acc + length(w).cast("long")), lit(0L))
+    val nSymbol = coalesce(aggregate(toks, lit(0L), (acc, w) =>
+      acc + when(w.contains("#") || w.contains("...") || w.contains("…"),
+        1L).otherwise(0L)), lit(0L))
+    val nAlpha = coalesce(aggregate(toks, lit(0L), (acc, w) =>
+      acc + when(w.rlike("[A-Za-z]"), 1L).otherwise(0L)), lit(0L))
+    val lines = filter(split(coalesce(col(textCol), lit("")), "\n"),
+      l => length(trim(l)) > 0)
+    val nLines = size(lines).cast("long")
+    val nBullet = coalesce(aggregate(lines, lit(0L), (acc, l) =>
+      acc + when(trim(l).startsWith("-") || trim(l).startsWith("*") ||
+        trim(l).startsWith("•"), 1L).otherwise(0L)), lit(0L))
+    val nEllipsis = coalesce(aggregate(lines, lit(0L), (acc, l) =>
+      acc + when(trim(l).endsWith("...") || trim(l).endsWith("…"),
+        1L).otherwise(0L)), lit(0L))
+    val nonEmpty = nWords > 0
+    val wordCountOk = nonEmpty &&
+      nWords >= minWords && nWords <= maxWords
+    val meanLenOk = nonEmpty &&
+      lit(3L) * nWords <= sumWordChars && sumWordChars <= lit(10L) * nWords
+    val symbolOk = nonEmpty && lit(10L) * nSymbol < nWords
+    val alphaOk = nonEmpty && lit(5L) * nAlpha >= lit(4L) * nWords
+    val bulletOk = nonEmpty && lit(10L) * nBullet < lit(9L) * nLines
+    val ellipsisOk = nonEmpty && lit(10L) * nEllipsis < lit(3L) * nLines
+    val termPunct = nonEmpty &&
+      trim(coalesce(col(textCol), lit(""))).rlike("[.!?\"]$")
+    docs.select(col(idCol), nWords.as("n_words"), nLines.as("n_lines"),
+      wordCountOk.as("word_count_ok"), meanLenOk.as("mean_word_len_ok"),
+      symbolOk.as("symbol_ok"), alphaOk.as("alpha_ok"),
+      bulletOk.as("bullet_ok"), ellipsisOk.as("ellipsis_ok"),
+      termPunct.as("terminal_punct"),
+      (wordCountOk && meanLenOk && symbolOk && alphaOk && bulletOk &&
+        ellipsisOk && termPunct).as("pass_all"))
+  }
+
+  /** Most-duplicated passages: the `k` word-n-grams occurring most often
+    * across the corpus, with how many distinct documents carry them — the
+    * standard boilerplate audit (cookie banners, license headers) run
+    * before choosing dup-span / winnowing thresholds, and the direct
+    * measurement behind [[DedupOps.winnowingPairs]]' hot-shingle cap.
+    *
+    * Scale shape: explode → ONE hash aggregate on the shingle (count +
+    * count-distinct-doc via two-level agg, partial map-side combine —
+    * only per-task distinct (shingle, doc) rows cross the exchange), then
+    * TakeOrdered for the top-k (bounded driver result, never a global
+    * sort materialization). Linear in corpus token count.
+    *
+    * Determinism: integer counts; ordering (n_occurrences DESC, passage
+    * ASC) is total, and passage strings are byte-comparable.
+    *
+    * Output: (passage, n_docs, n_occurrences), top `k`.
+    */
+  def topDuplicatedPassages(docs: DataFrame, idCol: String, textCol: String,
+                            gramWords: Int = 8, k: Int = 50): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(shingles(col(textCol), gramWords)).as("passage"))
+      .groupBy(col("passage"), col("__id"))
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(col("passage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_occurrences"))
+      .filter(col("n_occurrences") >= 2)
+      .orderBy(col("n_occurrences").desc, col("passage").asc)
+      .limit(k)
 }

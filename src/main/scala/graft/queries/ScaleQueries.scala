@@ -4139,6 +4139,113 @@ object ScaleQueries {
              |  round(n_shared * 1.0 / least(ca.nf, cb.nf), 4) overlap
              |FROM pairs JOIN nf ca ON id_a = ca.doc_id
              |JOIN nf cb ON id_b = cb.doc_id
-             |ORDER BY 1, 2""".stripMargin))
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Gopher/C4 structural quality gates (x106): the hard pass/fail crawl
+    // filters (word-count bounds, mean word length, symbol/alpha word
+    // ratios, bullet/ellipsis line ratios, C4 terminal punctuation).
+    // Every threshold is an integer cross-multiplication — no float
+    // exists, so the booleans hash-match any engine; pure map-side
+    // expressions at scan speed.
+    QuerySpec("x106_gopher_quality", (s, d) =>
+      graft.operators.TextOps.gopherQualityFlags(
+        t(s, d, "documents"), "doc_id", "text", minWords = 30)
+        .orderBy("doc_id"),
+      Some("""WITH w AS (SELECT doc_id,
+             |    list_filter(regexp_split_to_array(
+             |      trim(coalesce(text, '')), '\s+'),
+             |      x -> length(x) > 0) wl,
+             |    list_filter(string_split(coalesce(text, ''), chr(10)),
+             |      l -> length(trim(l)) > 0) ll,
+             |    trim(coalesce(text, '')) tt
+             |  FROM documents),
+             |c AS (SELECT doc_id,
+             |    CAST(len(wl) AS BIGINT) n_words,
+             |    CAST(len(ll) AS BIGINT) n_lines,
+             |    CAST(coalesce(list_sum(list_transform(wl,
+             |      x -> length(x))), 0) AS BIGINT) swc,
+             |    CAST(len(list_filter(wl, x -> contains(x, '#')
+             |      OR contains(x, '...') OR contains(x, '…')))
+             |      AS BIGINT) n_sym,
+             |    CAST(len(list_filter(wl,
+             |      x -> regexp_matches(x, '[A-Za-z]'))) AS BIGINT) n_alpha,
+             |    CAST(len(list_filter(ll, l -> starts_with(trim(l), '-')
+             |      OR starts_with(trim(l), '*')
+             |      OR starts_with(trim(l), '•'))) AS BIGINT) n_bul,
+             |    CAST(len(list_filter(ll, l -> trim(l) LIKE '%...'
+             |      OR trim(l) LIKE '%…')) AS BIGINT) n_ell,
+             |    regexp_matches(tt, '[.!?"]$') tp
+             |  FROM w),
+             |f AS (SELECT doc_id, n_words, n_lines,
+             |    n_words > 0 AND n_words >= 30 AND n_words <= 100000 wco,
+             |    n_words > 0 AND 3 * n_words <= swc
+             |      AND swc <= 10 * n_words mwo,
+             |    n_words > 0 AND 10 * n_sym < n_words so,
+             |    n_words > 0 AND 5 * n_alpha >= 4 * n_words ao,
+             |    n_words > 0 AND 10 * n_bul < 9 * n_lines bo,
+             |    n_words > 0 AND 10 * n_ell < 3 * n_lines eo,
+             |    n_words > 0 AND tp tpo
+             |  FROM c)
+             |SELECT doc_id, n_words, n_lines, wco word_count_ok,
+             |  mwo mean_word_len_ok, so symbol_ok, ao alpha_ok,
+             |  bo bullet_ok, eo ellipsis_ok, tpo terminal_punct,
+             |  wco AND mwo AND so AND ao AND bo AND eo AND tpo pass_all
+             |FROM f ORDER BY doc_id""".stripMargin)),
+
+    // Most-duplicated passages (x107): top-k 8-gram shingles by corpus
+    // occurrence count with distinct-doc counts — the boilerplate audit
+    // that sizes dup-span thresholds and x102's hot-shingle cap. One
+    // two-level hash aggregate + TakeOrdered; integer counts, total
+    // (n DESC, passage) order.
+    QuerySpec("x107_top_dup_passages", (s, d) =>
+      graft.operators.TextOps.topDuplicatedPassages(
+        t(s, d, "documents"), "doc_id", "text", gramWords = 8, k = 50),
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_split_to_array(trim(text), '\s+') tk
+             |  FROM documents WHERE length(trim(coalesce(text, ''))) > 0),
+             |sh AS (SELECT doc_id, unnest(list_transform(
+             |    range(0, greatest(len(tk) - 7, 0)),
+             |    i -> array_to_string(tk[i+1:i+8], ' '))) passage
+             |  FROM toks),
+             |pd AS (SELECT passage, doc_id, count(*) n FROM sh
+             |  GROUP BY 1, 2),
+             |agg AS (SELECT passage, count(*) n_docs,
+             |    CAST(sum(n) AS BIGINT) n_occurrences
+             |  FROM pd GROUP BY 1 HAVING sum(n) >= 2)
+             |SELECT passage, n_docs, n_occurrences FROM agg
+             |ORDER BY n_occurrences DESC, passage LIMIT 50""".stripMargin)),
+
+    // Dedup resolution (x108): pair list → connected components → one
+    // SURVIVOR per cluster (highest score, ties lowest id), singletons
+    // survive — the keep/drop + canonical-provenance step every near-dup
+    // family feeds. Graded on exact-hash pairs (md5(text) equality, so
+    // the oracle's clusters are equality groups); CC multi-hop behavior
+    // is separately graded by x13/x13b.
+    QuerySpec("x108_dedup_resolution", (s, d) => {
+      val docs = t(s, d, "documents")
+      val fp = docs.select(col("doc_id"), md5(col("text")).as("__f"))
+      val pairs = fp.as("a").join(fp.as("b"),
+          col("a.__f") === col("b.__f") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      graft.operators.DedupOps.dedupResolution(pairs, "id_a", "id_b",
+        docs.select("doc_id", "n_chars"), "doc_id", "n_chars")
+        .orderBy("doc_id")
+    },
+      Some("""WITH fp AS (SELECT doc_id, md5(text) f, n_chars
+             |  FROM documents),
+             |dup AS (SELECT doc_id, min(doc_id) OVER (PARTITION BY f) root
+             |  FROM fp WHERE f IN (SELECT f FROM fp GROUP BY f
+             |    HAVING count(*) >= 2)),
+             |m AS (SELECT fp.doc_id, coalesce(dup.root, fp.doc_id)
+             |    cluster_root, fp.n_chars
+             |  FROM fp LEFT JOIN dup USING (doc_id)),
+             |r AS (SELECT *, row_number() OVER (PARTITION BY cluster_root
+             |    ORDER BY n_chars DESC, doc_id) rk FROM m),
+             |w AS (SELECT cluster_root, doc_id canonical_id FROM r
+             |  WHERE rk = 1)
+             |SELECT r.doc_id, r.cluster_root, w.canonical_id, r.rk = 1 keep
+             |FROM r JOIN w USING (cluster_root) ORDER BY r.doc_id"""
+        .stripMargin))
   )
 }

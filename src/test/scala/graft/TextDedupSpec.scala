@@ -110,6 +110,80 @@ class TextDedupSpec extends SparkSpec {
     assert(gated.isEmpty)
   }
 
+  test("gopherQualityFlags: each gate trips on its own pathology; blank " +
+    "fails all; integer thresholds are exact at the boundary") {
+    val good = (1 to 60).map(i => s"word$i").mkString(" ") + "."
+    val cases = Seq(
+      (1L, good),                                    // passes everything
+      (2L, "too short."),                            // word_count
+      (3L, (1 to 60).map(_ => "a").mkString(" ")),   // mean word len < 3
+      (4L, (1 to 60).map(i => s"#w$i").mkString(" ") + "."), // symbols
+      (5L, (1 to 60).map(i => s"$i").mkString(" ") + "."),   // no alpha
+      (6L, (1 to 60).map(i => s"line$i ...").mkString("\n")), // ellipsis ends
+      (7L, good.dropRight(1)),                       // no terminal punct
+      (8L, "   ")                                    // blank: all gates fail
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherQualityFlags(cases, "doc_id", "text",
+      minWords = 50).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getBoolean(10))                   // pass_all
+    assert(!got(2L).getBoolean(3) && got(2L).getBoolean(9)) // wc fails, punct ok
+    assert(!got(3L).getBoolean(4))                   // mean_word_len
+    assert(!got(4L).getBoolean(5) && got(4L).getBoolean(3)) // symbol
+    assert(!got(5L).getBoolean(6))                   // alpha
+    assert(!got(6L).getBoolean(8))                   // ellipsis
+    assert(!got(7L).getBoolean(9) && got(7L).getBoolean(3)) // terminal punct
+    assert((3 to 10).forall(i => !got(8L).getBoolean(i)))   // blank
+    // boundary exactness: exactly 50 words passes, 49 fails
+    val b = Seq((1L, (1 to 50).map(i => s"w$i").mkString(" ") + "."),
+      (2L, (1 to 49).map(i => s"w$i").mkString(" ") + "."))
+      .toDF("doc_id", "text")
+    val gb = TextOps.gopherQualityFlags(b, "doc_id", "text", minWords = 50)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(gb(1L) && !gb(2L))
+  }
+
+  test("topDuplicatedPassages: counts occurrences and distinct docs, " +
+    "orders by count then passage, singleton grams absent") {
+    val boiler = "all rights reserved by the example corp inc"  // 8 words
+    val docs = Seq(
+      (1L, s"alpha beta $boiler gamma"),
+      (2L, s"$boiler delta"),
+      (3L, s"$boiler $boiler"),   // two occurrences in one doc
+      (4L, "nothing shared here at all in this one")
+    ).toDF("doc_id", "text")
+    val got = TextOps.topDuplicatedPassages(docs, "doc_id", "text",
+      gramWords = 8, k = 10).collect()
+    val byP = got.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byP(boiler) == ((3L, 4L))) // 3 docs; 1+1+2 occurrences
+    // top row is the most frequent gram
+    assert(got.head.getString(0) == boiler)
+    // doc 4's unique grams never appear (n_occurrences >= 2 filter)
+    assert(got.forall(_.getLong(2) >= 2L))
+  }
+
+  test("dedupResolution: multi-hop cluster keeps the best score (tie -> " +
+    "min id); singletons survive; canonical provenance points at the " +
+    "survivor") {
+    // chain 1-2, 2-3 (multi-hop); pair 10-11; 20 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val uni = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (10L, 1.0), (11L, 7.0),
+      (20L, 0.5)).toDF("doc_id", "q")
+    val got = DedupOps.dedupResolution(pairs, "id_a", "id_b", uni,
+      "doc_id", "q").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    // cluster {1,2,3}: root = min id 1; survivor = 2 (score 9 tie, min id)
+    assert(got(1L) == ((1L, 2L, false)))
+    assert(got(2L) == ((1L, 2L, true)))
+    assert(got(3L) == ((1L, 2L, false)))
+    // cluster {10,11}: survivor 11 (higher score)
+    assert(got(10L) == ((10L, 11L, false)))
+    assert(got(11L) == ((10L, 11L, true)))
+    // singleton keeps itself
+    assert(got(20L) == ((20L, 20L, true)))
+  }
+
   test("SimHash pairs the planted near-dup with small Hamming distance") {
     val pairs = DedupOps.simhashPairs(docs.filter($"doc_id" =!= 4),
       "doc_id", "text", shingleWords = 3, maxHamming = 8)
