@@ -439,6 +439,29 @@ class ScaleNativeSpec extends SparkSpec {
       (7L, 13, 1L, 4.0), (9L, 3, 1L, 8.0)))
   }
 
+  test("gopherQualityFlags plans shuffle-free (pure map-side expressions); " +
+    "topDuplicatedPassages plans partial aggregation + TakeOrdered, " +
+    "never a global Sort") {
+    import graft.operators.TextOps
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val flags = TextOps.gopherQualityFlags(docs, "doc_id", "text")
+    assert(flags.count() > 0)
+    val fPlan = flags.queryExecution.executedPlan.toString
+    assert(!fPlan.contains("Exchange"),
+      s"quality gates must run at scan speed, no shuffle:\n$fPlan")
+    val top = TextOps.topDuplicatedPassages(docs, "doc_id", "text",
+      gramWords = 4, k = 10)
+    top.collect()
+    val tPlan = top.queryExecution.executedPlan.toString
+    assert(tPlan.contains("TakeOrderedAndProject"),
+      s"top-k must be TakeOrdered (bounded driver result), not a global " +
+        s"sort:\n$tPlan")
+    assert(tPlan.contains("HashAggregate"),
+      s"expected hash aggregation with map-side partials:\n$tPlan")
+    assert(!tPlan.contains("Sort ["),
+      s"no full Sort node should appear for a top-k:\n$tPlan")
+  }
+
   test("bucketed join plans without an Exchange on either side") {
     for (t <- Seq("bkt_a", "bkt_b")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
