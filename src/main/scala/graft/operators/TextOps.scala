@@ -707,6 +707,91 @@ object TextOps {
         ellipsisOk && termPunct).as("pass_all"))
   }
 
+  /** Cross-source contamination matrix: for every pair of sources, how
+    * many distinct word-n-grams they share, with containment =
+    * shared / min(|grams_a|, |grams_b|) — the audit run before declaring
+    * train/eval splits or source mixtures independent (an eval source
+    * whose grams are contained in a train source is leaked, the
+    * decontamination case x21 handles pair-wise at the document level).
+    *
+    * Scale shape: the gram inventory is `distinct (source, gram)` — the
+    * inverted-index bucket per gram is bounded by the SOURCE COUNT (tens
+    * to hundreds), never the corpus, so the self-join emits ≤
+    * |grams|·|sources|²/2 rows and is safe at any corpus size. Map-side
+    * combine on both aggregates; integer counts + one rounded division.
+    *
+    * Output: (source_a, source_b, n_shared, containment), source_a <
+    * source_b, only pairs sharing ≥ 1 gram.
+    */
+  def crossSourceContamination(docs: DataFrame, srcCol: String,
+                               textCol: String,
+                               gramWords: Int = 5): DataFrame = {
+    val sh = docs
+      .filter(col(srcCol).isNotNull && col(textCol).isNotNull)
+      .select(col(srcCol).cast("string").as("__src"),
+        explode(shingles(col(textCol), gramWords)).as("__g"))
+      .distinct()
+    val sizes = sh.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    sh.as("a").join(sh.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__src") < col("b.__src"))
+      .groupBy(col("a.__src").as("source_a"), col("b.__src").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.select(col("__src").as("source_a"),
+        col("__n").as("__na")), "source_a")
+      .join(sizes.select(col("__src").as("source_b"),
+        col("__n").as("__nb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          least(col("__na"), col("__nb")).cast("double"), 4)
+          .as("containment"))
+  }
+
+  /** Per-source KL divergence of the word distribution from the corpus
+    * distribution, KL(source ‖ corpus) = Σ_w q_w·ln(q_w/p_w) — the
+    * mixture-design diagnostic: a source with high divergence shifts the
+    * blend's token statistics and deserves its own temperature
+    * ([[graft.operators.ScaleOps]]' mixing operators are the consumers).
+    * Every source word occurs in the corpus, so no zero-probability term
+    * exists; KL ≥ 0 with equality iff the source matches the corpus mix.
+    *
+    * Determinism (cross-engine hash compare): each term q·ln(q/p) is
+    * computed from integer counts via IEEE ops in a fixed association,
+    * then fixed-pointed to a BIGINT at 10 decimals and SUMMED — integer
+    * addition commutes, so no ordering and O(1) per-source state (the
+    * x70 picopoint pattern; an ordered collect_list fold here would
+    * materialize one array entry per distinct source word). Overflow:
+    * |term| ≤ ln(1/p_min) ≈ 30, vocab ≤ 10⁷ ⇒ |sum| ≤ 3·10¹⁸ < 2⁶³.
+    *
+    * Output: (source, n_tokens, vocab, kl_nats) — kl rounded to 6 dp.
+    */
+  def sourceDivergence(docs: DataFrame, srcCol: String,
+                       textCol: String): DataFrame = {
+    val tok = docs
+      .filter(col(srcCol).isNotNull && col(textCol).isNotNull)
+      .select(col(srcCol).cast("string").as("source"),
+        explode(tokens(col(textCol))).as("__w"))
+    val sw = tok.groupBy(col("source"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val st = sw.groupBy(col("source"))
+      .agg(sum(col("__c")).as("__t"), count(lit(1)).as("vocab"))
+    val w = sw.groupBy(col("__w")).agg(sum(col("__c")).as("__cw"))
+    val tt = w.agg(sum(col("__cw")).as("__tt"))
+    val term =
+      (col("__c").cast("double") / col("__t").cast("double")) *
+        log((col("__c").cast("double") / col("__t").cast("double")) /
+          (col("__cw").cast("double") / col("__tt").cast("double")))
+    sw.join(broadcast(st), "source")
+      .join(w, "__w")
+      .crossJoin(broadcast(tt))
+      .select(col("source"), col("__t"), col("vocab"),
+        round(term * lit(1e10), 0).cast("long").as("__ki"))
+      .groupBy(col("source"), col("__t"), col("vocab"))
+      .agg(round(sum(col("__ki")).cast("double") / lit(1e10), 6)
+        .as("kl_nats"))
+      .select(col("source"), col("__t").as("n_tokens"), col("vocab"),
+        col("kl_nats"))
+  }
+
   /** Most-duplicated passages: the `k` word-n-grams occurring most often
     * across the corpus, with how many distinct documents carry them — the
     * standard boilerplate audit (cookie banners, license headers) run

@@ -4246,6 +4246,99 @@ object ScaleQueries {
              |  WHERE rk = 1)
              |SELECT r.doc_id, r.cluster_root, w.canonical_id, r.rk = 1 keep
              |FROM r JOIN w USING (cluster_root) ORDER BY r.doc_id"""
-        .stripMargin))
+        .stripMargin)),
+
+    // Cross-source contamination matrix (x109): distinct shared 5-grams
+    // per source pair + containment vs the smaller inventory — the
+    // train/eval independence audit. Buckets in the gram self-join are
+    // bounded by |sources|, never the corpus.
+    QuerySpec("x109_source_contamination", (s, d) =>
+      graft.operators.TextOps.crossSourceContamination(
+        t(s, d, "documents"), "source", "text", gramWords = 5)
+        .orderBy("source_a", "source_b"),
+      Some("""WITH toks AS (SELECT source,
+             |    regexp_split_to_array(trim(text), '\s+') tk
+             |  FROM documents WHERE source IS NOT NULL
+             |    AND text IS NOT NULL AND length(trim(text)) > 0),
+             |sh AS (SELECT DISTINCT source, unnest(list_transform(
+             |    range(0, greatest(len(tk) - 4, 0)),
+             |    i -> array_to_string(tk[i+1:i+5], ' '))) g
+             |  FROM toks),
+             |sz AS (SELECT source, count(*) n FROM sh GROUP BY 1),
+             |p AS (SELECT a.source source_a, b.source source_b,
+             |    count(*) n_shared
+             |  FROM sh a JOIN sh b ON a.g = b.g AND a.source < b.source
+             |  GROUP BY 1, 2)
+             |SELECT source_a, source_b, n_shared,
+             |  round(CAST(n_shared AS DOUBLE) /
+             |    CAST(least(sa.n, sb.n) AS DOUBLE), 4) containment
+             |FROM p JOIN sz sa ON source_a = sa.source
+             |JOIN sz sb ON source_b = sb.source
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // Per-source KL divergence from the corpus word mix (x110): the
+    // mixture-design diagnostic. Terms fixed-pointed to BIGINT at 10 dp
+    // and summed commutatively (the x70 picopoint pattern) — O(1)
+    // per-source state, no ordered fold.
+    QuerySpec("x110_source_divergence", (s, d) =>
+      graft.operators.TextOps.sourceDivergence(
+        t(s, d, "documents"), "source", "text")
+        .orderBy("source"),
+      Some("""WITH tok AS (SELECT source, unnest(list_filter(
+             |    regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+             |    x -> length(x) > 0)) w
+             |  FROM documents WHERE source IS NOT NULL
+             |    AND text IS NOT NULL),
+             |sw AS (SELECT source, w, count(*) c FROM tok GROUP BY 1, 2),
+             |st AS (SELECT source, CAST(sum(c) AS BIGINT) t,
+             |    count(*) vocab FROM sw GROUP BY 1),
+             |cw AS (SELECT w, CAST(sum(c) AS BIGINT) cw FROM sw
+             |  GROUP BY 1),
+             |tt AS (SELECT CAST(sum(cw) AS BIGINT) tt FROM cw),
+             |terms AS (SELECT sw.source,
+             |    CAST(round((CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) *
+             |      ln((CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) /
+             |         (CAST(cw AS DOUBLE) / CAST(tt AS DOUBLE))) * 1e10,
+             |      0) AS BIGINT) ki
+             |  FROM sw JOIN st USING (source) JOIN cw USING (w)
+             |  CROSS JOIN tt)
+             |SELECT t.source, t.t n_tokens, t.vocab,
+             |  round(CAST(sum(ki) AS DOUBLE) / 1e10, 6) kl_nats
+             |FROM terms JOIN st t USING (source)
+             |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
+
+    // Streaming passage-count audit (st15): x107's boilerplate audit with
+    // the first aggregate STREAMED — per-(passage, doc) counts are the
+    // mergeable state; finalization is batch-side, bitwise equal to the
+    // batch operator, graded on x107's oracle verbatim.
+    QuerySpec("st15_stream_passage_counts", (s, d) => {
+      val docs = t(s, d, "documents").select("doc_id", "text")
+      val run = streamRun.incrementAndGet()
+      val base = java.nio.file.Files.createTempDirectory("graft_stpass").toString
+      docs.repartition(3).write.parquet(s"$base/in")
+      val stream = s.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val out = Streams.runStreamingPassageCountsAvailableNow(s, stream,
+        "doc_id", "text", gramWords = 8, k = 50,
+        sinkName = s"graft_stpass_$run", checkpoint = s"$base/ckpt")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    },
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_split_to_array(trim(text), '\s+') tk
+             |  FROM documents WHERE length(trim(coalesce(text, ''))) > 0),
+             |sh AS (SELECT doc_id, unnest(list_transform(
+             |    range(0, greatest(len(tk) - 7, 0)),
+             |    i -> array_to_string(tk[i+1:i+8], ' '))) passage
+             |  FROM toks),
+             |pd AS (SELECT passage, doc_id, count(*) n FROM sh
+             |  GROUP BY 1, 2),
+             |agg AS (SELECT passage, count(*) n_docs,
+             |    CAST(sum(n) AS BIGINT) n_occurrences
+             |  FROM pd GROUP BY 1 HAVING sum(n) >= 2)
+             |SELECT passage, n_docs, n_occurrences FROM agg
+             |ORDER BY n_occurrences DESC, passage LIMIT 50""".stripMargin))
   )
 }

