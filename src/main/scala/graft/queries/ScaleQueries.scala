@@ -4307,6 +4307,79 @@ object ScaleQueries {
              |FROM terms JOIN st t USING (source)
              |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
 
+    // CUSUM drift alarms (x111): Page's sequential change detector over
+    // dense daily counts per event type — surge and drop sides via the
+    // drawdown identity (running sum + running min/max windows, no
+    // recursion), all-BIGINT, zero-filled days included so a silent feed
+    // registers as a drop.
+    QuerySpec("x111_cusum_alarms", (s, d) =>
+      graft.operators.Analytics.cusumAlarms(
+        t(s, d, "events"), "event_type", "ts",
+        target = 70L, threshold = 150L)
+        .orderBy("event_type", "day"),
+      Some("""WITH dd AS (SELECT event_type g, CAST(ts AS DATE) dy,
+             |    count(*) n FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT g, min(dy) lo, max(dy) hi FROM dd GROUP BY 1),
+             |grid AS (SELECT g, CAST(unnest(generate_series(lo, hi,
+             |    INTERVAL '1 day')) AS DATE) dy FROM sp),
+             |j AS (SELECT grid.g, grid.dy,
+             |    CAST(coalesce(dd.n, 0) AS BIGINT) n
+             |  FROM grid LEFT JOIN dd ON grid.g = dd.g
+             |    AND grid.dy = dd.dy),
+             |c AS (SELECT g, dy, n, CAST(sum(n - 70) OVER (PARTITION BY g
+             |    ORDER BY dy ROWS UNBOUNDED PRECEDING) AS BIGINT) y
+             |  FROM j),
+             |m AS (SELECT g, dy, n, y,
+             |    least(CAST(min(y) OVER (PARTITION BY g ORDER BY dy
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT), 0) ymin,
+             |    greatest(CAST(max(y) OVER (PARTITION BY g ORDER BY dy
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT), 0) ymax
+             |  FROM c)
+             |SELECT g event_type, CAST(dy AS VARCHAR) "day", n,
+             |  y - ymin s_surge, ymax - y s_drop,
+             |  y - ymin > 150 alarm_surge, ymax - y > 150 alarm_drop
+             |FROM m ORDER BY 1, 2""".stripMargin)),
+
+    // Streaming CUSUM (st16): x111's sequential change detector with the
+    // per-(group, day) counts STREAMED as complete-mode state; the
+    // drawdown-identity finalization runs batch-side — graded on x111's
+    // oracle verbatim.
+    QuerySpec("st16_stream_cusum", (s, d) => {
+      val schema = Streams.eventsFileSchema(s, d)
+      val run = streamRun.incrementAndGet()
+      val sink = s"graft_cusum_$run"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runStreamingCusumAvailableNow(s, d, "events.parquet", schema,
+        "event_type", target = 70L, threshold = 150L, sink, ckpt)
+        .orderBy("event_type", "day")
+    },
+      Some("""WITH dd AS (SELECT event_type g, CAST(ts AS DATE) dy,
+             |    count(*) n FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT g, min(dy) lo, max(dy) hi FROM dd GROUP BY 1),
+             |grid AS (SELECT g, CAST(unnest(generate_series(lo, hi,
+             |    INTERVAL '1 day')) AS DATE) dy FROM sp),
+             |j AS (SELECT grid.g, grid.dy,
+             |    CAST(coalesce(dd.n, 0) AS BIGINT) n
+             |  FROM grid LEFT JOIN dd ON grid.g = dd.g
+             |    AND grid.dy = dd.dy),
+             |c AS (SELECT g, dy, n, CAST(sum(n - 70) OVER (PARTITION BY g
+             |    ORDER BY dy ROWS UNBOUNDED PRECEDING) AS BIGINT) y
+             |  FROM j),
+             |m AS (SELECT g, dy, n, y,
+             |    least(CAST(min(y) OVER (PARTITION BY g ORDER BY dy
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT), 0) ymin,
+             |    greatest(CAST(max(y) OVER (PARTITION BY g ORDER BY dy
+             |      ROWS UNBOUNDED PRECEDING) AS BIGINT), 0) ymax
+             |  FROM c)
+             |SELECT g event_type, CAST(dy AS VARCHAR) "day", n,
+             |  y - ymin s_surge, ymax - y s_drop,
+             |  y - ymin > 150 alarm_surge, ymax - y > 150 alarm_drop
+             |FROM m ORDER BY 1, 2""".stripMargin)),
+
     // Streaming passage-count audit (st15): x107's boilerplate audit with
     // the first aggregate STREAMED — per-(passage, doc) counts are the
     // mergeable state; finalization is batch-side, bitwise equal to the

@@ -630,6 +630,39 @@ object Streams {
     detachSink(spark, sinkName, checkpoint).distinct()
     }
 
+  /** Streaming CUSUM drift alarms — the streaming twin of
+    * [[graft.operators.Analytics.cusumAlarms]]: per-(group, day) event
+    * counts are the streaming state (replay-commutative integer sums, so
+    * micro-batch slicing cannot move the answer); the drawdown-identity
+    * finalization (dense day grid, running sum + running min/max, alarm
+    * thresholds) runs BATCH-side over one row per (group, day) — the
+    * hllFinalize/st13 convention of stopping the stream at the smallest
+    * mergeable state. Bitwise equal to the batch operator.
+    */
+  def runStreamingCusumAvailableNow(spark: SparkSession, dir: String,
+                                    glob: String, schema: StructType,
+                                    groupCol: String, target: Long,
+                                    threshold: Long, sinkName: String,
+                                    checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob).parquet(dir)
+      val stream = normalizeTs(raw)
+      val q = stream
+        .filter(col(groupCol).isNotNull && col("ts").isNotNull)
+        .groupBy(col(groupCol), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("__n"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val daily = detachSink(spark, sinkName, checkpoint)
+      graft.operators.Analytics.cusumFromDaily(daily, groupCol,
+        target, threshold)
+    }
+
   /** Streaming passage-count audit — the streaming twin of
     * [[graft.operators.TextOps.topDuplicatedPassages]]. The stream stage
     * stops at the smallest MERGEABLE state: per-(passage, document)

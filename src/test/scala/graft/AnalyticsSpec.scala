@@ -264,6 +264,37 @@ class AnalyticsSpec extends SparkSpec {
       ("c", 2L, None)))
   }
 
+  test("cusumAlarms: window form equals the sequential recursion; gap " +
+    "days count as zero; surge and drop alarms fire where expected") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    // group g: days 1,2 quiet (3 events), day 3 MISSING (gap -> 0),
+    // days 4,5 surge (12 each); target 5, threshold 8
+    val rows =
+      (1 to 3).map(i => ("g", ts(f"2024-01-01 0$i:00:00"))) ++
+      (1 to 3).map(i => ("g", ts(f"2024-01-02 0$i:00:00"))) ++
+      (1 to 12).map(i => ("g", ts(f"2024-01-04 ${i}%02d:00:00"))) ++
+      (1 to 12).map(i => ("g", ts(f"2024-01-05 ${i}%02d:00:00")))
+    val got = Analytics.cusumAlarms(rows.toDF("g", "ts"), "g", "ts",
+      target = 5L, threshold = 8L)
+      .orderBy("day").collect()
+      .map(r => (r.getString(1),
+        (r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5), r.getBoolean(6))))
+    // sequential reference: S=max(0,S+(x-5)), T=max(0,T+(5-x))
+    var s = 0L; var t = 0L
+    val ref = Seq(("2024-01-01", 3L), ("2024-01-02", 3L), ("2024-01-03", 0L),
+      ("2024-01-04", 12L), ("2024-01-05", 12L)).map { case (d, x) =>
+      s = math.max(0L, s + (x - 5)); t = math.max(0L, t + (5 - x))
+      (d, (x, s, t, s > 8, t > 8))
+    }
+    assert(got.toSeq == ref)
+    // day 3 (the gap) drives the drop statistic to 2+2+5=9 -> drop alarm
+    assert(ref(2)._2._3 == 9L && ref(2)._2._5)
+    // the surge side crosses after the second surge day: 7 then 14
+    assert(!ref(3)._2._4 && ref(4)._2._4)
+  }
+
   test("seasonalAnomalies: integer cross-multiplied gate; unseen bucket " +
     "on trained dow flags; untrained dow does not; null ts excluded") {
     import java.sql.Timestamp
