@@ -675,6 +675,54 @@ object ScaleOps {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Quantile normalization across sources: replace each row's value by
+    * the CORPUS order statistic at the row's within-source quantile —
+    * after it, every source has (up to rounding of ranks) the same value
+    * distribution, the rank-based cousin of [[zScoreByGroup]] that the
+    * bioinformatics/feature-prep literature calls quantile normalization.
+    * A source whose values run hot is pulled onto the corpus curve
+    * without inventing values: every normalized output IS a real corpus
+    * value, so no interpolation arithmetic can diverge cross-engine.
+    *
+    * Mapping: within source s, row with rank r of n_s maps to corpus
+    * rank ceil(r·N / n_s) — computed as `(r·N + n_s − 1) div n_s`, pure
+    * BIGINT (overflow bound: r·N < n_s·N ≤ N² must stay < 2⁶³, i.e.
+    * N ≤ 3·10⁹ rows; beyond that compute the target rank in DECIMAL —
+    * the mapping itself is unchanged).
+    *
+    * Scale shape: the corpus rank comes from [[globalRank]] (range
+    * partition + metadata offsets — NO single-partition sort); the
+    * per-source rank is one window; the final step is an equi-join on
+    * the target rank against the (rank, value) corpus frame — a plain
+    * hash join on a unique BIGINT key. Null values and null sources are
+    * excluded (a null has no rank).
+    *
+    * Output: input columns (idCol, srcCol, valueCol) + `outCol`.
+    */
+  def quantileNormalize(df: DataFrame, srcCol: String, valueCol: String,
+                        idCol: String,
+                        outCol: String = "norm_value"): DataFrame = {
+    val base = df
+      .filter(col(srcCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(idCol), col(srcCol), col(valueCol))
+    val n = base.count()
+    val ranked = globalRank(
+      base.select(col(valueCol).as("__cv"), col(idCol).as("__ci")),
+      Seq(col("__cv").asc, col("__ci").asc))
+      .select(col("__rank").as("__tr"), col("__cv"))
+    val ws = Window.partitionBy(col(srcCol))
+      .orderBy(col(valueCol).asc, col(idCol).asc)
+    val sizes = base.groupBy(col(srcCol)).agg(count(lit(1)).as("__ns"))
+    base
+      .withColumn("__r", row_number().over(ws).cast("long"))
+      .join(broadcast(sizes), srcCol)
+      .withColumn("__tr",
+        expr(s"(__r * ${n}L + __ns - 1L) div __ns"))
+      .join(ranked, "__tr")
+      .select(col(idCol), col(srcCol), col(valueCol),
+        col("__cv").as(outCol))
+  }
+
   def corpusStats(df: DataFrame, valueCol: String, label: String,
                   exact: Boolean = true, accuracy: Int = 10000): DataFrame = {
     def pct(p: Double): Column =

@@ -4342,6 +4342,32 @@ object ScaleQueries {
              |  y - ymin > 150 alarm_surge, ymax - y > 150 alarm_drop
              |FROM m ORDER BY 1, 2""".stripMargin)),
 
+    // Quantile normalization (x112): each order's price replaced by the
+    // corpus order statistic at its within-priority quantile — rank-map
+    // normalization where every output is a REAL corpus value (no
+    // interpolation float). Target rank = (r·N + n_s − 1) div n_s, pure
+    // BIGINT; corpus ranks via the globalRank range-partition kernel.
+    QuerySpec("x112_quantile_normalize", (s, d) =>
+      graft.operators.ScaleOps.quantileNormalize(
+        t(s, d, "orders"), "o_orderpriority", "o_totalprice",
+        "o_orderkey")
+        .orderBy("o_orderkey"),
+      Some("""WITH b AS (SELECT o_orderkey, o_orderpriority, o_totalprice
+             |  FROM orders WHERE o_orderpriority IS NOT NULL
+             |    AND o_totalprice IS NOT NULL),
+             |nn AS (SELECT count(*) n FROM b),
+             |corpus AS (SELECT o_totalprice cv, row_number() OVER (
+             |    ORDER BY o_totalprice, o_orderkey) tr FROM b),
+             |r AS (SELECT b.*, row_number() OVER (
+             |    PARTITION BY o_orderpriority
+             |    ORDER BY o_totalprice, o_orderkey) r,
+             |    count(*) OVER (PARTITION BY o_orderpriority) ns FROM b)
+             |SELECT o_orderkey, o_orderpriority, o_totalprice,
+             |  corpus.cv norm_value
+             |FROM r CROSS JOIN nn
+             |JOIN corpus ON (r * nn.n + ns - 1) // ns = corpus.tr
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // Streaming CUSUM (st16): x111's sequential change detector with the
     // per-(group, day) counts STREAMED as complete-mode state; the
     // drawdown-identity finalization runs batch-side — graded on x111's

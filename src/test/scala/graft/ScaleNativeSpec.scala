@@ -462,6 +462,27 @@ class ScaleNativeSpec extends SparkSpec {
       s"no full Sort node should appear for a top-k:\n$tPlan")
   }
 
+  test("quantileNormalize: sources land on identical corpus statistics; " +
+    "single source is the identity; outputs are real corpus values") {
+    import graft.operators.ScaleOps
+    val df = Seq(
+      ("a", 1L, 1.0), ("a", 2L, 2.0), ("a", 3L, 3.0),
+      ("b", 4L, 10.0), ("b", 5L, 20.0), ("b", 6L, 30.0)
+    ).toDF("src", "id", "v")
+    val got = ScaleOps.quantileNormalize(df, "src", "v", "id")
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    // N=6; rank r of 3 maps to corpus rank ceil(6r/3) = 2r ->
+    // corpus values at ranks 2,4,6 = 2.0, 10.0, 30.0 for BOTH sources
+    assert(got == Map(1L -> 2.0, 2L -> 10.0, 3L -> 30.0,
+      4L -> 2.0, 5L -> 10.0, 6L -> 30.0))
+    // single source: ns = N, target rank = own rank -> identity
+    val one = Seq(("s", 1L, 5.0), ("s", 2L, 7.0), ("s", 3L, 6.0))
+      .toDF("src", "id", "v")
+    val gotOne = ScaleOps.quantileNormalize(one, "src", "v", "id")
+      .collect().map(r => r.getDouble(2) -> r.getDouble(3))
+    assert(gotOne.forall { case (v, nv) => v == nv })
+  }
+
   test("bucketed join plans without an Exchange on either side") {
     for (t <- Seq("bkt_a", "bkt_b")) {
       spark.sql(s"DROP TABLE IF EXISTS $t")
