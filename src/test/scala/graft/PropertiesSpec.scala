@@ -132,6 +132,73 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("cusum window form equals the sequential recursion on random " +
+    "count series (surge and drop sides, random gaps)") {
+    import graft.operators.Analytics
+    import java.sql.Timestamp
+    val gen = Gen.listOfN(25, Gen.chooseNum(0, 12))
+    for (seed <- 0 until 3) {
+      // counts per day offset; ~1/4 of days dropped entirely (gap days)
+      val counts = samples(gen, 1).flatten.zipWithIndex
+        .filter { case (_, i) => (i + seed) % 4 != 0 || i == 0 }
+      val rows = counts.flatMap { case (c, i) =>
+        (0 until c).map(j =>
+          ("g", Timestamp.valueOf(f"2024-02-${i + 1}%02d 0${j % 9 + 1}:00:00")))
+      }
+      val present = counts.filter(_._1 > 0).map(_._2)
+      if (present.nonEmpty) {
+        val (k, h) = (4L, 6L)
+        val got = Analytics.cusumAlarms(rows.toDF("g", "ts"), "g", "ts", k, h)
+          .orderBy("day").collect()
+          .map(r => (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        // sequential reference over the DENSE span of days WITH events
+        // (the operator's span is [first event day, last event day])
+        val byDay = counts.map { case (c, i) => i -> c }.toMap
+        val lo = present.min
+        val hi = present.max
+        var s = 0L; var t = 0L
+        val ref = (lo to hi).map { i =>
+          val x = byDay.getOrElse(i, 0).toLong
+          s = math.max(0L, s + (x - k)); t = math.max(0L, t + (k - x))
+          (f"2024-02-${i + 1}%02d", x, s, t)
+        }
+        assert(got.toSeq == ref, s"seed $seed")
+      }
+    }
+  }
+
+  test("dedupResolution invariants on random pair graphs: one keeper per " +
+    "cluster, keeper is a member with the max score, canonical points at " +
+    "the keeper, singletons self-resolve") {
+    import graft.operators.DedupOps
+    val pairGen = Gen.listOfN(20, Gen.zip(Gen.chooseNum(0, 14), Gen.chooseNum(0, 14)))
+    for (seed <- 0 until 3) {
+      val pairs = samples(pairGen, 1).flatten
+        .collect { case (x, y) if x != y => (x.toLong, y.toLong) }
+      val universe = (0L to 14L).map(i => (i, ((i * 7 + seed) % 5).toDouble))
+      val got = DedupOps.dedupResolution(
+        pairs.toDF("a", "b"), "a", "b",
+        universe.toDF("id", "q"), "id", "q")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      assert(got.length == universe.size) // every doc resolved exactly once
+      val q = universe.toMap
+      got.groupBy(_._2).foreach { case (root, members) =>
+        val keepers = members.filter(_._4)
+        assert(keepers.length == 1, s"cluster $root keepers")
+        val keeper = keepers.head
+        // keeper has the cluster-max score; canonical = keeper for all
+        assert(members.forall(m => q(m._1) <= q(keeper._1)))
+        assert(members.forall(_._3 == keeper._1))
+      }
+      // ids in no pair are their own cluster and keep themselves
+      val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+      got.filter(r => !paired.contains(r._1)).foreach { r =>
+        assert(r._2 == r._1 && r._3 == r._1 && r._4)
+      }
+    }
+  }
+
   test("triangle counts are invariant under edge direction, duplication, " +
     "and row order on random graphs") {
     import graft.operators.GraphOps
