@@ -4368,6 +4368,43 @@ object ScaleQueries {
              |JOIN corpus ON (r * nn.n + ns - 1) // ns = corpus.tr
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Streaming weighted sample (st17): x103's A-ES sampling with the
+    // per-group top-k held as a TopKByScore aggregator buffer — custom
+    // typed Aggregator AS streaming state, bounded at k rows per group.
+    // Deterministic md5 keys make the drained sample bitwise equal to
+    // batch; graded on x103's oracle restricted to the carried columns.
+    QuerySpec("st17_stream_weighted_sample", (s, d) => {
+      val schema = s.read.parquet(s"$d/orders.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val sink = s"graft_wsample_$run"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runStreamingWeightedSampleAvailableNow(s, d, "orders.parquet",
+        schema, "o_orderpriority", "o_orderkey", "o_totalprice",
+        salt = "esample:", k = 50, sink, ckpt)
+        .select(col("g").as("o_orderpriority"),
+          col("id").as("o_orderkey"), col("es_key"), col("rk"))
+        .orderBy("o_orderpriority", "rk")
+    },
+      Some("""WITH u AS (SELECT o_orderkey, o_orderpriority,
+             |    (CAST(list_reduce(list_transform(range(1, 9),
+             |      i -> CAST(strpos('0123456789abcdef',
+             |        substr(md5('esample:' || CAST(o_orderkey AS VARCHAR)),
+             |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |      (a, b) -> a*16 + b) AS DOUBLE) * 2 + 1) / 8589934592.0
+             |      uval,
+             |    o_totalprice
+             |  FROM orders
+             |  WHERE o_totalprice IS NOT NULL AND o_totalprice > 0),
+             |keyed AS (SELECT o_orderkey, o_orderpriority,
+             |    round(ln(uval) / CAST(o_totalprice AS DOUBLE), 12) es_key
+             |  FROM u),
+             |ranked AS (SELECT *, row_number() OVER (
+             |    PARTITION BY o_orderpriority
+             |    ORDER BY es_key DESC, o_orderkey) rk FROM keyed)
+             |SELECT o_orderpriority, o_orderkey, es_key, rk
+             |FROM ranked WHERE rk <= 50
+             |ORDER BY o_orderpriority, rk""".stripMargin)),
+
     // Streaming CUSUM (st16): x111's sequential change detector with the
     // per-(group, day) counts STREAMED as complete-mode state; the
     // drawdown-identity finalization runs batch-side — graded on x111's

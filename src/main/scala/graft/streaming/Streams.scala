@@ -663,6 +663,55 @@ object Streams {
         target, threshold)
     }
 
+  /** Streaming weighted sampling (A-ES) — the streaming twin of
+    * [[graft.operators.ScaleOps.weightedSample]], and the demonstration
+    * that a custom typed `Aggregator` can BE streaming state: the
+    * Efraimidis-Spirakis key ln(u)/w is computed map-side from the
+    * deterministic md5 uniform (no RNG — replay-safe by construction),
+    * and the per-group top-k survives as a
+    * [[graft.functions.TopKByScore]] buffer — bounded at k rows per
+    * group, mergeable across micro-batches, so state size is
+    * |groups|·k regardless of stream length. Finalization (explode +
+    * rank) is batch-side; because the keys are per-row deterministic,
+    * the drained sample is bitwise equal to the batch operator's.
+    */
+  def runStreamingWeightedSampleAvailableNow(spark: SparkSession, dir: String,
+                                             glob: String, schema: StructType,
+                                             grpCol: String, idCol: String,
+                                             weightCol: String, salt: String,
+                                             k: Int, sinkName: String,
+                                             checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      import spark.implicits._
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob).parquet(dir)
+      val u = (conv(substring(md5(concat(lit(salt),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("double") * 2 + 1) /
+        8589934592.0
+      val agg = new graft.functions.TopKByScore(k).toColumn
+      val q = raw
+        .filter(col(weightCol).isNotNull && col(weightCol) > 0)
+        .select(col(grpCol).cast("string").as("g"),
+          col(idCol).cast("long").as("id"),
+          round(log(u) / col(weightCol).cast("double"), 12).as("score"))
+        .as[(String, Long, Double)]
+        .map { case (g, id, score) => (g, graft.functions.ScoredId(id, score)) }
+        .groupByKey(_._1).mapValues(_._2)
+        .agg(agg.name("topk"))
+        .toDF("g", "topk")
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      detachSink(spark, sinkName, checkpoint)
+        .select(col("g"), posexplode(col("topk")).as(Seq("i", "s")))
+        .select(col("g"), col("s.id").as("id"),
+          col("s.score").as("es_key"),
+          (col("i") + 1).cast("long").as("rk"))
+    }
+
   /** Streaming passage-count audit — the streaming twin of
     * [[graft.operators.TextOps.topDuplicatedPassages]]. The stream stage
     * stops at the smallest MERGEABLE state: per-(passage, document)
