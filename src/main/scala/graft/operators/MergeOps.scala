@@ -752,12 +752,37 @@ object MergeOps {
   def compactionExecute(spark: org.apache.spark.sql.SparkSession,
                         tableRoot: String, targetBytes: Long,
                         smallThreshold: Long): DataFrame = {
-    val plan = compactionPlan(fileManifest(spark, tableRoot),
-      "part", "file", "bytes", targetBytes, smallThreshold)
-      .localCheckpoint(true) // the listing must not be re-taken mid-swap
     val conf = spark.sparkContext.hadoopConfiguration
     val rootP = new org.apache.hadoop.fs.Path(tableRoot)
     val fs = rootP.getFileSystem(conf)
+    // Crash-recovery sweep BEFORE planning (otherwise the manifest would
+    // list residue dirs as partitions): for each interrupted swap, the
+    // live partition present means any `.tmp`/`.old` sibling is residue
+    // (pre-commit build, or post-commit cleanup loss) and is discarded; a
+    // missing live partition with a `.tmp` means the crash hit between
+    // the two commit renames AFTER the build completed — promote the tmp;
+    // failing that, restore the `.old`. Mirrors atomicSwapWrite's
+    // recoverability contract.
+    fs.listStatus(rootP).map(_.getPath.getName)
+      .filter(n => n.endsWith(".tmp") || n.endsWith(".old"))
+      .map(n => n.stripSuffix(".tmp").stripSuffix(".old"))
+      .distinct.foreach { base =>
+        val baseP = new org.apache.hadoop.fs.Path(rootP, base)
+        val tmpP = new org.apache.hadoop.fs.Path(rootP, base + ".tmp")
+        val oldP = new org.apache.hadoop.fs.Path(rootP, base + ".old")
+        if (fs.exists(baseP)) { fs.delete(tmpP, true); fs.delete(oldP, true) }
+        else if (fs.exists(tmpP)) {
+          if (!fs.rename(tmpP, baseP))
+            sys.error(s"compactionExecute: could not promote $tmpP")
+          fs.delete(oldP, true)
+        } else if (fs.exists(oldP)) {
+          if (!fs.rename(oldP, baseP))
+            sys.error(s"compactionExecute: could not restore $oldP")
+        }
+      }
+    val plan = compactionPlan(fileManifest(spark, tableRoot),
+      "part", "file", "bytes", targetBytes, smallThreshold)
+      .localCheckpoint(true) // the listing must not be re-taken mid-swap
     // metadata-scale collect: one row per FILE in the listing, grouped to
     // (partition → task → slices); only partitions with ≥1 rewrite task
     // of ≥2 slices are worth a swap (a 1-slice task is already compact)

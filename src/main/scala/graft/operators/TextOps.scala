@@ -792,6 +792,40 @@ object TextOps {
         col("kl_nats"))
   }
 
+  /** N-gram novelty score: per document, the fraction of its DISTINCT
+    * word-n-grams that occur in no other document — the uniqueness
+    * signal curation pipelines weigh alongside quality (a doc whose
+    * grams all appear elsewhere is boilerplate or a near-dup; a doc of
+    * fresh grams is new information). Complements [[topDuplicatedPassages]]
+    * (which ranks the grams; this scores the documents).
+    *
+    * Scale shape: one explode → distinct (gram, doc) → gram doc-frequency
+    * (map-side combinable) → join back and count per doc. The join key is
+    * the gram; bucket population per gram is its doc-frequency — no
+    * quadratic stage, and the df frame is vocabulary-sized. Integer
+    * counts + one rounded division (numerator/denominator also emitted,
+    * so consumers can re-derive at any precision).
+    *
+    * Output: (idCol, n_grams, n_novel, novelty) — docs with ≥ 1 gram;
+    * novelty = n_novel / n_grams rounded to 4 dp.
+    */
+  def ngramNovelty(docs: DataFrame, idCol: String, textCol: String,
+                   gramWords: Int = 8): DataFrame = {
+    val sh = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        explode(shingles(col(textCol), gramWords)).as("__g"))
+      .distinct()
+    val df = sh.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    sh.join(df, "__g")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("__df") === 1, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("__id").as(idCol), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") /
+          col("n_grams").cast("double"), 4).as("novelty"))
+  }
+
   /** Most-duplicated passages: the `k` word-n-grams occurring most often
     * across the corpus, with how many distinct documents carry them — the
     * standard boilerplate audit (cookie banners, license headers) run

@@ -4368,6 +4368,29 @@ object ScaleQueries {
              |JOIN corpus ON (r * nn.n + ns - 1) // ns = corpus.tr
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // N-gram novelty (x113): per-doc fraction of distinct 8-grams seen
+    // nowhere else — the uniqueness complement to x107's boilerplate
+    // ranking. Distinct (gram, doc) → gram df → join-back count; integer
+    // counts + one rounded division.
+    QuerySpec("x113_ngram_novelty", (s, d) =>
+      graft.operators.TextOps.ngramNovelty(
+        t(s, d, "documents"), "doc_id", "text", gramWords = 8)
+        .orderBy("doc_id"),
+      Some("""WITH toks AS (SELECT doc_id,
+             |    regexp_split_to_array(trim(text), '\s+') tk
+             |  FROM documents WHERE length(trim(coalesce(text, ''))) > 0),
+             |sh AS (SELECT DISTINCT doc_id, unnest(list_transform(
+             |    range(0, greatest(len(tk) - 7, 0)),
+             |    i -> array_to_string(tk[i+1:i+8], ' '))) g
+             |  FROM toks),
+             |df AS (SELECT g, count(*) df FROM sh GROUP BY 1)
+             |SELECT doc_id, count(*) n_grams,
+             |  CAST(count(*) FILTER (df = 1) AS BIGINT) n_novel,
+             |  round(CAST(count(*) FILTER (df = 1) AS DOUBLE) /
+             |    CAST(count(*) AS DOUBLE), 4) novelty
+             |FROM sh JOIN df USING (g)
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Streaming weighted sample (st17): x103's A-ES sampling with the
     // per-group top-k held as a TopKByScore aggregator buffer — custom
     // typed Aggregator AS streaming state, bounded at k rows per group.

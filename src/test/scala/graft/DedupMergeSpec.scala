@@ -583,4 +583,34 @@ class DedupMergeSpec extends SparkSpec {
     assert(listing("part=frag") == fragAfter)
     fs.delete(p, true)
   }
+
+  test("compactionExecute: stale .tmp residue from a crashed prior run is " +
+    "discarded, not merged into the new partition") {
+    val dir = "/tmp/graft_test_compact_crash"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    Seq.tabulate(40)(i => (i.toLong, "x" * 40, "frag"))
+      .toDF("id", "payload", "part").repartition(4)
+      .write.partitionBy("part").mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir).select("id", "payload", "part")
+      .collect().toSet
+    // simulate a crash mid-swap: a half-built tmp dir with a bogus file
+    // (an unreadable "parquet" — recovery must discard it sight unseen)
+    val staleTmp = new org.apache.hadoop.fs.Path(p, "part=frag.tmp")
+    fs.mkdirs(staleTmp)
+    val out = fs.create(new org.apache.hadoop.fs.Path(staleTmp, "garbage.parquet"))
+    out.write(Array.fill(16)(0xAB.toByte)); out.close()
+    MergeOps.compactionExecute(spark, dir,
+      targetBytes = 1L << 20, smallThreshold = 8192L)
+    // the garbage never reaches the live partition; contents identical
+    val files = fs.listStatus(new org.apache.hadoop.fs.Path(p, "part=frag"))
+      .map(_.getPath.getName)
+    assert(!files.contains("garbage.parquet"))
+    assert(spark.read.parquet(dir).select("id", "payload", "part")
+      .collect().toSet == before)
+    assert(fs.listStatus(p).map(_.getPath.getName).forall(n =>
+      !n.endsWith(".tmp") && !n.endsWith(".old")))
+    fs.delete(p, true)
+  }
 }
