@@ -634,6 +634,55 @@ object SimilarityOps {
     * ordered list_sum reproduces it bitwise. Output: (id, approx_dist)
     * ascending, ties on id.
     */
+  /** Class separability over an embedding column: per label, the mean
+    * cosine of members to their own label centroid (cohesion) vs the
+    * maximum cosine between this label's centroid and any OTHER label's
+    * centroid (confusability), and the margin between them — the
+    * Fisher-flavored screen run on labeled embedding sets before
+    * training a probe or mining hard negatives (x105 consumes exactly
+    * the confusable-class pairs this surfaces).
+    *
+    * Scale shape: centroids are one positional-mean aggregate
+    * (|labels|·dims rows — metadata), broadcast back for the member
+    * cosine pass (the corpus is touched once, map-side via the codegen'd
+    * [[graft.functions.CosineSimilarity]]); the centroid-pair stage is
+    * |labels|² on a broadcast frame. Rounding conventions follow
+    * x55/x18: centroid components to 6 dp, cosines to 4 dp.
+    *
+    * Output: (label, n, intra_cos, max_inter_cos, margin).
+    */
+  def classSeparability(vectors: DataFrame, vecCol: String,
+                        labelCol: String): DataFrame = {
+    val base = vectors
+      .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(labelCol).cast("long").as("label"), col(vecCol).as("__v"))
+    val cents = base
+      .select(col("label"), posexplode(col("__v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"),
+        transform(col("pm"), p => round(p.getField("m"), 6)).as("cvec"))
+    val intra = base.join(broadcast(cents), "label")
+      .select(col("label"),
+        round(graft.functions.CosineSimilarity(col("__v"), col("cvec")), 4)
+          .as("__s"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"), round(avg(col("__s")), 4).as("intra_cos"))
+    val inter = cents.as("a")
+      .join(broadcast(cents.as("b")),
+        col("a.label") =!= col("b.label"))
+      .select(col("a.label").as("label"),
+        round(graft.functions.CosineSimilarity(col("a.cvec"),
+          col("b.cvec")), 4).as("__c"))
+      .groupBy(col("label")).agg(max(col("__c")).as("max_inter_cos"))
+    intra.join(inter, Seq("label"), "left")
+      .select(col("label"), col("n"), col("intra_cos"),
+        col("max_inter_cos"),
+        round(col("intra_cos") - col("max_inter_cos"), 4).as("margin"))
+  }
+
   def pqTopK(codes: DataFrame, codebook: DataFrame, queryVec: Seq[Float],
              m: Int, dsub: Int, k: Int): DataFrame = {
     val q = lit(queryVec.toArray.map(_.toDouble))

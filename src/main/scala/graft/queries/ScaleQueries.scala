@@ -4368,6 +4368,39 @@ object ScaleQueries {
              |JOIN corpus ON (r * nn.n + ns - 1) // ns = corpus.tr
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // Class separability (x114): per-label cohesion (mean member-to-own-
+    // centroid cosine) vs confusability (max inter-centroid cosine) and
+    // the margin — the labeled-embedding screen feeding hard-negative
+    // mining. x55's centroid + x18's cosine rounding conventions.
+    QuerySpec("x114_class_separability", (s, d) =>
+      graft.operators.SimilarityOps.classSeparability(
+        t(s, d, "embeddings"), "embedding", "label")
+        .orderBy("label"),
+      Some("""WITH m AS (SELECT CAST("label" AS BIGINT) lb,
+             |    generate_subscripts(embedding, 1) pos,
+             |    CAST(unnest(embedding) AS DOUBLE) val
+             |  FROM embeddings
+             |  WHERE "label" IS NOT NULL AND embedding IS NOT NULL),
+             |c AS (SELECT lb, list(round(mv, 6) ORDER BY pos) cvec
+             |  FROM (SELECT lb, pos, avg(val) mv FROM m GROUP BY 1, 2)
+             |  GROUP BY 1),
+             |s AS (SELECT CAST(e."label" AS BIGINT) lb,
+             |    round(CAST(list_cosine_similarity(
+             |      list_transform(e.embedding, x -> CAST(x AS DOUBLE)),
+             |      c.cvec) AS DOUBLE), 4) sim
+             |  FROM embeddings e JOIN c ON CAST(e."label" AS BIGINT) = c.lb
+             |  WHERE e.embedding IS NOT NULL),
+             |intra AS (SELECT lb, count(*) n, round(avg(sim), 4)
+             |    intra_cos FROM s GROUP BY 1),
+             |inter AS (SELECT a.lb,
+             |    max(round(CAST(list_cosine_similarity(a.cvec, b.cvec)
+             |      AS DOUBLE), 4)) max_inter_cos
+             |  FROM c a JOIN c b ON a.lb <> b.lb GROUP BY 1)
+             |SELECT i.lb "label", i.n, i.intra_cos, x.max_inter_cos,
+             |  round(i.intra_cos - x.max_inter_cos, 4) margin
+             |FROM intra i LEFT JOIN inter x USING (lb)
+             |ORDER BY i.lb""".stripMargin)),
+
     // N-gram novelty (x113): per-doc fraction of distinct 8-grams seen
     // nowhere else — the uniqueness complement to x107's boilerplate
     // ranking. Distinct (gram, doc) → gram df → join-back count; integer

@@ -462,6 +462,27 @@ class ScaleNativeSpec extends SparkSpec {
       s"no full Sort node should appear for a top-k:\n$tPlan")
   }
 
+  test("classSeparability: well-separated labels score high margin; a " +
+    "label straddling both clusters scores negative margin vs its " +
+    "nearest confuser") {
+    import graft.operators.SimilarityOps
+    val vecs = Seq(
+      (0, Array(1.0f, 0.0f)), (0, Array(0.9f, 0.1f)),
+      (1, Array(0.0f, 1.0f)), (1, Array(0.1f, 0.9f)),
+      // label 2 sits on top of label 0's cluster: confusable
+      (2, Array(1.0f, 0.05f)), (2, Array(0.95f, 0.0f))
+    ).toDF("label", "embedding")
+    val got = SimilarityOps.classSeparability(vecs, "embedding", "label")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    assert(got(0L)._1 == 2L)
+    // labels 0 and 2 are nearly identical clusters: max inter ~1, margin ~0
+    assert(got(0L)._3 > 0.99 && got(0L)._4 < 0.01)
+    // label 1 is orthogonal to both: high cohesion, low confusability
+    assert(got(1L)._2 > 0.99 && got(1L)._3 < 0.2 && got(1L)._4 > 0.8)
+  }
+
   test("quantileNormalize: sources land on identical corpus statistics; " +
     "single source is the identity; outputs are real corpus values") {
     import graft.operators.ScaleOps
