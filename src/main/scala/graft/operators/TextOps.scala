@@ -765,13 +765,21 @@ object TextOps {
     * Output: (source, n_tokens, vocab, kl_nats) — kl rounded to 6 dp.
     */
   def sourceDivergence(docs: DataFrame, srcCol: String,
-                       textCol: String): DataFrame = {
-    val tok = docs
+                       textCol: String): DataFrame =
+    divergenceFromCounts(docs
       .filter(col(srcCol).isNotNull && col(textCol).isNotNull)
       .select(col(srcCol).cast("string").as("source"),
         explode(tokens(col(textCol))).as("__w"))
-    val sw = tok.groupBy(col("source"), col("__w"))
-      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("source"), col("__w"))
+      .agg(count(lit(1)).as("__c")))
+
+  /** KL finalization over an already-aggregated (source, __w, __c) word
+    * count frame — split out so the counts can be maintained as STREAMING
+    * state (the st18 runner) and finalized batch-side, the
+    * hllFinalize/cusumFromDaily convention. Semantics identical to
+    * [[sourceDivergence]].
+    */
+  def divergenceFromCounts(sw: DataFrame): DataFrame = {
     val st = sw.groupBy(col("source"))
       .agg(sum(col("__c")).as("__t"), count(lit(1)).as("vocab"))
     val w = sw.groupBy(col("__w")).agg(sum(col("__c")).as("__cw"))

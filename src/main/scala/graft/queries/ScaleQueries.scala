@@ -4424,6 +4424,42 @@ object ScaleQueries {
              |FROM sh JOIN df USING (g)
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // Streaming source divergence (st18): x110's KL monitor with the
+    // per-(source, word) counts streamed as complete-mode state and the
+    // fixed-point finalization batch-side — graded on x110's oracle
+    // verbatim.
+    QuerySpec("st18_stream_divergence", (s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val sink = s"graft_kl_$run"
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runStreamingDivergenceAvailableNow(s, d, "documents.parquet",
+        schema, "source", "text", sink, ckpt)
+        .orderBy("source")
+    },
+      Some("""WITH tok AS (SELECT source, unnest(list_filter(
+             |    regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+             |    x -> length(x) > 0)) w
+             |  FROM documents WHERE source IS NOT NULL
+             |    AND text IS NOT NULL),
+             |sw AS (SELECT source, w, count(*) c FROM tok GROUP BY 1, 2),
+             |st AS (SELECT source, CAST(sum(c) AS BIGINT) t,
+             |    count(*) vocab FROM sw GROUP BY 1),
+             |cw AS (SELECT w, CAST(sum(c) AS BIGINT) cw FROM sw
+             |  GROUP BY 1),
+             |tt AS (SELECT CAST(sum(cw) AS BIGINT) tt FROM cw),
+             |terms AS (SELECT sw.source,
+             |    CAST(round((CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) *
+             |      ln((CAST(c AS DOUBLE) / CAST(t AS DOUBLE)) /
+             |         (CAST(cw AS DOUBLE) / CAST(tt AS DOUBLE))) * 1e10,
+             |      0) AS BIGINT) ki
+             |  FROM sw JOIN st USING (source) JOIN cw USING (w)
+             |  CROSS JOIN tt)
+             |SELECT t.source, t.t n_tokens, t.vocab,
+             |  round(CAST(sum(ki) AS DOUBLE) / 1e10, 6) kl_nats
+             |FROM terms JOIN st t USING (source)
+             |GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin)),
+
     // Streaming weighted sample (st17): x103's A-ES sampling with the
     // per-group top-k held as a TopKByScore aggregator buffer — custom
     // typed Aggregator AS streaming state, bounded at k rows per group.

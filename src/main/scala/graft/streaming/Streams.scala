@@ -663,6 +663,38 @@ object Streams {
         target, threshold)
     }
 
+  /** Streaming source-divergence monitor — the streaming twin of
+    * [[graft.operators.TextOps.sourceDivergence]]: per-(source, word)
+    * token counts are the streaming state (replay-commutative integer
+    * sums, vocabulary-bounded — the same state a streaming TF-IDF or
+    * vocab tracker carries); the fixed-point KL finalization runs
+    * BATCH-side over one row per (source, word). Bitwise equal to the
+    * batch operator, graded on the identical oracle.
+    */
+  def runStreamingDivergenceAvailableNow(spark: SparkSession, dir: String,
+                                         glob: String, schema: StructType,
+                                         srcCol: String, textCol: String,
+                                         sinkName: String,
+                                         checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob).parquet(dir)
+      val q = raw
+        .filter(col(srcCol).isNotNull && col(textCol).isNotNull)
+        .select(col(srcCol).cast("string").as("source"),
+          explode(graft.operators.TextOps.tokens(col(textCol))).as("__w"))
+        .groupBy(col("source"), col("__w"))
+        .agg(count(lit(1)).as("__c"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.TextOps.divergenceFromCounts(
+        detachSink(spark, sinkName, checkpoint))
+    }
+
   /** Streaming weighted sampling (A-ES) — the streaming twin of
     * [[graft.operators.ScaleOps.weightedSample]], and the demonstration
     * that a custom typed `Aggregator` can BE streaming state: the
