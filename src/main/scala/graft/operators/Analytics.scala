@@ -1350,4 +1350,187 @@ object Analytics {
       .agg((sum(pow(lit(2.0), -col("__M"))) + (lit(m) - count(lit(1)))).as("__S"))
       .select(gs :+ round(alphaMM / col("__S"), 2).as("hll_distinct"): _*)
   }
+
+  /** Multi-granularity aggregate in ONE pass: `ROLLUP(a, day)` emits the
+    * (a, day), (a), and grand-total grains from a single shuffle — the
+    * reporting-cube alternative to running three separate groupBys over a
+    * 100 TB fact (reference runs its summary queries per-grain,
+    * fetch_clickup_data.py's per-list/per-space rollups).
+    *
+    * Determinism: values are summed as exact BIGINT cents (one division at
+    * emit); rollup NULLs are distinguished from data NULLs by excluding
+    * null group values up front and re-labelling the subtotal rows with an
+    * `(all)` sentinel, so the output needs no engine-specific GROUPING()
+    * rendering. `grain` is the grouping_id bitmask (0 = finest).
+    *
+    * Scale shape: Catalyst plans rollup as one Expand (3× row fan-out)
+    * feeding ONE partial-aggregated exchange — map-side combine collapses
+    * the fan-out before the wire, so the shuffle carries ~|groups|·3 rows,
+    * not 3× the fact.
+    */
+  def rollupMultiGrain(events: DataFrame, groupCol: String, tsCol: String,
+                       valueCol: String): DataFrame = {
+    val base = events
+      .filter(col(groupCol).isNotNull && col(tsCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        to_date(col(tsCol)).cast("string").as("__d"),
+        round(col(valueCol) * 100.0).cast("long").as("__c"))
+    base.rollup(col("__g"), col("__d"))
+      .agg(grouping_id().cast("long").as("grain"),
+        count(lit(1)).as("n"),
+        sum(col("__c")).as("__sc"))
+      .select(
+        coalesce(col("__g"), lit("(all)")).as(groupCol),
+        coalesce(col("__d"), lit("(all)")).as("day"),
+        col("grain"), col("n"),
+        round(col("__sc").cast("double") / 100.0, 2).as("sum_value"))
+  }
+
+  /** Wide-table pivot: one row per entity, one `sum_<type>`/`n_<type>`
+    * column pair per declared category — the feature-matrix shape a
+    * training pipeline exports (user × event-type activity matrix). The
+    * inverse of x48's unpivot/melt.
+    *
+    * `types` is declared, not discovered: an explicit value list keeps
+    * this a single job (Spark's pivot without values runs an extra
+    * distinct-collect job over the fact first) and makes the output schema
+    * stable — both non-negotiable for a 100 TB scheduled export.
+    *
+    * Determinism: sums are exact BIGINT cents divided once at emit;
+    * absent (entity, type) cells emit 0/0 rather than NULL so the frame
+    * is dense. Scale shape: ONE shuffle on the entity key; the pivot is a
+    * map-side pivot-aggregate (each partial row carries |types| cells).
+    */
+  def pivotWide(events: DataFrame, keyCol: String, typeCol: String,
+                valueCol: String, types: Seq[String]): DataFrame = {
+    require(types.nonEmpty, "pivotWide needs a declared type list")
+    val wide = events
+      .filter(col(keyCol).isNotNull && col(typeCol).isin(types: _*))
+      .select(col(keyCol),
+        col(typeCol).cast("string").as("__t"),
+        round(col(valueCol) * 100.0).cast("long").as("__c"))
+      .groupBy(col(keyCol))
+      .pivot("__t", types)
+      .agg(sum(col("__c")).as("s"), count(lit(1)).as("n"))
+    val out = types.flatMap { t =>
+      Seq(round(coalesce(col(s"${t}_s"), lit(0L)).cast("double") / 100.0, 2)
+            .as(s"sum_$t"),
+          coalesce(col(s"${t}_n"), lit(0L)).as(s"n_$t"))
+    }
+    wide.select(col(keyCol) +: out: _*)
+  }
+
+  /** Order-independent per-bucket table checksum — the replication /
+    * migration verifier: two copies of a 100 TB table compare by
+    * exchanging |buckets| (checksum, count) rows instead of rows. Row
+    * digest = first 60 bits of md5 over a canonical `|`-joined rendering
+    * (NULL → a reserved sentinel so `(NULL)` ≠ `('')`); bucket digest =
+    * BIT_XOR of row digests, which commutes — partition order, shuffle
+    * order, and engine never change the answer, and a single-row
+    * difference flips its bucket with certainty (md5 collisions aside).
+    *
+    * Scale shape: one map-side-combinable aggregate, shuffle carries
+    * |buckets| rows. Bucketing by a stable key expression (not
+    * spark_partition_id) keeps digests comparable across engines and
+    * across cluster layouts.
+    */
+  def tableChecksum(df: DataFrame, keyCol: String, cols: Seq[String],
+                    buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    // sentinel rendering for NULL cells: concat_ws silently DROPS nulls,
+    // which would checksum ('a', NULL, 'b') and ('a', 'b', NULL) equal
+    val canon = concat_ws("|",
+      cols.map(c => coalesce(col(c).cast("string"), lit("(null)"))): _*)
+    df.select(pmod(col(keyCol).cast("long"), lit(buckets.toLong)).as("bucket"),
+        conv(substring(md5(canon), 1, 15), 16, 10).cast("long").as("__h"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("checksum"))
+  }
+
+  /** Functional-dependency audit: for each candidate `lhs → rhs`, does one
+    * lhs value ever map to two rhs values? Reports per-FD key counts,
+    * violating-key counts, and the minimum number of rows that would have
+    * to change for the FD to hold (`Σ per-key (count − majority count)`) —
+    * the schema-inference / data-contract screen run before trusting a
+    * column as a join key or dimension attribute.
+    *
+    * Determinism: all outputs are exact BIGINTs. NULLs on either side are
+    * excluded (SQL FD semantics are undefined on NULL; the n_keys count
+    * then reflects non-null lhs values only).
+    *
+    * Scale shape: per FD, one (lhs, rhs) census off the fact (map-side
+    * combinable) re-aggregated to |lhs| then to ONE row — the fact is
+    * scanned once per FD and nothing fact-sized shuffles. The per-FD scans
+    * could share one Expand at the cost of plan opacity; at |fds| ≤ ~10
+    * the rescans win on simplicity and column pruning (each scan reads
+    * exactly its two columns).
+    */
+  def fdViolations(df: DataFrame, fds: Seq[(String, String)]): DataFrame = {
+    require(fds.nonEmpty, "fdViolations needs at least one candidate FD")
+    fds.map { case (lhs, rhs) =>
+      df.filter(col(lhs).isNotNull && col(rhs).isNotNull)
+        .groupBy(col(lhs).cast("string").as("__l"),
+          col(rhs).cast("string").as("__r"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("__l"))
+        .agg(count(lit(1)).as("__nr"), sum(col("__c")).as("__tot"),
+          max(col("__c")).as("__mx"))
+        .agg(count(lit(1)).as("n_keys"),
+          count(when(col("__nr") > 1, 1)).as("n_violating_keys"),
+          sum(col("__tot") - col("__mx")).as("violation_rows"))
+        .select(lit(s"$lhs->$rhs").as("fd"), col("n_keys"),
+          col("n_violating_keys"),
+          coalesce(col("violation_rows"), lit(0L)).as("violation_rows"),
+          (coalesce(col("n_violating_keys"), lit(0L)) === 0).as("holds"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Lag-k autocorrelation of the daily event-count series per group — the
+    * periodicity screen (lag 7 ≫ 0 ⇒ weekly seasonality; lag 1 < 0 ⇒
+    * alternation) run before fitting x80's seasonal baseline. The series
+    * is gap-filled onto the group's full day grid (x111's sequence-grid
+    * pattern) so a missing day correlates as an explicit 0, not a skipped
+    * row.
+    *
+    * Determinism: counts are exact BIGINTs, and the Pearson r over the
+    * (n_t, n_{t−k}) pairs is assembled from the five exact integer sums
+    * (Σx, Σy, Σxy, Σx², Σy²) — integer addition commutes, so the only
+    * float ops are the final fixed-association divisions and sqrts:
+    * bitwise reproducible on any engine. round(4) at emit.
+    *
+    * Scale shape: one daily census off the fact (map-side combinable),
+    * then windows over |groups|·|days| rows — fact touched once.
+    */
+  def lagAutocorr(events: DataFrame, groupCol: String, tsCol: String,
+                  lagDays: Int): DataFrame = {
+    require(lagDays > 0, "lagDays must be positive")
+    val daily = events
+      .filter(col(groupCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(groupCol), to_date(col(tsCol)).as("day"))
+      .agg(count(lit(1)).as("__n"))
+    val span = daily.groupBy(col(groupCol))
+      .agg(min(col("day")).as("__lo"), max(col("day")).as("__hi"))
+    val grid = span.select(col(groupCol),
+      explode(expr("sequence(__lo, __hi, interval 1 day)")).as("day"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("day"))
+    grid.join(daily, Seq(groupCol, "day"), "left")
+      .withColumn("__x", coalesce(col("__n"), lit(0L)))
+      .withColumn("__y", lag(col("__x"), lagDays).over(w))
+      .filter(col("__y").isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__k"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .select(col(groupCol), col("__k").as("n_pairs"),
+        round(
+          (col("__k") * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") /
+            (sqrt((col("__k") * col("__sxx") - col("__sx") * col("__sx"))
+              .cast("double")) *
+             sqrt((col("__k") * col("__syy") - col("__sy") * col("__sy"))
+               .cast("double"))), 4).as("autocorr"))
+  }
 }

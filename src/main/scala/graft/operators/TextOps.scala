@@ -864,4 +864,59 @@ object TextOps {
       .filter(col("n_occurrences") >= 2)
       .orderBy(col("n_occurrences").desc, col("passage").asc)
       .limit(k)
+
+  /** Zipf exponent per source: OLS slope of ln(freq) on ln(rank) over the
+    * top-`topN` terms — the corpus-naturalness screen (natural language
+    * sits near −1; template/log/generated text flattens or steepens the
+    * curve). Run next to [[langIdNgram]] and the x9 quality score when
+    * triaging a new source.
+    *
+    * Determinism: term ranks are total (count DESC, term ASC); the five
+    * OLS sums run as ONE ordered fold over the rank-sorted top-N list
+    * (the x81 pattern — ≤ topN rows per source, never fact-scale), so the
+    * float additions happen in a fixed order: bitwise reproducible. The
+    * oracle mirrors the same explicit `(nΣxy−ΣxΣy)/(nΣx²−(Σx)²)` formula
+    * rather than regr_slope, keeping the IEEE op association identical.
+    *
+    * Scale shape: one (source, term) census off the corpus (map-side
+    * combinable), a per-source top-N rank window over |vocab| rows, then
+    * a |sources|-row fold. The fact is scanned once.
+    */
+  def zipfSlope(docs: DataFrame, srcCol: String, textCol: String,
+                topN: Int = 300): DataFrame = {
+    require(topN >= 2, "zipfSlope needs at least two ranked terms")
+    val tf = docs
+      .filter(col(srcCol).isNotNull && col(textCol).isNotNull)
+      .select(col(srcCol).as("__s"), explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col("__s"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s"))
+      .orderBy(col("__c").desc, col("__w").asc)
+    val ranked = tf
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .filter(col("__r") <= topN)
+      .select(col("__s"), col("__r"),
+        log(col("__r").cast("double")).as("__x"),
+        log(col("__c").cast("double")).as("__y"))
+    ranked.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"),
+        aggregate(array_sort(collect_list(struct(col("__r"), col("__x"),
+            col("__y")))),
+          struct(lit(0.0).as("sx"), lit(0.0).as("sy"), lit(0.0).as("sxy"),
+            lit(0.0).as("sxx")),
+          (acc, e) => struct(
+            (acc("sx") + e("__x")).as("sx"),
+            (acc("sy") + e("__y")).as("sy"),
+            (acc("sxy") + e("__x") * e("__y")).as("sxy"),
+            (acc("sxx") + e("__x") * e("__x")).as("sxx"))).as("__f"))
+      .filter(col("__n") >= 2)
+      .select(col("__s").as(srcCol), col("__n").as("n_terms"),
+        round(
+          (col("__n").cast("double") * col("__f")("sxy") -
+            col("__f")("sx") * col("__f")("sy")) /
+          (col("__n").cast("double") * col("__f")("sxx") -
+            col("__f")("sx") * col("__f")("sx")), 4).as("zipf_slope"))
+  }
 }

@@ -4567,6 +4567,221 @@ object ScaleQueries {
              |    CAST(sum(n) AS BIGINT) n_occurrences
              |  FROM pd GROUP BY 1 HAVING sum(n) >= 2)
              |SELECT passage, n_docs, n_occurrences FROM agg
-             |ORDER BY n_occurrences DESC, passage LIMIT 50""".stripMargin))
+             |ORDER BY n_occurrences DESC, passage LIMIT 50""".stripMargin)),
+
+    // Multi-granularity rollup (x115): (type, day) + (type) + grand total
+    // from ONE Expand+shuffle — exact BIGINT cents, '(all)' sentinel for
+    // subtotal rows so no GROUPING() rendering crosses engines.
+    QuerySpec("x115_rollup_multigrain", (s, d) =>
+      Analytics.rollupMultiGrain(t(s, d, "events"), "event_type", "ts",
+        "value")
+        .orderBy("grain", "event_type", "day"),
+      Some("""WITH base AS (SELECT CAST(event_type AS VARCHAR) g,
+             |    CAST(CAST(ts AS DATE) AS VARCHAR) d,
+             |    CAST(round(value*100, 0) AS BIGINT) c
+             |  FROM events WHERE event_type IS NOT NULL
+             |    AND ts IS NOT NULL)
+             |SELECT coalesce(g, '(all)') event_type,
+             |  coalesce(d, '(all)') "day",
+             |  CAST(2*grouping(g) + grouping(d) AS BIGINT) grain,
+             |  CAST(count(*) AS BIGINT) n,
+             |  round(CAST(sum(c) AS DOUBLE)/100.0, 2) sum_value
+             |FROM base GROUP BY ROLLUP(g, d)
+             |ORDER BY grain, event_type, "day" """.stripMargin)),
+
+    // Wide pivot (x116): user × event-type feature matrix, declared value
+    // list (single job, stable schema), dense 0-filled cells, exact cents.
+    QuerySpec("x116_pivot_wide", (s, d) =>
+      Analytics.pivotWide(t(s, d, "events"), "user_id", "event_type",
+        "value", Seq("click", "error", "purchase", "signup", "view"))
+        .orderBy("user_id"),
+      Some {
+        val cells = Seq("click", "error", "purchase", "signup", "view")
+          .map { ty =>
+            s"""  round(CAST(coalesce(sum(CAST(round(value*100, 0) AS BIGINT))
+               |    FILTER (event_type = '$ty'), 0) AS DOUBLE)/100.0, 2)
+               |    sum_$ty,
+               |  CAST(count(*) FILTER (event_type = '$ty') AS BIGINT)
+               |    n_$ty""".stripMargin
+          }.mkString(",\n")
+        s"""SELECT user_id,
+           |$cells
+           |FROM events WHERE user_id IS NOT NULL AND event_type IN
+           |  ('click', 'error', 'purchase', 'signup', 'view')
+           |GROUP BY 1 ORDER BY 1""".stripMargin
+      }),
+
+    // Order-independent table checksum (x117): per-bucket BIT_XOR of
+    // 60-bit md5 row digests — the 100 TB replication verifier; compare
+    // |buckets| rows instead of tables. Oracle rebuilds the digest
+    // digit-by-digit (the x4/st17 md5-fold convention).
+    QuerySpec("x117_table_checksum", (s, d) => {
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_orderstatus"), col("o_orderpriority"),
+        to_date(col("o_orderdate")).as("o_orderdate"))
+      Analytics.tableChecksum(o, "o_orderkey",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+          "o_orderdate"), buckets = 16)
+        .orderBy("bucket")
+    },
+      Some("""WITH h AS (SELECT CAST(o_orderkey % 16 AS BIGINT) bucket,
+             |  list_reduce(list_transform(range(1, 16),
+             |    i -> CAST(strpos('0123456789abcdef', substr(md5(
+             |      concat_ws('|',
+             |        coalesce(CAST(o_orderkey AS VARCHAR), '(null)'),
+             |        coalesce(CAST(o_custkey AS VARCHAR), '(null)'),
+             |        coalesce(CAST(o_orderstatus AS VARCHAR), '(null)'),
+             |        coalesce(CAST(o_orderpriority AS VARCHAR), '(null)'),
+             |        coalesce(CAST(CAST(o_orderdate AS DATE) AS VARCHAR),
+             |          '(null)'))), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |    (a, b) -> a*16 + b) h
+             |  FROM orders)
+             |SELECT bucket, CAST(count(*) AS BIGINT) n_rows,
+             |  bit_xor(h) checksum
+             |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Functional-dependency audit (x118): per candidate lhs→rhs, keys /
+    // violating keys / minimum rows-to-fix — all exact BIGINTs.
+    QuerySpec("x118_fd_audit", (s, d) =>
+      Analytics.fdViolations(t(s, d, "orders"),
+        Seq(("o_custkey", "o_orderpriority"),
+          ("o_orderkey", "o_orderstatus"),
+          ("o_orderpriority", "o_orderstatus")))
+        .orderBy("fd"),
+      Some {
+        def block(l: String, r: String): String =
+          s"""SELECT '$l->$r' fd, CAST(count(*) AS BIGINT) n_keys,
+             |  CAST(count(*) FILTER (nr > 1) AS BIGINT) n_violating_keys,
+             |  CAST(coalesce(sum(tot - mx), 0) AS BIGINT) violation_rows,
+             |  count(*) FILTER (nr > 1) = 0 holds
+             |FROM (SELECT l, count(*) nr, sum(c) tot, max(c) mx FROM
+             |  (SELECT CAST($l AS VARCHAR) l, CAST($r AS VARCHAR) r,
+             |     count(*) c FROM orders
+             |   WHERE $l IS NOT NULL AND $r IS NOT NULL GROUP BY 1, 2)
+             |  GROUP BY 1)""".stripMargin
+        block("o_custkey", "o_orderpriority") + "\nUNION ALL\n" +
+          block("o_orderkey", "o_orderstatus") + "\nUNION ALL\n" +
+          block("o_orderpriority", "o_orderstatus") + "\nORDER BY fd"
+      }),
+
+    // Zipf slope (x119): per-source OLS of ln(freq) on ln(rank) over the
+    // top-300 terms — corpus-naturalness screen; both engines evaluate
+    // the same explicit (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), Spark side as an
+    // ordered fold.
+    QuerySpec("x119_zipf_slope", (s, d) =>
+      graft.operators.TextOps.zipfSlope(t(s, d, "documents"), "source",
+        "text", topN = 300)
+        .orderBy("source"),
+      Some("""WITH tok AS (SELECT source, unnest(list_filter(
+             |    regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+             |    x -> length(x) > 0)) w
+             |  FROM documents WHERE source IS NOT NULL
+             |    AND text IS NOT NULL),
+             |tf AS (SELECT source, w, count(*) c FROM tok GROUP BY 1, 2),
+             |rk AS (SELECT source, w, c, row_number() OVER (
+             |    PARTITION BY source ORDER BY c DESC, w ASC) r FROM tf),
+             |top AS (SELECT source, ln(CAST(r AS DOUBLE)) x,
+             |    ln(CAST(c AS DOUBLE)) y FROM rk WHERE r <= 300),
+             |s AS (SELECT source, CAST(count(*) AS BIGINT) n, sum(x) sx,
+             |    sum(y) sy, sum(x*y) sxy, sum(x*x) sxx
+             |  FROM top GROUP BY 1)
+             |SELECT source, n n_terms,
+             |  round((CAST(n AS DOUBLE)*sxy - sx*sy) /
+             |    (CAST(n AS DOUBLE)*sxx - sx*sx), 4) zipf_slope
+             |FROM s WHERE n >= 2 ORDER BY source""".stripMargin)),
+
+    // Lag-7 autocorrelation (x120): weekly-periodicity screen on the
+    // gap-filled daily count series; Pearson r assembled from five exact
+    // integer sums — bitwise-deterministic floats on both engines.
+    QuerySpec("x120_lag_autocorr", (s, d) =>
+      Analytics.lagAutocorr(t(s, d, "events"), "event_type", "ts",
+        lagDays = 7)
+        .orderBy("event_type"),
+      Some("""WITH dd AS (SELECT event_type g, CAST(ts AS DATE) dy,
+             |    CAST(count(*) AS BIGINT) n FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |sp AS (SELECT g, min(dy) lo, max(dy) hi FROM dd GROUP BY 1),
+             |grid AS (SELECT g, CAST(unnest(generate_series(lo, hi,
+             |    INTERVAL '1 day')) AS DATE) dy FROM sp),
+             |j AS (SELECT grid.g, grid.dy, CAST(coalesce(dd.n, 0)
+             |    AS BIGINT) x
+             |  FROM grid LEFT JOIN dd ON grid.g = dd.g
+             |    AND grid.dy = dd.dy),
+             |l AS (SELECT g, x, lag(x, 7) OVER (PARTITION BY g
+             |    ORDER BY dy) y FROM j),
+             |s AS (SELECT g, CAST(count(*) AS BIGINT) k,
+             |    CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+             |    CAST(sum(x*y) AS BIGINT) sxy,
+             |    CAST(sum(x*x) AS BIGINT) sxx,
+             |    CAST(sum(y*y) AS BIGINT) syy
+             |  FROM l WHERE y IS NOT NULL GROUP BY 1)
+             |SELECT g event_type, k n_pairs,
+             |  round(CAST(k*sxy - sx*sy AS DOUBLE) /
+             |    (sqrt(CAST(k*sxx - sx*sx AS DOUBLE)) *
+             |     sqrt(CAST(k*syy - sy*sy AS DOUBLE))), 4) autocorr
+             |FROM s ORDER BY 1""".stripMargin)),
+
+    // Streaming checksum (st19): x117's digest maintained as streaming
+    // state — BIT_XOR is its own merge function, so replay slicing
+    // provably cannot move the answer. Timestamp column omitted (the
+    // stream stage has no projection hook for the date cast; the batch
+    // twin covers date canonicalization).
+    QuerySpec("st19_stream_checksum", (s, d) => {
+      val schema = s.read.parquet(s"$d/orders.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runStreamingChecksumAvailableNow(s, d, "orders.parquet",
+        schema, "o_orderkey",
+        Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"),
+        buckets = 16, s"graft_cksum_$run", ckpt)
+        .orderBy("bucket")
+    },
+      Some("""WITH h AS (SELECT CAST(o_orderkey % 16 AS BIGINT) bucket,
+             |  list_reduce(list_transform(range(1, 16),
+             |    i -> CAST(strpos('0123456789abcdef', substr(md5(
+             |      concat_ws('|',
+             |        coalesce(CAST(o_orderkey AS VARCHAR), '(null)'),
+             |        coalesce(CAST(o_custkey AS VARCHAR), '(null)'),
+             |        coalesce(CAST(o_orderstatus AS VARCHAR), '(null)'),
+             |        coalesce(CAST(o_orderpriority AS VARCHAR),
+             |          '(null)'))), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |    (a, b) -> a*16 + b) h
+             |  FROM orders)
+             |SELECT bucket, CAST(count(*) AS BIGINT) n_rows,
+             |  bit_xor(h) checksum
+             |FROM h GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Streaming centroid routing (st20): embedding firehose → nearest of
+    // 8 static centroids (first 8 vectors by id — oracle-reconstructable),
+    // argmax folded map-side into one greatest(struct…) over native
+    // cosine expressions; state is one (count, Σ sim·10⁴) row per
+    // centroid.
+    QuerySpec("st20_stream_centroid_route", (s, d) => {
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runStreamingCentroidRouteAvailableNow(s, d,
+        "embeddings.parquet", schema, "vec_id", "embedding", k = 8,
+        s"graft_route_$run", ckpt)
+        .orderBy("centroid_id")
+    },
+      Some("""WITH c AS (SELECT CAST(vec_id AS BIGINT) cid,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) cvec
+             |  FROM embeddings WHERE vec_id < 8
+             |    AND embedding IS NOT NULL),
+             |s AS (SELECT e.vec_id, c.cid,
+             |    round(CAST(list_cosine_similarity(list_transform(
+             |      e.embedding, x -> CAST(x AS DOUBLE)), c.cvec)
+             |      AS DOUBLE), 4) sim
+             |  FROM embeddings e CROSS JOIN c
+             |  WHERE e.embedding IS NOT NULL),
+             |a AS (SELECT vec_id, cid, sim, row_number() OVER (
+             |    PARTITION BY vec_id ORDER BY sim DESC, cid ASC) rn
+             |  FROM s)
+             |SELECT cid centroid_id, CAST(count(*) AS BIGINT) n,
+             |  round(CAST(sum(CAST(round(sim*1e4, 0) AS BIGINT))
+             |    AS DOUBLE)/1e4/CAST(count(*) AS DOUBLE), 4) mean_sim
+             |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 }

@@ -1290,4 +1290,104 @@ object Streams {
         dateCol, keyCol, indexPath)
     }
   }
+
+  /** Streaming table checksum — the streaming twin of
+    * [[graft.operators.Analytics.tableChecksum]], and the purest possible
+    * streaming state: BIT_XOR is commutative, associative, and its own
+    * merge function, so the per-bucket (xor, count) pair is mergeable
+    * across micro-batches BY CONSTRUCTION — replay slicing provably cannot
+    * move the answer, and state is |buckets| rows regardless of stream
+    * length. This is how a replication verifier keeps a live digest of a
+    * 100 TB CDC feed: per-bucket digests maintained incrementally, compared
+    * against the target side's batch digests on demand.
+    */
+  def runStreamingChecksumAvailableNow(spark: SparkSession, dir: String,
+                                       glob: String, schema: StructType,
+                                       keyCol: String, cols: Seq[String],
+                                       buckets: Int, sinkName: String,
+                                       checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      // identical canonical rendering to the batch operator (NULL sentinel
+      // and all) — the digests must be comparable across the two
+      val canon = concat_ws("|",
+        cols.map(c => coalesce(col(c).cast("string"), lit("(null)"))): _*)
+      val q = raw
+        .select(pmod(col(keyCol).cast("long"), lit(buckets.toLong))
+            .as("bucket"),
+          conv(substring(md5(canon), 1, 15), 16, 10).cast("long").as("__h"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("checksum"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      detachSink(spark, sinkName, checkpoint)
+    }
+
+  /** Streaming nearest-centroid routing: each embedding on the stream is
+    * assigned to its most-cosine-similar member of a SMALL static centroid
+    * set, and the state is one (count, Σ fixed-point sim) pair per
+    * centroid — the shard-router / semantic-tagger shape for an embedding
+    * firehose.
+    *
+    * The argmax is computed MAP-SIDE with zero joins and zero extra
+    * aggregations: the centroids (metadata-scale — k·dim floats) are
+    * driver-collected once and folded into a single `greatest(struct(sim,
+    * −id)…)` expression over k native [[graft.functions.CosineSimilarity]]
+    * calls, so the stream stage is scan-speed per-row work feeding ONE
+    * streaming aggregate (Spark supports only one aggregation per stream —
+    * a join+argmin formulation would need two). Ties break to the smallest
+    * centroid id; sims are rounded to 4 before comparison so float noise
+    * cannot flip an assignment (the x114 cosine-rounding convention).
+    *
+    * `centroids` here are the first `k` vectors by id — a deterministic,
+    * engine-independent choice the oracle can reconstruct; production
+    * would pass k-means centroids from [[graft.operators.ClusterOps]].
+    */
+  def runStreamingCentroidRouteAvailableNow(spark: SparkSession, dir: String,
+                                            glob: String, schema: StructType,
+                                            idCol: String, vecCol: String,
+                                            k: Int, sinkName: String,
+                                            checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val cents = spark.read.parquet(s"$dir/$glob")
+        .filter(col(idCol) < k && col(vecCol).isNotNull)
+        .select(col(idCol).cast("long"), col(vecCol))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+        .sortBy(_._1)
+      require(cents.length >= 2,
+        s"centroid routing needs ≥ 2 centroids, got ${cents.length}")
+      val scored = cents.map { case (cid, v) =>
+        struct(
+          round(graft.functions.CosineSimilarity(col(vecCol),
+            typedLit(v)), 4).as("s"),
+          lit(-cid).as("negid"))
+      }
+      val best = greatest(scored: _*)
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = raw
+        .filter(col(vecCol).isNotNull)
+        .select((-best.getField("negid")).as("centroid_id"),
+          round(best.getField("s") * 1e4).cast("long").as("__fp"))
+        .groupBy(col("centroid_id"))
+        .agg(count(lit(1)).as("n"), sum(col("__fp")).as("__s"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      detachSink(spark, sinkName, checkpoint)
+        .select(col("centroid_id"), col("n"),
+          round(col("__s").cast("double") / 1e4 / col("n").cast("double"), 4)
+            .as("mean_sim"))
+    }
 }

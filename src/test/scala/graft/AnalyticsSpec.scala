@@ -642,4 +642,105 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Seq(("2024-01-01", 1L), ("2024-01-02", 2L),
       ("2024-01-09", 1L)))
   }
+
+  test("rollupMultiGrain: three grains from one pass, '(all)' sentinel, " +
+    "exact cents, null groups excluded") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (Some("a"), Some(ts("2024-01-01 10:00:00")), 1.01),
+      (Some("a"), Some(ts("2024-01-01 11:00:00")), 2.0),
+      (Some("a"), Some(ts("2024-01-02 10:00:00")), 3.0),
+      (Some("b"), Some(ts("2024-01-01 10:00:00")), 4.0),
+      (None, Some(ts("2024-01-01 10:00:00")), 100.0),      // excluded
+      (Some("a"), None, 100.0)                             // excluded
+    ).toDF("g", "ts", "v")
+    val got = Analytics.rollupMultiGrain(ev, "g", "ts", "v")
+      .orderBy("grain", "g", "day")
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", "2024-01-01", 0L, 2L, 3.01),
+      ("a", "2024-01-02", 0L, 1L, 3.0),
+      ("b", "2024-01-01", 0L, 1L, 4.0),
+      ("a", "(all)", 1L, 3L, 6.01),
+      ("b", "(all)", 1L, 1L, 4.0),
+      ("(all)", "(all)", 3L, 4L, 10.01)))
+  }
+
+  test("pivotWide: declared types only, dense 0-cells, absent type " +
+    "columns present, cents exact") {
+    val ev = Seq(
+      (1L, "x", 1.5), (1L, "x", 2.5), (1L, "y", 3.0),
+      (2L, "y", 4.0), (2L, "z", 99.0) // z not declared: dropped
+    ).toDF("k", "t", "v")
+    val got = Analytics.pivotWide(ev, "k", "t", "v", Seq("x", "y", "w"))
+      .orderBy("k")
+      .as[(Long, Double, Long, Double, Long, Double, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 4.0, 2L, 3.0, 1L, 0.0, 0L),
+      (2L, 0.0, 0L, 4.0, 1L, 0.0, 0L)))
+  }
+
+  test("tableChecksum: order/partitioning-invariant; a single changed " +
+    "row flips exactly its bucket; null vs empty-string rows differ") {
+    val a = Seq((1L, Some("x")), (2L, Some("y")), (3L, Some("z")),
+      (17L, Some("w"))).toDF("k", "s")
+    val cs = Analytics.tableChecksum(a, "k", Seq("k", "s"), 16)
+    val csShuffled = Analytics.tableChecksum(
+      a.orderBy(desc("k")).repartition(7), "k", Seq("k", "s"), 16)
+    assert(cs.orderBy("bucket").collect().toSeq ==
+      csShuffled.orderBy("bucket").collect().toSeq)
+    // change one row (k=2): only bucket 2 differs
+    val b = Seq((1L, Some("x")), (2L, Some("Y")), (3L, Some("z")),
+      (17L, Some("w"))).toDF("k", "s")
+    val diff = Analytics.tableChecksum(b, "k", Seq("k", "s"), 16)
+      .withColumnRenamed("checksum", "c2").withColumnRenamed("n_rows", "n2")
+      .join(cs, "bucket")
+      .filter(col("c2") =!= col("checksum")).select("bucket")
+      .as[Long].collect().toSeq
+    assert(diff == Seq(2L))
+    // NULL cell is not the same row as empty string
+    val n1 = Analytics.tableChecksum(
+      Seq((1L, None: Option[String])).toDF("k", "s"), "k", Seq("k", "s"), 4)
+    val n2 = Analytics.tableChecksum(
+      Seq((1L, Some(""))).toDF("k", "s"), "k", Seq("k", "s"), 4)
+    assert(n1.select("checksum").as[Long].head() !=
+      n2.select("checksum").as[Long].head())
+  }
+
+  test("fdViolations: held FD reports 0/true, violated FD counts keys " +
+    "and minimum rows-to-fix, nulls excluded") {
+    val df = Seq(
+      (Some("k1"), Some("a")), (Some("k1"), Some("a")), (Some("k1"), Some("b")),
+      (Some("k2"), Some("c")),
+      (None, Some("zz")), (Some("k3"), None)
+    ).toDF("l", "r")
+    val got = Analytics.fdViolations(df, Seq(("l", "r"), ("r", "r")))
+      .orderBy("fd").as[(String, Long, Long, Long, Boolean)].collect().toSeq
+    // l->r: keys {k1 (2 distinct r, 3 rows, majority 2 -> fix 1), k2};
+    // r->r is reflexive (trivially holds) over keys {a, b, c, zz} — the
+    // null-l row still counts, because ITS lhs is column r
+    assert(got == Seq(
+      ("l->r", 2L, 1L, 1L, false),
+      ("r->r", 4L, 0L, 0L, true)))
+  }
+
+  test("lagAutocorr: perfectly periodic series correlates 1.0 at its " +
+    "period; gap days count as explicit zeros") {
+    import java.sql.Timestamp
+    // period-2 series over 8 days, counts 2,1,2,1,…: exactly periodic, so
+    // the integer-sum Pearson gives num == den → r is EXACTLY ±1.0
+    val rows = (0 until 8).flatMap { i =>
+      val day = f"2024-01-${i + 1}%02d"
+      val n = if (i % 2 == 0) 2 else 1
+      (0 until n).map(_ => ("g", Timestamp.valueOf(s"$day 10:00:00")))
+    }
+    val got = Analytics.lagAutocorr(rows.toDF("g", "ts"), "g", "ts", 2)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("g", 6L, 1.0)))
+    // with lag 1 the same series anti-correlates
+    val got1 = Analytics.lagAutocorr(rows.toDF("g", "ts"), "g", "ts", 1)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got1.head._3 == -1.0)
+  }
 }

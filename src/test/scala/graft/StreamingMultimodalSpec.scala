@@ -619,4 +619,61 @@ class StreamingMultimodalSpec extends SparkSpec {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
+
+  test("streaming checksum equals the batch digest under 1-file " +
+    "micro-batch slicing (xor state is merge-invariant)") {
+    import graft.operators.Analytics
+    val rows = Seq(
+      (1L, Some("x"), Some("p1")), (2L, Some("y"), None),
+      (17L, None, Some("p2")), (18L, Some("z"), Some("p3")),
+      (33L, Some("x"), Some("p1"))
+    ).toDF("k", "s", "p")
+    val dir = Files.createTempDirectory("graft_stck_test").toString
+    rows.repartition(4).write.parquet(s"$dir/in")
+    val got = Streams.runStreamingChecksumAvailableNow(spark, s"$dir/in",
+      "*.parquet", rows.schema, "k", Seq("k", "s", "p"), buckets = 16,
+      sinkName = "graft_stck_test", checkpoint = s"$dir/ckpt")
+      .orderBy("bucket").as[(Long, Long, Long)].collect().toSeq
+    val want = Analytics.tableChecksum(rows, "k", Seq("k", "s", "p"), 16)
+      .orderBy("bucket").as[(Long, Long, Long)].collect().toSeq
+    assert(got == want)
+    // buckets 1 (k=1,17,33) and 2 (k=2,18) both present with right counts
+    assert(got.map(r => r._1 -> r._2).toMap == Map(1L -> 3L, 2L -> 2L))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  test("streaming centroid routing: map-side argmax over static " +
+    "centroids, tie breaks to smallest id, fixed-point mean") {
+    val vecs = Seq(
+      (0L, Seq(1.0f, 0.0f)),   // centroid 0
+      (1L, Seq(0.0f, 1.0f)),   // centroid 1
+      (2L, Seq(1.0f, 1.0f)),   // centroid 2
+      (3L, Seq(3.0f, 0.0f)),   // → c0, sim 1.0
+      (4L, Seq(0.0f, 2.0f)),   // → c1, sim 1.0
+      (5L, Seq(0.0f, 5.0f)),   // → c1, sim 1.0
+      (6L, Seq(1.0f, 0.5f))    // → c2: 0.9487 beats c0's 0.8944
+    ).toDF("vec_id", "embedding")
+    val dir = Files.createTempDirectory("graft_stroute_test").toString
+    vecs.repartition(3).write.parquet(s"$dir/in")
+    val got = Streams.runStreamingCentroidRouteAvailableNow(spark,
+      s"$dir/in", "*.parquet", vecs.schema, "vec_id", "embedding", k = 3,
+      sinkName = "graft_stroute_test", checkpoint = s"$dir/ckpt")
+      .orderBy("centroid_id").as[(Long, Long, Double)].collect().toSeq
+    // c2 mean: (10000 + 9487) / 2 / 1e4 = 0.9744 (round HALF_UP)
+    assert(got == Seq((0L, 2L, 1.0), (1L, 3L, 1.0), (2L, 2L, 0.9744)))
+    // tie case: (1,1) against centroids (1,0) and (0,1) — equal 0.7071
+    // rounded sims must route to the SMALLEST centroid id
+    val tied = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)),
+      (9L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding")
+    tied.coalesce(1).write.parquet(s"$dir/in2")
+    val got2 = Streams.runStreamingCentroidRouteAvailableNow(spark,
+      s"$dir/in2", "*.parquet", tied.schema, "vec_id", "embedding", k = 2,
+      sinkName = "graft_stroute_test2", checkpoint = s"$dir/ckpt2")
+      .orderBy("centroid_id").as[(Long, Long, Double)].collect().toSeq
+    // c0: itself (1.0) + the tied vector (0.7071) → mean 0.8536
+    assert(got2 == Seq((0L, 2L, 0.8536), (1L, 1L, 1.0)))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 }

@@ -718,4 +718,22 @@ class TextDedupSpec extends SparkSpec {
     assert(got.forall(r => r._3 >= 0L && r._3 <= 16L &&
       r._4 >= 0.0 && r._4 <= 1.0))
   }
+
+  test("zipfSlope: known rank/freq profile gives the OLS slope; topN " +
+    "truncates the fit; single-term sources are excluded") {
+    import spark.implicits._
+    // s1: a×8 b×4 c×2 d×1 (halving = slope −1.459 over ln-rank 1..4);
+    // ties impossible (all counts distinct). s2 has ONE term → no fit.
+    val s1Text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++
+      Seq.fill(2)("c") ++ Seq("d")).mkString(" ")
+    val docs = Seq(("s1", s1Text), ("s2", "only only only"))
+      .toDF("src", "text")
+    val got = TextOps.zipfSlope(docs, "src", "text", topN = 300)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("s1", 4L, -1.459)))
+    // truncating to the top 2 terms fits only (r1,8),(r2,4): exact −1.0
+    val got2 = TextOps.zipfSlope(docs, "src", "text", topN = 2)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got2 == Seq(("s1", 2L, -1.0)))
+  }
 }
