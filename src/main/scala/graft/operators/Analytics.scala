@@ -1485,6 +1485,83 @@ object Analytics {
     }.reduce(_.unionAll(_))
   }
 
+  /** Exact weighted median per group: the smallest value whose cumulative
+    * weight reaches half the group's total (lower weighted median) — the
+    * robust central-price / central-size statistic when rows carry a
+    * volume weight (median unit price weighted by quantity, median doc
+    * length weighted by sampling multiplicity).
+    *
+    * ALL-INTEGER determinism: values become exact cents, weights exact
+    * longs, duplicates collapse to one (group, cents) cell up front, and
+    * the crossing test `2·cum ≥ tot` compares integers — no float is ever
+    * compared; the only division is the /100 at emit.
+    *
+    * Scale shape: one map-side-combinable (group, cents) census off the
+    * fact, then windows over the |distinct values| census — the window's
+    * per-partition sort is on the collapsed cells, never the fact. Rows
+    * with NULL or non-positive weight are excluded (documented: a zero
+    * weight cannot move a median; a negative one has no median
+    * semantics).
+    */
+  def weightedMedianByGroup(df: DataFrame, groupCol: String,
+                            valueCol: String, weightCol: String): DataFrame = {
+    val cells = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
+      .groupBy(col(groupCol),
+        round(col(valueCol) * 100.0).cast("long").as("__vc"))
+      .agg(sum(round(col(weightCol)).cast("long")).as("__w"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__vc"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+    cells
+      .withColumn("__cum", sum(col("__w")).over(wCum))
+      .withColumn("__tot", sum(col("__w")).over(wTot))
+      .groupBy(col(groupCol))
+      .agg(min(col("__tot")).as("total_weight"),
+        min(when(col("__cum") * 2 >= col("__tot"), col("__vc")))
+          .as("__med"))
+      .select(col(groupCol), col("total_weight"),
+        round(col("__med").cast("double") / 100.0, 2).as("weighted_median"))
+  }
+
+  /** Top order-2 paths (trigram sequences) over per-entity event streams:
+    * the (s₀ → s₁ → s₂) adjacency counts behind next-action prediction
+    * one step deeper than [[transitionMatrix]]'s first-order cells —
+    * where funnels actually bend ("view→click→purchase" vs
+    * "click→view→purchase" are different products).
+    *
+    * One shuffle (partition by entity for the two lag windows — the same
+    * exchange serves both lags), a map-side-combinable count over at most
+    * |states|³ cells, and a TakeOrdered top-k (bounded driver result).
+    * Determinism: counts are integers; ordering ties on `tsCol` break by
+    * `idCol` (total order); the emitted share is one integer division
+    * rounded to 6; top-k order (n DESC, then the path) is total.
+    */
+  def topPaths(events: DataFrame, entityCol: String, tsCol: String,
+               idCol: String, stateCol: String, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol)).orderBy(col(tsCol), col(idCol))
+    val tri = events
+      .withColumn("__p1", lag(col(stateCol), 1).over(w))
+      .withColumn("__p2", lag(col(stateCol), 2).over(w))
+      .filter(col("__p2").isNotNull)
+      .groupBy(col("__p2").as("s0"), col("__p1").as("s1"),
+        col(stateCol).as("s2"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tri.agg(sum(col("n")).as("__tot"))
+    tri.crossJoin(broadcast(tot))
+      .select(col("s0"), col("s1"), col("s2"), col("n"),
+        round(col("n").cast("double") / col("__tot").cast("double"), 6)
+          .as("share"))
+      .orderBy(col("n").desc, col("s0"), col("s1"), col("s2"))
+      .limit(topK)
+  }
+
   /** Lag-k autocorrelation of the daily event-count series per group — the
     * periodicity screen (lag 7 ≫ 0 ⇒ weekly seasonality; lag 1 < 0 ⇒
     * alternation) run before fitting x80's seasonal baseline. The series

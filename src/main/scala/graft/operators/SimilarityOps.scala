@@ -700,4 +700,111 @@ object SimilarityOps {
       .orderBy(col("approx_dist"), col("id"))
       .limit(k)
   }
+
+  /** Render a collected centroid row's vector as doubles regardless of the
+    * stored element type (embeddings carry float32; k-means means come out
+    * double).
+    */
+  private def vecAsDoubles(xs: Seq[Any]): Seq[Double] = xs.map {
+    case f: Float => f.toDouble
+    case d: Double => d
+    case other => throw new IllegalArgumentException(
+      s"centroid element is ${other.getClass.getSimpleName}, need float/double")
+  }
+
+  /** Simplified (centroid-based) silhouette per cluster — the clustering-
+    * quality gate run after [[graft.operators.ClusterOps.kmeansFit]]:
+    * with cosine distance d = 1 − sim, a(i) = distance to the OWN (best)
+    * centroid and b(i) = distance to the nearest OTHER centroid, so
+    * s(i) = (b−a)/max(a,b) = (s₁−s₂)/(1−s₂) where s₁ ≥ s₂ are the two
+    * best similarities (Rousseeuw 1987's silhouette with centroids
+    * standing in for cluster means — the standard large-n variant, since
+    * exact silhouette is O(n²)).
+    *
+    * Scale shape: the centroid set is METADATA (nlist rows) — it is
+    * driver-collected once and folded into per-row expressions (k native
+    * cosines + one array_sort of k structs), so scoring is map-side
+    * scan-speed work with NO join and NO per-vector shuffle; the only
+    * exchange is the final |clusters|-row aggregate. Determinism: sims
+    * round to 4 before comparison (the x114 convention — assignment ties
+    * then break to the smallest centroid id), s(i) derives from two
+    * rounded sims through fixed IEEE ops, and the per-cluster mean sums
+    * exact 10⁶-scaled longs. Duplicate centroids give s₂ = s₁ → s = 0,
+    * the defined degenerate value.
+    */
+  def silhouetteByCentroid(vectors: DataFrame, idCol: String, vecCol: String,
+                           centroids: DataFrame, cidCol: String,
+                           cvecCol: String): DataFrame = {
+    val cents = centroids.select(col(cidCol).cast("long"), col(cvecCol))
+      .collect()
+      .map(r => r.getLong(0) -> vecAsDoubles(r.getSeq[Any](1)))
+      .sortBy(_._1)
+    require(cents.length >= 2,
+      s"silhouette needs ≥ 2 centroids, got ${cents.length}")
+    val scored = cents.map { case (cid, v) =>
+      struct(round(NativeCos(col(vecCol), typedLit(v)), 4).as("s"),
+        lit(-cid).as("nc"))
+    }
+    val arr = array_sort(array(scored: _*))
+    val best = element_at(arr, -1)
+    val second = element_at(arr, -2)
+    val sil = when(second.getField("s") >= 1.0, lit(0.0))
+      .otherwise(round((best.getField("s") - second.getField("s")) /
+        (lit(1.0) - second.getField("s")), 6))
+    vectors.filter(col(vecCol).isNotNull)
+      .select((-best.getField("nc")).as("centroid_id"),
+        round(sil * 1e6).cast("long").as("__fp"))
+      .groupBy(col("centroid_id"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("__fp")).cast("double") / 1e6 /
+          count(lit(1)).cast("double"), 4).as("mean_silhouette"))
+  }
+
+  /** Per-label embedding outliers via a diagonal Mahalanobis score:
+    * z²(i) = Σ_d (x_d − μ_d)² / (σ²_d + ε) against the label's own
+    * per-dimension moments, top-k per label — the mislabeled-example /
+    * corrupted-vector screen run on an embedding table before it trains
+    * a probe or feeds ANN ground truth.
+    *
+    * Determinism: μ and σ² are rounded to 6 (they are the only
+    * order-sensitive float sums, each over one (label, dim) cell —
+    * engine noise ~1e-13 vs the 1e-6 grid), every per-dim term then
+    * derives through fixed IEEE ops and rounds to 8, and the per-vector
+    * sum adds exact 10⁸-scaled longs. Ranking (score DESC, id ASC) is
+    * total.
+    *
+    * Scale shape: one posexplode scan → a map-side-combinable
+    * (label, dim) moment census (|labels|·dims rows — broadcast back),
+    * one exact integer re-aggregation per vector, one rank window
+    * partitioned by label. Nothing fact-scale shuffles twice.
+    */
+  def embeddingOutliers(vectors: DataFrame, idCol: String, vecCol: String,
+                        labelCol: String, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val base = vectors
+      .filter(col(labelCol).isNotNull && col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("__id"),
+        col(labelCol).cast("long").as("__lb"),
+        posexplode(col(vecCol)).as(Seq("__p", "__vf")))
+      .select(col("__id"), col("__lb"), col("__p"),
+        col("__vf").cast("double").as("__v"))
+    val stats = base.groupBy(col("__lb"), col("__p"))
+      .agg(round(avg(col("__v")), 6).as("__mu"),
+        round(avg(col("__v") * col("__v")) -
+          avg(col("__v")) * avg(col("__v")), 6).as("__s2"))
+    val term = round(
+      (col("__v") - col("__mu")) * (col("__v") - col("__mu")) /
+        (col("__s2") + lit(1e-6)), 8)
+    val w = Window.partitionBy(col("__lb"))
+      .orderBy(col("score").desc, col("__id").asc)
+    base.join(broadcast(stats), Seq("__lb", "__p"))
+      .select(col("__lb"), col("__id"),
+        round(term * 1e8).cast("long").as("__fp"))
+      .groupBy(col("__lb"), col("__id"))
+      .agg(round(sum(col("__fp")).cast("double") / 1e8, 4).as("score"))
+      .withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= topK)
+      .select(col("__lb").as(labelCol), col("__id").as(idCol),
+        col("score"), col("rnk"))
+  }
 }

@@ -865,6 +865,33 @@ object TextOps {
       .orderBy(col("n_occurrences").desc, col("passage").asc)
       .limit(k)
 
+  /** Label-vs-prediction confusion census: cell counts and row-normalized
+    * shares between a stored label column and a computed prediction (e.g.
+    * the `lang` metadata field against [[langIdNgram]]'s heuristic) — the
+    * label-noise / metadata-trust audit run before using either column to
+    * stratify a corpus. Works for any pair of categorical columns; the
+    * label and prediction vocabularies need not overlap.
+    *
+    * One map-side-combinable (label, predicted) census off the fact, then
+    * a window over the |cells| census for row totals. Determinism: counts
+    * are integers; share is one division rounded to 6. NULL on either
+    * side is excluded.
+    */
+  def labelConfusion(df: DataFrame, labelCol: String,
+                     predCol: String): DataFrame = {
+    val cells = df
+      .filter(col(labelCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(labelCol).cast("string").as("label"),
+        col(predCol).cast("string").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val wTot = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label"))
+    cells
+      .withColumn("share", round(col("n").cast("double") /
+        sum(col("n")).over(wTot).cast("double"), 6))
+      .select(col("label"), col("predicted"), col("n"), col("share"))
+  }
+
   /** Zipf exponent per source: OLS slope of ln(freq) on ln(rank) over the
     * top-`topN` terms — the corpus-naturalness screen (natural language
     * sits near −1; template/log/generated text flattens or steepens the

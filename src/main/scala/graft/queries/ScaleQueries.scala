@@ -4782,6 +4782,152 @@ object ScaleQueries {
              |SELECT cid centroid_id, CAST(count(*) AS BIGINT) n,
              |  round(CAST(sum(CAST(round(sim*1e4, 0) AS BIGINT))
              |    AS DOUBLE)/1e4/CAST(count(*) AS DOUBLE), 4) mean_sim
-             |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM a WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Exact weighted median (x121): per return flag, the extended price
+    // whose cumulative quantity weight crosses half — all-integer cents
+    // and weights, no float ever compared.
+    QuerySpec("x121_weighted_median", (s, d) =>
+      Analytics.weightedMedianByGroup(t(s, d, "lineitem"), "l_returnflag",
+        "l_extendedprice", "l_quantity")
+        .orderBy("l_returnflag"),
+      Some("""WITH cells AS (SELECT l_returnflag g,
+             |    CAST(round(l_extendedprice*100, 0) AS BIGINT) vc,
+             |    CAST(sum(CAST(round(l_quantity, 0) AS BIGINT))
+             |      AS BIGINT) w
+             |  FROM lineitem WHERE l_returnflag IS NOT NULL
+             |    AND l_extendedprice IS NOT NULL
+             |    AND l_quantity IS NOT NULL AND l_quantity > 0
+             |  GROUP BY 1, 2),
+             |c2 AS (SELECT g, vc, w,
+             |    sum(w) OVER (PARTITION BY g ORDER BY vc
+             |      ROWS UNBOUNDED PRECEDING) cum,
+             |    sum(w) OVER (PARTITION BY g) tot FROM cells)
+             |SELECT g l_returnflag, CAST(min(tot) AS BIGINT) total_weight,
+             |  round(CAST(min(CASE WHEN 2*cum >= tot THEN vc END)
+             |    AS DOUBLE)/100.0, 2) weighted_median
+             |FROM c2 GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Per-label embedding outliers (x122): diagonal-Mahalanobis z² against
+    // the label's own per-dim moments, top-5 per label — rounded moments,
+    // fixed-point term sums (exact BIGINT adds).
+    QuerySpec("x122_embedding_outliers", (s, d) =>
+      SimilarityOps.embeddingOutliers(t(s, d, "embeddings"), "vec_id",
+        "embedding", "label", topK = 5)
+        .orderBy("label", "rnk"),
+      Some("""WITH m AS (SELECT CAST(vec_id AS BIGINT) id,
+             |    CAST("label" AS BIGINT) lb,
+             |    generate_subscripts(embedding, 1) p,
+             |    CAST(unnest(embedding) AS DOUBLE) v
+             |  FROM embeddings WHERE "label" IS NOT NULL
+             |    AND embedding IS NOT NULL),
+             |st AS (SELECT lb, p, round(avg(v), 6) mu,
+             |    round(avg(v*v) - avg(v)*avg(v), 6) s2
+             |  FROM m GROUP BY 1, 2),
+             |t AS (SELECT id, m.lb,
+             |    CAST(round(round((v-mu)*(v-mu)/(s2+1e-6), 8)*1e8, 0)
+             |      AS BIGINT) fp
+             |  FROM m JOIN st ON m.lb = st.lb AND m.p = st.p),
+             |sc AS (SELECT lb, id, round(CAST(sum(fp) AS DOUBLE)/1e8, 4)
+             |    score FROM t GROUP BY 1, 2),
+             |r AS (SELECT lb, id, score, row_number() OVER (
+             |    PARTITION BY lb ORDER BY score DESC, id ASC) rk FROM sc)
+             |SELECT lb "label", id vec_id, score, CAST(rk AS BIGINT) rnk
+             |FROM r WHERE rk <= 5 ORDER BY lb, rk""".stripMargin)),
+
+    // Centroid silhouette (x123): per-cluster clustering-quality score
+    // s = (s₁−s₂)/(1−s₂) over the two best cosine sims — centroids are
+    // metadata, folded into map-side expressions (no join, no per-vector
+    // shuffle).
+    QuerySpec("x123_silhouette", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val init = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      SimilarityOps.silhouetteByCentroid(emb, "vec_id", "embedding",
+        init, "cid", "cvec")
+        .orderBy("centroid_id")
+    },
+      Some("""WITH c AS (SELECT CAST(vec_id AS BIGINT) cid,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) cvec
+             |  FROM embeddings WHERE vec_id < 8
+             |    AND embedding IS NOT NULL),
+             |s AS (SELECT e.vec_id, c.cid,
+             |    round(CAST(list_cosine_similarity(list_transform(
+             |      e.embedding, x -> CAST(x AS DOUBLE)), c.cvec)
+             |      AS DOUBLE), 4) sim
+             |  FROM embeddings e CROSS JOIN c
+             |  WHERE e.embedding IS NOT NULL),
+             |r AS (SELECT vec_id, cid, sim, row_number() OVER (
+             |    PARTITION BY vec_id ORDER BY sim DESC, cid ASC) rn
+             |  FROM s),
+             |b AS (SELECT r1.vec_id, r1.cid, r1.sim s1, r2.sim s2
+             |  FROM r r1 JOIN r r2 ON r1.vec_id = r2.vec_id
+             |    AND r1.rn = 1 AND r2.rn = 2),
+             |t AS (SELECT vec_id, cid, CASE WHEN s2 >= 1.0 THEN 0.0
+             |    ELSE round((s1-s2)/(1.0-s2), 6) END sil FROM b)
+             |SELECT cid centroid_id, CAST(count(*) AS BIGINT) n,
+             |  round(CAST(sum(CAST(round(sil*1e6, 0) AS BIGINT))
+             |    AS DOUBLE)/1e6/CAST(count(*) AS DOUBLE), 4)
+             |    mean_silhouette
+             |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Language confusion census (x124): stored `lang` metadata vs the
+    // x10b n-gram heuristic — the label-noise audit; integer cells + one
+    // rounded division (row share).
+    QuerySpec("x124_lang_confusion", (s, d) =>
+      graft.operators.TextOps.labelConfusion(
+        t(s, d, "documents")
+          .select(col("lang"),
+            TextOps.langIdNgram(col("text"), langNgramProfiles)
+              .as("predicted")),
+        "lang", "predicted")
+        .withColumnRenamed("label", "lang")
+        .orderBy("lang", "predicted"),
+      Some("""WITH t AS (SELECT doc_id, lang,
+             |    lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) norm
+             |  FROM documents),
+             |g AS (SELECT doc_id, lang, CASE WHEN length(norm) >= 3 THEN
+             |    list_distinct(list_transform(range(1, length(norm)-1),
+             |      i -> substr(norm, CAST(i AS INT), 3)))
+             |    ELSE CAST([] AS VARCHAR[]) END grams FROM t),
+             |sc AS (SELECT doc_id, lang, [
+             |  {'hits': len(list_filter(grams, x -> list_contains(
+             |     ['tab','abl','ble','row','sca','can'], x))),
+             |   'lang': 'alpha'},
+             |  {'hits': len(list_filter(grams, x -> list_contains(
+             |     ['joi','oin','mer','erg','rge','has','ash'], x))),
+             |   'lang': 'beta'},
+             |  {'hits': len(list_filter(grams, x -> list_contains(
+             |     ['win','ind','dow','bat','atc','tch','eam'], x))),
+             |   'lang': 'gamma'}
+             |  ] arr FROM g),
+             |p AS (SELECT lang, (list_sort(arr))[-1].lang predicted
+             |  FROM sc WHERE lang IS NOT NULL),
+             |cells AS (SELECT lang, predicted, count(*) n
+             |  FROM p GROUP BY 1, 2)
+             |SELECT lang, predicted, CAST(n AS BIGINT) n,
+             |  round(CAST(n AS DOUBLE) / CAST(sum(n) OVER (
+             |    PARTITION BY lang) AS DOUBLE), 6) "share"
+             |FROM cells ORDER BY lang, predicted""".stripMargin)),
+
+    // Top order-2 paths (x125): trigram sequence mining over per-user
+    // event streams — transitionMatrix one step deeper; integer counts,
+    // total tie-broken top-k.
+    QuerySpec("x125_trigram_paths", (s, d) =>
+      Analytics.topPaths(t(s, d, "events"), "user_id", "ts", "event_id",
+        "event_type", topK = 25),
+      Some("""WITH t AS (SELECT user_id, event_type s2,
+             |    lag(event_type, 1) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) s1,
+             |    lag(event_type, 2) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id) s0
+             |  FROM events),
+             |tri AS (SELECT s0, s1, s2, count(*) n FROM t
+             |  WHERE s0 IS NOT NULL GROUP BY 1, 2, 3),
+             |tot AS (SELECT CAST(sum(n) AS BIGINT) tt FROM tri)
+             |SELECT s0, s1, s2, CAST(n AS BIGINT) n,
+             |  round(CAST(n AS DOUBLE)/CAST(tt AS DOUBLE), 6) "share"
+             |FROM tri CROSS JOIN tot
+             |ORDER BY n DESC, s0, s1, s2 LIMIT 25""".stripMargin))
   )
 }

@@ -743,4 +743,39 @@ class AnalyticsSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSeq
     assert(got1.head._3 == -1.0)
   }
+
+  test("weightedMedianByGroup: weight moves the median, lower-median " +
+    "crossing is exact, zero/negative weights excluded") {
+    val df = Seq(
+      ("g1", 1.0, 1.0), ("g1", 2.0, 1.0), ("g1", 3.0, 10.0),
+      ("g2", 1.0, 1.0), ("g2", 2.0, 1.0),      // even split → lower = 1.0
+      ("g2", 9.0, 0.0), ("g2", 99.0, -5.0)     // excluded weights
+    ).toDF("g", "v", "w")
+    val got = Analytics.weightedMedianByGroup(df, "g", "v", "w")
+      .orderBy("g").as[(String, Long, Double)].collect().toSeq
+    // g1: cum at v=3 is 12 ≥ 12/2 first at v=3 (1,2 cum to 2 < 6)
+    assert(got == Seq(("g1", 12L, 3.0), ("g2", 2L, 1.0)))
+  }
+
+  test("topPaths: trigram counts respect per-entity time order with id " +
+    "tiebreak; share sums the census; topK truncates") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, 1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, 2L, ts("2024-01-01 10:01:00"), "b"),
+      (1L, 3L, ts("2024-01-01 10:02:00"), "c"),
+      (1L, 4L, ts("2024-01-01 10:03:00"), "a"),
+      // user 2: same ts — order by event_id: b, a, c
+      (2L, 5L, ts("2024-01-01 10:00:00"), "b"),
+      (2L, 6L, ts("2024-01-01 10:00:00"), "a"),
+      (2L, 7L, ts("2024-01-01 10:00:00"), "c")
+    ).toDF("u", "eid", "ts", "s")
+    val got = Analytics.topPaths(ev, "u", "ts", "eid", "s", topK = 2)
+      .as[(String, String, String, Long, Double)].collect().toSeq
+    // census: u1 → (a,b,c), (b,c,a); u2 → (b,a,c); 3 trigrams, all n=1
+    // → top-2 by path order: (a,b,c), (b,a,c)
+    assert(got == Seq(("a", "b", "c", 1L, 0.333333),
+      ("b", "a", "c", 1L, 0.333333)))
+  }
 }

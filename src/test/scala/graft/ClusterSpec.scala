@@ -232,4 +232,59 @@ class ClusterSpec extends SparkSpec {
     // k larger than any degree → empty graph
     assert(core(k4, 5, 3).isEmpty)
   }
+
+  test("silhouetteByCentroid: aligned vectors score ~1, boundary vector " +
+    "scores 0, assignment ties to smallest centroid id") {
+    import spark.implicits._
+    import graft.operators.SimilarityOps
+    val cents = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("cid", "cvec")
+    val vecs = Seq(
+      (10L, Seq(5.0f, 0.0f)),  // c0: s1=1, s2=0 → sil (1-0)/(1-0) = 1.0
+      (11L, Seq(0.0f, 3.0f)),  // c1: sil 1.0
+      (12L, Seq(1.0f, 1.0f))   // tie 0.7071/0.7071 → c0, sil 0.0
+    ).toDF("vec_id", "embedding")
+    val got = SimilarityOps.silhouetteByCentroid(vecs, "vec_id",
+      "embedding", cents, "cid", "cvec")
+      .orderBy("centroid_id").as[(Long, Long, Double)].collect().toSeq
+    // c0 mean: (1.0 + 0.0)/2 = 0.5
+    assert(got == Seq((0L, 2L, 0.5), (1L, 1L, 1.0)))
+    // duplicate centroids: every vector's s2 == s1 → silhouette 0
+    val dup = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(1.0f, 0.0f)))
+      .toDF("cid", "cvec")
+    val got2 = SimilarityOps.silhouetteByCentroid(
+      Seq((10L, Seq(2.0f, 0.0f))).toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dup, "cid", "cvec")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got2 == Seq((0L, 1L, 0.0)))
+  }
+
+  test("embeddingOutliers: the far vector ranks first in its label; " +
+    "topK truncates; scores are deterministic fixed-point sums") {
+    import spark.implicits._
+    import graft.operators.SimilarityOps
+    // label 0: three near-identical vectors + one far outlier
+    val vecs = Seq(
+      (1L, 0, Seq(1.0f, 0.0f)), (2L, 0, Seq(1.1f, 0.0f)),
+      (3L, 0, Seq(0.9f, 0.0f)), (4L, 0, Seq(10.0f, 5.0f)),
+      (5L, 1, Seq(0.0f, 1.0f)), (6L, 1, Seq(0.0f, -1.0f))
+    ).toDF("vec_id", "label", "embedding")
+    val got = SimilarityOps.embeddingOutliers(vecs, "vec_id", "embedding",
+      "label", topK = 2)
+      .orderBy("label", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    // the big outlier drags dim0's mean to ~3.25, so 0.9 (vec 3) sits
+    // farther from it than 1.1 (vec 2) → vec 3 ranks second
+    assert(got.map(r => (r._1, r._2, r._4)) ==
+      Seq((0L, 4L, 1L), (0L, 3L, 2L), (1L, 5L, 1L), (1L, 6L, 2L)))
+    // the outlier's score dwarfs the inliers' (z² is bounded near n in a
+    // tiny sample — the outlier inflates its own variance — so 5×, not ∞)
+    assert(got.head._3 > 5 * got(1)._3)
+    // deterministic across reruns
+    val again = SimilarityOps.embeddingOutliers(vecs.repartition(5),
+      "vec_id", "embedding", "label", topK = 2)
+      .orderBy("label", "rnk")
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(again == got)
+  }
 }

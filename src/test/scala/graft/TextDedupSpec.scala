@@ -736,4 +736,21 @@ class TextDedupSpec extends SparkSpec {
       .as[(String, Long, Double)].collect().toSeq
     assert(got2 == Seq(("s1", 2L, -1.0)))
   }
+
+  test("labelConfusion: cells count label×prediction pairs, shares " +
+    "row-normalize per label, nulls excluded") {
+    import spark.implicits._
+    val df = Seq(
+      (Some("en"), Some("en")), (Some("en"), Some("en")),
+      (Some("en"), Some("de")), (Some("de"), Some("de")),
+      (None, Some("en")), (Some("fr"), None)
+    ).toDF("lab", "pred")
+    val got = TextOps.labelConfusion(df, "lab", "pred")
+      .orderBy("label", "predicted")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      ("de", "de", 1L, 1.0),
+      ("en", "de", 1L, 0.333333),
+      ("en", "en", 2L, 0.666667)))
+  }
 }
