@@ -1485,6 +1485,129 @@ object Analytics {
     }.reduce(_.unionAll(_))
   }
 
+  /** k-anonymity / l-diversity census over a set of quasi-identifier
+    * columns — the privacy-release gate: how many QI equivalence classes
+    * fall under `k` members (re-identification risk), how many rows sit in
+    * them, and how many classes carry a single sensitive value (attribute
+    * disclosure even at size ≥ k). One summary row out.
+    *
+    * NULL semantics: a NULL quasi-identifier value IS a value (it groups,
+    * matching SQL GROUP BY); NULL sensitive values don't count toward
+    * diversity (SQL COUNT DISTINCT), so an all-null-sensitive class reads
+    * as diversity 0 → low-diversity.
+    *
+    * Scale shape: one map-side-combinable (QI…, sensitive) census off the
+    * fact, re-aggregated to |classes| then to ONE row — this two-level
+    * form is exactly what lets the first aggregate be STREAMING state
+    * (st21); [[kAnonymityFromCells]] is the shared finalization.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String,
+                 k: Int): DataFrame = {
+    require(qiCols.nonEmpty, "kAnonymity needs at least one QI column")
+    val cells = df
+      .groupBy((qiCols.map(col) :+ col(sensitiveCol).as("__sv")): _*)
+      .agg(count(lit(1)).as("__n"))
+    kAnonymityFromCells(cells, qiCols, k)
+  }
+
+  /** Finalization of [[kAnonymity]] over an already-aggregated
+    * (QI…, __sv, __n) cell frame — split out so the cells can be
+    * maintained as mergeable streaming state and finalized batch-side
+    * (the cusumFromDaily/hllFinalize convention).
+    */
+  def kAnonymityFromCells(cells: DataFrame, qiCols: Seq[String],
+                          k: Int): DataFrame = {
+    require(k >= 2, s"k must be ≥ 2, got $k")
+    cells
+      .groupBy(qiCols.map(col): _*)
+      .agg(sum(col("__n")).as("__g"),
+        count(when(col("__sv").isNotNull, 1)).as("__d"))
+      .agg(
+        sum(col("__g")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        min(col("__g")).as("min_group_size"),
+        count(when(col("__g") < k, 1)).as("n_violating_groups"),
+        coalesce(sum(when(col("__g") < k, col("__g"))), lit(0L))
+          .as("rows_at_risk"),
+        count(when(col("__d") <= 1, 1)).as("n_low_diversity_groups"))
+  }
+
+  /** Discrete Kaplan-Meier survival curve: time from an entity's FIRST
+    * event to its first `eventType` event, right-censored at the global
+    * observation horizon (max timestamp) — the activation-lag /
+    * conversion-timing curve ("what fraction of users still hasn't
+    * purchased d days after first touch").
+    *
+    * S(d) = Π_{t ≤ d} (1 − d_t/n_t) with d_t = conversions at day t and
+    * n_t = entities still at risk entering day t (not converted, not yet
+    * censored). Output: one row per day with any event or censoring —
+    * (day, n_risk, n_events, n_censored, survival).
+    *
+    * Determinism: d_t/n_t are exact integers, so each ln(1 − d_t/n_t)
+    * is the same double on any engine, and the product runs as a RUNNING
+    * window sum of those logs (frame-ordered accumulation — sequential
+    * on every engine) + one exp, rounded at 4. A day that exhausts the
+    * risk set (d_t = n_t) pins survival to exactly 0.0 from that day on
+    * (Spark's `log` is null at 0 where DuckDB's is −∞; the explicit pin
+    * makes both engines agree bit-for-bit).
+    *
+    * Scale shape: two per-entity aggregates off the fact (one shuffle on
+    * the entity key), a one-row horizon broadcast, then a |days|-row
+    * census with running windows — nothing fact-scale shuffles twice.
+    */
+  def kaplanMeier(events: DataFrame, entityCol: String, tsCol: String,
+                  typeCol: String, eventType: String): DataFrame = {
+    val perUser = events
+      .filter(col(entityCol).isNotNull && col(tsCol).isNotNull)
+      .groupBy(col(entityCol))
+      .agg(min(to_date(col(tsCol))).as("__start"),
+        min(when(col(typeCol) === eventType, to_date(col(tsCol))))
+          .as("__evt"))
+    val horizon = events.filter(col(tsCol).isNotNull)
+      .agg(max(to_date(col(tsCol))).as("__hz"))
+    val durs = perUser.crossJoin(broadcast(horizon))
+      .select(
+        when(col("__evt").isNotNull,
+          datediff(col("__evt"), col("__start"))).as("__d"),
+        when(col("__evt").isNull,
+          datediff(col("__hz"), col("__start"))).as("__c"))
+    // tracked checkpoint: the census feeds both the day rows and the
+    // one-row total — materialize the (|days|-row) frame once instead of
+    // re-running the fact aggregates (the funnel/bm25 release pattern)
+    val (census, releaseCensus) = Checkpoints.tracked(durs
+      .select(coalesce(col("__d"), col("__c")).as("day"),
+        when(col("__d").isNotNull, 1L).otherwise(0L).as("__e"),
+        when(col("__d").isNull, 1L).otherwise(0L).as("__x"))
+      .groupBy(col("day"))
+      .agg(sum(col("__e")).as("n_events"), sum(col("__x")).as("n_censored")))
+    val wAll = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wPrev = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    census
+      .crossJoin(broadcast(census.agg(sum(col("n_events") +
+        col("n_censored")).as("__tot"))))
+      .withColumn("n_risk", col("__tot") -
+        coalesce(sum(col("n_events") + col("n_censored")).over(wPrev),
+          lit(0L)))
+      .withColumn("__lnf",
+        when(col("n_events") < col("n_risk"),
+          log((col("n_risk") - col("n_events")).cast("double") /
+            col("n_risk").cast("double"))).otherwise(lit(0.0)))
+      .withColumn("__dead",
+        max(when(col("n_events") >= col("n_risk"), 1L).otherwise(0L))
+          .over(wAll))
+      .withColumn("survival",
+        when(col("__dead") === 1L, lit(0.0))
+          .otherwise(round(exp(sum(col("__lnf")).over(wAll)), 4)))
+      .select(col("day").cast("long").as("day"), col("n_risk"),
+        col("n_events"), col("n_censored"), col("survival"))
+      .localCheckpoint(true)
+      .transform { out => releaseCensus(); out }
+  }
+
   /** Exact weighted median per group: the smallest value whose cumulative
     * weight reaches half the group's total (lower weighted median) — the
     * robust central-price / central-size statistic when rows carry a

@@ -150,6 +150,22 @@ object ScaleQueries {
     "beta" -> Seq("joi", "oin", "mer", "erg", "rge", "has", "ash"),
     "gamma" -> Seq("win", "ind", "dow", "bat", "atc", "tch", "eam"))
 
+  /** Shared by x126 (batch k-anonymity) and st21 (streaming census): one
+    * output contract — the single-row privacy summary over customer QI
+    * (nation, segment) with the credit-sign sensitive attribute — so both
+    * grade against the identical oracle.
+    */
+  private val x126OracleSql: String =
+    """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) n,
+      |    count(DISTINCT c_acctbal > 0) d FROM customer GROUP BY 1, 2)
+      |SELECT CAST(sum(n) AS BIGINT) n_rows,
+      |  CAST(count(*) AS BIGINT) n_groups,
+      |  CAST(min(n) AS BIGINT) min_group_size,
+      |  CAST(count(*) FILTER (n < 10) AS BIGINT) n_violating_groups,
+      |  CAST(coalesce(sum(n) FILTER (n < 10), 0) AS BIGINT) rows_at_risk,
+      |  CAST(count(*) FILTER (d <= 1) AS BIGINT) n_low_diversity_groups
+      |FROM g""".stripMargin
+
   val all: Seq[QuerySpec] = Seq(
 
     QuerySpec("x1_exact_dedup",
@@ -4928,6 +4944,72 @@ object ScaleQueries {
              |SELECT s0, s1, s2, CAST(n AS BIGINT) n,
              |  round(CAST(n AS DOUBLE)/CAST(tt AS DOUBLE), 6) "share"
              |FROM tri CROSS JOIN tot
-             |ORDER BY n DESC, s0, s1, s2 LIMIT 25""".stripMargin))
+             |ORDER BY n DESC, s0, s1, s2 LIMIT 25""".stripMargin)),
+
+    // k-anonymity / l-diversity census (x126): QI equivalence classes
+    // under k, rows at risk, single-sensitive-value classes — the privacy
+    // release gate; all exact BIGINTs.
+    QuerySpec("x126_k_anonymity", (s, d) =>
+      Analytics.kAnonymity(
+        t(s, d, "customer").select(col("c_nationkey"), col("c_mktsegment"),
+          (col("c_acctbal") > 0).as("in_credit")),
+        Seq("c_nationkey", "c_mktsegment"), "in_credit", k = 10),
+      Some(x126OracleSql)),
+
+    // Kaplan-Meier survival (x127): days from first touch to first
+    // purchase, right-censored at the horizon; S(d) from integer ratios
+    // through frame-ordered log sums — deterministic on both engines,
+    // with the exhausted-risk-set day pinned to exactly 0.
+    QuerySpec("x127_survival_curve", (s, d) =>
+      Analytics.kaplanMeier(t(s, d, "events"), "user_id", "ts",
+        "event_type", "purchase")
+        .orderBy("day"),
+      Some("""WITH pu AS (SELECT user_id, min(CAST(ts AS DATE)) st,
+             |    min(CASE WHEN event_type = 'purchase'
+             |      THEN CAST(ts AS DATE) END) ev
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1),
+             |hz AS (SELECT max(CAST(ts AS DATE)) h FROM events
+             |  WHERE ts IS NOT NULL),
+             |durs AS (SELECT CASE WHEN ev IS NOT NULL
+             |      THEN datediff('day', st, ev) END d,
+             |    CASE WHEN ev IS NULL THEN datediff('day', st, h) END c
+             |  FROM pu CROSS JOIN hz),
+             |census AS (SELECT coalesce(d, c) dy,
+             |    CAST(sum(CASE WHEN d IS NOT NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) ne,
+             |    CAST(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END)
+             |      AS BIGINT) nc
+             |  FROM durs GROUP BY 1),
+             |tot AS (SELECT CAST(sum(ne + nc) AS BIGINT) tt FROM census),
+             |r AS (SELECT dy, ne, nc, tt - coalesce(CAST(sum(ne + nc)
+             |    OVER (ORDER BY dy ROWS BETWEEN UNBOUNDED PRECEDING AND
+             |      1 PRECEDING) AS BIGINT), 0) nr
+             |  FROM census CROSS JOIN tot),
+             |s AS (SELECT dy, nr, ne, nc,
+             |    CASE WHEN ne < nr THEN
+             |      ln(CAST(nr - ne AS DOUBLE)/CAST(nr AS DOUBLE))
+             |      ELSE 0.0 END lnf,
+             |    max(CASE WHEN ne >= nr THEN 1 ELSE 0 END) OVER (
+             |      ORDER BY dy ROWS UNBOUNDED PRECEDING) dead FROM r)
+             |SELECT CAST(dy AS BIGINT) "day", nr n_risk, ne n_events,
+             |  nc n_censored,
+             |  CASE WHEN dead = 1 THEN 0.0 ELSE round(exp(sum(lnf)
+             |    OVER (ORDER BY dy ROWS UNBOUNDED PRECEDING)), 4) END
+             |    survival
+             |FROM s ORDER BY 1""".stripMargin)),
+
+    // Streaming k-anonymity monitor (st21): x126's census as mergeable
+    // streaming state (per-(QI, sensitive) counts), finalized batch-side
+    // — graded on x126's oracle verbatim.
+    QuerySpec("st21_stream_k_anonymity", (s, d) => {
+      val schema = s.read.parquet(s"$d/customer.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runStreamingKAnonymityAvailableNow(s, d, "customer.parquet",
+        schema, Seq("c_nationkey", "c_mktsegment"),
+        (col("c_acctbal") > 0), k = 10, s"graft_kanon_$run", ckpt)
+    },
+      Some(x126OracleSql))
   )
 }

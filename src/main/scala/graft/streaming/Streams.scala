@@ -1329,6 +1329,38 @@ object Streams {
       detachSink(spark, sinkName, checkpoint)
     }
 
+  /** Streaming k-anonymity monitor — the streaming twin of
+    * [[graft.operators.Analytics.kAnonymity]]: the (QI…, sensitive-value)
+    * cell counts are the mergeable state (replay-commutative integer
+    * sums — micro-batch slicing provably cannot move the census), and the
+    * group-size / diversity finalization runs batch-side over |cells|
+    * rows via [[graft.operators.Analytics.kAnonymityFromCells]]. This is
+    * how a privacy gate watches a CDC feed: the risk summary is always
+    * current without rescanning history.
+    */
+  def runStreamingKAnonymityAvailableNow(spark: SparkSession, dir: String,
+                                         glob: String, schema: StructType,
+                                         qiCols: Seq[String],
+                                         sensitive: Column, k: Int,
+                                         sinkName: String,
+                                         checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = raw
+        .groupBy((qiCols.map(col) :+ sensitive.as("__sv")): _*)
+        .agg(count(lit(1)).as("__n"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Analytics.kAnonymityFromCells(
+        detachSink(spark, sinkName, checkpoint), qiCols, k)
+    }
+
   /** Streaming nearest-centroid routing: each embedding on the stream is
     * assigned to its most-cosine-similar member of a SMALL static centroid
     * set, and the state is one (count, Σ fixed-point sim) pair per

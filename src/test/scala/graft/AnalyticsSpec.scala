@@ -778,4 +778,52 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == Seq(("a", "b", "c", 1L, 0.333333),
       ("b", "a", "c", 1L, 0.333333)))
   }
+
+  test("kAnonymity: under-k classes and rows counted, single-sensitive " +
+    "and all-null-sensitive classes read low-diversity, NULL QI groups") {
+    val df = Seq(
+      // class (n1, s1): 3 rows, 2 sensitive values → fine at k=3
+      ("n1", "s1", Some("a")), ("n1", "s1", Some("b")), ("n1", "s1", Some("a")),
+      // class (n1, s2): 2 rows (< 3), single sensitive → both risks
+      ("n1", "s2", Some("a")), ("n1", "s2", Some("a")),
+      // class (NULL, s1): 1 row, null sensitive → low diversity too
+      (null.asInstanceOf[String], "s1", None: Option[String])
+    ).toDF("qi1", "qi2", "sv")
+    val got = Analytics.kAnonymity(df, Seq("qi1", "qi2"), "sv", k = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((6L, 3L, 1L, 2L, 3L, 2L)))
+  }
+
+  test("kaplanMeier: immediate converters, a later converter, and a " +
+    "censored survivor produce the textbook product-limit curve") {
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s + " 10:00:00")
+    // 4 users; horizon = 2024-01-11 (u4's last event).
+    // u1: first touch d1, purchase d1 → event at day 0
+    // u2: first touch d1, purchase d3 → event at day 2
+    // u3: first touch d1, no purchase → censored at day 10
+    // u4: first touch d11 (purchase!) → event at day 0
+    val ev = Seq(
+      (1L, ts("2024-01-01"), "view"), (1L, ts("2024-01-01"), "purchase"),
+      (2L, ts("2024-01-01"), "view"), (2L, ts("2024-01-03"), "purchase"),
+      (3L, ts("2024-01-01"), "view"),
+      (4L, ts("2024-01-11"), "purchase")
+    ).toDF("u", "ts", "et")
+    val got = Analytics.kaplanMeier(ev, "u", "ts", "et", "purchase")
+      .orderBy("day").as[(Long, Long, Long, Long, Double)].collect().toSeq
+    // day 0: risk 4, events 2 → S = 0.5
+    // day 2: risk 2, events 1 → S = 0.5 · 0.5 = 0.25
+    // day 10: risk 1, censored 1 → S stays 0.25
+    assert(got == Seq(
+      (0L, 4L, 2L, 0L, 0.5),
+      (2L, 2L, 1L, 0L, 0.25),
+      (10L, 1L, 0L, 1L, 0.25)))
+    // exhausted risk set pins survival to exactly 0.0
+    val ev2 = Seq((1L, ts("2024-01-01"), "purchase"),
+      (2L, ts("2024-01-01"), "view"), (2L, ts("2024-01-02"), "purchase"))
+      .toDF("u", "ts", "et")
+    val got2 = Analytics.kaplanMeier(ev2, "u", "ts", "et", "purchase")
+      .orderBy("day").as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got2 == Seq((0L, 2L, 1L, 0L, 0.5), (1L, 1L, 1L, 0L, 0.0)))
+  }
 }

@@ -676,4 +676,25 @@ class StreamingMultimodalSpec extends SparkSpec {
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
+
+  test("streaming k-anonymity census equals the batch summary under " +
+    "1-file micro-batch slicing") {
+    import graft.operators.Analytics
+    val rows = Seq(
+      ("a", "x", Some(1)), ("a", "x", Some(2)), ("a", "x", Some(1)),
+      ("a", "y", Some(1)), ("a", "y", Some(1)),
+      ("b", "x", None: Option[Int])
+    ).toDF("q1", "q2", "sv")
+    val dir = Files.createTempDirectory("graft_stka_test").toString
+    rows.repartition(3).write.parquet(s"$dir/in")
+    val got = Streams.runStreamingKAnonymityAvailableNow(spark, s"$dir/in",
+      "*.parquet", rows.schema, Seq("q1", "q2"), col("sv"), k = 3,
+      sinkName = "graft_stka_test", checkpoint = s"$dir/ckpt")
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    val want = Analytics.kAnonymity(rows, Seq("q1", "q2"), "sv", k = 3)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want && got == Seq((6L, 3L, 1L, 2L, 3L, 2L)))
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
 }
