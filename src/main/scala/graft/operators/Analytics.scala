@@ -1733,4 +1733,56 @@ object Analytics {
              sqrt((col("__k") * col("__syy") - col("__sy") * col("__sy"))
                .cast("double"))), 4).as("autocorr"))
   }
+
+  /** First-/last-touch conversion attribution: for every conversion event
+    * (`stateCol === convState`) the user's FIRST and the MOST RECENT
+    * preceding event (by `tsCol`, `idCol` tiebreak) each get credit for
+    * the conversion and its value; conversions with no preceding touch
+    * credit the `"(direct)"` channel. Output is one row per channel with
+    * both models' conversion counts and attributed cents side by side —
+    * the report marketing/source-quality teams diff to see how much a
+    * channel's credit depends on the attribution model chosen.
+    *
+    * Single window pass per user (one shuffle on `entityCol`), no join:
+    * first/last over the UNBOUNDED-PRECEDING…1-PRECEDING frame read both
+    * touches in the same sort. The census is |channels|-sized. Value is
+    * held in exact integer cents (null value → 0); the only doubles are
+    * the two final rounded shares.
+    */
+  def touchAttribution(events: DataFrame, entityCol: String, tsCol: String,
+                       idCol: String, stateCol: String, valueCol: String,
+                       convState: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(entityCol)).orderBy(col(tsCol), col(idCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        -1)
+    val conv = events
+      .filter(col(entityCol).isNotNull && col(tsCol).isNotNull)
+      .withColumn("__first", first(col(stateCol), ignoreNulls = false).over(w))
+      .withColumn("__last", last(col(stateCol), ignoreNulls = false).over(w))
+      .filter(col(stateCol) === lit(convState))
+      .select(
+        coalesce(col("__first"), lit("(direct)")).as("__f"),
+        coalesce(col("__last"), lit("(direct)")).as("__l"),
+        coalesce(round(col(valueCol) * 100, 0).cast("long"), lit(0L))
+          .as("__cents"))
+    val firstC = conv.groupBy(col("__f").as("channel"))
+      .agg(count(lit(1)).as("first_conv"),
+        sum(col("__cents")).as("first_cents"))
+    val lastC = conv.groupBy(col("__l").as("channel"))
+      .agg(count(lit(1)).as("last_conv"),
+        sum(col("__cents")).as("last_cents"))
+    val tot = conv.agg(sum(col("__cents")).as("__tot"))
+    firstC.join(lastC, Seq("channel"), "full_outer")
+      .crossJoin(broadcast(tot))
+      .select(col("channel"),
+        coalesce(col("first_conv"), lit(0L)).as("first_conv"),
+        coalesce(col("first_cents"), lit(0L)).as("first_cents"),
+        coalesce(col("last_conv"), lit(0L)).as("last_conv"),
+        coalesce(col("last_cents"), lit(0L)).as("last_cents"),
+        round(coalesce(col("first_cents"), lit(0L)).cast("double") /
+          col("__tot").cast("double"), 6).as("first_share"),
+        round(coalesce(col("last_cents"), lit(0L)).cast("double") /
+          col("__tot").cast("double"), 6).as("last_share"))
+  }
 }

@@ -792,4 +792,45 @@ object DedupOps {
       .select(col("__id").as(idCol), col("cluster_root"),
         col("canonical_id"), (col("__rk") === 1).as("keep"))
   }
+
+  /** Blocked fuzzy record linkage — entity resolution for STRUCTURED rows
+    * (the near-dup families above match document text; this matches
+    * records): candidate pairs are generated only WITHIN a blocking key
+    * (same `blockCols` values), then scored with exact Levenshtein edit
+    * distance on `nameCol` and kept at distance ≤ `maxDist`. Classic
+    * blocking-based ER (Fellegi-Sunter style candidate generation): the
+    * O(n²) comparison space collapses to Σ_b |b|² over block populations.
+    *
+    * `maxBlockSize` is the hot-block guard (the winnowing `maxDocFreq`
+    * pattern): a block more populous than the cap — a degenerate blocking
+    * key like an empty name prefix — is dropped BEFORE the self-join
+    * rather than quadratically exploding one reducer at 100 TB; dropped
+    * blocks are a blocking-key-design bug, not linkage evidence.
+    *
+    * Output: (id_a, id_b, name_a, name_b, dist) with id_a < id_b —
+    * feed [[dedupResolution]] to turn pairs into survivor decisions.
+    */
+  def blockedLinkage(df: DataFrame, idCol: String, nameCol: String,
+                     blockCols: Seq[String], maxDist: Int,
+                     maxBlockSize: Long = 4096): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0 (got $maxDist)")
+    require(blockCols.nonEmpty, "blockedLinkage needs a blocking key")
+    val rows = df
+      .filter(col(idCol).isNotNull && col(nameCol).isNotNull &&
+        blockCols.map(col(_).isNotNull).reduce(_ && _))
+      .select((col(idCol).as("__id") +: col(nameCol).as("__nm") +:
+        blockCols.map(col)): _*)
+    val hot = rows.groupBy(blockCols.map(col): _*)
+      .agg(count(lit(1)).as("__bn"))
+      .filter(col("__bn") > maxBlockSize)
+      .select(blockCols.map(col): _*)
+    val capped = rows.join(hot, blockCols, "left_anti")
+    capped.as("l").join(capped.as("r"),
+        blockCols.map(c => col(s"l.$c") === col(s"r.$c")).reduce(_ && _) &&
+          col("l.__id") < col("r.__id"))
+      .filter(levenshtein(col("l.__nm"), col("r.__nm")) <= maxDist)
+      .select(col("l.__id").as("id_a"), col("r.__id").as("id_b"),
+        col("l.__nm").as("name_a"), col("r.__nm").as("name_b"),
+        levenshtein(col("l.__nm"), col("r.__nm")).cast("long").as("dist"))
+  }
 }

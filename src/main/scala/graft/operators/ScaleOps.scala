@@ -735,4 +735,146 @@ object ScaleOps {
       round(min(col(valueCol)), 4).as(s"min_$label"),
       round(max(col(valueCol)), 4).as(s"max_$label"))
   }
+
+  /** Deterministic hash-shard routing + balance audit: every row is
+    * assigned shard = md5₃₂(salt ++ id) mod n, and the audit reports each
+    * shard's row count, byte load (Σ `sizeCol`), and share of total bytes
+    * — the pre-flight check before exporting a training corpus as n
+    * equal-weight files/streams. md5 (not a partitioner-internal hash)
+    * makes the assignment portable: any engine, any future run, any
+    * resharding job computes the same route for the same id, so shards
+    * are append-stable across snapshots.
+    *
+    * Cost: one scan + one |shards|-sized aggregation (map-side partials);
+    * the route expression itself is the write-path `partitionBy` key at
+    * 100 TB, where this audit reads the manifest instead of the data.
+    */
+  def hashShardBalance(df: DataFrame, idCol: String, sizeCol: String,
+                       salt: String, nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1 (got $nShards)")
+    val shard = pmod(conv(substring(md5(concat(lit(salt),
+      col(idCol).cast("string"))), 1, 8), 16, 10).cast("long"),
+      lit(nShards.toLong))
+    val tot = df.agg(sum(col(sizeCol).cast("long")).as("__tot"))
+    df.select(shard.as("shard"), col(sizeCol).cast("long").as("__sz"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__sz")).as("bytes"))
+      .crossJoin(broadcast(tot))
+      .select(col("shard"), col("n_rows"), col("bytes"),
+        round(col("bytes").cast("double") / col("__tot").cast("double"), 6)
+          .as("byte_share"))
+  }
+
+  /** Length-bucketed batching audit: documents are bucketed by token
+    * count rounded UP to a multiple of `bucketStep` (the per-bucket pad
+    * target a fixed-shape training batch pads to), and the audit reports
+    * per-bucket doc count, real token load, padded token load
+    * (n_docs × cap) and the padding efficiency real/padded — the number
+    * that tells you whether length-grouped batching is worth the shuffle
+    * vs padding everything to the global max. Integer-only arithmetic
+    * (cap = ((n+step−1) ÷ step)·step in BIGINTs); the one double is the
+    * final rounded efficiency. One scan, |buckets|-sized census.
+    */
+  def paddingEfficiency(df: DataFrame, tokenCountCol: String,
+                        bucketStep: Int): DataFrame = {
+    require(bucketStep >= 1, s"bucketStep must be >= 1 (got $bucketStep)")
+    val n = col(tokenCountCol).cast("long")
+    val cap = ((n + lit(bucketStep.toLong - 1)) / lit(bucketStep.toLong))
+      .cast("long") * lit(bucketStep.toLong)
+    df.filter(n.isNotNull && n > 0)
+      .select(cap.as("bucket_cap"), n.as("__n"))
+      .groupBy(col("bucket_cap"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("real_tokens"))
+      .withColumn("padded_tokens", col("n_docs") * col("bucket_cap"))
+      .withColumn("efficiency",
+        round(col("real_tokens").cast("double") /
+          col("padded_tokens").cast("double"), 6))
+  }
+
+  /** Shuffle-key skew audit — the diagnostic run BEFORE choosing between
+    * a plain `groupBy`, [[saltedSum]], or [[withAqeSkewJoin]]: the per-key
+    * row census reduced to the numbers that predict reducer behaviour —
+    * key count, row count, the heaviest key's share, exact p50/p90/p99 of
+    * per-key row counts, and skew factor max/mean. A skew factor near 1
+    * means hash partitioning balances; ≫ 32 (the partition count) means
+    * one reducer owns the heaviest key no matter how many partitions you
+    * add, and the write-up's salting path is required.
+    *
+    * Two aggregations: row-scale → |keys|-sized census, then census → one
+    * row. Exact percentiles are the order statistic at ceil(q·n) over the
+    * count-sorted census (count asc, key asc — total order), computed
+    * with one global window over the census. The census is far smaller
+    * than the data but NOT bounded (|keys| rows): at extreme key
+    * cardinality the global sort window is the limit — swap the three
+    * order statistics for approx_percentile over the census (the other
+    * five outputs are plain commutative aggregates) and the audit is a
+    * pure two-level aggregation again.
+    */
+  /** Exact join-cardinality audit — what the optimizer's estimate CAN'T
+    * give you: |A ⋈ B| on `keyCol` computed exactly as Σ_k a_k·b_k over
+    * the two per-key censuses, next to the independence-assumption
+    * estimate |A|·|B| / max(nd_A, nd_B) (the System-R/Selinger formula
+    * every cost-based optimizer starts from) and the heaviest key's pair
+    * contribution. est_ratio ≫ 1 means the key correlation would blow the
+    * optimizer's memory budget — the audit says "pre-aggregate or salt
+    * BEFORE this join" while the input is still |censuses|-cheap to scan.
+    *
+    * Two map-side-combinable censuses + one |keys|-sized equi-join + a
+    * one-row reduce — never materializes the join it predicts. All counts
+    * and pair products are exact BIGINTs (a_k, b_k ≤ rows; a_k·b_k ≤
+    * rows² — fits i64 until ~3·10⁹ rows per key per side, far past any
+    * per-key population that survives a sane pipeline).
+    */
+  def joinCardinalityAudit(left: DataFrame, right: DataFrame,
+                           keyCol: String): DataFrame = {
+    val a = left.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__a"))
+    val b = right.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__b"))
+    val at = a.agg(sum(col("__a")).as("__ra"), count(lit(1)).as("__nda"))
+    val bt = b.agg(sum(col("__b")).as("__rb"), count(lit(1)).as("__ndb"))
+    a.join(b, keyCol)
+      .agg(sum(col("__a") * col("__b")).as("exact_join_rows"),
+        max(col("__a") * col("__b")).as("top_key_pairs"))
+      .crossJoin(broadcast(at)).crossJoin(broadcast(bt))
+      .select(col("__ra").as("rows_a"), col("__rb").as("rows_b"),
+        col("__nda").as("nd_a"), col("__ndb").as("nd_b"),
+        col("exact_join_rows"), col("top_key_pairs"),
+        round(col("__ra").cast("double") * col("__rb").cast("double") /
+          greatest(col("__nda"), col("__ndb")).cast("double"), 4)
+          .as("est_join_rows"),
+        round(col("exact_join_rows").cast("double") /
+          (col("__ra").cast("double") * col("__rb").cast("double") /
+            greatest(col("__nda"), col("__ndb")).cast("double")), 4)
+          .as("est_ratio"),
+        round(col("top_key_pairs").cast("double") /
+          col("exact_join_rows").cast("double"), 6).as("top_key_share"))
+  }
+
+  def keySkewAudit(df: DataFrame, keyCol: String): DataFrame = {
+    val census = df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+    val w = Window.orderBy(col("__c").asc, col(keyCol).cast("string").asc)
+    val ranked = census
+      .select(col("__c"), row_number().over(w).cast("long").as("__r"))
+    def orderStat(q: Double): Column =
+      min(when(col("__r") === ceil(lit(q) * col("__n")).cast("long"),
+        col("__c")))
+    ranked
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)))
+      .agg(max(col("__n")).as("n_keys"), sum(col("__c")).as("n_rows"),
+        max(col("__c")).as("max_key_rows"),
+        orderStat(0.5).as("p50_key_rows"),
+        orderStat(0.9).as("p90_key_rows"),
+        orderStat(0.99).as("p99_key_rows"))
+      .select(col("n_keys"), col("n_rows"), col("max_key_rows"),
+        col("p50_key_rows"), col("p90_key_rows"), col("p99_key_rows"),
+        round(col("max_key_rows").cast("double") /
+          (col("n_rows").cast("double") / col("n_keys").cast("double")), 4)
+          .as("skew_factor"),
+        round(col("max_key_rows").cast("double") /
+          col("n_rows").cast("double"), 6).as("top1_share"))
+  }
 }

@@ -807,4 +807,75 @@ object SimilarityOps {
       .select(col("__lb").as(labelCol), col("__id").as(idCol),
         col("score"), col("rnk"))
   }
+
+  /** Per-dimension variance spectrum of an embedding column — the poor
+    * man's PCA scree plot: each dimension's variance, its rank, and the
+    * cumulative explained-variance share when dims are taken in
+    * descending-variance order. Flags dead dimensions (variance ≈ 0 →
+    * candidates for truncation before the ANN index) and lets an index
+    * builder pick how many leading dims carry e.g. 90 % of the energy.
+    *
+    * One posexplode + one (dim)-keyed aggregation — map-side partial sums
+    * make the shuffle |dims|-sized regardless of corpus size, and the
+    * ranking/cumulation runs over the |dims|-row census (a single-
+    * partition window over metadata, not data). Determinism: variance is
+    * rounded to 6 before ranking (ties → dim asc), and the cumulative
+    * share divides exact fixed-point BIGINT sums of the rounded
+    * variances, so both engines cumulate identical integers.
+    */
+  /** Reciprocal-rank fusion of two retrieval rankings — the standard
+    * hybrid-search combiner (Cormack/Clarke/Buettcher, SIGIR 2009):
+    * rrf(d) = 1/(K + rank_lex(d)) + 1/(K + rank_sem(d)), K = 60 by
+    * convention. Scores from incomparable scales (BM25 logs vs cosine)
+    * fuse through their RANKS only, so no per-ranking calibration is
+    * needed — which is exactly why it is also deterministic: each input
+    * is ranked by (its rounded score desc, id asc), a total order, and
+    * the fused score is a sum of two exact rationals evaluated in one
+    * fixed order.
+    *
+    * Candidates absent from either ranking are dropped (no rank ⇒ no
+    * reciprocal term — the inner-join convention). Inputs are expected to
+    * be per-query CANDIDATE lists (top-k from the BM25/ANN stages above),
+    * so the two rank windows run over bounded frames; feeding two
+    * corpus-scale rankings works but serializes in one window task each —
+    * at 100 TB cut to top-k first, the way every hybrid stack does.
+    */
+  def rrfFusion(lexical: DataFrame, semantic: DataFrame, idCol: String,
+                lexScoreCol: String, semScoreCol: String, k: Int = 60,
+                topK: Int = 50): DataFrame = {
+    require(k >= 1 && topK >= 1, s"k and topK must be >= 1 (got $k, $topK)")
+    def ranked(df: DataFrame, scoreCol: String, rankName: String) =
+      df.select(col(idCol),
+        row_number().over(Window.orderBy(col(scoreCol).desc,
+          col(idCol).asc)).cast("long").as(rankName))
+    ranked(lexical, lexScoreCol, "lex_rank")
+      .join(ranked(semantic, semScoreCol, "sem_rank"), idCol)
+      .select(col(idCol), col("lex_rank"), col("sem_rank"),
+        round(lit(1.0) / (lit(k.toLong) + col("lex_rank")).cast("double") +
+          lit(1.0) / (lit(k.toLong) + col("sem_rank")).cast("double"), 6)
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col(idCol).asc)
+      .limit(topK)
+  }
+
+  def varianceSpectrum(vectors: DataFrame, vecCol: String): DataFrame = {
+    val base = vectors.filter(col(vecCol).isNotNull)
+      .select(posexplode(col(vecCol)).as(Seq("__p", "__vf")))
+      .select(col("__p").cast("long").as("dim"),
+        col("__vf").cast("double").as("__v"))
+    val perDim = base.groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("__v") * col("__v")) -
+          avg(col("__v")) * avg(col("__v")), 6).as("variance"))
+      .withColumn("__v6", round(col("variance") * 1e6).cast("long"))
+    val w = Window.orderBy(col("variance").desc, col("dim").asc)
+    val cum = Window.orderBy(col("variance").desc, col("dim").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = perDim.agg(sum(col("__v6")).as("__tot"))
+    perDim.crossJoin(broadcast(tot))
+      .select(col("dim"), col("n"), col("variance"),
+        row_number().over(w).cast("long").as("rnk"),
+        round(sum(col("__v6")).over(cum).cast("double") /
+          col("__tot").cast("double"), 6).as("cum_share"))
+  }
 }

@@ -946,4 +946,70 @@ object TextOps {
           (col("__n").cast("double") * col("__f")("sxx") -
             col("__f")("sx") * col("__f")("sx")), 4).as("zipf_slope"))
   }
+
+  /** Heaps'-law vocabulary-growth fit per source — [[zipfSlope]]'s
+    * companion: V(T) ≈ K·T^β, where T is tokens seen and V distinct
+    * vocabulary. β per source is the dedup-need forecast (β near 1 ⇒
+    * every new document brings new vocabulary — fresh content; β ≪ 0.5 ⇒
+    * the source repeats itself and near-dup pressure is high), and
+    * comparing each source's β against its x119 Zipf slope flags
+    * synthetic/templated text whose two exponents disagree.
+    *
+    * The growth curve is replay-free: each token's FIRST document
+    * (min doc id) is a single aggregation, so cumulative vocabulary at
+    * doc k = Σ_{fd ≤ k} new-vocab(fd) — one cumulative window over the
+    * per-doc census, never a rescan per point. β is OLS on
+    * (ln T_k, ln V_k) over every per-doc point, five sums in one ordered
+    * fold (the x81/x119 pattern) so float addition order is pinned.
+    *
+    * Scale shape: two token-keyed aggregations (both map-side
+    * combinable) + per-source windows over the |docs|-row census. The
+    * fold state is O(docs-per-source) arrays; at 100 TB thin the curve
+    * to every kth doc (the fit needs points, not every doc) — the
+    * first-occurrence census itself stays one aggregation at any scale.
+    */
+  def heapsLaw(docs: DataFrame, srcCol: String, idCol: String,
+               textCol: String): DataFrame = {
+    val toks = docs.filter(col(srcCol).isNotNull && col(textCol).isNotNull)
+      .select(col(srcCol).as("__s"), col(idCol).cast("long").as("__id"),
+        explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+    val perDoc = toks.groupBy(col("__s"), col("__id"))
+      .agg(count(lit(1)).as("__m"))
+    val newVocab = toks.groupBy(col("__s"), col("__w"))
+      .agg(min(col("__id")).as("__fd"))
+      .groupBy(col("__s"), col("__fd").as("__id"))
+      .agg(count(lit(1)).as("__v"))
+    val cum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__s")).orderBy(col("__id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val pts = perDoc.join(newVocab, Seq("__s", "__id"), "left")
+      .select(col("__s"), col("__id"),
+        sum(col("__m")).over(cum).as("__t"),
+        sum(coalesce(col("__v"), lit(0L))).over(cum).as("__vc"))
+      .select(col("__s"), col("__id"), col("__t"), col("__vc"),
+        log(col("__t").cast("double")).as("__x"),
+        log(col("__vc").cast("double")).as("__y"))
+    pts.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"),
+        max(col("__t")).as("total_tokens"), max(col("__vc")).as("vocab"),
+        aggregate(array_sort(collect_list(struct(col("__id"), col("__x"),
+            col("__y")))),
+          struct(lit(0.0).as("sx"), lit(0.0).as("sy"), lit(0.0).as("sxy"),
+            lit(0.0).as("sxx")),
+          (acc, e) => struct(
+            (acc("sx") + e("__x")).as("sx"),
+            (acc("sy") + e("__y")).as("sy"),
+            (acc("sxy") + e("__x") * e("__y")).as("sxy"),
+            (acc("sxx") + e("__x") * e("__x")).as("sxx"))).as("__f"))
+      .filter(col("__n") >= 2)
+      .select(col("__s").as(srcCol), col("__n").as("n_docs"),
+        col("total_tokens"), col("vocab"),
+        round(
+          (col("__n").cast("double") * col("__f")("sxy") -
+            col("__f")("sx") * col("__f")("sy")) /
+          (col("__n").cast("double") * col("__f")("sxx") -
+            col("__f")("sx") * col("__f")("sx")), 4).as("heaps_beta"))
+  }
 }

@@ -155,6 +155,43 @@ object ScaleQueries {
     * (nation, segment) with the credit-sign sensitive attribute — so both
     * grade against the identical oracle.
     */
+  /** Shared by x133 (batch) and st23 (streaming): one output contract —
+    * the 64-multiple bucket (docs, real/padded tokens, efficiency) census
+    * over `documents` — so both grade against the identical oracle.
+    */
+  private val paddingOracleSql: String =
+    """WITH d AS (SELECT len(list_filter(
+      |      regexp_split_to_array(trim(text), '\s+'),
+      |      x -> length(x) > 0)) n
+      |  FROM documents WHERE text IS NOT NULL),
+      |b AS (SELECT CAST(((n + 63) // 64) * 64 AS BIGINT) bucket_cap,
+      |    CAST(n AS BIGINT) n FROM d WHERE n > 0)
+      |SELECT bucket_cap, CAST(count(*) AS BIGINT) n_docs,
+      |  CAST(sum(n) AS BIGINT) real_tokens,
+      |  CAST(count(*) * bucket_cap AS BIGINT) padded_tokens,
+      |  round(CAST(sum(n) AS DOUBLE) /
+      |    CAST(count(*) * bucket_cap AS DOUBLE), 6) efficiency
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Shared by x131 (batch) and st22 (streaming): one output contract —
+    * the md5-routed 8-shard (rows, bytes, byte share) census over
+    * `documents` — so both grade against the identical oracle.
+    */
+  private val shardBalanceOracleSql: String =
+    """WITH h AS (SELECT CAST(list_reduce(list_transform(range(1, 9),
+      |      i -> CAST(strpos('0123456789abcdef',
+      |        substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+      |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+      |      (a, b) -> a*16 + b) % 8 AS BIGINT) shard,
+      |    CAST(n_chars AS BIGINT) sz
+      |  FROM documents),
+      |g AS (SELECT shard, CAST(count(*) AS BIGINT) n_rows,
+      |    CAST(sum(sz) AS BIGINT) bytes FROM h GROUP BY 1),
+      |t AS (SELECT CAST(sum(bytes) AS BIGINT) tot FROM g)
+      |SELECT shard, n_rows, bytes,
+      |  round(CAST(bytes AS DOUBLE) / CAST(tot AS DOUBLE), 6) byte_share
+      |FROM g CROSS JOIN t ORDER BY shard""".stripMargin
+
   private val x126OracleSql: String =
     """WITH g AS (SELECT c_nationkey, c_mktsegment, count(*) n,
       |    count(DISTINCT c_acctbal > 0) d FROM customer GROUP BY 1, 2)
@@ -5010,6 +5047,288 @@ object ScaleQueries {
         schema, Seq("c_nationkey", "c_mktsegment"),
         (col("c_acctbal") > 0), k = 10, s"graft_kanon_$run", ckpt)
     },
-      Some(x126OracleSql))
+      Some(x126OracleSql)),
+
+    // Blocked fuzzy record linkage (x128): entity resolution over the
+    // customer dim — candidates only within (segment, 16-char name
+    // prefix) blocks, kept at Levenshtein <= 1. The hot-block guard
+    // (maxBlockSize) never fires on this data; the oracle is the
+    // unguarded blocked join.
+    QuerySpec("x128_entity_resolution", (s, d) =>
+      DedupOps.blockedLinkage(
+        t(s, d, "customer")
+          .withColumn("blk", substring(col("c_name"), 1, 16)),
+        "c_custkey", "c_name", Seq("c_mktsegment", "blk"), maxDist = 1)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH r AS (SELECT c_custkey id, c_name nm, c_mktsegment seg,
+             |    substr(c_name, 1, 16) blk FROM customer
+             |  WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+             |    AND c_mktsegment IS NOT NULL)
+             |SELECT l.id id_a, r2.id id_b, l.nm name_a, r2.nm name_b,
+             |  CAST(levenshtein(l.nm, r2.nm) AS BIGINT) dist
+             |FROM r l JOIN r r2 ON l.seg = r2.seg AND l.blk = r2.blk
+             |  AND l.id < r2.id
+             |WHERE levenshtein(l.nm, r2.nm) <= 1
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Variance spectrum (x129): per-dimension embedding variance ranked
+    // with cumulative explained-variance share — the scree plot that
+    // sizes index truncation; fixed-point BIGINT cumulation after
+    // round-6 variances, so both engines cumulate identical integers.
+    QuerySpec("x129_variance_spectrum", (s, d) =>
+      SimilarityOps.varianceSpectrum(t(s, d, "embeddings"), "embedding")
+        .orderBy("rnk"),
+      Some("""WITH m AS (SELECT generate_subscripts(embedding, 1) - 1 p,
+             |    CAST(unnest(embedding) AS DOUBLE) v
+             |  FROM embeddings WHERE embedding IS NOT NULL),
+             |d AS (SELECT CAST(p AS BIGINT) dim, CAST(count(*) AS BIGINT) n,
+             |    round(avg(v*v) - avg(v)*avg(v), 6) variance
+             |  FROM m GROUP BY 1),
+             |f AS (SELECT dim, n, variance,
+             |    CAST(round(variance*1e6, 0) AS BIGINT) v6 FROM d),
+             |t AS (SELECT CAST(sum(v6) AS BIGINT) tot FROM f)
+             |SELECT dim, n, variance,
+             |  CAST(row_number() OVER (ORDER BY variance DESC, dim ASC)
+             |    AS BIGINT) rnk,
+             |  round(CAST(sum(v6) OVER (ORDER BY variance DESC, dim ASC
+             |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+             |    CAST(tot AS DOUBLE), 6) cum_share
+             |FROM f CROSS JOIN t ORDER BY rnk""".stripMargin)),
+
+    // First/last-touch attribution (x130): each purchase credits the
+    // user's first and most recent preceding event; no preceding touch →
+    // "(direct)". One window pass per user, exact integer cents.
+    QuerySpec("x130_touch_attribution", (s, d) =>
+      Analytics.touchAttribution(t(s, d, "events"), "user_id", "ts",
+        "event_id", "event_type", "value", "purchase")
+        .orderBy("channel"),
+      Some("""WITH e AS (SELECT user_id, ts, event_id, event_type, value
+             |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+             |t AS (SELECT event_type, value,
+             |    first_value(event_type) OVER w f,
+             |    last_value(event_type) OVER w l
+             |  FROM e WINDOW w AS (PARTITION BY user_id
+             |    ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+             |c AS (SELECT coalesce(f, '(direct)') f,
+             |    coalesce(l, '(direct)') l,
+             |    CAST(coalesce(round(value*100, 0), 0) AS BIGINT) cents
+             |  FROM t WHERE event_type = 'purchase'),
+             |fc AS (SELECT f channel, CAST(count(*) AS BIGINT) first_conv,
+             |    CAST(sum(cents) AS BIGINT) first_cents FROM c GROUP BY 1),
+             |lc AS (SELECT l channel, CAST(count(*) AS BIGINT) last_conv,
+             |    CAST(sum(cents) AS BIGINT) last_cents FROM c GROUP BY 1),
+             |tt AS (SELECT CAST(sum(cents) AS BIGINT) tot FROM c)
+             |SELECT channel,
+             |  CAST(coalesce(first_conv, 0) AS BIGINT) first_conv,
+             |  CAST(coalesce(first_cents, 0) AS BIGINT) first_cents,
+             |  CAST(coalesce(last_conv, 0) AS BIGINT) last_conv,
+             |  CAST(coalesce(last_cents, 0) AS BIGINT) last_cents,
+             |  round(CAST(coalesce(first_cents, 0) AS DOUBLE) /
+             |    CAST(tot AS DOUBLE), 6) first_share,
+             |  round(CAST(coalesce(last_cents, 0) AS DOUBLE) /
+             |    CAST(tot AS DOUBLE), 6) last_share
+             |FROM fc FULL OUTER JOIN lc USING (channel) CROSS JOIN tt
+             |ORDER BY channel""".stripMargin)),
+
+    // Hash-shard balance (x131): md5-routed shard assignment + byte-load
+    // audit — the pre-flight check before exporting the corpus as n
+    // equal-weight shards. Portable route (md5, not a partitioner hash).
+    QuerySpec("x131_shard_balance", (s, d) =>
+      graft.operators.ScaleOps.hashShardBalance(t(s, d, "documents"),
+        "doc_id", "n_chars", salt = "shard:", nShards = 8)
+        .orderBy("shard"),
+      Some(shardBalanceOracleSql)),
+
+    // Heaps'-law vocabulary growth (x132): per-source OLS slope of
+    // ln V against ln T over the replay-free cumulative curve — the
+    // dedup-need forecast paired with x119's Zipf slope.
+    QuerySpec("x132_heaps_law", (s, d) =>
+      TextOps.heapsLaw(t(s, d, "documents"), "source", "doc_id", "text")
+        .orderBy("source"),
+      Some("""WITH toks AS (SELECT source s, doc_id id, unnest(
+             |      list_filter(regexp_split_to_array(trim(text), '\s+'),
+             |        x -> length(x) > 0)) w
+             |  FROM documents WHERE source IS NOT NULL
+             |    AND text IS NOT NULL),
+             |perdoc AS (SELECT s, id, CAST(count(*) AS BIGINT) m
+             |  FROM toks GROUP BY 1, 2),
+             |firstocc AS (SELECT s, w, min(id) fd FROM toks GROUP BY 1, 2),
+             |newv AS (SELECT s, fd id, CAST(count(*) AS BIGINT) v
+             |  FROM firstocc GROUP BY 1, 2),
+             |pts AS (SELECT p.s, p.id,
+             |    sum(p.m) OVER (PARTITION BY p.s ORDER BY p.id
+             |      ROWS UNBOUNDED PRECEDING) t,
+             |    sum(coalesce(n.v, 0)) OVER (PARTITION BY p.s
+             |      ORDER BY p.id ROWS UNBOUNDED PRECEDING) vc
+             |  FROM perdoc p LEFT JOIN newv n ON p.s = n.s AND p.id = n.id),
+             |pp AS (SELECT s, id, t, vc, ln(CAST(t AS DOUBLE)) x,
+             |    ln(CAST(vc AS DOUBLE)) y FROM pts),
+             |f AS (SELECT s, CAST(count(*) AS BIGINT) n,
+             |    CAST(max(t) AS BIGINT) total_tokens,
+             |    CAST(max(vc) AS BIGINT) vocab,
+             |    list_sum(list(x ORDER BY id)) sx,
+             |    list_sum(list(y ORDER BY id)) sy,
+             |    list_sum(list(x*y ORDER BY id)) sxy,
+             |    list_sum(list(x*x ORDER BY id)) sxx
+             |  FROM pp GROUP BY 1)
+             |SELECT s source, n n_docs, total_tokens, vocab,
+             |  round((CAST(n AS DOUBLE)*sxy - sx*sy) /
+             |    (CAST(n AS DOUBLE)*sxx - sx*sx), 4) heaps_beta
+             |FROM f WHERE n >= 2 ORDER BY source""".stripMargin)),
+
+    // Length-bucketed batching audit (x133): token counts rounded up to
+    // 64-multiples, per-bucket padding efficiency — whether length-
+    // grouped batching pays for its shuffle. Integer-only arithmetic.
+    QuerySpec("x133_padding_efficiency", (s, d) =>
+      graft.operators.ScaleOps.paddingEfficiency(
+        t(s, d, "documents").filter(col("text").isNotNull)
+          .select(TextOps.tokenCount(col("text")).as("tok")),
+        "tok", bucketStep = 64)
+        .orderBy("bucket_cap"),
+      Some(paddingOracleSql)),
+
+    // Shuffle-key skew audit (x134): per-key census reduced to the
+    // numbers that predict reducer behaviour (max share, exact p50/p90/
+    // p99 order statistics, skew factor) — run before choosing between
+    // plain groupBy, salting, or AQE skew handling.
+    QuerySpec("x134_key_skew_audit", (s, d) =>
+      graft.operators.ScaleOps.keySkewAudit(t(s, d, "orders"), "o_custkey"),
+      Some("""WITH c AS (SELECT o_custkey k, CAST(count(*) AS BIGINT) c
+             |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+             |r AS (SELECT c, row_number() OVER (ORDER BY c ASC,
+             |    CAST(k AS VARCHAR) ASC) r, count(*) OVER () n FROM c)
+             |SELECT CAST(max(n) AS BIGINT) n_keys,
+             |  CAST(sum(c) AS BIGINT) n_rows,
+             |  CAST(max(c) AS BIGINT) max_key_rows,
+             |  CAST(min(CASE WHEN r = CAST(ceil(0.5*n) AS BIGINT)
+             |    THEN c END) AS BIGINT) p50_key_rows,
+             |  CAST(min(CASE WHEN r = CAST(ceil(0.9*n) AS BIGINT)
+             |    THEN c END) AS BIGINT) p90_key_rows,
+             |  CAST(min(CASE WHEN r = CAST(ceil(0.99*n) AS BIGINT)
+             |    THEN c END) AS BIGINT) p99_key_rows,
+             |  round(CAST(max(c) AS DOUBLE) /
+             |    (CAST(sum(c) AS DOUBLE) / CAST(max(n) AS DOUBLE)), 4)
+             |    skew_factor,
+             |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+             |    top1_share
+             |FROM r""".stripMargin)),
+
+    // Streaming shard-balance monitor (st22): x131's census as mergeable
+    // streaming state (per-shard integer sums — replay-commutative),
+    // shares finalized batch-side; graded on x131's oracle verbatim.
+    QuerySpec("st22_stream_shard_balance", (s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runStreamingShardBalanceAvailableNow(s, d,
+        "documents.parquet", schema, "doc_id", "n_chars",
+        salt = "shard:", nShards = 8, s"graft_shard_$run", ckpt)
+        .orderBy("shard")
+    },
+      Some(shardBalanceOracleSql)),
+
+    // Exact join-cardinality audit (x135): |orders ⋈ lineitem| as
+    // Σ a_k·b_k over the two per-key censuses, next to the System-R
+    // independence estimate and the heaviest key's contribution — the
+    // pre-join memory-budget check that never materializes the join.
+    QuerySpec("x135_join_cardinality", (s, d) =>
+      graft.operators.ScaleOps.joinCardinalityAudit(
+        t(s, d, "orders").select(col("o_orderkey").as("jk")),
+        t(s, d, "lineitem").select(col("l_orderkey").as("jk")), "jk"),
+      Some("""WITH a AS (SELECT o_orderkey k, CAST(count(*) AS BIGINT) a
+             |  FROM orders WHERE o_orderkey IS NOT NULL GROUP BY 1),
+             |b AS (SELECT l_orderkey k, CAST(count(*) AS BIGINT) b
+             |  FROM lineitem WHERE l_orderkey IS NOT NULL GROUP BY 1),
+             |at AS (SELECT CAST(sum(a) AS BIGINT) ra,
+             |    CAST(count(*) AS BIGINT) nda FROM a),
+             |bt AS (SELECT CAST(sum(b) AS BIGINT) rb,
+             |    CAST(count(*) AS BIGINT) ndb FROM b),
+             |j AS (SELECT CAST(sum(a*b) AS BIGINT) ex,
+             |    CAST(max(a*b) AS BIGINT) tk FROM a JOIN b USING (k))
+             |SELECT ra rows_a, rb rows_b, nda nd_a, ndb nd_b,
+             |  ex exact_join_rows, tk top_key_pairs,
+             |  round(CAST(ra AS DOUBLE)*CAST(rb AS DOUBLE) /
+             |    CAST(greatest(nda, ndb) AS DOUBLE), 4) est_join_rows,
+             |  round(CAST(ex AS DOUBLE) / (CAST(ra AS DOUBLE) *
+             |    CAST(rb AS DOUBLE) /
+             |    CAST(greatest(nda, ndb) AS DOUBLE)), 4) est_ratio,
+             |  round(CAST(tk AS DOUBLE)/CAST(ex AS DOUBLE), 6)
+             |    top_key_share
+             |FROM j CROSS JOIN at CROSS JOIN bt""".stripMargin)),
+
+    // Reciprocal-rank fusion (x136): hybrid retrieval — the x38 BM25
+    // ranking fused with the cosine-to-query ranking through ranks only
+    // (Cormack et al., K = 60); candidates absent from either ranking
+    // drop (inner-join convention), top 50 by fused score.
+    QuerySpec("x136_rrf_fusion", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0 && col("embedding").isNotNull)
+        .select(col("embedding")).collect()
+        .head.getSeq[Float](0).map(_.toDouble).toSeq
+      val lex = TextOps.bm25(t(s, d, "documents"), "doc_id", "text",
+        queryTerms = Seq("spark", "vector", "merge"))
+      val sem = emb.filter(col("vec_id") =!= 0 && col("embedding").isNotNull)
+        .select(col("vec_id").cast("long").as("doc_id"),
+          round(graft.functions.CosineSimilarity(col("embedding"),
+            typedLit(qv)), 4).as("sim"))
+      SimilarityOps.rrfFusion(lex, sem, "doc_id", "bm25", "sim")
+    },
+      Some("""WITH t AS (SELECT doc_id,
+             |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |    ELSE regexp_split_to_array(trim(text), '\s+') END tok
+             |  FROM documents),
+             |dl AS (SELECT doc_id, CAST(len(tok) AS BIGINT) dl FROM t),
+             |st AS (SELECT count(*) n, sum(dl) sumdl,
+             |    CAST(sum(dl) AS DOUBLE) / CAST(count(*) AS DOUBLE) avgdl
+             |  FROM dl),
+             |tf AS (SELECT doc_id, term, count(*) tf FROM
+             |    (SELECT doc_id, unnest(tok) term FROM t)
+             |  WHERE term IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+             |dfq AS (SELECT term, count(*) df FROM tf GROUP BY 1),
+             |sc AS (SELECT tf.doc_id, tf.term,
+             |    ln((CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5) /
+             |        (CAST(df AS DOUBLE) + 0.5) + 1.0) *
+             |      (CAST(tf AS DOUBLE) * 2.2) /
+             |      (CAST(tf AS DOUBLE) + 1.2 *
+             |        (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl)) c
+             |  FROM tf JOIN dl USING (doc_id) CROSS JOIN st
+             |  JOIN dfq USING (term)),
+             |agg AS (SELECT doc_id,
+             |    round(list_sum(list(c ORDER BY term)), 4) s
+             |  FROM sc GROUP BY doc_id),
+             |lexs AS (SELECT d.doc_id, coalesce(a.s, 0.0) s
+             |  FROM documents d LEFT JOIN agg a USING (doc_id)),
+             |lex AS (SELECT doc_id, row_number() OVER (
+             |    ORDER BY s DESC, doc_id ASC) lex_rank FROM lexs),
+             |qv AS (SELECT list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE)) v
+             |  FROM embeddings WHERE vec_id = 0),
+             |sem0 AS (SELECT CAST(vec_id AS BIGINT) doc_id,
+             |    round(CAST(list_cosine_similarity(list_transform(
+             |      embedding, x -> CAST(x AS DOUBLE)), v) AS DOUBLE), 4)
+             |      sim
+             |  FROM embeddings CROSS JOIN qv
+             |  WHERE vec_id <> 0 AND embedding IS NOT NULL),
+             |sem AS (SELECT doc_id, row_number() OVER (
+             |    ORDER BY sim DESC, doc_id ASC) sem_rank FROM sem0)
+             |SELECT l.doc_id, CAST(lex_rank AS BIGINT) lex_rank,
+             |  CAST(sem_rank AS BIGINT) sem_rank,
+             |  round(1.0/(60 + lex_rank) + 1.0/(60 + sem_rank), 6) rrf
+             |FROM lex l JOIN sem USING (doc_id)
+             |ORDER BY rrf DESC, doc_id LIMIT 50""".stripMargin)),
+
+    // Streaming padding monitor (st23): x133's census as mergeable
+    // streaming state (per-bucket integer sums — replay-commutative),
+    // efficiency finalized batch-side; graded on x133's oracle verbatim.
+    QuerySpec("st23_stream_padding", (s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runStreamingPaddingAvailableNow(s, d, "documents.parquet",
+        schema, "text", bucketStep = 64, s"graft_pad_$run", ckpt)
+        .orderBy("bucket_cap")
+    },
+      Some(paddingOracleSql))
   )
 }

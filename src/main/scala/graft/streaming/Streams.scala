@@ -1422,4 +1422,86 @@ object Streams {
           round(col("__s").cast("double") / 1e4 / col("n").cast("double"), 4)
             .as("mean_sim"))
     }
+
+  /** Streaming shard-balance monitor — the streaming twin of
+    * [[graft.operators.ScaleOps.hashShardBalance]]: the md5 route is
+    * computed per arriving row and the state is one (rows, bytes) pair
+    * per shard — commutative integer sums, so micro-batch slicing
+    * provably cannot move the census. This is how an ingest pipeline
+    * watches its export sharding stay balanced WHILE the corpus streams
+    * in, instead of auditing after the write. Shares (the only doubles)
+    * are finalized batch-side over the |shards|-row sink.
+    */
+  /** Streaming padding-efficiency monitor — the streaming twin of
+    * [[graft.operators.ScaleOps.paddingEfficiency]]: token counts are
+    * computed map-side per arriving document, bucketed to `bucketStep`
+    * multiples, and the state is one (docs, real tokens) pair per bucket
+    * — commutative integer sums, replay-slice-proof. The efficiency
+    * division (the only double) is finalized batch-side over the
+    * |buckets|-row sink. This is the live "is length-grouped batching
+    * still paying off" gauge over an ingest firehose.
+    */
+  def runStreamingPaddingAvailableNow(spark: SparkSession, dir: String,
+                                      glob: String, schema: StructType,
+                                      textCol: String, bucketStep: Int,
+                                      sinkName: String,
+                                      checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      require(bucketStep >= 1, s"bucketStep must be >= 1 (got $bucketStep)")
+      val n = graft.operators.TextOps.tokenCount(col(textCol)).cast("long")
+      val step = lit(bucketStep.toLong)
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = raw
+        .filter(col(textCol).isNotNull)
+        .select(n.as("__n"))
+        .filter(col("__n") > 0)
+        .select((((col("__n") + (step - 1)) / step).cast("long") * step)
+          .as("bucket_cap"), col("__n"))
+        .groupBy(col("bucket_cap"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("real_tokens"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      detachSink(spark, sinkName, checkpoint)
+        .withColumn("padded_tokens", col("n_docs") * col("bucket_cap"))
+        .withColumn("efficiency",
+          round(col("real_tokens").cast("double") /
+            col("padded_tokens").cast("double"), 6))
+    }
+
+  def runStreamingShardBalanceAvailableNow(spark: SparkSession, dir: String,
+                                           glob: String, schema: StructType,
+                                           idCol: String, sizeCol: String,
+                                           salt: String, nShards: Int,
+                                           sinkName: String,
+                                           checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val shard = pmod(conv(substring(md5(concat(lit(salt),
+        col(idCol).cast("string"))), 1, 8), 16, 10).cast("long"),
+        lit(nShards.toLong))
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = raw
+        .select(shard.as("shard"), col(sizeCol).cast("long").as("__sz"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("__sz")).as("bytes"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cells = detachSink(spark, sinkName, checkpoint)
+      val tot = cells.agg(sum(col("bytes")).as("__tot"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_rows"), col("bytes"),
+          round(col("bytes").cast("double") / col("__tot").cast("double"), 6)
+            .as("byte_share"))
+    }
 }

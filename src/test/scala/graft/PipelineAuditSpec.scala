@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Analytics, DedupOps, ScaleOps, SimilarityOps, TextOps}
+
+/** Round-9 pipeline-audit operators: attribution, record linkage, shard
+  * balance, padding efficiency, key-skew audit, variance spectrum, Heaps'
+  * law.
+  */
+class PipelineAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("touchAttribution: first/last credit split, (direct) fallback, " +
+    "exact cents") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:01", 1L, "ad", Some(0.0)),
+      (1L, "2024-01-01 00:00:02", 2L, "email", Some(0.0)),
+      (1L, "2024-01-01 00:00:03", 3L, "purchase", Some(2.5)),
+      (2L, "2024-01-01 00:00:01", 4L, "purchase", Some(1.0)), // no touch
+      (3L, "2024-01-01 00:00:01", 5L, "ad", Some(0.0)),
+      (3L, "2024-01-01 00:00:02", 6L, "purchase", None) // null value -> 0
+    ).toDF("u", "d", "id", "et", "v")
+      .withColumn("ts", col("d").cast("timestamp"))
+    val out = Analytics.touchAttribution(df, "u", "ts", "id", "et", "v",
+      "purchase").orderBy("channel")
+      .as[(String, Long, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    // total cents = 250 + 100 + 0 = 350
+    assert(out == Seq(
+      ("(direct)", 1L, 100L, 1L, 100L, 0.285714, 0.285714),
+      ("ad", 2L, 250L, 1L, 0L, 0.714286, 0.0),
+      ("email", 0L, 0L, 1L, 250L, 0.0, 0.714286)))
+  }
+
+  test("blockedLinkage: pairs only within blocks at maxDist; hot blocks " +
+    "dropped whole") {
+    val df = Seq(
+      (1L, "alpha1", "b1"), (2L, "alpha2", "b1"), // dist 1, same block
+      (3L, "alpha1", "b2"),                       // same name, other block
+      (4L, "gamma", "b3"), (5L, "delta", "b3")    // dist > 1
+    ).toDF("id", "nm", "blk")
+    val out = DedupOps.blockedLinkage(df, "id", "nm", Seq("blk"), maxDist = 1)
+      .as[(Long, Long, String, String, Long)].collect().toSeq
+    assert(out == Seq((1L, 2L, "alpha1", "alpha2", 1L)))
+    // a cap of 1 drops the (1,2) block entirely — no pairs survive
+    val capped = DedupOps.blockedLinkage(df, "id", "nm", Seq("blk"),
+      maxDist = 1, maxBlockSize = 1)
+    assert(capped.count() == 0L)
+  }
+
+  test("hashShardBalance: every row routed, byte shares sum to 1, route " +
+    "is stable across calls") {
+    val df = (0L until 100L).map(i => (i, 10L + i)).toDF("id", "sz")
+    val out = ScaleOps.hashShardBalance(df, "id", "sz", "s:", 4)
+      .orderBy("shard").collect()
+    assert(out.map(_.getLong(1)).sum == 100L)
+    assert(out.map(_.getLong(2)).sum == (0L until 100L).map(10L + _).sum)
+    assert(math.abs(out.map(_.getDouble(3)).sum - 1.0) < 1e-4)
+    val again = ScaleOps.hashShardBalance(df, "id", "sz", "s:", 4)
+      .orderBy("shard").collect()
+    assert(out.map(_.toSeq.toList).toList == again.map(_.toSeq.toList).toList)
+  }
+
+  test("paddingEfficiency: caps are exact 64-multiples incl. the " +
+    "boundary, efficiency = real/padded") {
+    val df = Seq(1, 64, 65, 0).toDF("tok") // 0 tokens excluded
+    val out = ScaleOps.paddingEfficiency(df, "tok", 64)
+      .orderBy("bucket_cap").as[(Long, Long, Long, Long, Double)]
+      .collect().toSeq
+    assert(out == Seq(
+      (64L, 2L, 65L, 128L, 0.507813), // 1 + 64 share the first bucket
+      (128L, 1L, 65L, 128L, 0.507813)))
+  }
+
+  test("keySkewAudit: exact order-statistic percentiles and max/mean " +
+    "skew factor") {
+    val rows = Seq.fill(1)("a") ++ Seq.fill(2)("b") ++ Seq.fill(3)("c") ++
+      Seq.fill(10)("d") ++ Seq(null.asInstanceOf[String])
+    val out = ScaleOps.keySkewAudit(rows.toDF("k"), "k")
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double)]
+      .collect().head
+    // count census sorted: [1, 2, 3, 10]; p50 -> r=2 (2), p90/p99 -> r=4
+    assert(out == (4L, 16L, 10L, 2L, 10L, 10L, 2.5, 0.625))
+  }
+
+  test("varianceSpectrum: dead dim ranks last, cumulative share ends " +
+    "at 1") {
+    val df = Seq(Seq(1.0f, 0.0f), Seq(1.0f, 4.0f), Seq(1.0f, 8.0f))
+      .toDF("vec")
+    val out = SimilarityOps.varianceSpectrum(df, "vec").orderBy("rnk")
+      .as[(Long, Long, Double, Long, Double)].collect().toSeq
+    assert(out.head._1 == 1L && out.head._4 == 1L) // varying dim ranks 1st
+    assert(out.last._3 == 0.0)                     // constant dim: var 0
+    assert(out.last._5 == 1.0)                     // cum share closes at 1
+  }
+
+  test("joinCardinalityAudit: exact Σ a·b vs the independence estimate, " +
+    "top-key share") {
+    val left = Seq("a", "a", "b", "c", null).toDF("jk")
+    val right = Seq("a", "a", "a", "b", "d").toDF("jk")
+    val out = ScaleOps.joinCardinalityAudit(left, right, "jk")
+      .as[(Long, Long, Long, Long, Long, Long, Double, Double, Double)]
+      .collect().head
+    // exact = 2·3 (a) + 1·1 (b) = 7; est = 4·5/max(3,3) = 6.6667
+    assert(out == (4L, 5L, 3L, 3L, 7L, 6L, 6.6667, 1.05, 0.857143))
+  }
+
+  test("rrfFusion: rank-only fusion, inner-join universe, score-desc " +
+    "id-asc tiebreak") {
+    val lex = Seq((1L, 9.0), (2L, 5.0), (3L, 5.0), (4L, 1.0))
+      .toDF("id", "s1") // ranks: 1->1, 2->2, 3->3 (id tiebreak), 4->4
+    val sem = Seq((2L, 0.9), (1L, 0.8), (3L, 0.7)).toDF("id", "s2")
+    val out = SimilarityOps.rrfFusion(lex, sem, "id", "s1", "s2",
+      k = 60, topK = 2).as[(Long, Long, Long, Double)].collect().toSeq
+    // id 4 dropped (absent from sem); 1: 1/61+1/62; 2: 1/62+1/61 — tie,
+    // id asc puts 1 first; topK=2 cuts id 3
+    assert(out.map(r => (r._1, r._2, r._3)) == Seq((1L, 1L, 2L), (2L, 2L, 1L)))
+    assert(out(0)._4 == out(1)._4)
+  }
+
+  test("heapsLaw: cumulative curve sums and OLS slope match the " +
+    "hand-rolled fit") {
+    val df = Seq((1L, "a b"), (2L, "a c"), (3L, "a d"))
+      .map { case (i, t) => ("s", i, t) }.toDF("src", "id", "text")
+    val out = TextOps.heapsLaw(df, "src", "id", "text")
+      .as[(String, Long, Long, Long, Double)].collect().head
+    // T = [2, 4, 6], V = [2, 3, 4]
+    assert((out._1, out._2, out._3, out._4) == ("s", 3L, 6L, 4L))
+    val (xs, ys) = (Seq(2.0, 4.0, 6.0).map(math.log),
+      Seq(2.0, 3.0, 4.0).map(math.log))
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (a, b) => a * b }.sum
+    val sxx = xs.map(a => a * a).sum
+    val beta = (3.0 * sxy - sx * sy) / (3.0 * sxx - sx * sx)
+    assert(out._5 == math.rint(beta * 1e4) / 1e4 ||
+      math.abs(out._5 - beta) < 5e-5)
+  }
+}
