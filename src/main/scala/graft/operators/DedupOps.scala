@@ -793,6 +793,34 @@ object DedupOps {
         col("canonical_id"), (col("__rk") === 1).as("keep"))
   }
 
+  /** Train/validation split-leakage audit — the check every training-data
+    * pipeline must run AFTER splitting: near-duplicate pairs (from ANY
+    * family above) whose two members landed in DIFFERENT splits are
+    * contamination — the eval set "remembers" training data and scores
+    * are inflated. The census is (split_a, split_b) → pair count with
+    * cross-split cells flagged; a clean split shows zero `is_cross` rows.
+    *
+    * Two id-keyed equi-joins (pair ends → split labels) + a
+    * |splits|²-sized census — cost is O(pairs), never corpus-scale; the
+    * near-dup pair generation upstream is the expensive part and is
+    * already banded/bucketed by its family. Cell keys are canonicalized
+    * (lexicographic least/greatest) so (train,val) and (val,train)
+    * collapse into one cell regardless of pair orientation.
+    */
+  def splitLeakage(pairs: DataFrame, aCol: String, bCol: String,
+                   assignments: DataFrame, idCol: String,
+                   splitCol: String): DataFrame = {
+    val asg = assignments.select(col(idCol), col(splitCol))
+    pairs
+      .join(asg.select(col(idCol).as(aCol), col(splitCol).as("__sa")), aCol)
+      .join(asg.select(col(idCol).as(bCol), col(splitCol).as("__sb")), bCol)
+      .select(least(col("__sa"), col("__sb")).as("split_a"),
+        greatest(col("__sa"), col("__sb")).as("split_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("is_cross", col("split_a") =!= col("split_b"))
+  }
+
   /** Blocked fuzzy record linkage — entity resolution for STRUCTURED rows
     * (the near-dup families above match document text; this matches
     * records): candidate pairs are generated only WITHIN a blocking key

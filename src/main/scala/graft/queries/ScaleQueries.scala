@@ -155,6 +155,22 @@ object ScaleQueries {
     * (nation, segment) with the credit-sign sensitive attribute — so both
     * grade against the identical oracle.
     */
+  /** Shared by x128 (batch) and st24 (streaming): one output contract —
+    * blocked Levenshtein-1 linkage pairs over `customer` — so both grade
+    * against the identical oracle.
+    */
+  private val linkageOracleSql: String =
+    """WITH r AS (SELECT c_custkey id, c_name nm, c_mktsegment seg,
+      |    substr(c_name, 1, 16) blk FROM customer
+      |  WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
+      |    AND c_mktsegment IS NOT NULL)
+      |SELECT l.id id_a, r2.id id_b, l.nm name_a, r2.nm name_b,
+      |  CAST(levenshtein(l.nm, r2.nm) AS BIGINT) dist
+      |FROM r l JOIN r r2 ON l.seg = r2.seg AND l.blk = r2.blk
+      |  AND l.id < r2.id
+      |WHERE levenshtein(l.nm, r2.nm) <= 1
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** Shared by x133 (batch) and st23 (streaming): one output contract —
     * the 64-multiple bucket (docs, real/padded tokens, efficiency) census
     * over `documents` — so both grade against the identical oracle.
@@ -5060,16 +5076,7 @@ object ScaleQueries {
           .withColumn("blk", substring(col("c_name"), 1, 16)),
         "c_custkey", "c_name", Seq("c_mktsegment", "blk"), maxDist = 1)
         .orderBy("id_a", "id_b"),
-      Some("""WITH r AS (SELECT c_custkey id, c_name nm, c_mktsegment seg,
-             |    substr(c_name, 1, 16) blk FROM customer
-             |  WHERE c_custkey IS NOT NULL AND c_name IS NOT NULL
-             |    AND c_mktsegment IS NOT NULL)
-             |SELECT l.id id_a, r2.id id_b, l.nm name_a, r2.nm name_b,
-             |  CAST(levenshtein(l.nm, r2.nm) AS BIGINT) dist
-             |FROM r l JOIN r r2 ON l.seg = r2.seg AND l.blk = r2.blk
-             |  AND l.id < r2.id
-             |WHERE levenshtein(l.nm, r2.nm) <= 1
-             |ORDER BY id_a, id_b""".stripMargin)),
+      Some(linkageOracleSql)),
 
     // Variance spectrum (x129): per-dimension embedding variance ranked
     // with cumulative explained-variance share — the scree plot that
@@ -5329,6 +5336,68 @@ object ScaleQueries {
         schema, "text", bucketStep = 64, s"graft_pad_$run", ckpt)
         .orderBy("bucket_cap")
     },
-      Some(paddingOracleSql))
+      Some(paddingOracleSql)),
+
+    // Split-leakage audit (x137): x13's near-dup pairs joined to a
+    // deterministic md5 80/20 split — cross-split cells are eval
+    // contamination. The pair CTEs mirror x13's oracle; the split CTE
+    // rebuilds hashUniform digit-by-digit (x103 pattern).
+    QuerySpec("x137_split_leakage", (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCol = "lang", shingleWords = 3, threshold = 0.5)
+      val asg = docs.select(col("doc_id"),
+        when(graft.operators.ScaleOps.hashUniform(col("doc_id"),
+          "split:") < 0.8, "train").otherwise("val").as("split"))
+      DedupOps.splitLeakage(pairs, "id_a", "id_b", asg, "doc_id", "split")
+        .orderBy("split_a", "split_b")
+    },
+      Some("""WITH toks AS (SELECT doc_id, lang,
+             |    regexp_split_to_array(trim(text), '\s+') tk
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |sh AS (SELECT doc_id, lang, list_distinct(list_transform(
+             |    range(0, greatest(len(tk)-2, 0)),
+             |    i -> array_to_string(tk[i+1:i+3], ' '))) s FROM toks),
+             |inv AS (SELECT doc_id, lang, unnest(s) tok FROM sh
+             |  WHERE len(s) > 0),
+             |sizes AS (SELECT doc_id, len(s) n FROM sh),
+             |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+             |  FROM inv a JOIN inv b ON a.tok = b.tok AND a.lang = b.lang
+             |    AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |pairs AS (SELECT id_a, id_b
+             |  FROM inter JOIN sizes sa ON id_a = sa.doc_id
+             |  JOIN sizes sb ON id_b = sb.doc_id
+             |  WHERE round(i*1.0/(sa.n + sb.n - i), 4) >= 0.5),
+             |asg AS (SELECT doc_id, CASE WHEN
+             |    CAST(list_reduce(list_transform(range(1, 9),
+             |      i -> CAST(strpos('0123456789abcdef',
+             |        substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+             |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |      (a, b) -> a*16 + b) AS DOUBLE) / 4294967296.0 < 0.8
+             |    THEN 'train' ELSE 'val' END split FROM documents),
+             |lab AS (SELECT least(a.split, b.split) split_a,
+             |    greatest(a.split, b.split) split_b
+             |  FROM pairs JOIN asg a ON id_a = a.doc_id
+             |  JOIN asg b ON id_b = b.doc_id)
+             |SELECT split_a, split_b, CAST(count(*) AS BIGINT) n_pairs,
+             |  split_a <> split_b is_cross
+             |FROM lab GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Streaming linkage (st24): x128's pairs emitted AT ARRIVAL via a
+    // stateless stream-static blocked join; stream.id < static.id makes
+    // each pair emit exactly once under any replay slicing — graded on
+    // x128's oracle verbatim.
+    QuerySpec("st24_stream_linkage", (s, d) => {
+      val schema = s.read.parquet(s"$d/customer.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runStreamingLinkageAvailableNow(s, d, "customer.parquet",
+        schema,
+        df => df.withColumn("blk", substring(col("c_name"), 1, 16)),
+        "c_custkey", "c_name", Seq("c_mktsegment", "blk"), maxDist = 1,
+        s"graft_link_$run", ckpt)
+        .orderBy("id_a", "id_b")
+    },
+      Some(linkageOracleSql))
   )
 }

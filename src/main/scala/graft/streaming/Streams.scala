@@ -1432,6 +1432,63 @@ object Streams {
     * in, instead of auditing after the write. Shares (the only doubles)
     * are finalized batch-side over the |shards|-row sink.
     */
+  /** Streaming blocked fuzzy linkage — the streaming twin of
+    * [[graft.operators.DedupOps.blockedLinkage]]: arriving records are
+    * matched against the STATIC registry (a snapshot of the same table)
+    * via a stateless stream-static equi-join on the blocking key, scored
+    * with Levenshtein at `maxDist`. The `stream.id < static.id` predicate
+    * makes each unordered pair emit EXACTLY once (when its lower-id
+    * member arrives — its partner is always present on the static side),
+    * so the appended union over any replay slicing equals the batch pair
+    * list verbatim. This is how an ingest pipeline flags "probable
+    * duplicate of an existing record" at arrival time instead of in a
+    * nightly batch.
+    *
+    * `prepare` is a deterministic projection applied identically to both
+    * sides (derive blocking columns — e.g. a name prefix); it must not
+    * aggregate (the stream stage allows map-side work only). Stream-
+    * static joins keep NO state: the registry is re-broadcast/rescanned
+    * per micro-batch, which at 100 TB argues for a compact registry
+    * (id, name, block) projection — exactly what `prepare` produces.
+    */
+  def runStreamingLinkageAvailableNow(spark: SparkSession, dir: String,
+                                      glob: String, schema: StructType,
+                                      prepare: DataFrame => DataFrame,
+                                      idCol: String, nameCol: String,
+                                      blockCols: Seq[String], maxDist: Int,
+                                      sinkName: String,
+                                      checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      require(maxDist >= 0, s"maxDist must be >= 0 (got $maxDist)")
+      def prep(df: DataFrame): DataFrame = prepare(df)
+        .filter(col(idCol).isNotNull && col(nameCol).isNotNull &&
+          blockCols.map(col(_).isNotNull).reduce(_ && _))
+        .select((col(idCol).as("__id") +: col(nameCol).as("__nm") +:
+          blockCols.map(col)): _*)
+      val registry = prep(spark.read.parquet(s"$dir/$glob"))
+        .withColumnsRenamed(
+          (Seq("__id" -> "__rid", "__nm" -> "__rnm") ++
+            blockCols.map(c => c -> s"__rb_$c")).toMap)
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = prep(raw)
+        .join(registry,
+          blockCols.map(c => col(c) === col(s"__rb_$c")).reduce(_ && _) &&
+            col("__id") < col("__rid") &&
+            levenshtein(col("__nm"), col("__rnm")) <= maxDist)
+        .select(col("__id").as("id_a"), col("__rid").as("id_b"),
+          col("__nm").as("name_a"), col("__rnm").as("name_b"),
+          levenshtein(col("__nm"), col("__rnm")).cast("long").as("dist"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      detachSink(spark, sinkName, checkpoint)
+    }
+
   /** Streaming padding-efficiency monitor — the streaming twin of
     * [[graft.operators.ScaleOps.paddingEfficiency]]: token counts are
     * computed map-side per arriving document, bucketed to `bucketStep`

@@ -95,6 +95,20 @@ class PipelineAuditSpec extends SparkSpec {
     assert(out.last._5 == 1.0)                     // cum share closes at 1
   }
 
+  test("splitLeakage: canonical cell keys, cross-split cells flagged, " +
+    "orientation-invariant") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (6L, 5L)).toDF("id_a", "id_b")
+    val asg = Seq((1L, "train"), (2L, "val"), (3L, "train"), (4L, "train"),
+      (5L, "val"), (6L, "train")).toDF("doc_id", "split")
+    val out = DedupOps.splitLeakage(pairs, "id_a", "id_b", asg, "doc_id",
+      "split").orderBy("split_a", "split_b")
+      .as[(String, String, Long, Boolean)].collect().toSeq
+    // (1,2) and (6,5) both land in the same (train,val) cell despite
+    // opposite orientation; (3,4) is a clean within-train pair
+    assert(out == Seq(("train", "train", 1L, false),
+      ("train", "val", 2L, true)))
+  }
+
   test("joinCardinalityAudit: exact Σ a·b vs the independence estimate, " +
     "top-key share") {
     val left = Seq("a", "a", "b", "c", null).toDF("jk")
