@@ -793,6 +793,39 @@ object DedupOps {
         col("canonical_id"), (col("__rk") === 1).as("keep"))
   }
 
+  /** Duplicate-cluster size distribution + dedup yield forecast — the
+    * capacity-planning view of a near-dup pass: pairs (any family) are
+    * clustered, and the output is one row per cluster size with how many
+    * clusters, documents, and REMOVABLE documents (size − 1 per cluster,
+    * keep-one policy) that size contributes; singletons (universe members
+    * in no pair) appear as the size-1 row with zero removable. Σ
+    * n_removable over the rows is the exact byte/doc count the dedup pass
+    * will delete — known BEFORE committing to the expensive rewrite.
+    *
+    * CC is the iterative hash-to-min propagation (O(edges)/round); the
+    * size census and histogram are two tiny aggregations; the singleton
+    * count is one anti-join reduced to a single row. Nothing here touches
+    * more than the pair graph + one row per clustered doc.
+    */
+  def clusterSizeDistribution(pairs: DataFrame, aCol: String, bCol: String,
+                              universe: DataFrame,
+                              idCol: String): DataFrame = {
+    val cc = connectedComponents(pairs, aCol, bCol)
+    val hist = cc.groupBy(col("cluster_root"))
+      .agg(count(lit(1)).as("cluster_size"))
+      .groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+    val singles = universe.select(col(idCol).as("id")).distinct()
+      .join(cc.select(col("id")), Seq("id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("cluster_size"), col("n_clusters"))
+      .filter(col("n_clusters") > 0)
+    hist.unionByName(singles)
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
+  }
+
   /** Train/validation split-leakage audit — the check every training-data
     * pipeline must run AFTER splitting: near-duplicate pairs (from ANY
     * family above) whose two members landed in DIFFERENT splits are

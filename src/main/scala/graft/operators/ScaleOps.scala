@@ -851,9 +851,15 @@ object ScaleOps {
           col("exact_join_rows").cast("double"), 6).as("top_key_share"))
   }
 
-  def keySkewAudit(df: DataFrame, keyCol: String): DataFrame = {
-    val census = df.filter(col(keyCol).isNotNull)
-      .groupBy(col(keyCol)).agg(count(lit(1)).as("__c"))
+  def keySkewAudit(df: DataFrame, keyCol: String): DataFrame =
+    keySkewFromCensus(df.filter(col(keyCol).isNotNull)
+      .groupBy(col(keyCol)).agg(count(lit(1)).as("__c")), keyCol)
+
+  /** [[keySkewAudit]]'s finalization over a pre-built (key, `__c` count)
+    * census — shared with the streaming twin, whose census is the
+    * mergeable stream state.
+    */
+  def keySkewFromCensus(census: DataFrame, keyCol: String): DataFrame = {
     val w = Window.orderBy(col("__c").asc, col(keyCol).cast("string").asc)
     val ranked = census
       .select(col("__c"), row_number().over(w).cast("long").as("__r"))

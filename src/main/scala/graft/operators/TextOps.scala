@@ -947,6 +947,47 @@ object TextOps {
             col("__f")("sx") * col("__f")("sx")), 4).as("zipf_slope"))
   }
 
+  /** Vocabulary coverage curve — the tokenizer-budget sizing number: what
+    * share of ALL corpus token OCCURRENCES the top-k terms cover, at the
+    * standard checkpoints k = 10/100/1k/10k. A corpus where 10k terms
+    * cover 99 % wants a small vocab + byte-fallback; a flat curve says
+    * the long tail matters and the vocab (or subword granularity) must
+    * grow. One row out, exact BIGINT token sums, ranks total-ordered
+    * (count desc, term asc).
+    *
+    * One term census (map-side combinable) + one global rank window over
+    * the |vocab|-row census + a one-row conditional-max reduce. The
+    * census-not-corpus window is the same bounded-but-not-metadata trade
+    * as [[graft.operators.ScaleOps.keySkewAudit]] — at extreme vocab
+    * cardinality, pre-filter the census to counts above a floor (terms
+    * below it cannot enter any top-10k prefix).
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+                    ks: Seq[Int] = Seq(10, 100, 1000, 10000)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), "ks must be positive")
+    val census = docs.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__c").desc, col("__w").asc)
+    val cum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__c").desc, col("__w").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val ranked = census
+      .select(col("__c"), row_number().over(w).cast("long").as("__r"),
+        sum(col("__c")).over(cum).as("__cum"))
+    val aggs =
+      Seq(count(lit(1)).as("n_vocab"), sum(col("__c")).as("total_tokens")) ++
+      ks.map(k => max(when(col("__r") <= k, col("__cum")))
+        .as(s"__cov_$k"))
+    ranked.agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("n_vocab"), col("total_tokens")) ++
+        ks.map(k => round(coalesce(col(s"__cov_$k"), lit(0L)).cast("double") /
+          col("total_tokens").cast("double"), 6).as(s"coverage_$k")): _*)
+  }
+
   /** Heaps'-law vocabulary-growth fit per source — [[zipfSlope]]'s
     * companion: V(T) ≈ K·T^β, where T is tokens seen and V distinct
     * vocabulary. β per source is the dedup-need forecast (β near 1 ⇒

@@ -155,6 +155,31 @@ object ScaleQueries {
     * (nation, segment) with the credit-sign sensitive attribute — so both
     * grade against the identical oracle.
     */
+  /** Shared by x134 (batch) and st25 (streaming): one output contract —
+    * the o_custkey skew report over `orders` — so both grade against the
+    * identical oracle.
+    */
+  private val keySkewOracleSql: String =
+    """WITH c AS (SELECT o_custkey k, CAST(count(*) AS BIGINT) c
+      |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
+      |r AS (SELECT c, row_number() OVER (ORDER BY c ASC,
+      |    CAST(k AS VARCHAR) ASC) r, count(*) OVER () n FROM c)
+      |SELECT CAST(max(n) AS BIGINT) n_keys,
+      |  CAST(sum(c) AS BIGINT) n_rows,
+      |  CAST(max(c) AS BIGINT) max_key_rows,
+      |  CAST(min(CASE WHEN r = CAST(ceil(0.5*n) AS BIGINT)
+      |    THEN c END) AS BIGINT) p50_key_rows,
+      |  CAST(min(CASE WHEN r = CAST(ceil(0.9*n) AS BIGINT)
+      |    THEN c END) AS BIGINT) p90_key_rows,
+      |  CAST(min(CASE WHEN r = CAST(ceil(0.99*n) AS BIGINT)
+      |    THEN c END) AS BIGINT) p99_key_rows,
+      |  round(CAST(max(c) AS DOUBLE) /
+      |    (CAST(sum(c) AS DOUBLE) / CAST(max(n) AS DOUBLE)), 4)
+      |    skew_factor,
+      |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+      |    top1_share
+      |FROM r""".stripMargin
+
   /** Shared by x128 (batch) and st24 (streaming): one output contract —
     * blocked Levenshtein-1 linkage pairs over `customer` — so both grade
     * against the identical oracle.
@@ -5201,25 +5226,7 @@ object ScaleQueries {
     // plain groupBy, salting, or AQE skew handling.
     QuerySpec("x134_key_skew_audit", (s, d) =>
       graft.operators.ScaleOps.keySkewAudit(t(s, d, "orders"), "o_custkey"),
-      Some("""WITH c AS (SELECT o_custkey k, CAST(count(*) AS BIGINT) c
-             |  FROM orders WHERE o_custkey IS NOT NULL GROUP BY 1),
-             |r AS (SELECT c, row_number() OVER (ORDER BY c ASC,
-             |    CAST(k AS VARCHAR) ASC) r, count(*) OVER () n FROM c)
-             |SELECT CAST(max(n) AS BIGINT) n_keys,
-             |  CAST(sum(c) AS BIGINT) n_rows,
-             |  CAST(max(c) AS BIGINT) max_key_rows,
-             |  CAST(min(CASE WHEN r = CAST(ceil(0.5*n) AS BIGINT)
-             |    THEN c END) AS BIGINT) p50_key_rows,
-             |  CAST(min(CASE WHEN r = CAST(ceil(0.9*n) AS BIGINT)
-             |    THEN c END) AS BIGINT) p90_key_rows,
-             |  CAST(min(CASE WHEN r = CAST(ceil(0.99*n) AS BIGINT)
-             |    THEN c END) AS BIGINT) p99_key_rows,
-             |  round(CAST(max(c) AS DOUBLE) /
-             |    (CAST(sum(c) AS DOUBLE) / CAST(max(n) AS DOUBLE)), 4)
-             |    skew_factor,
-             |  round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
-             |    top1_share
-             |FROM r""".stripMargin)),
+      Some(keySkewOracleSql)),
 
     // Streaming shard-balance monitor (st22): x131's census as mergeable
     // streaming state (per-shard integer sums — replay-commutative),
@@ -5398,6 +5405,92 @@ object ScaleQueries {
         s"graft_link_$run", ckpt)
         .orderBy("id_a", "id_b")
     },
-      Some(linkageOracleSql))
+      Some(linkageOracleSql)),
+
+    // Dedup yield forecast (x138): x13's pairs clustered, histogrammed by
+    // cluster size with exact removable-doc counts (keep-one policy) —
+    // the capacity plan before committing to the dedup rewrite.
+    QuerySpec("x138_cluster_sizes", (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCol = "lang", shingleWords = 3, threshold = 0.5)
+      DedupOps.clusterSizeDistribution(pairs, "id_a", "id_b", docs,
+        "doc_id").orderBy("cluster_size")
+    },
+      Some("""WITH RECURSIVE toks AS (SELECT doc_id, lang,
+             |    regexp_split_to_array(trim(text), '\s+') tk
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |sh AS (SELECT doc_id, lang, list_distinct(list_transform(
+             |    range(0, greatest(len(tk)-2, 0)),
+             |    i -> array_to_string(tk[i+1:i+3], ' '))) s FROM toks),
+             |inv AS (SELECT doc_id, lang, unnest(s) tok FROM sh
+             |  WHERE len(s) > 0),
+             |sizes AS (SELECT doc_id, len(s) n FROM sh),
+             |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+             |  FROM inv a JOIN inv b ON a.tok = b.tok AND a.lang = b.lang
+             |    AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |pairs AS (SELECT id_a, id_b
+             |  FROM inter JOIN sizes sa ON id_a = sa.doc_id
+             |  JOIN sizes sb ON id_b = sb.doc_id
+             |  WHERE round(i*1.0/(sa.n + sb.n - i), 4) >= 0.5),
+             |edges AS (SELECT id_a a, id_b b FROM pairs
+             |  UNION SELECT id_b, id_a FROM pairs),
+             |reach(src, dst) AS (
+             |  SELECT a, b FROM edges
+             |  UNION
+             |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a),
+             |memb AS (SELECT src id, least(src, min(dst)) root
+             |  FROM reach GROUP BY src),
+             |csz AS (SELECT root, CAST(count(*) AS BIGINT) sz
+             |  FROM memb GROUP BY 1),
+             |hist AS (SELECT sz cluster_size, CAST(count(*) AS BIGINT)
+             |    n_clusters FROM csz GROUP BY 1),
+             |sing AS (SELECT CAST(1 AS BIGINT) cluster_size,
+             |    CAST(count(*) AS BIGINT) n_clusters FROM documents
+             |  WHERE doc_id NOT IN (SELECT id FROM memb)),
+             |u AS (SELECT * FROM hist UNION ALL
+             |  SELECT * FROM sing WHERE n_clusters > 0)
+             |SELECT cluster_size, n_clusters,
+             |  CAST(cluster_size * n_clusters AS BIGINT) n_docs,
+             |  CAST((cluster_size - 1) * n_clusters AS BIGINT) n_removable
+             |FROM u ORDER BY cluster_size""".stripMargin)),
+
+    // Vocabulary coverage curve (x139): share of all token occurrences
+    // covered by the top-10/100/1k/10k terms — the tokenizer-budget
+    // sizing number; exact BIGINT cumulations, one row.
+    QuerySpec("x139_vocab_coverage", (s, d) =>
+      TextOps.vocabCoverage(t(s, d, "documents"), "text"),
+      Some("""WITH toks AS (SELECT unnest(list_filter(
+             |      regexp_split_to_array(trim(text), '\s+'),
+             |      x -> length(x) > 0)) w
+             |  FROM documents WHERE text IS NOT NULL),
+             |c AS (SELECT w, CAST(count(*) AS BIGINT) c FROM toks
+             |  GROUP BY 1),
+             |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) r,
+             |    sum(c) OVER (ORDER BY c DESC, w ASC
+             |      ROWS UNBOUNDED PRECEDING) cum FROM c)
+             |SELECT CAST(count(*) AS BIGINT) n_vocab,
+             |  CAST(sum(c) AS BIGINT) total_tokens,
+             |  round(CAST(coalesce(max(CASE WHEN r <= 10 THEN cum END), 0)
+             |    AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) coverage_10,
+             |  round(CAST(coalesce(max(CASE WHEN r <= 100 THEN cum END), 0)
+             |    AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) coverage_100,
+             |  round(CAST(coalesce(max(CASE WHEN r <= 1000 THEN cum END),
+             |    0) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) coverage_1000,
+             |  round(CAST(coalesce(max(CASE WHEN r <= 10000 THEN cum END),
+             |    0) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6) coverage_10000
+             |FROM r""".stripMargin)),
+
+    // Streaming key-skew monitor (st25): x134's per-key census as
+    // mergeable streaming state, order statistics finalized batch-side —
+    // graded on x134's oracle verbatim.
+    QuerySpec("st25_stream_key_skew", (s, d) => {
+      val schema = s.read.parquet(s"$d/orders.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runStreamingKeySkewAvailableNow(s, d, "orders.parquet",
+        schema, "o_custkey", s"graft_skew_$run", ckpt)
+    },
+      Some(keySkewOracleSql))
   )
 }

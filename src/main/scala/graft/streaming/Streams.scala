@@ -1432,6 +1432,38 @@ object Streams {
     * in, instead of auditing after the write. Shares (the only doubles)
     * are finalized batch-side over the |shards|-row sink.
     */
+  /** Streaming key-skew monitor — the streaming twin of
+    * [[graft.operators.ScaleOps.keySkewAudit]]: the per-key row census is
+    * the mergeable stream state (commutative integer counts — replay
+    * slicing provably cannot move it), and the order-statistic
+    * finalization runs batch-side over the |keys|-row sink via
+    * [[graft.operators.ScaleOps.keySkewFromCensus]]. This is how a
+    * pipeline watches a partition key DRIFT toward skew while data
+    * arrives — the salting decision gets made before the nightly job
+    * falls over, not after.
+    */
+  def runStreamingKeySkewAvailableNow(spark: SparkSession, dir: String,
+                                      glob: String, schema: StructType,
+                                      keyCol: String, sinkName: String,
+                                      checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = raw
+        .filter(col(keyCol).isNotNull)
+        .groupBy(col(keyCol))
+        .agg(count(lit(1)).as("__c"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.ScaleOps.keySkewFromCensus(
+        detachSink(spark, sinkName, checkpoint), keyCol)
+    }
+
   /** Streaming blocked fuzzy linkage — the streaming twin of
     * [[graft.operators.DedupOps.blockedLinkage]]: arriving records are
     * matched against the STATIC registry (a snapshot of the same table)

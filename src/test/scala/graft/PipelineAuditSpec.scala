@@ -95,6 +95,29 @@ class PipelineAuditSpec extends SparkSpec {
     assert(out.last._5 == 1.0)                     // cum share closes at 1
   }
 
+  test("clusterSizeDistribution: histogram + removable counts, " +
+    "singletons as the size-1 row") {
+    // pairs: {1,2,3} via chain, {5,6}; universe adds singletons 4, 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val universe = (1L to 7L).toDF("doc_id")
+    val out = graft.operators.DedupOps.clusterSizeDistribution(
+      pairs, "id_a", "id_b", universe, "doc_id")
+      .orderBy("cluster_size").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      (1L, 2L, 2L, 0L),  // 4 and 7
+      (2L, 1L, 2L, 1L),  // {5,6}
+      (3L, 1L, 3L, 2L))) // {1,2,3}
+  }
+
+  test("vocabCoverage: top-k occurrence shares at the checkpoints, " +
+    "k beyond the vocab covers everything") {
+    val df = Seq("a a a a b b c", "a b c d").toDF("text")
+    val out = TextOps.vocabCoverage(df, "text", ks = Seq(1, 2, 100))
+      .as[(Long, Long, Double, Double, Double)].collect().head
+    // counts: a=5, b=3, c=2, d=1 (total 11)
+    assert(out == (4L, 11L, 0.454545, 0.727273, 1.0))
+  }
+
   test("splitLeakage: canonical cell keys, cross-split cells flagged, " +
     "orientation-invariant") {
     val pairs = Seq((1L, 2L), (3L, 4L), (6L, 5L)).toDF("id_a", "id_b")
