@@ -823,6 +823,44 @@ object SimilarityOps {
     * share divides exact fixed-point BIGINT sums of the rounded
     * variances, so both engines cumulate identical integers.
     */
+  /** ANN recall audit — the number that justifies (or rejects) an nprobe
+    * setting: recall@k of the IVF-probed search ([[annJoin]]) against the
+    * exact brute-force top-k, per query, over a query SAMPLE. Run this on
+    * a thin sample whenever centroids are retrained or nprobe is tuned;
+    * the full corpus never pays the quadratic exact side — that is the
+    * audit's whole design (the sample bounds it, and the ANN side is the
+    * production path being measured).
+    *
+    * Both sides rank by (round-4 cosine desc, id asc) — the x7/x51
+    * determinism convention — so recall is bitwise-stable cross-engine.
+    * Output: one row per query with the exact hit count and recall@k.
+    */
+  def annRecallAudit(queries: DataFrame, qidCol: String, qvecCol: String,
+                     corpus: DataFrame, cidCol: String, cvecCol: String,
+                     centroids: DataFrame, centIdCol: String,
+                     centVecCol: String, k: Int, nprobe: Int): DataFrame = {
+    val ann = annJoin(queries, qidCol, qvecCol, corpus, cidCol, cvecCol,
+      centroids, centIdCol, centVecCol, k, nprobe)
+      .select(col("query_id"), col("neighbor_id"))
+    val w = Window.partitionBy(col("__qid"))
+      .orderBy(col("__s").desc, col(cidCol))
+    val exact = queries
+      .select(col(qidCol).as("__qid"), col(qvecCol).as("__qv"))
+      .crossJoin(corpus.select(col(cidCol), col(cvecCol)))
+      .withColumn("__s", round(NativeCos(col("__qv"), col(cvecCol)), 4))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select(col("__qid").as("query_id"), col(cidCol).as("neighbor_id"))
+    val hits = ann.join(exact, Seq("query_id", "neighbor_id"))
+      .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+    queries.select(col(qidCol).as("query_id"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          lit(k.toDouble), 6).as("recall"))
+  }
+
   /** Reciprocal-rank fusion of two retrieval rankings — the standard
     * hybrid-search combiner (Cormack/Clarke/Buettcher, SIGIR 2009):
     * rrf(d) = 1/(K + rank_lex(d)) + 1/(K + rank_sem(d)), K = 60 by

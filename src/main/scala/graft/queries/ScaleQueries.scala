@@ -155,6 +155,22 @@ object ScaleQueries {
     * (nation, segment) with the credit-sign sensitive attribute — so both
     * grade against the identical oracle.
     */
+  /** Shared by x21 (batch) and st26 (streaming): one output contract —
+    * per-candidate-doc distinct contaminated 4-gram counts against the
+    * doc_id % 97 benchmark slice — so both grade against the identical
+    * oracle.
+    */
+  private val decontamOracleSql: String =
+    """WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
+      |  FROM documents WHERE length(trim(text)) > 0),
+      |sh AS (SELECT doc_id, list_distinct(list_transform(
+      |    range(0, greatest(len(tk)-3, 0)),
+      |    i -> array_to_string(tk[i+1:i+4], ' '))) s FROM toks),
+      |bench AS (SELECT DISTINCT unnest(s) g FROM sh WHERE doc_id % 97 = 0),
+      |cand AS (SELECT doc_id, unnest(s) g FROM sh WHERE doc_id % 97 <> 0)
+      |SELECT doc_id, count(*) n_hits FROM cand JOIN bench USING (g)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   /** Shared by x134 (batch) and st25 (streaming): one output contract —
     * the o_custkey skew report over `orders` — so both grade against the
     * identical oracle.
@@ -1687,15 +1703,7 @@ object ScaleQueries {
         "doc_id", "text", shingleWords = 4)
         .orderBy("doc_id")
     },
-      Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
-             |  FROM documents WHERE length(trim(text)) > 0),
-             |sh AS (SELECT doc_id, list_distinct(list_transform(
-             |    range(0, greatest(len(tk)-3, 0)),
-             |    i -> array_to_string(tk[i+1:i+4], ' '))) s FROM toks),
-             |bench AS (SELECT DISTINCT unnest(s) g FROM sh WHERE doc_id % 97 = 0),
-             |cand AS (SELECT doc_id, unnest(s) g FROM sh WHERE doc_id % 97 <> 0)
-             |SELECT doc_id, count(*) n_hits FROM cand JOIN bench USING (g)
-             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+      Some(decontamOracleSql)),
 
     // Intra-document repetition (x22): Gopher-style duplicate-2-gram
     // fraction and top-2-gram share per document — the boilerplate/looping
@@ -5491,6 +5499,70 @@ object ScaleQueries {
       Streams.runStreamingKeySkewAvailableNow(s, d, "orders.parquet",
         schema, "o_custkey", s"graft_skew_$run", ckpt)
     },
-      Some(keySkewOracleSql))
+      Some(keySkewOracleSql)),
+
+    // ANN recall audit (x140): recall@10 of the nprobe=4 IVF search (the
+    // x51 population) against exact brute force, per query — the number
+    // that justifies an nprobe setting, measured on a query sample so the
+    // quadratic exact side never touches the full corpus.
+    QuerySpec("x140_ann_recall", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val queries = emb.filter(col("vec_id") % 10 === 0)
+      val corpus = emb.filter(col("vec_id") >= 16 && col("vec_id") % 10 =!= 0)
+      SimilarityOps.annRecallAudit(queries, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", cents, "cid", "cvec",
+        k = 10, nprobe = 4).orderBy("query_id")
+    },
+      Some("""WITH cent AS (SELECT vec_id cid, embedding cvec FROM embeddings
+             |  WHERE vec_id < 16),
+             |qs AS (SELECT vec_id qid, embedding qe FROM embeddings
+             |  WHERE vec_id % 10 = 0),
+             |corpus AS (SELECT vec_id, embedding FROM embeddings
+             |  WHERE vec_id >= 16 AND vec_id % 10 <> 0),
+             |assign AS (SELECT co.vec_id, co.embedding, c.cid centroid
+             |  FROM corpus co CROSS JOIN cent c
+             |  QUALIFY row_number() OVER (PARTITION BY co.vec_id
+             |    ORDER BY list_cosine_similarity(co.embedding, c.cvec) DESC,
+             |      c.cid) = 1),
+             |probes AS (SELECT q.qid, c.cid FROM qs q CROSS JOIN cent c
+             |  QUALIFY row_number() OVER (PARTITION BY q.qid
+             |    ORDER BY list_cosine_similarity(c.cvec, q.qe) DESC,
+             |      c.cid) <= 4),
+             |ann AS (SELECT p.qid, a.vec_id nid,
+             |    round(CAST(list_cosine_similarity(a.embedding, q.qe)
+             |      AS DOUBLE), 4) score
+             |  FROM probes p JOIN assign a ON a.centroid = p.cid
+             |  JOIN qs q ON q.qid = p.qid
+             |  QUALIFY row_number() OVER (PARTITION BY p.qid
+             |    ORDER BY score DESC, a.vec_id) <= 10),
+             |exact AS (SELECT q.qid, co.vec_id nid,
+             |    round(CAST(list_cosine_similarity(co.embedding, q.qe)
+             |      AS DOUBLE), 4) score
+             |  FROM qs q CROSS JOIN corpus co
+             |  QUALIFY row_number() OVER (PARTITION BY q.qid
+             |    ORDER BY score DESC, co.vec_id) <= 10),
+             |hits AS (SELECT a.qid, count(*) n FROM ann a
+             |  JOIN exact e ON a.qid = e.qid AND a.nid = e.nid GROUP BY 1)
+             |SELECT q.qid query_id, CAST(coalesce(n, 0) AS BIGINT) n_hits,
+             |  round(CAST(coalesce(n, 0) AS DOUBLE) / 10.0, 6) recall
+             |FROM qs q LEFT JOIN hits ON q.qid = hits.qid
+             |ORDER BY query_id""".stripMargin)),
+
+    // Streaming decontamination (st26): x21's hit census with the
+    // benchmark shingle set broadcast against the arriving corpus — a
+    // leaked doc is flagged at ingest; graded on x21's oracle verbatim.
+    QuerySpec("st26_stream_decontamination", (s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val bench = t(s, d, "documents").filter(col("doc_id") % 97 === 0)
+      Streams.runStreamingDecontaminationAvailableNow(s, d,
+        "documents.parquet", schema, col("doc_id") % 97 =!= 0, bench,
+        "doc_id", "text", shingleWords = 4, s"graft_decon_$run", ckpt)
+        .orderBy("doc_id")
+    },
+      Some(decontamOracleSql))
   )
 }

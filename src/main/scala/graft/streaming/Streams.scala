@@ -1432,6 +1432,50 @@ object Streams {
     * in, instead of auditing after the write. Shares (the only doubles)
     * are finalized batch-side over the |shards|-row sink.
     */
+  /** Streaming benchmark decontamination — the streaming twin of
+    * [[graft.operators.TextOps.contaminationHits]]: the benchmark's
+    * distinct shingle set is static (tiny — it broadcasts), each arriving
+    * candidate document explodes its distinct shingles map-side and joins
+    * the broadcast set, and the state is one hit count per contaminated
+    * doc (commutative sums; a doc's shingles all arrive in its one row,
+    * so replay slicing cannot split them). This is decontamination AT
+    * INGEST: a leaked document is flagged the moment it enters the
+    * corpus, not in the pre-training sweep months later.
+    */
+  def runStreamingDecontaminationAvailableNow(spark: SparkSession,
+                                              dir: String, glob: String,
+                                              schema: StructType,
+                                              streamFilter: Column,
+                                              bench: DataFrame,
+                                              idCol: String, textCol: String,
+                                              shingleWords: Int,
+                                              sinkName: String,
+                                              checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      import graft.operators.TextOps
+      val bsh = bench
+        .select(explode(TextOps.shingles(col(textCol), shingleWords))
+          .as("__g")).distinct()
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = raw
+        .filter(streamFilter)
+        .select(col(idCol),
+          explode(array_distinct(TextOps.shingles(col(textCol),
+            shingleWords))).as("__g"))
+        .join(broadcast(bsh), "__g")
+        .groupBy(col(idCol))
+        .agg(count(lit(1)).as("n_hits"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      detachSink(spark, sinkName, checkpoint)
+    }
+
   /** Streaming key-skew monitor — the streaming twin of
     * [[graft.operators.ScaleOps.keySkewAudit]]: the per-key row census is
     * the mergeable stream state (commutative integer counts — replay
