@@ -793,6 +793,33 @@ object DedupOps {
         col("canonical_id"), (col("__rk") === 1).as("keep"))
   }
 
+  /** Near-dup threshold sensitivity curve — how many pairs each candidate
+    * Jaccard threshold would admit, from ONE pass: pairs are generated
+    * once at the lowest threshold of interest (prefix filter relaxed to
+    * match) and counted against every τ. The curve is how a pipeline
+    * picks its dedup threshold empirically — a plateau between two τ
+    * values means the corpus separates cleanly there; a steep slope means
+    * the threshold is load-bearing and needs a human look.
+    *
+    * Cost = one [[ngramJaccardPairs]] run at min(τ) (the loosest prefix
+    * filter — strictly more candidates than any single-τ run, which is
+    * the price of sweeping) + a |pairs| × |τ| count. The τ frame is a
+    * literal handful of rows.
+    */
+  def jaccardThresholdCurve(docs: DataFrame, idCol: String, textCol: String,
+                            blockCol: String, shingleWords: Int,
+                            taus: Seq[Double]): DataFrame = {
+    require(taus.nonEmpty && taus.forall(t => t > 0 && t <= 1),
+      s"taus must be in (0, 1] (got $taus)")
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, blockCol,
+      shingleWords, taus.min)
+    val tdf = docs.sparkSession.range(1)
+      .select(explode(typedLit(taus.sorted)).as("tau"))
+    tdf.join(pairs, col("jaccard") >= col("tau"), "left")
+      .groupBy(col("tau"))
+      .agg(count(col("jaccard")).as("n_pairs"))
+  }
+
   /** Duplicate-cluster size distribution + dedup yield forecast — the
     * capacity-planning view of a near-dup pass: pairs (any family) are
     * clustered, and the output is one row per cluster size with how many

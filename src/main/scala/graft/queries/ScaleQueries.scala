@@ -5563,6 +5563,36 @@ object ScaleQueries {
         "doc_id", "text", shingleWords = 4, s"graft_decon_$run", ckpt)
         .orderBy("doc_id")
     },
-      Some(decontamOracleSql))
+      Some(decontamOracleSql)),
+
+    // Dedup threshold sweep (x141): pair counts each candidate Jaccard
+    // threshold would admit, from one relaxed-prefix pass — the curve a
+    // pipeline reads before pinning its dedup τ.
+    QuerySpec("x141_jaccard_thresholds", (s, d) =>
+      DedupOps.jaccardThresholdCurve(t(s, d, "documents"), "doc_id",
+        "text", blockCol = "lang", shingleWords = 3,
+        taus = Seq(0.05, 0.25, 0.5, 0.75, 0.95))
+        .orderBy("tau"),
+      Some("""WITH toks AS (SELECT doc_id, lang,
+             |    regexp_split_to_array(trim(text), '\s+') tk
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |sh AS (SELECT doc_id, lang, list_distinct(list_transform(
+             |    range(0, greatest(len(tk)-2, 0)),
+             |    i -> array_to_string(tk[i+1:i+3], ' '))) s FROM toks),
+             |inv AS (SELECT doc_id, lang, unnest(s) tok FROM sh
+             |  WHERE len(s) > 0),
+             |sizes AS (SELECT doc_id, len(s) n FROM sh),
+             |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+             |  FROM inv a JOIN inv b ON a.tok = b.tok AND a.lang = b.lang
+             |    AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |jac AS (SELECT id_a, id_b,
+             |    round(i*1.0/(sa.n + sb.n - i), 4) j
+             |  FROM inter JOIN sizes sa ON id_a = sa.doc_id
+             |  JOIN sizes sb ON id_b = sb.doc_id),
+             |taus AS (SELECT CAST(unnest(
+             |    [0.05, 0.25, 0.5, 0.75, 0.95]) AS DOUBLE) tau)
+             |SELECT tau, CAST(count(j) AS BIGINT) n_pairs
+             |FROM taus LEFT JOIN jac ON j >= tau
+             |GROUP BY tau ORDER BY tau""".stripMargin))
   )
 }
