@@ -25,6 +25,18 @@ object TextOps {
     coalesce(aggregate(tokens(text), lit(0L),
       (acc, t) => acc + ceil(length(t).cast("double") / piece).cast("long")), lit(0L))
 
+  /** Single-evaluation let-binding for an array expression: HOF trees are
+    * interpreted (no codegen, no common-subexpression elimination), so an
+    * array subtree referenced k times in one expression evaluates k times
+    * per row. `transform(array(x), v => body(v))[1]` binds x ONCE — every
+    * `v` reference inside the body is a lambda-variable read, not a
+    * re-evaluation. Shared by [[shingles]], [[charNgrams]] and
+    * [[langIdNgram]], whose bodies reference their input arrays ~6×
+    * (measured 13.9 s → scan-speed on the x124 census before/after).
+    */
+  private def letArray(x: Column, body: Column => Column): Column =
+    element_at(transform(array(x), body), 1)
+
   /** Word n-gram shingles: n consecutive tokens joined by single spaces.
     *
     * Built from n-1 shifted `zip_with`s instead of a
@@ -32,13 +44,13 @@ object TextOps {
     * lambdas are interpreted (no codegen), and any non-lambda subexpression
     * inside the lambda body is re-evaluated per element — the slice-based
     * form re-tokenizes the document once per shingle, O(tokens²). Here
-    * every lambda touches only its lambda variables, so tokenization runs
-    * once per row.
+    * every lambda touches only its lambda variables, and the token array
+    * itself is [[letArray]]-bound so its ~6 references in the zip_with
+    * fold cost ONE tokenization per row, not six.
     */
   def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    if (n == 1) toks
-    else {
+    if (n == 1) tokens(text)
+    else letArray(tokens(text), { toks =>
       // zip_with pads the shorter (shifted) side with nulls → concat turns
       // the last n-1 entries null → the closing slice drops them.
       val joined = (2 to n).foldLeft(toks) { (acc, k) =>
@@ -47,7 +59,7 @@ object TextOps {
       }
       when(size(toks) >= n, slice(joined, lit(1), size(toks) - (n - 1)))
         .otherwise(array().cast("array<string>"))
-    }
+    })
   }
 
   /** Benchmark decontamination: docs sharing at least one word `n`-gram
@@ -222,14 +234,14 @@ object TextOps {
   def charNgrams(text: Column, n: Int): Column = {
     val chars = filter(split(normalized(text), ""), c => length(c) > 0)
     if (n == 1) chars
-    else {
-      val joined = (2 to n).foldLeft(chars) { (acc, k) =>
-        zip_with(acc, slice(chars, lit(k), size(chars)),
+    else letArray(chars, { cs =>
+      val joined = (2 to n).foldLeft(cs) { (acc, k) =>
+        zip_with(acc, slice(cs, lit(k), size(cs)),
           (a, b) => concat(a, b))
       }
-      when(size(chars) >= n, slice(joined, lit(1), size(chars) - (n - 1)))
+      when(size(cs) >= n, slice(joined, lit(1), size(cs) - (n - 1)))
         .otherwise(array().cast("array<string>"))
-    }
+    })
   }
 
   /** Language-ID via character-n-gram profiles (the classic Cavnar-Trenkle
@@ -239,14 +251,15 @@ object TextOps {
     * each language's most characteristic trigrams.
     */
   def langIdNgram(text: Column, profiles: Seq[(String, Seq[String])],
-                  n: Int = 3): Column = {
-    val grams = array_distinct(charNgrams(text, n))
-    val scored = profiles.map { case (lang, gs) =>
-      struct(size(filter(grams, g => array_contains(lit(gs.toArray), g))).as("hits"),
-        lit(lang).as("lang"))
-    }
-    array_max(array(scored: _*)).getField("lang")
-  }
+                  n: Int = 3): Column =
+    letArray(array_distinct(charNgrams(text, n)), { grams =>
+      val scored = profiles.map { case (lang, gs) =>
+        struct(size(filter(grams, g =>
+          array_contains(lit(gs.toArray), g))).as("hits"),
+          lit(lang).as("lang"))
+      }
+      array_max(array(scored: _*)).getField("lang")
+    })
 
   /** Document fingerprints:
     *  - `fingerprintMd5`: md5 of whitespace-normalized lowercase text
