@@ -118,6 +118,25 @@ class PipelineAuditSpec extends SparkSpec {
     assert(out == (4L, 11L, 0.454545, 0.727273, 1.0))
   }
 
+  test("jaccardThresholdCurve: monotone counts from one pass, zero row " +
+    "for a tau above every pair") {
+    val docs = Seq(
+      (1L, "a b c d", "x"), (2L, "a b c d", "x"), // jaccard 1.0
+      (3L, "a b c z", "x"),                       // vs 1/2: j = 0.333 (2-grams)
+      (4L, "p q r s", "x")                        // no overlap
+    ).toDF("doc_id", "text", "lang")
+    val out = graft.operators.DedupOps.jaccardThresholdCurve(docs,
+      "doc_id", "text", "lang", shingleWords = 2,
+      taus = Seq(0.2, 0.8, 0.99))
+      .orderBy("tau").as[(Double, Long)].collect().toSeq
+    // 2-gram sets: {ab,bc,cd} ×2, {ab,bc,cz}; j(1,2)=1.0, j(1,3)=j(2,3)=0.5
+    assert(out == Seq((0.2, 3L), (0.8, 1L), (0.99, 1L)))
+    intercept[IllegalArgumentException] {
+      graft.operators.DedupOps.jaccardThresholdCurve(docs, "doc_id",
+        "text", "lang", 2, Seq(0.0))
+    }
+  }
+
   test("splitLeakage: canonical cell keys, cross-split cells flagged, " +
     "orientation-invariant") {
     val pairs = Seq((1L, 2L), (3L, 4L), (6L, 5L)).toDF("id_a", "id_b")
