@@ -1734,6 +1734,34 @@ object Analytics {
                .cast("double"))), 4).as("autocorr"))
   }
 
+  /** Dataset-card drift between two snapshots — [[profileColumns]] run on
+    * both and diffed per column: null-count and distinct-count deltas plus
+    * whether the lexical min/max moved. The cheap pre-flight before a
+    * retrain: a column whose null rate jumped or whose domain shifted is
+    * an upstream schema/ETL change the training pipeline must see BEFORE
+    * it trains on the new snapshot, and this audit reads two
+    * |columns|-row profiles, never the snapshots themselves twice.
+    */
+  def profileDrift(before: DataFrame, after: DataFrame,
+                   cols: Seq[String]): DataFrame = {
+    val b = profileColumns(before, cols)
+      .select(col("col_name"), col("n_nulls").as("__bn"),
+        col("n_distinct").as("__bd"), col("min_val").as("__bmin"),
+        col("max_val").as("__bmax"))
+    val a = profileColumns(after, cols)
+      .select(col("col_name"), col("n_nulls").as("__an"),
+        col("n_distinct").as("__ad"), col("min_val").as("__amin"),
+        col("max_val").as("__amax"))
+    b.join(a, "col_name")
+      .select(col("col_name"),
+        col("__bn").as("nulls_before"), col("__an").as("nulls_after"),
+        (col("__an") - col("__bn")).as("nulls_delta"),
+        col("__bd").as("distinct_before"), col("__ad").as("distinct_after"),
+        (col("__ad") - col("__bd")).as("distinct_delta"),
+        (!(col("__amin") <=> col("__bmin")) ||
+          !(col("__amax") <=> col("__bmax"))).as("range_moved"))
+  }
+
   /** First-/last-touch conversion attribution: for every conversion event
     * (`stateCol === convState`) the user's FIRST and the MOST RECENT
     * preceding event (by `tsCol`, `idCol` tiebreak) each get credit for

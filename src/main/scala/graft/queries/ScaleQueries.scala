@@ -155,6 +155,28 @@ object ScaleQueries {
     * (nation, segment) with the credit-sign sensitive attribute — so both
     * grade against the identical oracle.
     */
+  /** Shared by x129 (batch) and st27 (streaming): one output contract —
+    * the embedding scree plot (per-dim variance rank + fixed-point
+    * cumulative share) — so both grade against the identical oracle.
+    */
+  private val varianceSpectrumOracleSql: String =
+    """WITH m AS (SELECT generate_subscripts(embedding, 1) - 1 p,
+      |    CAST(unnest(embedding) AS DOUBLE) v
+      |  FROM embeddings WHERE embedding IS NOT NULL),
+      |d AS (SELECT CAST(p AS BIGINT) dim, CAST(count(*) AS BIGINT) n,
+      |    round(avg(v*v) - avg(v)*avg(v), 6) variance
+      |  FROM m GROUP BY 1),
+      |f AS (SELECT dim, n, variance,
+      |    CAST(round(variance*1e6, 0) AS BIGINT) v6 FROM d),
+      |t AS (SELECT CAST(sum(v6) AS BIGINT) tot FROM f)
+      |SELECT dim, n, variance,
+      |  CAST(row_number() OVER (ORDER BY variance DESC, dim ASC)
+      |    AS BIGINT) rnk,
+      |  round(CAST(sum(v6) OVER (ORDER BY variance DESC, dim ASC
+      |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+      |    CAST(tot AS DOUBLE), 6) cum_share
+      |FROM f CROSS JOIN t ORDER BY rnk""".stripMargin
+
   /** Shared by x21 (batch) and st26 (streaming): one output contract —
     * per-candidate-doc distinct contaminated 4-gram counts against the
     * doc_id % 97 benchmark slice — so both grade against the identical
@@ -5118,22 +5140,7 @@ object ScaleQueries {
     QuerySpec("x129_variance_spectrum", (s, d) =>
       SimilarityOps.varianceSpectrum(t(s, d, "embeddings"), "embedding")
         .orderBy("rnk"),
-      Some("""WITH m AS (SELECT generate_subscripts(embedding, 1) - 1 p,
-             |    CAST(unnest(embedding) AS DOUBLE) v
-             |  FROM embeddings WHERE embedding IS NOT NULL),
-             |d AS (SELECT CAST(p AS BIGINT) dim, CAST(count(*) AS BIGINT) n,
-             |    round(avg(v*v) - avg(v)*avg(v), 6) variance
-             |  FROM m GROUP BY 1),
-             |f AS (SELECT dim, n, variance,
-             |    CAST(round(variance*1e6, 0) AS BIGINT) v6 FROM d),
-             |t AS (SELECT CAST(sum(v6) AS BIGINT) tot FROM f)
-             |SELECT dim, n, variance,
-             |  CAST(row_number() OVER (ORDER BY variance DESC, dim ASC)
-             |    AS BIGINT) rnk,
-             |  round(CAST(sum(v6) OVER (ORDER BY variance DESC, dim ASC
-             |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
-             |    CAST(tot AS DOUBLE), 6) cum_share
-             |FROM f CROSS JOIN t ORDER BY rnk""".stripMargin)),
+      Some(varianceSpectrumOracleSql)),
 
     // First/last-touch attribution (x130): each purchase credits the
     // user's first and most recent preceding event; no preceding touch →
@@ -5594,5 +5601,86 @@ object ScaleQueries {
              |SELECT tau, CAST(count(j) AS BIGINT) n_pairs
              |FROM taus LEFT JOIN jac ON j >= tau
              |GROUP BY tau ORDER BY tau""".stripMargin))
+ ,
+
+    // Snapshot profile drift (x142): the x42 dataset-card profile run on
+    // the pre-cutoff snapshot and the full table, diffed per column —
+    // null/distinct deltas + domain movement, read off two
+    // |columns|-row profiles.
+    QuerySpec("x142_profile_drift", (s, d) => {
+      val ev = t(s, d, "events")
+      graft.operators.Analytics.profileDrift(
+        ev.filter(col("ts") < lit("2024-01-22 00:00:00").cast("timestamp")),
+        ev, Seq("event_type", "user_id", "props"))
+        .orderBy("col_name")
+    },
+      Some("""WITH b AS (
+             |SELECT 'event_type' col_name,
+             |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) n_nulls,
+             |  CAST(count(DISTINCT event_type) AS BIGINT) n_distinct,
+             |  min(CAST(event_type AS VARCHAR)) min_val,
+             |  max(CAST(event_type AS VARCHAR)) max_val FROM events
+             |  WHERE ts < TIMESTAMP '2024-01-22'
+             |UNION ALL
+             |SELECT 'user_id' col_name,
+             |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) n_nulls,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) n_distinct,
+             |  min(CAST(user_id AS VARCHAR)) min_val,
+             |  max(CAST(user_id AS VARCHAR)) max_val FROM events
+             |  WHERE ts < TIMESTAMP '2024-01-22'
+             |UNION ALL
+             |SELECT 'props' col_name,
+             |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) n_nulls,
+             |  CAST(count(DISTINCT props) AS BIGINT) n_distinct,
+             |  min(CAST(props AS VARCHAR)) min_val,
+             |  max(CAST(props AS VARCHAR)) max_val FROM events
+             |  WHERE ts < TIMESTAMP '2024-01-22'),
+             |a AS (
+             |SELECT 'event_type' col_name,
+             |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) n_nulls,
+             |  CAST(count(DISTINCT event_type) AS BIGINT) n_distinct,
+             |  min(CAST(event_type AS VARCHAR)) min_val,
+             |  max(CAST(event_type AS VARCHAR)) max_val FROM events
+             |UNION ALL
+             |SELECT 'user_id' col_name,
+             |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) n_nulls,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) n_distinct,
+             |  min(CAST(user_id AS VARCHAR)) min_val,
+             |  max(CAST(user_id AS VARCHAR)) max_val FROM events
+             |UNION ALL
+             |SELECT 'props' col_name,
+             |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) n_nulls,
+             |  CAST(count(DISTINCT props) AS BIGINT) n_distinct,
+             |  min(CAST(props AS VARCHAR)) min_val,
+             |  max(CAST(props AS VARCHAR)) max_val FROM events)
+             |SELECT b.col_name col_name,
+             |  b.n_nulls nulls_before, a.n_nulls nulls_after,
+             |  CAST(a.n_nulls - b.n_nulls AS BIGINT) nulls_delta,
+             |  b.n_distinct distinct_before, a.n_distinct distinct_after,
+             |  CAST(a.n_distinct - b.n_distinct AS BIGINT) distinct_delta,
+             |  (a.min_val IS DISTINCT FROM b.min_val) OR
+             |    (a.max_val IS DISTINCT FROM b.max_val) range_moved
+             |FROM b JOIN a ON b.col_name = a.col_name
+             |ORDER BY col_name""".stripMargin)),
+
+    // Streaming variance spectrum (st27): per-dim moment triples as
+    // mergeable stream state, scree ranking batch-side — graded on
+    // x129's oracle verbatim.
+    QuerySpec("st27_stream_variance_spectrum", (s, d) => {
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runStreamingVarianceSpectrumAvailableNow(s, d,
+        "embeddings.parquet", schema, "embedding",
+        s"graft_vspec_$run", ckpt)
+        .orderBy("rnk")
+    },
+      Some(varianceSpectrumOracleSql))
   )
 }

@@ -1432,6 +1432,61 @@ object Streams {
     * in, instead of auditing after the write. Shares (the only doubles)
     * are finalized batch-side over the |shards|-row sink.
     */
+  /** Streaming variance spectrum — the streaming twin of
+    * [[graft.operators.SimilarityOps.varianceSpectrum]]: per-dimension
+    * (n, Σv, Σv²) moment triples are the mergeable stream state (|dims|
+    * rows — commutative double sums whose batch-side finalization rounds
+    * variance to 6 dp before ranking, absorbing accumulation-order noise
+    * exactly as the batch operator does), and the scree
+    * ranking/cumulation runs batch-side over the census. A live embedding
+    * firehose gets a continuously-current scree plot without rescanning
+    * the corpus.
+    */
+  def runStreamingVarianceSpectrumAvailableNow(spark: SparkSession,
+                                               dir: String, glob: String,
+                                               schema: StructType,
+                                               vecCol: String,
+                                               sinkName: String,
+                                               checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = raw
+        .filter(col(vecCol).isNotNull)
+        .select(posexplode(col(vecCol)).as(Seq("__p", "__vf")))
+        .select(col("__p").cast("long").as("dim"),
+          col("__vf").cast("double").as("__v"))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"), sum(col("__v")).as("__s1"),
+          sum(col("__v") * col("__v")).as("__s2"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val perDim = detachSink(spark, sinkName, checkpoint)
+        .select(col("dim"), col("n"),
+          round(col("__s2") / col("n") -
+            (col("__s1") / col("n")) * (col("__s1") / col("n")), 6)
+            .as("variance"))
+        .withColumn("__v6", round(col("variance") * 1e6).cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("variance").desc, col("dim").asc)
+      val cum = org.apache.spark.sql.expressions.Window
+        .orderBy(col("variance").desc, col("dim").asc)
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val tot = perDim.agg(sum(col("__v6")).as("__tot"))
+      perDim.crossJoin(broadcast(tot))
+        .select(col("dim"), col("n"), col("variance"),
+          row_number().over(w).cast("long").as("rnk"),
+          round(sum(col("__v6")).over(cum).cast("double") /
+            col("__tot").cast("double"), 6).as("cum_share"))
+    }
+
   /** Streaming benchmark decontamination — the streaming twin of
     * [[graft.operators.TextOps.contaminationHits]]: the benchmark's
     * distinct shingle set is static (tiny — it broadcasts), each arriving

@@ -118,6 +118,21 @@ class PipelineAuditSpec extends SparkSpec {
     assert(out == (4L, 11L, 0.454545, 0.727273, 1.0))
   }
 
+  test("profileDrift: null/distinct deltas per column, range_moved only " +
+    "when the lexical domain shifts") {
+    val before = Seq((Some("a"), 1L), (Some("b"), 2L), (None, 2L))
+      .toDF("s", "n")
+    val after = Seq((Some("a"), 1L), (Some("b"), 2L), (None, 2L),
+      (None, 9L)).toDF("s", "n")
+    val out = Analytics.profileDrift(before, after, Seq("s", "n"))
+      .orderBy("col_name")
+      .as[(String, Long, Long, Long, Long, Long, Long, Boolean)]
+      .collect().toSeq
+    assert(out == Seq(
+      ("n", 0L, 0L, 0L, 2L, 3L, 1L, true),   // max "2" -> "9"
+      ("s", 1L, 2L, 1L, 2L, 2L, 0L, false))) // domain {a,b} unchanged
+  }
+
   test("jaccardThresholdCurve: monotone counts from one pass, zero row " +
     "for a tau above every pair") {
     val docs = Seq(
