@@ -1775,7 +1775,10 @@ object Analytics {
     * first/last over the UNBOUNDED-PRECEDING…1-PRECEDING frame read both
     * touches in the same sort. The census is |channels|-sized. Value is
     * held in exact integer cents (null value → 0); the only doubles are
-    * the two final rounded shares.
+    * the two final rounded shares. A preceding touch whose state is NULL
+    * also credits "(direct)" — an untyped touch carries no channel, and
+    * folding it into the fallback keeps every conversion accounted for
+    * exactly once in both models.
     */
   def touchAttribution(events: DataFrame, entityCol: String, tsCol: String,
                        idCol: String, stateCol: String, valueCol: String,

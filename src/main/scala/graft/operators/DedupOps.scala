@@ -865,7 +865,10 @@ object DedupOps {
     * near-dup pair generation upstream is the expensive part and is
     * already banded/bucketed by its family. Cell keys are canonicalized
     * (lexicographic least/greatest) so (train,val) and (val,train)
-    * collapse into one cell regardless of pair orientation.
+    * collapse into one cell regardless of pair orientation. Pairs whose
+    * members carry no assignment row (or a NULL split) drop via the
+    * inner joins — an unassigned document is outside the split universe
+    * and cannot leak across it.
     */
   def splitLeakage(pairs: DataFrame, aCol: String, bCol: String,
                    assignments: DataFrame, idCol: String,
@@ -897,6 +900,9 @@ object DedupOps {
     *
     * Output: (id_a, id_b, name_a, name_b, dist) with id_a < id_b —
     * feed [[dedupResolution]] to turn pairs into survivor decisions.
+    * Rows with a NULL id, name, or blocking key cannot be compared and
+    * are excluded up front (a NULL block equals no block, per SQL join
+    * semantics — not a wildcard).
     */
   def blockedLinkage(df: DataFrame, idCol: String, nameCol: String,
                      blockCols: Seq[String], maxDist: Int,

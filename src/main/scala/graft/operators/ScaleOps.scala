@@ -743,7 +743,10 @@ object ScaleOps {
     * equal-weight files/streams. md5 (not a partitioner-internal hash)
     * makes the assignment portable: any engine, any future run, any
     * resharding job computes the same route for the same id, so shards
-    * are append-stable across snapshots.
+    * are append-stable across snapshots. Rows with a NULL id land in a
+    * visible NULL-shard row (an id-quality bug belongs in the audit, not
+    * silently re-routed); NULL sizes count toward n_rows but add no
+    * bytes.
     *
     * Cost: one scan + one |shards|-sized aggregation (map-side partials);
     * the route expression itself is the write-path `partitionBy` key at
@@ -773,7 +776,9 @@ object ScaleOps {
     * that tells you whether length-grouped batching is worth the shuffle
     * vs padding everything to the global max. Integer-only arithmetic
     * (cap = ((n+step−1) ÷ step)·step in BIGINTs); the one double is the
-    * final rounded efficiency. One scan, |buckets|-sized census.
+    * final rounded efficiency. One scan, |buckets|-sized census. Rows
+    * with NULL or non-positive token counts are excluded — an empty
+    * document occupies no batch slot and has no pad target.
     */
   def paddingEfficiency(df: DataFrame, tokenCountCol: String,
                         bucketStep: Int): DataFrame = {
@@ -798,7 +803,9 @@ object ScaleOps {
     * per-key row counts, and skew factor max/mean. A skew factor near 1
     * means hash partitioning balances; ≫ 32 (the partition count) means
     * one reducer owns the heaviest key no matter how many partitions you
-    * add, and the write-up's salting path is required.
+    * add, and the write-up's salting path is required. NULL keys are
+    * excluded — they hash to one partition like any value, but their
+    * grouping semantics are the caller's policy, not a skew fact.
     *
     * Two aggregations: row-scale → |keys|-sized census, then census → one
     * row. Exact percentiles are the order statistic at ceil(q·n) over the
@@ -823,7 +830,9 @@ object ScaleOps {
     * one-row reduce — never materializes the join it predicts. All counts
     * and pair products are exact BIGINTs (a_k, b_k ≤ rows; a_k·b_k ≤
     * rows² — fits i64 until ~3·10⁹ rows per key per side, far past any
-    * per-key population that survives a sane pipeline).
+    * per-key population that survives a sane pipeline). NULL join keys
+    * are excluded on both sides (SQL equi-joins never match them);
+    * disjoint key sets report exact_join_rows = 0, top_key_share = 0.
     */
   def joinCardinalityAudit(left: DataFrame, right: DataFrame,
                            keyCol: String): DataFrame = {
@@ -833,9 +842,12 @@ object ScaleOps {
       .groupBy(col(keyCol)).agg(count(lit(1)).as("__b"))
     val at = a.agg(sum(col("__a")).as("__ra"), count(lit(1)).as("__nda"))
     val bt = b.agg(sum(col("__b")).as("__rb"), count(lit(1)).as("__ndb"))
+    // coalesce: disjoint key sets leave the inner census join empty, and
+    // the audit must report exact_join_rows = 0, not a null row
     a.join(b, keyCol)
-      .agg(sum(col("__a") * col("__b")).as("exact_join_rows"),
-        max(col("__a") * col("__b")).as("top_key_pairs"))
+      .agg(coalesce(sum(col("__a") * col("__b")), lit(0L))
+          .as("exact_join_rows"),
+        coalesce(max(col("__a") * col("__b")), lit(0L)).as("top_key_pairs"))
       .crossJoin(broadcast(at)).crossJoin(broadcast(bt))
       .select(col("__ra").as("rows_a"), col("__rb").as("rows_b"),
         col("__nda").as("nd_a"), col("__ndb").as("nd_b"),
@@ -847,8 +859,10 @@ object ScaleOps {
           (col("__ra").cast("double") * col("__rb").cast("double") /
             greatest(col("__nda"), col("__ndb")).cast("double")), 4)
           .as("est_ratio"),
-        round(col("top_key_pairs").cast("double") /
-          col("exact_join_rows").cast("double"), 6).as("top_key_share"))
+        when(col("exact_join_rows") > 0,
+          round(col("top_key_pairs").cast("double") /
+            col("exact_join_rows").cast("double"), 6))
+          .otherwise(lit(0.0)).as("top_key_share"))
   }
 
   def keySkewAudit(df: DataFrame, keyCol: String): DataFrame =

@@ -1021,6 +1021,9 @@ object TextOps {
     * fold state is O(docs-per-source) arrays; at 100 TB thin the curve
     * to every kth doc (the fit needs points, not every doc) — the
     * first-occurrence census itself stays one aggregation at any scale.
+    * Documents with no tokens (empty/NULL text) contribute no curve
+    * point — T is undefined there, and a zero-token doc moves neither
+    * cumulative axis.
     */
   def heapsLaw(docs: DataFrame, srcCol: String, idCol: String,
                textCol: String): DataFrame = {
