@@ -118,6 +118,34 @@ class PipelineAuditSpec extends SparkSpec {
     assert(out == (4L, 11L, 0.454545, 0.727273, 1.0))
   }
 
+  test("plan shapes: shard/padding audits are pure aggregations (one " +
+    "exchange, no join); attribution joins its censuses via broadcast") {
+    val docs = (0L until 200L).map(i => (i, s"w$i", 10L + i))
+      .toDF("id", "txt", "sz")
+    val shardPlan = ScaleOps.hashShardBalance(docs, "id", "sz", "s:", 4)
+      .queryExecution.executedPlan.toString
+    // one hashpartitioning exchange for the shard census; the totals side
+    // reaches the cross join as a broadcast, never a shuffle join
+    assert(shardPlan.contains("Exchange hashpartitioning"))
+    assert(!shardPlan.contains("SortMergeJoin"),
+      s"shard balance must not sort-merge join:\n$shardPlan")
+    val padPlan = ScaleOps.paddingEfficiency(
+      docs.select(col("sz").as("tok")), "tok", 64)
+      .queryExecution.executedPlan.toString
+    assert(!padPlan.contains("Join"),
+      s"padding audit is join-free:\n$padPlan")
+    val ev = Seq((1L, "2024-01-01 00:00:01", 1L, "a", 1.0))
+      .toDF("u", "d", "id", "et", "v")
+      .withColumn("ts", col("d").cast("timestamp"))
+    val attrPlan = Analytics.touchAttribution(ev, "u", "ts", "id", "et",
+      "v", "a").queryExecution.executedPlan.toString
+    assert(attrPlan.contains("BroadcastNestedLoopJoin") ||
+      attrPlan.contains("BroadcastExchange"),
+      s"attribution totals must broadcast:\n$attrPlan")
+    assert(attrPlan.contains("Window"),
+      s"attribution reads touches from one window pass:\n$attrPlan")
+  }
+
   test("profileDrift: null/distinct deltas per column, range_moved only " +
     "when the lexical domain shifts") {
     val before = Seq((Some("a"), 1L), (Some("b"), 2L), (None, 2L))
