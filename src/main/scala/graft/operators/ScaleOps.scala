@@ -796,6 +796,48 @@ object ScaleOps {
           col("padded_tokens").cast("double"), 6))
   }
 
+  /** Distribution-matching rejection sample — flatten a skewed bucket mix
+    * to UNIFORM over its observed buckets (the resampling a training
+    * pipeline runs when one length/domain bucket dominates): each bucket
+    * keeps its rows with probability r_b = min(1, (C/k)/c_b), so every
+    * bucket lands at ≈ C/k rows (over-represented buckets thin, rare
+    * buckets survive whole — rejection can only REMOVE). Acceptance is
+    * [[hashUniform]]-deterministic per id: the same row decides the same
+    * way on any engine, any run, any partitioning — reproducible and
+    * incremental-append-stable, unlike RNG sampling.
+    *
+    * One census (map-side combinable), rates broadcast back onto the
+    * corpus (the x40 census-broadcast shape — no corpus shuffle), one
+    * |buckets|-sized output census. The FILTER uses the unrounded rate;
+    * the reported acc_rate is rounded for display only.
+    */
+  def uniformRejectionSample(df: DataFrame, bucketCol: String,
+                             idCol: String, salt: String): DataFrame = {
+    val census = df.filter(col(bucketCol).isNotNull)
+      .groupBy(col(bucketCol)).agg(count(lit(1)).as("__c"))
+    // C and k via one unbounded window over the |buckets|-row census (a
+    // census.agg + crossJoin-back would embed the census subtree twice
+    // and trip Spark's ambiguous-lineage resolution)
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val rates = census.select(col(bucketCol), col("__c"),
+      least(lit(1.0), sum(col("__c")).over(wAll).cast("double") /
+        (count(lit(1)).over(wAll) * col("__c")).cast("double")).as("__r"))
+    // disambiguate the shared `rates` lineage before the final join: the
+    // kept census re-embeds rates' subtree, so bare __c/__r would resolve
+    // ambiguously in the closing select
+    val ratesOut = rates.select(col(bucketCol), col("__c").as("__before"),
+      col("__r").as("__rate"))
+    val kept = df.filter(col(bucketCol).isNotNull)
+      .join(broadcast(rates.select(col(bucketCol), col("__r"))), bucketCol)
+      .filter(hashUniform(col(idCol), salt) < col("__r"))
+      .groupBy(col(bucketCol)).agg(count(lit(1)).as("n_after"))
+    ratesOut.join(kept, Seq(bucketCol), "left")
+      .select(col(bucketCol), col("__before").as("n_before"),
+        round(col("__rate"), 6).as("acc_rate"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+  }
+
   /** Shuffle-key skew audit — the diagnostic run BEFORE choosing between
     * a plain `groupBy`, [[saltedSum]], or [[withAqeSkewJoin]]: the per-key
     * row census reduced to the numbers that predict reducer behaviour —

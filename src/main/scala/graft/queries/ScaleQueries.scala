@@ -5681,6 +5681,49 @@ object ScaleQueries {
         s"graft_vspec_$run", ckpt)
         .orderBy("rnk")
     },
-      Some(varianceSpectrumOracleSql))
+      Some(varianceSpectrumOracleSql)),
+
+    // Distribution-matching rejection sample (x143): flatten the 64-cap
+    // length-bucket mix to uniform via md5-deterministic per-row
+    // acceptance — the length-rebalancing resample, reproducible on any
+    // engine; per-bucket before/rate/after census out.
+    QuerySpec("x143_distribution_match", (s, d) => {
+      val n = TextOps.tokenCount(col("text")).cast("long")
+      val cap = ((n + lit(63L)) / lit(64L)).cast("long") * lit(64L)
+      val docs = t(s, d, "documents").filter(col("text").isNotNull)
+        .filter(n > 0)
+        .select(col("doc_id"), cap.as("bucket_cap"))
+      graft.operators.ScaleOps.uniformRejectionSample(docs, "bucket_cap",
+        "doc_id", salt = "match:").orderBy("bucket_cap")
+    },
+      Some("""WITH d AS (SELECT doc_id, CAST(((n + 63) // 64) * 64
+             |      AS BIGINT) bucket_cap
+             |  FROM (SELECT doc_id, len(list_filter(
+             |      regexp_split_to_array(trim(text), '\s+'),
+             |      x -> length(x) > 0)) n
+             |    FROM documents WHERE text IS NOT NULL)
+             |  WHERE n > 0),
+             |c AS (SELECT bucket_cap, CAST(count(*) AS BIGINT) c
+             |  FROM d GROUP BY 1),
+             |t AS (SELECT CAST(sum(c) AS BIGINT) tc,
+             |    CAST(count(*) AS BIGINT) k FROM c),
+             |r AS (SELECT bucket_cap, c, least(1.0, CAST(tc AS DOUBLE) /
+             |    CAST(k * c AS DOUBLE)) r FROM c CROSS JOIN t),
+             |u AS (SELECT doc_id, bucket_cap,
+             |    CAST(list_reduce(list_transform(range(1, 9),
+             |      i -> CAST(strpos('0123456789abcdef',
+             |        substr(md5('match:' || CAST(doc_id AS VARCHAR)),
+             |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |      (a, b) -> a*16 + b) AS DOUBLE) / 4294967296.0 uv
+             |  FROM d),
+             |kept AS (SELECT u.bucket_cap, CAST(count(*) AS BIGINT)
+             |    n_after
+             |  FROM u JOIN r ON u.bucket_cap = r.bucket_cap
+             |  WHERE uv < r.r GROUP BY 1)
+             |SELECT r.bucket_cap bucket_cap, c n_before,
+             |  round(r, 6) acc_rate,
+             |  CAST(coalesce(n_after, 0) AS BIGINT) n_after
+             |FROM r LEFT JOIN kept ON r.bucket_cap = kept.bucket_cap
+             |ORDER BY bucket_cap""".stripMargin))
   )
 }

@@ -118,6 +118,22 @@ class PipelineAuditSpec extends SparkSpec {
     assert(out == (4L, 11L, 0.454545, 0.727273, 1.0))
   }
 
+  test("uniformRejectionSample: over-represented buckets thin toward " +
+    "C/k, rare buckets survive whole, rerun-deterministic") {
+    val df = ((1L to 90L).map(i => (i, "big")) ++
+      Seq((91L, "small"), (92L, "small"))).toDF("id", "b")
+    val out = ScaleOps.uniformRejectionSample(df, "b", "id", "s:")
+      .orderBy("b").as[(String, Long, Double, Long)].collect().toSeq
+    // C=92, k=2 -> target 46/bucket: big accepts at 46/90, small at 1.0
+    assert(out.map(r => (r._1, r._2, r._3)) ==
+      Seq(("big", 90L, 0.511111), ("small", 2L, 1.0)))
+    assert(out(1)._4 == 2L)                  // rare bucket kept whole
+    assert(out(0)._4 > 20L && out(0)._4 < 70L) // thinned near 46
+    val again = ScaleOps.uniformRejectionSample(df, "b", "id", "s:")
+      .orderBy("b").as[(String, Long, Double, Long)].collect().toSeq
+    assert(out == again)
+  }
+
   test("plan shapes: shard/padding audits are pure aggregations (one " +
     "exchange, no join); attribution joins its censuses via broadcast") {
     val docs = (0L until 200L).map(i => (i, s"w$i", 10L + i))
