@@ -177,6 +177,27 @@ object ScaleQueries {
       |    CAST(tot AS DOUBLE), 6) cum_share
       |FROM f CROSS JOIN t ORDER BY rnk""".stripMargin
 
+  /** Shared by x12b (batch) and st28 (streaming): one output contract —
+    * per-image P6 header + RGB-mean features recomputed from the
+    * generating formula — so both grade against the identical oracle.
+    */
+  private val ppmDecodeOracleSql: String =
+    """WITH dims AS (SELECT doc_id, 1 + doc_id % 8 w, 1 + doc_id % 6 h
+      |  FROM documents),
+      |m AS (SELECT doc_id, w, h,
+      |  list_sum(list_transform(range(0, w*h),
+      |    i -> (doc_id*7 + (3*i)*13) % 256)) rs,
+      |  list_sum(list_transform(range(0, w*h),
+      |    i -> (doc_id*7 + (3*i+1)*13) % 256)) gs,
+      |  list_sum(list_transform(range(0, w*h),
+      |    i -> (doc_id*7 + (3*i+2)*13) % 256)) bs
+      |  FROM dims)
+      |SELECT doc_id, CAST(w AS INT) ppm_width, CAST(h AS INT) ppm_height,
+      |  round(CAST(rs AS DOUBLE)/(w*h), 6) r_mean,
+      |  round(CAST(gs AS DOUBLE)/(w*h), 6) g_mean,
+      |  round(CAST(bs AS DOUBLE)/(w*h), 6) b_mean
+      |FROM m ORDER BY doc_id""".stripMargin
+
   /** Shared by x21 (batch) and st26 (streaming): one output contract —
     * per-candidate-doc distinct contaminated 4-gram counts against the
     * doc_id % 97 benchmark slice — so both grade against the identical
@@ -1394,21 +1415,7 @@ object ScaleQueries {
           round(col("b_mean"), 6).as("b_mean"))
         .orderBy("doc_id")
     },
-      Some("""WITH dims AS (SELECT doc_id, 1 + doc_id % 8 w, 1 + doc_id % 6 h
-             |  FROM documents),
-             |m AS (SELECT doc_id, w, h,
-             |  list_sum(list_transform(range(0, w*h),
-             |    i -> (doc_id*7 + (3*i)*13) % 256)) rs,
-             |  list_sum(list_transform(range(0, w*h),
-             |    i -> (doc_id*7 + (3*i+1)*13) % 256)) gs,
-             |  list_sum(list_transform(range(0, w*h),
-             |    i -> (doc_id*7 + (3*i+2)*13) % 256)) bs
-             |  FROM dims)
-             |SELECT doc_id, CAST(w AS INT) ppm_width, CAST(h AS INT) ppm_height,
-             |  round(CAST(rs AS DOUBLE)/(w*h), 6) r_mean,
-             |  round(CAST(gs AS DOUBLE)/(w*h), 6) g_mean,
-             |  round(CAST(bs AS DOUBLE)/(w*h), 6) b_mean
-             |FROM m ORDER BY doc_id""".stripMargin)),
+      Some(ppmDecodeOracleSql)),
 
     // Perceptual-hash near-dup over DECODED image bytes (x52, r6 VERDICT
     // item 5): a synthetic image corpus — every doc a P6 + a "tiny"
@@ -5724,6 +5731,27 @@ object ScaleQueries {
              |  round(r, 6) acc_rate,
              |  CAST(coalesce(n_after, 0) AS BIGINT) n_after
              |FROM r LEFT JOIN kept ON r.bucket_cap = kept.bucket_cap
-             |ORDER BY bucket_cap""".stripMargin))
+             |ORDER BY bucket_cap""".stripMargin)),
+
+    // Streaming multimodal decode (st28): x12b's P6 parse + RGB features
+    // run statelessly per arriving blob (append, no state store) — media
+    // featurization at ingest; graded on x12b's oracle verbatim.
+    QuerySpec("st28_stream_ppm_decode", (s, d) => {
+      val ids = t(s, d, "documents").select("doc_id")
+      val media = Multimodal.synthPpm(ids, "doc_id")
+      val run = streamRun.incrementAndGet()
+      val base = java.nio.file.Files.createTempDirectory("graft_stppm")
+        .toString
+      media.repartition(3).write.parquet(s"$base/in")
+      val stream = s.readStream.schema(media.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      val out = Streams.runStreamingPpmDecodeAvailableNow(s, stream,
+        "doc_id", s"graft_stppm_$run", s"$base/ckpt")
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out.orderBy("doc_id")
+    },
+      Some(ppmDecodeOracleSql))
   )
 }

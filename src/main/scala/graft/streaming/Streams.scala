@@ -1432,6 +1432,35 @@ object Streams {
     * in, instead of auditing after the write. Shares (the only doubles)
     * are finalized batch-side over the |shards|-row sink.
     */
+  /** Streaming multimodal decode — the streaming twin of
+    * [[graft.operators.Multimodal.decodePpm]] over a binary-media
+    * firehose: each arriving blob is parsed and feature-extracted
+    * STATELESSLY (the mapPartitions codec runs per micro-batch, append
+    * output, no state store at all), so ingest-time media featurization
+    * is exactly the batch decode sliced by arrival. Corrupt blobs
+    * null-feature per the codec's contract instead of failing the
+    * stream. Takes a pre-built streaming Dataset (the caller owns the
+    * source shape, like [[runStreamingSimhashAvailableNow]]).
+    */
+  def runStreamingPpmDecodeAvailableNow(spark: SparkSession,
+                                        stream: DataFrame, idCol: String,
+                                        sinkName: String,
+                                        checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val q = graft.operators.Multimodal.decodePpm(stream)
+        .select(col(idCol), col("ppm_width"), col("ppm_height"),
+          round(col("r_mean"), 6).as("r_mean"),
+          round(col("g_mean"), 6).as("g_mean"),
+          round(col("b_mean"), 6).as("b_mean"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      detachSink(spark, sinkName, checkpoint)
+    }
+
   /** Streaming variance spectrum — the streaming twin of
     * [[graft.operators.SimilarityOps.varianceSpectrum]]: per-dimension
     * (n, Σv, Σv²) moment triples are the mergeable stream state (|dims|
