@@ -280,4 +280,51 @@ object GraphOps {
     releaseE()
     out
   }
+
+  /** Degree assortativity coefficient (Newman 2002): the Pearson
+    * correlation of endpoint degrees over the directed edge list (each
+    * undirected edge counted in both orientations — the standard
+    * convention, making the measure symmetric). r > 0 means hubs attach
+    * to hubs (social-graph shape); r < 0 means hubs attach to leaves
+    * (bipartite/star shape, typical of customer↔supplier trade graphs).
+    * The one-number structure screen run before committing to a graph
+    * algorithm whose cost model assumes one shape or the other.
+    *
+    * Exact BIGINT sufficient statistics (degrees are integers, so all
+    * five OLS sums are exact — the x83/x120 Pearson pattern): one degree
+    * census, one broadcast-back join, one single-row reduce. The only
+    * doubles are the two separately-rooted variance factors and the final
+    * rounded division.
+    */
+  def assortativity(edges: DataFrame, srcCol: String,
+                    dstCol: String): DataFrame = {
+    val canon = edges
+      .select(col(srcCol).cast("string").as("__a"),
+        col(dstCol).cast("string").as("__b"))
+      .filter(col("__a").isNotNull && col("__b").isNotNull &&
+        col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("__u"),
+        greatest(col("__a"), col("__b")).as("__v"))
+      .distinct()
+    val both = canon.union(canon.select(col("__v").as("__u"),
+      col("__u").as("__v")))
+    val deg = both.groupBy(col("__u").as("node"))
+      .agg(count(lit(1)).as("__d"))
+    both
+      .join(deg.select(col("node").as("__u"), col("__d").as("__x")), "__u")
+      .join(deg.select(col("node").as("__v"), col("__d").as("__y")), "__v")
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .select(col("__n").as("n_directed_edges"),
+        round(
+          (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") /
+            (sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+              .cast("double")) *
+             sqrt((col("__n") * col("__syy") - col("__sy") * col("__sy"))
+               .cast("double"))), 4).as("assortativity"))
+  }
 }

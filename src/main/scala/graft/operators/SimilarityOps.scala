@@ -823,6 +823,40 @@ object SimilarityOps {
     * share divides exact fixed-point BIGINT sums of the rounded
     * variances, so both engines cumulate identical integers.
     */
+  /** Mutual nearest neighbors — the alignment/matching primitive (the
+    * reciprocal-best-match criterion of bilingual-lexicon induction and
+    * cross-corpus record alignment): pair (a, b) survives iff b is a's
+    * best non-self neighbor AND a is b's — the strictest symmetric
+    * evidence two embeddings describe the same thing. Built on the shared
+    * [[annJoin]] probe/assign machinery (k = 2 so the self-match, always
+    * rank 1 at sim 1.0, can be discarded), so neighbor search is IVF-
+    * approximate exactly like the production path; the x7/x51 rounding +
+    * id tie-break conventions make the match set engine-reproducible.
+    *
+    * Output: (id_a, id_b, score) with id_a < id_b — each mutual pair
+    * once. Cost = one annJoin (no cartesian, per-query WindowGroupLimit)
+    * + one self-equi-join of the |population|-row best-match list.
+    */
+  def mutualNearestNeighbors(vectors: DataFrame, idCol: String,
+                             vecCol: String, centroids: DataFrame,
+                             centIdCol: String, centVecCol: String,
+                             nprobe: Int): DataFrame = {
+    val ann = annJoin(vectors, idCol, vecCol, vectors, idCol, vecCol,
+      centroids, centIdCol, centVecCol, k = 2, nprobe)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    val best = ann.filter(col("neighbor_id") =!= col("query_id"))
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") === 1)
+      .select(col("query_id"), col("neighbor_id"), col("score"))
+    best.as("l").join(best.as("r"),
+        col("l.query_id") === col("r.neighbor_id") &&
+          col("l.neighbor_id") === col("r.query_id") &&
+          col("l.query_id") < col("r.query_id"))
+      .select(col("l.query_id").as("id_a"),
+        col("l.neighbor_id").as("id_b"), col("l.score").as("score"))
+  }
+
   /** ANN recall audit — the number that justifies (or rejects) an nprobe
     * setting: recall@k of the IVF-probed search ([[annJoin]]) against the
     * exact brute-force top-k, per query, over a query SAMPLE. Run this on

@@ -5752,6 +5752,85 @@ object ScaleQueries {
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       out.orderBy("doc_id")
     },
-      Some(ppmDecodeOracleSql))
+      Some(ppmDecodeOracleSql)),
+
+    // Degree assortativity (x144): Newman's r over the customer↔supplier
+    // trade graph — the one-number structure screen (bipartite trade
+    // graphs run disassortative); exact BIGINT Pearson sums.
+    QuerySpec("x144_assortativity", (s, d) => {
+      val pairs = t(s, d, "orders")
+        .join(t(s, d, "lineitem"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("a"),
+          concat(lit("s"), col("l_suppkey")).as("b"))
+        .distinct()
+      graft.operators.GraphOps.assortativity(pairs, "a", "b")
+    },
+      Some("""WITH pairs AS (SELECT DISTINCT
+             |    'c' || CAST(o_custkey AS VARCHAR) a,
+             |    's' || CAST(l_suppkey AS VARCHAR) b
+             |  FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+             |canon AS (SELECT DISTINCT least(a, b) u, greatest(a, b) v
+             |  FROM pairs WHERE a <> b),
+             |bi AS (SELECT u, v FROM canon
+             |  UNION ALL SELECT v, u FROM canon),
+             |deg AS (SELECT u node, CAST(count(*) AS BIGINT) d FROM bi
+             |  GROUP BY 1),
+             |j AS (SELECT CAST(count(*) AS BIGINT) n,
+             |    CAST(sum(dx.d) AS BIGINT) sx,
+             |    CAST(sum(dy.d) AS BIGINT) sy,
+             |    CAST(sum(dx.d*dy.d) AS BIGINT) sxy,
+             |    CAST(sum(dx.d*dx.d) AS BIGINT) sxx,
+             |    CAST(sum(dy.d*dy.d) AS BIGINT) syy
+             |  FROM bi JOIN deg dx ON bi.u = dx.node
+             |  JOIN deg dy ON bi.v = dy.node)
+             |SELECT n n_directed_edges,
+             |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
+             |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+             |     sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 4) assortativity
+             |FROM j""".stripMargin)),
+
+    // Mutual nearest neighbors (x145): reciprocal-best-match pairs over
+    // the embedding population via the shared ANN probe/assign machinery
+    // (k = 2 discards the rank-1 self match) — the alignment primitive;
+    // x7/x51 rounding + tie-break conventions throughout.
+    QuerySpec("x145_mutual_nn", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val pop = emb.filter(col("vec_id") >= 16)
+      SimilarityOps.mutualNearestNeighbors(pop, "vec_id", "embedding",
+        cents, "cid", "cvec", nprobe = 4)
+        .orderBy("id_a", "id_b")
+    },
+      Some("""WITH cent AS (SELECT vec_id cid, embedding cvec
+             |  FROM embeddings WHERE vec_id < 16),
+             |pop AS (SELECT vec_id, embedding FROM embeddings
+             |  WHERE vec_id >= 16),
+             |assign AS (SELECT p.vec_id, p.embedding, c.cid centroid
+             |  FROM pop p CROSS JOIN cent c
+             |  QUALIFY row_number() OVER (PARTITION BY p.vec_id
+             |    ORDER BY list_cosine_similarity(p.embedding, c.cvec) DESC,
+             |      c.cid) = 1),
+             |probes AS (SELECT q.vec_id qid, c.cid
+             |  FROM pop q CROSS JOIN cent c
+             |  QUALIFY row_number() OVER (PARTITION BY q.vec_id
+             |    ORDER BY list_cosine_similarity(c.cvec, q.embedding) DESC,
+             |      c.cid) <= 4),
+             |top2 AS (SELECT p.qid, a.vec_id nid,
+             |    round(CAST(list_cosine_similarity(a.embedding,
+             |      q.embedding) AS DOUBLE), 4) score
+             |  FROM probes p JOIN assign a ON a.centroid = p.cid
+             |  JOIN pop q ON q.vec_id = p.qid
+             |  QUALIFY row_number() OVER (PARTITION BY p.qid
+             |    ORDER BY score DESC, a.vec_id) <= 2),
+             |best AS (SELECT qid, nid, score FROM (SELECT qid, nid, score,
+             |    row_number() OVER (PARTITION BY qid
+             |      ORDER BY score DESC, nid) rk2
+             |  FROM top2 WHERE nid <> qid) WHERE rk2 = 1)
+             |SELECT l.qid id_a, l.nid id_b, l.score score
+             |FROM best l JOIN best r ON l.qid = r.nid AND l.nid = r.qid
+             |  AND l.qid < r.qid
+             |ORDER BY id_a, id_b""".stripMargin))
   )
 }

@@ -118,6 +118,28 @@ class PipelineAuditSpec extends SparkSpec {
     assert(out == (4L, 11L, 0.454545, 0.727273, 1.0))
   }
 
+  test("assortativity: a star graph is perfectly disassortative (r = -1)") {
+    val edges = Seq(("h", "a"), ("h", "b"), ("h", "c")).toDF("s", "t")
+    val out = graft.operators.GraphOps.assortativity(edges, "s", "t")
+      .as[(Long, Double)].collect().head
+    assert(out == (6L, -1.0)) // 3 undirected edges -> 6 directed
+  }
+
+  test("mutualNearestNeighbors: reciprocal pairs only, self-match " +
+    "discarded, each pair emitted once") {
+    val vecs = Seq(
+      (16L, Seq(1.0f, 0.10f)), (17L, Seq(1.0f, 0.11f)), // mutual pair
+      (18L, Seq(0.10f, 1.0f)), (19L, Seq(0.12f, 1.0f)), // mutual pair
+      (20L, Seq(-1.0f, -1.0f))                           // nobody's best
+    ).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(0.0f, 1.0f)))
+      .toDF("cid", "cvec")
+    val out = SimilarityOps.mutualNearestNeighbors(vecs, "vec_id",
+      "embedding", cents, "cid", "cvec", nprobe = 2)
+      .orderBy("id_a").as[(Long, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) == Seq((16L, 17L), (18L, 19L)))
+  }
+
   test("uniformRejectionSample: over-represented buckets thin toward " +
     "C/k, rare buckets survive whole, rerun-deterministic") {
     val df = ((1L to 90L).map(i => (i, "big")) ++
