@@ -1001,6 +1001,53 @@ object TextOps {
           col("total_tokens").cast("double"), 6).as(s"coverage_$k")): _*)
   }
 
+  /** Content-defined chunking (the Rabin/FastCDC family, at character
+    * granularity): a chunk boundary falls after position p whenever the
+    * polynomial hash of the `window` characters ending at p has its low
+    * `maskBits` bits zero — so boundaries depend ONLY on local content.
+    * That is the property fixed-stride chunking ([[chunkText]]) lacks:
+    * insert one character early in a document and every fixed-stride
+    * chunk after it changes, but CDC boundaries re-synchronize within a
+    * window, leaving all later chunks byte-identical — which is what
+    * makes chunk-level dedup across document revisions actually hit.
+    * Expected chunk length ≈ 2^maskBits characters.
+    *
+    * Pure per-row expression work (codegen-free HOFs, but the char array
+    * is [[letArray]]-bound once and every inner reference is a lambda
+    * variable): O(len·window) integer ops per document, map-side at scan
+    * speed, no shuffle — the same scale shape as [[chunkText]]. All
+    * arithmetic is exact BIGINT mod 1e9+7, so chunk boundaries are
+    * bit-reproducible on any engine.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
+                window: Int = 8, maskBits: Int = 6): DataFrame = {
+    require(window >= 1 && maskBits >= 1,
+      s"window and maskBits must be >= 1 (got $window, $maskBits)")
+    val mod = lit(1000000007L)
+    val spans = letArray(filter(split(col(textCol), ""),
+      c => length(c) > 0), { cs =>
+      val n = size(cs)
+      val bounds = filter(
+        when(n >= window, sequence(lit(window), n))
+          .otherwise(array().cast("array<int>")),
+        p => pmod(aggregate(sequence(lit(1), lit(window)), lit(0L),
+          (acc, j) => pmod(acc * 31 +
+            ascii(element_at(cs, (p + j - window).cast("int"))), mod)),
+          lit(1L << maskBits)) === 0)
+      val starts = concat(array(lit(0)), bounds)
+      val ends = concat(bounds, array(n))
+      zip_with(starts, ends, (s, e) => struct(s.as("s"), e.as("e"),
+        array_join(slice(cs, s + 1, e - s), "").as("txt")))
+    })
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol), posexplode(spans).as(Seq("chunk_idx", "__sp")))
+      .filter(col("__sp.e") > col("__sp.s"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("__sp.s").cast("long").as("chunk_start"),
+        (col("__sp.e") - col("__sp.s")).cast("long").as("chunk_chars"),
+        col("__sp.txt").as("chunk_text"))
+  }
+
   /** Heaps'-law vocabulary-growth fit per source — [[zipfSlope]]'s
     * companion: V(T) ≈ K·T^β, where T is tokens seen and V distinct
     * vocabulary. β per source is the dedup-need forecast (β near 1 ⇒

@@ -5831,6 +5831,36 @@ object ScaleQueries {
              |SELECT l.qid id_a, l.nid id_b, l.score score
              |FROM best l JOIN best r ON l.qid = r.nid AND l.nid = r.qid
              |  AND l.qid < r.qid
-             |ORDER BY id_a, id_b""".stripMargin))
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Content-defined chunking (x146): Rabin-style boundaries wherever
+    // the rolling window hash masks to zero — revision-stable chunk
+    // dedup, ~64-char expected chunks; exact integer hash both engines.
+    QuerySpec("x146_cdc_chunking", (s, d) =>
+      TextOps.cdcChunks(t(s, d, "documents"), "doc_id", "text",
+        window = 8, maskBits = 6)
+        .orderBy("doc_id", "chunk_idx"),
+      Some("""WITH t AS (SELECT doc_id, text, length(text) n
+             |  FROM documents WHERE text IS NOT NULL),
+             |b AS (SELECT doc_id, text, n,
+             |    list_filter(range(8, n + 1), p ->
+             |      list_reduce(list_transform(range(1, 9),
+             |        j -> CAST(ascii(substr(text,
+             |          CAST(p - 8 + j AS INT), 1)) AS BIGINT)),
+             |        (a, c) -> (a * 31 + c) % 1000000007) % 64 = 0)
+             |      bounds FROM t),
+             |s AS (SELECT doc_id, text, n, [0] || bounds starts,
+             |    bounds || [n] ends FROM b),
+             |c AS (SELECT doc_id, text, unnest(list_transform(
+             |    range(0, len(starts)),
+             |    i -> {'i': i, 's': starts[CAST(i + 1 AS INT)],
+             |          'e': ends[CAST(i + 1 AS INT)]})) z FROM s)
+             |SELECT doc_id, CAST(z.i AS BIGINT) chunk_idx,
+             |  CAST(z.s AS BIGINT) chunk_start,
+             |  CAST(z.e - z.s AS BIGINT) chunk_chars,
+             |  substr(text, CAST(z.s + 1 AS INT), CAST(z.e - z.s AS INT))
+             |    chunk_text
+             |FROM c WHERE z.e > z.s
+             |ORDER BY doc_id, chunk_idx""".stripMargin))
   )
 }

@@ -118,6 +118,27 @@ class PipelineAuditSpec extends SparkSpec {
     assert(out == (4L, 11L, 0.454545, 0.727273, 1.0))
   }
 
+  test("cdcChunks: chunks reconstruct the document, and boundaries " +
+    "re-synchronize after an insertion (the CDC property)") {
+    // deterministic pseudo-random text so mask-6 boundaries exist
+    val rnd = new scala.util.Random(7)
+    val base = (1 to 400).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val edited = base.substring(0, 10) + "INSERT" + base.substring(10)
+    val df = Seq((1L, base), (2L, edited)).toDF("id", "text")
+    val chunks = TextOps.cdcChunks(df, "id", "text")
+      .orderBy("id", "chunk_idx")
+      .as[(Long, Long, Long, Long, String)].collect().toSeq
+    val (a, b) = (chunks.filter(_._1 == 1L), chunks.filter(_._1 == 2L))
+    assert(a.map(_._5).mkString == base)    // lossless reconstruction
+    assert(b.map(_._5).mkString == edited)
+    assert(a.forall(c => c._4 == c._5.length))
+    // every boundary is content-local: chunks after the edit realign, so
+    // the two versions SHARE their tail chunks (fixed-stride would not)
+    val shared = a.map(_._5).toSet intersect b.map(_._5).toSet
+    assert(shared.contains(a.last._5),
+      s"tail chunk did not re-sync: a=${a.map(_._4)} b=${b.map(_._4)}")
+  }
+
   test("assortativity: a star graph is perfectly disassortative (r = -1)") {
     val edges = Seq(("h", "a"), ("h", "b"), ("h", "c")).toDF("s", "t")
     val out = graft.operators.GraphOps.assortativity(edges, "s", "t")
