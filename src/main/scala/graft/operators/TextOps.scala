@@ -1048,6 +1048,37 @@ object TextOps {
         col("__sp.txt").as("chunk_text"))
   }
 
+  /** Chunk-level dedup savings forecast over [[cdcChunks]] output: the
+    * storage/training-tokens win chunk-addressable dedup would deliver —
+    * total chunks, distinct chunk contents, chunks whose content recurs,
+    * and the exact characters saved by keeping one copy per content
+    * (Σ (occurrences − 1) · chars). Because CDC boundaries are
+    * revision-stable, this is the number that stays high across document
+    * versions where fixed-stride chunking would report near-zero reuse.
+    *
+    * One (content-hash)-keyed census off the chunk table (map-side
+    * combinable; the md5 key keeps chunk text off the shuffle) + a
+    * one-row reduce.
+    */
+  def cdcDedupSavings(chunks: DataFrame, textCol: String,
+                      charsCol: String): DataFrame = {
+    val census = chunks
+      .select(md5(col(textCol)).as("__h"), col(charsCol).cast("long")
+        .as("__c"))
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"), first(col("__c")).as("__chars"))
+    census.agg(
+      sum(col("__n")).as("n_chunks"),
+      count(lit(1)).as("n_unique"),
+      sum(when(col("__n") > 1, 1L).otherwise(0L)).as("n_recurring"),
+      sum(col("__n") * col("__chars")).as("total_chars"),
+      sum((col("__n") - 1) * col("__chars")).as("chars_saved"))
+      .select(col("n_chunks"), col("n_unique"), col("n_recurring"),
+        col("total_chars"), col("chars_saved"),
+        round(col("chars_saved").cast("double") /
+          col("total_chars").cast("double"), 6).as("saved_share"))
+  }
+
   /** Heaps'-law vocabulary-growth fit per source — [[zipfSlope]]'s
     * companion: V(T) ≈ K·T^β, where T is tokens seen and V distinct
     * vocabulary. β per source is the dedup-need forecast (β near 1 ⇒

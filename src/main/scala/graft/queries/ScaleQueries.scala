@@ -5861,6 +5861,44 @@ object ScaleQueries {
              |  substr(text, CAST(z.s + 1 AS INT), CAST(z.e - z.s AS INT))
              |    chunk_text
              |FROM c WHERE z.e > z.s
-             |ORDER BY doc_id, chunk_idx""".stripMargin))
+             |ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // Chunk-level dedup savings (x147): the payoff number for x146 —
+    // exact characters saved by keeping one copy per recurring CDC chunk
+    // content; md5-keyed census, one-row reduce.
+    QuerySpec("x147_cdc_dedup_savings", (s, d) =>
+      TextOps.cdcDedupSavings(
+        TextOps.cdcChunks(t(s, d, "documents"), "doc_id", "text",
+          window = 8, maskBits = 6), "chunk_text", "chunk_chars"),
+      Some("""WITH t AS (SELECT doc_id, text, length(text) n
+             |  FROM documents WHERE text IS NOT NULL),
+             |b AS (SELECT doc_id, text, n,
+             |    list_filter(range(8, n + 1), p ->
+             |      list_reduce(list_transform(range(1, 9),
+             |        j -> CAST(ascii(substr(text,
+             |          CAST(p - 8 + j AS INT), 1)) AS BIGINT)),
+             |        (a, c) -> (a * 31 + c) % 1000000007) % 64 = 0)
+             |      bounds FROM t),
+             |s AS (SELECT doc_id, text, n, [0] || bounds starts,
+             |    bounds || [n] ends FROM b),
+             |c AS (SELECT doc_id, text, unnest(list_transform(
+             |    range(0, len(starts)),
+             |    i -> {'i': i, 's': starts[CAST(i + 1 AS INT)],
+             |          'e': ends[CAST(i + 1 AS INT)]})) z FROM s),
+             |ch AS (SELECT substr(text, CAST(z.s + 1 AS INT),
+             |      CAST(z.e - z.s AS INT)) txt,
+             |    CAST(z.e - z.s AS BIGINT) chars
+             |  FROM c WHERE z.e > z.s),
+             |cen AS (SELECT md5(txt) h, CAST(count(*) AS BIGINT) cnt,
+             |    min(chars) chars FROM ch GROUP BY 1)
+             |SELECT CAST(sum(cnt) AS BIGINT) n_chunks,
+             |  CAST(count(*) AS BIGINT) n_unique,
+             |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    n_recurring,
+             |  CAST(sum(cnt * chars) AS BIGINT) total_chars,
+             |  CAST(sum((cnt - 1) * chars) AS BIGINT) chars_saved,
+             |  round(CAST(sum((cnt - 1) * chars) AS DOUBLE) /
+             |    CAST(sum(cnt * chars) AS DOUBLE), 6) saved_share
+             |FROM cen""".stripMargin))
   )
 }
