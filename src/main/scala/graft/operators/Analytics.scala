@@ -1762,6 +1762,69 @@ object Analytics {
           !(col("__amax") <=> col("__bmax"))).as("range_moved"))
   }
 
+  /** Poisson-bootstrap confidence interval for a grouped mean — scale-out
+    * uncertainty quantification (the "bag of little bootstraps" family's
+    * single-pass cousin: classic resampling-with-replacement needs the
+    * whole sample per replica, but Poisson(1) per-row replica weights are
+    * independent per row, so all `replicas` resamples ride ONE scan).
+    * Weights are derived from [[graft.operators.ScaleOps.hashUniform]] —
+    * md5-deterministic per (row, replica), so the interval is
+    * bit-reproducible on any engine, any run, any partitioning: the
+    * opposite of RNG bootstrap, whose CI moves every run.
+    *
+    * Exactness: per-replica sums are BIGINT (integer cents × integer
+    * weights — commutative, order-free); each replica mean is ONE
+    * division of exact integers; the CI bounds are order statistics over
+    * the `replicas` sorted means (rank `loRank`/`hiRank`, 1-based — 2
+    * and 31 of 32 ≈ a 94% interval). Replicas whose weight sum is zero
+    * (possible only in tiny groups) are excluded and n_replicas reports
+    * the survivors. State per group: `replicas` rows — metadata-scale.
+    */
+  def bootstrapMeanCi(df: DataFrame, groupCol: String, idCol: String,
+                      valueCol: String, salt: String, replicas: Int = 32,
+                      loRank: Int = 2, hiRank: Int = 31): DataFrame = {
+    require(replicas >= 2 && loRank >= 1 && hiRank <= replicas &&
+      loRank < hiRank, s"bad ranks ($loRank, $hiRank) of $replicas")
+    val cents = round(col(valueCol) * 100, 0).cast("long")
+    val u = graft.operators.ScaleOps.hashUniform(
+      concat(col(idCol).cast("string"), lit("#"), col("__r").cast("string")),
+      salt)
+    val w = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238463, 3L)
+      .when(u < 0.9963401531726563, 4L).otherwise(5L)
+    val reps = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(idCol), cents.as("__c"))
+      .withColumn("__r", explode(sequence(lit(0), lit(replicas - 1))))
+      .withColumn("__w", w)
+      .groupBy(col(groupCol), col("__r"))
+      .agg(sum(col("__w")).as("__sw"),
+        sum(col("__w") * col("__c")).as("__swx"))
+      .filter(col("__sw") > 0)
+      .select(col(groupCol), col("__r"),
+        (col("__swx").cast("double") /
+          (col("__sw").cast("double") * 100.0)).as("__m"))
+    val rw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__m").asc, col("__r").asc)
+    val ranked = reps.withColumn("__rk", row_number().over(rw))
+    val point = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_rows"), sum(cents).as("__sc"))
+    ranked.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_replicas"),
+        min(when(col("__rk") === loRank, col("__m"))).as("__lo"),
+        min(when(col("__rk") === hiRank, col("__m"))).as("__hi"))
+      .join(point, groupCol)
+      .select(col(groupCol), col("n_rows"),
+        round(col("__sc").cast("double") /
+          (col("n_rows").cast("double") * 100.0), 6).as("mean"),
+        round(col("__lo"), 6).as("ci_lo"), round(col("__hi"), 6).as("ci_hi"),
+        col("n_replicas"))
+  }
+
   /** First-/last-touch conversion attribution: for every conversion event
     * (`stateCol === convState`) the user's FIRST and the MOST RECENT
     * preceding event (by `tsCol`, `idCol` tiebreak) each get credit for

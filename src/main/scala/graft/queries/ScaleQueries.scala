@@ -5899,6 +5899,52 @@ object ScaleQueries {
              |  CAST(sum((cnt - 1) * chars) AS BIGINT) chars_saved,
              |  round(CAST(sum((cnt - 1) * chars) AS DOUBLE) /
              |    CAST(sum(cnt * chars) AS DOUBLE), 6) saved_share
-             |FROM cen""".stripMargin))
+             |FROM cen""".stripMargin)),
+
+    // Poisson-bootstrap CI (x148): md5-deterministic per-(row, replica)
+    // Poisson(1) weights — 32 resamples in one scan, exact integer
+    // replica sums, order-statistic 94% interval per priority. The
+    // reproducible bootstrap: same CI on any engine, any run.
+    QuerySpec("x148_bootstrap_ci", (s, d) =>
+      Analytics.bootstrapMeanCi(t(s, d, "orders"), "o_orderpriority",
+        "o_orderkey", "o_totalprice", salt = "boot:")
+        .orderBy("o_orderpriority"),
+      Some("""WITH base AS (SELECT o_orderpriority g, o_orderkey id,
+             |    CAST(round(o_totalprice*100, 0) AS BIGINT) c
+             |  FROM orders WHERE o_orderpriority IS NOT NULL
+             |    AND o_totalprice IS NOT NULL),
+             |ur AS (SELECT g, id, c, r,
+             |    CAST(list_reduce(list_transform(range(1, 9),
+             |      i -> CAST(strpos('0123456789abcdef',
+             |        substr(md5('boot:' || CAST(id AS VARCHAR) || '#' ||
+             |          CAST(r AS VARCHAR)), CAST(i AS INT), 1)) - 1
+             |        AS BIGINT)),
+             |      (a, b) -> a*16 + b) AS DOUBLE) / 4294967296.0 u
+             |  FROM base, unnest(range(0, 32)) t(r)),
+             |wr AS (SELECT g, r, c,
+             |    CASE WHEN u < 0.36787944117144233 THEN 0
+             |         WHEN u < 0.7357588823428847 THEN 1
+             |         WHEN u < 0.9196986029286058 THEN 2
+             |         WHEN u < 0.9810118431238463 THEN 3
+             |         WHEN u < 0.9963401531726563 THEN 4 ELSE 5 END w
+             |  FROM ur),
+             |reps AS (SELECT g, r, CAST(sum(w) AS BIGINT) sw,
+             |    CAST(sum(w*c) AS BIGINT) swx FROM wr
+             |  GROUP BY 1, 2 HAVING sum(w) > 0),
+             |m AS (SELECT g, r, CAST(swx AS DOUBLE) /
+             |    (CAST(sw AS DOUBLE) * 100.0) m FROM reps),
+             |rk AS (SELECT g, r, m, row_number() OVER (PARTITION BY g
+             |    ORDER BY m ASC, r ASC) rk FROM m),
+             |ci AS (SELECT g, CAST(count(*) AS BIGINT) n_replicas,
+             |    min(CASE WHEN rk = 2 THEN m END) lo,
+             |    min(CASE WHEN rk = 31 THEN m END) hi FROM rk GROUP BY 1),
+             |pt AS (SELECT g, CAST(count(*) AS BIGINT) n_rows,
+             |    CAST(sum(c) AS BIGINT) sc FROM base GROUP BY 1)
+             |SELECT pt.g o_orderpriority, n_rows,
+             |  round(CAST(sc AS DOUBLE) /
+             |    (CAST(n_rows AS DOUBLE) * 100.0), 6) mean,
+             |  round(lo, 6) ci_lo, round(hi, 6) ci_hi, n_replicas
+             |FROM pt JOIN ci ON pt.g = ci.g
+             |ORDER BY o_orderpriority""".stripMargin))
   )
 }

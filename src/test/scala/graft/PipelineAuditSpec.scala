@@ -118,6 +118,21 @@ class PipelineAuditSpec extends SparkSpec {
     assert(out == (4L, 11L, 0.454545, 0.727273, 1.0))
   }
 
+  test("bootstrapMeanCi: interval brackets the mean, all replicas " +
+    "survive, rerun is bit-identical") {
+    val df = (1L to 200L).map(i => ("g", i, (i % 50).toDouble + 1.0))
+      .toDF("grp", "id", "v")
+    val out = Analytics.bootstrapMeanCi(df, "grp", "id", "v", "t:")
+      .as[(String, Long, Double, Double, Double, Long)].collect().head
+    assert(out._2 == 200L && out._6 == 32L)
+    assert(out._4 <= out._3 && out._3 <= out._5,
+      s"CI [${out._4}, ${out._5}] must bracket mean ${out._3}")
+    assert(out._4 < out._5)
+    val again = Analytics.bootstrapMeanCi(df, "grp", "id", "v", "t:")
+      .as[(String, Long, Double, Double, Double, Long)].collect().head
+    assert(out == again)
+  }
+
   test("cdcChunks: chunks reconstruct the document, and boundaries " +
     "re-synchronize after an insertion (the CDC property)") {
     // deterministic pseudo-random text so mask-6 boundaries exist
