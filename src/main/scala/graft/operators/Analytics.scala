@@ -1825,6 +1825,72 @@ object Analytics {
         col("n_replicas"))
   }
 
+  /** Deterministic permutation test for a two-group mean difference —
+    * [[bootstrapMeanCi]]'s hypothesis-testing sibling: group labels are
+    * re-dealt `permutations` times by ranking rows on the md5 uniform
+    * (group sizes preserved exactly — rank ≤ n_A takes label A), and the
+    * p-value is the add-one share of permutations whose absolute mean
+    * difference reaches the observed one. Because sizes are fixed, the
+    * comparison |s_A/n_A − s_B/n_B| ≥ |o_A/n_A − o_B/n_B| cross-
+    * multiplies to |s_A·n_B − s_B·n_A| ≥ |o_A·n_B − o_B·n_A| — a pure
+    * BIGINT compare, so the p-value is EXACT (no float enters the
+    * decision), and md5 ranking makes it identical on every engine/run.
+    *
+    * One scan exploded ×permutations, one rank window per permutation
+    * (partitioned — parallel across permutations), |permutations|-row
+    * reduce. The reported means/diff are display-rounded only.
+    */
+  def permutationTest(df: DataFrame, groupCol: String, idCol: String,
+                      valueCol: String, groupA: String, groupB: String,
+                      salt: String, permutations: Int = 64): DataFrame = {
+    require(permutations >= 1, "permutations must be >= 1")
+    val base = df
+      .filter(col(groupCol).isin(groupA, groupB) && col(valueCol).isNotNull)
+      .select(col(idCol).as("__id"),
+        (col(groupCol) === groupA).as("__isA"),
+        round(col(valueCol) * 100, 0).cast("long").as("__c"))
+    val obs = base.agg(
+      sum(when(col("__isA"), 1L).otherwise(0L)).as("__na"),
+      sum(when(!col("__isA"), 1L).otherwise(0L)).as("__nb"),
+      sum(when(col("__isA"), col("__c")).otherwise(0L)).as("__oa"),
+      sum(when(!col("__isA"), col("__c")).otherwise(0L)).as("__ob"))
+    val u = graft.operators.ScaleOps.hashUniform(
+      concat(col("__id").cast("string"), lit("#"),
+        col("__p").cast("string")), salt)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__p")).orderBy(col("__u").asc, col("__id").asc)
+    val perms = base
+      .withColumn("__p", explode(sequence(lit(0), lit(permutations - 1))))
+      .withColumn("__u", u)
+      .withColumn("__rk", row_number().over(w))
+      .crossJoin(broadcast(obs))
+      .groupBy(col("__p"))
+      .agg(sum(when(col("__rk") <= col("__na"), col("__c"))
+          .otherwise(0L)).as("__sa"),
+        sum(col("__c")).as("__tot"),
+        first(col("__na")).as("__na"), first(col("__nb")).as("__nb"),
+        first(col("__oa")).as("__oa"), first(col("__ob")).as("__ob"))
+      .select(col("__p"),
+        abs(col("__sa") * col("__nb") -
+          (col("__tot") - col("__sa")) * col("__na")).as("__stat"),
+        abs(col("__oa") * col("__nb") - col("__ob") * col("__na"))
+          .as("__statObs"),
+        col("__na"), col("__nb"), col("__oa"), col("__ob"))
+    perms.agg(
+      first(col("__na")).as("n_a"), first(col("__nb")).as("n_b"),
+      round(first(col("__oa")).cast("double") /
+        (first(col("__na")).cast("double") * 100.0), 6).as("mean_a"),
+      round(first(col("__ob")).cast("double") /
+        (first(col("__nb")).cast("double") * 100.0), 6).as("mean_b"),
+      round(first(col("__oa")).cast("double") /
+        (first(col("__na")).cast("double") * 100.0) -
+        first(col("__ob")).cast("double") /
+        (first(col("__nb")).cast("double") * 100.0), 6).as("mean_diff"),
+      round((sum(when(col("__stat") >= col("__statObs"), 1L)
+          .otherwise(0L)) + 1L).cast("double") /
+        lit((permutations + 1).toDouble), 6).as("p_value"))
+  }
+
   /** First-/last-touch conversion attribution: for every conversion event
     * (`stateCol === convState`) the user's FIRST and the MOST RECENT
     * preceding event (by `tsCol`, `idCol` tiebreak) each get credit for

@@ -5945,6 +5945,55 @@ object ScaleQueries {
              |    (CAST(n_rows AS DOUBLE) * 100.0), 6) mean,
              |  round(lo, 6) ci_lo, round(hi, 6) ci_hi, n_replicas
              |FROM pt JOIN ci ON pt.g = ci.g
-             |ORDER BY o_orderpriority""".stripMargin))
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // Permutation test (x149): click-vs-view mean difference with an
+    // EXACT p-value — label re-deals by md5 rank (sizes preserved), the
+    // accept decision cross-multiplied to pure BIGINTs; 64 permutations
+    // in one exploded scan.
+    QuerySpec("x149_permutation_test", (s, d) =>
+      Analytics.permutationTest(t(s, d, "events"), "event_type",
+        "event_id", "value", groupA = "click", groupB = "view",
+        salt = "perm:"),
+      Some("""WITH base AS (SELECT event_id id,
+             |    event_type = 'click' isa,
+             |    CAST(round(value*100, 0) AS BIGINT) c
+             |  FROM events WHERE event_type IN ('click', 'view')
+             |    AND value IS NOT NULL),
+             |obs AS (SELECT CAST(sum(CASE WHEN isa THEN 1 ELSE 0 END)
+             |      AS BIGINT) na,
+             |    CAST(sum(CASE WHEN isa THEN 0 ELSE 1 END) AS BIGINT) nb,
+             |    CAST(sum(CASE WHEN isa THEN c ELSE 0 END) AS BIGINT) oa,
+             |    CAST(sum(CASE WHEN isa THEN 0 ELSE c END) AS BIGINT) ob
+             |  FROM base),
+             |ur AS (SELECT id, c, p,
+             |    CAST(list_reduce(list_transform(range(1, 9),
+             |      i -> CAST(strpos('0123456789abcdef',
+             |        substr(md5('perm:' || CAST(id AS VARCHAR) || '#' ||
+             |          CAST(p AS VARCHAR)), CAST(i AS INT), 1)) - 1
+             |        AS BIGINT)),
+             |      (a, b) -> a*16 + b) AS DOUBLE) / 4294967296.0 u
+             |  FROM base, unnest(range(0, 64)) t(p)),
+             |rk AS (SELECT id, c, p, row_number() OVER (PARTITION BY p
+             |    ORDER BY u ASC, id ASC) rk FROM ur),
+             |pr AS (SELECT p,
+             |    CAST(sum(CASE WHEN rk <= na THEN c ELSE 0 END)
+             |      AS BIGINT) sa,
+             |    CAST(sum(c) AS BIGINT) tot
+             |  FROM rk CROSS JOIN obs GROUP BY 1),
+             |st AS (SELECT p, abs(sa*nb - (tot-sa)*na) stat,
+             |    abs(oa*nb - ob*na) statobs
+             |  FROM pr CROSS JOIN obs)
+             |SELECT na n_a, nb n_b,
+             |  round(CAST(oa AS DOUBLE)/(CAST(na AS DOUBLE)*100.0), 6)
+             |    mean_a,
+             |  round(CAST(ob AS DOUBLE)/(CAST(nb AS DOUBLE)*100.0), 6)
+             |    mean_b,
+             |  round(CAST(oa AS DOUBLE)/(CAST(na AS DOUBLE)*100.0) -
+             |    CAST(ob AS DOUBLE)/(CAST(nb AS DOUBLE)*100.0), 6)
+             |    mean_diff,
+             |  round(CAST(CAST(sum(CASE WHEN stat >= statobs THEN 1
+             |    ELSE 0 END) AS BIGINT) + 1 AS DOUBLE)/65.0, 6) p_value
+             |FROM st CROSS JOIN obs GROUP BY na, nb, oa, ob""".stripMargin))
   )
 }

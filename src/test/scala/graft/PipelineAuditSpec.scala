@@ -118,6 +118,17 @@ class PipelineAuditSpec extends SparkSpec {
     assert(out == (4L, 11L, 0.454545, 0.727273, 1.0))
   }
 
+  test("permutationTest: fully separated groups hit the add-one floor " +
+    "p = 1/(B+1); exact counts and means") {
+    val rows = (1L to 50L).map(i => (i, "A", 100.0)) ++
+      (51L to 100L).map(i => (i, "B", 1.0))
+    val df = rows.toDF("id", "g", "v")
+    val out = Analytics.permutationTest(df, "g", "id", "v", "A", "B", "s:")
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    assert(out == (50L, 50L, 100.0, 1.0, 99.0,
+      math.rint(1.0 / 65.0 * 1e6) / 1e6))
+  }
+
   test("bootstrapMeanCi: interval brackets the mean, all replicas " +
     "survive, rerun is bit-identical") {
     val df = (1L to 200L).map(i => ("g", i, (i % 50).toDouble + 1.0))
