@@ -1891,6 +1891,55 @@ object Analytics {
         lit((permutations + 1).toDouble), 6).as("p_value"))
   }
 
+  /** Decile lift table — the classifier/retrieval evaluation every scored
+    * pipeline stage reports (does ranking by this score actually
+    * concentrate the positives?): rows are ranked by (score desc, id
+    * asc), cut into `nBuckets` equal rank slices via pure integer
+    * arithmetic (bucket = (rk−1)·n_buckets ÷ n + 1), and each slice
+    * reports its positive rate, lift over the base rate (an exact
+    * rational, display-rounded), and cumulative capture share. Lift ≈ 1
+    * everywhere means the score is noise; the x91 Mann-Whitney U on the
+    * same frame is the significance companion.
+    *
+    * The rank is a global window over the SCORED EVAL SET — bounded by
+    * construction (evaluation sets are samples); integer bucket edges
+    * make every cell exact, so the table hash-matches cross-engine.
+    */
+  def liftCurve(df: DataFrame, idCol: String, scoreCol: String,
+                positiveCol: String, nBuckets: Int = 10): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2 (got $nBuckets)")
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val cum = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val nAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val ranked = df
+      .filter(col(scoreCol).isNotNull && col(positiveCol).isNotNull)
+      .select(col(idCol), col(scoreCol),
+        col(positiveCol).cast("boolean").as("__pos"))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .withColumn("__n", count(lit(1)).over(nAll))
+      .withColumn("bucket",
+        ((col("__rk") - 1) * nBuckets / col("__n")).cast("long") + 1)
+    val cells = ranked.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"))
+    val tot = cells.agg(sum(col("n")).as("__tn"),
+      sum(col("n_pos")).as("__tp"))
+    cells.crossJoin(broadcast(tot))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("pos_rate"),
+        round((col("n_pos") * col("__tn")).cast("double") /
+          (col("n") * col("__tp")).cast("double"), 4).as("lift"),
+        round(sum(col("n_pos")).over(cum).cast("double") /
+          col("__tp").cast("double"), 6).as("cum_capture"))
+  }
+
   /** First-/last-touch conversion attribution: for every conversion event
     * (`stateCol === convState`) the user's FIRST and the MOST RECENT
     * preceding event (by `tsCol`, `idCol` tiebreak) each get credit for

@@ -198,6 +198,49 @@ object ScaleQueries {
       |  round(CAST(bs AS DOUBLE)/(w*h), 6) b_mean
       |FROM m ORDER BY doc_id""".stripMargin
 
+  /** Shared by x148 (batch) and st29 (streaming): one output contract —
+    * the per-priority Poisson-bootstrap mean CI over orders — so both
+    * grade against the identical oracle.
+    */
+  private val bootstrapOracleSql: String =
+    """WITH base AS (SELECT o_orderpriority g, o_orderkey id,
+      |    CAST(round(o_totalprice*100, 0) AS BIGINT) c
+      |  FROM orders WHERE o_orderpriority IS NOT NULL
+      |    AND o_totalprice IS NOT NULL),
+      |ur AS (SELECT g, id, c, r,
+      |    CAST(list_reduce(list_transform(range(1, 9),
+      |      i -> CAST(strpos('0123456789abcdef',
+      |        substr(md5('boot:' || CAST(id AS VARCHAR) || '#' ||
+      |          CAST(r AS VARCHAR)), CAST(i AS INT), 1)) - 1
+      |        AS BIGINT)),
+      |      (a, b) -> a*16 + b) AS DOUBLE) / 4294967296.0 u
+      |  FROM base, unnest(range(0, 32)) t(r)),
+      |wr AS (SELECT g, r, c,
+      |    CASE WHEN u < 0.36787944117144233 THEN 0
+      |         WHEN u < 0.7357588823428847 THEN 1
+      |         WHEN u < 0.9196986029286058 THEN 2
+      |         WHEN u < 0.9810118431238463 THEN 3
+      |         WHEN u < 0.9963401531726563 THEN 4 ELSE 5 END w
+      |  FROM ur),
+      |reps AS (SELECT g, r, CAST(sum(w) AS BIGINT) sw,
+      |    CAST(sum(w*c) AS BIGINT) swx FROM wr
+      |  GROUP BY 1, 2 HAVING sum(w) > 0),
+      |m AS (SELECT g, r, CAST(swx AS DOUBLE) /
+      |    (CAST(sw AS DOUBLE) * 100.0) m FROM reps),
+      |rk AS (SELECT g, r, m, row_number() OVER (PARTITION BY g
+      |    ORDER BY m ASC, r ASC) rk FROM m),
+      |ci AS (SELECT g, CAST(count(*) AS BIGINT) n_replicas,
+      |    min(CASE WHEN rk = 2 THEN m END) lo,
+      |    min(CASE WHEN rk = 31 THEN m END) hi FROM rk GROUP BY 1),
+      |pt AS (SELECT g, CAST(count(*) AS BIGINT) n_rows,
+      |    CAST(sum(c) AS BIGINT) sc FROM base GROUP BY 1)
+      |SELECT pt.g o_orderpriority, n_rows,
+      |  round(CAST(sc AS DOUBLE) /
+      |    (CAST(n_rows AS DOUBLE) * 100.0), 6) mean,
+      |  round(lo, 6) ci_lo, round(hi, 6) ci_hi, n_replicas
+      |FROM pt JOIN ci ON pt.g = ci.g
+      |ORDER BY o_orderpriority""".stripMargin
+
   /** Shared by x21 (batch) and st26 (streaming): one output contract —
     * per-candidate-doc distinct contaminated 4-gram counts against the
     * doc_id % 97 benchmark slice — so both grade against the identical
@@ -5909,43 +5952,7 @@ object ScaleQueries {
       Analytics.bootstrapMeanCi(t(s, d, "orders"), "o_orderpriority",
         "o_orderkey", "o_totalprice", salt = "boot:")
         .orderBy("o_orderpriority"),
-      Some("""WITH base AS (SELECT o_orderpriority g, o_orderkey id,
-             |    CAST(round(o_totalprice*100, 0) AS BIGINT) c
-             |  FROM orders WHERE o_orderpriority IS NOT NULL
-             |    AND o_totalprice IS NOT NULL),
-             |ur AS (SELECT g, id, c, r,
-             |    CAST(list_reduce(list_transform(range(1, 9),
-             |      i -> CAST(strpos('0123456789abcdef',
-             |        substr(md5('boot:' || CAST(id AS VARCHAR) || '#' ||
-             |          CAST(r AS VARCHAR)), CAST(i AS INT), 1)) - 1
-             |        AS BIGINT)),
-             |      (a, b) -> a*16 + b) AS DOUBLE) / 4294967296.0 u
-             |  FROM base, unnest(range(0, 32)) t(r)),
-             |wr AS (SELECT g, r, c,
-             |    CASE WHEN u < 0.36787944117144233 THEN 0
-             |         WHEN u < 0.7357588823428847 THEN 1
-             |         WHEN u < 0.9196986029286058 THEN 2
-             |         WHEN u < 0.9810118431238463 THEN 3
-             |         WHEN u < 0.9963401531726563 THEN 4 ELSE 5 END w
-             |  FROM ur),
-             |reps AS (SELECT g, r, CAST(sum(w) AS BIGINT) sw,
-             |    CAST(sum(w*c) AS BIGINT) swx FROM wr
-             |  GROUP BY 1, 2 HAVING sum(w) > 0),
-             |m AS (SELECT g, r, CAST(swx AS DOUBLE) /
-             |    (CAST(sw AS DOUBLE) * 100.0) m FROM reps),
-             |rk AS (SELECT g, r, m, row_number() OVER (PARTITION BY g
-             |    ORDER BY m ASC, r ASC) rk FROM m),
-             |ci AS (SELECT g, CAST(count(*) AS BIGINT) n_replicas,
-             |    min(CASE WHEN rk = 2 THEN m END) lo,
-             |    min(CASE WHEN rk = 31 THEN m END) hi FROM rk GROUP BY 1),
-             |pt AS (SELECT g, CAST(count(*) AS BIGINT) n_rows,
-             |    CAST(sum(c) AS BIGINT) sc FROM base GROUP BY 1)
-             |SELECT pt.g o_orderpriority, n_rows,
-             |  round(CAST(sc AS DOUBLE) /
-             |    (CAST(n_rows AS DOUBLE) * 100.0), 6) mean,
-             |  round(lo, 6) ci_lo, round(hi, 6) ci_hi, n_replicas
-             |FROM pt JOIN ci ON pt.g = ci.g
-             |ORDER BY o_orderpriority""".stripMargin)),
+      Some(bootstrapOracleSql)),
 
     // Permutation test (x149): click-vs-view mean difference with an
     // EXACT p-value — label re-deals by md5 rank (sizes preserved), the
@@ -5994,6 +6001,73 @@ object ScaleQueries {
              |    mean_diff,
              |  round(CAST(CAST(sum(CASE WHEN stat >= statobs THEN 1
              |    ELSE 0 END) AS BIGINT) + 1 AS DOUBLE)/65.0, 6) p_value
-             |FROM st CROSS JOIN obs GROUP BY na, nb, oa, ob""".stripMargin))
+             |FROM st CROSS JOIN obs GROUP BY na, nb, oa, ob""".stripMargin)),
+
+    // Streaming bootstrap CI (st29): x148's per-(group, replica) integer
+    // sums as mergeable streaming state (replica -1 carries the exact
+    // point estimate), interval finalized batch-side — graded on x148's
+    // oracle verbatim.
+    QuerySpec("st29_stream_bootstrap_ci", (s, d) => {
+      val schema = s.read.parquet(s"$d/orders.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runStreamingBootstrapCiAvailableNow(s, d, "orders.parquet",
+        schema, "o_orderpriority", "o_orderkey", "o_totalprice",
+        salt = "boot:", replicas = 32, loRank = 2, hiRank = 31,
+        s"graft_boot_$run", ckpt)
+        .orderBy("o_orderpriority")
+    },
+      Some(bootstrapOracleSql)),
+
+    // Decile lift table (x150): does cosine-to-query concentrate the
+    // query's own class? Ranked by (round-4 cosine desc, id), integer
+    // decile edges, exact rational lifts; the x91 Mann-Whitney is the
+    // significance companion.
+    QuerySpec("x150_lift_curve", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q0 = emb.filter(col("vec_id") === 0 && col("embedding").isNotNull)
+        .select(col("embedding"), col("label")).collect().head
+      val qv = q0.getSeq[Float](0).map(_.toDouble).toSeq
+      val qLabel = q0.getInt(1)
+      Analytics.liftCurve(
+        emb.filter(col("vec_id") =!= 0 && col("embedding").isNotNull &&
+            col("label").isNotNull)
+          .select(col("vec_id"),
+            round(graft.functions.CosineSimilarity(col("embedding"),
+              typedLit(qv)), 4).as("score"),
+            (col("label") === qLabel).as("pos")),
+        "vec_id", "score", "pos", nBuckets = 10)
+        .orderBy("bucket")
+    },
+      Some("""WITH q AS (SELECT list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE)) qv, "label" ql
+             |  FROM embeddings WHERE vec_id = 0),
+             |sc AS (SELECT vec_id id,
+             |    round(CAST(list_cosine_similarity(list_transform(
+             |      embedding, x -> CAST(x AS DOUBLE)), qv) AS DOUBLE), 4)
+             |      score,
+             |    e."label" = ql pos
+             |  FROM embeddings e CROSS JOIN q
+             |  WHERE vec_id <> 0 AND embedding IS NOT NULL
+             |    AND e."label" IS NOT NULL),
+             |rk AS (SELECT id, score, pos, row_number() OVER (
+             |      ORDER BY score DESC, id ASC) rk,
+             |    count(*) OVER () n FROM sc),
+             |cells AS (SELECT CAST((rk - 1) * 10 // n AS BIGINT) + 1
+             |      bucket,
+             |    CAST(count(*) AS BIGINT) n,
+             |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+             |      n_pos
+             |  FROM rk GROUP BY 1),
+             |tt AS (SELECT CAST(sum(n) AS BIGINT) tn,
+             |    CAST(sum(n_pos) AS BIGINT) tp FROM cells)
+             |SELECT bucket, n, n_pos,
+             |  round(CAST(n_pos AS DOUBLE)/CAST(n AS DOUBLE), 6) pos_rate,
+             |  round(CAST(n_pos * tn AS DOUBLE) /
+             |    CAST(n * tp AS DOUBLE), 4) lift,
+             |  round(CAST(sum(n_pos) OVER (ORDER BY bucket
+             |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+             |    CAST(tp AS DOUBLE), 6) cum_capture
+             |FROM cells CROSS JOIN tt ORDER BY bucket""".stripMargin))
   )
 }

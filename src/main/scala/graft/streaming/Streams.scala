@@ -1432,6 +1432,74 @@ object Streams {
     * in, instead of auditing after the write. Shares (the only doubles)
     * are finalized batch-side over the |shards|-row sink.
     */
+  /** Streaming Poisson-bootstrap CI — the streaming twin of
+    * [[graft.operators.Analytics.bootstrapMeanCi]]: per-(group, replica)
+    * integer weight/weighted-cent sums are the mergeable stream state
+    * (groups × replicas rows — commutative BIGINT adds, so micro-batch
+    * slicing provably cannot move any replica mean), and the order-
+    * statistic interval is finalized batch-side. A live metric stream
+    * gets a continuously-current CI — uncertainty that updates with the
+    * data, reproducible across restarts because the weights are md5-
+    * deterministic per (row, replica), never RNG state.
+    */
+  def runStreamingBootstrapCiAvailableNow(spark: SparkSession, dir: String,
+                                          glob: String, schema: StructType,
+                                          groupCol: String, idCol: String,
+                                          valueCol: String, salt: String,
+                                          replicas: Int, loRank: Int,
+                                          hiRank: Int, sinkName: String,
+                                          checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val cents = round(col(valueCol) * 100, 0).cast("long")
+      val u = graft.operators.ScaleOps.hashUniform(
+        concat(col(idCol).cast("string"), lit("#"),
+          col("__r").cast("string")), salt)
+      val w = when(u < 0.36787944117144233, 0L)
+        .when(u < 0.7357588823428847, 1L)
+        .when(u < 0.9196986029286058, 2L)
+        .when(u < 0.9810118431238463, 3L)
+        .when(u < 0.9963401531726563, 4L).otherwise(5L)
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", 1).parquet(dir)
+      val q = raw
+        .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+        .select(col(groupCol), col(idCol), cents.as("__c"))
+        .withColumn("__r", explode(sequence(lit(-1), lit(replicas - 1))))
+        .withColumn("__w", when(col("__r") === -1, lit(1L)).otherwise(w))
+        .groupBy(col(groupCol), col("__r"))
+        .agg(count(lit(1)).as("__n"), sum(col("__w")).as("__sw"),
+          sum(col("__w") * col("__c")).as("__swx"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // replica -1 carries the unweighted point estimate's exact sums
+      val cells = detachSink(spark, sinkName, checkpoint)
+      val reps = cells.filter(col("__r") >= 0 && col("__sw") > 0)
+        .select(col(groupCol), col("__r"),
+          (col("__swx").cast("double") /
+            (col("__sw").cast("double") * 100.0)).as("__m"))
+      val rw = org.apache.spark.sql.expressions.Window
+        .partitionBy(col(groupCol)).orderBy(col("__m").asc, col("__r").asc)
+      val point = cells.filter(col("__r") === -1)
+        .select(col(groupCol), col("__n").as("n_rows"),
+          col("__swx").as("__sc"))
+      reps.withColumn("__rk", row_number().over(rw))
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n_replicas"),
+          min(when(col("__rk") === loRank, col("__m"))).as("__lo"),
+          min(when(col("__rk") === hiRank, col("__m"))).as("__hi"))
+        .join(point, groupCol)
+        .select(col(groupCol), col("n_rows"),
+          round(col("__sc").cast("double") /
+            (col("n_rows").cast("double") * 100.0), 6).as("mean"),
+          round(col("__lo"), 6).as("ci_lo"),
+          round(col("__hi"), 6).as("ci_hi"), col("n_replicas"))
+    }
+
   /** Streaming multimodal decode — the streaming twin of
     * [[graft.operators.Multimodal.decodePpm]] over a binary-media
     * firehose: each arriving blob is parsed and feature-extracted

@@ -118,6 +118,19 @@ class PipelineAuditSpec extends SparkSpec {
     assert(out == (4L, 11L, 0.454545, 0.727273, 1.0))
   }
 
+  test("liftCurve: a perfect score puts all positives in the top " +
+    "buckets; lifts are exact rationals, capture closes at 1") {
+    // 20 rows, 4 positives with the 4 highest scores -> 5 buckets of 4
+    val df = (1L to 20L).map(i => (i, 21.0 - i, i <= 4)).toDF("id", "s", "p")
+    val out = Analytics.liftCurve(df, "id", "s", "p", nBuckets = 5)
+      .orderBy("bucket").as[(Long, Long, Long, Double, Double, Double)]
+      .collect().toSeq
+    assert(out.head == (1L, 4L, 4L, 1.0, 5.0, 1.0)) // all positives, lift 5
+    assert(out.tail.forall(r => r._3 == 0L && r._5 == 0.0))
+    assert(out.forall(_._6 == 1.0) == false || out.last._6 == 1.0)
+    assert(out.last._6 == 1.0)
+  }
+
   test("permutationTest: fully separated groups hit the add-one floor " +
     "p = 1/(B+1); exact counts and means") {
     val rows = (1L to 50L).map(i => (i, "A", 100.0)) ++
