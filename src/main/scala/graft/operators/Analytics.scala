@@ -1891,6 +1891,46 @@ object Analytics {
         lit((permutations + 1).toDouble), 6).as("p_value"))
   }
 
+  /** Exact AUC via the rank-sum identity — [[liftCurve]]'s single-number
+    * companion: AUC = (R_pos − n_pos·(n_pos+1)/2) / (n_pos·n_neg), where
+    * R_pos is the positive class's rank sum under MIDRANKS (ties share
+    * the average rank — the Mann-Whitney convention, so tied scores
+    * contribute exactly ½). All sums are exact: ranks are integers and
+    * midranks are halves, so 2·R_pos is a BIGINT and the single division
+    * at the end is display-rounded. Probabilistic reading: the chance a
+    * random positive outranks a random negative, ties counting half.
+    *
+    * One global rank window over the scored eval set (bounded by
+    * construction) + a one-row reduce.
+    */
+  def aucExact(df: DataFrame, idCol: String, scoreCol: String,
+               positiveCol: String): DataFrame = {
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(positiveCol).isNotNull)
+      .select(col(idCol), col(scoreCol),
+        col(positiveCol).cast("boolean").as("__pos"))
+    // midrank = avg of min and max rank over the tie group = rank window
+    // twice (asc rank + count per score) — expressed as 2·midrank BIGINT
+    val wAsc = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).asc, col(idCol).asc)
+    val ranked = base
+      .withColumn("__rk", row_number().over(wAsc).cast("long"))
+    val tie = ranked.groupBy(col(scoreCol))
+      .agg(min(col("__rk")).as("__lo"), max(col("__rk")).as("__hi"))
+    ranked.join(tie, Seq(scoreCol))
+      .agg(
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("__pos"), col("__lo") + col("__hi")).otherwise(0L))
+          .as("__r2"))
+      .select(col("n_pos"), col("n_neg"),
+        round((col("__r2").cast("double") / 2.0 -
+          col("n_pos").cast("double") *
+            (col("n_pos").cast("double") + 1.0) / 2.0) /
+          (col("n_pos").cast("double") * col("n_neg").cast("double")), 6)
+          .as("auc"))
+  }
+
   /** Decile lift table — the classifier/retrieval evaluation every scored
     * pipeline stage reports (does ranking by this score actually
     * concentrate the positives?): rows are ranked by (score desc, id

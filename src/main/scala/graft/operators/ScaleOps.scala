@@ -796,6 +796,32 @@ object ScaleOps {
           col("padded_tokens").cast("double"), 6))
   }
 
+  /** Source-fair top-k: the result-diversification selection (capped
+    * per-provider exposure) — at most `perGroup` rows per group survive,
+    * then the global top `k` of the survivors by (score desc, id asc).
+    * The selection a training-mix or search layer runs when a plain
+    * top-k would let one prolific source monopolize the slate.
+    *
+    * Both stages are rank-limit windows: the per-group stage plans
+    * WindowGroupLimit (map-side partial top-perGroup on both sides of
+    * its exchange — the x19 shape), and the global stage ranks only the
+    * ≤ groups·perGroup survivors. Deterministic: (rounded score desc,
+    * id asc) total orders at both stages.
+    */
+  def fairTopK(df: DataFrame, groupCol: String, idCol: String,
+               scoreCol: String, perGroup: Int, k: Int): DataFrame = {
+    require(perGroup >= 1 && k >= 1,
+      s"perGroup and k must be >= 1 (got $perGroup, $k)")
+    val wg = Window.partitionBy(col(groupCol))
+      .orderBy(col(scoreCol).desc, col(idCol).asc)
+    val wk = Window.orderBy(col(scoreCol).desc, col(idCol).asc)
+    df.filter(col(groupCol).isNotNull && col(scoreCol).isNotNull)
+      .withColumn("group_rank", row_number().over(wg).cast("long"))
+      .filter(col("group_rank") <= perGroup)
+      .withColumn("rank", row_number().over(wk).cast("long"))
+      .filter(col("rank") <= k)
+  }
+
   /** Distribution-matching rejection sample — flatten a skewed bucket mix
     * to UNIFORM over its observed buckets (the resampling a training
     * pipeline runs when one length/domain bucket dominates): each bucket

@@ -241,6 +241,25 @@ object ScaleQueries {
       |FROM pt JOIN ci ON pt.g = ci.g
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** x9's quality-score computation as a (doc_id, score) subquery —
+    * shared by x151 (fair top-k ranks on round-4 quality).
+    */
+  private val qualityScoreOracleSub: String =
+    """SELECT doc_id, round(
+      |  0.5 * least(CAST(len(tok) AS DOUBLE)/100.0, 1.0) +
+      |  0.3 * (CASE WHEN len(tok) > 0 THEN least(
+      |    (CAST(len(list_filter(tok, x -> list_contains(
+      |      ['the','a','value','data','row','table'], x))) AS DOUBLE) /
+      |     CAST(len(tok) AS DOUBLE))*5.0, 1.0) ELSE 0.0 END) +
+      |  0.2 * (1.0 - (CASE WHEN length(text) > 0
+      |    THEN least((CAST(length(regexp_replace(text,
+      |      '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE) /
+      |      length(text))*10.0, 1.0) ELSE 0.0 END)), 4) score
+      |FROM (SELECT doc_id, text,
+      |  CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END tok
+      |  FROM documents)""".stripMargin
+
   /** Shared by x21 (batch) and st26 (streaming): one output contract —
     * per-candidate-doc distinct contaminated 4-gram counts against the
     * doc_id % 97 benchmark slice — so both grade against the identical
@@ -6068,6 +6087,76 @@ object ScaleQueries {
              |  round(CAST(sum(n_pos) OVER (ORDER BY bucket
              |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
              |    CAST(tp AS DOUBLE), 6) cum_capture
-             |FROM cells CROSS JOIN tt ORDER BY bucket""".stripMargin))
+             |FROM cells CROSS JOIN tt ORDER BY bucket""".stripMargin)),
+
+    // Source-fair top-k (x151): ≤ 3 docs per source, global top 30 by
+    // quality score — capped-exposure diversification; both stages are
+    // WindowGroupLimit rank windows.
+    QuerySpec("x151_fair_topk", (s, d) =>
+      graft.operators.ScaleOps.fairTopK(
+        t(s, d, "documents").select(col("doc_id"), col("source"),
+          round(TextOps.qualityScore(col("text"), stopwords), 4)
+            .as("score")),
+        "source", "doc_id", "score", perGroup = 3, k = 30)
+        .orderBy("rank"),
+      Some("""WITH sc AS (SELECT doc_id, source, score FROM (
+             |    SELECT d.doc_id, d.source, q.score
+             |    FROM documents d JOIN (%QUALITY%) q USING (doc_id))),
+             |g AS (SELECT doc_id, source, score, row_number() OVER (
+             |    PARTITION BY source ORDER BY score DESC, doc_id ASC)
+             |      group_rank FROM sc),
+             |k AS (SELECT doc_id, source, score,
+             |    CAST(group_rank AS BIGINT) group_rank,
+             |    row_number() OVER (ORDER BY score DESC, doc_id ASC) rnk
+             |  FROM g WHERE group_rank <= 3)
+             |SELECT doc_id, source, score, group_rank,
+             |  CAST(rnk AS BIGINT) rank
+             |FROM k WHERE rnk <= 30 ORDER BY rank""".stripMargin
+        .replace("%QUALITY%", qualityScoreOracleSub))),
+
+    // Exact AUC (x152): rank-sum identity with midrank ties — the
+    // one-number retrieval/classifier score beside x150's table; 2·R⁺
+    // stays BIGINT, one rounded division.
+    QuerySpec("x152_auc_exact", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q0 = emb.filter(col("vec_id") === 0 && col("embedding").isNotNull)
+        .select(col("embedding"), col("label")).collect().head
+      val qv = q0.getSeq[Float](0).map(_.toDouble).toSeq
+      val qLabel = q0.getInt(1)
+      Analytics.aucExact(
+        emb.filter(col("vec_id") =!= 0 && col("embedding").isNotNull &&
+            col("label").isNotNull)
+          .select(col("vec_id"),
+            round(graft.functions.CosineSimilarity(col("embedding"),
+              typedLit(qv)), 4).as("score"),
+            (col("label") === qLabel).as("pos")),
+        "vec_id", "score", "pos")
+    },
+      Some("""WITH q AS (SELECT list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE)) qv, "label" ql
+             |  FROM embeddings WHERE vec_id = 0),
+             |sc AS (SELECT vec_id id,
+             |    round(CAST(list_cosine_similarity(list_transform(
+             |      embedding, x -> CAST(x AS DOUBLE)), qv) AS DOUBLE), 4)
+             |      score,
+             |    e."label" = ql pos
+             |  FROM embeddings e CROSS JOIN q
+             |  WHERE vec_id <> 0 AND embedding IS NOT NULL
+             |    AND e."label" IS NOT NULL),
+             |rk AS (SELECT id, score, pos, row_number() OVER (
+             |    ORDER BY score ASC, id ASC) rk FROM sc),
+             |tie AS (SELECT score, min(rk) lo, max(rk) hi FROM rk
+             |  GROUP BY 1),
+             |j AS (SELECT CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END)
+             |      AS BIGINT) np,
+             |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) nn,
+             |    CAST(sum(CASE WHEN pos THEN lo + hi ELSE 0 END)
+             |      AS BIGINT) r2
+             |  FROM rk JOIN tie USING (score))
+             |SELECT np n_pos, nn n_neg,
+             |  round((CAST(r2 AS DOUBLE)/2.0 - CAST(np AS DOUBLE) *
+             |    (CAST(np AS DOUBLE) + 1.0)/2.0) /
+             |    (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) auc
+             |FROM j""".stripMargin))
   )
 }

@@ -118,6 +118,32 @@ class PipelineAuditSpec extends SparkSpec {
     assert(out == (4L, 11L, 0.454545, 0.727273, 1.0))
   }
 
+  test("fairTopK: per-group exposure capped before the global cut") {
+    val df = Seq(
+      (1L, "a", 9.0), (2L, "a", 8.0), (3L, "a", 7.0), // a's 3rd best capped
+      (4L, "b", 6.0), (5L, "b", 5.0), (6L, "c", 1.0)
+    ).toDF("id", "g", "s")
+    val out = ScaleOps.fairTopK(df, "g", "id", "s", perGroup = 2, k = 4)
+      .orderBy("rank").as[(Long, String, Double, Long, Long)]
+      .collect().toSeq
+    // id 3 (a's rank 3) is excluded even though its score beats b's 2nd
+    assert(out.map(_._1) == Seq(1L, 2L, 4L, 5L))
+    assert(out.map(_._5) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("aucExact: perfect separation = 1, reversed = 0, all-tied = 0.5") {
+    val perfect = Seq((1L, 3.0, true), (2L, 2.0, true), (3L, 1.0, false),
+      (4L, 0.5, false)).toDF("id", "s", "p")
+    assert(Analytics.aucExact(perfect, "id", "s", "p")
+      .as[(Long, Long, Double)].collect().head == (2L, 2L, 1.0))
+    val reversed = perfect.withColumn("p", !col("p"))
+    assert(Analytics.aucExact(reversed, "id", "s", "p")
+      .as[(Long, Long, Double)].collect().head == (2L, 2L, 0.0))
+    val tied = Seq((1L, 1.0, true), (2L, 1.0, false)).toDF("id", "s", "p")
+    assert(Analytics.aucExact(tied, "id", "s", "p")
+      .as[(Long, Long, Double)].collect().head == (1L, 1L, 0.5))
+  }
+
   test("liftCurve: a perfect score puts all positives in the top " +
     "buckets; lifts are exact rationals, capture closes at 1") {
     // 20 rows, 4 positives with the 4 highest scores -> 5 buckets of 4
