@@ -1931,6 +1931,54 @@ object Analytics {
           .as("auc"))
   }
 
+  /** Grouped Spearman rank correlation — [[groupedPearson]]'s robust
+    * sibling: Pearson over MIDRANKS instead of values, so monotone-but-
+    * nonlinear association registers and outliers lose their leverage
+    * (the drift screen to run when x83's linear r and this disagree —
+    * the relationship is real but curved, or one tail is contaminated).
+    *
+    * Exactness: midranks are halves, so DOUBLED midranks (tie-group
+    * lo+hi from min/max ranks) are BIGINTs and all five sufficient sums
+    * stay exact integers — Pearson over 2r equals Pearson over r
+    * (scale-invariant), the same trick [[aucExact]] uses. Two rank
+    * windows per group + two |ties|-sized joins + a |groups|-row reduce;
+    * variance factors are rooted separately (the x83 overflow
+    * convention). Degenerate groups (all-tied x or y) emit NULL rho.
+    */
+  def groupedSpearman(df: DataFrame, groupCol: String, xCol: String,
+                      yCol: String): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull &&
+      col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(xCol).as("__x"),
+        col(yCol).as("__y"))
+    def doubledRanks(c: String, out: String): DataFrame = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__g")).orderBy(col(c).asc)
+      val rk = base.select(col("__g"), col(c))
+        .withColumn("__rk", row_number().over(w).cast("long"))
+      rk.groupBy(col("__g"), col(c))
+        .agg((min(col("__rk")) + max(col("__rk"))).as(out))
+    }
+    val rx = doubledRanks("__x", "__rx2")
+    val ry = doubledRanks("__y", "__ry2")
+    base
+      .join(rx, Seq("__g", "__x")).join(ry, Seq("__g", "__y"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__rx2")).as("__sx"), sum(col("__ry2")).as("__sy"),
+        sum(col("__rx2") * col("__ry2")).as("__sxy"),
+        sum(col("__rx2") * col("__rx2")).as("__sxx"),
+        sum(col("__ry2") * col("__ry2")).as("__syy"))
+      .select(col("__g").as(groupCol), col("__n").as("n_rows"),
+        round(
+          (col("__n") * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") /
+            (sqrt((col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+              .cast("double")) *
+             sqrt((col("__n") * col("__syy") - col("__sy") * col("__sy"))
+               .cast("double"))), 4).as("spearman_rho"))
+  }
+
   /** Decile lift table — the classifier/retrieval evaluation every scored
     * pipeline stage reports (does ranking by this score actually
     * concentrate the positives?): rows are ranked by (score desc, id

@@ -6157,6 +6157,47 @@ object ScaleQueries {
              |  round((CAST(r2 AS DOUBLE)/2.0 - CAST(np AS DOUBLE) *
              |    (CAST(np AS DOUBLE) + 1.0)/2.0) /
              |    (CAST(np AS DOUBLE) * CAST(nn AS DOUBLE)), 6) auc
-             |FROM j""".stripMargin))
+             |FROM j""".stripMargin)),
+
+    // Grouped Spearman (x153): x83's Pearson over midranks — doubled
+    // midranks keep every sum BIGINT-exact; disagreements with x83's
+    // linear r flag curved or tail-contaminated relationships.
+    QuerySpec("x153_grouped_spearman", (s, d) =>
+      Analytics.groupedSpearman(
+        t(s, d, "events")
+          .filter(col("ts").isNotNull && col("value").isNotNull &&
+            col("event_type").isNotNull)
+          .select(col("event_type"),
+            floor((unix_timestamp(col("ts")) -
+              unix_timestamp(lit("2024-01-01 00:00:00").cast("timestamp")))
+              / 60L).as("x"),
+            floor(col("value") * 100).as("y")),
+        "event_type", "x", "y").orderBy("event_type"),
+      Some("""WITH b AS (SELECT event_type g,
+             |    CAST(floor((epoch(ts) - epoch(TIMESTAMP '2024-01-01'))
+             |      / 60) AS BIGINT) x,
+             |    CAST(floor(value * 100) AS BIGINT) y
+             |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+             |    AND event_type IS NOT NULL),
+             |rx AS (SELECT g, x, CAST(min(rk) + max(rk) AS BIGINT) rx2
+             |  FROM (SELECT g, x, row_number() OVER (PARTITION BY g
+             |      ORDER BY x ASC) rk FROM b) GROUP BY 1, 2),
+             |ry AS (SELECT g, y, CAST(min(rk) + max(rk) AS BIGINT) ry2
+             |  FROM (SELECT g, y, row_number() OVER (PARTITION BY g
+             |      ORDER BY y ASC) rk FROM b) GROUP BY 1, 2),
+             |j AS (SELECT b.g, rx2, ry2 FROM b
+             |  JOIN rx ON b.g = rx.g AND b.x = rx.x
+             |  JOIN ry ON b.g = ry.g AND b.y = ry.y),
+             |s AS (SELECT g, CAST(count(*) AS BIGINT) n,
+             |    CAST(sum(rx2) AS BIGINT) sx, CAST(sum(ry2) AS BIGINT) sy,
+             |    CAST(sum(rx2*ry2) AS BIGINT) sxy,
+             |    CAST(sum(rx2*rx2) AS BIGINT) sxx,
+             |    CAST(sum(ry2*ry2) AS BIGINT) syy
+             |  FROM j GROUP BY 1)
+             |SELECT g event_type, n n_rows,
+             |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
+             |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+             |     sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 4) spearman_rho
+             |FROM s ORDER BY event_type""".stripMargin))
   )
 }

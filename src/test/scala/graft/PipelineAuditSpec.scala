@@ -118,6 +118,45 @@ class PipelineAuditSpec extends SparkSpec {
     assert(out == (4L, 11L, 0.454545, 0.727273, 1.0))
   }
 
+  test("groupedSpearman: monotone-nonlinear = 1, reversed = -1, ties " +
+    "via midranks") {
+    val df = Seq(
+      ("m", 1L, 1L), ("m", 2L, 8L), ("m", 3L, 27L), ("m", 4L, 1000L),
+      ("r", 1L, 40L), ("r", 2L, 30L), ("r", 3L, 20L), ("r", 4L, 10L)
+    ).toDF("g", "x", "y")
+    val out = Analytics.groupedSpearman(df, "g", "x", "y").orderBy("g")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(out == Seq(("m", 4L, 1.0), ("r", 4L, -1.0)))
+  }
+
+  test("letArray-bound shingles/charNgrams equal a driver-side sliding " +
+    "reference on randomized text") {
+    val rnd = new scala.util.Random(11)
+    val texts = (1 to 25).map { i =>
+      val words = (0 until rnd.nextInt(8)).map(_ =>
+        ('a' + rnd.nextInt(3)).toChar.toString * (1 + rnd.nextInt(2)))
+      (i.toLong, words.mkString(" ") + (if (i % 5 == 0) "  " else ""))
+    }
+    val df = texts.toDF("id", "text")
+    val got = df.select(col("id"),
+      TextOps.shingles(col("text"), 3).as("sh")).orderBy("id")
+      .as[(Long, Seq[String])].collect().toMap
+    texts.foreach { case (id, t) =>
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      val want = if (toks.length < 3) Seq.empty
+        else toks.sliding(3).map(_.mkString(" ")).toSeq
+      assert(got(id) == want, s"id=$id text='$t'")
+    }
+  }
+
+  test("cdcChunks plans map-side: no Exchange before the chunk rows") {
+    val df = Seq((1L, "abcdefghijklmnop")).toDF("id", "text")
+    val plan = TextOps.cdcChunks(df, "id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"CDC chunking must not shuffle:\n$plan")
+  }
+
   test("fairTopK: per-group exposure capped before the global cut") {
     val df = Seq(
       (1L, "a", 9.0), (2L, "a", 8.0), (3L, "a", 7.0), // a's 3rd best capped
