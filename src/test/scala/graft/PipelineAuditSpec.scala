@@ -118,6 +118,19 @@ class PipelineAuditSpec extends SparkSpec {
     assert(out == (4L, 11L, 0.454545, 0.727273, 1.0))
   }
 
+  test("ngramNovelty: grams shared with another doc are not novel; " +
+    "wholly-copied docs score 0") {
+    val df = Seq(
+      (1L, "a b c d e"),   // grams: "a b c", "b c d", "c d e"
+      (2L, "a b c d e"),   // exact copy -> nothing novel in either
+      (3L, "x y z w v")    // entirely unique -> novelty 1
+    ).toDF("doc_id", "text")
+    val out = TextOps.ngramNovelty(df, "doc_id", "text", gramWords = 3)
+      .orderBy("doc_id").as[(Long, Long, Long, Double)].collect().toSeq
+    assert(out == Seq((1L, 3L, 0L, 0.0), (2L, 3L, 0L, 0.0),
+      (3L, 3L, 3L, 1.0)))
+  }
+
   test("groupedSpearman: monotone-nonlinear = 1, reversed = -1, ties " +
     "via midranks") {
     val df = Seq(
