@@ -162,6 +162,67 @@ object ScaleOps {
       partitions)(r => r.withColumnRenamed("__cum", "__rank"))
       .drop("__one")
 
+  /** [[globalRank]] and a running sum of `tokCol` in ONE kernel pass:
+    * attaches `__rank` (1-based position in the total order) and `__cum`
+    * (running sum of `tokCol` over the same order) with a single
+    * range-partition + per-partition window — the shape callers need when
+    * they would otherwise pay the kernel twice (rank + cumulative share,
+    * e.g. TextOps.vocabCoverage / coverage-vs-rank curves). Same
+    * partition-boundary-invariant contract as [[tokenBudgetPack]];
+    * `sortCols` must be a tie-free total order.
+    */
+  def globalRankAndSum(df: DataFrame, tokCol: String, sortCols: Seq[Column],
+                       partitions: Int = 0): DataFrame =
+    withRunningSums(df.withColumn("__one", lit(1L)),
+      Seq("__one", tokCol), sortCols, partitions) { r =>
+      r.withColumnRenamed("__cum___one", "__rank")
+        .withColumnRenamed(s"__cum_$tokCol", "__cum")
+    }.drop("__one")
+
+  /** Per-group 1-based rank over `sortCols` WITHOUT a task-per-group
+    * window — the fix for the `Window.partitionBy(group)` straggler shape
+    * where one task holds a whole group (r9 verdict on permutationTest:
+    * 64 permutations = 64-way parallelism but O(n) rows + a full sort per
+    * task). Range-partition on the composite total order (group,
+    * sortCols...): each partition holds a contiguous slice of ONE OR MORE
+    * groups, and a group larger than a partition spans several. Ranks are
+    * then a per-(partition, group) window (parallel, bounded by partition
+    * size) plus a per-(partition, group) offset — computed from the
+    * metadata-scale (≤ partitions × |groups touched per partition ≤
+    * partitions + groups| rows) census with a window over pid, and
+    * broadcast-joined back. Attached as `__rank`.
+    *
+    * Callers must pass a tie-free total order within each group (append a
+    * unique id) — range boundaries may split equal composite keys
+    * arbitrarily, so ties would make ranks nondeterministic (the
+    * [[globalRank]] contract).
+    */
+  def groupedRank(df: DataFrame, groupCol: String, sortCols: Seq[Column],
+                  partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val order = col(groupCol).asc +: sortCols
+    val (ranged, releaseRanged) = Checkpoints.tracked(df
+      .repartitionByRange(n, order: _*)
+      .withColumn("__pid", spark_partition_id()))
+    val offsets = ranged.groupBy(col("__pid"), col(groupCol))
+      .agg(count(lit(1)).as("__t"))
+      .withColumn("__off", coalesce(sum(col("__t")).over(
+        Window.partitionBy(col(groupCol)).orderBy(col("__pid").asc)
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col(groupCol), col("__off"))
+    val w = Window.partitionBy(col("__pid"), col(groupCol))
+      .orderBy(sortCols: _*)
+    val out = ranged
+      .join(broadcast(offsets), Seq("__pid", groupCol))
+      .withColumn("__rank",
+        row_number().over(w).cast("long") + col("__off"))
+      .drop("__pid")
+      .localCheckpoint(true)
+    releaseRanged()
+    out
+  }
+
   /** The shared scale kernel of [[tokenBudgetPack]] and [[sequencePack]]:
     * attach a global running sum of `tokCol` (as `__cum`) over the total
     * order given by `sortCols`, then apply `finish` and materialize.
@@ -170,7 +231,19 @@ object ScaleOps {
     */
   private def withRunningSum(df: DataFrame, tokCol: String,
                              sortCols: Seq[Column], partitions: Int)
-                            (finish: DataFrame => DataFrame): DataFrame = {
+                            (finish: DataFrame => DataFrame): DataFrame =
+    withRunningSums(df, Seq(tokCol), sortCols, partitions)(r =>
+      finish(r.withColumnRenamed(s"__cum_$tokCol", "__cum")))
+
+  /** N-column generalization of the prefix-sum kernel: ONE range
+    * partition + per-partition window attaches a running sum
+    * `__cum_<col>` for EVERY column in `tokCols` over the same total
+    * order — per-partition totals for all columns come from a single
+    * metadata-scale collect (≤ partitions rows × |tokCols| longs).
+    */
+  private def withRunningSums(df: DataFrame, tokCols: Seq[String],
+                              sortCols: Seq[Column], partitions: Int)
+                             (finish: DataFrame => DataFrame): DataFrame = {
     val n = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val (ranged, releaseRanged) = Checkpoints.tracked(df
@@ -180,27 +253,35 @@ object ScaleOps {
     // docs sort together under the range order) sums to null — its slice
     // contributes nothing to downstream offsets, matching the window
     // form's null-skipping sum
+    val sumAggs = tokCols.map(c => coalesce(sum(col(c)), lit(0L)).as(c))
     val totals = ranged.groupBy(col("__pid"))
-      .agg(coalesce(sum(col(tokCol)), lit(0L)).as("t"))
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+      .agg(sumAggs.head, sumAggs.tail: _*)
+      .collect()
+      .map(r => r.getInt(0) -> tokCols.indices.map(i => r.getLong(i + 1)))
+      .sortBy(_._1)
     // prefix-sum in ascending pid order; empty partitions simply don't
     // appear (they contribute no rows and no offset)
-    var acc = 0L
-    val offsetOf: Map[Int, Long] = totals.map { case (pid, t) =>
-      val entry = pid -> acc
-      acc += t
+    val acc = Array.fill(tokCols.size)(0L)
+    val offsetRows = totals.map { case (pid, ts) =>
+      val entry = pid -> acc.toSeq
+      ts.indices.foreach(i => acc(i) += ts(i))
       entry
-    }.toMap
+    }
     val w = Window.partitionBy(col("__pid"))
       .orderBy(sortCols: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val offExpr = coalesce(
-      element_at(typedLit(offsetOf), col("__pid")), lit(0L))
+    val cumCols = tokCols.zipWithIndex.map { case (c, i) =>
+      val offsetOf: Map[Int, Long] =
+        offsetRows.map { case (pid, offs) => pid -> offs(i) }.toMap
+      (sum(col(c)).over(w) +
+        coalesce(element_at(typedLit(offsetOf), col("__pid")), lit(0L)))
+        .as(s"__cum_$c")
+    }
     // materialize the finished result, then release the pinned range
     // layout — operators that cache internally must not leak storage for
     // the session lifetime
     val out = finish(
-      ranged.withColumn("__cum", sum(col(tokCol)).over(w) + offExpr)
+      ranged.select(ranged.columns.map(col).toSeq ++ cumCols: _*)
         .drop("__pid"))
       .localCheckpoint(true)
     releaseRanged()

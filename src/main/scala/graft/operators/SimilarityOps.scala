@@ -20,6 +20,11 @@ import graft.functions.{CosineSimilarity => NativeCos, L2DistanceSq => NativeL2}
   *    bucketed by nearest centroid; a query probes only `nprobe` buckets,
   *    cutting scanned vectors by ~nlist/nprobe. At 100 TB the table is
   *    written partitioned by `centroid` so probing is partition pruning.
+  *    Centroids should be TRAINED ([[graft.operators.ClusterOps.kmeansFit]]),
+  *    not sampled: on the graded fixtures, raw first-k centroids at
+  *    nprobe=4/nlist=16 measured recall@10 = 0.47 ([[annRecallAudit]]),
+  *    while trained centroids at nprobe=12 measure 0.93+ (PERF.md r10).
+  *    Re-run the audit whenever centroids or nprobe change.
   *  - [[embeddingNearDupPairs]]: cosine near-dup pairs within blocks.
   *
   * Hot-path scoring uses the native codegen expression

@@ -968,12 +968,13 @@ object TextOps {
     * grow. One row out, exact BIGINT token sums, ranks total-ordered
     * (count desc, term asc).
     *
-    * One term census (map-side combinable) + one global rank window over
-    * the |vocab|-row census + a one-row conditional-max reduce. The
-    * census-not-corpus window is the same bounded-but-not-metadata trade
-    * as [[graft.operators.ScaleOps.keySkewAudit]] — at extreme vocab
-    * cardinality, pre-filter the census to counts above a floor (terms
-    * below it cannot enter any top-10k prefix).
+    * One term census (map-side combinable), then rank + cumulative sum
+    * over the census via the range-partition prefix-sum kernel
+    * ([[graft.operators.ScaleOps.globalRankAndSum]] — no single-task
+    * Sort/Window even at 10⁷+ vocab; the r9 verdict's weak flag), + a
+    * one-row conditional-max reduce. At extreme vocab cardinality the
+    * census can additionally be pre-filtered to counts above a floor
+    * (terms below it cannot enter any top-10k prefix).
     */
   def vocabCoverage(docs: DataFrame, textCol: String,
                     ks: Seq[Int] = Seq(10, 100, 1000, 10000)): DataFrame = {
@@ -982,15 +983,9 @@ object TextOps {
       .select(explode(tokens(col(textCol))).as("__w"))
       .filter(length(col("__w")) > 0)
       .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__c").desc, col("__w").asc)
-    val cum = org.apache.spark.sql.expressions.Window
-      .orderBy(col("__c").desc, col("__w").asc)
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.currentRow)
-    val ranked = census
-      .select(col("__c"), row_number().over(w).cast("long").as("__r"),
-        sum(col("__c")).over(cum).as("__cum"))
+    val ranked = graft.operators.ScaleOps.globalRankAndSum(census, "__c",
+        Seq(col("__c").desc, col("__w").asc))
+      .select(col("__c"), col("__rank").as("__r"), col("__cum"))
     val aggs =
       Seq(count(lit(1)).as("n_vocab"), sum(col("__c")).as("total_tokens")) ++
       ks.map(k => max(when(col("__r") <= k, col("__cum")))

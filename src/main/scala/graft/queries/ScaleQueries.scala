@@ -26,6 +26,71 @@ object ScaleQueries {
 
   private val stopwords = Seq("the", "a", "value", "data", "row", "table")
 
+  /** IVF coarse centroids for the graded ANN family (x7/x7b/x51/x59/x63/
+    * x140): k-means-trained (ClusterOps.kmeansFit, iters = 2) from the
+    * deterministic first-`k`-by-id init. The r9 recall audit (x140)
+    * measured recall@10 = 0.47 with first-k RAW vectors as centroids at
+    * nprobe=4/nlist=16; the shipped operating point — trained centroids,
+    * nlist=16, nprobe=12 — measures 0.936 (sf0.01) / 0.934 (sf0.1)
+    * (tools/ProfileRecall; PERF.md r10). The fit is deterministic, so the
+    * k×64 rounded-double result is cached per (sfDir, k) and re-planted as
+    * a local frame — each graded query pays the two Lloyd's rounds at most
+    * once per process, and the collect is metadata scale.
+    */
+  private val centCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[(Long, Seq[Double])]]()
+  private def trainedCents(s: org.apache.spark.sql.SparkSession, d: String,
+                           k: Int): org.apache.spark.sql.DataFrame = {
+    val rows = centCache.computeIfAbsent((d, k), _ => {
+      val emb = t(s, d, "embeddings")
+      val init = emb.filter(col("vec_id") < k)
+        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      ClusterOps.kmeansFit(emb, "vec_id", "embedding", init, "cid", "cvec",
+          iters = 2)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    })
+    val schema = StructType(Seq(
+      StructField("cid", LongType, nullable = false),
+      StructField("cvec", ArrayType(DoubleType), nullable = false)))
+    val data = rows.map { case (cid, cv) =>
+      org.apache.spark.sql.Row(cid, cv) }
+    s.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](
+      java.util.Arrays.asList(data: _*)), schema)
+  }
+
+  /** DuckDB CTE chain mirroring [[trainedCents]] (kmeansFit, iters = 2,
+    * init = first `k` by vec_id, components rounded to 6 dp after every
+    * M-step — the x55 cross-engine convention). Terminates in
+    * `cent(cid, cvec)` with DOUBLE components; splice as the first WITH
+    * entry. Downstream comparisons against `cvec` must cast the float
+    * embedding to double (`list_transform(e, x -> CAST(x AS DOUBLE))`)
+    * exactly as x55 does.
+    */
+  private def kmeansCentSql(k: Int): String =
+    s"""__c0 AS (SELECT CAST(vec_id AS BIGINT) cid,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) cvec
+       |  FROM embeddings WHERE vec_id < $k),
+       |__a0 AS (SELECT e.vec_id, e.embedding, c.cid
+       |  FROM embeddings e CROSS JOIN __c0 c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY list_cosine_similarity(list_transform(e.embedding,
+       |      x -> CAST(x AS DOUBLE)), c.cvec) DESC, c.cid) = 1),
+       |__m0 AS (SELECT cid, generate_subscripts(embedding, 1) pos,
+       |    CAST(unnest(embedding) AS DOUBLE) val FROM __a0),
+       |__c1 AS (SELECT cid, list(round(m, 6) ORDER BY pos) cvec
+       |  FROM (SELECT cid, pos, avg(val) m FROM __m0 GROUP BY cid, pos)
+       |  GROUP BY cid),
+       |__a1 AS (SELECT e.vec_id, e.embedding, c.cid
+       |  FROM embeddings e CROSS JOIN __c1 c
+       |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
+       |    ORDER BY list_cosine_similarity(list_transform(e.embedding,
+       |      x -> CAST(x AS DOUBLE)), c.cvec) DESC, c.cid) = 1),
+       |__m1 AS (SELECT cid, generate_subscripts(embedding, 1) pos,
+       |    CAST(unnest(embedding) AS DOUBLE) val FROM __a1),
+       |cent AS (SELECT cid, list(round(m, 6) ORDER BY pos) cvec
+       |  FROM (SELECT cid, pos, avg(val) m FROM __m1 GROUP BY cid, pos)
+       |  GROUP BY cid)""".stripMargin
+
   /** Shared by x13 (hash-to-min) and x13b (large-star/small-star): the two
     * clustering implementations have one output contract, so they are
     * graded against the identical recursive-CTE oracle.
@@ -622,23 +687,24 @@ object ScaleQueries {
 
     QuerySpec("x7_ann_ivf_topk", (s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cents = trainedCents(s, d, 16)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
       val assigned = SimilarityOps.ivfAssign(emb.filter(col("vec_id") >= 16),
         "vec_id", "embedding", cents, "cid", "cvec")
       SimilarityOps.ivfTopK(assigned, "vec_id", "embedding", cents, "cid", "cvec",
-        q, k = 10, nprobe = 4)
+        q, k = 10, nprobe = 12)
     },
-      Some("""WITH cent AS (SELECT vec_id cid, embedding cvec FROM embeddings WHERE vec_id < 16),
+      Some(s"""WITH ${kmeansCentSql(16)},
              |q AS (SELECT embedding qe FROM embeddings WHERE vec_id = 0),
              |probes AS (SELECT cid FROM cent, q
-             |  ORDER BY list_cosine_similarity(cvec, qe) DESC, cid LIMIT 4),
+             |  ORDER BY list_cosine_similarity(cvec, list_transform(qe,
+             |    x -> CAST(x AS DOUBLE))) DESC, cid LIMIT 12),
              |assign AS (SELECT e.vec_id, e.embedding, c.cid centroid
              |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id >= 16
              |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-             |    ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) = 1)
+             |    ORDER BY list_cosine_similarity(list_transform(e.embedding,
+             |      x -> CAST(x AS DOUBLE)), c.cvec) DESC, c.cid) = 1)
              |SELECT a.vec_id, a.centroid,
              |  round(CAST(list_cosine_similarity(a.embedding, (SELECT qe FROM q)) AS DOUBLE), 4) score
              |FROM assign a JOIN probes p ON a.centroid = p.cid
@@ -654,17 +720,15 @@ object ScaleQueries {
     // approximate by design and the approximation must be reproducible.
     QuerySpec("x51_ann_join", (s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cents = trainedCents(s, d, 16)
       val queries = emb.filter(col("vec_id") % 10 === 0)
       val corpus = emb.filter(col("vec_id") >= 16 && col("vec_id") % 10 =!= 0)
       SimilarityOps.annJoin(queries, "vec_id", "embedding",
         corpus, "vec_id", "embedding", cents, "cid", "cvec",
-        k = 5, nprobe = 4)
+        k = 5, nprobe = 12)
         .orderBy("query_id", "nn_rank")
     },
-      Some("""WITH cent AS (SELECT vec_id cid, embedding cvec FROM embeddings
-             |  WHERE vec_id < 16),
+      Some(s"""WITH ${kmeansCentSql(16)},
              |qs AS (SELECT vec_id qid, embedding qe FROM embeddings
              |  WHERE vec_id % 10 = 0),
              |corpus AS (SELECT vec_id, embedding FROM embeddings
@@ -672,12 +736,14 @@ object ScaleQueries {
              |assign AS (SELECT co.vec_id, co.embedding, c.cid centroid
              |  FROM corpus co CROSS JOIN cent c
              |  QUALIFY row_number() OVER (PARTITION BY co.vec_id
-             |    ORDER BY list_cosine_similarity(co.embedding, c.cvec) DESC,
+             |    ORDER BY list_cosine_similarity(list_transform(co.embedding,
+             |      x -> CAST(x AS DOUBLE)), c.cvec) DESC,
              |      c.cid) = 1),
              |probes AS (SELECT q.qid, c.cid FROM qs q CROSS JOIN cent c
              |  QUALIFY row_number() OVER (PARTITION BY q.qid
-             |    ORDER BY list_cosine_similarity(c.cvec, q.qe) DESC,
-             |      c.cid) <= 4),
+             |    ORDER BY list_cosine_similarity(c.cvec, list_transform(q.qe,
+             |      x -> CAST(x AS DOUBLE))) DESC,
+             |      c.cid) <= 12),
              |scored AS (SELECT p.qid query_id, a.vec_id neighbor_id,
              |    round(CAST(list_cosine_similarity(a.embedding, q.qe)
              |      AS DOUBLE), 4) score
@@ -697,8 +763,7 @@ object ScaleQueries {
     // must not change the answer.
     QuerySpec("x7b_ann_ivf_pruned", (s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cents = trainedCents(s, d, 16)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
       val assigned = SimilarityOps.ivfAssign(emb.filter(col("vec_id") >= 16),
@@ -706,20 +771,22 @@ object ScaleQueries {
       val dir = java.nio.file.Files.createTempDirectory("graft_ivf_rest").toString
       val schema = SimilarityOps.ivfWritePartitioned(assigned, dir)
       val out = SimilarityOps.ivfProbeAtRest(s, dir, schema, "vec_id",
-        "embedding", cents, "cid", "cvec", q, k = 10, nprobe = 4)
+        "embedding", cents, "cid", "cvec", q, k = 10, nprobe = 12)
         .localCheckpoint(true)
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       out
     },
-      Some("""WITH cent AS (SELECT vec_id cid, embedding cvec FROM embeddings WHERE vec_id < 16),
+      Some(s"""WITH ${kmeansCentSql(16)},
              |q AS (SELECT embedding qe FROM embeddings WHERE vec_id = 0),
              |probes AS (SELECT cid FROM cent, q
-             |  ORDER BY list_cosine_similarity(cvec, qe) DESC, cid LIMIT 4),
+             |  ORDER BY list_cosine_similarity(cvec, list_transform(qe,
+             |    x -> CAST(x AS DOUBLE))) DESC, cid LIMIT 12),
              |assign AS (SELECT e.vec_id, e.embedding, c.cid centroid
              |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id >= 16
              |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-             |    ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) = 1)
+             |    ORDER BY list_cosine_similarity(list_transform(e.embedding,
+             |      x -> CAST(x AS DOUBLE)), c.cvec) DESC, c.cid) = 1)
              |SELECT a.vec_id, a.centroid,
              |  round(CAST(list_cosine_similarity(a.embedding, (SELECT qe FROM q)) AS DOUBLE), 4) score
              |FROM assign a JOIN probes p ON a.centroid = p.cid
@@ -735,8 +802,7 @@ object ScaleQueries {
     // TextDedupSpec; here the driver grades the answer.
     QuerySpec("x59_ann_ivf_append", (s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cents = trainedCents(s, d, 16)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
       val base = emb.filter(col("vec_id") >= 16 && col("vec_id") % 7 =!= 0)
@@ -747,20 +813,22 @@ object ScaleQueries {
       SimilarityOps.ivfAppend(
         SimilarityOps.ivfAssign(delta, "vec_id", "embedding", cents, "cid", "cvec"), dir)
       val out = SimilarityOps.ivfProbeAtRest(s, dir, schema, "vec_id",
-        "embedding", cents, "cid", "cvec", q, k = 10, nprobe = 4)
+        "embedding", cents, "cid", "cvec", q, k = 10, nprobe = 12)
         .localCheckpoint(true)
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       out
     },
-      Some("""WITH cent AS (SELECT vec_id cid, embedding cvec FROM embeddings WHERE vec_id < 16),
+      Some(s"""WITH ${kmeansCentSql(16)},
              |q AS (SELECT embedding qe FROM embeddings WHERE vec_id = 0),
              |probes AS (SELECT cid FROM cent, q
-             |  ORDER BY list_cosine_similarity(cvec, qe) DESC, cid LIMIT 4),
+             |  ORDER BY list_cosine_similarity(cvec, list_transform(qe,
+             |    x -> CAST(x AS DOUBLE))) DESC, cid LIMIT 12),
              |assign AS (SELECT e.vec_id, e.embedding, c.cid centroid
              |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id >= 16
              |  QUALIFY row_number() OVER (PARTITION BY e.vec_id
-             |    ORDER BY list_cosine_similarity(e.embedding, c.cvec) DESC, c.cid) = 1)
+             |    ORDER BY list_cosine_similarity(list_transform(e.embedding,
+             |      x -> CAST(x AS DOUBLE)), c.cvec) DESC, c.cid) = 1)
              |SELECT a.vec_id, a.centroid,
              |  round(CAST(list_cosine_similarity(a.embedding, (SELECT qe FROM q)) AS DOUBLE), 4) score
              |FROM assign a JOIN probes p ON a.centroid = p.cid
@@ -834,9 +902,10 @@ object ScaleQueries {
     // build; search reads codes only.
     QuerySpec("x63_ivfpq_topk", (s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = emb.filter(col("vec_id") < 8)
-        .select(col("vec_id").as("cid"),
-          transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      // r10: coarse quantizer is k-means-trained (the x140 directive) —
+      // the L2 residual story is unchanged, only the centroid positions
+      // improve; kmeansFit already emits array<double> cvec.
+      val cents = trainedCents(s, d, 8)
       val corpus = emb.filter(col("vec_id") >= 16)
       val q = emb.filter(col("vec_id") === 0).select("embedding")
         .head().getSeq[Float](0)
@@ -878,16 +947,16 @@ object ScaleQueries {
         .orderBy(col("approx_dist"), col("vec_id"))
         .limit(10)
     },
-      Some("""WITH ss AS (SELECT unnest(range(0, 4)) s),
+      Some(s"""WITH ${kmeansCentSql(8)},
+             |ss AS (SELECT unnest(range(0, 4)) s),
              |v AS (SELECT vec_id,
              |    list_transform(embedding, x -> CAST(x AS DOUBLE)) e
              |  FROM embeddings),
-             |cent AS (SELECT CAST(vec_id AS BIGINT) cid, e cv FROM v
-             |  WHERE vec_id < 8),
+             |centv AS (SELECT cid, cvec cv FROM cent),
              |corp AS (SELECT vec_id, e FROM v WHERE vec_id >= 16),
              |ca AS (SELECT co.vec_id, co.e, c.cid cent,
              |    list_transform(range(1, 65), i -> co.e[i] - c.cv[i]) r
-             |  FROM corp co JOIN cent c ON true
+             |  FROM corp co JOIN centv c ON true
              |  QUALIFY row_number() OVER (PARTITION BY co.vec_id
              |    ORDER BY list_sum(list_transform(range(1, 65),
              |      i -> (co.e[i] - c.cv[i])*(co.e[i] - c.cv[i]))), c.cid) = 1),
@@ -915,7 +984,7 @@ object ScaleQueries {
              |qv AS (SELECT e qe FROM v WHERE vec_id = 0),
              |probes AS (SELECT c.cid cent, list_transform(range(1, 65),
              |    i -> q.qe[i] - c.cv[i]) qr
-             |  FROM cent c, qv q
+             |  FROM centv c, qv q
              |  ORDER BY list_sum(list_transform(range(1, 65),
              |    i -> (q.qe[i] - c.cv[i])*(q.qe[i] - c.cv[i]))), c.cid
              |  LIMIT 2),
@@ -5577,22 +5646,28 @@ object ScaleQueries {
     },
       Some(keySkewOracleSql)),
 
-    // ANN recall audit (x140): recall@10 of the nprobe=4 IVF search (the
+    // ANN recall audit (x140): recall@10 of the production IVF search (the
     // x51 population) against exact brute force, per query — the number
     // that justifies an nprobe setting, measured on a query sample so the
-    // quadratic exact side never touches the full corpus.
+    // quadratic exact side never touches the full corpus. r10: graded at
+    // the SHIPPED operating point — k-means-trained centroids (trainedCents,
+    // nlist=16, iters=2) probed at nprobe=12 — where mean recall@10 is
+    // 0.936 (sf0.01) / 0.934 (sf0.1); the r9 default (raw first-16
+    // centroids, nprobe=4) measured 0.47 and was rejected by exactly this
+    // audit. These embeddings are isotropic (synthetic), so high recall
+    // costs a 12/16 probe fraction; on clustered real embeddings the same
+    // machinery prunes far deeper at equal recall — the audit, not the
+    // default, is the invariant to keep.
     QuerySpec("x140_ann_recall", (s, d) => {
       val emb = t(s, d, "embeddings")
-      val cents = emb.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+      val cents = trainedCents(s, d, 16)
       val queries = emb.filter(col("vec_id") % 10 === 0)
       val corpus = emb.filter(col("vec_id") >= 16 && col("vec_id") % 10 =!= 0)
       SimilarityOps.annRecallAudit(queries, "vec_id", "embedding",
         corpus, "vec_id", "embedding", cents, "cid", "cvec",
-        k = 10, nprobe = 4).orderBy("query_id")
+        k = 10, nprobe = 12).orderBy("query_id")
     },
-      Some("""WITH cent AS (SELECT vec_id cid, embedding cvec FROM embeddings
-             |  WHERE vec_id < 16),
+      Some(s"""WITH ${kmeansCentSql(16)},
              |qs AS (SELECT vec_id qid, embedding qe FROM embeddings
              |  WHERE vec_id % 10 = 0),
              |corpus AS (SELECT vec_id, embedding FROM embeddings
@@ -5600,12 +5675,14 @@ object ScaleQueries {
              |assign AS (SELECT co.vec_id, co.embedding, c.cid centroid
              |  FROM corpus co CROSS JOIN cent c
              |  QUALIFY row_number() OVER (PARTITION BY co.vec_id
-             |    ORDER BY list_cosine_similarity(co.embedding, c.cvec) DESC,
+             |    ORDER BY list_cosine_similarity(list_transform(co.embedding,
+             |      x -> CAST(x AS DOUBLE)), c.cvec) DESC,
              |      c.cid) = 1),
              |probes AS (SELECT q.qid, c.cid FROM qs q CROSS JOIN cent c
              |  QUALIFY row_number() OVER (PARTITION BY q.qid
-             |    ORDER BY list_cosine_similarity(c.cvec, q.qe) DESC,
-             |      c.cid) <= 4),
+             |    ORDER BY list_cosine_similarity(c.cvec, list_transform(q.qe,
+             |      x -> CAST(x AS DOUBLE))) DESC,
+             |      c.cid) <= 12),
              |ann AS (SELECT p.qid, a.vec_id nid,
              |    round(CAST(list_cosine_similarity(a.embedding, q.qe)
              |      AS DOUBLE), 4) score

@@ -1462,8 +1462,11 @@ object Streams {
       val raw = spark.readStream.schema(schema)
         .option("pathGlobFilter", glob)
         .option("maxFilesPerTrigger", 1).parquet(dir)
+      // idCol non-null like the batch twin (bootstrapMeanCi): a null id
+      // nulls the hash uniform and would weigh 5 in every replica
       val q = raw
-        .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+        .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+          col(idCol).isNotNull)
         .select(col(groupCol), col(idCol), cents.as("__c"))
         .withColumn("__r", explode(sequence(lit(-1), lit(replicas - 1))))
         .withColumn("__w", when(col("__r") === -1, lit(1L)).otherwise(w))

@@ -1111,4 +1111,53 @@ class ScaleNativeSpec extends SparkSpec {
     assert(got.keys.count(_._1 == "a") == 5 && got.keys.count(_._1 == "b") == 5)
     assert(!got.values.exists(v => Seq(41L, 42L, 43L).contains(v._1)))
   }
+
+  test("groupedRank equals the window-per-group form, is partition-" +
+    "boundary-invariant, and splits every group across partitions") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val df = spark.range(0, 300).select(
+      (col("id") % 3).as("g"), col("id").as("rid"),
+      ((col("id") * 37) % 101).as("s"))
+    val w = W.partitionBy(col("g")).orderBy(col("s").asc, col("rid").asc)
+    val reference = df.withColumn("__rank", row_number().over(w).cast("long"))
+      .orderBy("rid").collect().map(_.toSeq).toSeq
+    for (parts <- Seq(1, 4, 8)) {
+      val out = ScaleOps.groupedRank(df, "g",
+        Seq(col("s").asc, col("rid").asc), partitions = parts)
+        .select("g", "rid", "s", "__rank")
+        .orderBy("rid").collect().map(_.toSeq).toSeq
+      assert(out == reference, s"parts=$parts diverged from window form")
+    }
+    // the scale evidence (the r9 permutationTest straggler flag): under
+    // the kernel's range layout every group spans >1 physical partition —
+    // no task ever holds a group's full row set (the output plan itself
+    // is a checkpoint scan, so the layout is asserted directly)
+    val spread = df
+      .repartitionByRange(8, col("g").asc, col("s").asc, col("rid").asc)
+      .withColumn("__pid", spark_partition_id())
+      .groupBy("g").agg(countDistinct(col("__pid")).as("np"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spread.size == 3 && spread.values.forall(_ > 1),
+      s"groups must span multiple partitions: $spread")
+  }
+
+  test("globalRankAndSum attaches rank AND running sum matching the " +
+    "global-window form in one pass, any partitioning") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    val df = spark.range(0, 200).select(col("id").as("rid"),
+      ((col("id") * 13) % 47).as("c"))
+    val ord = W.orderBy(col("c").desc, col("rid").asc)
+    val cum = ord.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val reference = df
+      .withColumn("__rank", row_number().over(ord).cast("long"))
+      .withColumn("__cum", sum(col("c")).over(cum))
+      .orderBy("rid").collect().map(_.toSeq).toSeq
+    for (parts <- Seq(1, 5, 8)) {
+      val out = ScaleOps.globalRankAndSum(df, "c",
+        Seq(col("c").desc, col("rid").asc), partitions = parts)
+        .select("rid", "c", "__rank", "__cum")
+        .orderBy("rid").collect().map(_.toSeq).toSeq
+      assert(out == reference, s"parts=$parts diverged from window form")
+    }
+  }
 }
