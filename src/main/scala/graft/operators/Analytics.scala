@@ -2002,8 +2002,11 @@ object Analytics {
     * same frame is the significance companion.
     *
     * The rank is a global window over the SCORED EVAL SET — bounded by
-    * construction (evaluation sets are samples); integer bucket edges
-    * make every cell exact, so the table hash-matches cross-engine.
+    * construction (evaluation sets are samples); bucket edges are TRUE
+    * integer division (`div`, matching the oracle's `//` — not Spark's
+    * default double `/`-then-cast, whose exactness would end at 2^53;
+    * r9 advice), so every cell is exact and the table hash-matches
+    * cross-engine at any eval-set size.
     */
   def liftCurve(df: DataFrame, idCol: String, scoreCol: String,
                 positiveCol: String, nBuckets: Int = 10): DataFrame = {
@@ -2024,7 +2027,7 @@ object Analytics {
       .withColumn("__rk", row_number().over(w).cast("long"))
       .withColumn("__n", count(lit(1)).over(nAll))
       .withColumn("bucket",
-        ((col("__rk") - 1) * nBuckets / col("__n")).cast("long") + 1)
+        expr(s"(__rk - 1) * $nBuckets div __n") + 1)
     val cells = ranked.groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"))
@@ -2042,21 +2045,29 @@ object Analytics {
 
   /** First-/last-touch conversion attribution: for every conversion event
     * (`stateCol === convState`) the user's FIRST and the MOST RECENT
-    * preceding event (by `tsCol`, `idCol` tiebreak) each get credit for
+    * preceding TOUCH (by `tsCol`, `idCol` tiebreak) each get credit for
     * the conversion and its value; conversions with no preceding touch
     * credit the `"(direct)"` channel. Output is one row per channel with
     * both models' conversion counts and attributed cents side by side —
     * the report marketing/source-quality teams diff to see how much a
     * channel's credit depends on the attribution model chosen.
     *
+    * Earlier CONVERSIONS are not touches (the standard attribution
+    * convention, r9 advice — previously a prior 'purchase' was itself
+    * credited as the first/last channel of a later one): conversion rows
+    * are masked to null in the window's channel expression and skipped
+    * with ignoreNulls, so a [buy, view, buy] history credits the second
+    * buy to "view", not "purchase". A preceding touch whose state is
+    * NULL still credits "(direct)" — an untyped touch carries no channel
+    * but IS a touch — which is why the mask folds untyped touches to the
+    * "(direct)" sentinel BEFORE the null-skip (null now means "was a
+    * conversion", nothing else).
+    *
     * Single window pass per user (one shuffle on `entityCol`), no join:
     * first/last over the UNBOUNDED-PRECEDING…1-PRECEDING frame read both
     * touches in the same sort. The census is |channels|-sized. Value is
     * held in exact integer cents (null value → 0); the only doubles are
-    * the two final rounded shares. A preceding touch whose state is NULL
-    * also credits "(direct)" — an untyped touch carries no channel, and
-    * folding it into the fallback keeps every conversion accounted for
-    * exactly once in both models.
+    * the two final rounded shares.
     */
   def touchAttribution(events: DataFrame, entityCol: String, tsCol: String,
                        idCol: String, stateCol: String, valueCol: String,
@@ -2065,10 +2076,14 @@ object Analytics {
       .partitionBy(col(entityCol)).orderBy(col(tsCol), col(idCol))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         -1)
+    val chan = when(col(stateCol) === lit(convState),
+        lit(null).cast("string"))
+      .otherwise(coalesce(col(stateCol), lit("(direct)")))
     val conv = events
       .filter(col(entityCol).isNotNull && col(tsCol).isNotNull)
-      .withColumn("__first", first(col(stateCol), ignoreNulls = false).over(w))
-      .withColumn("__last", last(col(stateCol), ignoreNulls = false).over(w))
+      .withColumn("__chan", chan)
+      .withColumn("__first", first(col("__chan"), ignoreNulls = true).over(w))
+      .withColumn("__last", last(col("__chan"), ignoreNulls = true).over(w))
       .filter(col(stateCol) === lit(convState))
       .select(
         coalesce(col("__first"), lit("(direct)")).as("__f"),

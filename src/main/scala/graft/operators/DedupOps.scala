@@ -601,7 +601,7 @@ object DedupOps {
       .filter(col("rk") <= prefixLen)
       .select(col("id"), col("tok"))
     val shortBlock = base.filter(col("len") < shortLen)
-      .select(col("id"), lit(" short").as("tok"))
+      .select(col("id"), lit("\u0000short").as("tok"))
     val inv = prefix.unionByName(shortBlock)
     val cands = inv.as("l").join(inv.as("r"),
         col("l.tok") === col("r.tok") && col("l.id") < col("r.id"))
@@ -804,7 +804,12 @@ object DedupOps {
     * Cost = one [[ngramJaccardPairs]] run at min(τ) (the loosest prefix
     * filter — strictly more candidates than any single-τ run, which is
     * the price of sweeping) + a |pairs| × |τ| count. The τ frame is a
-    * literal handful of rows.
+    * literal handful of rows and is the BROADCAST side: pairs ×
+    * broadcast(τ) keeps the (possibly huge) pair set streaming on the
+    * probe side — the r9 advice; the earlier non-equi LEFT join put the
+    * full pair relation on the BroadcastNestedLoopJoin build side, an OOM
+    * hazard at scale. Zero-count τ rows come back from a final left join
+    * against the τ frame itself.
     */
   def jaccardThresholdCurve(docs: DataFrame, idCol: String, textCol: String,
                             blockCol: String, shingleWords: Int,
@@ -815,9 +820,12 @@ object DedupOps {
       shingleWords, taus.min)
     val tdf = docs.sparkSession.range(1)
       .select(explode(typedLit(taus.sorted)).as("tau"))
-    tdf.join(pairs, col("jaccard") >= col("tau"), "left")
+    val counted = pairs.crossJoin(broadcast(tdf))
+      .filter(col("jaccard") >= col("tau"))
       .groupBy(col("tau"))
-      .agg(count(col("jaccard")).as("n_pairs"))
+      .agg(count(lit(1)).as("n_pairs"))
+    tdf.join(counted, Seq("tau"), "left")
+      .select(col("tau"), coalesce(col("n_pairs"), lit(0L)).as("n_pairs"))
   }
 
   /** Duplicate-cluster size distribution + dedup yield forecast — the

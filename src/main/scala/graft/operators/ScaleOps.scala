@@ -855,8 +855,10 @@ object ScaleOps {
     * per-bucket doc count, real token load, padded token load
     * (n_docs × cap) and the padding efficiency real/padded — the number
     * that tells you whether length-grouped batching is worth the shuffle
-    * vs padding everything to the global max. Integer-only arithmetic
-    * (cap = ((n+step−1) ÷ step)·step in BIGINTs); the one double is the
+    * vs padding everything to the global max. Integer-only arithmetic:
+    * cap = ((n+step−1) `div` step)·step — TRUE BIGINT division matching
+    * the oracle's `//` (not double `/`-then-cast, whose exactness would
+    * end at 2^53; r9 advice); the one double is the
     * final rounded efficiency. One scan, |buckets|-sized census. Rows
     * with NULL or non-positive token counts are excluded — an empty
     * document occupies no batch slot and has no pad target.
@@ -865,10 +867,12 @@ object ScaleOps {
                         bucketStep: Int): DataFrame = {
     require(bucketStep >= 1, s"bucketStep must be >= 1 (got $bucketStep)")
     val n = col(tokenCountCol).cast("long")
-    val cap = ((n + lit(bucketStep.toLong - 1)) / lit(bucketStep.toLong))
-      .cast("long") * lit(bucketStep.toLong)
     df.filter(n.isNotNull && n > 0)
-      .select(cap.as("bucket_cap"), n.as("__n"))
+      .select(n.as("__n"))
+      .withColumn("bucket_cap",
+        expr(s"(__n + ${bucketStep.toLong - 1}) div ${bucketStep.toLong}") *
+          lit(bucketStep.toLong))
+      .select(col("bucket_cap"), col("__n"))
       .groupBy(col("bucket_cap"))
       .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("real_tokens"))
       .withColumn("padded_tokens", col("n_docs") * col("bucket_cap"))

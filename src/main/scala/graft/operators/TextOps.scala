@@ -1012,7 +1012,13 @@ object TextOps {
     * variable): O(len·window) integer ops per document, map-side at scan
     * speed, no shuffle — the same scale shape as [[chunkText]]. All
     * arithmetic is exact BIGINT mod 1e9+7, so chunk boundaries are
-    * bit-reproducible on any engine.
+    * bit-reproducible on any engine **for ASCII input** (the
+    * [[NfcNormalize]]-style contract): the rolling hash reads
+    * `ascii(char)`, which in Spark is the first UTF-8 BYTE (negative for
+    * multibyte characters) while ANSI engines return the CODE POINT — on
+    * non-ASCII text the boundaries diverge cross-engine (though each
+    * engine alone remains deterministic). Normalize or strip to ASCII
+    * first when cross-engine chunk identity matters.
     */
   def cdcChunks(docs: DataFrame, idCol: String, textCol: String,
                 window: Int = 8, maskBits: Int = 6): DataFrame = {

@@ -5281,17 +5281,20 @@ object ScaleQueries {
       Some(varianceSpectrumOracleSql)),
 
     // First/last-touch attribution (x130): each purchase credits the
-    // user's first and most recent preceding event; no preceding touch →
-    // "(direct)". One window pass per user, exact integer cents.
+    // user's first and most recent preceding TOUCH (prior purchases are
+    // masked out of the window — the standard convention, r10); no
+    // preceding touch → "(direct)". One window pass per user, exact cents.
     QuerySpec("x130_touch_attribution", (s, d) =>
       Analytics.touchAttribution(t(s, d, "events"), "user_id", "ts",
         "event_id", "event_type", "value", "purchase")
         .orderBy("channel"),
-      Some("""WITH e AS (SELECT user_id, ts, event_id, event_type, value
+      Some("""WITH e AS (SELECT user_id, ts, event_id, event_type, value,
+             |    CASE WHEN event_type = 'purchase' THEN NULL
+             |      ELSE coalesce(event_type, '(direct)') END chan
              |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
              |t AS (SELECT event_type, value,
-             |    first_value(event_type) OVER w f,
-             |    last_value(event_type) OVER w l
+             |    first_value(chan IGNORE NULLS) OVER w f,
+             |    last_value(chan IGNORE NULLS) OVER w l
              |  FROM e WINDOW w AS (PARTITION BY user_id
              |    ORDER BY ts, event_id
              |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),

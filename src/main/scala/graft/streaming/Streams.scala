@@ -1745,7 +1745,10 @@ object Streams {
         .filter(col(textCol).isNotNull)
         .select(n.as("__n"))
         .filter(col("__n") > 0)
-        .select((((col("__n") + (step - 1)) / step).cast("long") * step)
+        // true BIGINT division like the batch twin (paddingEfficiency):
+        // double `/`-then-cast would lose exactness past 2^53
+        .select((expr(s"(__n + ${bucketStep.toLong - 1}) div " +
+            s"${bucketStep.toLong}") * step)
           .as("bucket_cap"), col("__n"))
         .groupBy(col("bucket_cap"))
         .agg(count(lit(1)).as("n_docs"), sum(col("__n")).as("real_tokens"))

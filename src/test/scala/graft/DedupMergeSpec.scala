@@ -613,4 +613,76 @@ class DedupMergeSpec extends SparkSpec {
       !n.endsWith(".tmp") && !n.endsWith(".old")))
     fs.delete(p, true)
   }
+
+  test("compactionExecute: crash BETWEEN the two commit renames (tmp " +
+    "fully built, live moved aside) recovers by promoting the tmp — " +
+    "rows converge with no duplicates and no losses") {
+    val dir = "/tmp/graft_test_compact_crash_mid"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    Seq.tabulate(40)(i => (i.toLong, "x" * 40, "frag"))
+      .toDF("id", "payload", "part").repartition(4)
+      .write.partitionBy("part").mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir).select("id", "payload", "part")
+      .collect().toSet
+    // replay the commit protocol UP TO the crash point: build a complete
+    // compacted tmp, move the live partition aside — then "die" before
+    // the tmp→live rename (exactly the state compactionExecute's own
+    // swap leaves if killed between its two renames)
+    val partP = new org.apache.hadoop.fs.Path(p, "part=frag")
+    val tmpP = new org.apache.hadoop.fs.Path(p, "part=frag.tmp")
+    val oldP = new org.apache.hadoop.fs.Path(p, "part=frag.old")
+    val work = new org.apache.hadoop.fs.Path(p, ".work_crash")
+    spark.read.parquet(partP.toString).coalesce(1)
+      .write.parquet(work.toString)
+    fs.mkdirs(tmpP)
+    val data = fs.listStatus(work).map(_.getPath)
+      .filter(f => !f.getName.startsWith("_"))
+    assert(data.length == 1)
+    assert(fs.rename(data.head,
+      new org.apache.hadoop.fs.Path(tmpP, "compacted-0.parquet")))
+    fs.delete(work, true)
+    assert(fs.rename(partP, oldP)) // live gone; tmp + old remain — CRASH
+    // re-run: the recovery sweep must promote the tmp and drop the old
+    MergeOps.compactionExecute(spark, dir,
+      targetBytes = 1L << 20, smallThreshold = 8192L)
+    val after = spark.read.parquet(dir).select("id", "payload", "part")
+      .collect()
+    assert(after.toSet == before, "rows changed across crash recovery")
+    assert(after.length == before.size, "duplicate rows after recovery")
+    assert(fs.listStatus(p).map(_.getPath.getName).forall(n =>
+      !n.endsWith(".tmp") && !n.endsWith(".old")))
+    // the promoted partition is the compacted build, not a re-read of old
+    val files = fs.listStatus(partP).map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    assert(files.sameElements(Array("compacted-0.parquet")), files.toSeq)
+    fs.delete(p, true)
+  }
+
+  test("compactionExecute: post-commit crash residue (.old beside a live " +
+    "partition) is dropped without touching the live files") {
+    val dir = "/tmp/graft_test_compact_crash_old"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    Seq.tabulate(30)(i => (i.toLong, "z" * 40, "frag"))
+      .toDF("id", "payload", "part").coalesce(1)
+      .write.partitionBy("part").mode("overwrite").parquet(dir)
+    val before = spark.read.parquet(dir).select("id", "payload", "part")
+      .collect().toSet
+    // stale pre-swap partition content left as .old (crash after the
+    // tmp→live rename but before the cleanup delete)
+    val oldP = new org.apache.hadoop.fs.Path(p, "part=frag.old")
+    fs.mkdirs(oldP)
+    val out = fs.create(new org.apache.hadoop.fs.Path(oldP, "stale.parquet"))
+    out.write(Array.fill(16)(0xCD.toByte)); out.close()
+    MergeOps.compactionExecute(spark, dir,
+      targetBytes = 1L << 20, smallThreshold = 8192L)
+    assert(spark.read.parquet(dir).select("id", "payload", "part")
+      .collect().toSet == before)
+    assert(fs.listStatus(p).map(_.getPath.getName).forall(n =>
+      !n.endsWith(".tmp") && !n.endsWith(".old")))
+    fs.delete(p, true)
+  }
 }

@@ -33,6 +33,28 @@ class PipelineAuditSpec extends SparkSpec {
       ("email", 0L, 0L, 1L, 250L, 0.0, 0.714286)))
   }
 
+  test("touchAttribution: a prior conversion is NOT a touch — a " +
+    "[buy, view, buy] history credits the second buy to view, and a " +
+    "conversion whose only predecessors are conversions goes (direct)") {
+    val df = Seq(
+      (1L, "2024-01-01 00:00:01", 1L, "purchase", Some(1.0)),
+      (1L, "2024-01-01 00:00:02", 2L, "view", Some(0.0)),
+      (1L, "2024-01-01 00:00:03", 3L, "purchase", Some(1.0)),
+      (2L, "2024-01-01 00:00:01", 4L, "purchase", Some(1.0)),
+      (2L, "2024-01-01 00:00:02", 5L, "purchase", Some(1.0)) // conv-only prefix
+    ).toDF("u", "d", "id", "et", "v")
+      .withColumn("ts", col("d").cast("timestamp"))
+    val out = Analytics.touchAttribution(df, "u", "ts", "id", "et", "v",
+      "purchase").orderBy("channel")
+      .as[(String, Long, Long, Long, Long, Double, Double)]
+      .collect().toSeq
+    // 4 conversions, 100c each: user 1's second buy -> view (both models);
+    // the three others have no non-conversion predecessor -> (direct)
+    assert(out == Seq(
+      ("(direct)", 3L, 300L, 3L, 300L, 0.75, 0.75),
+      ("view", 1L, 100L, 1L, 100L, 0.25, 0.25)))
+  }
+
   test("blockedLinkage: pairs only within blocks at maxDist; hot blocks " +
     "dropped whole") {
     val df = Seq(
