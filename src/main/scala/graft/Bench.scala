@@ -84,13 +84,39 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val nFailed = results.count(_._3.nonEmpty)
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"errors":$errs,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    // Host-noise self-calibration (r9 verdict #8): the driver host's
+    // speed drifts round over round (±40% observed), so raw totals
+    // mislead. noise_factor = median per-query ratio of THIS run against
+    // the previous artifact at outPath, over queries both runs completed
+    // in ≥ 0.5 s (sub-second rows are overhead-dominated and would
+    // dominate a ratio median). ~1.0 ⇒ same-speed host; readers divide
+    // the total by it before calling a regression. null when there is no
+    // prior artifact or no comparable query.
+    val noiseFactor: Option[Double] = try {
+      val prev = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(outPath)), java.nio.charset.StandardCharsets.UTF_8)
+      val start = prev.indexOf("\"queries\":{")
+      if (start < 0) None else {
+        val body = prev.substring(start + 11, prev.indexOf('}', start))
+        val prevQ = """"([^"]+)":(-?[0-9][0-9.eE+-]*)""".r
+          .findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        val ratios = results.collect {
+          case (name, v, None) if v >= 0.5 &&
+            prevQ.get(name).exists(_ >= 0.5) => v / prevQ(name)
+        }.sorted
+        if (ratios.isEmpty) None
+        else Some(math.round(median(ratios.toList) * 1000.0) / 1000.0)
+      }
+    } catch { case _: Throwable => None }
+    val nf = noiseFactor.map(_.toString).getOrElse("null")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$nFailed,"noise_factor":$nf,"errors":$errs,"sf":"$sfDir"}"""
     println(line)
     // Also persist the full artifact: the driver captures a TAIL of stdout,
     // and with 90+ queries the single JSON line can lose its head there
     // (BENCH_r05 lost the first ~40 queries' timings, blinding round-over-
     // round comparison). The file always carries every query.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outPath), line + "\n")
     catch { case e: Throwable =>
       System.err.println(s"[bench] could not write $outPath: ${e.getMessage}") }

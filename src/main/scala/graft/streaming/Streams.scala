@@ -566,7 +566,12 @@ object Streams {
     import spark.implicits._
     import graft.operators.DedupOps
     val nBits = DedupOps.SimhashBits
+    // a micro-batch has as many partitions as FILES; spread the docs
+    // first or the md5-per-shingle signature stage runs in one task (the
+    // st29 single-task map shape, PERF.md r10). The emitted pair set is
+    // placement-independent (per-bucket sort + consumer distinct).
     val sigs = docs
+      .repartition(spark.sparkContext.defaultParallelism)
       .withColumn("__hs", DedupOps.shingleHashArray(col(textCol), shingleWords))
       .select(col(idCol).cast("long").as("doc_id"),
         DedupOps.simhashSigFromHashes(col("__hs")).as("sig"))
@@ -761,6 +766,10 @@ object Streams {
     withReplayConfs(spark) {
     val q = stream
       .filter(col(textCol).isNotNull)
+      // spread docs before shingling — single-file micro-batches would
+      // run the whole shingle map stage in one task (PERF.md r10); the
+      // (passage, id) counts are commutative, placement cannot move them
+      .repartition(spark.sparkContext.defaultParallelism)
       .select(col(idCol).as("__id"),
         explode(graft.operators.TextOps.shingles(col(textCol), gramWords))
           .as("passage"))
@@ -1468,6 +1477,12 @@ object Streams {
         .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
           col(idCol).isNotNull)
         .select(col(groupCol), col(idCol), cents.as("__c"))
+        // a micro-batch is as many partitions as its FILES — one file ⇒
+        // the (rows × replicas) md5 map stage runs in ONE task (measured
+        // 8 s vs 1.6 s at sf0.1, PERF.md r10). Spread the narrow
+        // pre-explode rows across the executors first; the replica sums
+        // are commutative BIGINTs, so placement cannot move the answer.
+        .repartition(spark.sparkContext.defaultParallelism)
         .withColumn("__r", explode(sequence(lit(-1), lit(replicas - 1))))
         .withColumn("__w", when(col("__r") === -1, lit(1L)).otherwise(w))
         .groupBy(col(groupCol), col("__r"))
