@@ -6278,6 +6278,113 @@ object ScaleQueries {
              |  round(CAST(n*sxy - sx*sy AS DOUBLE) /
              |    (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
              |     sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 4) spearman_rho
-             |FROM s ORDER BY event_type""".stripMargin))
+             |FROM s ORDER BY event_type""".stripMargin)),
+
+    // Pipeline health report (x154, r9 verdict #7): the one-call
+    // auditAll census — corpus volume, exact-dup share, shard balance,
+    // padding efficiency, source skew, split leakage (x137's pair +
+    // split recipe), embedding norms — each the one-number summary of a
+    // separately graded operator, unioned into (audit, metric,
+    // metric_value). The oracle recomputes every number independently.
+    QuerySpec("x154_audit_all", (s, d) => {
+      val docs = t(s, d, "documents")
+      val pairs = DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+        blockCol = "lang", shingleWords = 3, threshold = 0.5)
+      val asg = docs.select(col("doc_id"),
+        when(graft.operators.ScaleOps.hashUniform(col("doc_id"),
+          "split:") < 0.8, "train").otherwise("val").as("split"))
+      graft.operators.PipelineAudit.auditAll(
+        docs, "doc_id", "text", "source", "n_chars",
+        t(s, d, "embeddings"), "embedding",
+        pairs, "id_a", "id_b", asg, "doc_id", "split")
+        .orderBy("audit", "metric")
+    },
+      Some("""WITH tok AS (SELECT doc_id, text, CASE
+             |    WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+             |    ELSE regexp_split_to_array(trim(text), '\s+') END tk
+             |  FROM documents),
+             |corpus AS (SELECT CAST(count(*) AS DOUBLE) n_docs,
+             |    CAST(coalesce(sum(len(tk)), 0) AS DOUBLE) total_tokens,
+             |    round(CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END)
+             |      AS DOUBLE) / count(*), 6) null_share
+             |  FROM tok),
+             |ed AS (SELECT round(CAST(count(*) - count(DISTINCT
+             |      md5(lower(trim(regexp_replace(text, '\s+', ' ', 'g')))))
+             |      AS DOUBLE) / count(*), 6) dup_share
+             |  FROM documents WHERE text IS NOT NULL),
+             |shh AS (SELECT CAST(list_reduce(list_transform(range(1, 9),
+             |      i -> CAST(strpos('0123456789abcdef',
+             |        substr(md5('shard:' || CAST(doc_id AS VARCHAR)),
+             |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |      (a, b) -> a*16 + b) % 8 AS BIGINT) shard,
+             |    CAST(n_chars AS BIGINT) sz FROM documents),
+             |shg AS (SELECT shard, CAST(sum(sz) AS BIGINT) bytes
+             |  FROM shh GROUP BY 1),
+             |sh AS (SELECT max(round(CAST(bytes AS DOUBLE) /
+             |    CAST((SELECT sum(bytes) FROM shg) AS DOUBLE), 6)) msh
+             |  FROM shg),
+             |pad AS (SELECT round(CAST(sum(len(tk)) AS DOUBLE) /
+             |    CAST(sum(((len(tk) + 63) // 64) * 64) AS DOUBLE), 6) eff
+             |  FROM tok WHERE len(tk) > 0),
+             |skc AS (SELECT source k, CAST(count(*) AS BIGINT) c
+             |  FROM documents WHERE source IS NOT NULL GROUP BY 1),
+             |sk AS (SELECT round(CAST(max(c) AS DOUBLE) /
+             |      (CAST(sum(c) AS DOUBLE) / CAST(count(*) AS DOUBLE)), 4)
+             |      skew_factor,
+             |    round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+             |      top1_share
+             |  FROM skc),
+             |sh3 AS (SELECT doc_id, lang, list_distinct(list_transform(
+             |    range(0, greatest(len(tk)-2, 0)),
+             |    i -> array_to_string(tk[i+1:i+3], ' '))) s
+             |  FROM (SELECT doc_id, lang,
+             |      regexp_split_to_array(trim(text), '\s+') tk
+             |    FROM documents WHERE length(trim(text)) > 0)),
+             |inv AS (SELECT doc_id, lang, unnest(s) tokn FROM sh3
+             |  WHERE len(s) > 0),
+             |sizes AS (SELECT doc_id, len(s) n FROM sh3),
+             |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+             |  FROM inv a JOIN inv b ON a.tokn = b.tokn AND a.lang = b.lang
+             |    AND a.doc_id < b.doc_id GROUP BY 1, 2),
+             |pairs AS (SELECT id_a, id_b
+             |  FROM inter JOIN sizes sa ON id_a = sa.doc_id
+             |  JOIN sizes sb ON id_b = sb.doc_id
+             |  WHERE round(i*1.0/(sa.n + sb.n - i), 4) >= 0.5),
+             |asg AS (SELECT doc_id, CASE WHEN
+             |    CAST(list_reduce(list_transform(range(1, 9),
+             |      i -> CAST(strpos('0123456789abcdef',
+             |        substr(md5('split:' || CAST(doc_id AS VARCHAR)),
+             |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |      (a, b) -> a*16 + b) AS DOUBLE) / 4294967296.0 < 0.8
+             |    THEN 'train' ELSE 'val' END split FROM documents),
+             |leak AS (SELECT CAST(coalesce(sum(CASE WHEN a.split <> b.split
+             |      THEN 1 ELSE 0 END), 0) AS DOUBLE) x
+             |  FROM pairs JOIN asg a ON id_a = a.doc_id
+             |  JOIN asg b ON id_b = b.doc_id),
+             |emb AS (SELECT CAST(count(*) AS DOUBLE) nv,
+             |    round(avg(sqrt(list_sum(list_transform(embedding,
+             |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) mn
+             |  FROM embeddings WHERE embedding IS NOT NULL)
+             |SELECT * FROM (
+             |  SELECT 'corpus' audit, 'n_docs' metric, n_docs metric_value
+             |    FROM corpus
+             |  UNION ALL SELECT 'corpus', 'total_tokens', total_tokens
+             |    FROM corpus
+             |  UNION ALL SELECT 'corpus', 'null_text_share', null_share
+             |    FROM corpus
+             |  UNION ALL SELECT 'exact_dup', 'dup_doc_share', dup_share
+             |    FROM ed
+             |  UNION ALL SELECT 'shard_balance', 'max_byte_share', msh
+             |    FROM sh
+             |  UNION ALL SELECT 'padding', 'global_efficiency', eff
+             |    FROM pad
+             |  UNION ALL SELECT 'key_skew', 'skew_factor', skew_factor
+             |    FROM sk
+             |  UNION ALL SELECT 'key_skew', 'top1_share', top1_share
+             |    FROM sk
+             |  UNION ALL SELECT 'split_leakage', 'cross_pairs', x FROM leak
+             |  UNION ALL SELECT 'embeddings', 'n_vectors', nv FROM emb
+             |  UNION ALL SELECT 'embeddings', 'mean_norm', mn FROM emb)
+             |ORDER BY audit, metric""".stripMargin))
   )
 }

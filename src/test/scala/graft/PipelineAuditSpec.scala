@@ -33,6 +33,44 @@ class PipelineAuditSpec extends SparkSpec {
       ("email", 0L, 0L, 1L, 250L, 0.0, 0.714286)))
   }
 
+  test("auditAll: every audit contributes its row and the hand-checkable " +
+    "numbers are right") {
+    import graft.operators.PipelineAudit
+    val docs = Seq(
+      (1L, "a b c d", "web", "en", 7L),
+      (2L, "a b c d", "web", "en", 7L),   // exact dup of 1
+      (3L, "x y", "books", "en", 3L),
+      (4L, null.asInstanceOf[String], "web", "en", 0L)
+    ).toDF("doc_id", "text", "source", "lang", "n_chars")
+    val emb = Seq((1L, Array(3.0f, 4.0f)), (2L, Array(0.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val splits = Seq((1L, "train"), (2L, "train"), (3L, "val"))
+      .toDF("doc_id", "split")
+    val out = PipelineAudit.auditAll(docs, "doc_id", "text", "source",
+        "n_chars", emb, "embedding", pairs, "id_a", "id_b",
+        splits, "doc_id", "split", nShards = 2, bucketStep = 4)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2))
+      .toMap
+    assert(out(("corpus", "n_docs")) == 4.0)
+    assert(out(("corpus", "total_tokens")) == 10.0)
+    assert(out(("corpus", "null_text_share")) == 0.25)
+    // docs 1,2 collapse -> 2 distinct among 3 non-null
+    assert(out(("exact_dup", "dup_doc_share")) == 0.333333)
+    // pairs: (1,2) train-train, (1,3) train-val -> 1 cross pair
+    assert(out(("split_leakage", "cross_pairs")) == 1.0)
+    // tokens 4,4,2 at step 4 -> caps 4,4,4 -> 10/12
+    assert(out(("padding", "global_efficiency")) == 0.833333)
+    // source census web=3, books=1 -> skew 3/(4/2)=1.5, top1 3/4
+    assert(out(("key_skew", "skew_factor")) == 1.5)
+    assert(out(("key_skew", "top1_share")) == 0.75)
+    // norms 5 and 0 -> mean 2.5
+    assert(out(("embeddings", "mean_norm")) == 2.5)
+    assert(out(("embeddings", "n_vectors")) == 2.0)
+    assert(out.contains(("shard_balance", "max_byte_share")))
+    assert(out.size == 11)
+  }
+
   test("touchAttribution: a prior conversion is NOT a touch — a " +
     "[buy, view, buy] history credits the second buy to view, and a " +
     "conversion whose only predecessors are conversions goes (direct)") {
