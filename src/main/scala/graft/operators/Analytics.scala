@@ -2109,4 +2109,86 @@ object Analytics {
         round(coalesce(col("last_cents"), lit(0L)).cast("double") /
           col("__tot").cast("double"), 6).as("last_share"))
   }
+
+  /** Cohen's kappa — chance-corrected agreement between two label columns
+    * (two annotators, or a model vs a gold set): κ = (p_o − p_e)/(1 − p_e)
+    * with observed agreement p_o = n_agree/n and chance agreement
+    * p_e = Σ_l n_a(l)·n_b(l) / n². Evaluated as the cross-multiplied
+    * BIGINT identity κ = (n·n_agree − Σ n_a·n_b)/(n² − Σ n_a·n_b), so no
+    * float enters before the single display-rounded division — the
+    * labeling-quality gate an eval pipeline runs before trusting human
+    * labels. Degenerate case (p_e = 1: both raters constant) emits NULL κ.
+    *
+    * One scan (agreement count + both margins via grouping on each
+    * column), a |labels|-sized margin join, a one-row reduce. Rows where
+    * either label is NULL are excluded (an unlabeled item measures
+    * coverage, not agreement).
+    */
+  def cohensKappa(df: DataFrame, raterACol: String,
+                  raterBCol: String): DataFrame = {
+    val base = df
+      .filter(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+      .select(col(raterACol).as("__a"), col(raterBCol).as("__b"))
+    val ma = base.groupBy(col("__a").as("__l")).agg(count(lit(1)).as("__na"))
+    val mb = base.groupBy(col("__b").as("__l")).agg(count(lit(1)).as("__nb"))
+    val pe = ma.join(mb, "__l")
+      .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("__pe"))
+    base.agg(count(lit(1)).as("n_items"),
+        sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).as("n_agree"))
+      .crossJoin(broadcast(pe))
+      .select(col("n_items"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n_items").cast("double"), 6)
+          .as("p_observed"),
+        round(col("__pe").cast("double") /
+          (col("n_items") * col("n_items")).cast("double"), 6)
+          .as("p_expected"),
+        when(col("n_items") * col("n_items") === col("__pe"),
+          lit(null).cast("double"))
+          .otherwise(round(
+            (col("n_items") * col("n_agree") - col("__pe")).cast("double") /
+            (col("n_items") * col("n_items") - col("__pe")).cast("double"), 6))
+          .as("kappa"))
+  }
+
+  /** Calibration curve + per-bin Brier contribution for a probabilistic
+    * scorer: predictions land in `nBins` equal-width bins and each bin
+    * reports its count, mean predicted probability, observed positive
+    * rate, the gap (the reliability-diagram y−x), and its summed squared
+    * error. A well-calibrated scorer has gaps ≈ 0; Σ sq_err/Σ n is the
+    * Brier score. The standard post-training check before a score is
+    * used as a probability (filtering thresholds, sampling temperatures).
+    *
+    * Exactness: probabilities are fixed-pointed to 1e-4 (`round(p·10⁴)`
+    * BIGINT), the bin edge is TRUE integer division (p4·nBins div 10⁴,
+    * p = 1.0 clamped into the last bin), and the squared error
+    * (p4 − y·10⁴)² sums exactly in BIGINTs — every reported double is a
+    * single display-rounded division of exact integers, hash-stable on
+    * any engine. One scan, |bins|-row census; NULL score/label rows are
+    * excluded.
+    */
+  def calibrationCurve(df: DataFrame, scoreCol: String, labelCol: String,
+                       nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2 (got $nBins)")
+    val base = df
+      .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(round(col(scoreCol) * 10000, 0).cast("long").as("__p4"),
+        col(labelCol).cast("boolean").cast("long").as("__y"))
+      .withColumn("bin",
+        least(expr(s"__p4 * $nBins div 10000"), lit(nBins.toLong - 1)))
+    base.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__y")).as("n_pos"),
+        sum(col("__p4")).as("__sp"),
+        sum((col("__p4") - col("__y") * 10000L) *
+          (col("__p4") - col("__y") * 10000L)).as("__se"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("__sp").cast("double") / (col("n") * 10000L).cast("double"), 6)
+          .as("mean_pred"),
+        round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+          .as("obs_rate"),
+        round(col("n_pos").cast("double") / col("n").cast("double") -
+          col("__sp").cast("double") / (col("n") * 10000L).cast("double"), 6)
+          .as("gap"),
+        round(col("__se").cast("double") / 100000000.0, 6).as("sq_err"))
+  }
 }

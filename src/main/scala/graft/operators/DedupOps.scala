@@ -265,6 +265,70 @@ object DedupOps {
     out
   }
 
+  /** Asymmetric CONTAINMENT near-dup pairs: C(A⊆B) = |A∩B| / |A| — the
+    * quote/boilerplate-inclusion detector resemblance misses. A 50-word
+    * snippet fully quoted inside a 5 000-word page has Jaccard ≈ 0.01
+    * (invisible to [[ngramJaccardPairs]] at any usable threshold) but
+    * containment 1.0 — which is exactly the signal cross-document
+    * leakage/attribution checks need. Emits each candidate pair once
+    * (id_a < id_b) with BOTH directions' containment when the larger one
+    * reaches `threshold`, plus the resemblance for context.
+    *
+    * Candidate generation is the prefix filter, one-sided: if
+    * C(A⊆B) ≥ t then ≥ ⌈t·n_a⌉ of A's n_a shingles are shared, so ANY
+    * n_a − ⌈t·n_a⌉ + 1 of them contain a shared one (pigeonhole) — A's
+    * prefix must hit B ANYWHERE, so the prefix index joins against the
+    * FULL inverted index (both orientations, unioned). That full index
+    * is the honest price of asymmetric matching: Σ|shingles| postings
+    * instead of Jaccard's (1−t)·Σ — still linear in corpus shingles,
+    * blocked by `blockCol`, never O(n²) over documents. Verification is
+    * the exact native merge-scan on the hash-sorted arrays.
+    */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, shingleWords: Int,
+                       threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1] (got $threshold)")
+    val tPrefix = math.max(threshold - 0.001, 0.0)
+    val distinctSh = array_distinct(TextOps.shingles(col(textCol), shingleWords))
+    val sh = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      array_sort(transform(distinctSh, s => xxhash64(s))).as("hs"))
+      .withColumn("n", size(col("hs")))
+      .filter(col("n") > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val invFull = sh.select(col("id"), col("blk"), explode(col("hs")).as("tok"))
+    val invPrefix = sh.select(col("id"), col("blk"), explode(
+      slice(col("hs"), lit(1),
+        (col("n") - ceil(lit(tPrefix) * col("n")) + 1).cast("int"))).as("tok"))
+    val cands = invPrefix.as("l").join(invFull.as("r"),
+        col("l.blk") === col("r.blk") && col("l.tok") === col("r.tok") &&
+          col("l.id") =!= col("r.id"))
+      .select(least(col("l.id"), col("r.id")).as("id_a"),
+        greatest(col("l.id"), col("r.id")).as("id_b"))
+      .distinct()
+    val full = sh.select(col("id"), col("hs"), col("n"))
+    val out = cands
+      .join(full.select(col("id").as("id_a"), col("hs").as("hs_a"),
+        col("n").as("n_a")), "id_a")
+      .join(full.select(col("id").as("id_b"), col("hs").as("hs_b"),
+        col("n").as("n_b")), "id_b")
+      .withColumn("inter",
+        graft.functions.SortedArrayIntersectCount(col("hs_a"), col("hs_b")))
+      .withColumn("containment_a",
+        round(col("inter").cast("double") / col("n_a").cast("double"), 4))
+      .withColumn("containment_b",
+        round(col("inter").cast("double") / col("n_b").cast("double"), 4))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment_a"),
+        col("containment_b"),
+        round(col("inter").cast("double") /
+          (col("n_a") + col("n_b") - col("inter")).cast("double"), 4)
+          .as("jaccard"))
+      .localCheckpoint(true)
+    sh.unpersist()
+    out
+  }
+
   /** Connected components over a near-dup pair list (hash-to-min label
     * propagation): every node converges to the minimum doc id reachable in
     * its component — the canonical representative a dedup pipeline keeps.

@@ -6385,6 +6385,118 @@ object ScaleQueries {
              |  UNION ALL SELECT 'split_leakage', 'cross_pairs', x FROM leak
              |  UNION ALL SELECT 'embeddings', 'n_vectors', nv FROM emb
              |  UNION ALL SELECT 'embeddings', 'mean_norm', mn FROM emb)
-             |ORDER BY audit, metric""".stripMargin))
+             |ORDER BY audit, metric""".stripMargin)),
+
+    // Asymmetric containment near-dup (x155): C(A⊆B) = |A∩B|/|A| — the
+    // quote/boilerplate-inclusion signal Jaccard misses on size-skewed
+    // pairs. Prefix-vs-FULL inverted index candidates, exact native
+    // merge-scan verify; oracle is exhaustive string-set containment.
+    QuerySpec("x155_containment_pairs", (s, d) =>
+      DedupOps.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+        blockCol = "lang", shingleWords = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH toks AS (SELECT doc_id, lang,
+             |    regexp_split_to_array(trim(text), '\s+') tk
+             |  FROM documents WHERE length(trim(text)) > 0),
+             |sh AS (SELECT doc_id, lang, list_distinct(list_transform(
+             |    range(0, greatest(len(tk)-2, 0)),
+             |    i -> array_to_string(tk[i+1:i+3], ' '))) s FROM toks),
+             |inv AS (SELECT doc_id, lang, unnest(s) tok FROM sh
+             |  WHERE len(s) > 0),
+             |sizes AS (SELECT doc_id, len(s) n FROM sh),
+             |inter AS (SELECT a.doc_id id_a, b.doc_id id_b, count(*) i
+             |  FROM inv a JOIN inv b ON a.tok = b.tok AND a.lang = b.lang
+             |    AND a.doc_id < b.doc_id GROUP BY 1, 2)
+             |SELECT id_a, id_b,
+             |  round(CAST(i AS DOUBLE) / sa.n, 4) containment_a,
+             |  round(CAST(i AS DOUBLE) / sb.n, 4) containment_b,
+             |  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) jaccard
+             |FROM inter JOIN sizes sa ON id_a = sa.doc_id
+             |JOIN sizes sb ON id_b = sb.doc_id
+             |WHERE greatest(round(CAST(i AS DOUBLE) / sa.n, 4),
+             |  round(CAST(i AS DOUBLE) / sb.n, 4)) >= 0.5
+             |ORDER BY id_a, id_b""".stripMargin)),
+
+    // Cohen's kappa (x156): chance-corrected agreement between a gold
+    // label and a deterministically-degraded second rater (30% of rows
+    // by md5 uniform collapse to 'other') — pure-BIGINT cross-multiplied
+    // identity, the labeling-quality gate of an eval pipeline.
+    QuerySpec("x156_cohens_kappa", (s, d) => {
+      val ev = t(s, d, "events")
+      val u = graft.operators.ScaleOps.hashUniform(col("event_id"), "kappa:")
+      Analytics.cohensKappa(
+        ev.filter(col("event_type").isNotNull)
+          .select(col("event_type").as("rater_a"),
+            when(u < 0.7, col("event_type")).otherwise(lit("other"))
+              .as("rater_b")),
+        "rater_a", "rater_b")
+    },
+      Some("""WITH r AS (SELECT event_type a, CASE WHEN
+             |    CAST(list_reduce(list_transform(range(1, 9),
+             |      i -> CAST(strpos('0123456789abcdef',
+             |        substr(md5('kappa:' || CAST(event_id AS VARCHAR)),
+             |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |      (x, y) -> x*16 + y) AS DOUBLE) / 4294967296.0 < 0.7
+             |    THEN event_type ELSE 'other' END b
+             |  FROM events WHERE event_type IS NOT NULL),
+             |ma AS (SELECT a l, CAST(count(*) AS BIGINT) na FROM r GROUP BY 1),
+             |mb AS (SELECT b l, CAST(count(*) AS BIGINT) nb FROM r GROUP BY 1),
+             |pe AS (SELECT CAST(coalesce(sum(na*nb), 0) AS BIGINT) pe
+             |  FROM ma JOIN mb USING (l)),
+             |ag AS (SELECT CAST(count(*) AS BIGINT) n,
+             |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) g
+             |  FROM r)
+             |SELECT n n_items, g n_agree,
+             |  round(CAST(g AS DOUBLE) / n, 6) p_observed,
+             |  round(CAST(pe AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6)
+             |    p_expected,
+             |  CASE WHEN n*n = pe THEN NULL
+             |    ELSE round(CAST(n*g - pe AS DOUBLE) /
+             |      CAST(n*n - pe AS DOUBLE), 6) END kappa
+             |FROM ag CROSS JOIN pe""".stripMargin)),
+
+    // Calibration curve + Brier contributions (x157): cosine-to-query
+    // rescaled to [0,1] as the "probability", same-label as the outcome —
+    // fixed-point 1e-4 probabilities, true-integer bin edges, exact
+    // BIGINT squared-error sums (the reliability diagram + Brier score a
+    // scorer must pass before its output is used as a probability).
+    QuerySpec("x157_calibration", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val q0 = emb.filter(col("vec_id") === 0 && col("embedding").isNotNull)
+        .select(col("embedding"), col("label")).collect().head
+      val qv = q0.getSeq[Float](0).map(_.toDouble).toSeq
+      val qLabel = q0.getInt(1)
+      Analytics.calibrationCurve(
+        emb.filter(col("vec_id") =!= 0 && col("embedding").isNotNull &&
+            col("label").isNotNull)
+          .select(
+            round((graft.functions.CosineSimilarity(col("embedding"),
+              typedLit(qv)) + 1) / 2, 4).as("p"),
+            (col("label") === qLabel).as("y")),
+        "p", "y", nBins = 10)
+        .orderBy("bin")
+    },
+      Some("""WITH q AS (SELECT list_transform(embedding,
+             |    x -> CAST(x AS DOUBLE)) qv, "label" ql
+             |  FROM embeddings WHERE vec_id = 0),
+             |sc AS (SELECT CAST(round(round((CAST(
+             |      list_cosine_similarity(list_transform(embedding,
+             |        x -> CAST(x AS DOUBLE)), qv) AS DOUBLE) + 1) / 2, 4)
+             |      * 10000, 0) AS BIGINT) p4,
+             |    CAST(e."label" = ql AS BIGINT) y
+             |  FROM embeddings e CROSS JOIN q
+             |  WHERE vec_id <> 0 AND embedding IS NOT NULL
+             |    AND e."label" IS NOT NULL)
+             |SELECT least(p4 * 10 // 10000, 9) bin,
+             |  CAST(count(*) AS BIGINT) n,
+             |  CAST(sum(y) AS BIGINT) n_pos,
+             |  round(CAST(sum(p4) AS DOUBLE) / (count(*) * 10000), 6)
+             |    mean_pred,
+             |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) obs_rate,
+             |  round(CAST(sum(y) AS DOUBLE) / count(*) -
+             |    CAST(sum(p4) AS DOUBLE) / (count(*) * 10000), 6) gap,
+             |  round(CAST(sum((p4 - y*10000)*(p4 - y*10000)) AS DOUBLE)
+             |    / 100000000.0, 6) sq_err
+             |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin))
   )
 }

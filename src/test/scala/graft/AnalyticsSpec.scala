@@ -826,4 +826,38 @@ class AnalyticsSpec extends SparkSpec {
       .orderBy("day").as[(Long, Long, Long, Long, Double)].collect().toSeq
     assert(got2 == Seq((0L, 2L, 1L, 0L, 0.5), (1L, 1L, 1L, 0L, 0.0)))
   }
+
+  test("cohensKappa: hand-computed kappa, null labels excluded, " +
+    "degenerate constant raters yield NULL") {
+    // 10 items: a/b agree on 6; margins a: x=5,y=5; b: x=6,y=4
+    // po = 0.6, pe = (5*6 + 5*4)/100 = 0.5, kappa = 0.2
+    val df = Seq(
+      ("x","x"),("x","x"),("x","x"),("x","y"),("x","y"),
+      ("y","y"),("y","y"),("y","y"),("y","x"),("y","x"),
+      (null.asInstanceOf[String], "x")
+    ).toDF("a", "b")
+    val r = Analytics.cohensKappa(df, "a", "b").collect().head
+    assert(r.getLong(0) == 10L && r.getLong(1) == 6L)
+    assert(r.getDouble(2) == 0.6 && r.getDouble(3) == 0.5)
+    assert(r.getDouble(4) == 0.2)
+    val const = Seq(("x","x"),("x","x")).toDF("a", "b")
+    assert(Analytics.cohensKappa(const, "a", "b").collect().head.isNullAt(4))
+  }
+
+  test("calibrationCurve: exact bins via integer division, p=1.0 clamps " +
+    "into the last bin, gap and sq_err are exact") {
+    val df = Seq(
+      (0.05, false), (0.05, false),      // bin 0: mean 0.05, obs 0
+      (0.25, true),                      // bin 2: mean 0.25, obs 1
+      (1.0, true)                        // p=1.0 -> bin 9, perfect
+    ).toDF("p", "y")
+    val got = Analytics.calibrationCurve(df, "p", "y", nBins = 10)
+      .orderBy("bin")
+      .as[(Long, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 0L, 0.05, 0.0, -0.05, 0.005),   // 2·(500-0)²/1e8
+      (2L, 1L, 1L, 0.25, 1.0, 0.75, 0.5625),   // (2500-10000)²/1e8
+      (9L, 1L, 1L, 1.0, 1.0, 0.0, 0.0)))
+  }
 }

@@ -753,4 +753,21 @@ class TextDedupSpec extends SparkSpec {
       ("en", "de", 1L, 0.333333),
       ("en", "en", 2L, 0.666667)))
   }
+
+  test("containmentPairs: a fully-quoted snippet scores containment 1.0 " +
+    "where Jaccard stays tiny; blocks respected; both directions reported") {
+    val docs = Seq(
+      (1L, "a b c d e f g h i j", "en"),   // 8 3-shingles
+      (2L, "a b c d", "en"),               // 2 3-shingles, both inside doc 1
+      (3L, "p q r s t u", "en"),           // disjoint
+      (4L, "a b c d", "de")                // same text, other block
+    ).toDF("doc_id", "text", "lang")
+    val got = DedupOps.containmentPairs(docs, "doc_id", "text",
+        blockCol = "lang", shingleWords = 3, threshold = 0.9)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 2L, 0.25, 1.0, 0.25)))
+    // the same pair is invisible to resemblance at any usable threshold
+    assert(DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
+      "lang", 3, 0.5).count() == 0L)
+  }
 }
