@@ -404,6 +404,63 @@ object ScaleQueries {
     * the md5-routed 8-shard (rows, bytes, byte share) census over
     * `documents` — so both grade against the identical oracle.
     */
+  /** Shared by x156 (batch) and st31 (streaming): one output contract —
+    * Cohen's kappa over the md5-degraded second rater — so both grade
+    * against the identical oracle.
+    */
+  private val kappaOracleSql: String =
+    """WITH r AS (SELECT event_type a, CASE WHEN
+      |    CAST(list_reduce(list_transform(range(1, 9),
+      |      i -> CAST(strpos('0123456789abcdef',
+      |        substr(md5('kappa:' || CAST(event_id AS VARCHAR)),
+      |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+      |      (x, y) -> x*16 + y) AS DOUBLE) / 4294967296.0 < 0.7
+      |    THEN event_type ELSE 'other' END b
+      |  FROM events WHERE event_type IS NOT NULL),
+      |ma AS (SELECT a l, CAST(count(*) AS BIGINT) na FROM r GROUP BY 1),
+      |mb AS (SELECT b l, CAST(count(*) AS BIGINT) nb FROM r GROUP BY 1),
+      |pe AS (SELECT CAST(coalesce(sum(na*nb), 0) AS BIGINT) pe
+      |  FROM ma JOIN mb USING (l)),
+      |ag AS (SELECT CAST(count(*) AS BIGINT) n,
+      |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) g
+      |  FROM r)
+      |SELECT n n_items, g n_agree,
+      |  round(CAST(g AS DOUBLE) / n, 6) p_observed,
+      |  round(CAST(pe AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6)
+      |    p_expected,
+      |  CASE WHEN n*n = pe THEN NULL
+      |    ELSE round(CAST(n*g - pe AS DOUBLE) /
+      |      CAST(n*n - pe AS DOUBLE), 6) END kappa
+      |FROM ag CROSS JOIN pe""".stripMargin
+
+  /** Shared by x157 (batch) and st30 (streaming): one output contract —
+    * the calibration curve of cosine-to-query rescaled to [0,1] — so
+    * both grade against the identical oracle.
+    */
+  private val calibrationOracleSql: String =
+    """WITH q AS (SELECT list_transform(embedding,
+      |    x -> CAST(x AS DOUBLE)) qv, "label" ql
+      |  FROM embeddings WHERE vec_id = 0),
+      |sc AS (SELECT CAST(round(round((CAST(
+      |      list_cosine_similarity(list_transform(embedding,
+      |        x -> CAST(x AS DOUBLE)), qv) AS DOUBLE) + 1) / 2, 4)
+      |      * 10000, 0) AS BIGINT) p4,
+      |    CAST(e."label" = ql AS BIGINT) y
+      |  FROM embeddings e CROSS JOIN q
+      |  WHERE vec_id <> 0 AND embedding IS NOT NULL
+      |    AND e."label" IS NOT NULL)
+      |SELECT least(p4 * 10 // 10000, 9) bin,
+      |  CAST(count(*) AS BIGINT) n,
+      |  CAST(sum(y) AS BIGINT) n_pos,
+      |  round(CAST(sum(p4) AS DOUBLE) / (count(*) * 10000), 6)
+      |    mean_pred,
+      |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) obs_rate,
+      |  round(CAST(sum(y) AS DOUBLE) / count(*) -
+      |    CAST(sum(p4) AS DOUBLE) / (count(*) * 10000), 6) gap,
+      |  round(CAST(sum((p4 - y*10000)*(p4 - y*10000)) AS DOUBLE)
+      |    / 100000000.0, 6) sq_err
+      |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin
+
   private val shardBalanceOracleSql: String =
     """WITH h AS (SELECT CAST(list_reduce(list_transform(range(1, 9),
       |      i -> CAST(strpos('0123456789abcdef',
@@ -6431,29 +6488,7 @@ object ScaleQueries {
               .as("rater_b")),
         "rater_a", "rater_b")
     },
-      Some("""WITH r AS (SELECT event_type a, CASE WHEN
-             |    CAST(list_reduce(list_transform(range(1, 9),
-             |      i -> CAST(strpos('0123456789abcdef',
-             |        substr(md5('kappa:' || CAST(event_id AS VARCHAR)),
-             |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
-             |      (x, y) -> x*16 + y) AS DOUBLE) / 4294967296.0 < 0.7
-             |    THEN event_type ELSE 'other' END b
-             |  FROM events WHERE event_type IS NOT NULL),
-             |ma AS (SELECT a l, CAST(count(*) AS BIGINT) na FROM r GROUP BY 1),
-             |mb AS (SELECT b l, CAST(count(*) AS BIGINT) nb FROM r GROUP BY 1),
-             |pe AS (SELECT CAST(coalesce(sum(na*nb), 0) AS BIGINT) pe
-             |  FROM ma JOIN mb USING (l)),
-             |ag AS (SELECT CAST(count(*) AS BIGINT) n,
-             |    CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) g
-             |  FROM r)
-             |SELECT n n_items, g n_agree,
-             |  round(CAST(g AS DOUBLE) / n, 6) p_observed,
-             |  round(CAST(pe AS DOUBLE) / (CAST(n AS DOUBLE) * n), 6)
-             |    p_expected,
-             |  CASE WHEN n*n = pe THEN NULL
-             |    ELSE round(CAST(n*g - pe AS DOUBLE) /
-             |      CAST(n*n - pe AS DOUBLE), 6) END kappa
-             |FROM ag CROSS JOIN pe""".stripMargin)),
+      Some(kappaOracleSql)),
 
     // Calibration curve + Brier contributions (x157): cosine-to-query
     // rescaled to [0,1] as the "probability", same-label as the outcome —
@@ -6476,27 +6511,55 @@ object ScaleQueries {
         "p", "y", nBins = 10)
         .orderBy("bin")
     },
-      Some("""WITH q AS (SELECT list_transform(embedding,
-             |    x -> CAST(x AS DOUBLE)) qv, "label" ql
-             |  FROM embeddings WHERE vec_id = 0),
-             |sc AS (SELECT CAST(round(round((CAST(
-             |      list_cosine_similarity(list_transform(embedding,
-             |        x -> CAST(x AS DOUBLE)), qv) AS DOUBLE) + 1) / 2, 4)
-             |      * 10000, 0) AS BIGINT) p4,
-             |    CAST(e."label" = ql AS BIGINT) y
-             |  FROM embeddings e CROSS JOIN q
-             |  WHERE vec_id <> 0 AND embedding IS NOT NULL
-             |    AND e."label" IS NOT NULL)
-             |SELECT least(p4 * 10 // 10000, 9) bin,
-             |  CAST(count(*) AS BIGINT) n,
-             |  CAST(sum(y) AS BIGINT) n_pos,
-             |  round(CAST(sum(p4) AS DOUBLE) / (count(*) * 10000), 6)
-             |    mean_pred,
-             |  round(CAST(sum(y) AS DOUBLE) / count(*), 6) obs_rate,
-             |  round(CAST(sum(y) AS DOUBLE) / count(*) -
-             |    CAST(sum(p4) AS DOUBLE) / (count(*) * 10000), 6) gap,
-             |  round(CAST(sum((p4 - y*10000)*(p4 - y*10000)) AS DOUBLE)
-             |    / 100000000.0, 6) sq_err
-             |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin))
+      Some(calibrationOracleSql)),
+
+    // Streaming calibration monitor (st30): x157's per-bin integer sums
+    // as mergeable streaming state, divisions finalized batch-side —
+    // graded on x157's oracle verbatim.
+    QuerySpec("st30_stream_calibration", (s, d) => {
+      val schema = s.read.parquet(s"$d/embeddings.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val q0 = t(s, d, "embeddings")
+        .filter(col("vec_id") === 0 && col("embedding").isNotNull)
+        .select(col("embedding"), col("label")).collect().head
+      val qv = q0.getSeq[Float](0).map(_.toDouble).toSeq
+      val qLabel = q0.getInt(1)
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "embeddings.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+      val scored = raw
+        .filter(col("vec_id") =!= 0 && col("embedding").isNotNull &&
+          col("label").isNotNull)
+        .select(
+          round((graft.functions.CosineSimilarity(col("embedding"),
+            typedLit(qv)) + 1) / 2, 4).as("p"),
+          (col("label") === qLabel).as("y"))
+      Streams.runStreamingCalibrationAvailableNow(s, scored, "p", "y",
+        nBins = 10, s"graft_calib_$run", ckpt)
+        .orderBy("bin")
+    },
+      Some(calibrationOracleSql)),
+
+    // Streaming inter-rater agreement (st31): x156's contingency cells as
+    // the streaming state (the minimal mergeable sufficient statistic for
+    // kappa), margins + the BIGINT identity finalized batch-side — graded
+    // on x156's oracle verbatim.
+    QuerySpec("st31_stream_kappa", (s, d) => {
+      val schema = Streams.eventsFileSchema(s, d)
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+      val u = graft.operators.ScaleOps.hashUniform(col("event_id"), "kappa:")
+      val labeled = raw.filter(col("event_type").isNotNull)
+        .select(col("event_type").as("rater_a"),
+          when(u < 0.7, col("event_type")).otherwise(lit("other"))
+            .as("rater_b"))
+      Streams.runStreamingKappaAvailableNow(s, labeled, "rater_a",
+        "rater_b", s"graft_kappa_$run", ckpt)
+    },
+      Some(kappaOracleSql))
   )
 }

@@ -1810,4 +1810,99 @@ object Streams {
           round(col("bytes").cast("double") / col("__tot").cast("double"), 6)
             .as("byte_share"))
     }
+
+  /** Streaming calibration monitor — the streaming twin of
+    * [[graft.operators.Analytics.calibrationCurve]]: per-bin
+    * (n, n_pos, Σp4, Σ(p4−y·10⁴)²) integer sums are the streaming state
+    * (commutative BIGINTs — replay slicing provably cannot move them,
+    * |bins| rows regardless of stream length); every division is
+    * finalized batch-side. This is how a serving pipeline watches a
+    * model's calibration drift live. Bitwise equal to the batch
+    * operator, graded on the identical oracle.
+    */
+  def runStreamingCalibrationAvailableNow(spark: SparkSession,
+                                          scored: DataFrame,
+                                          scoreCol: String, labelCol: String,
+                                          nBins: Int, sinkName: String,
+                                          checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      require(nBins >= 2, s"nBins must be >= 2 (got $nBins)")
+      val q = scored
+        .filter(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+        .select(round(col(scoreCol) * 10000, 0).cast("long").as("__p4"),
+          col(labelCol).cast("boolean").cast("long").as("__y"))
+        .withColumn("bin",
+          least(expr(s"__p4 * $nBins div 10000"), lit(nBins.toLong - 1)))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+          sum(col("__p4")).as("__sp"),
+          sum((col("__p4") - col("__y") * 10000L) *
+            (col("__p4") - col("__y") * 10000L)).as("__se"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      detachSink(spark, sinkName, checkpoint)
+        .select(col("bin"), col("n"), col("n_pos"),
+          round(col("__sp").cast("double") /
+            (col("n") * 10000L).cast("double"), 6).as("mean_pred"),
+          round(col("n_pos").cast("double") / col("n").cast("double"), 6)
+            .as("obs_rate"),
+          round(col("n_pos").cast("double") / col("n").cast("double") -
+            col("__sp").cast("double") / (col("n") * 10000L).cast("double"), 6)
+            .as("gap"),
+          round(col("__se").cast("double") / 100000000.0, 6).as("sq_err"))
+    }
+
+  /** Streaming inter-rater agreement — the streaming twin of
+    * [[graft.operators.Analytics.cohensKappa]]: the |labels|²-bounded
+    * contingency table (cell counts) is the streaming state — the
+    * smallest mergeable sufficient statistic for κ — and the margins,
+    * chance agreement, and the cross-multiplied BIGINT κ identity all
+    * finalize batch-side from the drained cells. A live labeling
+    * pipeline watches annotator drift without re-scanning history.
+    */
+  def runStreamingKappaAvailableNow(spark: SparkSession, labeled: DataFrame,
+                                    raterACol: String, raterBCol: String,
+                                    sinkName: String,
+                                    checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val q = labeled
+        .filter(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+        .select(col(raterACol).as("__a"), col(raterBCol).as("__b"))
+        .groupBy(col("__a"), col("__b"))
+        .agg(count(lit(1)).as("__c"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val cells = detachSink(spark, sinkName, checkpoint)
+      val ma = cells.groupBy(col("__a").as("__l"))
+        .agg(sum(col("__c")).as("__na"))
+      val mb = cells.groupBy(col("__b").as("__l"))
+        .agg(sum(col("__c")).as("__nb"))
+      val pe = ma.join(mb, "__l")
+        .agg(coalesce(sum(col("__na") * col("__nb")), lit(0L)).as("__pe"))
+      cells.agg(sum(col("__c")).as("n_items"),
+          coalesce(sum(when(col("__a") === col("__b"), col("__c"))
+            .otherwise(0L)), lit(0L)).as("n_agree"))
+        .crossJoin(broadcast(pe))
+        .select(col("n_items"), col("n_agree"),
+          round(col("n_agree").cast("double") /
+            col("n_items").cast("double"), 6).as("p_observed"),
+          round(col("__pe").cast("double") /
+            (col("n_items") * col("n_items")).cast("double"), 6)
+            .as("p_expected"),
+          when(col("n_items") * col("n_items") === col("__pe"),
+            lit(null).cast("double"))
+            .otherwise(round(
+              (col("n_items") * col("n_agree") - col("__pe")).cast("double") /
+              (col("n_items") * col("n_items") - col("__pe")).cast("double"),
+              6))
+            .as("kappa"))
+    }
 }
