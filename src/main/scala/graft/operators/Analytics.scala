@@ -1943,6 +1943,102 @@ object Analytics {
           .as("auc"))
   }
 
+  /** Per-group exact AUC — [[aucExact]] partitioned by a group column
+    * (per-source / per-language / per-cohort model quality, the
+    * fairness-slice view an eval pipeline reports alongside the global
+    * number). Same midrank rank-sum identity, same exactness argument
+    * (2·midranks are BIGINTs); groups where either class is empty emit
+    * NULL auc (the probabilistic reading is undefined).
+    *
+    * Scale: within-group ranks come from
+    * [[graft.operators.ScaleOps.groupedRank]] — range partitioning +
+    * per-slice offsets — so no task holds a group's full eval set (the
+    * permutationTest straggler shape, fixed the same way); tie-group
+    * lo/hi is a (group, score)-keyed aggregation, and the final reduce
+    * is |groups| rows.
+    */
+  def groupedAuc(df: DataFrame, groupCol: String, idCol: String,
+                 scoreCol: String, positiveCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(scoreCol).isNotNull &&
+        col(positiveCol).isNotNull)
+      .select(col(groupCol), col(idCol), col(scoreCol),
+        col(positiveCol).cast("boolean").as("__pos"))
+    val ranked = graft.operators.ScaleOps.groupedRank(base, groupCol,
+      Seq(col(scoreCol).asc, col(idCol).asc))
+    val tie = ranked.groupBy(col(groupCol), col(scoreCol))
+      .agg(min(col("__rank")).as("__lo"), max(col("__rank")).as("__hi"))
+    ranked.join(tie, Seq(groupCol, scoreCol))
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("__pos"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("__pos"), col("__lo") + col("__hi")).otherwise(0L))
+          .as("__r2"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        when(col("n_pos") === 0 || col("n_neg") === 0,
+          lit(null).cast("double"))
+          .otherwise(round((col("__r2").cast("double") / 2.0 -
+            col("n_pos").cast("double") *
+              (col("n_pos").cast("double") + 1.0) / 2.0) /
+            (col("n_pos").cast("double") * col("n_neg").cast("double")), 6))
+          .as("auc"))
+  }
+
+  /** Ordered conversion funnel: how many entities reach each step of
+    * `steps` IN ORDER — an entity reaches step k when it has a
+    * steps(k)-state event STRICTLY LATER than its earliest completion of
+    * the k−1 prefix (equal timestamps do not chain; the reference point
+    * is each prefix's EARLIEST completion, the standard funnel
+    * convention that maximizes downstream matches). Output: one row per
+    * step with the entity count, share of step-1 entrants, and share of
+    * the previous step — the drop-off table product/quality teams read.
+    *
+    * k−1 joins on the entity key (k is the handful of funnel steps, not
+    * data-sized); each join's right side is a per-entity one-row frame
+    * (min-timestamp aggregate), so every stage is an equi-join against a
+    * |entities|-row census — no window, no cross product. All counts
+    * exact BIGINTs.
+    */
+  def funnelSteps(events: DataFrame, entityCol: String, tsCol: String,
+                  stateCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps needs at least one step")
+    val base = events
+      .filter(col(entityCol).isNotNull && col(tsCol).isNotNull &&
+        col(stateCol).isNotNull)
+      .select(col(entityCol).as("__e"), col(tsCol).as("__ts"),
+        col(stateCol).as("__st"))
+    // reached(k): (entity, earliest completion ts of steps(0..k))
+    val firstStep = base.filter(col("__st") === steps.head)
+      .groupBy(col("__e")).agg(min(col("__ts")).as("__t"))
+    val reached = steps.toList.tail.scanLeft(firstStep) { (prev, step) =>
+      base.filter(col("__st") === step)
+        .join(prev.select(col("__e"), col("__t").as("__tp")), Seq("__e"))
+        .filter(col("__ts") > col("__tp"))
+        .groupBy(col("__e")).agg(min(col("__ts")).as("__t"))
+    }
+    val counts = reached.map(_.agg(count(lit(1)).as("__n")))
+    val rows = counts.zipWithIndex.map { case (c, i) =>
+      c.select(lit(i + 1L).as("step"), lit(steps(i)).as("step_name"),
+        col("__n").as("n_entities"))
+    }.reduce(_.unionByName(_))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("step"))
+    // the funnel table is k rows — the windows below are metadata-scale
+    rows
+      .withColumn("__first", first(col("n_entities")).over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("step"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
+      .withColumn("__prev", lag(col("n_entities"), 1).over(w))
+      .select(col("step"), col("step_name"), col("n_entities"),
+        round(col("n_entities").cast("double") /
+          col("__first").cast("double"), 6).as("share_of_first"),
+        when(col("__prev").isNull, lit(1.0))
+          .otherwise(when(col("__prev") === 0, lit(null).cast("double"))
+            .otherwise(round(col("n_entities").cast("double") /
+              col("__prev").cast("double"), 6))).as("share_of_prev"))
+  }
+
   /** Grouped Spearman rank correlation — [[groupedPearson]]'s robust
     * sibling: Pearson over MIDRANKS instead of values, so monotone-but-
     * nonlinear association registers and outliers lose their leverage

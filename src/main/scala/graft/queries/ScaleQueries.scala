@@ -6560,6 +6560,70 @@ object ScaleQueries {
       Streams.runStreamingKappaAvailableNow(s, labeled, "rater_a",
         "rater_b", s"graft_kappa_$run", ckpt)
     },
-      Some(kappaOracleSql))
+      Some(kappaOracleSql)),
+
+    // Per-group exact AUC (x158): does document length separate English
+    // docs, per source — the fairness-slice companion of x152's global
+    // AUC, ranks from the groupedRank kernel (no task-per-group window).
+    QuerySpec("x158_grouped_auc", (s, d) =>
+      Analytics.groupedAuc(
+        t(s, d, "documents")
+          .filter(col("lang").isNotNull)
+          .select(col("source"), col("doc_id"), col("n_chars"),
+            (col("lang") === "en").as("is_en")),
+        "source", "doc_id", "n_chars", "is_en")
+        .orderBy("source"),
+      Some("""WITH b AS (SELECT source g, doc_id id,
+             |    CAST(n_chars AS BIGINT) s, (lang = 'en') p
+             |  FROM documents WHERE source IS NOT NULL
+             |    AND n_chars IS NOT NULL AND lang IS NOT NULL),
+             |rk AS (SELECT g, s, CAST(min(r) + max(r) AS BIGINT) m2
+             |  FROM (SELECT g, s, row_number() OVER (PARTITION BY g
+             |      ORDER BY s ASC, id ASC) r FROM b) GROUP BY 1, 2),
+             |j AS (SELECT b.g, b.p, m2 FROM b
+             |  JOIN rk ON b.g = rk.g AND b.s = rk.s),
+             |a AS (SELECT g,
+             |    CAST(sum(CASE WHEN p THEN 1 ELSE 0 END) AS BIGINT) np,
+             |    CAST(sum(CASE WHEN p THEN 0 ELSE 1 END) AS BIGINT) nn,
+             |    CAST(sum(CASE WHEN p THEN m2 ELSE 0 END) AS BIGINT) r2
+             |  FROM j GROUP BY 1)
+             |SELECT g source, np n_pos, nn n_neg,
+             |  CASE WHEN np = 0 OR nn = 0 THEN NULL
+             |    ELSE round((CAST(r2 AS DOUBLE)/2 -
+             |      CAST(np AS DOUBLE)*(np+1)/2) /
+             |      (CAST(np AS DOUBLE)*nn), 6) END auc
+             |FROM a ORDER BY source""".stripMargin)),
+
+    // Ordered conversion funnel (x159): view -> click -> purchase with
+    // strictly-increasing timestamps chained from each prefix's earliest
+    // completion — per-entity min-aggregates equi-joined per step, no
+    // window over data. Drop-off shares from exact BIGINTs.
+    QuerySpec("x159_funnel", (s, d) =>
+      Analytics.funnelSteps(t(s, d, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))
+        .orderBy("step"),
+      Some("""WITH e AS (SELECT user_id u, ts, event_type et FROM events
+             |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+             |    AND event_type IS NOT NULL),
+             |s1 AS (SELECT u, min(ts) t FROM e WHERE et = 'view'
+             |  GROUP BY 1),
+             |s2 AS (SELECT e.u, min(ts) t FROM e JOIN s1 ON e.u = s1.u
+             |  WHERE et = 'click' AND ts > s1.t GROUP BY 1),
+             |s3 AS (SELECT e.u, min(ts) t FROM e JOIN s2 ON e.u = s2.u
+             |  WHERE et = 'purchase' AND ts > s2.t GROUP BY 1),
+             |c AS (SELECT 1 stp, 'view' nm,
+             |    CAST((SELECT count(*) FROM s1) AS BIGINT) n
+             |  UNION ALL SELECT 2, 'click',
+             |    CAST((SELECT count(*) FROM s2) AS BIGINT)
+             |  UNION ALL SELECT 3, 'purchase',
+             |    CAST((SELECT count(*) FROM s3) AS BIGINT))
+             |SELECT CAST(stp AS BIGINT) step, nm step_name, n n_entities,
+             |  round(CAST(n AS DOUBLE) /
+             |    first_value(n) OVER (ORDER BY stp), 6) share_of_first,
+             |  CASE WHEN lag(n) OVER (ORDER BY stp) IS NULL THEN 1.0
+             |    WHEN lag(n) OVER (ORDER BY stp) = 0 THEN NULL
+             |    ELSE round(CAST(n AS DOUBLE) /
+             |      lag(n) OVER (ORDER BY stp), 6) END share_of_prev
+             |FROM c ORDER BY step""".stripMargin))
   )
 }

@@ -827,6 +827,49 @@ class AnalyticsSpec extends SparkSpec {
     assert(got2 == Seq((0L, 2L, 1L, 0L, 0.5), (1L, 1L, 1L, 0L, 0.0)))
   }
 
+  test("groupedAuc: perfect separation 1.0, all-tied 0.5 via midranks, " +
+    "single-class group NULL") {
+    val df = Seq(
+      ("g1", 1L, 1.0, false), ("g1", 2L, 2.0, false),
+      ("g1", 3L, 3.0, true), ("g1", 4L, 4.0, true),
+      ("g2", 5L, 5.0, true), ("g2", 6L, 5.0, false),
+      ("g3", 7L, 1.0, true), ("g3", 8L, 2.0, true)
+    ).toDF("g", "id", "s", "p")
+    val got = Analytics.groupedAuc(df, "g", "id", "s", "p")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == Seq(
+      ("g1", 2L, 2L, Some(1.0)),
+      ("g2", 1L, 1L, Some(0.5)),
+      ("g3", 2L, 0L, None)))
+  }
+
+  test("funnelSteps: ordered chaining from earliest prefix completion, " +
+    "equal timestamps do not chain, shares are exact") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, ts("2024-01-01 00:00:01"), "view"),
+      (1L, ts("2024-01-01 00:00:02"), "click"),
+      (1L, ts("2024-01-01 00:00:03"), "purchase"),
+      (2L, ts("2024-01-01 00:00:01"), "view"),
+      (2L, ts("2024-01-01 00:00:01"), "click"),    // same ts: no chain
+      (2L, ts("2024-01-01 00:00:05"), "purchase"), // click never reached
+      (3L, ts("2024-01-01 00:00:01"), "click"),    // click before view
+      (3L, ts("2024-01-01 00:00:02"), "view"),
+      (3L, ts("2024-01-01 00:00:03"), "click"),
+      (4L, ts("2024-01-01 00:00:01"), "purchase")  // never entered
+    ).toDF("u", "ts", "et")
+    val got = Analytics.funnelSteps(ev, "u", "ts", "et",
+        Seq("view", "click", "purchase"))
+      .orderBy("step")
+      .as[(Long, String, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, "view", 3L, 1.0, 1.0),
+      (2L, "click", 2L, 0.666667, 0.666667),
+      (3L, "purchase", 1L, 0.333333, 0.5)))
+  }
+
   test("cohensKappa: hand-computed kappa, null labels excluded, " +
     "degenerate constant raters yield NULL") {
     // 10 items: a/b agree on 6; margins a: x=5,y=5; b: x=6,y=4
