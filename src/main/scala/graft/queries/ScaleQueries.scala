@@ -6624,6 +6624,61 @@ object ScaleQueries {
              |    WHEN lag(n) OVER (ORDER BY stp) = 0 THEN NULL
              |    ELSE round(CAST(n AS DOUBLE) /
              |      lag(n) OVER (ORDER BY stp), 6) END share_of_prev
-             |FROM c ORDER BY step""".stripMargin))
+             |FROM c ORDER BY step""".stripMargin)),
+
+    // Data-contract validation (x160): the Deequ/dbt-tests component —
+    // uniqueness, completeness, accepted values, range, referential
+    // integrity over orders/customer as census aggregations + one
+    // broadcast anti-join; the oracle recomputes every count. The range
+    // contract is deliberately tight enough to FAIL (TPC-H totalprice
+    // exceeds 200k) so the report proves it actually detects violations.
+    QuerySpec("x160_data_contracts", (s, d) => {
+      import graft.operators.Contracts
+      Contracts.validate(t(s, d, "orders"), Seq(
+        Contracts.Unique(Seq("o_orderkey")),
+        Contracts.NotNull("o_custkey"),
+        Contracts.InSet("o_orderstatus", Seq("O", "F", "P")),
+        Contracts.InRange("o_totalprice", 0.0, 200000.0),
+        Contracts.RefIntegrity("o_custkey", t(s, d, "customer"),
+          "c_custkey")))
+        .orderBy("contract", "detail")
+    },
+      Some("""WITH nn AS (SELECT CAST(count(*) AS BIGINT) n FROM orders),
+             |uq AS (SELECT CAST(count(*) - count(DISTINCT o_orderkey)
+             |    AS BIGINT) v FROM orders WHERE o_orderkey IS NOT NULL),
+             |nl AS (SELECT CAST(coalesce(sum(CASE WHEN o_custkey IS NULL
+             |    THEN 1 ELSE 0 END), 0) AS BIGINT) v FROM orders),
+             |ins AS (SELECT CAST(coalesce(sum(CASE WHEN o_orderstatus
+             |    IS NOT NULL AND o_orderstatus NOT IN ('O', 'F', 'P')
+             |    THEN 1 ELSE 0 END), 0) AS BIGINT) v FROM orders),
+             |rng AS (SELECT CAST(coalesce(sum(CASE WHEN o_totalprice
+             |    IS NOT NULL AND (o_totalprice < 0 OR o_totalprice >
+             |    200000) THEN 1 ELSE 0 END), 0) AS BIGINT) v FROM orders),
+             |ri AS (SELECT CAST(count(*) AS BIGINT) v FROM orders o
+             |  WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+             |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+             |SELECT * FROM (
+             |  SELECT 'in_range' contract,
+             |    'o_totalprice in[0.0,200000.0]' detail, n n_rows,
+             |    v n_violations, round(CAST(v AS DOUBLE) /
+             |      (CASE WHEN n = 0 THEN 1 ELSE n END), 6) violation_share,
+             |    v = 0 pass FROM rng, nn
+             |  UNION ALL SELECT 'in_set', 'o_orderstatus in(O,F,P)', n, v,
+             |    round(CAST(v AS DOUBLE) /
+             |      (CASE WHEN n = 0 THEN 1 ELSE n END), 6), v = 0
+             |    FROM ins, nn
+             |  UNION ALL SELECT 'not_null', 'o_custkey nullShare<=0.0', n,
+             |    v, round(CAST(v AS DOUBLE) /
+             |      (CASE WHEN n = 0 THEN 1 ELSE n END), 6), v = 0
+             |    FROM nl, nn
+             |  UNION ALL SELECT 'ref_integrity', 'o_custkey->c_custkey', n,
+             |    v, round(CAST(v AS DOUBLE) /
+             |      (CASE WHEN n = 0 THEN 1 ELSE n END), 6), v = 0
+             |    FROM ri, nn
+             |  UNION ALL SELECT 'unique', 'o_orderkey', n, v,
+             |    round(CAST(v AS DOUBLE) /
+             |      (CASE WHEN n = 0 THEN 1 ELSE n END), 6), v = 0
+             |    FROM uq, nn)
+             |ORDER BY contract, detail""".stripMargin))
   )
 }

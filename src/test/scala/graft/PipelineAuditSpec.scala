@@ -33,6 +33,34 @@ class PipelineAuditSpec extends SparkSpec {
       ("email", 0L, 0L, 1L, 250L, 0.0, 0.714286)))
   }
 
+  test("Contracts.validate: all five constraint types, violations " +
+    "counted exactly, null-share tolerance honored") {
+    import graft.operators.Contracts
+    val df = Seq(
+      (1L, Some(10L), "A", 5.0),
+      (1L, Some(20L), "A", 50.0),   // dup key
+      (2L, None, "B", -1.0),        // null fk, below range
+      (3L, Some(99L), "C", 5.0)     // orphan fk, bad status
+    ).toDF("k", "fk", "st", "v")
+    val dim = Seq(10L, 20L).toDF("dk")
+    val out = Contracts.validate(df, Seq(
+        Contracts.Unique(Seq("k")),
+        Contracts.NotNull("fk", maxNullShare = 0.5),
+        Contracts.NotNull("fk"),
+        Contracts.InSet("st", Seq("A", "B")),
+        Contracts.InRange("v", 0.0, 10.0),
+        Contracts.RefIntegrity("fk", dim, "dk")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getDouble(4), r.getBoolean(5))))
+      .toMap
+    assert(out(("unique", "k")) == ((4L, 1L, 0.25, false)))
+    assert(out(("not_null", "fk nullShare<=0.5")) == ((4L, 1L, 0.25, true)))
+    assert(out(("not_null", "fk nullShare<=0.0")) == ((4L, 1L, 0.25, false)))
+    assert(out(("in_set", "st in(A,B)")) == ((4L, 1L, 0.25, false)))
+    assert(out(("in_range", "v in[0.0,10.0]")) == ((4L, 2L, 0.5, false)))
+    assert(out(("ref_integrity", "fk->dk")) == ((4L, 1L, 0.25, false)))
+  }
+
   test("auditAll: every audit contributes its row and the hand-checkable " +
     "numbers are right") {
     import graft.operators.PipelineAudit
@@ -278,6 +306,12 @@ class PipelineAuditSpec extends SparkSpec {
       .as[(Long, Long, Double, Double, Double, Double)].collect().head
     assert(out == (50L, 50L, 100.0, 1.0, 99.0,
       math.rint(1.0 / 65.0 * 1e6) / 1e6))
+    // the size-adaptive rank strategies must be bit-identical: force the
+    // scale kernel (threshold 0) and compare against the window form
+    val scaled = Analytics.permutationTest(df, "g", "id", "v", "A", "B",
+        "s:", scaleRankThreshold = 0L)
+      .as[(Long, Long, Double, Double, Double, Double)].collect().head
+    assert(scaled == out)
   }
 
   test("bootstrapMeanCi: interval brackets the mean, all replicas " +
