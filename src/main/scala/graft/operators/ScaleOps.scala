@@ -1018,6 +1018,71 @@ object ScaleOps {
           .otherwise(lit(0.0)).as("top_key_share"))
   }
 
+  /** Per-group EXACT percentiles of a value column — the length/price/
+    * score profile per source that sits beside [[keySkewAudit]]'s key
+    * profile. Order statistic at rank ⌈q·n⌉ (the keySkew convention, so
+    * the `ceil` of the double product is engine-identical), computed
+    * over the (group, value) CENSUS, not the rows: the window ranks at
+    * most |distinct values| entries per group — the same
+    * census-not-corpus trade as keySkewAudit, and the reason a
+    * 10⁹-row group with bounded value cardinality costs nothing extra.
+    * Output: (group, n_rows, p<q1>, p<q2>, …) with the percentile
+    * columns in the input's value type.
+    */
+  def groupedPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+                         qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"qs must be in (0, 1] (got $qs)")
+    val census = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = census
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    def pName(q: Double): String =
+      "p" + java.math.BigDecimal.valueOf(q).movePointRight(2)
+        .stripTrailingZeros.toPlainString.replace(".", "_")
+    val aggs = max(col("__n")).as("n_rows") +:
+      qs.map(q => min(when(col("__cum") >= ceil(lit(q) * col("__n")),
+        col(valueCol))).as(pName(q)))
+    cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Winsorization — clip a value column to its [loQ, hiQ] exact
+    * percentile cutoffs (the outlier-taming transform run before means/
+    * regressions on heavy-tailed columns; pairs with
+    * [[quantileNormalize]], which reshapes instead of clipping). Cutoffs
+    * are order statistics at ⌈q·n⌉ over the value census (one
+    * census-sized window — the [[groupedPercentiles]] shape with one
+    * group), broadcast back; the corpus scan itself stays map-side.
+    * Output: input columns + `<valueCol>_winsorized` (same type).
+    */
+  def winsorize(df: DataFrame, valueCol: String, loQ: Double = 0.01,
+                hiQ: Double = 0.99): DataFrame = {
+    require(loQ > 0 && loQ < hiQ && hiQ <= 1,
+      s"need 0 < loQ < hiQ <= 1 (got $loQ, $hiQ)")
+    def pName(q: Double): String =
+      "p" + java.math.BigDecimal.valueOf(q).movePointRight(2)
+        .stripTrailingZeros.toPlainString.replace(".", "_")
+    val cuts = groupedPercentiles(
+        df.select(lit(1).as("__g"), col(valueCol)), "__g", valueCol,
+        Seq(loQ, hiQ))
+      .select(col(pName(loQ)).as("__lo"), col(pName(hiQ)).as("__hi"))
+    df.crossJoin(broadcast(cuts))
+      .withColumn(s"${valueCol}_winsorized",
+        when(col(valueCol).isNull, col(valueCol))
+          .when(col(valueCol) < col("__lo"), col("__lo"))
+          .when(col(valueCol) > col("__hi"), col("__hi"))
+          .otherwise(col(valueCol)))
+      .drop("__lo", "__hi")
+  }
+
   def keySkewAudit(df: DataFrame, keyCol: String): DataFrame =
     keySkewFromCensus(df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("__c")), keyCol)

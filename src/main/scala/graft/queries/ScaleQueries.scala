@@ -6679,6 +6679,64 @@ object ScaleQueries {
              |    round(CAST(v AS DOUBLE) /
              |      (CASE WHEN n = 0 THEN 1 ELSE n END), 6), v = 0
              |    FROM uq, nn)
-             |ORDER BY contract, detail""".stripMargin))
+             |ORDER BY contract, detail""".stripMargin)),
+
+    // Per-group exact percentiles (x161): order statistic at ceil(q*n)
+    // over the (group, value) CENSUS — the census-not-corpus window
+    // shape of x134, so a billion-row group with bounded value
+    // cardinality costs nothing extra. Exact integer cents.
+    QuerySpec("x161_grouped_percentiles", (s, d) =>
+      graft.operators.ScaleOps.groupedPercentiles(
+        t(s, d, "orders")
+          .select(col("o_orderpriority"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
+        "o_orderpriority", "cents")
+        .orderBy("o_orderpriority"),
+      Some("""WITH b AS (SELECT o_orderpriority g,
+             |    CAST(round(o_totalprice*100, 0) AS BIGINT) v FROM orders
+             |  WHERE o_orderpriority IS NOT NULL
+             |    AND o_totalprice IS NOT NULL),
+             |c AS (SELECT g, v, CAST(count(*) AS BIGINT) c FROM b
+             |  GROUP BY 1, 2),
+             |cum AS (SELECT g, v,
+             |    sum(c) OVER (PARTITION BY g ORDER BY v ASC) cum,
+             |    sum(c) OVER (PARTITION BY g) n FROM c)
+             |SELECT g o_orderpriority, CAST(max(n) AS BIGINT) n_rows,
+             |  CAST(min(CASE WHEN cum >= ceil(0.5*n) THEN v END)
+             |    AS BIGINT) p50,
+             |  CAST(min(CASE WHEN cum >= ceil(0.9*n) THEN v END)
+             |    AS BIGINT) p90,
+             |  CAST(min(CASE WHEN cum >= ceil(0.99*n) THEN v END)
+             |    AS BIGINT) p99
+             |FROM cum GROUP BY g ORDER BY 1""".stripMargin)),
+
+    // Winsorization (x162): clip order totals to their exact [p5, p95]
+    // cutoffs — census-derived order statistics broadcast back onto a
+    // map-side scan; every row keeps its identity, tails are pinned.
+    QuerySpec("x162_winsorize", (s, d) =>
+      graft.operators.ScaleOps.winsorize(
+        t(s, d, "orders")
+          .select(col("o_orderkey"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
+        "cents", loQ = 0.05, hiQ = 0.95)
+        .orderBy("o_orderkey"),
+      Some("""WITH b AS (SELECT o_orderkey,
+             |    CAST(round(o_totalprice*100, 0) AS BIGINT) cents
+             |  FROM orders),
+             |c AS (SELECT cents v, count(*) c FROM b
+             |  WHERE cents IS NOT NULL GROUP BY 1),
+             |cum AS (SELECT v, sum(c) OVER (ORDER BY v ASC) cum,
+             |    sum(c) OVER () n FROM c),
+             |cuts AS (SELECT
+             |    CAST(min(CASE WHEN cum >= ceil(0.05*n) THEN v END)
+             |      AS BIGINT) lo,
+             |    CAST(min(CASE WHEN cum >= ceil(0.95*n) THEN v END)
+             |      AS BIGINT) hi FROM cum)
+             |SELECT o_orderkey, cents,
+             |  CAST(CASE WHEN cents IS NULL THEN NULL
+             |    WHEN cents < lo THEN lo
+             |    WHEN cents > hi THEN hi ELSE cents END AS BIGINT)
+             |    cents_winsorized
+             |FROM b CROSS JOIN cuts ORDER BY o_orderkey""".stripMargin))
   )
 }

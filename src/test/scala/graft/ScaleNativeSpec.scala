@@ -1141,6 +1141,29 @@ class ScaleNativeSpec extends SparkSpec {
       s"groups must span multiple partitions: $spread")
   }
 
+  test("groupedPercentiles: order statistic at ceil(q*n) per group, " +
+    "duplicates weighted through the census") {
+    val df = ((1L to 10L).map(v => ("a", v)) ++
+      Seq(("b", 1L), ("b", 1L), ("b", 1L), ("b", 9L))).toDF("g", "v")
+    val got = ScaleOps.groupedPercentiles(df, "g", "v")
+      .orderBy("g").as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("a", 10L, 5L, 9L, 10L), ("b", 4L, 1L, 9L, 9L)))
+  }
+
+  test("winsorize: tails clipped to exact [p5, p95] cutoffs, interior " +
+    "rows untouched, nulls preserved") {
+    val df = ((1L to 100L).map(v => (v, Some(v))) :+
+      (101L, None: Option[Long])).toDF("id", "v")
+    val got = ScaleOps.winsorize(df, "v", loQ = 0.05, hiQ = 0.95)
+      .orderBy("id").as[(Long, Option[Long], Option[Long])].collect().toSeq
+    assert(got.filter(_._1 <= 4L).forall(_._3.contains(5L)))
+    assert(got.filter(r => r._1 >= 5L && r._1 <= 95L)
+      .forall(r => r._3 == r._2))
+    assert(got.filter(r => r._1 >= 96L && r._1 <= 100L)
+      .forall(_._3.contains(95L)))
+    assert(got.last._3.isEmpty)
+  }
+
   test("globalRankAndSum attaches rank AND running sum matching the " +
     "global-window form in one pass, any partitioning") {
     import org.apache.spark.sql.expressions.{Window => W}
