@@ -1083,6 +1083,30 @@ object ScaleOps {
       .drop("__lo", "__hi")
   }
 
+  /** Effective sample size of a weighted corpus — Kish's
+    * ESS = (Σw)²/Σw², with the design effect n·Σw²/(Σw)² (≥ 1; how much
+    * variance the weighting costs vs uniform sampling). THE one-number
+    * sanity check on any weighted mix (temperature mixing, source
+    * quotas, importance weights): an aggressive temperature can leave a
+    * billion-doc corpus with the statistical power of a few million.
+    * One map-side-combinable aggregation; exact when weights are
+    * integers (both sums are BIGINTs — the fixture convention), rounded
+    * display divisions otherwise. Non-positive and NULL weights are
+    * excluded (they are not sampleable mass).
+    */
+  def effectiveSampleSize(df: DataFrame, weightCol: String): DataFrame =
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .agg(count(lit(1)).as("n"),
+        sum(col(weightCol).cast("long")).as("sum_w"),
+        sum(col(weightCol).cast("long") * col(weightCol).cast("long"))
+          .as("__sw2"))
+      .select(col("n"), col("sum_w"),
+        round((col("sum_w").cast("double") * col("sum_w").cast("double")) /
+          col("__sw2").cast("double"), 4).as("ess"),
+        round(col("n").cast("double") * col("__sw2").cast("double") /
+          (col("sum_w").cast("double") * col("sum_w").cast("double")), 4)
+          .as("design_effect"))
+
   def keySkewAudit(df: DataFrame, keyCol: String): DataFrame =
     keySkewFromCensus(df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("__c")), keyCol)

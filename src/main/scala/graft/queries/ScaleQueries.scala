@@ -6737,6 +6737,26 @@ object ScaleQueries {
              |    WHEN cents < lo THEN lo
              |    WHEN cents > hi THEN hi ELSE cents END AS BIGINT)
              |    cents_winsorized
-             |FROM b CROSS JOIN cuts ORDER BY o_orderkey""".stripMargin))
+             |FROM b CROSS JOIN cuts ORDER BY o_orderkey""".stripMargin)),
+
+    // Effective sample size (x163): Kish's (Σw)²/Σw² + design effect over
+    // an n_chars-weighted document corpus — the one-number power check on
+    // any weighted mix. Exact BIGINT sums, two rounded divisions.
+    QuerySpec("x163_effective_sample_size", (s, d) =>
+      graft.operators.ScaleOps.effectiveSampleSize(
+        t(s, d, "documents"), "n_chars"),
+      Some("""SELECT CAST(count(*) AS BIGINT) n,
+             |  CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) sum_w,
+             |  round(CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) *
+             |    sum(CAST(n_chars AS BIGINT)) /
+             |    CAST(sum(CAST(n_chars AS BIGINT) *
+             |      CAST(n_chars AS BIGINT)) AS DOUBLE), 4) ess,
+             |  round(CAST(count(*) AS DOUBLE) *
+             |    CAST(sum(CAST(n_chars AS BIGINT) *
+             |      CAST(n_chars AS BIGINT)) AS DOUBLE) /
+             |    (CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) *
+             |     sum(CAST(n_chars AS BIGINT))), 4) design_effect
+             |FROM documents WHERE n_chars IS NOT NULL
+             |  AND n_chars > 0""".stripMargin))
   )
 }

@@ -1164,6 +1164,18 @@ class ScaleNativeSpec extends SparkSpec {
     assert(got.last._3.isEmpty)
   }
 
+  test("effectiveSampleSize: uniform weights give ess = n and design " +
+    "effect 1; one dominant weight collapses the ess") {
+    val uni = Seq(5L, 5L, 5L, 5L).toDF("w")
+    val u = ScaleOps.effectiveSampleSize(uni, "w")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(u == (4L, 20L, 4.0, 1.0))
+    val skewed = Seq(1L, 1L, 1L, 97L, 0L).toDF("w") // 0 excluded
+    val s0 = ScaleOps.effectiveSampleSize(skewed, "w")
+      .as[(Long, Long, Double, Double)].collect().head
+    assert(s0 == (4L, 100L, 1.0625, 3.7648))
+  }
+
   test("globalRankAndSum attaches rank AND running sum matching the " +
     "global-window form in one pass, any partitioning") {
     import org.apache.spark.sql.expressions.{Window => W}
