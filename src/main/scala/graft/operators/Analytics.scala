@@ -2260,6 +2260,56 @@ object Analytics {
           .as("kappa"))
   }
 
+  /** Per-class precision / recall / F1 — the classification report that
+    * completes the eval toolkit around [[graft.operators.TextOps.labelConfusion]]
+    * (which reports the raw cells): every class that appears as a label
+    * OR a prediction gets a row with its support, predicted count,
+    * tp/fp/fn, and the three ratios. All counts are one (label, pred)
+    * census; F1 uses the single-division identity
+    * 2·tp/(support + n_predicted), so each ratio is one display-rounded
+    * division of exact BIGINTs. Undefined ratios are NULL (precision
+    * with no predictions, recall with no support) — not 0, which would
+    * conflate "never predicted" with "always wrong".
+    */
+  def classificationReport(df: DataFrame, labelCol: String,
+                           predCol: String): DataFrame = {
+    val cells = df
+      .filter(col(labelCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(labelCol).cast("string").as("__l"),
+        col(predCol).cast("string").as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    val actual = cells.groupBy(col("__l").as("clazz"))
+      .agg(sum(col("__n")).as("support"),
+        coalesce(sum(when(col("__l") === col("__p"), col("__n"))
+          .otherwise(0L)), lit(0L)).as("__tpa"))
+    val predicted = cells.groupBy(col("__p").as("clazz"))
+      .agg(sum(col("__n")).as("n_predicted"))
+    val classes = cells.select(col("__l").as("clazz"))
+      .unionByName(cells.select(col("__p").as("clazz"))).distinct()
+    classes
+      .join(actual, Seq("clazz"), "left")
+      .join(predicted, Seq("clazz"), "left")
+      .select(col("clazz"),
+        coalesce(col("support"), lit(0L)).as("support"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("__tpa"), lit(0L)).as("tp"))
+      .withColumn("fp", col("n_predicted") - col("tp"))
+      .withColumn("fn", col("support") - col("tp"))
+      .withColumn("precision",
+        when(col("n_predicted") === 0, lit(null).cast("double"))
+          .otherwise(round(col("tp").cast("double") /
+            col("n_predicted").cast("double"), 6)))
+      .withColumn("recall",
+        when(col("support") === 0, lit(null).cast("double"))
+          .otherwise(round(col("tp").cast("double") /
+            col("support").cast("double"), 6)))
+      .withColumn("f1",
+        when(col("support") + col("n_predicted") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(lit(2.0) * col("tp").cast("double") /
+            (col("support") + col("n_predicted")).cast("double"), 6)))
+  }
+
   /** Calibration curve + per-bin Brier contribution for a probabilistic
     * scorer: predictions land in `nBins` equal-width bins and each bin
     * reports its count, mean predicted probability, observed positive

@@ -900,6 +900,62 @@ object SimilarityOps {
           lit(k.toDouble), 6).as("recall"))
   }
 
+  /** nDCG@k over a retrieval run against a sparse judgments table — the
+    * graded-relevance ranking metric that completes the retrieval-eval
+    * set ([[annRecallAudit]] = binary recall, [[rrfFusion]] = rank
+    * combination, Analytics.aucExact = pairwise order): DCG@k =
+    * Σ_{i≤k} rel_i / log₂(i+1) over the run's ranks, normalized by the
+    * ideal DCG of the query's best-possible top-k (judgments sorted
+    * rel desc, id asc).
+    *
+    * Determinism: each term is fixed-pointed to 10⁻⁹ units
+    * (`round(rel·10⁹ / log₂(rank+1))` as BIGINT) BEFORE summation, so
+    * the per-query sums are commutative integer adds — engine/partition
+    * order cannot move them, and a last-ulp log₂ difference between
+    * engines dies in the rounding. nDCG is the single display-rounded
+    * division; queries with no positive judgment emit NULL (undefined).
+    *
+    * Scale: one equi-join of the top-k run rows against the judgments
+    * (sparse by construction — human/synthetic labels, not query×corpus),
+    * one per-query ideal-rank window over judgment lists (bounded by
+    * judgments per query), |queries|-row reduces.
+    */
+  def ndcgAtK(run: DataFrame, qCol: String, dCol: String, rankCol: String,
+              judgments: DataFrame, jqCol: String, jdCol: String,
+              relCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1 (got $k)")
+    def units(rel: Column, rank: Column): Column =
+      round(rel.cast("double") * 1e9 /
+        log2(rank.cast("double") + 1), 0).cast("long")
+    val rels = judgments.select(col(jqCol).as(qCol), col(jdCol).as(dCol),
+      col(relCol).cast("long").as("__rel"))
+    val dcg = run.filter(col(rankCol) <= k)
+      .select(col(qCol), col(dCol), col(rankCol))
+      .join(rels, Seq(qCol, dCol), "left")
+      .withColumn("__rel", coalesce(col("__rel"), lit(0L)))
+      .groupBy(col(qCol))
+      .agg(sum(units(col("__rel"), col(rankCol))).as("__dcg"))
+    val wIdeal = Window.partitionBy(col(qCol))
+      .orderBy(col("__rel").desc, col(dCol).asc)
+    val ideal = rels.filter(col("__rel") > 0)
+      .withColumn("__r", row_number().over(wIdeal))
+      .filter(col("__r") <= k)
+      .groupBy(col(qCol))
+      .agg(sum(units(col("__rel"), col("__r"))).as("__idcg"))
+    run.select(col(qCol)).distinct()
+      .join(dcg, Seq(qCol), "left")
+      .join(ideal, Seq(qCol), "left")
+      .select(col(qCol),
+        round(coalesce(col("__dcg"), lit(0L)).cast("double") / 1e9, 6)
+          .as("dcg"),
+        round(coalesce(col("__idcg"), lit(0L)).cast("double") / 1e9, 6)
+          .as("idcg"),
+        when(col("__idcg").isNull || col("__idcg") === 0,
+          lit(null).cast("double"))
+          .otherwise(round(coalesce(col("__dcg"), lit(0L)).cast("double") /
+            col("__idcg").cast("double"), 6)).as("ndcg"))
+  }
+
   /** Reciprocal-rank fusion of two retrieval rankings — the standard
     * hybrid-search combiner (Cormack/Clarke/Buettcher, SIGIR 2009):
     * rrf(d) = 1/(K + rank_lex(d)) + 1/(K + rank_sem(d)), K = 60 by

@@ -6757,6 +6757,138 @@ object ScaleQueries {
              |    (CAST(sum(CAST(n_chars AS BIGINT)) AS DOUBLE) *
              |     sum(CAST(n_chars AS BIGINT))), 4) design_effect
              |FROM documents WHERE n_chars IS NOT NULL
-             |  AND n_chars > 0""".stripMargin))
+             |  AND n_chars > 0""".stripMargin)),
+
+    // Per-class precision/recall/F1 (x164): the classification report
+    // over x156's degraded-rater fixture — exact BIGINT tp/fp/fn from
+    // one (label, pred) census, F1 via the 2tp/(support+predicted)
+    // single-division identity, NULL for undefined ratios.
+    QuerySpec("x164_classification_report", (s, d) => {
+      val ev = t(s, d, "events")
+      val u = graft.operators.ScaleOps.hashUniform(col("event_id"), "kappa:")
+      Analytics.classificationReport(
+        ev.filter(col("event_type").isNotNull)
+          .select(col("event_type").as("label"),
+            when(u < 0.7, col("event_type")).otherwise(lit("other"))
+              .as("pred")),
+        "label", "pred")
+        .orderBy("clazz")
+    },
+      Some("""WITH r AS (SELECT event_type l, CASE WHEN
+             |    CAST(list_reduce(list_transform(range(1, 9),
+             |      i -> CAST(strpos('0123456789abcdef',
+             |        substr(md5('kappa:' || CAST(event_id AS VARCHAR)),
+             |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |      (x, y) -> x*16 + y) AS DOUBLE) / 4294967296.0 < 0.7
+             |    THEN event_type ELSE 'other' END p
+             |  FROM events WHERE event_type IS NOT NULL),
+             |cells AS (SELECT l, p, CAST(count(*) AS BIGINT) n FROM r
+             |  GROUP BY 1, 2),
+             |act AS (SELECT l clazz, CAST(sum(n) AS BIGINT) support,
+             |    CAST(coalesce(sum(CASE WHEN l = p THEN n ELSE 0 END), 0)
+             |      AS BIGINT) tp FROM cells GROUP BY 1),
+             |prd AS (SELECT p clazz, CAST(sum(n) AS BIGINT) n_predicted
+             |  FROM cells GROUP BY 1),
+             |cls AS (SELECT l clazz FROM cells
+             |  UNION SELECT p FROM cells)
+             |SELECT c.clazz,
+             |  CAST(coalesce(support, 0) AS BIGINT) support,
+             |  CAST(coalesce(n_predicted, 0) AS BIGINT) n_predicted,
+             |  CAST(coalesce(tp, 0) AS BIGINT) tp,
+             |  CAST(coalesce(n_predicted, 0) - coalesce(tp, 0) AS BIGINT) fp,
+             |  CAST(coalesce(support, 0) - coalesce(tp, 0) AS BIGINT) fn,
+             |  CASE WHEN coalesce(n_predicted, 0) = 0 THEN NULL
+             |    ELSE round(CAST(coalesce(tp, 0) AS DOUBLE) /
+             |      n_predicted, 6) END "precision",
+             |  CASE WHEN coalesce(support, 0) = 0 THEN NULL
+             |    ELSE round(CAST(coalesce(tp, 0) AS DOUBLE) /
+             |      support, 6) END recall,
+             |  CASE WHEN coalesce(support, 0) + coalesce(n_predicted, 0)
+             |      = 0 THEN NULL
+             |    ELSE round(2.0 * coalesce(tp, 0) /
+             |      (coalesce(support, 0) + coalesce(n_predicted, 0)), 6)
+             |    END f1
+             |FROM cls c LEFT JOIN act ON c.clazz = act.clazz
+             |LEFT JOIN prd ON c.clazz = prd.clazz
+             |ORDER BY c.clazz""".stripMargin)),
+
+    // nDCG@10 of the production ANN run (x165): graded relevance from
+    // labels (2 = same label, 1 = adjacent label) against the trained-
+    // centroid nprobe=12 search — each DCG term fixed-pointed to 1e-9
+    // BIGINT units before the commutative sum, so engine/partition order
+    // cannot move it and last-ulp log2 differences die in the rounding.
+    QuerySpec("x165_ndcg", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val cents = trainedCents(s, d, 16)
+      val queries = emb.filter(col("vec_id") % 10 === 0)
+      val corpus = emb.filter(col("vec_id") >= 16 && col("vec_id") % 10 =!= 0)
+      val run = SimilarityOps.annJoin(queries, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", cents, "cid", "cvec",
+        k = 10, nprobe = 12)
+      val q = queries.filter(col("label").isNotNull)
+        .select(col("vec_id").as("query_id"), col("label").as("qlab"))
+      val judg = q
+        .withColumn("dlab",
+          explode(array(col("qlab") - 1, col("qlab"), col("qlab") + 1)))
+        .join(corpus.filter(col("label").isNotNull)
+          .select(col("vec_id").as("neighbor_id"), col("label").as("dlab")),
+          "dlab")
+        .select(col("query_id"), col("neighbor_id"),
+          when(col("qlab") === col("dlab"), 2L).otherwise(1L).as("rel"))
+      SimilarityOps.ndcgAtK(run, "query_id", "neighbor_id", "nn_rank",
+        judg, "query_id", "neighbor_id", "rel", k = 10)
+        .orderBy("query_id")
+    },
+      Some(s"""WITH ${kmeansCentSql(16)},
+             |qs AS (SELECT vec_id qid, embedding qe FROM embeddings
+             |  WHERE vec_id % 10 = 0),
+             |corpus AS (SELECT vec_id, embedding, "label" FROM embeddings
+             |  WHERE vec_id >= 16 AND vec_id % 10 <> 0),
+             |assign AS (SELECT co.vec_id, co.embedding, c.cid centroid
+             |  FROM corpus co CROSS JOIN cent c
+             |  QUALIFY row_number() OVER (PARTITION BY co.vec_id
+             |    ORDER BY list_cosine_similarity(list_transform(co.embedding,
+             |      x -> CAST(x AS DOUBLE)), c.cvec) DESC,
+             |      c.cid) = 1),
+             |probes AS (SELECT q.qid, c.cid FROM qs q CROSS JOIN cent c
+             |  QUALIFY row_number() OVER (PARTITION BY q.qid
+             |    ORDER BY list_cosine_similarity(c.cvec, list_transform(q.qe,
+             |      x -> CAST(x AS DOUBLE))) DESC,
+             |      c.cid) <= 12),
+             |ann AS (SELECT * FROM (SELECT p.qid, a.vec_id nid,
+             |    row_number() OVER (PARTITION BY p.qid ORDER BY
+             |      round(CAST(list_cosine_similarity(a.embedding, q.qe)
+             |        AS DOUBLE), 4) DESC, a.vec_id) rk
+             |  FROM probes p JOIN assign a ON a.centroid = p.cid
+             |  JOIN qs q ON q.qid = p.qid) WHERE rk <= 10),
+             |ql AS (SELECT vec_id qid, "label" ql FROM embeddings
+             |  WHERE vec_id % 10 = 0 AND "label" IS NOT NULL),
+             |jd AS (SELECT q.qid, c.vec_id nid,
+             |    CAST(CASE WHEN c."label" = q.ql THEN 2 ELSE 1 END
+             |      AS BIGINT) rel
+             |  FROM ql q JOIN corpus c ON c."label" IS NOT NULL
+             |    AND abs(c."label" - q.ql) <= 1),
+             |dcg AS (SELECT a.qid, CAST(sum(CAST(round(
+             |      coalesce(j.rel, 0) * 1000000000.0 / log2(a.rk + 1), 0)
+             |      AS BIGINT)) AS BIGINT) dcg
+             |  FROM ann a LEFT JOIN jd j
+             |    ON a.qid = j.qid AND a.nid = j.nid GROUP BY 1),
+             |idl AS (SELECT qid, CAST(sum(CAST(round(
+             |      rel * 1000000000.0 / log2(r + 1), 0) AS BIGINT))
+             |      AS BIGINT) idcg
+             |  FROM (SELECT qid, rel, nid, row_number() OVER (
+             |      PARTITION BY qid ORDER BY rel DESC, nid ASC) r
+             |    FROM jd WHERE rel > 0)
+             |  WHERE r <= 10 GROUP BY 1)
+             |SELECT u.qid query_id,
+             |  round(CAST(coalesce(dcg, 0) AS DOUBLE) / 1e9, 6) dcg,
+             |  round(CAST(coalesce(idcg, 0) AS DOUBLE) / 1e9, 6) idcg,
+             |  CASE WHEN idcg IS NULL OR idcg = 0 THEN NULL
+             |    ELSE round(CAST(coalesce(dcg, 0) AS DOUBLE) / idcg, 6)
+             |    END ndcg
+             |FROM (SELECT DISTINCT qid FROM ann) u
+             |LEFT JOIN dcg ON u.qid = dcg.qid
+             |LEFT JOIN idl ON u.qid = idl.qid
+             |ORDER BY query_id""".stripMargin))
   )
 }

@@ -870,6 +870,22 @@ class AnalyticsSpec extends SparkSpec {
       (3L, "purchase", 1L, 0.333333, 0.5)))
   }
 
+  test("classificationReport: exact tp/fp/fn per class, NULL recall for " +
+    "a predicted-only class, F1 via the single-division identity") {
+    val df = Seq(("a", "a"), ("a", "b"), ("b", "c")).toDF("l", "p")
+    val got = Analytics.classificationReport(df, "l", "p")
+      .orderBy("clazz").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5),
+        if (r.isNullAt(6)) None else Some(r.getDouble(6)),
+        if (r.isNullAt(7)) None else Some(r.getDouble(7)),
+        if (r.isNullAt(8)) None else Some(r.getDouble(8)))).toSeq
+    assert(got == Seq(
+      ("a", 2L, 1L, 1L, 0L, 1L, Some(1.0), Some(0.5), Some(0.666667)),
+      ("b", 1L, 1L, 0L, 1L, 1L, Some(0.0), Some(0.0), Some(0.0)),
+      ("c", 0L, 1L, 0L, 1L, 0L, Some(0.0), None, Some(0.0))))
+  }
+
   test("cohensKappa: hand-computed kappa, null labels excluded, " +
     "degenerate constant raters yield NULL") {
     // 10 items: a/b agree on 6; margins a: x=5,y=5; b: x=6,y=4

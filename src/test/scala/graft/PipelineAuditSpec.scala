@@ -475,6 +475,27 @@ class PipelineAuditSpec extends SparkSpec {
     assert(out == (4L, 5L, 3L, 3L, 7L, 6L, 6.6667, 1.05, 0.857143))
   }
 
+  test("ndcgAtK: ideal-order run scores 1.0, swapped run scores the " +
+    "hand-computed ratio, no positive judgment gives NULL") {
+    import graft.operators.SimilarityOps
+    val judg = Seq((1L, 10L, 2L), (1L, 11L, 1L),
+      (2L, 10L, 2L), (2L, 11L, 1L)).toDF("q", "d", "rel")
+    val run = Seq(
+      (1L, 10L, 1L), (1L, 11L, 2L),   // ideal order
+      (2L, 11L, 1L), (2L, 10L, 2L),   // swapped
+      (3L, 10L, 1L)                   // no judgments for q=3
+    ).toDF("q", "d", "rk")
+    val got = SimilarityOps.ndcgAtK(run, "q", "d", "rk",
+        judg, "q", "d", "rel", k = 2)
+      .orderBy("q").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toSeq
+    assert(got == Seq(
+      (1L, 2.63093, 2.63093, Some(1.0)),
+      (2L, 2.26186, 2.63093, Some(0.859719)),
+      (3L, 0.0, 0.0, None)))
+  }
+
   test("rrfFusion: rank-only fusion, inner-join universe, score-desc " +
     "id-asc tiebreak") {
     val lex = Seq((1L, 9.0), (2L, 5.0), (3L, 5.0), (4L, 1.0))
