@@ -216,4 +216,88 @@ class PropertiesSpec extends SparkSpec {
       assert(base == again)
     }
   }
+
+  test("groupedRank property: equals the window-per-group form on random " +
+    "(group, value) frames at every partition count") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import graft.operators.ScaleOps
+    val rowGen = Gen.listOfN(120,
+      Gen.zip(Gen.chooseNum(0, 4), Gen.chooseNum(-50, 50)))
+    for (seed <- 0 until 4) {
+      val rows = samples(rowGen, 1).flatten.zipWithIndex
+        .map { case ((g, v), i) => (s"g$g", v.toLong, i.toLong) }
+      val df = rows.toDF("g", "v", "rid")
+      val w = W.partitionBy(col("g")).orderBy(col("v").asc, col("rid").asc)
+      val ref = df.withColumn("__rank", row_number().over(w).cast("long"))
+        .orderBy("rid").collect().map(_.toSeq).toSeq
+      for (parts <- Seq(1, 3, 7)) {
+        val got = ScaleOps.groupedRank(df, "g",
+            Seq(col("v").asc, col("rid").asc), partitions = parts)
+          .select("g", "v", "rid", "__rank")
+          .orderBy("rid").collect().map(_.toSeq).toSeq
+        assert(got == ref, s"seed=$seed parts=$parts")
+      }
+    }
+  }
+
+  test("containmentPairs property: matches brute-force set containment " +
+    "on random corpora; containment always >= jaccard; direction " +
+    "consistency") {
+    import graft.operators.DedupOps
+    val wordGen = Gen.listOfN(12, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    val docGen = Gen.listOfN(10, wordGen.map(_.mkString(" ")))
+    for (seed <- 0 until 3) {
+      val texts = samples(docGen, 1).flatten
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t, "en") }
+      val df = docs.toDF("doc_id", "text", "lang")
+      val tau = 0.6
+      def shingles3(t: String): Set[String] = {
+        val ws = t.trim.split("\\s+").toSeq
+        if (ws.size < 3) Set.empty
+        else ws.sliding(3).map(_.mkString(" ")).toSet
+      }
+      val brute = (for {
+        (ta, ia) <- texts.zipWithIndex; (tb, ib) <- texts.zipWithIndex
+        if ia < ib
+        sa = shingles3(ta); sb = shingles3(tb)
+        if sa.nonEmpty && sb.nonEmpty
+        inter = (sa intersect sb).size
+        ca = math.rint(inter.toDouble / sa.size * 1e4) / 1e4
+        cb = math.rint(inter.toDouble / sb.size * 1e4) / 1e4
+        if math.max(ca, cb) >= tau
+      } yield (ia.toLong, ib.toLong) -> ((ca, cb))).toMap
+      val got = DedupOps.containmentPairs(df, "doc_id", "text", "lang",
+          shingleWords = 3, threshold = tau)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+      assert(got.keySet == brute.keySet, s"seed=$seed pair sets differ")
+      got.foreach { case (k, (ca, cb, j)) =>
+        assert((ca, cb) == brute(k), s"seed=$seed $k containments")
+        assert(j <= ca + 1e-9 && j <= cb + 1e-9,
+          s"seed=$seed $k jaccard must lower-bound both containments")
+      }
+    }
+  }
+
+  test("calibrationCurve property: bins partition the rows exactly and " +
+    "every mean prediction lies inside its bin") {
+    import graft.operators.Analytics
+    val gen = Gen.listOfN(200,
+      Gen.zip(Gen.chooseNum(0.0, 1.0), Gen.oneOf(true, false)))
+    for (seed <- 0 until 3) {
+      val rows = samples(gen, 1).flatten
+        .map { case (p, y) => (math.rint(p * 1e4) / 1e4, y) }
+      val df = rows.toDF("p", "y")
+      val out = Analytics.calibrationCurve(df, "p", "y", nBins = 10)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+      assert(out.map(_._2).sum == rows.size, s"seed=$seed rows partition")
+      out.foreach { case (bin, _, meanPred) =>
+        assert(meanPred >= bin / 10.0 - 1e-9 &&
+          (meanPred <= (bin + 1) / 10.0 + 1e-9 || bin == 9L),
+          s"seed=$seed bin $bin mean $meanPred outside bin")
+      }
+    }
+  }
 }
