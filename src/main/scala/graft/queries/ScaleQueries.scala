@@ -6889,6 +6889,35 @@ object ScaleQueries {
              |FROM (SELECT DISTINCT qid FROM ann) u
              |LEFT JOIN dcg ON u.qid = dcg.qid
              |LEFT JOIN idl ON u.qid = idl.qid
-             |ORDER BY query_id""".stripMargin))
+             |ORDER BY query_id""".stripMargin)),
+
+    // Video frame sampling (x166): a 5-frame concatenated-P6 container
+    // per doc, every-2nd frame kept (indices 0/2/4) and REALLY decoded —
+    // dimensions + red-channel mean per sampled frame. The oracle
+    // recomputes each sampled frame's features from the pure per-(id,
+    // frame) pixel formula, never touching the binary (the x12b
+    // gradeability contract).
+    QuerySpec("x166_frame_sample", (s, d) => {
+      val ids = t(s, d, "documents").select("doc_id")
+      val video = Multimodal.synthPpmVideo(ids, "doc_id", nFrames = 5)
+      val frames = Multimodal.frameSample(video, "media_bytes", every = 2)
+      Multimodal.decodePpm(frames, "frame_bytes")
+        .select(col("doc_id"), col("frame_idx"), col("ppm_width"),
+          col("ppm_height"), round(col("r_mean"), 6).as("r_mean"))
+        .orderBy("doc_id", "frame_idx")
+    },
+      Some("""WITH fr AS (SELECT doc_id, unnest([0, 2, 4]) f
+             |  FROM documents),
+             |e AS (SELECT doc_id, f, doc_id*31 + f eid FROM fr),
+             |dims AS (SELECT doc_id, f, eid, 1 + eid % 8 w, 1 + eid % 6 h
+             |  FROM e),
+             |m AS (SELECT doc_id, f, w, h,
+             |    list_sum(list_transform(range(0, w*h),
+             |      i -> (eid*7 + (3*i)*13) % 256)) rs
+             |  FROM dims)
+             |SELECT doc_id, CAST(f AS INT) frame_idx,
+             |  CAST(w AS INT) ppm_width, CAST(h AS INT) ppm_height,
+             |  round(CAST(rs AS DOUBLE)/(w*h), 6) r_mean
+             |FROM m ORDER BY doc_id, frame_idx""".stripMargin))
   )
 }

@@ -479,7 +479,7 @@ class StreamingMultimodalSpec extends SparkSpec {
       Array[Byte](200.toByte, 210.toByte, 220.toByte)
     assert(Multimodal.parseP6(high) == Some((1, 1, 255, 200.0, 210.0, 220.0)))
     assert(Multimodal.parseP6(null).isEmpty)
-    assert(Multimodal.parseP6("P5\n1 1\n255\n ".getBytes("US-ASCII")).isEmpty)
+    assert(Multimodal.parseP6("P5\n1 1\n255\n\u0000".getBytes("US-ASCII")).isEmpty)
     assert(Multimodal.parseP6("P6\n2 1\n255\n".getBytes("US-ASCII") ++
       Array[Byte](1, 2, 3)).isEmpty) // truncated payload
     assert(Multimodal.parseP6("P6\n1 1\n65535\n".getBytes("US-ASCII") ++
@@ -696,5 +696,38 @@ class StreamingMultimodalSpec extends SparkSpec {
     assert(got == want && got == Seq((6L, 3L, 1L, 2L, 3L, 2L)))
     val p = new org.apache.hadoop.fs.Path(dir)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  test("synthPpmVideo + frameSample: every-kth frame extracted intact " +
+    "(decodePpm agrees with the per-frame formula), corruption truncates " +
+    "the walk without losing earlier frames") {
+    val ids = Seq(3L, 10L).toDF("doc_id")
+    val video = Multimodal.synthPpmVideo(ids, "doc_id", nFrames = 5)
+    // every=1: all five frames; every=2: indices 0,2,4
+    val all = Multimodal.frameSample(video, "media_bytes", every = 1)
+    assert(all.groupBy("doc_id").count().collect()
+      .forall(_.getLong(1) == 5L))
+    val sampled = Multimodal.decodePpm(
+      Multimodal.frameSample(video, "media_bytes", every = 2), "frame_bytes")
+      .select(col("doc_id"), col("frame_idx"), col("ppm_width"),
+        col("ppm_height"))
+      .as[(Long, Int, Int, Int)].collect().toSeq.sorted
+    val expect = for (id <- Seq(3L, 10L); f <- Seq(0, 2, 4)) yield {
+      val e = id * 31 + f
+      (id, f, (1 + e % 8).toInt, (1 + e % 6).toInt)
+    }
+    assert(sampled == expect.sorted)
+    // cut the container mid-frame-3: frames 0-2 survive, 3+ are dropped
+    val cut = video.as[(Long, Array[Byte])].map { case (id, bytes) =>
+      val lens = (0 until 5).map { f =>
+        val e = id * 31 + f
+        val w = (1 + e % 8).toInt; val h = (1 + e % 6).toInt
+        s"P6\n$w $h\n255\n".getBytes("US-ASCII").length + w * h * 3
+      }
+      (id, bytes.take(lens.take(3).sum + 4))
+    }.toDF("doc_id", "media_bytes")
+    val truncated = Multimodal.frameSample(cut, "media_bytes", every = 1)
+      .groupBy("doc_id").count().collect()
+    assert(truncated.forall(_.getLong(1) == 3L))
   }
 }
