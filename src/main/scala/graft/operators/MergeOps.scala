@@ -421,6 +421,51 @@ object MergeOps {
       appendIdDateIndex(rows, ip, dateCol, keyCol, indexBuckets, indexSeq))
   }
 
+  /** Targeted id deletion against a date-partitioned fact — the
+    * right-to-be-forgotten / takedown primitive a 100 TB warehouse needs:
+    * every row whose `keyCol` is in `ids` is removed, rewriting ONLY the
+    * partitions that actually hold such a row. Partition discovery is
+    * [[upsertPartitioned]]'s stale-date probe verbatim — the bucketed
+    * id→date index (partition-pruned to the ids' buckets) when
+    * `indexPath` is set, a two-thin-column fact scan against the
+    * broadcast id set otherwise — so the deletion cost is
+    * O(affected partitions + probe), never O(table). With the index,
+    * the deleted ids' index entries are compacted away in the same call
+    * ([[compactIdDateIndex]] — per touched bucket); untouched partitions
+    * and buckets stay byte-identical (asserted in DedupMergeSpec).
+    */
+  def deletePartitioned(spark: org.apache.spark.sql.SparkSession,
+                        factPath: String, ids: DataFrame,
+                        dateCol: String = "start_date_oslo",
+                        keyCol: String = "id",
+                        indexPath: Option[String] = None,
+                        indexBuckets: Int = 32): Unit = {
+    val fact = spark.read.parquet(factPath)
+    val idFrame = ids.select(col(keyCol)).distinct()
+      .localCheckpoint(true) // read twice (probe + anti-join) post-rewrite
+    val hitDates = indexPath match {
+      case Some(ip) =>
+        staleDatesViaIndex(spark, ip, idFrame, dateCol, keyCol, indexBuckets)
+      case None =>
+        fact.join(broadcast(idFrame), Seq(keyCol)).select(col(dateCol))
+    }
+    val affected = dateSet(hitDates, dateCol)
+    if (affected._1.nonEmpty || affected._2) {
+      def inAffected(c: Column): Column = {
+        val hit = coalesce(c.isin(affected._1.toSeq: _*), lit(false))
+        if (affected._2) hit || c.isNull else hit
+      }
+      val kept = fact.filter(inAffected(col(dateCol)))
+        .join(broadcast(idFrame), Seq(keyCol), "left_anti")
+        .localCheckpoint(true)
+      val written = dateSet(kept, dateCol)
+      overwriteDatePartitions(kept, factPath, dateCol)
+      dropEmptiedPartitions(spark, factPath, dateCol, affected, written)
+    }
+    indexPath.foreach(ip =>
+      compactIdDateIndex(spark, ip, idFrame, dateCol, keyCol, indexBuckets))
+  }
+
   /** End-of-cycle windowed delete against a date-partitioned fact: drop
     * in-window rows whose id was not asserted this cycle (`seenIds`),
     * rewriting only window partitions. Out-of-window partitions are never

@@ -6918,6 +6918,39 @@ object ScaleQueries {
              |SELECT doc_id, CAST(f AS INT) frame_idx,
              |  CAST(w AS INT) ppm_width, CAST(h AS INT) ppm_height,
              |  round(CAST(rs AS DOUBLE)/(w*h), 6) r_mean
-             |FROM m ORDER BY doc_id, frame_idx""".stripMargin))
+             |FROM m ORDER BY doc_id, frame_idx""".stripMargin)),
+
+    // Targeted id deletion (x167): the right-to-be-forgotten primitive —
+    // rows of the requested ids vanish from a date-partitioned fact by
+    // rewriting ONLY the partitions the id->date index probes out;
+    // deleted ids' index entries compact away in the same call. Oracle =
+    // the surviving projection.
+    QuerySpec("x167_targeted_delete", (s, d) => {
+      val ev = t(s, d, "events")
+      val fact = ev.select(col("event_id").as("id"), col("ts"),
+        graft.functions.Coercers.osloDate(col("ts")).as("start_date_oslo"),
+        col("event_type"), col("value"))
+      val base = java.nio.file.Files.createTempDirectory("graft_del").toString
+      fact.write.partitionBy("start_date_oslo").parquet(s"$base/fact")
+      graft.operators.MergeOps.buildIdDateIndex(
+        s.read.parquet(s"$base/fact"), s"$base/idx")
+      val ids = fact.filter(col("id") % 13 === 0).select("id")
+      graft.operators.MergeOps.deletePartitioned(s, s"$base/fact", ids,
+        indexPath = Some(s"$base/idx"))
+      val out = s.read.parquet(s"$base/fact")
+        .select(col("id"), col("ts"),
+          col("start_date_oslo").cast("string").as("start_date_oslo"),
+          col("event_type"), col("value"))
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out.orderBy("id")
+    },
+      Some("""SELECT event_id id, ts,
+             |  CAST(CAST(timezone('Europe/Oslo', timezone('UTC', ts))
+             |    AS DATE) AS VARCHAR) start_date_oslo,
+             |  event_type, value
+             |FROM events WHERE event_id % 13 <> 0
+             |ORDER BY id""".stripMargin))
   )
 }

@@ -614,6 +614,50 @@ class DedupMergeSpec extends SparkSpec {
     fs.delete(p, true)
   }
 
+  test("deletePartitioned: requested ids vanish, only their partitions " +
+    "are rewritten (untouched partition byte-identical), index entries " +
+    "compact away") {
+    val dir = "/tmp/graft_test_delete_ids"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    def dt(s: String) = java.sql.Date.valueOf(s)
+    val fact = Seq(
+      (1L, dt("2024-01-01"), "a"), (2L, dt("2024-01-01"), "b"),
+      (3L, dt("2024-01-02"), "c"), (4L, dt("2024-01-02"), "d"),
+      (5L, dt("2024-01-03"), "e")
+    ).toDF("id", "start_date_oslo", "payload")
+    fact.write.partitionBy("start_date_oslo").parquet(s"$dir/fact")
+    MergeOps.buildIdDateIndex(spark.read.parquet(s"$dir/fact"),
+      s"$dir/idx")
+    def listing(part: String) =
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$dir/fact", part))
+        .filter(f => f.isFile && !f.getPath.getName.startsWith("_"))
+        .map(f => f.getPath.getName ->
+          ((f.getLen, f.getModificationTime))).toMap
+    val d3Before = listing("start_date_oslo=2024-01-03")
+    MergeOps.deletePartitioned(spark, s"$dir/fact",
+      Seq(1L, 3L).toDF("id"), indexPath = Some(s"$dir/idx"))
+    val left = spark.read.parquet(s"$dir/fact")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(left == Seq(2L, 4L, 5L))
+    // the date-3 partition held no deleted id: same files, same mtimes
+    assert(listing("start_date_oslo=2024-01-03") == d3Before)
+    // deleted ids are gone from the index; survivors remain
+    val idx = spark.read.parquet(s"$dir/idx").select("id")
+      .as[Long].collect().sorted.toSeq
+    assert(idx == Seq(2L, 4L, 5L))
+    // deleting an id that does not exist touches nothing
+    val allBefore = Seq("start_date_oslo=2024-01-01",
+      "start_date_oslo=2024-01-02", "start_date_oslo=2024-01-03")
+      .map(listing)
+    MergeOps.deletePartitioned(spark, s"$dir/fact",
+      Seq(999L).toDF("id"), indexPath = Some(s"$dir/idx"))
+    assert(Seq("start_date_oslo=2024-01-01", "start_date_oslo=2024-01-02",
+      "start_date_oslo=2024-01-03").map(listing) == allBefore)
+    fs.delete(p, true)
+  }
+
   test("compactionExecute: crash BETWEEN the two commit renames (tmp " +
     "fully built, live moved aside) recovers by promoting the tmp — " +
     "rows converge with no duplicates and no losses") {
