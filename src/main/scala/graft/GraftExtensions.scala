@@ -19,5 +19,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SortedArrayIntersectCount.registration)
     ext.injectFunction(NfcNormalize.registration)
     ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRule)
+    ext.injectPlannerStrategy(_ => graft.plans.RunningSumStrategy)
   }
 }

@@ -6951,6 +6951,28 @@ object ScaleQueries {
              |    AS DATE) AS VARCHAR) start_date_oslo,
              |  event_type, value
              |FROM events WHERE event_id % 13 <> 0
-             |ORDER BY id""".stripMargin))
+             |ORDER BY id""".stripMargin)),
+
+    // Native running-sum physical operator (x168): the custom
+    // LogicalPlan -> Strategy -> SparkPlan extension slot
+    // (RunningSumExec, injected via GraftExtensions) computing a global
+    // prefix sum with a range exchange + per-partition offsets — no
+    // single-partition Sort/Window anywhere (plan-asserted in
+    // ExtensionRuleSpec). Graded against the window-form SQL oracle:
+    // the physical strategy must not change a value.
+    QuerySpec("x168_native_running_sum", (s, d) =>
+      graft.plans.NativeRunningSum.attach(
+        t(s, d, "orders").select(col("o_orderkey"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
+        Seq("cents" -> false, "o_orderkey" -> true), "cents",
+        name = "cum_cents")
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey, cents,
+             |  CAST(sum(cents) OVER (ORDER BY cents DESC, o_orderkey)
+             |    AS BIGINT) cum_cents
+             |FROM (SELECT o_orderkey,
+             |    CAST(round(o_totalprice*100, 0) AS BIGINT) cents
+             |  FROM orders)
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }

@@ -12,3 +12,15 @@ object ColumnShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 }
+
+/** Bridge to the `private[sql]` Dataset/LogicalPlan constructors, for
+  * planting custom logical nodes (graft.plans.RunningSumPlan) into a
+  * DataFrame. Same access-qualifier-only rationale as [[ColumnShim]].
+  */
+object PlanShim {
+  def ofRows(spark: SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+  def logical(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    df.queryExecution.analyzed
+}

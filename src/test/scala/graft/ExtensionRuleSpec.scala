@@ -122,4 +122,45 @@ class ExtensionRuleSpec extends SparkSpec {
       assert(viaTs == want, s"ts trial $trial")
     }
   }
+
+  test("RunningSumExec (injected planner strategy): equals the global " +
+    "window form, plans the custom exec with a range exchange and no " +
+    "SinglePartition, boundary-invariant across partition counts") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import graft.plans.NativeRunningSum
+    val df = spark.range(0, 500).select(col("id").as("rid"),
+      ((col("id") * 17) % 89).as("v"))
+    val w = W.orderBy(col("v").desc, col("rid").asc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val reference = df.withColumn("__cum", sum(col("v")).over(w))
+      .orderBy("rid").collect().map(_.toSeq).toSeq
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (parts <- Seq(1, 4, 16)) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val got = NativeRunningSum.attach(df,
+            Seq("v" -> false, "rid" -> true), "v")
+          .orderBy("rid").collect().map(_.toSeq).toSeq
+        assert(got == reference, s"parts=$parts diverged from window form")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+    val plan = NativeRunningSum.attach(df,
+        Seq("v" -> false, "rid" -> true), "v")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("RunningSum"), plan) // nodeName strips "Exec"
+    assert(plan.contains("rangepartitioning") ||
+      plan.contains("RangePartitioning") || plan.contains("range"), plan)
+    assert(!plan.contains("SinglePartition") && !plan.contains("Window"),
+      s"must not gather or window:\n$plan")
+    // null sum values add 0 (the kernel's null-skipping contract)
+    val withNulls = spark.range(0, 10).select(col("id").as("rid"),
+      when(col("id") % 3 === 0, lit(null).cast("long")).otherwise(col("id"))
+        .as("v"))
+    val gotN = NativeRunningSum.attach(withNulls, Seq("rid" -> true),
+        "v").orderBy("rid")
+      .select("__cum").as[Long].collect().toSeq
+    val expN = (0L until 10L).scanLeft(0L)((acc, i) =>
+      acc + (if (i % 3 == 0) 0L else i)).tail
+    assert(gotN == expN)
+  }
 }
