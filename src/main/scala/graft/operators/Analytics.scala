@@ -1301,6 +1301,71 @@ object Analytics {
       .agg(count(lit(1)).as("__n")),
       groupCol, target, threshold)
 
+  /** Single changepoint localization per group — binary segmentation's
+    * first split (the CUSUM companion: [[cusumAlarms]] DETECTS a drift,
+    * this LOCATES it): over a group's ordered series of (t, value)
+    * points, the split after position k maximizing the between-segment
+    * statistic
+    *
+    *   BS(k) = (n·S_k − k·S_n)² / (n·k·(n−k))
+    *
+    * (∝ the variance reduction of splitting there; S = prefix sums).
+    * The argmax is decided on doubles COMPUTED FROM EXACT INTEGERS
+    * (prefix sums of BIGINT values, position counts) with one fixed
+    * expression shape — identical inputs and identical IEEE ops give
+    * identical doubles on any engine, and ties break on the earliest t.
+    * Output per group: n_points, the best split's t (last point of the
+    * left segment), both segment means, and the normalized score.
+    * Groups with < 2 points emit nothing (no split exists).
+    *
+    * One rank+prefix window per group over the (group, t) SERIES — the
+    * census-not-corpus shape (a series is days/hours, not rows); a
+    * |series|-row argmax reduce via max_by.
+    */
+  def changepoint(points: DataFrame, groupCol: String, tCol: String,
+                  valueCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col(tCol).asc)
+    val cum = w.rowsBetween(org.apache.spark.sql.expressions.Window
+      .unboundedPreceding, org.apache.spark.sql.expressions.Window.currentRow)
+    val all = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val base = points
+      .filter(col(groupCol).isNotNull && col(tCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol), col(tCol),
+        col(valueCol).cast("long").as("__v"))
+      .withColumn("__k", row_number().over(w).cast("long"))
+      .withColumn("__sk", sum(col("__v")).over(cum))
+      .withColumn("__n", count(lit(1)).over(all))
+      .withColumn("__sn", sum(col("__v")).over(all))
+      .filter(col("__k") < col("__n")) // a split needs a non-empty right
+    val num = (col("__n") * col("__sk") - col("__k") * col("__sn"))
+      .cast("double")
+    val score = num * num /
+      (col("__n") * col("__k") * (col("__n") - col("__k"))).cast("double")
+    base
+      .withColumn("__score", score)
+      .groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n_points"),
+        max_by(
+          struct(col(tCol).as("t"), col("__k").as("k"),
+            col("__sk").as("sk"), col("__score").as("s")),
+          // max score, ties -> earliest t: negate rank for the max_by order
+          struct(col("__score").as("s"), (-col("__k")).as("nk"))).as("best"),
+        max(col("__sn")).as("__sn"))
+      .select(col(groupCol), col("n_points"),
+        col("best.t").as("split_t"),
+        round(col("best.sk").cast("double") /
+          col("best.k").cast("double"), 6).as("mean_left"),
+        round((col("__sn") - col("best.sk")).cast("double") /
+          (col("n_points") - col("best.k")).cast("double"), 6)
+          .as("mean_right"),
+        round(col("best.s"), 4).as("score"))
+  }
+
   /** CUSUM finalization over an already-aggregated (groupCol, day, __n)
     * frame — split out so the daily counts can be maintained as STREAMING
     * state ([[graft.streaming.Streams]]' st16 runner) and finalized as a

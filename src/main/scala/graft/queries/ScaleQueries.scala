@@ -6973,6 +6973,48 @@ object ScaleQueries {
              |FROM (SELECT o_orderkey,
              |    CAST(round(o_totalprice*100, 0) AS BIGINT) cents
              |  FROM orders)
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // Changepoint localization (x169): binary segmentation's first split
+    // over each event type's daily-count series — CUSUM (x111/st16)
+    // detects a drift, this names the day it happened. Argmax on doubles
+    // computed from exact integer prefix sums (identical inputs +
+    // identical IEEE ops = identical doubles cross-engine), earliest-day
+    // tie-break.
+    QuerySpec("x169_changepoint", (s, d) => {
+      val ev = t(s, d, "events")
+      val daily = ev
+        .filter(col("ts").isNotNull && col("event_type").isNotNull)
+        .groupBy(col("event_type"),
+          to_date(col("ts")).cast("string").as("day"))
+        .agg(count(lit(1)).as("n"))
+      Analytics.changepoint(daily, "event_type", "day", "n")
+        .orderBy("event_type")
+    },
+      Some("""WITH dd AS (SELECT event_type g,
+             |    CAST(CAST(ts AS DATE) AS VARCHAR) dy,
+             |    CAST(count(*) AS BIGINT) v FROM events
+             |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+             |  GROUP BY 1, 2),
+             |r AS (SELECT g, dy, v,
+             |    CAST(row_number() OVER (PARTITION BY g ORDER BY dy)
+             |      AS BIGINT) k,
+             |    CAST(sum(v) OVER (PARTITION BY g ORDER BY dy)
+             |      AS BIGINT) sk,
+             |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) n,
+             |    CAST(sum(v) OVER (PARTITION BY g) AS BIGINT) sn
+             |  FROM dd),
+             |sc AS (SELECT g, dy, k, sk, n, sn,
+             |    CAST(n*sk - k*sn AS DOUBLE) * CAST(n*sk - k*sn AS DOUBLE)
+             |      / CAST(n*k*(n-k) AS DOUBLE) s
+             |  FROM r WHERE k < n),
+             |best AS (SELECT g, n, sn, dy, k, sk, s FROM sc
+             |  QUALIFY row_number() OVER (PARTITION BY g
+             |    ORDER BY s DESC, k ASC) = 1)
+             |SELECT g event_type, n n_points, dy split_t,
+             |  round(CAST(sk AS DOUBLE) / k, 6) mean_left,
+             |  round(CAST(sn - sk AS DOUBLE) / (n - k), 6) mean_right,
+             |  round(s, 4) score
+             |FROM best ORDER BY event_type""".stripMargin))
   )
 }

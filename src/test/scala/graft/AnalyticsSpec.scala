@@ -870,6 +870,22 @@ class AnalyticsSpec extends SparkSpec {
       (3L, "purchase", 1L, 0.333333, 0.5)))
   }
 
+  test("changepoint: a clean step splits exactly at the step, constant " +
+    "series scores 0 at the earliest split, singleton groups emit nothing") {
+    val pts = Seq(
+      ("a", "t1", 1L), ("a", "t2", 1L), ("a", "t3", 1L),
+      ("a", "t4", 9L), ("a", "t5", 9L), ("a", "t6", 9L),
+      ("b", "t1", 7L),
+      ("c", "t1", 5L), ("c", "t2", 5L)
+    ).toDF("g", "t", "v")
+    val got = Analytics.changepoint(pts, "g", "t", "v")
+      .orderBy("g")
+      .as[(String, Long, String, Double, Double, Double)].collect().toSeq
+    assert(got == Seq(
+      ("a", 6L, "t3", 1.0, 9.0, 96.0),
+      ("c", 2L, "t1", 5.0, 5.0, 0.0)))
+  }
+
   test("classificationReport: exact tp/fp/fn per class, NULL recall for " +
     "a predicted-only class, F1 via the single-division identity") {
     val df = Seq(("a", "a"), ("a", "b"), ("b", "c")).toDF("l", "p")
