@@ -461,6 +461,37 @@ object ScaleQueries {
       |    / 100000000.0, 6) sq_err
       |FROM sc GROUP BY 1 ORDER BY bin""".stripMargin
 
+  /** Shared by x169 (batch) and st32 (streaming): one output contract —
+    * the per-event-type daily-count changepoint — so both grade against
+    * the identical oracle.
+    */
+  private val changepointOracleSql: String =
+    """WITH dd AS (SELECT event_type g,
+      |    CAST(CAST(ts AS DATE) AS VARCHAR) dy,
+      |    CAST(count(*) AS BIGINT) v FROM events
+      |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |r AS (SELECT g, dy, v,
+      |    CAST(row_number() OVER (PARTITION BY g ORDER BY dy)
+      |      AS BIGINT) k,
+      |    CAST(sum(v) OVER (PARTITION BY g ORDER BY dy)
+      |      AS BIGINT) sk,
+      |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) n,
+      |    CAST(sum(v) OVER (PARTITION BY g) AS BIGINT) sn
+      |  FROM dd),
+      |sc AS (SELECT g, dy, k, sk, n, sn,
+      |    CAST(n*sk - k*sn AS DOUBLE) * CAST(n*sk - k*sn AS DOUBLE)
+      |      / CAST(n*k*(n-k) AS DOUBLE) s
+      |  FROM r WHERE k < n),
+      |best AS (SELECT g, n, sn, dy, k, sk, s FROM sc
+      |  QUALIFY row_number() OVER (PARTITION BY g
+      |    ORDER BY s DESC, k ASC) = 1)
+      |SELECT g event_type, n n_points, dy split_t,
+      |  round(CAST(sk AS DOUBLE) / k, 6) mean_left,
+      |  round(CAST(sn - sk AS DOUBLE) / (n - k), 6) mean_right,
+      |  round(s, 4) score
+      |FROM best ORDER BY event_type""".stripMargin
+
   private val shardBalanceOracleSql: String =
     """WITH h AS (SELECT CAST(list_reduce(list_transform(range(1, 9),
       |      i -> CAST(strpos('0123456789abcdef',
@@ -6991,30 +7022,20 @@ object ScaleQueries {
       Analytics.changepoint(daily, "event_type", "day", "n")
         .orderBy("event_type")
     },
-      Some("""WITH dd AS (SELECT event_type g,
-             |    CAST(CAST(ts AS DATE) AS VARCHAR) dy,
-             |    CAST(count(*) AS BIGINT) v FROM events
-             |  WHERE ts IS NOT NULL AND event_type IS NOT NULL
-             |  GROUP BY 1, 2),
-             |r AS (SELECT g, dy, v,
-             |    CAST(row_number() OVER (PARTITION BY g ORDER BY dy)
-             |      AS BIGINT) k,
-             |    CAST(sum(v) OVER (PARTITION BY g ORDER BY dy)
-             |      AS BIGINT) sk,
-             |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) n,
-             |    CAST(sum(v) OVER (PARTITION BY g) AS BIGINT) sn
-             |  FROM dd),
-             |sc AS (SELECT g, dy, k, sk, n, sn,
-             |    CAST(n*sk - k*sn AS DOUBLE) * CAST(n*sk - k*sn AS DOUBLE)
-             |      / CAST(n*k*(n-k) AS DOUBLE) s
-             |  FROM r WHERE k < n),
-             |best AS (SELECT g, n, sn, dy, k, sk, s FROM sc
-             |  QUALIFY row_number() OVER (PARTITION BY g
-             |    ORDER BY s DESC, k ASC) = 1)
-             |SELECT g event_type, n n_points, dy split_t,
-             |  round(CAST(sk AS DOUBLE) / k, 6) mean_left,
-             |  round(CAST(sn - sk AS DOUBLE) / (n - k), 6) mean_right,
-             |  round(s, 4) score
-             |FROM best ORDER BY event_type""".stripMargin))
+      Some(changepointOracleSql)),
+
+    // Streaming changepoint monitor (st32): x169's per-(group, day)
+    // counts as mergeable streaming state (the st16 pattern), binary-
+    // segmentation argmax finalized batch-side — graded on x169's
+    // oracle verbatim.
+    QuerySpec("st32_stream_changepoint", (s, d) => {
+      val schema = Streams.eventsFileSchema(s, d)
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runStreamingChangepointAvailableNow(s, d, "events.parquet",
+        schema, "event_type", s"graft_chgpt_$run", ckpt)
+        .orderBy("event_type")
+    },
+      Some(changepointOracleSql))
   )
 }

@@ -668,6 +668,38 @@ object Streams {
         target, threshold)
     }
 
+  /** Streaming changepoint monitor — the streaming twin of
+    * [[graft.operators.Analytics.changepoint]], st16's pattern: per-
+    * (group, day) event counts are the streaming state (replay-
+    * commutative integer sums — slicing cannot move them) and the
+    * binary-segmentation argmax finalizes BATCH-side over one row per
+    * (group, day). A live pipeline watches for the day a source's
+    * volume regime shifted, without re-scanning history. Bitwise equal
+    * to the batch operator, graded on the identical oracle.
+    */
+  def runStreamingChangepointAvailableNow(spark: SparkSession, dir: String,
+                                          glob: String, schema: StructType,
+                                          groupCol: String, sinkName: String,
+                                          checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob).parquet(dir)
+      val stream = normalizeTs(raw)
+      val q = stream
+        .filter(col(groupCol).isNotNull && col("ts").isNotNull)
+        .groupBy(col(groupCol),
+          to_date(col("ts")).cast("string").as("day"))
+        .agg(count(lit(1)).as("__n"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val daily = detachSink(spark, sinkName, checkpoint)
+      graft.operators.Analytics.changepoint(daily, groupCol, "day", "__n")
+    }
+
   /** Streaming source-divergence monitor — the streaming twin of
     * [[graft.operators.TextOps.sourceDivergence]]: per-(source, word)
     * token counts are the streaming state (replay-commutative integer
