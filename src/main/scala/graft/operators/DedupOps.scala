@@ -283,29 +283,75 @@ object DedupOps {
     * instead of Jaccard's (1−t)·Σ — still linear in corpus shingles,
     * blocked by `blockCol`, never O(n²) over documents. Verification is
     * the exact native merge-scan on the hash-sorted arrays.
+    *
+    * `maxDocFreq` is the hot-shingle guard (same role as
+    * [[winnowingPairs]]'s): a shingle appearing in more than `maxDocFreq`
+    * documents of a block is boilerplate, not evidence of inclusion, and
+    * its postings are dropped from BOTH join sides BEFORE candidate
+    * generation. This bounds every full-index bucket at `maxDocFreq`
+    * postings, so the candidate join emits ≤ maxDocFreq · |prefix
+    * postings| rows — linear in the corpus for fixed f — and one viral
+    * shingle can never square a block at 100 TB. The guard affects ONLY
+    * candidate generation (verification still scans the full hash-sorted
+    * arrays, so every emitted containment value is exact); a qualifying
+    * pair can be MISSED only if, in both orientations, every shared
+    * shingle landing in the smaller side's prefix has doc-frequency
+    * > maxDocFreq — i.e. the pair's only low-hash shared evidence is
+    * block-wide boilerplate, which is exactly the false-positive class a
+    * containment detector exists to ignore. With the prefix being a
+    * uniform hash-order sample of ⌈(1−t)·n⌉+1 shingles, a pair with even
+    * one non-boilerplate shared shingle per prefix-length window survives.
     */
-  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-                       blockCol: String, shingleWords: Int,
-                       threshold: Double): DataFrame = {
-    require(threshold > 0 && threshold <= 1,
-      s"threshold must be in (0, 1] (got $threshold)")
-    val tPrefix = math.max(threshold - 0.001, 0.0)
+  /** The (id, blk, hs, n) hash-sorted shingle table [[containmentPairs]]
+    * verifies against — exposed so specs can drive the candidate stage
+    * directly. */
+  private[graft] def containmentShingleTable(docs: DataFrame, idCol: String,
+      textCol: String, blockCol: String, shingleWords: Int): DataFrame = {
     val distinctSh = array_distinct(TextOps.shingles(col(textCol), shingleWords))
-    val sh = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      array_sort(transform(distinctSh, s => xxhash64(s))).as("hs"))
+    docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+        array_sort(transform(distinctSh, s => xxhash64(s))).as("hs"))
       .withColumn("n", size(col("hs")))
       .filter(col("n") > 0)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val invFull = sh.select(col("id"), col("blk"), explode(col("hs")).as("tok"))
+  }
+
+  /** Candidate stage of [[containmentPairs]]: prefix index ⋈ doc-frequency-
+    * capped FULL inverted index on (block, token). Output is ≤ maxDocFreq ·
+    * |prefix postings| rows before `distinct()` — the bound the viral-
+    * shingle spec asserts. Package-private for testability. */
+  private[graft] def containmentCandidates(sh: DataFrame, threshold: Double,
+      maxDocFreq: Long): DataFrame = {
+    val tPrefix = math.max(threshold - 0.001, 0.0)
+    val invFullRaw =
+      sh.select(col("id"), col("blk"), explode(col("hs")).as("tok"))
+    // boilerplate list: only block-wide shingles survive the HAVING, so it
+    // is tiny and the anti-joins broadcast map-side (AQE)
+    val hot = invFullRaw.groupBy(col("blk"), col("tok"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDocFreq)
+      .select(col("blk"), col("tok"))
+    val invFull = invFullRaw.join(hot, Seq("blk", "tok"), "left_anti")
     val invPrefix = sh.select(col("id"), col("blk"), explode(
-      slice(col("hs"), lit(1),
-        (col("n") - ceil(lit(tPrefix) * col("n")) + 1).cast("int"))).as("tok"))
-    val cands = invPrefix.as("l").join(invFull.as("r"),
+        slice(col("hs"), lit(1),
+          (col("n") - ceil(lit(tPrefix) * col("n")) + 1).cast("int")))
+        .as("tok"))
+      .join(hot, Seq("blk", "tok"), "left_anti")
+    invPrefix.as("l").join(invFull.as("r"),
         col("l.blk") === col("r.blk") && col("l.tok") === col("r.tok") &&
           col("l.id") =!= col("r.id"))
       .select(least(col("l.id"), col("r.id")).as("id_a"),
         greatest(col("l.id"), col("r.id")).as("id_b"))
       .distinct()
+  }
+
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       blockCol: String, shingleWords: Int,
+                       threshold: Double, maxDocFreq: Long = 512): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1] (got $threshold)")
+    val sh = containmentShingleTable(docs, idCol, textCol, blockCol,
+        shingleWords)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cands = containmentCandidates(sh, threshold, maxDocFreq)
     val full = sh.select(col("id"), col("hs"), col("n"))
     val out = cands
       .join(full.select(col("id").as("id_a"), col("hs").as("hs_a"),

@@ -770,4 +770,48 @@ class TextDedupSpec extends SparkSpec {
     assert(DedupOps.ngramJaccardPairs(docs, "doc_id", "text",
       "lang", 3, 0.5).count() == 0L)
   }
+
+  test("containmentPairs hot-shingle guard: one viral shingle in every " +
+    "doc of a block cannot square the candidate join; true pairs backed " +
+    "by non-boilerplate shingles survive the cap") {
+    val n = 200
+    val base = (1 to n).map { i =>
+      (i.toLong, s"the quick fox u$i v$i w$i x$i y$i z$i", "en")
+    }
+    // doc 1000 is a verbatim snippet of doc 1's UNIQUE tail — its
+    // containment evidence never touches the viral shingle
+    val docs = (base :+ ((1000L, "u1 v1 w1 x1 y1", "en")))
+      .toDF("doc_id", "text", "lang")
+    val tau = 0.5
+    val sh = DedupOps.containmentShingleTable(docs, "doc_id", "text",
+      "lang", 3)
+    // unguarded (cap above the viral df): "the quick fox" lives in all n
+    // docs and in the PREFIX of a ~(1−t) fraction of them, so the
+    // candidate join really goes quadratic in the block (Θ(n²) pairs)
+    val unguarded = DedupOps.containmentCandidates(sh, tau,
+      maxDocFreq = n + 1L).count()
+    assert(unguarded >= n.toLong * n / 16,
+      s"expected the viral shingle to square the block, got $unguarded")
+    // guarded: candidates obey the winnowing-style f·|prefix postings|
+    // bound, far below n²/2
+    val f = 8L
+    val tPrefix = tau - 0.001
+    val prefixPostings = sh
+      .select((col("n") - ceil(lit(tPrefix) * col("n")) + 1)
+        .cast("long").as("p"))
+      .agg(sum("p")).as[Long].head()
+    val guarded = DedupOps.containmentCandidates(sh, tau, maxDocFreq = f)
+      .count()
+    assert(guarded <= f * prefixPostings,
+      s"guarded candidates $guarded exceed bound ${f * prefixPostings}")
+    // with the boilerplate gone, only genuinely-shared shingles generate
+    // candidates — the planted snippet pair and nothing else
+    assert(guarded <= 8, s"guard failed to break the square: $guarded")
+    // end-to-end with the small cap: the snippet pair is still found with
+    // exact containment values (verification is uncapped)
+    val got = DedupOps.containmentPairs(docs, "doc_id", "text", "lang",
+        shingleWords = 3, threshold = tau, maxDocFreq = f)
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 1000L, 0.4286, 1.0, 0.4286)))
+  }
 }
