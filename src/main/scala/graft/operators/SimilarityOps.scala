@@ -900,6 +900,43 @@ object SimilarityOps {
           lit(k.toDouble), 6).as("recall"))
   }
 
+  /** Deterministic mixture-of-Gaussians(-ish) embedding synthesizer: the
+    * clustered fixture the IVF family's pruning story needs (synthetic
+    * isotropic embeddings force a high probe fraction at high recall —
+    * PERF.md r10 caveat — while real embedding spaces are clustered).
+    * Cluster CENTERS are the first `nClusters` input vectors (in 64-dim,
+    * random unit-ish vectors are near-orthogonal, so the clusters are
+    * well separated); each output row re-uses its source row's id, sits
+    * in cluster `id % nClusters`, and is the center plus per-component
+    * uniform noise in [−eps/2, eps/2) derived from the md5 uniform
+    * convention ([[ScaleOps.hashUniform]] on "id#component") — fully
+    * engine-independent, so a DuckDB oracle regenerates the identical
+    * floats (double math is IEEE-identical, final float cast rounds
+    * identically). Output: (vec_id, cluster, embedding array<float>).
+    *
+    * Scale shape: centers are a broadcast dimension (nClusters rows); the
+    * synthesis is one map-side join + per-component hash math — no
+    * shuffle, linear in rows × dims.
+    */
+  def mixtureEmbeddings(vectors: DataFrame, idCol: String, vecCol: String,
+                        nClusters: Int, eps: Double,
+                        salt: String): DataFrame = {
+    require(nClusters >= 1, s"nClusters must be >= 1 (got $nClusters)")
+    val centers = vectors.filter(col(idCol) < nClusters)
+      .select(col(idCol).as("__cc"),
+        transform(col(vecCol), x => x.cast("double")).as("__cv"))
+    vectors
+      .select(col(idCol).as("vec_id"),
+        (col(idCol) % nClusters).as("cluster"))
+      .join(broadcast(centers), col("cluster") === col("__cc"))
+      .select(col("vec_id"), col("cluster"),
+        transform(col("__cv"), (x, i) =>
+          (x + (ScaleOps.hashUniform(
+            concat(col("vec_id").cast("string"), lit("#"),
+              i.cast("string")), salt) - 0.5) * eps).cast("float"))
+          .as("embedding"))
+  }
+
   /** nDCG@k over a retrieval run against a sparse judgments table — the
     * graded-relevance ranking metric that completes the retrieval-eval
     * set ([[annRecallAudit]] = binary recall, [[rrfFusion]] = rank

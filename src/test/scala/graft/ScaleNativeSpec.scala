@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.{CosineSimilarity => NativeCos}
-import graft.operators.{ScaleOps, SimilarityOps}
+import graft.operators.{ClusterOps, ScaleOps, SimilarityOps}
 
 /** Native codegen cosine expression + shuffle-shape utilities. */
 class ScaleNativeSpec extends SparkSpec {
@@ -135,6 +135,86 @@ class ScaleNativeSpec extends SparkSpec {
     val p1 = SimilarityOps.rhpPlaneV2(1, 64)
     assert(!p0.sameElements(p1))
     assert(math.abs(p0.sum / 64) < 0.1 && math.abs(p1.sum / 64) < 0.1)
+  }
+
+  test("IVF shipped operating point holds the recall floor: mean " +
+    "recall@10 >= 0.9 at (kmeans iters=2, nlist=16, nprobe=12), and the " +
+    "rejected r9 default (nprobe=4) stays below it") {
+    // executable form of the PERF.md floor (r10 VERDICT directive #2):
+    // x140's oracle recomputes recall WITH the query's own parameters, so
+    // a silent operating-point regression would stay hash-green — this
+    // assertion is the gate that goes red if nprobe is ever dropped back.
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val init = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("cid"), col("embedding").as("cvec"))
+    val cents = ClusterOps.kmeansFit(emb, "vec_id", "embedding", init,
+      "cid", "cvec", iters = 2)
+    val queries = emb.filter(col("vec_id") % 10 === 0)
+    val corpus = emb.filter(col("vec_id") >= 16 && col("vec_id") % 10 =!= 0)
+    def meanRecall(nprobe: Int): Double =
+      SimilarityOps.annRecallAudit(queries, "vec_id", "embedding",
+          corpus, "vec_id", "embedding", cents, "cid", "cvec",
+          k = 10, nprobe = nprobe)
+        .agg(avg(col("recall"))).head().getDouble(0)
+    val shipped = meanRecall(12)
+    assert(shipped >= 0.9,
+      f"shipped operating point regressed: mean recall@10 = $shipped%.4f")
+    val rejected = meanRecall(4)
+    assert(rejected < 0.9,
+      f"nprobe=4 now measures $rejected%.4f — floor assertion is no " +
+        "longer discriminating, re-derive the operating point")
+  }
+
+  test("clustered fixture: IVF prunes 4x deeper than the isotropic " +
+    "operating point at full recall, and the probe is partition pruning") {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val mog = SimilarityOps.mixtureEmbeddings(emb, "vec_id", "embedding",
+      nClusters = 8, eps = 0.05, salt = "mog:")
+    val cents = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"),
+        transform(col("embedding"), x => x.cast("double")).as("cvec"))
+    val queries = mog.filter(col("vec_id") % 10 === 0)
+    val corpus = mog.filter(col("vec_id") % 10 =!= 0)
+    // the mixture really is clustered: every row assigns to its
+    // generative center
+    val assigned = SimilarityOps.ivfAssign(corpus, "vec_id", "embedding",
+      cents, "cid", "cvec")
+    assert(assigned.filter(col("centroid") =!= col("vec_id") % 8)
+      .count() == 0L)
+    // recall floor at a 4x deeper prune than the isotropic 12/16 point —
+    // even nprobe=1 of 8 holds it (same-cluster neighbors dominate top-10)
+    def meanRecall(nprobe: Int): Double =
+      SimilarityOps.annRecallAudit(queries, "vec_id", "embedding",
+          corpus, "vec_id", "embedding", cents, "cid", "cvec",
+          k = 10, nprobe = nprobe)
+        .agg(avg(col("recall"))).head().getDouble(0)
+    val r2 = meanRecall(2)
+    assert(r2 >= 0.9, f"clustered recall@10 at nprobe=2 = $r2%.4f")
+    val r1 = meanRecall(1)
+    assert(r1 >= 0.9, f"clustered recall@10 at nprobe=1 = $r1%.4f")
+    // the probe reaches the at-rest layout as PARTITION pruning: 2 of 8
+    // directories scanned, I/O elimination not post-scan filtering
+    val dir = java.nio.file.Files.createTempDirectory("graft_mog").toString
+    val schema = SimilarityOps.ivfWritePartitioned(assigned, dir)
+    val q = mog.filter(col("vec_id") === 10).select("embedding")
+      .head().getSeq[Float](0)
+    val atRest = SimilarityOps.ivfProbeAtRest(spark, dir, schema, "vec_id",
+      "embedding", cents, "cid", "cvec", q, k = 10, nprobe = 2)
+    assert(atRest.count() == 10L)
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case other => other.collect { case f: FileSourceScanExec => f }
+    }
+    val scan = scans(atRest.queryExecution.executedPlan)
+      .find(_.relation.location.rootPaths.exists(_.toString.contains(dir)))
+      .getOrElse(fail("no FileSourceScan over the at-rest table"))
+    assert(scan.selectedPartitions.partitionCount == 2,
+      s"expected 2 of 8 partitions, scanned " +
+        s"${scan.selectedPartitions.partitionCount}")
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   test("annJoin equals per-query ivfTopK and plans without a cartesian") {
