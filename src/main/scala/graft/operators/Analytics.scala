@@ -2385,7 +2385,11 @@ object Analytics {
     *
     * Exactness: probabilities are fixed-pointed to 1e-4 (`round(p·10⁴)`
     * BIGINT), the bin edge is TRUE integer division (p4·nBins div 10⁴,
-    * p = 1.0 clamped into the last bin), and the squared error
+    * clamped SYMMETRICALLY into the edge bins — p ≥ 1.0 into the last,
+    * p < 0 into the first, the reliability-diagram clip convention; the
+    * bin's mean_pred/sq_err keep the RAW value, so an out-of-range
+    * scorer surfaces as an impossible mean_pred in an edge bin instead
+    * of a phantom negative bin id), and the squared error
     * (p4 − y·10⁴)² sums exactly in BIGINTs — every reported double is a
     * single display-rounded division of exact integers, hash-stable on
     * any engine. One scan, |bins|-row census; NULL score/label rows are
@@ -2399,7 +2403,8 @@ object Analytics {
       .select(round(col(scoreCol) * 10000, 0).cast("long").as("__p4"),
         col(labelCol).cast("boolean").cast("long").as("__y"))
       .withColumn("bin",
-        least(expr(s"__p4 * $nBins div 10000"), lit(nBins.toLong - 1)))
+        greatest(least(expr(s"__p4 * $nBins div 10000"),
+          lit(nBins.toLong - 1)), lit(0L)))
     base.groupBy(col("bin"))
       .agg(count(lit(1)).as("n"),
         sum(col("__y")).as("n_pos"),

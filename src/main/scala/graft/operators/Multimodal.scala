@@ -163,10 +163,12 @@ object Multimodal {
     * hash. Single-byte samples only (maxval < 256; 2-byte-sample PPMs are
     * rejected, not misread), payload length validated against the buffer.
     */
-  private def parseP6Header(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
-    if (bytes == null || bytes.length < 2 ||
-        bytes(0) != 'P'.toByte || bytes(1) != '6'.toByte) return None
-    var i = 2
+  private def parseP6Header(bytes: Array[Byte],
+                            offset: Int = 0): Option[(Int, Int, Int, Int)] = {
+    if (bytes == null || bytes.length < offset + 2 ||
+        bytes(offset) != 'P'.toByte || bytes(offset + 1) != '6'.toByte)
+      return None
+    var i = offset + 2
     def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t'
     def skipWsAndComments(): Unit = {
       var done = false
@@ -381,15 +383,17 @@ object Multimodal {
         var idx = 0
         var ok = bytes != null
         while (ok && pos < bytes.length) {
-          val rest = java.util.Arrays.copyOfRange(bytes, pos, bytes.length)
-          parseP6Header(rest) match {
-            case Some((w, h, mv, payloadStart))
-                if mv < 256 && payloadStart + w * h * 3 <= rest.length =>
+          // parse at an OFFSET into the original array: the walk allocates
+          // nothing per skipped frame — only the kept frames' byte ranges
+          // are ever copied (the r10 ADVICE fix; the old copyOfRange-of-
+          // the-rest made the walk O(nFrames × blobBytes) in allocation)
+          parseP6Header(bytes, pos) match {
+            case Some((w, h, _, payloadStart)) =>
               val end = payloadStart + w * h * 3
               if (idx % every == 0)
                 out += Row.fromSeq(r.toSeq ++ Seq(idx,
-                  java.util.Arrays.copyOfRange(rest, 0, end)))
-              pos += end
+                  java.util.Arrays.copyOfRange(bytes, pos, end)))
+              pos = end
               idx += 1
             case _ => ok = false
           }

@@ -300,4 +300,65 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("calibrationCurve clamps out-of-range scores into the edge bins " +
+    "instead of emitting phantom bin ids") {
+    import graft.operators.Analytics
+    val df = Seq((-0.3, false), (-0.001, true), (0.4, true), (1.7, false))
+      .toDF("p", "y")
+    val out = Analytics.calibrationCurve(df, "p", "y", nBins = 10)
+      .orderBy("bin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(out.map(_._1).toSeq == Seq(0L, 4L, 9L), s"bins: ${out.toSeq}")
+    // the raw (impossible) mean survives in the edge bin, exposing the
+    // out-of-range scorer rather than hiding it
+    assert(out.head._2 == 2L && out.head._3 < 0.0)
+    assert(out.last._3 > 1.0)
+  }
+
+  test("changepoint property: (split_t, score, means) equal a driver-side " +
+    "replica computing BS(k) with the identical IEEE expression shape " +
+    "over random integer series; earliest-t ties") {
+    import graft.operators.Analytics
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def round4(x: Double): Double = BigDecimal(x)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(vals: Seq[Long]): (Long, Long, Double, Double, Double) = {
+      val n = vals.length.toLong
+      val prefix = vals.scanLeft(0L)(_ + _).tail
+      val sn = prefix.last
+      var bestScore = Double.NegativeInfinity
+      var bestK = 0L
+      var k = 1L
+      while (k < n) {
+        val sk = prefix((k - 1).toInt)
+        val num = (n * sk - k * sn).toDouble
+        val score = num * num / (n * k * (n - k)).toDouble
+        if (score > bestScore) { bestScore = score; bestK = k } // > keeps earliest
+        k += 1
+      }
+      val sk = prefix((bestK - 1).toInt)
+      (n, bestK, round6(sk.toDouble / bestK.toDouble),
+        round6((sn - sk).toDouble / (n - bestK).toDouble),
+        round4(bestScore))
+    }
+    // ties are common on purpose: small value range + short series (a
+    // symmetric series has equal BS at mirrored splits)
+    val gen = Gen.chooseNum(2, 40).flatMap(len =>
+      Gen.listOfN(len, Gen.chooseNum(-5L, 5L)))
+    for (seed <- 0 until 40) {
+      val vals = samples(gen, 1).flatten.toIndexedSeq
+      val df = vals.zipWithIndex
+        .map { case (v, i) => ("g", i.toLong, v) }.toDF("g", "t", "v")
+      val got = Analytics.changepoint(df, "g", "t", "v").collect().head
+      val (n, bestK, ml, mr, sc) = ref(vals)
+      assert(got.getLong(1) == n, s"seed=$seed n_points")
+      assert(got.getLong(2) == bestK - 1,
+        s"seed=$seed split_t: got ${got.getLong(2)}, ref t=${bestK - 1}")
+      assert(got.getDouble(3) == ml, s"seed=$seed mean_left")
+      assert(got.getDouble(4) == mr, s"seed=$seed mean_right")
+      assert(got.getDouble(5) == sc, s"seed=$seed score")
+    }
+  }
 }
