@@ -176,6 +176,13 @@ object MergeOps {
     (raw.flatten.toSet, raw.contains(None))
   }
 
+  /** Partition directory names of an affected-date set — what the
+    * [[TableLog]] manifest records as a mutation's touch set. */
+  private def partDirs(dateCol: String,
+                       affected: (Set[java.sql.Date], Boolean)): Seq[String] =
+    affected._1.toSeq.map(d => s"$dateCol=$d").sorted ++
+      (if (affected._2) Seq(s"$dateCol=__HIVE_DEFAULT_PARTITION__") else Nil)
+
   /** Drop affected partitions that the rewrite emitted no rows for —
     * dynamic overwrite only replaces partitions present in the written
     * frame, so an emptied partition would otherwise keep its stale files.
@@ -390,7 +397,10 @@ object MergeOps {
                         keyCol: String = "id",
                         indexPath: Option[String] = None,
                         indexBuckets: Int = 32,
-                        indexSeq: Long = 1L): Unit = {
+                        indexSeq: Long = 1L): Unit =
+    // serialized + manifest-recorded (TableLog): concurrent mutators of
+    // the same fact root cannot interleave partition renames
+    TableLog.withExclusive(spark, factPath, "upsert") {
     val fact = spark.read.parquet(factPath)
     val ids = rows.select(col(keyCol))
     // a stale copy can live under any date (or the null partition)
@@ -419,7 +429,8 @@ object MergeOps {
     dropEmptiedPartitions(spark, factPath, dateCol, affected, written)
     indexPath.foreach(ip =>
       appendIdDateIndex(rows, ip, dateCol, keyCol, indexBuckets, indexSeq))
-  }
+    affected
+  }(aff => partDirs(dateCol, aff))
 
   /** Targeted id deletion against a date-partitioned fact — the
     * right-to-be-forgotten / takedown primitive a 100 TB warehouse needs:
@@ -439,7 +450,8 @@ object MergeOps {
                         dateCol: String = "start_date_oslo",
                         keyCol: String = "id",
                         indexPath: Option[String] = None,
-                        indexBuckets: Int = 32): Unit = {
+                        indexBuckets: Int = 32): Unit =
+    TableLog.withExclusive(spark, factPath, "delete") {
     val fact = spark.read.parquet(factPath)
     val idFrame = ids.select(col(keyCol)).distinct()
       .localCheckpoint(true) // read twice (probe + anti-join) post-rewrite
@@ -464,7 +476,8 @@ object MergeOps {
     }
     indexPath.foreach(ip =>
       compactIdDateIndex(spark, ip, idFrame, dateCol, keyCol, indexBuckets))
-  }
+    affected
+  }(aff => partDirs(dateCol, aff))
 
   /** End-of-cycle windowed delete against a date-partitioned fact: drop
     * in-window rows whose id was not asserted this cycle (`seenIds`),
@@ -483,7 +496,8 @@ object MergeOps {
                              dateCol: String = "start_date_oslo",
                              keyCol: String = "id",
                              indexPath: Option[String] = None,
-                             indexBuckets: Int = 32): Unit = {
+                             indexBuckets: Int = 32): Unit =
+    TableLog.withExclusive(spark, factPath, "sweep") {
     val lo = lit(java.sql.Date.valueOf(todayOslo.minusDays(days.toLong)))
     val hi = lit(java.sql.Date.valueOf(todayOslo))
     val inWin = spark.read.parquet(factPath)
@@ -500,13 +514,15 @@ object MergeOps {
     dropEmptiedPartitions(spark, factPath, dateCol, affected, written)
     for (ip <- indexPath; sw <- sweptIds)
       compactIdDateIndex(spark, ip, sw, dateCol, keyCol, indexBuckets)
-  }
+    affected
+  }(aff => partDirs(dateCol, aff))
 
   def refreshPartitioned(spark: org.apache.spark.sql.SparkSession,
                          factPath: String, staging: DataFrame, days: Int,
                          todayOslo: LocalDate,
                          dateCol: String = "start_date_oslo",
-                         keyCol: String = "id"): Unit = {
+                         keyCol: String = "id"): Unit =
+    TableLog.withExclusive(spark, factPath, "refresh") {
     val lo = lit(java.sql.Date.valueOf(todayOslo.minusDays(days.toLong)))
     val hi = lit(java.sql.Date.valueOf(todayOslo))
     def inWindow(c: Column): Column = c.between(lo, hi)
@@ -537,7 +553,8 @@ object MergeOps {
     val written = dateSet(merged, dateCol)
     overwriteDatePartitions(merged, factPath, dateCol)
     dropEmptiedPartitions(spark, factPath, dateCol, affected, written)
-  }
+    affected
+  }(aff => partDirs(dateCol, aff))
 
   /** SCD Type 2 apply: fold a batch of updates into a slowly-changing
     * dimension that tracks attribute history as (valid_from, valid_to,
@@ -796,7 +813,14 @@ object MergeOps {
     */
   def compactionExecute(spark: org.apache.spark.sql.SparkSession,
                         tableRoot: String, targetBytes: Long,
-                        smallThreshold: Long): DataFrame = {
+                        smallThreshold: Long): DataFrame =
+    TableLog.withExclusive(spark, tableRoot, "compaction") {
+      compactionExecuteLocked(spark, tableRoot, targetBytes, smallThreshold)
+    }(_._2)._1
+
+  private def compactionExecuteLocked(
+      spark: org.apache.spark.sql.SparkSession, tableRoot: String,
+      targetBytes: Long, smallThreshold: Long): (DataFrame, Seq[String]) = {
     val conf = spark.sparkContext.hadoopConfiguration
     val rootP = new org.apache.hadoop.fs.Path(tableRoot)
     val fs = rootP.getFileSystem(conf)
@@ -880,6 +904,6 @@ object MergeOps {
           s"(partition preserved at $oldP)")
       fs.delete(oldP, true)
     }
-    plan
+    (plan, byPart.keys.toSeq.sorted)
   }
 }

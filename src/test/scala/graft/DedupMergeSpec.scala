@@ -729,4 +729,113 @@ class DedupMergeSpec extends SparkSpec {
       !n.endsWith(".tmp") && !n.endsWith(".old")))
     fs.delete(p, true)
   }
+
+  test("TableLog serializes refresh running CONCURRENTLY with compaction " +
+    "on the same fact: rows converge to the sequential result with no " +
+    "losses or duplicates, the commit log is dense, and the latest " +
+    "manifest matches the live listing") {
+    import graft.operators.TableLog
+    val root = java.nio.file.Files.createTempDirectory("graft_txlog")
+      .toString
+    val base = s"$root/fact"
+    val p = new org.apache.hadoop.fs.Path(base)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val today = LocalDate.parse("2024-03-01")
+    // fragmented initial fact: compaction has real work in BOTH the
+    // historical and the window partition
+    entries((1 to 20).map(i =>
+        (s"h$i", "x", java.sql.Date.valueOf("2024-01-01"), i.toDouble)) ++
+      (1 to 20).map(i =>
+        (s"w$i", "x", java.sql.Date.valueOf("2024-02-26"), i.toDouble)): _*)
+      .repartition(4).write.partitionBy("start_date_oslo").parquet(base)
+    val staging = entries((1 to 20).map(i =>
+        (s"w$i", "y", java.sql.Date.valueOf("2024-02-26"), i * 10.0)) ++
+      (1 to 5).map(i =>
+        (s"n$i", "y", java.sql.Date.valueOf("2024-02-28"), i.toDouble)): _*)
+      .localCheckpoint(true) // both threads plan against a pinned input
+    // sequential oracle on a COPY: refresh twice + compaction is
+    // row-idempotent, so any serialized interleaving must land here
+    val seqBase = s"$root/fact_seq"
+    entries((1 to 20).map(i =>
+        (s"h$i", "x", java.sql.Date.valueOf("2024-01-01"), i.toDouble)) ++
+      (1 to 20).map(i =>
+        (s"w$i", "x", java.sql.Date.valueOf("2024-02-26"), i.toDouble)): _*)
+      .repartition(4).write.partitionBy("start_date_oslo").parquet(seqBase)
+    MergeOps.refreshPartitioned(spark, seqBase, staging, days = 7,
+      todayOslo = today)
+    val expected = spark.read.parquet(seqBase)
+      .select("id", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    // concurrent run: interleave 2 refreshes with 3 compactions
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    def thread(body: => Unit) = new Thread(() => {
+      start.await()
+      try body catch { case t: Throwable => errs.add(t) }
+    })
+    val ta = thread {
+      MergeOps.refreshPartitioned(spark, base, staging, 7, today)
+      MergeOps.refreshPartitioned(spark, base, staging, 7, today)
+    }
+    val tb = thread {
+      (1 to 3).foreach(_ => MergeOps.compactionExecute(spark, base,
+        targetBytes = 1L << 20, smallThreshold = 8192L))
+    }
+    ta.start(); tb.start(); start.countDown()
+    ta.join(180000); tb.join(180000)
+    assert(errs.isEmpty, s"concurrent mutator failed: ${errs.peek()}")
+    val got = spark.read.parquet(base).select("id", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.length == got.toSet.size, "duplicate rows after the race")
+    assert(got.toSet == expected, "rows diverged from the serialized result")
+    // commit log: 5 commits, versions dense 1..5, actions accounted for
+    val log = TableLog.snapshot(spark, base)
+      .select("version", "action").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    assert(log.map(_._1).toSeq == (1L to 5L), s"log not dense: ${log.toSeq}")
+    assert(log.count(_._2 == "refresh") == 2 &&
+      log.count(_._2 == "compaction") == 3, log.toSeq)
+    // stale-reader safety surface: the latest manifest matches the live
+    // file listing exactly (no missing / new / resized drift)
+    assert(TableLog.validateSnapshot(spark, base).isEmpty)
+    // no swap residue anywhere
+    assert(fs.listStatus(p).map(_.getPath.getName).forall(n =>
+      !n.endsWith(".tmp") && !n.endsWith(".old")))
+    fs.delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
+  test("TableLog: a crashed writer's stale lock is broken after " +
+    "staleLockMs; a live lock blocks until released; commits record " +
+    "touched partitions") {
+    import graft.operators.TableLog
+    val root = java.nio.file.Files.createTempDirectory("graft_txlock")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root, "part=a"))
+    // normal path: commit recorded with the touched partition's listing
+    TableLog.withExclusive(spark, root, "touch") {
+      val out = fs.create(new org.apache.hadoop.fs.Path(root,
+        "part=a/f1.parquet"), true)
+      out.write(Array.fill(8)(1.toByte)); out.close()
+      ()
+    }(_ => Seq("part=a"))
+    val snap = TableLog.snapshot(spark, root).collect()
+    assert(snap.length == 1)
+    assert(snap.head.getLong(0) == 1L &&
+      snap.head.getString(1) == "touch" &&
+      snap.head.getString(2) == "part=a" &&
+      snap.head.getString(3) == "f1.parquet" && snap.head.getLong(4) == 8L)
+    // crashed writer: plant an orphaned lock, backdate it, and verify a
+    // new writer breaks it instead of timing out
+    val lockP = new org.apache.hadoop.fs.Path(root, "_graft_log/_lock")
+    val out = fs.create(lockP, false)
+    out.write("{\"owner\":\"dead\"}".getBytes("UTF-8")); out.close()
+    fs.setTimes(lockP, System.currentTimeMillis() - 3600000L, -1)
+    TableLog.withExclusive(spark, root, "after-crash",
+      waitMs = 5000L, staleLockMs = 60000L) { () }(_ => Seq("part=a"))
+    assert(TableLog.currentVersion(spark, root) == 2L)
+    assert(!fs.exists(lockP), "lock must be released after commit")
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
 }
