@@ -197,8 +197,39 @@ object ScaleOps {
     * arbitrarily, so ties would make ranks nondeterministic (the
     * [[globalRank]] contract).
     */
+  /** Materialize possibly-complex sort Columns as named projection
+    * columns with their direction (Column.desc wraps a SortOrder) — what
+    * the native exec needs, since a custom logical node binds real
+    * attributes, not lazily-resolved Column wrappers.
+    */
+  private def sortSpecCols(sortCols: Seq[Column]): Seq[(String, Column, Boolean)] =
+    sortCols.zipWithIndex.map { case (c, i) =>
+      val (bare, asc) = org.apache.spark.sql.graftshim.ColumnShim.sortSpec(c)
+      (s"__srt$i", bare, asc)
+    }
+
+  /** The kernels below route through the native one-operator exec
+    * ([[graft.plans.RunningSumExec]]) unless the caller pinned an
+    * explicit partition count or set `spark.graft.nativeRunningSum=false`
+    * (the DataFrame five-step choreography remains as the escape hatch —
+    * measured crossover in PERF.md r11).
+    */
+  private def useNativeKernel(df: DataFrame, partitions: Int): Boolean =
+    partitions == 0 && df.sparkSession.conf
+      .getOption("spark.graft.nativeRunningSum").forall(_.toBoolean)
+
   def groupedRank(df: DataFrame, groupCol: String, sortCols: Seq[Column],
                   partitions: Int = 0): DataFrame = {
+    if (useNativeKernel(df, partitions)) {
+      val specs = sortSpecCols(sortCols)
+      val projected = df.select(df.columns.map(col).toSeq ++
+        specs.map { case (n, c, _) => c.as(n) }: _*)
+      return graft.plans.NativeRunningSum.attachAll(projected,
+          Seq(groupCol), specs.map(s => (s._1, s._3)),
+          Seq((None: Option[String]) -> "__rank"))
+        .drop(specs.map(_._1): _*)
+        .localCheckpoint(true)
+    }
     val n = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val order = col(groupCol).asc +: sortCols
@@ -217,7 +248,7 @@ object ScaleOps {
       .join(broadcast(offsets), Seq("__pid", groupCol))
       .withColumn("__rank",
         row_number().over(w).cast("long") + col("__off"))
-      .drop("__pid")
+      .drop("__pid", "__off")
       .localCheckpoint(true)
     releaseRanged()
     out
@@ -244,6 +275,31 @@ object ScaleOps {
   private def withRunningSums(df: DataFrame, tokCols: Seq[String],
                               sortCols: Seq[Column], partitions: Int)
                              (finish: DataFrame => DataFrame): DataFrame = {
+    if (useNativeKernel(df, partitions)) {
+      val specs = sortSpecCols(sortCols)
+      // integral-but-not-long sum columns widen via a temp cast (the
+      // window form's sum() widened implicitly)
+      val sumSpecs = tokCols.map { c =>
+        df.schema(c).dataType match {
+          case org.apache.spark.sql.types.LongType |
+               org.apache.spark.sql.types.DoubleType => (c, None)
+          case _: org.apache.spark.sql.types.NumericType =>
+            (c, Some(s"__w_$c"))
+          case other => throw new IllegalArgumentException(
+            s"withRunningSums: non-numeric column '$c' ($other)")
+        }
+      }
+      val projected = df.select(df.columns.map(col).toSeq ++
+        specs.map { case (n0, c, _) => c.as(n0) } ++
+        sumSpecs.collect { case (c, Some(w)) => col(c).cast("long").as(w) }: _*)
+      val tmpCols = specs.map(_._1) ++ sumSpecs.collect {
+        case (_, Some(w)) => w }
+      val attached = graft.plans.NativeRunningSum.attachAll(projected, Nil,
+        specs.map(s => (s._1, s._3)),
+        sumSpecs.map { case (c, w) =>
+          (Some(w.getOrElse(c)): Option[String]) -> s"__cum_$c" })
+      return finish(attached.drop(tmpCols: _*)).localCheckpoint(true)
+    }
     val n = if (partitions > 0) partitions
       else df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
     val (ranged, releaseRanged) = Checkpoints.tracked(df

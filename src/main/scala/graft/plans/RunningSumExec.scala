@@ -7,29 +7,48 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, Attribut
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{Distribution, OrderedDistribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.graftshim.{ColumnShim, PlanShim}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.graftshim.PlanShim
+import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
 
-/** Whole-operator extension slot (the design brief's option (c)): a global
-  * running sum over a total order as ONE custom physical operator —
-  * logical node → [[RunningSumStrategy]] → [[RunningSumExec]], registered
-  * through `SparkSessionExtensions.injectPlannerStrategy` in
+/** Whole-operator extension slot (the design brief's option (c)): running
+  * sums over a total order as ONE custom physical operator — logical node
+  * → [[RunningSumStrategy]] → [[RunningSumExec]], registered through
+  * `SparkSessionExtensions.injectPlannerStrategy` in
   * [[graft.GraftExtensions]].
   *
-  * Semantics: append `__cum` = running sum of `sumExpr` (nulls add 0)
-  * over the total order `sortOrder` — the same contract as
-  * [[graft.operators.ScaleOps]]'s DataFrame-level prefix-sum kernel, but
-  * where the kernel choreographs repartitionByRange + persist +
-  * per-partition totals + broadcast offsets as five DataFrame steps,
-  * the exec declares `requiredChildDistribution =
-  * OrderedDistribution(sortOrder)` and Catalyst plans the range exchange
-  * + sort for it; `doExecute` then runs the two passes directly on the
-  * shuffled partitions:
+  * r11 generalization (r10 VERDICT directive #5): the exec now computes
+  * N running sums in one pass (`sumExprs` — a rank is just a running sum
+  * of 1), supports LONG and DOUBLE accumulation, and has a GROUPED form
+  * (`groupExprs` non-empty): per-group running sums over the composite
+  * order (group, sortOrder...), with the cross-partition offset protocol
+  * reduced to PARTITION BOUNDARIES — within a partition sorted by
+  * (group, order), only the first group can continue from the previous
+  * partition and only the last can spill into the next, so pass 1 ships
+  * ≤ 2 boundary entries per partition to the driver (metadata at any
+  * scale, independent of group count). [[graft.operators.ScaleOps]]'s
+  * globalRank / groupedRank / token-budget kernels route here by
+  * default (escape hatch: `spark.graft.nativeRunningSum=false` falls
+  * back to the five-step DataFrame choreography).
   *
-  *  1. a partition-totals job (≤ numPartitions longs to the driver —
-  *     metadata, the `RDD.zipWithIndex` pattern; shuffle files are
-  *     reused, the child is not recomputed);
-  *  2. a streaming output pass adding each partition's prefix offset.
+  * Semantics: append `cumAttrs(i)` = running sum of `sumExprs(i)` (nulls
+  * add 0) over the total order — same contract as the DataFrame kernel.
+  * Catalyst plans the range exchange + sort for
+  * `OrderedDistribution(groupSort ++ sortOrder)`; `doExecute` runs two
+  * passes on the shuffled partitions:
+  *
+  *  1. a partition-totals job (≤ 2 boundary entries × N sums per
+  *     partition to the driver — metadata, the `RDD.zipWithIndex`
+  *     pattern);
+  *  2. a streaming output pass adding each partition's prefix offsets.
+  *
+  * The shuffled child is pinned with `localCheckpoint()` between the two
+  * passes (r10 ADVICE): rows are copied once into block storage, pass 2
+  * reads the SAME blocks pass 1 counted, and a lost block fails loudly
+  * (truncated lineage) instead of silently recomputing a
+  * nondeterministic child into different partition contents than the
+  * collected offsets — the exec-level analogue of the DataFrame kernel's
+  * localCheckpoint pin.
   *
   * No partition ever holds more than its slice; there is no
   * SinglePartition exchange and no window (plan-asserted in
@@ -37,11 +56,13 @@ import org.apache.spark.sql.types.LongType
   * result is partition-boundary-invariant because the order is total —
   * callers must include a tiebreaker column.
   */
-case class RunningSumPlan(sortOrder: Seq[SortOrder], sumExpr: Expression,
-                          cumAttr: AttributeReference,
+case class RunningSumPlan(groupExprs: Seq[Expression],
+                          sortOrder: Seq[SortOrder],
+                          sumExprs: Seq[Expression],
+                          cumAttrs: Seq[AttributeReference],
                           child: LogicalPlan) extends UnaryNode {
-  override def output: Seq[Attribute] = child.output :+ cumAttr
-  override def producedAttributes: AttributeSet = AttributeSet(cumAttr)
+  override def output: Seq[Attribute] = child.output ++ cumAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(cumAttrs)
   override protected def withNewChildInternal(newChild: LogicalPlan): RunningSumPlan =
     copy(child = newChild)
 }
@@ -49,48 +70,156 @@ case class RunningSumPlan(sortOrder: Seq[SortOrder], sumExpr: Expression,
 object RunningSumStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: RunningSumPlan =>
-      RunningSumExec(p.sortOrder, p.sumExpr, p.cumAttr,
+      RunningSumExec(p.groupExprs, p.sortOrder, p.sumExprs, p.cumAttrs,
         planLater(p.child)) :: Nil
     case _ => Nil
   }
 }
 
-case class RunningSumExec(sortOrder: Seq[SortOrder], sumExpr: Expression,
-                          cumAttr: AttributeReference,
+/** Boundary report of one partition for [[RunningSumExec]]'s pass 1:
+  * first/last group key with the per-sum totals of just those groups
+  * (equal when one group spans the whole partition — then the flag folds
+  * the two entries into one). Top-level on purpose: it ships inside task
+  * results, and an inner class would drag the (non-serializable) exec
+  * along as its $outer.
+  */
+private[plans] case class RunningSumBoundary(
+    firstKey: Seq[Any], firstTotals: Array[Any],
+    lastKey: Seq[Any], lastTotals: Array[Any], singleGroup: Boolean)
+
+case class RunningSumExec(groupExprs: Seq[Expression],
+                          sortOrder: Seq[SortOrder],
+                          sumExprs: Seq[Expression],
+                          cumAttrs: Seq[AttributeReference],
                           child: SparkPlan) extends UnaryExecNode {
-  override def output: Seq[Attribute] = child.output :+ cumAttr
-  override def producedAttributes: AttributeSet = AttributeSet(cumAttr)
+  override def output: Seq[Attribute] = child.output ++ cumAttrs
+  override def producedAttributes: AttributeSet = AttributeSet(cumAttrs)
+  private def fullOrder: Seq[SortOrder] =
+    groupExprs.map(SortOrder(_, Ascending)) ++ sortOrder
   override def requiredChildDistribution: Seq[Distribution] =
-    Seq(OrderedDistribution(sortOrder))
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(sortOrder)
-  override def outputOrdering: Seq[SortOrder] = sortOrder
+    Seq(OrderedDistribution(fullOrder))
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(fullOrder)
+  override def outputOrdering: Seq[SortOrder] = fullOrder
   override def outputPartitioning = child.outputPartitioning
 
   override protected def doExecute(): RDD[InternalRow] = {
-    val bound = BindReferences.bindReference(sumExpr, child.output)
-    val childRDD = child.execute()
-    // pass 1: per-partition totals — one job, N longs to the driver; the
-    // range exchange's shuffle files are reused by pass 2 (stage reuse),
-    // so the child computes once
-    val totals = childRDD.mapPartitions { it =>
-      var s = 0L
-      it.foreach { row =>
-        val v = bound.eval(row)
-        if (v != null) s += v.asInstanceOf[Long]
+    val boundSums = sumExprs.map(BindReferences.bindReference(_, child.output))
+    val boundGroups = groupExprs.map(BindReferences.bindReference(_, child.output))
+    val dts: Array[DataType] = cumAttrs.map(_.dataType).toArray
+    val nSums = boundSums.length
+    def zero(i: Int): Any = dts(i) match {
+      case LongType => 0L
+      case DoubleType => 0.0
+      case other => throw new IllegalStateException(s"unsupported $other")
+    }
+    def plus(i: Int, a: Any, v: Any): Any =
+      if (v == null) a
+      else dts(i) match {
+        case LongType => a.asInstanceOf[Long] +
+          v.asInstanceOf[Number].longValue()
+        case DoubleType => a.asInstanceOf[Double] +
+          v.asInstanceOf[Number].doubleValue()
+        case other => throw new IllegalStateException(s"unsupported $other")
       }
-      Iterator.single(s)
+    // group key as driver-comparable values (UTF8String copied out of the
+    // reused row buffer)
+    def keyOf(row: InternalRow): Seq[Any] = boundGroups.map { g =>
+      g.eval(row) match {
+        case u: UTF8String => u.toString
+        case x => x
+      }
+    }
+    // pin the shuffled layout: pass 1 and pass 2 must see identical
+    // partition contents even if the child is nondeterministic and a
+    // block is lost (then this FAILS, it does not corrupt)
+    val childRDD = child.execute().map(_.copy()).localCheckpoint()
+    val grouped = boundGroups.nonEmpty
+    // pass 1: boundary totals — one job, metadata-scale collect
+    val boundaries: Array[Option[RunningSumBoundary]] = childRDD.mapPartitions { it =>
+      if (!it.hasNext) Iterator.single(None)
+      else {
+        var firstKey: Seq[Any] = null
+        var firstTotals: Array[Any] = null
+        var curKey: Seq[Any] = null
+        var curTotals = Array.tabulate[Any](nSums)(zero)
+        var single = true
+        it.foreach { row =>
+          val k = if (grouped) keyOf(row) else Nil
+          if (curKey == null) { curKey = k; firstKey = k }
+          else if (grouped && k != curKey) {
+            if (firstTotals == null) firstTotals = curTotals
+            else single = false
+            curKey = k
+            curTotals = Array.tabulate[Any](nSums)(zero)
+          }
+          var i = 0
+          while (i < nSums) {
+            curTotals(i) = plus(i, curTotals(i), boundSums(i).eval(row))
+            i += 1
+          }
+        }
+        val ft = if (firstTotals == null) curTotals else firstTotals
+        val sg = firstTotals == null
+        Iterator.single(Some(RunningSumBoundary(firstKey, ft, curKey, curTotals,
+          sg && single)))
+      }
     }.collect()
-    val offsets = totals.scanLeft(0L)(_ + _)
+    // driver-side carry walk in partition order: offset of partition p's
+    // FIRST group = the carried total when the carried key matches
+    val offsets = Array.fill[Array[Any]](boundaries.length)(
+      Array.tabulate[Any](nSums)(zero))
+    var carryKey: Seq[Any] = null
+    var carryTotals: Array[Any] = Array.tabulate[Any](nSums)(zero)
+    boundaries.zipWithIndex.foreach {
+      case (None, _) => // empty partition: carry passes through
+      case (Some(b), p) =>
+        val continues = carryKey != null &&
+          (!grouped || carryKey == b.firstKey)
+        if (continues) offsets(p) = carryTotals.clone()
+        if (b.singleGroup) {
+          val base = if (continues) carryTotals else
+            Array.tabulate[Any](nSums)(zero)
+          carryKey = b.firstKey
+          carryTotals = Array.tabulate[Any](nSums)(i =>
+            dts(i) match {
+              case LongType => base(i).asInstanceOf[Long] +
+                b.firstTotals(i).asInstanceOf[Long]
+              case _ => base(i).asInstanceOf[Double] +
+                b.firstTotals(i).asInstanceOf[Double]
+            })
+        } else {
+          carryKey = b.lastKey
+          carryTotals = b.lastTotals.clone()
+        }
+    }
     val outputAttrs = output
     childRDD.mapPartitionsWithIndex { (idx, it) =>
       val proj = UnsafeProjection.create(outputAttrs, outputAttrs)
       val joined = new JoinedRow
-      val cumRow = new SpecificInternalRow(Seq(LongType))
-      var acc = offsets(idx)
+      val cumRow = new SpecificInternalRow(dts.toSeq)
+      val acc = offsets(idx).clone()
+      var curKey: Seq[Any] = null
       it.map { row =>
-        val v = bound.eval(row)
-        if (v != null) acc += v.asInstanceOf[Long]
-        cumRow.setLong(0, acc)
+        if (grouped) {
+          val k = keyOf(row)
+          if (curKey == null) curKey = k
+          else if (k != curKey) {
+            // a new group starts fresh — only the partition's first group
+            // carries an offset from earlier partitions
+            curKey = k
+            var i = 0
+            while (i < nSums) { acc(i) = zero(i); i += 1 }
+          }
+        }
+        var i = 0
+        while (i < nSums) {
+          acc(i) = plus(i, acc(i), boundSums(i).eval(row))
+          dts(i) match {
+            case LongType => cumRow.setLong(i, acc(i).asInstanceOf[Long])
+            case _ => cumRow.setDouble(i, acc(i).asInstanceOf[Double])
+          }
+          i += 1
+        }
         proj(joined(row, cumRow))
       }
     }
@@ -100,29 +229,47 @@ case class RunningSumExec(sortOrder: Seq[SortOrder], sumExpr: Expression,
     copy(child = newChild)
 }
 
-/** Public API for the native operator: append `name` = running sum of
-  * LONG column `sumCol` over the total order `sortSpecs`
-  * ((columnName, ascending) pairs). Columns resolve by name against the
-  * analyzed child — classic Columns carry lazily-resolved wrapper nodes
-  * that only standard operators convert, so a custom logical node must
-  * bind real attributes itself.
+/** Public API for the native operator. [[attach]] keeps the r10 surface
+  * (one LONG running sum over (columnName, ascending) sort specs);
+  * [[attachAll]] is the full r11 form: optional group columns, multiple
+  * sum columns (name `null` ⇒ a running COUNT, i.e. a rank), LONG or
+  * DOUBLE. Columns resolve by name against the analyzed child — classic
+  * Columns carry lazily-resolved wrapper nodes that only standard
+  * operators convert, so a custom logical node must bind real attributes
+  * itself.
   */
 object NativeRunningSum {
   def attach(df: DataFrame, sortSpecs: Seq[(String, Boolean)],
-             sumCol: String, name: String = "__cum"): DataFrame = {
+             sumCol: String, name: String = "__cum"): DataFrame =
+    attachAll(df, Nil, sortSpecs, Seq(Some(sumCol) -> name))
+
+  /** `sums`: (Some(column) → running sum of it; None → running count
+    * (rank)) paired with the output column name. */
+  def attachAll(df: DataFrame, groupCols: Seq[String],
+                sortSpecs: Seq[(String, Boolean)],
+                sums: Seq[(Option[String], String)]): DataFrame = {
     val child = PlanShim.logical(df)
     def attrOf(n: String): Attribute =
       child.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"NativeRunningSum: no column '$n' in ${child.output.map(_.name)}"))
-    val sumAttr = attrOf(sumCol)
-    require(sumAttr.dataType == LongType,
-      s"NativeRunningSum: '$sumCol' must be LONG (got ${sumAttr.dataType})")
+    val sumExprs = sums.map {
+      case (Some(c), _) =>
+        val a = attrOf(c)
+        require(a.dataType == LongType || a.dataType == DoubleType,
+          s"NativeRunningSum: '$c' must be LONG or DOUBLE (got ${a.dataType})")
+        a: Expression
+      case (None, _) =>
+        org.apache.spark.sql.catalyst.expressions.Literal(1L): Expression
+    }
+    val cumAttrs = sums.zip(sumExprs).map { case ((_, name), e) =>
+      AttributeReference(name, e.dataType, nullable = false)()
+    }
     val sortOrder = sortSpecs.map { case (n, asc) =>
       SortOrder(attrOf(n), if (asc) Ascending else Descending)
     }
-    val cumAttr = AttributeReference(name, LongType, nullable = false)()
     PlanShim.ofRows(df.sparkSession,
-      RunningSumPlan(sortOrder, sumAttr, cumAttr, child))
+      RunningSumPlan(groupCols.map(attrOf), sortOrder, sumExprs, cumAttrs,
+        child))
   }
 }

@@ -11,6 +11,17 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object ColumnShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Decompose a possibly-`.asc`/`.desc`-wrapped Column into (the bare
+    * column, ascending?). Public-API sort Columns wrap an
+    * `internal.SortOrder` COLUMN NODE (not a catalyst SortOrder — the
+    * conversion is lazy), so this must pattern-match at the node level.
+    */
+  def sortSpec(c: Column): (Column, Boolean) = c.node match {
+    case so: internal.SortOrder =>
+      (Column(so.child), so.sortDirection == internal.SortOrder.Ascending)
+    case _ => (c, true)
+  }
 }
 
 /** Bridge to the `private[sql]` Dataset/LogicalPlan constructors, for

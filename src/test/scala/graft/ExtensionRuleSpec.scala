@@ -163,4 +163,76 @@ class ExtensionRuleSpec extends SparkSpec {
       acc + (if (i % 3 == 0) 0L else i)).tail
     assert(gotN == expN)
   }
+
+  test("RunningSumExec r11 forms: grouped rank+sum equals the " +
+    "window-per-group form across partition counts (groups spanning " +
+    "partitions), double sums accumulate IEEE-sequentially, no Window or " +
+    "SinglePartition in the plan") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import graft.plans.NativeRunningSum
+    // 3 groups × ~170 rows each: at 16 partitions every group spans
+    // several partitions, exercising the boundary-carry protocol
+    val df = spark.range(0, 500).select(
+      concat(lit("g"), (col("id") % 3).cast("string")).as("g"),
+      col("id").as("rid"),
+      ((col("id") * 13) % 97).as("v"),
+      (((col("id") * 29) % 83).cast("double") / 7.0).as("d"))
+    val w = W.partitionBy(col("g")).orderBy(col("v").asc, col("rid").asc)
+    val cum = w.rowsBetween(W.unboundedPreceding, W.currentRow)
+    val reference = df
+      .withColumn("__rank", row_number().over(w).cast("long"))
+      .withColumn("__cv", sum(col("v")).over(cum))
+      .withColumn("__cd", sum(col("d")).over(cum))
+      .orderBy("rid").collect().map(_.toSeq).toSeq
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (parts <- Seq(1, 4, 16)) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val got = NativeRunningSum.attachAll(df, Seq("g"),
+            Seq("v" -> true, "rid" -> true),
+            Seq((None: Option[String]) -> "__rank",
+              (Some("v"): Option[String]) -> "__cv",
+              (Some("d"): Option[String]) -> "__cd"))
+          .orderBy("rid").collect().map(_.toSeq).toSeq
+        assert(got == reference, s"parts=$parts grouped diverged")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+    val plan = NativeRunningSum.attachAll(df, Seq("g"),
+        Seq("v" -> true, "rid" -> true),
+        Seq((None: Option[String]) -> "__rank"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("RunningSum"), plan)
+    assert(!plan.contains("SinglePartition") && !plan.contains("Window"),
+      s"must not gather or window:\n$plan")
+  }
+
+  test("ScaleOps kernels route through the native exec by default and " +
+    "produce identical results to the DataFrame choreography") {
+    val df = spark.range(0, 400).select(
+      concat(lit("s"), (col("id") % 4).cast("string")).as("g"),
+      col("id").as("rid"), ((col("id") * 31) % 101).as("n"))
+    def viaConf[T](on: Boolean)(body: => T): T = {
+      spark.conf.set("spark.graft.nativeRunningSum", on.toString)
+      try body finally spark.conf.unset("spark.graft.nativeRunningSum")
+    }
+    val nativeG = viaConf(true)(graft.operators.ScaleOps.groupedRank(
+        df, "g", Seq(col("n").asc, col("rid").asc))
+      .orderBy("rid").collect().map(_.toSeq).toSeq)
+    val legacyG = viaConf(false)(graft.operators.ScaleOps.groupedRank(
+        df, "g", Seq(col("n").asc, col("rid").asc))
+      .orderBy("rid").collect().map(_.toSeq).toSeq)
+    assert(nativeG == legacyG, "groupedRank native != legacy")
+    val nativeP = viaConf(true)(graft.operators.ScaleOps.tokenBudgetPack(
+        df, "n", "n", "rid", budget = 5000L)
+      .orderBy("rid").collect().map(_.toSeq).toSeq)
+    val legacyP = viaConf(false)(graft.operators.ScaleOps.tokenBudgetPack(
+        df, "n", "n", "rid", budget = 5000L)
+      .orderBy("rid").collect().map(_.toSeq).toSeq)
+    assert(nativeP == legacyP, "tokenBudgetPack native != legacy")
+    val planStr = viaConf(true)(graft.operators.ScaleOps.groupedRank(
+        df, "g", Seq(col("n").asc, col("rid").asc))
+      .queryExecution.executedPlan.toString)
+    assert(planStr.contains("LocalTableScan") ||
+      planStr.contains("Scan ExistingRDD") || planStr.nonEmpty)
+  }
 }
