@@ -285,6 +285,11 @@ object Streams {
     events
       .withWatermark("ts", watermark)
       .filter(keyCol.isNotNull)
+      // a micro-batch has as many partitions as FILES — a one-file batch
+      // would run the depth-× md5 hashing map stage in a single task
+      // (the st29 shape, PERF.md r10/r11). Spread the narrow rows first;
+      // the register counts are commutative, placement cannot move them.
+      .repartition(events.sparkSession.sparkContext.defaultParallelism)
       .select(org.apache.spark.sql.functions.window(col("ts"), window).as("w"),
         posexplode(array(
           graft.operators.ScaleOps.cmsPositions(keyCol, depth, width): _*))
