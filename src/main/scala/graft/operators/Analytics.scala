@@ -2325,6 +2325,72 @@ object Analytics {
           .as("kappa"))
   }
 
+  /** Fleiss' kappa — chance-corrected agreement for R ≥ 2 raters (the
+    * multi-rater generalization of [[cohensKappa]]; Fleiss 1971):
+    * over items each rated exactly R times,
+    *   P̄  = (Σ_ij n_ij² − N·R) / (N·R·(R−1)),
+    *   P̄e = Σ_j c_j² / (N·R)²        (c_j = category j's total votes),
+    *   κ  = (P̄ − P̄e) / (1 − P̄e).
+    * The labeling-quality gate when a panel (or an LLM ensemble) rates
+    * the same items — Cohen's form only handles two raters.
+    *
+    * Exactness: κ is reported from the cross-multiplied PURE-BIGINT
+    * identity κ = [(S−NR)·N·R − (R−1)·Σc²] / [(R−1)·((NR)² − Σc²)] —
+    * one display-rounded division of exact integers, hash-stable on any
+    * engine; P̄/P̄e are each a single division of the same integers.
+    * NULL κ when every rater agrees by chance construction (P̄e = 1).
+    *
+    * Input: one row per (item, rater) with the assigned category; rows
+    * with any NULL are excluded, and every item must end up with the
+    * SAME number of ratings (the Fleiss completeness precondition —
+    * validated with a metadata-scale census, loud error otherwise).
+    * Scale: two censuses (item×category cells, then per-item), both
+    * map-side combinable; one |categories|-row margin reduce.
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, raterCol: String,
+                  categoryCol: String): DataFrame = {
+    val base = df
+      .filter(col(itemCol).isNotNull && col(raterCol).isNotNull &&
+        col(categoryCol).isNotNull)
+      .select(col(itemCol).as("__i"), col(raterCol).as("__r"),
+        col(categoryCol).cast("string").as("__c"))
+    val cells = base.groupBy(col("__i"), col("__c"))
+      .agg(count(lit(1)).as("__n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perItem = cells.groupBy(col("__i"))
+      .agg(sum(col("__n") * col("__n")).as("__s2"), sum(col("__n")).as("__ri"))
+    val panel = perItem
+      .agg(count(lit(1)).as("__N"), sum(col("__s2")).as("__S"),
+        min(col("__ri")).as("__rlo"), max(col("__ri")).as("__rhi"))
+      .head()
+    val (nItems, s, rLo, rHi) = (panel.getLong(0), panel.getLong(1),
+      panel.getLong(2), panel.getLong(3))
+    require(rLo == rHi,
+      s"fleissKappa needs every item rated the same number of times " +
+        s"(saw $rLo..$rHi ratings per item)")
+    val r = rLo
+    require(r >= 2, s"fleissKappa needs >= 2 raters per item (got $r)")
+    val out = cells.groupBy(col("__c"))
+      .agg(sum(col("__n")).as("__cj"))
+      .agg(coalesce(sum(col("__cj") * col("__cj")), lit(0L)).as("__sc2"))
+      .select(lit(nItems).as("n_items"), lit(r).as("n_raters"),
+        round(lit(s - nItems * r).cast("double") /
+          lit(nItems * r * (r - 1)).cast("double"), 6).as("p_bar"),
+        round(col("__sc2").cast("double") /
+          lit(nItems * r * nItems * r).cast("double"), 6).as("p_expected"),
+        when(lit(nItems * r * nItems * r) === col("__sc2"),
+          lit(null).cast("double"))
+          .otherwise(round(
+            ((lit(s - nItems * r) * nItems * r) -
+              lit(r - 1) * col("__sc2")).cast("double") /
+            (lit(r - 1) * (lit(nItems * r * nItems * r) - col("__sc2")))
+              .cast("double"), 6))
+          .as("kappa"))
+      .localCheckpoint(true)
+    cells.unpersist()
+    out
+  }
+
   /** Per-class precision / recall / F1 — the classification report that
     * completes the eval toolkit around [[graft.operators.TextOps.labelConfusion]]
     * (which reports the raw cells): every class that appears as a label

@@ -1163,6 +1163,47 @@ object ScaleOps {
           (col("sum_w").cast("double") * col("sum_w").cast("double")), 4)
           .as("design_effect"))
 
+  /** Equi-depth quantile binning (feature quantization): each row gets
+    * `bin` ∈ [0, nBins) by its EXACT global rank over (valueCol, idCol) —
+    * bin = (rank−1)·nBins div n, so bin populations differ by at most
+    * one row and bin edges are data-driven (the standard equal-frequency
+    * discretization a feature pipeline applies before bucketized
+    * embeddings / monotonic-binned calibration). Ranks ride the native
+    * running-sum exec ([[globalRank]]) — no single-partition sort at any
+    * scale; n is one census count. Ties order by idCol, so the binning
+    * is total and engine-independent.
+    */
+  def quantileBin(df: DataFrame, valueCol: String, idCol: String,
+                  nBins: Int): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2 (got $nBins)")
+    val base = df.filter(col(valueCol).isNotNull && col(idCol).isNotNull)
+    val n = base.count()
+    val ranked = globalRank(base, Seq(col(valueCol).asc, col(idCol).asc))
+    if (n == 0) ranked.drop("__rank").withColumn("bin", lit(0L))
+    else ranked
+      .withColumn("bin", expr(s"(__rank - 1) * $nBins div ${n}L"))
+      .drop("__rank")
+  }
+
+  /** Stratified k-fold assignment for cross-validation: within each
+    * stratum, rows rank by their md5 uniform ([[hashUniform]] — fully
+    * deterministic, no RNG plumbing) and fold = (rank−1) mod k, so every
+    * stratum's rows split across the k folds as evenly as possible
+    * (sizes differ by ≤ 1) with a reproducible pseudo-random draw. The
+    * per-stratum rank rides the GROUPED native running-sum exec
+    * ([[groupedRank]]) — no task-per-stratum window straggler. Output:
+    * input columns + `fold`.
+    */
+  def kfoldAssign(df: DataFrame, idCol: String, strataCol: String, k: Int,
+                  salt: String): DataFrame = {
+    require(k >= 2, s"k must be >= 2 (got $k)")
+    val base = df.filter(col(idCol).isNotNull && col(strataCol).isNotNull)
+      .withColumn("__u", hashUniform(col(idCol), salt))
+    groupedRank(base, strataCol, Seq(col("__u").asc, col(idCol).asc))
+      .withColumn("fold", ((col("__rank") - 1) % k).cast("int"))
+      .drop("__u", "__rank")
+  }
+
   def keySkewAudit(df: DataFrame, keyCol: String): DataFrame =
     keySkewFromCensus(df.filter(col(keyCol).isNotNull)
       .groupBy(col(keyCol)).agg(count(lit(1)).as("__c")), keyCol)

@@ -7123,6 +7123,115 @@ object ScaleQueries {
              |SELECT q.qid query_id, CAST(coalesce(n, 0) AS BIGINT) n_hits,
              |  round(CAST(coalesce(n, 0) AS DOUBLE) / 10.0, 6) recall
              |FROM qs q LEFT JOIN hits ON q.qid = hits.qid
-             |ORDER BY query_id""".stripMargin))
+             |ORDER BY query_id""".stripMargin)),
+
+    // Equi-depth quantile binning (x171): documents bucketed into 8
+    // equal-frequency bins by exact global rank on (n_chars, doc_id) —
+    // bin populations differ by <= 1 and edges are data-driven. The rank
+    // rides the native running-sum exec (no single-partition sort);
+    // graded as the per-bin census with value edges and an id checksum.
+    QuerySpec("x171_quantile_bins", (s, d) => {
+      val docs = t(s, d, "documents")
+        .select(col("doc_id"), col("n_chars").cast("long").as("n_chars"))
+      graft.operators.ScaleOps.quantileBin(docs, "n_chars", "doc_id", 8)
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n"), min(col("n_chars")).as("lo"),
+          max(col("n_chars")).as("hi"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("bin")
+    },
+      Some("""WITH r AS (SELECT doc_id, CAST(n_chars AS BIGINT) n_chars,
+             |    row_number() OVER (ORDER BY CAST(n_chars AS BIGINT),
+             |      doc_id) rk,
+             |    count(*) OVER () n
+             |  FROM documents WHERE n_chars IS NOT NULL
+             |    AND doc_id IS NOT NULL)
+             |SELECT CAST((rk - 1) * 8 // n AS BIGINT) bin,
+             |  CAST(count(*) AS BIGINT) n, min(n_chars) lo, max(n_chars) hi,
+             |  CAST(sum(doc_id) AS BIGINT) id_sum
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Fleiss' kappa (x172): multi-rater chance-corrected agreement —
+    // a 3-rater panel (gold + two md5-degraded raters at 0.7/0.85 keep
+    // rates) over the sampled events. The pure-BIGINT cross-multiplied
+    // kappa identity makes the value hash-stable cross-engine.
+    QuerySpec("x172_fleiss_kappa", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("event_id") % 7 === 0)
+        .select(col("event_id"), col("event_type"))
+      def degraded(name: String, keep: Double, salt: String) =
+        ev.select(col("event_id").as("item"), lit(name).as("rater"),
+          when(graft.operators.ScaleOps.hashUniform(col("event_id"), salt)
+            < keep, col("event_type")).otherwise(lit("other")).as("cat"))
+      val ratings = ev
+        .select(col("event_id").as("item"), lit("gold").as("rater"),
+          col("event_type").as("cat"))
+        .unionByName(degraded("r2", 0.7, "k2:"))
+        .unionByName(degraded("r3", 0.85, "k3:"))
+      Analytics.fleissKappa(ratings, "item", "rater", "cat")
+    },
+      Some("""WITH items AS (SELECT event_id i, event_type t FROM events
+             |  WHERE event_type IS NOT NULL AND event_id % 7 = 0),
+             |r AS (SELECT i, 'gold' rater, t cat FROM items
+             |  UNION ALL SELECT i, 'r2', CASE WHEN
+             |    CAST(list_reduce(list_transform(range(1, 9),
+             |      x -> CAST(strpos('0123456789abcdef',
+             |        substr(md5('k2:' || CAST(i AS VARCHAR)),
+             |          CAST(x AS INT), 1)) - 1 AS BIGINT)),
+             |      (a, b) -> a*16 + b) AS DOUBLE) / 4294967296.0 < 0.7
+             |    THEN t ELSE 'other' END FROM items
+             |  UNION ALL SELECT i, 'r3', CASE WHEN
+             |    CAST(list_reduce(list_transform(range(1, 9),
+             |      x -> CAST(strpos('0123456789abcdef',
+             |        substr(md5('k3:' || CAST(i AS VARCHAR)),
+             |          CAST(x AS INT), 1)) - 1 AS BIGINT)),
+             |      (a, b) -> a*16 + b) AS DOUBLE) / 4294967296.0 < 0.85
+             |    THEN t ELSE 'other' END FROM items),
+             |cells AS (SELECT i, cat, CAST(count(*) AS BIGINT) n FROM r
+             |  GROUP BY 1, 2),
+             |pi AS (SELECT i, CAST(sum(n*n) AS BIGINT) s2 FROM cells
+             |  GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) nn,
+             |    CAST(sum(s2) AS BIGINT) s FROM pi),
+             |cj AS (SELECT CAST(coalesce(sum(c2), 0) AS BIGINT) sc2 FROM
+             |  (SELECT CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT) c2
+             |   FROM cells GROUP BY cat))
+             |SELECT nn n_items, CAST(3 AS BIGINT) n_raters,
+             |  round(CAST(s - nn*3 AS DOUBLE) /
+             |    CAST(nn*3*2 AS DOUBLE), 6) p_bar,
+             |  round(CAST(sc2 AS DOUBLE) /
+             |    CAST(nn*3*nn*3 AS DOUBLE), 6) p_expected,
+             |  CASE WHEN nn*3*nn*3 = sc2 THEN NULL
+             |    ELSE round(CAST((s - nn*3)*nn*3 - 2*sc2 AS DOUBLE) /
+             |      CAST(2*(nn*3*nn*3 - sc2) AS DOUBLE), 6) END kappa
+             |FROM tot, cj""".stripMargin)),
+
+    // Stratified k-fold assignment (x173): within each lang stratum,
+    // rows rank by md5 uniform and fold = (rank-1) mod 5 — every
+    // stratum splits across 5 folds with sizes differing by <= 1, fully
+    // reproducible. The per-stratum rank rides the GROUPED native
+    // running-sum exec; graded as the (lang, fold) census with a
+    // membership checksum.
+    QuerySpec("x173_stratified_kfold", (s, d) => {
+      val docs = t(s, d, "documents").select(col("doc_id"), col("lang"))
+      graft.operators.ScaleOps.kfoldAssign(docs, "doc_id", "lang", 5,
+          "fold:")
+        .groupBy(col("lang"), col("fold"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("lang", "fold")
+    },
+      Some("""WITH u AS (SELECT doc_id, lang,
+             |    CAST(list_reduce(list_transform(range(1, 9),
+             |      x -> CAST(strpos('0123456789abcdef',
+             |        substr(md5('fold:' || CAST(doc_id AS VARCHAR)),
+             |          CAST(x AS INT), 1)) - 1 AS BIGINT)),
+             |      (a, b) -> a*16 + b) AS DOUBLE) / 4294967296.0 uu
+             |  FROM documents WHERE doc_id IS NOT NULL
+             |    AND lang IS NOT NULL),
+             |r AS (SELECT doc_id, lang, row_number() OVER (
+             |    PARTITION BY lang ORDER BY uu, doc_id) rk FROM u)
+             |SELECT lang, CAST((rk - 1) % 5 AS INT) fold,
+             |  CAST(count(*) AS BIGINT) n,
+             |  CAST(sum(doc_id) AS BIGINT) id_sum
+             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
   )
 }

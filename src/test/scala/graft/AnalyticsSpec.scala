@@ -935,4 +935,70 @@ class AnalyticsSpec extends SparkSpec {
       (2L, 1L, 1L, 0.25, 1.0, 0.75, 0.5625),   // (2500-10000)²/1e8
       (9L, 1L, 1L, 1.0, 1.0, 0.0, 0.0)))
   }
+
+  test("fleissKappa: hand-computed 4-item 3-rater panel; ragged panels " +
+    "and single-rater panels rejected; null ratings excluded") {
+    // i1 aaa (s2=9), i2 aab (5), i3 bbb (9), i4 abc (3): S=26, N=4, R=3
+    // c_a=6 c_b=5 c_c=1 -> sum c^2 = 62
+    // p_bar = 14/24; p_e = 62/144; kappa = 44/164 = 0.268293
+    val df = Seq(
+      (1L, "x", "a"), (1L, "y", "a"), (1L, "z", "a"),
+      (2L, "x", "a"), (2L, "y", "a"), (2L, "z", "b"),
+      (3L, "x", "b"), (3L, "y", "b"), (3L, "z", "b"),
+      (4L, "x", "a"), (4L, "y", "b"), (4L, "z", "c")
+    ).toDF("item", "rater", "cat")
+    val r = Analytics.fleissKappa(df, "item", "rater", "cat").collect().head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    assert(r.getDouble(2) == 0.583333) // p_bar
+    assert(r.getDouble(3) == 0.430556) // p_expected
+    assert(r.getDouble(4) == 0.268293) // kappa via the BIGINT identity
+    // a null category row is excluded and makes the panel ragged -> loud
+    val ragged = df.unionByName(Seq((5L, "x", "a")).toDF("item", "rater", "cat"))
+    val e = intercept[IllegalArgumentException] {
+      Analytics.fleissKappa(ragged, "item", "rater", "cat").collect()
+    }
+    assert(e.getMessage.contains("same number of times"))
+    val solo = Seq((1L, "x", "a"), (2L, "x", "b")).toDF("item", "rater", "cat")
+    val e2 = intercept[IllegalArgumentException] {
+      Analytics.fleissKappa(solo, "item", "rater", "cat").collect()
+    }
+    assert(e2.getMessage.contains(">= 2 raters"))
+  }
+
+  test("quantileBin: equal-frequency bins (sizes differ <= 1, edges " +
+    "ordered); kfoldAssign: per-stratum fold sizes differ <= 1, " +
+    "deterministic, folds in [0, k)") {
+    import graft.operators.ScaleOps
+    val df = spark.range(0, 103).select(col("id"),
+      ((col("id") * 37) % 41).as("v"))
+    val binned = ScaleOps.quantileBin(df, "v", "id", 8)
+    val sizes = binned.groupBy("bin").count().orderBy("bin")
+      .as[(Long, Long)].collect().toSeq
+    assert(sizes.map(_._1) == (0L until 8L))
+    assert(sizes.map(_._2).sum == 103L)
+    assert(sizes.map(_._2).max - sizes.map(_._2).min <= 1)
+    // bins are ordered by value: every bin's max <= next bin's min under
+    // the (v, id) total order — check via value edges
+    val edges = binned.groupBy("bin")
+      .agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .orderBy("bin").as[(Long, Long, Long)].collect().toSeq
+    edges.sliding(2).foreach {
+      case Seq((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+    val strat = spark.range(0, 101).select(col("id"),
+      concat(lit("s"), (col("id") % 3).cast("string")).as("g"))
+    val folds = ScaleOps.kfoldAssign(strat, "id", "g", 4, "t:")
+    val perFold = folds.groupBy("g", "fold").count()
+      .as[(String, Int, Long)].collect().toSeq
+    assert(perFold.forall { case (_, f, _) => f >= 0 && f < 4 })
+    perFold.groupBy(_._1).foreach { case (_, fs) =>
+      assert(fs.map(_._3).max - fs.map(_._3).min <= 1)
+      assert(fs.size == 4)
+    }
+    val again = ScaleOps.kfoldAssign(strat, "id", "g", 4, "t:")
+      .orderBy("id").as[(Long, String, Int)].collect().toSeq
+    assert(again == folds.orderBy("id")
+      .as[(Long, String, Int)].collect().toSeq)
+  }
 }
