@@ -1982,6 +1982,54 @@ object Analytics {
         lit((permutations + 1).toDouble), 6).as("p_value"))
   }
 
+  /** Benjamini-Hochberg FDR control — the multiple-testing step that
+    * completes the inference toolkit: [[permutationTest]] /
+    * [[bootstrapMeanCi]] / the drift battery (x85/x89/x90/x91) each emit
+    * p-values; when a pipeline runs THOUSANDS of such tests (per
+    * feature, per segment, per day), raw α-thresholding drowns in false
+    * positives. BH (1995): rank p ascending, k = max{i : p_(i) ≤ i·q/m},
+    * reject ranks ≤ k — expected false-discovery fraction ≤ q. Also
+    * reports the BH-adjusted p-value min(1, min_{j≥i} m·p_(j)/j) — the
+    * smallest q at which that test would be rejected.
+    *
+    * Scale shape: the global p-rank rides the native running-sum exec
+    * ([[graft.operators.ScaleOps.globalRank]] — no single-partition
+    * sort), k is one metadata aggregate, and the adjusted p's REVERSE
+    * cumulative min rides the same exec's min-monoid form over the
+    * descending rank order ([[graft.plans.NativeRunningSum.attachAgg]])
+    * — a million-test battery never gathers. Determinism: ranks
+    * tie-break on testCol; every emitted double is the same fixed
+    * IEEE expression shape on both engines.
+    *
+    * Output: (testCol, p_value, p_rank, p_adjusted, significant); rows
+    * with NULL or out-of-[0,1] p are excluded (they are not tests).
+    */
+  def bhFdr(df: DataFrame, testCol: String, pCol: String,
+            q: Double): DataFrame = {
+    require(q > 0 && q < 1, s"q must be in (0,1) (got $q)")
+    val base = df
+      .filter(col(testCol).isNotNull && col(pCol).isNotNull &&
+        col(pCol) >= 0.0 && col(pCol) <= 1.0)
+      .select(col(testCol), col(pCol).cast("double").as("p_value"))
+    val m = base.count()
+    val ranked = graft.operators.ScaleOps.globalRank(base,
+        Seq(col("p_value").asc, col(testCol).asc))
+      .withColumnRenamed("__rank", "p_rank")
+      .withColumn("__raw", col("p_value") * m / col("p_rank"))
+      .localCheckpoint(true) // k-aggregate + cummin + output read it
+    val kRow = ranked
+      .agg(max(when(col("p_value") * m <=
+        col("p_rank").cast("double") * q, col("p_rank"))).as("k"))
+      .head()
+    val k = if (kRow.isNullAt(0)) 0L else kRow.getLong(0)
+    graft.plans.NativeRunningSum.attachAgg(ranked, Nil,
+        Seq(("p_rank", false)),
+        Seq((Some("__raw"): Option[String], "min", "__cmin")))
+      .select(col(testCol), col("p_value"), col("p_rank"),
+        round(least(lit(1.0), col("__cmin")), 6).as("p_adjusted"),
+        (col("p_rank") <= k).as("significant"))
+  }
+
   /** Exact AUC via the rank-sum identity — [[liftCurve]]'s single-number
     * companion: AUC = (R_pos − n_pos·(n_pos+1)/2) / (n_pos·n_neg), where
     * R_pos is the positive class's rank sum under MIDRANKS (ties share

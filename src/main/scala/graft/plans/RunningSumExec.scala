@@ -59,6 +59,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class RunningSumPlan(groupExprs: Seq[Expression],
                           sortOrder: Seq[SortOrder],
                           sumExprs: Seq[Expression],
+                          ops: Seq[String],
                           cumAttrs: Seq[AttributeReference],
                           child: LogicalPlan) extends UnaryNode {
   override def output: Seq[Attribute] = child.output ++ cumAttrs
@@ -70,8 +71,8 @@ case class RunningSumPlan(groupExprs: Seq[Expression],
 object RunningSumStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: RunningSumPlan =>
-      RunningSumExec(p.groupExprs, p.sortOrder, p.sumExprs, p.cumAttrs,
-        planLater(p.child)) :: Nil
+      RunningSumExec(p.groupExprs, p.sortOrder, p.sumExprs, p.ops,
+        p.cumAttrs, planLater(p.child)) :: Nil
     case _ => Nil
   }
 }
@@ -90,6 +91,7 @@ private[plans] case class RunningSumBoundary(
 case class RunningSumExec(groupExprs: Seq[Expression],
                           sortOrder: Seq[SortOrder],
                           sumExprs: Seq[Expression],
+                          ops: Seq[String],
                           cumAttrs: Seq[AttributeReference],
                           child: SparkPlan) extends UnaryExecNode {
   override def output: Seq[Attribute] = child.output ++ cumAttrs
@@ -107,20 +109,39 @@ case class RunningSumExec(groupExprs: Seq[Expression],
     val boundGroups = groupExprs.map(BindReferences.bindReference(_, child.output))
     val dts: Array[DataType] = cumAttrs.map(_.dataType).toArray
     val nSums = boundSums.length
-    def zero(i: Int): Any = dts(i) match {
-      case LongType => 0L
-      case DoubleType => 0.0
-      case other => throw new IllegalStateException(s"unsupported $other")
-    }
-    def plus(i: Int, a: Any, v: Any): Any =
-      if (v == null) a
+    val opArr = ops.toArray
+    // monoid identity: 0 for sum, null (absorbed by the first value) for
+    // min/max — so an all-null prefix reports null, not a sentinel
+    def zero(i: Int): Any =
+      if (opArr(i) != "sum") null
       else dts(i) match {
-        case LongType => a.asInstanceOf[Long] +
-          v.asInstanceOf[Number].longValue()
-        case DoubleType => a.asInstanceOf[Double] +
-          v.asInstanceOf[Number].doubleValue()
+        case LongType => 0L
+        case DoubleType => 0.0
         case other => throw new IllegalStateException(s"unsupported $other")
       }
+    // combine an accumulated value with the next value (raw eval output
+    // OR another accumulated value — both are Numbers when non-null)
+    def plus(i: Int, a: Any, v: Any): Any = {
+      if (v == null) return a
+      val isLong = dts(i) == LongType
+      val vc: Any =
+        if (isLong) v.asInstanceOf[Number].longValue()
+        else v.asInstanceOf[Number].doubleValue()
+      if (a == null) return vc // min/max identity
+      opArr(i) match {
+        case "sum" =>
+          if (isLong) a.asInstanceOf[Long] + vc.asInstanceOf[Long]
+          else a.asInstanceOf[Double] + vc.asInstanceOf[Double]
+        case "min" =>
+          if (isLong) math.min(a.asInstanceOf[Long], vc.asInstanceOf[Long])
+          else math.min(a.asInstanceOf[Double], vc.asInstanceOf[Double])
+        case "max" =>
+          if (isLong) math.max(a.asInstanceOf[Long], vc.asInstanceOf[Long])
+          else math.max(a.asInstanceOf[Double], vc.asInstanceOf[Double])
+        case other =>
+          throw new IllegalStateException(s"unsupported op $other")
+      }
+    }
     // group key as driver-comparable values (UTF8String copied out of the
     // reused row buffer)
     def keyOf(row: InternalRow): Seq[Any] = boundGroups.map { g =>
@@ -181,12 +202,7 @@ case class RunningSumExec(groupExprs: Seq[Expression],
             Array.tabulate[Any](nSums)(zero)
           carryKey = b.firstKey
           carryTotals = Array.tabulate[Any](nSums)(i =>
-            dts(i) match {
-              case LongType => base(i).asInstanceOf[Long] +
-                b.firstTotals(i).asInstanceOf[Long]
-              case _ => base(i).asInstanceOf[Double] +
-                b.firstTotals(i).asInstanceOf[Double]
-            })
+            plus(i, base(i), b.firstTotals(i)))
         } else {
           carryKey = b.lastKey
           carryTotals = b.lastTotals.clone()
@@ -214,7 +230,8 @@ case class RunningSumExec(groupExprs: Seq[Expression],
         var i = 0
         while (i < nSums) {
           acc(i) = plus(i, acc(i), boundSums(i).eval(row))
-          dts(i) match {
+          if (acc(i) == null) cumRow.setNullAt(i)
+          else dts(i) match {
             case LongType => cumRow.setLong(i, acc(i).asInstanceOf[Long])
             case _ => cumRow.setDouble(i, acc(i).asInstanceOf[Double])
           }
@@ -247,29 +264,49 @@ object NativeRunningSum {
     * (rank)) paired with the output column name. */
   def attachAll(df: DataFrame, groupCols: Seq[String],
                 sortSpecs: Seq[(String, Boolean)],
-                sums: Seq[(Option[String], String)]): DataFrame = {
+                sums: Seq[(Option[String], String)]): DataFrame =
+    attachAgg(df, groupCols, sortSpecs,
+      sums.map { case (c, n) => (c, "sum", n) })
+
+  /** Full monoid form (r11): each agg is (column, op, outName) with op ∈
+    * {sum, min, max} — a running MIN over a descending order is a
+    * reverse cumulative min (what BH-adjusted p-values need), same
+    * boundary-offset protocol, since min/max carry exactly like sums.
+    * column None ⇒ a running count (op must be sum). min/max outputs are
+    * nullable (an all-null prefix has no value yet); double NaNs are not
+    * supported under min/max (java.lang.Math semantics would apply).
+    */
+  def attachAgg(df: DataFrame, groupCols: Seq[String],
+                sortSpecs: Seq[(String, Boolean)],
+                aggs: Seq[(Option[String], String, String)]): DataFrame = {
     val child = PlanShim.logical(df)
     def attrOf(n: String): Attribute =
       child.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(
           s"NativeRunningSum: no column '$n' in ${child.output.map(_.name)}"))
-    val sumExprs = sums.map {
-      case (Some(c), _) =>
+    aggs.foreach { case (c, op, _) =>
+      require(Set("sum", "min", "max")(op),
+        s"NativeRunningSum: unknown op '$op'")
+      require(c.nonEmpty || op == "sum",
+        "NativeRunningSum: a running count needs op=sum")
+    }
+    val aggExprs = aggs.map {
+      case (Some(c), _, _) =>
         val a = attrOf(c)
         require(a.dataType == LongType || a.dataType == DoubleType,
           s"NativeRunningSum: '$c' must be LONG or DOUBLE (got ${a.dataType})")
         a: Expression
-      case (None, _) =>
+      case (None, _, _) =>
         org.apache.spark.sql.catalyst.expressions.Literal(1L): Expression
     }
-    val cumAttrs = sums.zip(sumExprs).map { case ((_, name), e) =>
-      AttributeReference(name, e.dataType, nullable = false)()
+    val cumAttrs = aggs.zip(aggExprs).map { case ((_, op, name), e) =>
+      AttributeReference(name, e.dataType, nullable = op != "sum")()
     }
     val sortOrder = sortSpecs.map { case (n, asc) =>
       SortOrder(attrOf(n), if (asc) Ascending else Descending)
     }
     PlanShim.ofRows(df.sparkSession,
-      RunningSumPlan(groupCols.map(attrOf), sortOrder, sumExprs, cumAttrs,
-        child))
+      RunningSumPlan(groupCols.map(attrOf), sortOrder, aggExprs,
+        aggs.map(_._2), cumAttrs, child))
   }
 }

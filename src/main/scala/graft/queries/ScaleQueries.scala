@@ -7232,6 +7232,40 @@ object ScaleQueries {
              |SELECT lang, CAST((rk - 1) % 5 AS INT) fold,
              |  CAST(count(*) AS BIGINT) n,
              |  CAST(sum(doc_id) AS BIGINT) id_sum
-             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+             |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // Benjamini-Hochberg FDR control (x174): a deterministic battery of
+    // per-document p-values (md5 uniforms, with every 11th test given a
+    // planted /1000 signal) pushed through BH at q=0.05 — rank via the
+    // native exec, adjusted p via its min-monoid reverse cummin. In
+    // production the battery comes from the drift/inference tests
+    // (x85/x89/x90/x91/x149); here the mechanics are what is graded.
+    QuerySpec("x174_bh_fdr", (s, d) => {
+      val u = graft.operators.ScaleOps.hashUniform(col("doc_id"), "bh:")
+      val battery = t(s, d, "documents").select(col("doc_id"))
+        .withColumn("p_value",
+          when(col("doc_id") % 11 === 0, u / 1000).otherwise(u))
+      Analytics.bhFdr(battery, "doc_id", "p_value", q = 0.05)
+        .orderBy("p_rank")
+    },
+      Some("""WITH b AS (SELECT doc_id, CASE WHEN doc_id % 11 = 0
+             |    THEN u / 1000 ELSE u END p
+             |  FROM (SELECT doc_id,
+             |    CAST(list_reduce(list_transform(range(1, 9),
+             |      x -> CAST(strpos('0123456789abcdef',
+             |        substr(md5('bh:' || CAST(doc_id AS VARCHAR)),
+             |          CAST(x AS INT), 1)) - 1 AS BIGINT)),
+             |      (a, c) -> a*16 + c) AS DOUBLE) / 4294967296.0 u
+             |   FROM documents WHERE doc_id IS NOT NULL)),
+             |r AS (SELECT doc_id, p, row_number() OVER (ORDER BY p,
+             |    doc_id) rk, CAST(count(*) OVER () AS BIGINT) m FROM b),
+             |k AS (SELECT coalesce(max(CASE WHEN p * m <= rk * 0.05
+             |    THEN rk END), 0) kk FROM r),
+             |a AS (SELECT doc_id, p, rk,
+             |    min(p * m / rk) OVER (ORDER BY rk DESC
+             |      ROWS UNBOUNDED PRECEDING) cm FROM r)
+             |SELECT doc_id, p p_value, rk p_rank,
+             |  round(least(1.0, cm), 6) p_adjusted, rk <= kk significant
+             |FROM a, k ORDER BY p_rank""".stripMargin))
   )
 }

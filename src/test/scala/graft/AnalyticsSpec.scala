@@ -965,6 +965,28 @@ class AnalyticsSpec extends SparkSpec {
     assert(e2.getMessage.contains(">= 2 raters"))
   }
 
+  test("bhFdr: textbook battery — k = max rank passing i*q/m, adjusted " +
+    "p is the reverse cummin of m*p/i clipped at 1, out-of-range p " +
+    "excluded") {
+    val df = Seq(
+      (1L, 0.001), (2L, 0.008), (3L, 0.039), (4L, 0.041), (5L, 0.27),
+      (6L, 0.6), (7L, Double.NaN), (8L, 1.5), (9L, -0.1)
+    ).toDF("test_id", "p")
+      .withColumn("p", when(isnan(col("p")), lit(null)).otherwise(col("p")))
+    val got = Analytics.bhFdr(df, "test_id", "p", q = 0.05)
+      .orderBy("p_rank")
+      .as[(Long, Double, Long, Double, Boolean)].collect().toSeq
+    // m = 6 valid tests; thresholds i*0.05/6; p(2)=.008 <= .016667 is the
+    // last pass -> k=2; adjusted = reverse cummin of 6p/i
+    assert(got == Seq(
+      (1L, 0.001, 1L, 0.006, true),
+      (2L, 0.008, 2L, 0.024, true),
+      (3L, 0.039, 3L, 0.0615, false),
+      (4L, 0.041, 4L, 0.0615, false),
+      (5L, 0.27, 5L, 0.324, false),
+      (6L, 0.6, 6L, 0.6, false)))
+  }
+
   test("quantileBin: equal-frequency bins (sizes differ <= 1, edges " +
     "ordered); kfoldAssign: per-stratum fold sizes differ <= 1, " +
     "deterministic, folds in [0, k)") {

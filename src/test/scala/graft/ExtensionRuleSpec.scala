@@ -206,6 +206,43 @@ class ExtensionRuleSpec extends SparkSpec {
       s"must not gather or window:\n$plan")
   }
 
+  test("RunningSumExec min/max monoid form: reverse cumulative min over " +
+    "a descending order equals the window form across partition counts; " +
+    "an all-null prefix reports null") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import graft.plans.NativeRunningSum
+    val df = spark.range(1, 401).select(col("id").as("rid"),
+      (((col("id") * 53) % 211).cast("double") / 7.0).as("v"))
+    val w = W.orderBy(col("rid").desc)
+      .rowsBetween(W.unboundedPreceding, W.currentRow)
+    val reference = df
+      .withColumn("__cmin", min(col("v")).over(w))
+      .withColumn("__cmax", max(col("v")).over(w))
+      .orderBy("rid").collect().map(_.toSeq).toSeq
+    val prior = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      for (parts <- Seq(1, 5, 16)) {
+        spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+        val got = NativeRunningSum.attachAgg(df, Nil, Seq("rid" -> false),
+            Seq((Some("v"): Option[String], "min", "__cmin"),
+              (Some("v"): Option[String], "max", "__cmax")))
+          .orderBy("rid").collect().map(_.toSeq).toSeq
+        assert(got == reference, s"parts=$parts monoid diverged")
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prior)
+    // null handling: min over a prefix with no values yet is null
+    val withNulls = spark.range(0, 6).select(col("id").as("rid"),
+      when(col("id") < 2, lit(null).cast("double"))
+        .otherwise(col("id").cast("double")).as("v"))
+    val gotN = NativeRunningSum.attachAgg(withNulls, Nil,
+        Seq("rid" -> true),
+        Seq((Some("v"): Option[String], "min", "__m")))
+      .orderBy("rid").select("__m")
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(gotN.toSeq == Seq(None, None, Some(2.0), Some(2.0), Some(2.0),
+      Some(2.0)))
+  }
+
   test("ScaleOps kernels route through the native exec by default and " +
     "produce identical results to the DataFrame choreography") {
     val df = spark.range(0, 400).select(
