@@ -2402,8 +2402,16 @@ object Analytics {
         col(categoryCol).isNotNull)
       .select(col(itemCol).as("__i"), col(raterCol).as("__r"),
         col(categoryCol).cast("string").as("__c"))
-    val cells = base.groupBy(col("__i"), col("__c"))
-      .agg(count(lit(1)).as("__n"))
+    fleissFromCells(base.groupBy(col("__i"), col("__c"))
+      .agg(count(lit(1)).as("__n")))
+  }
+
+  /** [[fleissKappa]]'s finalization over a pre-built (item `__i`,
+    * category `__c`, count `__n`) cell census — split out so the cells
+    * can be maintained as STREAMING state (st33) and finalized as a
+    * cheap batch, the hllFinalize convention. */
+  private[graft] def fleissFromCells(cellsIn: DataFrame): DataFrame = {
+    val cells = cellsIn
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perItem = cells.groupBy(col("__i"))
       .agg(sum(col("__n") * col("__n")).as("__s2"), sum(col("__n")).as("__ri"))

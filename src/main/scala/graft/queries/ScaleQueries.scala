@@ -7169,41 +7169,35 @@ object ScaleQueries {
         .unionByName(degraded("r3", 0.85, "k3:"))
       Analytics.fleissKappa(ratings, "item", "rater", "cat")
     },
-      Some("""WITH items AS (SELECT event_id i, event_type t FROM events
-             |  WHERE event_type IS NOT NULL AND event_id % 7 = 0),
-             |r AS (SELECT i, 'gold' rater, t cat FROM items
-             |  UNION ALL SELECT i, 'r2', CASE WHEN
-             |    CAST(list_reduce(list_transform(range(1, 9),
-             |      x -> CAST(strpos('0123456789abcdef',
-             |        substr(md5('k2:' || CAST(i AS VARCHAR)),
-             |          CAST(x AS INT), 1)) - 1 AS BIGINT)),
-             |      (a, b) -> a*16 + b) AS DOUBLE) / 4294967296.0 < 0.7
-             |    THEN t ELSE 'other' END FROM items
-             |  UNION ALL SELECT i, 'r3', CASE WHEN
-             |    CAST(list_reduce(list_transform(range(1, 9),
-             |      x -> CAST(strpos('0123456789abcdef',
-             |        substr(md5('k3:' || CAST(i AS VARCHAR)),
-             |          CAST(x AS INT), 1)) - 1 AS BIGINT)),
-             |      (a, b) -> a*16 + b) AS DOUBLE) / 4294967296.0 < 0.85
-             |    THEN t ELSE 'other' END FROM items),
-             |cells AS (SELECT i, cat, CAST(count(*) AS BIGINT) n FROM r
-             |  GROUP BY 1, 2),
-             |pi AS (SELECT i, CAST(sum(n*n) AS BIGINT) s2 FROM cells
-             |  GROUP BY 1),
-             |tot AS (SELECT CAST(count(*) AS BIGINT) nn,
-             |    CAST(sum(s2) AS BIGINT) s FROM pi),
-             |cj AS (SELECT CAST(coalesce(sum(c2), 0) AS BIGINT) sc2 FROM
-             |  (SELECT CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT) c2
-             |   FROM cells GROUP BY cat))
-             |SELECT nn n_items, CAST(3 AS BIGINT) n_raters,
-             |  round(CAST(s - nn*3 AS DOUBLE) /
-             |    CAST(nn*3*2 AS DOUBLE), 6) p_bar,
-             |  round(CAST(sc2 AS DOUBLE) /
-             |    CAST(nn*3*nn*3 AS DOUBLE), 6) p_expected,
-             |  CASE WHEN nn*3*nn*3 = sc2 THEN NULL
-             |    ELSE round(CAST((s - nn*3)*nn*3 - 2*sc2 AS DOUBLE) /
-             |      CAST(2*(nn*3*nn*3 - sc2) AS DOUBLE), 6) END kappa
-             |FROM tot, cj""".stripMargin)),
+      Some(fleissOracleSql)),
+
+    // Streaming Fleiss' kappa (st33): x172's 3-rater panel with the
+    // (item, category) vote cells as mergeable stream state (the st31
+    // pattern one rater up), finalized batch-side — graded on x172's
+    // oracle verbatim.
+    QuerySpec("st33_stream_fleiss", (s, d) => {
+      val schema = Streams.eventsFileSchema(s, d)
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+      def deg(keep: Double, salt: String) =
+        when(graft.operators.ScaleOps.hashUniform(col("event_id"), salt)
+          < keep, col("event_type")).otherwise(lit("other"))
+      val ratings = raw
+        .filter(col("event_type").isNotNull && col("event_id") % 7 === 0)
+        .select(col("event_id").as("item"), explode(array(
+          struct(lit("gold").as("rater"), col("event_type").as("cat")),
+          struct(lit("r2").as("rater"), deg(0.7, "k2:").as("cat")),
+          struct(lit("r3").as("rater"), deg(0.85, "k3:").as("cat"))))
+          .as("r"))
+        .select(col("item"), col("r.rater").as("rater"),
+          col("r.cat").as("cat"))
+      Streams.runStreamingFleissAvailableNow(s, ratings, "item", "rater",
+        "cat", s"graft_fleiss_$run", ckpt)
+    },
+      Some(fleissOracleSql)),
 
     // Stratified k-fold assignment (x173): within each lang stratum,
     // rows rank by md5 uniform and fold = (rank-1) mod 5 — every
@@ -7268,4 +7262,47 @@ object ScaleQueries {
              |  round(least(1.0, cm), 6) p_adjusted, rk <= kk significant
              |FROM a, k ORDER BY p_rank""".stripMargin))
   )
+
+  /** Shared by x172 (batch) and st33 (streaming): one output contract —
+    * Fleiss' kappa over the md5-degraded 3-rater panel — so both grade
+    * against the identical oracle. */
+  // lazy: declared after `val all`, which captures it during its own
+  // initialization — a strict val here would be null at capture time
+  private lazy val fleissOracleSql: String =
+    """WITH items AS (SELECT event_id i, event_type t FROM events
+             |  WHERE event_type IS NOT NULL AND event_id % 7 = 0),
+             |r AS (SELECT i, 'gold' rater, t cat FROM items
+             |  UNION ALL SELECT i, 'r2', CASE WHEN
+             |    CAST(list_reduce(list_transform(range(1, 9),
+             |      x -> CAST(strpos('0123456789abcdef',
+             |        substr(md5('k2:' || CAST(i AS VARCHAR)),
+             |          CAST(x AS INT), 1)) - 1 AS BIGINT)),
+             |      (a, b) -> a*16 + b) AS DOUBLE) / 4294967296.0 < 0.7
+             |    THEN t ELSE 'other' END FROM items
+             |  UNION ALL SELECT i, 'r3', CASE WHEN
+             |    CAST(list_reduce(list_transform(range(1, 9),
+             |      x -> CAST(strpos('0123456789abcdef',
+             |        substr(md5('k3:' || CAST(i AS VARCHAR)),
+             |          CAST(x AS INT), 1)) - 1 AS BIGINT)),
+             |      (a, b) -> a*16 + b) AS DOUBLE) / 4294967296.0 < 0.85
+             |    THEN t ELSE 'other' END FROM items),
+             |cells AS (SELECT i, cat, CAST(count(*) AS BIGINT) n FROM r
+             |  GROUP BY 1, 2),
+             |pi AS (SELECT i, CAST(sum(n*n) AS BIGINT) s2 FROM cells
+             |  GROUP BY 1),
+             |tot AS (SELECT CAST(count(*) AS BIGINT) nn,
+             |    CAST(sum(s2) AS BIGINT) s FROM pi),
+             |cj AS (SELECT CAST(coalesce(sum(c2), 0) AS BIGINT) sc2 FROM
+             |  (SELECT CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT) c2
+             |   FROM cells GROUP BY cat))
+             |SELECT nn n_items, CAST(3 AS BIGINT) n_raters,
+             |  round(CAST(s - nn*3 AS DOUBLE) /
+             |    CAST(nn*3*2 AS DOUBLE), 6) p_bar,
+             |  round(CAST(sc2 AS DOUBLE) /
+             |    CAST(nn*3*nn*3 AS DOUBLE), 6) p_expected,
+             |  CASE WHEN nn*3*nn*3 = sc2 THEN NULL
+             |    ELSE round(CAST((s - nn*3)*nn*3 - 2*sc2 AS DOUBLE) /
+             |      CAST(2*(nn*3*nn*3 - sc2) AS DOUBLE), 6) END kappa
+             |FROM tot, cj""".stripMargin
+
 }

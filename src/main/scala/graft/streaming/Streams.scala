@@ -1942,4 +1942,34 @@ object Streams {
               6))
             .as("kappa"))
     }
+
+  /** STREAMING Fleiss' kappa (st33): the (item, category) vote cells are
+    * the mergeable stream state (per-micro-batch counts fold in, the
+    * st31 contingency-cells pattern one rater up), finalized batch-side
+    * by [[graft.operators.Analytics.fleissFromCells]] — the panel's
+    * multi-rater agreement updates as ratings arrive. State is bounded
+    * by items × categories (the cells census, not the ratings stream).
+    */
+  def runStreamingFleissAvailableNow(spark: SparkSession,
+                                     ratings: DataFrame, itemCol: String,
+                                     raterCol: String, categoryCol: String,
+                                     sinkName: String,
+                                     checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val q = ratings
+        .filter(col(itemCol).isNotNull && col(raterCol).isNotNull &&
+          col(categoryCol).isNotNull)
+        .select(col(itemCol).as("__i"),
+          col(categoryCol).cast("string").as("__c"))
+        .groupBy(col("__i"), col("__c"))
+        .agg(count(lit(1)).as("__n"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Analytics.fleissFromCells(
+        detachSink(spark, sinkName, checkpoint))
+    }
 }
