@@ -1110,6 +1110,70 @@ object ScaleOps {
     cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Per-group WEIGHTED exact percentiles — [[groupedPercentiles]] with
+    * per-row mass: the percentile is the smallest value whose cumulative
+    * weight reaches ⌈q·W⌉ (W = the group's total weight). The corpus
+    * metric this exists for: byte/token-weighted length percentiles
+    * ("the median BYTE lives in a document of length p50_w"), where the
+    * unweighted median is dominated by the many short docs that carry
+    * almost no mass. Same census-not-corpus shape: the window ranks the
+    * (group, value) census with summed weights, never the rows. Weights
+    * are cast to BIGINT (exact cumulative sums); non-positive and NULL
+    * weights carry no mass and are excluded.
+    * Output: (group, total_weight, p<q1>, …).
+    */
+  def groupedWeightedPercentiles(df: DataFrame, groupCol: String,
+                                 valueCol: String, weightCol: String,
+                                 qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"qs must be in (0, 1] (got $qs)")
+    val census = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        col(weightCol).isNotNull && col(weightCol) > 0)
+      .groupBy(col(groupCol), col(valueCol))
+      .agg(sum(col(weightCol).cast("long")).as("__c"))
+    val wCum = Window.partitionBy(col(groupCol))
+      .orderBy(col(valueCol).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col(groupCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = census
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    def pName(q: Double): String =
+      "p" + java.math.BigDecimal.valueOf(q).movePointRight(2)
+        .stripTrailingZeros.toPlainString.replace(".", "_") + "_w"
+    val aggs = max(col("__n")).as("total_weight") +:
+      qs.map(q => min(when(col("__cum") >= ceil(lit(q) * col("__n")),
+        col(valueCol))).as(pName(q)))
+    cum.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Per-group median absolute deviation — the robust scale estimate
+    * that pairs with [[groupedPercentiles]]' robust center: MAD =
+    * median(|v − median(v)|), immune to the outliers that inflate a
+    * standard deviation (the robust-z gate `|v − med| > k·MAD` is the
+    * standard heavy-tail outlier rule). Both medians are the ⌈n/2⌉
+    * order statistic over a CENSUS (values first, then integer absolute
+    * deviations — exact when the value column is integral), with the
+    * group medians broadcast back between the two census passes.
+    * Output: (group, n_rows, median, mad).
+    */
+  def groupedMad(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("long").as("__v"))
+    val med = groupedPercentiles(base, groupCol, "__v", Seq(0.5))
+      .select(col(groupCol), col("n_rows"), col("p50").as("median"))
+    val dev = base.join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol), abs(col("__v") - col("median")).as("__d"))
+    val mad = groupedPercentiles(dev, groupCol, "__d", Seq(0.5))
+      .select(col(groupCol), col("p50").as("mad"))
+    med.join(mad, Seq(groupCol))
+      .select(col(groupCol), col("n_rows"), col("median"), col("mad"))
+  }
+
   /** Winsorization — clip a value column to its [loQ, hiQ] exact
     * percentile cutoffs (the outlier-taming transform run before means/
     * regressions on heavy-tailed columns; pairs with

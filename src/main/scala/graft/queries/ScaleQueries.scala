@@ -7260,7 +7260,72 @@ object ScaleQueries {
              |      ROWS UNBOUNDED PRECEDING) cm FROM r)
              |SELECT doc_id, p p_value, rk p_rank,
              |  round(least(1.0, cm), 6) p_adjusted, rk <= kk significant
-             |FROM a, k ORDER BY p_rank""".stripMargin))
+             |FROM a, k ORDER BY p_rank""".stripMargin)),
+
+    // Byte-weighted length percentiles (x175): per lang, the doc-length
+    // percentiles weighted by the length itself — "the median BYTE lives
+    // in a doc of length p50_w", which the many short docs drag far
+    // below the unweighted median. Exact ceil(q*W) order statistics over
+    // the weighted census.
+    QuerySpec("x175_weighted_percentiles", (s, d) =>
+      graft.operators.ScaleOps.groupedWeightedPercentiles(
+        t(s, d, "documents")
+          .select(col("lang"), col("n_chars").cast("long").as("len"),
+            col("n_chars").cast("long").as("w")),
+        "lang", "len", "w")
+        .orderBy("lang"),
+      Some("""WITH b AS (SELECT lang g, CAST(n_chars AS BIGINT) v,
+             |    CAST(n_chars AS BIGINT) w FROM documents
+             |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+             |    AND n_chars > 0),
+             |c AS (SELECT g, v, CAST(sum(w) AS BIGINT) c FROM b
+             |  GROUP BY 1, 2),
+             |cum AS (SELECT g, v,
+             |    sum(c) OVER (PARTITION BY g ORDER BY v ASC) cum,
+             |    sum(c) OVER (PARTITION BY g) n FROM c)
+             |SELECT g lang, CAST(max(n) AS BIGINT) total_weight,
+             |  CAST(min(CASE WHEN cum >= ceil(0.5*n) THEN v END)
+             |    AS BIGINT) p50_w,
+             |  CAST(min(CASE WHEN cum >= ceil(0.9*n) THEN v END)
+             |    AS BIGINT) p90_w,
+             |  CAST(min(CASE WHEN cum >= ceil(0.99*n) THEN v END)
+             |    AS BIGINT) p99_w
+             |FROM cum GROUP BY g ORDER BY 1""".stripMargin)),
+
+    // Grouped median absolute deviation (x176): the robust scale beside
+    // x161's robust center — MAD = median(|v - median|) per priority
+    // over order cents, exact integer order statistics census-side.
+    QuerySpec("x176_grouped_mad", (s, d) =>
+      graft.operators.ScaleOps.groupedMad(
+        t(s, d, "orders")
+          .select(col("o_orderpriority"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
+        "o_orderpriority", "cents")
+        .orderBy("o_orderpriority"),
+      Some("""WITH b AS (SELECT o_orderpriority g,
+             |    CAST(round(o_totalprice*100, 0) AS BIGINT) v FROM orders
+             |  WHERE o_orderpriority IS NOT NULL
+             |    AND o_totalprice IS NOT NULL),
+             |c AS (SELECT g, v, CAST(count(*) AS BIGINT) c FROM b
+             |  GROUP BY 1, 2),
+             |cum AS (SELECT g, v,
+             |    sum(c) OVER (PARTITION BY g ORDER BY v ASC) cum,
+             |    sum(c) OVER (PARTITION BY g) n FROM c),
+             |med AS (SELECT g, CAST(max(n) AS BIGINT) n_rows,
+             |    CAST(min(CASE WHEN cum >= ceil(0.5*n) THEN v END)
+             |      AS BIGINT) m FROM cum GROUP BY g),
+             |d2 AS (SELECT b.g, abs(b.v - med.m) dv FROM b
+             |  JOIN med ON b.g = med.g),
+             |c2 AS (SELECT g, dv, CAST(count(*) AS BIGINT) c FROM d2
+             |  GROUP BY 1, 2),
+             |cum2 AS (SELECT g, dv,
+             |    sum(c) OVER (PARTITION BY g ORDER BY dv ASC) cum,
+             |    sum(c) OVER (PARTITION BY g) n FROM c2),
+             |mad AS (SELECT g, CAST(min(CASE WHEN cum >= ceil(0.5*n)
+             |    THEN dv END) AS BIGINT) mad FROM cum2 GROUP BY g)
+             |SELECT med.g o_orderpriority, med.n_rows,
+             |  med.m "median", mad.mad
+             |FROM med JOIN mad ON med.g = mad.g ORDER BY 1""".stripMargin))
   )
 
   /** Shared by x172 (batch) and st33 (streaming): one output contract —

@@ -1230,6 +1230,32 @@ class ScaleNativeSpec extends SparkSpec {
     assert(got == Seq(("a", 10L, 5L, 9L, 10L), ("b", 4L, 1L, 9L, 9L)))
   }
 
+  test("groupedWeightedPercentiles: mass moves the percentile where the " +
+    "unweighted one stays put; zero/negative weights carry no mass") {
+    // 9 rows of value 1 (weight 1 each) + 1 row of value 100 (weight 91):
+    // unweighted median 1; weighted median 100 (the heavy row holds 91
+    // of 100 mass)
+    val df = ((1 to 9).map(_ => ("a", 1L, 1L)) ++
+      Seq(("a", 100L, 91L), ("a", 7L, 0L), ("a", 8L, -3L)))
+      .toDF("g", "v", "w")
+    val got = ScaleOps.groupedWeightedPercentiles(df, "g", "v", "w",
+        Seq(0.5)).as[(String, Long, Long)].collect().head
+    assert(got == ("a", 100L, 100L)) // total weight 100, p50_w = 100
+    val un = ScaleOps.groupedPercentiles(df.select("g", "v"), "g", "v",
+        Seq(0.5)).as[(String, Long, Long)].collect().head
+    assert(un._3 == 1L) // unweighted median: the nine 1s dominate
+  }
+
+  test("groupedMad: robust center and scale immune to one huge outlier") {
+    // values 10,12,14,16,18 + outlier 1000: median 15? ceil-convention:
+    // sorted 10,12,14,16,18,1000, n=6, ceil(3)=3rd -> 14; |v-14| =
+    // 4,2,0,2,4,986 -> sorted 0,2,2,4,4,986 -> mad = 3rd = 2
+    val df = Seq(10L, 12L, 14L, 16L, 18L, 1000L).map(("a", _)).toDF("g", "v")
+    val got = ScaleOps.groupedMad(df, "g", "v")
+      .as[(String, Long, Long, Long)].collect().head
+    assert(got == ("a", 6L, 14L, 2L))
+  }
+
   test("winsorize: tails clipped to exact [p5, p95] cutoffs, interior " +
     "rows untouched, nulls preserved") {
     val df = ((1L to 100L).map(v => (v, Some(v))) :+
