@@ -150,10 +150,29 @@ case class RunningSumExec(groupExprs: Seq[Expression],
         case x => x
       }
     }
-    // pin the shuffled layout: pass 1 and pass 2 must see identical
-    // partition contents even if the child is nondeterministic and a
-    // block is lost (then this FAILS, it does not corrupt)
-    val childRDD = child.execute().map(_.copy()).localCheckpoint()
+    // pass 1 and pass 2 must see identical partition contents. The
+    // post-shuffle RDD is always flagged UNORDERED (fetch interleave),
+    // but this exec re-sorts by a TOTAL order (caller contract:
+    // tie-free), so replayed partition contents are value-identical as
+    // long as every shuffle ancestor's MAP side replays identically —
+    // then the two passes simply re-read the shuffle files: no copy, no
+    // cache, no doubled storage at 100 TB. A genuinely nondeterministic
+    // lineage (sampled/random source) is pinned with a localCheckpoint
+    // instead: rows are copied into block storage, and a lost block
+    // FAILS (truncated lineage) rather than silently recomputing into
+    // different partition contents than the collected offsets (r10
+    // ADVICE).
+    // policy (spark.graft.runningSum.pin): "auto" re-reads when safe,
+    // "always" pins unconditionally — the memory-vs-resort trade is
+    // measured in PERF.md r11 (pinning re-reads cached sorted rows;
+    // re-reading re-runs the sort in pass 2 but never doubles storage)
+    val pinPolicy = conf.getConfString("spark.graft.runningSum.pin", "auto")
+    val raw = child.execute()
+    val childRDD =
+      if (pinPolicy != "always" &&
+          org.apache.spark.sql.graftshim.RddShim.mapSideDeterminate(raw))
+        raw
+      else raw.map(_.copy()).localCheckpoint()
     val grouped = boundGroups.nonEmpty
     // pass 1: boundary totals — one job, metadata-scale collect
     val boundaries: Array[Option[RunningSumBoundary]] = childRDD.mapPartitions { it =>

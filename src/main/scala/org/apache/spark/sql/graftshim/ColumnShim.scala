@@ -24,6 +24,37 @@ object ColumnShim {
   }
 }
 
+/** Bridge to the `private[spark]` RDD determinism tracker: whether a
+  * recomputed partition is guaranteed byte-identical (DETERMINATE) — the
+  * condition under which a two-pass physical operator may re-read its
+  * shuffled child without pinning it first.
+  */
+object RddShim {
+  def isDeterminate(rdd: org.apache.spark.rdd.RDD[_]): Boolean =
+    rdd.outputDeterministicLevel ==
+      org.apache.spark.rdd.DeterministicLevel.DETERMINATE
+
+  /** Whether every shuffle ancestor's MAP side is DETERMINATE. A
+    * post-shuffle RDD is always flagged UNORDERED (reducers fetch map
+    * outputs in arbitrary interleave), which over-condemns operators
+    * that re-sort by a TOTAL order above the exchange: there the reduce
+    * fetch order is irrelevant and replayed partition CONTENTS are
+    * value-identical as long as the map side replays identically —
+    * which is exactly what this checks (the range partitioner's
+    * boundaries are captured in the dependency, not resampled on
+    * retry).
+    */
+  def mapSideDeterminate(rdd: org.apache.spark.rdd.RDD[_]): Boolean = {
+    def walk(r: org.apache.spark.rdd.RDD[_]): Boolean =
+      r.dependencies.forall {
+        case s: org.apache.spark.ShuffleDependency[_, _, _] =>
+          isDeterminate(s.rdd)
+        case n => walk(n.rdd)
+      }
+    walk(rdd)
+  }
+}
+
 /** Bridge to the `private[sql]` Dataset/LogicalPlan constructors, for
   * planting custom logical nodes (graft.plans.RunningSumPlan) into a
   * DataFrame. Same access-qualifier-only rationale as [[ColumnShim]].
