@@ -1174,6 +1174,36 @@ object ScaleOps {
       .select(col(groupCol), col("n_rows"), col("median"), col("mad"))
   }
 
+  /** Robust-z outlier gate — the decision rule [[groupedMad]] exists
+    * for: flag rows where |v − median| > k·MAD, per group (the
+    * heavy-tail-safe replacement for mean±kσ, which one outlier inflates
+    * until it hides itself; k ≈ 3.5 corresponds to the classic modified
+    * z-score cutoff with the 1.4826 normal-consistency factor folded
+    * into k). Comparison is PURE INTEGER for integral values
+    * (|v−med| > k·MAD cross-checked as |v−med|·10 > ⌈k·10⌉·MAD when k
+    * has one decimal — here exact by construction: the caller passes
+    * k10 = 10·k as a long). Groups whose MAD is 0 (over half the mass on
+    * the median) flag every off-median row — the degenerate-but-correct
+    * reading. Output: input columns + `is_outlier`.
+    *
+    * Scale: [[groupedMad]]'s two census passes + one broadcast join back
+    * onto a map-side scan — the corpus is read once more, never
+    * shuffled.
+    */
+  def robustZOutliers(df: DataFrame, groupCol: String, valueCol: String,
+                      k10: Long = 35L): DataFrame = {
+    require(k10 >= 1, s"k10 must be >= 1 (got $k10)")
+    val stats = groupedMad(df, groupCol, valueCol)
+      .select(col(groupCol), col("median").as("__med"),
+        col("mad").as("__mad"))
+    df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .join(broadcast(stats), Seq(groupCol))
+      .withColumn("is_outlier",
+        abs(col(valueCol).cast("long") - col("__med")) * 10L >
+          lit(k10) * col("__mad"))
+      .drop("__med", "__mad")
+  }
+
   /** Winsorization — clip a value column to its [loQ, hiQ] exact
     * percentile cutoffs (the outlier-taming transform run before means/
     * regressions on heavy-tailed columns; pairs with

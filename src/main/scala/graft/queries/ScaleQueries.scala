@@ -7325,7 +7325,52 @@ object ScaleQueries {
              |    THEN dv END) AS BIGINT) mad FROM cum2 GROUP BY g)
              |SELECT med.g o_orderpriority, med.n_rows,
              |  med.m "median", mad.mad
-             |FROM med JOIN mad ON med.g = mad.g ORDER BY 1""".stripMargin))
+             |FROM med JOIN mad ON med.g = mad.g ORDER BY 1""".stripMargin)),
+
+    // Robust-z outlier gate (x177): flag order totals with
+    // |v - median| > 3.5 * MAD per priority — x176's decision rule,
+    // pure-integer comparison (|dv|*10 > 35*MAD); graded as the
+    // per-priority flagged census with a value-range audit.
+    QuerySpec("x177_robust_outliers", (s, d) =>
+      graft.operators.ScaleOps.robustZOutliers(
+        t(s, d, "orders")
+          .select(col("o_orderpriority"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
+        "o_orderpriority", "cents", k10 = 35L)
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+          min(when(col("is_outlier"), col("cents"))).as("lo_outlier"),
+          max(when(col("is_outlier"), col("cents"))).as("hi_outlier"))
+        .orderBy("o_orderpriority"),
+      Some("""WITH b AS (SELECT o_orderpriority g,
+             |    CAST(round(o_totalprice*100, 0) AS BIGINT) v FROM orders
+             |  WHERE o_orderpriority IS NOT NULL
+             |    AND o_totalprice IS NOT NULL),
+             |c AS (SELECT g, v, CAST(count(*) AS BIGINT) c FROM b
+             |  GROUP BY 1, 2),
+             |cum AS (SELECT g, v,
+             |    sum(c) OVER (PARTITION BY g ORDER BY v ASC) cum,
+             |    sum(c) OVER (PARTITION BY g) n FROM c),
+             |med AS (SELECT g, CAST(min(CASE WHEN cum >= ceil(0.5*n)
+             |    THEN v END) AS BIGINT) m FROM cum GROUP BY g),
+             |d2 AS (SELECT b.g, b.v, abs(b.v - med.m) dv FROM b
+             |  JOIN med ON b.g = med.g),
+             |c2 AS (SELECT g, dv, CAST(count(*) AS BIGINT) c FROM d2
+             |  GROUP BY 1, 2),
+             |cum2 AS (SELECT g, dv,
+             |    sum(c) OVER (PARTITION BY g ORDER BY dv ASC) cum,
+             |    sum(c) OVER (PARTITION BY g) n FROM c2),
+             |mad AS (SELECT g, CAST(min(CASE WHEN cum >= ceil(0.5*n)
+             |    THEN dv END) AS BIGINT) mad FROM cum2 GROUP BY g),
+             |f AS (SELECT d2.g, d2.v, d2.dv * 10 > 35 * mad.mad fl
+             |  FROM d2 JOIN mad ON d2.g = mad.g)
+             |SELECT g o_orderpriority, CAST(count(*) AS BIGINT) n,
+             |  CAST(sum(CASE WHEN fl THEN 1 ELSE 0 END) AS BIGINT)
+             |    n_outliers,
+             |  CAST(min(CASE WHEN fl THEN v END) AS BIGINT) lo_outlier,
+             |  CAST(max(CASE WHEN fl THEN v END) AS BIGINT) hi_outlier
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
   )
 
   /** Shared by x172 (batch) and st33 (streaming): one output contract —

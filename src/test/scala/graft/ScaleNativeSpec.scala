@@ -1256,6 +1256,23 @@ class ScaleNativeSpec extends SparkSpec {
     assert(got == ("a", 6L, 14L, 2L))
   }
 
+  test("robustZOutliers: only the planted outlier crosses 3.5 MAD; the " +
+    "gate is unmoved by the outlier's own magnitude") {
+    // base cluster 10..18 (median 14, MAD 2): cutoff |v-14| > 7
+    val df = (Seq(10L, 12L, 14L, 16L, 18L, 1000L)).map(("a", _))
+      .toDF("g", "v")
+    val got = ScaleOps.robustZOutliers(df, "g", "v")
+      .orderBy("v").as[(String, Long, Boolean)].collect().toSeq
+    assert(got.map(_._3) == Seq(false, false, false, false, false, true))
+    // same decision if the outlier is 10x larger — a mean±kσ gate would
+    // have moved (σ inflates with the outlier), the robust gate does not
+    val df2 = (Seq(10L, 12L, 14L, 16L, 18L, 10000L)).map(("a", _))
+      .toDF("g", "v")
+    val got2 = ScaleOps.robustZOutliers(df2, "g", "v")
+      .orderBy("v").as[(String, Long, Boolean)].collect().toSeq
+    assert(got2.map(_._3) == got.map(_._3))
+  }
+
   test("winsorize: tails clipped to exact [p5, p95] cutoffs, interior " +
     "rows untouched, nulls preserved") {
     val df = ((1L to 100L).map(v => (v, Some(v))) :+
