@@ -19,6 +19,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(SortedArrayIntersectCount.registration)
     ext.injectFunction(NfcNormalize.registration)
     ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRule)
+    ext.injectOptimizerRule(_ => graft.plans.GlobalRankRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.RunningSumStrategy)
   }
 }

@@ -243,6 +243,37 @@ class ExtensionRuleSpec extends SparkSpec {
       Some(2.0)))
   }
 
+  test("GlobalRankRewrite: a SQL global row_number plans as the native " +
+    "exec (no Window, no SinglePartition), values identical; " +
+    "partitioned and non-row_number windows are untouched") {
+    val df = spark.range(0, 300).select(col("id").as("rid"),
+      ((col("id") * 23) % 71).as("v"))
+    df.createOrReplaceTempView("grr_t")
+    val sql = "SELECT rid, v, row_number() OVER (ORDER BY v DESC, rid) " +
+      "AS rnk FROM grr_t"
+    val got = spark.sql(sql)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("RunningSum"), plan)
+    assert(!plan.contains("Window") && !plan.contains("SinglePartition"),
+      s"global row_number must not gather:\n$plan")
+    // values equal the window semantics (computed via the exec-free
+    // sort-and-zip reference)
+    val ref = df.orderBy(col("v").desc, col("rid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).zipWithIndex
+      .map { case ((rid, v), i) => (rid, v, i + 1) }.toSeq
+    assert(got.orderBy(col("v").desc, col("rid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .toSeq == ref)
+    // a PARTITIONED row_number keeps Spark's window machinery
+    val p = spark.sql("SELECT rid, row_number() OVER (PARTITION BY v % 2 " +
+      "ORDER BY rid) AS r FROM grr_t")
+    assert(p.queryExecution.executedPlan.toString.contains("Window"))
+    // a global SUM window keeps Spark's window machinery
+    val sm = spark.sql("SELECT rid, sum(v) OVER (ORDER BY v, rid ROWS " +
+      "UNBOUNDED PRECEDING) AS s FROM grr_t")
+    assert(sm.queryExecution.executedPlan.toString.contains("Window"))
+  }
+
   test("ScaleOps kernels route through the native exec by default and " +
     "produce identical results to the DataFrame choreography") {
     val df = spark.range(0, 400).select(
