@@ -21,7 +21,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     mid-mutation leaves a lock whose age exceeds `staleLockMs`; the
   *     next acquirer breaks it (the mutation itself is still safe to
   *     re-run — every wrapped mutator is idempotent per its own
-  *     crash-recovery contract). Object stores without atomic create
+  *     crash-recovery contract). A LIVE holder heartbeats the lock's
+  *     mtime at staleLockMs/4, so a slow mutation is never mistaken for
+  *     a dead one — only a truly crashed writer's lock ages past the
+  *     break threshold. Object stores without atomic create
   *     (e.g. S3) need a coordination service here — the exact caveat
   *     Delta's LogStore documents; HDFS-compatible stores work as-is.
   *  2. **A sequenced commit manifest** — after the mutation, [[record]]
@@ -173,11 +176,30 @@ object TableLog {
     jl.lock()
     try {
       val lockP = acquireFsLock(fs, root, action, waitMs, staleLockMs)
+      // heartbeat: a LIVE holder whose mutation outlasts staleLockMs must
+      // not look dead — refresh the lock's mtime at staleLockMs/4 so only
+      // a truly crashed writer's lock ever ages past the break threshold
+      val hb = new Thread(() => {
+        try {
+          while (!Thread.currentThread().isInterrupted) {
+            Thread.sleep(math.max(1000L, staleLockMs / 4))
+            fs.setTimes(lockP, System.currentTimeMillis(), -1)
+          }
+        } catch {
+          case _: InterruptedException => ()
+          case _: java.io.IOException => () // lock already released
+        }
+      }, s"graft-tablelog-heartbeat-$action")
+      hb.setDaemon(true)
+      hb.start()
       try {
         val r = body
         record(spark, tableRoot, action, touched(r))
         r
-      } finally fs.delete(lockP, false)
+      } finally {
+        hb.interrupt()
+        fs.delete(lockP, false)
+      }
     } finally jl.unlock()
   }
 

@@ -838,4 +838,36 @@ class DedupMergeSpec extends SparkSpec {
     assert(!fs.exists(lockP), "lock must be released after commit")
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
+
+  test("TableLog heartbeat: a slow LIVE holder keeps its lock fresh, so " +
+    "it can never be mistaken for a crashed writer") {
+    import graft.operators.TableLog
+    val root = java.nio.file.Files.createTempDirectory("graft_txhb")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(root))
+    val lockP = new org.apache.hadoop.fs.Path(root, "_graft_log/_lock")
+    val holder = new Thread(() =>
+      TableLog.withExclusive(spark, root, "slow",
+        staleLockMs = 4000L) { Thread.sleep(5500); () }(_ => Seq.empty))
+    holder.start()
+    Thread.sleep(1200) // let the lock appear
+    val ages = scala.collection.mutable.ArrayBuffer[Long]()
+    while (holder.isAlive) {
+      if (fs.exists(lockP))
+        ages += System.currentTimeMillis() -
+          fs.getFileStatus(lockP).getModificationTime
+      Thread.sleep(500)
+    }
+    holder.join(10000)
+    // the mutation ran well past staleLockMs, but the heartbeat
+    // (staleLockMs/4 = 1 s) kept observed lock age far below it
+    assert(ages.nonEmpty, "never observed the live lock")
+    assert(ages.max < 3000L,
+      s"heartbeat failed to keep the lock fresh (max age ${ages.max} ms)")
+    assert(TableLog.currentVersion(spark, root) == 1L)
+    assert(!fs.exists(lockP))
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
 }
