@@ -1124,14 +1124,22 @@ object ScaleOps {
     */
   def groupedWeightedPercentiles(df: DataFrame, groupCol: String,
                                  valueCol: String, weightCol: String,
-                                 qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
-    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
-      s"qs must be in (0, 1] (got $qs)")
-    val census = df
+                                 qs: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame =
+    weightedPercentilesFromCensus(df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
         col(weightCol).isNotNull && col(weightCol) > 0)
       .groupBy(col(groupCol), col(valueCol))
-      .agg(sum(col(weightCol).cast("long")).as("__c"))
+      .agg(sum(col(weightCol).cast("long")).as("__c")),
+      groupCol, valueCol, qs)
+
+  /** [[groupedWeightedPercentiles]]' finalization over a pre-built
+    * (group, value, `__c` summed-weight) census — split out so the
+    * census can be maintained as STREAMING state (st34) and finalized as
+    * a cheap batch, the hllFinalize convention. */
+  private[graft] def weightedPercentilesFromCensus(census: DataFrame,
+      groupCol: String, valueCol: String, qs: Seq[Double]): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q > 0 && q <= 1),
+      s"qs must be in (0, 1] (got $qs)")
     val wCum = Window.partitionBy(col(groupCol))
       .orderBy(col(valueCol).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -7274,23 +7274,25 @@ object ScaleQueries {
             col("n_chars").cast("long").as("w")),
         "lang", "len", "w")
         .orderBy("lang"),
-      Some("""WITH b AS (SELECT lang g, CAST(n_chars AS BIGINT) v,
-             |    CAST(n_chars AS BIGINT) w FROM documents
-             |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
-             |    AND n_chars > 0),
-             |c AS (SELECT g, v, CAST(sum(w) AS BIGINT) c FROM b
-             |  GROUP BY 1, 2),
-             |cum AS (SELECT g, v,
-             |    sum(c) OVER (PARTITION BY g ORDER BY v ASC) cum,
-             |    sum(c) OVER (PARTITION BY g) n FROM c)
-             |SELECT g lang, CAST(max(n) AS BIGINT) total_weight,
-             |  CAST(min(CASE WHEN cum >= ceil(0.5*n) THEN v END)
-             |    AS BIGINT) p50_w,
-             |  CAST(min(CASE WHEN cum >= ceil(0.9*n) THEN v END)
-             |    AS BIGINT) p90_w,
-             |  CAST(min(CASE WHEN cum >= ceil(0.99*n) THEN v END)
-             |    AS BIGINT) p99_w
-             |FROM cum GROUP BY g ORDER BY 1""".stripMargin)),
+      Some(weightedPctOracleSql)),
+
+    // Streaming byte-weighted percentiles (st34): x175's weighted census
+    // as mergeable stream state, finalized batch-side — graded on x175's
+    // oracle verbatim.
+    QuerySpec("st34_stream_weighted_pct", (s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+        .select(col("lang"), col("n_chars").cast("long").as("len"),
+          col("n_chars").cast("long").as("w"))
+      Streams.runStreamingWeightedPercentilesAvailableNow(s, raw, "lang",
+        "len", "w", Seq(0.5, 0.9, 0.99), s"graft_wpct_$run", ckpt)
+        .orderBy("lang")
+    },
+      Some(weightedPctOracleSql)),
 
     // Grouped median absolute deviation (x176): the robust scale beside
     // x161's robust center — MAD = median(|v - median|) per priority
@@ -7376,6 +7378,28 @@ object ScaleQueries {
   /** Shared by x172 (batch) and st33 (streaming): one output contract —
     * Fleiss' kappa over the md5-degraded 3-rater panel — so both grade
     * against the identical oracle. */
+  /** Shared by x175 (batch) and st34 (streaming): one output contract —
+    * byte-weighted length percentiles per lang. Lazy for the same
+    * initialization-order reason as [[fleissOracleSql]]. */
+  private lazy val weightedPctOracleSql: String =
+    """WITH b AS (SELECT lang g, CAST(n_chars AS BIGINT) v,
+      |    CAST(n_chars AS BIGINT) w FROM documents
+      |  WHERE lang IS NOT NULL AND n_chars IS NOT NULL
+      |    AND n_chars > 0),
+      |c AS (SELECT g, v, CAST(sum(w) AS BIGINT) c FROM b
+      |  GROUP BY 1, 2),
+      |cum AS (SELECT g, v,
+      |    sum(c) OVER (PARTITION BY g ORDER BY v ASC) cum,
+      |    sum(c) OVER (PARTITION BY g) n FROM c)
+      |SELECT g lang, CAST(max(n) AS BIGINT) total_weight,
+      |  CAST(min(CASE WHEN cum >= ceil(0.5*n) THEN v END)
+      |    AS BIGINT) p50_w,
+      |  CAST(min(CASE WHEN cum >= ceil(0.9*n) THEN v END)
+      |    AS BIGINT) p90_w,
+      |  CAST(min(CASE WHEN cum >= ceil(0.99*n) THEN v END)
+      |    AS BIGINT) p99_w
+      |FROM cum GROUP BY g ORDER BY 1""".stripMargin
+
   // lazy: declared after `val all`, which captures it during its own
   // initialization — a strict val here would be null at capture time
   private lazy val fleissOracleSql: String =

@@ -1943,6 +1943,33 @@ object Streams {
             .as("kappa"))
     }
 
+  /** STREAMING byte-weighted percentiles (st34): the (group, value) →
+    * summed-weight census is the mergeable stream state (bounded by
+    * group × value cardinality, not the row stream), finalized
+    * batch-side by
+    * [[graft.operators.ScaleOps.weightedPercentilesFromCensus]] — the
+    * mass-weighted length profile updates as documents arrive.
+    */
+  def runStreamingWeightedPercentilesAvailableNow(spark: SparkSession,
+      rows: DataFrame, groupCol: String, valueCol: String,
+      weightCol: String, qs: Seq[Double], sinkName: String,
+      checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val q = rows
+        .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+          col(weightCol).isNotNull && col(weightCol) > 0)
+        .groupBy(col(groupCol), col(valueCol))
+        .agg(sum(col(weightCol).cast("long")).as("__c"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.ScaleOps.weightedPercentilesFromCensus(
+        detachSink(spark, sinkName, checkpoint), groupCol, valueCol, qs)
+    }
+
   /** STREAMING Fleiss' kappa (st33): the (item, category) vote cells are
     * the mergeable stream state (per-micro-batch counts fold in, the
     * st31 contingency-cells pattern one rater up), finalized batch-side
