@@ -638,13 +638,21 @@ object Analytics {
     * columns: observed cell counts vs the independence expectation
     * `rowTot·colTot/N`, `χ² = Σ (o−e)²/e` — the drift / association
     * screen between e.g. source and label, or event type and weekday.
+    * Computed via the algebraic identity `χ² = Σ o²/e − N`, which is
+    * exact INCLUDING structural-zero cells: a (a,b) combination absent
+    * from the census contributes (0−e)²/e = e to the naive sum, and the
+    * identity folds all those e's into the −N term (Σ_all e = N) —
+    * summing (o−e)²/e over only the observed cells would understate χ²
+    * on sparse tables (caught by the perfect-dependence 2×2, where half
+    * the cells are structural zeros).
     *
     * Determinism: all counts are exact BIGINTs; each cell's e and term
     * derive through IEEE divisions in a fixed association, and the final
     * Σ over cells is an ordered fold over the (a,b)-sorted cell list —
-    * bitwise reproducible. NULLs in either column are excluded
-    * (documented; a null category has no margin). Output also carries
-    * the degrees of freedom (r_a−1)(r_b−1).
+    * bitwise reproducible (the tiny negative that float cancellation can
+    * leave at exact independence is clamped at 0). NULLs in either
+    * column are excluded (documented; a null category has no margin).
+    * Output also carries the degrees of freedom (r_a−1)(r_b−1).
     *
     * Scale shape: one (a,b) census off the fact (map-side combinable),
     * margins and N are re-aggregations of that census (never of the
@@ -670,16 +678,109 @@ object Analytics {
         col("__ra").cast("double") * col("__rb").cast("double") /
           col("__n").cast("double"))
       .withColumn("__t",
-        (col("__o").cast("double") - col("__e")) *
-          (col("__o").cast("double") - col("__e")) / col("__e"))
+        col("__o").cast("double") * col("__o").cast("double") / col("__e"))
     val out = terms.agg(
         first(col("__n")).as("n"),
         first(col("__da")).as("r_a"),
         first(col("__db")).as("r_b"),
         ((first(col("__da")) - 1) * (first(col("__db")) - 1)).as("dof"),
-        round(aggregate(
+        round(greatest(lit(0.0), aggregate(
           array_sort(collect_list(struct(col("__a"), col("__b"), col("__t")))),
-          lit(0.0), (acc, x) => acc + x("__t")), 6).as("chi2"))
+          lit(0.0), (acc, x) => acc + x("__t")) -
+          first(col("__n")).cast("double")), 6).as("chi2"))
+    val collected = out.localCheckpoint(true)
+    releaseCells()
+    collected
+  }
+
+  /** Mutual information between two categorical columns, with its
+    * normalized form and Cramér's V — the three standard strengths of
+    * association that [[chiSquareIndependence]]'s χ² (a significance
+    * statistic, which grows with n even for a fixed weak association)
+    * deliberately is not. The feature-selection screen run before
+    * committing a categorical feature to a training mix:
+    *   MI    = Σ_cells (o/n)·ln(o·n / (ra·rb))            (nats)
+    *   NMI   = MI / √(H(A)·H(B))                          (∈ [0,1])
+    *   V     = √(χ² / (n·min(r_a−1, r_b−1)))              (∈ [0,1])
+    * where H(·) are the marginal entropies (ln n − Σ m·ln m / n).
+    *
+    * Determinism: every count is an exact BIGINT off the (a,b) census;
+    * each cell's MI and χ² terms derive through a fixed IEEE
+    * association, and all three Σ (cells for MI/χ², each margin for its
+    * entropy) are ordered folds over key-sorted lists — bitwise
+    * reproducible regardless of partitioning. NULLs in either column
+    * are excluded (a null category has no margin, the
+    * [[chiSquareIndependence]] ruling). NMI is NULL when either margin
+    * is degenerate (single category ⇒ zero entropy); V is NULL when
+    * min(r_a, r_b) = 1 (χ² is identically 0 there and 0/0 has no
+    * reading). Output: one row (n, r_a, r_b, mi_nats, nmi, cramers_v),
+    * doubles rounded to 6.
+    *
+    * Scale shape: identical to [[chiSquareIndependence]] — one
+    * map-side-combinable (a,b) census off the fact, margins and totals
+    * re-aggregated from the census (never the fact), folds over
+    * |cells| + |margins| rows on one row.
+    */
+  def mutualInformation(df: DataFrame, aCol: String,
+                        bCol: String): DataFrame = {
+    val cells0 = df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).cast("string").as("__a"),
+        col(bCol).cast("string").as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val (cells, releaseCells) = Checkpoints.tracked(cells0)
+    val rowTot = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val colTot = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__rb"))
+    val totals = cells.agg(sum(col("__o")).as("__n"),
+      countDistinct(col("__a")).as("__da"),
+      countDistinct(col("__b")).as("__db"))
+    // one ordered fold per margin: Σ m·ln m, the entropy's only float sum
+    def marginFold(m: DataFrame, key: String, tot: String, out: String) =
+      m.withColumn("__ml",
+          col(tot).cast("double") * log(col(tot).cast("double")))
+        .agg(aggregate(array_sort(collect_list(struct(col(key), col("__ml")))),
+          lit(0.0), (acc, x) => acc + x("__ml")).as(out))
+    val terms = cells
+      .join(rowTot, "__a").join(colTot, "__b")
+      .crossJoin(broadcast(totals))
+      .withColumn("__e",
+        col("__ra").cast("double") * col("__rb").cast("double") /
+          col("__n").cast("double"))
+      // χ² via Σ o²/e − N (the [[chiSquareIndependence]] identity —
+      // exact including structural-zero cells, which MI's o·ln o terms
+      // vacuously skip but a (o−e)²/e sum would silently drop)
+      .withColumn("__x2",
+        col("__o").cast("double") * col("__o").cast("double") / col("__e"))
+      .withColumn("__mi",
+        col("__o").cast("double") *
+          (log(col("__o").cast("double")) + log(col("__n").cast("double")) -
+            log(col("__ra").cast("double")) - log(col("__rb").cast("double"))))
+    val folded = terms.agg(
+      first(col("__n")).as("n"),
+      first(col("__da")).as("r_a"),
+      first(col("__db")).as("r_b"),
+      aggregate(
+        array_sort(collect_list(struct(col("__a"), col("__b"), col("__mi")))),
+        lit(0.0), (acc, x) => acc + x("__mi")).as("__smi"),
+      aggregate(
+        array_sort(collect_list(struct(col("__a"), col("__b"), col("__x2")))),
+        lit(0.0), (acc, x) => acc + x("__x2")).as("__sx2"))
+    val out = folded
+      .crossJoin(broadcast(marginFold(rowTot, "__a", "__ra", "__sa")))
+      .crossJoin(broadcast(marginFold(colTot, "__b", "__rb", "__sb")))
+      .withColumn("__nd", col("n").cast("double"))
+      .withColumn("__mi", col("__smi") / col("__nd"))
+      .withColumn("__ha", log(col("__nd")) - col("__sa") / col("__nd"))
+      .withColumn("__hb", log(col("__nd")) - col("__sb") / col("__nd"))
+      .select(col("n"), col("r_a"), col("r_b"),
+        round(col("__mi"), 6).as("mi_nats"),
+        round(when(col("__ha") > 0 && col("__hb") > 0,
+          col("__mi") / sqrt(col("__ha") * col("__hb"))), 6).as("nmi"),
+        round(when(least(col("r_a"), col("r_b")) > 1,
+          sqrt(greatest(lit(0.0), col("__sx2") - col("__nd")) /
+            (col("__nd") *
+              (least(col("r_a"), col("r_b")) - 1).cast("double")))), 6)
+          .as("cramers_v"))
     val collected = out.localCheckpoint(true)
     releaseCells()
     collected

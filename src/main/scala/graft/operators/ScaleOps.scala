@@ -1168,16 +1168,37 @@ object ScaleOps {
     * Output: (group, n_rows, median, mad).
     */
   def groupedMad(df: DataFrame, groupCol: String,
-                 valueCol: String): DataFrame = {
-    val base = df
+                 valueCol: String): DataFrame =
+    madFromCensus(df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
       .select(col(groupCol), col(valueCol).cast("long").as("__v"))
-    val med = groupedPercentiles(base, groupCol, "__v", Seq(0.5))
-      .select(col(groupCol), col("n_rows"), col("p50").as("median"))
-    val dev = base.join(broadcast(med), Seq(groupCol))
-      .select(col(groupCol), abs(col("__v") - col("median")).as("__d"))
-    val mad = groupedPercentiles(dev, groupCol, "__d", Seq(0.5))
-      .select(col(groupCol), col("p50").as("mad"))
+      .groupBy(col(groupCol), col("__v"))
+      .agg(count(lit(1)).as("__c")),
+      groupCol)
+
+  /** [[groupedMad]]'s finalization over a pre-built (group, `__v` long
+    * value, `__c` BIGINT count) census — split out so the census can be
+    * maintained as STREAMING state (st35) and finalized as a cheap
+    * batch, the [[weightedPercentilesFromCensus]] convention. Both
+    * medians are census-side order statistics: the value median directly
+    * off the census, the deviation median off the DERIVED census
+    * (|v − med| with the same counts, re-summed — never the rows; the
+    * deviation census is at most census-sized). Output matches
+    * [[groupedMad]] bit-for-bit: (group, n_rows, median, mad).
+    */
+  private[graft] def madFromCensus(census: DataFrame,
+                                   groupCol: String): DataFrame = {
+    val med = weightedPercentilesFromCensus(census, groupCol, "__v", Seq(0.5))
+      .select(col(groupCol), col("total_weight").as("n_rows"),
+        col("p50_w").as("median"))
+    val devCensus = census.join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol), abs(col("__v") - col("median")).as("__d"),
+        col("__c"))
+      .groupBy(col(groupCol), col("__d"))
+      .agg(sum(col("__c")).as("__c"))
+    val mad = weightedPercentilesFromCensus(devCensus, groupCol, "__d",
+        Seq(0.5))
+      .select(col(groupCol), col("p50_w").as("mad"))
     med.join(mad, Seq(groupCol))
       .select(col(groupCol), col("n_rows"), col("median"), col("mad"))
   }
@@ -1210,6 +1231,77 @@ object ScaleOps {
         abs(col(valueCol).cast("long") - col("__med")) * 10L >
           lit(k10) * col("__mad"))
       .drop("__med", "__mad")
+  }
+
+  /** Split-conformal prediction intervals per group — the
+    * distribution-free uncertainty wrapper around any point predictor
+    * (here the group's robust center, [[groupedMad]]'s median): rows
+    * split deterministically into a calibration and a test half by the
+    * md5-uniform on their id (the [[stratifiedSplit]] coin — u32 <
+    * 2³¹ ⇒ calibration; engine-independent, consistent under appends),
+    * the nonconformity score is |v − median_cal|, and
+    *   q̂ = the ⌈(1−α)·(n_cal+1)⌉-th smallest calibration score
+    * (the finite-sample conformal rank — the +1 is what buys the
+    * marginal coverage ≥ 1−α guarantee under exchangeability). Output
+    * per group: n_cal, n_test, qhat (the interval half-width, exact
+    * BIGINT for integral values), and the measured coverage on the
+    * held-out half. qhat and coverage are NULL when the conformal rank
+    * exceeds n_cal (the interval is formally infinite — tiny groups).
+    *
+    * Determinism: the split is a pure md5 integer comparison; both
+    * order statistics (median, q̂) are exact census-side ranks; coverage
+    * is one BIGINT ratio with a single rounded division. The only float
+    * is ceil(level·(n_cal+1)) — one IEEE product per group, mirrored in
+    * the oracle.
+    *
+    * Scale shape: one corpus scan splits map-side (no shuffle for the
+    * split — the coin is a projection); per-half censuses are the
+    * shuffle unit; medians/q̂ ride census-sized windows
+    * ([[groupedPercentiles]] shape); the test half joins only
+    * group-sized broadcast frames.
+    */
+  def conformalIntervals(df: DataFrame, groupCol: String, valueCol: String,
+                         idCol: String, salt: String,
+                         level: Double = 0.9): DataFrame = {
+    require(level > 0 && level < 1, s"level must be in (0,1) (got $level)")
+    val base = df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+        col(idCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("long").as("__v"),
+        conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
+          1, 8), 16, 10).cast("long").as("__u"))
+    val calib = base.filter(col("__u") < 2147483648L)
+    val test = base.filter(col("__u") >= 2147483648L)
+    val med = weightedPercentilesFromCensus(
+      calib.groupBy(col(groupCol), col("__v"))
+        .agg(count(lit(1)).as("__c")),
+      groupCol, "__v", Seq(0.5))
+      .select(col(groupCol), col("total_weight").as("n_cal"),
+        col("p50_w").as("__med"))
+    val residCensus = calib.join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol), abs(col("__v") - col("__med")).as("__d"))
+      .groupBy(col(groupCol), col("__d"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__d").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val qhat = residCensus
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .join(broadcast(med.select(col(groupCol), col("n_cal"))), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(min(when(col("__cum") >=
+        ceil(lit(level) * (col("n_cal") + 1).cast("double")),
+        col("__d"))).as("qhat"))
+    val cov = test.join(broadcast(med), Seq(groupCol))
+      .join(broadcast(qhat), Seq(groupCol))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(abs(col("__v") - col("__med")) <= col("qhat"), 1L)
+          .otherwise(0L)).as("__cvd"))
+    med.join(qhat, Seq(groupCol)).join(cov, Seq(groupCol))
+      .select(col(groupCol), col("n_cal"), col("n_test"), col("qhat"),
+        when(col("qhat").isNotNull,
+          round(col("__cvd").cast("double") / col("n_test").cast("double"),
+            6)).as("coverage"))
   }
 
   /** Winsorization — clip a value column to its [loQ, hiQ] exact

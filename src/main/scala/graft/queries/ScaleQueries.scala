@@ -3650,8 +3650,8 @@ object ScaleQueries {
              |  CROSS JOIN tt)
              |SELECT CAST(min(n) AS BIGINT) n, min(da) r_a, min(db) r_b,
              |  (min(da) - 1) * (min(db) - 1) dof,
-             |  round(list_sum(list((o - e) * (o - e) / e ORDER BY a, b)),
-             |    6) chi2
+             |  round(greatest(0.0, list_sum(list(o * o / e ORDER BY a, b))
+             |    - CAST(min(n) AS DOUBLE)), 6) chi2
              |FROM terms""".stripMargin)),
 
     // Grouped Pearson correlation (x83): per event_type, r between
@@ -7304,30 +7304,7 @@ object ScaleQueries {
             round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
         "o_orderpriority", "cents")
         .orderBy("o_orderpriority"),
-      Some("""WITH b AS (SELECT o_orderpriority g,
-             |    CAST(round(o_totalprice*100, 0) AS BIGINT) v FROM orders
-             |  WHERE o_orderpriority IS NOT NULL
-             |    AND o_totalprice IS NOT NULL),
-             |c AS (SELECT g, v, CAST(count(*) AS BIGINT) c FROM b
-             |  GROUP BY 1, 2),
-             |cum AS (SELECT g, v,
-             |    sum(c) OVER (PARTITION BY g ORDER BY v ASC) cum,
-             |    sum(c) OVER (PARTITION BY g) n FROM c),
-             |med AS (SELECT g, CAST(max(n) AS BIGINT) n_rows,
-             |    CAST(min(CASE WHEN cum >= ceil(0.5*n) THEN v END)
-             |      AS BIGINT) m FROM cum GROUP BY g),
-             |d2 AS (SELECT b.g, abs(b.v - med.m) dv FROM b
-             |  JOIN med ON b.g = med.g),
-             |c2 AS (SELECT g, dv, CAST(count(*) AS BIGINT) c FROM d2
-             |  GROUP BY 1, 2),
-             |cum2 AS (SELECT g, dv,
-             |    sum(c) OVER (PARTITION BY g ORDER BY dv ASC) cum,
-             |    sum(c) OVER (PARTITION BY g) n FROM c2),
-             |mad AS (SELECT g, CAST(min(CASE WHEN cum >= ceil(0.5*n)
-             |    THEN dv END) AS BIGINT) mad FROM cum2 GROUP BY g)
-             |SELECT med.g o_orderpriority, med.n_rows,
-             |  med.m "median", mad.mad
-             |FROM med JOIN mad ON med.g = mad.g ORDER BY 1""".stripMargin)),
+      Some(groupedMadOracleSql)),
 
     // Robust-z outlier gate (x177): flag order totals with
     // |v - median| > 3.5 * MAD per priority — x176's decision rule,
@@ -7372,8 +7349,155 @@ object ScaleQueries {
              |    n_outliers,
              |  CAST(min(CASE WHEN fl THEN v END) AS BIGINT) lo_outlier,
              |  CAST(max(CASE WHEN fl THEN v END) AS BIGINT) hi_outlier
-             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin))
+             |FROM f GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // Mutual information + NMI + Cramér's V (x178): the association
+    // STRENGTHS beside x82's significance statistic, on the same
+    // event_type × day-of-week pair — exact BIGINT census, ordered-fold
+    // float sums, margins re-aggregated from the census.
+    QuerySpec("x178_mutual_info", (s, d) =>
+      graft.operators.Analytics.mutualInformation(
+        t(s, d, "events").select(col("event_type"),
+          dayofweek(col("ts")).as("dow")),
+        "event_type", "dow"),
+      Some("""WITH cells AS (SELECT CAST(event_type AS VARCHAR) a,
+             |    CAST(dayofweek(ts) + 1 AS VARCHAR) b, count(*) o
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+             |  GROUP BY 1, 2),
+             |ra AS (SELECT a, sum(o) ra FROM cells GROUP BY 1),
+             |rb AS (SELECT b, sum(o) rb FROM cells GROUP BY 1),
+             |tt AS (SELECT sum(o) n, count(DISTINCT a) da,
+             |    count(DISTINCT b) db FROM cells),
+             |terms AS (SELECT cells.a, cells.b, CAST(o AS DOUBLE) od,
+             |    CAST(ra AS DOUBLE) rad, CAST(rb AS DOUBLE) rbd,
+             |    CAST(n AS DOUBLE) nd, da, db, n
+             |  FROM cells JOIN ra USING (a) JOIN rb USING (b)
+             |  CROSS JOIN tt),
+             |f AS (SELECT CAST(max(n) AS BIGINT) n,
+             |    CAST(max(da) AS BIGINT) r_a, CAST(max(db) AS BIGINT) r_b,
+             |    max(nd) nd,
+             |    list_sum(list(od * (ln(od) + ln(nd) - ln(rad) - ln(rbd))
+             |      ORDER BY a, b)) smi,
+             |    list_sum(list(od * od / (rad * rbd / nd)
+             |      ORDER BY a, b)) sx2
+             |  FROM terms),
+             |ma AS (SELECT list_sum(list(CAST(ra AS DOUBLE) *
+             |    ln(CAST(ra AS DOUBLE)) ORDER BY a)) sa FROM ra),
+             |mb AS (SELECT list_sum(list(CAST(rb AS DOUBLE) *
+             |    ln(CAST(rb AS DOUBLE)) ORDER BY b)) sb FROM rb)
+             |SELECT n, r_a, r_b,
+             |  round(smi / nd, 6) mi_nats,
+             |  round(CASE WHEN ln(nd) - sa/nd > 0 AND ln(nd) - sb/nd > 0
+             |    THEN (smi/nd) / sqrt((ln(nd) - sa/nd)*(ln(nd) - sb/nd))
+             |    END, 6) nmi,
+             |  round(CASE WHEN least(r_a, r_b) > 1
+             |    THEN sqrt(greatest(0.0, sx2 - nd) /
+             |      (nd * CAST(least(r_a, r_b) - 1 AS DOUBLE)))
+             |    END, 6) cramers_v
+             |FROM f CROSS JOIN ma CROSS JOIN mb""".stripMargin)),
+
+    // STREAMING grouped MAD (st35): the (priority, cents) census as
+    // mergeable stream state, finalized batch-side by madFromCensus —
+    // graded on x176's oracle verbatim.
+    QuerySpec("st35_stream_mad", (s, d) => {
+      val schema = s.read.parquet(s"$d/orders.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      Streams.runStreamingMadAvailableNow(s, raw, "o_orderpriority",
+        "cents", s"graft_smad_$run", ckpt)
+        .orderBy("o_orderpriority")
+    },
+      Some(groupedMadOracleSql)),
+
+    // Split-conformal prediction intervals (x179): per-priority interval
+    // half-width q̂ at the ⌈0.9·(n_cal+1)⌉ conformal rank around the
+    // calibration median, with measured held-out coverage — md5-coin
+    // split, census-side order statistics, broadcast joins only.
+    QuerySpec("x179_conformal", (s, d) =>
+      graft.operators.ScaleOps.conformalIntervals(
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
+        "o_orderpriority", "cents", "o_orderkey", salt = "cf1:")
+        .orderBy("o_orderpriority"),
+      Some("""WITH b AS (SELECT o_orderpriority g,
+             |    CAST(round(o_totalprice*100, 0) AS BIGINT) v,
+             |    list_reduce(list_transform(range(1, 9),
+             |      i -> CAST(strpos('0123456789abcdef',
+             |        substr(md5('cf1:' || CAST(o_orderkey AS VARCHAR)),
+             |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |      (a, x) -> a*16 + x) u
+             |  FROM orders
+             |  WHERE o_orderpriority IS NOT NULL
+             |    AND o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
+             |cal AS (SELECT g, v FROM b WHERE u < 2147483648),
+             |tst AS (SELECT g, v FROM b WHERE u >= 2147483648),
+             |c AS (SELECT g, v, CAST(count(*) AS BIGINT) c FROM cal
+             |  GROUP BY 1, 2),
+             |cum AS (SELECT g, v,
+             |    sum(c) OVER (PARTITION BY g ORDER BY v ASC) cum,
+             |    sum(c) OVER (PARTITION BY g) n FROM c),
+             |med AS (SELECT g, CAST(max(n) AS BIGINT) n_cal,
+             |    CAST(min(CASE WHEN cum >= ceil(0.5*n) THEN v END)
+             |      AS BIGINT) m FROM cum GROUP BY g),
+             |d2 AS (SELECT cal.g, abs(cal.v - med.m) dv FROM cal
+             |  JOIN med ON cal.g = med.g),
+             |c2 AS (SELECT g, dv, CAST(count(*) AS BIGINT) c FROM d2
+             |  GROUP BY 1, 2),
+             |cum2 AS (SELECT g, dv,
+             |    sum(c) OVER (PARTITION BY g ORDER BY dv ASC) cum FROM c2),
+             |q AS (SELECT cum2.g, CAST(min(CASE WHEN cum >=
+             |      ceil(0.9 * CAST(n_cal + 1 AS DOUBLE)) THEN dv END)
+             |    AS BIGINT) qhat
+             |  FROM cum2 JOIN med ON cum2.g = med.g GROUP BY 1),
+             |cov AS (SELECT tst.g, CAST(count(*) AS BIGINT) n_test,
+             |    CAST(sum(CASE WHEN abs(tst.v - med.m) <= q.qhat
+             |      THEN 1 ELSE 0 END) AS BIGINT) cvd
+             |  FROM tst JOIN med ON tst.g = med.g
+             |  JOIN q ON tst.g = q.g GROUP BY 1)
+             |SELECT med.g o_orderpriority, med.n_cal, cov.n_test, q.qhat,
+             |  CASE WHEN q.qhat IS NOT NULL THEN
+             |    round(CAST(cvd AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+             |  END coverage
+             |FROM med JOIN q ON med.g = q.g JOIN cov ON med.g = cov.g
+             |ORDER BY 1""".stripMargin))
   )
+
+  /** Shared by x176 (batch) and st35 (streaming): one output contract —
+    * per-priority (median, MAD) over order cents — so both grade against
+    * the identical oracle. Lazy for the same initialization-order reason
+    * as [[fleissOracleSql]]. */
+  private lazy val groupedMadOracleSql: String =
+    """WITH b AS (SELECT o_orderpriority g,
+      |    CAST(round(o_totalprice*100, 0) AS BIGINT) v FROM orders
+      |  WHERE o_orderpriority IS NOT NULL
+      |    AND o_totalprice IS NOT NULL),
+      |c AS (SELECT g, v, CAST(count(*) AS BIGINT) c FROM b
+      |  GROUP BY 1, 2),
+      |cum AS (SELECT g, v,
+      |    sum(c) OVER (PARTITION BY g ORDER BY v ASC) cum,
+      |    sum(c) OVER (PARTITION BY g) n FROM c),
+      |med AS (SELECT g, CAST(max(n) AS BIGINT) n_rows,
+      |    CAST(min(CASE WHEN cum >= ceil(0.5*n) THEN v END)
+      |      AS BIGINT) m FROM cum GROUP BY g),
+      |d2 AS (SELECT b.g, abs(b.v - med.m) dv FROM b
+      |  JOIN med ON b.g = med.g),
+      |c2 AS (SELECT g, dv, CAST(count(*) AS BIGINT) c FROM d2
+      |  GROUP BY 1, 2),
+      |cum2 AS (SELECT g, dv,
+      |    sum(c) OVER (PARTITION BY g ORDER BY dv ASC) cum,
+      |    sum(c) OVER (PARTITION BY g) n FROM c2),
+      |mad AS (SELECT g, CAST(min(CASE WHEN cum >= ceil(0.5*n)
+      |    THEN dv END) AS BIGINT) mad FROM cum2 GROUP BY g)
+      |SELECT med.g o_orderpriority, med.n_rows,
+      |  med.m "median", mad.mad
+      |FROM med JOIN mad ON med.g = mad.g ORDER BY 1""".stripMargin
 
   /** Shared by x172 (batch) and st33 (streaming): one output contract —
     * Fleiss' kappa over the md5-degraded 3-rater panel — so both grade

@@ -1970,6 +1970,36 @@ object Streams {
         detachSink(spark, sinkName, checkpoint), groupCol, valueCol, qs)
     }
 
+  /** STREAMING grouped MAD (st35): the (group, value) census is the
+    * mergeable stream state (per-micro-batch counts fold in — the st34
+    * census-as-state pattern), finalized batch-side by
+    * [[graft.operators.ScaleOps.madFromCensus]] — the robust
+    * center+scale pair (median, MAD) updates as rows arrive, feeding
+    * the x177 outlier gate on live data. State is bounded by
+    * |groups| × |distinct values| (the census, not the stream); a
+    * production deployment over unbounded-cardinality values coarsens
+    * the census key (cents → whole units) to cap it.
+    */
+  def runStreamingMadAvailableNow(spark: SparkSession, rows: DataFrame,
+                                  groupCol: String, valueCol: String,
+                                  sinkName: String,
+                                  checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val q = rows
+        .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+        .select(col(groupCol), col(valueCol).cast("long").as("__v"))
+        .groupBy(col(groupCol), col("__v"))
+        .agg(count(lit(1)).as("__c"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.ScaleOps.madFromCensus(
+        detachSink(spark, sinkName, checkpoint), groupCol)
+    }
+
   /** STREAMING Fleiss' kappa (st33): the (item, category) vote cells are
     * the mergeable stream state (per-micro-batch counts fold in, the
     * st31 contingency-cells pattern one rater up), finalized batch-side

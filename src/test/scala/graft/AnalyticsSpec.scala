@@ -364,6 +364,39 @@ class AnalyticsSpec extends SparkSpec {
       Seq.fill(3)(("b", "y"))).toDF("u", "v")
     val rd = Analytics.chiSquareIndependence(dep, "u", "v").collect().head
     assert(rd.getDouble(4) == 2.0 && rd.getLong(3) == 1L)
+    // structural zero: cell (b,y) never observed. The Σo²/e − N identity
+    // still charges its (0−e)²/e = e term; a sum over observed cells
+    // would understate. Hand: e = (1.5, .5, 1.5, .5) → χ² = 4/3
+    val sz = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "x"))
+      .toDF("u", "v")
+    val rz = Analytics.chiSquareIndependence(sz, "u", "v").collect().head
+    assert(rz.getDouble(4) == 1.333333)
+  }
+
+  test("mutualInformation: independent table scores 0/0/0; perfect " +
+    "dependence scores ln2/1/1; degenerate margin NULLs nmi and V; " +
+    "nulls excluded") {
+    // independent 2x2 (+ null rows that must be excluded): every cell
+    // o = e → MI = 0, NMI = 0, V = 0
+    val ind = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"),
+      (null, "x"), ("a", null)).toDF("u", "v")
+    val ri = Analytics.mutualInformation(ind, "u", "v").collect().head
+    assert((ri.getLong(0), ri.getLong(1), ri.getLong(2)) == ((4L, 2L, 2L)))
+    assert((ri.getDouble(3), ri.getDouble(4), ri.getDouble(5)) ==
+      ((0.0, 0.0, 0.0)))
+    // perfect dependence: (a,x)=2, (b,y)=2 → MI = ln 2, H(A) = H(B) =
+    // ln 2 → NMI = 1; chi2 = n·min(r−1) → V = 1
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("u", "v")
+    val rdp = Analytics.mutualInformation(dep, "u", "v").collect().head
+    assert((rdp.getDouble(3), rdp.getDouble(4), rdp.getDouble(5)) ==
+      ((0.693147, 1.0, 1.0)))
+    // degenerate B margin (one category): zero entropy / zero dof sides
+    // carry NULL, MI is 0 by construction
+    val deg = Seq(("a", "x"), ("b", "x"), ("a", "x")).toDF("u", "v")
+    val rg = Analytics.mutualInformation(deg, "u", "v").collect().head
+    assert(rg.getLong(2) == 1L && rg.getDouble(3) == 0.0 &&
+      rg.isNullAt(4) && rg.isNullAt(5))
   }
 
   test("groupedPearson: perfect +/-1 lines, zero-variance and single-row " +

@@ -1273,6 +1273,49 @@ class ScaleNativeSpec extends SparkSpec {
     assert(got2.map(_._3) == got.map(_._3))
   }
 
+  test("conformalIntervals matches a driver-side replica: md5 coin, " +
+    "conformal rank, held-out coverage; tiny group carries NULL qhat") {
+    // group a: 200 ids with a deterministic sawtooth value; group b:
+    // 6 ids — its calibration half is < 9 rows, so the conformal rank
+    // ceil(0.9*(n_cal+1)) exceeds n_cal and qhat/coverage are NULL
+    val rows = (1L to 200L).map(i => (i, "a", (i * 37) % 100)) ++
+      (201L to 206L).map(i => (i, "b", i % 10))
+    val df = rows.toDF("id", "g", "v")
+    val got = ScaleOps.conformalIntervals(df, "g", "v", "id", "cf:")
+      .orderBy("g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toSeq
+    // driver-side replica of the whole chain
+    def u32(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      java.lang.Long.parseLong(md.digest(s"cf:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8), 16)
+    }
+    def kth(sorted: Seq[Long], k: Long): Long = sorted((k - 1).toInt)
+    val expect = rows.groupBy(_._2).toSeq.sortBy(_._1).flatMap {
+      case (g, rs) =>
+        val (cal, tst) = rs.partition(r => u32(r._1) < 2147483648L)
+        if (cal.isEmpty || tst.isEmpty) None else {
+          val cv = cal.map(_._3).sorted
+          val med = kth(cv, math.ceil(0.5 * cv.size).toLong)
+          val resid = cal.map(r => math.abs(r._3 - med)).sorted
+          val k2 = math.ceil(0.9 * (cv.size + 1)).toLong
+          val qhat = if (k2 <= cv.size) Some(kth(resid, k2)) else None
+          val cvg = qhat.map { q =>
+            val c = tst.count(r => math.abs(r._3 - med) <= q)
+            BigDecimal(c.toDouble / tst.size)
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          }
+          Some((g, cal.size.toLong, tst.size.toLong, qhat, cvg))
+        }
+    }
+    assert(got == expect)
+    // the large group's interval must exist and cover near the level
+    val a = got.find(_._1 == "a").get
+    assert(a._4.isDefined && a._5.exists(c => c > 0.7 && c <= 1.0))
+  }
+
   test("winsorize: tails clipped to exact [p5, p95] cutoffs, interior " +
     "rows untouched, nulls preserved") {
     val df = ((1L to 100L).map(v => (v, Some(v))) :+
