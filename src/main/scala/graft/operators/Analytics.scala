@@ -825,6 +825,143 @@ object Analytics {
       .select(col(groupCol), col("n"), col("r"))
   }
 
+  /** Grouped two-regressor OLS with intercept — the closed-form normal
+    * equations `y = b0 + b1·x1 + b2·x2` solved per group by Cramer's
+    * rule over the eight sufficient statistics, all of them exact
+    * BIGINT sums (callers fix integer units upstream, the x75/x83
+    * convention). The multi-feature step past [[groupedTrend]]'s single
+    * slope: does a feature still explain the target once a confounder
+    * is in the model — the screen run before attributing a data-mix
+    * effect to one knob.
+    *
+    * Determinism: every sufficient statistic is an order-proof BIGINT
+    * sum; the 3×3 determinants expand in ONE fixed cofactor order after
+    * a single cast to double each (the BIGINT triple products would
+    * overflow), so the IEEE tree is identical in the oracle; FP
+    * reassociation is not a legal Catalyst rewrite. Singular systems
+    * (collinear regressors, degenerate groups — det = 0, exact for
+    * integer sums within 2⁵³) carry NULL coefficients; R² additionally
+    * NULL when SST ≤ 0. Coefficients round 8, R² round 6.
+    *
+    * Overflow headroom (documented like x75): n·max(x²) and
+    * n·max(y²) must stay < 2⁶³ — at 100 TB the caller coarsens units
+    * (dollars, not cents), not the operator.
+    *
+    * Scale shape: ONE map-side-combinable groupBy over the fact; the
+    * solve is column arithmetic on the group-sized aggregate. Output:
+    * (group, n, b0, b1, b2, r2).
+    */
+  def groupedOls2(df: DataFrame, groupCol: String, x1Col: String,
+                  x2Col: String, yCol: String): DataFrame = {
+    val x1 = col(x1Col).cast("long")
+    val x2 = col(x2Col).cast("long")
+    val y = col(yCol).cast("long")
+    def d(c: String): Column = col(c).cast("double")
+    df.filter(col(x1Col).isNotNull && col(x2Col).isNotNull &&
+        col(yCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol), x1.as("__x1"), x2.as("__x2"), y.as("__y"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x1")).as("__s1"), sum(col("__x2")).as("__s2"),
+        sum(col("__y")).as("__sy"),
+        sum(col("__x1") * col("__x1")).as("__s11"),
+        sum(col("__x2") * col("__x2")).as("__s22"),
+        sum(col("__x1") * col("__x2")).as("__s12"),
+        sum(col("__x1") * col("__y")).as("__s1y"),
+        sum(col("__x2") * col("__y")).as("__s2y"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .withColumn("__det",
+        d("n") * (d("__s11") * d("__s22") - d("__s12") * d("__s12")) -
+          d("__s1") * (d("__s1") * d("__s22") - d("__s12") * d("__s2")) +
+          d("__s2") * (d("__s1") * d("__s12") - d("__s11") * d("__s2")))
+      .withColumn("__d0",
+        d("__sy") * (d("__s11") * d("__s22") - d("__s12") * d("__s12")) -
+          d("__s1") * (d("__s1y") * d("__s22") - d("__s12") * d("__s2y")) +
+          d("__s2") * (d("__s1y") * d("__s12") - d("__s11") * d("__s2y")))
+      .withColumn("__d1",
+        d("n") * (d("__s1y") * d("__s22") - d("__s12") * d("__s2y")) -
+          d("__sy") * (d("__s1") * d("__s22") - d("__s12") * d("__s2")) +
+          d("__s2") * (d("__s1") * d("__s2y") - d("__s1y") * d("__s2")))
+      .withColumn("__d2",
+        d("n") * (d("__s11") * d("__s2y") - d("__s1y") * d("__s12")) -
+          d("__s1") * (d("__s1") * d("__s2y") - d("__s1y") * d("__s2")) +
+          d("__sy") * (d("__s1") * d("__s12") - d("__s11") * d("__s2")))
+      .withColumn("__b0", when(col("__det") =!= 0.0, col("__d0") / col("__det")))
+      .withColumn("__b1", when(col("__det") =!= 0.0, col("__d1") / col("__det")))
+      .withColumn("__b2", when(col("__det") =!= 0.0, col("__d2") / col("__det")))
+      .withColumn("__sse",
+        d("__syy") - (col("__b0") * d("__sy") + col("__b1") * d("__s1y") +
+          col("__b2") * d("__s2y")))
+      .withColumn("__sst", d("__syy") - d("__sy") * d("__sy") / d("n"))
+      .select(col(groupCol), col("n"),
+        round(col("__b0"), 8).as("b0"),
+        round(col("__b1"), 8).as("b1"),
+        round(col("__b2"), 8).as("b2"),
+        when(col("__det") =!= 0.0 && col("__sst") > 0.0,
+          round(lit(1.0) - col("__sse") / col("__sst"), 6)).as("r2"))
+  }
+
+  /** Grouped partial correlation — the correlation between x and y with
+    * a confounder z partialled out:
+    *   r_xy·z = (r_xy − r_xz·r_yz) / (√(1−r_xz²)·√(1−r_yz²))
+    * the "does the association survive the control" companion of
+    * [[groupedOls2]] (same question, correlation-scaled). All three
+    * pairwise r's derive from one pass of exact BIGINT sufficient
+    * statistics; unlike [[groupedPearson]]'s BIGINT numerator, the
+    * covariance/variance forms here are computed in doubles AFTER the
+    * sums (n·Σy² overflows 2⁶³ at dollar-scale units — documented
+    * trade; the sums themselves stay exact, and the double tree is
+    * fixed and oracle-mirrored). NULL when any variance is degenerate
+    * or either control correlation is ±1 (zero partial denominator).
+    * Output: (group, n, r_xy, r_xz, r_yz, r_partial), round 8.
+    *
+    * Scale shape: ONE map-side-combinable groupBy; the formula is
+    * column arithmetic on the group-sized aggregate.
+    */
+  def groupedPartialCorr(df: DataFrame, groupCol: String, xCol: String,
+                         yCol: String, zCol: String): DataFrame = {
+    def dd(c: String): Column = col(c).cast("double")
+    df.filter(col(groupCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull && col(zCol).isNotNull)
+      .select(col(groupCol), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"), col(zCol).cast("long").as("__z"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__z")).as("__sz"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__z") * col("__z")).as("__szz"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__z")).as("__sxz"),
+        sum(col("__y") * col("__z")).as("__syz"))
+      .withColumn("__vx", dd("n") * dd("__sxx") - dd("__sx") * dd("__sx"))
+      .withColumn("__vy", dd("n") * dd("__syy") - dd("__sy") * dd("__sy"))
+      .withColumn("__vz", dd("n") * dd("__szz") - dd("__sz") * dd("__sz"))
+      .withColumn("__rxy", when(col("__vx") > 0 && col("__vy") > 0,
+        (dd("n") * dd("__sxy") - dd("__sx") * dd("__sy")) /
+          (sqrt(col("__vx")) * sqrt(col("__vy")))))
+      .withColumn("__rxz", when(col("__vx") > 0 && col("__vz") > 0,
+        (dd("n") * dd("__sxz") - dd("__sx") * dd("__sz")) /
+          (sqrt(col("__vx")) * sqrt(col("__vz")))))
+      .withColumn("__ryz", when(col("__vy") > 0 && col("__vz") > 0,
+        (dd("n") * dd("__syz") - dd("__sy") * dd("__sz")) /
+          (sqrt(col("__vy")) * sqrt(col("__vz")))))
+      // clamp 1−r² at 0: float noise can push |r| a ulp past 1 at exact
+      // collinearity, and a negative sqrt argument is an ERROR in some
+      // engines (the clamped 0 denominator NULLs the partial, as it must)
+      .withColumn("__den",
+        sqrt(greatest(lit(0.0), lit(1.0) - col("__rxz") * col("__rxz"))) *
+          sqrt(greatest(lit(0.0), lit(1.0) - col("__ryz") * col("__ryz"))))
+      .select(col(groupCol), col("n"),
+        round(col("__rxy"), 8).as("r_xy"),
+        round(col("__rxz"), 8).as("r_xz"),
+        round(col("__ryz"), 8).as("r_yz"),
+        when(col("__den") > 0.0, round(
+          (col("__rxy") - col("__rxz") * col("__ryz")) / col("__den"), 8))
+          .as("r_partial"))
+  }
+
   /** Population stability index between a reference and a current slice
     * of one numeric column — THE standard drift gate in front of a
     * model or training-mix refresh: bin both slices on identical

@@ -1264,24 +1264,40 @@ object ScaleOps {
                          idCol: String, salt: String,
                          level: Double = 0.9): DataFrame = {
     require(level > 0 && level < 1, s"level must be in (0,1) (got $level)")
-    val base = df
+    conformalFromCensus(df
       .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
         col(idCol).isNotNull)
       .select(col(groupCol), col(valueCol).cast("long").as("__v"),
-        conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))),
-          1, 8), 16, 10).cast("long").as("__u"))
-    val calib = base.filter(col("__u") < 2147483648L)
-    val test = base.filter(col("__u") >= 2147483648L)
-    val med = weightedPercentilesFromCensus(
-      calib.groupBy(col(groupCol), col("__v"))
-        .agg(count(lit(1)).as("__c")),
-      groupCol, "__v", Seq(0.5))
+        when(conv(substring(md5(concat(lit(salt),
+          col(idCol).cast("string"))), 1, 8), 16, 10).cast("long") <
+          2147483648L, lit("c")).otherwise(lit("t")).as("__half"))
+      .groupBy(col(groupCol), col("__half"), col("__v"))
+      .agg(count(lit(1)).as("__c")),
+      groupCol, level)
+  }
+
+  /** [[conformalIntervals]]' finalization over a pre-built (group,
+    * `__half` "c"/"t", `__v` long value, `__c` BIGINT count) census —
+    * split out so the per-half value census can be maintained as
+    * STREAMING state (st37) and finalized as a cheap batch, the
+    * [[weightedPercentilesFromCensus]] / [[madFromCensus]] convention.
+    * Everything — calibration median, residual census, conformal rank,
+    * held-out coverage — derives census-side; output matches the
+    * row-level form bit-for-bit.
+    */
+  private[graft] def conformalFromCensus(census: DataFrame,
+      groupCol: String, level: Double): DataFrame = {
+    require(level > 0 && level < 1, s"level must be in (0,1) (got $level)")
+    val calibC = census.filter(col("__half") === "c").drop("__half")
+    val testC = census.filter(col("__half") === "t").drop("__half")
+    val med = weightedPercentilesFromCensus(calibC, groupCol, "__v", Seq(0.5))
       .select(col(groupCol), col("total_weight").as("n_cal"),
         col("p50_w").as("__med"))
-    val residCensus = calib.join(broadcast(med), Seq(groupCol))
-      .select(col(groupCol), abs(col("__v") - col("__med")).as("__d"))
+    val residCensus = calibC.join(broadcast(med), Seq(groupCol))
+      .select(col(groupCol), abs(col("__v") - col("__med")).as("__d"),
+        col("__c"))
       .groupBy(col(groupCol), col("__d"))
-      .agg(count(lit(1)).as("__c"))
+      .agg(sum(col("__c")).as("__c"))
     val wCum = Window.partitionBy(col(groupCol)).orderBy(col("__d").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val qhat = residCensus
@@ -1291,11 +1307,11 @@ object ScaleOps {
       .agg(min(when(col("__cum") >=
         ceil(lit(level) * (col("n_cal") + 1).cast("double")),
         col("__d"))).as("qhat"))
-    val cov = test.join(broadcast(med), Seq(groupCol))
+    val cov = testC.join(broadcast(med), Seq(groupCol))
       .join(broadcast(qhat), Seq(groupCol))
       .groupBy(col(groupCol))
-      .agg(count(lit(1)).as("n_test"),
-        sum(when(abs(col("__v") - col("__med")) <= col("qhat"), 1L)
+      .agg(sum(col("__c")).as("n_test"),
+        sum(when(abs(col("__v") - col("__med")) <= col("qhat"), col("__c"))
           .otherwise(0L)).as("__cvd"))
     med.join(qhat, Seq(groupCol)).join(cov, Seq(groupCol))
       .select(col(groupCol), col("n_cal"), col("n_test"), col("qhat"),

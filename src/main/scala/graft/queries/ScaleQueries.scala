@@ -6681,43 +6681,7 @@ object ScaleQueries {
           "c_custkey")))
         .orderBy("contract", "detail")
     },
-      Some("""WITH nn AS (SELECT CAST(count(*) AS BIGINT) n FROM orders),
-             |uq AS (SELECT CAST(count(*) - count(DISTINCT o_orderkey)
-             |    AS BIGINT) v FROM orders WHERE o_orderkey IS NOT NULL),
-             |nl AS (SELECT CAST(coalesce(sum(CASE WHEN o_custkey IS NULL
-             |    THEN 1 ELSE 0 END), 0) AS BIGINT) v FROM orders),
-             |ins AS (SELECT CAST(coalesce(sum(CASE WHEN o_orderstatus
-             |    IS NOT NULL AND o_orderstatus NOT IN ('O', 'F', 'P')
-             |    THEN 1 ELSE 0 END), 0) AS BIGINT) v FROM orders),
-             |rng AS (SELECT CAST(coalesce(sum(CASE WHEN o_totalprice
-             |    IS NOT NULL AND (o_totalprice < 0 OR o_totalprice >
-             |    200000) THEN 1 ELSE 0 END), 0) AS BIGINT) v FROM orders),
-             |ri AS (SELECT CAST(count(*) AS BIGINT) v FROM orders o
-             |  WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
-             |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
-             |SELECT * FROM (
-             |  SELECT 'in_range' contract,
-             |    'o_totalprice in[0.0,200000.0]' detail, n n_rows,
-             |    v n_violations, round(CAST(v AS DOUBLE) /
-             |      (CASE WHEN n = 0 THEN 1 ELSE n END), 6) violation_share,
-             |    v = 0 pass FROM rng, nn
-             |  UNION ALL SELECT 'in_set', 'o_orderstatus in(O,F,P)', n, v,
-             |    round(CAST(v AS DOUBLE) /
-             |      (CASE WHEN n = 0 THEN 1 ELSE n END), 6), v = 0
-             |    FROM ins, nn
-             |  UNION ALL SELECT 'not_null', 'o_custkey nullShare<=0.0', n,
-             |    v, round(CAST(v AS DOUBLE) /
-             |      (CASE WHEN n = 0 THEN 1 ELSE n END), 6), v = 0
-             |    FROM nl, nn
-             |  UNION ALL SELECT 'ref_integrity', 'o_custkey->c_custkey', n,
-             |    v, round(CAST(v AS DOUBLE) /
-             |      (CASE WHEN n = 0 THEN 1 ELSE n END), 6), v = 0
-             |    FROM ri, nn
-             |  UNION ALL SELECT 'unique', 'o_orderkey', n, v,
-             |    round(CAST(v AS DOUBLE) /
-             |      (CASE WHEN n = 0 THEN 1 ELSE n END), 6), v = 0
-             |    FROM uq, nn)
-             |ORDER BY contract, detail""".stripMargin)),
+      Some(contractsOracleSql)),
 
     // Per-group exact percentiles (x161): order statistic at ceil(q*n)
     // over the (group, value) CENSUS — the census-not-corpus window
@@ -7426,48 +7390,257 @@ object ScaleQueries {
             round(col("o_totalprice") * 100, 0).cast("long").as("cents")),
         "o_orderpriority", "cents", "o_orderkey", salt = "cf1:")
         .orderBy("o_orderpriority"),
-      Some("""WITH b AS (SELECT o_orderpriority g,
-             |    CAST(round(o_totalprice*100, 0) AS BIGINT) v,
-             |    list_reduce(list_transform(range(1, 9),
-             |      i -> CAST(strpos('0123456789abcdef',
-             |        substr(md5('cf1:' || CAST(o_orderkey AS VARCHAR)),
-             |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
-             |      (a, x) -> a*16 + x) u
-             |  FROM orders
-             |  WHERE o_orderpriority IS NOT NULL
-             |    AND o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
-             |cal AS (SELECT g, v FROM b WHERE u < 2147483648),
-             |tst AS (SELECT g, v FROM b WHERE u >= 2147483648),
-             |c AS (SELECT g, v, CAST(count(*) AS BIGINT) c FROM cal
-             |  GROUP BY 1, 2),
-             |cum AS (SELECT g, v,
-             |    sum(c) OVER (PARTITION BY g ORDER BY v ASC) cum,
-             |    sum(c) OVER (PARTITION BY g) n FROM c),
-             |med AS (SELECT g, CAST(max(n) AS BIGINT) n_cal,
-             |    CAST(min(CASE WHEN cum >= ceil(0.5*n) THEN v END)
-             |      AS BIGINT) m FROM cum GROUP BY g),
-             |d2 AS (SELECT cal.g, abs(cal.v - med.m) dv FROM cal
-             |  JOIN med ON cal.g = med.g),
-             |c2 AS (SELECT g, dv, CAST(count(*) AS BIGINT) c FROM d2
-             |  GROUP BY 1, 2),
-             |cum2 AS (SELECT g, dv,
-             |    sum(c) OVER (PARTITION BY g ORDER BY dv ASC) cum FROM c2),
-             |q AS (SELECT cum2.g, CAST(min(CASE WHEN cum >=
-             |      ceil(0.9 * CAST(n_cal + 1 AS DOUBLE)) THEN dv END)
-             |    AS BIGINT) qhat
-             |  FROM cum2 JOIN med ON cum2.g = med.g GROUP BY 1),
-             |cov AS (SELECT tst.g, CAST(count(*) AS BIGINT) n_test,
-             |    CAST(sum(CASE WHEN abs(tst.v - med.m) <= q.qhat
-             |      THEN 1 ELSE 0 END) AS BIGINT) cvd
-             |  FROM tst JOIN med ON tst.g = med.g
-             |  JOIN q ON tst.g = q.g GROUP BY 1)
-             |SELECT med.g o_orderpriority, med.n_cal, cov.n_test, q.qhat,
-             |  CASE WHEN q.qhat IS NOT NULL THEN
-             |    round(CAST(cvd AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
-             |  END coverage
-             |FROM med JOIN q ON med.g = q.g JOIN cov ON med.g = cov.g
-             |ORDER BY 1""".stripMargin))
+      Some(conformalOracleSql)),
+
+    // STREAMING data contracts (st36): x160's five-constraint suite as
+    // one streaming query — violation flags map-side, RefIntegrity as a
+    // stream-static broadcast join, state = the key census with flag
+    // partial sums; finalized to the batch report verbatim and graded
+    // on x160's oracle.
+    QuerySpec("st36_stream_contracts", (s, d) => {
+      val schema = s.read.parquet(s"$d/orders.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+      Streams.runStreamingContractsAvailableNow(s, raw,
+        keyCol = "o_orderkey", notNullCol = "o_custkey",
+        inSetCol = "o_orderstatus", inSetValues = Seq("O", "F", "P"),
+        inRangeCol = "o_totalprice", lo = 0.0, hi = 200000.0,
+        dim = t(s, d, "customer"), dimCol = "c_custkey",
+        refCol = "o_custkey", s"graft_sctr_$run", ckpt)
+        .orderBy("contract", "detail")
+    },
+      Some(contractsOracleSql)),
+
+    // Grouped two-regressor OLS (x180): extendedprice(whole dollars) on
+    // quantity + discount-percent per returnflag — exact BIGINT
+    // sufficient statistics, Cramer 3×3 in one fixed IEEE cofactor
+    // order, singular groups NULL. The multi-feature step past x75.
+    QuerySpec("x180_grouped_ols2", (s, d) =>
+      graft.operators.Analytics.groupedOls2(
+        t(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            round(col("l_quantity"), 0).cast("long").as("qty"),
+            round(col("l_discount") * 100, 0).cast("long").as("disc"),
+            round(col("l_extendedprice"), 0).cast("long").as("dollars")),
+        "l_returnflag", "qty", "disc", "dollars")
+        .orderBy("l_returnflag"),
+      Some("""WITH b AS (SELECT l_returnflag g,
+             |    CAST(round(l_quantity, 0) AS BIGINT) x1,
+             |    CAST(round(l_discount*100, 0) AS BIGINT) x2,
+             |    CAST(round(l_extendedprice, 0) AS BIGINT) y
+             |  FROM lineitem
+             |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+             |    AND l_discount IS NOT NULL
+             |    AND l_extendedprice IS NOT NULL),
+             |s AS (SELECT g, CAST(count(*) AS BIGINT) n,
+             |    CAST(sum(x1) AS BIGINT) s1, CAST(sum(x2) AS BIGINT) s2,
+             |    CAST(sum(y) AS BIGINT) sy,
+             |    CAST(sum(x1*x1) AS BIGINT) s11,
+             |    CAST(sum(x2*x2) AS BIGINT) s22,
+             |    CAST(sum(x1*x2) AS BIGINT) s12,
+             |    CAST(sum(x1*y) AS BIGINT) s1y,
+             |    CAST(sum(x2*y) AS BIGINT) s2y,
+             |    CAST(sum(y*y) AS BIGINT) syy
+             |  FROM b GROUP BY 1),
+             |e AS (SELECT g, n, CAST(n AS DOUBLE) nd,
+             |    CAST(s1 AS DOUBLE) s1d, CAST(s2 AS DOUBLE) s2d,
+             |    CAST(sy AS DOUBLE) syd, CAST(s11 AS DOUBLE) s11d,
+             |    CAST(s22 AS DOUBLE) s22d, CAST(s12 AS DOUBLE) s12d,
+             |    CAST(s1y AS DOUBLE) s1yd, CAST(s2y AS DOUBLE) s2yd,
+             |    CAST(syy AS DOUBLE) syyd FROM s),
+             |dt AS (SELECT *,
+             |    nd*(s11d*s22d - s12d*s12d) - s1d*(s1d*s22d - s12d*s2d)
+             |      + s2d*(s1d*s12d - s11d*s2d) det,
+             |    syd*(s11d*s22d - s12d*s12d)
+             |      - s1d*(s1yd*s22d - s12d*s2yd)
+             |      + s2d*(s1yd*s12d - s11d*s2yd) d0,
+             |    nd*(s1yd*s22d - s12d*s2yd) - syd*(s1d*s22d - s12d*s2d)
+             |      + s2d*(s1d*s2yd - s1yd*s2d) d1,
+             |    nd*(s11d*s2yd - s1yd*s12d) - s1d*(s1d*s2yd - s1yd*s2d)
+             |      + syd*(s1d*s12d - s11d*s2d) d2
+             |  FROM e),
+             |bb AS (SELECT *,
+             |    CASE WHEN det <> 0 THEN d0/det END b0r,
+             |    CASE WHEN det <> 0 THEN d1/det END b1r,
+             |    CASE WHEN det <> 0 THEN d2/det END b2r,
+             |    syyd - syd*syd/nd sst FROM dt),
+             |rr AS (SELECT *,
+             |    syyd - (b0r*syd + b1r*s1yd + b2r*s2yd) sse FROM bb)
+             |SELECT g l_returnflag, n, round(b0r, 8) b0, round(b1r, 8) b1,
+             |  round(b2r, 8) b2,
+             |  CASE WHEN det <> 0 AND sst > 0
+             |    THEN round(1.0 - sse/sst, 6) END r2
+             |FROM rr ORDER BY 1""".stripMargin)),
+
+    // STREAMING conformal intervals (st37): the per-half (priority,
+    // cents) census as mergeable stream state — md5 coin map-side —
+    // finalized by conformalFromCensus; graded on x179's oracle.
+    QuerySpec("st37_stream_conformal", (s, d) => {
+      val schema = s.read.parquet(s"$d/orders.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      Streams.runStreamingConformalAvailableNow(s, raw, "o_orderpriority",
+        "cents", "o_orderkey", salt = "cf1:", level = 0.9,
+        s"graft_scnf_$run", ckpt)
+        .orderBy("o_orderpriority")
+    },
+      Some(conformalOracleSql)),
+
+    // Grouped partial correlation (x181): qty↔dollars controlling for
+    // discount per returnflag — one pass of exact BIGINT sufficient
+    // stats, double-tree correlation forms (documented n·Σy² headroom
+    // trade), NULL on degenerate variance / ±1 control correlation.
+    QuerySpec("x181_partial_corr", (s, d) =>
+      graft.operators.Analytics.groupedPartialCorr(
+        t(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            round(col("l_quantity"), 0).cast("long").as("qty"),
+            round(col("l_extendedprice"), 0).cast("long").as("dollars"),
+            round(col("l_discount") * 100, 0).cast("long").as("disc")),
+        "l_returnflag", "qty", "dollars", "disc")
+        .orderBy("l_returnflag"),
+      Some("""WITH b AS (SELECT l_returnflag g,
+             |    CAST(round(l_quantity, 0) AS BIGINT) x,
+             |    CAST(round(l_extendedprice, 0) AS BIGINT) y,
+             |    CAST(round(l_discount*100, 0) AS BIGINT) z
+             |  FROM lineitem
+             |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+             |    AND l_extendedprice IS NOT NULL
+             |    AND l_discount IS NOT NULL),
+             |s AS (SELECT g, CAST(count(*) AS BIGINT) n,
+             |    CAST(sum(x) AS BIGINT) sx, CAST(sum(y) AS BIGINT) sy,
+             |    CAST(sum(z) AS BIGINT) sz,
+             |    CAST(sum(x*x) AS BIGINT) sxx,
+             |    CAST(sum(y*y) AS BIGINT) syy,
+             |    CAST(sum(z*z) AS BIGINT) szz,
+             |    CAST(sum(x*y) AS BIGINT) sxy,
+             |    CAST(sum(x*z) AS BIGINT) sxz,
+             |    CAST(sum(y*z) AS BIGINT) syz
+             |  FROM b GROUP BY 1),
+             |e AS (SELECT g, n, CAST(n AS DOUBLE) nd,
+             |    CAST(sx AS DOUBLE) sxd, CAST(sy AS DOUBLE) syd,
+             |    CAST(sz AS DOUBLE) szd, CAST(sxx AS DOUBLE) sxxd,
+             |    CAST(syy AS DOUBLE) syyd, CAST(szz AS DOUBLE) szzd,
+             |    CAST(sxy AS DOUBLE) sxyd, CAST(sxz AS DOUBLE) sxzd,
+             |    CAST(syz AS DOUBLE) syzd FROM s),
+             |v AS (SELECT *, nd*sxxd - sxd*sxd vx, nd*syyd - syd*syd vy,
+             |    nd*szzd - szd*szd vz FROM e),
+             |r AS (SELECT *,
+             |    CASE WHEN vx > 0 AND vy > 0 THEN
+             |      (nd*sxyd - sxd*syd) / (sqrt(vx)*sqrt(vy)) END rxy,
+             |    CASE WHEN vx > 0 AND vz > 0 THEN
+             |      (nd*sxzd - sxd*szd) / (sqrt(vx)*sqrt(vz)) END rxz,
+             |    CASE WHEN vy > 0 AND vz > 0 THEN
+             |      (nd*syzd - syd*szd) / (sqrt(vy)*sqrt(vz)) END ryz
+             |  FROM v),
+             |p AS (SELECT *, sqrt(greatest(0.0, 1.0 - rxz*rxz)) *
+             |    sqrt(greatest(0.0, 1.0 - ryz*ryz)) den
+             |  FROM r)
+             |SELECT g l_returnflag, n, round(rxy, 8) r_xy,
+             |  round(rxz, 8) r_xz, round(ryz, 8) r_yz,
+             |  CASE WHEN den > 0 THEN
+             |    round((rxy - rxz*ryz)/den, 8) END r_partial
+             |FROM p ORDER BY 1""".stripMargin))
   )
+
+
+  /** Shared by x179 (batch) and st37 (streaming): one output contract —
+    * per-priority conformal interval + held-out coverage — so both grade
+    * against the identical oracle. Lazy for the same
+    * initialization-order reason as [[fleissOracleSql]]. */
+  private lazy val conformalOracleSql: String =
+    """WITH b AS (SELECT o_orderpriority g,
+      |    CAST(round(o_totalprice*100, 0) AS BIGINT) v,
+      |    list_reduce(list_transform(range(1, 9),
+      |      i -> CAST(strpos('0123456789abcdef',
+      |        substr(md5('cf1:' || CAST(o_orderkey AS VARCHAR)),
+      |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+      |      (a, x) -> a*16 + x) u
+      |  FROM orders
+      |  WHERE o_orderpriority IS NOT NULL
+      |    AND o_totalprice IS NOT NULL AND o_orderkey IS NOT NULL),
+      |cal AS (SELECT g, v FROM b WHERE u < 2147483648),
+      |tst AS (SELECT g, v FROM b WHERE u >= 2147483648),
+      |c AS (SELECT g, v, CAST(count(*) AS BIGINT) c FROM cal
+      |  GROUP BY 1, 2),
+      |cum AS (SELECT g, v,
+      |    sum(c) OVER (PARTITION BY g ORDER BY v ASC) cum,
+      |    sum(c) OVER (PARTITION BY g) n FROM c),
+      |med AS (SELECT g, CAST(max(n) AS BIGINT) n_cal,
+      |    CAST(min(CASE WHEN cum >= ceil(0.5*n) THEN v END)
+      |      AS BIGINT) m FROM cum GROUP BY g),
+      |d2 AS (SELECT cal.g, abs(cal.v - med.m) dv FROM cal
+      |  JOIN med ON cal.g = med.g),
+      |c2 AS (SELECT g, dv, CAST(count(*) AS BIGINT) c FROM d2
+      |  GROUP BY 1, 2),
+      |cum2 AS (SELECT g, dv,
+      |    sum(c) OVER (PARTITION BY g ORDER BY dv ASC) cum FROM c2),
+      |q AS (SELECT cum2.g, CAST(min(CASE WHEN cum >=
+      |      ceil(0.9 * CAST(n_cal + 1 AS DOUBLE)) THEN dv END)
+      |    AS BIGINT) qhat
+      |  FROM cum2 JOIN med ON cum2.g = med.g GROUP BY 1),
+      |cov AS (SELECT tst.g, CAST(count(*) AS BIGINT) n_test,
+      |    CAST(sum(CASE WHEN abs(tst.v - med.m) <= q.qhat
+      |      THEN 1 ELSE 0 END) AS BIGINT) cvd
+      |  FROM tst JOIN med ON tst.g = med.g
+      |  JOIN q ON tst.g = q.g GROUP BY 1)
+      |SELECT med.g o_orderpriority, med.n_cal, cov.n_test, q.qhat,
+      |  CASE WHEN q.qhat IS NOT NULL THEN
+      |    round(CAST(cvd AS DOUBLE) / CAST(n_test AS DOUBLE), 6)
+      |  END coverage
+      |FROM med JOIN q ON med.g = q.g JOIN cov ON med.g = cov.g
+      |ORDER BY 1""".stripMargin
+
+  /** Shared by x160 (batch) and st36 (streaming): one output contract —
+    * the five-constraint orders report — so both grade against the
+    * identical oracle. Lazy for the same initialization-order reason as
+    * [[fleissOracleSql]]. */
+  private lazy val contractsOracleSql: String =
+    """WITH nn AS (SELECT CAST(count(*) AS BIGINT) n FROM orders),
+      |uq AS (SELECT CAST(count(*) - count(DISTINCT o_orderkey)
+      |    AS BIGINT) v FROM orders WHERE o_orderkey IS NOT NULL),
+      |nl AS (SELECT CAST(coalesce(sum(CASE WHEN o_custkey IS NULL
+      |    THEN 1 ELSE 0 END), 0) AS BIGINT) v FROM orders),
+      |ins AS (SELECT CAST(coalesce(sum(CASE WHEN o_orderstatus
+      |    IS NOT NULL AND o_orderstatus NOT IN ('O', 'F', 'P')
+      |    THEN 1 ELSE 0 END), 0) AS BIGINT) v FROM orders),
+      |rng AS (SELECT CAST(coalesce(sum(CASE WHEN o_totalprice
+      |    IS NOT NULL AND (o_totalprice < 0 OR o_totalprice >
+      |    200000) THEN 1 ELSE 0 END), 0) AS BIGINT) v FROM orders),
+      |ri AS (SELECT CAST(count(*) AS BIGINT) v FROM orders o
+      |  WHERE o.o_custkey IS NOT NULL AND NOT EXISTS
+      |    (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+      |SELECT * FROM (
+      |  SELECT 'in_range' contract,
+      |    'o_totalprice in[0.0,200000.0]' detail, n n_rows,
+      |    v n_violations, round(CAST(v AS DOUBLE) /
+      |      (CASE WHEN n = 0 THEN 1 ELSE n END), 6) violation_share,
+      |    v = 0 pass FROM rng, nn
+      |  UNION ALL SELECT 'in_set', 'o_orderstatus in(O,F,P)', n, v,
+      |    round(CAST(v AS DOUBLE) /
+      |      (CASE WHEN n = 0 THEN 1 ELSE n END), 6), v = 0
+      |    FROM ins, nn
+      |  UNION ALL SELECT 'not_null', 'o_custkey nullShare<=0.0', n,
+      |    v, round(CAST(v AS DOUBLE) /
+      |      (CASE WHEN n = 0 THEN 1 ELSE n END), 6), v = 0
+      |    FROM nl, nn
+      |  UNION ALL SELECT 'ref_integrity', 'o_custkey->c_custkey', n,
+      |    v, round(CAST(v AS DOUBLE) /
+      |      (CASE WHEN n = 0 THEN 1 ELSE n END), 6), v = 0
+      |    FROM ri, nn
+      |  UNION ALL SELECT 'unique', 'o_orderkey', n, v,
+      |    round(CAST(v AS DOUBLE) /
+      |      (CASE WHEN n = 0 THEN 1 ELSE n END), 6), v = 0
+      |    FROM uq, nn)
+      |ORDER BY contract, detail""".stripMargin
 
   /** Shared by x176 (batch) and st35 (streaming): one output contract —
     * per-priority (median, MAD) over order cents — so both grade against

@@ -2000,6 +2000,118 @@ object Streams {
         detachSink(spark, sinkName, checkpoint), groupCol)
     }
 
+  /** STREAMING data contracts (st36): the x160 five-constraint suite
+    * ([[graft.operators.Contracts]]) monitored on a live table. ONE
+    * streaming query carries everything: per-row violation flags for
+    * NotNull/InSet/InRange are map-side projections, RefIntegrity is a
+    * stream-static broadcast left join against the dimension key set,
+    * and the state is the KEY census extended with the flags' partial
+    * sums — groupBy(key).agg(count, Σflags), the mergeable-census
+    * pattern (st34/st35), which is exactly what Unique needs anyway
+    * (surplus = Σ_{key non-null}(count−1)). Finalization re-aggregates
+    * the census to one row and emits the batch validate()'s report
+    * verbatim (same contract/detail strings, same pass rules) — a load
+    * pipeline gets its publish gate continuously instead of per-batch.
+    *
+    * Scale: state is the key census (the same O(keys) any streaming
+    * dedup/unique check fundamentally requires); everything else is
+    * O(1) columns on top of it. The dimension side must be
+    * broadcast-sized, as in batch.
+    */
+  def runStreamingContractsAvailableNow(spark: SparkSession,
+      rows: DataFrame, keyCol: String, notNullCol: String,
+      inSetCol: String, inSetValues: Seq[String], inRangeCol: String,
+      lo: Double, hi: Double, dim: DataFrame, dimCol: String,
+      refCol: String, sinkName: String, checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val dimKeys = broadcast(dim
+        .select(col(dimCol).cast("string").as("__dimk")).distinct()
+        .withColumn("__present", lit(1)))
+      val flagged = rows
+        .withColumn("__refk", col(refCol).cast("string"))
+        .join(dimKeys, col("__refk") === col("__dimk"), "left")
+        .select(col(keyCol).cast("string").as("__k"),
+          when(col(notNullCol).isNull, 1L).otherwise(0L).as("__vn"),
+          when(col(inSetCol).isNotNull &&
+            !col(inSetCol).isin(inSetValues: _*), 1L).otherwise(0L)
+            .as("__vs"),
+          when(col(inRangeCol).isNotNull &&
+            (col(inRangeCol) < lo || col(inRangeCol) > hi), 1L)
+            .otherwise(0L).as("__vr"),
+          when(col("__refk").isNotNull && col("__present").isNull, 1L)
+            .otherwise(0L).as("__vf"))
+      val q = flagged
+        .groupBy(col("__k"))
+        .agg(count(lit(1)).as("__c"), sum(col("__vn")).as("__vn"),
+          sum(col("__vs")).as("__vs"), sum(col("__vr")).as("__vr"),
+          sum(col("__vf")).as("__vf"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val census = detachSink(spark, sinkName, checkpoint)
+      val one = census.agg(
+        coalesce(sum(col("__c")), lit(0L)).as("__n"),
+        coalesce(sum(col("__vn")), lit(0L)).as("__sn"),
+        coalesce(sum(col("__vs")), lit(0L)).as("__ss"),
+        coalesce(sum(col("__vr")), lit(0L)).as("__sr"),
+        coalesce(sum(col("__vf")), lit(0L)).as("__sf"),
+        coalesce(sum(when(col("__k").isNotNull, col("__c") - 1L)
+          .otherwise(0L)), lit(0L)).as("__su")).localCheckpoint(true)
+      val nRows = col("__n")
+      def reportRow(name: String, detail: String, v: Column) = one.select(
+        lit(name).as("contract"), lit(detail).as("detail"),
+        nRows.as("n_rows"), v.as("n_violations"),
+        round(v.cast("double") /
+          when(nRows === 0, lit(1L)).otherwise(nRows).cast("double"), 6)
+          .as("violation_share"),
+        (v === 0L).as("pass"))
+      Seq(
+        reportRow("unique", keyCol, col("__su")),
+        reportRow("not_null", s"$notNullCol nullShare<=0.0", col("__sn")),
+        reportRow("in_set",
+          s"$inSetCol in(${inSetValues.mkString(",")})", col("__ss")),
+        reportRow("in_range", s"$inRangeCol in[$lo,$hi]", col("__sr")),
+        reportRow("ref_integrity", s"$refCol->$dimCol", col("__sf")))
+        .reduce(_.unionByName(_))
+    }
+
+  /** STREAMING split-conformal intervals (st37): the per-half (group,
+    * value) census is the mergeable stream state — the md5 coin and the
+    * value projection are map-side, so each micro-batch folds its rows
+    * into (group, half, value) counts — finalized batch-side by
+    * [[graft.operators.ScaleOps.conformalFromCensus]]: calibration
+    * median, conformal rank q̂, and held-out coverage all re-derive from
+    * the census, so the interval tightens continuously as live rows
+    * arrive. State is bounded by |groups| × 2 × |distinct values| (the
+    * st35 cardinality rule; coarsen units to cap it).
+    */
+  def runStreamingConformalAvailableNow(spark: SparkSession,
+      rows: DataFrame, groupCol: String, valueCol: String, idCol: String,
+      salt: String, level: Double, sinkName: String,
+      checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val q = rows
+        .filter(col(groupCol).isNotNull && col(valueCol).isNotNull &&
+          col(idCol).isNotNull)
+        .select(col(groupCol), col(valueCol).cast("long").as("__v"),
+          when(conv(substring(md5(concat(lit(salt),
+            col(idCol).cast("string"))), 1, 8), 16, 10).cast("long") <
+            2147483648L, lit("c")).otherwise(lit("t")).as("__half"))
+        .groupBy(col(groupCol), col("__half"), col("__v"))
+        .agg(count(lit(1)).as("__c"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.ScaleOps.conformalFromCensus(
+        detachSink(spark, sinkName, checkpoint), groupCol, level)
+    }
+
   /** STREAMING Fleiss' kappa (st33): the (item, category) vote cells are
     * the mergeable stream state (per-micro-batch counts fold in, the
     * st31 contingency-cells pattern one rater up), finalized batch-side

@@ -399,6 +399,53 @@ class AnalyticsSpec extends SparkSpec {
       rg.isNullAt(4) && rg.isNullAt(5))
   }
 
+  test("groupedOls2: exact plane recovered with r2=1; collinear " +
+    "regressors carry NULL coefficients; nulls excluded") {
+    // group a lies exactly on y = 2 + 3·x1 − x2 (integer points, so
+    // the float solve is exact); group b has x2 = x1 (singular)
+    val rows = Seq(
+      ("a", 0L, 0L, 2L), ("a", 1L, 0L, 5L), ("a", 0L, 1L, 1L),
+      ("a", 1L, 1L, 4L), ("a", 2L, 1L, 7L),
+      ("b", 0L, 0L, 1L), ("b", 1L, 1L, 2L), ("b", 2L, 2L, 3L))
+    val df = rows.toDF("g", "x1", "x2", "y")
+      .unionByName(Seq(("a", Option(9L), Option.empty[Long], Option(9L)))
+        .toDF("g", "x1", "x2", "y"))
+    val got = Analytics.groupedOls2(df, "g", "x1", "x2", "y")
+      .orderBy("g").collect()
+    val a = got(0)
+    assert((a.getString(0), a.getLong(1)) == (("a", 5L)))
+    assert((a.getDouble(2), a.getDouble(3), a.getDouble(4),
+      a.getDouble(5)) == ((2.0, 3.0, -1.0, 1.0)))
+    val b = got(1)
+    assert(b.getLong(1) == 3L && b.isNullAt(2) && b.isNullAt(3) &&
+      b.isNullAt(4) && b.isNullAt(5))
+  }
+
+  test("groupedPartialCorr: independent control keeps the association " +
+    "(partial 1 for y=x+z); collinear control zeroes the denominator " +
+    "to NULL; constant control NULLs the control correlations") {
+    // a: y = x + z over the x⊥z grid → r_xy = r_yz = 1/√2, r_xz = 0,
+    // partial = 1. b: x = y = z → both control r's are 1, den = 0.
+    // c: constant z → zero variance, control r's NULL.
+    val a = Seq((0L, 0L, 0L), (0L, 1L, 1L), (1L, 0L, 1L), (1L, 1L, 2L))
+      .map { case (x, z, y) => ("a", x, y, z) }
+    val b = Seq(0L, 1L, 2L).map(v => ("b", v, v, v))
+    val c = Seq((0L, 5L, 0L), (1L, 5L, 1L), (2L, 5L, 2L))
+      .map { case (x, z, y) => ("c", x, y, z) }
+    val got = Analytics.groupedPartialCorr((a ++ b ++ c)
+        .toDF("g", "x", "y", "z"), "g", "x", "y", "z")
+      .orderBy("g").collect()
+    val ra = got(0)
+    assert((ra.getDouble(2), ra.getDouble(3), ra.getDouble(4),
+      ra.getDouble(5)) == ((0.70710678, 0.0, 0.70710678, 1.0)))
+    val rb = got(1)
+    assert(rb.getDouble(2) == 1.0 && rb.getDouble(3) == 1.0 &&
+      rb.getDouble(4) == 1.0 && rb.isNullAt(5))
+    val rc = got(2)
+    assert(rc.getDouble(2) == 1.0 && rc.isNullAt(3) && rc.isNullAt(4) &&
+      rc.isNullAt(5))
+  }
+
   test("groupedPearson: perfect +/-1 lines, zero-variance and single-row " +
     "groups NULL, null coords excluded") {
     val df = Seq(
