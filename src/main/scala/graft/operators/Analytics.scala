@@ -852,11 +852,20 @@ object Analytics {
     * (group, n, b0, b1, b2, r2).
     */
   def groupedOls2(df: DataFrame, groupCol: String, x1Col: String,
-                  x2Col: String, yCol: String): DataFrame = {
+                  x2Col: String, yCol: String): DataFrame =
+    olsFromStats(ols2Stats(df, groupCol, x1Col, x2Col, yCol), groupCol)
+
+  /** [[groupedOls2]]'s sufficient-statistics pass — split out so the ten
+    * exact BIGINT sums per group can be maintained as STREAMING state
+    * (st38): unlike the value censuses of st35/st37 this state is O(1)
+    * PER GROUP (sums are the ultimate mergeable sketch), so the live
+    * regression costs |groups| rows of state regardless of stream
+    * volume. */
+  private[graft] def ols2Stats(df: DataFrame, groupCol: String,
+      x1Col: String, x2Col: String, yCol: String): DataFrame = {
     val x1 = col(x1Col).cast("long")
     val x2 = col(x2Col).cast("long")
     val y = col(yCol).cast("long")
-    def d(c: String): Column = col(c).cast("double")
     df.filter(col(x1Col).isNotNull && col(x2Col).isNotNull &&
         col(yCol).isNotNull && col(groupCol).isNotNull)
       .select(col(groupCol), x1.as("__x1"), x2.as("__x2"), y.as("__y"))
@@ -870,6 +879,16 @@ object Analytics {
         sum(col("__x1") * col("__y")).as("__s1y"),
         sum(col("__x2") * col("__y")).as("__s2y"),
         sum(col("__y") * col("__y")).as("__syy"))
+  }
+
+  /** [[groupedOls2]]'s closed-form solve over a pre-built stats frame
+    * (group, n, __s1, __s2, __sy, __s11, __s22, __s12, __s1y, __s2y,
+    * __syy) — column arithmetic only, shared verbatim by the batch and
+    * streaming (st38) paths so both emit bit-identical coefficients. */
+  private[graft] def olsFromStats(stats: DataFrame,
+                                  groupCol: String): DataFrame = {
+    def d(c: String): Column = col(c).cast("double")
+    stats
       .withColumn("__det",
         d("n") * (d("__s11") * d("__s22") - d("__s12") * d("__s12")) -
           d("__s1") * (d("__s1") * d("__s22") - d("__s12") * d("__s2")) +

@@ -7427,53 +7427,7 @@ object ScaleQueries {
             round(col("l_extendedprice"), 0).cast("long").as("dollars")),
         "l_returnflag", "qty", "disc", "dollars")
         .orderBy("l_returnflag"),
-      Some("""WITH b AS (SELECT l_returnflag g,
-             |    CAST(round(l_quantity, 0) AS BIGINT) x1,
-             |    CAST(round(l_discount*100, 0) AS BIGINT) x2,
-             |    CAST(round(l_extendedprice, 0) AS BIGINT) y
-             |  FROM lineitem
-             |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
-             |    AND l_discount IS NOT NULL
-             |    AND l_extendedprice IS NOT NULL),
-             |s AS (SELECT g, CAST(count(*) AS BIGINT) n,
-             |    CAST(sum(x1) AS BIGINT) s1, CAST(sum(x2) AS BIGINT) s2,
-             |    CAST(sum(y) AS BIGINT) sy,
-             |    CAST(sum(x1*x1) AS BIGINT) s11,
-             |    CAST(sum(x2*x2) AS BIGINT) s22,
-             |    CAST(sum(x1*x2) AS BIGINT) s12,
-             |    CAST(sum(x1*y) AS BIGINT) s1y,
-             |    CAST(sum(x2*y) AS BIGINT) s2y,
-             |    CAST(sum(y*y) AS BIGINT) syy
-             |  FROM b GROUP BY 1),
-             |e AS (SELECT g, n, CAST(n AS DOUBLE) nd,
-             |    CAST(s1 AS DOUBLE) s1d, CAST(s2 AS DOUBLE) s2d,
-             |    CAST(sy AS DOUBLE) syd, CAST(s11 AS DOUBLE) s11d,
-             |    CAST(s22 AS DOUBLE) s22d, CAST(s12 AS DOUBLE) s12d,
-             |    CAST(s1y AS DOUBLE) s1yd, CAST(s2y AS DOUBLE) s2yd,
-             |    CAST(syy AS DOUBLE) syyd FROM s),
-             |dt AS (SELECT *,
-             |    nd*(s11d*s22d - s12d*s12d) - s1d*(s1d*s22d - s12d*s2d)
-             |      + s2d*(s1d*s12d - s11d*s2d) det,
-             |    syd*(s11d*s22d - s12d*s12d)
-             |      - s1d*(s1yd*s22d - s12d*s2yd)
-             |      + s2d*(s1yd*s12d - s11d*s2yd) d0,
-             |    nd*(s1yd*s22d - s12d*s2yd) - syd*(s1d*s22d - s12d*s2d)
-             |      + s2d*(s1d*s2yd - s1yd*s2d) d1,
-             |    nd*(s11d*s2yd - s1yd*s12d) - s1d*(s1d*s2yd - s1yd*s2d)
-             |      + syd*(s1d*s12d - s11d*s2d) d2
-             |  FROM e),
-             |bb AS (SELECT *,
-             |    CASE WHEN det <> 0 THEN d0/det END b0r,
-             |    CASE WHEN det <> 0 THEN d1/det END b1r,
-             |    CASE WHEN det <> 0 THEN d2/det END b2r,
-             |    syyd - syd*syd/nd sst FROM dt),
-             |rr AS (SELECT *,
-             |    syyd - (b0r*syd + b1r*s1yd + b2r*s2yd) sse FROM bb)
-             |SELECT g l_returnflag, n, round(b0r, 8) b0, round(b1r, 8) b1,
-             |  round(b2r, 8) b2,
-             |  CASE WHEN det <> 0 AND sst > 0
-             |    THEN round(1.0 - sse/sst, 6) END r2
-             |FROM rr ORDER BY 1""".stripMargin)),
+      Some(ols2OracleSql)),
 
     // STREAMING conformal intervals (st37): the per-half (priority,
     // cents) census as mergeable stream state — md5 coin map-side —
@@ -7548,9 +7502,83 @@ object ScaleQueries {
              |  round(rxz, 8) r_xz, round(ryz, 8) r_yz,
              |  CASE WHEN den > 0 THEN
              |    round((rxy - rxz*ryz)/den, 8) END r_partial
-             |FROM p ORDER BY 1""".stripMargin))
+             |FROM p ORDER BY 1""".stripMargin)),
+
+    // STREAMING two-regressor OLS (st38): the ten BIGINT sufficient
+    // statistics per returnflag as stream state — O(1) per group, the
+    // sums-are-a-sketch endpoint of the census-state family — solved
+    // batch-side by the shared olsFromStats; graded on x180's oracle.
+    QuerySpec("st38_stream_ols2", (s, d) => {
+      val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+        .select(col("l_returnflag"),
+          round(col("l_quantity"), 0).cast("long").as("qty"),
+          round(col("l_discount") * 100, 0).cast("long").as("disc"),
+          round(col("l_extendedprice"), 0).cast("long").as("dollars"))
+      Streams.runStreamingOls2AvailableNow(s, raw, "l_returnflag",
+        "qty", "disc", "dollars", s"graft_sols_$run", ckpt)
+        .orderBy("l_returnflag")
+    },
+      Some(ols2OracleSql))
   )
 
+
+  /** Shared by x180 (batch) and st38 (streaming): one output contract —
+    * per-returnflag two-regressor OLS coefficients + R² — so both grade
+    * against the identical oracle. Lazy for the same
+    * initialization-order reason as [[fleissOracleSql]]. */
+  private lazy val ols2OracleSql: String =
+    """WITH b AS (SELECT l_returnflag g,
+      |    CAST(round(l_quantity, 0) AS BIGINT) x1,
+      |    CAST(round(l_discount*100, 0) AS BIGINT) x2,
+      |    CAST(round(l_extendedprice, 0) AS BIGINT) y
+      |  FROM lineitem
+      |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+      |    AND l_discount IS NOT NULL
+      |    AND l_extendedprice IS NOT NULL),
+      |s AS (SELECT g, CAST(count(*) AS BIGINT) n,
+      |    CAST(sum(x1) AS BIGINT) s1, CAST(sum(x2) AS BIGINT) s2,
+      |    CAST(sum(y) AS BIGINT) sy,
+      |    CAST(sum(x1*x1) AS BIGINT) s11,
+      |    CAST(sum(x2*x2) AS BIGINT) s22,
+      |    CAST(sum(x1*x2) AS BIGINT) s12,
+      |    CAST(sum(x1*y) AS BIGINT) s1y,
+      |    CAST(sum(x2*y) AS BIGINT) s2y,
+      |    CAST(sum(y*y) AS BIGINT) syy
+      |  FROM b GROUP BY 1),
+      |e AS (SELECT g, n, CAST(n AS DOUBLE) nd,
+      |    CAST(s1 AS DOUBLE) s1d, CAST(s2 AS DOUBLE) s2d,
+      |    CAST(sy AS DOUBLE) syd, CAST(s11 AS DOUBLE) s11d,
+      |    CAST(s22 AS DOUBLE) s22d, CAST(s12 AS DOUBLE) s12d,
+      |    CAST(s1y AS DOUBLE) s1yd, CAST(s2y AS DOUBLE) s2yd,
+      |    CAST(syy AS DOUBLE) syyd FROM s),
+      |dt AS (SELECT *,
+      |    nd*(s11d*s22d - s12d*s12d) - s1d*(s1d*s22d - s12d*s2d)
+      |      + s2d*(s1d*s12d - s11d*s2d) det,
+      |    syd*(s11d*s22d - s12d*s12d)
+      |      - s1d*(s1yd*s22d - s12d*s2yd)
+      |      + s2d*(s1yd*s12d - s11d*s2yd) d0,
+      |    nd*(s1yd*s22d - s12d*s2yd) - syd*(s1d*s22d - s12d*s2d)
+      |      + s2d*(s1d*s2yd - s1yd*s2d) d1,
+      |    nd*(s11d*s2yd - s1yd*s12d) - s1d*(s1d*s2yd - s1yd*s2d)
+      |      + syd*(s1d*s12d - s11d*s2d) d2
+      |  FROM e),
+      |bb AS (SELECT *,
+      |    CASE WHEN det <> 0 THEN d0/det END b0r,
+      |    CASE WHEN det <> 0 THEN d1/det END b1r,
+      |    CASE WHEN det <> 0 THEN d2/det END b2r,
+      |    syyd - syd*syd/nd sst FROM dt),
+      |rr AS (SELECT *,
+      |    syyd - (b0r*syd + b1r*s1yd + b2r*s2yd) sse FROM bb)
+      |SELECT g l_returnflag, n, round(b0r, 8) b0, round(b1r, 8) b1,
+      |  round(b2r, 8) b2,
+      |  CASE WHEN det <> 0 AND sst > 0
+      |    THEN round(1.0 - sse/sst, 6) END r2
+      |FROM rr ORDER BY 1""".stripMargin
 
   /** Shared by x179 (batch) and st37 (streaming): one output contract —
     * per-priority conformal interval + held-out coverage — so both grade

@@ -2112,6 +2112,46 @@ object Streams {
         detachSink(spark, sinkName, checkpoint), groupCol, level)
     }
 
+  /** STREAMING two-regressor OLS (st38): the ten exact-BIGINT
+    * sufficient statistics per group ARE the stream state — sums are
+    * the ultimate mergeable sketch, so unlike the value-census twins
+    * (st35/st37) the state here is O(1) PER GROUP regardless of stream
+    * volume. Each micro-batch folds its rows into the sums; the Cramer
+    * solve ([[graft.operators.Analytics.olsFromStats]], shared verbatim
+    * with batch x180) runs batch-side on |groups| rows — a live
+    * regression whose coefficients update as rows arrive.
+    */
+  def runStreamingOls2AvailableNow(spark: SparkSession, rows: DataFrame,
+      groupCol: String, x1Col: String, x2Col: String, yCol: String,
+      sinkName: String, checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val x1 = col(x1Col).cast("long")
+      val x2 = col(x2Col).cast("long")
+      val y = col(yCol).cast("long")
+      val q = rows
+        .filter(col(x1Col).isNotNull && col(x2Col).isNotNull &&
+          col(yCol).isNotNull && col(groupCol).isNotNull)
+        .select(col(groupCol), x1.as("__x1"), x2.as("__x2"), y.as("__y"))
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("n"),
+          sum(col("__x1")).as("__s1"), sum(col("__x2")).as("__s2"),
+          sum(col("__y")).as("__sy"),
+          sum(col("__x1") * col("__x1")).as("__s11"),
+          sum(col("__x2") * col("__x2")).as("__s22"),
+          sum(col("__x1") * col("__x2")).as("__s12"),
+          sum(col("__x1") * col("__y")).as("__s1y"),
+          sum(col("__x2") * col("__y")).as("__s2y"),
+          sum(col("__y") * col("__y")).as("__syy"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Analytics.olsFromStats(
+        detachSink(spark, sinkName, checkpoint), groupCol)
+    }
+
   /** STREAMING Fleiss' kappa (st33): the (item, category) vote cells are
     * the mergeable stream state (per-micro-batch counts fold in, the
     * st31 contingency-cells pattern one rater up), finalized batch-side
