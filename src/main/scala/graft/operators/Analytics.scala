@@ -722,12 +722,19 @@ object Analytics {
     * |cells| + |margins| rows on one row.
     */
   def mutualInformation(df: DataFrame, aCol: String,
-                        bCol: String): DataFrame = {
-    val cells0 = df
+                        bCol: String): DataFrame =
+    mutualInformationFromCells(df
       .filter(col(aCol).isNotNull && col(bCol).isNotNull)
       .groupBy(col(aCol).cast("string").as("__a"),
         col(bCol).cast("string").as("__b"))
-      .agg(count(lit(1)).as("__o"))
+      .agg(count(lit(1)).as("__o")))
+
+  /** [[mutualInformation]]'s finalization over a pre-built (`__a`,
+    * `__b`, `__o` BIGINT count) cell census — split out so the census
+    * can be maintained as STREAMING state (st39, the st31/st33
+    * contingency-cells pattern): per-micro-batch counts fold in, and
+    * MI/NMI/V re-derive entirely census-side as rows arrive. */
+  private[graft] def mutualInformationFromCells(cells0: DataFrame): DataFrame = {
     val (cells, releaseCells) = Checkpoints.tracked(cells0)
     val rowTot = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
     val colTot = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__rb"))

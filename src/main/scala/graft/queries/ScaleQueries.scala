@@ -7324,42 +7324,7 @@ object ScaleQueries {
         t(s, d, "events").select(col("event_type"),
           dayofweek(col("ts")).as("dow")),
         "event_type", "dow"),
-      Some("""WITH cells AS (SELECT CAST(event_type AS VARCHAR) a,
-             |    CAST(dayofweek(ts) + 1 AS VARCHAR) b, count(*) o
-             |  FROM events
-             |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
-             |  GROUP BY 1, 2),
-             |ra AS (SELECT a, sum(o) ra FROM cells GROUP BY 1),
-             |rb AS (SELECT b, sum(o) rb FROM cells GROUP BY 1),
-             |tt AS (SELECT sum(o) n, count(DISTINCT a) da,
-             |    count(DISTINCT b) db FROM cells),
-             |terms AS (SELECT cells.a, cells.b, CAST(o AS DOUBLE) od,
-             |    CAST(ra AS DOUBLE) rad, CAST(rb AS DOUBLE) rbd,
-             |    CAST(n AS DOUBLE) nd, da, db, n
-             |  FROM cells JOIN ra USING (a) JOIN rb USING (b)
-             |  CROSS JOIN tt),
-             |f AS (SELECT CAST(max(n) AS BIGINT) n,
-             |    CAST(max(da) AS BIGINT) r_a, CAST(max(db) AS BIGINT) r_b,
-             |    max(nd) nd,
-             |    list_sum(list(od * (ln(od) + ln(nd) - ln(rad) - ln(rbd))
-             |      ORDER BY a, b)) smi,
-             |    list_sum(list(od * od / (rad * rbd / nd)
-             |      ORDER BY a, b)) sx2
-             |  FROM terms),
-             |ma AS (SELECT list_sum(list(CAST(ra AS DOUBLE) *
-             |    ln(CAST(ra AS DOUBLE)) ORDER BY a)) sa FROM ra),
-             |mb AS (SELECT list_sum(list(CAST(rb AS DOUBLE) *
-             |    ln(CAST(rb AS DOUBLE)) ORDER BY b)) sb FROM rb)
-             |SELECT n, r_a, r_b,
-             |  round(smi / nd, 6) mi_nats,
-             |  round(CASE WHEN ln(nd) - sa/nd > 0 AND ln(nd) - sb/nd > 0
-             |    THEN (smi/nd) / sqrt((ln(nd) - sa/nd)*(ln(nd) - sb/nd))
-             |    END, 6) nmi,
-             |  round(CASE WHEN least(r_a, r_b) > 1
-             |    THEN sqrt(greatest(0.0, sx2 - nd) /
-             |      (nd * CAST(least(r_a, r_b) - 1 AS DOUBLE)))
-             |    END, 6) cramers_v
-             |FROM f CROSS JOIN ma CROSS JOIN mb""".stripMargin)),
+      Some(mutualInfoOracleSql)),
 
     // STREAMING grouped MAD (st35): the (priority, cents) census as
     // mergeable stream state, finalized batch-side by madFromCensus —
@@ -7523,9 +7488,69 @@ object ScaleQueries {
         "qty", "disc", "dollars", s"graft_sols_$run", ckpt)
         .orderBy("l_returnflag")
     },
-      Some(ols2OracleSql))
+      Some(ols2OracleSql)),
+
+    // STREAMING mutual information (st39): the event_type × day-of-week
+    // contingency-cell census as stream state (st31/st33 cells pattern
+    // for association), finalized by mutualInformationFromCells; graded
+    // on x178's oracle.
+    QuerySpec("st39_stream_mutual_info", (s, d) => {
+      val schema = Streams.eventsFileSchema(s, d)
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+      val ev = Streams.normalizeTs(raw)
+        .select(col("event_type"), dayofweek(col("ts")).as("dow"))
+      Streams.runStreamingMutualInfoAvailableNow(s, ev, "event_type",
+        "dow", s"graft_smi_$run", ckpt)
+    },
+      Some(mutualInfoOracleSql))
   )
 
+
+  /** Shared by x178 (batch) and st39 (streaming): one output contract —
+    * event_type × day-of-week MI / NMI / Cramér's V — so both grade
+    * against the identical oracle. Lazy for the same
+    * initialization-order reason as [[fleissOracleSql]]. */
+  private lazy val mutualInfoOracleSql: String =
+    """WITH cells AS (SELECT CAST(event_type AS VARCHAR) a,
+      |    CAST(dayofweek(ts) + 1 AS VARCHAR) b, count(*) o
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1, 2),
+      |ra AS (SELECT a, sum(o) ra FROM cells GROUP BY 1),
+      |rb AS (SELECT b, sum(o) rb FROM cells GROUP BY 1),
+      |tt AS (SELECT sum(o) n, count(DISTINCT a) da,
+      |    count(DISTINCT b) db FROM cells),
+      |terms AS (SELECT cells.a, cells.b, CAST(o AS DOUBLE) od,
+      |    CAST(ra AS DOUBLE) rad, CAST(rb AS DOUBLE) rbd,
+      |    CAST(n AS DOUBLE) nd, da, db, n
+      |  FROM cells JOIN ra USING (a) JOIN rb USING (b)
+      |  CROSS JOIN tt),
+      |f AS (SELECT CAST(max(n) AS BIGINT) n,
+      |    CAST(max(da) AS BIGINT) r_a, CAST(max(db) AS BIGINT) r_b,
+      |    max(nd) nd,
+      |    list_sum(list(od * (ln(od) + ln(nd) - ln(rad) - ln(rbd))
+      |      ORDER BY a, b)) smi,
+      |    list_sum(list(od * od / (rad * rbd / nd)
+      |      ORDER BY a, b)) sx2
+      |  FROM terms),
+      |ma AS (SELECT list_sum(list(CAST(ra AS DOUBLE) *
+      |    ln(CAST(ra AS DOUBLE)) ORDER BY a)) sa FROM ra),
+      |mb AS (SELECT list_sum(list(CAST(rb AS DOUBLE) *
+      |    ln(CAST(rb AS DOUBLE)) ORDER BY b)) sb FROM rb)
+      |SELECT n, r_a, r_b,
+      |  round(smi / nd, 6) mi_nats,
+      |  round(CASE WHEN ln(nd) - sa/nd > 0 AND ln(nd) - sb/nd > 0
+      |    THEN (smi/nd) / sqrt((ln(nd) - sa/nd)*(ln(nd) - sb/nd))
+      |    END, 6) nmi,
+      |  round(CASE WHEN least(r_a, r_b) > 1
+      |    THEN sqrt(greatest(0.0, sx2 - nd) /
+      |      (nd * CAST(least(r_a, r_b) - 1 AS DOUBLE)))
+      |    END, 6) cramers_v
+      |FROM f CROSS JOIN ma CROSS JOIN mb""".stripMargin
 
   /** Shared by x180 (batch) and st38 (streaming): one output contract —
     * per-returnflag two-regressor OLS coefficients + R² — so both grade

@@ -2152,6 +2152,33 @@ object Streams {
         detachSink(spark, sinkName, checkpoint), groupCol)
     }
 
+  /** STREAMING mutual information (st39): the (a, b) contingency-cell
+    * census is the mergeable stream state (the st31/st33 cells pattern
+    * for association instead of agreement), finalized batch-side by
+    * [[graft.operators.Analytics.mutualInformationFromCells]] — MI, NMI
+    * and Cramér's V re-derive census-side, so the association strength
+    * between two live categorical columns updates as rows arrive.
+    * State is bounded by |categories_a| × |categories_b|.
+    */
+  def runStreamingMutualInfoAvailableNow(spark: SparkSession,
+      rows: DataFrame, aCol: String, bCol: String, sinkName: String,
+      checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val q = rows
+        .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .groupBy(col(aCol).cast("string").as("__a"),
+          col(bCol).cast("string").as("__b"))
+        .agg(count(lit(1)).as("__o"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Analytics.mutualInformationFromCells(
+        detachSink(spark, sinkName, checkpoint))
+    }
+
   /** STREAMING Fleiss' kappa (st33): the (item, category) vote cells are
     * the mergeable stream state (per-micro-batch counts fold in, the
     * st31 contingency-cells pattern one rater up), finalized batch-side
