@@ -361,4 +361,77 @@ class PropertiesSpec extends SparkSpec {
       assert(got.getDouble(5) == sc, s"seed=$seed score")
     }
   }
+
+  test("groupedOls2 property: coefficients and R2 equal a driver-side " +
+    "Cramer solve with the identical IEEE cofactor order over random " +
+    "integer frames; singular groups NULL on both sides") {
+    import graft.operators.Analytics
+    def round8(x: Double): Double = BigDecimal(x)
+      .setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(rows: Seq[(Long, Long, Long)])
+        : (Long, Option[Double], Option[Double], Option[Double],
+           Option[Double]) = {
+      val n = rows.size.toLong
+      val s1 = rows.map(_._1).sum; val s2 = rows.map(_._2).sum
+      val sy = rows.map(_._3).sum
+      val s11 = rows.map(r => r._1 * r._1).sum
+      val s22 = rows.map(r => r._2 * r._2).sum
+      val s12 = rows.map(r => r._1 * r._2).sum
+      val s1y = rows.map(r => r._1 * r._3).sum
+      val s2y = rows.map(r => r._2 * r._3).sum
+      val syy = rows.map(r => r._3 * r._3).sum
+      val (nd, s1d, s2d, syd) = (n.toDouble, s1.toDouble, s2.toDouble,
+        sy.toDouble)
+      val (s11d, s22d, s12d) = (s11.toDouble, s22.toDouble, s12.toDouble)
+      val (s1yd, s2yd, syyd) = (s1y.toDouble, s2y.toDouble, syy.toDouble)
+      val det = nd * (s11d * s22d - s12d * s12d) -
+        s1d * (s1d * s22d - s12d * s2d) + s2d * (s1d * s12d - s11d * s2d)
+      if (det == 0.0) (n, None, None, None, None) else {
+        val d0 = syd * (s11d * s22d - s12d * s12d) -
+          s1d * (s1yd * s22d - s12d * s2yd) +
+          s2d * (s1yd * s12d - s11d * s2yd)
+        val d1 = nd * (s1yd * s22d - s12d * s2yd) -
+          syd * (s1d * s22d - s12d * s2d) +
+          s2d * (s1d * s2yd - s1yd * s2d)
+        val d2 = nd * (s11d * s2yd - s1yd * s12d) -
+          s1d * (s1d * s2yd - s1yd * s2d) + syd * (s1d * s12d - s11d * s2d)
+        val (b0, b1, b2) = (d0 / det, d1 / det, d2 / det)
+        val sse = syyd - (b0 * syd + b1 * s1yd + b2 * s2yd)
+        val sst = syyd - syd * syd / nd
+        (n, Some(round8(b0)), Some(round8(b1)), Some(round8(b2)),
+          if (sst > 0.0) Some(round6(1.0 - sse / sst)) else None)
+      }
+    }
+    // small ranges make singular groups (constant or collinear columns)
+    // common on purpose
+    val genGroup = for {
+      len <- Gen.chooseNum(1, 25)
+      rows <- Gen.listOfN(len, for {
+        x1 <- Gen.chooseNum(-9L, 9L)
+        x2 <- Gen.chooseNum(-9L, 9L)
+        y <- Gen.chooseNum(-50L, 50L)
+      } yield (x1, x2, y))
+    } yield rows
+    for (seed <- 0 until 30) {
+      val groups = (0 until 4).map { gi =>
+        s"g$gi" -> genGroup.apply(Gen.Parameters.default,
+          Seed((seed * 31 + gi).toLong)).get
+      }
+      val df = groups.flatMap { case (g, rs) =>
+        rs.map(r => (g, r._1, r._2, r._3)) }.toDF("g", "x1", "x2", "y")
+      val got = Analytics.groupedOls2(df, "g", "x1", "x2", "y")
+        .orderBy("g").collect()
+      groups.zip(got).foreach { case ((g, rs), row) =>
+        val (n, b0, b1, b2, r2) = ref(rs)
+        def opt(i: Int): Option[Double] =
+          if (row.isNullAt(i)) None else Some(row.getDouble(i))
+        assert(row.getString(0) == g && row.getLong(1) == n,
+          s"seed=$seed group=$g n")
+        assert((opt(2), opt(3), opt(4), opt(5)) == ((b0, b1, b2, r2)),
+          s"seed=$seed group=$g coefficients")
+      }
+    }
+  }
 }
