@@ -927,6 +927,76 @@ object Analytics {
           round(lit(1.0) - col("__sse") / col("__sst"), 6)).as("r2"))
   }
 
+  /** One-way ANOVA across groups — does the group label explain the
+    * value's variance:
+    *   SSB = Σ_g S_g²/n_g − S²/N,  SST = Σv² − S²/N,  SSW = SST − SSB
+    *   F = (SSB/(k−1)) / (SSW/(N−k)),  η² = SSB/SST
+    * the mean-shift screen that complements [[chiSquareIndependence]]
+    * (categorical×categorical) and [[groupedPartialCorr]]
+    * (numeric×numeric) with categorical×numeric — run before accepting
+    * a source/shard label as a real driver of a numeric metric.
+    *
+    * Determinism: n_g, S_g, Σv² are exact BIGINTs; the only float sum
+    * (Σ_g S_g²/n_g) is an ordered fold over the group-sorted stats (the
+    * x70/x68 pattern); everything after is one fixed IEEE tree. F is
+    * NULL when k < 2, N ≤ k, or SSW ≤ 0 (within-variance degenerate);
+    * η² NULL when SST ≤ 0. Output: one row (n, k, f_stat, eta2), F
+    * round 6, η² round 6.
+    *
+    * Overflow headroom (the x75 rule): Σv² < 2⁶³ — callers coarsen
+    * units (whole dollars, not cents) at scale.
+    *
+    * Scale shape: ONE map-side-combinable groupBy (three sums per
+    * group), then a fold over |groups| rows on one row.
+    */
+  def oneWayAnova(df: DataFrame, groupCol: String,
+                  valueCol: String): DataFrame =
+    anovaFromStats(anovaStats(df, groupCol, valueCol))
+
+  /** [[oneWayAnova]]'s sufficient-statistics pass — (group, `__ng`,
+    * `__sg`, `__ssg`) exact BIGINT sums, split out so they can be
+    * maintained as STREAMING state (st40): O(1) per group, the st38
+    * sums-are-a-sketch shape. */
+  private[graft] def anovaStats(df: DataFrame, groupCol: String,
+                                valueCol: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), v.as("__v"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__ng"), sum(col("__v")).as("__sg"),
+        sum(col("__v") * col("__v")).as("__ssg"))
+  }
+
+  /** [[oneWayAnova]]'s finalization over the stats frame — shared
+    * verbatim by batch x182 and streaming st40. */
+  private[graft] def anovaFromStats(stats: DataFrame): DataFrame = {
+    val gc = stats.columns.head
+    stats
+      .withColumn("__t",
+        col("__sg").cast("double") * col("__sg").cast("double") /
+          col("__ng").cast("double"))
+      .agg(
+        sum(col("__ng")).as("n"),
+        count(lit(1)).as("k"),
+        sum(col("__sg")).as("__s"),
+        sum(col("__ssg")).as("__ssq"),
+        aggregate(array_sort(collect_list(struct(col(gc), col("__t")))),
+          lit(0.0), (acc, x) => acc + x("__t")).as("__fold"))
+      .withColumn("__corr",
+        col("__s").cast("double") * col("__s").cast("double") /
+          col("n").cast("double"))
+      .withColumn("__ssb", col("__fold") - col("__corr"))
+      .withColumn("__sst", col("__ssq").cast("double") - col("__corr"))
+      .withColumn("__ssw", col("__sst") - col("__ssb"))
+      .select(col("n"), col("k"),
+        when(col("k") > 1 && col("n") > col("k") && col("__ssw") > 0.0,
+          round((col("__ssb") / (col("k") - 1).cast("double")) /
+            (col("__ssw") / (col("n") - col("k")).cast("double")), 6))
+          .as("f_stat"),
+        when(col("__sst") > 0.0, round(col("__ssb") / col("__sst"), 6))
+          .as("eta2"))
+  }
+
   /** Grouped partial correlation — the correlation between x and y with
     * a confounder z partialled out:
     *   r_xy·z = (r_xy − r_xz·r_yz) / (√(1−r_xz²)·√(1−r_yz²))

@@ -7506,8 +7506,67 @@ object ScaleQueries {
       Streams.runStreamingMutualInfoAvailableNow(s, ev, "event_type",
         "dow", s"graft_smi_$run", ckpt)
     },
-      Some(mutualInfoOracleSql))
+      Some(mutualInfoOracleSql)),
+
+    // One-way ANOVA (x182): does order priority drive totalprice —
+    // F + η² from three exact-BIGINT sums per group (whole dollars,
+    // the documented Σv² headroom rule), the categorical×numeric
+    // association screen beside x82 (cat×cat) and x181 (num×num).
+    QuerySpec("x182_anova", (s, d) =>
+      graft.operators.Analytics.oneWayAnova(
+        t(s, d, "orders")
+          .select(col("o_orderpriority"),
+            round(col("o_totalprice"), 0).cast("long").as("dollars")),
+        "o_orderpriority", "dollars"),
+      Some(anovaOracleSql)),
+
+    // STREAMING one-way ANOVA (st40): the three BIGINT sums per
+    // priority as stream state (the st38 O(1)-per-group shape),
+    // finalized by anovaFromStats; graded on x182's oracle.
+    QuerySpec("st40_stream_anova", (s, d) => {
+      val schema = s.read.parquet(s"$d/orders.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+        .select(col("o_orderpriority"),
+          round(col("o_totalprice"), 0).cast("long").as("dollars"))
+      Streams.runStreamingAnovaAvailableNow(s, raw, "o_orderpriority",
+        "dollars", s"graft_sanv_$run", ckpt)
+    },
+      Some(anovaOracleSql))
   )
+
+  /** Shared by x182 (batch) and st40 (streaming): one output contract —
+    * priority→totalprice F statistic + η² — so both grade against the
+    * identical oracle. Lazy for the same initialization-order reason as
+    * [[fleissOracleSql]]. */
+  private lazy val anovaOracleSql: String =
+    """WITH b AS (SELECT o_orderpriority g,
+      |    CAST(round(o_totalprice, 0) AS BIGINT) v FROM orders
+      |  WHERE o_orderpriority IS NOT NULL
+      |    AND o_totalprice IS NOT NULL),
+      |s AS (SELECT g, CAST(count(*) AS BIGINT) ng,
+      |    CAST(sum(v) AS BIGINT) sg, CAST(sum(v*v) AS BIGINT) ssg
+      |  FROM b GROUP BY 1),
+      |f AS (SELECT CAST(sum(ng) AS BIGINT) n,
+      |    CAST(count(*) AS BIGINT) k, CAST(sum(sg) AS BIGINT) s,
+      |    CAST(sum(ssg) AS BIGINT) ssq,
+      |    list_sum(list(CAST(sg AS DOUBLE)*CAST(sg AS DOUBLE) /
+      |      CAST(ng AS DOUBLE) ORDER BY g)) fold
+      |  FROM s),
+      |e AS (SELECT *, CAST(s AS DOUBLE)*CAST(s AS DOUBLE) /
+      |    CAST(n AS DOUBLE) corr FROM f),
+      |g2 AS (SELECT *, fold - corr ssb,
+      |    CAST(ssq AS DOUBLE) - corr sst FROM e),
+      |h AS (SELECT *, sst - ssb ssw FROM g2)
+      |SELECT n, k,
+      |  CASE WHEN k > 1 AND n > k AND ssw > 0 THEN
+      |    round((ssb/CAST(k - 1 AS DOUBLE)) /
+      |      (ssw/CAST(n - k AS DOUBLE)), 6) END f_stat,
+      |  CASE WHEN sst > 0 THEN round(ssb/sst, 6) END eta2
+      |FROM h""".stripMargin
 
 
   /** Shared by x178 (batch) and st39 (streaming): one output contract —

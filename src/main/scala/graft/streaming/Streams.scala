@@ -2179,6 +2179,34 @@ object Streams {
         detachSink(spark, sinkName, checkpoint))
     }
 
+  /** STREAMING one-way ANOVA (st40): the three exact-BIGINT sums per
+    * group (n, Σv, Σv²) are the stream state — the st38 O(1)-per-group
+    * sums shape — finalized batch-side by
+    * [[graft.operators.Analytics.anovaFromStats]]: the
+    * does-the-label-drive-the-metric F statistic updates as rows
+    * arrive. State is |groups| rows regardless of stream volume.
+    */
+  def runStreamingAnovaAvailableNow(spark: SparkSession, rows: DataFrame,
+      groupCol: String, valueCol: String, sinkName: String,
+      checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val v = col(valueCol).cast("long")
+      val q = rows
+        .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+        .select(col(groupCol), v.as("__v"))
+        .groupBy(col(groupCol))
+        .agg(count(lit(1)).as("__ng"), sum(col("__v")).as("__sg"),
+          sum(col("__v") * col("__v")).as("__ssg"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Analytics.anovaFromStats(
+        detachSink(spark, sinkName, checkpoint))
+    }
+
   /** STREAMING Fleiss' kappa (st33): the (item, category) vote cells are
     * the mergeable stream state (per-micro-batch counts fold in, the
     * st31 contingency-cells pattern one rater up), finalized batch-side

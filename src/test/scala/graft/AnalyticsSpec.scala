@@ -446,6 +446,27 @@ class AnalyticsSpec extends SparkSpec {
       rc.isNullAt(5))
   }
 
+  test("oneWayAnova: hand-computed F and eta2; zero within-variance " +
+    "NULLs F but keeps eta2=1; single group NULLs F with eta2=0; " +
+    "nulls excluded") {
+    // a = {0,2}, b = {4,6}: SSB = 16, SSW = 4, F = (16/1)/(4/2) = 8,
+    // eta2 = 16/20 = 0.8
+    val df = Seq(("a", 0L), ("a", 2L), ("b", 4L), ("b", 6L))
+      .toDF("g", "v")
+      .unionByName(Seq(("a", Option.empty[Long])).toDF("g", "v"))
+    val r = Analytics.oneWayAnova(df, "g", "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)) ==
+      ((4L, 2L, 8.0, 0.8)))
+    // perfectly separated constants: SSW = 0 → F undefined, eta2 = 1
+    val sep = Seq(("a", 1L), ("a", 1L), ("b", 5L), ("b", 5L)).toDF("g", "v")
+    val rs = Analytics.oneWayAnova(sep, "g", "v").collect().head
+    assert(rs.isNullAt(2) && rs.getDouble(3) == 1.0)
+    // one group: no between-variance to test
+    val one = Seq(("a", 1L), ("a", 3L)).toDF("g", "v")
+    val ro = Analytics.oneWayAnova(one, "g", "v").collect().head
+    assert(ro.getLong(1) == 1L && ro.isNullAt(2) && ro.getDouble(3) == 0.0)
+  }
+
   test("groupedPearson: perfect +/-1 lines, zero-variance and single-row " +
     "groups NULL, null coords excluded") {
     val df = Seq(
