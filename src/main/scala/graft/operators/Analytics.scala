@@ -997,6 +997,292 @@ object Analytics {
           .as("eta2"))
   }
 
+  /** Kruskal-Wallis H — the rank-based (distribution-free) counterpart
+    * of [[oneWayAnova]] and the k-group extension of Mann-Whitney
+    * (x91): does the group label shift the value's DISTRIBUTION, judged
+    * on average ranks so one heavy tail cannot buy significance:
+    *   H = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1),
+    *   tie-corrected H' = H / (1 − Σ_v(t_v³−t_v)/(N³−N))
+    * with R_g the group's rank sum under midrank ties.
+    *
+    * Determinism: ranks never materialize per row — the value census
+    * carries each distinct value's tie block, and the DOUBLED midrank
+    * `2r_v = 2·cum_before + t_v + 1` is an exact BIGINT, so every rank
+    * sum is exact (2R_g = Σ c·2r_v); the only float work is the ordered
+    * fold of R_g²/n_g over group-sorted stats and one fixed H tree.
+    * H is NULL when k < 2 or N ≤ 1; H' additionally NULL when the tie
+    * correction is 0 (every row the same value). Output: one row
+    * (n, k, h, h_tie), round 6.
+    *
+    * Overflow headroom: Σ_v t³ < 2⁶³ caps N at ~2M rows per call at the
+    * worst case (all rows one value) — the x75 rule, coarsen upstream.
+    *
+    * Scale shape: the fact is touched once (the census groupBy); the
+    * global rank window runs over the DISTINCT-VALUE census (the
+    * winsorize census-window shape), and the rank join is census×census
+    * on the value key. Nothing row-scale shuffles.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame =
+    kwFromCensus(df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .groupBy(col(groupCol), col("__v"))
+      .agg(count(lit(1)).as("__c")),
+      groupCol)
+
+  /** [[kruskalWallis]]' finalization over a pre-built (group, `__v`,
+    * `__c`) census — the st35/st37 census-state convention, so st41 can
+    * hold the census as streaming state and re-rank on finalize. */
+  private[graft] def kwFromCensus(census: DataFrame,
+                                  groupCol: String): DataFrame = {
+    val global = census.groupBy(col("__v")).agg(sum(col("__c")).as("__t"))
+    val wBefore = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v").asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = global
+      .withColumn("__cb", coalesce(sum(col("__t")).over(wBefore), lit(0L)))
+      .select(col("__v"),
+        (lit(2L) * col("__cb") + col("__t") + 1L).as("__r2"))
+    val grp = census.join(ranked, Seq("__v"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("__ng"),
+        sum(col("__c") * col("__r2")).as("__r2g"))
+    val ties = global.agg(
+      coalesce(sum(col("__t") * col("__t") * col("__t") - col("__t")),
+        lit(0L)).as("__st"))
+    grp
+      .withColumn("__term",
+        (col("__r2g").cast("double") / 2.0) *
+          (col("__r2g").cast("double") / 2.0) / col("__ng").cast("double"))
+      .agg(sum(col("__ng")).as("n"), count(lit(1)).as("k"),
+        aggregate(
+          array_sort(collect_list(struct(col(groupCol), col("__term")))),
+          lit(0.0), (acc, x) => acc + x("__term")).as("__fold"))
+      .crossJoin(broadcast(ties))
+      .withColumn("__nd", col("n").cast("double"))
+      .withColumn("__h0",
+        lit(12.0) / (col("__nd") * (col("__nd") + 1.0)) * col("__fold") -
+          lit(3.0) * (col("__nd") + 1.0))
+      .withColumn("__cc",
+        lit(1.0) - col("__st").cast("double") /
+          (col("__nd") * col("__nd") * col("__nd") - col("__nd")))
+      .select(col("n"), col("k"),
+        when(col("k") > 1 && col("n") > 1, round(col("__h0"), 6)).as("h"),
+        when(col("k") > 1 && col("n") > 1 && col("__cc") > 0.0,
+          round(col("__h0") / col("__cc"), 6)).as("h_tie"))
+  }
+
+  /** Brown-Forsythe variance-homogeneity test — "do the groups differ in
+    * SPREAD, not just center": the one-way ANOVA F applied to each row's
+    * absolute deviation from its GROUP MEDIAN (Levene's test with the
+    * median center — the robust form that keeps its size under heavy
+    * tails). The natural companion gate for [[oneWayAnova]], whose F
+    * assumes the variances it pools are equal.
+    *
+    * Determinism: the group median never materializes as a float — with
+    * the (group, value) census ordered per group, the DOUBLED median
+    * `2m_g = v@⌈n/2⌉ + v@⌈(n+1)/2⌉` is an exact BIGINT (even n averages
+    * the two middles; doubling clears the halves), so every deviation
+    * `z_g(v) = |2v − 2m_g|` and every sufficient statistic (Σcz, Σcz²)
+    * is exact — F is scale-invariant, so computing it on 2×the classic
+    * deviations changes nothing. The only float work is
+    * [[anovaFromStats]]' fixed tree. F is NULL when k < 2, N ≤ k, or
+    * the pooled within-spread is 0 (every group internally constant).
+    * Output: one row (n, k, f_bf), round 6.
+    *
+    * Overflow headroom (the x75 rule): Σc·z² < 2⁶³ — callers coarsen
+    * units at scale, as for [[oneWayAnova]].
+    *
+    * Scale shape: the fact is touched once (the census groupBy); the
+    * median window and every join after it run over the distinct-value
+    * census (the [[kruskalWallis]] shape). Nothing row-scale shuffles.
+    */
+  def brownForsythe(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame =
+    bfFromCensus(df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol), col(valueCol).cast("long").as("__v"))
+      .groupBy(col(groupCol), col("__v"))
+      .agg(count(lit(1)).as("__c")),
+      groupCol)
+
+  /** [[brownForsythe]]'s finalization over a pre-built (group, `__v`,
+    * `__c`) census — the st41 census-state convention, so st42 can hold
+    * the census as streaming state (the group median is a global order
+    * statistic no row-at-a-time state could maintain). */
+  private[graft] def bfFromCensus(census: DataFrame,
+                                  groupCol: String): DataFrame = {
+    val wg = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("__v").asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ng = census.groupBy(col(groupCol)).agg(sum(col("__c")).as("__n"))
+    // the two middle 1-indexed positions (equal when n is odd); a cell
+    // holding cumulative-before cb and tie count c covers (cb, cb+c]
+    val k1 = floor((col("__n") + 1L) / 2L).cast("long")
+    val k2 = floor((col("__n") + 2L) / 2L).cast("long")
+    val inMid = (k: Column) =>
+      when(k > col("__cb") && k <= col("__cb") + col("__c"), col("__v"))
+        .otherwise(lit(0L))
+    val med2 = census
+      .withColumn("__cb", coalesce(sum(col("__c")).over(wg), lit(0L)))
+      .join(ng, Seq(groupCol))
+      .select(col(groupCol), (inMid(k1) + inMid(k2)).as("__mp"))
+      .groupBy(col(groupCol)).agg(sum(col("__mp")).as("__m2"))
+    val stats = census.join(med2, Seq(groupCol))
+      .withColumn("__z", abs(lit(2L) * col("__v") - col("__m2")))
+      .groupBy(col(groupCol))
+      .agg(sum(col("__c")).as("__ng"),
+        sum(col("__c") * col("__z")).as("__sg"),
+        sum(col("__c") * col("__z") * col("__z")).as("__ssg"))
+    anovaFromStats(stats)
+      .select(col("n"), col("k"), col("f_stat").as("f_bf"))
+  }
+
+  /** Kendall's τ-b — rank correlation by PAIR ORDERING, completing the
+    * rank family (Mann-Whitney x91 for two groups, Spearman x153 by rank
+    * values): of all row pairs, how many agree in order on x and y minus
+    * how many disagree, tie-corrected:
+    *   τ_b = (C − D) / √((n₀−n₁)(n₀−n₂)),  n₀ = n(n−1)/2,
+    *   n₁ = Σ_x t(t−1)/2, n₂ = Σ_y t(t−1)/2.
+    * τ-b reads ordinal association where Pearson needs linearity and
+    * Spearman can be fooled by a single long monotone run of ties.
+    *
+    * Determinism: C and D are exact BIGINT sums of census-count products
+    * (pairs inside the same cell or sharing an x or y are ties and touch
+    * neither); the denominator is the only float work — √(n₀−n₁)·√(n₀−n₂)
+    * as two double sqrts so the PRODUCT (which exceeds 2⁶³ near 2M rows)
+    * never materializes as an integer. τ is NULL when either tie-corrected
+    * pair count is 0 (all x tied or all y tied). Output: one row
+    * (n, cells, concordant, discordant, tau_b), τ round 6.
+    *
+    * Scale shape: the fact is touched once (the (x,y)-cell census
+    * groupBy); the pair count is census × census on `x₁ < x₂` — quadratic
+    * BY DESIGN over the bounded census (the annRecallAudit precedent),
+    * which is why `maxCells` is enforced, not advisory: callers coarsen
+    * (bin) the coordinates until |cells| fits. The guard costs one
+    * census-scale count, never a fact-scale job.
+    */
+  def kendallTau(df: DataFrame, xCol: String, yCol: String,
+                 maxCells: Int = 8192): DataFrame =
+    ktFromCensus(df
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .groupBy(col("__x"), col("__y"))
+      .agg(count(lit(1)).as("__c")),
+      maxCells)
+
+  /** [[kendallTau]]'s finalization over a pre-built (`__x`, `__y`, `__c`)
+    * census — the st41/st42 census-state convention, so st43 can hold the
+    * cell census as streaming state (pair ordering is a global property;
+    * the census is the only incrementally-maintainable form). */
+  private[graft] def ktFromCensus(censusRaw: DataFrame,
+                                  maxCells: Int): DataFrame = {
+    // the census feeds four consumers (guard, both join sides, two tie
+    // censuses) — pin it so the fact is scanned once, not four times
+    val census = censusRaw.persist()
+    val nCells = census.limit(maxCells + 1).count()
+    require(nCells <= maxCells,
+      s"kendallTau: census exceeds $maxCells cells — coarsen (bin) the " +
+        "coordinates; the concordance join is quadratic in cells")
+    val l = census.select(col("__x").as("__x1"), col("__y").as("__y1"),
+      col("__c").as("__c1"))
+    val r = census.select(col("__x").as("__x2"), col("__y").as("__y2"),
+      col("__c").as("__c2"))
+    val pairs = l.join(broadcast(r), col("__x1") < col("__x2"))
+      .agg(
+        coalesce(sum(when(col("__y1") < col("__y2"),
+          col("__c1") * col("__c2"))), lit(0L)).as("concordant"),
+        coalesce(sum(when(col("__y1") > col("__y2"),
+          col("__c1") * col("__c2"))), lit(0L)).as("discordant"))
+    val tx = census.groupBy(col("__x")).agg(sum(col("__c")).as("__t"))
+      .agg(coalesce(sum(col("__t") * (col("__t") - 1L)), lit(0L)).as("__tx2"),
+        sum(col("__t")).as("n"))
+    val ty = census.groupBy(col("__y")).agg(sum(col("__c")).as("__t"))
+      .agg(coalesce(sum(col("__t") * (col("__t") - 1L)), lit(0L)).as("__ty2"))
+    pairs.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .withColumn("__n02", col("n") * (col("n") - 1L))
+      .withColumn("__dx", (col("__n02") - col("__tx2")).cast("double") / 2.0)
+      .withColumn("__dy", (col("__n02") - col("__ty2")).cast("double") / 2.0)
+      .select(col("n"), lit(nCells).as("cells"),
+        col("concordant"), col("discordant"),
+        when(col("__dx") > 0.0 && col("__dy") > 0.0,
+          round((col("concordant") - col("discordant")).cast("double") /
+            (sqrt(col("__dx")) * sqrt(col("__dy"))), 6)).as("tau_b"))
+  }
+
+  /** Association rules over baskets — market-basket mining's core report
+    * (support / confidence / lift per directed item pair), the classic
+    * "what co-occurs" screen a corpus curator runs on (source, tag) or
+    * (order, product) structures:
+    *   support(A→B) = n_AB/N,  confidence = n_AB/n_A,
+    *   lift = n_AB·N/(n_A·n_B)
+    * over DISTINCT basket membership (duplicate basket-item rows count
+    * once). Rules below `minPairCount` co-occurrences are noise and
+    * dropped; output is the top-K by lift (desc), confidence (desc),
+    * then (antecedent, consequent) — a fully deterministic order.
+    *
+    * Determinism: all counts are exact BIGINTs off distinct membership;
+    * the three ratios are single-division double trees, round 6.
+    *
+    * Scale shape: pair expansion is a SELF-JOIN ON THE BASKET KEY — the
+    * shuffle is hash-partitioned on basket, and a basket of b items
+    * emits b(b−1)/2 pairs, so the `maxBasketSize` guard is the hot-key
+    * cap (the blockedLinkage maxBlockSize / winnowing maxDocFreq
+    * precedent): a degenerate basket containing half the catalog cannot
+    * square the shuffle — it is excluded, not exploded. Rule metrics
+    * join on the item-count census (broadcast-scale).
+    */
+  def associationRules(baskets: DataFrame, basketCol: String,
+                       itemCol: String, minPairCount: Long,
+                       maxBasketSize: Int, topK: Int): DataFrame = {
+    require(maxBasketSize > 1 && topK > 0 && minPairCount >= 1,
+      "associationRules: maxBasketSize > 1, topK > 0, minPairCount >= 1")
+    val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))
+    // distinct membership feeds four consumers (basket count, item
+    // census, both self-join sides) — pin it so the dedup shuffle runs
+    // once; the self-join then reuses the basket-hash partitioning
+    val kept = baskets
+      .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
+      .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+      .distinct()
+      .withColumn("__sz", count(lit(1)).over(wb))
+      .filter(col("__sz") <= maxBasketSize).drop("__sz")
+      .persist()
+    val nBaskets = kept.agg(countDistinct(col("__b")).as("n_baskets"))
+    val itemCnt = kept.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
+    val co = kept.select(col("__b"), col("__i").as("__ia"))
+      .join(kept.select(col("__b"), col("__i").as("__ib")), Seq("__b"))
+      .filter(col("__ia") < col("__ib"))
+      .groupBy(col("__ia"), col("__ib")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPairCount)
+    val directed = co
+      .select(col("__ia").as("antecedent"), col("__ib").as("consequent"),
+        col("n_pair"))
+      .union(co.select(col("__ib"), col("__ia"), col("n_pair")))
+    directed
+      .join(broadcast(itemCnt.select(col("__i").as("antecedent"),
+        col("__ni").as("n_antecedent"))), Seq("antecedent"))
+      .join(broadcast(itemCnt.select(col("__i").as("consequent"),
+        col("__ni").as("n_consequent"))), Seq("consequent"))
+      .crossJoin(broadcast(nBaskets))
+      .select(col("antecedent"), col("consequent"), col("n_pair"),
+        col("n_antecedent"), col("n_consequent"), col("n_baskets"),
+        round(col("n_pair").cast("double") /
+          col("n_baskets").cast("double"), 6).as("support"),
+        round(col("n_pair").cast("double") /
+          col("n_antecedent").cast("double"), 6).as("confidence"),
+        round(col("n_pair").cast("double") * col("n_baskets").cast("double") /
+          (col("n_antecedent").cast("double") *
+            col("n_consequent").cast("double")), 6).as("lift"))
+      .orderBy(col("lift").desc, col("confidence").desc,
+        col("antecedent"), col("consequent"))
+      .limit(topK)
+  }
+
   /** Grouped partial correlation — the correlation between x and y with
     * a confounder z partialled out:
     *   r_xy·z = (r_xy − r_xz·r_yz) / (√(1−r_xz²)·√(1−r_yz²))

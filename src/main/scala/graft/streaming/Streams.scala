@@ -2207,6 +2207,86 @@ object Streams {
         detachSink(spark, sinkName, checkpoint))
     }
 
+  /** STREAMING Kruskal-Wallis (st41): the (group, value) census is the
+    * stream state (the st35 shape) and the finalize RE-RANKS the whole
+    * census — midrank ties are global properties a row-at-a-time rank
+    * could never maintain incrementally, which is exactly why the
+    * census, not the ranks, is the state. The distribution-shift screen
+    * updates as rows arrive; state bounded by |groups| × |distinct
+    * values|.
+    */
+  def runStreamingKruskalAvailableNow(spark: SparkSession, rows: DataFrame,
+      groupCol: String, valueCol: String, sinkName: String,
+      checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val q = rows
+        .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+        .select(col(groupCol), col(valueCol).cast("long").as("__v"))
+        .groupBy(col(groupCol), col("__v"))
+        .agg(count(lit(1)).as("__c"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Analytics.kwFromCensus(
+        detachSink(spark, sinkName, checkpoint), groupCol)
+    }
+
+  /** STREAMING Brown-Forsythe (st42): the (group, value) census is the
+    * stream state (the st41 shape) and the finalize recomputes each
+    * group's doubled median from the whole census — a global order
+    * statistic no row-at-a-time state could maintain, which is exactly
+    * why the census, not the medians, is the state. The
+    * variance-homogeneity gate updates as rows arrive; state bounded by
+    * |groups| × |distinct values|.
+    */
+  def runStreamingBrownForsytheAvailableNow(spark: SparkSession,
+      rows: DataFrame, groupCol: String, valueCol: String, sinkName: String,
+      checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val q = rows
+        .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+        .select(col(groupCol), col(valueCol).cast("long").as("__v"))
+        .groupBy(col(groupCol), col("__v"))
+        .agg(count(lit(1)).as("__c"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Analytics.bfFromCensus(
+        detachSink(spark, sinkName, checkpoint), groupCol)
+    }
+
+  /** STREAMING Kendall τ-b (st43): the (x, y) cell census is the stream
+    * state (pair ORDERING is a global property — the census is the only
+    * incrementally-maintainable form), finalized by the batch operator's
+    * own census×census concordance count. State bounded by |x bins| ×
+    * |y bins| — the batch maxCells guard applies at finalize verbatim.
+    */
+  def runStreamingKendallAvailableNow(spark: SparkSession, rows: DataFrame,
+      xCol: String, yCol: String, maxCells: Int, sinkName: String,
+      checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val q = rows
+        .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+        .select(col(xCol).cast("long").as("__x"),
+          col(yCol).cast("long").as("__y"))
+        .groupBy(col("__x"), col("__y"))
+        .agg(count(lit(1)).as("__c"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Analytics.ktFromCensus(
+        detachSink(spark, sinkName, checkpoint), maxCells)
+    }
+
   /** STREAMING Fleiss' kappa (st33): the (item, category) vote cells are
     * the mergeable stream state (per-micro-batch counts fold in, the
     * st31 contingency-cells pattern one rater up), finalized batch-side

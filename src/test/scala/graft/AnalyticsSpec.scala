@@ -467,6 +467,100 @@ class AnalyticsSpec extends SparkSpec {
     assert(ro.getLong(1) == 1L && ro.isNullAt(2) && ro.getDouble(3) == 0.0)
   }
 
+  test("kruskalWallis: hand H without and with midrank ties; all-tied " +
+    "panel zeroes H and NULLs the tie correction; single group NULL") {
+    // no ties: ranks 1..4, R_a=3, R_b=7 → H = 0.6·29 − 15 = 2.4, C = 1
+    val plain = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+      .toDF("g", "v")
+    val rp = Analytics.kruskalWallis(plain, "g", "v").collect().head
+    assert((rp.getLong(0), rp.getLong(1), rp.getDouble(2),
+      rp.getDouble(3)) == ((4L, 2L, 2.4, 2.4)))
+    // tied pairs: midranks 1.5/3.5 give the same rank sums, H = 2.4,
+    // but C = 1 − 12/60 = 0.8 → H' = 3.0
+    val tied = Seq(("a", 1L), ("a", 1L), ("b", 2L), ("b", 2L))
+      .toDF("g", "v")
+    val rt = Analytics.kruskalWallis(tied, "g", "v").collect().head
+    assert((rt.getDouble(2), rt.getDouble(3)) == ((2.4, 3.0)))
+    // every row the same value: H = 0 and the tie correction vanishes
+    val flat = Seq(("a", 5L), ("a", 5L), ("b", 5L), ("b", 5L))
+      .toDF("g", "v")
+    val rf = Analytics.kruskalWallis(flat, "g", "v").collect().head
+    assert(rf.getDouble(2) == 0.0 && rf.isNullAt(3))
+    // one group: nothing to compare
+    val one = Seq(("a", 1L), ("a", 2L)).toDF("g", "v")
+    val ro1 = Analytics.kruskalWallis(one, "g", "v").collect().head
+    assert(ro1.getLong(1) == 1L && ro1.isNullAt(2) && ro1.isNullAt(3))
+  }
+
+  test("brownForsythe: hand F for odd and even group medians; " +
+    "internally-constant groups NULL; single group NULL") {
+    // medians 2 and 5; doubled deviations z=[2,0,14],[2,0,2] →
+    // F = (24/1)/(117.333/4) = 0.818182
+    val odd = Seq(("a", 1L), ("a", 2L), ("a", 9L),
+      ("b", 4L), ("b", 5L), ("b", 6L)).toDF("g", "v")
+    val ro = Analytics.brownForsythe(odd, "g", "v").collect().head
+    assert((ro.getLong(0), ro.getLong(1), ro.getDouble(2)) ==
+      ((6L, 2L, 0.818182)))
+    // even group a=[1,3]: 2m=4, z=[2,2]; b=[10,10,14]: 2m=20, z=[0,0,8]
+    // → F = 0.0375
+    val even = Seq(("a", 1L), ("a", 3L),
+      ("b", 10L), ("b", 10L), ("b", 14L)).toDF("g", "v")
+    assert(Analytics.brownForsythe(even, "g", "v")
+      .collect().head.getDouble(2) == 0.0375)
+    // every group internally constant: SSW = 0, no spread to compare
+    val flat = Seq(("a", 5L), ("a", 5L), ("b", 7L), ("b", 7L))
+      .toDF("g", "v")
+    assert(Analytics.brownForsythe(flat, "g", "v").collect().head.isNullAt(2))
+    // one group
+    val one2 = Seq(("a", 1L), ("a", 9L)).toDF("g", "v")
+    assert(Analytics.brownForsythe(one2, "g", "v").collect().head.isNullAt(2))
+  }
+
+  test("kendallTau: +1 / -1 on monotone data, hand tau-b under x ties, " +
+    "all-x-tied NULL, census cap enforced") {
+    val up = Seq((1L, 1L), (2L, 2L), (3L, 3L)).toDF("x", "y")
+    val ru = Analytics.kendallTau(up, "x", "y").collect().head
+    assert((ru.getLong(0), ru.getLong(1), ru.getLong(2), ru.getLong(3),
+      ru.getDouble(4)) == ((3L, 3L, 3L, 0L, 1.0)))
+    val down = Seq((1L, 3L), (2L, 2L), (3L, 1L)).toDF("x", "y")
+    assert(Analytics.kendallTau(down, "x", "y")
+      .collect().head.getDouble(4) == -1.0)
+    // x ties: C=2, D=0, dx=(6-2)/2=2, dy=3 → tau = 2/sqrt(6) = 0.816497
+    val tied = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("x", "y")
+    assert(Analytics.kendallTau(tied, "x", "y")
+      .collect().head.getDouble(4) == 0.816497)
+    // all x tied: no orderable pair on x
+    val flatx = Seq((1L, 1L), (1L, 2L)).toDF("x", "y")
+    assert(Analytics.kendallTau(flatx, "x", "y").collect().head.isNullAt(4))
+    // the quadratic-join guard is enforced, not advisory
+    intercept[IllegalArgumentException] {
+      Analytics.kendallTau(up, "x", "y", maxCells = 2).collect()
+    }
+  }
+
+  test("associationRules: hand support/confidence/lift, deterministic " +
+    "order, duplicate membership counted once, oversized basket excluded") {
+    val rows = Seq(
+      ("b1", "A"), ("b1", "A"), ("b1", "B"), ("b1", "C"),
+      ("b2", "A"), ("b2", "B"), ("b3", "A"), ("b3", "C"),
+      ("b4", "B"), ("b4", "C"), ("b5", "A"), ("b5", "B"),
+      // a 4-item basket: excluded entirely under maxBasketSize = 3
+      ("b6", "A"), ("b6", "B"), ("b6", "C"), ("b6", "D"))
+      .toDF("bk", "it")
+    val got = Analytics.associationRules(rows, "bk", "it",
+      minPairCount = 1L, maxBasketSize = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(6), r.getDouble(7), r.getDouble(8)))
+    assert(got.toSeq == Seq(
+      ("A", "B", 3L, 0.6, 0.75, 0.9375),
+      ("B", "A", 3L, 0.6, 0.75, 0.9375),
+      ("C", "A", 2L, 0.4, 0.666667, 0.833333),
+      ("C", "B", 2L, 0.4, 0.666667, 0.833333),
+      ("A", "C", 2L, 0.4, 0.5, 0.833333),
+      ("B", "C", 2L, 0.4, 0.5, 0.833333)))
+    assert(!got.exists(r => r._1 == "D" || r._2 == "D"))
+  }
+
   test("groupedPearson: perfect +/-1 lines, zero-variance and single-row " +
     "groups NULL, null coords excluded") {
     val df = Seq(
