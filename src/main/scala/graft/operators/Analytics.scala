@@ -1203,7 +1203,10 @@ object Analytics {
         sum(col("__t")).as("n"))
     val ty = census.groupBy(col("__y")).agg(sum(col("__c")).as("__t"))
       .agg(coalesce(sum(col("__t") * (col("__t") - 1L)), lit(0L)).as("__ty2"))
-    pairs.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+    // materialize the one-row result, then release the pinned census —
+    // the fleissFromCells discipline (repeated calls in a long session
+    // must not accumulate cached blocks)
+    val out = pairs.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
       .withColumn("__n02", col("n") * (col("n") - 1L))
       .withColumn("__dx", (col("__n02") - col("__tx2")).cast("double") / 2.0)
       .withColumn("__dy", (col("__n02") - col("__ty2")).cast("double") / 2.0)
@@ -1212,6 +1215,9 @@ object Analytics {
         when(col("__dx") > 0.0 && col("__dy") > 0.0,
           round((col("concordant") - col("discordant")).cast("double") /
             (sqrt(col("__dx")) * sqrt(col("__dy"))), 6)).as("tau_b"))
+      .localCheckpoint(true)
+    census.unpersist()
+    out
   }
 
   /** Association rules over baskets — market-basket mining's core report
@@ -1263,7 +1269,9 @@ object Analytics {
       .select(col("__ia").as("antecedent"), col("__ib").as("consequent"),
         col("n_pair"))
       .union(co.select(col("__ib"), col("__ia"), col("n_pair")))
-    directed
+    // materialize the top-K, then release the pinned membership frame
+    // (the fleissFromCells discipline — ADVICE r11)
+    val out = directed
       .join(broadcast(itemCnt.select(col("__i").as("antecedent"),
         col("__ni").as("n_antecedent"))), Seq("antecedent"))
       .join(broadcast(itemCnt.select(col("__i").as("consequent"),
@@ -1281,6 +1289,9 @@ object Analytics {
       .orderBy(col("lift").desc, col("confidence").desc,
         col("antecedent"), col("consequent"))
       .limit(topK)
+      .localCheckpoint(true)
+    kept.unpersist()
+    out
   }
 
   /** Grouped partial correlation — the correlation between x and y with
@@ -2860,15 +2871,18 @@ object Analytics {
       .orderBy(col("bucket").asc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.currentRow)
-    val nAll = org.apache.spark.sql.expressions.Window.partitionBy()
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-        org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    val ranked = df
+    val base = df
       .filter(col(scoreCol).isNotNull && col(positiveCol).isNotNull)
       .select(col(idCol), col(scoreCol),
         col(positiveCol).cast("boolean").as("__pos"))
+    // total row count via a one-row agg broadcast back (x40 census-
+    // broadcast shape) — not an empty-partition unbounded window, which
+    // would plan a SinglePartition gather of the eval set (r11 sweep;
+    // the row_number itself rides GlobalRankRewrite's native exec)
+    val nTot = base.agg(count(lit(1)).cast("long").as("__n"))
+    val ranked = base
       .withColumn("__rk", row_number().over(w).cast("long"))
-      .withColumn("__n", count(lit(1)).over(nAll))
+      .crossJoin(broadcast(nTot))
       .withColumn("bucket",
         expr(s"(__rk - 1) * $nBuckets div __n") + 1)
     val cells = ranked.groupBy(col("bucket"))
@@ -3046,20 +3060,32 @@ object Analytics {
         s"(saw $rLo..$rHi ratings per item)")
     val r = rLo
     require(r >= 2, s"fleissKappa needs >= 2 raters per item (got $r)")
+    // cross-multiplied identity in EXACT arithmetic: (N·R)² and
+    // (S−N·R)·N·R overflow Long silently around N·R ≈ 3e9 (1B items ×
+    // 3 raters — ADVICE r11), so the driver-side scalars are BigInt
+    // injected as decimal(38,0) literals and the Σc² census sum is
+    // decimal too (c_j ≤ N·R, so c_j² ≤ (N·R)² < 10³⁸ — inside decimal
+    // precision for any Long-valued N·R). All divisions still happen
+    // after .cast("double"), so reported values are bit-identical to
+    // the Long form wherever the Long form didn't overflow.
+    val nrB = BigInt(nItems) * BigInt(r)
+    def dlit(b: BigInt) = lit(new java.math.BigDecimal(b.bigInteger))
+    val nr2 = dlit(nrB * nrB)
+    val cjD = col("__cj").cast("decimal(19,0)")
     val out = cells.groupBy(col("__c"))
       .agg(sum(col("__n")).as("__cj"))
-      .agg(coalesce(sum(col("__cj") * col("__cj")), lit(0L)).as("__sc2"))
+      .agg(coalesce(sum(cjD * cjD),
+        lit(new java.math.BigDecimal(0))).as("__sc2"))
       .select(lit(nItems).as("n_items"), lit(r).as("n_raters"),
-        round(lit(s - nItems * r).cast("double") /
-          lit(nItems * r * (r - 1)).cast("double"), 6).as("p_bar"),
+        round(dlit(BigInt(s) - nrB).cast("double") /
+          dlit(nrB * (r - 1)).cast("double"), 6).as("p_bar"),
         round(col("__sc2").cast("double") /
-          lit(nItems * r * nItems * r).cast("double"), 6).as("p_expected"),
-        when(lit(nItems * r * nItems * r) === col("__sc2"),
-          lit(null).cast("double"))
+          nr2.cast("double"), 6).as("p_expected"),
+        when(nr2 === col("__sc2"), lit(null).cast("double"))
           .otherwise(round(
-            ((lit(s - nItems * r) * nItems * r) -
-              lit(r - 1) * col("__sc2")).cast("double") /
-            (lit(r - 1) * (lit(nItems * r * nItems * r) - col("__sc2")))
+            (dlit((BigInt(s) - nrB) * nrB) -
+              dlit(BigInt(r - 1)) * col("__sc2")).cast("double") /
+            (dlit(BigInt(r - 1)) * (nr2 - col("__sc2")))
               .cast("double"), 6))
           .as("kappa"))
       .localCheckpoint(true)

@@ -277,26 +277,32 @@ object ScaleOps {
                              (finish: DataFrame => DataFrame): DataFrame = {
     if (useNativeKernel(df, partitions)) {
       val specs = sortSpecCols(sortCols)
-      // integral-but-not-long sum columns widen via a temp cast (the
-      // window form's sum() widened implicitly)
+      // sum columns not already in the exec's two accumulation types
+      // widen via a temp cast: integral → long (exact), fractional
+      // (float/decimal) → double (the window form's sum() widens the
+      // same columns to double/decimal; long would silently truncate
+      // fractions — see ADVICE r11)
+      import org.apache.spark.sql.types.{ByteType, ShortType, IntegerType,
+        FloatType, DecimalType, LongType => LongT, DoubleType => DoubleT}
       val sumSpecs = tokCols.map { c =>
         df.schema(c).dataType match {
-          case org.apache.spark.sql.types.LongType |
-               org.apache.spark.sql.types.DoubleType => (c, None)
-          case _: org.apache.spark.sql.types.NumericType =>
-            (c, Some(s"__w_$c"))
+          case LongT | DoubleT => (c, None, "")
+          case ByteType | ShortType | IntegerType =>
+            (c, Some(s"__w_$c"), "long")
+          case FloatType | _: DecimalType =>
+            (c, Some(s"__w_$c"), "double")
           case other => throw new IllegalArgumentException(
             s"withRunningSums: non-numeric column '$c' ($other)")
         }
       }
       val projected = df.select(df.columns.map(col).toSeq ++
         specs.map { case (n0, c, _) => c.as(n0) } ++
-        sumSpecs.collect { case (c, Some(w)) => col(c).cast("long").as(w) }: _*)
+        sumSpecs.collect { case (c, Some(w), t) => col(c).cast(t).as(w) }: _*)
       val tmpCols = specs.map(_._1) ++ sumSpecs.collect {
-        case (_, Some(w)) => w }
+        case (_, Some(w), _) => w }
       val attached = graft.plans.NativeRunningSum.attachAll(projected, Nil,
         specs.map(s => (s._1, s._3)),
-        sumSpecs.map { case (c, w) =>
+        sumSpecs.map { case (c, w, _) =>
           (Some(w.getOrElse(c)): Option[String]) -> s"__cum_$c" })
       return finish(attached.drop(tmpCols: _*)).localCheckpoint(true)
     }
@@ -984,7 +990,10 @@ object ScaleOps {
       .groupBy(col(bucketCol)).agg(count(lit(1)).as("__c"))
     // C and k via one unbounded window over the |buckets|-row census (a
     // census.agg + crossJoin-back would embed the census subtree twice
-    // and trip Spark's ambiguous-lineage resolution)
+    // and trip Spark's ambiguous-lineage resolution — re-verified r12).
+    // Bounded by the bucket-quota contract: |buckets| is a policy-sized
+    // set, not a key census, so the SinglePartition here carries a
+    // handful of rows.
     val wAll = Window.partitionBy().rowsBetween(
       Window.unboundedPreceding, Window.unboundedFollowing)
     val rates = census.select(col(bucketCol), col("__c"),
@@ -1426,15 +1435,21 @@ object ScaleOps {
     val w = Window.orderBy(col("__c").asc, col(keyCol).cast("string").asc)
     val ranked = census
       .select(col("__c"), row_number().over(w).cast("long").as("__r"))
+    // census totals via ONE map-side-combinable one-row agg broadcast
+    // back onto the ranked census (the x40 census-broadcast shape) — the
+    // former count().over(empty-partition unbounded window) planned a
+    // SinglePartition gather of the ENTIRE distinct-key census, the one
+    // shape a skew audit is most likely to meet at scale (billions of
+    // distinct keys at 100 TB). No bare-name ambiguity: the agg output
+    // attrs (__n/__rows/__max) are fresh and disjoint from ranked's.
+    val totals = census.agg(count(lit(1)).cast("long").as("__n"),
+      sum(col("__c")).as("__rows"), max(col("__c")).as("__max"))
     def orderStat(q: Double): Column =
       min(when(col("__r") === ceil(lit(q) * col("__n")).cast("long"),
         col("__c")))
-    ranked
-      .withColumn("__n", count(lit(1)).over(
-        Window.partitionBy().rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)))
-      .agg(max(col("__n")).as("n_keys"), sum(col("__c")).as("n_rows"),
-        max(col("__c")).as("max_key_rows"),
+    ranked.crossJoin(broadcast(totals))
+      .agg(max(col("__n")).as("n_keys"), max(col("__rows")).as("n_rows"),
+        max(col("__max")).as("max_key_rows"),
         orderStat(0.5).as("p50_key_rows"),
         orderStat(0.9).as("p90_key_rows"),
         orderStat(0.99).as("p99_key_rows"))

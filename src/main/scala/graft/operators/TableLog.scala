@@ -88,15 +88,32 @@ object TableLog {
         acquired = true
       } catch {
         case _: java.io.IOException =>
-          val age = try {
-            System.currentTimeMillis() -
-              fs.getFileStatus(lockP).getModificationTime
+          val staleMtime = try {
+            fs.getFileStatus(lockP).getModificationTime
           } catch { case _: java.io.FileNotFoundException => -1L }
+          val age = if (staleMtime < 0) -1L
+            else System.currentTimeMillis() - staleMtime
           if (age > staleLockMs) {
             // dead holder: every wrapped mutator is crash-recoverable, so
-            // breaking the lock is safe — record the break in the holder's
-            // stead by simply deleting and re-racing
-            fs.delete(lockP, false)
+            // breaking the lock is safe — but break carefully. The naive
+            // delete-and-re-race let two waiters who BOTH observed the
+            // stale lock each delete: waiter B (acting on its earlier
+            // stat) could remove waiter A's freshly created lock and both
+            // would hold "exclusive" access. Two defenses (ADVICE r11):
+            // (1) re-stat immediately before breaking and only proceed if
+            // the mtime is UNCHANGED from the stale observation (a changed
+            // mtime means someone already broke + re-acquired);
+            // (2) break by atomic RENAME to a unique tombstone — exactly
+            // one breaker wins the rename, the loser's next create() races
+            // cleanly against the winner's.
+            val unchanged = try {
+              fs.getFileStatus(lockP).getModificationTime == staleMtime
+            } catch { case _: java.io.FileNotFoundException => false }
+            if (unchanged) {
+              val tomb = new org.apache.hadoop.fs.Path(logDir(root),
+                s"$LockName.broken.${java.util.UUID.randomUUID()}")
+              if (fs.rename(lockP, tomb)) fs.delete(tomb, false)
+            }
           } else if (System.currentTimeMillis() > deadline) {
             sys.error(s"TableLog: could not acquire $lockP within " +
               s"${waitMs}ms (held by a live writer)")
@@ -276,6 +293,70 @@ object TableLog {
       }
     }
     drift.toSeq.toDF("partition", "file", "status")
+  }
+
+  /** Read-side isolation (r12 directive #4): run `plan` (a read of the
+    * table under `tableRoot`), MATERIALIZE it eagerly, and only return
+    * it if no commit landed while the scan ran. A reader racing a
+    * concurrent swap/compaction either (a) trips a file-not-found as
+    * the mutator renames files out from under the planned listing, or
+    * (b) completes against a half-swapped listing — case (a) is caught
+    * and case (b) is detected by the version watermark moving between
+    * plan time and scan end; both re-plan against the new snapshot
+    * instead of surfacing FileNotFoundException to the caller. The
+    * localCheckpoint is what makes the check sound: after it returns,
+    * the rows live in block storage and no LATER mutation can touch
+    * them (lazy frames would re-list files at every downstream action).
+    *
+    * Retention interplay: [[truncateLog]] only deletes old MANIFESTS,
+    * never data files, so a reader mid-scan is unaffected by log
+    * truncation; `currentVersion` stays monotonic because truncation
+    * always keeps the newest manifest (keep >= 1 is enforced). The
+    * stale-reader grace window is therefore the mutators' own:
+    * partition swaps rename the previous files into the partition's
+    * trash dir rather than deleting in place, and a reader that loses
+    * the race simply retries here — `maxAttempts` bounds livelock under
+    * constant churn (default 5; a table being mutated faster than it
+    * can be scanned five times over has no consistent read point to
+    * offer, and the loud error beats silently torn rows).
+    */
+  def readValidated(spark: SparkSession, tableRoot: String,
+                    maxAttempts: Int = 5)(plan: => DataFrame): DataFrame = {
+    require(maxAttempts >= 1, s"maxAttempts must be >= 1 (got $maxAttempts)")
+    var attempt = 0
+    var lastDrift = ""
+    while (attempt < maxAttempts) {
+      attempt += 1
+      val v0 = currentVersion(spark, tableRoot)
+      try {
+        val out = plan.localCheckpoint(true)
+        val v1 = currentVersion(spark, tableRoot)
+        if (v1 == v0) return out
+        lastDrift = s"version moved $v0 -> $v1 mid-scan"
+        out.unpersist()
+      } catch {
+        case e: Throwable if isFileDrift(e) =>
+          lastDrift = s"file drift: ${e.getMessage}"
+      }
+    }
+    sys.error(s"TableLog.readValidated($tableRoot): no consistent " +
+      s"snapshot in $maxAttempts attempts (last: $lastDrift)")
+  }
+
+  /** A scan failure caused by files moving underneath the planned
+    * listing (the re-plannable kind), vs a genuine error to propagate. */
+  private def isFileDrift(e: Throwable): Boolean = {
+    var c: Throwable = e
+    var seen = 0
+    while (c != null && seen < 16) {
+      if (c.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = Option(c.getMessage).getOrElse("")
+      if (m.contains("FileNotFoundException") ||
+          m.contains("does not exist")) return true
+      c = if (c.getCause eq c) null else c.getCause
+      seen += 1
+    }
+    false
   }
 
   /** Keep only the newest `keep` manifests (the latest one preserves

@@ -168,12 +168,26 @@ case class RunningSumExec(groupExprs: Seq[Expression],
     // re-reading re-runs the sort in pass 2 but never doubles storage)
     val pinPolicy = conf.getConfString("spark.graft.runningSum.pin", "auto")
     val raw = child.execute()
+    val grouped = boundGroups.nonEmpty
+    // small-input fast path (r12 directive #3): with a single child
+    // partition there is nothing to carry — every offset is the monoid
+    // identity, so BOTH fixed costs are pure overhead: the
+    // boundary-totals job (an entire extra Spark job + collect, the
+    // ~0.2-0.3 s constant x129/x134 paid at sf0.1) AND the
+    // determinism pin (with one pass there is no replay to diverge
+    // from). AQE coalesces a tiny range exchange to one partition, so
+    // exactly the small inputs that feel the constant hit this branch;
+    // crossover is documented in PERF.md.
+    if (raw.getNumPartitions <= 1)
+      return runFinalPass(raw,
+        Array.fill(math.max(raw.getNumPartitions, 1))(
+          Array.tabulate[Any](nSums)(zero)),
+        boundSums, boundGroups, grouped, dts, zero, plus, keyOf)
     val childRDD =
       if (pinPolicy != "always" &&
           org.apache.spark.sql.graftshim.RddShim.mapSideDeterminate(raw))
         raw
       else raw.map(_.copy()).localCheckpoint()
-    val grouped = boundGroups.nonEmpty
     // pass 1: boundary totals — one job, metadata-scale collect
     val boundaries: Array[Option[RunningSumBoundary]] = childRDD.mapPartitions { it =>
       if (!it.hasNext) Iterator.single(None)
@@ -227,6 +241,22 @@ case class RunningSumExec(groupExprs: Seq[Expression],
           carryTotals = b.lastTotals.clone()
         }
     }
+    runFinalPass(childRDD, offsets, boundSums, boundGroups, grouped, dts,
+      zero, plus, keyOf)
+  }
+
+  /** Pass 2 (shared by the boundary path and the single-partition fast
+    * path): stream each partition once, starting each partition's first
+    * group from its carried offset.
+    */
+  private def runFinalPass(childRDD: RDD[InternalRow],
+                           offsets: Array[Array[Any]],
+                           boundSums: Seq[Expression],
+                           boundGroups: Seq[Expression],
+                           grouped: Boolean, dts: Array[DataType],
+                           zero: Int => Any, plus: (Int, Any, Any) => Any,
+                           keyOf: InternalRow => Seq[Any]): RDD[InternalRow] = {
+    val nSums = boundSums.length
     val outputAttrs = output
     childRDD.mapPartitionsWithIndex { (idx, it) =>
       val proj = UnsafeProjection.create(outputAttrs, outputAttrs)
@@ -320,6 +350,22 @@ object NativeRunningSum {
     }
     val cumAttrs = aggs.zip(aggExprs).map { case ((_, op, name), e) =>
       AttributeReference(name, e.dataType, nullable = op != "sum")()
+    }
+    // group keys are compared with JVM equality in keyOf, which copies
+    // UTF8String out of the reused row buffer but cannot normalize
+    // BinaryType (Array[Byte] reference equality ⇒ every row a new group)
+    // or struct/array values (alias the reused UnsafeRow buffer) — guard
+    // the datatypes here rather than silently mis-group (ADVICE r11)
+    groupCols.foreach { n =>
+      import org.apache.spark.sql.types._
+      val dt = attrOf(n).dataType
+      val badKey = dt == BinaryType || dt.isInstanceOf[StructType] ||
+        dt.isInstanceOf[ArrayType] || dt.isInstanceOf[MapType] ||
+        dt.isInstanceOf[UserDefinedType[_]]
+      require(!badKey,
+        s"NativeRunningSum: group column '$n' must be an atomic " +
+          s"non-binary type (got $dt) — binary/nested keys would compare " +
+          "by JVM reference in the boundary protocol")
     }
     val sortOrder = sortSpecs.map { case (n, asc) =>
       SortOrder(attrOf(n), if (asc) Ascending else Descending)

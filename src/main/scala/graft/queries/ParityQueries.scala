@@ -97,7 +97,12 @@ object ParityQueries {
           (col("value") * 2).as("value"))
       val dir = java.nio.file.Files.createTempDirectory("graft_stmerge_tpl").toString
       fact.write.partitionBy("start_date_oslo").parquet(s"$dir/fact")
-      staging.repartition(if (indexed) 2 else 4).write.parquet(s"$dir/staging")
+      // 2 staging slices for BOTH variants (r12 directive #2): two
+      // one-file micro-batches are the minimum that exercises
+      // multi-batch merge + per-batch index maintenance (the r11 st4b
+      // ruling); the old 4-slice st4 paid two extra per-batch upserts
+      // of pure fixture tax
+      staging.repartition(2).write.parquet(s"$dir/staging")
       if (indexed)
         graft.operators.MergeOps.buildIdDateIndex(
           s.read.parquet(s"$dir/fact"), s"$dir/fact_idx")
@@ -121,9 +126,13 @@ object ParityQueries {
       factPath, s"$base/seen_ids", days = 7,
       todayOslo = LocalDate.parse("2024-01-30"), checkpoint = s"$base/ckpt",
       indexPath = if (indexed) Some(s"$base/fact_idx") else None)
-    val out = s.read.parquet(factPath)
-      .select("id", "ts", "start_date_oslo", "event_type", "value")
-      .localCheckpoint(true)
+    // read-side isolation (r12): the closing read rides the commit log —
+    // at scale a compaction can race this scan, and readValidated
+    // re-plans on drift instead of surfacing FileNotFoundException
+    val out = graft.operators.TableLog.readValidated(s, factPath) {
+      s.read.parquet(factPath)
+        .select("id", "ts", "start_date_oslo", "event_type", "value")
+    }
     fs.delete(baseP, true)
     out.withColumn("start_date_oslo", col("start_date_oslo").cast("string"))
       .orderBy("id")
@@ -720,7 +729,7 @@ object ParityQueries {
       Some(m1OracleSql)),
 
     // ST4 — the SAME M1 semantics with staging replayed as a sliced
-    // micro-batch stream (maxFilesPerTrigger=1 over a 4-file staging dump)
+    // micro-batch stream (maxFilesPerTrigger=1 over a 2-file staging dump)
     // through Streams.streamingMergeIncrementalPartitioned: per-batch
     // windowed upsert rewriting ONLY affected date partitions + one
     // end-of-cycle sweep over window partitions (per-batch cost is

@@ -2427,8 +2427,12 @@ object ScaleQueries {
         .select("event_id", "ts", "user_id", "event_type", "value")
       val run = streamRun.incrementAndGet()
       val base = java.nio.file.Files.createTempDirectory("graft_stdedup").toString
-      ev.repartition(3).write.parquet(s"$base/in")
-      ev.repartition(2).write.mode(org.apache.spark.sql.SaveMode.Append)
+      // 2+1 file groups (r12 directive #2, the st4b minimum-slice rule):
+      // three one-file micro-batches still put every duplicate copy in a
+      // DIFFERENT batch than its original — the cross-batch state under
+      // test — while shedding two fixed-cost triggers vs the old 3+2
+      ev.repartition(2).write.parquet(s"$base/in")
+      ev.repartition(1).write.mode(org.apache.spark.sql.SaveMode.Append)
         .parquet(s"$base/in")
       val stream = s.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
@@ -4317,7 +4321,9 @@ object ScaleQueries {
       val docs = t(s, d, "documents").select("doc_id", "text")
       val run = streamRun.incrementAndGet()
       val base = java.nio.file.Files.createTempDirectory("graft_stsim").toString
-      docs.repartition(3).write.parquet(s"$base/in")
+      // 2 slices (r12 directive #2): the minimum that exercises
+      // cross-batch bucket state, one fewer fixed-cost trigger
+      docs.repartition(2).write.parquet(s"$base/in")
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
       val out = Streams.runStreamingSimhashAvailableNow(s, stream,
@@ -4900,7 +4906,9 @@ object ScaleQueries {
       val docs = t(s, d, "documents").select("doc_id", "text")
       val run = streamRun.incrementAndGet()
       val base = java.nio.file.Files.createTempDirectory("graft_stpass").toString
-      docs.repartition(3).write.parquet(s"$base/in")
+      // 2 slices (r12 directive #2): cross-batch census merging is
+      // exercised by the second batch; one fewer fixed-cost trigger
+      docs.repartition(2).write.parquet(s"$base/in")
       val stream = s.readStream.schema(docs.schema)
         .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
       val out = Streams.runStreamingPassageCountsAvailableNow(s, stream,
@@ -6951,11 +6959,14 @@ object ScaleQueries {
       val ids = fact.filter(col("id") % 13 === 0).select("id")
       graft.operators.MergeOps.deletePartitioned(s, s"$base/fact", ids,
         indexPath = Some(s"$base/idx"))
-      val out = s.read.parquet(s"$base/fact")
-        .select(col("id"), col("ts"),
-          col("start_date_oslo").cast("string").as("start_date_oslo"),
-          col("event_type"), col("value"))
-        .localCheckpoint(true)
+      // read-side isolation (r12): plan + materialize through the
+      // table's commit log so a racing mutator would re-plan, not crash
+      val out = graft.operators.TableLog.readValidated(s, s"$base/fact") {
+        s.read.parquet(s"$base/fact")
+          .select(col("id"), col("ts"),
+            col("start_date_oslo").cast("string").as("start_date_oslo"),
+            col("event_type"), col("value"))
+      }
       val p = new org.apache.hadoop.fs.Path(base)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       out.orderBy("id")

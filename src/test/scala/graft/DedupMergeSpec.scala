@@ -839,6 +839,51 @@ class DedupMergeSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
 
+  test("TableLog.readValidated: a reader racing a compaction swap " +
+    "detects the drift and re-plans instead of throwing " +
+    "FileNotFoundException; log truncation never disturbs a reader") {
+    import graft.operators.TableLog
+    val root = java.nio.file.Files.createTempDirectory("graft_txread")
+      .toString
+    val base = s"$root/fact"
+    // fragmented single-partition fact: compaction has real work, so the
+    // swap genuinely replaces the files a pre-swap listing captured
+    entries((1 to 24).map(i =>
+        (s"r$i", "x", java.sql.Date.valueOf("2024-01-01"), i.toDouble)): _*)
+      .repartition(6).write.partitionBy("start_date_oslo").parquet(base)
+    val expected = (1 to 24).map(i => (s"r$i", i.toDouble)).toSet
+    // deterministic race: the FIRST planning captures the pristine file
+    // listing, then a compaction swaps those files away BEFORE the
+    // reader materializes — exactly the mid-scan hazard. readValidated
+    // must catch the resulting drift (file-not-found or version
+    // watermark) and re-plan; the second attempt sees a quiet table.
+    var attempts = 0
+    val out = TableLog.readValidated(spark, base) {
+      attempts += 1
+      val df = spark.read.parquet(base).select("id", "value")
+      if (attempts == 1)
+        MergeOps.compactionExecute(spark, base,
+          targetBytes = 1L << 20, smallThreshold = 8192L)
+      df
+    }
+    assert(attempts == 2, s"expected one drift retry, got $attempts")
+    assert(out.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      == expected)
+    // retention: truncating the log to the newest manifest preserves the
+    // version watermark and the read path end-to-end
+    val vBefore = TableLog.currentVersion(spark, base)
+    TableLog.truncateLog(spark, base, keep = 1)
+    assert(TableLog.currentVersion(spark, base) == vBefore)
+    val again = TableLog.readValidated(spark, base) {
+      spark.read.parquet(base).select("id", "value")
+    }
+    assert(again.collect().map(r => (r.getString(0), r.getDouble(1))).toSet
+      == expected)
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(root), true)
+  }
+
   test("TableLog heartbeat: a slow LIVE holder keeps its lock fresh, so " +
     "it can never be mistaken for a crashed writer") {
     import graft.operators.TableLog

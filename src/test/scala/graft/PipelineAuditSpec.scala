@@ -170,6 +170,26 @@ class PipelineAuditSpec extends SparkSpec {
       .collect().head
     // count census sorted: [1, 2, 3, 10]; p50 -> r=2 (2), p90/p99 -> r=4
     assert(out == (4L, 16L, 10L, 2L, 10L, 10L, 2.5, 0.625))
+    // r12 directive: the audit must not gather the distinct-key census
+    // into one task — the row_number rides GlobalRankRewrite's native
+    // exec (no Window) and the census totals ride a broadcast one-row
+    // agg. The only SinglePartition exchanges left are the final-merge
+    // of PARTIAL aggregate rows (≤ one row per map partition — metadata
+    // scale), never census rows: assert every SinglePartition sits
+    // directly above a partial HashAggregate.
+    val plan = ScaleOps.keySkewAudit(rows.toDF("k"), "k")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"keySkewAudit must not plan a census-wide window:\n$plan")
+    val lines = plan.linesIterator.toIndexedSeq
+    lines.zipWithIndex.filter(_._1.contains("Exchange SinglePartition"))
+      .foreach { case (_, i) =>
+        assert(i + 1 < lines.size &&
+          lines(i + 1).contains("HashAggregate") &&
+          lines(i + 1).contains("partial_"),
+          s"SinglePartition at plan line $i is not a partial-agg " +
+            s"final merge:\n$plan")
+      }
   }
 
   test("varianceSpectrum: dead dim ranks last, cumulative share ends " +

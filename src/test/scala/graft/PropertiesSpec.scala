@@ -434,4 +434,102 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("kendallTau property: (n, concordant, discordant, tau_b) equal a " +
+    "driver-side replica of the census concordance identity with the " +
+    "identical IEEE division tree over random tied integer pairs") {
+    import graft.operators.Analytics
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(rows: Seq[(Long, Long)])
+        : (Long, Long, Long, Option[Double]) = {
+      val census = rows.groupBy(identity).map { case ((x, y), g) =>
+        (x, y, g.size.toLong) }.toSeq
+      var c = 0L; var d = 0L
+      for ((x1, y1, c1) <- census; (x2, y2, c2) <- census if x1 < x2) {
+        if (y1 < y2) c += c1 * c2
+        else if (y1 > y2) d += c1 * c2
+      }
+      val n = rows.size.toLong
+      val tx2 = census.groupBy(_._1).map(_._2.map(_._3).sum)
+        .map(t => t * (t - 1L)).sum
+      val ty2 = census.groupBy(_._2).map(_._2.map(_._3).sum)
+        .map(t => t * (t - 1L)).sum
+      val n02 = n * (n - 1L)
+      val dx = (n02 - tx2).toDouble / 2.0
+      val dy = (n02 - ty2).toDouble / 2.0
+      val tau = if (dx > 0.0 && dy > 0.0)
+        Some(round6((c - d).toDouble / (math.sqrt(dx) * math.sqrt(dy))))
+      else None
+      (n, c, d, tau)
+    }
+    // heavy ties on purpose: tiny value range exercises both tie
+    // corrections; degenerate frames (all-equal x or y) exercise NULL
+    val gen = Gen.chooseNum(1, 60).flatMap(len =>
+      Gen.listOfN(len, Gen.zip(Gen.chooseNum(-2L, 2L), Gen.chooseNum(-2L, 2L))))
+    for (seed <- 0 until 30) {
+      val rows = samples(gen, 1).flatten.toIndexedSeq
+      val df = rows.toDF("x", "y")
+      val got = Analytics.kendallTau(df, "x", "y").collect().head
+      val (n, c, d, tau) = ref(rows)
+      assert(got.getLong(0) == n, s"seed=$seed n")
+      assert(got.getLong(2) == c, s"seed=$seed concordant")
+      assert(got.getLong(3) == d, s"seed=$seed discordant")
+      val gotTau = if (got.isNullAt(4)) None else Some(got.getDouble(4))
+      assert(gotTau == tau, s"seed=$seed tau_b: got $gotTau, ref $tau")
+    }
+  }
+
+  test("kruskalWallis property: (n, k, h, h_tie) equal a driver-side " +
+    "replica of the doubled-midrank identity (2cb + t + 1 rank-sums, " +
+    "group-sorted IEEE fold, tie correction) over random tied frames") {
+    import graft.operators.Analytics
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(rows: Seq[(String, Long)])
+        : (Long, Long, Option[Double], Option[Double]) = {
+      val census = rows.groupBy(identity).map { case ((g, v), l) =>
+        (g, v, l.size.toLong) }.toSeq
+      val global = census.groupBy(_._2).map { case (v, cs) =>
+        v -> cs.map(_._3).sum }.toSeq.sortBy(_._1)
+      val r2 = {
+        var cb = 0L
+        global.map { case (v, t) =>
+          val r = 2L * cb + t + 1L; cb += t; v -> r }.toMap
+      }
+      val grp = census.groupBy(_._1).map { case (g, cs) =>
+        val ng = cs.map(_._3).sum
+        val r2g = cs.map(c => c._3 * r2(c._2)).sum
+        (g, ng, (r2g.toDouble / 2.0) * (r2g.toDouble / 2.0) / ng.toDouble)
+      }.toSeq
+      val n = grp.map(_._2).sum
+      val k = grp.size.toLong
+      // the operator folds terms in (group, term)-struct sort order
+      val fold = grp.sortBy(g => (g._1, g._3)).map(_._3)
+        .foldLeft(0.0)(_ + _)
+      val st = global.map { case (_, t) => t * t * t - t }.sum
+      val nd = n.toDouble
+      val h0 = 12.0 / (nd * (nd + 1.0)) * fold - 3.0 * (nd + 1.0)
+      val cc = 1.0 - st.toDouble / (nd * nd * nd - nd)
+      val h = if (k > 1 && n > 1) Some(round6(h0)) else None
+      val ht = if (k > 1 && n > 1 && cc > 0.0) Some(round6(h0 / cc))
+        else None
+      (n, k, h, ht)
+    }
+    val gen = Gen.chooseNum(2, 50).flatMap(len =>
+      Gen.listOfN(len, Gen.zip(Gen.oneOf("a", "b", "c"),
+        Gen.chooseNum(-3L, 3L))))
+    for (seed <- 0 until 30) {
+      val rows = samples(gen, 1).flatten.toIndexedSeq
+      val df = rows.toDF("g", "v")
+      val got = Analytics.kruskalWallis(df, "g", "v").collect().head
+      val (n, k, h, ht) = ref(rows)
+      assert(got.getLong(0) == n, s"seed=$seed n")
+      assert(got.getLong(1) == k, s"seed=$seed k")
+      val gotH = if (got.isNullAt(2)) None else Some(got.getDouble(2))
+      val gotHt = if (got.isNullAt(3)) None else Some(got.getDouble(3))
+      assert(gotH == h, s"seed=$seed h: got $gotH, ref $h")
+      assert(gotHt == ht, s"seed=$seed h_tie: got $gotHt, ref $ht")
+    }
+  }
 }
