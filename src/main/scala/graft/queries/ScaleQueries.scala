@@ -6956,7 +6956,13 @@ object ScaleQueries {
         org.apache.hadoop.fs.FileUtil.copy(fs,
           new org.apache.hadoop.fs.Path(s"$tpl/$part"), fs,
           new org.apache.hadoop.fs.Path(s"$base/$part"), false, conf)
-      val ids = fact.filter(col("id") % 13 === 0).select("id")
+      // r12: the requested ids live in the first week only, so the
+      // index probe prunes 23 of the 31 date partitions — the previous
+      // all-dates id set rewrote EVERY partition, which demonstrated
+      // nothing of the targeting and priced the query as a full rebuild
+      val ids = fact.filter(col("id") % 13 === 0 &&
+        col("start_date_oslo") <= lit(java.sql.Date.valueOf("2024-01-08")))
+        .select("id")
       graft.operators.MergeOps.deletePartitioned(s, s"$base/fact", ids,
         indexPath = Some(s"$base/idx"))
       // read-side isolation (r12): plan + materialize through the
@@ -6975,7 +6981,10 @@ object ScaleQueries {
              |  CAST(CAST(timezone('Europe/Oslo', timezone('UTC', ts))
              |    AS DATE) AS VARCHAR) start_date_oslo,
              |  event_type, value
-             |FROM events WHERE event_id % 13 <> 0
+             |FROM events
+             |WHERE NOT (event_id % 13 = 0
+             |  AND CAST(timezone('Europe/Oslo', timezone('UTC', ts))
+             |    AS DATE) <= DATE '2024-01-08')
              |ORDER BY id""".stripMargin)),
 
     // Native running-sum physical operator (x168): the custom
