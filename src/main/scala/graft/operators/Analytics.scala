@@ -3189,4 +3189,217 @@ object Analytics {
           .as("gap"),
         round(col("__se").cast("double") / 100000000.0, 6).as("sq_err"))
   }
+
+  /** Theil-Sen slope estimator per group — the robust trend line a drift
+    * monitor fits through a noisy daily series (median of all pairwise
+    * slopes; a single wild day moves an OLS slope arbitrarily but moves
+    * a Theil-Sen slope not at all until half the days are wild —
+    * breakdown point 29.3%, Sen 1968). Input: one row per (group, t, v);
+    * duplicate (t) per group keeps the LAST v by (v) order? No — ties in
+    * t are excluded pairwise (slope undefined), the classic treatment.
+    *
+    * Determinism: the slope multiset is ordered (slope asc, t1 asc,
+    * t2 asc) — a total order — and the reported slope is the LOWER
+    * median (order statistic at ⌈P/2⌉), so no two-value averaging and no
+    * float tie ambiguity; each slope is one double division of exact
+    * BIGINTs, round 6 at the end only.
+    *
+    * Scale shape: the fact reduces to a per-(group, t) census first
+    * (duplicate t's collapse by summing v? NO — duplicates would change
+    * the estimator; they are REJECTED with a loud error, the Fleiss
+    * completeness precedent: Theil-Sen is defined over a series, one
+    * observation per time point). The pairwise stage is census × census
+    * per group — quadratic BY DESIGN over the bounded series (the
+    * ktFromCensus precedent), enforced by `maxPoints` per group, never
+    * advisory. Output: (group, n_points, n_pairs, slope).
+    */
+  def theilSen(df: DataFrame, groupCol: String, tCol: String,
+               vCol: String, maxPoints: Int = 2048): DataFrame =
+    tsFromCensus(df
+      .filter(col(groupCol).isNotNull && col(tCol).isNotNull &&
+        col(vCol).isNotNull)
+      .select(col(groupCol).cast("string").as("__g"),
+        col(tCol).cast("long").as("__t"), col(vCol).cast("long").as("__v")),
+      maxPoints)
+
+  /** [[theilSen]]'s finalization over a pre-built (`__g`, `__t`, `__v`)
+    * series frame — the census-state convention, so st44 can hold the
+    * per-group series as streaming state. */
+  private[graft] def tsFromCensus(seriesRaw: DataFrame,
+                                  maxPoints: Int): DataFrame = {
+    val series = seriesRaw.persist()
+    val dupes = series.groupBy(col("__g"), col("__t"))
+      .agg(count(lit(1)).as("__c")).filter(col("__c") > 1).limit(1).count()
+    require(dupes == 0L,
+      "theilSen: duplicate (group, t) observations — Theil-Sen is " +
+        "defined over a series with one observation per time point; " +
+        "pre-aggregate (e.g. daily sums) before calling")
+    val over = series.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxPoints).limit(1).count()
+    require(over == 0L,
+      s"theilSen: a group exceeds $maxPoints points — the pairwise " +
+        "stage is quadratic in series length; coarsen the time grid")
+    val l = series.select(col("__g"), col("__t").as("__t1"),
+      col("__v").as("__v1"))
+    val r = series.select(col("__g"), col("__t").as("__t2"),
+      col("__v").as("__v2"))
+    val pairs = l.join(r, Seq("__g")).filter(col("__t1") < col("__t2"))
+      .select(col("__g"),
+        ((col("__v2") - col("__v1")).cast("double") /
+          (col("__t2") - col("__t1")).cast("double")).as("__s"),
+        col("__t1"), col("__t2"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__g"))
+      .orderBy(col("__s").asc, col("__t1").asc, col("__t2").asc)
+    val ranked = pairs
+      .withColumn("__r", row_number().over(w).cast("long"))
+    val counts = pairs.groupBy(col("__g")).agg(count(lit(1)).as("__p"))
+    val med = ranked.join(broadcast(counts), Seq("__g"))
+      .filter(col("__r") === ceil(col("__p").cast("double") / 2.0)
+        .cast("long"))
+      .select(col("__g"), col("__p"), col("__s"))
+    val out = series.groupBy(col("__g")).agg(count(lit(1)).as("n_points"))
+      .join(med, Seq("__g"), "left")
+      .select(col("__g").as("grp"), col("n_points"),
+        coalesce(col("__p"), lit(0L)).as("n_pairs"),
+        round(col("__s"), 6).as("slope"))
+      .localCheckpoint(true)
+    series.unpersist()
+    out
+  }
+
+  /** Welch's two-sample t — "do these two slices differ in mean, without
+    * assuming equal variances": the default A/B gate (Welch 1947; the
+    * equal-variance Student form is a special case that silently
+    * miscalibrates under variance imbalance). Also reports the effect
+    * sizes a gate should insist on alongside significance: Cohen's d
+    * (pooled-SD standardized difference) and its small-sample Hedges' g
+    * correction g = d·(1 − 3/(4(n_a+n_b)−9)).
+    *
+    * Exactness: per-level (n, Σv, Σv²) are exact BIGINTs from ONE
+    * map-side-combinable pass; t, the Welch-Satterthwaite df, d and g
+    * are fixed double trees over those sums (sample variances, /(n−1)),
+    * round 6. NULL t/d when either side has n < 2 or both variances are
+    * 0; NULL df when both variances are 0.
+    *
+    * Scale shape: one groupBy over the fact, a 2-row stats frame, one
+    * final projection — the st38/st40 sums-are-a-sketch family, so the
+    * streaming twin (st45) holds 2×3 BIGINTs as its whole state.
+    * Overflow headroom (the x75 rule): Σv² < 2⁶³ — coarsen units at
+    * dollar scale.
+    */
+  def welchT(df: DataFrame, factorCol: String, valueCol: String,
+             levelA: String, levelB: String): DataFrame =
+    welchFromStats(welchStats(df, factorCol, valueCol, levelA, levelB),
+      levelA, levelB)
+
+  /** [[welchT]]'s sufficient-statistics pass — one row per level with
+    * (`__lvl`, `__n`, `__s`, `__ss`), streaming-state shaped (st45). */
+  private[graft] def welchStats(df: DataFrame, factorCol: String,
+                                valueCol: String, levelA: String,
+                                levelB: String): DataFrame = {
+    val v = col(valueCol).cast("long")
+    df.filter(col(factorCol).cast("string").isin(levelA, levelB) &&
+        col(valueCol).isNotNull)
+      .select(col(factorCol).cast("string").as("__lvl"), v.as("__v"))
+      .groupBy(col("__lvl"))
+      .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"),
+        sum(col("__v") * col("__v")).as("__ss"))
+  }
+
+  /** [[welchT]]'s finalization — shared verbatim by batch x188 and
+    * streaming st45. */
+  private[graft] def welchFromStats(stats: DataFrame, levelA: String,
+                                    levelB: String): DataFrame = {
+    val a = stats.filter(col("__lvl") === levelA)
+      .select(col("__n").as("__na"), col("__s").as("__sa"),
+        col("__ss").as("__ssa"))
+    val b = stats.filter(col("__lvl") === levelB)
+      .select(col("__n").as("__nb"), col("__s").as("__sb"),
+        col("__ss").as("__ssb"))
+    a.crossJoin(broadcast(b))
+      .withColumn("__ma", col("__sa").cast("double") / col("__na").cast("double"))
+      .withColumn("__mb", col("__sb").cast("double") / col("__nb").cast("double"))
+      // sample variance via the sums: (Σv² − n·m²) / (n−1)
+      .withColumn("__va",
+        when(col("__na") > 1,
+          (col("__ssa").cast("double") -
+            col("__na").cast("double") * col("__ma") * col("__ma")) /
+            (col("__na") - 1L).cast("double")))
+      .withColumn("__vb",
+        when(col("__nb") > 1,
+          (col("__ssb").cast("double") -
+            col("__nb").cast("double") * col("__mb") * col("__mb")) /
+            (col("__nb") - 1L).cast("double")))
+      .withColumn("__sea", col("__va") / col("__na").cast("double"))
+      .withColumn("__seb", col("__vb") / col("__nb").cast("double"))
+      .withColumn("__se2", col("__sea") + col("__seb"))
+      .withColumn("__sp",
+        when(col("__na") + col("__nb") > 2,
+          sqrt(((col("__na") - 1L).cast("double") * col("__va") +
+            (col("__nb") - 1L).cast("double") * col("__vb")) /
+            (col("__na") + col("__nb") - 2L).cast("double"))))
+      .withColumn("__d",
+        when(col("__sp") > 0.0,
+          (col("__ma") - col("__mb")) / col("__sp")))
+      .select(
+        col("__na").as("n_a"), col("__nb").as("n_b"),
+        round(col("__ma"), 6).as("mean_a"),
+        round(col("__mb"), 6).as("mean_b"),
+        when(col("__se2") > 0.0,
+          round((col("__ma") - col("__mb")) / sqrt(col("__se2")), 6))
+          .as("t_welch"),
+        when(col("__se2") > 0.0,
+          round(col("__se2") * col("__se2") /
+            (col("__sea") * col("__sea") /
+              (col("__na") - 1L).cast("double") +
+             col("__seb") * col("__seb") /
+              (col("__nb") - 1L).cast("double")), 6))
+          .as("df_welch"),
+        round(col("__d"), 6).as("cohen_d"),
+        round(col("__d") *
+          (lit(1.0) - lit(3.0) /
+            (lit(4.0) * (col("__na") + col("__nb")).cast("double") - 9.0)),
+          6).as("hedges_g"))
+  }
+
+  /** McNemar's test — "did classifier B actually improve on classifier
+    * A" on PAIRED per-item outcomes (the right test when both models
+    * score the same eval set; a two-proportion z on the marginals
+    * ignores the pairing and loses power). Input: one row per item with
+    * two boolean correctness columns. Only the DISCORDANT cells carry
+    * signal: b = A right, B wrong; c = A wrong, B right;
+    * χ²_cc = (|b−c|−1)²/(b+c) with the Edwards continuity correction,
+    * NULL when b+c = 0 (no disagreement — the test is undefined, not
+    * zero). All four cells are reported so the caller can see marginals.
+    *
+    * Determinism: cells are one exact BIGINT census; χ² is a single
+    * display-rounded division. Scale: ONE map-side-combinable
+    * aggregation, O(1) output — streaming state is 4 BIGINTs.
+    */
+  def mcnemar(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    mcnemarFromCells(df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select(col(aCol).cast("boolean").as("__a"),
+        col(bCol).cast("boolean").as("__b"))
+      .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c")))
+
+  /** [[mcnemar]]'s finalization over the 4-cell census. */
+  private[graft] def mcnemarFromCells(cells: DataFrame): DataFrame =
+    cells.agg(
+      coalesce(sum(when(col("__a") && col("__b"), col("__c"))), lit(0L))
+        .as("n_both_right"),
+      coalesce(sum(when(col("__a") && !col("__b"), col("__c"))), lit(0L))
+        .as("n_a_only"),
+      coalesce(sum(when(!col("__a") && col("__b"), col("__c"))), lit(0L))
+        .as("n_b_only"),
+      coalesce(sum(when(!col("__a") && !col("__b"), col("__c"))), lit(0L))
+        .as("n_both_wrong"))
+      .withColumn("__bc", col("n_a_only") + col("n_b_only"))
+      .select(col("n_both_right"), col("n_a_only"), col("n_b_only"),
+        col("n_both_wrong"),
+        when(col("__bc") > 0L,
+          round((abs(col("n_a_only") - col("n_b_only")) - 1L)
+            .cast("double") *
+            (abs(col("n_a_only") - col("n_b_only")) - 1L).cast("double") /
+            col("__bc").cast("double"), 6)).as("chi2_cc"))
 }

@@ -1461,4 +1461,54 @@ object ScaleOps {
         round(col("max_key_rows").cast("double") /
           col("n_rows").cast("double"), 6).as("top1_share"))
   }
+
+  /** Range-partition planner — the balanced split points a 100 TB job
+    * computes BEFORE a repartitionByRange/sort so no reducer inherits a
+    * lopsided key range (Spark samples to find these bounds; a pipeline
+    * that reuses a layout across many jobs wants them EXACT and
+    * reproducible, not resampled per run). Split point i (1 ≤ i <
+    * nParts) is the smallest key whose cumulative row count reaches the
+    * target rank ⌈i·N/nParts⌉ over the key census in key order; rows
+    * with key < split_key(i) land strictly inside the first i buckets.
+    *
+    * Exactness: the membership test is pure BIGINT — T_i ≤ cum ⟺
+    * i·N ≤ cum·nParts and T_i > cum−c ⟺ i·N > (cum−c)·nParts — so each
+    * census row emits exactly the split indices it covers
+    * (`sequence(i_lo, i_hi)`), no per-split scan, no floats anywhere.
+    * A key heavier than N/nParts simply covers several consecutive
+    * split indices (the planner's honest signal that range partitioning
+    * alone cannot balance that key — pair with [[keySkewAudit]]).
+    *
+    * Scale shape: one census groupBy, the census ranked by
+    * [[globalRankAndSum]] (native exec — no SinglePartition), one
+    * map-side explode of ≤ nParts−1 total rows. Overflow: cum·nParts <
+    * 2⁶³ caps N·nParts ≈ 9.2e18 — beyond any real plan.
+    * Output: (split_idx, split_key, cum_rows, target_rank) sorted.
+    */
+  def rangeSplitPoints(df: DataFrame, keyCol: String,
+                       nParts: Int): DataFrame = {
+    require(nParts >= 2, s"nParts must be >= 2 (got $nParts)")
+    val census = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol).cast("string").as("__k"))
+      .groupBy(col("__k")).agg(count(lit(1)).as("__c"))
+    val ranked = globalRankAndSum(census, "__c", Seq(col("__k").asc))
+    val totals = census.agg(coalesce(sum(col("__c")), lit(0L)).as("__n"))
+    // TRUE integer division (`div`): Spark's `/` on BIGINTs is double
+    // division, whose exactness ends at 2^53 (the liftCurve r9 lesson)
+    ranked.crossJoin(broadcast(totals))
+      .filter(col("__n") > 0L)
+      .withColumn("__ilo",
+        expr(s"(__cum - __c) * ${nParts}L div __n") + 1L)
+      .withColumn("__ihi",
+        least(expr(s"__cum * ${nParts}L div __n"), lit(nParts.toLong - 1L)))
+      .filter(col("__ihi") >= col("__ilo"))
+      .select(explode(sequence(col("__ilo"), col("__ihi")))
+        .as("split_idx"),
+        col("__k").as("split_key"), col("__cum").as("cum_rows"),
+        col("__n"))
+      .withColumn("target_rank",
+        expr(s"(split_idx * __n + ${nParts - 1}L) div ${nParts}L"))
+      .drop("__n")
+      .orderBy("split_idx")
+  }
 }

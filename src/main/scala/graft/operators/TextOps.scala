@@ -1148,4 +1148,45 @@ object TextOps {
           (col("__n").cast("double") * col("__f")("sxx") -
             col("__f")("sx") * col("__f")("sx")), 4).as("heaps_beta"))
   }
+
+  /** Vocabulary-richness estimators — "how much vocabulary has this
+    * corpus NOT shown yet": Chao1's abundance-based richness floor
+    *   V̂ = V + f₁(f₁−1)/(2(f₂+1))   (bias-corrected form, defined even
+    * with no doubletons; Chao 1984) and the Good-Turing unseen-mass
+    * estimate P₀ = f₁/N (the probability the NEXT token is a new type —
+    * Good 1953), where f₁/f₂ are singleton/doubleton type counts. The
+    * pair tells a data curator whether a corpus slice is near vocabulary
+    * saturation (P₀ → 0, V̂ → V) or still surfacing new types — the
+    * continuation signal [[heapsLaw]]'s fitted curve extrapolates, here
+    * as closed-form estimators with no fit.
+    *
+    * Determinism: every count is an exact BIGINT off the token census;
+    * the two estimates are single display-rounded divisions (round 6).
+    * Scale: one token-census groupBy (map-side combinable) + one
+    * census-scale aggregation — no window, no sort. Tokens follow the
+    * [[tokens]] whitespace convention, empty tokens dropped.
+    */
+  def vocabularyRichness(docs: DataFrame, textCol: String): DataFrame =
+    richnessFromCensus(docs.filter(col(textCol).isNotNull)
+      .select(explode(tokens(col(textCol))).as("__w"))
+      .filter(length(col("__w")) > 0)
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c")))
+
+  /** [[vocabularyRichness]]'s finalization over a (`__w`, `__c`) token
+    * census — the census-state convention, so st46 holds the census as
+    * streaming state. */
+  private[graft] def richnessFromCensus(census: DataFrame): DataFrame =
+    census.agg(
+      coalesce(sum(col("__c")), lit(0L)).as("n_tokens"),
+      count(lit(1)).as("n_vocab"),
+      coalesce(sum(when(col("__c") === 1L, 1L)), lit(0L)).as("f1"),
+      coalesce(sum(when(col("__c") === 2L, 1L)), lit(0L)).as("f2"))
+      .select(col("n_tokens"), col("n_vocab"), col("f1"), col("f2"),
+        when(col("n_vocab") > 0L,
+          round(col("n_vocab").cast("double") +
+            (col("f1") * (col("f1") - 1L)).cast("double") /
+              ((col("f2") + 1L) * 2L).cast("double"), 6)).as("chao1"),
+        when(col("n_tokens") > 0L,
+          round(col("f1").cast("double") / col("n_tokens").cast("double"),
+            6)).as("gt_unseen_mass"))
 }

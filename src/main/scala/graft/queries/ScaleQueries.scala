@@ -7659,8 +7659,248 @@ object ScaleQueries {
       Streams.runStreamingKendallAvailableNow(s, raw, "qty", "pricebin",
         8192, s"graft_skt_$run", ckpt)
     },
-      Some(kendallOracleSql))
+      Some(kendallOracleSql)),
+
+    // Theil-Sen slope (x187): robust trend per event_type over the
+    // daily-count series — the median pairwise slope (lower median over
+    // the (slope, t1, t2) total order — no float averaging), pairwise
+    // stage census-bounded by the enforced maxPoints require. A single
+    // outage day cannot move it, unlike the OLS slope the same series
+    // would fit.
+    QuerySpec("x187_theil_sen", (s, d) =>
+      graft.operators.Analytics.theilSen(
+        t(s, d, "events")
+          .filter(col("event_type").isNotNull && col("ts").isNotNull)
+          .groupBy(col("event_type"),
+            datediff(to_date(col("ts")),
+              lit(java.sql.Date.valueOf("1970-01-01"))).cast("long")
+              .as("dy"))
+          .agg(count(lit(1)).as("n")),
+        "event_type", "dy", "n")
+        .orderBy("grp"),
+      Some(theilSenOracleSql)),
+
+    // STREAMING Theil-Sen (st44): the daily-count census is the series
+    // AND the stream state (counts mergeable by construction, the st43
+    // census rule); finalized by tsFromCensus verbatim — graded on
+    // x187's oracle.
+    QuerySpec("st44_stream_theil_sen", (s, d) => {
+      val schema = Streams.eventsFileSchema(s, d)
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+      val ev = Streams.normalizeTs(raw)
+        .filter(col("event_type").isNotNull && col("ts").isNotNull)
+        .select(col("event_type"),
+          datediff(to_date(col("ts")),
+            lit(java.sql.Date.valueOf("1970-01-01"))).cast("long").as("dy"))
+      Streams.runStreamingTheilSenAvailableNow(s, ev, "event_type", "dy",
+        2048, s"graft_sts_$run", ckpt)
+        .orderBy("grp")
+    },
+      Some(theilSenOracleSql)),
+
+    // Welch's two-sample t (x188): purchase vs view event values — mean
+    // difference, t under unequal variances, Welch-Satterthwaite df, and
+    // the effect sizes (Cohen's d, Hedges' g) an A/B gate should demand
+    // beside significance. Exact cents sums, fixed double trees.
+    QuerySpec("x188_welch_t", (s, d) =>
+      graft.operators.Analytics.welchT(
+        t(s, d, "events")
+          .select(col("event_type"),
+            round(col("value") * 100, 0).cast("long").as("cents")),
+        "event_type", "cents", "purchase", "view"),
+      Some(welchOracleSql)),
+
+    // STREAMING Welch's t (st45): 2x3 exact BIGINT sums are the whole
+    // stream state (the st38 sums-are-a-sketch endpoint), finalized by
+    // welchFromStats verbatim — graded on x188's oracle.
+    QuerySpec("st45_stream_welch_t", (s, d) => {
+      val schema = Streams.eventsFileSchema(s, d)
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+      val ev = Streams.normalizeTs(raw)
+        .select(col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      Streams.runStreamingWelchAvailableNow(s, ev, "event_type", "cents",
+        "purchase", "view", s"graft_swt_$run", ckpt)
+    },
+      Some(welchOracleSql)),
+
+    // McNemar's paired test (x189): do two quality gates disagree
+    // systematically on the same documents — length >= 200 chars vs
+    // >= 40 whitespace tokens. Only the discordant cells carry signal;
+    // chi2 with the Edwards continuity correction, NULL when the gates
+    // never disagree.
+    QuerySpec("x189_mcnemar", (s, d) =>
+      graft.operators.Analytics.mcnemar(
+        t(s, d, "documents").filter(col("text").isNotNull)
+          .select((length(col("text")) >= 200).as("ga"),
+            (size(graft.operators.TextOps.tokens(col("text"))) >= 40)
+              .as("gb")),
+        "ga", "gb"),
+      Some("""WITH b AS (SELECT length(text) >= 200 a,
+             |    len(CASE WHEN length(trim(text)) = 0 THEN []
+             |      ELSE regexp_split_to_array(trim(text), '\s+')
+             |      END) >= 40 bb
+             |  FROM documents WHERE text IS NOT NULL),
+             |c AS (SELECT
+             |    CAST(coalesce(sum(CASE WHEN a AND bb THEN 1 END), 0)
+             |      AS BIGINT) rr,
+             |    CAST(coalesce(sum(CASE WHEN a AND NOT bb THEN 1 END), 0)
+             |      AS BIGINT) ao,
+             |    CAST(coalesce(sum(CASE WHEN NOT a AND bb THEN 1 END), 0)
+             |      AS BIGINT) bo,
+             |    CAST(coalesce(sum(CASE WHEN NOT a AND NOT bb THEN 1 END),
+             |      0) AS BIGINT) ww
+             |  FROM b)
+             |SELECT rr n_both_right, ao n_a_only, bo n_b_only,
+             |  ww n_both_wrong,
+             |  CASE WHEN ao + bo > 0 THEN
+             |    round(CAST(abs(ao - bo) - 1 AS DOUBLE) *
+             |      CAST(abs(ao - bo) - 1 AS DOUBLE) /
+             |      CAST(ao + bo AS DOUBLE), 6) END chi2_cc
+             |FROM c""".stripMargin)),
+
+    // Vocabulary richness (x190): Chao1 richness floor + Good-Turing
+    // unseen mass off the token census — is the corpus slice near
+    // vocabulary saturation or still surfacing new types (the
+    // closed-form companion of x147's fitted Heaps curve).
+    QuerySpec("x190_vocab_richness", (s, d) =>
+      graft.operators.TextOps.vocabularyRichness(
+        t(s, d, "documents"), "text"),
+      Some(richnessOracleSql)),
+
+    // STREAMING vocabulary richness (st46): token census as stream
+    // state; singleton/doubleton counts are global census properties a
+    // row-at-a-time fold cannot maintain — graded on x190's oracle.
+    QuerySpec("st46_stream_vocab_richness", (s, d) => {
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
+      val stream = s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+      Streams.runStreamingRichnessAvailableNow(s, stream, "text",
+        s"graft_svr_$run", ckpt)
+    },
+      Some(richnessOracleSql)),
+
+    // Range-partition planner (x191): exact balanced split points over
+    // o_custkey for an 8-way range layout — the reproducible bounds a
+    // reused 100 TB sort layout wants instead of Spark's per-run
+    // sampling. Pure-BIGINT membership (i*N <= cum*P), native-exec
+    // census rank, no floats anywhere.
+    QuerySpec("x191_range_split", (s, d) =>
+      graft.operators.ScaleOps.rangeSplitPoints(
+        t(s, d, "orders"), "o_custkey", 8),
+      Some("""WITH c AS (SELECT CAST(o_custkey AS VARCHAR) k,
+             |    CAST(count(*) AS BIGINT) c FROM orders
+             |  WHERE o_custkey IS NOT NULL GROUP BY 1),
+             |r AS (SELECT k, c, CAST(sum(c) OVER (ORDER BY k
+             |    ROWS UNBOUNDED PRECEDING) AS BIGINT) cum FROM c),
+             |n AS (SELECT CAST(sum(c) AS BIGINT) n FROM c),
+             |e AS (SELECT k, c, cum, n.n,
+             |    (cum - c) * 8 // n.n + 1 ilo,
+             |    least(cum * 8 // n.n, 7) ihi
+             |  FROM r CROSS JOIN n WHERE n.n > 0),
+             |sel AS (SELECT unnest(generate_series(ilo, ihi)) si, k, cum,
+             |    n FROM e WHERE ihi >= ilo)
+             |SELECT CAST(si AS BIGINT) split_idx, k split_key,
+             |  cum cum_rows, CAST((si*n + 7)//8 AS BIGINT) target_rank
+             |FROM sel ORDER BY split_idx""".stripMargin))
   )
+
+  /** Shared by x187 (batch) and st44 (streaming): lower-median pairwise
+    * slope over the per-type daily-count series. */
+  private lazy val theilSenOracleSql: String =
+    """WITH dd AS (SELECT event_type g,
+      |    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) t,
+      |    CAST(count(*) AS BIGINT) v FROM events
+      |  WHERE event_type IS NOT NULL AND ts IS NOT NULL GROUP BY 1, 2),
+      |p AS (SELECT l.g, CAST(r.v - l.v AS DOUBLE) /
+      |      CAST(r.t - l.t AS DOUBLE) s, l.t t1, r.t t2
+      |  FROM dd l JOIN dd r ON l.g = r.g AND l.t < r.t),
+      |rk AS (SELECT g, s, row_number() OVER (PARTITION BY g
+      |      ORDER BY s, t1, t2) r,
+      |    CAST(count(*) OVER (PARTITION BY g) AS BIGINT) pcnt FROM p),
+      |m AS (SELECT g, pcnt, s FROM rk
+      |  WHERE r = CAST(ceil(CAST(pcnt AS DOUBLE) / 2.0) AS BIGINT)),
+      |np AS (SELECT g, CAST(count(*) AS BIGINT) n_points FROM dd
+      |  GROUP BY 1)
+      |SELECT np.g grp, np.n_points,
+      |  CAST(coalesce(m.pcnt, 0) AS BIGINT) n_pairs,
+      |  round(m.s, 6) slope
+      |FROM np LEFT JOIN m ON np.g = m.g ORDER BY grp""".stripMargin
+
+  /** Shared by x188 (batch) and st45 (streaming): purchase-vs-view
+    * Welch t over exact cents sums, with Cohen's d / Hedges' g. */
+  private lazy val welchOracleSql: String =
+    """WITH b AS (SELECT event_type lvl,
+      |    CAST(round(value*100, 0) AS BIGINT) v FROM events
+      |  WHERE event_type IN ('purchase', 'view') AND value IS NOT NULL),
+      |s AS (SELECT lvl, CAST(count(*) AS BIGINT) n,
+      |    CAST(sum(v) AS BIGINT) sv, CAST(sum(v*v) AS BIGINT) ss
+      |  FROM b GROUP BY 1),
+      |w AS (SELECT
+      |    a.n na, bb.n nb, a.sv sa, bb.sv sb, a.ss ssa, bb.ss ssb
+      |  FROM (SELECT * FROM s WHERE lvl = 'purchase') a
+      |  CROSS JOIN (SELECT * FROM s WHERE lvl = 'view') bb),
+      |e AS (SELECT na, nb,
+      |    CAST(sa AS DOUBLE)/CAST(na AS DOUBLE) ma,
+      |    CAST(sb AS DOUBLE)/CAST(nb AS DOUBLE) mb,
+      |    ssa, ssb FROM w),
+      |v AS (SELECT na, nb, ma, mb,
+      |    CASE WHEN na > 1 THEN (CAST(ssa AS DOUBLE) -
+      |      CAST(na AS DOUBLE)*ma*ma) / CAST(na - 1 AS DOUBLE) END va,
+      |    CASE WHEN nb > 1 THEN (CAST(ssb AS DOUBLE) -
+      |      CAST(nb AS DOUBLE)*mb*mb) / CAST(nb - 1 AS DOUBLE) END vb
+      |  FROM e),
+      |t AS (SELECT na, nb, ma, mb, va, vb,
+      |    va/CAST(na AS DOUBLE) sea, vb/CAST(nb AS DOUBLE) seb,
+      |    va/CAST(na AS DOUBLE) + vb/CAST(nb AS DOUBLE) se2,
+      |    CASE WHEN na + nb > 2 THEN
+      |      sqrt((CAST(na - 1 AS DOUBLE)*va + CAST(nb - 1 AS DOUBLE)*vb)
+      |        / CAST(na + nb - 2 AS DOUBLE)) END sp
+      |  FROM v),
+      |dd AS (SELECT *, CASE WHEN sp > 0 THEN (ma - mb)/sp END d FROM t)
+      |SELECT na n_a, nb n_b, round(ma, 6) mean_a, round(mb, 6) mean_b,
+      |  CASE WHEN se2 > 0 THEN round((ma - mb)/sqrt(se2), 6) END t_welch,
+      |  CASE WHEN se2 > 0 THEN round(se2*se2 /
+      |    (sea*sea/CAST(na - 1 AS DOUBLE) +
+      |     seb*seb/CAST(nb - 1 AS DOUBLE)), 6) END df_welch,
+      |  round(d, 6) cohen_d,
+      |  round(d * (1.0 - 3.0/(4.0*CAST(na + nb AS DOUBLE) - 9.0)), 6)
+      |    hedges_g
+      |FROM dd""".stripMargin
+
+  /** Shared by x190 (batch) and st46 (streaming): Chao1 + Good-Turing
+    * off the whitespace-token census. */
+  private lazy val richnessOracleSql: String =
+    """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text),
+      |      '\s+')) w
+      |  FROM documents
+      |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+      |c AS (SELECT w, CAST(count(*) AS BIGINT) c FROM toks
+      |  WHERE length(w) > 0 GROUP BY 1),
+      |a AS (SELECT CAST(coalesce(sum(c), 0) AS BIGINT) n_tokens,
+      |    CAST(count(*) AS BIGINT) n_vocab,
+      |    CAST(coalesce(sum(CASE WHEN c = 1 THEN 1 END), 0) AS BIGINT) f1,
+      |    CAST(coalesce(sum(CASE WHEN c = 2 THEN 1 END), 0) AS BIGINT) f2
+      |  FROM c)
+      |SELECT n_tokens, n_vocab, f1, f2,
+      |  CASE WHEN n_vocab > 0 THEN round(CAST(n_vocab AS DOUBLE) +
+      |    CAST(f1*(f1-1) AS DOUBLE)/CAST((f2+1)*2 AS DOUBLE), 6)
+      |    END chao1,
+      |  CASE WHEN n_tokens > 0 THEN
+      |    round(CAST(f1 AS DOUBLE)/CAST(n_tokens AS DOUBLE), 6)
+      |    END gt_unseen_mass
+      |FROM a""".stripMargin
 
   /** x184's oracle: the same distinct-membership / basket-cap / top-40
     * choreography in DuckDB. */

@@ -2316,4 +2316,100 @@ object Streams {
       graft.operators.Analytics.fleissFromCells(
         detachSink(spark, sinkName, checkpoint))
     }
+
+  /** STREAMING Theil-Sen slope over per-(group, t) event counts (st44):
+    * the daily-count census IS the series AND the stream state —
+    * pairwise slopes are global properties (every new point pairs with
+    * every old one), so the series, not the slopes, is the only
+    * incrementally-maintainable form (the st43 census rule), and
+    * counts-as-values make it mergeable across micro-batches by
+    * construction. The batch series contract (one observation per
+    * (group, t)) holds structurally: the census key is (group, t).
+    * Finalized by the batch operator's own
+    * [[graft.operators.Analytics.tsFromCensus]]; the robust trend per
+    * group updates as events arrive. State bounded by |groups| ×
+    * |time buckets| and the batch maxPoints guard applies at finalize
+    * verbatim.
+    */
+  def runStreamingTheilSenAvailableNow(spark: SparkSession, rows: DataFrame,
+      groupCol: String, tCol: String, maxPoints: Int,
+      sinkName: String, checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val q = rows
+        .filter(col(groupCol).isNotNull && col(tCol).isNotNull)
+        .select(col(groupCol).cast("string").as("__g"),
+          col(tCol).cast("long").as("__t"))
+        .groupBy(col("__g"), col("__t"))
+        .agg(count(lit(1)).as("__v"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Analytics.tsFromCensus(
+        detachSink(spark, sinkName, checkpoint)
+          .select(col("__g"), col("__t"), col("__v")), maxPoints)
+    }
+
+  /** STREAMING Welch's t (st45): the two levels' (n, Σv, Σv²) exact
+    * BIGINT sums are the WHOLE stream state — 2×3 numbers, the st38
+    * sums-are-a-sketch endpoint — finalized by the batch operator's own
+    * [[graft.operators.Analytics.welchFromStats]], so the A/B gate
+    * (t, Welch df, Cohen's d, Hedges' g) updates as rows arrive.
+    */
+  def runStreamingWelchAvailableNow(spark: SparkSession, rows: DataFrame,
+      factorCol: String, valueCol: String, levelA: String, levelB: String,
+      sinkName: String, checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val v = col(valueCol).cast("long")
+      val q = rows
+        .filter(col(factorCol).cast("string").isin(levelA, levelB) &&
+          col(valueCol).isNotNull)
+        .select(col(factorCol).cast("string").as("__lvl"), v.as("__v"))
+        .groupBy(col("__lvl"))
+        .agg(count(lit(1)).as("__n"), sum(col("__v")).as("__s"),
+          sum(col("__v") * col("__v")).as("__ss"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Analytics.welchFromStats(
+        detachSink(spark, sinkName, checkpoint), levelA, levelB)
+    }
+
+  /** STREAMING vocabulary richness (st46): the token census is the
+    * stream state (the st35 cardinality rule — |vocab| rows, not the
+    * stream), finalized by the batch
+    * [[graft.operators.TextOps.richnessFromCensus]]: Chao1 and the
+    * Good-Turing unseen mass update continuously, answering "is this
+    * feed still surfacing new vocabulary" live. Singleton/doubleton
+    * counts are exactly the statistics a row-at-a-time fold could never
+    * maintain — they DECREASE when a type's second copy arrives — which
+    * is why the census is the state.
+    */
+  def runStreamingRichnessAvailableNow(spark: SparkSession,
+      docs: DataFrame, textCol: String, sinkName: String,
+      checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val q = docs
+        .filter(col(textCol).isNotNull)
+        // spread docs BEFORE the tokenize-explode (the st15 single-file
+        // micro-batch shape); token counts are commutative
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(explode(graft.operators.TextOps.tokens(col(textCol)))
+          .as("__w"))
+        .filter(length(col("__w")) > 0)
+        .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.TextOps.richnessFromCensus(
+        detachSink(spark, sinkName, checkpoint))
+    }
 }

@@ -1218,4 +1218,75 @@ class AnalyticsSpec extends SparkSpec {
     assert(again == folds.orderBy("id")
       .as[(Long, String, Int)].collect().toSeq)
   }
+
+  test("theilSen: lower-median pairwise slope, outlier-immune where OLS " +
+    "is not; duplicate time points rejected loudly") {
+    // series g1: (0,0) (1,10) (2,20) (3,1000) — 6 slopes: 10,10,10,
+    // 495,333.33,980 sorted -> lower median (rank 3) = 10: the wild
+    // day moves OLS but not Theil-Sen
+    val df = Seq(("g1", 0L, 0L), ("g1", 1L, 10L), ("g1", 2L, 20L),
+      ("g1", 3L, 1000L), ("g2", 5L, 7L)).toDF("g", "t", "v")
+    val out = Analytics.theilSen(df, "g", "t", "v").orderBy("grp")
+      .collect()
+    assert(out.length == 2)
+    val g1 = out.head
+    assert(g1.getString(0) == "g1" && g1.getLong(1) == 4L &&
+      g1.getLong(2) == 6L && g1.getDouble(3) == 10.0)
+    // a single-point group has no pairs: slope NULL, not 0
+    val g2 = out(1)
+    assert(g2.getString(0) == "g2" && g2.getLong(1) == 1L &&
+      g2.getLong(2) == 0L && g2.isNullAt(3))
+    val dup = Seq(("g", 1L, 1L), ("g", 1L, 2L)).toDF("g", "t", "v")
+    val e = intercept[IllegalArgumentException] {
+      Analytics.theilSen(dup, "g", "t", "v").collect()
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("welchT: t, Welch-Satterthwaite df, Cohen's d and Hedges' g " +
+    "match hand-computed values; zero-variance pair gives NULL t") {
+    // A: 1,2,3 (m=2, var=1); B: 10,14 (m=12, var=8)
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L), ("b", 14L))
+      .toDF("lvl", "v")
+    val r = Analytics.welchT(df, "lvl", "v", "a", "b").collect().head
+    assert(r.getLong(0) == 3L && r.getLong(1) == 2L)
+    assert(r.getDouble(2) == 2.0 && r.getDouble(3) == 12.0)
+    // se2 = 1/3 + 8/2 = 13/3; t = -10/sqrt(13/3)
+    val se2 = 1.0 / 3 + 4.0
+    assert(r.getDouble(4) ==
+      BigDecimal(-10.0 / math.sqrt(se2))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // df = se2^2 / ((1/3)^2/2 + 4^2/1)
+    assert(r.getDouble(5) ==
+      BigDecimal(se2 * se2 / ((1.0 / 9) / 2 + 16.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // pooled sd = sqrt((2*1 + 1*8)/3); d = -10/sp; g = d*(1 - 3/11)
+    val sp = math.sqrt(10.0 / 3)
+    assert(r.getDouble(6) ==
+      BigDecimal(-10.0 / sp).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getDouble(7) ==
+      BigDecimal(-10.0 / sp * (1.0 - 3.0 / 11.0)).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // both sides constant: se2 = 0 -> NULL t/df, NULL d
+    val const = Seq(("a", 5L), ("a", 5L), ("b", 7L), ("b", 7L))
+      .toDF("lvl", "v")
+    val rc = Analytics.welchT(const, "lvl", "v", "a", "b").collect().head
+    assert(rc.isNullAt(4) && rc.isNullAt(5) && rc.isNullAt(6))
+  }
+
+  test("mcnemar: discordant-cell chi2 with continuity correction; no " +
+    "disagreement gives NULL, not zero") {
+    // b (a-only) = 6, c (b-only) = 2: chi2_cc = (|6-2|-1)^2/8 = 9/8
+    val rows = Seq.fill(10)((true, true)) ++ Seq.fill(6)((true, false)) ++
+      Seq.fill(2)((false, true)) ++ Seq.fill(3)((false, false))
+    val r = Analytics.mcnemar(rows.toDF("a", "b"), "a", "b")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 6L, 2L, 3L)))
+    assert(r.getDouble(4) == 1.125)
+    val agree = Seq((true, true), (false, false)).toDF("a", "b")
+    val ra = Analytics.mcnemar(agree, "a", "b").collect().head
+    assert(ra.isNullAt(4))
+  }
 }

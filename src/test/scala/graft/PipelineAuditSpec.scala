@@ -192,6 +192,44 @@ class PipelineAuditSpec extends SparkSpec {
       }
   }
 
+  test("vocabularyRichness: Chao1 floor and Good-Turing unseen mass " +
+    "from the token census; saturated corpus reports zero unseen mass") {
+    // census: a×3, b×2, c×1, d×1 -> N=7, V=4, f1=2, f2=1,
+    // chao1 = 4 + 2*1/(2*2) = 4.5, P0 = 2/7
+    val docs = Seq("a b c", "a b d", "a").toDF("text")
+    val r = graft.operators.TextOps.vocabularyRichness(docs, "text")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((7L, 4L, 2L, 1L)))
+    assert(r.getDouble(4) == 4.5)
+    assert(r.getDouble(5) == BigDecimal(2.0 / 7)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // every type seen >= 3 times: f1 = 0 -> chao1 = V, unseen mass 0
+    val sat = Seq("x y", "x y", "x y").toDF("text")
+    val rs = graft.operators.TextOps.vocabularyRichness(sat, "text")
+      .collect().head
+    assert(rs.getDouble(4) == 2.0 && rs.getDouble(5) == 0.0)
+  }
+
+  test("rangeSplitPoints: exact balanced bounds, a dominant key covers " +
+    "consecutive split indices (the honest can't-balance signal)") {
+    // keys (string order): a x 2, b x 6, c x 2; N=10, P=4, targets
+    // ceil(i*10/4) = 3, 5, 8. cum: a=2, b=8, c=10 -> splits 1,2,3 all
+    // land on b (covers targets 3..8): range partitioning cannot split b
+    val df = (Seq.fill(2)("a") ++ Seq.fill(6)("b") ++ Seq.fill(2)("c"))
+      .toDF("k")
+    val out = ScaleOps.rangeSplitPoints(df, "k", 4)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(out == Seq((1L, "b", 8L, 3L), (2L, "b", 8L, 5L),
+      (3L, "b", 8L, 8L)))
+    // balanced keys: each split point falls on a distinct key
+    val bal = (1 to 8).map(i => f"k$i%02d").toDF("k")
+    val ob = ScaleOps.rangeSplitPoints(bal, "k", 4)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(ob == Seq((1L, "k02", 2L, 2L), (2L, "k04", 4L, 4L),
+      (3L, "k06", 6L, 6L)))
+  }
+
   test("varianceSpectrum: dead dim ranks last, cumulative share ends " +
     "at 1") {
     val df = Seq(Seq(1.0f, 0.0f), Seq(1.0f, 4.0f), Seq(1.0f, 8.0f))
