@@ -1462,6 +1462,108 @@ object ScaleOps {
           col("n_rows").cast("double"), 6).as("top1_share"))
   }
 
+  /** Multilingual temperature sampling (α-sampling) — the
+    * mBERT/XLM-R/mT5 recipe for balancing a many-domain corpus: domain g
+    * gets mixture weight w_g = n_g^α / Σ_h n_h^α with α = 1/T, so T = 1
+    * reproduces the natural distribution and T → ∞ the uniform one —
+    * low-resource domains are upsampled smoothly instead of the hard
+    * equal-share cut [[balancedSample]] makes. Against a row `budget`,
+    * domain g targets ⌊w_g·budget⌋ rows and keeps each row with
+    * probability min(1, target/n_g) — acceptance is
+    * [[hashUniform]]-deterministic per id (reproducible, append-stable,
+    * engine-independent). Selection can only REMOVE rows (no
+    * replication), so a domain whose target exceeds its population
+    * saturates at rate 1 — its shortfall is reported, not silently
+    * spread onto other domains.
+    *
+    * Output census per domain: (group, n_before, weight, n_target,
+    * acc_rate, n_after), weight/acc_rate round 6 for display, the
+    * FILTER uses unrounded values.
+    *
+    * Scale shape: one census groupBy; weights via one unbounded window
+    * over the |domains|-row census (the x40 bounded-census convention);
+    * rates broadcast back onto the corpus — the scan stays map-side, no
+    * corpus shuffle.
+    */
+  def temperatureSample(df: DataFrame, groupCol: String, idCol: String,
+                        temperature: Double, budget: Long,
+                        salt: String): DataFrame = {
+    require(temperature > 0, s"temperature must be > 0 (got $temperature)")
+    require(budget > 0, s"budget must be > 0 (got $budget)")
+    val census = df.filter(col(groupCol).isNotNull)
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("__c"))
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val alpha = 1.0 / temperature
+    val rates = census.select(col(groupCol), col("__c"),
+        (pow(col("__c").cast("double"), alpha) /
+          sum(pow(col("__c").cast("double"), alpha)).over(wAll)).as("__w"))
+      .withColumn("__tgt", floor(col("__w") * budget.toDouble).cast("long"))
+      .withColumn("__r",
+        least(lit(1.0), col("__tgt").cast("double") /
+          col("__c").cast("double")))
+    val ratesOut = rates.select(col(groupCol), col("__c").as("__before"),
+      col("__w").as("__weight"), col("__tgt").as("__target"),
+      col("__r").as("__rate"))
+    val kept = df.filter(col(groupCol).isNotNull)
+      .join(broadcast(rates.select(col(groupCol), col("__r"))), groupCol)
+      .filter(hashUniform(col(idCol), salt) < col("__r"))
+      .groupBy(col(groupCol)).agg(count(lit(1)).as("n_after"))
+    ratesOut.join(kept, Seq(groupCol), "left")
+      .select(col(groupCol), col("__before").as("n_before"),
+        round(col("__weight"), 6).as("weight"),
+        col("__target").as("n_target"),
+        round(col("__rate"), 6).as("acc_rate"),
+        coalesce(col("n_after"), lit(0L)).as("n_after"))
+  }
+
+  /** Data-constrained epochs plan — "can this corpus even serve that
+    * training budget": given per-domain available token counts, the
+    * temperature mixture ([[temperatureSample]]'s w_g over TOKENS) and a
+    * total training-token budget, each domain is asked for w_g·budget
+    * tokens; epochs_g = requested/available is its repetition factor,
+    * and a domain needing more than `maxEpochs` passes is flagged
+    * data-constrained and capped (the Muennighoff et al. 2023 regime
+    * where repeating data loses value) — the shortfall is REPORTED per
+    * domain, not silently redistributed, because re-spreading it changes
+    * the mixture the caller asked for.
+    *
+    * Output per domain: (group, tokens_available, weight,
+    * tokens_requested, epochs, data_constrained, tokens_effective) —
+    * weight/epochs round 6, token numbers exact BIGINTs (requested =
+    * ⌊w·budget⌋, effective = min(requested, maxEpochs·available)).
+    * Scale: one census groupBy + a bounded-census window; nothing
+    * row-scale shuffles.
+    */
+  def epochsPlan(df: DataFrame, groupCol: String, tokCol: String,
+                 temperature: Double, budget: Long,
+                 maxEpochs: Double): DataFrame = {
+    require(temperature > 0 && budget > 0 && maxEpochs > 0,
+      "temperature, budget, maxEpochs must be > 0")
+    val census = df
+      .filter(col(groupCol).isNotNull && col(tokCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(sum(col(tokCol).cast("long")).as("__n"))
+      .filter(col("__n") > 0L)
+    val wAll = Window.partitionBy().rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val alpha = 1.0 / temperature
+    census.select(col(groupCol), col("__n"),
+        (pow(col("__n").cast("double"), alpha) /
+          sum(pow(col("__n").cast("double"), alpha)).over(wAll)).as("__w"))
+      .withColumn("__req", floor(col("__w") * budget.toDouble).cast("long"))
+      .withColumn("__ep",
+        col("__req").cast("double") / col("__n").cast("double"))
+      .select(col(groupCol), col("__n").as("tokens_available"),
+        round(col("__w"), 6).as("weight"),
+        col("__req").as("tokens_requested"),
+        round(col("__ep"), 6).as("epochs"),
+        (col("__ep") > maxEpochs).as("data_constrained"),
+        least(col("__req"),
+          floor(lit(maxEpochs) * col("__n").cast("double")).cast("long"))
+          .as("tokens_effective"))
+  }
+
   /** Range-partition planner — the balanced split points a 100 TB job
     * computes BEFORE a repartitionByRange/sort so no reducer inherits a
     * lopsided key range (Spark samples to find these bounds; a pipeline

@@ -7813,7 +7813,80 @@ object ScaleQueries {
              |    n FROM e WHERE ihi >= ilo)
              |SELECT CAST(si AS BIGINT) split_idx, k split_key,
              |  cum cum_rows, CAST((si*n + 7)//8 AS BIGINT) target_rank
-             |FROM sel ORDER BY split_idx""".stripMargin))
+             |FROM sel ORDER BY split_idx""".stripMargin)),
+
+    // Temperature sampling (x192): the mBERT/XLM-R alpha-sampling recipe
+    // — domain weight n^(1/T)/sum, md5-deterministic acceptance against
+    // a row budget; low-resource languages upsampled smoothly vs x38's
+    // hard equal share. T=2, budget=300 rows.
+    QuerySpec("x192_temperature_sample", (s, d) =>
+      graft.operators.ScaleOps.temperatureSample(
+        t(s, d, "documents").select("doc_id", "lang"),
+        "lang", "doc_id", temperature = 2.0, budget = 300L,
+        salt = "temp1:")
+        .orderBy("lang"),
+      Some("""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) n
+             |  FROM documents WHERE lang IS NOT NULL GROUP BY 1),
+             |t AS (SELECT CAST(sum(pow(CAST(n AS DOUBLE), 0.5)) AS DOUBLE)
+             |    z FROM c),
+             |w AS (SELECT lang, n,
+             |    pow(CAST(n AS DOUBLE), 0.5) / t.z w FROM c CROSS JOIN t),
+             |r AS (SELECT lang, n, w,
+             |    CAST(floor(w * 300.0) AS BIGINT) tgt,
+             |    least(1.0, CAST(floor(w * 300.0) AS BIGINT) /
+             |      CAST(n AS DOUBLE)) rt
+             |  FROM w),
+             |k AS (SELECT d.lang kl, CAST(count(*) AS BIGINT) na
+             |  FROM documents d JOIN r ON d.lang = r.lang
+             |  WHERE list_reduce(list_transform(range(1, 9),
+             |      i -> CAST(strpos('0123456789abcdef',
+             |        substr(md5('temp1:' || CAST(doc_id AS VARCHAR)),
+             |          CAST(i AS INT), 1)) - 1 AS BIGINT)),
+             |      (a, b) -> a*16 + b) / 4294967296.0 < r.rt
+             |  GROUP BY 1)
+             |SELECT r.lang, r.n n_before, round(r.w, 6) weight,
+             |  r.tgt n_target, round(r.rt, 6) acc_rate,
+             |  CAST(coalesce(k.na, 0) AS BIGINT) n_after
+             |FROM r LEFT JOIN k ON r.lang = k.kl
+             |ORDER BY r.lang""".stripMargin)),
+
+    // Data-constrained epochs plan (x193): per-language token budgets
+    // under a temperature mixture — repetition factor, the
+    // data-constrained flag (epochs > 4 cap, Muennighoff et al. 2023),
+    // and capped effective tokens; shortfalls reported, never silently
+    // redistributed. T=2, budget=100k tokens.
+    QuerySpec("x193_epochs_plan", (s, d) =>
+      graft.operators.ScaleOps.epochsPlan(
+        t(s, d, "documents")
+          .select(col("lang"),
+            size(graft.operators.TextOps.tokens(col("text")))
+              .cast("long").as("tok")),
+        "lang", "tok", temperature = 2.0, budget = 100000L,
+        maxEpochs = 4.0)
+        .orderBy("lang"),
+      Some("""WITH b AS (SELECT lang,
+             |    CAST(CASE WHEN text IS NULL THEN NULL
+             |      WHEN length(trim(text)) = 0 THEN 0
+             |      ELSE len(regexp_split_to_array(trim(text), '\s+'))
+             |      END AS BIGINT) tok
+             |  FROM documents),
+             |c AS (SELECT lang, CAST(sum(tok) AS BIGINT) n FROM b
+             |  WHERE lang IS NOT NULL AND tok IS NOT NULL
+             |  GROUP BY 1 HAVING sum(tok) > 0),
+             |t AS (SELECT CAST(sum(pow(CAST(n AS DOUBLE), 0.5)) AS DOUBLE)
+             |    z FROM c),
+             |w AS (SELECT lang, n,
+             |    pow(CAST(n AS DOUBLE), 0.5) / t.z w FROM c CROSS JOIN t),
+             |e AS (SELECT lang, n, w,
+             |    CAST(floor(w * 100000.0) AS BIGINT) req FROM w),
+             |f AS (SELECT *, CAST(req AS DOUBLE) / CAST(n AS DOUBLE) ep
+             |  FROM e)
+             |SELECT lang, n tokens_available, round(w, 6) weight,
+             |  req tokens_requested, round(ep, 6) epochs,
+             |  ep > 4.0 data_constrained,
+             |  least(req, CAST(floor(4.0 * CAST(n AS DOUBLE)) AS BIGINT))
+             |    tokens_effective
+             |FROM f ORDER BY lang""".stripMargin))
   )
 
   /** Shared by x187 (batch) and st44 (streaming): lower-median pairwise

@@ -230,6 +230,48 @@ class PipelineAuditSpec extends SparkSpec {
       (3L, "k06", 6L, 6L)))
   }
 
+  test("temperatureSample: T=1 reproduces natural rates, T -> inf " +
+    "approaches uniform weights, saturated domains cap at rate 1 with " +
+    "the shortfall visible") {
+    val df = (Seq.fill(80)("big") ++ Seq.fill(20)("small"))
+      .zipWithIndex.map { case (g, i) => (g, i.toLong) }.toDF("g", "id")
+    // T=1: weights are the natural shares 0.8/0.2
+    val nat = ScaleOps.temperatureSample(df, "g", "id",
+      temperature = 1.0, budget = 50L, salt = "t:")
+      .orderBy("g").collect()
+    assert(nat.map(_.getDouble(2)).toSeq == Seq(0.8, 0.2))
+    assert(nat.map(_.getLong(3)).toSeq == Seq(40L, 10L))
+    // high T: weights near-uniform -> the small domain is upsampled
+    val hot = ScaleOps.temperatureSample(df, "g", "id",
+      temperature = 1000.0, budget = 50L, salt = "t:")
+      .orderBy("g").collect()
+    assert(math.abs(hot.head.getDouble(2) - 0.5) < 0.01)
+    // budget beyond the population: acceptance saturates at 1, n_after
+    // = n_before, and the unmet target stays VISIBLE in n_target
+    val sat = ScaleOps.temperatureSample(df, "g", "id",
+      temperature = 1.0, budget = 1000L, salt = "t:")
+      .orderBy("g").collect()
+    assert(sat.forall(r => r.getDouble(4) == 1.0 &&
+      r.getLong(5) == r.getLong(1)))
+    assert(sat.head.getLong(3) == 800L) // asked for 800, only 80 exist
+  }
+
+  test("epochsPlan: repetition factors, the data-constrained flag and " +
+    "capped effective tokens against a temperature mixture") {
+    val df = Seq(("en", 900L), ("no", 100L)).toDF("g", "tok")
+    // T=2 (alpha=.5): weights 30/(30+10)=0.75, 0.25; budget 4000 ->
+    // requested 3000/1000; epochs 3000/900=3.33, 1000/100=10 (> 4 cap)
+    val out = ScaleOps.epochsPlan(df, "g", "tok", temperature = 2.0,
+      budget = 4000L, maxEpochs = 4.0).orderBy("g").collect()
+    val en = out.head
+    assert(en.getString(0) == "en" && en.getLong(1) == 900L &&
+      en.getDouble(2) == 0.75 && en.getLong(3) == 3000L &&
+      !en.getBoolean(5) && en.getLong(6) == 3000L)
+    val no = out(1)
+    assert(no.getLong(3) == 1000L && no.getDouble(4) == 10.0 &&
+      no.getBoolean(5) && no.getLong(6) == 400L) // capped at 4 epochs
+  }
+
   test("varianceSpectrum: dead dim ranks last, cumulative share ends " +
     "at 1") {
     val df = Seq(Seq(1.0f, 0.0f), Seq(1.0f, 4.0f), Seq(1.0f, 8.0f))
