@@ -1462,6 +1462,104 @@ object ScaleOps {
           col("n_rows").cast("double"), 6).as("top1_share"))
   }
 
+  /** The k deterministic md5 bit positions of `key` in an m-bit Bloom
+    * filter — salt `bloom<i>:` per hash, the [[hashUniform]] md5
+    * convention, so an oracle (or another engine) rebuilds the exact
+    * same filter bit-for-bit. */
+  private[graft] def bloomBits(key: Column, mBits: Int,
+                               numHashes: Int): Seq[Column] =
+    (0 until numHashes).map(i =>
+      pmod(conv(substring(md5(concat(lit(s"bloom$i:"), key.cast("string"))),
+        1, 8), 16, 10).cast("long"), lit(mBits.toLong)))
+
+  /** Bloom-filter membership audit — the semi-join pruning primitive at
+    * 100 TB: before shipping a huge probe table across a shuffle to
+    * learn most rows match nothing, build an m-bit Bloom filter over the
+    * build side's keys (k md5 positions per key) and measure what it
+    * would do — fill ratio, how many probe keys pass ("maybe"), and the
+    * REAL false-positive rate against exact membership. The filter here
+    * is a first-class DataFrame of set bit positions (≤ m rows), so it
+    * broadcasts, persists, and merges like any census — and because the
+    * positions are salted md5, the SAME filter rebuilds bit-identically
+    * on any engine (unlike Spark's own sampled/seeded runtime bloom).
+    *
+    * Output: one row (m_bits, k_hashes, n_build_keys, n_bits_set,
+    * fill_ratio, n_probe_keys, n_exact_present, n_maybe,
+    * n_false_positive, fp_rate) — fp_rate = false positives / probe
+    * keys NOT actually present (NULL when every probe key is present).
+    *
+    * Scale shape: build side → distinct-key census → ≤ m-row bit set;
+    * probe side → distinct-key census → k·|probe keys| position rows
+    * joined against the bit set on the bit value (hash shuffle on a
+    * bounded domain); exact membership is one left-semi join. Nothing
+    * quadratic; the bit set is broadcast-sized by construction (m is a
+    * design constant).
+    */
+  def bloomFilterAudit(build: DataFrame, buildKey: String,
+                       probe: DataFrame, probeKey: String,
+                       mBits: Int, numHashes: Int): DataFrame =
+    bloomAuditFromKeys(
+      build.filter(col(buildKey).isNotNull)
+        .select(col(buildKey).cast("string").as("__k")).distinct(),
+      probe, probeKey, mBits, numHashes)
+
+  /** [[bloomFilterAudit]]'s core over a pre-built distinct build-key
+    * frame (`__k`) — the census-state convention, so st48 can hold the
+    * build-key census as streaming state (the bit set alone cannot
+    * answer the exact-membership half of the audit; the ≤ m-row bit set
+    * is still what a production filter ships, and it derives from the
+    * census in one job here). */
+  private[graft] def bloomAuditFromKeys(bkRaw: DataFrame,
+                                        probe: DataFrame, probeKey: String,
+                                        mBits: Int,
+                                        numHashes: Int): DataFrame = {
+    require(mBits > 0 && numHashes >= 1,
+      s"mBits > 0, numHashes >= 1 (got $mBits, $numHashes)")
+    val bk = bkRaw.persist()
+    val pk = probe.filter(col(probeKey).isNotNull)
+      .select(col(probeKey).cast("string").as("__k")).distinct()
+      .persist()
+    val bits = bk
+      .select(explode(array(bloomBits(col("__k"), mBits, numHashes): _*))
+        .as("__bit")).distinct()
+    val probeBits = pk
+      .select(col("__k"),
+        explode(array(bloomBits(col("__k"), mBits, numHashes): _*))
+          .as("__bit"))
+    val maybe = probeBits.join(broadcast(bits), Seq("__bit"))
+      .groupBy(col("__k")).agg(count(lit(1)).as("__hits"))
+      .filter(col("__hits") === numHashes.toLong)
+      .select(col("__k"), lit(1L).as("__maybe"))
+    val present = pk.join(bk, Seq("__k"), "left_semi")
+      .select(col("__k"), lit(1L).as("__present"))
+    val perKey = pk.join(maybe, Seq("__k"), "left")
+      .join(present, Seq("__k"), "left")
+    val out = perKey.agg(
+        count(lit(1)).as("n_probe_keys"),
+        coalesce(sum(col("__present")), lit(0L)).as("n_exact_present"),
+        coalesce(sum(col("__maybe")), lit(0L)).as("n_maybe"),
+        coalesce(sum(when(col("__maybe").isNotNull &&
+          col("__present").isNull, 1L)), lit(0L)).as("n_false_positive"))
+      .crossJoin(broadcast(
+        bk.agg(count(lit(1)).as("n_build_keys"))))
+      .crossJoin(broadcast(
+        bits.agg(count(lit(1)).as("n_bits_set"))))
+      .select(lit(mBits.toLong).as("m_bits"),
+        lit(numHashes.toLong).as("k_hashes"),
+        col("n_build_keys"), col("n_bits_set"),
+        round(col("n_bits_set").cast("double") / mBits.toDouble, 6)
+          .as("fill_ratio"),
+        col("n_probe_keys"), col("n_exact_present"), col("n_maybe"),
+        col("n_false_positive"),
+        when(col("n_probe_keys") > col("n_exact_present"),
+          round(col("n_false_positive").cast("double") /
+            (col("n_probe_keys") - col("n_exact_present")).cast("double"),
+            6)).as("fp_rate"))
+      .localCheckpoint(true)
+    bk.unpersist(); pk.unpersist()
+    out
+  }
+
   /** Multilingual temperature sampling (α-sampling) — the
     * mBERT/XLM-R/mT5 recipe for balancing a many-domain corpus: domain g
     * gets mixture weight w_g = n_g^α / Σ_h n_h^α with α = 1/T, so T = 1

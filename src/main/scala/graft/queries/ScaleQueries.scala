@@ -6946,8 +6946,12 @@ object ScaleQueries {
       val tpl = deleteTemplates.computeIfAbsent(d, _ => {
         val dir = java.nio.file.Files.createTempDirectory("graft_del_tpl").toString
         fact.write.partitionBy("start_date_oslo").parquet(s"$dir/fact")
+        // 8 index buckets at this SF (default 32): ~240 deleted ids per
+        // bucket either way, but 4x fewer files to probe + compact —
+        // bucket count is a layout knob sized to the table, not a
+        // semantic (oracle-invisible)
         graft.operators.MergeOps.buildIdDateIndex(
-          s.read.parquet(s"$dir/fact"), s"$dir/idx")
+          s.read.parquet(s"$dir/fact"), s"$dir/idx", nBuckets = 8)
         dir
       })
       val base = java.nio.file.Files.createTempDirectory("graft_del").toString
@@ -6964,7 +6968,7 @@ object ScaleQueries {
         col("start_date_oslo") <= lit(java.sql.Date.valueOf("2024-01-08")))
         .select("id")
       graft.operators.MergeOps.deletePartitioned(s, s"$base/fact", ids,
-        indexPath = Some(s"$base/idx"))
+        indexPath = Some(s"$base/idx"), indexBuckets = 8)
       // read-side isolation (r12): plan + materialize through the
       // table's commit log so a racing mutator would re-plan, not crash
       val out = graft.operators.TableLog.readValidated(s, s"$base/fact") {
@@ -7744,28 +7748,7 @@ object ScaleQueries {
             (size(graft.operators.TextOps.tokens(col("text"))) >= 40)
               .as("gb")),
         "ga", "gb"),
-      Some("""WITH b AS (SELECT length(text) >= 200 a,
-             |    len(CASE WHEN length(trim(text)) = 0 THEN []
-             |      ELSE regexp_split_to_array(trim(text), '\s+')
-             |      END) >= 40 bb
-             |  FROM documents WHERE text IS NOT NULL),
-             |c AS (SELECT
-             |    CAST(coalesce(sum(CASE WHEN a AND bb THEN 1 END), 0)
-             |      AS BIGINT) rr,
-             |    CAST(coalesce(sum(CASE WHEN a AND NOT bb THEN 1 END), 0)
-             |      AS BIGINT) ao,
-             |    CAST(coalesce(sum(CASE WHEN NOT a AND bb THEN 1 END), 0)
-             |      AS BIGINT) bo,
-             |    CAST(coalesce(sum(CASE WHEN NOT a AND NOT bb THEN 1 END),
-             |      0) AS BIGINT) ww
-             |  FROM b)
-             |SELECT rr n_both_right, ao n_a_only, bo n_b_only,
-             |  ww n_both_wrong,
-             |  CASE WHEN ao + bo > 0 THEN
-             |    round(CAST(abs(ao - bo) - 1 AS DOUBLE) *
-             |      CAST(abs(ao - bo) - 1 AS DOUBLE) /
-             |      CAST(ao + bo AS DOUBLE), 6) END chi2_cc
-             |FROM c""".stripMargin)),
+      Some(mcnemarOracleSql)),
 
     // Vocabulary richness (x190): Chao1 richness floor + Good-Turing
     // unseen mass off the token census — is the corpus slice near
@@ -7886,8 +7869,122 @@ object ScaleQueries {
              |  ep > 4.0 data_constrained,
              |  least(req, CAST(floor(4.0 * CAST(n AS DOUBLE)) AS BIGINT))
              |    tokens_effective
-             |FROM f ORDER BY lang""".stripMargin))
+             |FROM f ORDER BY lang""".stripMargin)),
+
+    // Bloom-filter membership audit (x194): the semi-join pruning
+    // primitive — a 4096-bit, 3-hash filter over orders' custkeys
+    // probed by ALL customers; fill ratio, pass-throughs, and the REAL
+    // false-positive rate vs exact membership. Salted-md5 positions, so
+    // the identical filter rebuilds bit-for-bit on any engine (unlike
+    // Spark's seeded runtime bloom).
+    QuerySpec("x194_bloom_audit", (s, d) =>
+      graft.operators.ScaleOps.bloomFilterAudit(
+        t(s, d, "orders"), "o_custkey",
+        t(s, d, "customer"), "c_custkey",
+        mBits = 4096, numHashes = 3),
+      Some(bloomOracleSql)),
+
+    // STREAMING Bloom audit (st48): the build side's distinct-key
+    // census as stream state (exact membership needs the keys; the
+    // <= m-row bit set a production filter ships derives in one
+    // finalize job) — graded on x194's oracle.
+    QuerySpec("st48_stream_bloom_audit", (s, d) => {
+      val schema = s.read.parquet(s"$d/orders.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val build = s.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+      Streams.runStreamingBloomAuditAvailableNow(s, build, "o_custkey",
+        t(s, d, "customer"), "c_custkey", mBits = 4096, numHashes = 3,
+        s"graft_sbl_$run", ckpt)
+    },
+      Some(bloomOracleSql)),
+
+    // STREAMING McNemar (st47): the 2x2 paired-outcome cells are the
+    // whole stream state (four BIGINTs), finalized by mcnemarFromCells
+    // — graded on x189's oracle.
+    QuerySpec("st47_stream_mcnemar", (s, d) => {
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val docsSchema = s.read.parquet(s"$d/documents.parquet").schema
+      val stream = s.readStream.schema(docsSchema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+        .filter(col("text").isNotNull)
+        .select((length(col("text")) >= 200).as("ga"),
+          (size(graft.operators.TextOps.tokens(col("text"))) >= 40)
+            .as("gb"))
+      Streams.runStreamingMcnemarAvailableNow(s, stream, "ga", "gb",
+        s"graft_smn_$run", ckpt)
+    },
+      Some(mcnemarOracleSql))
   )
+
+  /** Shared by x189 (batch) and st47 (streaming): paired quality-gate
+    * cells + the continuity-corrected McNemar χ². */
+  private lazy val mcnemarOracleSql: String =
+    """WITH b AS (SELECT length(text) >= 200 a,
+      |    len(CASE WHEN length(trim(text)) = 0 THEN []
+      |      ELSE regexp_split_to_array(trim(text), '\s+')
+      |      END) >= 40 bb
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT
+      |    CAST(coalesce(sum(CASE WHEN a AND bb THEN 1 END), 0)
+      |      AS BIGINT) rr,
+      |    CAST(coalesce(sum(CASE WHEN a AND NOT bb THEN 1 END), 0)
+      |      AS BIGINT) ao,
+      |    CAST(coalesce(sum(CASE WHEN NOT a AND bb THEN 1 END), 0)
+      |      AS BIGINT) bo,
+      |    CAST(coalesce(sum(CASE WHEN NOT a AND NOT bb THEN 1 END),
+      |      0) AS BIGINT) ww
+      |  FROM b)
+      |SELECT rr n_both_right, ao n_a_only, bo n_b_only,
+      |  ww n_both_wrong,
+      |  CASE WHEN ao + bo > 0 THEN
+      |    round(CAST(abs(ao - bo) - 1 AS DOUBLE) *
+      |      CAST(abs(ao - bo) - 1 AS DOUBLE) /
+      |      CAST(ao + bo AS DOUBLE), 6) END chi2_cc
+      |FROM c""".stripMargin
+
+  /** Shared by x194 (batch) and st48 (streaming): the 4096-bit 3-hash
+    * salted-md5 Bloom audit, orders custkeys probed by customers. */
+  private lazy val bloomOracleSql: String =
+    """WITH bk AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) k
+      |  FROM orders WHERE o_custkey IS NOT NULL),
+      |pk AS (SELECT DISTINCT CAST(c_custkey AS VARCHAR) k
+      |  FROM customer WHERE c_custkey IS NOT NULL),
+      |s AS (SELECT unnest(['bloom0:', 'bloom1:', 'bloom2:']) salt),
+      |bbits AS (SELECT DISTINCT list_reduce(list_transform(range(1, 9),
+      |    i -> CAST(strpos('0123456789abcdef',
+      |      substr(md5(salt || k), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+      |    (a, b) -> a*16 + b) % 4096 bt
+      |  FROM bk CROSS JOIN s),
+      |pbits AS (SELECT k, list_reduce(list_transform(range(1, 9),
+      |    i -> CAST(strpos('0123456789abcdef',
+      |      substr(md5(salt || k), CAST(i AS INT), 1)) - 1 AS BIGINT)),
+      |    (a, b) -> a*16 + b) % 4096 bt
+      |  FROM pk CROSS JOIN s),
+      |mb AS (SELECT k FROM pbits JOIN bbits USING (bt)
+      |  GROUP BY k HAVING count(*) = 3),
+      |pr AS (SELECT k FROM pk WHERE k IN (SELECT k FROM bk)),
+      |agg AS (SELECT
+      |    CAST((SELECT count(*) FROM bk) AS BIGINT) n_build_keys,
+      |    CAST((SELECT count(*) FROM bbits) AS BIGINT) n_bits_set,
+      |    CAST((SELECT count(*) FROM pk) AS BIGINT) n_probe_keys,
+      |    CAST((SELECT count(*) FROM pr) AS BIGINT) n_exact_present,
+      |    CAST((SELECT count(*) FROM mb) AS BIGINT) n_maybe,
+      |    CAST((SELECT count(*) FROM mb WHERE k NOT IN
+      |      (SELECT k FROM pr)) AS BIGINT) n_false_positive)
+      |SELECT CAST(4096 AS BIGINT) m_bits, CAST(3 AS BIGINT) k_hashes,
+      |  n_build_keys, n_bits_set,
+      |  round(CAST(n_bits_set AS DOUBLE) / 4096.0, 6) fill_ratio,
+      |  n_probe_keys, n_exact_present, n_maybe, n_false_positive,
+      |  CASE WHEN n_probe_keys > n_exact_present THEN
+      |    round(CAST(n_false_positive AS DOUBLE) /
+      |      CAST(n_probe_keys - n_exact_present AS DOUBLE), 6)
+      |  END fp_rate
+      |FROM agg""".stripMargin
 
   /** Shared by x187 (batch) and st44 (streaming): lower-median pairwise
     * slope over the per-type daily-count series. */

@@ -2412,4 +2412,58 @@ object Streams {
       graft.operators.TextOps.richnessFromCensus(
         detachSink(spark, sinkName, checkpoint))
     }
+
+  /** STREAMING McNemar (st47): the 2×2 paired-outcome cell census is
+    * the WHOLE stream state — four BIGINTs, mergeable by construction —
+    * finalized by the batch operator's own
+    * [[graft.operators.Analytics.mcnemarFromCells]]: the
+    * which-gate-wins verdict updates as paired outcomes arrive.
+    */
+  def runStreamingMcnemarAvailableNow(spark: SparkSession, rows: DataFrame,
+      aCol: String, bCol: String, sinkName: String,
+      checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val q = rows
+        .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .select(col(aCol).cast("boolean").as("__a"),
+          col(bCol).cast("boolean").as("__b"))
+        .groupBy(col("__a"), col("__b")).agg(count(lit(1)).as("__c"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Analytics.mcnemarFromCells(
+        detachSink(spark, sinkName, checkpoint))
+    }
+
+  /** STREAMING Bloom-filter audit (st48): the BUILD side streams in and
+    * its distinct-key census is the stream state (the dedup-state
+    * shape — exact membership, half of the audit, fundamentally needs
+    * the keys; the ≤ m-row bit set a production filter would ship
+    * derives from the census in one finalize job). Probe side is
+    * static; finalized by the batch
+    * [[graft.operators.ScaleOps.bloomAuditFromKeys]] verbatim, so the
+    * fill/fp report updates as build keys arrive.
+    */
+  def runStreamingBloomAuditAvailableNow(spark: SparkSession,
+      build: DataFrame, buildKey: String, probe: DataFrame,
+      probeKey: String, mBits: Int, numHashes: Int, sinkName: String,
+      checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val q = build
+        .filter(col(buildKey).isNotNull)
+        .select(col(buildKey).cast("string").as("__k"))
+        .groupBy(col("__k")).agg(count(lit(1)).as("__c"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.ScaleOps.bloomAuditFromKeys(
+        detachSink(spark, sinkName, checkpoint).select(col("__k")),
+        probe, probeKey, mBits, numHashes)
+    }
 }

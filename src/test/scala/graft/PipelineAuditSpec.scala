@@ -272,6 +272,28 @@ class PipelineAuditSpec extends SparkSpec {
       no.getBoolean(5) && no.getLong(6) == 400L) // capped at 4 epochs
   }
 
+  test("bloomFilterAudit: zero false negatives by construction, a " +
+    "saturated filter forces false positives, cell counts consistent") {
+    val build = (1 to 50).map(i => s"k$i").toDF("k")
+    val probe = (26 to 100).map(i => s"k$i").toDF("k") // 25 hit, 50 miss
+    val r = ScaleOps.bloomFilterAudit(build, "k", probe, "k",
+      mBits = 64, numHashes = 3).collect().head
+    assert(r.getLong(2) == 50L)                  // build keys
+    assert(r.getLong(5) == 75L && r.getLong(6) == 25L)
+    // Bloom filters never miss a present key: every present probe key
+    // passes, so maybe = present + false positives exactly
+    assert(r.getLong(7) >= 25L)
+    assert(r.getLong(8) == r.getLong(7) - 25L)
+    // 50 keys x 3 hashes into 64 bits saturates the filter: false
+    // positives are structurally certain
+    assert(r.getLong(8) > 0L)
+    assert(r.getDouble(9) == BigDecimal(r.getLong(8).toDouble / 50.0)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    assert(r.getLong(3) <= 64L && r.getDouble(4) ==
+      BigDecimal(r.getLong(3).toDouble / 64.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+  }
+
   test("varianceSpectrum: dead dim ranks last, cumulative share ends " +
     "at 1") {
     val df = Seq(Seq(1.0f, 0.0f), Seq(1.0f, 4.0f), Seq(1.0f, 8.0f))
