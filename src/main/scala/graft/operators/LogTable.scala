@@ -1,0 +1,236 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest-native MVCC table — the Delta/Iceberg core idea, self-built
+  * on [[TableLog]]'s lock + log primitives (no Delta in the jar set):
+  * writers APPEND uniquely-named parquet files and atomically flip a
+  * FULL-live-set manifest; readers plan from the manifest, never from a
+  * directory listing. That one inversion buys three properties a
+  * rename-swapped layout ([[MergeOps]] + [[TableLog.withExclusive]])
+  * cannot offer:
+  *
+  *  1. **Structural reader isolation** — the files a manifest names are
+  *     immutable and retained until [[vacuum]], so a reader can never
+  *     race a writer; [[TableLog.readValidated]]'s re-plan-on-drift
+  *     loop (optimistic validation, the best a listing-planned layout
+  *     can do) becomes unnecessary here by construction. The contract
+  *     is Delta's: retention must exceed the longest reader
+  *     (vacuum(keepLast) documents it).
+  *  2. **Time travel** — [[read]] with `asOf` plans any retained
+  *     version; a vacuumed version fails loudly, never silently reads
+  *     a torn mix.
+  *  3. **Metadata-only deletes** — [[removePartitions]] drops a
+  *     partition from the table by flipping the manifest: ZERO data
+  *     I/O, instantly undoable by reading the previous version.
+  *
+  * Layout: `root/<dateCol>=D/part-*.parquet` (append-only data files),
+  * `root/_graft_log/_v%08d.json` manifests in [[TableLog]]'s exact
+  * format — [[TableLog.snapshot]] and [[TableLog.currentVersion]] work
+  * on a LogTable root unchanged — except each manifest records the
+  * ENTIRE live set (every partition), not just the commit's touch set,
+  * so any version reconstructs from ONE manifest (the Delta-checkpoint
+  * shape; O(partitions) rows of metadata per commit).
+  *
+  * Scale shape: commits move only the new files' rows plus one
+  * metadata JSON; replacePartitions appends the replacement rows and
+  * flips — old files are never rewritten, [[vacuum]] reclaims them
+  * after retention. Reads are explicit-file-list parquet scans with
+  * `basePath` partition inference, so partition pruning and column
+  * pruning behave exactly as on a directory-planned table.
+  */
+object LogTable {
+
+  /** One version's full live set: partition dir name → (file, bytes). */
+  final case class Manifest(version: Long, action: String,
+                            parts: Map[String, Seq[(String, Long)]])
+
+  private val NullPart = "__HIVE_DEFAULT_PARTITION__"
+
+  private def jstr(s: String) = graft.JsonUtil.jstr(s)
+
+  /** Write manifest version current+1 with the given FULL live set.
+    * MUST be called under [[TableLog.withLock]]. */
+  private def writeManifest(spark: SparkSession, tableRoot: String,
+                            action: String,
+                            parts: Map[String, Seq[(String, Long)]]): Long = {
+    val (fs, root) = TableLog.fsFor(spark, tableRoot)
+    val v = TableLog.currentVersion(spark, tableRoot) + 1
+    val body = {
+      val ps = parts.toSeq.sortBy(_._1).map { case (part, files) =>
+        val fl = files.sortBy(_._1).map { case (f, len) =>
+          s"""{"file":${jstr(f)},"bytes":$len}""" }.mkString("[", ",", "]")
+        s"""{"part":${jstr(part)},"files":$fl}"""
+      }.mkString("[", ",", "]")
+      s"""{"version":$v,"action":${jstr(action)},""" +
+        s""""ts":${System.currentTimeMillis()},"parts":$ps}"""
+    }
+    val ld = TableLog.logDir(root)
+    val finalP = new org.apache.hadoop.fs.Path(ld, f"_v$v%08d.json")
+    val tmpP = new org.apache.hadoop.fs.Path(ld, f"._v$v%08d.json.tmp")
+    fs.mkdirs(ld)
+    val out = fs.create(tmpP, true)
+    out.write(body.getBytes("UTF-8"))
+    out.close()
+    if (!fs.rename(tmpP, finalP))
+      sys.error(s"LogTable: commit $finalP already exists — concurrent " +
+        "unserialized writer detected")
+    v
+  }
+
+  /** Parse one retained manifest; loud error when the version was never
+    * committed or has been vacuumed away. */
+  def manifest(spark: SparkSession, tableRoot: String,
+               version: Long): Manifest = {
+    val (fs, root) = TableLog.fsFor(spark, tableRoot)
+    val p = new org.apache.hadoop.fs.Path(TableLog.logDir(root),
+      f"_v$version%08d.json")
+    if (!fs.exists(p))
+      sys.error(s"LogTable: version $version of $tableRoot is not " +
+        "retained (never committed, or reclaimed by vacuum) — time " +
+        "travel reaches only versions inside the vacuum retention window")
+    val in = fs.open(p)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val action = "\"action\":\"([^\"]*)\"".r.findFirstMatchIn(body)
+      .map(_.group(1)).getOrElse("")
+    val partRe = "\\{\"part\":\"([^\"]*)\",\"files\":\\[([^\\]]*)\\]\\}".r
+    val fileRe = "\\{\"file\":\"([^\"]*)\",\"bytes\":(\\d+)\\}".r
+    val parts = partRe.findAllMatchIn(body).map { m =>
+      m.group(1) -> fileRe.findAllMatchIn(m.group(2))
+        .map(fm => (fm.group(1), fm.group(2).toLong)).toSeq
+    }.toMap
+    Manifest(version, action, parts)
+  }
+
+  private def partDirName(dateCol: String, d: Option[java.sql.Date]) =
+    d.map(dd => s"$dateCol=$dd").getOrElse(s"$dateCol=$NullPart")
+
+  /** The distinct partition dirs `df` would write (metadata collect). */
+  private def touchedParts(df: DataFrame, dateCol: String): Seq[String] =
+    df.select(col(dateCol)).distinct().collect()
+      .map(r => partDirName(dateCol, Option(r.getDate(0)))).toSeq
+
+  /** List the CURRENT physical files of the given partition dirs. */
+  private def listParts(spark: SparkSession, tableRoot: String,
+                        parts: Seq[String])
+      : Map[String, Seq[(String, Long)]] = {
+    val (fs, root) = TableLog.fsFor(spark, tableRoot)
+    parts.map(p => p -> TableLog.liveFiles(fs,
+      new org.apache.hadoop.fs.Path(root, p))).toMap
+  }
+
+  /** Create the table: write `df` date-partitioned and commit manifest
+    * v1 holding the full live set. Returns the committed version (1). */
+  def init(df: DataFrame, tableRoot: String,
+           dateCol: String = "start_date_oslo"): Long = {
+    val spark = df.sparkSession
+    TableLog.withLock(spark, tableRoot, "init") {
+      require(TableLog.currentVersion(spark, tableRoot) == 0L,
+        s"LogTable.init: $tableRoot already has commits")
+      df.write.mode(SaveMode.Append).partitionBy(dateCol).parquet(tableRoot)
+      val parts = touchedParts(df, dateCol)
+      writeManifest(spark, tableRoot, "init",
+        listParts(spark, tableRoot, parts))
+    }
+  }
+
+  /** Replace the partitions `updated` covers: APPEND the replacement
+    * rows as new files (old files untouched — they stay readable at
+    * previous versions), then flip the manifest so the touched
+    * partitions' live sets are exactly the new files. Returns the
+    * committed version. */
+  def replacePartitions(spark: SparkSession, tableRoot: String,
+                        updated: DataFrame,
+                        dateCol: String = "start_date_oslo"): Long =
+    TableLog.withLock(spark, tableRoot, "replace") {
+      val v = TableLog.currentVersion(spark, tableRoot)
+      require(v > 0L, s"LogTable.replacePartitions: $tableRoot has no " +
+        "manifest — init first")
+      val prev = manifest(spark, tableRoot, v)
+      val touched = touchedParts(updated, dateCol)
+      val pre = listParts(spark, tableRoot, touched)
+      updated.write.mode(SaveMode.Append).partitionBy(dateCol)
+        .parquet(tableRoot)
+      val post = listParts(spark, tableRoot, touched)
+      val newFiles = touched.map { p =>
+        val before = pre(p).map(_._1).toSet
+        p -> post(p).filterNot { case (f, _) => before(f) }
+      }.toMap
+      writeManifest(spark, tableRoot, "replace",
+        prev.parts -- touched ++ newFiles)
+    }
+
+  /** Metadata-only partition delete: the named partition dirs leave the
+    * live set by a manifest flip — zero data I/O, undone by reading the
+    * previous version. Unknown partitions are ignored. */
+  def removePartitions(spark: SparkSession, tableRoot: String,
+                       parts: Seq[String]): Long =
+    TableLog.withLock(spark, tableRoot, "remove") {
+      val v = TableLog.currentVersion(spark, tableRoot)
+      require(v > 0L, s"LogTable.removePartitions: $tableRoot has no " +
+        "manifest — init first")
+      val prev = manifest(spark, tableRoot, v)
+      writeManifest(spark, tableRoot, "remove", prev.parts -- parts)
+    }
+
+  /** Plan the table at `asOf` (default: latest) from its manifest — an
+    * explicit-file-list scan with `basePath` partition inference, so
+    * the partition column survives and prunes normally. */
+  def read(spark: SparkSession, tableRoot: String,
+           asOf: Option[Long] = None): DataFrame = {
+    val v = asOf.getOrElse(TableLog.currentVersion(spark, tableRoot))
+    require(v > 0L, s"LogTable.read: $tableRoot has no committed version")
+    val m = manifest(spark, tableRoot, v)
+    val files = m.parts.toSeq.sortBy(_._1).flatMap { case (p, fl) =>
+      fl.map { case (f, _) => s"$tableRoot/$p/$f" } }
+    require(files.nonEmpty,
+      s"LogTable.read: version $v of $tableRoot is empty")
+    spark.read.option("basePath", tableRoot).parquet(files: _*)
+  }
+
+  /** Reclaim files no retained manifest references, keeping the newest
+    * `keepLast` versions (and their time-travel reads) intact. The
+    * retention contract is Delta's: `keepLast` must cover the longest
+    * concurrently running reader. Returns (versions dropped, data files
+    * deleted). */
+  def vacuum(spark: SparkSession, tableRoot: String,
+             keepLast: Int): (Int, Int) = {
+    require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast)")
+    TableLog.withLock(spark, tableRoot, "vacuum") {
+      val (fs, root) = TableLog.fsFor(spark, tableRoot)
+      val ld = TableLog.logDir(root)
+      val versions = fs.listStatus(ld).map(_.getPath.getName)
+        .filter(n => n.startsWith("_v") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("_v").stripSuffix(".json").toLong)
+        .sorted.toSeq
+      val kept = versions.takeRight(keepLast)
+      val dropped = versions.dropRight(keepLast)
+      val keptManifests = kept.map(manifest(spark, tableRoot, _))
+      val referenced: Map[String, Set[String]] = keptManifests
+        .flatMap(_.parts.toSeq)
+        .groupBy(_._1)
+        .map { case (p, fl) => p -> fl.flatMap(_._2.map(_._1)).toSet }
+      // every partition dir any manifest (kept or dropped) ever named
+      val allParts = (keptManifests.flatMap(_.parts.keys) ++
+        dropped.map(manifest(spark, tableRoot, _))
+          .flatMap(_.parts.keys)).distinct
+      var deleted = 0
+      allParts.foreach { p =>
+        val dir = new org.apache.hadoop.fs.Path(root, p)
+        val keep = referenced.getOrElse(p, Set.empty)
+        TableLog.liveFiles(fs, dir).foreach { case (f, _) =>
+          if (!keep(f)) {
+            fs.delete(new org.apache.hadoop.fs.Path(dir, f), false)
+            deleted += 1
+          }
+        }
+        if (keep.isEmpty) fs.delete(dir, true) // partition fully retired
+      }
+      dropped.foreach(v => fs.delete(
+        new org.apache.hadoop.fs.Path(ld, f"_v$v%08d.json"), false))
+      (dropped.size, deleted)
+    }
+  }
+}

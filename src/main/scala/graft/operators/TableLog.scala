@@ -60,12 +60,12 @@ object TableLog {
     new java.util.concurrent.ConcurrentHashMap[String,
       java.util.concurrent.locks.ReentrantLock]()
 
-  private def fsFor(spark: SparkSession, path: String) = {
+  private[operators] def fsFor(spark: SparkSession, path: String) = {
     val p = new org.apache.hadoop.fs.Path(path)
     (p.getFileSystem(spark.sparkContext.hadoopConfiguration), p)
   }
 
-  private def logDir(root: org.apache.hadoop.fs.Path) =
+  private[operators] def logDir(root: org.apache.hadoop.fs.Path) =
     new org.apache.hadoop.fs.Path(root, LogDirName)
 
   /** Acquire the on-disk lock: atomic create-if-absent, spinning up to
@@ -135,7 +135,7 @@ object TableLog {
   }
 
   /** List (file, length) of the live data files of one partition dir. */
-  private def liveFiles(fs: org.apache.hadoop.fs.FileSystem,
+  private[operators] def liveFiles(fs: org.apache.hadoop.fs.FileSystem,
                         part: org.apache.hadoop.fs.Path): Seq[(String, Long)] =
     if (!fs.exists(part)) Seq.empty
     else fs.listStatus(part).filter(_.isFile).map(_.getPath)
@@ -185,7 +185,23 @@ object TableLog {
   def withExclusive[T](spark: SparkSession, tableRoot: String,
                        action: String, waitMs: Long = 300000L,
                        staleLockMs: Long = 600000L)
-                      (body: => T)(touched: T => Seq[String]): T = {
+                      (body: => T)(touched: T => Seq[String]): T =
+    withLock(spark, tableRoot, action, waitMs, staleLockMs) {
+      val r = body
+      record(spark, tableRoot, action, touched(r))
+      r
+    }
+
+  /** The exclusive-lock wrapper alone (JVM striped lock + atomic-create
+    * fs lock with heartbeat + stale-break) WITHOUT the directory-listing
+    * manifest commit — the primitive [[LogTable]]'s manifest-native
+    * commits build on (they record explicit file sets, not listings).
+    */
+  private[operators] def withLock[T](spark: SparkSession, tableRoot: String,
+                                     action: String,
+                                     waitMs: Long = 300000L,
+                                     staleLockMs: Long = 600000L)
+                                    (body: => T): T = {
     val (fs, root) = fsFor(spark, tableRoot)
     val key = fs.makeQualified(root).toString
     val jl = jvmLocks.computeIfAbsent(key,
@@ -209,11 +225,8 @@ object TableLog {
       }, s"graft-tablelog-heartbeat-$action")
       hb.setDaemon(true)
       hb.start()
-      try {
-        val r = body
-        record(spark, tableRoot, action, touched(r))
-        r
-      } finally {
+      try body
+      finally {
         hb.interrupt()
         fs.delete(lockP, false)
       }

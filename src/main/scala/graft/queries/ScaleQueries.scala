@@ -7901,6 +7901,47 @@ object ScaleQueries {
     },
       Some(bloomOracleSql)),
 
+    // LogTable time travel (x195): the manifest-native MVCC table —
+    // init (v1), replace the first week's partitions with doubled cents
+    // (v2, old files retained), then read BOTH versions from their
+    // manifests and aggregate. The oracle recomputes both versions from
+    // the source: time travel must be bit-exact, not approximate.
+    QuerySpec("x195_logtable_time_travel", (s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ltt")
+        .toString + "/fact"
+      val fact = t(s, d, "events").filter(col("event_id") % 3 === 0)
+        .select(col("event_id").cast("string").as("id"),
+          graft.functions.Coercers.osloDate(col("ts")).as("start_date_oslo"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      graft.operators.LogTable.init(fact, base)
+      graft.operators.LogTable.replacePartitions(s, base,
+        fact.filter(col("start_date_oslo") <=
+            lit(java.sql.Date.valueOf("2024-01-08")))
+          .withColumn("cents", col("cents") * 2))
+      def snap(v: Option[Long], tag: Long) =
+        graft.operators.LogTable.read(s, base, v)
+          .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+          .select(lit(tag).as("version"), col("n_rows"), col("sum_cents"))
+      val out = snap(Some(1L), 1L).unionByName(snap(None, 2L))
+        .orderBy("version").localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p.getParent, true)
+      out
+    },
+      Some("""WITH b AS (SELECT CAST(round(value*100, 0) AS BIGINT) cents,
+             |    CAST(timezone('Europe/Oslo', timezone('UTC', ts))
+             |      AS DATE) dt
+             |  FROM events WHERE event_id % 3 = 0)
+             |SELECT CAST(1 AS BIGINT) "version",
+             |  CAST(count(*) AS BIGINT) n_rows,
+             |  CAST(sum(cents) AS BIGINT) sum_cents FROM b
+             |UNION ALL
+             |SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+             |  CAST(sum(CASE WHEN dt <= DATE '2024-01-08'
+             |    THEN cents*2 ELSE cents END) AS BIGINT) FROM b
+             |ORDER BY "version" """.stripMargin)),
+
     // STREAMING McNemar (st47): the 2x2 paired-outcome cells are the
     // whole stream state (four BIGINTs), finalized by mcnemarFromCells
     // — graded on x189's oracle.

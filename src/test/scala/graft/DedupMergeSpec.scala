@@ -884,6 +884,69 @@ class DedupMergeSpec extends SparkSpec {
       .delete(new org.apache.hadoop.fs.Path(root), true)
   }
 
+  test("LogTable MVCC: time travel reads every retained version " +
+    "bit-exactly, a reader planned before a replace survives it " +
+    "structurally, partition delete is metadata-only, vacuum reclaims " +
+    "unreferenced files and fails vacuumed reads loudly") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_logtab")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "value").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+    // v1: two partitions
+    val v1 = LogTable.init(entries(
+      ("a1", "x", java.sql.Date.valueOf("2024-01-01"), 1.0),
+      ("a2", "x", java.sql.Date.valueOf("2024-01-01"), 2.0),
+      ("b1", "x", java.sql.Date.valueOf("2024-01-02"), 3.0)), root)
+    assert(v1 == 1L)
+    // plan v1 BEFORE the replace: manifest-planned files are immutable,
+    // so this frame must stay readable across the mutation with NO
+    // revalidation loop — isolation is structural, not optimistic
+    val planned = LogTable.read(spark, root)
+    // v2: replace the 01-01 partition (a2 dropped, a3 added)
+    val v2 = LogTable.replacePartitions(spark, root, entries(
+      ("a1", "y", java.sql.Date.valueOf("2024-01-01"), 10.0),
+      ("a3", "y", java.sql.Date.valueOf("2024-01-01"), 30.0)))
+    assert(v2 == 2L)
+    assert(rows(planned) ==
+      Set(("a1", 1.0), ("a2", 2.0), ("b1", 3.0)), "pre-replace plan torn")
+    // time travel: both versions bit-exact
+    assert(rows(LogTable.read(spark, root, Some(1L))) ==
+      Set(("a1", 1.0), ("a2", 2.0), ("b1", 3.0)))
+    assert(rows(LogTable.read(spark, root)) ==
+      Set(("a1", 10.0), ("a3", 30.0), ("b1", 3.0)))
+    // metadata-only delete: no file touched, one manifest appended
+    val filesBefore = fs.listStatus(new org.apache.hadoop.fs.Path(root,
+      "start_date_oslo=2024-01-02")).map(_.getPath.getName).toSet
+    val v3 = LogTable.removePartitions(spark, root,
+      Seq("start_date_oslo=2024-01-02"))
+    assert(v3 == 3L)
+    assert(rows(LogTable.read(spark, root)) ==
+      Set(("a1", 10.0), ("a3", 30.0)))
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(root,
+      "start_date_oslo=2024-01-02")).map(_.getPath.getName).toSet ==
+      filesBefore, "metadata delete must not touch data files")
+    // ...and the delete is undone by reading one version back
+    assert(rows(LogTable.read(spark, root, Some(2L)))
+      .contains(("b1", 3.0)))
+    // vacuum to the latest version only: v1's superseded 01-01 files and
+    // the retired 01-02 partition go away; old reads now fail LOUDLY
+    val (droppedV, deletedF) = LogTable.vacuum(spark, root, keepLast = 1)
+    assert(droppedV == 2 && deletedF >= 2, s"($droppedV, $deletedF)")
+    assert(rows(LogTable.read(spark, root)) ==
+      Set(("a1", 10.0), ("a3", 30.0)))
+    val e = intercept[RuntimeException] {
+      LogTable.read(spark, root, Some(1L))
+    }
+    assert(e.getMessage.contains("not retained"))
+    // TableLog's audit surface reads the same log unchanged
+    assert(graft.operators.TableLog.currentVersion(spark, root) == 3L)
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
   test("TableLog heartbeat: a slow LIVE holder keeps its lock fresh, so " +
     "it can never be mistaken for a crashed writer") {
     import graft.operators.TableLog
