@@ -175,6 +175,47 @@ object LogTable {
       writeManifest(spark, tableRoot, "remove", prev.parts -- parts)
     }
 
+  /** Append rows as new files + a manifest flip (existing partitions
+    * keep their files, new partitions join the live set). `txnId`, when
+    * given, makes the commit IDEMPOTENT — the Delta streaming-sink
+    * trick: the txn id is recorded in the manifest action
+    * (`append:txn=<id>`), and a later call with an id some retained
+    * manifest already carries is a NO-OP returning the current version.
+    * A foreachBatch sink passing its (queryId, batchId) therefore gets
+    * exactly-once table contents under micro-batch replay — the
+    * at-least-once delivery every checkpoint recovery implies collapses
+    * at the commit, not in the data. (Retention caveat: vacuum must
+    * keep at least the replay horizon's manifests for the dedup to see
+    * them — the same contract as Delta's txn retention.)
+    */
+  def append(spark: SparkSession, tableRoot: String, rows: DataFrame,
+             dateCol: String = "start_date_oslo",
+             txnId: Option[String] = None): Long =
+    TableLog.withLock(spark, tableRoot, "append") {
+      val v = TableLog.currentVersion(spark, tableRoot)
+      val action = txnId.map(t => s"append:txn=$t").getOrElse("append")
+      if (txnId.isDefined && v > 0L &&
+          (1L to v).exists(i =>
+            try manifest(spark, tableRoot, i).action == action
+            catch { case _: RuntimeException => false })) {
+        v // this txn already committed — replay collapses here
+      } else {
+        val prev = if (v > 0L) manifest(spark, tableRoot, v).parts
+          else Map.empty[String, Seq[(String, Long)]]
+        val touched = touchedParts(rows, dateCol)
+        val pre = listParts(spark, tableRoot, touched)
+        rows.write.mode(SaveMode.Append).partitionBy(dateCol)
+          .parquet(tableRoot)
+        val post = listParts(spark, tableRoot, touched)
+        val merged = touched.map { p =>
+          val before = pre(p).map(_._1).toSet
+          p -> (prev.getOrElse(p, Seq.empty) ++
+            post(p).filterNot { case (f, _) => before(f) })
+        }.toMap
+        writeManifest(spark, tableRoot, action, prev ++ merged)
+      }
+    }
+
   /** Plan the table at `asOf` (default: latest) from its manifest — an
     * explicit-file-list scan with `basePath` partition inference, so
     * the partition column survives and prunes normally. */

@@ -7942,6 +7942,45 @@ object ScaleQueries {
              |    THEN cents*2 ELSE cents END) AS BIGINT) FROM b
              |ORDER BY "version" """.stripMargin)),
 
+    // STREAMING LogTable append (st49): micro-batches commit through
+    // manifest flips with txn-id idempotence — after the drain, batch
+    // 0's txn is deliberately REPLAYED (the at-least-once delivery a
+    // checkpoint recovery implies) and must collapse to a no-op; the
+    // oracle would double-count if it didn't. Exactly-once table
+    // contents under replay, graded end-to-end.
+    QuerySpec("st49_stream_logtable_append", (s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stlt")
+        .toString
+      val root = s"$base/fact"
+      val fact = t(s, d, "events").filter(col("event_id") % 3 === 1)
+        .select(col("event_id").cast("string").as("id"),
+          graft.functions.Coercers.osloDate(col("ts")).as("start_date_oslo"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      fact.repartition(2).write.parquet(s"$base/in")
+      val stream = s.readStream.schema(fact.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$base/in")
+      Streams.runStreamingLogTableAppendAvailableNow(s, stream, root,
+        "start_date_oslo", s"$base/ckpt")
+      // replay batch 0's txn with the FULL fact: if idempotence failed,
+      // every row would double and the oracle would mismatch
+      graft.operators.LogTable.append(s, root, fact,
+        "start_date_oslo", txnId = Some("st:0"))
+      val out = graft.operators.LogTable.read(s, root)
+        .select(col("id"),
+          col("start_date_oslo").cast("string").as("start_date_oslo"),
+          col("cents"))
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out.orderBy("id")
+    },
+      Some("""SELECT CAST(event_id AS VARCHAR) id,
+             |  CAST(CAST(timezone('Europe/Oslo', timezone('UTC', ts))
+             |    AS DATE) AS VARCHAR) start_date_oslo,
+             |  CAST(round(value*100, 0) AS BIGINT) cents
+             |FROM events WHERE event_id % 3 = 1
+             |ORDER BY id""".stripMargin)),
+
     // STREAMING McNemar (st47): the 2x2 paired-outcome cells are the
     // whole stream state (four BIGINTs), finalized by mcnemarFromCells
     // — graded on x189's oracle.

@@ -2466,4 +2466,29 @@ object Streams {
         detachSink(spark, sinkName, checkpoint).select(col("__k")),
         probe, probeKey, mBits, numHashes)
     }
+
+  /** STREAMING append into a [[graft.operators.LogTable]] (st49): each
+    * micro-batch commits through `LogTable.append` with txnId =
+    * `st:<batchId>` — the Delta streaming-sink idempotence trick, so a
+    * replayed micro-batch (the at-least-once delivery every checkpoint
+    * recovery implies) collapses at the COMMIT and the table holds
+    * exactly-once contents. Readers see each batch atomically (manifest
+    * flip) and never race the writer (manifest-planned files are
+    * immutable).
+    */
+  def runStreamingLogTableAppendAvailableNow(spark: SparkSession,
+      entries: DataFrame, tableRoot: String, dateCol: String,
+      checkpoint: String): Unit =
+    withReplayConfs(spark) {
+      val q = entries.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          graft.operators.LogTable.append(spark, tableRoot, batch,
+            dateCol, txnId = Some(s"st:$batchId"))
+          ()
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
 }
