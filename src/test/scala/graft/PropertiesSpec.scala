@@ -532,4 +532,89 @@ class PropertiesSpec extends SparkSpec {
       assert(gotHt == ht, s"seed=$seed h_tie: got $gotHt, ref $ht")
     }
   }
+
+  test("welchT property: t, Welch-Satterthwaite df, Cohen's d and " +
+    "Hedges' g equal a driver-side replica with the identical IEEE " +
+    "trees over random integer levels; degenerate variances NULL") {
+    import graft.operators.Analytics
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(as: Seq[Long], bs: Seq[Long])
+        : (Option[Double], Option[Double], Option[Double], Option[Double]) = {
+      val (na, nb) = (as.size.toLong, bs.size.toLong)
+      val (sa, sb) = (as.sum, bs.sum)
+      val (ssa, ssb) = (as.map(v => v * v).sum, bs.map(v => v * v).sum)
+      val ma = sa.toDouble / na.toDouble
+      val mb = sb.toDouble / nb.toDouble
+      val va = if (na > 1)
+        Some((ssa.toDouble - na.toDouble * ma * ma) / (na - 1).toDouble)
+        else None
+      val vb = if (nb > 1)
+        Some((ssb.toDouble - nb.toDouble * mb * mb) / (nb - 1).toDouble)
+        else None
+      val sea = va.map(_ / na.toDouble)
+      val seb = vb.map(_ / nb.toDouble)
+      val se2 = for (x <- sea; y <- seb) yield x + y
+      val t = se2.filter(_ > 0.0)
+        .map(s2 => round6((ma - mb) / math.sqrt(s2)))
+      val df = se2.filter(_ > 0.0).map(s2 => round6(s2 * s2 /
+        (sea.get * sea.get / (na - 1).toDouble +
+          seb.get * seb.get / (nb - 1).toDouble)))
+      val sp = if (na + nb > 2) for (x <- va; y <- vb) yield
+        math.sqrt(((na - 1).toDouble * x + (nb - 1).toDouble * y) /
+          (na + nb - 2).toDouble) else None
+      val d = sp.filter(_ > 0.0).map(s => (ma - mb) / s)
+      val g = d.map(dd => round6(dd * (1.0 - 3.0 /
+        (4.0 * (na + nb).toDouble - 9.0))))
+      (t, df, d.map(round6), g)
+    }
+    val gen = for {
+      na <- Gen.chooseNum(1, 30); nb <- Gen.chooseNum(1, 30)
+      as <- Gen.listOfN(na, Gen.chooseNum(-4L, 4L))
+      bs <- Gen.listOfN(nb, Gen.chooseNum(-4L, 4L))
+    } yield (as, bs)
+    for (seed <- 0 until 30) {
+      val (as, bs) = samples(gen, 1).head
+      val df = (as.map(("a", _)) ++ bs.map(("b", _))).toDF("lvl", "v")
+      val got = Analytics.welchT(df, "lvl", "v", "a", "b").collect().head
+      val (t, dfw, d, g) = ref(as, bs)
+      def opt(i: Int) = if (got.isNullAt(i)) None else Some(got.getDouble(i))
+      assert(opt(4) == t, s"seed=$seed t: got ${opt(4)}, ref $t")
+      assert(opt(5) == dfw, s"seed=$seed df: got ${opt(5)}, ref $dfw")
+      assert(opt(6) == d, s"seed=$seed d: got ${opt(6)}, ref $d")
+      assert(opt(7) == g, s"seed=$seed g: got ${opt(7)}, ref $g")
+    }
+  }
+
+  test("theilSen property: the lower-median pairwise slope equals a " +
+    "driver-side replica over random series (heavy slope ties), " +
+    "single-point groups NULL") {
+    import graft.operators.Analytics
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(pts: Seq[(Long, Long)]): (Long, Long, Option[Double]) = {
+      val slopes = for {
+        (t1, v1) <- pts; (t2, v2) <- pts if t1 < t2
+      } yield ((v2 - v1).toDouble / (t2 - t1).toDouble, t1, t2)
+      val p = slopes.size.toLong
+      val med = if (p == 0) None else {
+        val sorted = slopes.sortBy(identity)
+        Some(round6(sorted((math.ceil(p / 2.0) - 1).toInt)._1))
+      }
+      (pts.size.toLong, p, med)
+    }
+    // distinct t per group by construction (t = index)
+    val gen = Gen.chooseNum(1, 25).flatMap(len =>
+      Gen.listOfN(len, Gen.chooseNum(-3L, 3L)))
+    for (seed <- 0 until 30) {
+      val vals = samples(gen, 1).flatten.toIndexedSeq
+      val pts = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val df = pts.map { case (t, v) => ("g", t, v) }.toDF("g", "t", "v")
+      val got = Analytics.theilSen(df, "g", "t", "v").collect().head
+      val (n, p, med) = ref(pts)
+      assert(got.getLong(1) == n && got.getLong(2) == p, s"seed=$seed")
+      val gotS = if (got.isNullAt(3)) None else Some(got.getDouble(3))
+      assert(gotS == med, s"seed=$seed slope: got $gotS, ref $med")
+    }
+  }
 }
