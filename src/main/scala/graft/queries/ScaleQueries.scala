@@ -7998,8 +7998,111 @@ object ScaleQueries {
       Streams.runStreamingMcnemarAvailableNow(s, stream, "ga", "gb",
         s"graft_smn_$run", ckpt)
     },
-      Some(mcnemarOracleSql))
+      Some(mcnemarOracleSql)),
+
+    // Line-level boilerplate removal (x196): the CCNet/RefinedWeb
+    // cleaning step. The fixture texts are single-line, so the query
+    // builds the crawled-page shape deterministically: a per-source
+    // header (df = docs-per-source), the body split across two lines,
+    // and a global footer (df = corpus). minDocs=5 removes header +
+    // footer everywhere and body lines only where >= 5 docs duplicate
+    // them — genuinely duplicated content.
+    QuerySpec("x196_line_dedup", (s, d) => {
+      val paged = t(s, d, "documents").filter(col("text").isNotNull)
+        .select(col("doc_id"), concat_ws("\n",
+          concat(lit("=== "), col("source"), lit(" crawl ===")),
+          substring(col("text"), 1, 101),
+          substring(col("text"), 102, 1 << 24),
+          lit("subscribe to our newsletter")).as("text"))
+      graft.operators.TextOps.lineDedup(paged, "doc_id", "text",
+        minDocs = 5).orderBy("doc_id")
+    },
+      Some("""WITH pg AS (SELECT doc_id,
+             |    '=== ' || source || ' crawl ===' || chr(10) ||
+             |    substr(text, 1, 101) || chr(10) ||
+             |    substr(text, 102) || chr(10) ||
+             |    'subscribe to our newsletter' AS text
+             |  FROM documents WHERE text IS NOT NULL),
+             |ls AS (SELECT doc_id, list_transform(
+             |    str_split(text, chr(10)), x -> trim(x)) la FROM pg),
+             |le AS (SELECT doc_id, unnest(list_transform(
+             |    range(0, len(la)), i -> {'p': i, 'l': la[i+1]})) s
+             |  FROM ls),
+             |lee AS (SELECT doc_id, s.p p, s.l l FROM le
+             |  WHERE length(s.l) > 0),
+             |boiler AS (SELECT l FROM lee GROUP BY l
+             |  HAVING count(DISTINCT doc_id) >= 5),
+             |kept AS (SELECT lee.* FROM lee ANTI JOIN boiler USING (l)),
+             |agg AS (SELECT doc_id, string_agg(l, chr(10) ORDER BY p) tc
+             |  FROM kept GROUP BY doc_id),
+             |nl AS (SELECT doc_id, count(*) n FROM lee GROUP BY doc_id),
+             |rem AS (SELECT doc_id, count(*) nr FROM lee
+             |  JOIN boiler USING (l) GROUP BY doc_id)
+             |SELECT p.doc_id, coalesce(a.tc, '') text_clean,
+             |  CAST(coalesce(nl.n, 0) AS BIGINT) n_lines,
+             |  CAST(coalesce(r.nr, 0) AS BIGINT) n_removed
+             |FROM pg p LEFT JOIN agg a USING (doc_id)
+             |LEFT JOIN nl USING (doc_id)
+             |LEFT JOIN rem r USING (doc_id)
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Pairwise Jensen-Shannon divergence (x197): the symmetric
+    // source-similarity matrix beside x110's KL-from-corpus — which
+    // sources are interchangeable, which bring different token
+    // statistics. Picopoint fixed-point terms, commutative BIGINT sum.
+    QuerySpec("x197_jsd_pairwise", (s, d) =>
+      graft.operators.TextOps.jsdPairwise(
+        t(s, d, "documents"), "source", "text")
+        .orderBy("source_a", "source_b"),
+      Some(jsdOracleSql)),
+
+    // STREAMING pairwise JSD (st50): the identical (source, word) count
+    // census st18 carries as complete-mode state, finalized by
+    // jsdFromCounts batch-side — graded on x197's oracle.
+    QuerySpec("st50_stream_jsd", (s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      Streams.runStreamingJsdAvailableNow(s, d, "documents.parquet",
+        schema, "source", "text", s"graft_jsd_$run", ckpt)
+        .orderBy("source_a", "source_b")
+    },
+      Some(jsdOracleSql))
   )
+
+  /** Shared by x197 (batch) and st50 (streaming): pairwise JSD over the
+    * per-source word distributions, one fixed IEEE term tree
+    * fixed-pointed at 10 dp (the x110 convention).
+    */
+  private lazy val jsdOracleSql: String =
+    """WITH tok AS (SELECT source, unnest(list_filter(
+      |    regexp_split_to_array(trim(coalesce(text, '')), '\s+'),
+      |    x -> length(x) > 0)) w
+      |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL),
+      |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) c
+      |  FROM tok GROUP BY 1, 2),
+      |st AS (SELECT source, CAST(sum(c) AS BIGINT) t FROM sw
+      |  GROUP BY 1),
+      |pr AS (SELECT a.source sa, a.t ta, b.source sb, b.t tb
+      |  FROM st a JOIN st b ON a.source < b.source),
+      |memb AS (SELECT DISTINCT pr.sa, pr.sb, pr.ta, pr.tb, sw.w
+      |  FROM sw JOIN pr ON sw.source = pr.sa OR sw.source = pr.sb),
+      |e AS (SELECT m.sa, m.sb, m.w,
+      |    CAST(coalesce(ca.c, 0) AS DOUBLE) / CAST(m.ta AS DOUBLE) pa,
+      |    CAST(coalesce(cb.c, 0) AS DOUBLE) / CAST(m.tb AS DOUBLE) pb
+      |  FROM memb m
+      |  LEFT JOIN sw ca ON ca.source = m.sa AND ca.w = m.w
+      |  LEFT JOIN sw cb ON cb.source = m.sb AND cb.w = m.w),
+      |terms AS (SELECT sa, sb, CAST(round((
+      |      CASE WHEN pa > 0 THEN pa * ln(pa / ((pa + pb) / 2.0)) * 0.5
+      |        ELSE 0 END +
+      |      CASE WHEN pb > 0 THEN pb * ln(pb / ((pa + pb) / 2.0)) * 0.5
+      |        ELSE 0 END) * 1e10, 0) AS BIGINT) ki
+      |  FROM e)
+      |SELECT sa source_a, sb source_b,
+      |  CAST(count(*) AS BIGINT) vocab_union,
+      |  round(CAST(sum(ki) AS DOUBLE) / 1e10, 6) jsd_nats
+      |FROM terms GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
   /** Shared by x189 (batch) and st47 (streaming): paired quality-gate
     * cells + the continuity-corrected McNemar χ². */

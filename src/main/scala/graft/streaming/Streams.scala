@@ -737,6 +737,39 @@ object Streams {
         detachSink(spark, sinkName, checkpoint))
     }
 
+  /** Streaming pairwise Jensen-Shannon divergence — the streaming twin
+    * of [[graft.operators.TextOps.jsdPairwise]]: the identical
+    * per-(source, word) count census as st18 carries IS the state (one
+    * census serves both monitors — replay-commutative integer sums,
+    * vocabulary-bounded); the pair fan-out + fixed-point finalization
+    * runs BATCH-side over one row per (source, word). Bitwise equal to
+    * the batch operator, graded on the identical oracle.
+    */
+  def runStreamingJsdAvailableNow(spark: SparkSession, dir: String,
+                                  glob: String, schema: StructType,
+                                  srcCol: String, textCol: String,
+                                  sinkName: String,
+                                  checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val raw = spark.readStream.schema(schema)
+        .option("pathGlobFilter", glob).parquet(dir)
+      val q = raw
+        .filter(col(srcCol).isNotNull && col(textCol).isNotNull)
+        .select(col(srcCol).cast("string").as("source"),
+          explode(graft.operators.TextOps.tokens(col(textCol))).as("__w"))
+        .filter(length(col("__w")) > 0)
+        .groupBy(col("source"), col("__w"))
+        .agg(count(lit(1)).as("__c"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.TextOps.jsdFromCounts(
+        detachSink(spark, sinkName, checkpoint))
+    }
+
   /** Streaming weighted sampling (A-ES) — the streaming twin of
     * [[graft.operators.ScaleOps.weightedSample]], and the demonstration
     * that a custom typed `Aggregator` can BE streaming state: the

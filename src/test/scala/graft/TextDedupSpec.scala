@@ -814,4 +814,47 @@ class TextDedupSpec extends SparkSpec {
       .as[(Long, Long, Double, Double, Double)].collect().toSeq
     assert(got == Seq((1L, 1000L, 0.4286, 1.0, 0.4286)))
   }
+
+  test("lineDedup removes lines shared by >= minDocs documents, keeps " +
+    "order, drops blank lines, and emits one row per input doc") {
+    val pages = Seq(
+      (1L, "HEADER\nalpha beta\nbody one\nFOOTER"),
+      (2L, "HEADER\n\n  body two  \nFOOTER"),
+      (3L, "HEADER\nbody three\nFOOTER"),
+      (4L, "HEADER\nFOOTER"),           // everything boilerplate
+      (5L, null.asInstanceOf[String]),  // null text survives as a row
+      (6L, "solo page with unique lines\nalpha beta")
+    ).toDF("doc_id", "text")
+    val out = TextOps.lineDedup(pages, "doc_id", "text", minDocs = 3)
+      .orderBy("doc_id")
+      .as[(Long, String, Long, Long)].collect().toSeq
+    // HEADER df=4, FOOTER df=4 -> removed; "alpha beta" df=2 < 3 kept
+    assert(out == Seq(
+      (1L, "alpha beta\nbody one", 4L, 2L),
+      (2L, "body two", 3L, 2L),       // trimmed line, blank line dropped
+      (3L, "body three", 3L, 2L),
+      (4L, "", 2L, 2L),               // fully-boilerplate doc -> empty
+      (5L, "", 0L, 0L),
+      (6L, "solo page with unique lines\nalpha beta", 2L, 0L)))
+  }
+
+  test("jsdPairwise: identical sources diverge 0, disjoint-vocabulary " +
+    "sources diverge ln 2, and the matrix covers every unordered pair") {
+    val docs = Seq(
+      ("a", "x x y"), ("a", "z"),
+      ("b", "x x y z"),               // identical distribution to a
+      ("c", "p q p q")                // disjoint vocabulary
+    ).toDF("source", "text")
+    val out = TextOps.jsdPairwise(docs, "source", "text")
+      .orderBy("source_a", "source_b")
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) ==
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    val m = out.map(r => (r._1, r._2) -> r).toMap
+    assert(m(("a", "b"))._4 == 0.0)               // same distribution
+    assert(m(("a", "b"))._3 == 3L)                // union vocab x,y,z
+    assert(m(("a", "c"))._4 == 0.693147)          // ln 2: no shared mass
+    assert(m(("a", "c"))._3 == 5L)
+    assert(m(("b", "c"))._4 == 0.693147)
+  }
 }
