@@ -42,28 +42,50 @@ import org.apache.spark.sql.functions._
   */
 object LogTable {
 
-  /** One version's full live set: partition dir name → (file, bytes). */
+  /** One live data file: name, size, and (when the commit declared a
+    * stats column) its zone map — row count and min/max of that column,
+    * the Delta/Iceberg data-skipping statistics. `rows` = -1 and empty
+    * bounds mean "no stats recorded" (pre-stats commit, or an all-null
+    * file) — such a file is always planned, never skipped. */
+  final case class FileStat(file: String, bytes: Long, rows: Long = -1L,
+                            min: Option[Double] = None,
+                            max: Option[Double] = None)
+
+  /** One version's full live set: partition dir name → live files, plus
+    * the stats column the zone maps describe (if any commit declared
+    * one). */
   final case class Manifest(version: Long, action: String,
-                            parts: Map[String, Seq[(String, Long)]])
+                            statsCol: Option[String],
+                            parts: Map[String, Seq[FileStat]])
 
   private val NullPart = "__HIVE_DEFAULT_PARTITION__"
 
   private def jstr(s: String) = graft.JsonUtil.jstr(s)
 
+  private def jdouble(d: Double): String =
+    if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+
   /** Write manifest version current+1 with the given FULL live set.
     * MUST be called under [[TableLog.withLock]]. */
   private def writeManifest(spark: SparkSession, tableRoot: String,
-                            action: String,
-                            parts: Map[String, Seq[(String, Long)]]): Long = {
+                            action: String, statsCol: Option[String],
+                            parts: Map[String, Seq[FileStat]]): Long = {
     val (fs, root) = TableLog.fsFor(spark, tableRoot)
     val v = TableLog.currentVersion(spark, tableRoot) + 1
     val body = {
       val ps = parts.toSeq.sortBy(_._1).map { case (part, files) =>
-        val fl = files.sortBy(_._1).map { case (f, len) =>
-          s"""{"file":${jstr(f)},"bytes":$len}""" }.mkString("[", ",", "]")
+        val fl = files.sortBy(_.file).map { fsStat =>
+          val stats =
+            (if (fsStat.rows >= 0L) s""","rows":${fsStat.rows}""" else "") +
+            fsStat.min.map(m => s""","min":${jdouble(m)}""").getOrElse("") +
+            fsStat.max.map(m => s""","max":${jdouble(m)}""").getOrElse("")
+          s"""{"file":${jstr(fsStat.file)},"bytes":${fsStat.bytes}$stats}"""
+        }.mkString("[", ",", "]")
         s"""{"part":${jstr(part)},"files":$fl}"""
       }.mkString("[", ",", "]")
-      s"""{"version":$v,"action":${jstr(action)},""" +
+      val sc = statsCol.map(c => s""""statsCol":${jstr(c)},""").getOrElse("")
+      s"""{"version":$v,"action":${jstr(action)},$sc""" +
         s""""ts":${System.currentTimeMillis()},"parts":$ps}"""
     }
     val ld = TableLog.logDir(root)
@@ -95,13 +117,21 @@ object LogTable {
       finally in.close()
     val action = "\"action\":\"([^\"]*)\"".r.findFirstMatchIn(body)
       .map(_.group(1)).getOrElse("")
+    val statsCol = "\"statsCol\":\"([^\"]*)\"".r.findFirstMatchIn(body)
+      .map(_.group(1))
     val partRe = "\\{\"part\":\"([^\"]*)\",\"files\":\\[([^\\]]*)\\]\\}".r
-    val fileRe = "\\{\"file\":\"([^\"]*)\",\"bytes\":(\\d+)\\}".r
+    val fileRe = ("\\{\"file\":\"([^\"]*)\",\"bytes\":(\\d+)" +
+      "(?:,\"rows\":(\\d+))?(?:,\"min\":([^,}]+))?" +
+      "(?:,\"max\":([^,}]+))?\\}").r
     val parts = partRe.findAllMatchIn(body).map { m =>
-      m.group(1) -> fileRe.findAllMatchIn(m.group(2))
-        .map(fm => (fm.group(1), fm.group(2).toLong)).toSeq
+      m.group(1) -> fileRe.findAllMatchIn(m.group(2)).map { fm =>
+        FileStat(fm.group(1), fm.group(2).toLong,
+          Option(fm.group(3)).map(_.toLong).getOrElse(-1L),
+          Option(fm.group(4)).map(_.toDouble),
+          Option(fm.group(5)).map(_.toDouble))
+      }.toSeq
     }.toMap
-    Manifest(version, action, parts)
+    Manifest(version, action, statsCol, parts)
   }
 
   private def partDirName(dateCol: String, d: Option[java.sql.Date]) =
@@ -115,24 +145,78 @@ object LogTable {
   /** List the CURRENT physical files of the given partition dirs. */
   private def listParts(spark: SparkSession, tableRoot: String,
                         parts: Seq[String])
-      : Map[String, Seq[(String, Long)]] = {
+      : Map[String, Seq[FileStat]] = {
     val (fs, root) = TableLog.fsFor(spark, tableRoot)
     parts.map(p => p -> TableLog.liveFiles(fs,
-      new org.apache.hadoop.fs.Path(root, p))).toMap
+      new org.apache.hadoop.fs.Path(root, p))
+      .map { case (f, len) => FileStat(f, len) }).toMap
+  }
+
+  /** Zone-map the given files: ONE metadata-scale job computing per-file
+    * (rows, min(statsCol), max(statsCol)). Keyed by "part/file" suffix.
+    * The stats column is cast to double for the manifest — exact for
+    * |v| < 2⁵³ (every long the engine's fixtures emit); beyond that the
+    * zone is the rounded double, so skipping stays a SUPERSET as long as
+    * callers probe with the same double cast (readSkipping does). */
+  private def fileStats(spark: SparkSession, tableRoot: String,
+                        statsCol: String,
+                        parts: Map[String, Seq[FileStat]])
+      : Map[String, (Long, Option[Double], Option[Double])] = {
+    val paths = parts.toSeq.flatMap { case (p, fl) =>
+      fl.map(f => s"$tableRoot/$p/${f.file}") }
+    if (paths.isEmpty) Map.empty
+    else {
+      spark.read.option("basePath", tableRoot).parquet(paths: _*)
+        .groupBy(input_file_name().as("__f"))
+        .agg(count(lit(1)).as("__n"),
+          min(col(statsCol).cast("double")).as("__lo"),
+          max(col(statsCol).cast("double")).as("__hi"))
+        .collect()
+        .map { r =>
+          val uri = r.getString(0)
+          val tail = uri.split('/').takeRight(2).mkString("/")
+          tail -> (r.getLong(1),
+            if (r.isNullAt(2)) None else Some(r.getDouble(2)),
+            if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+        }.toMap
+    }
+  }
+
+  /** Attach zone maps to the new files of a commit (no-op without a
+    * stats column). */
+  private def withStats(spark: SparkSession, tableRoot: String,
+                        statsCol: Option[String],
+                        parts: Map[String, Seq[FileStat]])
+      : Map[String, Seq[FileStat]] = statsCol match {
+    case None => parts
+    case Some(sc) =>
+      val stats = fileStats(spark, tableRoot, sc, parts)
+      parts.map { case (p, fl) =>
+        p -> fl.map { f =>
+          stats.get(s"$p/${f.file}") match {
+            case Some((n, lo, hi)) => f.copy(rows = n, min = lo, max = hi)
+            case None => f
+          }
+        }
+      }
   }
 
   /** Create the table: write `df` date-partitioned and commit manifest
-    * v1 holding the full live set. Returns the committed version (1). */
+    * v1 holding the full live set. `statsCol` (optional, numeric)
+    * records per-file zone maps for [[readSkipping]]. Returns the
+    * committed version (1). */
   def init(df: DataFrame, tableRoot: String,
-           dateCol: String = "start_date_oslo"): Long = {
+           dateCol: String = "start_date_oslo",
+           statsCol: Option[String] = None): Long = {
     val spark = df.sparkSession
     TableLog.withLock(spark, tableRoot, "init") {
       require(TableLog.currentVersion(spark, tableRoot) == 0L,
         s"LogTable.init: $tableRoot already has commits")
       df.write.mode(SaveMode.Append).partitionBy(dateCol).parquet(tableRoot)
       val parts = touchedParts(df, dateCol)
-      writeManifest(spark, tableRoot, "init",
-        listParts(spark, tableRoot, parts))
+      writeManifest(spark, tableRoot, "init", statsCol,
+        withStats(spark, tableRoot, statsCol,
+          listParts(spark, tableRoot, parts)))
     }
   }
 
@@ -155,11 +239,12 @@ object LogTable {
         .parquet(tableRoot)
       val post = listParts(spark, tableRoot, touched)
       val newFiles = touched.map { p =>
-        val before = pre(p).map(_._1).toSet
-        p -> post(p).filterNot { case (f, _) => before(f) }
+        val before = pre(p).map(_.file).toSet
+        p -> post(p).filterNot(f => before(f.file))
       }.toMap
-      writeManifest(spark, tableRoot, "replace",
-        prev.parts -- touched ++ newFiles)
+      writeManifest(spark, tableRoot, "replace", prev.statsCol,
+        prev.parts -- touched ++
+          withStats(spark, tableRoot, prev.statsCol, newFiles))
     }
 
   /** Metadata-only partition delete: the named partition dirs leave the
@@ -172,7 +257,8 @@ object LogTable {
       require(v > 0L, s"LogTable.removePartitions: $tableRoot has no " +
         "manifest — init first")
       val prev = manifest(spark, tableRoot, v)
-      writeManifest(spark, tableRoot, "remove", prev.parts -- parts)
+      writeManifest(spark, tableRoot, "remove", prev.statsCol,
+        prev.parts -- parts)
     }
 
   /** Append rows as new files + a manifest flip (existing partitions
@@ -200,19 +286,24 @@ object LogTable {
             catch { case _: RuntimeException => false })) {
         v // this txn already committed — replay collapses here
       } else {
-        val prev = if (v > 0L) manifest(spark, tableRoot, v).parts
-          else Map.empty[String, Seq[(String, Long)]]
+        val prevM = if (v > 0L) Some(manifest(spark, tableRoot, v)) else None
+        val prev = prevM.map(_.parts)
+          .getOrElse(Map.empty[String, Seq[FileStat]])
+        val sc = prevM.flatMap(_.statsCol)
         val touched = touchedParts(rows, dateCol)
         val pre = listParts(spark, tableRoot, touched)
         rows.write.mode(SaveMode.Append).partitionBy(dateCol)
           .parquet(tableRoot)
         val post = listParts(spark, tableRoot, touched)
-        val merged = touched.map { p =>
-          val before = pre(p).map(_._1).toSet
-          p -> (prev.getOrElse(p, Seq.empty) ++
-            post(p).filterNot { case (f, _) => before(f) })
+        val newFiles = touched.map { p =>
+          val before = pre(p).map(_.file).toSet
+          p -> post(p).filterNot(f => before(f.file))
         }.toMap
-        writeManifest(spark, tableRoot, action, prev ++ merged)
+        val statted = withStats(spark, tableRoot, sc, newFiles)
+        val merged = touched.map { p =>
+          p -> (prev.getOrElse(p, Seq.empty) ++ statted(p))
+        }.toMap
+        writeManifest(spark, tableRoot, action, sc, prev ++ merged)
       }
     }
 
@@ -225,11 +316,103 @@ object LogTable {
     require(v > 0L, s"LogTable.read: $tableRoot has no committed version")
     val m = manifest(spark, tableRoot, v)
     val files = m.parts.toSeq.sortBy(_._1).flatMap { case (p, fl) =>
-      fl.map { case (f, _) => s"$tableRoot/$p/$f" } }
+      fl.map(f => s"$tableRoot/$p/${f.file}") }
     require(files.nonEmpty,
       s"LogTable.read: version $v of $tableRoot is empty")
     spark.read.option("basePath", tableRoot).parquet(files: _*)
   }
+
+  /** Plan only the files whose zone map CAN contain a `statsCol` value
+    * in [lo, hi] — manifest-level data skipping, the Delta/Iceberg
+    * file-pruning move. The scan is a SUPERSET of the matching rows
+    * (zone maps are necessary, not sufficient): callers apply the exact
+    * row filter on the returned frame; what skipping buys is that at
+    * 100 TB the files whose zones miss the range are never listed,
+    * opened, or footer-read at all — driver-side planning over
+    * O(manifest) metadata, zero data I/O. Files without stats (committed
+    * before a stats column was declared, or all-null) are always
+    * planned. `lo`/`hi` are inclusive; the probe value is compared
+    * against the manifest's double-cast zone, matching how the zones
+    * were written. Fails loudly when the manifest's statsCol differs
+    * from `col` — a zone map for one column says nothing about another.
+    */
+  def readSkipping(spark: SparkSession, tableRoot: String, col: String,
+                   lo: Double, hi: Double,
+                   asOf: Option[Long] = None): DataFrame = {
+    val v = asOf.getOrElse(TableLog.currentVersion(spark, tableRoot))
+    require(v > 0L,
+      s"LogTable.readSkipping: $tableRoot has no committed version")
+    val m = manifest(spark, tableRoot, v)
+    require(m.statsCol.contains(col),
+      s"LogTable.readSkipping: version $v records zone maps for " +
+        s"${m.statsCol.getOrElse("<none>")}, not $col")
+    val files = m.parts.toSeq.sortBy(_._1).flatMap { case (p, fl) =>
+      fl.filter(f => (f.min, f.max) match {
+        case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
+        case _ => true // no stats -> cannot skip safely
+      }).map(f => s"$tableRoot/$p/${f.file}")
+    }
+    if (files.isEmpty)
+      // every zone missed: an empty frame with the table's schema
+      read(spark, tableRoot, Some(v)).limit(0)
+    else spark.read.option("basePath", tableRoot).parquet(files: _*)
+  }
+
+  /** OPTIMIZE: bin-pack each partition whose live set holds more than
+    * one file under `targetBytes` into ~targetBytes files — the
+    * time-travel-safe compaction (vs [[MergeOps]]' rename-based
+    * compactor for listing-planned layouts): compacted rows are written
+    * as NEW files and the manifest flips, so every prior version still
+    * reads bit-identically until [[vacuum]] reclaims it, and a reader
+    * planned from the old manifest never sees a file disappear. Only
+    * partitions with ≥ 2 sub-target files are rewritten (an already
+    * -compact partition costs zero I/O). Returns the committed version,
+    * or the current one when nothing qualified. */
+  def compact(spark: SparkSession, tableRoot: String,
+              targetBytes: Long,
+              dateCol: String = "start_date_oslo"): Long =
+    TableLog.withLock(spark, tableRoot, "compact") {
+      val v = TableLog.currentVersion(spark, tableRoot)
+      require(v > 0L, s"LogTable.compact: $tableRoot has no manifest")
+      val prev = manifest(spark, tableRoot, v)
+      val todo = prev.parts.filter { case (_, fl) =>
+        fl.count(_.bytes < targetBytes) >= 2 }
+      if (todo.isEmpty) v
+      else {
+        val pre = listParts(spark, tableRoot, todo.keys.toSeq)
+        todo.toSeq.sortBy(_._1).foreach { case (p, fl) =>
+          val small = fl.filter(_.bytes < targetBytes)
+          val paths = small.map(f => s"$tableRoot/$p/${f.file}")
+          val totalBytes = small.map(_.bytes).sum
+          val nOut = math.max(1, (totalBytes / targetBytes).toInt +
+            (if (totalBytes % targetBytes > 0) 1 else 0))
+          // pack into the SAME partition dir as new files; at-target
+          // files stay live untouched
+          spark.read.option("basePath", tableRoot).parquet(paths: _*)
+            .drop(dateCol) // partition col is in the dir name
+            .coalesce(nOut)
+            .write.mode(SaveMode.Append).parquet(s"$tableRoot/$p")
+        }
+        val post = listParts(spark, tableRoot, todo.keys.toSeq)
+        val flipped = todo.map { case (p, fl) =>
+          val before = pre(p).map(_.file).toSet
+          val big = fl.filterNot(_.bytes < targetBytes)
+          p -> (big ++ post(p).filterNot(f => before(f.file)))
+        }
+        val statted = withStats(spark, tableRoot, prev.statsCol,
+          flipped.map { case (p, fl) =>
+            // re-stat only the NEW files; survivors keep their zones
+            p -> fl.filter(f => f.rows < 0L && f.min.isEmpty)
+          })
+        val mergedNew = flipped.map { case (p, fl) =>
+          val restat = statted.getOrElse(p, Seq.empty)
+            .map(f => f.file -> f).toMap
+          p -> fl.map(f => restat.getOrElse(f.file, f))
+        }
+        writeManifest(spark, tableRoot, "compact", prev.statsCol,
+          prev.parts ++ mergedNew)
+      }
+    }
 
   /** Reclaim files no retained manifest references, keeping the newest
     * `keepLast` versions (and their time-travel reads) intact. The
@@ -252,7 +435,7 @@ object LogTable {
       val referenced: Map[String, Set[String]] = keptManifests
         .flatMap(_.parts.toSeq)
         .groupBy(_._1)
-        .map { case (p, fl) => p -> fl.flatMap(_._2.map(_._1)).toSet }
+        .map { case (p, fl) => p -> fl.flatMap(_._2.map(_.file)).toSet }
       // every partition dir any manifest (kept or dropped) ever named
       val allParts = (keptManifests.flatMap(_.parts.keys) ++
         dropped.map(manifest(spark, tableRoot, _))

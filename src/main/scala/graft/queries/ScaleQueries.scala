@@ -8067,7 +8067,106 @@ object ScaleQueries {
         schema, "source", "text", s"graft_jsd_$run", ckpt)
         .orderBy("source_a", "source_b")
     },
-      Some(jsdOracleSql))
+      Some(jsdOracleSql)),
+
+    // LogTable zone-map skipping (x198): three appends land three files
+    // with disjoint event_id zones; readSkipping over the middle third
+    // must plan EXACTLY ONE file (n_files_planned is graded — the
+    // pruning itself is in the oracle gate, not just the values), and
+    // the skim + exact filter must agree with DuckDB on the band.
+    QuerySpec("x198_logtable_skipping", (s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ltsk")
+        .toString + "/fact"
+      val rows = t(s, d, "events").filter(col("event_id") % 3 === 2)
+        .select(col("event_id").as("eid"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          lit("2024-01-01").cast("date").as("start_date_oslo"))
+      val maxId = rows.agg(max(col("eid"))).head().getLong(0)
+      val (q1, q2) = (maxId / 3, 2 * maxId / 3)
+      graft.operators.LogTable.init(
+        rows.filter(col("eid") <= q1).repartition(1), base,
+        statsCol = Some("eid"))
+      graft.operators.LogTable.append(s, base,
+        rows.filter(col("eid") > q1 && col("eid") <= q2).repartition(1))
+      graft.operators.LogTable.append(s, base,
+        rows.filter(col("eid") > q2).repartition(1))
+      val skim = graft.operators.LogTable.readSkipping(s, base, "eid",
+        (q1 + 1).toDouble, q2.toDouble)
+      val planned = skim.inputFiles.length.toLong
+      val out = skim
+        .filter(col("eid") > q1 && col("eid") <= q2)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(planned).as("n_files_planned"), col("n_rows"),
+          col("sum_cents"))
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p.getParent, true)
+      out
+    },
+      Some("""WITH b AS (SELECT event_id,
+             |    CAST(round(value*100, 0) AS BIGINT) cents
+             |  FROM events WHERE event_id % 3 = 2),
+             |m AS (SELECT max(event_id) // 3 q1,
+             |    2 * max(event_id) // 3 q2 FROM b)
+             |SELECT CAST(1 AS BIGINT) n_files_planned,
+             |  CAST(count(*) AS BIGINT) n_rows,
+             |  CAST(sum(cents) AS BIGINT) sum_cents
+             |FROM b, m WHERE event_id > q1 AND event_id <= q2"""
+        .stripMargin)),
+
+    // LogTable OPTIMIZE (x199): four small appends bin-pack to one file
+    // under a 1 GiB target with every row preserved, the PRE-compact
+    // version still planning its four files (time-travel-safe
+    // compaction — the property MergeOps' rename compactor can't offer),
+    // and the packed file re-statted so zone skipping still prunes.
+    QuerySpec("x199_logtable_compact", (s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ltco")
+        .toString + "/fact"
+      val rows = t(s, d, "events").filter(col("event_id") % 3 === 2)
+        .select(col("event_id").as("eid"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          lit("2024-01-01").cast("date").as("start_date_oslo"))
+      val maxId = rows.agg(max(col("eid"))).head().getLong(0)
+      val qs = (1 to 3).map(i => i * maxId / 4)
+      graft.operators.LogTable.init(
+        rows.filter(col("eid") <= qs(0)).repartition(1), base,
+        statsCol = Some("eid"))
+      graft.operators.LogTable.append(s, base,
+        rows.filter(col("eid") > qs(0) && col("eid") <= qs(1))
+          .repartition(1))
+      graft.operators.LogTable.append(s, base,
+        rows.filter(col("eid") > qs(1) && col("eid") <= qs(2))
+          .repartition(1))
+      graft.operators.LogTable.append(s, base,
+        rows.filter(col("eid") > qs(2)).repartition(1))
+      val preV = graft.operators.TableLog.currentVersion(s, base)
+      val before = graft.operators.LogTable.read(s, base)
+        .inputFiles.length.toLong
+      graft.operators.LogTable.compact(s, base, targetBytes = 1L << 30)
+      val after = graft.operators.LogTable.read(s, base)
+        .inputFiles.length.toLong
+      val ttFiles = graft.operators.LogTable.read(s, base, Some(preV))
+        .inputFiles.length.toLong
+      val out = graft.operators.LogTable.read(s, base)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(before).as("n_files_before"),
+          lit(after).as("n_files_after"),
+          lit(ttFiles).as("n_files_timetravel"),
+          col("n_rows"), col("sum_cents"))
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p.getParent, true)
+      out
+    },
+      Some("""SELECT CAST(4 AS BIGINT) n_files_before,
+             |  CAST(1 AS BIGINT) n_files_after,
+             |  CAST(4 AS BIGINT) n_files_timetravel,
+             |  CAST(count(*) AS BIGINT) n_rows,
+             |  CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT)
+             |    sum_cents
+             |FROM events WHERE event_id % 3 = 2""".stripMargin))
   )
 
   /** Shared by x197 (batch) and st50 (streaming): pairwise JSD over the

@@ -947,6 +947,67 @@ class DedupMergeSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
 
+  test("LogTable zone maps: readSkipping plans ONLY files whose min/max " +
+    "zone intersects the range, results equal scan+filter, stat-less " +
+    "files are never skipped, and compact preserves every version, " +
+    "shrinks the file count, and re-stats the packed files") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_logskip")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    def batch(lo: Int, hi: Int) = entries(
+      (lo to hi).map(i => (s"e$i", "x", d, i.toDouble)): _*)
+    // three appends -> three files with disjoint value zones [1,10],
+    // [11,20], [21,30] in ONE partition (zones, not partitions, prune)
+    LogTable.init(batch(1, 10).repartition(1), root,
+      statsCol = Some("value"))
+    LogTable.append(spark, root, batch(11, 20).repartition(1))
+    LogTable.append(spark, root, batch(21, 30).repartition(1))
+    val full = LogTable.read(spark, root)
+    assert(full.inputFiles.length == 3)
+    // the [12,13] probe must plan exactly the middle file
+    val skip = LogTable.readSkipping(spark, root, "value", 12.0, 13.0)
+    assert(skip.inputFiles.length == 1,
+      s"zone skipping planned ${skip.inputFiles.length} files")
+    def vals(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("value").between(12.0, 13.0))
+        .select("id").as[String].collect().toSet
+    assert(vals(skip) == vals(full) && vals(skip) == Set("e12", "e13"))
+    // a zone-missing range plans nothing and returns an empty frame
+    assert(LogTable.readSkipping(spark, root, "value", 500.0, 600.0)
+      .count() == 0L)
+    // probing a column without zone maps fails loudly
+    val e = intercept[IllegalArgumentException] {
+      LogTable.readSkipping(spark, root, "id", 1.0, 2.0)
+    }
+    assert(e.getMessage.contains("zone maps"))
+    // OPTIMIZE: bin-pack the three small files; every version survives
+    val preVersion = graft.operators.TableLog.currentVersion(spark, root)
+    val v = LogTable.compact(spark, root, targetBytes = 1L << 30)
+    assert(v == preVersion + 1)
+    val packed = LogTable.read(spark, root)
+    assert(packed.inputFiles.length == 1,
+      s"compaction left ${packed.inputFiles.length} files")
+    assert(packed.select("id").as[String].collect().toSet ==
+      full.select("id").as[String].collect().toSet)
+    // time travel to the pre-compact version still plans the 3 old files
+    assert(LogTable.read(spark, root, Some(preVersion))
+      .inputFiles.length == 3)
+    // the packed file was re-statted: skipping still works post-compact
+    assert(vals(LogTable.readSkipping(spark, root, "value", 12.0, 13.0))
+      == Set("e12", "e13"))
+    // an already-compact table is a no-op commit-wise
+    assert(LogTable.compact(spark, root, 1L << 30) == v)
+    // vacuum reclaims the three superseded files
+    val (_, deleted) = LogTable.vacuum(spark, root, keepLast = 1)
+    assert(deleted == 3, s"vacuum deleted $deleted")
+    assert(LogTable.read(spark, root).select("id").as[String].collect()
+      .toSet.size == 30)
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
   test("TableLog heartbeat: a slow LIVE holder keeps its lock fresh, so " +
     "it can never be mistaken for a crashed writer") {
     import graft.operators.TableLog
