@@ -414,6 +414,124 @@ object LogTable {
       }
     }
 
+  /** Keyed MERGE (upsert) with file-granular copy-on-write — the Delta
+    * MERGE core, on the manifest: rows of `updates` whose key matches an
+    * existing row REPLACE every matched row; unmatched update rows are
+    * INSERTED. Only files that actually CONTAIN a matched key are
+    * rewritten — their surviving (unmatched) rows are re-appended
+    * together with the update rows as NEW files and the manifest flips;
+    * every untouched file stays live byte-identical and every prior
+    * version still time-travels. At 100 TB the cost is
+    * O(files-hit + updates), never O(table): the match probe is one key
+    * semi-join against the snapshot tagged with `input_file_name()`,
+    * collecting only FILE NAMES (metadata-scale — bounded by the live
+    * file count, not rows).
+    *
+    * Duplicate keys in `updates` fail loudly (Delta's "multiple source
+    * rows matched" contract). Duplicate keys in the TABLE are all
+    * replaced by the single update row (keyed-upsert semantics,
+    * matching [[MergeOps]]). `updates` must be deterministic — it is
+    * re-evaluated for planning and the write (the repo-wide contract).
+    * Survivor rows keep their partition (`dateCol` is part of the row),
+    * so a hit partition either receives replacement files or
+    * legitimately empties. Returns the committed version. */
+  def merge(spark: SparkSession, tableRoot: String, updates: DataFrame,
+            keyCols: Seq[String],
+            dateCol: String = "start_date_oslo"): Long =
+    TableLog.withLock(spark, tableRoot, "merge") {
+      val v = TableLog.currentVersion(spark, tableRoot)
+      require(v > 0L, s"LogTable.merge: $tableRoot has no manifest — " +
+        "init first")
+      val prev = manifest(spark, tableRoot, v)
+      val cur = read(spark, tableRoot, Some(v))
+      require(updates.columns.toSet == cur.columns.toSet,
+        s"LogTable.merge: updates columns ${updates.columns.sorted.mkString(",")} " +
+          s"!= table columns ${cur.columns.sorted.mkString(",")}")
+      val dup = updates.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__c")).filter(col("__c") > 1L)
+        .limit(1).collect()
+      require(dup.isEmpty, "LogTable.merge: updates contain duplicate " +
+        s"keys (e.g. ${dup.headOption.mkString}) — multiple source rows " +
+        "would match the same target row")
+      val keyFrame = updates.select(keyCols.map(col): _*)
+      // which live files hold a matched key? names only — metadata-scale
+      val hitTails = cur.withColumn("__file", input_file_name())
+        .join(keyFrame, keyCols, "left_semi")
+        .select("__file").distinct().collect()
+        .map(_.getString(0).split('/').takeRight(2).mkString("/")).toSet
+      val matchedByPart: Map[String, Set[String]] =
+        hitTails.groupBy(_.split('/')(0))
+          .map { case (p, ts) => p -> ts.map(_.split('/')(1)) }
+      val survivors =
+        if (hitTails.isEmpty) None
+        else Some(spark.read.option("basePath", tableRoot)
+          .parquet(hitTails.toSeq.sorted.map(t => s"$tableRoot/$t"): _*)
+          .join(keyFrame, keyCols, "left_anti"))
+      val newData = survivors match {
+        case Some(sv) => sv.unionByName(updates)
+        case None => updates
+      }
+      val touched = touchedParts(newData, dateCol)
+      val pre = listParts(spark, tableRoot, touched)
+      newData.write.mode(SaveMode.Append).partitionBy(dateCol)
+        .parquet(tableRoot)
+      val post = listParts(spark, tableRoot, touched)
+      val newFiles = touched.map { p =>
+        val before = pre(p).map(_.file).toSet
+        p -> post(p).filterNot(f => before(f.file))
+      }.toMap
+      val statted = withStats(spark, tableRoot, prev.statsCol, newFiles)
+      val pruned = prev.parts.map { case (p, fl) =>
+        p -> fl.filterNot(f => matchedByPart.getOrElse(p, Set.empty)(f.file))
+      }
+      val merged = statted.foldLeft(pruned) { case (acc, (p, fl)) =>
+        acc + (p -> (acc.getOrElse(p, Seq.empty) ++ fl))
+      }
+      writeManifest(spark, tableRoot, "merge", prev.statsCol,
+        merged.filter(_._2.nonEmpty))
+    }
+
+  /** Change-data-feed between two retained versions, computed from the
+    * manifests' FILE DIFF: only files added or removed between `fromV`
+    * and `toV` are ever scanned — O(delta), never O(table), and at
+    * 100 TB the files both versions share are not even listed. The feed
+    * is the exact net MULTISET difference of full row content: a row
+    * occurring n times in added files and m times in removed files
+    * yields `insert` (n−m > 0) or `delete` (m−n > 0) with multiplicity
+    * `n_rows`; rows merely REWRITTEN in place (compaction, a survivor
+    * re-appended by [[merge]]) cancel to nothing — OPTIMIZE produces an
+    * EMPTY feed, as a change feed must. Output: the table's columns +
+    * `_change_type` ('insert' | 'delete') + `n_rows`. */
+  def changes(spark: SparkSession, tableRoot: String,
+              fromV: Long, toV: Long): DataFrame = {
+    require(fromV >= 1L && toV >= fromV,
+      s"LogTable.changes: need 1 <= fromV <= toV (got $fromV, $toV)")
+    val a = manifest(spark, tableRoot, fromV)
+    val b = manifest(spark, tableRoot, toV)
+    def fileSet(m: Manifest): Set[String] = m.parts.toSeq.flatMap {
+      case (p, fl) => fl.map(f => s"$p/${f.file}") }.toSet
+    val fa = fileSet(a)
+    val fb = fileSet(b)
+    def scan(tails: Set[String]): Option[DataFrame] =
+      if (tails.isEmpty) None
+      else Some(spark.read.option("basePath", tableRoot)
+        .parquet(tails.toSeq.sorted.map(t => s"$tableRoot/$t"): _*))
+    val addedOpt = scan(fb -- fa)
+    val removedOpt = scan(fa -- fb)
+    val schemaSrc = addedOpt.orElse(removedOpt)
+      .getOrElse(read(spark, tableRoot, Some(toV)).limit(0))
+    val cols = schemaSrc.columns.toSeq
+    def signed(dfOpt: Option[DataFrame], s: Long) =
+      dfOpt.getOrElse(schemaSrc.limit(0)).withColumn("__s", lit(s))
+    signed(addedOpt, 1L).unionByName(signed(removedOpt, -1L))
+      .groupBy(cols.map(col): _*).agg(sum(col("__s")).as("__net"))
+      .filter(col("__net") =!= 0L)
+      .select(cols.map(col) ++ Seq(
+        when(col("__net") > 0L, lit("insert")).otherwise(lit("delete"))
+          .as("_change_type"),
+        abs(col("__net")).as("n_rows")): _*)
+  }
+
   /** Reclaim files no retained manifest references, keeping the newest
     * `keepLast` versions (and their time-travel reads) intact. The
     * retention contract is Delta's: `keepLast` must cover the longest

@@ -8166,7 +8166,122 @@ object ScaleQueries {
              |  CAST(count(*) AS BIGINT) n_rows,
              |  CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT)
              |    sum_cents
-             |FROM events WHERE event_id % 3 = 2""".stripMargin))
+             |FROM events WHERE event_id % 3 = 2""".stripMargin)),
+
+    // LogTable MERGE (x200): keyed copy-on-write upsert on the manifest.
+    // Init writes ONE file per date partition (repartition by the date
+    // col); updates hit only the dates holding an event_id % 30 == 0
+    // key, inserts land as new files. The oracle grades the UPSERT
+    // CONTENT *and* the copy-on-write contract itself: n_untouched (v1
+    // files still live in v2) must equal total dates minus hit dates —
+    // a merge that rewrote an unmatched file fails the gate.
+    QuerySpec("x200_logtable_merge", (s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ltmg")
+        .toString + "/fact"
+      val ev = t(s, d, "events")
+        .select(col("event_id"),
+          col("event_id").cast("string").as("id"),
+          graft.functions.Coercers.osloDate(col("ts")).as("start_date_oslo"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val fact = ev.filter(col("event_id") % 3 === 0).drop("event_id")
+      graft.operators.LogTable.init(
+        fact.repartition(col("start_date_oslo")), base)
+      val updates = ev.filter(col("event_id") % 30 === 0).drop("event_id")
+          .withColumn("cents", col("cents") * 3 + 7)
+        .unionByName(ev.filter(col("event_id") % 3 === 1)
+          .select(concat(lit("n"), col("id")).as("id"),
+            col("start_date_oslo"), col("cents")))
+      graft.operators.LogTable.merge(s, base, updates, Seq("id"))
+      def files(v: Long) = graft.operators.LogTable.manifest(s, base, v)
+        .parts.toSeq.flatMap { case (p, fl) => fl.map(f => s"$p/${f.file}") }
+        .toSet
+      val f1 = files(1L)
+      val untouched = (f1 & files(
+        graft.operators.TableLog.currentVersion(s, base))).size.toLong
+      val out = graft.operators.LogTable.read(s, base)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(f1.size.toLong).as("n_files_v1"),
+          lit(untouched).as("n_untouched"), col("n_rows"), col("sum_cents"))
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p.getParent, true)
+      out
+    },
+      Some("""WITH b AS (SELECT event_id,
+             |    CAST(round(value*100, 0) AS BIGINT) c,
+             |    CAST(timezone('Europe/Oslo', timezone('UTC', ts))
+             |      AS DATE) dt
+             |  FROM events)
+             |SELECT
+             |  CAST((SELECT count(DISTINCT dt) FROM b
+             |    WHERE event_id % 3 = 0) AS BIGINT) n_files_v1,
+             |  CAST((SELECT count(DISTINCT dt) FROM b
+             |      WHERE event_id % 3 = 0)
+             |    - (SELECT count(DISTINCT dt) FROM b
+             |      WHERE event_id % 30 = 0) AS BIGINT) n_untouched,
+             |  CAST((SELECT count(*) FROM b WHERE event_id % 3 = 0)
+             |    + (SELECT count(*) FROM b WHERE event_id % 3 = 1)
+             |    AS BIGINT) n_rows,
+             |  CAST((SELECT sum(CASE WHEN event_id % 30 = 0
+             |        THEN 3*c + 7 ELSE c END)
+             |      FROM b WHERE event_id % 3 = 0)
+             |    + (SELECT sum(c) FROM b WHERE event_id % 3 = 1)
+             |    AS BIGINT) sum_cents""".stripMargin)),
+
+    // LogTable change-data-feed (x201): three versions — init, replace
+    // the first week with cents*2+1 (always differs, so nothing
+    // cancels), append a disjoint slice — then changes(1, 3) computed
+    // from the manifests' FILE diff: only changed files are scanned,
+    // O(delta) never O(table). The oracle re-derives the exact feed:
+    // week originals out, doubled week + appended slice in, each with
+    // multiplicity 1 (ids are unique).
+    QuerySpec("x201_logtable_cdf", (s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ltcdf")
+        .toString + "/fact"
+      val ev = t(s, d, "events")
+        .select(col("event_id"),
+          col("event_id").cast("string").as("id"),
+          graft.functions.Coercers.osloDate(col("ts")).as("start_date_oslo"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val fact = ev.filter(col("event_id") % 3 === 0).drop("event_id")
+      graft.operators.LogTable.init(fact, base)
+      graft.operators.LogTable.replacePartitions(s, base,
+        fact.filter(col("start_date_oslo") <=
+            lit(java.sql.Date.valueOf("2024-01-08")))
+          .withColumn("cents", col("cents") * 2 + 1))
+      graft.operators.LogTable.append(s, base,
+        ev.filter(col("event_id") % 3 === 1)
+          .select(concat(lit("n"), col("id")).as("id"),
+            col("start_date_oslo"), col("cents")))
+      val out = graft.operators.LogTable.changes(s, base, 1L, 3L)
+        .select(col("id"),
+          col("start_date_oslo").cast("string").as("start_date_oslo"),
+          col("cents"), col("_change_type"), col("n_rows"))
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p.getParent, true)
+      out.orderBy("_change_type", "id")
+    },
+      Some("""WITH b AS (SELECT event_id e,
+             |    CAST(event_id AS VARCHAR) id,
+             |    CAST(timezone('Europe/Oslo', timezone('UTC', ts))
+             |      AS DATE) dt,
+             |    CAST(round(value*100, 0) AS BIGINT) c
+             |  FROM events)
+             |SELECT id, CAST(dt AS VARCHAR) start_date_oslo, c cents,
+             |  'delete' _change_type, CAST(1 AS BIGINT) n_rows
+             |FROM b WHERE e % 3 = 0 AND dt <= DATE '2024-01-08'
+             |UNION ALL
+             |SELECT id, CAST(dt AS VARCHAR), 2*c + 1, 'insert',
+             |  CAST(1 AS BIGINT)
+             |FROM b WHERE e % 3 = 0 AND dt <= DATE '2024-01-08'
+             |UNION ALL
+             |SELECT 'n' || id, CAST(dt AS VARCHAR), c, 'insert',
+             |  CAST(1 AS BIGINT)
+             |FROM b WHERE e % 3 = 1
+             |ORDER BY _change_type, id""".stripMargin))
   )
 
   /** Shared by x197 (batch) and st50 (streaming): pairwise JSD over the

@@ -1008,6 +1008,71 @@ class DedupMergeSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
 
+  test("LogTable MERGE: only files holding a matched key are rewritten " +
+    "(untouched file byte-identical), matched rows are replaced, new " +
+    "keys inserted, prior versions intact, duplicate source keys fail " +
+    "loudly, and the change feed is the exact file-diff multiset") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_logmrg")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "value").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    val d3 = java.sql.Date.valueOf("2024-01-03")
+    val v1 = LogTable.init(entries(
+      ("a1", "x", d1, 1.0), ("a2", "x", d1, 2.0),
+      ("b1", "x", d2, 3.0)).repartition(col("start_date_oslo")), root)
+    assert(v1 == 1L)
+    val b1Files = fs.listStatus(new org.apache.hadoop.fs.Path(root,
+      "start_date_oslo=2024-01-02"))
+      .map(s => (s.getPath.getName, s.getModificationTime)).toSet
+    // update a1 in place, insert c9 into a brand-new partition
+    val v2 = LogTable.merge(spark, root, entries(
+      ("a1", "y", d1, 10.0), ("c9", "y", d3, 9.0)), Seq("id"))
+    assert(v2 == 2L)
+    assert(rows(LogTable.read(spark, root)) ==
+      Set(("a1", 10.0), ("a2", 2.0), ("b1", 3.0), ("c9", 9.0)))
+    // the 01-02 file held no matched key: byte-identical, never rewritten
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(root,
+      "start_date_oslo=2024-01-02"))
+      .map(s => (s.getPath.getName, s.getModificationTime)).toSet ==
+      b1Files, "merge rewrote a file with no matched key")
+    // time travel: v1 unchanged
+    assert(rows(LogTable.read(spark, root, Some(1L))) ==
+      Set(("a1", 1.0), ("a2", 2.0), ("b1", 3.0)))
+    // duplicate source keys fail loudly (Delta's multiple-match contract)
+    val e = intercept[IllegalArgumentException] {
+      LogTable.merge(spark, root, entries(
+        ("a2", "y", d1, 7.0), ("a2", "z", d1, 8.0)), Seq("id"))
+    }
+    assert(e.getMessage.contains("duplicate"))
+    // change feed v1 -> v2: a1 old out, a1 new + c9 in; a2/b1 (survivor
+    // rewrite of a2 cancels? no — a2 was re-appended into the new file
+    // AND removed with the old file, so it cancels) produce nothing
+    val feed = LogTable.changes(spark, root, 1L, 2L)
+      .select("id", "value", "_change_type", "n_rows").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2),
+        r.getLong(3))).toSet
+    assert(feed == Set(("a1", 1.0, "delete", 1L),
+      ("a1", 10.0, "insert", 1L), ("c9", 9.0, "insert", 1L)),
+      s"feed was $feed")
+    // OPTIMIZE between versions: the feed across a pure compaction is
+    // EMPTY — every rewritten row cancels in the multiset diff
+    val v3 = LogTable.append(spark, root,
+      entries(("a5", "x", d1, 5.0)).repartition(1))
+    val v4 = LogTable.compact(spark, root, targetBytes = 1L << 30)
+    assert(v4 == v3 + 1, "compaction should have packed the 2-file part")
+    assert(LogTable.changes(spark, root, v3, v4).count() == 0L,
+      "a pure compaction must produce an empty change feed")
+    assert(LogTable.changes(spark, root, v2, v3)
+      .select("id").as[String].collect().toSeq == Seq("a5"))
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
   test("TableLog heartbeat: a slow LIVE holder keeps its lock fresh, so " +
     "it can never be mistaken for a crashed writer") {
     import graft.operators.TableLog
