@@ -3402,4 +3402,131 @@ object Analytics {
             .cast("double") *
             (abs(col("n_a_only") - col("n_b_only")) - 1L).cast("double") /
             col("__bc").cast("double"), 6)).as("chi2_cc"))
+
+  /** Wilcoxon signed-rank — the PAIRED counterpart of Mann-Whitney
+    * (x91) and the nonparametric sibling of a paired t: did metric A
+    * shift against metric B on the SAME items, judged on the ranks of
+    * |difference| so one huge pair cannot buy significance. Zero
+    * differences are dropped (the classic Wilcoxon reduction); the
+    * statistic is W⁺ = Σ ranks of positive differences, with the normal
+    * approximation
+    *   z = (W⁺ − n(n+1)/4) / √(n(n+1)(2n+1)/24 − Σ(t³−t)/48)
+    * under midrank ties.
+    *
+    * Determinism: ranks never materialize per row — the |d| census
+    * carries each distinct magnitude's tie block and the DOUBLED
+    * midrank 2r = 2·cum_before + t + 1 is an exact BIGINT, so
+    * 2W⁺ = Σ c₊·2r is exact; the z numerator 4(W⁺ − mean) =
+    * 2·(2W⁺) − n(n+1) and denominator 48·Var = 2n(n+1)(2n+1) − Σ(t³−t)
+    * are pure BIGINTs, with ONE float division + sqrt at the end.
+    * z is NULL when every pair ties (n = 0); the variance is provably
+    * positive otherwise (48·Var ≥ 3n(n+1)² when all magnitudes tie).
+    * Output: one row (n_pairs, n_nonzero, w_plus, z), z round 6.
+    *
+    * Overflow headroom (the x75 rule): 4n³ < 2⁶³ caps n at ~1.2M
+    * nonzero pairs per call — coarsen the value units upstream.
+    *
+    * Scale shape: the fact is touched once (the |d| census groupBy);
+    * the rank window runs over the DISTINCT-magnitude census (the
+    * [[kruskalWallis]] shape). Nothing row-scale shuffles.
+    */
+  def wilcoxonSignedRank(df: DataFrame, aCol: String,
+                         bCol: String): DataFrame =
+    wsrFromCensus(df
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select((col(aCol).cast("long") - col(bCol).cast("long")).as("__d"))
+      .groupBy(abs(col("__d")).as("__v"))
+      .agg(count(lit(1)).as("__t"),
+        coalesce(sum(when(col("__d") > 0L, 1L).otherwise(0L)), lit(0L))
+          .as("__cp")))
+
+  /** [[wilcoxonSignedRank]]'s finalization over the (|d| = `__v`,
+    * `__t` ties, `__cp` positives) census — zero differences ride the
+    * census as the `__v` = 0 cell (excluded from ranking, counted in
+    * n_pairs), so the census is the WHOLE streaming state (st51). */
+  private[graft] def wsrFromCensus(census: DataFrame): DataFrame = {
+    val nz = census.filter(col("__v") > 0L)
+    val wB = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__v").asc)
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val ranked = nz
+      .withColumn("__cb", coalesce(sum(col("__t")).over(wB), lit(0L)))
+      .select(col("__t"), col("__cp"),
+        (lit(2L) * col("__cb") + col("__t") + 1L).as("__r2"))
+    val s = ranked.agg(
+      coalesce(sum(col("__t")), lit(0L)).as("__n"),
+      coalesce(sum(col("__cp") * col("__r2")), lit(0L)).as("__w2"),
+      coalesce(sum(col("__t") * col("__t") * col("__t") - col("__t")),
+        lit(0L)).as("__st"))
+    val tot = census.agg(coalesce(sum(col("__t")), lit(0L)).as("__np"))
+    s.crossJoin(broadcast(tot))
+      .withColumn("__num4",
+        (lit(2L) * col("__w2") - col("__n") * (col("__n") + 1L))
+          .cast("double"))
+      .withColumn("__var48",
+        (lit(2L) * col("__n") * (col("__n") + 1L) *
+          (lit(2L) * col("__n") + 1L) - col("__st")).cast("double"))
+      .select(col("__np").as("n_pairs"), col("__n").as("n_nonzero"),
+        (col("__w2").cast("double") / 2.0).as("w_plus"),
+        when(col("__n") > 0L,
+          round(col("__num4") / 4.0 / sqrt(col("__var48") / 48.0), 6))
+          .as("z"))
+  }
+
+  /** Cochran-Armitage trend test — "does success probability move
+    * MONOTONICALLY with the ordered dose": the 2×k test that spends its
+    * single degree of freedom on the ordering a plain χ² (x82) throws
+    * away. The scores are the dose values themselves. With per-dose
+    * (n_g, r_g) and N = Σn, R = Σr:
+    *   z = (N·Σs·r − R·Σs·n) / √(R(N−R)(N·Σs²n − (Σs·n)²)/N)
+    * — algebraically T/√Var(T) for T = Σs(r − n·R/N), every sum kept
+    * cross-multiplied BIGINT so T's subtraction never rounds; the only
+    * float work is the final product tree + sqrt. z is NULL when k < 2,
+    * R = 0, R = N (no contrast), or all doses equal (B = 0).
+    * Output: one row (n, k, n_success, z_trend), round 6.
+    *
+    * Overflow headroom (the x75 rule): N·Σs²n < 2⁶³ — doses are
+    * ordinal scores; coarsen them (bin) at scale, never feed raw
+    * dollar-scale magnitudes as scores.
+    *
+    * Scale shape: ONE map-side-combinable groupBy to the k-row dose
+    * census; everything after is census-scale. Streaming state (st52)
+    * is the census itself — two BIGINTs per dose level.
+    */
+  def cochranArmitage(df: DataFrame, doseCol: String,
+                      successCol: String): DataFrame =
+    caFromCensus(df
+      .filter(col(doseCol).isNotNull && col(successCol).isNotNull)
+      .select(col(doseCol).cast("long").as("__s"),
+        col(successCol).cast("boolean").as("__ok"))
+      .groupBy(col("__s"))
+      .agg(count(lit(1)).as("__n"),
+        coalesce(sum(when(col("__ok"), 1L).otherwise(0L)), lit(0L))
+          .as("__r")))
+
+  /** [[cochranArmitage]]'s finalization over the (dose `__s`, `__n`,
+    * `__r`) census — shared verbatim by batch x203 and streaming st52. */
+  private[graft] def caFromCensus(census: DataFrame): DataFrame =
+    census.agg(
+      coalesce(sum(col("__n")), lit(0L)).as("__N"),
+      coalesce(sum(col("__r")), lit(0L)).as("__R"),
+      count(lit(1)).as("k"),
+      coalesce(sum(col("__s") * col("__r")), lit(0L)).as("__sr"),
+      coalesce(sum(col("__s") * col("__n")), lit(0L)).as("__sn"),
+      coalesce(sum(col("__s") * col("__s") * col("__n")), lit(0L))
+        .as("__ssn"))
+      .withColumn("__a",
+        (col("__N") * col("__sr") - col("__R") * col("__sn"))
+          .cast("double"))
+      .withColumn("__b",
+        (col("__N") * col("__ssn") - col("__sn") * col("__sn"))
+          .cast("double"))
+      .select(col("__N").as("n"), col("k"), col("__R").as("n_success"),
+        when(col("k") > 1L && col("__R") > 0L && col("__R") < col("__N") &&
+            col("__b") > 0.0,
+          round(col("__a") /
+            sqrt(col("__R").cast("double") *
+              (col("__N") - col("__R")).cast("double") * col("__b") /
+              col("__N").cast("double")), 6)).as("z_trend"))
 }

@@ -8281,8 +8281,132 @@ object ScaleQueries {
              |SELECT 'n' || id, CAST(dt AS VARCHAR), c, 'insert',
              |  CAST(1 AS BIGINT)
              |FROM b WHERE e % 3 = 1
-             |ORDER BY _change_type, id""".stripMargin))
+             |ORDER BY _change_type, id""".stripMargin)),
+
+    // Wilcoxon signed-rank (x202): the PAIRED shift test on the SAME
+    // documents — char length vs 25× whitespace-token count ("do
+    // documents run longer than 25 chars per token") — judged on the
+    // RANKS of |difference| so one huge document cannot buy
+    // significance. Doubled-midrank BIGINT algebra over the |d|
+    // census; the zero-difference cell rides along so n_pairs is the
+    // full pair count.
+    QuerySpec("x202_wilcoxon", (s, d) =>
+      graft.operators.Analytics.wilcoxonSignedRank(
+        t(s, d, "documents").filter(col("text").isNotNull)
+          .select(length(col("text")).cast("long").as("a"),
+            (size(graft.operators.TextOps.tokens(col("text"))) * 25)
+              .cast("long").as("b")),
+        "a", "b"),
+      Some(wsrOracleSql)),
+
+    // STREAMING Wilcoxon (st51): the (|d|, ties, positives) census is
+    // the WHOLE stream state (the Kruskal census rule), finalized by
+    // wsrFromCensus verbatim — graded on x202's oracle.
+    QuerySpec("st51_stream_wilcoxon", (s, d) => {
+      val schema = s.read.parquet(s"$d/documents.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+      val rows = raw.filter(col("text").isNotNull)
+        .select(length(col("text")).cast("long").as("a"),
+          (size(graft.operators.TextOps.tokens(col("text"))) * 25)
+            .cast("long").as("b"))
+      Streams.runStreamingWilcoxonAvailableNow(s, rows, "a", "b",
+        s"graft_wsr_$run", ckpt)
+    },
+      Some(wsrOracleSql)),
+
+    // Cochran-Armitage trend (x203): does RETURN probability move
+    // MONOTONICALLY with order quantity (doses 1..50, success =
+    // l_returnflag = 'R') — the 2×k test that spends its single degree
+    // of freedom on the dose ordering a plain chi-square (x82's shape)
+    // throws away.
+    QuerySpec("x203_cochran_armitage", (s, d) =>
+      graft.operators.Analytics.cochranArmitage(
+        t(s, d, "lineitem")
+          .select(col("l_quantity").cast("long").as("dose"),
+            (col("l_returnflag") === "R").as("ok")),
+        "dose", "ok"),
+      Some(caOracleSql)),
+
+    // STREAMING Cochran-Armitage (st52): the k-row (dose, n, successes)
+    // census — two BIGINTs per dose level — is the stream state,
+    // finalized by caFromCensus verbatim; graded on x203's oracle.
+    QuerySpec("st52_stream_cochran_armitage", (s, d) => {
+      val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+      val rows = raw
+        .select(col("l_quantity").cast("long").as("dose"),
+          (col("l_returnflag") === "R").as("ok"))
+      Streams.runStreamingCochranArmitageAvailableNow(s, rows, "dose",
+        "ok", s"graft_sca_$run", ckpt)
+    },
+      Some(caOracleSql))
   )
+
+  /** Shared by x202 (batch) and st51 (streaming): Wilcoxon signed-rank
+    * over char-length vs 25×token-count pairs, the doubled-midrank
+    * BIGINT identity re-derived in DuckDB SQL (window over the |d|
+    * census, ONE float division + sqrt at the end — the same IEEE term
+    * tree as [[graft.operators.Analytics.wsrFromCensus]]). */
+  private lazy val wsrOracleSql: String =
+    """WITH p AS (SELECT CAST(length(text) AS BIGINT) -
+      |    25 * CAST(len(CASE WHEN length(trim(text)) = 0 THEN []
+      |      ELSE regexp_split_to_array(trim(text), '\s+') END)
+      |      AS BIGINT) d
+      |  FROM documents WHERE text IS NOT NULL),
+      |c AS (SELECT abs(d) v, CAST(count(*) AS BIGINT) t,
+      |    CAST(coalesce(sum(CASE WHEN d > 0 THEN 1 END), 0)
+      |      AS BIGINT) cp
+      |  FROM p GROUP BY 1),
+      |nz AS (SELECT v, t, cp, CAST(coalesce(sum(t) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) cb
+      |  FROM c WHERE v > 0),
+      |r AS (SELECT t, cp, 2*cb + t + 1 r2 FROM nz),
+      |s AS (SELECT CAST(coalesce(sum(t), 0) AS BIGINT) n,
+      |    CAST(coalesce(sum(cp*r2), 0) AS BIGINT) w2,
+      |    CAST(coalesce(sum(t*t*t - t), 0) AS BIGINT) st FROM r),
+      |np AS (SELECT CAST(count(*) AS BIGINT) n_pairs FROM p)
+      |SELECT np.n_pairs, s.n n_nonzero,
+      |  CAST(w2 AS DOUBLE)/2.0 w_plus,
+      |  CASE WHEN n > 0 THEN round(
+      |    CAST(2*w2 - n*(n+1) AS DOUBLE) / 4.0 /
+      |    sqrt(CAST(2*n*(n+1)*(2*n+1) - st AS DOUBLE) / 48.0), 6)
+      |  END z
+      |FROM s, np""".stripMargin
+
+  /** Shared by x203 (batch) and st52 (streaming): Cochran-Armitage
+    * return-rate-vs-quantity trend, every sum kept cross-multiplied
+    * BIGINT with the identical final product tree as
+    * [[graft.operators.Analytics.caFromCensus]]. */
+  private lazy val caOracleSql: String =
+    """WITH b AS (SELECT CAST(l_quantity AS BIGINT) s,
+      |    (l_returnflag = 'R') ok FROM lineitem
+      |  WHERE l_quantity IS NOT NULL AND l_returnflag IS NOT NULL),
+      |c AS (SELECT s, CAST(count(*) AS BIGINT) n,
+      |    CAST(coalesce(sum(CASE WHEN ok THEN 1 END), 0) AS BIGINT) r
+      |  FROM b GROUP BY 1),
+      |a AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) nn,
+      |    CAST(coalesce(sum(r), 0) AS BIGINT) rr,
+      |    CAST(count(*) AS BIGINT) k,
+      |    CAST(coalesce(sum(s*r), 0) AS BIGINT) sr,
+      |    CAST(coalesce(sum(s*n), 0) AS BIGINT) sn,
+      |    CAST(coalesce(sum(s*s*n), 0) AS BIGINT) ssn FROM c)
+      |SELECT nn n, k, rr n_success,
+      |  CASE WHEN k > 1 AND rr > 0 AND rr < nn
+      |      AND CAST(nn*ssn - sn*sn AS DOUBLE) > 0 THEN
+      |    round(CAST(nn*sr - rr*sn AS DOUBLE) /
+      |      sqrt(CAST(rr AS DOUBLE) * CAST(nn - rr AS DOUBLE) *
+      |        CAST(nn*ssn - sn*sn AS DOUBLE) / CAST(nn AS DOUBLE)), 6)
+      |  END z_trend
+      |FROM a""".stripMargin
 
   /** Shared by x197 (batch) and st50 (streaming): pairwise JSD over the
     * per-source word distributions, one fixed IEEE term tree

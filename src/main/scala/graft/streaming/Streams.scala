@@ -2524,4 +2524,61 @@ object Streams {
         .start()
       q.awaitTermination()
     }
+
+  /** STREAMING Wilcoxon signed-rank (st51): the (|d|, tie count,
+    * positive count) census is the WHOLE stream state — the Kruskal
+    * discretized-census rule; zero differences ride as the |d| = 0
+    * cell so n_pairs stays exact — finalized by the batch operator's
+    * own [[graft.operators.Analytics.wsrFromCensus]], so the paired
+    * shift verdict updates as pairs arrive.
+    */
+  def runStreamingWilcoxonAvailableNow(spark: SparkSession,
+      rows: DataFrame, aCol: String, bCol: String, sinkName: String,
+      checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val q = rows
+        .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+        .select((col(aCol).cast("long") - col(bCol).cast("long"))
+          .as("__d"))
+        .groupBy(abs(col("__d")).as("__v"))
+        .agg(count(lit(1)).as("__t"),
+          coalesce(sum(when(col("__d") > 0L, 1L).otherwise(0L)),
+            lit(0L)).as("__cp"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Analytics.wsrFromCensus(
+        detachSink(spark, sinkName, checkpoint))
+    }
+
+  /** STREAMING Cochran-Armitage trend (st52): the k-row (dose, n,
+    * successes) census — two BIGINTs per dose level — is the stream
+    * state, finalized by the batch operator's own
+    * [[graft.operators.Analytics.caFromCensus]] verbatim, so the
+    * dose-response trend z updates as rows arrive.
+    */
+  def runStreamingCochranArmitageAvailableNow(spark: SparkSession,
+      rows: DataFrame, doseCol: String, successCol: String,
+      sinkName: String, checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val q = rows
+        .filter(col(doseCol).isNotNull && col(successCol).isNotNull)
+        .select(col(doseCol).cast("long").as("__s"),
+          col(successCol).cast("boolean").as("__ok"))
+        .groupBy(col("__s"))
+        .agg(count(lit(1)).as("__n"),
+          coalesce(sum(when(col("__ok"), 1L).otherwise(0L)), lit(0L))
+            .as("__r"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Analytics.caFromCensus(
+        detachSink(spark, sinkName, checkpoint))
+    }
 }

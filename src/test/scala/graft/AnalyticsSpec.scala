@@ -1289,4 +1289,47 @@ class AnalyticsSpec extends SparkSpec {
     val ra = Analytics.mcnemar(agree, "a", "b").collect().head
     assert(ra.isNullAt(4))
   }
+
+  test("wilcoxonSignedRank: doubled-midrank W+ and z over the |d| " +
+    "census; zero diffs counted in n_pairs but not ranked; all-tie " +
+    "gives NULL z") {
+    // d = a-b: [1, -2, 3, 3, 0] -> ranks |1|=1, |2|=2, |3|,|3|=3.5
+    // W+ = 1 + 3.5 + 3.5 = 8; mean = 5; Var = 4*5*9/24 - 6/48 = 7.375
+    val df = Seq((11L, 10L), (8L, 10L), (13L, 10L), (13L, 10L),
+      (10L, 10L)).toDF("a", "b")
+    val r = Analytics.wilcoxonSignedRank(df, "a", "b").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((5L, 4L, 8.0)))
+    assert(r.getDouble(3) ==
+      BigDecimal(12.0 / 4.0 / math.sqrt(354.0 / 48.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // every pair ties: n_nonzero = 0, z NULL (not 0/0 NaN)
+    val tied = Seq((5L, 5L), (7L, 7L)).toDF("a", "b")
+    val rt = Analytics.wilcoxonSignedRank(tied, "a", "b").collect().head
+    assert((rt.getLong(0), rt.getLong(1), rt.getDouble(2)) ==
+      ((2L, 0L, 0.0)))
+    assert(rt.isNullAt(3))
+  }
+
+  test("cochranArmitage: cross-multiplied BIGINT trend z; NULL on " +
+    "no-contrast and single-dose inputs") {
+    // doses 0,1,2 with (n,r) = (10,1),(10,5),(10,9): N=30, R=15,
+    // T*N = 240, Var*N^2 = R(N-R)B/N = 15*15*600/30 = 4500
+    val rows = (Seq.fill(1)((0L, true)) ++ Seq.fill(9)((0L, false)) ++
+      Seq.fill(5)((1L, true)) ++ Seq.fill(5)((1L, false)) ++
+      Seq.fill(9)((2L, true)) ++ Seq.fill(1)((2L, false)))
+      .toDF("dose", "ok")
+    val r = Analytics.cochranArmitage(rows, "dose", "ok").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((30L, 3L, 15L)))
+    assert(r.getDouble(3) ==
+      BigDecimal(240.0 / math.sqrt(4500.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // all successes: R = N, no contrast -> NULL z
+    val allOk = Seq((0L, true), (1L, true)).toDF("dose", "ok")
+    assert(Analytics.cochranArmitage(allOk, "dose", "ok")
+      .collect().head.isNullAt(3))
+    // single dose level: k = 1 -> NULL z
+    val oneDose = Seq((3L, true), (3L, false)).toDF("dose", "ok")
+    assert(Analytics.cochranArmitage(oneDose, "dose", "ok")
+      .collect().head.isNullAt(3))
+  }
 }

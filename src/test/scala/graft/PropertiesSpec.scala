@@ -617,4 +617,83 @@ class PropertiesSpec extends SparkSpec {
       assert(gotS == med, s"seed=$seed slope: got $gotS, ref $med")
     }
   }
+
+  test("wilcoxonSignedRank property: (n_pairs, n_nonzero, W+, z) equal " +
+    "a driver-side replica of the doubled-midrank identity over random " +
+    "tied pairs; all-tie frames NULL z") {
+    import graft.operators.Analytics
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(pairs: Seq[(Long, Long)])
+        : (Long, Long, Double, Option[Double]) = {
+      val nz = pairs.map { case (a, b) => a - b }.filter(_ != 0L)
+      val census = nz.groupBy(math.abs).toSeq.sortBy(_._1)
+      var cb = 0L; var w2 = 0L; var st = 0L; var n = 0L
+      census.foreach { case (_, ds) =>
+        val t = ds.size.toLong
+        val cp = ds.count(_ > 0L).toLong
+        w2 += cp * (2L * cb + t + 1L)
+        st += t * t * t - t; n += t; cb += t
+      }
+      val z = if (n > 0)
+        Some(round6((2L * w2 - n * (n + 1L)).toDouble / 4.0 /
+          math.sqrt((2L * n * (n + 1L) * (2L * n + 1L) - st).toDouble /
+            48.0)))
+      else None
+      (pairs.size.toLong, n, w2.toDouble / 2.0, z)
+    }
+    // tiny value range -> heavy |d| ties, frequent zero differences
+    val gen = Gen.chooseNum(1, 40).flatMap(len =>
+      Gen.listOfN(len, Gen.zip(Gen.chooseNum(-3L, 3L),
+        Gen.chooseNum(-3L, 3L))))
+    for (seed <- 0 until 30) {
+      val pairs = samples(gen, 1).flatten.toIndexedSeq
+      val got = Analytics.wilcoxonSignedRank(
+        pairs.toDF("a", "b"), "a", "b").collect().head
+      val (np, n, w, z) = ref(pairs)
+      assert(got.getLong(0) == np && got.getLong(1) == n, s"seed=$seed n")
+      assert(got.getDouble(2) == w, s"seed=$seed w_plus")
+      val gotZ = if (got.isNullAt(3)) None else Some(got.getDouble(3))
+      assert(gotZ == z, s"seed=$seed z: got $gotZ, ref $z")
+    }
+  }
+
+  test("cochranArmitage property: (n, k, n_success, z_trend) equal a " +
+    "driver-side replica of the cross-multiplied BIGINT identity over " +
+    "random dose frames; no-contrast NULL") {
+    import graft.operators.Analytics
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(rows: Seq[(Long, Boolean)])
+        : (Long, Long, Long, Option[Double]) = {
+      val c = rows.groupBy(_._1).map { case (s, l) =>
+        (s, l.size.toLong, l.count(_._2).toLong) }.toSeq
+      val nn = c.map(_._2).sum; val rr = c.map(_._3).sum
+      val k = c.size.toLong
+      val sr = c.map(x => x._1 * x._3).sum
+      val sn = c.map(x => x._1 * x._2).sum
+      val ssn = c.map(x => x._1 * x._1 * x._2).sum
+      val a = (nn * sr - rr * sn).toDouble
+      val b = (nn * ssn - sn * sn).toDouble
+      val z = if (k > 1 && rr > 0 && rr < nn && b > 0.0)
+        Some(round6(a / math.sqrt(rr.toDouble * (nn - rr).toDouble * b /
+          nn.toDouble)))
+      else None
+      (nn, k, rr, z)
+    }
+    // negative doses exercise the sign algebra; p(success) ~ 1/2
+    val gen = Gen.chooseNum(1, 40).flatMap(len =>
+      Gen.listOfN(len, Gen.zip(Gen.chooseNum(-2L, 3L),
+        Gen.oneOf(true, false))))
+    for (seed <- 0 until 30) {
+      val rows = samples(gen, 1).flatten.toIndexedSeq
+      val got = Analytics.cochranArmitage(
+        rows.toDF("dose", "ok"), "dose", "ok").collect().head
+      val (nn, k, rr, z) = ref(rows)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+        ((nn, k, rr)), s"seed=$seed census")
+      val gotZ = if (got.isNullAt(3)) None else Some(got.getDouble(3))
+      assert(gotZ == z, s"seed=$seed z: got $gotZ, ref $z")
+    }
+  }
 }
