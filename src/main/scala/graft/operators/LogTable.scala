@@ -414,6 +414,92 @@ object LogTable {
       }
     }
 
+  /** OPTIMIZE ZORDER: rewrite each partition's live set clustered along
+    * the Morton curve of `zCols` ([[ScaleOps.zorderValue]] — the public
+    * bit-interleave behind Delta/Iceberg `ZORDER BY`), so each new file
+    * owns a contiguous curve segment = a small hyper-rectangle in ALL
+    * clustered dimensions at once. Zone maps ([[readSkipping]]) then
+    * prune on ANY clustered column — a table appended in arrival order
+    * has every file's zone spanning the whole value range, and zone
+    * skipping prunes nothing until this rewrite tightens the zones.
+    * Time-travel-safe like [[compact]]: clustered rows land as NEW
+    * files, the manifest flips, every prior version reads bit-identically
+    * until [[vacuum]].
+    *
+    * Each column is scaled onto the curve grid by its GLOBAL min/max
+    * (one metadata-scale agg over the snapshot — per-partition grids
+    * would make zones incomparable across partitions); a null in any
+    * clustered column clusters at the curve origin (cell 0 — zone maps
+    * ignore nulls, so this costs nothing). The rewrite is O(live rows
+    * of rewritten partitions) — Z-order's inherent contract (Delta's
+    * OPTIMIZE ZORDER rewrites every selected file too); `parts` limits
+    * the rewrite to named partitions for incremental runs at 100 TB.
+    * Returns the committed version, or the current one when the live
+    * set is empty. */
+  def optimizeZorder(spark: SparkSession, tableRoot: String,
+                     zCols: Seq[String], bits: Int,
+                     filesPerPartition: Int,
+                     dateCol: String = "start_date_oslo",
+                     parts: Option[Seq[String]] = None): Long =
+    TableLog.withLock(spark, tableRoot, "zorder") {
+      require(zCols.size >= 2, "optimizeZorder needs >= 2 cluster columns")
+      require(!zCols.contains(dateCol),
+        "the partition column is clustered by the directory layout " +
+          "already — z-cluster the in-file columns")
+      require(filesPerPartition >= 1, "filesPerPartition must be >= 1")
+      val v = TableLog.currentVersion(spark, tableRoot)
+      require(v > 0L, s"LogTable.optimizeZorder: $tableRoot has no manifest")
+      val prev = manifest(spark, tableRoot, v)
+      val todo = prev.parts
+        .filter { case (p, fl) => fl.nonEmpty && parts.forall(_.contains(p)) }
+      if (todo.isEmpty) v
+      else {
+        val statsRow = read(spark, tableRoot, Some(v)).agg(
+          min(col(zCols.head).cast("double")).as("__m0"),
+          zCols.zipWithIndex.flatMap { case (c, i) =>
+            (if (i == 0) Seq.empty
+             else Seq(min(col(c).cast("double")).as(s"__m$i"))) :+
+              max(col(c).cast("double")).as(s"__x$i")
+          }: _*).collect().head
+        val grid = (1L << bits).toDouble
+        val scaled: Seq[org.apache.spark.sql.Column] =
+          zCols.zipWithIndex.map { case (c, i) =>
+            val loIdx = statsRow.fieldIndex(s"__m$i")
+            val hiIdx = statsRow.fieldIndex(s"__x$i")
+            val lo = if (statsRow.isNullAt(loIdx)) 0.0
+                     else statsRow.getDouble(loIdx)
+            val hi = if (statsRow.isNullAt(hiIdx)) 0.0
+                     else statsRow.getDouble(hiIdx)
+            val span = if (hi > lo) hi - lo else 1.0
+            coalesce(
+              least(lit((1L << bits) - 1L),
+                floor((col(c).cast("double") - lit(lo)) * lit(grid) /
+                  lit(span)).cast("long")),
+              lit(0L))
+          }
+        val zc = ScaleOps.zorderValue(scaled, bits)
+        val pre = listParts(spark, tableRoot, todo.keys.toSeq)
+        todo.toSeq.sortBy(_._1).foreach { case (p, fl) =>
+          val paths = fl.map(f => s"$tableRoot/$p/${f.file}")
+          spark.read.option("basePath", tableRoot).parquet(paths: _*)
+            .drop(dateCol)
+            .withColumn("__z", zc)
+            .repartitionByRange(filesPerPartition, col("__z"))
+            .sortWithinPartitions("__z")
+            .drop("__z")
+            .write.mode(SaveMode.Append).parquet(s"$tableRoot/$p")
+        }
+        val post = listParts(spark, tableRoot, todo.keys.toSeq)
+        val newFiles = todo.keys.toSeq.map { p =>
+          val before = pre(p).map(_.file).toSet
+          p -> post(p).filterNot(f => before(f.file))
+        }.toMap
+        val statted = withStats(spark, tableRoot, prev.statsCol, newFiles)
+        writeManifest(spark, tableRoot, "zorder", prev.statsCol,
+          prev.parts ++ statted)
+      }
+    }
+
   /** Keyed MERGE (upsert) with file-granular copy-on-write — the Delta
     * MERGE core, on the manifest: rows of `updates` whose key matches an
     * existing row REPLACE every matched row; unmatched update rows are

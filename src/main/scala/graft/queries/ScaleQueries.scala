@@ -8347,7 +8347,68 @@ object ScaleQueries {
       Streams.runStreamingCochranArmitageAvailableNow(s, rows, "dose",
         "ok", s"graft_sca_$run", ckpt)
     },
-      Some(caOracleSql))
+      Some(caOracleSql)),
+
+    // LogTable OPTIMIZE ZORDER (x204): three INTERLEAVED appends (eid %
+    // 9 slices) give every file an eid zone spanning the whole range, so
+    // a low-band probe plans ALL 3 files (graded exact). The Morton
+    // rewrite on (eid, user_id) — two near-uniform dimensions, the
+    // contract min/max grid scaling assumes; a heavy-tailed column
+    // (cents) would collapse onto a few curve cells and want rank
+    // scaling first — tightens zones: the same probe afterwards must
+    // plan at most HALF the 4 clustered files (graded boolean — a
+    // rewrite that doesn't improve skipping fails the gate), rows
+    // bit-identical, and the pre-rewrite version still time-travels to
+    // its 3 arrival-order files.
+    QuerySpec("x204_logtable_zorder", (s, d) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_ltzo")
+        .toString + "/fact"
+      val rows = t(s, d, "events").filter(col("event_id") % 3 === 2)
+        .select(col("event_id").as("eid"), col("user_id").as("uid"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          lit("2024-01-01").cast("date").as("start_date_oslo"))
+      val maxId = rows.agg(max(col("eid"))).head().getLong(0)
+      graft.operators.LogTable.init(
+        rows.filter(col("eid") % 9 === 2).repartition(1), base,
+        statsCol = Some("eid"))
+      graft.operators.LogTable.append(s, base,
+        rows.filter(col("eid") % 9 === 5).repartition(1))
+      graft.operators.LogTable.append(s, base,
+        rows.filter(col("eid") % 9 === 8).repartition(1))
+      val q = maxId / 6
+      val beforeN = graft.operators.LogTable
+        .readSkipping(s, base, "eid", 1.0, q.toDouble)
+        .inputFiles.length.toLong
+      val preV = graft.operators.TableLog.currentVersion(s, base)
+      graft.operators.LogTable.optimizeZorder(s, base,
+        Seq("eid", "uid"), bits = 8, filesPerPartition = 4)
+      val skim = graft.operators.LogTable
+        .readSkipping(s, base, "eid", 1.0, q.toDouble)
+      val prunedHalf = skim.inputFiles.length.toLong <= 2L
+      val ttFiles = graft.operators.LogTable.read(s, base, Some(preV))
+        .inputFiles.length.toLong
+      val out = skim.filter(col("eid") <= q)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(beforeN).as("n_files_probe_before"),
+          lit(prunedHalf).as("pruned_half"),
+          lit(ttFiles).as("n_files_timetravel"),
+          col("n_rows"), col("sum_cents"))
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p.getParent, true)
+      out
+    },
+      Some("""WITH b AS (SELECT event_id eid,
+             |    CAST(round(value*100, 0) AS BIGINT) cents
+             |  FROM events WHERE event_id % 3 = 2),
+             |m AS (SELECT max(eid) // 6 q FROM b)
+             |SELECT CAST(3 AS BIGINT) n_files_probe_before,
+             |  TRUE pruned_half,
+             |  CAST(3 AS BIGINT) n_files_timetravel,
+             |  CAST(count(*) AS BIGINT) n_rows,
+             |  CAST(sum(cents) AS BIGINT) sum_cents
+             |FROM b, m WHERE eid <= q""".stripMargin))
   )
 
   /** Shared by x202 (batch) and st51 (streaming): Wilcoxon signed-rank

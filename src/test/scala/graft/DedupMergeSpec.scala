@@ -1104,4 +1104,53 @@ class DedupMergeSpec extends SparkSpec {
     assert(!fs.exists(lockP))
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
+
+  test("LogTable OPTIMIZE ZORDER: arrival-order appends leave every " +
+    "zone spanning the full range (skipping prunes nothing); the " +
+    "z-order rewrite tightens zones so the same probe plans fewer " +
+    "files with identical rows, prior versions intact, new files " +
+    "re-statted") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_ltzo")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    // 60 rows, value 1..60, x = value % 10 — appended INTERLEAVED
+    // (value % 3 slices), so each of the 3 files' value zone spans
+    // nearly [1, 60] and zone skipping cannot prune
+    def slice(m: Int) = (1 to 60).filter(_ % 3 == m)
+      .map(i => (s"e$i", i.toLong % 10L, i.toDouble, d))
+      .toDF("id", "x", "value", "start_date_oslo")
+    LogTable.init(slice(0).repartition(1), root, statsCol = Some("value"))
+    LogTable.append(spark, root, slice(1).repartition(1))
+    LogTable.append(spark, root, slice(2).repartition(1))
+    val before = LogTable.readSkipping(spark, root, "value", 12.0, 13.0)
+    assert(before.inputFiles.length == 3,
+      "interleaved zones must defeat skipping pre-rewrite")
+    val preV = graft.operators.TableLog.currentVersion(spark, root)
+    val v = LogTable.optimizeZorder(spark, root, Seq("value", "x"),
+      bits = 6, filesPerPartition = 3)
+    assert(v == preV + 1)
+    val after = LogTable.readSkipping(spark, root, "value", 12.0, 13.0)
+    assert(after.inputFiles.length < 3,
+      s"z-order rewrite failed to tighten zones " +
+        s"(${after.inputFiles.length} files planned)")
+    def band(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("value").between(12.0, 13.0))
+        .select("id").as[String].collect().toSet
+    assert(band(after) == Set("e12", "e13"))
+    // full content identical across the rewrite
+    assert(LogTable.read(spark, root).select("id").as[String]
+      .collect().toSet ==
+      LogTable.read(spark, root, Some(preV)).select("id").as[String]
+        .collect().toSet)
+    // time travel: the pre-rewrite version still plans its 3 old files
+    assert(LogTable.read(spark, root, Some(preV)).inputFiles.length == 3)
+    // vacuum reclaims the 3 superseded arrival-order files
+    val (_, deleted) = LogTable.vacuum(spark, root, keepLast = 1)
+    assert(deleted == 3, s"vacuum deleted $deleted")
+    assert(LogTable.read(spark, root).count() == 60L)
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
 }
