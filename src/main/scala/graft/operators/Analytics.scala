@@ -3474,6 +3474,180 @@ object Analytics {
           .as("z"))
   }
 
+  /** Jonckheere-Terpstra trend test — the ORDERED-alternative Kruskal-
+    * Wallis and the continuous-outcome sibling of [[cochranArmitage]]:
+    * "do values shift monotonically ACROSS the ordered groups", judged
+    * on pairwise order so no variance assumption enters. With groups
+    * g < h, J = Σ_{g<h} U_gh where U_gh counts cross-group pairs with
+    * the g-value below the h-value (ties ½); under H₀
+    *   E[J] = (N² − Σn_g²)/4
+    * and the tie-corrected variance (Hollander-Wolfe) is
+    *   Var = A/72 + B₁B₂/(36·N(N−1)(N−2)) + C₁C₂/(8·N(N−1)),
+    *   A = N(N−1)(2N+5) − Σn(n−1)(2n+5) − Σt(t−1)(2t+5)
+    * over group sizes n and combined-sample tie blocks t.
+    *
+    * Determinism: 2J is an exact BIGINT census-product sum (2 for a
+    * strict order, 1 for a tie); A, B₁, B₂, C₁, C₂ and the z numerator
+    * 4(J − E) = 2·(2J) − (N² − Σn²) are pure BIGINTs; the variance is
+    * ONE fixed three-term double tree and z takes one division + sqrt,
+    * round 6. z is NULL when k < 2 or Var ≤ 0 (every value tied).
+    * Output: one row (n, k, cells, j_stat, z).
+    *
+    * Overflow headroom (the x75 rule): the A terms are ~2N³, capping N
+    * at ~1.6M nonnull rows per call — far past statistical saturation
+    * for a trend test; coarsen or sample upstream at 100 TB.
+    *
+    * Scale shape: the fact is touched once (the (group, value) census
+    * groupBy); the pair count is census × census on `g₁ < g₂` —
+    * quadratic BY DESIGN over the bounded census (the [[kendallTau]]
+    * precedent), so `maxCells` is enforced, not advisory: callers bin
+    * the values until |cells| fits.
+    */
+  def jonckheereTerpstra(df: DataFrame, groupCol: String,
+                         valueCol: String,
+                         maxCells: Int = 8192): DataFrame =
+    jtFromCensus(df
+      .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).cast("long").as("__g"),
+        col(valueCol).cast("long").as("__v"))
+      .groupBy(col("__g"), col("__v"))
+      .agg(count(lit(1)).as("__c")),
+      maxCells)
+
+  /** [[jonckheereTerpstra]]'s finalization over a pre-built (`__g`,
+    * `__v`, `__c`) census — the st41/st43 census-state convention, so
+    * st53 can hold the cell census as streaming state. */
+  private[graft] def jtFromCensus(censusRaw: DataFrame,
+                                  maxCells: Int): DataFrame = {
+    val census = censusRaw.persist()
+    val nCells = census.limit(maxCells + 1).count()
+    require(nCells <= maxCells,
+      s"jonckheereTerpstra: census exceeds $maxCells cells — coarsen " +
+        "(bin) the values; the pair count is quadratic in cells")
+    val l = census.select(col("__g").as("__g1"), col("__v").as("__v1"),
+      col("__c").as("__c1"))
+    val r = census.select(col("__g").as("__g2"), col("__v").as("__v2"),
+      col("__c").as("__c2"))
+    val j2 = l.join(broadcast(r), col("__g1") < col("__g2"))
+      .agg(coalesce(sum(
+        when(col("__v1") < col("__v2"), lit(2L) * col("__c1") * col("__c2"))
+          .when(col("__v1") === col("__v2"), col("__c1") * col("__c2"))
+          .otherwise(lit(0L))), lit(0L)).as("__j2"))
+    val gs = census.groupBy(col("__g")).agg(sum(col("__c")).as("__n"))
+      .agg(coalesce(sum(col("__n")), lit(0L)).as("__nn"),
+        coalesce(sum(col("__n") * col("__n")), lit(0L)).as("__sn2"),
+        coalesce(sum(col("__n") * (col("__n") - 1L) *
+          (lit(2L) * col("__n") + 5L)), lit(0L)).as("__ga"),
+        coalesce(sum(col("__n") * (col("__n") - 1L) *
+          (col("__n") - 2L)), lit(0L)).as("__gb"),
+        coalesce(sum(col("__n") * (col("__n") - 1L)), lit(0L)).as("__gc"),
+        count(lit(1)).as("k"))
+    val ts = census.groupBy(col("__v")).agg(sum(col("__c")).as("__t"))
+      .agg(coalesce(sum(col("__t") * (col("__t") - 1L) *
+          (lit(2L) * col("__t") + 5L)), lit(0L)).as("__ta"),
+        coalesce(sum(col("__t") * (col("__t") - 1L) *
+          (col("__t") - 2L)), lit(0L)).as("__tb"),
+        coalesce(sum(col("__t") * (col("__t") - 1L)), lit(0L)).as("__tc"))
+    val out = j2.crossJoin(broadcast(gs)).crossJoin(broadcast(ts))
+      .withColumn("__var",
+        (col("__nn") * (col("__nn") - 1L) *
+          (lit(2L) * col("__nn") + 5L) - col("__ga") - col("__ta"))
+          .cast("double") / 72.0 +
+        col("__gb").cast("double") * col("__tb").cast("double") /
+          (lit(36.0) * (col("__nn") * (col("__nn") - 1L) *
+            (col("__nn") - 2L)).cast("double")) +
+        col("__gc").cast("double") * col("__tc").cast("double") /
+          (lit(8.0) * (col("__nn") * (col("__nn") - 1L)).cast("double")))
+      .select(col("__nn").as("n"), col("k"), lit(nCells).as("cells"),
+        (col("__j2").cast("double") / 2.0).as("j_stat"),
+        when(col("k") > 1L && col("__var") > 0.0,
+          round((lit(2L) * col("__j2") -
+            (col("__nn") * col("__nn") - col("__sn2"))).cast("double") /
+            4.0 / sqrt(col("__var")), 6)).as("z"))
+      .localCheckpoint(true)
+    census.unpersist()
+    out
+  }
+
+  /** Friedman test — the REPEATED-MEASURES counterpart of
+    * [[kruskalWallis]]: each block (subject) sees every treatment once
+    * (replicates averaged to the cell mean), values are ranked WITHIN
+    * the block so between-block level differences cancel by design, and
+    * the tie-robust statistic (Conover's form — midranks need no
+    * separate correction factor) is
+    *   χ²_F = (k−1)·Σ_j (R_j − B(k+1)/2)² / (Σ r² − Bk(k+1)²/4).
+    * Incomplete blocks (missing any treatment) are DROPPED — the
+    * classical complete-block design.
+    *
+    * Determinism: cell means compare as IEEE doubles of exact BIGINT
+    * (sum, count) cells — equal rationals land on the identical double,
+    * so tie detection cannot drift cross-engine; doubled midranks
+    * 2r = 2·rank + t − 1 make both quadratic forms exact BIGINTs (the
+    * ¼ scale factors cancel), leaving ONE float division at the end,
+    * round 6. χ² is NULL when k < 2, no block is complete, or every
+    * value ties within every block. Output: one row
+    * (n_blocks, k, chi2_f).
+    *
+    * Scale shape: ONE map-side-combinable groupBy to the (block,
+    * treatment) cell grid; ranking windows are PARTITIONED BY BLOCK
+    * (width k — never a global sort); everything after is
+    * treatment-census scale. Streaming state (st54) is the cell grid
+    * itself — two BIGINTs per (block, treatment), the [[fleissKappa]]
+    * cell-state precedent.
+    */
+  def friedman(df: DataFrame, blockCol: String, treatCol: String,
+               valueCol: String): DataFrame =
+    friedmanFromCells(df
+      .filter(col(blockCol).isNotNull && col(treatCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(blockCol).as("__b"), col(treatCol).as("__t"),
+        col(valueCol).cast("long").as("__v"))
+      .groupBy(col("__b"), col("__t"))
+      .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__c")))
+
+  /** [[friedman]]'s finalization over the (block `__b`, treatment
+    * `__t`, `__s` sum, `__c` count) cell grid — shared verbatim by
+    * batch x206 and streaming st54. */
+  private[graft] def friedmanFromCells(cells: DataFrame): DataFrame = {
+    val pinned = cells.persist()
+    val kRow = pinned.agg(countDistinct(col("__t")).as("__k"))
+    val comp = pinned.groupBy(col("__b")).agg(count(lit(1)).as("__kc"))
+      .crossJoin(broadcast(kRow))
+      .filter(col("__kc") === col("__k")).select(col("__b"))
+    val wR = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b")).orderBy(col("__val"))
+    val wT = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__b"), col("__val"))
+    val rk = pinned.join(comp, Seq("__b"))
+      .withColumn("__val", col("__s").cast("double") / col("__c").cast("double"))
+      .select(col("__b"), col("__t"),
+        (lit(2L) * rank().over(wR).cast("long") +
+          count(lit(1)).over(wT) - 1L).as("__r2"))
+    val tot = rk.agg(
+      coalesce(sum(col("__r2") * col("__r2")), lit(0L)).as("__sr2"),
+      countDistinct(col("__b")).as("__nb"))
+    val out = rk.groupBy(col("__t")).agg(sum(col("__r2")).as("__rr"))
+      .crossJoin(broadcast(tot)).crossJoin(broadcast(kRow))
+      .agg(coalesce(sum(
+          (col("__rr") - col("__nb") * (col("__k") + 1L)) *
+          (col("__rr") - col("__nb") * (col("__k") + 1L))), lit(0L))
+          .as("__num"),
+        coalesce(min(col("__nb")), lit(0L)).as("n_blocks"),
+        coalesce(min(col("__sr2")), lit(0L)).as("__sr2"),
+        coalesce(min(col("__nb") * col("__k") * (col("__k") + 1L) *
+          (col("__k") + 1L)), lit(0L)).as("__den0"))
+      .crossJoin(broadcast(kRow.select(col("__k").as("k"))))
+      .withColumn("__den", col("__sr2") - col("__den0"))
+      .select(col("n_blocks"), col("k"),
+        when(col("k") > 1L && col("n_blocks") > 0L && col("__den") > 0L,
+          round((col("k") - 1L).cast("double") *
+            col("__num").cast("double") / col("__den").cast("double"), 6))
+          .as("chi2_f"))
+      .localCheckpoint(true)
+    pinned.unpersist()
+    out
+  }
+
   /** Cochran-Armitage trend test — "does success probability move
     * MONOTONICALLY with the ordered dose": the 2×k test that spends its
     * single degree of freedom on the ordering a plain χ² (x82) throws

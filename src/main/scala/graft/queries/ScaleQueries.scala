@@ -8408,8 +8408,148 @@ object ScaleQueries {
              |  CAST(3 AS BIGINT) n_files_timetravel,
              |  CAST(count(*) AS BIGINT) n_rows,
              |  CAST(sum(cents) AS BIGINT) sum_cents
-             |FROM b, m WHERE eid <= q""".stripMargin))
+             |FROM b, m WHERE eid <= q""".stripMargin)),
+
+    // Jonckheere-Terpstra trend (x205): do quantities shift
+    // MONOTONICALLY across the ordered line numbers — the
+    // ordered-alternative Kruskal (x183's shape) and the
+    // continuous-outcome sibling of x203's Cochran-Armitage; pairwise
+    // order judged on the (linenumber, quantity) census, exact-BIGINT
+    // 2J and tie-corrected Hollander-Wolfe variance.
+    QuerySpec("x205_jonckheere", (s, d) =>
+      graft.operators.Analytics.jonckheereTerpstra(
+        t(s, d, "lineitem")
+          .select(col("l_linenumber").as("g"),
+            col("l_quantity").cast("long").as("v")),
+        "g", "v"),
+      Some(jtOracleSql)),
+
+    // STREAMING Jonckheere-Terpstra (st53): the (group, value, count)
+    // census is the WHOLE stream state, finalized by jtFromCensus
+    // verbatim — graded on x205's oracle.
+    QuerySpec("st53_stream_jonckheere", (s, d) => {
+      val schema = s.read.parquet(s"$d/lineitem.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "lineitem.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+      val rows = raw.select(col("l_linenumber").as("g"),
+        col("l_quantity").cast("long").as("v"))
+      Streams.runStreamingJonckheereAvailableNow(s, rows, "g", "v",
+        s"graft_jt_$run", ckpt)
+    },
+      Some(jtOracleSql)),
+
+    // Friedman test (x206): across each customer's orders (blocks), do
+    // the five order priorities (treatments) carry systematically
+    // different total prices — the repeated-measures counterpart of
+    // Kruskal/ANOVA where ranking WITHIN the customer cancels
+    // between-customer spend levels by design; incomplete blocks
+    // (customers missing a priority) drop per the complete-block
+    // design, cell means compared as IEEE doubles of exact BIGINT
+    // (sum, count) cells.
+    QuerySpec("x206_friedman", (s, d) =>
+      graft.operators.Analytics.friedman(
+        t(s, d, "orders")
+          .select(col("o_custkey").as("bl"),
+            col("o_orderpriority").as("tr"),
+            round(col("o_totalprice") * 100, 0).cast("long").as("v")),
+        "bl", "tr", "v"),
+      Some(friedmanOracleSql)),
+
+    // STREAMING Friedman (st54): the (block, treatment, sum, count)
+    // cell grid — two BIGINTs per cell — is the stream state,
+    // finalized by friedmanFromCells verbatim; graded on x206's oracle.
+    QuerySpec("st54_stream_friedman", (s, d) => {
+      val schema = s.read.parquet(s"$d/orders.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+      val rows = raw.select(col("o_custkey").as("bl"),
+        col("o_orderpriority").as("tr"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("v"))
+      Streams.runStreamingFriedmanAvailableNow(s, rows, "bl", "tr", "v",
+        s"graft_fr_$run", ckpt)
+    },
+      Some(friedmanOracleSql))
   )
+
+  /** Shared by x205 (batch) and st53 (streaming): Jonckheere-Terpstra
+    * over (linenumber, quantity), the census-product 2J and the
+    * Hollander-Wolfe tie-corrected variance re-derived in DuckDB SQL
+    * with the identical three-term IEEE tree as
+    * [[graft.operators.Analytics.jtFromCensus]]. */
+  private lazy val jtOracleSql: String =
+    """WITH b AS (SELECT CAST(l_linenumber AS BIGINT) g,
+      |    CAST(l_quantity AS BIGINT) v FROM lineitem
+      |  WHERE l_linenumber IS NOT NULL AND l_quantity IS NOT NULL),
+      |c AS (SELECT g, v, CAST(count(*) AS BIGINT) c FROM b GROUP BY 1, 2),
+      |j AS (SELECT CAST(coalesce(sum(CASE WHEN a.v < d.v THEN 2*a.c*d.c
+      |      WHEN a.v = d.v THEN a.c*d.c ELSE 0 END), 0) AS BIGINT) j2
+      |  FROM c a, c d WHERE a.g < d.g),
+      |ng AS (SELECT g, CAST(sum(c) AS BIGINT) n FROM c GROUP BY 1),
+      |gs AS (SELECT CAST(coalesce(sum(n), 0) AS BIGINT) nn,
+      |    CAST(coalesce(sum(n*n), 0) AS BIGINT) sn2,
+      |    CAST(coalesce(sum(n*(n-1)*(2*n+5)), 0) AS BIGINT) ga,
+      |    CAST(coalesce(sum(n*(n-1)*(n-2)), 0) AS BIGINT) gb,
+      |    CAST(coalesce(sum(n*(n-1)), 0) AS BIGINT) gc,
+      |    CAST(count(*) AS BIGINT) k FROM ng),
+      |tv AS (SELECT v, CAST(sum(c) AS BIGINT) t FROM c GROUP BY 1),
+      |ts AS (SELECT CAST(coalesce(sum(t*(t-1)*(2*t+5)), 0) AS BIGINT) ta,
+      |    CAST(coalesce(sum(t*(t-1)*(t-2)), 0) AS BIGINT) tb,
+      |    CAST(coalesce(sum(t*(t-1)), 0) AS BIGINT) tc FROM tv),
+      |cl AS (SELECT CAST(count(*) AS BIGINT) cells FROM c),
+      |f AS (SELECT j2, nn, sn2, k,
+      |    CAST(nn*(nn-1)*(2*nn+5) - ga - ta AS DOUBLE)/72.0
+      |    + CAST(gb AS DOUBLE)*CAST(tb AS DOUBLE)
+      |      /(36.0*CAST(nn*(nn-1)*(nn-2) AS DOUBLE))
+      |    + CAST(gc AS DOUBLE)*CAST(tc AS DOUBLE)
+      |      /(8.0*CAST(nn*(nn-1) AS DOUBLE)) var
+      |  FROM j, gs, ts)
+      |SELECT nn n, k, cells, CAST(j2 AS DOUBLE)/2.0 j_stat,
+      |  CASE WHEN k > 1 AND var > 0 THEN
+      |    round(CAST(2*j2 - (nn*nn - sn2) AS DOUBLE)/4.0/sqrt(var), 6)
+      |  END z
+      |FROM f, cl""".stripMargin
+
+  /** Shared by x206 (batch) and st54 (streaming): Friedman over
+    * customer blocks × order-priority treatments on total-price cents,
+    * the doubled-midrank Conover form re-derived in DuckDB SQL (cell
+    * means as IEEE doubles of exact BIGINT cells, identical final
+    * division as [[graft.operators.Analytics.friedmanFromCells]]). */
+  private lazy val friedmanOracleSql: String =
+    """WITH b AS (SELECT o_custkey bl, o_orderpriority tr,
+      |    CAST(round(o_totalprice*100, 0) AS BIGINT) v FROM orders
+      |  WHERE o_custkey IS NOT NULL AND o_orderpriority IS NOT NULL
+      |    AND o_totalprice IS NOT NULL),
+      |cells AS (SELECT bl, tr, CAST(sum(v) AS BIGINT) s,
+      |    CAST(count(*) AS BIGINT) c FROM b GROUP BY 1, 2),
+      |kk AS (SELECT CAST(count(DISTINCT tr) AS BIGINT) k FROM cells),
+      |comp AS (SELECT bl FROM cells GROUP BY bl
+      |  HAVING CAST(count(*) AS BIGINT) = (SELECT k FROM kk)),
+      |cc AS (SELECT cells.bl, cells.tr,
+      |    CAST(s AS DOUBLE)/CAST(c AS DOUBLE) val
+      |  FROM cells JOIN comp USING (bl)),
+      |rk AS (SELECT bl, tr,
+      |    2*CAST(rank() OVER (PARTITION BY bl ORDER BY val) AS BIGINT)
+      |      + CAST(count(*) OVER (PARTITION BY bl, val) AS BIGINT) - 1 r2
+      |  FROM cc),
+      |tot AS (SELECT CAST(coalesce(sum(r2*r2), 0) AS BIGINT) sr2,
+      |    CAST(count(DISTINCT bl) AS BIGINT) nb FROM rk),
+      |num AS (SELECT CAST(coalesce(sum((rr - nb*(k+1))*(rr - nb*(k+1))),
+      |      0) AS BIGINT) s
+      |  FROM (SELECT tr, CAST(sum(r2) AS BIGINT) rr FROM rk GROUP BY 1),
+      |    tot, kk)
+      |SELECT nb n_blocks, k,
+      |  CASE WHEN k > 1 AND nb > 0
+      |      AND (sr2 - nb*k*(k+1)*(k+1)) > 0 THEN
+      |    round(CAST(k - 1 AS DOUBLE) * CAST(s AS DOUBLE) /
+      |      CAST(sr2 - nb*k*(k+1)*(k+1) AS DOUBLE), 6)
+      |  END chi2_f
+      |FROM num, tot, kk""".stripMargin
 
   /** Shared by x202 (batch) and st51 (streaming): Wilcoxon signed-rank
     * over char-length vs 25×token-count pairs, the doubled-midrank

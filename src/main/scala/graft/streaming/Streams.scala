@@ -2554,6 +2554,61 @@ object Streams {
         detachSink(spark, sinkName, checkpoint))
     }
 
+  /** STREAMING Jonckheere-Terpstra trend (st53): the (group, value,
+    * count) cell census is the WHOLE stream state — the st41/st43
+    * census rule — finalized by the batch operator's own
+    * [[graft.operators.Analytics.jtFromCensus]] verbatim, so the
+    * ordered-trend z updates as rows arrive.
+    */
+  def runStreamingJonckheereAvailableNow(spark: SparkSession,
+      rows: DataFrame, groupCol: String, valueCol: String,
+      sinkName: String, checkpoint: String,
+      maxCells: Int = 8192): DataFrame =
+    withReplayConfs(spark) {
+      val q = rows
+        .filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+        .select(col(groupCol).cast("long").as("__g"),
+          col(valueCol).cast("long").as("__v"))
+        .groupBy(col("__g"), col("__v"))
+        .agg(count(lit(1)).as("__c"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Analytics.jtFromCensus(
+        detachSink(spark, sinkName, checkpoint), maxCells)
+    }
+
+  /** STREAMING Friedman (st54): the (block, treatment, sum, count)
+    * cell grid — two BIGINTs per cell, the Fleiss st33 cell-state
+    * precedent — is the stream state, finalized by the batch
+    * operator's own [[graft.operators.Analytics.friedmanFromCells]]
+    * verbatim; the repeated-measures verdict updates as rows arrive.
+    */
+  def runStreamingFriedmanAvailableNow(spark: SparkSession,
+      rows: DataFrame, blockCol: String, treatCol: String,
+      valueCol: String, sinkName: String,
+      checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val q = rows
+        .filter(col(blockCol).isNotNull && col(treatCol).isNotNull &&
+          col(valueCol).isNotNull)
+        .select(col(blockCol).as("__b"), col(treatCol).as("__t"),
+          col(valueCol).cast("long").as("__v"))
+        .groupBy(col("__b"), col("__t"))
+        .agg(sum(col("__v")).as("__s"), count(lit(1)).as("__c"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Analytics.friedmanFromCells(
+        detachSink(spark, sinkName, checkpoint))
+    }
+
   /** STREAMING Cochran-Armitage trend (st52): the k-row (dose, n,
     * successes) census — two BIGINTs per dose level — is the stream
     * state, finalized by the batch operator's own

@@ -1310,6 +1310,57 @@ class AnalyticsSpec extends SparkSpec {
     assert(rt.isNullAt(3))
   }
 
+  test("jonckheereTerpstra: exact-BIGINT 2J with tie half-credit and " +
+    "Hollander-Wolfe tie-corrected variance; NULL on one group and on " +
+    "all-tie input") {
+    // g1 = [1, 2], g2 = [2, 3, 3]: J = 5 strict + 0.5 tie = 5.5
+    // E = (25 - 13)/4 = 3; A = 300 - 84 - 36 = 180;
+    // Var = 180/72 + 0 + (8*4)/(8*20) = 2.7; z = 2.5/sqrt(2.7)
+    val df = Seq((1L, 1L), (1L, 2L), (2L, 2L), (2L, 3L), (2L, 3L))
+      .toDF("g", "v")
+    val r = Analytics.jonckheereTerpstra(df, "g", "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)) ==
+      ((5L, 2L, 4L, 5.5)))
+    assert(r.getDouble(4) ==
+      BigDecimal(2.5 / math.sqrt(2.7))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // one group: k = 1 -> NULL z
+    val one = Seq((7L, 1L), (7L, 2L)).toDF("g", "v")
+    assert(Analytics.jonckheereTerpstra(one, "g", "v")
+      .collect().head.isNullAt(4))
+    // every value identical: Var = 0 -> NULL z
+    val tied = Seq((1L, 5L), (1L, 5L), (2L, 5L)).toDF("g", "v")
+    assert(Analytics.jonckheereTerpstra(tied, "g", "v")
+      .collect().head.isNullAt(4))
+  }
+
+  test("friedman: within-block doubled midranks over cell means, " +
+    "incomplete blocks dropped, replicates averaged; NULL when every " +
+    "block ties throughout") {
+    // b1/b2: A=1 B=2 C=3 (2r = 2,4,6); b3: A=2 B=2 C=1 (2r = 5,5,2)
+    // R2 = (9,13,14), num = 14, den = 166 - 144 = 22, chi2 = 28/22
+    // b1's A arrives as replicates (0, 2) -> mean 1; b4 incomplete
+    val df = Seq(
+      ("b1", "A", 0L), ("b1", "A", 2L), ("b1", "B", 2L), ("b1", "C", 3L),
+      ("b2", "A", 1L), ("b2", "B", 2L), ("b2", "C", 3L),
+      ("b3", "A", 2L), ("b3", "B", 2L), ("b3", "C", 1L),
+      ("b4", "A", 5L)).toDF("bl", "tr", "v")
+    val r = Analytics.friedman(df, "bl", "tr", "v").collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((3L, 3L)))
+    assert(r.getDouble(2) ==
+      BigDecimal(2.0 * 14.0 / 22.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    // all values tie within every block: denominator 0 -> NULL
+    val flat = Seq(("b1", "A", 1L), ("b1", "B", 1L),
+      ("b2", "A", 2L), ("b2", "B", 2L)).toDF("bl", "tr", "v")
+    assert(Analytics.friedman(flat, "bl", "tr", "v")
+      .collect().head.isNullAt(2))
+    // no complete block: n_blocks 0, NULL chi2
+    val inc = Seq(("b1", "A", 1L), ("b2", "B", 2L)).toDF("bl", "tr", "v")
+    val ri = Analytics.friedman(inc, "bl", "tr", "v").collect().head
+    assert(ri.getLong(0) == 0L && ri.isNullAt(2))
+  }
+
   test("cochranArmitage: cross-multiplied BIGINT trend z; NULL on " +
     "no-contrast and single-dose inputs") {
     // doses 0,1,2 with (n,r) = (10,1),(10,5),(10,9): N=30, R=15,

@@ -658,6 +658,108 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("jonckheereTerpstra property: (n, k, cells, J, z) equal a " +
+    "driver-side replica of the census-product 2J and Hollander-Wolfe " +
+    "variance over random tied frames; one-group frames NULL") {
+    import graft.operators.Analytics
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(rows: Seq[(Long, Long)])
+        : (Long, Long, Long, Double, Option[Double]) = {
+      val census = rows.groupBy(identity).toSeq
+        .map { case ((g, v), l) => (g, v, l.size.toLong) }
+      var j2 = 0L
+      for ((g1, v1, c1) <- census; (g2, v2, c2) <- census if g1 < g2) {
+        if (v1 < v2) j2 += 2L * c1 * c2
+        else if (v1 == v2) j2 += c1 * c2
+      }
+      val ngs = rows.groupBy(_._1).values.map(_.size.toLong).toSeq
+      val nn = ngs.sum
+      val sn2 = ngs.map(n => n * n).sum
+      val ga = ngs.map(n => n * (n - 1L) * (2L * n + 5L)).sum
+      val gb = ngs.map(n => n * (n - 1L) * (n - 2L)).sum
+      val gc = ngs.map(n => n * (n - 1L)).sum
+      val tss = rows.groupBy(_._2).values.map(_.size.toLong).toSeq
+      val ta = tss.map(t => t * (t - 1L) * (2L * t + 5L)).sum
+      val tb = tss.map(t => t * (t - 1L) * (t - 2L)).sum
+      val tc = tss.map(t => t * (t - 1L)).sum
+      val k = ngs.size.toLong
+      val vr = (nn * (nn - 1L) * (2L * nn + 5L) - ga - ta).toDouble / 72.0 +
+        gb.toDouble * tb.toDouble /
+          (36.0 * (nn * (nn - 1L) * (nn - 2L)).toDouble) +
+        gc.toDouble * tc.toDouble / (8.0 * (nn * (nn - 1L)).toDouble)
+      val z = if (k > 1L && vr > 0.0)
+        Some(round6((2L * j2 - (nn * nn - sn2)).toDouble / 4.0 /
+          math.sqrt(vr)))
+      else None
+      (nn, k, census.size.toLong, j2.toDouble / 2.0, z)
+    }
+    val gen = Gen.chooseNum(5, 40).flatMap(len =>
+      Gen.listOfN(len, Gen.zip(Gen.chooseNum(-2L, 2L),
+        Gen.chooseNum(-3L, 3L))))
+    for (seed <- 0 until 30) {
+      val rows = samples(gen, 1).flatten.toIndexedSeq
+      val got = Analytics.jonckheereTerpstra(
+        rows.toDF("g", "v"), "g", "v").collect().head
+      val (nn, k, cells, j, z) = ref(rows)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2)) ==
+        ((nn, k, cells)), s"seed=$seed census")
+      assert(got.getDouble(3) == j, s"seed=$seed j_stat")
+      val gotZ = if (got.isNullAt(4)) None else Some(got.getDouble(4))
+      assert(gotZ == z, s"seed=$seed z: got $gotZ, ref $z")
+    }
+  }
+
+  test("friedman property: (n_blocks, k, chi2) equal a driver-side " +
+    "replica of the within-block doubled-midrank Conover form over " +
+    "random cell frames with replicates and incomplete blocks") {
+    import graft.operators.Analytics
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(rows: Seq[(Long, Long, Long)])
+        : (Long, Long, Option[Double]) = {
+      val cells = rows.groupBy(r => (r._1, r._2)).toSeq.map {
+        case ((b, t), l) =>
+          (b, t, l.map(_._3).sum.toDouble / l.size.toDouble)
+      }
+      val k = cells.map(_._2).distinct.size.toLong
+      val byBlock = cells.groupBy(_._1)
+        .filter(_._2.size.toLong == k)
+      val nb = byBlock.size.toLong
+      if (k < 2L || nb == 0L) return (nb, k, None)
+      // 2r = 2*(1 + #strictly-less) + #peers - 1 within the block
+      val ranked = byBlock.values.toSeq.flatMap { bc =>
+        bc.map { case (_, t, v) =>
+          val less = bc.count(_._3 < v).toLong
+          val tie = bc.count(_._3 == v).toLong
+          (t, 2L * (less + 1L) + tie - 1L)
+        }
+      }
+      val sr2 = ranked.map(r => r._2 * r._2).sum
+      val den = sr2 - nb * k * (k + 1L) * (k + 1L)
+      val num = ranked.groupBy(_._1).values.map(_.map(_._2).sum)
+        .map(rr => (rr - nb * (k + 1L)) * (rr - nb * (k + 1L))).sum
+      val chi2 = if (den > 0L)
+        Some(round6((k - 1L).toDouble * num.toDouble / den.toDouble))
+      else None
+      (nb, k, chi2)
+    }
+    val gen = Gen.chooseNum(5, 50).flatMap(len =>
+      Gen.listOfN(len, Gen.zip(Gen.chooseNum(0L, 4L),
+        Gen.chooseNum(0L, 2L), Gen.chooseNum(-3L, 3L))))
+    for (seed <- 0 until 30) {
+      val rows = samples(gen, 1).flatten.toIndexedSeq
+        .map(t => (t._1, t._2, t._3))
+      val got = Analytics.friedman(
+        rows.toDF("bl", "tr", "v"), "bl", "tr", "v").collect().head
+      val (nb, k, chi2) = ref(rows)
+      assert((got.getLong(0), got.getLong(1)) == ((nb, k)),
+        s"seed=$seed blocks/k")
+      val gotC = if (got.isNullAt(2)) None else Some(got.getDouble(2))
+      assert(gotC == chi2, s"seed=$seed chi2: got $gotC, ref $chi2")
+    }
+  }
+
   test("cochranArmitage property: (n, k, n_success, z_trend) equal a " +
     "driver-side replica of the cross-multiplied BIGINT identity over " +
     "random dose frames; no-contrast NULL") {
