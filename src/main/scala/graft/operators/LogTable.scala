@@ -42,20 +42,22 @@ import org.apache.spark.sql.functions._
   */
 object LogTable {
 
-  /** One live data file: name, size, and (when the commit declared a
-    * stats column) its zone map — row count and min/max of that column,
+  /** One live data file: name, size, and (when the commit declared
+    * stats columns) its zone maps — row count and per-column min/max,
     * the Delta/Iceberg data-skipping statistics. `rows` = -1 and empty
-    * bounds mean "no stats recorded" (pre-stats commit, or an all-null
-    * file) — such a file is always planned, never skipped. */
+    * zones mean "no stats recorded" (pre-stats commit, or an all-null
+    * file) — such a file is always planned, never skipped. A column
+    * absent from `zones` (all-null in this file, or added to statsCols
+    * after the file was committed) likewise never skips this file. */
   final case class FileStat(file: String, bytes: Long, rows: Long = -1L,
-                            min: Option[Double] = None,
-                            max: Option[Double] = None)
+                            zones: Map[String, (Double, Double)] =
+                              Map.empty)
 
   /** One version's full live set: partition dir name → live files, plus
-    * the stats column the zone maps describe (if any commit declared
-    * one). */
+    * the stats columns the zone maps describe (if any commit declared
+    * them). */
   final case class Manifest(version: Long, action: String,
-                            statsCol: Option[String],
+                            statsCols: Seq[String],
                             parts: Map[String, Seq[FileStat]])
 
   private val NullPart = "__HIVE_DEFAULT_PARTITION__"
@@ -67,9 +69,12 @@ object LogTable {
     else d.toString
 
   /** Write manifest version current+1 with the given FULL live set.
-    * MUST be called under [[TableLog.withLock]]. */
+    * MUST be called under [[TableLog.withLock]]. Zone maps serialize as
+    * FLAT per-file keys (`"min:<col>"`/`"max:<col>"`, sorted by column)
+    * so the file objects stay bracket-free and the parser stays a
+    * regex walk. */
   private def writeManifest(spark: SparkSession, tableRoot: String,
-                            action: String, statsCol: Option[String],
+                            action: String, statsCols: Seq[String],
                             parts: Map[String, Seq[FileStat]]): Long = {
     val (fs, root) = TableLog.fsFor(spark, tableRoot)
     val v = TableLog.currentVersion(spark, tableRoot) + 1
@@ -78,13 +83,16 @@ object LogTable {
         val fl = files.sortBy(_.file).map { fsStat =>
           val stats =
             (if (fsStat.rows >= 0L) s""","rows":${fsStat.rows}""" else "") +
-            fsStat.min.map(m => s""","min":${jdouble(m)}""").getOrElse("") +
-            fsStat.max.map(m => s""","max":${jdouble(m)}""").getOrElse("")
+            fsStat.zones.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
+              s""","min:${c}":${jdouble(lo)},"max:${c}":${jdouble(hi)}"""
+            }.mkString
           s"""{"file":${jstr(fsStat.file)},"bytes":${fsStat.bytes}$stats}"""
         }.mkString("[", ",", "]")
         s"""{"part":${jstr(part)},"files":$fl}"""
       }.mkString("[", ",", "]")
-      val sc = statsCol.map(c => s""""statsCol":${jstr(c)},""").getOrElse("")
+      val sc =
+        if (statsCols.isEmpty) ""
+        else statsCols.map(jstr).mkString(""""statsCols":[""", ",", "],")
       s"""{"version":$v,"action":${jstr(action)},$sc""" +
         s""""ts":${System.currentTimeMillis()},"parts":$ps}"""
     }
@@ -117,21 +125,34 @@ object LogTable {
       finally in.close()
     val action = "\"action\":\"([^\"]*)\"".r.findFirstMatchIn(body)
       .map(_.group(1)).getOrElse("")
-    val statsCol = "\"statsCol\":\"([^\"]*)\"".r.findFirstMatchIn(body)
-      .map(_.group(1))
+    val statsCols = "\"statsCols\":\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(body).map(_.group(1)) match {
+      case Some(inner) if inner.nonEmpty =>
+        "\"([^\"]*)\"".r.findAllMatchIn(inner).map(_.group(1)).toSeq
+      case _ => Seq.empty[String]
+    }
+    // the parts array starts after the statsCols array (if any), so the
+    // per-part files regex never sees a foreign ']'
+    val partsBody = body.substring(body.indexOf("\"parts\":"))
     val partRe = "\\{\"part\":\"([^\"]*)\",\"files\":\\[([^\\]]*)\\]\\}".r
-    val fileRe = ("\\{\"file\":\"([^\"]*)\",\"bytes\":(\\d+)" +
-      "(?:,\"rows\":(\\d+))?(?:,\"min\":([^,}]+))?" +
-      "(?:,\"max\":([^,}]+))?\\}").r
-    val parts = partRe.findAllMatchIn(body).map { m =>
-      m.group(1) -> fileRe.findAllMatchIn(m.group(2)).map { fm =>
-        FileStat(fm.group(1), fm.group(2).toLong,
-          Option(fm.group(3)).map(_.toLong).getOrElse(-1L),
-          Option(fm.group(4)).map(_.toDouble),
-          Option(fm.group(5)).map(_.toDouble))
+    val fileObjRe = "\\{[^{}]*\\}".r
+    val fieldRe = "\"([^\"]+)\":(\"[^\"]*\"|[^,}]+)".r
+    val parts = partRe.findAllMatchIn(partsBody).map { m =>
+      m.group(1) -> fileObjRe.findAllMatchIn(m.group(2)).map { fo =>
+        val fields = fieldRe.findAllMatchIn(fo.matched)
+          .map(fm => fm.group(1) -> fm.group(2)).toMap
+        val zones = fields.keys
+          .filter(_.startsWith("min:")).map(_.stripPrefix("min:"))
+          .filter(c => fields.contains(s"max:$c"))
+          .map(c => c -> (fields(s"min:$c").toDouble,
+            fields(s"max:$c").toDouble)).toMap
+        FileStat(fields("file").stripPrefix("\"").stripSuffix("\""),
+          fields("bytes").toLong,
+          fields.get("rows").map(_.toLong).getOrElse(-1L),
+          zones)
       }.toSeq
     }.toMap
-    Manifest(version, action, statsCol, parts)
+    Manifest(version, action, statsCols, parts)
   }
 
   private def partDirName(dateCol: String, d: Option[java.sql.Date]) =
@@ -153,15 +174,15 @@ object LogTable {
   }
 
   /** Zone-map the given files: ONE metadata-scale job computing per-file
-    * (rows, min(statsCol), max(statsCol)). Keyed by "part/file" suffix.
-    * The stats column is cast to double for the manifest — exact for
+    * (rows, min/max of EVERY stats column). Keyed by "part/file" suffix.
+    * Stats columns are cast to double for the manifest — exact for
     * |v| < 2⁵³ (every long the engine's fixtures emit); beyond that the
     * zone is the rounded double, so skipping stays a SUPERSET as long as
     * callers probe with the same double cast (readSkipping does). */
   private def fileStats(spark: SparkSession, tableRoot: String,
-                        statsCol: String,
+                        statsCols: Seq[String],
                         parts: Map[String, Seq[FileStat]])
-      : Map[String, (Long, Option[Double], Option[Double])] = {
+      : Map[String, (Long, Map[String, (Double, Double)])] = {
     val paths = parts.toSeq.flatMap { case (p, fl) =>
       fl.map(f => s"$tableRoot/$p/${f.file}") }
     if (paths.isEmpty) Map.empty
@@ -169,53 +190,61 @@ object LogTable {
       spark.read.option("basePath", tableRoot).parquet(paths: _*)
         .groupBy(input_file_name().as("__f"))
         .agg(count(lit(1)).as("__n"),
-          min(col(statsCol).cast("double")).as("__lo"),
-          max(col(statsCol).cast("double")).as("__hi"))
+          statsCols.flatMap(c => Seq(
+            min(col(c).cast("double")).as(s"__lo:$c"),
+            max(col(c).cast("double")).as(s"__hi:$c"))): _*)
         .collect()
         .map { r =>
           val uri = r.getString(0)
           val tail = uri.split('/').takeRight(2).mkString("/")
-          tail -> (r.getLong(1),
-            if (r.isNullAt(2)) None else Some(r.getDouble(2)),
-            if (r.isNullAt(3)) None else Some(r.getDouble(3)))
+          val zones = statsCols.flatMap { c =>
+            val (li, hi) =
+              (r.fieldIndex(s"__lo:$c"), r.fieldIndex(s"__hi:$c"))
+            if (r.isNullAt(li) || r.isNullAt(hi)) None
+            else Some(c -> (r.getDouble(li), r.getDouble(hi)))
+          }.toMap
+          tail -> (r.getLong(1), zones)
         }.toMap
     }
   }
 
-  /** Attach zone maps to the new files of a commit (no-op without a
-    * stats column). */
+  /** Attach zone maps to the new files of a commit (no-op without
+    * stats columns). */
   private def withStats(spark: SparkSession, tableRoot: String,
-                        statsCol: Option[String],
+                        statsCols: Seq[String],
                         parts: Map[String, Seq[FileStat]])
-      : Map[String, Seq[FileStat]] = statsCol match {
-    case None => parts
-    case Some(sc) =>
-      val stats = fileStats(spark, tableRoot, sc, parts)
+      : Map[String, Seq[FileStat]] =
+    if (statsCols.isEmpty) parts
+    else {
+      require(statsCols.forall(_.matches("[A-Za-z0-9_]+")),
+        s"LogTable stats columns must be plain identifiers, got " +
+          statsCols.mkString(","))
+      val stats = fileStats(spark, tableRoot, statsCols, parts)
       parts.map { case (p, fl) =>
         p -> fl.map { f =>
           stats.get(s"$p/${f.file}") match {
-            case Some((n, lo, hi)) => f.copy(rows = n, min = lo, max = hi)
+            case Some((n, zones)) => f.copy(rows = n, zones = zones)
             case None => f
           }
         }
       }
-  }
+    }
 
   /** Create the table: write `df` date-partitioned and commit manifest
-    * v1 holding the full live set. `statsCol` (optional, numeric)
-    * records per-file zone maps for [[readSkipping]]. Returns the
-    * committed version (1). */
+    * v1 holding the full live set. `statsCols` (optional, numeric)
+    * records per-file zone maps of each named column for
+    * [[readSkipping]]. Returns the committed version (1). */
   def init(df: DataFrame, tableRoot: String,
            dateCol: String = "start_date_oslo",
-           statsCol: Option[String] = None): Long = {
+           statsCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
     TableLog.withLock(spark, tableRoot, "init") {
       require(TableLog.currentVersion(spark, tableRoot) == 0L,
         s"LogTable.init: $tableRoot already has commits")
       df.write.mode(SaveMode.Append).partitionBy(dateCol).parquet(tableRoot)
       val parts = touchedParts(df, dateCol)
-      writeManifest(spark, tableRoot, "init", statsCol,
-        withStats(spark, tableRoot, statsCol,
+      writeManifest(spark, tableRoot, "init", statsCols,
+        withStats(spark, tableRoot, statsCols,
           listParts(spark, tableRoot, parts)))
     }
   }
@@ -242,9 +271,9 @@ object LogTable {
         val before = pre(p).map(_.file).toSet
         p -> post(p).filterNot(f => before(f.file))
       }.toMap
-      writeManifest(spark, tableRoot, "replace", prev.statsCol,
+      writeManifest(spark, tableRoot, "replace", prev.statsCols,
         prev.parts -- touched ++
-          withStats(spark, tableRoot, prev.statsCol, newFiles))
+          withStats(spark, tableRoot, prev.statsCols, newFiles))
     }
 
   /** Metadata-only partition delete: the named partition dirs leave the
@@ -257,7 +286,7 @@ object LogTable {
       require(v > 0L, s"LogTable.removePartitions: $tableRoot has no " +
         "manifest — init first")
       val prev = manifest(spark, tableRoot, v)
-      writeManifest(spark, tableRoot, "remove", prev.statsCol,
+      writeManifest(spark, tableRoot, "remove", prev.statsCols,
         prev.parts -- parts)
     }
 
@@ -289,7 +318,7 @@ object LogTable {
         val prevM = if (v > 0L) Some(manifest(spark, tableRoot, v)) else None
         val prev = prevM.map(_.parts)
           .getOrElse(Map.empty[String, Seq[FileStat]])
-        val sc = prevM.flatMap(_.statsCol)
+        val sc = prevM.map(_.statsCols).getOrElse(Seq.empty)
         val touched = touchedParts(rows, dateCol)
         val pre = listParts(spark, tableRoot, touched)
         rows.write.mode(SaveMode.Append).partitionBy(dateCol)
@@ -322,7 +351,7 @@ object LogTable {
     spark.read.option("basePath", tableRoot).parquet(files: _*)
   }
 
-  /** Plan only the files whose zone map CAN contain a `statsCol` value
+  /** Plan only the files whose zone map CAN contain a `col` value
     * in [lo, hi] — manifest-level data skipping, the Delta/Iceberg
     * file-pruning move. The scan is a SUPERSET of the matching rows
     * (zone maps are necessary, not sufficient): callers apply the exact
@@ -333,8 +362,11 @@ object LogTable {
     * before a stats column was declared, or all-null) are always
     * planned. `lo`/`hi` are inclusive; the probe value is compared
     * against the manifest's double-cast zone, matching how the zones
-    * were written. Fails loudly when the manifest's statsCol differs
-    * from `col` — a zone map for one column says nothing about another.
+    * were written. Fails loudly when `col` is not one of the manifest's
+    * declared stats columns — a zone map for one column says nothing
+    * about another. Probes on DIFFERENT stats columns compose by
+    * intersecting the planned file lists caller-side (each call prunes
+    * independently).
     */
   def readSkipping(spark: SparkSession, tableRoot: String, col: String,
                    lo: Double, hi: Double,
@@ -343,13 +375,13 @@ object LogTable {
     require(v > 0L,
       s"LogTable.readSkipping: $tableRoot has no committed version")
     val m = manifest(spark, tableRoot, v)
-    require(m.statsCol.contains(col),
+    require(m.statsCols.contains(col),
       s"LogTable.readSkipping: version $v records zone maps for " +
-        s"${m.statsCol.getOrElse("<none>")}, not $col")
+        s"[${m.statsCols.mkString(",")}], not $col")
     val files = m.parts.toSeq.sortBy(_._1).flatMap { case (p, fl) =>
-      fl.filter(f => (f.min, f.max) match {
-        case (Some(mn), Some(mx)) => mx >= lo && mn <= hi
-        case _ => true // no stats -> cannot skip safely
+      fl.filter(f => f.zones.get(col) match {
+        case Some((mn, mx)) => mx >= lo && mn <= hi
+        case None => true // no stats -> cannot skip safely
       }).map(f => s"$tableRoot/$p/${f.file}")
     }
     if (files.isEmpty)
@@ -399,17 +431,17 @@ object LogTable {
           val big = fl.filterNot(_.bytes < targetBytes)
           p -> (big ++ post(p).filterNot(f => before(f.file)))
         }
-        val statted = withStats(spark, tableRoot, prev.statsCol,
+        val statted = withStats(spark, tableRoot, prev.statsCols,
           flipped.map { case (p, fl) =>
             // re-stat only the NEW files; survivors keep their zones
-            p -> fl.filter(f => f.rows < 0L && f.min.isEmpty)
+            p -> fl.filter(f => f.rows < 0L && f.zones.isEmpty)
           })
         val mergedNew = flipped.map { case (p, fl) =>
           val restat = statted.getOrElse(p, Seq.empty)
             .map(f => f.file -> f).toMap
           p -> fl.map(f => restat.getOrElse(f.file, f))
         }
-        writeManifest(spark, tableRoot, "compact", prev.statsCol,
+        writeManifest(spark, tableRoot, "compact", prev.statsCols,
           prev.parts ++ mergedNew)
       }
     }
@@ -434,8 +466,18 @@ object LogTable {
     * of rewritten partitions) — Z-order's inherent contract (Delta's
     * OPTIMIZE ZORDER rewrites every selected file too); `parts` limits
     * the rewrite to named partitions for incremental runs at 100 TB.
-    * Returns the committed version, or the current one when the live
-    * set is empty. */
+    *
+    * Files are split at CURVE-CELL boundaries (the top
+    * ⌈log₂ filesPerPartition⌉ interleaved bits — rounded up to a power
+    * of two), NOT at row-count quantiles: a quantile boundary straddles
+    * a cell edge and the first rows past it sit at the LOW end of the
+    * next cell's minor dimensions, blowing that file's zone open to the
+    * full range (measured: a quantile-split file went uid [0, 149] on
+    * uniform data). Cell-aligned files are exact hyper-rectangles —
+    * deterministic zones at the cost of balance under skew (uniform
+    * dims split evenly; rank-bin a heavy-tailed column upstream if
+    * balance matters). Returns the committed version, or the current
+    * one when the live set is empty. */
   def optimizeZorder(spark: SparkSession, tableRoot: String,
                      zCols: Seq[String], bits: Int,
                      filesPerPartition: Int,
@@ -478,15 +520,40 @@ object LogTable {
               lit(0L))
           }
         val zc = ScaleOps.zorderValue(scaled, bits)
+        // cell-aligned split: bucket = the curve value's top bits, one
+        // bucket per output file (power-of-two tiling — see Scaladoc)
+        val cellBits = {
+          var b = 0
+          while ((1 << b) < filesPerPartition) b += 1
+          b
+        }
+        val nCells = 1 << cellBits
+        require(cellBits <= zCols.size * bits,
+          s"filesPerPartition=$filesPerPartition exceeds the curve's " +
+            s"${zCols.size * bits}-bit cell resolution — raise bits")
+        val shift = zCols.size * bits - cellBits
         val pre = listParts(spark, tableRoot, todo.keys.toSeq)
         todo.toSeq.sortBy(_._1).foreach { case (p, fl) =>
           val paths = fl.map(f => s"$tableRoot/$p/${f.file}")
-          spark.read.option("basePath", tableRoot).parquet(paths: _*)
+          val withCell = spark.read.option("basePath", tableRoot)
+            .parquet(paths: _*)
             .drop(dateCol)
             .withColumn("__z", zc)
-            .repartitionByRange(filesPerPartition, col("__z"))
+            .withColumn("__cell", shiftright(col("__z"), shift))
+          // EXACT cell → partition mapping: a range/quantile split can
+          // merge cells under sampling noise (observed), and hash
+          // partitioning happens to be the identity for Long keys in
+          // [0, nCells) — Long.hashCode is the value itself there, so
+          // each curve cell lands in its own output file, guaranteed.
+          val schema = withCell.schema
+          val cellIdx = schema.fieldIndex("__cell")
+          val tiled = withCell.rdd
+            .map(r => (r.getLong(cellIdx), r))
+            .partitionBy(new org.apache.spark.HashPartitioner(nCells))
+            .values
+          spark.createDataFrame(tiled, schema)
             .sortWithinPartitions("__z")
-            .drop("__z")
+            .drop("__z", "__cell")
             .write.mode(SaveMode.Append).parquet(s"$tableRoot/$p")
         }
         val post = listParts(spark, tableRoot, todo.keys.toSeq)
@@ -494,8 +561,8 @@ object LogTable {
           val before = pre(p).map(_.file).toSet
           p -> post(p).filterNot(f => before(f.file))
         }.toMap
-        val statted = withStats(spark, tableRoot, prev.statsCol, newFiles)
-        writeManifest(spark, tableRoot, "zorder", prev.statsCol,
+        val statted = withStats(spark, tableRoot, prev.statsCols, newFiles)
+        writeManifest(spark, tableRoot, "zorder", prev.statsCols,
           prev.parts ++ statted)
       }
     }
@@ -566,14 +633,14 @@ object LogTable {
         val before = pre(p).map(_.file).toSet
         p -> post(p).filterNot(f => before(f.file))
       }.toMap
-      val statted = withStats(spark, tableRoot, prev.statsCol, newFiles)
+      val statted = withStats(spark, tableRoot, prev.statsCols, newFiles)
       val pruned = prev.parts.map { case (p, fl) =>
         p -> fl.filterNot(f => matchedByPart.getOrElse(p, Set.empty)(f.file))
       }
       val merged = statted.foldLeft(pruned) { case (acc, (p, fl)) =>
         acc + (p -> (acc.getOrElse(p, Seq.empty) ++ fl))
       }
-      writeManifest(spark, tableRoot, "merge", prev.statsCol,
+      writeManifest(spark, tableRoot, "merge", prev.statsCols,
         merged.filter(_._2.nonEmpty))
     }
 

@@ -8085,7 +8085,7 @@ object ScaleQueries {
       val (q1, q2) = (maxId / 3, 2 * maxId / 3)
       graft.operators.LogTable.init(
         rows.filter(col("eid") <= q1).repartition(1), base,
-        statsCol = Some("eid"))
+        statsCols = Seq("eid"))
       graft.operators.LogTable.append(s, base,
         rows.filter(col("eid") > q1 && col("eid") <= q2).repartition(1))
       graft.operators.LogTable.append(s, base,
@@ -8131,7 +8131,7 @@ object ScaleQueries {
       val qs = (1 to 3).map(i => i * maxId / 4)
       graft.operators.LogTable.init(
         rows.filter(col("eid") <= qs(0)).repartition(1), base,
-        statsCol = Some("eid"))
+        statsCols = Seq("eid"))
       graft.operators.LogTable.append(s, base,
         rows.filter(col("eid") > qs(0) && col("eid") <= qs(1))
           .repartition(1))
@@ -8350,16 +8350,19 @@ object ScaleQueries {
       Some(caOracleSql)),
 
     // LogTable OPTIMIZE ZORDER (x204): three INTERLEAVED appends (eid %
-    // 9 slices) give every file an eid zone spanning the whole range, so
-    // a low-band probe plans ALL 3 files (graded exact). The Morton
-    // rewrite on (eid, user_id) — two near-uniform dimensions, the
-    // contract min/max grid scaling assumes; a heavy-tailed column
-    // (cents) would collapse onto a few curve cells and want rank
-    // scaling first — tightens zones: the same probe afterwards must
-    // plan at most HALF the 4 clustered files (graded boolean — a
-    // rewrite that doesn't improve skipping fails the gate), rows
-    // bit-identical, and the pre-rewrite version still time-travels to
-    // its 3 arrival-order files.
+    // 9 slices) give every file zones spanning the whole range on BOTH
+    // stats columns, so a low-band eid probe plans ALL 3 files (graded
+    // exact). The Morton rewrite on (eid, uid) — two near-uniform
+    // dimensions, the contract min/max grid scaling assumes; a
+    // heavy-tailed column (cents) would collapse onto a few curve cells
+    // and want rank binning first — makes each of the 4 new files a
+    // quadrant-shaped hyper-rectangle: a low-band probe on EITHER
+    // column must plan exactly the 2 files whose quadrant touches that
+    // column's low half (graded exact for BOTH columns — the
+    // cross-dimension pruning a linear sort cannot give; low bands are
+    // immune to the quantile-boundary spill rows, which hug quadrant
+    // EDGES). Rows bit-identical, and the pre-rewrite version still
+    // time-travels to its 3 arrival-order files.
     QuerySpec("x204_logtable_zorder", (s, d) => {
       val base = java.nio.file.Files.createTempDirectory("graft_ltzo")
         .toString + "/fact"
@@ -8367,15 +8370,17 @@ object ScaleQueries {
         .select(col("event_id").as("eid"), col("user_id").as("uid"),
           round(col("value") * 100, 0).cast("long").as("cents"),
           lit("2024-01-01").cast("date").as("start_date_oslo"))
-      val maxId = rows.agg(max(col("eid"))).head().getLong(0)
+      val mx = rows.agg(max(col("eid")), max(col("uid"))).head()
+      val (maxId, maxUid) = (mx.getLong(0), mx.getLong(1))
       graft.operators.LogTable.init(
         rows.filter(col("eid") % 9 === 2).repartition(1), base,
-        statsCol = Some("eid"))
+        statsCols = Seq("eid", "uid"))
       graft.operators.LogTable.append(s, base,
         rows.filter(col("eid") % 9 === 5).repartition(1))
       graft.operators.LogTable.append(s, base,
         rows.filter(col("eid") % 9 === 8).repartition(1))
       val q = maxId / 6
+      val uq = maxUid / 7
       val beforeN = graft.operators.LogTable
         .readSkipping(s, base, "eid", 1.0, q.toDouble)
         .inputFiles.length.toLong
@@ -8384,13 +8389,17 @@ object ScaleQueries {
         Seq("eid", "uid"), bits = 8, filesPerPartition = 4)
       val skim = graft.operators.LogTable
         .readSkipping(s, base, "eid", 1.0, q.toDouble)
-      val prunedHalf = skim.inputFiles.length.toLong <= 2L
+      val eidN = skim.inputFiles.length.toLong
+      val uidN = graft.operators.LogTable
+        .readSkipping(s, base, "uid", 0.0, uq.toDouble)
+        .inputFiles.length.toLong
       val ttFiles = graft.operators.LogTable.read(s, base, Some(preV))
         .inputFiles.length.toLong
       val out = skim.filter(col("eid") <= q)
         .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
         .select(lit(beforeN).as("n_files_probe_before"),
-          lit(prunedHalf).as("pruned_half"),
+          lit(eidN).as("n_files_eid_after"),
+          lit(uidN).as("n_files_uid_after"),
           lit(ttFiles).as("n_files_timetravel"),
           col("n_rows"), col("sum_cents"))
         .localCheckpoint(true)
@@ -8404,7 +8413,8 @@ object ScaleQueries {
              |  FROM events WHERE event_id % 3 = 2),
              |m AS (SELECT max(eid) // 6 q FROM b)
              |SELECT CAST(3 AS BIGINT) n_files_probe_before,
-             |  TRUE pruned_half,
+             |  CAST(2 AS BIGINT) n_files_eid_after,
+             |  CAST(2 AS BIGINT) n_files_uid_after,
              |  CAST(3 AS BIGINT) n_files_timetravel,
              |  CAST(count(*) AS BIGINT) n_rows,
              |  CAST(sum(cents) AS BIGINT) sum_cents

@@ -962,7 +962,7 @@ class DedupMergeSpec extends SparkSpec {
     // three appends -> three files with disjoint value zones [1,10],
     // [11,20], [21,30] in ONE partition (zones, not partitions, prune)
     LogTable.init(batch(1, 10).repartition(1), root,
-      statsCol = Some("value"))
+      statsCols = Seq("value"))
     LogTable.append(spark, root, batch(11, 20).repartition(1))
     LogTable.append(spark, root, batch(21, 30).repartition(1))
     val full = LogTable.read(spark, root)
@@ -1122,7 +1122,7 @@ class DedupMergeSpec extends SparkSpec {
     def slice(m: Int) = (1 to 60).filter(_ % 3 == m)
       .map(i => (s"e$i", i.toLong % 10L, i.toDouble, d))
       .toDF("id", "x", "value", "start_date_oslo")
-    LogTable.init(slice(0).repartition(1), root, statsCol = Some("value"))
+    LogTable.init(slice(0).repartition(1), root, statsCols = Seq("value"))
     LogTable.append(spark, root, slice(1).repartition(1))
     LogTable.append(spark, root, slice(2).repartition(1))
     val before = LogTable.readSkipping(spark, root, "value", 12.0, 13.0)
