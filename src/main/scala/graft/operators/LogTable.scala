@@ -55,9 +55,13 @@ object LogTable {
 
   /** One version's full live set: partition dir name → live files, plus
     * the stats columns the zone maps describe (if any commit declared
-    * them). */
+    * them) and the table schema AT THIS VERSION (Spark DDL — the Delta
+    * move that makes add-column evolution and schema time travel work:
+    * readers plan with the version's schema, files written before a
+    * column existed null-fill it). */
   final case class Manifest(version: Long, action: String,
                             statsCols: Seq[String],
+                            schemaDdl: Option[String],
                             parts: Map[String, Seq[FileStat]])
 
   private val NullPart = "__HIVE_DEFAULT_PARTITION__"
@@ -72,9 +76,12 @@ object LogTable {
     * MUST be called under [[TableLog.withLock]]. Zone maps serialize as
     * FLAT per-file keys (`"min:<col>"`/`"max:<col>"`, sorted by column)
     * so the file objects stay bracket-free and the parser stays a
-    * regex walk. */
+    * regex walk. The schema serializes as Spark DDL (backtick-quoted
+    * identifiers — never a double quote, so the parser's [^"]* capture
+    * is safe). */
   private def writeManifest(spark: SparkSession, tableRoot: String,
                             action: String, statsCols: Seq[String],
+                            schemaDdl: Option[String],
                             parts: Map[String, Seq[FileStat]]): Long = {
     val (fs, root) = TableLog.fsFor(spark, tableRoot)
     val v = TableLog.currentVersion(spark, tableRoot) + 1
@@ -93,7 +100,9 @@ object LogTable {
       val sc =
         if (statsCols.isEmpty) ""
         else statsCols.map(jstr).mkString(""""statsCols":[""", ",", "],")
-      s"""{"version":$v,"action":${jstr(action)},$sc""" +
+      val sd = schemaDdl
+        .map(ddl => s""""schemaDdl":${jstr(ddl)},""").getOrElse("")
+      s"""{"version":$v,"action":${jstr(action)},$sd$sc""" +
         s""""ts":${System.currentTimeMillis()},"parts":$ps}"""
     }
     val ld = TableLog.logDir(root)
@@ -131,6 +140,8 @@ object LogTable {
         "\"([^\"]*)\"".r.findAllMatchIn(inner).map(_.group(1)).toSeq
       case _ => Seq.empty[String]
     }
+    val schemaDdl = "\"schemaDdl\":\"([^\"]*)\"".r
+      .findFirstMatchIn(body).map(_.group(1))
     // the parts array starts after the statsCols array (if any), so the
     // per-part files regex never sees a foreign ']'
     val partsBody = body.substring(body.indexOf("\"parts\":"))
@@ -152,7 +163,58 @@ object LogTable {
           zones)
       }.toSeq
     }.toMap
-    Manifest(version, action, statsCols, parts)
+    Manifest(version, action, statsCols, schemaDdl, parts)
+  }
+
+  /** Plan an explicit file list with the manifest's schema (when
+    * recorded): files written before a column was added null-fill it,
+    * and EVERY internal scan goes through here so a mixed-schema live
+    * set can never silently resolve to one file's schema (parquet's
+    * default no-merge behavior — the footgun schema evolution exists
+    * to remove). */
+  private def scanFiles(spark: SparkSession, tableRoot: String,
+                        m: Manifest, files: Seq[String]): DataFrame = {
+    val r = spark.read.option("basePath", tableRoot)
+    m.schemaDdl match {
+      case Some(ddl) =>
+        r.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+          .parquet(files: _*)
+      case None => r.parquet(files: _*)
+    }
+  }
+
+  /** The schema a commit of `df` over `prev` yields: every existing
+    * column must survive with its type (add-only evolution — drops and
+    * retypes fail loudly); genuinely NEW columns append in `df` order
+    * and must be nullable (files predating them null-fill). */
+  private def evolvedDdl(prev: Option[Manifest], df: DataFrame,
+                         action: String): String = {
+    import org.apache.spark.sql.types.StructType
+    val incoming = df.schema
+    prev.flatMap(_.schemaDdl) match {
+      case None => incoming.toDDL
+      case Some(ddl) =>
+        val old = StructType.fromDDL(ddl)
+        val byName = incoming.fields.map(f => f.name -> f).toMap
+        old.fields.foreach { f =>
+          val n = byName.get(f.name)
+          require(n.isDefined,
+            s"LogTable.$action: column ${f.name} missing from the " +
+              "incoming frame — evolution is add-only, columns cannot " +
+              "be dropped")
+          require(n.get.dataType == f.dataType,
+            s"LogTable.$action: column ${f.name} changes type " +
+              s"${f.dataType.simpleString} -> " +
+              s"${n.get.dataType.simpleString} — retypes are not " +
+              "supported")
+        }
+        val oldNames = old.fields.map(_.name).toSet
+        val added = incoming.fields.filterNot(f => oldNames(f.name))
+        added.foreach(f => require(f.nullable,
+          s"LogTable.$action: new column ${f.name} must be nullable — " +
+            "files written before it exist null-fill it"))
+        StructType(old.fields ++ added).toDDL
+    }
   }
 
   private def partDirName(dateCol: String, d: Option[java.sql.Date]) =
@@ -244,6 +306,7 @@ object LogTable {
       df.write.mode(SaveMode.Append).partitionBy(dateCol).parquet(tableRoot)
       val parts = touchedParts(df, dateCol)
       writeManifest(spark, tableRoot, "init", statsCols,
+        Some(df.schema.toDDL),
         withStats(spark, tableRoot, statsCols,
           listParts(spark, tableRoot, parts)))
     }
@@ -262,6 +325,7 @@ object LogTable {
       require(v > 0L, s"LogTable.replacePartitions: $tableRoot has no " +
         "manifest — init first")
       val prev = manifest(spark, tableRoot, v)
+      val ddl = evolvedDdl(Some(prev), updated, "replacePartitions")
       val touched = touchedParts(updated, dateCol)
       val pre = listParts(spark, tableRoot, touched)
       updated.write.mode(SaveMode.Append).partitionBy(dateCol)
@@ -272,7 +336,7 @@ object LogTable {
         p -> post(p).filterNot(f => before(f.file))
       }.toMap
       writeManifest(spark, tableRoot, "replace", prev.statsCols,
-        prev.parts -- touched ++
+        Some(ddl), prev.parts -- touched ++
           withStats(spark, tableRoot, prev.statsCols, newFiles))
     }
 
@@ -287,7 +351,7 @@ object LogTable {
         "manifest — init first")
       val prev = manifest(spark, tableRoot, v)
       writeManifest(spark, tableRoot, "remove", prev.statsCols,
-        prev.parts -- parts)
+        prev.schemaDdl, prev.parts -- parts)
     }
 
   /** Append rows as new files + a manifest flip (existing partitions
@@ -319,6 +383,7 @@ object LogTable {
         val prev = prevM.map(_.parts)
           .getOrElse(Map.empty[String, Seq[FileStat]])
         val sc = prevM.map(_.statsCols).getOrElse(Seq.empty)
+        val ddl = evolvedDdl(prevM, rows, "append")
         val touched = touchedParts(rows, dateCol)
         val pre = listParts(spark, tableRoot, touched)
         rows.write.mode(SaveMode.Append).partitionBy(dateCol)
@@ -332,7 +397,8 @@ object LogTable {
         val merged = touched.map { p =>
           p -> (prev.getOrElse(p, Seq.empty) ++ statted(p))
         }.toMap
-        writeManifest(spark, tableRoot, action, sc, prev ++ merged)
+        writeManifest(spark, tableRoot, action, sc, Some(ddl),
+          prev ++ merged)
       }
     }
 
@@ -348,7 +414,7 @@ object LogTable {
       fl.map(f => s"$tableRoot/$p/${f.file}") }
     require(files.nonEmpty,
       s"LogTable.read: version $v of $tableRoot is empty")
-    spark.read.option("basePath", tableRoot).parquet(files: _*)
+    scanFiles(spark, tableRoot, m, files)
   }
 
   /** Plan only the files whose zone map CAN contain a `col` value
@@ -420,7 +486,7 @@ object LogTable {
             (if (totalBytes % targetBytes > 0) 1 else 0))
           // pack into the SAME partition dir as new files; at-target
           // files stay live untouched
-          spark.read.option("basePath", tableRoot).parquet(paths: _*)
+          scanFiles(spark, tableRoot, prev, paths)
             .drop(dateCol) // partition col is in the dir name
             .coalesce(nOut)
             .write.mode(SaveMode.Append).parquet(s"$tableRoot/$p")
@@ -442,7 +508,7 @@ object LogTable {
           p -> fl.map(f => restat.getOrElse(f.file, f))
         }
         writeManifest(spark, tableRoot, "compact", prev.statsCols,
-          prev.parts ++ mergedNew)
+          prev.schemaDdl, prev.parts ++ mergedNew)
       }
     }
 
@@ -535,8 +601,7 @@ object LogTable {
         val pre = listParts(spark, tableRoot, todo.keys.toSeq)
         todo.toSeq.sortBy(_._1).foreach { case (p, fl) =>
           val paths = fl.map(f => s"$tableRoot/$p/${f.file}")
-          val withCell = spark.read.option("basePath", tableRoot)
-            .parquet(paths: _*)
+          val withCell = scanFiles(spark, tableRoot, prev, paths)
             .drop(dateCol)
             .withColumn("__z", zc)
             .withColumn("__cell", shiftright(col("__z"), shift))
@@ -563,7 +628,7 @@ object LogTable {
         }.toMap
         val statted = withStats(spark, tableRoot, prev.statsCols, newFiles)
         writeManifest(spark, tableRoot, "zorder", prev.statsCols,
-          prev.parts ++ statted)
+          prev.schemaDdl, prev.parts ++ statted)
       }
     }
 
@@ -617,8 +682,8 @@ object LogTable {
           .map { case (p, ts) => p -> ts.map(_.split('/')(1)) }
       val survivors =
         if (hitTails.isEmpty) None
-        else Some(spark.read.option("basePath", tableRoot)
-          .parquet(hitTails.toSeq.sorted.map(t => s"$tableRoot/$t"): _*)
+        else Some(scanFiles(spark, tableRoot, prev,
+          hitTails.toSeq.sorted.map(t => s"$tableRoot/$t"))
           .join(keyFrame, keyCols, "left_anti"))
       val newData = survivors match {
         case Some(sv) => sv.unionByName(updates)
@@ -641,7 +706,7 @@ object LogTable {
         acc + (p -> (acc.getOrElse(p, Seq.empty) ++ fl))
       }
       writeManifest(spark, tableRoot, "merge", prev.statsCols,
-        merged.filter(_._2.nonEmpty))
+        prev.schemaDdl, merged.filter(_._2.nonEmpty))
     }
 
   /** Change-data-feed between two retained versions, computed from the
@@ -667,8 +732,8 @@ object LogTable {
     val fb = fileSet(b)
     def scan(tails: Set[String]): Option[DataFrame] =
       if (tails.isEmpty) None
-      else Some(spark.read.option("basePath", tableRoot)
-        .parquet(tails.toSeq.sorted.map(t => s"$tableRoot/$t"): _*))
+      else Some(scanFiles(spark, tableRoot, b,
+        tails.toSeq.sorted.map(t => s"$tableRoot/$t")))
     val addedOpt = scan(fb -- fa)
     val removedOpt = scan(fa -- fb)
     val schemaSrc = addedOpt.orElse(removedOpt)

@@ -1105,6 +1105,54 @@ class DedupMergeSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
 
+  test("LogTable schema evolution: append with a new nullable column " +
+    "null-fills old files, time travel returns each version's own " +
+    "schema, compaction keeps the evolved schema, and drops/retypes " +
+    "fail loudly") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_ltse")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    LogTable.init(Seq(("a1", 1.0, d), ("a2", 2.0, d))
+      .toDF("id", "value", "start_date_oslo"), root)
+    // v2 adds a nullable string column
+    LogTable.append(spark, root, Seq(("b1", 3.0, d, "x"))
+      .toDF("id", "value", "start_date_oslo", "tag"))
+    val cur = LogTable.read(spark, root)
+    assert(cur.columns.toSet ==
+      Set("id", "value", "tag", "start_date_oslo"))
+    val rows = cur.select("id", "tag").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet
+    assert(rows == Set(("a1", None), ("a2", None), ("b1", Some("x"))),
+      "old files must null-fill the added column")
+    // schema time travel: v1 never shows the later column
+    assert(LogTable.read(spark, root, Some(1L)).columns.toSet ==
+      Set("id", "value", "start_date_oslo"))
+    // compaction reads mixed-schema files with the MANIFEST schema —
+    // without it, parquet's no-merge default could resolve to the old
+    // 2-column file and silently drop `tag`
+    LogTable.compact(spark, root, targetBytes = 1L << 30)
+    val packed = LogTable.read(spark, root)
+    assert(packed.inputFiles.length == 1)
+    assert(packed.select("id", "tag").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSet == rows)
+    // dropping a column fails loudly
+    val eDrop = intercept[IllegalArgumentException] {
+      LogTable.append(spark, root,
+        Seq(("c1", 4.0, d)).toDF("id", "value", "start_date_oslo"))
+    }
+    assert(eDrop.getMessage.contains("add-only"))
+    // retyping a column fails loudly
+    val eType = intercept[IllegalArgumentException] {
+      LogTable.append(spark, root, Seq(("c1", 4L, d, "y"))
+        .toDF("id", "value", "start_date_oslo", "tag"))
+    }
+    assert(eType.getMessage.contains("retypes"))
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
   test("LogTable OPTIMIZE ZORDER: arrival-order appends leave every " +
     "zone spanning the full range (skipping prunes nothing); the " +
     "z-order rewrite tightens zones so the same probe plans fewer " +
