@@ -3648,6 +3648,73 @@ object Analytics {
     out
   }
 
+  /** Cramér-von Mises two-sample test — the INTEGRATED-distance
+    * companion of KS ([[ksStatistic]], x89): where KS reads only the
+    * single worst ECDF gap, CvM integrates the SQUARED gap over the
+    * whole pooled sample, so many small persistent shifts (which KS
+    * under-weights) register. Tie-aware pooled form:
+    *   T = Σ_v (a_v + b_v)·(A_v·m − B_v·n)² / (n·m·N²),
+    * over the distinct-value census with cumulative counts A, B —
+    * algebraically nm/N² · Σ_points (F₁ − F₂)².
+    *
+    * Determinism: the cumulative difference d_v = A_v·m − B_v·n is an
+    * exact BIGINT (|d| ≤ nm); each term d²·(a+b) is computed in
+    * DecimalType(38,0) — EXACT integer arithmetic, so the sum is
+    * order-independent where a double sum would drift with partition
+    * order — and ONE float division lands T, round 6 (the DuckDB oracle
+    * mirrors with HUGEINT). T is NULL when either sample is empty.
+    * Output: one row (n_a, n_b, t_cvm).
+    *
+    * Overflow headroom (the x75 rule): d²·(a+b) ≤ N⁵ must fit 38
+    * digits — N ≲ 4·10⁷ nonnull rows per call; coarsen or sample
+    * upstream at 100 TB.
+    *
+    * Scale shape: each side is touched once (value-census groupBy); the
+    * cumulative window runs over the DISTINCT-value census (the
+    * [[kruskalWallis]] shape). Nothing row-scale shuffles.
+    */
+  def cramerVonMises(a: DataFrame, b: DataFrame,
+                     valueCol: String): DataFrame = {
+    def cen(df: DataFrame, out: String) = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as(out))
+    cvmFromCensus(cen(a, "__ca")
+      .join(cen(b, "__cb"), Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb")))
+  }
+
+  /** [[cramerVonMises]]'s finalization over the (value `__v`, `__ca`,
+    * `__cb`) census — the st41/st43 census-state convention, so st55
+    * can hold the two-sided value census as streaming state. */
+  private[graft] def cvmFromCensus(census: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val tot = census.agg(
+      coalesce(sum(col("__ca")), lit(0L)).as("__n"),
+      coalesce(sum(col("__cb")), lit(0L)).as("__m"))
+    census
+      .withColumn("__A", sum(col("__ca")).over(w))
+      .withColumn("__B", sum(col("__cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .withColumn("__d", col("__A") * col("__m") - col("__B") * col("__n"))
+      .agg(
+        coalesce(sum(col("__d").cast("decimal(19,0)") *
+            col("__d").cast("decimal(19,0)") *
+            (col("__ca") + col("__cb")).cast("decimal(19,0)")),
+          lit(0L).cast("decimal(38,0)")).as("__num"),
+        coalesce(min(col("__n")), lit(0L)).as("n_a"),
+        coalesce(min(col("__m")), lit(0L)).as("n_b"))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          round(col("__num").cast("double") /
+            (col("n_a").cast("double") * col("n_b").cast("double") *
+              (col("n_a") + col("n_b")).cast("double") *
+              (col("n_a") + col("n_b")).cast("double")), 6)).as("t_cvm"))
+  }
+
   /** Cochran-Armitage trend test — "does success probability move
     * MONOTONICALLY with the ordered dose": the 2×k test that spends its
     * single degree of freedom on the ordering a plain χ² (x82) throws

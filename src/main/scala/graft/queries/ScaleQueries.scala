@@ -8486,6 +8486,44 @@ object ScaleQueries {
     },
       Some(friedmanOracleSql)),
 
+    // Cramér-von Mises (x208): does the total-price DISTRIBUTION of
+    // urgent orders differ from low-priority orders — the
+    // integrated-squared-ECDF-distance companion of the KS drift check
+    // (x89), which reads only the single worst gap; exact
+    // decimal(38) numerator over the pooled value census, one float
+    // division.
+    QuerySpec("x208_cvm", (s, d) => {
+      val o = t(s, d, "orders").filter(col("o_totalprice").isNotNull)
+        .select(col("o_orderpriority").as("pr"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      graft.operators.Analytics.cramerVonMises(
+        o.filter(col("pr") === "1-URGENT").select(col("cents")),
+        o.filter(col("pr") === "5-LOW").select(col("cents")),
+        "cents")
+    },
+      Some(cvmOracleSql)),
+
+    // STREAMING Cramér-von Mises (st55): both samples ride ONE stream
+    // with a boolean side column; the (value, count_a, count_b) census
+    // is the WHOLE state, finalized by cvmFromCensus verbatim — graded
+    // on x208's oracle.
+    QuerySpec("st55_stream_cvm", (s, d) => {
+      val schema = s.read.parquet(s"$d/orders.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+      val rows = raw
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(round(col("o_totalprice") * 100, 0).cast("long")
+            .as("cents"),
+          (col("o_orderpriority") === "5-LOW").as("side"))
+      Streams.runStreamingCvmAvailableNow(s, rows, "cents", "side",
+        s"graft_cvm_$run", ckpt)
+    },
+      Some(cvmOracleSql)),
+
     // LogTable schema evolution (x207): the append carries a NEW
     // nullable column; the manifest records each version's schema
     // (Spark DDL), so the latest read null-fills the old files and a
@@ -8538,6 +8576,37 @@ object ScaleQueries {
              |  CAST(sum(cents) AS BIGINT) sum_cents
              |FROM b""".stripMargin))
   )
+
+  /** Shared by x208 (batch) and st55 (streaming): Cramér-von Mises over
+    * urgent-vs-low order totals, the exact-integer census numerator
+    * re-derived in DuckDB HUGEINT (Spark computes the identical sum in
+    * decimal(38); both convert the same exact integer to double for the
+    * ONE final division). */
+  private lazy val cvmOracleSql: String =
+    """WITH o AS (SELECT o_orderpriority pr,
+      |    CAST(round(o_totalprice*100, 0) AS BIGINT) v FROM orders
+      |  WHERE o_totalprice IS NOT NULL),
+      |ca AS (SELECT v, CAST(count(*) AS BIGINT) ca FROM o
+      |  WHERE pr = '1-URGENT' GROUP BY 1),
+      |cb AS (SELECT v, CAST(count(*) AS BIGINT) cb FROM o
+      |  WHERE pr = '5-LOW' GROUP BY 1),
+      |mg AS (SELECT coalesce(ca.v, cb.v) v, coalesce(ca, 0) ca,
+      |    coalesce(cb, 0) cb FROM ca FULL JOIN cb ON ca.v = cb.v),
+      |tt AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) n,
+      |    CAST(coalesce(sum(cb), 0) AS BIGINT) m FROM mg),
+      |cm AS (SELECT ca, cb,
+      |    CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) a,
+      |    CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) b FROM mg),
+      |dd AS (SELECT ca, cb, a*m - b*n d FROM cm, tt),
+      |nm AS (SELECT coalesce(sum(CAST(d AS HUGEINT) * d * (ca + cb)),
+      |    0) num FROM dd)
+      |SELECT n n_a, m n_b,
+      |  CASE WHEN n > 0 AND m > 0 THEN
+      |    round(CAST(num AS DOUBLE) / (CAST(n AS DOUBLE) *
+      |      CAST(m AS DOUBLE) * CAST(n + m AS DOUBLE) *
+      |      CAST(n + m AS DOUBLE)), 6)
+      |  END t_cvm
+      |FROM nm, tt""".stripMargin
 
   /** Shared by x205 (batch) and st53 (streaming): Jonckheere-Terpstra
     * over (linenumber, quantity), the census-product 2J and the

@@ -1361,6 +1361,23 @@ class AnalyticsSpec extends SparkSpec {
     assert(ri.getLong(0) == 0L && ri.isNullAt(2))
   }
 
+  test("cramerVonMises: exact decimal census numerator over the pooled " +
+    "ECDFs; identical samples give 0, empty side gives NULL") {
+    // a = [1,2], b = [2,3]: d = 2A-2B = (2,2,0), T = 12/64 = 0.1875
+    val a = Seq(1L, 2L).toDF("v")
+    val b = Seq(2L, 3L).toDF("v")
+    val r = Analytics.cramerVonMises(a, b, "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) ==
+      ((2L, 2L, 0.1875)))
+    // identical samples: every cumulative difference 0
+    val same = Analytics.cramerVonMises(a, a, "v").collect().head
+    assert(same.getDouble(2) == 0.0)
+    // an empty side: NULL statistic, zero count reported
+    val empty = a.filter(col("v") > 100L)
+    val re = Analytics.cramerVonMises(a, empty, "v").collect().head
+    assert(re.getLong(1) == 0L && re.isNullAt(2))
+  }
+
   test("cochranArmitage: cross-multiplied BIGINT trend z; NULL on " +
     "no-contrast and single-dose inputs") {
     // doses 0,1,2 with (n,r) = (10,1),(10,5),(10,9): N=30, R=15,

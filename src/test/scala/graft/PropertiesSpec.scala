@@ -760,6 +760,40 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("cramerVonMises property: (n_a, n_b, T) equal a driver-side " +
+    "BigInt replica of the pooled-census identity over random tied " +
+    "samples; empty sides NULL") {
+    import graft.operators.Analytics
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(a: Seq[Long], b: Seq[Long]): (Long, Long, Option[Double]) = {
+      val n = a.size.toLong; val m = b.size.toLong
+      if (n == 0L || m == 0L) return (n, m, None)
+      val vs = (a ++ b).distinct.sorted
+      var num = BigInt(0)
+      vs.foreach { v =>
+        val av = a.count(_ <= v).toLong; val bv = b.count(_ <= v).toLong
+        val cv = (a.count(_ == v) + b.count(_ == v)).toLong
+        val d = BigInt(av * m - bv * n)
+        num += d * d * cv
+      }
+      (n, m, Some(round6(num.toDouble /
+        (n.toDouble * m.toDouble * (n + m).toDouble * (n + m).toDouble))))
+    }
+    val gen = Gen.zip(
+      Gen.chooseNum(0, 25).flatMap(l => Gen.listOfN(l, Gen.chooseNum(-4L, 4L))),
+      Gen.chooseNum(0, 25).flatMap(l => Gen.listOfN(l, Gen.chooseNum(-4L, 4L))))
+    for (seed <- 0 until 30) {
+      val (a, b) = samples(gen, 1).head
+      val got = Analytics.cramerVonMises(
+        a.toDF("v"), b.toDF("v"), "v").collect().head
+      val (n, m, t) = ref(a, b)
+      assert((got.getLong(0), got.getLong(1)) == ((n, m)), s"seed=$seed n")
+      val gotT = if (got.isNullAt(2)) None else Some(got.getDouble(2))
+      assert(gotT == t, s"seed=$seed T: got $gotT, ref $t")
+    }
+  }
+
   test("cochranArmitage property: (n, k, n_success, z_trend) equal a " +
     "driver-side replica of the cross-multiplied BIGINT identity over " +
     "random dose frames; no-contrast NULL") {
