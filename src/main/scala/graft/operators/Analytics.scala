@@ -3444,7 +3444,10 @@ object Analytics {
     * `__t` ties, `__cp` positives) census — zero differences ride the
     * census as the `__v` = 0 cell (excluded from ranking, counted in
     * n_pairs), so the census is the WHOLE streaming state (st51). */
-  private[graft] def wsrFromCensus(census: DataFrame): DataFrame = {
+  private[graft] def wsrFromCensus(censusRaw: DataFrame): DataFrame = {
+    // two consumers (rank chain + the n_pairs total) — pin so the fact
+    // is scanned once, release after materializing (fleiss discipline)
+    val census = censusRaw.persist()
     val nz = census.filter(col("__v") > 0L)
     val wB = org.apache.spark.sql.expressions.Window
       .orderBy(col("__v").asc)
@@ -3460,7 +3463,7 @@ object Analytics {
       coalesce(sum(col("__t") * col("__t") * col("__t") - col("__t")),
         lit(0L)).as("__st"))
     val tot = census.agg(coalesce(sum(col("__t")), lit(0L)).as("__np"))
-    s.crossJoin(broadcast(tot))
+    val out = s.crossJoin(broadcast(tot))
       .withColumn("__num4",
         (lit(2L) * col("__w2") - col("__n") * (col("__n") + 1L))
           .cast("double"))
@@ -3472,6 +3475,9 @@ object Analytics {
         when(col("__n") > 0L,
           round(col("__num4") / 4.0 / sqrt(col("__var48") / 48.0), 6))
           .as("z"))
+      .localCheckpoint(true)
+    census.unpersist()
+    out
   }
 
   /** Jonckheere-Terpstra trend test — the ORDERED-alternative Kruskal-
@@ -3688,14 +3694,17 @@ object Analytics {
   /** [[cramerVonMises]]'s finalization over the (value `__v`, `__ca`,
     * `__cb`) census — the st41/st43 census-state convention, so st55
     * can hold the two-sided value census as streaming state. */
-  private[graft] def cvmFromCensus(census: DataFrame): DataFrame = {
+  private[graft] def cvmFromCensus(censusRaw: DataFrame): DataFrame = {
+    // two consumers (the totals + the cumulative chain) — pin so each
+    // input side is scanned once, release after materializing
+    val census = censusRaw.persist()
     val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
       .rowsBetween(
         org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val tot = census.agg(
       coalesce(sum(col("__ca")), lit(0L)).as("__n"),
       coalesce(sum(col("__cb")), lit(0L)).as("__m"))
-    census
+    val out = census
       .withColumn("__A", sum(col("__ca")).over(w))
       .withColumn("__B", sum(col("__cb")).over(w))
       .crossJoin(broadcast(tot))
@@ -3713,6 +3722,9 @@ object Analytics {
             (col("n_a").cast("double") * col("n_b").cast("double") *
               (col("n_a") + col("n_b")).cast("double") *
               (col("n_a") + col("n_b")).cast("double")), 6)).as("t_cvm"))
+      .localCheckpoint(true)
+    census.unpersist()
+    out
   }
 
   /** Cochran-Armitage trend test — "does success probability move
