@@ -3727,6 +3727,106 @@ object Analytics {
     out
   }
 
+  /** Two-sample effect sizes — the "HOW BIG is the difference" row
+    * every significance test in the toolkit (Welch x188, Mann-Whitney
+    * x91, KS x89, CvM x208) needs beside it, since at 100 TB everything
+    * is significant:
+    *   Cohen's d  = (m_a − m_b)/s_pooled      (standardized mean shift)
+    *   Hedges' g  = d·(1 − 3/(4N − 9))        (small-sample unbias)
+    *   Cliff's δ  = (#[a>b] − #[a<b])/(n·m)   (ordinal dominance)
+    * δ is the distribution-free companion: it survives outliers and
+    * reads directly as P(a>b) − P(a<b).
+    *
+    * Determinism: sums Σv are BIGINT and Σv² accumulates in EXACT
+    * decimal(38) (the [[cramerVonMises]] rule — a double sum would
+    * drift with partition order); δ's pair counts come off the pooled
+    * value census as exact BIGINT cumulative products; each statistic
+    * is ONE fixed float tree, round 6. d and g are NULL when either
+    * side is empty, n + m < 3, or the pooled variance is 0; δ is NULL
+    * only when a side is empty. Output: one row
+    * (n_a, n_b, cohens_d, hedges_g, cliffs_delta).
+    *
+    * Overflow headroom (the x75 rule): Σv² ≤ N·v² must fit 38 digits —
+    * |v| ≲ 10¹⁵ at a billion rows; δ's products are ≤ n·m (< 2⁶³ for
+    * N < 3·10⁹).
+    *
+    * Scale shape: each side is touched once (value-census groupBy);
+    * everything downstream — moments and the dominance window — runs
+    * over the DISTINCT-value census. Nothing row-scale shuffles.
+    */
+  def effectSizes(a: DataFrame, b: DataFrame,
+                  valueCol: String): DataFrame = {
+    def cen(df: DataFrame, out: String) = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as(out))
+    esFromCensus(cen(a, "__ca")
+      .join(cen(b, "__cb"), Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb")))
+  }
+
+  /** [[effectSizes]]'s finalization over the (value `__v`, `__ca`,
+    * `__cb`) census — the SAME census shape [[cvmFromCensus]] holds, so
+    * st56 can carry one state for both monitors. */
+  private[graft] def esFromCensus(censusRaw: DataFrame): DataFrame = {
+    val census = censusRaw.persist()
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val moments = census.agg(
+      coalesce(sum(col("__ca")), lit(0L)).as("__n"),
+      coalesce(sum(col("__cb")), lit(0L)).as("__m"),
+      coalesce(sum(col("__ca") * col("__v")), lit(0L)).as("__sa"),
+      coalesce(sum(col("__cb") * col("__v")), lit(0L)).as("__sb"),
+      coalesce(sum(col("__ca").cast("decimal(19,0)") *
+          col("__v").cast("decimal(19,0)") *
+          col("__v").cast("decimal(19,0)")),
+        lit(0L).cast("decimal(38,0)")).as("__qa"),
+      coalesce(sum(col("__cb").cast("decimal(19,0)") *
+          col("__v").cast("decimal(19,0)") *
+          col("__v").cast("decimal(19,0)")),
+        lit(0L).cast("decimal(38,0)")).as("__qb"))
+    // dominance counts: a-value strictly above / below every b-value
+    // seen so far in value order — census-scale cumulative products
+    val dom = census
+      .withColumn("__bBelow", coalesce(sum(col("__cb")).over(w), lit(0L)))
+      .crossJoin(broadcast(moments.select(col("__m").as("__mm"))))
+      .agg(
+        coalesce(sum(col("__ca") * col("__bBelow")), lit(0L)).as("__gt"),
+        coalesce(sum(col("__ca") *
+          (col("__mm") - col("__bBelow") - col("__cb"))),
+          lit(0L)).as("__lt"))
+    val out = moments.crossJoin(broadcast(dom))
+      .withColumn("__ma", col("__sa").cast("double") / col("__n").cast("double"))
+      .withColumn("__mb", col("__sb").cast("double") / col("__m").cast("double"))
+      .withColumn("__ssa", col("__qa").cast("double") -
+        col("__sa").cast("double") * col("__sa").cast("double") /
+          col("__n").cast("double"))
+      .withColumn("__ssb", col("__qb").cast("double") -
+        col("__sb").cast("double") * col("__sb").cast("double") /
+          col("__m").cast("double"))
+      .withColumn("__s2",
+        (col("__ssa") + col("__ssb")) /
+          (col("__n") + col("__m") - 2L).cast("double"))
+      .withColumn("__d",
+        when(col("__n") > 0L && col("__m") > 0L &&
+            col("__n") + col("__m") > 2L && col("__s2") > 0.0,
+          (col("__ma") - col("__mb")) / sqrt(col("__s2"))))
+      .select(col("__n").as("n_a"), col("__m").as("n_b"),
+        round(col("__d"), 6).as("cohens_d"),
+        round(col("__d") * (lit(1.0) - lit(3.0) /
+          (lit(4.0) * (col("__n") + col("__m")).cast("double") - 9.0)), 6)
+          .as("hedges_g"),
+        when(col("__n") > 0L && col("__m") > 0L,
+          round((col("__gt") - col("__lt")).cast("double") /
+            (col("__n").cast("double") * col("__m").cast("double")), 6))
+          .as("cliffs_delta"))
+      .localCheckpoint(true)
+    census.unpersist()
+    out
+  }
+
   /** Cochran-Armitage trend test — "does success probability move
     * MONOTONICALLY with the ordered dose": the 2×k test that spends its
     * single degree of freedom on the ordering a plain χ² (x82) throws

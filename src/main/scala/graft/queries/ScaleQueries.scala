@@ -8548,6 +8548,42 @@ object ScaleQueries {
     },
       Some(cvmOracleSql)),
 
+    // Effect sizes (x209): HOW BIG is the urgent-vs-low price shift
+    // that x208 tests for — Cohen's d / Hedges' g / Cliff's delta off
+    // the same pooled value census, exact BIGINT + decimal(38) moments
+    // with one fixed float tree per statistic. At 100 TB everything is
+    // "significant"; this row is what decides if anyone should care.
+    QuerySpec("x209_effect_sizes", (s, d) => {
+      val o = t(s, d, "orders").filter(col("o_totalprice").isNotNull)
+        .select(col("o_orderpriority").as("pr"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      graft.operators.Analytics.effectSizes(
+        o.filter(col("pr") === "1-URGENT").select(col("cents")),
+        o.filter(col("pr") === "5-LOW").select(col("cents")),
+        "cents")
+    },
+      Some(esOracleSql)),
+
+    // STREAMING effect sizes (st56): the identical census state st55
+    // holds — one state, two monitors — finalized by esFromCensus
+    // verbatim; graded on x209's oracle.
+    QuerySpec("st56_stream_effect_sizes", (s, d) => {
+      val schema = s.read.parquet(s"$d/orders.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+      val rows = raw
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(round(col("o_totalprice") * 100, 0).cast("long")
+            .as("cents"),
+          (col("o_orderpriority") === "5-LOW").as("side"))
+      Streams.runStreamingEffectSizesAvailableNow(s, rows, "cents",
+        "side", s"graft_es_$run", ckpt)
+    },
+      Some(esOracleSql)),
+
     // LogTable schema evolution (x207): the append carries a NEW
     // nullable column; the manifest records each version's schema
     // (Spark DDL), so the latest read null-fills the old files and a
@@ -8597,6 +8633,52 @@ object ScaleQueries {
              |  CAST(sum(cents) AS BIGINT) sum_cents
              |FROM b""".stripMargin))
   )
+
+  /** Shared by x209 (batch) and st56 (streaming): effect sizes over the
+    * urgent-vs-low pooled census — BIGINT/HUGEINT exact moments and
+    * dominance counts, each statistic one fixed IEEE tree mirroring
+    * [[graft.operators.Analytics.esFromCensus]]. */
+  private lazy val esOracleSql: String =
+    """WITH o AS (SELECT o_orderpriority pr,
+      |    CAST(round(o_totalprice*100, 0) AS BIGINT) v FROM orders
+      |  WHERE o_totalprice IS NOT NULL),
+      |ca AS (SELECT v, CAST(count(*) AS BIGINT) ca FROM o
+      |  WHERE pr = '1-URGENT' GROUP BY 1),
+      |cb AS (SELECT v, CAST(count(*) AS BIGINT) cb FROM o
+      |  WHERE pr = '5-LOW' GROUP BY 1),
+      |mg AS (SELECT coalesce(ca.v, cb.v) v, coalesce(ca, 0) ca,
+      |    coalesce(cb, 0) cb FROM ca FULL JOIN cb ON ca.v = cb.v),
+      |mm AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) n,
+      |    CAST(coalesce(sum(cb), 0) AS BIGINT) m,
+      |    CAST(coalesce(sum(ca*v), 0) AS BIGINT) sa,
+      |    CAST(coalesce(sum(cb*v), 0) AS BIGINT) sb,
+      |    coalesce(sum(CAST(ca AS HUGEINT)*v*v), 0) qa,
+      |    coalesce(sum(CAST(cb AS HUGEINT)*v*v), 0) qb FROM mg),
+      |dm AS (SELECT ca, cb, CAST(coalesce(sum(cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) bb FROM mg),
+      |dd AS (SELECT CAST(coalesce(sum(ca*bb), 0) AS BIGINT) gt,
+      |    CAST(coalesce(sum(ca*(m - bb - cb)), 0) AS BIGINT) lt
+      |  FROM dm, mm),
+      |f AS (SELECT n, m, gt, lt,
+      |    CAST(sa AS DOUBLE)/CAST(n AS DOUBLE) ma,
+      |    CAST(sb AS DOUBLE)/CAST(m AS DOUBLE) mb,
+      |    ((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE)*CAST(sa AS DOUBLE)
+      |       /CAST(n AS DOUBLE))
+      |     + (CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE)*CAST(sb AS DOUBLE)
+      |       /CAST(m AS DOUBLE))) / CAST(n + m - 2 AS DOUBLE) s2
+      |  FROM mm, dd),
+      |g AS (SELECT n, m, gt, lt,
+      |    CASE WHEN n > 0 AND m > 0 AND n + m > 2 AND s2 > 0
+      |      THEN (ma - mb)/sqrt(s2) END d FROM f)
+      |SELECT n n_a, m n_b, round(d, 6) cohens_d,
+      |  round(d * (1.0 - 3.0/(4.0*CAST(n + m AS DOUBLE) - 9.0)), 6)
+      |    hedges_g,
+      |  CASE WHEN n > 0 AND m > 0 THEN
+      |    round(CAST(gt - lt AS DOUBLE) /
+      |      (CAST(n AS DOUBLE)*CAST(m AS DOUBLE)), 6)
+      |  END cliffs_delta
+      |FROM g""".stripMargin
 
   /** Shared by x208 (batch) and st55 (streaming): Cramér-von Mises over
     * urgent-vs-low order totals, the exact-integer census numerator

@@ -1378,6 +1378,29 @@ class AnalyticsSpec extends SparkSpec {
     assert(re.getLong(1) == 0L && re.isNullAt(2))
   }
 
+  test("effectSizes: exact-moment Cohen's d / Hedges' g and census " +
+    "dominance Cliff's delta; degenerate inputs NULL") {
+    // a = [1,2], b = [2,3]: d = -1/sqrt(.5), g = d*4/7, delta = -3/4
+    val a = Seq(1L, 2L).toDF("v")
+    val b = Seq(2L, 3L).toDF("v")
+    val r = Analytics.effectSizes(a, b, "v").collect().head
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d = -1.0 / math.sqrt(0.5)
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getDouble(2) == r6(d))
+    assert(r.getDouble(3) == r6(d * (1.0 - 3.0 / 7.0)))
+    assert(r.getDouble(4) == -0.75)
+    // constant samples: zero pooled variance -> NULL d/g, delta 0
+    val flat = Seq(5L, 5L).toDF("v")
+    val rf = Analytics.effectSizes(flat, flat, "v").collect().head
+    assert(rf.isNullAt(2) && rf.isNullAt(3) && rf.getDouble(4) == 0.0)
+    // empty side: everything NULL
+    val re = Analytics.effectSizes(a, a.filter(col("v") > 99L), "v")
+      .collect().head
+    assert(re.isNullAt(2) && re.isNullAt(3) && re.isNullAt(4))
+  }
+
   test("cochranArmitage: cross-multiplied BIGINT trend z; NULL on " +
     "no-contrast and single-dose inputs") {
     // doses 0,1,2 with (n,r) = (10,1),(10,5),(10,9): N=30, R=15,

@@ -794,6 +794,52 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("effectSizes property: (n_a, n_b, d, g, delta) equal a " +
+    "driver-side replica of the exact-moment and census-dominance " +
+    "identities over random tied samples") {
+    import graft.operators.Analytics
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(a: Seq[Long], b: Seq[Long])
+        : (Long, Long, Option[Double], Option[Double], Option[Double]) = {
+      val n = a.size.toLong; val m = b.size.toLong
+      val dOpt = if (n > 0 && m > 0 && n + m > 2) {
+        val (sa, sb) = (a.sum, b.sum)
+        val qa = a.map(v => BigInt(v) * v).sum
+        val qb = b.map(v => BigInt(v) * v).sum
+        val ssa = qa.toDouble - sa.toDouble * sa.toDouble / n.toDouble
+        val ssb = qb.toDouble - sb.toDouble * sb.toDouble / m.toDouble
+        val s2 = (ssa + ssb) / (n + m - 2L).toDouble
+        if (s2 > 0.0)
+          Some((sa.toDouble / n.toDouble - sb.toDouble / m.toDouble) /
+            math.sqrt(s2))
+        else None
+      } else None
+      val delta = if (n > 0 && m > 0) {
+        val gt = a.map(x => b.count(_ < x).toLong).sum
+        val lt = a.map(x => b.count(_ > x).toLong).sum
+        Some(round6((gt - lt).toDouble / (n.toDouble * m.toDouble)))
+      } else None
+      (n, m, dOpt.map(round6),
+        dOpt.map(d => round6(d *
+          (1.0 - 3.0 / (4.0 * (n + m).toDouble - 9.0)))), delta)
+    }
+    val gen = Gen.zip(
+      Gen.chooseNum(0, 25).flatMap(l => Gen.listOfN(l, Gen.chooseNum(-4L, 4L))),
+      Gen.chooseNum(0, 25).flatMap(l => Gen.listOfN(l, Gen.chooseNum(-4L, 4L))))
+    for (seed <- 0 until 30) {
+      val (a, b) = samples(gen, 1).head
+      val got = Analytics.effectSizes(
+        a.toDF("v"), b.toDF("v"), "v").collect().head
+      val (n, m, d, g, delta) = ref(a, b)
+      assert((got.getLong(0), got.getLong(1)) == ((n, m)), s"seed=$seed n")
+      def opt(i: Int) = if (got.isNullAt(i)) None else Some(got.getDouble(i))
+      assert(opt(2) == d, s"seed=$seed d: got ${opt(2)}, ref $d")
+      assert(opt(3) == g, s"seed=$seed g: got ${opt(3)}, ref $g")
+      assert(opt(4) == delta, s"seed=$seed delta: got ${opt(4)}, ref $delta")
+    }
+  }
+
   test("cochranArmitage property: (n, k, n_success, z_trend) equal a " +
     "driver-side replica of the cross-multiplied BIGINT identity over " +
     "random dose frames; no-contrast NULL") {
