@@ -750,6 +750,27 @@ object LogTable {
         abs(col("__net")).as("n_rows")): _*)
   }
 
+  /** RESTORE the table to retained version `toVersion` — as a NEW
+    * commit whose live set, stats columns, and schema are the target
+    * version's, byte-for-byte (Delta's RESTORE semantics): pure
+    * metadata, ZERO data I/O, itself undoable by restoring forward
+    * again, and the history between stays time-travelable until
+    * [[vacuum]]. The restored head re-references the old files, so a
+    * later vacuum retains them. Fails loudly when the target was
+    * vacuumed away — a restore must never silently produce a torn mix.
+    * Returns the committed version. */
+  def restore(spark: SparkSession, tableRoot: String,
+              toVersion: Long): Long =
+    TableLog.withLock(spark, tableRoot, "restore") {
+      val v = TableLog.currentVersion(spark, tableRoot)
+      require(v > 0L, s"LogTable.restore: $tableRoot has no manifest")
+      require(toVersion >= 1L && toVersion <= v,
+        s"LogTable.restore: version $toVersion outside [1, $v]")
+      val target = manifest(spark, tableRoot, toVersion)
+      writeManifest(spark, tableRoot, s"restore:v$toVersion",
+        target.statsCols, target.schemaDdl, target.parts)
+    }
+
   /** Reclaim files no retained manifest references, keeping the newest
     * `keepLast` versions (and their time-travel reads) intact. The
     * retention contract is Delta's: `keepLast` must cover the longest

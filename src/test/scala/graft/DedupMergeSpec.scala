@@ -1153,6 +1153,48 @@ class DedupMergeSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
 
+  test("LogTable RESTORE: rolls the head back to a retained version " +
+    "byte-exactly with zero data I/O, the undone history still " +
+    "time-travels, the restore itself is undoable, and a vacuumed " +
+    "target fails loudly") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_ltrs")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "value").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+    LogTable.init(entries(("a1", "x", d, 1.0), ("a2", "x", d, 2.0)), root)
+    LogTable.replacePartitions(spark, root,
+      entries(("a1", "y", d, 10.0)))
+    val dataFilesBefore = fs.listStatus(new org.apache.hadoop.fs.Path(
+      root, s"start_date_oslo=$d")).map(_.getPath.getName).toSet
+    val v3 = LogTable.restore(spark, root, 1L)
+    assert(v3 == 3L)
+    // zero data I/O: not one data file appeared
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(root,
+      s"start_date_oslo=$d")).map(_.getPath.getName).toSet ==
+      dataFilesBefore)
+    // head == v1 byte-exactly; the undone v2 still time-travels
+    assert(rows(LogTable.read(spark, root)) ==
+      Set(("a1", 1.0), ("a2", 2.0)))
+    assert(rows(LogTable.read(spark, root, Some(2L))) ==
+      Set(("a1", 10.0)))
+    // restore forward again: undo the undo
+    LogTable.restore(spark, root, 2L)
+    assert(rows(LogTable.read(spark, root)) == Set(("a1", 10.0)))
+    // vacuum to the head only, then restoring to a reclaimed version
+    // fails loudly instead of committing a torn live set
+    LogTable.vacuum(spark, root, keepLast = 1)
+    val e = intercept[RuntimeException] {
+      LogTable.restore(spark, root, 1L)
+    }
+    assert(e.getMessage.contains("not retained"))
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
   test("LogTable OPTIMIZE ZORDER: arrival-order appends leave every " +
     "zone spanning the full range (skipping prunes nothing); the " +
     "z-order rewrite tightens zones so the same probe plans fewer " +
