@@ -3727,6 +3727,113 @@ object Analytics {
     out
   }
 
+  /** Brunner-Munzel test — the modern replacement for Mann-Whitney
+    * (x91) when the two samples may have UNEQUAL variances/shapes (the
+    * rank-world Welch, as welchT x188 is to Student's t): tests
+    * P(X < Y) + ½P(X = Y) = ½ using pooled-vs-within rank differences,
+    *   Ŝ_g² = Σ(R − R_g − R̄ + (n_g+1)/2)²/(n_g−1),
+    *   W = n·m·(R̄_y − R̄_x) / (N·√(n·Ŝ_x² + m·Ŝ_y²)),
+    * plus the stochastic-superiority estimate p̂ = (R̄_y − (m+1)/2)/n
+    * itself — the effect the test is about.
+    *
+    * Determinism: doubled pooled and within-group midranks are exact
+    * BIGINTs off the value census; the per-cell deviation scaled by
+    * 2n_g — T = n_g(2R − 2R_g) − ΣR2_g + n_g(n_g+1) — is an exact
+    * BIGINT, its square accumulates in exact decimal(38) (the
+    * [[cramerVonMises]] rule), and W/p̂ are ONE fixed float tree each,
+    * round 6. W is NULL when either side has < 2 rows or the rank
+    * variance is 0 (every value tied); p̂ needs only nonempty sides.
+    * Output: one row (n_a, n_b, p_hat, w_bm).
+    *
+    * Overflow headroom (the x75 rule): T ≤ 2nN so c·T² ≤ 4N⁵ must fit
+    * 38 digits — N ≲ 10⁷ rows per call.
+    *
+    * Scale shape: each side is touched once (value-census groupBy); the
+    * three cumulative windows run over the DISTINCT-value census in one
+    * pass. Nothing row-scale shuffles.
+    */
+  def brunnerMunzel(a: DataFrame, b: DataFrame,
+                    valueCol: String): DataFrame = {
+    def cen(df: DataFrame, out: String) = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as(out))
+    bmFromCensus(cen(a, "__ca")
+      .join(cen(b, "__cb"), Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb")))
+  }
+
+  /** [[brunnerMunzel]]'s finalization over the (value `__v`, `__ca`,
+    * `__cb`) census — the same census shape st55/st56 hold, so st57
+    * carries one more monitor on the identical state. */
+  private[graft] def bmFromCensus(censusRaw: DataFrame): DataFrame = {
+    val census = censusRaw.persist()
+    val wB = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    // doubled midranks: pooled and within each sample, one window pass
+    val ranked = census
+      .withColumn("__cbAll",
+        coalesce(sum(col("__ca") + col("__cb")).over(wB), lit(0L)))
+      .withColumn("__cbA", coalesce(sum(col("__ca")).over(wB), lit(0L)))
+      .withColumn("__cbB", coalesce(sum(col("__cb")).over(wB), lit(0L)))
+      .select(col("__ca"), col("__cb"),
+        (lit(2L) * col("__cbAll") + col("__ca") + col("__cb") + 1L)
+          .as("__r2"),
+        (lit(2L) * col("__cbA") + col("__ca") + 1L).as("__ra2"),
+        (lit(2L) * col("__cbB") + col("__cb") + 1L).as("__rb2"))
+      .persist()
+    val sums = ranked.agg(
+      coalesce(sum(col("__ca")), lit(0L)).as("__n"),
+      coalesce(sum(col("__cb")), lit(0L)).as("__m"),
+      coalesce(sum(col("__ca") * col("__r2")), lit(0L)).as("__sra"),
+      coalesce(sum(col("__cb") * col("__r2")), lit(0L)).as("__srb"))
+    val devA = col("__n") * (col("__r2") - col("__ra2")) -
+      col("__sra") + col("__n") * (col("__n") + 1L)
+    val devB = col("__m") * (col("__r2") - col("__rb2")) -
+      col("__srb") + col("__m") * (col("__m") + 1L)
+    val out = ranked.crossJoin(broadcast(sums))
+      .agg(
+        coalesce(sum(col("__ca").cast("decimal(19,0)") *
+            devA.cast("decimal(19,0)") * devA.cast("decimal(19,0)")),
+          lit(0L).cast("decimal(38,0)")).as("__qa"),
+        coalesce(sum(col("__cb").cast("decimal(19,0)") *
+            devB.cast("decimal(19,0)") * devB.cast("decimal(19,0)")),
+          lit(0L).cast("decimal(38,0)")).as("__qb"),
+        coalesce(min(col("__n")), lit(0L)).as("n_a"),
+        coalesce(min(col("__m")), lit(0L)).as("n_b"),
+        coalesce(min(col("__sra")), lit(0L)).as("__sra"),
+        coalesce(min(col("__srb")), lit(0L)).as("__srb"))
+      .withColumn("__ma",
+        col("__sra").cast("double") / (lit(2.0) * col("n_a").cast("double")))
+      .withColumn("__mb",
+        col("__srb").cast("double") / (lit(2.0) * col("n_b").cast("double")))
+      // Ŝ² = Q/((n−1)·4n²), as doubles to dodge the n³ long ceiling
+      .withColumn("__s2a", col("__qa").cast("double") /
+        ((col("n_a") - 1L).cast("double") * 4.0 *
+          col("n_a").cast("double") * col("n_a").cast("double")))
+      .withColumn("__s2b", col("__qb").cast("double") /
+        ((col("n_b") - 1L).cast("double") * 4.0 *
+          col("n_b").cast("double") * col("n_b").cast("double")))
+      .withColumn("__den",
+        sqrt(col("n_a").cast("double") * col("__s2a") +
+          col("n_b").cast("double") * col("__s2b")))
+      .select(col("n_a"), col("n_b"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          round((col("__mb") - (col("n_b") + 1L).cast("double") / 2.0) /
+            col("n_a").cast("double"), 6)).as("p_hat"),
+        when(col("n_a") > 1L && col("n_b") > 1L && col("__den") > 0.0,
+          round(col("n_a").cast("double") * col("n_b").cast("double") *
+            (col("__mb") - col("__ma")) /
+            ((col("n_a") + col("n_b")).cast("double") * col("__den")), 6))
+          .as("w_bm"))
+      .localCheckpoint(true)
+    ranked.unpersist()
+    census.unpersist()
+    out
+  }
+
   /** Two-sample effect sizes — the "HOW BIG is the difference" row
     * every significance test in the toolkit (Welch x188, Mann-Whitney
     * x91, KS x89, CvM x208) needs beside it, since at 100 TB everything

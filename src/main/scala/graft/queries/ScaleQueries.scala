@@ -8548,6 +8548,43 @@ object ScaleQueries {
     },
       Some(cvmOracleSql)),
 
+    // Brunner-Munzel (x211): the rank-world Welch — the urgent-vs-low
+    // price comparison AGAIN but robust to the two priorities having
+    // different spread/shape (Mann-Whitney x91 assumes exchangeable
+    // shapes under H0; this doesn't), completing the triptych with
+    // x208 (different?) and x209 (how big?). Doubled pooled/within
+    // midranks exact BIGINT, squared deviations in exact decimal(38).
+    QuerySpec("x211_brunner_munzel", (s, d) => {
+      val o = t(s, d, "orders").filter(col("o_totalprice").isNotNull)
+        .select(col("o_orderpriority").as("pr"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      graft.operators.Analytics.brunnerMunzel(
+        o.filter(col("pr") === "1-URGENT").select(col("cents")),
+        o.filter(col("pr") === "5-LOW").select(col("cents")),
+        "cents")
+    },
+      Some(bmOracleSql)),
+
+    // STREAMING Brunner-Munzel (st57): the identical census state
+    // st55/st56 hold — one state, three monitors — finalized by
+    // bmFromCensus verbatim; graded on x211's oracle.
+    QuerySpec("st57_stream_brunner_munzel", (s, d) => {
+      val schema = s.read.parquet(s"$d/orders.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+      val rows = raw
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(round(col("o_totalprice") * 100, 0).cast("long")
+            .as("cents"),
+          (col("o_orderpriority") === "5-LOW").as("side"))
+      Streams.runStreamingBrunnerMunzelAvailableNow(s, rows, "cents",
+        "side", s"graft_bm_$run", ckpt)
+    },
+      Some(bmOracleSql)),
+
     // LogTable RESTORE (x210): roll the head back to v1 as a NEW commit
     // — pure metadata, zero data files written (graded: the data-file
     // count delta across the restore is 0), the head re-reads v1
@@ -8687,6 +8724,65 @@ object ScaleQueries {
              |  CAST(sum(cents) AS BIGINT) sum_cents
              |FROM b""".stripMargin))
   )
+
+  /** Shared by x211 (batch) and st57 (streaming): Brunner-Munzel over
+    * the urgent-vs-low pooled census — doubled midranks and the
+    * 2n-scaled deviations exact BIGINT, squares in HUGEINT, W/p̂ one
+    * fixed IEEE tree each mirroring
+    * [[graft.operators.Analytics.bmFromCensus]]. */
+  private lazy val bmOracleSql: String =
+    """WITH o AS (SELECT o_orderpriority pr,
+      |    CAST(round(o_totalprice*100, 0) AS BIGINT) v FROM orders
+      |  WHERE o_totalprice IS NOT NULL),
+      |ca AS (SELECT v, CAST(count(*) AS BIGINT) ca FROM o
+      |  WHERE pr = '1-URGENT' GROUP BY 1),
+      |cb AS (SELECT v, CAST(count(*) AS BIGINT) cb FROM o
+      |  WHERE pr = '5-LOW' GROUP BY 1),
+      |mg AS (SELECT coalesce(ca.v, cb.v) v, coalesce(ca, 0) ca,
+      |    coalesce(cb, 0) cb FROM ca FULL JOIN cb ON ca.v = cb.v),
+      |rk AS (SELECT ca, cb,
+      |    2*CAST(coalesce(sum(ca + cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) + ca + cb + 1 r2,
+      |    2*CAST(coalesce(sum(ca) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) + ca + 1 ra2,
+      |    2*CAST(coalesce(sum(cb) OVER (ORDER BY v
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) + cb + 1 rb2
+      |  FROM mg),
+      |sm AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) n,
+      |    CAST(coalesce(sum(cb), 0) AS BIGINT) m,
+      |    CAST(coalesce(sum(ca*r2), 0) AS BIGINT) sra,
+      |    CAST(coalesce(sum(cb*r2), 0) AS BIGINT) srb FROM rk),
+      |qq AS (SELECT
+      |    coalesce(sum(CAST(ca AS HUGEINT) *
+      |      (n*(r2 - ra2) - sra + n*(n + 1)) *
+      |      (n*(r2 - ra2) - sra + n*(n + 1))), 0) qa,
+      |    coalesce(sum(CAST(cb AS HUGEINT) *
+      |      (m*(r2 - rb2) - srb + m*(m + 1)) *
+      |      (m*(r2 - rb2) - srb + m*(m + 1))), 0) qb
+      |  FROM rk, sm),
+      |f AS (SELECT n, m,
+      |    CAST(sra AS DOUBLE)/(2.0*CAST(n AS DOUBLE)) ma,
+      |    CAST(srb AS DOUBLE)/(2.0*CAST(m AS DOUBLE)) mb,
+      |    CAST(qa AS DOUBLE)/(CAST(n - 1 AS DOUBLE)*4.0*
+      |      CAST(n AS DOUBLE)*CAST(n AS DOUBLE)) s2a,
+      |    CAST(qb AS DOUBLE)/(CAST(m - 1 AS DOUBLE)*4.0*
+      |      CAST(m AS DOUBLE)*CAST(m AS DOUBLE)) s2b
+      |  FROM sm, qq),
+      |g AS (SELECT n, m, ma, mb,
+      |    sqrt(CAST(n AS DOUBLE)*s2a + CAST(m AS DOUBLE)*s2b) den
+      |  FROM f)
+      |SELECT n n_a, m n_b,
+      |  CASE WHEN n > 0 AND m > 0 THEN
+      |    round((mb - CAST(m + 1 AS DOUBLE)/2.0)/CAST(n AS DOUBLE), 6)
+      |  END p_hat,
+      |  CASE WHEN n > 1 AND m > 1 AND den > 0 THEN
+      |    round(CAST(n AS DOUBLE)*CAST(m AS DOUBLE)*(mb - ma) /
+      |      (CAST(n + m AS DOUBLE)*den), 6)
+      |  END w_bm
+      |FROM g""".stripMargin
 
   /** Shared by x209 (batch) and st56 (streaming): effect sizes over the
     * urgent-vs-low pooled census — BIGINT/HUGEINT exact moments and

@@ -1401,6 +1401,27 @@ class AnalyticsSpec extends SparkSpec {
     assert(re.isNullAt(2) && re.isNullAt(3) && re.isNullAt(4))
   }
 
+  test("brunnerMunzel: doubled pooled/within midranks give the exact " +
+    "rank-variance statistic; all-tie and tiny inputs NULL") {
+    // x = [1,2], y = [2,3]: mx = 1.75, my = 3.25, Sx = Sy = 0.125
+    // W = 4*1.5/(4*sqrt(0.5)) = 2.121320, p_hat = (3.25-1.5)/2 = 0.875
+    val x = Seq(1L, 2L).toDF("v")
+    val y = Seq(2L, 3L).toDF("v")
+    val r = Analytics.brunnerMunzel(x, y, "v").collect().head
+    def r6(d: Double) = BigDecimal(d)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getDouble(2) == 0.875)
+    assert(r.getDouble(3) == r6(6.0 / (4.0 * math.sqrt(0.5))))
+    // every value tied: rank variance 0 -> NULL W, p_hat = 0.5
+    val flat = Seq(7L, 7L).toDF("v")
+    val rf = Analytics.brunnerMunzel(flat, flat, "v").collect().head
+    assert(rf.getDouble(2) == 0.5 && rf.isNullAt(3))
+    // a 1-row side: variance undefined -> NULL W
+    assert(Analytics.brunnerMunzel(Seq(1L).toDF("v"), y, "v")
+      .collect().head.isNullAt(3))
+  }
+
   test("cochranArmitage: cross-multiplied BIGINT trend z; NULL on " +
     "no-contrast and single-dose inputs") {
     // doses 0,1,2 with (n,r) = (10,1),(10,5),(10,9): N=30, R=15,

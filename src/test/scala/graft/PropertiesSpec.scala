@@ -840,6 +840,58 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("brunnerMunzel property: (n_a, n_b, p_hat, W) equal a " +
+    "driver-side midrank replica over random tied samples") {
+    import graft.operators.Analytics
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def mid(all: Seq[Long], v: Long): Double =
+      all.count(_ < v).toDouble + (all.count(_ == v).toDouble + 1.0) / 2.0
+    def ref(a: Seq[Long], b: Seq[Long])
+        : (Long, Long, Option[Double], Option[Double]) = {
+      val n = a.size.toLong; val m = b.size.toLong
+      if (n == 0L || m == 0L) return (n, m, None, None)
+      val pool = a ++ b
+      // engine float trees: means from the doubled rank sums, variances
+      // from the 2n-scaled integer deviations — replicate exactly
+      val sra = a.map(v => math.round(2.0 * mid(pool, v))).sum
+      val srb = b.map(v => math.round(2.0 * mid(pool, v))).sum
+      val ma = sra.toDouble / (2.0 * n.toDouble)
+      val mb = srb.toDouble / (2.0 * m.toDouble)
+      val pHat = Some(round6((mb - (m + 1L).toDouble / 2.0) / n.toDouble))
+      if (n < 2L || m < 2L) return (n, m, pHat, None)
+      def q(s: Seq[Long], sr: Long, ng: Long): BigInt =
+        s.map { v =>
+          val t = BigInt(ng) * (math.round(2.0 * mid(pool, v)) -
+            math.round(2.0 * mid(s, v))) - sr + ng * (ng + 1L)
+          t * t
+        }.sum
+      val s2a = q(a, sra, n).toDouble /
+        ((n - 1L).toDouble * 4.0 * n.toDouble * n.toDouble)
+      val s2b = q(b, srb, m).toDouble /
+        ((m - 1L).toDouble * 4.0 * m.toDouble * m.toDouble)
+      val den = math.sqrt(n.toDouble * s2a + m.toDouble * s2b)
+      val w = if (den > 0.0)
+        Some(round6(n.toDouble * m.toDouble * (mb - ma) /
+          ((n + m).toDouble * den)))
+      else None
+      (n, m, pHat, w)
+    }
+    val gen = Gen.zip(
+      Gen.chooseNum(0, 25).flatMap(l => Gen.listOfN(l, Gen.chooseNum(-4L, 4L))),
+      Gen.chooseNum(0, 25).flatMap(l => Gen.listOfN(l, Gen.chooseNum(-4L, 4L))))
+    for (seed <- 0 until 30) {
+      val (a, b) = samples(gen, 1).head
+      val got = Analytics.brunnerMunzel(
+        a.toDF("v"), b.toDF("v"), "v").collect().head
+      val (n, m, p, w) = ref(a, b)
+      assert((got.getLong(0), got.getLong(1)) == ((n, m)), s"seed=$seed n")
+      def opt(i: Int) = if (got.isNullAt(i)) None else Some(got.getDouble(i))
+      assert(opt(2) == p, s"seed=$seed p_hat: got ${opt(2)}, ref $p")
+      assert(opt(3) == w, s"seed=$seed W: got ${opt(3)}, ref $w")
+    }
+  }
+
   test("cochranArmitage property: (n, k, n_success, z_trend) equal a " +
     "driver-side replica of the cross-multiplied BIGINT identity over " +
     "random dose frames; no-contrast NULL") {
