@@ -456,6 +456,40 @@ object LogTable {
     else spark.read.option("basePath", tableRoot).parquet(files: _*)
   }
 
+  /** Multi-column data skipping: plan only files whose zone maps can
+    * contain a row satisfying EVERY [lo, hi] predicate at once — the
+    * conjunction prunes the INTERSECTION of the per-column survivor
+    * sets in one manifest walk, which is exactly what
+    * [[optimizeZorder]]'s hyper-rectangle files exist for (a 2-D probe
+    * on a 4-cell tiling plans ONE file where either single-column probe
+    * plans two). Same superset and stat-less-file semantics as
+    * [[readSkipping]];
+    * every probed column must be a declared stats column. */
+  def readSkippingAll(spark: SparkSession, tableRoot: String,
+                      preds: Seq[(String, Double, Double)],
+                      asOf: Option[Long] = None): DataFrame = {
+    require(preds.nonEmpty, "readSkippingAll needs at least one predicate")
+    val v = asOf.getOrElse(TableLog.currentVersion(spark, tableRoot))
+    require(v > 0L,
+      s"LogTable.readSkippingAll: $tableRoot has no committed version")
+    val m = manifest(spark, tableRoot, v)
+    preds.foreach { case (c, _, _) =>
+      require(m.statsCols.contains(c),
+        s"LogTable.readSkippingAll: version $v records zone maps for " +
+          s"[${m.statsCols.mkString(",")}], not $c")
+    }
+    val files = m.parts.toSeq.sortBy(_._1).flatMap { case (p, fl) =>
+      fl.filter(f => preds.forall { case (c, lo, hi) =>
+        f.zones.get(c) match {
+          case Some((mn, mx)) => mx >= lo && mn <= hi
+          case None => true // no stats -> cannot skip safely
+        }
+      }).map(f => s"$tableRoot/$p/${f.file}")
+    }
+    if (files.isEmpty) read(spark, tableRoot, Some(v)).limit(0)
+    else scanFiles(spark, tableRoot, m, files)
+  }
+
   /** OPTIMIZE: bin-pack each partition whose live set holds more than
     * one file under `targetBytes` into ~targetBytes files — the
     * time-travel-safe compaction (vs [[MergeOps]]' rename-based

@@ -8382,11 +8382,12 @@ object ScaleQueries {
     // and want rank binning first — makes each of the 4 new files a
     // quadrant-shaped hyper-rectangle: a low-band probe on EITHER
     // column must plan exactly the 2 files whose quadrant touches that
-    // column's low half (graded exact for BOTH columns — the
-    // cross-dimension pruning a linear sort cannot give; low bands are
-    // immune to the quantile-boundary spill rows, which hug quadrant
-    // EDGES). Rows bit-identical, and the pre-rewrite version still
-    // time-travels to its 3 arrival-order files.
+    // column's low half, and the CONJUNCTIVE 2-D probe
+    // (readSkippingAll) exactly the ONE (low, low) quadrant file —
+    // all three counts exact in the oracle: the cross-dimension pruning
+    // a linear sort cannot give. Rows bit-identical, and the
+    // pre-rewrite version still time-travels to its 3 arrival-order
+    // files.
     QuerySpec("x204_logtable_zorder", (s, d) => {
       val rows = t(s, d, "events").filter(col("event_id") % 3 === 2)
         .select(col("event_id").as("eid"), col("user_id").as("uid"),
@@ -8417,6 +8418,12 @@ object ScaleQueries {
       val uidN = graft.operators.LogTable
         .readSkipping(s, base, "uid", 0.0, uq.toDouble)
         .inputFiles.length.toLong
+      // the conjunction intersects the survivor sets: exactly the one
+      // (eid-low, uid-low) quadrant file — what the tiling exists for
+      val bothN = graft.operators.LogTable
+        .readSkippingAll(s, base,
+          Seq(("eid", 1.0, q.toDouble), ("uid", 0.0, uq.toDouble)))
+        .inputFiles.length.toLong
       val ttFiles = graft.operators.LogTable.read(s, base, Some(preV))
         .inputFiles.length.toLong
       val out = skim.filter(col("eid") <= q)
@@ -8424,6 +8431,7 @@ object ScaleQueries {
         .select(lit(beforeN).as("n_files_probe_before"),
           lit(eidN).as("n_files_eid_after"),
           lit(uidN).as("n_files_uid_after"),
+          lit(bothN).as("n_files_2d_after"),
           lit(ttFiles).as("n_files_timetravel"),
           col("n_rows"), col("sum_cents"))
         .localCheckpoint(true)
@@ -8439,6 +8447,7 @@ object ScaleQueries {
              |SELECT CAST(3 AS BIGINT) n_files_probe_before,
              |  CAST(2 AS BIGINT) n_files_eid_after,
              |  CAST(2 AS BIGINT) n_files_uid_after,
+             |  CAST(1 AS BIGINT) n_files_2d_after,
              |  CAST(3 AS BIGINT) n_files_timetravel,
              |  CAST(count(*) AS BIGINT) n_rows,
              |  CAST(sum(cents) AS BIGINT) sum_cents

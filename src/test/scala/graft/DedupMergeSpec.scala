@@ -1212,7 +1212,8 @@ class DedupMergeSpec extends SparkSpec {
     def slice(m: Int) = (1 to 60).filter(_ % 3 == m)
       .map(i => (s"e$i", i.toLong % 10L, i.toDouble, d))
       .toDF("id", "x", "value", "start_date_oslo")
-    LogTable.init(slice(0).repartition(1), root, statsCols = Seq("value"))
+    LogTable.init(slice(0).repartition(1), root,
+      statsCols = Seq("value", "x"))
     LogTable.append(spark, root, slice(1).repartition(1))
     LogTable.append(spark, root, slice(2).repartition(1))
     val before = LogTable.readSkipping(spark, root, "value", 12.0, 13.0)
@@ -1237,6 +1238,19 @@ class DedupMergeSpec extends SparkSpec {
         .collect().toSet)
     // time travel: the pre-rewrite version still plans its 3 old files
     assert(LogTable.read(spark, root, Some(preV)).inputFiles.length == 3)
+    // conjunctive 2-D probe: the intersection of the per-column
+    // survivor sets — on the cell tiling this is exactly one quadrant
+    // file where each single-column probe plans its half
+    val both = LogTable.readSkippingAll(spark, root,
+      Seq(("value", 12.0, 13.0), ("x", 2.0, 3.0)))
+    assert(both.inputFiles.length <
+      LogTable.readSkipping(spark, root, "value", 12.0, 13.0)
+        .inputFiles.length ||
+      both.inputFiles.length == 1,
+      s"conjunction failed to intersect (${both.inputFiles.length})")
+    assert(both.filter(col("value").between(12.0, 13.0) &&
+      col("x").between(2L, 3L)).select("id").as[String].collect().toSet ==
+      Set("e12", "e13"))
     // vacuum reclaims the 3 superseded arrival-order files
     val (_, deleted) = LogTable.vacuum(spark, root, keepLast = 1)
     assert(deleted == 3, s"vacuum deleted $deleted")
