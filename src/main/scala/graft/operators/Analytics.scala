@@ -3727,6 +3727,110 @@ object Analytics {
     out
   }
 
+  /** Two-group log-rank test — the standard follow-up to the
+    * Kaplan-Meier curve (x127): do the two groups' survival
+    * distributions differ, weighting every distinct event time by its
+    * risk sets (so late, data-poor times don't drown early signal):
+    *   E₁(t) = d_t·n₁(t)/n(t),
+    *   V(t)  = d_t·n₁(t)·n₀(t)·(n(t) − d_t) / (n(t)²·(n(t) − 1)),
+    *   z = Σ(d₁(t) − E₁(t)) / √ΣV(t),  χ² = z².
+    * Censored subjects leave the risk set AFTER the deaths at their
+    * time (the standard KM convention).
+    *
+    * Determinism: risk sets are exact BIGINTs off the (time, group,
+    * events, censored) census; the per-time float terms (one fixed
+    * tree each) are FIXED-POINTED at 12 dp (the x110 JSD picopoint
+    * convention) so the cross-time sum is an integer — order-free at
+    * any parallelism — and z takes one division + sqrt at the end,
+    * round 6. z is NULL when ΣV = 0 (no comparable event time — a
+    * one-group input or no events). Positive z = the `groupCol`-true
+    * side dies MORE than expected. Output: one row
+    * (n_a, n_b, events_a, events_b, z_lr, chi2_lr).
+    *
+    * Scale shape: ONE map-side-combinable groupBy to the census; the
+    * risk-set windows run over the DISTINCT-time census (the
+    * [[kruskalWallis]] shape). Nothing row-scale shuffles.
+    */
+  def logRank(df: DataFrame, durCol: String, eventCol: String,
+              groupCol: String): DataFrame =
+    lrFromCensus(df
+      .filter(col(durCol).isNotNull && col(eventCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(durCol).cast("long").as("__t"),
+        col(eventCol).cast("boolean").as("__e"),
+        col(groupCol).cast("boolean").as("__g"))
+      .groupBy(col("__t"), col("__g"))
+      .agg(coalesce(sum(when(col("__e"), 1L).otherwise(0L)), lit(0L))
+          .as("__d"),
+        coalesce(sum(when(!col("__e"), 1L).otherwise(0L)), lit(0L))
+          .as("__c")))
+
+  /** [[logRank]]'s finalization over the (time `__t`, group `__g`,
+    * `__d` events, `__c` censored) census — the st41 census-state
+    * convention, so st58 can hold it as streaming state. */
+  private[graft] def lrFromCensus(censusRaw: DataFrame): DataFrame = {
+    val census = censusRaw.persist()
+    val byT = census.groupBy(col("__t")).agg(
+      coalesce(sum(when(col("__g"), col("__d")).otherwise(0L)), lit(0L))
+        .as("__d1"),
+      coalesce(sum(when(!col("__g"), col("__d")).otherwise(0L)), lit(0L))
+        .as("__d0"),
+      coalesce(sum(when(col("__g"), col("__d") + col("__c"))
+        .otherwise(0L)), lit(0L)).as("__x1"),
+      coalesce(sum(when(!col("__g"), col("__d") + col("__c"))
+        .otherwise(0L)), lit(0L)).as("__x0"))
+    val tots = census.agg(
+      coalesce(sum(when(!col("__g"), col("__d") + col("__c"))
+        .otherwise(0L)), lit(0L)).as("__na"),
+      coalesce(sum(when(col("__g"), col("__d") + col("__c"))
+        .otherwise(0L)), lit(0L)).as("__nb"),
+      coalesce(sum(when(!col("__g"), col("__d")).otherwise(0L)), lit(0L))
+        .as("__ea"),
+      coalesce(sum(when(col("__g"), col("__d")).otherwise(0L)), lit(0L))
+        .as("__eb"))
+    val wB = org.apache.spark.sql.expressions.Window.orderBy(col("__t"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val terms = byT
+      .withColumn("__cb1", coalesce(sum(col("__x1")).over(wB), lit(0L)))
+      .withColumn("__cb0", coalesce(sum(col("__x0")).over(wB), lit(0L)))
+      .crossJoin(broadcast(tots))
+      .withColumn("__n1", col("__nb") - col("__cb1"))
+      .withColumn("__n0", col("__na") - col("__cb0"))
+      .withColumn("__n", col("__n1") + col("__n0"))
+      .withColumn("__dt", col("__d1") + col("__d0"))
+      // picopoint fixed-point (the x110 convention): integer sums are
+      // order-free; the only float work per time is one fixed tree
+      .withColumn("__po", round(
+        (col("__d1").cast("double") -
+          col("__dt").cast("double") * col("__n1").cast("double") /
+            col("__n").cast("double")) * lit(1e12), 0).cast("long"))
+      .withColumn("__pv", when(col("__n") > 1L, round(
+        col("__dt").cast("double") * col("__n1").cast("double") *
+          col("__n0").cast("double") *
+          (col("__n") - col("__dt")).cast("double") /
+          (col("__n").cast("double") * col("__n").cast("double") *
+            (col("__n") - 1L).cast("double")) * lit(1e12), 0)
+        .cast("long")).otherwise(lit(0L)))
+    val out = terms.agg(
+      coalesce(sum(col("__po")), lit(0L)).as("__so"),
+      coalesce(sum(col("__pv")), lit(0L)).as("__sv"),
+      coalesce(min(col("__na")), lit(0L)).as("n_a"),
+      coalesce(min(col("__nb")), lit(0L)).as("n_b"),
+      coalesce(min(col("__ea")), lit(0L)).as("events_a"),
+      coalesce(min(col("__eb")), lit(0L)).as("events_b"))
+      .withColumn("__z",
+        when(col("__sv") > 0L,
+          (col("__so").cast("double") / lit(1e12)) /
+            sqrt(col("__sv").cast("double") / lit(1e12))))
+      .select(col("n_a"), col("n_b"), col("events_a"), col("events_b"),
+        round(col("__z"), 6).as("z_lr"),
+        round(col("__z") * col("__z"), 6).as("chi2_lr"))
+      .localCheckpoint(true)
+    census.unpersist()
+    out
+  }
+
   /** Brunner-Munzel test — the modern replacement for Mann-Whitney
     * (x91) when the two samples may have UNEQUAL variances/shapes (the
     * rank-world Welch, as welchT x188 is to Student's t): tests

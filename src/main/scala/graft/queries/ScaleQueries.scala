@@ -8557,6 +8557,55 @@ object ScaleQueries {
     },
       Some(cvmOracleSql)),
 
+    // Log-rank test (x212): do odd and even user cohorts convert
+    // (first purchase) at different rates — the standard follow-up to
+    // x127's Kaplan-Meier curve, weighting each distinct
+    // days-to-conversion by its risk sets; never-converters censor at
+    // the horizon. Risk sets exact BIGINT off the time census; the
+    // per-time float terms fixed-point at 12 dp (the x110 picopoint
+    // convention) so the cross-time sum is order-free.
+    QuerySpec("x212_log_rank", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(min(to_date(col("ts"))).as("st"),
+          min(when(col("event_type") === "purchase", to_date(col("ts"))))
+            .as("evd"),
+          max(to_date(col("ts"))).as("lastd"))
+      val horizon = perUser.agg(max(col("lastd")).as("hz"))
+      val durs = perUser.crossJoin(broadcast(horizon))
+        .select(
+          when(col("evd").isNotNull, datediff(col("evd"), col("st")))
+            .otherwise(datediff(col("hz"), col("st")))
+            .cast("long").as("t"),
+          col("evd").isNotNull.as("e"),
+          (col("user_id") % 2 === 1).as("g"))
+      graft.operators.Analytics.logRank(durs, "t", "e", "g")
+    },
+      Some(lrOracleSql)),
+
+    // STREAMING log-rank (st58): one aggregation per streaming query,
+    // and the survival framing needs two — so the stream state is the
+    // PER-USER (first seen, first purchase, last seen) row (the Fleiss
+    // item-scale precedent) and the finalizer derives horizon,
+    // durations, census, and the batch verdict. Graded on x212's
+    // oracle.
+    QuerySpec("st58_stream_log_rank", (s, d) => {
+      val schema = Streams.eventsFileSchema(s, d)
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+      val rows = Streams.normalizeTs(raw)
+        .select(col("user_id"), col("ts"),
+          (col("event_type") === "purchase").as("ev"),
+          (col("user_id") % 2 === 1).as("g"))
+      Streams.runStreamingLogRankAvailableNow(s, rows, "user_id", "ts",
+        "ev", "g", s"graft_lr_$run", ckpt)
+    },
+      Some(lrOracleSql)),
+
     // Brunner-Munzel (x211): the rank-world Welch — the urgent-vs-low
     // price comparison AGAIN but robust to the two priorities having
     // different spread/shape (Mann-Whitney x91 assumes exchangeable
@@ -8733,6 +8782,67 @@ object ScaleQueries {
              |  CAST(sum(cents) AS BIGINT) sum_cents
              |FROM b""".stripMargin))
   )
+
+  /** Shared by x212 (batch) and st58 (streaming): log-rank over the
+    * odd/even user conversion cohorts — risk sets re-derived in DuckDB
+    * BIGINT, the per-time terms picopoint-fixed with the identical IEEE
+    * trees as [[graft.operators.Analytics.lrFromCensus]]. */
+  private lazy val lrOracleSql: String =
+    """WITH pu AS (SELECT user_id, min(CAST(ts AS DATE)) st,
+      |    min(CASE WHEN event_type = 'purchase'
+      |      THEN CAST(ts AS DATE) END) ev,
+      |    (user_id % 2 = 1) g
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |  GROUP BY 1, 4),
+      |hz AS (SELECT max(CAST(ts AS DATE)) h FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |du AS (SELECT CASE WHEN ev IS NOT NULL
+      |      THEN datediff('day', st, ev)
+      |      ELSE datediff('day', st, h) END t,
+      |    (ev IS NOT NULL) e, g FROM pu CROSS JOIN hz),
+      |c AS (SELECT t, g,
+      |    CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) d,
+      |    CAST(sum(CASE WHEN e THEN 0 ELSE 1 END) AS BIGINT) c
+      |  FROM du GROUP BY 1, 2),
+      |bt AS (SELECT t,
+      |    CAST(coalesce(sum(CASE WHEN g THEN d END), 0) AS BIGINT) d1,
+      |    CAST(coalesce(sum(CASE WHEN NOT g THEN d END), 0) AS BIGINT) d0,
+      |    CAST(coalesce(sum(CASE WHEN g THEN d + c END), 0) AS BIGINT) x1,
+      |    CAST(coalesce(sum(CASE WHEN NOT g THEN d + c END), 0)
+      |      AS BIGINT) x0
+      |  FROM c GROUP BY 1),
+      |tt AS (SELECT
+      |    CAST(coalesce(sum(CASE WHEN NOT g THEN d + c END), 0)
+      |      AS BIGINT) na,
+      |    CAST(coalesce(sum(CASE WHEN g THEN d + c END), 0) AS BIGINT) nb,
+      |    CAST(coalesce(sum(CASE WHEN NOT g THEN d END), 0) AS BIGINT) ea,
+      |    CAST(coalesce(sum(CASE WHEN g THEN d END), 0) AS BIGINT) eb
+      |  FROM c),
+      |rk AS (SELECT d1, d0,
+      |    nb - CAST(coalesce(sum(x1) OVER (ORDER BY t ROWS BETWEEN
+      |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) n1,
+      |    na - CAST(coalesce(sum(x0) OVER (ORDER BY t ROWS BETWEEN
+      |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) n0
+      |  FROM bt, tt),
+      |pp AS (SELECT
+      |    CAST(round((CAST(d1 AS DOUBLE) -
+      |      CAST(d1 + d0 AS DOUBLE)*CAST(n1 AS DOUBLE)
+      |        /CAST(n1 + n0 AS DOUBLE)) * 1e12, 0) AS BIGINT) po,
+      |    CASE WHEN n1 + n0 > 1 THEN CAST(round(
+      |      CAST(d1 + d0 AS DOUBLE)*CAST(n1 AS DOUBLE)*CAST(n0 AS DOUBLE)
+      |        *CAST(n1 + n0 - (d1 + d0) AS DOUBLE) /
+      |      (CAST(n1 + n0 AS DOUBLE)*CAST(n1 + n0 AS DOUBLE)
+      |        *CAST(n1 + n0 - 1 AS DOUBLE)) * 1e12, 0) AS BIGINT)
+      |    ELSE 0 END pv
+      |  FROM rk),
+      |ss AS (SELECT CAST(coalesce(sum(po), 0) AS BIGINT) so,
+      |    CAST(coalesce(sum(pv), 0) AS BIGINT) sv FROM pp),
+      |zz AS (SELECT CASE WHEN sv > 0 THEN
+      |    (CAST(so AS DOUBLE)/1e12)/sqrt(CAST(sv AS DOUBLE)/1e12)
+      |  END z FROM ss)
+      |SELECT na n_a, nb n_b, ea events_a, eb events_b,
+      |  round(z, 6) z_lr, round(z*z, 6) chi2_lr
+      |FROM zz, tt""".stripMargin
 
   /** Shared by x211 (batch) and st57 (streaming): Brunner-Munzel over
     * the urgent-vs-low pooled census — doubled midranks and the

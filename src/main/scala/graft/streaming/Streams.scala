@@ -2696,6 +2696,49 @@ object Streams {
         detachSink(spark, sinkName, checkpoint))
     }
 
+  /** STREAMING log-rank (st58): a streaming query allows ONE
+    * aggregation, and the survival framing needs two (per-subject
+    * first-seen/first-event, THEN the time census), so the stream
+    * state is the PER-SUBJECT row — (min seen date, min event date,
+    * max seen date), the Fleiss st33 item-scale precedent — and the
+    * finalizer derives the horizon (max over subjects' maxima = the
+    * global max), durations, the census, and the batch operator's own
+    * [[graft.operators.Analytics.lrFromCensus]] verdict.
+    */
+  def runStreamingLogRankAvailableNow(spark: SparkSession,
+      rows: DataFrame, subjectCol: String, tsCol: String,
+      eventCol: String, groupCol: String, sinkName: String,
+      checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val q = rows
+        .filter(col(subjectCol).isNotNull && col(tsCol).isNotNull)
+        .select(col(subjectCol).as("__u"), to_date(col(tsCol)).as("__dt"),
+          col(eventCol).cast("boolean").as("__e"),
+          col(groupCol).cast("boolean").as("__g"))
+        .groupBy(col("__u"), col("__g"))
+        .agg(min(col("__dt")).as("__start"),
+          min(when(col("__e"), col("__dt"))).as("__evt"),
+          max(col("__dt")).as("__last"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val perUser = detachSink(spark, sinkName, checkpoint).persist()
+      val horizon = perUser.agg(max(col("__last")).as("__hz"))
+      val durs = perUser.crossJoin(broadcast(horizon))
+        .select(
+          when(col("__evt").isNotNull,
+            datediff(col("__evt"), col("__start")))
+            .otherwise(datediff(col("__hz"), col("__start")))
+            .cast("long").as("__t"),
+          col("__evt").isNotNull.as("__e"), col("__g"))
+      val out = graft.operators.Analytics.logRank(durs, "__t", "__e", "__g")
+      perUser.unpersist()
+      out
+    }
+
   /** STREAMING Cochran-Armitage trend (st52): the k-row (dose, n,
     * successes) census — two BIGINTs per dose level — is the stream
     * state, finalized by the batch operator's own

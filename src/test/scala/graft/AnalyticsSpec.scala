@@ -1422,6 +1422,31 @@ class AnalyticsSpec extends SparkSpec {
       .collect().head.isNullAt(3))
   }
 
+  test("logRank: risk-set-weighted observed-vs-expected over the time " +
+    "census with picopoint term sums; censoring leaves the risk set " +
+    "after same-time deaths; no-events input NULL") {
+    // A(false): 1(event), 3(censored); B(true): 2(event), 4(event)
+    // t=1: E1 = .5, V = .25; t=2: E1 = 2/3, V = 2/9; t=4: O=E, V=0
+    val df = Seq((1L, true, false), (3L, false, false),
+      (2L, true, true), (4L, true, true)).toDF("t", "e", "g")
+    val r = Analytics.logRank(df, "t", "e", "g").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((2L, 2L, 1L, 2L)))
+    def pico(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val so = pico(-0.5e12) + pico((1.0 - 2.0 / 3.0) * 1e12)
+    val sv = pico(0.25e12) +
+      pico(1.0 * 2.0 * 1.0 * 2.0 / (3.0 * 3.0 * 2.0) * 1e12)
+    val z = (so.toDouble / 1e12) / math.sqrt(sv.toDouble / 1e12)
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r.getDouble(4) == r6(z))
+    assert(r.getDouble(5) == r6(z * z))
+    // all censored: no event time contributes -> NULL
+    val cen = Seq((1L, false, false), (2L, false, true)).toDF("t", "e", "g")
+    assert(Analytics.logRank(cen, "t", "e", "g").collect().head.isNullAt(4))
+  }
+
   test("cochranArmitage: cross-multiplied BIGINT trend z; NULL on " +
     "no-contrast and single-dose inputs") {
     // doses 0,1,2 with (n,r) = (10,1),(10,5),(10,9): N=30, R=15,

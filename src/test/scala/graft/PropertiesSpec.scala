@@ -892,6 +892,57 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("logRank property: (counts, z, chi2) equal a driver-side " +
+    "risk-set replica with the identical picopoint term trees over " +
+    "random censored two-group frames") {
+    import graft.operators.Analytics
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def pico(x: Double): Long = BigDecimal(x)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    def ref(rows: Seq[(Long, Boolean, Boolean)])
+        : (Long, Long, Long, Long, Option[Double]) = {
+      val na = rows.count(!_._3).toLong; val nb = rows.count(_._3).toLong
+      val ea = rows.count(r => r._2 && !r._3).toLong
+      val eb = rows.count(r => r._2 && r._3).toLong
+      val times = rows.map(_._1).distinct.sorted
+      var so = 0L; var sv = 0L
+      times.foreach { t =>
+        val d1 = rows.count(r => r._1 == t && r._2 && r._3).toLong
+        val d0 = rows.count(r => r._1 == t && r._2 && !r._3).toLong
+        val n1 = rows.count(r => r._1 >= t && r._3).toLong
+        val n0 = rows.count(r => r._1 >= t && !r._3).toLong
+        val (dt, n) = (d1 + d0, n1 + n0)
+        so += pico((d1.toDouble -
+          dt.toDouble * n1.toDouble / n.toDouble) * 1e12)
+        if (n > 1L)
+          sv += pico(dt.toDouble * n1.toDouble * n0.toDouble *
+            (n - dt).toDouble /
+            (n.toDouble * n.toDouble * (n - 1L).toDouble) * 1e12)
+      }
+      val z = if (sv > 0L)
+        Some((so.toDouble / 1e12) / math.sqrt(sv.toDouble / 1e12))
+      else None
+      (na, nb, ea, eb, z)
+    }
+    val gen = Gen.chooseNum(4, 40).flatMap(len =>
+      Gen.listOfN(len, Gen.zip(Gen.chooseNum(0L, 6L),
+        Gen.oneOf(true, false), Gen.oneOf(true, false))))
+    for (seed <- 0 until 30) {
+      val rows = samples(gen, 1).flatten.toIndexedSeq
+        .map(t => (t._1, t._2, t._3))
+      val got = Analytics.logRank(
+        rows.toDF("t", "e", "g"), "t", "e", "g").collect().head
+      val (na, nb, ea, eb, z) = ref(rows)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2),
+        got.getLong(3)) == ((na, nb, ea, eb)), s"seed=$seed counts")
+      val gotZ = if (got.isNullAt(4)) None else Some(got.getDouble(4))
+      assert(gotZ == z.map(round6), s"seed=$seed z: got $gotZ, ref $z")
+      val gotC = if (got.isNullAt(5)) None else Some(got.getDouble(5))
+      assert(gotC == z.map(zz => round6(zz * zz)), s"seed=$seed chi2")
+    }
+  }
+
   test("cochranArmitage property: (n, k, n_success, z_trend) equal a " +
     "driver-side replica of the cross-multiplied BIGINT identity over " +
     "random dose frames; no-contrast NULL") {
