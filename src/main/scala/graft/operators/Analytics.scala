@@ -3831,6 +3831,92 @@ object Analytics {
     out
   }
 
+  /** Mood's median test — the bluntest two-sample screen in the
+    * family: dichotomize BOTH samples at the POOLED median and Pearson
+    * the resulting 2×2. It reads only "which side of the shared
+    * median", so it survives arbitrary outliers and wildly unequal
+    * shapes at the cost of power — the robustness-first cross-check a
+    * pipeline runs when [[brunnerMunzel]]/[[cramerVonMises]] disagree.
+    *   χ² = N·(A₁B₂ − A₂B₁)² / (n·m·(A₁+B₁)·(A₂+B₂))
+    * with A = above-median counts, B = at-or-below, and the pooled
+    * median taken as the ⌈N/2⌉-th order statistic (the lower median —
+    * exact off the census, no interpolation to drift cross-engine).
+    *
+    * Determinism: the median is a census order statistic; all four
+    * cells are BIGINT census sums; the squared cross term accumulates
+    * in exact decimal(38) (headroom: (nm)² must fit 38 digits — any
+    * realistic N) and ONE float division lands χ², round 6. NULL when
+    * either sample is empty or a margin is 0 (everything on one side
+    * of the median). Output: one row
+    * (n_a, n_b, pooled_median, above_a, above_b, chi2_mood).
+    *
+    * Scale shape: each side is touched once (value-census groupBy);
+    * the median and the cells come off the DISTINCT-value census.
+    */
+  def moodMedian(a: DataFrame, b: DataFrame,
+                 valueCol: String): DataFrame = {
+    def cen(df: DataFrame, out: String) = df
+      .filter(col(valueCol).isNotNull)
+      .select(col(valueCol).cast("long").as("__v"))
+      .groupBy(col("__v")).agg(count(lit(1)).as(out))
+    mmFromCensus(cen(a, "__ca")
+      .join(cen(b, "__cb"), Seq("__v"), "full_outer")
+      .select(col("__v"), coalesce(col("__ca"), lit(0L)).as("__ca"),
+        coalesce(col("__cb"), lit(0L)).as("__cb")))
+  }
+
+  /** [[moodMedian]]'s finalization over the (value `__v`, `__ca`,
+    * `__cb`) census — the fourth monitor on the identical census state
+    * st55–st57 carry (CvM, effect sizes, Brunner-Munzel). */
+  private[graft] def mmFromCensus(censusRaw: DataFrame): DataFrame = {
+    val census = censusRaw.persist()
+    val wB = org.apache.spark.sql.expressions.Window.orderBy(col("__v"))
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val tot = census.agg(
+      coalesce(sum(col("__ca")), lit(0L)).as("__n"),
+      coalesce(sum(col("__cb")), lit(0L)).as("__m"))
+    // lower median = the ⌈N/2⌉-th pooled order statistic: the cell
+    // covering that position in cumulative order (shiftright = integer
+    // floor-div — Spark's `/` on longs is DOUBLE division with ANSI
+    // off, which would silently shift the position to the upper median)
+    val kPos = shiftright(col("__n") + col("__m") + 1L, 1)
+    val med = census
+      .withColumn("__cb0",
+        coalesce(sum(col("__ca") + col("__cb")).over(wB), lit(0L)))
+      .crossJoin(broadcast(tot))
+      .filter(col("__cb0") < kPos &&
+        col("__cb0") + col("__ca") + col("__cb") >= kPos)
+      .select(col("__v").as("__med"))
+    val out = census.crossJoin(broadcast(med))
+      .agg(
+        coalesce(sum(when(col("__v") > col("__med"), col("__ca"))
+          .otherwise(0L)), lit(0L)).as("above_a"),
+        coalesce(sum(when(col("__v") > col("__med"), col("__cb"))
+          .otherwise(0L)), lit(0L)).as("above_b"),
+        coalesce(min(col("__med")), lit(0L)).as("pooled_median"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__a2", col("__n") - col("above_a"))
+      .withColumn("__b2", col("__m") - col("above_b"))
+      .withColumn("__x",
+        (col("above_a") * col("__b2") - col("__a2") * col("above_b")))
+      .withColumn("__num",
+        (col("__n") + col("__m")).cast("decimal(19,0)") *
+          col("__x").cast("decimal(19,0)") * col("__x").cast("decimal(19,0)"))
+      .withColumn("__den",
+        col("__n").cast("double") * col("__m").cast("double") *
+          (col("above_a") + col("above_b")).cast("double") *
+          (col("__a2") + col("__b2")).cast("double"))
+      .select(col("__n").as("n_a"), col("__m").as("n_b"),
+        col("pooled_median"), col("above_a"), col("above_b"),
+        when(col("__n") > 0L && col("__m") > 0L && col("__den") > 0.0,
+          round(col("__num").cast("double") / col("__den"), 6))
+          .as("chi2_mood"))
+      .localCheckpoint(true)
+    census.unpersist()
+    out
+  }
+
   /** Brunner-Munzel test — the modern replacement for Mann-Whitney
     * (x91) when the two samples may have UNEQUAL variances/shapes (the
     * rank-world Welch, as welchT x188 is to Student's t): tests

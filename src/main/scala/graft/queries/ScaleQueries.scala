@@ -8557,6 +8557,42 @@ object ScaleQueries {
     },
       Some(cvmOracleSql)),
 
+    // Mood's median test (x213): the bluntest urgent-vs-low screen —
+    // dichotomize both samples at the POOLED median and Pearson the
+    // 2×2; survives arbitrary outliers at the cost of power, the
+    // cross-check run when the sharper tests (x208/x211) disagree.
+    // Median = exact census order statistic; one float division.
+    QuerySpec("x213_mood_median", (s, d) => {
+      val o = t(s, d, "orders").filter(col("o_totalprice").isNotNull)
+        .select(col("o_orderpriority").as("pr"),
+          round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+      graft.operators.Analytics.moodMedian(
+        o.filter(col("pr") === "1-URGENT").select(col("cents")),
+        o.filter(col("pr") === "5-LOW").select(col("cents")),
+        "cents")
+    },
+      Some(mmOracleSql)),
+
+    // STREAMING Mood's median (st59): the FOURTH monitor on the
+    // identical census state st55–st57 hold; finalized by mmFromCensus
+    // verbatim — graded on x213's oracle.
+    QuerySpec("st59_stream_mood_median", (s, d) => {
+      val schema = s.read.parquet(s"$d/orders.parquet").schema
+      val run = streamRun.incrementAndGet()
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      val raw = s.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .option("maxFilesPerTrigger", 1).parquet(d)
+      val rows = raw
+        .filter(col("o_orderpriority").isin("1-URGENT", "5-LOW"))
+        .select(round(col("o_totalprice") * 100, 0).cast("long")
+            .as("cents"),
+          (col("o_orderpriority") === "5-LOW").as("side"))
+      Streams.runStreamingMoodMedianAvailableNow(s, rows, "cents",
+        "side", s"graft_mm_$run", ckpt)
+    },
+      Some(mmOracleSql)),
+
     // Log-rank test (x212): do odd and even user cohorts convert
     // (first purchase) at different rates — the standard follow-up to
     // x127's Kaplan-Meier curve, weighting each distinct
@@ -8782,6 +8818,47 @@ object ScaleQueries {
              |  CAST(sum(cents) AS BIGINT) sum_cents
              |FROM b""".stripMargin))
   )
+
+  /** Shared by x213 (batch) and st59 (streaming): Mood's median over
+    * the urgent-vs-low pooled census — exact order-statistic median,
+    * BIGINT cells, HUGEINT squared cross term, one float division
+    * mirroring [[graft.operators.Analytics.mmFromCensus]]. */
+  private lazy val mmOracleSql: String =
+    """WITH o AS (SELECT o_orderpriority pr,
+      |    CAST(round(o_totalprice*100, 0) AS BIGINT) v FROM orders
+      |  WHERE o_totalprice IS NOT NULL),
+      |ca AS (SELECT v, CAST(count(*) AS BIGINT) ca FROM o
+      |  WHERE pr = '1-URGENT' GROUP BY 1),
+      |cb AS (SELECT v, CAST(count(*) AS BIGINT) cb FROM o
+      |  WHERE pr = '5-LOW' GROUP BY 1),
+      |mg AS (SELECT coalesce(ca.v, cb.v) v, coalesce(ca, 0) ca,
+      |    coalesce(cb, 0) cb FROM ca FULL JOIN cb ON ca.v = cb.v),
+      |tt AS (SELECT CAST(coalesce(sum(ca), 0) AS BIGINT) n,
+      |    CAST(coalesce(sum(cb), 0) AS BIGINT) m FROM mg),
+      |cu AS (SELECT v, ca, cb, CAST(coalesce(sum(ca + cb)
+      |      OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |      1 PRECEDING), 0) AS BIGINT) cb0 FROM mg),
+      |md AS (SELECT v med FROM cu, tt
+      |  WHERE cb0 < (n + m + 1) // 2
+      |    AND cb0 + ca + cb >= (n + m + 1) // 2),
+      |ab AS (SELECT
+      |    CAST(coalesce(sum(CASE WHEN v > med THEN ca END), 0)
+      |      AS BIGINT) aa,
+      |    CAST(coalesce(sum(CASE WHEN v > med THEN cb END), 0)
+      |      AS BIGINT) bb FROM mg, md),
+      |f AS (SELECT n, m, med, aa, bb,
+      |    aa*(m - bb) - (n - aa)*bb x FROM ab, md, tt)
+      |SELECT n n_a, m n_b, med pooled_median, aa above_a, bb above_b,
+      |  CASE WHEN n > 0 AND m > 0
+      |      AND CAST(n AS DOUBLE)*CAST(m AS DOUBLE)
+      |        *CAST(aa + bb AS DOUBLE)
+      |        *CAST((n - aa) + (m - bb) AS DOUBLE) > 0 THEN
+      |    round(CAST(CAST(n + m AS HUGEINT)*x*x AS DOUBLE) /
+      |      (CAST(n AS DOUBLE)*CAST(m AS DOUBLE)
+      |        *CAST(aa + bb AS DOUBLE)
+      |        *CAST((n - aa) + (m - bb) AS DOUBLE)), 6)
+      |  END chi2_mood
+      |FROM f""".stripMargin
 
   /** Shared by x212 (batch) and st58 (streaming): log-rank over the
     * odd/even user conversion cohorts — risk sets re-derived in DuckDB

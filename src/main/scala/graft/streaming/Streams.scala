@@ -2739,6 +2739,34 @@ object Streams {
       out
     }
 
+  /** STREAMING Mood's median (st59): the FOURTH monitor on the
+    * identical (value, count_a, count_b) census state st55–st57 carry,
+    * finalized by the batch operator's own
+    * [[graft.operators.Analytics.mmFromCensus]].
+    */
+  def runStreamingMoodMedianAvailableNow(spark: SparkSession,
+      rows: DataFrame, valueCol: String, sideCol: String,
+      sinkName: String, checkpoint: String): DataFrame =
+    withReplayConfs(spark) {
+      val q = rows
+        .filter(col(valueCol).isNotNull && col(sideCol).isNotNull)
+        .select(col(valueCol).cast("long").as("__v"),
+          col(sideCol).cast("boolean").as("__s"))
+        .groupBy(col("__v"))
+        .agg(coalesce(sum(when(!col("__s"), 1L).otherwise(0L)), lit(0L))
+            .as("__ca"),
+          coalesce(sum(when(col("__s"), 1L).otherwise(0L)), lit(0L))
+            .as("__cb"))
+        .writeStream.format("memory").queryName(sinkName)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      graft.operators.Analytics.mmFromCensus(
+        detachSink(spark, sinkName, checkpoint))
+    }
+
   /** STREAMING Cochran-Armitage trend (st52): the k-row (dose, n,
     * successes) census — two BIGINTs per dose level — is the stream
     * state, finalized by the batch operator's own

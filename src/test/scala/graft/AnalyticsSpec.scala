@@ -1447,6 +1447,24 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.logRank(cen, "t", "e", "g").collect().head.isNullAt(4))
   }
 
+  test("moodMedian: pooled lower-median dichotomization with exact " +
+    "2x2 Pearson; degenerate margins NULL") {
+    // a = [1,2,3], b = [4,5]: median = 3, above = (0, 2),
+    // chi2 = 5*36/(3*2*2*3) = 5.0
+    val a = Seq(1L, 2L, 3L).toDF("v")
+    val b = Seq(4L, 5L).toDF("v")
+    val r = Analytics.moodMedian(a, b, "v").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((3L, 2L, 3L, 0L, 2L)))
+    assert(r.getDouble(5) == 5.0)
+    // all values equal: nothing above the median -> NULL
+    val flat = Seq(5L, 5L).toDF("v")
+    assert(Analytics.moodMedian(flat, flat, "v").collect().head.isNullAt(5))
+    // empty side -> NULL
+    assert(Analytics.moodMedian(a, a.filter(col("v") > 9L), "v")
+      .collect().head.isNullAt(5))
+  }
+
   test("cochranArmitage: cross-multiplied BIGINT trend z; NULL on " +
     "no-contrast and single-dose inputs") {
     // doses 0,1,2 with (n,r) = (10,1),(10,5),(10,9): N=30, R=15,

@@ -943,6 +943,41 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("moodMedian property: (counts, median, chi2) equal a " +
+    "driver-side order-statistic replica over random tied samples") {
+    import graft.operators.Analytics
+    def round6(x: Double): Double = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def ref(a: Seq[Long], b: Seq[Long])
+        : (Long, Long, Long, Long, Long, Option[Double]) = {
+      val n = a.size.toLong; val m = b.size.toLong
+      if (n + m == 0L) return (0L, 0L, 0L, 0L, 0L, None)
+      val med = (a ++ b).sorted.apply(((n + m + 1L) / 2L - 1L).toInt)
+      val aa = a.count(_ > med).toLong; val bb = b.count(_ > med).toLong
+      val den = n.toDouble * m.toDouble * (aa + bb).toDouble *
+        ((n - aa) + (m - bb)).toDouble
+      val chi2 = if (n > 0 && m > 0 && den > 0.0) {
+        val x = BigInt(aa * (m - bb) - (n - aa) * bb)
+        Some(round6((BigInt(n + m) * x * x).toDouble / den))
+      } else None
+      (n, m, med, aa, bb, chi2)
+    }
+    val gen = Gen.zip(
+      Gen.chooseNum(1, 25).flatMap(l => Gen.listOfN(l, Gen.chooseNum(-4L, 4L))),
+      Gen.chooseNum(1, 25).flatMap(l => Gen.listOfN(l, Gen.chooseNum(-4L, 4L))))
+    for (seed <- 0 until 30) {
+      val (a, b) = samples(gen, 1).head
+      val got = Analytics.moodMedian(
+        a.toDF("v"), b.toDF("v"), "v").collect().head
+      val (n, m, med, aa, bb, chi2) = ref(a, b)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2),
+        got.getLong(3), got.getLong(4)) == ((n, m, med, aa, bb)),
+        s"seed=$seed cells")
+      val gotC = if (got.isNullAt(5)) None else Some(got.getDouble(5))
+      assert(gotC == chi2, s"seed=$seed chi2: got $gotC, ref $chi2")
+    }
+  }
+
   test("cochranArmitage property: (n, k, n_success, z_trend) equal a " +
     "driver-side replica of the cross-multiplied BIGINT identity over " +
     "random dose frames; no-contrast NULL") {
