@@ -3279,7 +3279,9 @@ object Analytics {
     * map-side-combinable pass; t, the Welch-Satterthwaite df, d and g
     * are fixed double trees over those sums (sample variances, /(n−1)),
     * round 6. NULL t/d when either side has n < 2 or both variances are
-    * 0; NULL df when both variances are 0.
+    * 0; NULL df when both variances are 0. Always exactly ONE output
+    * row: an absent level reports n = 0 with NULL statistics (ADVICE
+    * r12 — an empty frame would leave callers nothing to inspect).
     *
     * Scale shape: one groupBy over the fact, a 2-row stats frame, one
     * final projection — the st38/st40 sums-are-a-sketch family, so the
@@ -3307,16 +3309,20 @@ object Analytics {
   }
 
   /** [[welchT]]'s finalization — shared verbatim by batch x188 and
-    * streaming st45. */
+    * streaming st45. ALWAYS one row (ADVICE r12): an absent level
+    * yields n = 0 for that side and NULL t/df/d/g, never an empty
+    * frame — the conditional-sum aggregation below cannot collapse the
+    * way the old per-level filter + crossJoin did, so callers have a
+    * row to inspect even on degenerate slices. */
   private[graft] def welchFromStats(stats: DataFrame, levelA: String,
                                     levelB: String): DataFrame = {
-    val a = stats.filter(col("__lvl") === levelA)
-      .select(col("__n").as("__na"), col("__s").as("__sa"),
-        col("__ss").as("__ssa"))
-    val b = stats.filter(col("__lvl") === levelB)
-      .select(col("__n").as("__nb"), col("__s").as("__sb"),
-        col("__ss").as("__ssb"))
-    a.crossJoin(broadcast(b))
+    def side(lvl: String, suffix: String) = Seq(
+      coalesce(sum(when(col("__lvl") === lvl, col("__n"))), lit(0L))
+        .as(s"__n$suffix"),
+      sum(when(col("__lvl") === lvl, col("__s"))).as(s"__s$suffix"),
+      sum(when(col("__lvl") === lvl, col("__ss"))).as(s"__ss$suffix"))
+    val both = side(levelA, "a") ++ side(levelB, "b")
+    stats.agg(both.head, both.tail: _*)
       .withColumn("__ma", col("__sa").cast("double") / col("__na").cast("double"))
       .withColumn("__mb", col("__sb").cast("double") / col("__nb").cast("double"))
       // sample variance via the sums: (Σv² − n·m²) / (n−1)

@@ -177,17 +177,25 @@ case class RunningSumExec(groupExprs: Seq[Expression],
     // determinism pin (with one pass there is no replay to diverge
     // from). AQE coalesces a tiny range exchange to one partition, so
     // exactly the small inputs that feel the constant hit this branch;
-    // crossover is documented in PERF.md.
+    // crossover is documented in PERF.md. What the fast path does NOT
+    // skip is the determinism pin (ADVICE r12): "no second pass" only
+    // removes the boundary protocol, not DOWNSTREAM recomputation — a
+    // coalesced shuffle partition with ties in the sort key can replay
+    // in a different row order on task retry, reattaching cumulative
+    // values to different rows, so the pin condition is evaluated here
+    // exactly as on the multi-partition path (auto + determinate map
+    // side still skips it, keeping the x129/x134 constant-cost win).
+    def pinIfNeeded(rdd: org.apache.spark.rdd.RDD[InternalRow]) =
+      if (pinPolicy != "always" &&
+          org.apache.spark.sql.graftshim.RddShim.mapSideDeterminate(rdd))
+        rdd
+      else rdd.map(_.copy()).localCheckpoint()
     if (raw.getNumPartitions <= 1)
-      return runFinalPass(raw,
+      return runFinalPass(pinIfNeeded(raw),
         Array.fill(math.max(raw.getNumPartitions, 1))(
           Array.tabulate[Any](nSums)(zero)),
         boundSums, boundGroups, grouped, dts, zero, plus, keyOf)
-    val childRDD =
-      if (pinPolicy != "always" &&
-          org.apache.spark.sql.graftshim.RddShim.mapSideDeterminate(raw))
-        raw
-      else raw.map(_.copy()).localCheckpoint()
+    val childRDD = pinIfNeeded(raw)
     // pass 1: boundary totals — one job, metadata-scale collect
     val boundaries: Array[Option[RunningSumBoundary]] = childRDD.mapPartitions { it =>
       if (!it.hasNext) Iterator.single(None)
