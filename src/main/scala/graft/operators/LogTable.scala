@@ -2,14 +2,14 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Manifest-native MVCC table — the Delta/Iceberg core idea, self-built
   * on [[TableLog]]'s lock + log primitives (no Delta in the jar set):
-  * writers APPEND uniquely-named parquet files and atomically flip a
-  * FULL-live-set manifest; readers plan from the manifest, never from a
-  * directory listing. That one inversion buys three properties a
-  * rename-swapped layout ([[MergeOps]] + [[TableLog.withExclusive]])
-  * cannot offer:
+  * writers APPEND uniquely-named parquet files and atomically commit a
+  * manifest; readers plan from the manifest, never from a directory
+  * listing. That one inversion buys three properties a rename-swapped
+  * layout ([[MergeOps]] + [[TableLog.withExclusive]]) cannot offer:
   *
   *  1. **Structural reader isolation** — the files a manifest names are
   *     immutable and retained until [[vacuum]], so a reader can never
@@ -22,49 +22,91 @@ import org.apache.spark.sql.functions._
   *     version; a vacuumed version fails loudly, never silently reads
   *     a torn mix.
   *  3. **Metadata-only deletes** — [[removePartitions]] drops a
-  *     partition from the table by flipping the manifest: ZERO data
-  *     I/O, instantly undoable by reading the previous version.
+  *     partition from the table by a manifest commit: ZERO data I/O,
+  *     instantly undoable by reading the previous version.
   *
   * Layout: `root/<dateCol>=D/part-*.parquet` (append-only data files),
-  * `root/_graft_log/_v%08d.json` manifests in [[TableLog]]'s exact
-  * format — [[TableLog.snapshot]] and [[TableLog.currentVersion]] work
-  * on a LogTable root unchanged — except each manifest records the
-  * ENTIRE live set (every partition), not just the commit's touch set,
-  * so any version reconstructs from ONE manifest (the Delta-checkpoint
-  * shape; O(partitions) rows of metadata per commit).
+  * `root/_graft_log/_v%08d.json` commit manifests ([[TableLog]]'s
+  * filename scheme — [[TableLog.currentVersion]] works on a LogTable
+  * root unchanged), plus `root/_graft_log/_cp%08d` parquet snapshot
+  * checkpoints.
+  *
+  * **Commit metadata is O(touch set), not O(table)** (r12 directive #1
+  * — the Delta action-log split): each `_v%08d.json` records ONLY the
+  * commit's DELTA — the files it adds (under `"parts"`, so
+  * [[TableLog.snapshot]] still renders the touch set) and the
+  * `"removes"` it retires — never the full live set. Every
+  * `checkpointInterval` commits (conf
+  * `spark.graft.logtable.checkpointInterval`, default 10) the full
+  * reconstructed live set is written as a PARQUET checkpoint
+  * (`_cp%08d`) — columnar, executor-readable, amortizing snapshot
+  * reconstruction exactly like Delta's parquet checkpoints.
+  * [[manifest]] reconstructs any version as (newest checkpoint ≤ v) +
+  * the delta commits in (cp, v], and memoizes the result (manifests
+  * are immutable; the cache re-checks the version file exists so a
+  * vacuumed version still fails loudly). At 10⁵–10⁶ live files a
+  * commit therefore writes kilobytes, not the tens-of-MB a
+  * full-live-set JSON would concatenate on the driver.
   *
   * Scale shape: commits move only the new files' rows plus one
-  * metadata JSON; replacePartitions appends the replacement rows and
-  * flips — old files are never rewritten, [[vacuum]] reclaims them
-  * after retention. Reads are explicit-file-list parquet scans with
-  * `basePath` partition inference, so partition pruning and column
-  * pruning behave exactly as on a directory-planned table.
+  * touch-set-sized metadata JSON; replacePartitions appends the
+  * replacement rows and commits — old files are never rewritten,
+  * [[vacuum]] reclaims them after retention. Reads are
+  * explicit-file-list parquet scans with `basePath` partition
+  * inference, so partition pruning and column pruning behave exactly
+  * as on a directory-planned table.
   */
 object LogTable {
+
+  /** One per-file zone bound pair. `num = true`: `lo`/`hi` are the
+    * [[jdouble]]-rendered double min/max (probe with [[NumRange]]).
+    * `num = false`: `lo`/`hi` are raw lexical bounds — ISO DATE /
+    * timestamp strings or (possibly truncated) STRING min/max, compared
+    * lexically (probe with [[StrRange]]); truncated string uppers are
+    * Iceberg-style incremented prefixes, so the stored `hi` is always a
+    * valid inclusive upper bound. Typed zones are the r12 directive-#3
+    * close: DATE / STRING predicates (the reference's hottest filters,
+    * docs/TASKS_SYNC_FEATURE.md:147,165) now prune files directly. */
+  final case class Zone(lo: String, hi: String, num: Boolean)
 
   /** One live data file: name, size, and (when the commit declared
     * stats columns) its zone maps — row count and per-column min/max,
     * the Delta/Iceberg data-skipping statistics. `rows` = -1 and empty
     * zones mean "no stats recorded" (pre-stats commit, or an all-null
     * file) — such a file is always planned, never skipped. A column
-    * absent from `zones` (all-null in this file, or added to statsCols
-    * after the file was committed) likewise never skips this file. */
+    * absent from `zones` (all-null in this file, added to statsCols
+    * after the file was committed, all-NaN, or a string bound that
+    * cannot be stored safely) likewise never skips this file. */
   final case class FileStat(file: String, bytes: Long, rows: Long = -1L,
-                            zones: Map[String, (Double, Double)] =
-                              Map.empty)
+                            zones: Map[String, Zone] = Map.empty)
 
-  /** One version's full live set: partition dir name → live files, plus
-    * the stats columns the zone maps describe (if any commit declared
-    * them) and the table schema AT THIS VERSION (Spark DDL — the Delta
-    * move that makes add-column evolution and schema time travel work:
-    * readers plan with the version's schema, files written before a
-    * column existed null-fill it). */
+  /** One version's reconstructed snapshot: partition dir name → live
+    * files, the stats columns the zone maps describe, the table schema
+    * AT THIS VERSION (Spark DDL — readers plan with the version's
+    * schema, files written before a column existed null-fill it), and
+    * the idempotence txn ids of every commit up to this version
+    * ([[append]]/[[merge]] `txnId` — carried through checkpoints, so
+    * replay dedup survives [[vacuum]] and costs O(1) manifest reads
+    * per commit instead of the old O(v) walk). */
   final case class Manifest(version: Long, action: String,
                             statsCols: Seq[String],
                             schemaDdl: Option[String],
-                            parts: Map[String, Seq[FileStat]])
+                            parts: Map[String, Seq[FileStat]],
+                            txns: Seq[String] = Seq.empty)
+
+  /** A zone-map probe predicate: inclusive [lo, hi] on one stats
+    * column. [[NumRange]] probes numeric zones, [[StrRange]] probes
+    * DATE/STRING lexical zones (ISO date strings compare correctly
+    * lexically). Kind mismatch fails loudly — a numeric probe against
+    * a lexical zone is a caller bug, not a skippable file. */
+  sealed trait ZonePred { def column: String }
+  final case class NumRange(column: String, lo: Double, hi: Double)
+    extends ZonePred
+  final case class StrRange(column: String, lo: String, hi: String)
+    extends ZonePred
 
   private val NullPart = "__HIVE_DEFAULT_PARTITION__"
+  private val StrZoneMax = 64
 
   private def jstr(s: String) = graft.JsonUtil.jstr(s)
 
@@ -72,63 +114,139 @@ object LogTable {
     if (d == d.floor && !d.isInfinite && math.abs(d) < 1e15) d.toLong.toString
     else d.toString
 
-  /** Write manifest version current+1 with the given FULL live set.
-    * MUST be called under [[TableLog.withLock]]. Zone maps serialize as
-    * FLAT per-file keys (`"min:<col>"`/`"max:<col>"`, sorted by column)
-    * so the file objects stay bracket-free and the parser stays a
-    * regex walk. The schema serializes as Spark DDL (backtick-quoted
-    * identifiers — never a double quote, so the parser's [^"]* capture
-    * is safe). */
-  private def writeManifest(spark: SparkSession, tableRoot: String,
-                            action: String, statsCols: Seq[String],
-                            schemaDdl: Option[String],
-                            parts: Map[String, Seq[FileStat]]): Long = {
+  /** A string safe to embed in the regex-walked manifest JSON and to
+    * compare lexically after [[jstr]] round-trip: printable BMP below
+    * the surrogate range, none of the structural characters. Unsafe
+    * bounds drop the zone (the file is always planned — superset
+    * contract preserved). */
+  private def strSafe(s: String): Boolean =
+    s.forall(ch => ch >= 0x20 && ch < 0xD800 && "\"\\{}[],".indexOf(ch.toInt) < 0)
+
+  /** Iceberg-style truncated upper bound: ≤ [[StrZoneMax]] chars pass
+    * through; longer values truncate and increment the last
+    * incrementable char so the stored bound stays ≥ every value with
+    * that prefix. None = no storable bound (file always planned). */
+  private def strUpper(s: String): Option[String] =
+    if (s.length <= StrZoneMax) Some(s)
+    else {
+      val p = s.substring(0, StrZoneMax).toCharArray
+      var i = p.length - 1
+      while (i >= 0 && p(i) == Char.MaxValue) i -= 1
+      if (i < 0) None
+      else Some(new String(p, 0, i) + (p(i) + 1).toChar)
+    }
+
+  // ---------------------------------------------------------------------
+  // Commit log: delta manifests + parquet checkpoints + memoized
+  // reconstruction
+  // ---------------------------------------------------------------------
+
+  /** One parsed commit delta (the on-disk `_v%08d.json` unit). */
+  private final case class Delta(version: Long, action: String,
+                                 statsCols: Seq[String],
+                                 schemaDdl: Option[String],
+                                 adds: Map[String, Seq[FileStat]],
+                                 removes: Seq[String])
+
+  /** Reconstructed manifests are immutable → memoize. Keyed by
+    * qualified root + version; [[manifest]] re-checks the version file
+    * exists before serving a hit, so vacuumed versions stay loud. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Manifest]()
+
+  private def checkpointInterval(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.logtable.checkpointInterval", "10").toInt
+
+  /** Keep replay-dedup txn ids bounded: the newest 100k (Delta's txn
+    * retention idea — a stream replays recent batches, not the table's
+    * whole life). */
+  private val MaxTxns = 100000
+
+  private def deltaPath(ld: org.apache.hadoop.fs.Path, v: Long) =
+    new org.apache.hadoop.fs.Path(ld, f"_v$v%08d.json")
+
+  private def cpPath(ld: org.apache.hadoop.fs.Path, v: Long) =
+    new org.apache.hadoop.fs.Path(ld, f"_cp$v%08d")
+
+  private def checkpointVersions(fs: org.apache.hadoop.fs.FileSystem,
+                                 ld: org.apache.hadoop.fs.Path): Seq[Long] =
+    if (!fs.exists(ld)) Seq.empty
+    else fs.listStatus(ld).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(_.matches("_cp\\d{8}"))
+      .map(_.stripPrefix("_cp").toLong).sorted.toSeq
+
+  /** Serialize a [[FileStat]] (flat `"min:<col>"`/`"max:<col>"` zone
+    * keys — numeric zones as bare numbers, lexical zones as JSON
+    * strings — so the file objects stay bracket-free and the parser
+    * stays a regex walk). */
+  private def fileJson(f: FileStat): String = {
+    val stats =
+      (if (f.rows >= 0L) s""","rows":${f.rows}""" else "") +
+      f.zones.toSeq.sortBy(_._1).map { case (c, z) =>
+        val (lo, hi) = if (z.num) (z.lo, z.hi) else (jstr(z.lo), jstr(z.hi))
+        s""","min:${c}":$lo,"max:${c}":$hi"""
+      }.mkString
+    s"""{"file":${jstr(f.file)},"bytes":${f.bytes}$stats}"""
+  }
+
+  /** Write commit version current+1 recording ONLY the delta: `adds`
+    * (new files, under `"parts"` so [[TableLog.snapshot]] renders the
+    * touch set) and `removes` (`"part/file"` strings leaving the live
+    * set). O(touch set) bytes — never the live set (r12 directive #1).
+    * The JSON streams to the output file piecewise (no single
+    * concatenated table-sized string). MUST be called under
+    * [[TableLog.withLock]]. After the commit, every
+    * `checkpointInterval`-th version also writes a parquet snapshot
+    * checkpoint. */
+  private def writeCommit(spark: SparkSession, tableRoot: String,
+                          action: String, statsCols: Seq[String],
+                          schemaDdl: Option[String],
+                          adds: Map[String, Seq[FileStat]],
+                          removes: Seq[String]): Long = {
     val (fs, root) = TableLog.fsFor(spark, tableRoot)
     val v = TableLog.currentVersion(spark, tableRoot) + 1
-    val body = {
-      val ps = parts.toSeq.sortBy(_._1).map { case (part, files) =>
-        val fl = files.sortBy(_.file).map { fsStat =>
-          val stats =
-            (if (fsStat.rows >= 0L) s""","rows":${fsStat.rows}""" else "") +
-            fsStat.zones.toSeq.sortBy(_._1).map { case (c, (lo, hi)) =>
-              s""","min:${c}":${jdouble(lo)},"max:${c}":${jdouble(hi)}"""
-            }.mkString
-          s"""{"file":${jstr(fsStat.file)},"bytes":${fsStat.bytes}$stats}"""
-        }.mkString("[", ",", "]")
-        s"""{"part":${jstr(part)},"files":$fl}"""
-      }.mkString("[", ",", "]")
-      val sc =
-        if (statsCols.isEmpty) ""
-        else statsCols.map(jstr).mkString(""""statsCols":[""", ",", "],")
-      val sd = schemaDdl
-        .map(ddl => s""""schemaDdl":${jstr(ddl)},""").getOrElse("")
-      s"""{"version":$v,"action":${jstr(action)},$sd$sc""" +
-        s""""ts":${System.currentTimeMillis()},"parts":$ps}"""
-    }
     val ld = TableLog.logDir(root)
-    val finalP = new org.apache.hadoop.fs.Path(ld, f"_v$v%08d.json")
+    val finalP = deltaPath(ld, v)
     val tmpP = new org.apache.hadoop.fs.Path(ld, f"._v$v%08d.json.tmp")
     fs.mkdirs(ld)
-    val out = fs.create(tmpP, true)
-    out.write(body.getBytes("UTF-8"))
-    out.close()
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(tmpP, true), "UTF-8"))
+    try {
+      out.write(s"""{"version":$v,"action":${jstr(action)},""")
+      schemaDdl.foreach(ddl => out.write(s""""schemaDdl":${jstr(ddl)},"""))
+      if (statsCols.nonEmpty)
+        out.write(statsCols.map(jstr)
+          .mkString(""""statsCols":[""", ",", "],"))
+      out.write(s""""ts":${System.currentTimeMillis()},"parts":[""")
+      var firstPart = true
+      adds.toSeq.sortBy(_._1).foreach { case (part, files) =>
+        if (!firstPart) out.write(",")
+        firstPart = false
+        out.write(s"""{"part":${jstr(part)},"files":[""")
+        var firstFile = true
+        files.sortBy(_.file).foreach { f =>
+          if (!firstFile) out.write(",")
+          firstFile = false
+          out.write(fileJson(f))
+        }
+        out.write("]}")
+      }
+      out.write("""],"removes":[""")
+      out.write(removes.sorted.map(jstr).mkString(","))
+      out.write("]}")
+    } finally out.close()
     if (!fs.rename(tmpP, finalP))
       sys.error(s"LogTable: commit $finalP already exists — concurrent " +
         "unserialized writer detected")
+    val interval = checkpointInterval(spark)
+    if (interval > 0 && v % interval == 0)
+      writeCheckpoint(spark, tableRoot, manifest(spark, tableRoot, v))
     v
   }
 
-  /** Parse one retained manifest; loud error when the version was never
-    * committed or has been vacuumed away. */
-  def manifest(spark: SparkSession, tableRoot: String,
-               version: Long): Manifest = {
-    val (fs, root) = TableLog.fsFor(spark, tableRoot)
-    val p = new org.apache.hadoop.fs.Path(TableLog.logDir(root),
-      f"_v$version%08d.json")
-    if (!fs.exists(p))
-      sys.error(s"LogTable: version $version of $tableRoot is not " +
-        "retained (never committed, or reclaimed by vacuum) — time " +
-        "travel reaches only versions inside the vacuum retention window")
+  /** Parse one delta commit file. */
+  private def parseDelta(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path, v: Long): Delta = {
     val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
@@ -148,23 +266,158 @@ object LogTable {
     val partRe = "\\{\"part\":\"([^\"]*)\",\"files\":\\[([^\\]]*)\\]\\}".r
     val fileObjRe = "\\{[^{}]*\\}".r
     val fieldRe = "\"([^\"]+)\":(\"[^\"]*\"|[^,}]+)".r
-    val parts = partRe.findAllMatchIn(partsBody).map { m =>
+    def unq(s: String) = s.stripPrefix("\"").stripSuffix("\"")
+    val adds = partRe.findAllMatchIn(partsBody).map { m =>
       m.group(1) -> fileObjRe.findAllMatchIn(m.group(2)).map { fo =>
         val fields = fieldRe.findAllMatchIn(fo.matched)
           .map(fm => fm.group(1) -> fm.group(2)).toMap
         val zones = fields.keys
           .filter(_.startsWith("min:")).map(_.stripPrefix("min:"))
           .filter(c => fields.contains(s"max:$c"))
-          .map(c => c -> (fields(s"min:$c").toDouble,
-            fields(s"max:$c").toDouble)).toMap
-        FileStat(fields("file").stripPrefix("\"").stripSuffix("\""),
-          fields("bytes").toLong,
-          fields.get("rows").map(_.toLong).getOrElse(-1L),
-          zones)
+          .map { c =>
+            val (lo, hi) = (fields(s"min:$c"), fields(s"max:$c"))
+            val num = !lo.startsWith("\"")
+            c -> Zone(unq(lo), unq(hi), num)
+          }.toMap
+        FileStat(unq(fields("file")), fields("bytes").toLong,
+          fields.get("rows").map(_.toLong).getOrElse(-1L), zones)
       }.toSeq
     }.toMap
-    Manifest(version, action, statsCols, schemaDdl, parts)
+    val removes = "\"removes\":\\[([^\\]]*)\\]".r
+      .findFirstMatchIn(partsBody).map(_.group(1)) match {
+      case Some(inner) if inner.nonEmpty =>
+        "\"([^\"]*)\"".r.findAllMatchIn(inner).map(_.group(1)).toSeq
+      case _ => Seq.empty[String]
+    }
+    Delta(v, action, statsCols, schemaDdl, adds, removes)
   }
+
+  /** Write the full reconstructed live set of `m` as a parquet
+    * checkpoint dir (`_cp%08d`) — columnar and executor-readable, the
+    * Delta checkpoint move that lets reconstruction start from a
+    * snapshot instead of replaying the whole log. Txn ids ride along
+    * as `part = "__txn"` rows (bytes = arrival index), so replay dedup
+    * survives both checkpointing and [[vacuum]]. Atomic via
+    * write-to-tmp + dir rename. */
+  private def writeCheckpoint(spark: SparkSession, tableRoot: String,
+                              m: Manifest): Unit = {
+    import spark.implicits._
+    val fileRows = m.parts.toSeq.sortBy(_._1).flatMap { case (p, fl) =>
+      fl.sortBy(_.file).map { f =>
+        val zs = f.zones.toSeq.sortBy(_._1)
+        (p, f.file, f.bytes, f.rows, zs.map(_._1), zs.map(_._2.lo),
+          zs.map(_._2.hi), zs.map(_._2.num))
+      }
+    }
+    val txnRows = m.txns.zipWithIndex.map { case (t, i) =>
+      ("__txn", t, i.toLong, -1L, Seq.empty[String], Seq.empty[String],
+        Seq.empty[String], Seq.empty[Boolean])
+    }
+    val (fs, root) = TableLog.fsFor(spark, tableRoot)
+    val ld = TableLog.logDir(root)
+    val tmp = new org.apache.hadoop.fs.Path(ld, s".cp_tmp_${m.version}")
+    fs.delete(tmp, true)
+    (fileRows ++ txnRows)
+      .toDF("part", "file", "bytes", "rows", "zcols", "zlos", "zhis",
+        "znums")
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    val fin = cpPath(ld, m.version)
+    fs.delete(fin, true)
+    if (!fs.rename(tmp, fin))
+      sys.error(s"LogTable: checkpoint $fin rename failed")
+  }
+
+  private def readCheckpoint(spark: SparkSession, tableRoot: String,
+                             v: Long)
+      : (Map[String, Seq[FileStat]], Seq[String]) = {
+    val (_, root) = TableLog.fsFor(spark, tableRoot)
+    val ld = TableLog.logDir(root)
+    val rows = spark.read.parquet(cpPath(ld, v).toString).collect()
+    val (txnRows, fileRows) = rows.partition(_.getString(0) == "__txn")
+    val parts = fileRows.map { r =>
+      val zcols = r.getSeq[String](4)
+      val zlos = r.getSeq[String](5)
+      val zhis = r.getSeq[String](6)
+      val znums = r.getSeq[Boolean](7)
+      val zones = zcols.indices
+        .map(i => zcols(i) -> Zone(zlos(i), zhis(i), znums(i))).toMap
+      r.getString(0) -> FileStat(r.getString(1), r.getLong(2),
+        r.getLong(3), zones)
+    }.groupBy(_._1).map { case (p, fl) =>
+      p -> fl.map(_._2).sortBy(_.file).toSeq }
+    val txns = txnRows.sortBy(_.getLong(2)).map(_.getString(1)).toSeq
+    (parts, txns)
+  }
+
+  /** Reconstruct one version's full snapshot: newest parquet checkpoint
+    * ≤ `version`, plus the delta commits after it, memoized (manifests
+    * are immutable). Loud error when the version was never committed or
+    * has been vacuumed away. */
+  def manifest(spark: SparkSession, tableRoot: String,
+               version: Long): Manifest = {
+    val (fs, root) = TableLog.fsFor(spark, tableRoot)
+    val ld = TableLog.logDir(root)
+    if (!fs.exists(deltaPath(ld, version)))
+      sys.error(s"LogTable: version $version of $tableRoot is not " +
+        "retained (never committed, or reclaimed by vacuum) — time " +
+        "travel reaches only versions inside the vacuum retention window")
+    val key = s"${fs.makeQualified(root)}#$version"
+    val cached = manifestCache.get(key)
+    if (cached != null) return cached
+    val cp = checkpointVersions(fs, ld).filter(_ <= version).lastOption
+    val (baseParts, baseTxns) = cp match {
+      case Some(cv) => readCheckpoint(spark, tableRoot, cv)
+      case None => (Map.empty[String, Seq[FileStat]], Seq.empty[String])
+    }
+    var parts = baseParts
+    var txns = baseTxns
+    ((cp.getOrElse(0L) + 1L) to version).foreach { i =>
+      val d = parseDelta(fs, deltaPath(ld, i), i)
+      d.removes.foreach { rm =>
+        val slash = rm.indexOf('/')
+        val (p, f) = (rm.substring(0, slash), rm.substring(slash + 1))
+        val fl = parts.getOrElse(p,
+          sys.error(s"LogTable: v$i removes $rm but partition $p is " +
+            "not live — corrupt log"))
+        require(fl.exists(_.file == f),
+          s"LogTable: v$i removes $rm but the file is not live — " +
+            "corrupt log")
+        val kept = fl.filterNot(_.file == f)
+        parts = if (kept.isEmpty) parts - p else parts + (p -> kept)
+      }
+      d.adds.foreach { case (p, fl) =>
+        if (fl.nonEmpty)
+          parts = parts + (p -> (parts.getOrElse(p, Seq.empty) ++ fl))
+      }
+      if (d.action.contains(":txn="))
+        txns = (txns :+ d.action).takeRight(MaxTxns)
+    }
+    // header fields always come from the version's own delta (the
+    // replay loop is EMPTY when a checkpoint sits exactly at `version`)
+    val head = parseDelta(fs, deltaPath(ld, version), version)
+    val m = Manifest(version, head.action, head.statsCols,
+      head.schemaDdl, parts, txns)
+    if (manifestCache.size > 4096) manifestCache.clear()
+    manifestCache.put(key, m)
+    m
+  }
+
+  /** Force a parquet snapshot checkpoint at the current version (ops
+    * hook — [[vacuum]] also writes one at the retention floor so every
+    * kept version stays reconstructable after old deltas are
+    * reclaimed). */
+  def checkpoint(spark: SparkSession, tableRoot: String): Long =
+    TableLog.withLock(spark, tableRoot, "checkpoint") {
+      val v = TableLog.currentVersion(spark, tableRoot)
+      require(v > 0L, s"LogTable.checkpoint: $tableRoot has no commits")
+      writeCheckpoint(spark, tableRoot, manifest(spark, tableRoot, v))
+      v
+    }
+
+  // ---------------------------------------------------------------------
+  // Scans
+  // ---------------------------------------------------------------------
 
   /** Plan an explicit file list with the manifest's schema (when
     * recorded): files written before a column was added null-fill it,
@@ -177,8 +430,7 @@ object LogTable {
     val r = spark.read.option("basePath", tableRoot)
     m.schemaDdl match {
       case Some(ddl) =>
-        r.schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
-          .parquet(files: _*)
+        r.schema(StructType.fromDDL(ddl)).parquet(files: _*)
       case None => r.parquet(files: _*)
     }
   }
@@ -189,7 +441,6 @@ object LogTable {
     * and must be nullable (files predating them null-fill). */
   private def evolvedDdl(prev: Option[Manifest], df: DataFrame,
                          action: String): String = {
-    import org.apache.spark.sql.types.StructType
     val incoming = df.schema
     prev.flatMap(_.schemaDdl) match {
       case None => incoming.toDDL
@@ -235,26 +486,58 @@ object LogTable {
       .map { case (f, len) => FileStat(f, len) }).toMap
   }
 
+  /** "part/file" keys of a live-set map. */
+  private def fileKeys(parts: Map[String, Seq[FileStat]]): Seq[String] =
+    parts.toSeq.flatMap { case (p, fl) => fl.map(f => s"$p/${f.file}") }
+
   /** Zone-map the given files: ONE metadata-scale job computing per-file
-    * (rows, min/max of EVERY stats column). Keyed by "part/file" suffix.
-    * Stats columns are cast to double for the manifest — exact for
-    * |v| < 2⁵³ (every long the engine's fixtures emit); beyond that the
-    * zone is the rounded double, so skipping stays a SUPERSET as long as
-    * callers probe with the same double cast (readSkipping does). */
+    * (rows, min/max of EVERY stats column), TYPED by the column's
+    * schema type (r12 directive #3): numeric columns record double
+    * zones (exact for |v| < 2⁵³; NaNs are EXCLUDED from the agg —
+    * ADVICE r12 — an all-NaN column records no zone); DATE / TIMESTAMP
+    * columns record their ISO string forms (lexical compare = temporal
+    * compare); STRING columns record raw min and an Iceberg-style
+    * truncated-incremented max, dropped entirely when the bound cannot
+    * be stored safely. Keyed by "part/file" suffix. */
   private def fileStats(spark: SparkSession, tableRoot: String,
                         statsCols: Seq[String],
                         parts: Map[String, Seq[FileStat]])
-      : Map[String, (Long, Map[String, (Double, Double)])] = {
+      : Map[String, (Long, Map[String, Zone])] = {
     val paths = parts.toSeq.flatMap { case (p, fl) =>
       fl.map(f => s"$tableRoot/$p/${f.file}") }
     if (paths.isEmpty) Map.empty
     else {
-      spark.read.option("basePath", tableRoot).parquet(paths: _*)
-        .groupBy(input_file_name().as("__f"))
-        .agg(count(lit(1)).as("__n"),
-          statsCols.flatMap(c => Seq(
-            min(col(c).cast("double")).as(s"__lo:$c"),
-            max(col(c).cast("double")).as(s"__hi:$c"))): _*)
+      val df = spark.read.option("basePath", tableRoot).parquet(paths: _*)
+      val schema = df.schema
+      // 'n' numeric (double zones), 's' lexical (string zones)
+      val kinds: Map[String, Char] = statsCols.map { c =>
+        c -> (schema(c).dataType match {
+          case FloatType | DoubleType | _: NumericType => 'n'
+          case DateType | TimestampType | TimestampNTZType => 's'
+          case StringType => 's'
+          case other => sys.error(s"LogTable stats column $c has " +
+            s"unsupported type ${other.simpleString} — numeric, date, " +
+            "timestamp and string columns carry zone maps")
+        })
+      }.toMap
+      val aggs = statsCols.flatMap { c =>
+        schema(c).dataType match {
+          case FloatType | DoubleType =>
+            val cd = col(c).cast("double")
+            val clean = when(!isnan(cd), cd)
+            Seq(min(clean).as(s"__lo:$c"), max(clean).as(s"__hi:$c"))
+          case _: NumericType =>
+            val cd = col(c).cast("double")
+            Seq(min(cd).as(s"__lo:$c"), max(cd).as(s"__hi:$c"))
+          case DateType | TimestampType | TimestampNTZType =>
+            Seq(min(col(c)).cast("string").as(s"__lo:$c"),
+              max(col(c)).cast("string").as(s"__hi:$c"))
+          case _ =>
+            Seq(min(col(c)).as(s"__lo:$c"), max(col(c)).as(s"__hi:$c"))
+        }
+      }
+      df.groupBy(input_file_name().as("__f"))
+        .agg(count(lit(1)).as("__n"), aggs: _*)
         .collect()
         .map { r =>
           val uri = r.getString(0)
@@ -263,7 +546,18 @@ object LogTable {
             val (li, hi) =
               (r.fieldIndex(s"__lo:$c"), r.fieldIndex(s"__hi:$c"))
             if (r.isNullAt(li) || r.isNullAt(hi)) None
-            else Some(c -> (r.getDouble(li), r.getDouble(hi)))
+            else if (kinds(c) == 'n')
+              Some(c -> Zone(jdouble(r.getDouble(li)),
+                jdouble(r.getDouble(hi)), num = true))
+            else {
+              val (rawLo, rawHi) = (r.getString(li), r.getString(hi))
+              val lo = rawLo.substring(0, math.min(rawLo.length, StrZoneMax))
+              strUpper(rawHi) match {
+                case Some(up) if strSafe(lo) && strSafe(up) =>
+                  Some(c -> Zone(lo, up, num = false))
+                case _ => None // unstorable bound: file always planned
+              }
+            }
           }.toMap
           tail -> (r.getLong(1), zones)
         }.toMap
@@ -292,10 +586,15 @@ object LogTable {
       }
     }
 
-  /** Create the table: write `df` date-partitioned and commit manifest
-    * v1 holding the full live set. `statsCols` (optional, numeric)
-    * records per-file zone maps of each named column for
-    * [[readSkipping]]. Returns the committed version (1). */
+  // ---------------------------------------------------------------------
+  // Mutations
+  // ---------------------------------------------------------------------
+
+  /** Create the table: write `df` date-partitioned and commit delta v1
+    * (adds = the full initial live set, removes = none). `statsCols`
+    * (optional — numeric, date, timestamp or string) records per-file
+    * zone maps of each named column for [[readSkipping]]. Returns the
+    * committed version (1). */
   def init(df: DataFrame, tableRoot: String,
            dateCol: String = "start_date_oslo",
            statsCols: Seq[String] = Seq.empty): Long = {
@@ -305,17 +604,17 @@ object LogTable {
         s"LogTable.init: $tableRoot already has commits")
       df.write.mode(SaveMode.Append).partitionBy(dateCol).parquet(tableRoot)
       val parts = touchedParts(df, dateCol)
-      writeManifest(spark, tableRoot, "init", statsCols,
+      writeCommit(spark, tableRoot, "init", statsCols,
         Some(df.schema.toDDL),
         withStats(spark, tableRoot, statsCols,
-          listParts(spark, tableRoot, parts)))
+          listParts(spark, tableRoot, parts)), Seq.empty)
     }
   }
 
   /** Replace the partitions `updated` covers: APPEND the replacement
     * rows as new files (old files untouched — they stay readable at
-    * previous versions), then flip the manifest so the touched
-    * partitions' live sets are exactly the new files. Returns the
+    * previous versions), then commit (adds = the new files, removes =
+    * the touched partitions' previous live files). Returns the
     * committed version. */
   def replacePartitions(spark: SparkSession, tableRoot: String,
                         updated: DataFrame,
@@ -335,14 +634,17 @@ object LogTable {
         val before = pre(p).map(_.file).toSet
         p -> post(p).filterNot(f => before(f.file))
       }.toMap
-      writeManifest(spark, tableRoot, "replace", prev.statsCols,
-        Some(ddl), prev.parts -- touched ++
-          withStats(spark, tableRoot, prev.statsCols, newFiles))
+      val removes = fileKeys(prev.parts.view.filterKeys(touched.contains)
+        .toMap)
+      writeCommit(spark, tableRoot, "replace", prev.statsCols,
+        Some(ddl), withStats(spark, tableRoot, prev.statsCols, newFiles),
+        removes)
     }
 
   /** Metadata-only partition delete: the named partition dirs leave the
-    * live set by a manifest flip — zero data I/O, undone by reading the
-    * previous version. Unknown partitions are ignored. */
+    * live set by a commit naming their files in `removes` — zero data
+    * I/O, undone by reading the previous version. Unknown partitions
+    * are ignored. */
   def removePartitions(spark: SparkSession, tableRoot: String,
                        parts: Seq[String]): Long =
     TableLog.withLock(spark, tableRoot, "remove") {
@@ -350,38 +652,35 @@ object LogTable {
       require(v > 0L, s"LogTable.removePartitions: $tableRoot has no " +
         "manifest — init first")
       val prev = manifest(spark, tableRoot, v)
-      writeManifest(spark, tableRoot, "remove", prev.statsCols,
-        prev.schemaDdl, prev.parts -- parts)
+      val removes = fileKeys(prev.parts.view
+        .filterKeys(parts.contains).toMap)
+      writeCommit(spark, tableRoot, "remove", prev.statsCols,
+        prev.schemaDdl, Map.empty, removes)
     }
 
-  /** Append rows as new files + a manifest flip (existing partitions
+  /** Append rows as new files + a delta commit (existing partitions
     * keep their files, new partitions join the live set). `txnId`, when
     * given, makes the commit IDEMPOTENT — the Delta streaming-sink
-    * trick: the txn id is recorded in the manifest action
-    * (`append:txn=<id>`), and a later call with an id some retained
-    * manifest already carries is a NO-OP returning the current version.
-    * A foreachBatch sink passing its (queryId, batchId) therefore gets
-    * exactly-once table contents under micro-batch replay — the
-    * at-least-once delivery every checkpoint recovery implies collapses
-    * at the commit, not in the data. (Retention caveat: vacuum must
-    * keep at least the replay horizon's manifests for the dedup to see
-    * them — the same contract as Delta's txn retention.)
-    */
+    * trick: the txn id is recorded in the commit action
+    * (`append:txn=<id>`) and accumulated through checkpoints, and a
+    * later call with an id the snapshot already carries is a NO-OP
+    * returning the current version. A foreachBatch sink passing its
+    * (queryId, batchId) therefore gets exactly-once table contents
+    * under micro-batch replay. The dedup probe is ONE snapshot lookup
+    * (O(1) manifest reads per commit — the old O(v) full-log walk was
+    * ADVICE r12), and because txn ids ride checkpoints it SURVIVES
+    * [[vacuum]] instead of depending on manifest retention. */
   def append(spark: SparkSession, tableRoot: String, rows: DataFrame,
              dateCol: String = "start_date_oslo",
              txnId: Option[String] = None): Long =
     TableLog.withLock(spark, tableRoot, "append") {
       val v = TableLog.currentVersion(spark, tableRoot)
       val action = txnId.map(t => s"append:txn=$t").getOrElse("append")
-      if (txnId.isDefined && v > 0L &&
-          (1L to v).exists(i =>
-            try manifest(spark, tableRoot, i).action == action
-            catch { case _: RuntimeException => false })) {
+      val prevM = if (v > 0L) Some(manifest(spark, tableRoot, v)) else None
+      if (txnId.isDefined &&
+          prevM.exists(_.txns.contains(action))) {
         v // this txn already committed — replay collapses here
       } else {
-        val prevM = if (v > 0L) Some(manifest(spark, tableRoot, v)) else None
-        val prev = prevM.map(_.parts)
-          .getOrElse(Map.empty[String, Seq[FileStat]])
         val sc = prevM.map(_.statsCols).getOrElse(Seq.empty)
         val ddl = evolvedDdl(prevM, rows, "append")
         val touched = touchedParts(rows, dateCol)
@@ -393,12 +692,8 @@ object LogTable {
           val before = pre(p).map(_.file).toSet
           p -> post(p).filterNot(f => before(f.file))
         }.toMap
-        val statted = withStats(spark, tableRoot, sc, newFiles)
-        val merged = touched.map { p =>
-          p -> (prev.getOrElse(p, Seq.empty) ++ statted(p))
-        }.toMap
-        writeManifest(spark, tableRoot, action, sc, Some(ddl),
-          prev ++ merged)
+        writeCommit(spark, tableRoot, action, sc, Some(ddl),
+          withStats(spark, tableRoot, sc, newFiles), Seq.empty)
       }
     }
 
@@ -417,89 +712,119 @@ object LogTable {
     scanFiles(spark, tableRoot, m, files)
   }
 
-  /** Plan only the files whose zone map CAN contain a `col` value
-    * in [lo, hi] — manifest-level data skipping, the Delta/Iceberg
-    * file-pruning move. The scan is a SUPERSET of the matching rows
-    * (zone maps are necessary, not sufficient): callers apply the exact
-    * row filter on the returned frame; what skipping buys is that at
-    * 100 TB the files whose zones miss the range are never listed,
-    * opened, or footer-read at all — driver-side planning over
-    * O(manifest) metadata, zero data I/O. Files without stats (committed
-    * before a stats column was declared, or all-null) are always
-    * planned. `lo`/`hi` are inclusive; the probe value is compared
-    * against the manifest's double-cast zone, matching how the zones
-    * were written. Fails loudly when `col` is not one of the manifest's
-    * declared stats columns — a zone map for one column says nothing
-    * about another. Probes on DIFFERENT stats columns compose by
-    * intersecting the planned file lists caller-side (each call prunes
-    * independently).
-    */
-  def readSkipping(spark: SparkSession, tableRoot: String, col: String,
-                   lo: Double, hi: Double,
-                   asOf: Option[Long] = None): DataFrame = {
+  /** Can this file's zone admit a row matching `pred`? No zone for the
+    * column → true (cannot skip safely); a numeric zone with non-finite
+    * bounds → true (legacy NaN zones never skip — ADVICE r12); a KIND
+    * mismatch (numeric probe on a lexical zone or vice versa) fails
+    * loudly — it is a caller bug, not a skippable file. */
+  private[graft] def zoneAdmits(f: FileStat, pred: ZonePred): Boolean =
+    f.zones.get(pred.column) match {
+      case None => true
+      case Some(z) => pred match {
+        case NumRange(c, lo, hi) =>
+          require(z.num, s"LogTable: zone map for $c is DATE/STRING " +
+            "(lexical) — probe it with StrRange / readSkippingStr, " +
+            "not a numeric range")
+          val (zlo, zhi) = (z.lo.toDouble, z.hi.toDouble)
+          if (zlo.isNaN || zhi.isNaN) true
+          else zhi >= lo && zlo <= hi
+        case StrRange(c, lo, hi) =>
+          require(!z.num, s"LogTable: zone map for $c is numeric — " +
+            "probe it with NumRange / readSkipping, not a string range")
+          z.hi >= lo && z.lo <= hi
+      }
+    }
+
+  /** General multi-predicate data skipping: plan only the files whose
+    * zone maps can contain a row satisfying EVERY predicate at once —
+    * the manifest-level file-pruning move (Delta/Iceberg data
+    * skipping). The scan is a SUPERSET of the matching rows (zone maps
+    * are necessary, not sufficient): callers apply the exact row filter
+    * on the returned frame; what skipping buys is that at 100 TB the
+    * files whose zones miss the range are never listed, opened, or
+    * footer-read at all — driver-side planning over O(manifest)
+    * metadata, zero data I/O. Files without stats are always planned.
+    * Bounds are inclusive. Fails loudly when a probed column is not one
+    * of the manifest's declared stats columns. The scan goes through
+    * the version-pinned schema ([[scanFiles]] — ADVICE r12: a
+    * mixed-schema live set must never resolve to one file's footer). */
+  def readSkippingPreds(spark: SparkSession, tableRoot: String,
+                        preds: Seq[ZonePred],
+                        asOf: Option[Long] = None): DataFrame = {
+    require(preds.nonEmpty,
+      "LogTable.readSkippingPreds needs at least one predicate")
     val v = asOf.getOrElse(TableLog.currentVersion(spark, tableRoot))
     require(v > 0L,
-      s"LogTable.readSkipping: $tableRoot has no committed version")
+      s"LogTable.readSkippingPreds: $tableRoot has no committed version")
     val m = manifest(spark, tableRoot, v)
-    require(m.statsCols.contains(col),
-      s"LogTable.readSkipping: version $v records zone maps for " +
-        s"[${m.statsCols.mkString(",")}], not $col")
+    preds.foreach { p =>
+      require(m.statsCols.contains(p.column),
+        s"LogTable.readSkippingPreds: version $v records zone maps for " +
+          s"[${m.statsCols.mkString(",")}], not ${p.column}")
+    }
     val files = m.parts.toSeq.sortBy(_._1).flatMap { case (p, fl) =>
-      fl.filter(f => f.zones.get(col) match {
-        case Some((mn, mx)) => mx >= lo && mn <= hi
-        case None => true // no stats -> cannot skip safely
-      }).map(f => s"$tableRoot/$p/${f.file}")
+      fl.filter(f => preds.forall(zoneAdmits(f, _)))
+        .map(f => s"$tableRoot/$p/${f.file}")
     }
     if (files.isEmpty)
       // every zone missed: an empty frame with the table's schema
       read(spark, tableRoot, Some(v)).limit(0)
-    else spark.read.option("basePath", tableRoot).parquet(files: _*)
-  }
-
-  /** Multi-column data skipping: plan only files whose zone maps can
-    * contain a row satisfying EVERY [lo, hi] predicate at once — the
-    * conjunction prunes the INTERSECTION of the per-column survivor
-    * sets in one manifest walk, which is exactly what
-    * [[optimizeZorder]]'s hyper-rectangle files exist for (a 2-D probe
-    * on a 4-cell tiling plans ONE file where either single-column probe
-    * plans two). Same superset and stat-less-file semantics as
-    * [[readSkipping]];
-    * every probed column must be a declared stats column. */
-  def readSkippingAll(spark: SparkSession, tableRoot: String,
-                      preds: Seq[(String, Double, Double)],
-                      asOf: Option[Long] = None): DataFrame = {
-    require(preds.nonEmpty, "readSkippingAll needs at least one predicate")
-    val v = asOf.getOrElse(TableLog.currentVersion(spark, tableRoot))
-    require(v > 0L,
-      s"LogTable.readSkippingAll: $tableRoot has no committed version")
-    val m = manifest(spark, tableRoot, v)
-    preds.foreach { case (c, _, _) =>
-      require(m.statsCols.contains(c),
-        s"LogTable.readSkippingAll: version $v records zone maps for " +
-          s"[${m.statsCols.mkString(",")}], not $c")
-    }
-    val files = m.parts.toSeq.sortBy(_._1).flatMap { case (p, fl) =>
-      fl.filter(f => preds.forall { case (c, lo, hi) =>
-        f.zones.get(c) match {
-          case Some((mn, mx)) => mx >= lo && mn <= hi
-          case None => true // no stats -> cannot skip safely
-        }
-      }).map(f => s"$tableRoot/$p/${f.file}")
-    }
-    if (files.isEmpty) read(spark, tableRoot, Some(v)).limit(0)
     else scanFiles(spark, tableRoot, m, files)
   }
+
+  /** Plan the table through a manifest-backed Catalyst
+    * [[org.apache.spark.sql.execution.datasources.FileIndex]]
+    * ([[graft.sources.LogTableFileIndex]] — r12 directive #4): ordinary
+    * `.filter($"v".between(a, b))` / `.filter($"date" >= lit(...))`
+    * DataFrame code prunes files via the zone maps at PHYSICAL PLAN
+    * time (FileSourceScanExec hands its pushed filters to the index),
+    * with no side API — what a real user writes. Column order, values
+    * and partition pruning match [[read]]; planned-file counts on
+    * stats-column predicates match [[readSkipping]] /
+    * [[readSkippingAll]] (spec-asserted). */
+  def readIndexed(spark: SparkSession, tableRoot: String,
+                  asOf: Option[Long] = None): DataFrame =
+    graft.sources.LogTableScan(spark, tableRoot, asOf)
+
+  /** Single numeric-range data skipping — see [[readSkippingPreds]]. */
+  def readSkipping(spark: SparkSession, tableRoot: String, col: String,
+                   lo: Double, hi: Double,
+                   asOf: Option[Long] = None): DataFrame =
+    readSkippingPreds(spark, tableRoot, Seq(NumRange(col, lo, hi)), asOf)
+
+  /** Single lexical-range data skipping over a DATE / TIMESTAMP /
+    * STRING stats column (r12 directive #3) — bounds are compared
+    * lexically, which for ISO date strings (`"2024-01-15"`) IS
+    * temporal order, so `readSkippingStr(spark, root,
+    * "start_date_oslo", "2024-01-01", "2024-01-31")` prunes files on
+    * the fact's own hottest predicate with no epoch-day encoding. See
+    * [[readSkippingPreds]]. */
+  def readSkippingStr(spark: SparkSession, tableRoot: String, col: String,
+                      lo: String, hi: String,
+                      asOf: Option[Long] = None): DataFrame =
+    readSkippingPreds(spark, tableRoot, Seq(StrRange(col, lo, hi)), asOf)
+
+  /** Multi-column numeric data skipping: the conjunction prunes the
+    * INTERSECTION of the per-column survivor sets in one manifest walk
+    * — exactly what [[optimizeZorder]]'s hyper-rectangle files exist
+    * for (a 2-D probe on a 4-cell tiling plans ONE file where either
+    * single-column probe plans two). See [[readSkippingPreds]]. */
+  def readSkippingAll(spark: SparkSession, tableRoot: String,
+                      preds: Seq[(String, Double, Double)],
+                      asOf: Option[Long] = None): DataFrame =
+    readSkippingPreds(spark, tableRoot,
+      preds.map { case (c, lo, hi) => NumRange(c, lo, hi) }, asOf)
 
   /** OPTIMIZE: bin-pack each partition whose live set holds more than
     * one file under `targetBytes` into ~targetBytes files — the
     * time-travel-safe compaction (vs [[MergeOps]]' rename-based
     * compactor for listing-planned layouts): compacted rows are written
-    * as NEW files and the manifest flips, so every prior version still
-    * reads bit-identically until [[vacuum]] reclaims it, and a reader
-    * planned from the old manifest never sees a file disappear. Only
-    * partitions with ≥ 2 sub-target files are rewritten (an already
-    * -compact partition costs zero I/O). Returns the committed version,
-    * or the current one when nothing qualified. */
+    * as NEW files and a delta commit retires the packed inputs, so
+    * every prior version still reads bit-identically until [[vacuum]]
+    * reclaims it, and a reader planned from the old manifest never sees
+    * a file disappear. Only partitions with ≥ 2 sub-target files are
+    * rewritten (an already-compact partition costs zero I/O). Returns
+    * the committed version, or the current one when nothing qualified. */
   def compact(spark: SparkSession, tableRoot: String,
               targetBytes: Long,
               dateCol: String = "start_date_oslo"): Long =
@@ -526,23 +851,15 @@ object LogTable {
             .write.mode(SaveMode.Append).parquet(s"$tableRoot/$p")
         }
         val post = listParts(spark, tableRoot, todo.keys.toSeq)
-        val flipped = todo.map { case (p, fl) =>
+        val newFiles = todo.map { case (p, _) =>
           val before = pre(p).map(_.file).toSet
-          val big = fl.filterNot(_.bytes < targetBytes)
-          p -> (big ++ post(p).filterNot(f => before(f.file)))
+          p -> post(p).filterNot(f => before(f.file))
         }
-        val statted = withStats(spark, tableRoot, prev.statsCols,
-          flipped.map { case (p, fl) =>
-            // re-stat only the NEW files; survivors keep their zones
-            p -> fl.filter(f => f.rows < 0L && f.zones.isEmpty)
-          })
-        val mergedNew = flipped.map { case (p, fl) =>
-          val restat = statted.getOrElse(p, Seq.empty)
-            .map(f => f.file -> f).toMap
-          p -> fl.map(f => restat.getOrElse(f.file, f))
-        }
-        writeManifest(spark, tableRoot, "compact", prev.statsCols,
-          prev.schemaDdl, prev.parts ++ mergedNew)
+        val removes = todo.toSeq.flatMap { case (p, fl) =>
+          fl.filter(_.bytes < targetBytes).map(f => s"$p/${f.file}") }
+        writeCommit(spark, tableRoot, "compact", prev.statsCols,
+          prev.schemaDdl,
+          withStats(spark, tableRoot, prev.statsCols, newFiles), removes)
       }
     }
 
@@ -555,8 +872,8 @@ object LogTable {
     * has every file's zone spanning the whole value range, and zone
     * skipping prunes nothing until this rewrite tightens the zones.
     * Time-travel-safe like [[compact]]: clustered rows land as NEW
-    * files, the manifest flips, every prior version reads bit-identically
-    * until [[vacuum]].
+    * files, the commit retires the inputs, every prior version reads
+    * bit-identically until [[vacuum]].
     *
     * Each column is scaled onto the curve grid by its GLOBAL min/max
     * (one metadata-scale agg over the snapshot — per-partition grids
@@ -660,23 +977,77 @@ object LogTable {
           val before = pre(p).map(_.file).toSet
           p -> post(p).filterNot(f => before(f.file))
         }.toMap
-        val statted = withStats(spark, tableRoot, prev.statsCols, newFiles)
-        writeManifest(spark, tableRoot, "zorder", prev.statsCols,
-          prev.schemaDdl, prev.parts ++ statted)
+        val removes = todo.toSeq.flatMap { case (p, fl) =>
+          fl.map(f => s"$p/${f.file}") }
+        writeCommit(spark, tableRoot, "zorder", prev.statsCols,
+          prev.schemaDdl,
+          withStats(spark, tableRoot, prev.statsCols, newFiles), removes)
       }
     }
+
+  /** The live files whose zone maps can contain at least one of
+    * `updates`' key tuples, when EVERY key column carries zone maps —
+    * [[merge]]'s probe pruner (r12 directive #7: the x167
+    * date-range-pruning lesson applied to copy-on-write merge). The
+    * bound is the keys' bounding box (one metadata-scale agg over
+    * `updates`), typed per column like the zones themselves. None =
+    * zones cannot prune (a key column without zone maps, or a bound
+    * that cannot be computed) — the caller probes the full live set.
+    * Package-visible so the pruning contract is spec-testable. */
+  private[graft] def mergeCandidateFiles(spark: SparkSession,
+                                         tableRoot: String, m: Manifest,
+                                         updates: DataFrame,
+                                         keyCols: Seq[String])
+      : Option[Seq[String]] = {
+    if (!keyCols.forall(m.statsCols.contains)) return None
+    val schema = updates.schema
+    val aggs = keyCols.flatMap { c =>
+      schema(c).dataType match {
+        case FloatType | DoubleType =>
+          val cd = col(c).cast("double")
+          val clean = when(!isnan(cd), cd)
+          Seq(min(clean).as(s"__lo:$c"), max(clean).as(s"__hi:$c"))
+        case _: NumericType =>
+          val cd = col(c).cast("double")
+          Seq(min(cd).as(s"__lo:$c"), max(cd).as(s"__hi:$c"))
+        case DateType | TimestampType | TimestampNTZType =>
+          Seq(min(col(c)).cast("string").as(s"__lo:$c"),
+            max(col(c)).cast("string").as(s"__hi:$c"))
+        case StringType =>
+          Seq(min(col(c)).as(s"__lo:$c"), max(col(c)).as(s"__hi:$c"))
+        case _ => return None
+      }
+    }
+    val row = updates.agg(aggs.head, aggs.tail: _*).collect().head
+    val preds: Seq[ZonePred] = keyCols.flatMap { c =>
+      val (li, hi) = (row.fieldIndex(s"__lo:$c"), row.fieldIndex(s"__hi:$c"))
+      if (row.isNullAt(li) || row.isNullAt(hi)) None
+      else schema(c).dataType match {
+        case _: NumericType =>
+          Some(NumRange(c, row.getDouble(li), row.getDouble(hi)))
+        case _ => Some(StrRange(c, row.getString(li), row.getString(hi)))
+      }
+    }
+    if (preds.size != keyCols.size) None
+    else Some(m.parts.toSeq.sortBy(_._1).flatMap { case (p, fl) =>
+      fl.filter(f => preds.forall(zoneAdmits(f, _)))
+        .map(f => s"$p/${f.file}")
+    })
+  }
 
   /** Keyed MERGE (upsert) with file-granular copy-on-write — the Delta
     * MERGE core, on the manifest: rows of `updates` whose key matches an
     * existing row REPLACE every matched row; unmatched update rows are
     * INSERTED. Only files that actually CONTAIN a matched key are
     * rewritten — their surviving (unmatched) rows are re-appended
-    * together with the update rows as NEW files and the manifest flips;
-    * every untouched file stays live byte-identical and every prior
-    * version still time-travels. At 100 TB the cost is
-    * O(files-hit + updates), never O(table): the match probe is one key
-    * semi-join against the snapshot tagged with `input_file_name()`,
-    * collecting only FILE NAMES (metadata-scale — bounded by the live
+    * together with the update rows as NEW files and the commit retires
+    * the hit files; every untouched file stays live byte-identical and
+    * every prior version still time-travels. At 100 TB the cost is
+    * O(files-hit + updates), never O(table): when the key columns carry
+    * zone maps the match probe only SCANS the files whose zones
+    * intersect the updates' key bounding box
+    * ([[mergeCandidateFiles]] — r12 directive #7), and either way it
+    * collects only FILE NAMES (metadata-scale — bounded by the live
     * file count, not rows).
     *
     * Duplicate keys in `updates` fail loudly (Delta's "multiple source
@@ -686,15 +1057,21 @@ object LogTable {
     * re-evaluated for planning and the write (the repo-wide contract).
     * Survivor rows keep their partition (`dateCol` is part of the row),
     * so a hit partition either receives replacement files or
-    * legitimately empties. Returns the committed version. */
+    * legitimately empties. `txnId` makes the commit idempotent exactly
+    * like [[append]]'s (`merge:txn=<id>` — a replayed foreachBatch
+    * micro-batch upsert collapses at the commit). Returns the committed
+    * version. */
   def merge(spark: SparkSession, tableRoot: String, updates: DataFrame,
             keyCols: Seq[String],
-            dateCol: String = "start_date_oslo"): Long =
+            dateCol: String = "start_date_oslo",
+            txnId: Option[String] = None): Long =
     TableLog.withLock(spark, tableRoot, "merge") {
       val v = TableLog.currentVersion(spark, tableRoot)
       require(v > 0L, s"LogTable.merge: $tableRoot has no manifest — " +
         "init first")
+      val action = txnId.map(t => s"merge:txn=$t").getOrElse("merge")
       val prev = manifest(spark, tableRoot, v)
+      if (txnId.isDefined && prev.txns.contains(action)) return v
       val cur = read(spark, tableRoot, Some(v))
       require(updates.columns.toSet == cur.columns.toSet,
         s"LogTable.merge: updates columns ${updates.columns.sorted.mkString(",")} " +
@@ -706,14 +1083,25 @@ object LogTable {
         s"keys (e.g. ${dup.headOption.mkString}) — multiple source rows " +
         "would match the same target row")
       val keyFrame = updates.select(keyCols.map(col): _*)
-      // which live files hold a matched key? names only — metadata-scale
-      val hitTails = cur.withColumn("__file", input_file_name())
-        .join(keyFrame, keyCols, "left_semi")
-        .select("__file").distinct().collect()
-        .map(_.getString(0).split('/').takeRight(2).mkString("/")).toSet
-      val matchedByPart: Map[String, Set[String]] =
-        hitTails.groupBy(_.split('/')(0))
-          .map { case (p, ts) => p -> ts.map(_.split('/')(1)) }
+      // which live files hold a matched key? names only — and when the
+      // keys carry zone maps, only zone-admitted candidates are scanned
+      val candidates = mergeCandidateFiles(spark, tableRoot, prev,
+        updates, keyCols)
+      val probe = candidates match {
+        case Some(tails) if tails.isEmpty =>
+          None // no zone admits any key: nothing can match
+        case Some(tails) if tails.size < fileKeys(prev.parts).size =>
+          Some(scanFiles(spark, tableRoot, prev,
+            tails.sorted.map(t => s"$tableRoot/$t")))
+        case _ => Some(cur)
+      }
+      val hitTails: Set[String] = probe match {
+        case None => Set.empty
+        case Some(src) => src.withColumn("__file", input_file_name())
+          .join(keyFrame, keyCols, "left_semi")
+          .select("__file").distinct().collect()
+          .map(_.getString(0).split('/').takeRight(2).mkString("/")).toSet
+      }
       val survivors =
         if (hitTails.isEmpty) None
         else Some(scanFiles(spark, tableRoot, prev,
@@ -732,15 +1120,10 @@ object LogTable {
         val before = pre(p).map(_.file).toSet
         p -> post(p).filterNot(f => before(f.file))
       }.toMap
-      val statted = withStats(spark, tableRoot, prev.statsCols, newFiles)
-      val pruned = prev.parts.map { case (p, fl) =>
-        p -> fl.filterNot(f => matchedByPart.getOrElse(p, Set.empty)(f.file))
-      }
-      val merged = statted.foldLeft(pruned) { case (acc, (p, fl)) =>
-        acc + (p -> (acc.getOrElse(p, Seq.empty) ++ fl))
-      }
-      writeManifest(spark, tableRoot, "merge", prev.statsCols,
-        prev.schemaDdl, merged.filter(_._2.nonEmpty))
+      writeCommit(spark, tableRoot, action, prev.statsCols,
+        prev.schemaDdl,
+        withStats(spark, tableRoot, prev.statsCols, newFiles),
+        hitTails.toSeq)
     }
 
   /** Change-data-feed between two retained versions, computed from the
@@ -760,10 +1143,8 @@ object LogTable {
       s"LogTable.changes: need 1 <= fromV <= toV (got $fromV, $toV)")
     val a = manifest(spark, tableRoot, fromV)
     val b = manifest(spark, tableRoot, toV)
-    def fileSet(m: Manifest): Set[String] = m.parts.toSeq.flatMap {
-      case (p, fl) => fl.map(f => s"$p/${f.file}") }.toSet
-    val fa = fileSet(a)
-    val fb = fileSet(b)
+    val fa = fileKeys(a.parts).toSet
+    val fb = fileKeys(b.parts).toSet
     def scan(tails: Set[String]): Option[DataFrame] =
       if (tails.isEmpty) None
       else Some(scanFiles(spark, tableRoot, b,
@@ -786,9 +1167,10 @@ object LogTable {
 
   /** RESTORE the table to retained version `toVersion` — as a NEW
     * commit whose live set, stats columns, and schema are the target
-    * version's, byte-for-byte (Delta's RESTORE semantics): pure
-    * metadata, ZERO data I/O, itself undoable by restoring forward
-    * again, and the history between stays time-travelable until
+    * version's, byte-for-byte (Delta's RESTORE semantics): the commit
+    * records the DIFF between the current live set and the target's
+    * (pure metadata, ZERO data I/O), itself undoable by restoring
+    * forward again, and the history between stays time-travelable until
     * [[vacuum]]. The restored head re-references the old files, so a
     * later vacuum retains them. Fails loudly when the target was
     * vacuumed away — a restore must never silently produce a torn mix.
@@ -801,14 +1183,28 @@ object LogTable {
       require(toVersion >= 1L && toVersion <= v,
         s"LogTable.restore: version $toVersion outside [1, $v]")
       val target = manifest(spark, tableRoot, toVersion)
-      writeManifest(spark, tableRoot, s"restore:v$toVersion",
-        target.statsCols, target.schemaDdl, target.parts)
+      val cur = manifest(spark, tableRoot, v)
+      val curKeys = fileKeys(cur.parts).toSet
+      val tgtKeys = fileKeys(target.parts).toSet
+      val removes = (curKeys -- tgtKeys).toSeq
+      val adds = target.parts.map { case (p, fl) =>
+        p -> fl.filterNot(f => curKeys(s"$p/${f.file}"))
+      }.filter(_._2.nonEmpty)
+      writeCommit(spark, tableRoot, s"restore:v$toVersion",
+        target.statsCols, target.schemaDdl, adds, removes)
     }
 
   /** Reclaim files no retained manifest references, keeping the newest
-    * `keepLast` versions (and their time-travel reads) intact. The
-    * retention contract is Delta's: `keepLast` must cover the longest
-    * concurrently running reader. Returns (versions dropped, data files
+    * `keepLast` versions (and their time-travel reads) intact. Before
+    * deleting any commit metadata a parquet checkpoint is written AT
+    * the retention floor (oldest kept version), so every kept version
+    * still reconstructs from (floor checkpoint) + (retained deltas) —
+    * and the floor checkpoint carries the accumulated txn ids, so
+    * replay dedup survives the vacuum. The retention contract is
+    * Delta's: `keepLast` must cover the longest concurrently running
+    * reader (a reader planned at a version vacuumed mid-scan fails
+    * loudly on its next file open; a reader inside retention is
+    * structurally safe). Returns (versions dropped, data files
     * deleted). */
   def vacuum(spark: SparkSession, tableRoot: String,
              keepLast: Int): (Int, Int) = {
@@ -822,15 +1218,20 @@ object LogTable {
         .sorted.toSeq
       val kept = versions.takeRight(keepLast)
       val dropped = versions.dropRight(keepLast)
+      // every partition dir ANY commit ever added to (walk the delta
+      // adds — O(commits), no full-manifest reconstruction needed)
+      val allParts = versions.flatMap(i =>
+        parseDelta(fs, deltaPath(ld, i), i).adds.keys).distinct
       val keptManifests = kept.map(manifest(spark, tableRoot, _))
+      // retention floor checkpoint: kept versions must reconstruct
+      // after the older deltas are gone
+      val floor = kept.head
+      if (!fs.exists(cpPath(ld, floor)))
+        writeCheckpoint(spark, tableRoot, keptManifests.head)
       val referenced: Map[String, Set[String]] = keptManifests
         .flatMap(_.parts.toSeq)
         .groupBy(_._1)
         .map { case (p, fl) => p -> fl.flatMap(_._2.map(_.file)).toSet }
-      // every partition dir any manifest (kept or dropped) ever named
-      val allParts = (keptManifests.flatMap(_.parts.keys) ++
-        dropped.map(manifest(spark, tableRoot, _))
-          .flatMap(_.parts.keys)).distinct
       var deleted = 0
       allParts.foreach { p =>
         val dir = new org.apache.hadoop.fs.Path(root, p)
@@ -843,8 +1244,10 @@ object LogTable {
         }
         if (keep.isEmpty) fs.delete(dir, true) // partition fully retired
       }
-      dropped.foreach(v => fs.delete(
-        new org.apache.hadoop.fs.Path(ld, f"_v$v%08d.json"), false))
+      dropped.foreach(dv => fs.delete(deltaPath(ld, dv), false))
+      // checkpoints below the floor serve no retained version
+      checkpointVersions(fs, ld).filter(_ < floor)
+        .foreach(cv => fs.delete(cpPath(ld, cv), true))
       (dropped.size, deleted)
     }
   }

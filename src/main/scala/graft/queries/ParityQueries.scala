@@ -138,6 +138,56 @@ object ParityQueries {
       .orderBy("id")
   }
 
+  /** ST4c — the st4/st4b pipeline on [[graft.operators.LogTable]] (r12
+    * directive #5): per-batch idempotent COW merge + manifest-commit
+    * windowed sweep, graded against the SAME m1 oracle. The closing
+    * read is a PLAIN [[graft.operators.LogTable.read]] — no
+    * readValidated loop: manifest-planned files are immutable, so
+    * reader isolation is structural, not optimistic. */
+  private val stMergeLtTemplates =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stMergeLogTable(s: org.apache.spark.sql.SparkSession,
+                              d: String): org.apache.spark.sql.DataFrame = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val tpl = stMergeLtTemplates.computeIfAbsent(d, _ => {
+      val ev = t(s, d, "events")
+      val fact = ev.filter(col("ts") < tsLit("2024-01-28"))
+        .select(col("event_id").as("id"), col("ts"),
+          osloDate(col("ts")).as("start_date_oslo"), col("event_type"),
+          col("value"))
+      val staging = ev.filter(col("event_type") =!= "error")
+        .select(col("event_id").as("id"), col("ts"),
+          osloDate(col("ts")).as("start_date_oslo"), col("event_type"),
+          (col("value") * 2).as("value"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_stmergelt_tpl").toString
+      graft.operators.LogTable.init(fact, s"$dir/fact")
+      staging.repartition(2).write.parquet(s"$dir/staging")
+      dir
+    })
+    val base = java.nio.file.Files.createTempDirectory("graft_stmergelt")
+      .toString
+    val baseP = new org.apache.hadoop.fs.Path(base)
+    val fs = baseP.getFileSystem(conf)
+    org.apache.hadoop.fs.FileUtil.copy(fs,
+      new org.apache.hadoop.fs.Path(s"$tpl/fact"), fs,
+      new org.apache.hadoop.fs.Path(s"$base/fact"), false, conf)
+    val factRoot = s"$base/fact"
+    val stagingSchema = s.read.parquet(s"$tpl/staging").schema
+    val stream = s.readStream.schema(stagingSchema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$tpl/staging")
+    graft.streaming.Streams.runStreamingLogTableMergeAvailableNow(s,
+      stream, factRoot, s"$base/seen_ids", days = 7,
+      todayOslo = LocalDate.parse("2024-01-30"),
+      checkpoint = s"$base/ckpt")
+    val out = graft.operators.LogTable.read(s, factRoot)
+      .select("id", "ts", "start_date_oslo", "event_type", "value")
+      .localCheckpoint(true)
+    fs.delete(baseP, true)
+    out.withColumn("start_date_oslo", col("start_date_oslo").cast("string"))
+      .orderBy("id")
+  }
+
   val all: Seq[QuerySpec] = Seq(
 
     // ── S: sources ────────────────────────────────────────────────────────
@@ -751,6 +801,18 @@ object ParityQueries {
     // batch (PERF.md r6).
     QuerySpec("st4b_stream_merge_indexed",
       (s, d) => stMergeIncremental(s, d, indexed = true), Some(m1OracleSql)),
+
+    // ST4c — the SAME M1 semantics streamed onto the manifest-native
+    // LogTable (r12 directive #5): each micro-batch is ONE idempotent
+    // copy-on-write LogTable.merge (txnId = st4c:<batchId> — a replayed
+    // batch is a commit-level no-op, crash-replay spec in
+    // StreamingMultimodalSpec), the windowed delete lands as manifest
+    // commits touching only stale window partitions, and the closing
+    // read needs NO readValidated loop — manifest-planned files are
+    // immutable, so reader isolation is structural. Same DuckDB oracle
+    // as m1/st4/st4b: three physical layouts, one semantic truth.
+    QuerySpec("st4c_stream_merge_logtable",
+      (s, d) => stMergeLogTable(s, d), Some(m1OracleSql)),
 
     // T4 — JSON-lines source round-trip: the reference's raw payloads are
     // JSON (api.clickup.com responses); re-expressed as the Spark `json`

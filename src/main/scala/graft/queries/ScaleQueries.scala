@@ -8143,6 +8143,125 @@ object ScaleQueries {
              |FROM b, m WHERE event_id > q1 AND event_id <= q2"""
         .stripMargin)),
 
+    // LogTable TYPED zone skipping (x214, r12 directive #3): the stats
+    // column is a DATE — the fact's own hottest predicate shape
+    // (docs/TASKS_SYNC_FEATURE.md:147,165) — and three appends land
+    // three files with disjoint event_date zones (ISO-string lexical
+    // bounds in the manifest). readSkippingStr over the middle third
+    // must plan EXACTLY ONE file (n_files_planned is graded), with the
+    // band's content matching DuckDB — no epoch-day encoding anywhere.
+    QuerySpec("x214_logtable_date_skipping", (s, d) => {
+      val rows = t(s, d, "events")
+        .select(graft.functions.Coercers.osloDate(col("ts"))
+          .as("event_date"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          lit("2024-01-01").cast("date").as("start_date_oslo"))
+      val mm = rows.agg(min(col("event_date")), max(col("event_date")))
+        .head()
+      val (d0, d1) = (mm.getDate(0).toLocalDate, mm.getDate(1).toLocalDate)
+      val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1)
+      val q1 = java.sql.Date.valueOf(d0.plusDays(span / 3))
+      val q2 = java.sql.Date.valueOf(d0.plusDays(2 * span / 3))
+      val base = logTableTemplate(s, d, "x214") { dir =>
+        graft.operators.LogTable.init(
+          rows.filter(col("event_date") <= lit(q1)).repartition(1), dir,
+          statsCols = Seq("event_date"))
+        graft.operators.LogTable.append(s, dir,
+          rows.filter(col("event_date") > lit(q1) &&
+            col("event_date") <= lit(q2)).repartition(1))
+        graft.operators.LogTable.append(s, dir,
+          rows.filter(col("event_date") > lit(q2)).repartition(1))
+      }
+      val probeLo = q1.toLocalDate.plusDays(1).toString
+      val skim = graft.operators.LogTable.readSkippingStr(s, base,
+        "event_date", probeLo, q2.toString)
+      val planned = skim.inputFiles.length.toLong
+      skim
+        .filter(col("event_date") > lit(q1) && col("event_date") <= lit(q2))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(planned).as("n_files_planned"), col("n_rows"),
+          col("sum_cents"))
+    },
+      Some("""WITH b AS (SELECT
+             |    CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE) ed,
+             |    CAST(round(value*100, 0) AS BIGINT) cents FROM events),
+             |q AS (SELECT min(ed) + CAST(datediff('day', min(ed), max(ed))//3
+             |      AS INTEGER) q1,
+             |    min(ed) + CAST(2*datediff('day', min(ed), max(ed))//3
+             |      AS INTEGER) q2 FROM b)
+             |SELECT CAST(1 AS BIGINT) n_files_planned,
+             |  CAST(count(*) AS BIGINT) n_rows,
+             |  CAST(sum(cents) AS BIGINT) sum_cents
+             |FROM b, q WHERE ed > q1 AND ed <= q2""".stripMargin)),
+
+    // LogTable Catalyst FileIndex (x215, r12 directive #4): the SAME
+    // band as x214 expressed as an ORDINARY DataFrame filter over
+    // LogTable.readIndexed — no side API. The scan's own numFiles
+    // metric is graded: the manifest-backed FileIndex must receive the
+    // pushed-down date predicates and plan exactly ONE file, proving
+    // zone maps serve what a real user writes. (readSkipping parity is
+    // additionally plan-asserted in ExtensionRuleSpec.)
+    QuerySpec("x215_logtable_fileindex_scan", (s, d) => {
+      val rows = t(s, d, "events")
+        .select(graft.functions.Coercers.osloDate(col("ts"))
+          .as("event_date"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          lit("2024-01-01").cast("date").as("start_date_oslo"))
+      val mm = rows.agg(min(col("event_date")), max(col("event_date")))
+        .head()
+      val (d0, d1) = (mm.getDate(0).toLocalDate, mm.getDate(1).toLocalDate)
+      val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1)
+      val q1 = java.sql.Date.valueOf(d0.plusDays(span / 3))
+      val q2 = java.sql.Date.valueOf(d0.plusDays(2 * span / 3))
+      val base = logTableTemplate(s, d, "x214") { dir =>
+        graft.operators.LogTable.init(
+          rows.filter(col("event_date") <= lit(q1)).repartition(1), dir,
+          statsCols = Seq("event_date"))
+        graft.operators.LogTable.append(s, dir,
+          rows.filter(col("event_date") > lit(q1) &&
+            col("event_date") <= lit(q2)).repartition(1))
+        graft.operators.LogTable.append(s, dir,
+          rows.filter(col("event_date") > lit(q2)).repartition(1))
+      }
+      val agg = graft.operators.LogTable.readIndexed(s, base)
+        .filter(col("event_date") > lit(q1) && col("event_date") <= lit(q2))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      // collect() (NOT head(), which would build a separate limit plan
+      // and leave agg's own scan metrics untouched) — then read the
+      // metric once: Dataset actions reset plan metrics on re-execution
+      val row = agg.collect().head
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(f)
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scans(a.executedPlan)
+          // AQE stages are LEAF nodes: the executed subtree hangs off
+          // .plan, not .children — without this case the walk sees an
+          // empty tree and the metric silently reads 0
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(q.plan)
+          case o => o.children.flatMap(scans)
+        }
+      val planned = scans(agg.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+      import s.implicits._
+      Seq((planned, row.getLong(0), row.getLong(1)))
+        .toDF("n_files_planned", "n_rows", "sum_cents")
+    },
+      Some("""WITH b AS (SELECT
+             |    CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE) ed,
+             |    CAST(round(value*100, 0) AS BIGINT) cents FROM events),
+             |q AS (SELECT min(ed) + CAST(datediff('day', min(ed), max(ed))//3
+             |      AS INTEGER) q1,
+             |    min(ed) + CAST(2*datediff('day', min(ed), max(ed))//3
+             |      AS INTEGER) q2 FROM b)
+             |SELECT CAST(1 AS BIGINT) n_files_planned,
+             |  CAST(count(*) AS BIGINT) n_rows,
+             |  CAST(sum(cents) AS BIGINT) sum_cents
+             |FROM b, q WHERE ed > q1 AND ed <= q2""".stripMargin)),
+
     // LogTable OPTIMIZE (x199): four small appends bin-pack to one file
     // under a 1 GiB target with every row preserved, the PRE-compact
     // version still planning its four files (time-travel-safe

@@ -1,0 +1,301 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
+  AttributeReference, BoundReference, Cast, EqualTo, Expression,
+  GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual,
+  Literal, Predicate}
+import org.apache.spark.sql.execution.datasources.{FileIndex,
+  HadoopFsRelation, LogicalRelation, PartitionDirectory}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.LogTable
+import graft.operators.LogTable.{FileStat, Manifest, NumRange, StrRange,
+  ZonePred}
+
+/** A manifest-backed [[FileIndex]] for [[LogTable]] snapshots — the
+  * Catalyst hook that makes zone-map data skipping serve ORDINARY
+  * DataFrame code (r12 directive #4, closing r12 "What's missing" #3):
+  * `LogTable.readIndexed(spark, root).filter($"v".between(a, b))`
+  * prunes files through the manifest exactly like
+  * [[LogTable.readSkipping]], with no side API. This is the Delta
+  * TahoeFileIndex architecture re-derived on the public extension
+  * point: `FileSourceScanExec` hands every scan's pushed-down
+  * `partitionFilters` and `dataFilters` to
+  * [[FileIndex.listFiles]], and this index answers from PURE MANIFEST
+  * METADATA —
+  *
+  *  - partition filters evaluate against the partition-dir values
+  *    (interpreted predicate over the parsed dir names — the
+  *    PartitioningAwareFileIndex pruning shape), and
+  *  - data filters on declared stats columns translate to
+  *    [[ZonePred]] bounding boxes ([[ZoneFilters.extract]]) that prune
+  *    via each file's zone map,
+  *
+  * so skipped files are never listed, opened, or footer-read: zero
+  * filesystem calls at plan time (sizes ride the manifest), which is
+  * the property that matters at 10⁵–10⁶ files. Unsupported filter
+  * shapes simply prune nothing — the scan stays a SUPERSET and the
+  * row-level filter above the scan keeps exact semantics (zone maps
+  * are necessary, not sufficient, as everywhere else).
+  */
+final class LogTableFileIndex(
+    spark: SparkSession,
+    tableRoot: String,
+    m: Manifest,
+    dateCol: String,
+    override val partitionSchema: StructType) extends FileIndex {
+
+  private val rootPath = new Path(tableRoot)
+  private val partType = partitionSchema.fields.head.dataType
+
+  /** Parsed (partition dir, partition-value row, live files). */
+  private val dirs: Seq[(String, InternalRow, Seq[FileStat])] =
+    m.parts.toSeq.sortBy(_._1).map { case (p, fl) =>
+      val raw = p.substring(p.indexOf('=') + 1)
+      val v: Any =
+        if (raw == "__HIVE_DEFAULT_PARTITION__") null
+        else partType match {
+          case DateType =>
+            java.time.LocalDate.parse(raw).toEpochDay.toInt
+          case StringType => UTF8String.fromString(raw)
+          case IntegerType => raw.toInt
+          case LongType => raw.toLong
+          case other => sys.error("LogTableFileIndex: unsupported " +
+            s"partition column type ${other.simpleString}")
+        }
+      (p, InternalRow(v), fl)
+    }
+
+  override def rootPaths: Seq[Path] = Seq(rootPath)
+
+  override def refresh(): Unit = () // manifests are immutable
+
+  override def sizeInBytes: Long =
+    dirs.flatMap(_._3).map(_.bytes).sum
+
+  override def inputFiles: Array[String] =
+    dirs.flatMap { case (p, _, fl) =>
+      fl.map(f => s"$tableRoot/$p/${f.file}") }.toArray
+
+  override def listFiles(partitionFilters: Seq[Expression],
+                         dataFilters: Seq[Expression])
+      : Seq[PartitionDirectory] = {
+    val partPruned =
+      if (partitionFilters.isEmpty) dirs
+      else {
+        // the PartitioningAwareFileIndex shape: bind the conjunction to
+        // the one-field partition row and evaluate it interpreted
+        val bound = partitionFilters.reduce(And).transform {
+          case a: AttributeReference =>
+            val i = partitionSchema.indexWhere(_.name == a.name)
+            BoundReference(i, partitionSchema(i).dataType, nullable = true)
+        }
+        val pred = Predicate.createInterpreted(bound)
+        pred.initialize(0)
+        dirs.filter { case (_, row, _) => pred.eval(row) }
+      }
+    val preds = ZoneFilters.extract(dataFilters, m.statsCols.toSet)
+    partPruned.map { case (p, row, fl) =>
+      val admitted =
+        if (preds.isEmpty) fl
+        else fl.filter(f => preds.forall(LogTable.zoneAdmits(f, _)))
+      val statuses = admitted.map { f =>
+        new FileStatus(f.bytes, false, 1, 128L * 1024 * 1024, 0L,
+          new Path(s"$tableRoot/$p/${f.file}"))
+      }.toArray
+      PartitionDirectory(row, statuses)
+    }.filter(_.files.nonEmpty)
+  }
+}
+
+/** Pushed-filter → [[ZonePred]] translation (shared by the index and
+  * its spec): supported comparisons of a stats-column attribute against
+  * a foldable literal tighten that column's bounding box; anything else
+  * is ignored (prunes nothing — superset contract). Strict comparisons
+  * use the literal as an INCLUSIVE zone bound — safe (a superset),
+  * and zone bounds are closed anyway. */
+private[graft] object ZoneFilters {
+
+  /** Render a literal as the zone-domain value: numeric → double,
+    * DATE → ISO string (lexical = temporal), STRING → raw. None =
+    * untranslatable (null, or an unsupported type). */
+  private def zoneValue(l: Literal): Option[Either[Double, String]] =
+    if (l.value == null) None
+    else l.dataType match {
+      case DateType =>
+        Some(Right(java.time.LocalDate
+          .ofEpochDay(l.value.asInstanceOf[Int].toLong).toString))
+      case StringType => Some(Right(l.value.toString))
+      case _: DecimalType =>
+        Some(Left(l.value.asInstanceOf[org.apache.spark.sql.types.Decimal]
+          .toDouble))
+      case _: NumericType =>
+        Some(Left(l.value.asInstanceOf[Number].doubleValue()))
+      case _ => None
+    }
+
+  /** [[zoneValue]] for a STRICT comparison: discrete domains tighten by
+    * one step (`date > D` ≡ `date ≥ D+1 day`; integral likewise), so a
+    * boundary file whose zone ENDS at the excluded literal is pruned —
+    * exactly what a hand-written readSkipping probe achieves.
+    * Continuous domains (double, decimal, string) fall back to the
+    * inclusive literal — still a superset, just one candidate looser. */
+  private def zoneValueStrict(l: Literal, up: Boolean)
+      : Option[Either[Double, String]] =
+    if (l.value == null) None
+    else l.dataType match {
+      case DateType =>
+        Some(Right(java.time.LocalDate
+          .ofEpochDay(l.value.asInstanceOf[Int].toLong +
+            (if (up) 1L else -1L)).toString))
+      case ByteType | ShortType | IntegerType | LongType =>
+        val v = l.value.asInstanceOf[Number].longValue()
+        if (v == Long.MaxValue || v == Long.MinValue) zoneValue(l)
+        else Some(Left((v + (if (up) 1L else -1L)).toDouble))
+      case _ => zoneValue(l)
+    }
+
+  /** (column, lower?, upper?) from one comparison, attr side first.
+    * `strict` tightens discrete-domain literals by one step. */
+  private def bound(a: Attribute, l: Literal, isLower: Boolean,
+                    stats: Set[String], strict: Boolean = false)
+      : Option[(String, Option[Either[Double, String]],
+                Option[Either[Double, String]])] =
+    if (!stats.contains(a.name)) None
+    else (if (strict) zoneValueStrict(l, up = isLower) else zoneValue(l))
+      .map(v =>
+        if (isLower) (a.name, Some(v), None) else (a.name, None, Some(v)))
+
+  /** Strip a no-op cast the analyzer may leave around the attribute
+    * (e.g. int literal vs long column resolves the LITERAL, but a
+    * cast on the attr side would hide it). Only identity-safe
+    * widening casts are seen through — the zone domain (double /
+    * lexical) absorbs them. */
+  private def attrOf(e: Expression): Option[Attribute] = e match {
+    case a: Attribute => Some(a)
+    case Cast(a: Attribute, dt, _, _)
+      if dt.isInstanceOf[NumericType] &&
+        a.dataType.isInstanceOf[NumericType] => Some(a)
+    case _ => None
+  }
+
+  def extract(filters: Seq[Expression], stats: Set[String])
+      : Seq[ZonePred] = {
+    val bounds = scala.collection.mutable.ArrayBuffer[
+      (String, Option[Either[Double, String]],
+        Option[Either[Double, String]])]()
+    def walk(e: Expression): Unit = e match {
+      case And(x, y) => walk(x); walk(y)
+      case GreaterThanOrEqual(a, l: Literal) =>
+        attrOf(a).flatMap(bound(_, l, isLower = true, stats))
+          .foreach(bounds += _)
+      case GreaterThan(a, l: Literal) =>
+        attrOf(a).flatMap(bound(_, l, isLower = true, stats,
+          strict = true)).foreach(bounds += _)
+      case LessThanOrEqual(a, l: Literal) =>
+        attrOf(a).flatMap(bound(_, l, isLower = false, stats))
+          .foreach(bounds += _)
+      case LessThan(a, l: Literal) =>
+        attrOf(a).flatMap(bound(_, l, isLower = false, stats,
+          strict = true)).foreach(bounds += _)
+      case GreaterThanOrEqual(l: Literal, a) =>
+        attrOf(a).flatMap(bound(_, l, isLower = false, stats))
+          .foreach(bounds += _)
+      case GreaterThan(l: Literal, a) =>
+        attrOf(a).flatMap(bound(_, l, isLower = false, stats,
+          strict = true)).foreach(bounds += _)
+      case LessThanOrEqual(l: Literal, a) =>
+        attrOf(a).flatMap(bound(_, l, isLower = true, stats))
+          .foreach(bounds += _)
+      case LessThan(l: Literal, a) =>
+        attrOf(a).flatMap(bound(_, l, isLower = true, stats,
+          strict = true)).foreach(bounds += _)
+      case EqualTo(a, l: Literal) =>
+        attrOf(a).flatMap(bound(_, l, isLower = true, stats))
+          .foreach(bounds += _)
+        attrOf(a).flatMap(bound(_, l, isLower = false, stats))
+          .foreach(bounds += _)
+      case EqualTo(l: Literal, a) =>
+        attrOf(a).flatMap(bound(_, l, isLower = true, stats))
+          .foreach(bounds += _)
+        attrOf(a).flatMap(bound(_, l, isLower = false, stats))
+          .foreach(bounds += _)
+      case In(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        // the IN-list's [min, max] envelope is a valid superset bound
+        attrOf(a).foreach { attr =>
+          val rendered = vs.map(v => zoneValue(v.asInstanceOf[Literal]))
+          if (rendered.forall(_.isDefined) && stats.contains(attr.name)) {
+            val ds = rendered.flatten.collect { case Left(d) => d }
+            val ss = rendered.flatten.collect { case Right(s) => s }
+            if (ds.size == rendered.size)
+              bounds += ((attr.name, Some(Left(ds.min)),
+                Some(Left(ds.max))))
+            else if (ss.size == rendered.size)
+              bounds += ((attr.name, Some(Right(ss.min)),
+                Some(Right(ss.max))))
+          }
+        }
+      case _ => () // unsupported shape: prunes nothing
+    }
+    filters.foreach(walk)
+    // intersect per column: tightest lower and upper of matching kind
+    bounds.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (c, bs) =>
+      val nlo = bs.flatMap(_._2).collect { case Left(d) => d }
+      val nhi = bs.flatMap(_._3).collect { case Left(d) => d }
+      val slo = bs.flatMap(_._2).collect { case Right(s) => s }
+      val shi = bs.flatMap(_._3).collect { case Right(s) => s }
+      val num: Option[ZonePred] =
+        if (nlo.nonEmpty || nhi.nonEmpty)
+          Some(NumRange(c, nlo.foldLeft(Double.NegativeInfinity)(math.max),
+            nhi.foldLeft(Double.PositiveInfinity)(math.min)))
+        else None
+      val str: Option[ZonePred] =
+        if (slo.nonEmpty || shi.nonEmpty)
+          Some(StrRange(c,
+            if (slo.isEmpty) "" else slo.max,
+            if (shi.isEmpty) "\uD7FF" else shi.min))
+        else None
+      num.toSeq ++ str.toSeq
+    }
+  }
+}
+
+/** [[LogTable.readIndexed]]'s builder — a `LogicalRelation` over a
+  * `HadoopFsRelation` whose location is a [[LogTableFileIndex]], then a
+  * projection restoring the declared column order (a `HadoopFsRelation`
+  * always emits partition columns last; the manifest's DDL order is the
+  * table's contract and what [[LogTable.read]] emits). */
+object LogTableScan {
+  def apply(spark: SparkSession, tableRoot: String,
+            asOf: Option[Long] = None): DataFrame = {
+    val v = asOf.getOrElse(
+      graft.operators.TableLog.currentVersion(spark, tableRoot))
+    require(v > 0L,
+      s"LogTable.readIndexed: $tableRoot has no committed version")
+    val m = LogTable.manifest(spark, tableRoot, v)
+    require(m.parts.nonEmpty,
+      s"LogTable.readIndexed: version $v of $tableRoot is empty")
+    val schema = StructType.fromDDL(m.schemaDdl.getOrElse(
+      sys.error(s"LogTable.readIndexed: version $v of $tableRoot " +
+        "records no schema — commit with a current LogTable build")))
+    val dateCol = {
+      val p = m.parts.keys.head
+      p.substring(0, p.indexOf('='))
+    }
+    val partSchema = StructType(Seq(schema(dateCol)))
+    val dataSchema = StructType(schema.filterNot(_.name == dateCol))
+    val index = new LogTableFileIndex(spark, tableRoot, m, dateCol,
+      partSchema)
+    val rel = HadoopFsRelation(index, partSchema, dataSchema, None,
+      new ParquetFileFormat, Map("basePath" -> tableRoot))(spark)
+    org.apache.spark.sql.graftshim.PlanShim
+      .ofRows(spark, LogicalRelation(rel))
+      .select(schema.map(f => col(f.name)): _*)
+  }
+}

@@ -2525,6 +2525,99 @@ object Streams {
       q.awaitTermination()
     }
 
+  /** STREAMING M1 MERGE on a [[graft.operators.LogTable]] (st4c — r12
+    * directive #5): the st4/st4b incremental-refresh pipeline re-based
+    * from the rename-swapped listing layout onto the manifest-native
+    * MVCC table. Per micro-batch: ONE idempotent copy-on-write
+    * [[graft.operators.LogTable.merge]] with txnId =
+    * `st4c:<batchId>` — a REPLAYED batch (the at-least-once delivery
+    * every checkpoint recovery implies) collapses at the commit, so the
+    * table holds exactly-once contents with no dedup bookkeeping in the
+    * data path. End of cycle: the M1 windowed delete
+    * (fetch_clickup_data.py:1318-1321 semantics) as manifest commits —
+    * only window partitions that actually CONTAIN stale rows are
+    * rewritten (filtered to the cycle's seen ids); fully-stale
+    * partitions leave by a metadata-only [[LogTable.removePartitions]].
+    *
+    * What the LogTable base buys over st4/st4b's layout: readers plan
+    * from immutable manifests, so the optimistic
+    * [[graft.operators.TableLog.readValidated]] re-plan loop is RETIRED
+    * — a scan can never race the writer — and every micro-batch is
+    * atomically visible (manifest flip) instead of partition-by-
+    * partition. Per-batch cost is O(batch + files-hit), the sweep is
+    * O(stale window partitions); the table is never rewritten.
+    */
+  def runStreamingLogTableMergeAvailableNow(spark: SparkSession,
+      entries: DataFrame, tableRoot: String, seenIdsPath: String,
+      days: Int, todayOslo: java.time.LocalDate, checkpoint: String,
+      dateCol: String = "start_date_oslo", keyCol: String = "id",
+      allowEmptyCycle: Boolean = false): Unit =
+    withReplayConfs(spark) {
+      val lo = lit(java.sql.Date.valueOf(todayOslo.minusDays(days.toLong)))
+      val hi = lit(java.sql.Date.valueOf(todayOslo))
+      def inWindow(c: org.apache.spark.sql.Column) =
+        coalesce(c.between(lo, hi), lit(false))
+      require(graft.operators.TableLog.currentVersion(spark, tableRoot) > 0L,
+        s"runStreamingLogTableMerge: $tableRoot has no LogTable — init " +
+          "the fact first")
+      val q = entries.writeStream
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          // lazy checkpoint + count: one job materializes and answers
+          // emptiness; the pinned rows satisfy merge's determinism
+          // contract (updates are re-evaluated for probe and write)
+          val bw = batch.filter(inWindow(col(dateCol)))
+            .localCheckpoint(false)
+          if (bw.count() > 0) {
+            bw.select(col(keyCol)).write.mode(org.apache.spark.sql
+              .SaveMode.Append).parquet(seenIdsPath)
+            graft.operators.LogTable.merge(spark, tableRoot, bw,
+              Seq(keyCol), dateCol, txnId = Some(s"st4c:$batchId"))
+          }
+          ()
+        }
+        .option("checkpointLocation", checkpoint)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // end-of-cycle windowed delete: in-window rows whose id this cycle
+      // never asserted are deleted — same loud-empty-cycle contract as
+      // streamingMergeIncrementalPartitioned (ADVICE r5)
+      val seenP = new org.apache.hadoop.fs.Path(seenIdsPath)
+      val fs = seenP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val cur = graft.operators.LogTable.read(spark, tableRoot)
+      val seen =
+        if (fs.exists(seenP)) spark.read.parquet(seenIdsPath).distinct()
+        else if (allowEmptyCycle) cur.select(col(keyCol)).limit(0)
+        else sys.error(
+          s"runStreamingLogTableMerge: this cycle asserted no in-window " +
+            s"ids ($seenIdsPath absent) but the table exists at " +
+            s"$tableRoot — sweeping now would delete every in-window " +
+            "row. If an empty cycle is genuinely expected (not an " +
+            "upstream outage), pass allowEmptyCycle = true.")
+      val windowRows = cur.filter(inWindow(col(dateCol)))
+      // x167's lesson applied: probe WHICH window partitions hold stale
+      // rows (metadata-scale collect of dates), rewrite only those
+      val staleDates = windowRows
+        .join(broadcast(seen), Seq(keyCol), "left_anti")
+        .select(col(dateCol)).distinct().collect()
+        .flatMap(r => Option(r.getDate(0)))
+      if (staleDates.nonEmpty) {
+        val hitRows = windowRows
+          .filter(col(dateCol).isin(staleDates.toSeq: _*))
+        val kept = hitRows.join(broadcast(seen), Seq(keyCol), "left_semi")
+        val keptDates = kept.select(col(dateCol)).distinct().collect()
+          .flatMap(r => Option(r.getDate(0))).toSet
+        if (keptDates.nonEmpty)
+          graft.operators.LogTable.replacePartitions(spark, tableRoot,
+            kept.filter(col(dateCol).isin(keptDates.toSeq: _*)), dateCol)
+        val emptied = staleDates.filterNot(keptDates)
+          .map(d => s"$dateCol=$d")
+        if (emptied.nonEmpty)
+          graft.operators.LogTable.removePartitions(spark, tableRoot,
+            emptied.toSeq)
+      }
+    }
+
   /** STREAMING Wilcoxon signed-rank (st51): the (|d|, tie count,
     * positive count) census is the WHOLE stream state — the Kruskal
     * discretized-census rule; zero differences ride as the |d| = 0

@@ -1257,4 +1257,306 @@ class DedupMergeSpec extends SparkSpec {
     assert(LogTable.read(spark, root).count() == 60L)
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
+
+  test("LogTable streaming merge (st4c): per-batch COW merge equals the " +
+    "batch M1 operator, a full stream REPLAY is a commit-level no-op " +
+    "(same versions, same bytes), and a direct txn-tagged merge replay " +
+    "returns the current version untouched") {
+    import graft.operators.{LogTable, MergeOps}
+    val base = java.nio.file.Files.createTempDirectory("graft_st4c")
+      .toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 00:00:00")
+    def dt(s: String) = java.sql.Date.valueOf(s)
+    // fact: ids 1-6 across three dates (26th in-window edge, 20th out)
+    val fact = Seq(
+      ("e1", ts("2024-01-20"), dt("2024-01-20"), "click", 1.0),
+      ("e2", ts("2024-01-26"), dt("2024-01-26"), "click", 2.0),
+      ("e3", ts("2024-01-26"), dt("2024-01-26"), "view", 3.0),
+      ("e4", ts("2024-01-27"), dt("2024-01-27"), "click", 4.0))
+      .toDF("id", "ts", "start_date_oslo", "event_type", "value")
+    // staging: e2 updated, e5 inserted (27th), e3 ABSENT (stale → swept),
+    // e1's date is out of window → untouched by the sweep
+    val staging = Seq(
+      ("e2", ts("2024-01-26"), dt("2024-01-26"), "click", 20.0),
+      ("e5", ts("2024-01-27"), dt("2024-01-27"), "view", 50.0))
+      .toDF("id", "ts", "start_date_oslo", "event_type", "value")
+    LogTable.init(fact, s"$base/fact")
+    staging.repartition(2).write.parquet(s"$base/staging")
+    val stream1 = spark.readStream.schema(staging.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/staging")
+    graft.streaming.Streams.runStreamingLogTableMergeAvailableNow(spark,
+      stream1, s"$base/fact", s"$base/seen", days = 7,
+      todayOslo = java.time.LocalDate.parse("2024-01-30"),
+      checkpoint = s"$base/ckpt1")
+    def snap() = LogTable.read(spark, s"$base/fact")
+      .select("id", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    val want = MergeOps.mergeRefresh(fact, staging, days = 7,
+        todayOslo = java.time.LocalDate.parse("2024-01-30"))
+      .select("id", "value").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSet
+    assert(snap() == want, s"${snap()} != $want")
+    assert(want == Set(("e1", 1.0), ("e2", 20.0), ("e5", 50.0)),
+      want) // e3 AND e4 swept (in-window, unstaged); e1 out-of-window kept
+    // CRASH REPLAY: a fresh checkpoint re-delivers EVERY batch with the
+    // same batch ids — the txn ledger must collapse each merge and the
+    // sweep must find nothing stale: zero new commits, identical bytes
+    val vBefore = graft.operators.TableLog.currentVersion(spark,
+      s"$base/fact")
+    val stream2 = spark.readStream.schema(staging.schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$base/staging")
+    graft.streaming.Streams.runStreamingLogTableMergeAvailableNow(spark,
+      stream2, s"$base/fact", s"$base/seen", days = 7,
+      todayOslo = java.time.LocalDate.parse("2024-01-30"),
+      checkpoint = s"$base/ckpt2")
+    assert(graft.operators.TableLog.currentVersion(spark, s"$base/fact")
+      == vBefore, "replayed stream must not commit")
+    assert(snap() == want)
+    // direct merge replay: same txn id → same version, nothing written
+    val upd = Seq(("e9", ts("2024-01-27"), dt("2024-01-27"), "view", 9.0))
+      .toDF("id", "ts", "start_date_oslo", "event_type", "value")
+    val v1 = LogTable.merge(spark, s"$base/fact", upd, Seq("id"),
+      txnId = Some("manual-1"))
+    assert(LogTable.merge(spark, s"$base/fact", upd, Seq("id"),
+      txnId = Some("manual-1")) == v1)
+    assert(snap().contains(("e9", 9.0)))
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+  }
+
+  test("LogTable commit metadata is O(touch set): appending one file to " +
+    "a 10,000-file live set writes a kilobyte-scale delta manifest, not " +
+    "the live set, and the snapshot still reconstructs every file") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_logbig")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // exactly 100 dates × 100 files: task t holds ids [100t, 100t+100),
+    // one row per date → partitionBy writes one file per (task, date).
+    // HashPartitioner is the identity for Long keys in [0, 100).
+    val base = spark.range(10000).toDF("id")
+    val keyed = base.rdd.map(r => (r.getLong(0) / 100, r))
+      .partitionBy(new org.apache.spark.HashPartitioner(100)).values
+    val df = spark.createDataFrame(keyed, base.schema)
+      .select(concat(lit("id"), col("id")).as("id"),
+        col("id").cast("double").as("value"),
+        date_add(lit("2021-01-01").cast("date"),
+          (col("id") % 100).cast("int")).as("start_date_oslo"))
+    LogTable.init(df, root, dateCol = "start_date_oslo")
+    val m1 = LogTable.manifest(spark, root, 1L)
+    val nLive = m1.parts.values.map(_.size).sum
+    assert(nLive == 10000, s"fixture built $nLive files")
+    val initBytes = fs.getFileStatus(new org.apache.hadoop.fs.Path(root,
+      "_graft_log/_v00000001.json")).getLen
+    // touch ONE partition with one new file
+    val v2 = LogTable.append(spark, root, Seq(
+      ("extra", 99999.0, java.sql.Date.valueOf("2021-01-01")))
+      .toDF("id", "value", "start_date_oslo").repartition(1))
+    val deltaBytes = fs.getFileStatus(new org.apache.hadoop.fs.Path(root,
+      "_graft_log/_v00000002.json")).getLen
+    // the delta must scale with the touch set (1 file), not the table:
+    // the init commit (10k adds) is ~three orders of magnitude larger
+    assert(deltaBytes < 2048,
+      s"append delta is $deltaBytes bytes — O(table), not O(touch set)")
+    assert(initBytes > 100L * deltaBytes,
+      s"init=$initBytes delta=$deltaBytes — delta not touch-set-sized")
+    val m2 = LogTable.manifest(spark, root, v2)
+    assert(m2.parts.values.map(_.size).sum == 10001)
+    assert(LogTable.read(spark, root).count() == 10001L)
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
+  test("LogTable checkpoints: every Nth commit writes a parquet " +
+    "snapshot, reconstruction = checkpoint + later deltas at every " +
+    "version, vacuum writes a retention-floor checkpoint so kept " +
+    "versions survive delta reclamation, and txn replay dedup " +
+    "SURVIVES vacuum") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_logcp")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    def batch(lo: Int, hi: Int) = entries(
+      (lo to hi).map(i => (s"e$i", "x", d, i.toDouble)): _*)
+    spark.conf.set("spark.graft.logtable.checkpointInterval", "3")
+    try {
+      LogTable.init(batch(1, 10).repartition(1), root)
+      LogTable.append(spark, root, batch(11, 20).repartition(1),
+        txnId = Some("q1-b0"))
+      (3 to 7).foreach(i => LogTable.append(spark, root,
+        batch(i * 10 + 1, i * 10 + 10).repartition(1)))
+      // checkpoints landed at v3 and v6
+      assert(fs.exists(new org.apache.hadoop.fs.Path(root,
+        "_graft_log/_cp00000003")))
+      assert(fs.exists(new org.apache.hadoop.fs.Path(root,
+        "_graft_log/_cp00000006")))
+      // every version reconstructs (pre-checkpoint, at-checkpoint,
+      // post-checkpoint) with the right cumulative row count
+      (1L to 7L).foreach { v =>
+        assert(LogTable.read(spark, root, Some(v)).count() == v * 10,
+          s"version $v")
+      }
+      // a replayed txn is a no-op through checkpoints
+      assert(LogTable.append(spark, root, batch(11, 20).repartition(1),
+        txnId = Some("q1-b0")) == 7L)
+      // vacuum to the last 2 versions: floor checkpoint at v6 already
+      // exists; v1..v5 deltas go away, kept versions still reconstruct
+      LogTable.vacuum(spark, root, keepLast = 2)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(root,
+        "_graft_log/_v00000003.json")))
+      assert(LogTable.read(spark, root, Some(6L)).count() == 60L)
+      assert(LogTable.read(spark, root, Some(7L)).count() == 70L)
+      intercept[RuntimeException] {
+        LogTable.read(spark, root, Some(5L))
+      }
+      // the txn ledger rode the checkpoint: replaying the pre-vacuum
+      // batch is STILL a no-op (the old O(v) manifest walk lost this
+      // the moment its manifests were reclaimed)
+      assert(LogTable.append(spark, root, batch(11, 20).repartition(1),
+        txnId = Some("q1-b0")) == 7L)
+      assert(LogTable.read(spark, root).count() == 70L)
+    } finally {
+      spark.conf.unset("spark.graft.logtable.checkpointInterval")
+      fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+    }
+  }
+
+  test("LogTable vacuum-vs-reader retention contract: a reader inside " +
+    "retention scans green concurrently with vacuum; a reader whose " +
+    "version is vacuumed away fails loudly at plan time; a frame " +
+    "planned pre-vacuum on vacuumed files fails rather than reading " +
+    "a torn mix") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_logret")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    def batch(lo: Int, hi: Int) = entries(
+      (lo to hi).map(i => (s"e$i", "x", d, i.toDouble)): _*)
+    LogTable.init(batch(1, 10).repartition(1), root)
+    LogTable.replacePartitions(spark, root, batch(1, 20).repartition(1))
+    LogTable.replacePartitions(spark, root, batch(1, 30).repartition(1))
+    // reader INSIDE retention: planned at v2, vacuum keeps v2..v3 →
+    // its files are retained, the concurrent scan must succeed
+    val inRetention = LogTable.read(spark, root, Some(2L))
+    LogTable.vacuum(spark, root, keepLast = 2)
+    assert(inRetention.count() == 20L,
+      "in-retention reader must survive a concurrent vacuum")
+    // reader OUTSIDE retention: version gone → loud plan-time error
+    val e = intercept[RuntimeException] {
+      LogTable.read(spark, root, Some(1L))
+    }
+    assert(e.getMessage.contains("not retained"))
+    // a frame planned BEFORE the vacuum at the now-reclaimed version
+    // must fail on scan (files deleted), never silently return rows
+    val doomed = LogTable.read(spark, root, Some(2L))
+    LogTable.vacuum(spark, root, keepLast = 1)
+    intercept[Throwable] { doomed.count() }
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
+  test("LogTable typed zone maps (r12 #3): DATE and STRING stats " +
+    "columns prune files via lexical zones — readSkippingStr plans " +
+    "exactly the intersecting files, kind-mismatched probes fail " +
+    "loudly, and long string bounds truncate to a valid upper bound") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_logtyz")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    def month(m: Int, tag: String) = spark.range(1, 11).select(
+      concat(lit(tag), col("id")).as("id"),
+      date_add(lit(f"2024-$m%02d-01").cast("date"),
+        (col("id") - 1).cast("int")).as("event_date"),
+      concat(lit(tag), lit("_"), col("id")).as("label"),
+      lit(d).as("start_date_oslo"))
+    // three files with disjoint DATE zones (Jan, Feb, Mar) and
+    // disjoint STRING label zones (a_*, b_*, c_*)
+    LogTable.init(month(1, "a").repartition(1), root,
+      statsCols = Seq("event_date", "label"))
+    LogTable.append(spark, root, month(2, "b").repartition(1))
+    LogTable.append(spark, root, month(3, "c").repartition(1))
+    assert(LogTable.read(spark, root).inputFiles.length == 3)
+    // DATE probe: the February band plans exactly the middle file
+    val feb = LogTable.readSkippingStr(spark, root, "event_date",
+      "2024-02-01", "2024-02-28")
+    assert(feb.inputFiles.length == 1,
+      s"date zones planned ${feb.inputFiles.length} files")
+    assert(feb.filter(col("event_date").between("2024-02-01", "2024-02-28"))
+      .count() == 10L)
+    // a cross-month band plans two files, never fewer (superset)
+    assert(LogTable.readSkippingStr(spark, root, "event_date",
+      "2024-01-05", "2024-02-03").inputFiles.length == 2)
+    // STRING probe: the b_* band plans exactly the middle file
+    val bs = LogTable.readSkippingStr(spark, root, "label", "b_", "b~")
+    assert(bs.inputFiles.length == 1,
+      s"string zones planned ${bs.inputFiles.length} files")
+    assert(bs.filter(col("label").startsWith("b_")).count() == 10L)
+    // kind mismatch fails loudly both ways
+    assert(intercept[IllegalArgumentException] {
+      LogTable.readSkipping(spark, root, "label", 1.0, 2.0).inputFiles
+    }.getMessage.contains("lexical"))
+    // a long-string column records a truncated-incremented upper bound
+    // that stays a SUPERSET: the probe inside the long value's range
+    // still plans the file
+    val root2 = java.nio.file.Files.createTempDirectory("graft_logtyz2")
+      .toString + "/t"
+    val longVal = "x" * 200
+    LogTable.init(Seq((longVal, d)).toDF("blob", "start_date_oslo")
+      .repartition(1), root2, statsCols = Seq("blob"))
+    assert(LogTable.readSkippingStr(spark, root2, "blob",
+      longVal, longVal).inputFiles.length == 1,
+      "truncated upper bound must stay a superset")
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+    fs.delete(new org.apache.hadoop.fs.Path(root2).getParent, true)
+  }
+
+  test("LogTable merge probes only zone-admitted candidate files " +
+    "(r12 #7): with key zone maps the match probe plans a strict " +
+    "subset of the live set, and the merge result is unchanged") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_logmp")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    def batch(lo: Int, hi: Int) = spark.range(lo, hi + 1).select(
+      col("id").cast("long").as("k"),
+      col("id").cast("double").as("value"),
+      lit(d).as("start_date_oslo"))
+    LogTable.init(batch(1, 10).repartition(1), root,
+      statsCols = Seq("k"))
+    LogTable.append(spark, root, batch(11, 20).repartition(1))
+    LogTable.append(spark, root, batch(21, 30).repartition(1))
+    val m = LogTable.manifest(spark, root,
+      graft.operators.TableLog.currentVersion(spark, root))
+    // updates hit only keys 12 & 13 → the probe may scan ONLY the
+    // middle file (zone [11, 20])
+    val updates = Seq((12L, 1200.0, d), (13L, 1300.0, d))
+      .toDF("k", "value", "start_date_oslo")
+    val cand = LogTable.mergeCandidateFiles(spark, root, m, updates,
+      Seq("k"))
+    assert(cand.isDefined && cand.get.size == 1,
+      s"probe planned ${cand.map(_.size)} of 3 files")
+    LogTable.merge(spark, root, updates, Seq("k"))
+    val got = LogTable.read(spark, root)
+      .select("k", "value").as[(Long, Double)].collect().toMap
+    assert(got.size == 30 && got(12L) == 1200.0 && got(13L) == 1300.0 &&
+      got(11L) == 11.0)
+    // out-of-range keys: the probe prunes EVERYTHING, merge = pure insert
+    val inserts = Seq((99L, 9900.0, d)).toDF("k", "value",
+      "start_date_oslo")
+    val m2 = LogTable.manifest(spark, root,
+      graft.operators.TableLog.currentVersion(spark, root))
+    assert(LogTable.mergeCandidateFiles(spark, root, m2, inserts,
+      Seq("k")).get.isEmpty)
+    LogTable.merge(spark, root, inserts, Seq("k"))
+    assert(LogTable.read(spark, root).count() == 31L)
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
 }

@@ -303,4 +303,116 @@ class ExtensionRuleSpec extends SparkSpec {
     assert(planStr.contains("LocalTableScan") ||
       planStr.contains("Scan ExistingRDD") || planStr.nonEmpty)
   }
+
+  // ---- LogTable FileIndex: zone skipping through ordinary filters ----
+
+  /** Files the executed scan actually planned (the numFiles metric of
+    * every FileSourceScanExec, through AQE wrappers). Call ONCE per
+    * frame: every Dataset action resets plan metrics, but numFiles is a
+    * driver-side metric re-added only when the scan\u2019s lazy
+    * selectedPartitions is first forced \u2014 a second action on the same
+    * frame would read back 0. */
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+    df.collect()
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(q.plan) // AQE stages are leaves; the subtree is .plan
+      case o => o.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan)
+      .map(_.metrics("numFiles").value).sum
+  }
+
+  test("LogTable.readIndexed (manifest FileIndex, r12 #4): a plain " +
+    ".filter prunes files via zone maps at physical-plan time — 1-D " +
+    "and conjunctive 2-D planned-file counts equal readSkipping / " +
+    "readSkippingAll, values equal the full scan, and the partition " +
+    "column prunes directories") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_lfidx")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    def quadrant(vLo: Int, xLo: Int, d: java.sql.Date) =
+      spark.range(0, 10).select(
+        concat(lit(s"q$vLo$xLo"), $"id").as("id"),
+        ($"id" + vLo).cast("double").as("value"),
+        ($"id" + xLo).as("x"),
+        lit(d).as("start_date_oslo")).repartition(1)
+    // four files tiling (value, x) ∈ {[1,10],[11,20]}² in d1, plus one
+    // file in d2 (partition-pruning probe)
+    LogTable.init(quadrant(1, 1, d1), root, statsCols = Seq("value", "x"))
+    LogTable.append(spark, root, quadrant(1, 11, d1))
+    LogTable.append(spark, root, quadrant(11, 1, d1))
+    LogTable.append(spark, root, quadrant(11, 11, d1))
+    LogTable.append(spark, root, quadrant(1, 1, d2))
+    // 1-D: value ∈ [2, 3] admits the two vLo=1 files of d1 + the d2 file
+    val oneD = LogTable.readIndexed(spark, root)
+      .filter($"value".between(2.0, 3.0))
+    val oneDSkip = LogTable.readSkipping(spark, root, "value", 2.0, 3.0)
+    val oneDPlanned = plannedFiles(oneD)
+    assert(oneDPlanned == oneDSkip.inputFiles.length.toLong,
+      s"$oneDPlanned != ${oneDSkip.inputFiles.length}")
+    assert(oneDPlanned == 3L)
+    assert(LogTable.readIndexed(spark, root)
+      .filter($"value".between(2.0, 3.0))
+      .select("id").as[String].collect().sorted.toSeq ==
+      LogTable.read(spark, root).filter($"value".between(2.0, 3.0))
+        .select("id").as[String].collect().sorted.toSeq)
+    // conjunctive 2-D: value ∈ [2,3] ∧ x ∈ [12,13] admits exactly the
+    // (vLo=1, xLo=11) quadrant file — tighter than either 1-D probe
+    val twoD = LogTable.readIndexed(spark, root)
+      .filter($"value".between(2.0, 3.0) && $"x".between(12L, 13L))
+    val twoDSkip = LogTable.readSkippingAll(spark, root,
+      Seq(("value", 2.0, 3.0), ("x", 12.0, 13.0)))
+    val twoDPlanned = plannedFiles(twoD)
+    assert(twoDPlanned == twoDSkip.inputFiles.length.toLong)
+    assert(twoDPlanned == 1L, s"2-D probe planned $twoDPlanned files")
+    assert(twoD.count() == 2L) // (value 2, x 12) and (value 3, x 13)
+    // partition pruning: the dateCol filter plans only d2's file
+    val partPruned = LogTable.readIndexed(spark, root)
+      .filter($"start_date_oslo" === lit(d2))
+    assert(plannedFiles(partPruned) == 1L)
+    assert(partPruned.count() == 10L)
+    // column order and full-scan values match the classic read path
+    assert(LogTable.readIndexed(spark, root).columns.toSeq ==
+      LogTable.read(spark, root).columns.toSeq)
+    assert(LogTable.readIndexed(spark, root).count() == 50L)
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
+  test("LogTable.readIndexed prunes on DATE zone predicates (typed " +
+    "zones through the FileIndex): a date between-filter plans exactly " +
+    "the files readSkippingStr plans") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_lfidxd")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    def month(m: Int, tag: String) = spark.range(1, 11).select(
+      concat(lit(tag), $"id").as("id"),
+      date_add(lit(f"2024-$m%02d-01").cast("date"),
+        ($"id" - 1).cast("int")).as("event_date"),
+      lit(d).as("start_date_oslo")).repartition(1)
+    LogTable.init(month(1, "a"), root, statsCols = Seq("event_date"))
+    LogTable.append(spark, root, month(2, "b"))
+    LogTable.append(spark, root, month(3, "c"))
+    val feb = LogTable.readIndexed(spark, root)
+      .filter($"event_date".between(
+        lit("2024-02-01").cast("date"), lit("2024-02-28").cast("date")))
+    val febSkip = LogTable.readSkippingStr(spark, root, "event_date",
+      "2024-02-01", "2024-02-28")
+    val febPlanned = plannedFiles(feb)
+    assert(febPlanned == febSkip.inputFiles.length.toLong)
+    assert(febPlanned == 1L, s"date zones planned $febPlanned files")
+    assert(feb.count() == 10L)
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
 }
