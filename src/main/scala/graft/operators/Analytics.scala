@@ -1181,15 +1181,32 @@ object Analytics {
     * the census is the only incrementally-maintainable form). */
   private[graft] def ktFromCensus(censusRaw: DataFrame,
                                   maxCells: Int): DataFrame = {
-    // the census feeds four consumers (guard, both join sides, two tie
-    // censuses) — pin it so the fact is scanned once, not four times
-    val census = censusRaw.persist()
-    val nCells = census.limit(maxCells + 1).count()
-    require(nCells <= maxCells,
+    // The census is metadata-scale BY CONTRACT (maxCells is enforced,
+    // not advisory), so materialize it ONCE into a local relation: one
+    // job scans the fact, the guard is a driver-side length check, and
+    // all four downstream consumers (both join sides, two tie censuses)
+    // read the tiny local rows. This retires BOTH prior shapes (r12
+    // directive #2): r11's persist leaked cached blocks across a long
+    // session, and r12's eager localCheckpoint(true) + unpersist fixed
+    // the leak by taxing every call ~2× (x185 0.59→1.01 s). Nothing is
+    // cached, so there is nothing to release — a loop of calls
+    // accumulates zero blocks (spec-asserted).
+    val spark = censusRaw.sparkSession
+    val rows = censusRaw.limit(maxCells + 1).collect()
+    require(rows.length <= maxCells,
       s"kendallTau: census exceeds $maxCells cells — coarsen (bin) the " +
         "coordinates; the concordance join is quadratic in cells")
-    val l = census.select(col("__x").as("__x1"), col("__y").as("__y1"),
-      col("__c").as("__c1"))
+    val nCells = rows.length.toLong
+    val census = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](
+        java.util.Arrays.asList(rows: _*)), censusRaw.schema)
+    // the local census is ONE partition; the quadratic concordance join
+    // must not run single-threaded — spread the streamed side (the
+    // broadcast side stays local), |cells| rows is a trivial shuffle
+    val l = census.repartition(math.max(2,
+        spark.sparkContext.defaultParallelism))
+      .select(col("__x").as("__x1"), col("__y").as("__y1"),
+        col("__c").as("__c1"))
     val r = census.select(col("__x").as("__x2"), col("__y").as("__y2"),
       col("__c").as("__c2"))
     val pairs = l.join(broadcast(r), col("__x1") < col("__x2"))
@@ -1203,10 +1220,7 @@ object Analytics {
         sum(col("__t")).as("n"))
     val ty = census.groupBy(col("__y")).agg(sum(col("__c")).as("__t"))
       .agg(coalesce(sum(col("__t") * (col("__t") - 1L)), lit(0L)).as("__ty2"))
-    // materialize the one-row result, then release the pinned census —
-    // the fleissFromCells discipline (repeated calls in a long session
-    // must not accumulate cached blocks)
-    val out = pairs.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+    pairs.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
       .withColumn("__n02", col("n") * (col("n") - 1L))
       .withColumn("__dx", (col("__n02") - col("__tx2")).cast("double") / 2.0)
       .withColumn("__dy", (col("__n02") - col("__ty2")).cast("double") / 2.0)
@@ -1215,9 +1229,6 @@ object Analytics {
         when(col("__dx") > 0.0 && col("__dy") > 0.0,
           round((col("concordant") - col("discordant")).cast("double") /
             (sqrt(col("__dx")) * sqrt(col("__dy"))), 6)).as("tau_b"))
-      .localCheckpoint(true)
-    census.unpersist()
-    out
   }
 
   /** Association rules over baskets — market-basket mining's core report
@@ -1248,16 +1259,21 @@ object Analytics {
     require(maxBasketSize > 1 && topK > 0 && minPairCount >= 1,
       "associationRules: maxBasketSize > 1, topK > 0, minPairCount >= 1")
     val wb = org.apache.spark.sql.expressions.Window.partitionBy(col("__b"))
-    // distinct membership feeds four consumers (basket count, item
-    // census, both self-join sides) — pin it so the dedup shuffle runs
-    // once; the self-join then reuses the basket-hash partitioning
+    // Distinct membership feeds four consumers (basket count, item
+    // census, both self-join sides). They all sit in ONE final plan, so
+    // Catalyst's ReuseExchange dedupes the shared prefix — the distinct
+    // shuffle and the window's __b-hash exchange each run ONCE and the
+    // consumers read the same shuffle files (plan-asserted in
+    // AnalyticsSpec). No persist: r11's pin leaked cached blocks across
+    // long sessions, and r12's eager localCheckpoint + unpersist fix
+    // taxed every call ~1.8× (x184 2.33→3.29 s) — exchange reuse gives
+    // the scan-once property with nothing to cache or release (r12 #2).
     val kept = baskets
       .filter(col(basketCol).isNotNull && col(itemCol).isNotNull)
       .select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .distinct()
       .withColumn("__sz", count(lit(1)).over(wb))
       .filter(col("__sz") <= maxBasketSize).drop("__sz")
-      .persist()
     val nBaskets = kept.agg(countDistinct(col("__b")).as("n_baskets"))
     val itemCnt = kept.groupBy(col("__i")).agg(count(lit(1)).as("__ni"))
     val co = kept.select(col("__b"), col("__i").as("__ia"))
@@ -1269,9 +1285,7 @@ object Analytics {
       .select(col("__ia").as("antecedent"), col("__ib").as("consequent"),
         col("n_pair"))
       .union(co.select(col("__ib"), col("__ia"), col("n_pair")))
-    // materialize the top-K, then release the pinned membership frame
-    // (the fleissFromCells discipline — ADVICE r11)
-    val out = directed
+    directed
       .join(broadcast(itemCnt.select(col("__i").as("antecedent"),
         col("__ni").as("n_antecedent"))), Seq("antecedent"))
       .join(broadcast(itemCnt.select(col("__i").as("consequent"),
@@ -1289,9 +1303,6 @@ object Analytics {
       .orderBy(col("lift").desc, col("confidence").desc,
         col("antecedent"), col("consequent"))
       .limit(topK)
-      .localCheckpoint(true)
-    kept.unpersist()
-    out
   }
 
   /** Grouped partial correlation — the correlation between x and y with
@@ -3674,7 +3685,10 @@ object Analytics {
     * DecimalType(38,0) — EXACT integer arithmetic, so the sum is
     * order-independent where a double sum would drift with partition
     * order — and ONE float division lands T, round 6 (the DuckDB oracle
-    * mirrors with HUGEINT). T is NULL when either sample is empty.
+    * mirrors with HUGEINT). T is NULL when either sample is empty;
+    * a DEGENERATE census where both samples share one single value
+    * (all-tied) yields T = 0 exactly — the cumulative difference is
+    * identically zero, not undefined (r12 directive #8, spec-pinned).
     * Output: one row (n_a, n_b, t_cvm).
     *
     * Overflow headroom (the x75 rule): d²·(a+b) ≤ N⁵ must fit 38
@@ -3853,7 +3867,10 @@ object Analytics {
     * in exact decimal(38) (headroom: (nm)² must fit 38 digits — any
     * realistic N) and ONE float division lands χ², round 6. NULL when
     * either sample is empty or a margin is 0 (everything on one side
-    * of the median). Output: one row
+    * of the median) — in particular a single-distinct-value census
+    * (all rows tied) puts every row AT the median, zeroing the above
+    * margin: χ² is NULL by the margin guard, never 0/0 (r12 directive
+    * #8, spec-pinned). Output: one row
     * (n_a, n_b, pooled_median, above_a, above_b, chi2_mood).
     *
     * Scale shape: each side is touched once (value-census groupBy);

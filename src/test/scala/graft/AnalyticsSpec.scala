@@ -1487,4 +1487,43 @@ class AnalyticsSpec extends SparkSpec {
     assert(Analytics.cochranArmitage(oneDose, "dose", "ok")
       .collect().head.isNullAt(3))
   }
+
+  test("kendallTau / associationRules leave ZERO cached blocks across a " +
+    "100-iteration loop (r12 #2: no persist to leak, no eager " +
+    "checkpoint to tax), and associationRules' four census consumers " +
+    "share ONE exchange via reuse") {
+    val kt = Seq((1L, 2L), (2L, 1L), (3L, 3L), (4L, 4L), (1L, 2L))
+      .toDF("x", "y")
+    val baskets = Seq(("b1", "a"), ("b1", "b"), ("b2", "a"), ("b2", "b"),
+      ("b3", "a"), ("b3", "c"), ("b4", "b")).toDF("bk", "it")
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val tau0 = Analytics.kendallTau(kt, "x", "y").collect().head.get(4)
+    val ar0 = Analytics.associationRules(baskets, "bk", "it",
+      minPairCount = 1, maxBasketSize = 10, topK = 10).collect().toSeq
+    (1 to 100).foreach { _ =>
+      assert(Analytics.kendallTau(kt, "x", "y").collect().head.get(4)
+        == tau0)
+      assert(Analytics.associationRules(baskets, "bk", "it",
+        minPairCount = 1, maxBasketSize = 10, topK = 10).collect().toSeq
+        == ar0)
+    }
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"loop accumulated ${leaked.size} cached RDDs: $leaked")
+    // the shared membership prefix must be computed once: the executed
+    // plan carries reused stages/exchanges for the diamond consumers
+    val ar = Analytics.associationRules(baskets, "bk", "it",
+      minPairCount = 1, maxBasketSize = 10, topK = 10)
+    ar.collect()
+    def planStr(p: org.apache.spark.sql.execution.SparkPlan): String =
+      p match {
+        case a: org.apache.spark.sql.execution.adaptive
+            .AdaptiveSparkPlanExec => a.executedPlan.toString
+        case o => o.toString
+      }
+    val s = planStr(ar.queryExecution.executedPlan)
+    assert(s.contains("ReusedExchange") || s.contains("ReusedQueryStage")
+      || s.contains("TableCacheQueryStage"),
+      s"no exchange reuse in the association plan:\n$s")
+  }
 }
