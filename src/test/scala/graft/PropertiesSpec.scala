@@ -1016,4 +1016,51 @@ class PropertiesSpec extends SparkSpec {
       assert(gotZ == z, s"seed=$seed z: got $gotZ, ref $z")
     }
   }
+
+  test("adversarial tie structures (r12 #8): all-tied and single-" +
+    "distinct-value censuses hit each two-sample finalizer's documented " +
+    "degenerate contract — NULL where variance algebra collapses (wsr " +
+    "z, BM W, Mood chi2), exact zero where the statistic is genuinely " +
+    "zero (CvM T), never NaN-by-accident") {
+    import graft.operators.Analytics
+    // wilcoxonSignedRank — every pair ties: n_nonzero = 0, W+ = 0, z NULL
+    val allTiePairs = Seq.fill(12)((5L, 5L)).toDF("a", "b")
+    val wsr = Analytics.wilcoxonSignedRank(allTiePairs, "a", "b")
+      .collect().head
+    assert(wsr.getLong(0) == 12L && wsr.getLong(1) == 0L &&
+      wsr.getDouble(2) == 0.0 && wsr.isNullAt(3), wsr.toString)
+    // wilcoxonSignedRank — single distinct nonzero difference (one
+    // census cell, all positive): W+ = n(n+1)/2, z defined and positive
+    val oneDiff = Seq.fill(8)((7L, 4L)).toDF("a", "b")
+    val wsr1 = Analytics.wilcoxonSignedRank(oneDiff, "a", "b")
+      .collect().head
+    assert(wsr1.getLong(1) == 8L && wsr1.getDouble(2) == 36.0 &&
+      !wsr1.isNullAt(3) && wsr1.getDouble(3) > 0.0, wsr1.toString)
+    // cramerVonMises — both samples one shared value: T = 0 exactly
+    val one = Seq.fill(6)(3L).toDF("v")
+    val cvm = Analytics.cramerVonMises(one, one, "v").collect().head
+    assert(cvm.getLong(0) == 6L && cvm.getLong(1) == 6L &&
+      !cvm.isNullAt(2) && cvm.getDouble(2) == 0.0, cvm.toString)
+    // brunnerMunzel — zero rank variance (all values tied): the W
+    // variance is undefined; the DOCUMENTED contract is NULL W with
+    // p_hat = 0.5 (stochastic equality), not NaN
+    val bm = Analytics.brunnerMunzel(one, one, "v").collect().head
+    assert(bm.getLong(0) == 6L && bm.getLong(1) == 6L, bm.toString)
+    assert(bm.getDouble(2) == 0.5, s"p_hat ${bm.getDouble(2)}")
+    assert(bm.isNullAt(3), s"W must be NULL at zero variance, got $bm")
+    // brunnerMunzel — single distinct value PER SIDE, different values:
+    // still zero within-group rank variance → W NULL, p_hat extreme
+    val lowSide = Seq.fill(5)(1L).toDF("v")
+    val highSide = Seq.fill(5)(9L).toDF("v")
+    val bm2 = Analytics.brunnerMunzel(lowSide, highSide, "v")
+      .collect().head
+    assert(bm2.getDouble(2) == 1.0 && bm2.isNullAt(3), bm2.toString)
+    // moodMedian — single distinct value: every row AT the median,
+    // above margins zero → chi2 NULL by the margin guard (never 0/0)
+    val mood = Analytics.moodMedian(one, one, "v").collect().head
+    assert(mood.getLong(0) == 6L && mood.getLong(1) == 6L &&
+      mood.getLong(3) == 0L && mood.getLong(4) == 0L &&
+      mood.isNullAt(5), mood.toString)
+    assert(mood.getLong(2) == 3L, s"median ${mood.get(2)}")
+  }
 }
