@@ -76,9 +76,19 @@ object LogTable {
     * file) — such a file is always planned, never skipped. A column
     * absent from `zones` (all-null in this file, added to statsCols
     * after the file was committed, all-NaN, or a string bound that
-    * cannot be stored safely) likewise never skips this file. */
+    * cannot be stored safely) likewise never skips this file.
+    *
+    * `dv` names the file's DELETION VECTOR (the Delta merge-on-read
+    * DELETE idea): a parquet set of (file tail, row position) pairs
+    * under `root/_graft_dv/<id>` that every scan anti-joins away —
+    * row-level deletes with ZERO data-file rewriting ([[delete]]).
+    * DVs are CUMULATIVE per file (a newer delete's vector carries the
+    * older positions forward), so one id per file suffices; `dvRows`
+    * counts the dead positions. Zone maps stay valid under deletion
+    * (still a superset). */
   final case class FileStat(file: String, bytes: Long, rows: Long = -1L,
-                            zones: Map[String, Zone] = Map.empty)
+                            zones: Map[String, Zone] = Map.empty,
+                            dv: Option[String] = None, dvRows: Long = 0L)
 
   /** One version's reconstructed snapshot: partition dir name → live
     * files, the stats columns the zone maps describe, the table schema
@@ -182,6 +192,8 @@ object LogTable {
   private def fileJson(f: FileStat): String = {
     val stats =
       (if (f.rows >= 0L) s""","rows":${f.rows}""" else "") +
+      f.dv.map(id => s""","dv":${jstr(id)},"dvRows":${f.dvRows}""")
+        .getOrElse("") +
       f.zones.toSeq.sortBy(_._1).map { case (c, z) =>
         val (lo, hi) = if (z.num) (z.lo, z.hi) else (jstr(z.lo), jstr(z.hi))
         s""","min:${c}":$lo,"max:${c}":$hi"""
@@ -280,7 +292,9 @@ object LogTable {
             c -> Zone(unq(lo), unq(hi), num)
           }.toMap
         FileStat(unq(fields("file")), fields("bytes").toLong,
-          fields.get("rows").map(_.toLong).getOrElse(-1L), zones)
+          fields.get("rows").map(_.toLong).getOrElse(-1L), zones,
+          fields.get("dv").map(unq),
+          fields.get("dvRows").map(_.toLong).getOrElse(0L))
       }.toSeq
     }.toMap
     val removes = "\"removes\":\\[([^\\]]*)\\]".r
@@ -306,12 +320,13 @@ object LogTable {
       fl.sortBy(_.file).map { f =>
         val zs = f.zones.toSeq.sortBy(_._1)
         (p, f.file, f.bytes, f.rows, zs.map(_._1), zs.map(_._2.lo),
-          zs.map(_._2.hi), zs.map(_._2.num))
+          zs.map(_._2.hi), zs.map(_._2.num), f.dv.getOrElse(""),
+          f.dvRows)
       }
     }
     val txnRows = m.txns.zipWithIndex.map { case (t, i) =>
       ("__txn", t, i.toLong, -1L, Seq.empty[String], Seq.empty[String],
-        Seq.empty[String], Seq.empty[Boolean])
+        Seq.empty[String], Seq.empty[Boolean], "", 0L)
     }
     val (fs, root) = TableLog.fsFor(spark, tableRoot)
     val ld = TableLog.logDir(root)
@@ -319,7 +334,7 @@ object LogTable {
     fs.delete(tmp, true)
     (fileRows ++ txnRows)
       .toDF("part", "file", "bytes", "rows", "zcols", "zlos", "zhis",
-        "znums")
+        "znums", "dv", "dvRows")
       .coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val fin = cpPath(ld, m.version)
@@ -343,7 +358,8 @@ object LogTable {
       val zones = zcols.indices
         .map(i => zcols(i) -> Zone(zlos(i), zhis(i), znums(i))).toMap
       r.getString(0) -> FileStat(r.getString(1), r.getLong(2),
-        r.getLong(3), zones)
+        r.getLong(3), zones,
+        Option(r.getString(8)).filter(_.nonEmpty), r.getLong(9))
     }.groupBy(_._1).map { case (p, fl) =>
       p -> fl.map(_._2).sortBy(_.file).toSeq }
     val txns = txnRows.sortBy(_.getLong(2)).map(_.getString(1)).toSeq
@@ -419,14 +435,60 @@ object LogTable {
   // Scans
   // ---------------------------------------------------------------------
 
+  private[graft] val DvDirName = "_graft_dv"
+
+  private def tailOf(path: String): String =
+    path.split('/').takeRight(2).mkString("/")
+
+  /** The `"part/file"` tail of a scanned row's own file — paired with
+    * the parquet row index this is the row's (file, position) identity,
+    * what deletion vectors key on. */
+  private def fileTailCol: org.apache.spark.sql.Column = {
+    val parts = split(col("_metadata.file_path"), "/")
+    concat(element_at(parts, -2), lit("/"), element_at(parts, -1))
+  }
+
+  /** Anti-join the named deletion vectors out of `base` (merge-on-read):
+    * each DV parquet holds (`__dvf` file tail, `__dvp` row position)
+    * pairs; a scanned row dies when its own (tail, `_metadata.row_index`)
+    * identity appears. `base` must sit DIRECTLY on the file relation
+    * (metadata columns only resolve there). Column order is preserved;
+    * `keepIdentity` retains the `__dvf`/`__dvp` identity columns for
+    * callers ([[delete]]) that need each surviving row's (file,
+    * position). Shared by the explicit-file scans and the FileIndex
+    * read path. */
+  private[graft] def applyDv(spark: SparkSession, tableRoot: String,
+                             dvIds: Seq[String], base: DataFrame,
+                             keepIdentity: Boolean = false): DataFrame =
+    if (dvIds.isEmpty && !keepIdentity) base
+    else {
+      val cols = base.columns
+      val withId = base
+        .withColumn("__dvf", fileTailCol)
+        .withColumn("__dvp", col("_metadata.row_index"))
+      val alive =
+        if (dvIds.isEmpty) withId
+        else {
+          val dvDf = spark.read
+            .parquet(dvIds.map(id => s"$tableRoot/$DvDirName/$id"): _*)
+            .select(col("__dvf"), col("__dvp"))
+          withId.join(dvDf, Seq("__dvf", "__dvp"), "left_anti")
+        }
+      if (keepIdentity) alive
+      else alive.select(cols.map(col).toSeq: _*)
+    }
+
   /** Plan an explicit file list with the manifest's schema (when
     * recorded): files written before a column was added null-fill it,
     * and EVERY internal scan goes through here so a mixed-schema live
     * set can never silently resolve to one file's schema (parquet's
     * default no-merge behavior — the footgun schema evolution exists
-    * to remove). */
-  private def scanFiles(spark: SparkSession, tableRoot: String,
-                        m: Manifest, files: Seq[String]): DataFrame = {
+    * to remove). Deletion vectors of the planned files are anti-joined
+    * away ([[applyDv]]); `dvFrom` overrides WHICH version's DV mapping
+    * applies (the change feed scans removed files under the FROM
+    * version's vectors while keeping the TO version's schema). */
+  private def rawScan(spark: SparkSession, tableRoot: String,
+                      m: Manifest, files: Seq[String]): DataFrame = {
     val r = spark.read.option("basePath", tableRoot)
     m.schemaDdl match {
       case Some(ddl) =>
@@ -434,6 +496,29 @@ object LogTable {
       case None => r.parquet(files: _*)
     }
   }
+
+  private def dvIdsFor(m: Manifest, files: Seq[String]): Seq[String] = {
+    val statByTail = m.parts.toSeq.flatMap { case (p, fl) =>
+      fl.map(f => s"$p/${f.file}" -> f) }.toMap
+    files.map(tailOf).flatMap(t => statByTail.get(t).flatMap(_.dv))
+      .distinct
+  }
+
+  private def scanFiles(spark: SparkSession, tableRoot: String,
+                        m: Manifest, files: Seq[String],
+                        dvFrom: Option[Manifest] = None): DataFrame =
+    applyDv(spark, tableRoot, dvIdsFor(dvFrom.getOrElse(m), files),
+      rawScan(spark, tableRoot, m, files))
+
+  /** [[scanFiles]] keeping each live row's (`__dvf` file tail, `__dvp`
+    * row position) identity — what [[delete]] records and [[merge]]'s
+    * probe groups by (`input_file_name` cannot serve here: the
+    * DV-filtered frame is a join of two sources). */
+  private def scanWithIdentity(spark: SparkSession, tableRoot: String,
+                               m: Manifest,
+                               files: Seq[String]): DataFrame =
+    applyDv(spark, tableRoot, dvIdsFor(m, files),
+      rawScan(spark, tableRoot, m, files), keepIdentity = true)
 
   /** The schema a commit of `df` over `prev` yields: every existing
     * column must survive with its type (add-only evolution — drops and
@@ -669,33 +754,76 @@ object LogTable {
     * under micro-batch replay. The dedup probe is ONE snapshot lookup
     * (O(1) manifest reads per commit — the old O(v) full-log walk was
     * ADVICE r12), and because txn ids ride checkpoints it SURVIVES
-    * [[vacuum]] instead of depending on manifest retention. */
+    * [[vacuum]] instead of depending on manifest retention.
+    *
+    * **Concurrency (r13): the DATA WRITE happens OUTSIDE the table
+    * lock.** Rows stage into a hidden unique `.stage_append_*` dir
+    * (invisible to every reader — manifests plan explicit files, and
+    * listings skip dotted names), and the lock covers only the
+    * metadata tail: per-file renames into the partition dirs (the
+    * staged part-file names are globally unique, so concurrent
+    * stagers cannot collide), the new files' zone-stat job (O(batch)),
+    * and the commit. N writers therefore overlap their heavy writes
+    * and serialize only at commit — the ingestion-throughput shape a
+    * 1000-executor stream needs; the old form held the lock across the
+    * whole write. A replayed txn is pre-checked BEFORE staging (cheap
+    * skip) and re-checked authoritatively under the lock; a crashed
+    * stager leaves only a dotted dir that [[vacuum]] reclaims once
+    * it has aged past its stale-writer threshold. */
   def append(spark: SparkSession, tableRoot: String, rows: DataFrame,
              dateCol: String = "start_date_oslo",
-             txnId: Option[String] = None): Long =
-    TableLog.withLock(spark, tableRoot, "append") {
-      val v = TableLog.currentVersion(spark, tableRoot)
-      val action = txnId.map(t => s"append:txn=$t").getOrElse("append")
-      val prevM = if (v > 0L) Some(manifest(spark, tableRoot, v)) else None
-      if (txnId.isDefined &&
-          prevM.exists(_.txns.contains(action))) {
-        v // this txn already committed — replay collapses here
-      } else {
-        val sc = prevM.map(_.statsCols).getOrElse(Seq.empty)
-        val ddl = evolvedDdl(prevM, rows, "append")
-        val touched = touchedParts(rows, dateCol)
-        val pre = listParts(spark, tableRoot, touched)
-        rows.write.mode(SaveMode.Append).partitionBy(dateCol)
-          .parquet(tableRoot)
-        val post = listParts(spark, tableRoot, touched)
-        val newFiles = touched.map { p =>
-          val before = pre(p).map(_.file).toSet
-          p -> post(p).filterNot(f => before(f.file))
-        }.toMap
-        writeCommit(spark, tableRoot, action, sc, Some(ddl),
-          withStats(spark, tableRoot, sc, newFiles), Seq.empty)
+             txnId: Option[String] = None): Long = {
+    val action = txnId.map(t => s"append:txn=$t").getOrElse("append")
+    val v0 = TableLog.currentVersion(spark, tableRoot)
+    if (txnId.isDefined && v0 > 0L &&
+        manifest(spark, tableRoot, v0).txns.contains(action))
+      return v0 // replay fast path: skip the staging write entirely
+    val (fs, root) = TableLog.fsFor(spark, tableRoot)
+    val stagePath = new org.apache.hadoop.fs.Path(root,
+      s".stage_append_${java.util.UUID.randomUUID()}")
+    try {
+      // the heavy part, OUTSIDE the lock
+      rows.write.mode(SaveMode.Append).partitionBy(dateCol)
+        .parquet(stagePath.toString)
+      val stagedParts: Map[String, Seq[FileStat]] =
+        (if (fs.exists(stagePath)) fs.listStatus(stagePath).toSeq
+         else Seq.empty)
+          .filter(_.isDirectory).map(_.getPath)
+          .map(pd => pd.getName -> TableLog.liveFiles(fs, pd)
+            .map { case (f, len) => FileStat(f, len) })
+          .filter(_._2.nonEmpty).toMap
+      TableLog.withLock(spark, tableRoot, "append") {
+        val v = TableLog.currentVersion(spark, tableRoot)
+        val prevM =
+          if (v > 0L) Some(manifest(spark, tableRoot, v)) else None
+        if (txnId.isDefined && prevM.exists(_.txns.contains(action))) {
+          fs.delete(stagePath, true)
+          v // lost the replay race after staging — drop the stage
+        } else {
+          val sc = prevM.map(_.statsCols).getOrElse(Seq.empty)
+          val ddl = evolvedDdl(prevM, rows, "append")
+          stagedParts.foreach { case (p, fl) =>
+            val dest = new org.apache.hadoop.fs.Path(root, p)
+            fs.mkdirs(dest)
+            fl.foreach { f =>
+              if (!fs.rename(
+                  new org.apache.hadoop.fs.Path(stagePath, s"$p/${f.file}"),
+                  new org.apache.hadoop.fs.Path(dest, f.file)))
+                sys.error(s"LogTable.append: staged file ${f.file} " +
+                  s"could not move into $p — name collision?")
+            }
+          }
+          fs.delete(stagePath, true)
+          writeCommit(spark, tableRoot, action, sc, Some(ddl),
+            withStats(spark, tableRoot, sc, stagedParts), Seq.empty)
+        }
       }
+    } catch {
+      case e: Throwable =>
+        try fs.delete(stagePath, true) catch { case _: Throwable => () }
+        throw e
     }
+  }
 
   /** Plan the table at `asOf` (default: latest) from its manifest — an
     * explicit-file-list scan with `basePath` partition inference, so
@@ -1085,23 +1213,20 @@ object LogTable {
       val keyFrame = updates.select(keyCols.map(col): _*)
       // which live files hold a matched key? names only — and when the
       // keys carry zone maps, only zone-admitted candidates are scanned
+      val allTails = fileKeys(prev.parts)
       val candidates = mergeCandidateFiles(spark, tableRoot, prev,
         updates, keyCols)
-      val probe = candidates match {
-        case Some(tails) if tails.isEmpty =>
-          None // no zone admits any key: nothing can match
-        case Some(tails) if tails.size < fileKeys(prev.parts).size =>
-          Some(scanFiles(spark, tableRoot, prev,
-            tails.sorted.map(t => s"$tableRoot/$t")))
-        case _ => Some(cur)
+      val probeTails = candidates match {
+        case Some(tails) => tails
+        case None => allTails
       }
-      val hitTails: Set[String] = probe match {
-        case None => Set.empty
-        case Some(src) => src.withColumn("__file", input_file_name())
+      val hitTails: Set[String] =
+        if (probeTails.isEmpty) Set.empty // no zone admits any key
+        else scanWithIdentity(spark, tableRoot, prev,
+            probeTails.sorted.map(t => s"$tableRoot/$t"))
           .join(keyFrame, keyCols, "left_semi")
-          .select("__file").distinct().collect()
-          .map(_.getString(0).split('/').takeRight(2).mkString("/")).toSet
-      }
+          .select("__dvf").distinct().collect()
+          .map(_.getString(0)).toSet
       val survivors =
         if (hitTails.isEmpty) None
         else Some(scanFiles(spark, tableRoot, prev,
@@ -1126,6 +1251,79 @@ object LogTable {
         hitTails.toSeq)
     }
 
+  /** Row-level DELETE with merge-on-read deletion vectors — the Delta
+    * DV idea on the manifest: rows matching `cond` are killed by
+    * writing their (file, position) identities into a cumulative
+    * per-file deletion vector and committing manifest entries that
+    * reference it — ZERO data files are rewritten, every prior version
+    * still time-travels to the undeleted rows, and every scan
+    * ([[read]], [[readSkipping]]*, [[readIndexed]], [[merge]]'s
+    * probe/survivors, [[compact]], [[changes]]) anti-joins the dead
+    * positions away. A file whose every physical row is dead (known
+    * row count fully covered) simply LEAVES the live set — a
+    * metadata-only drop; files without a recorded row count are kept
+    * with their vector (correct, just unpruned). The cost is
+    * O(matching rows + hit files), never O(table): untouched files'
+    * manifest entries are untouched (delta commits), and the commit
+    * carries only the hit files. Rewriting the survivors (compaction
+    * folds vectors away) remains available via [[compact]]. `txnId`
+    * gives the same idempotent-replay contract as [[append]]/[[merge]].
+    * Returns the committed version (unchanged when nothing matched). */
+  def delete(spark: SparkSession, tableRoot: String,
+             cond: org.apache.spark.sql.Column,
+             txnId: Option[String] = None): Long =
+    TableLog.withLock(spark, tableRoot, "delete") {
+      val v = TableLog.currentVersion(spark, tableRoot)
+      require(v > 0L, s"LogTable.delete: $tableRoot has no manifest")
+      val action = txnId.map(t => s"delete:txn=$t").getOrElse("delete")
+      val prev = manifest(spark, tableRoot, v)
+      if (txnId.isDefined && prev.txns.contains(action)) return v
+      // DV-filtered scan KEEPING each live row's (file, position)
+      // identity — built directly on the relation (metadata columns
+      // resolve only there, not above a projection)
+      val allFiles = prev.parts.toSeq.sortBy(_._1).flatMap {
+        case (p, fl) => fl.map(f => s"$tableRoot/$p/${f.file}") }
+      require(allFiles.nonEmpty,
+        s"LogTable.delete: version $v of $tableRoot is empty")
+      val matches = scanWithIdentity(spark, tableRoot, prev, allFiles)
+        .filter(cond)
+        .select(col("__dvf"), col("__dvp"))
+      // per-file hit census — metadata-scale (bounded by live files)
+      val hitTails = matches.select(col("__dvf")).distinct().collect()
+        .map(_.getString(0)).toSet
+      if (hitTails.isEmpty) v
+      else {
+        val statByTail = prev.parts.toSeq.flatMap { case (p, fl) =>
+          fl.map(f => s"$p/${f.file}" -> f) }.toMap
+        // cumulative vector: prior dead positions of hit files carry
+        // forward (cur excludes them, so the union cannot duplicate)
+        val oldIds = hitTails.toSeq.flatMap(t => statByTail(t).dv).distinct
+        val dvId = f"dv_v${v + 1}%08d_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val dvOut = s"$tableRoot/$DvDirName/$dvId"
+        val carried =
+          if (oldIds.isEmpty) matches
+          else matches.unionByName(spark.read
+            .parquet(oldIds.map(id => s"$tableRoot/$DvDirName/$id"): _*)
+            .filter(col("__dvf").isin(hitTails.toSeq: _*))
+            .select(col("__dvf"), col("__dvp")))
+        carried.write.mode(SaveMode.Overwrite).parquet(dvOut)
+        val deadCounts = spark.read.parquet(dvOut).groupBy(col("__dvf"))
+          .agg(count(lit(1)).as("__n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        val removes = hitTails.toSeq
+        val adds = hitTails.toSeq.flatMap { t =>
+          val f = statByTail(t)
+          val dead = deadCounts(t)
+          if (f.rows >= 0L && dead >= f.rows) None // fully dead: drop
+          else Some(t.split('/')(0) ->
+            f.copy(dv = Some(dvId), dvRows = dead))
+        }.groupBy(_._1).map { case (p, l) => p -> l.map(_._2) }
+        writeCommit(spark, tableRoot, action, prev.statsCols,
+          prev.schemaDdl, adds, removes)
+      }
+    }
+
   /** Change-data-feed between two retained versions, computed from the
     * manifests' FILE DIFF: only files added or removed between `fromV`
     * and `toV` are ever scanned — O(delta), never O(table), and at
@@ -1135,7 +1333,10 @@ object LogTable {
     * yields `insert` (n−m > 0) or `delete` (m−n > 0) with multiplicity
     * `n_rows`; rows merely REWRITTEN in place (compaction, a survivor
     * re-appended by [[merge]]) cancel to nothing — OPTIMIZE produces an
-    * EMPTY feed, as a change feed must. Output: the table's columns +
+    * EMPTY feed, as a change feed must. File identity includes the
+    * file's DELETION VECTOR, so a [[delete]] (same file, new vector)
+    * scans the file under both vectors and nets out exactly the
+    * newly-dead rows as `delete` rows. Output: the table's columns +
     * `_change_type` ('insert' | 'delete') + `n_rows`. */
   def changes(spark: SparkSession, tableRoot: String,
               fromV: Long, toV: Long): DataFrame = {
@@ -1143,14 +1344,23 @@ object LogTable {
       s"LogTable.changes: need 1 <= fromV <= toV (got $fromV, $toV)")
     val a = manifest(spark, tableRoot, fromV)
     val b = manifest(spark, tableRoot, toV)
-    val fa = fileKeys(a.parts).toSet
-    val fb = fileKeys(b.parts).toSet
-    def scan(tails: Set[String]): Option[DataFrame] =
-      if (tails.isEmpty) None
+    def keyed(m: Manifest): Map[String, String] = // dv-keyed -> tail
+      m.parts.toSeq.flatMap { case (p, fl) =>
+        fl.map(f =>
+          s"$p/${f.file}@${f.dv.getOrElse("")}" -> s"$p/${f.file}")
+      }.toMap
+    val ka = keyed(a)
+    val kb = keyed(b)
+    // schema always from the TO version (evolution null-fills); DV
+    // mapping from the version the files are live IN
+    def scan(keys: Set[String], tails: Map[String, String],
+             dvM: Manifest): Option[DataFrame] =
+      if (keys.isEmpty) None
       else Some(scanFiles(spark, tableRoot, b,
-        tails.toSeq.sorted.map(t => s"$tableRoot/$t")))
-    val addedOpt = scan(fb -- fa)
-    val removedOpt = scan(fa -- fb)
+        keys.toSeq.sorted.map(k => s"$tableRoot/${tails(k)}"),
+        dvFrom = Some(dvM)))
+    val addedOpt = scan(kb.keySet -- ka.keySet, kb, b)
+    val removedOpt = scan(ka.keySet -- kb.keySet, ka, a)
     val schemaSrc = addedOpt.orElse(removedOpt)
       .getOrElse(read(spark, tableRoot, Some(toV)).limit(0))
     val cols = schemaSrc.columns.toSeq
@@ -1248,6 +1458,31 @@ object LogTable {
       // checkpoints below the floor serve no retained version
       checkpointVersions(fs, ld).filter(_ < floor)
         .foreach(cv => fs.delete(cpPath(ld, cv), true))
+      // deletion vectors no kept manifest references are dead metadata
+      val referencedDvs = keptManifests
+        .flatMap(_.parts.values.flatten.flatMap(_.dv)).toSet
+      val dvDir = new org.apache.hadoop.fs.Path(root, DvDirName)
+      if (fs.exists(dvDir))
+        fs.listStatus(dvDir).map(_.getPath)
+          .filterNot(p => referencedDvs(p.getName))
+          .foreach(fs.delete(_, true))
+      // crashed appends leave dotted .stage_append_* dirs — invisible
+      // to readers, reclaimed once aged past the stale-writer threshold
+      // (a LIVE stager outside the lock keeps its newest mtime fresh —
+      // the same age contract as the lock's stale-break)
+      def newestMtime(p: org.apache.hadoop.fs.Path): Long = {
+        val sts = fs.listStatus(p)
+        (sts.map(_.getModificationTime) ++
+          sts.filter(_.isDirectory).map(s => newestMtime(s.getPath)))
+          .foldLeft(fs.getFileStatus(p).getModificationTime)(math.max)
+      }
+      val staleMs = 600000L
+      fs.listStatus(root)
+        .filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith(".stage_append_"))
+        .filter(st =>
+          System.currentTimeMillis() - newestMtime(st.getPath) > staleMs)
+        .foreach(st => fs.delete(st.getPath, true))
       (dropped.size, deleted)
     }
   }

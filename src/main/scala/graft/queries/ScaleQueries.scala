@@ -8262,6 +8262,67 @@ object ScaleQueries {
              |  CAST(sum(cents) AS BIGINT) sum_cents
              |FROM b, q WHERE ed > q1 AND ed <= q2""".stripMargin)),
 
+    // LogTable row-level DELETE via deletion vectors (x216, new r13):
+    // merge-on-read on the manifest — the delete writes (file, position)
+    // vectors and flips manifest entries, rewriting ZERO data files.
+    // Graded: exactly ONE file carries a vector (the middle id-third —
+    // a delete that vectored an unhit file or rewrote data would break
+    // n_files_dv), the post-delete content matches DuckDB's filtered
+    // table, the change feed nets exactly the deleted rows, and time
+    // travel still reads the pre-delete row count.
+    QuerySpec("x216_logtable_delete", (s, d) => {
+      val rows = t(s, d, "events").filter(col("event_id") % 3 === 2)
+        .select(col("event_id").as("eid"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          lit("2024-01-01").cast("date").as("start_date_oslo"))
+      val maxId = rows.agg(max(col("eid"))).head().getLong(0)
+      val (q1, q2) = (maxId / 3, 2 * maxId / 3)
+      val base = logTableCopy(s, d, "x216") { dir =>
+        graft.operators.LogTable.init(
+          rows.filter(col("eid") <= q1).repartition(1), dir,
+          statsCols = Seq("eid"))
+        graft.operators.LogTable.append(s, dir,
+          rows.filter(col("eid") > q1 && col("eid") <= q2).repartition(1))
+        graft.operators.LogTable.append(s, dir,
+          rows.filter(col("eid") > q2).repartition(1))
+      }
+      val vPre = graft.operators.TableLog.currentVersion(s, base)
+      val vDel = graft.operators.LogTable.delete(s, base,
+        col("eid") > q1 && col("eid") <= q2 && col("cents") % 3 === 0)
+      val m = graft.operators.LogTable.manifest(s, base, vDel)
+      val nDv = m.parts.values.flatten.count(_.dv.isDefined).toLong
+      val nDeleted = graft.operators.LogTable.changes(s, base, vPre, vDel)
+        .filter(col("_change_type") === "delete")
+        .agg(coalesce(sum(col("n_rows")), lit(0L))).head().getLong(0)
+      val nV1 = graft.operators.LogTable.read(s, base, Some(vPre))
+        .count()
+      val out = graft.operators.LogTable.read(s, base)
+        .agg(count(lit(1)).as("n_rows_after"),
+          sum(col("cents")).as("sum_cents_after"))
+        .select(lit(nDv).as("n_files_dv"), col("n_rows_after"),
+          col("sum_cents_after"), lit(nDeleted).as("n_deleted"),
+          lit(nV1).as("n_rows_v1"))
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p.getParent, true)
+      out
+    },
+      Some("""WITH b AS (SELECT event_id eid,
+             |    CAST(round(value*100, 0) AS BIGINT) cents
+             |  FROM events WHERE event_id % 3 = 2),
+             |m AS (SELECT max(eid) // 3 q1, 2 * max(eid) // 3 q2 FROM b),
+             |dead AS (SELECT eid, cents FROM b, m
+             |  WHERE eid > q1 AND eid <= q2 AND cents % 3 = 0)
+             |SELECT CAST(1 AS BIGINT) n_files_dv,
+             |  CAST((SELECT count(*) FROM b) -
+             |    (SELECT count(*) FROM dead) AS BIGINT) n_rows_after,
+             |  CAST((SELECT sum(cents) FROM b) -
+             |    (SELECT sum(cents) FROM dead) AS BIGINT) sum_cents_after,
+             |  CAST((SELECT count(*) FROM dead) AS BIGINT) n_deleted,
+             |  CAST((SELECT count(*) FROM b) AS BIGINT) n_rows_v1"""
+        .stripMargin)),
+
     // LogTable OPTIMIZE (x199): four small appends bin-pack to one file
     // under a 1 GiB target with every row preserved, the PRE-compact
     // version still planning its four files (time-travel-safe

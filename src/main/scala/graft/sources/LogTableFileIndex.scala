@@ -294,8 +294,12 @@ object LogTableScan {
       partSchema)
     val rel = HadoopFsRelation(index, partSchema, dataSchema, None,
       new ParquetFileFormat, Map("basePath" -> tableRoot))(spark)
-    org.apache.spark.sql.graftshim.PlanShim
+    val base = org.apache.spark.sql.graftshim.PlanShim
       .ofRows(spark, LogicalRelation(rel))
+    // merge-on-read deletion vectors apply here too — the FileIndex
+    // plans files, the anti-join kills dead positions (LogTable.applyDv)
+    val dvIds = m.parts.values.flatten.flatMap(_.dv).toSeq.distinct
+    LogTable.applyDv(spark, tableRoot, dvIds, base)
       .select(schema.map(f => col(f.name)): _*)
   }
 }

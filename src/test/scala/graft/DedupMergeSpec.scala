@@ -1258,6 +1258,134 @@ class DedupMergeSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
 
+  test("LogTable concurrent appends: the data write stages OUTSIDE the " +
+    "table lock, commits serialize to dense versions, every writer's " +
+    "rows land exactly once, and no staging litter survives") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_logcc")
+      .toString + "/t"
+    val fsP = new org.apache.hadoop.fs.Path(root)
+    val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    def batch(lo: Int, hi: Int) = entries(
+      (lo to hi).map(i => (s"e$i", "x", d, i.toDouble)): _*)
+    LogTable.init(batch(1, 10).repartition(1), root)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    try {
+      val futures = (1 to 4).map { i =>
+        pool.submit(new java.util.concurrent.Callable[Long] {
+          def call(): Long = LogTable.append(spark, root,
+            batch(i * 100 + 1, i * 100 + 20).repartition(1))
+        })
+      }
+      val versions = futures.map(_.get(300,
+        java.util.concurrent.TimeUnit.SECONDS)).sorted
+      // dense, serialized commits: exactly versions 2..5 in some order
+      assert(versions == Seq(2L, 3L, 4L, 5L), versions.toString)
+      assert(LogTable.read(spark, root).count() == 10L + 4 * 20L)
+      assert(LogTable.read(spark, root).select("id").as[String]
+        .collect().toSet.size == 90)
+      // no staging litter: every stage dir was renamed away + deleted
+      assert(!fs.listStatus(fsP).exists(
+        _.getPath.getName.startsWith(".stage_append_")),
+        "stage dirs must not survive a successful append")
+    } finally pool.shutdown()
+    fs.delete(fsP.getParent, true)
+  }
+
+  test("LogTable DELETE via deletion vectors: no data file is " +
+    "rewritten, every scan path hides dead rows, vectors are " +
+    "cumulative, the change feed nets exactly the newly-dead rows, " +
+    "fully-dead files leave the live set metadata-only, compaction " +
+    "folds vectors away, and vacuum reclaims unreferenced vectors") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_logdv")
+      .toString + "/t"
+    val fsP = new org.apache.hadoop.fs.Path(root)
+    val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    def batch(lo: Int, hi: Int) = entries(
+      (lo to hi).map(i => (s"e$i", "x", d, i.toDouble)): _*)
+    LogTable.init(batch(1, 10).repartition(1), root,
+      statsCols = Seq("value"))
+    LogTable.append(spark, root, batch(11, 20).repartition(1))
+    LogTable.append(spark, root, batch(21, 30).repartition(1))
+    val vPre = graft.operators.TableLog.currentVersion(spark, root)
+    def dataFiles() = fs.listStatus(new org.apache.hadoop.fs.Path(root,
+      "start_date_oslo=2024-01-01")).map(_.getPath.getName).toSet
+    val filesPre = dataFiles()
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("id").as[String].collect().toSet
+    // delete two rows of the middle file: zero data-file writes
+    val v1 = LogTable.delete(spark, root,
+      col("value").between(12.0, 13.0))
+    assert(v1 == vPre + 1)
+    assert(dataFiles() == filesPre, "DELETE must not touch data files")
+    assert(!ids(LogTable.read(spark, root)).contains("e12"))
+    assert(LogTable.read(spark, root).count() == 28L)
+    // time travel still sees the undeleted rows
+    assert(LogTable.read(spark, root, Some(vPre)).count() == 30L)
+    // only the hit file carries a vector
+    val m1 = LogTable.manifest(spark, root, v1)
+    val dvd = m1.parts.values.flatten.filter(_.dv.isDefined).toSeq
+    assert(dvd.size == 1 && dvd.head.dvRows == 2L, dvd.toString)
+    // cumulative: a second delete on the SAME file carries the old
+    // positions forward into one new vector
+    val v2 = LogTable.delete(spark, root, col("value") === 15.0)
+    val m2 = LogTable.manifest(spark, root, v2)
+    val dvd2 = m2.parts.values.flatten.filter(_.dv.isDefined).toSeq
+    assert(dvd2.size == 1 && dvd2.head.dvRows == 3L, dvd2.toString)
+    assert(LogTable.read(spark, root).count() == 27L)
+    // the change feed nets exactly the newly-dead rows
+    val feed = LogTable.changes(spark, root, vPre, v2)
+    assert(feed.select("_change_type").distinct().as[String].collect()
+      .toSeq == Seq("delete"))
+    assert(ids(feed) == Set("e12", "e13", "e15"))
+    // zone skipping and the FileIndex read agree and hide dead rows
+    assert(ids(LogTable.readSkipping(spark, root, "value", 11.0, 20.0)
+      .filter(col("value").between(11.0, 20.0))) ==
+      Set(11, 14, 16, 17, 18, 19, 20).map(i => s"e$i"))
+    assert(ids(LogTable.readIndexed(spark, root)
+      .filter(col("value").between(11.0, 20.0))) ==
+      Set(11, 14, 16, 17, 18, 19, 20).map(i => s"e$i"))
+    // merge on a DV'd table must not resurrect dead rows (the hit file
+    // carries the vector; survivors are DV-filtered before re-append)
+    LogTable.merge(spark, root,
+      entries(("e14", "y", d, 1400.0)), Seq("id"))
+    assert(LogTable.read(spark, root).count() == 27L)
+    assert(!ids(LogTable.read(spark, root)).contains("e12"))
+    // fully-dead file leaves the live set metadata-only: the physical
+    // file survives (time travel), only its manifest entry goes
+    val mPre4 = LogTable.manifest(spark, root,
+      graft.operators.TableLog.currentVersion(spark, root))
+    val v4 = LogTable.delete(spark, root,
+      col("value").between(21.0, 30.0))
+    val m4 = LogTable.manifest(spark, root, v4)
+    assert(m4.parts.values.flatten.size ==
+      mPre4.parts.values.flatten.size - 1, "file must leave the live set")
+    assert(m4.parts.values.flatten.forall(_.dv.isEmpty))
+    assert(LogTable.read(spark, root).count() == 17L)
+    assert(filesPre.subsetOf(dataFiles()),
+      "full-file delete must not delete the physical file (time travel)")
+    // compaction folds a fresh vector away: packed files carry no dv
+    val v5 = LogTable.delete(spark, root, col("value") === 2.0)
+    assert(LogTable.manifest(spark, root, v5).parts.values.flatten
+      .exists(_.dv.isDefined))
+    LogTable.compact(spark, root, targetBytes = 1L << 30)
+    val mC = LogTable.manifest(spark, root,
+      graft.operators.TableLog.currentVersion(spark, root))
+    assert(mC.parts.values.flatten.forall(_.dv.isEmpty),
+      "compaction must fold deletion vectors into plain files")
+    assert(LogTable.read(spark, root).count() == 16L)
+    // vacuum reclaims the now-unreferenced vectors
+    LogTable.vacuum(spark, root, keepLast = 1)
+    val dvDir = new org.apache.hadoop.fs.Path(root, "_graft_dv")
+    assert(!fs.exists(dvDir) || fs.listStatus(dvDir).isEmpty,
+      "vacuum must reclaim unreferenced deletion vectors")
+    assert(LogTable.read(spark, root).count() == 16L)
+    fs.delete(fsP.getParent, true)
+  }
+
   test("LogTable streaming merge (st4c): per-batch COW merge equals the " +
     "batch M1 operator, a full stream REPLAY is a commit-level no-op " +
     "(same versions, same bytes), and a direct txn-tagged merge replay " +
