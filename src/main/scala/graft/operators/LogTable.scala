@@ -1324,6 +1324,94 @@ object LogTable {
       }
     }
 
+  /** Row-level UPDATE — the DML companion of [[delete]], ATOMIC in one
+    * commit: rows matching `cond` are killed via a deletion vector and
+    * their TRANSFORMED versions (each column optionally replaced by
+    * `set`) are appended as new files, all under a single manifest
+    * flip — a reader sees either the old rows or the new ones, never a
+    * gap. Cost is O(matching rows + hit files' metadata), never
+    * O(table): unmatched rows in hit files are NOT rewritten (the
+    * vector hides only the matched positions — contrast a
+    * copy-on-write update, which would rewrite every hit file's
+    * survivors). `set` columns must exist (add columns via the
+    * append-evolution path instead); the partition column may be
+    * updated — the new row simply lands in its new partition. `txnId`
+    * gives the idempotent-replay contract. Returns the committed
+    * version (unchanged when nothing matched). */
+  def update(spark: SparkSession, tableRoot: String,
+             cond: org.apache.spark.sql.Column,
+             set: Map[String, org.apache.spark.sql.Column],
+             dateCol: String = "start_date_oslo",
+             txnId: Option[String] = None): Long =
+    TableLog.withLock(spark, tableRoot, "update") {
+      require(set.nonEmpty, "LogTable.update: empty SET")
+      val v = TableLog.currentVersion(spark, tableRoot)
+      require(v > 0L, s"LogTable.update: $tableRoot has no manifest")
+      val action = txnId.map(t => s"update:txn=$t").getOrElse("update")
+      val prev = manifest(spark, tableRoot, v)
+      if (txnId.isDefined && prev.txns.contains(action)) return v
+      val allFiles = prev.parts.toSeq.sortBy(_._1).flatMap {
+        case (p, fl) => fl.map(f => s"$tableRoot/$p/${f.file}") }
+      require(allFiles.nonEmpty,
+        s"LogTable.update: version $v of $tableRoot is empty")
+      val tableCols = read(spark, tableRoot, Some(v)).columns.toSet
+      set.keys.foreach(c => require(tableCols(c),
+        s"LogTable.update: SET column $c is not a table column — add " +
+          "columns via append's schema evolution"))
+      val live = scanWithIdentity(spark, tableRoot, prev, allFiles)
+        .filter(cond)
+        .localCheckpoint(false) // matched rows feed the vector AND the
+                                // transformed re-insert: pin once
+      val hitTails = live.select(col("__dvf")).distinct().collect()
+        .map(_.getString(0)).toSet
+      if (hitTails.isEmpty) v
+      else {
+        val statByTail = prev.parts.toSeq.flatMap { case (p, fl) =>
+          fl.map(f => s"$p/${f.file}" -> f) }.toMap
+        val oldIds = hitTails.toSeq.flatMap(t => statByTail(t).dv).distinct
+        val dvId = f"dv_v${v + 1}%08d_" +
+          java.util.UUID.randomUUID().toString.take(8)
+        val dvOut = s"$tableRoot/$DvDirName/$dvId"
+        val matchIds = live.select(col("__dvf"), col("__dvp"))
+        val carried =
+          if (oldIds.isEmpty) matchIds
+          else matchIds.unionByName(spark.read
+            .parquet(oldIds.map(id => s"$tableRoot/$DvDirName/$id"): _*)
+            .filter(col("__dvf").isin(hitTails.toSeq: _*))
+            .select(col("__dvf"), col("__dvp")))
+        carried.write.mode(SaveMode.Overwrite).parquet(dvOut)
+        val deadCounts = spark.read.parquet(dvOut).groupBy(col("__dvf"))
+          .agg(count(lit(1)).as("__n")).collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        // the transformed versions land as ordinary new files
+        val transformed = set.foldLeft(
+            live.drop("__dvf", "__dvp")) {
+          case (df, (c, e)) => df.withColumn(c, e)
+        }
+        val touched = touchedParts(transformed, dateCol)
+        val pre = listParts(spark, tableRoot, touched)
+        transformed.write.mode(SaveMode.Append).partitionBy(dateCol)
+          .parquet(tableRoot)
+        val post = listParts(spark, tableRoot, touched)
+        val newFiles = touched.map { p =>
+          val before = pre(p).map(_.file).toSet
+          p -> post(p).filterNot(f => before(f.file))
+        }.toMap
+        val statted = withStats(spark, tableRoot, prev.statsCols, newFiles)
+        val dvAdds = hitTails.toSeq.flatMap { t =>
+          val f = statByTail(t)
+          val dead = deadCounts(t)
+          if (f.rows >= 0L && dead >= f.rows) None
+          else Some(t.split('/')(0) ->
+            f.copy(dv = Some(dvId), dvRows = dead))
+        }.groupBy(_._1).map { case (p, l) => p -> l.map(_._2) }
+        val adds = (statted.toSeq ++ dvAdds.toSeq)
+          .groupBy(_._1).map { case (p, ls) => p -> ls.flatMap(_._2) }
+        writeCommit(spark, tableRoot, action, prev.statsCols,
+          prev.schemaDdl, adds, hitTails.toSeq)
+      }
+    }
+
   /** Change-data-feed between two retained versions, computed from the
     * manifests' FILE DIFF: only files added or removed between `fromV`
     * and `toV` are ever scanned — O(delta), never O(table), and at
@@ -1394,11 +1482,21 @@ object LogTable {
         s"LogTable.restore: version $toVersion outside [1, $v]")
       val target = manifest(spark, tableRoot, toVersion)
       val cur = manifest(spark, tableRoot, v)
-      val curKeys = fileKeys(cur.parts).toSet
-      val tgtKeys = fileKeys(target.parts).toSet
-      val removes = (curKeys -- tgtKeys).toSeq
+      // diff on the FULL FileStat — a file live in both versions but
+      // with a DIFFERENT deletion vector (or stats) must be re-pointed
+      // at the target's entry, not silently kept (the model-based spec
+      // caught exactly this: restore across a delete left the restored
+      // rows dead)
+      def byTail(m: Manifest): Map[String, FileStat] =
+        m.parts.toSeq.flatMap { case (p, fl) =>
+          fl.map(f => s"$p/${f.file}" -> f) }.toMap
+      val curByTail = byTail(cur)
+      val tgtByTail = byTail(target)
+      val removes = curByTail.toSeq.collect {
+        case (t, f) if !tgtByTail.get(t).contains(f) => t }
       val adds = target.parts.map { case (p, fl) =>
-        p -> fl.filterNot(f => curKeys(s"$p/${f.file}"))
+        p -> fl.filterNot(f =>
+          curByTail.get(s"$p/${f.file}").contains(f))
       }.filter(_._2.nonEmpty)
       writeCommit(spark, tableRoot, s"restore:v$toVersion",
         target.statsCols, target.schemaDdl, adds, removes)

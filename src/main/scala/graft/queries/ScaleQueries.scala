@@ -8436,6 +8436,120 @@ object ScaleQueries {
              |    + (SELECT sum(c) FROM b WHERE event_id % 3 = 1)
              |    AS BIGINT) sum_cents""".stripMargin)),
 
+    // LogTable row-level UPDATE (x218, new r13): one ATOMIC commit
+    // kills the matched rows via a deletion vector and appends their
+    // transformed versions — unmatched neighbors in the hit file are
+    // NOT rewritten. Graded: exactly one vectored file, row count
+    // UNCHANGED (an update preserves cardinality — a lost survivor or
+    // doubled insert breaks it), transformed sum vs DuckDB, and the
+    // pre-update sum via time travel.
+    QuerySpec("x218_logtable_update", (s, d) => {
+      val rows = t(s, d, "events").filter(col("event_id") % 3 === 2)
+        .select(col("event_id").as("eid"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          lit("2024-01-01").cast("date").as("start_date_oslo"))
+      val maxId = rows.agg(max(col("eid"))).head().getLong(0)
+      val (q1, q2) = (maxId / 3, 2 * maxId / 3)
+      val base = logTableCopy(s, d, "x218") { dir =>
+        graft.operators.LogTable.init(
+          rows.filter(col("eid") <= q1).repartition(1), dir,
+          statsCols = Seq("eid"))
+        graft.operators.LogTable.append(s, dir,
+          rows.filter(col("eid") > q1 && col("eid") <= q2).repartition(1))
+        graft.operators.LogTable.append(s, dir,
+          rows.filter(col("eid") > q2).repartition(1))
+      }
+      val vPre = graft.operators.TableLog.currentVersion(s, base)
+      val vUpd = graft.operators.LogTable.update(s, base,
+        col("eid") > q1 && col("eid") <= q2 && col("cents") % 3 === 0,
+        Map("cents" -> (col("cents") * 3 + 7)))
+      val m = graft.operators.LogTable.manifest(s, base, vUpd)
+      val nDv = m.parts.values.flatten.count(_.dv.isDefined).toLong
+      val preSum = graft.operators.LogTable.read(s, base, Some(vPre))
+        .agg(sum(col("cents"))).head().getLong(0)
+      val out = graft.operators.LogTable.read(s, base)
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .select(lit(nDv).as("n_files_dv"), col("n_rows"),
+          col("sum_cents"), lit(preSum).as("sum_cents_v1"))
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p.getParent, true)
+      out
+    },
+      Some("""WITH b AS (SELECT event_id eid,
+             |    CAST(round(value*100, 0) AS BIGINT) cents
+             |  FROM events WHERE event_id % 3 = 2),
+             |m AS (SELECT max(eid) // 3 q1, 2 * max(eid) // 3 q2 FROM b)
+             |SELECT CAST(1 AS BIGINT) n_files_dv,
+             |  CAST(count(*) AS BIGINT) n_rows,
+             |  CAST(sum(CASE WHEN eid > (SELECT q1 FROM m)
+             |      AND eid <= (SELECT q2 FROM m) AND cents % 3 = 0
+             |    THEN 3*cents + 7 ELSE cents END) AS BIGINT) sum_cents,
+             |  CAST(sum(cents) AS BIGINT) sum_cents_v1
+             |FROM b""".stripMargin)),
+
+    // LogTable INCREMENTAL CDC maintenance (x217, new r13): the reason
+    // a change feed exists — a derived grouped aggregate maintained
+    // PURELY from version-to-version feeds (insert:+, delete:−) across
+    // an append, a copy-on-write MERGE update, and a deletion-vector
+    // DELETE, with the v1 aggregate as the only full scan. The folded
+    // state must equal DuckDB's recompute of the final table — a wrong
+    // sign, a missed survivor cancellation, or a resurrected DV row
+    // anywhere in the feed chain breaks the hash. This is the
+    // derived-table CDC pattern (Delta CDF's raison d'être) end-to-end.
+    QuerySpec("x217_logtable_cdc_incremental", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_id"),
+          col("event_id").cast("string").as("id"),
+          col("event_type").as("grp"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          lit("2024-01-01").cast("date").as("start_date_oslo"))
+      val base = logTableTemplate(s, d, "x217") { dir =>
+        graft.operators.LogTable.init(
+          ev.filter(col("event_id") % 3 === 0).drop("event_id")
+            .repartition(2), dir)                               // v1
+        graft.operators.LogTable.append(s, dir,
+          ev.filter(col("event_id") % 3 === 1).drop("event_id")
+            .repartition(2))                                    // v2
+        graft.operators.LogTable.merge(s, dir,
+          ev.filter(col("event_id") % 30 === 0)
+            .withColumn("cents", col("cents") * 3 + 7)
+            .drop("event_id"), Seq("id"))                       // v3
+        graft.operators.LogTable.delete(s, dir,
+          col("cents") % 5 === 0)                               // v4
+      }
+      val signed = (2L to 4L).map { v =>
+        graft.operators.LogTable.changes(s, base, v - 1L, v)
+          .select(col("grp"),
+            (when(col("_change_type") === "insert", 1L)
+              .otherwise(-1L) * col("n_rows")).as("dn"),
+            (when(col("_change_type") === "insert", 1L)
+              .otherwise(-1L) * col("n_rows") * col("cents")).as("ds"))
+      }
+      val v1 = graft.operators.LogTable.read(s, base, Some(1L))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("dn"), sum(col("cents")).as("ds"))
+        .select(col("grp"), col("dn"), col("ds"))
+      signed.foldLeft(v1)(_ unionByName _)
+        .groupBy(col("grp"))
+        .agg(sum(col("dn")).as("n_rows"), sum(col("ds")).as("sum_cents"))
+        .filter(col("n_rows") > 0L)
+        .orderBy(col("grp"))
+    },
+      Some("""WITH b AS (SELECT event_id, event_type grp,
+             |    CAST(round(value*100, 0) AS BIGINT) c
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+             |t0 AS (SELECT event_id, grp,
+             |    CASE WHEN event_id % 30 = 0 THEN 3*c + 7 ELSE c END c
+             |  FROM b WHERE event_id % 3 IN (0, 1)),
+             |t1 AS (SELECT * FROM t0 WHERE c % 5 <> 0)
+             |SELECT grp, CAST(count(*) AS BIGINT) n_rows,
+             |  CAST(sum(c) AS BIGINT) sum_cents
+             |FROM t1 GROUP BY grp ORDER BY grp""".stripMargin)),
+
     // LogTable change-data-feed (x201): three versions — init, replace
     // the first week with cents*2+1 (always differs, so nothing
     // cancels), append a disjoint slice — then changes(1, 3) computed

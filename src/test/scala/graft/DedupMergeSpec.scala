@@ -1258,6 +1258,138 @@ class DedupMergeSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
 
+  test("LogTable UPDATE: one atomic commit kills matched rows via a " +
+    "vector and re-inserts their transformed versions — unmatched rows " +
+    "in hit files are not rewritten, time travel sees the old values, " +
+    "partition-moving updates land in the new partition, and a " +
+    "replayed txn is a no-op") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_logupd")
+      .toString + "/t"
+    val fsP = new org.apache.hadoop.fs.Path(root)
+    val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    def batch(lo: Int, hi: Int) = entries(
+      (lo to hi).map(i => (s"e$i", "x", d, i.toDouble)): _*)
+    LogTable.init(batch(1, 10).repartition(1), root,
+      statsCols = Seq("value"))
+    val vPre = graft.operators.TableLog.currentVersion(spark, root)
+    val filesPre = fs.listStatus(new org.apache.hadoop.fs.Path(root,
+      "start_date_oslo=2024-01-01")).map(_.getPath.getName).toSet
+    // value in [3, 5] gets value*100; one commit
+    val v1 = LogTable.update(spark, root,
+      col("value").between(3.0, 5.0),
+      Map("value" -> (col("value") * 100.0)), txnId = Some("u1"))
+    assert(v1 == vPre + 1)
+    def vals() = LogTable.read(spark, root)
+      .select("id", "value").as[(String, Double)].collect().toMap
+    assert(vals() == (1 to 10).map(i =>
+      s"e$i" -> (if (i >= 3 && i <= 5) i * 100.0 else i.toDouble)).toMap)
+    // the original file was not rewritten; time travel sees old values
+    assert(filesPre.subsetOf(fs.listStatus(new org.apache.hadoop.fs.Path(
+      root, "start_date_oslo=2024-01-01")).map(_.getPath.getName).toSet))
+    assert(LogTable.read(spark, root, Some(vPre))
+      .filter(col("id") === "e4").select("value").as[Double]
+      .collect().head == 4.0)
+    // replayed txn: no-op
+    assert(LogTable.update(spark, root, col("value") > 0.0,
+      Map("value" -> lit(0.0)), txnId = Some("u1")) == v1)
+    assert(vals()("e4") == 400.0)
+    // partition-moving update: e1 migrates to d2
+    LogTable.update(spark, root, col("id") === "e1",
+      Map("start_date_oslo" -> lit(d2)))
+    assert(LogTable.read(spark, root)
+      .filter(col("id") === "e1").select("start_date_oslo")
+      .as[java.sql.Date].collect().head == d2)
+    assert(LogTable.read(spark, root).count() == 10L)
+    // the change feed nets update = delete(old) + insert(new)
+    val feed = LogTable.changes(spark, root, vPre, v1)
+    assert(feed.filter(col("_change_type") === "delete").count() == 3L)
+    assert(feed.filter(col("_change_type") === "insert").count() == 3L)
+    fs.delete(fsP.getParent, true)
+  }
+
+  test("LogTable model-based property: random op sequences " +
+    "(append/merge/update/delete/compact/restore) match a driver-side " +
+    "model table at EVERY version, including time travel") {
+    import graft.operators.LogTable
+    val d = java.sql.Date.valueOf("2024-01-01")
+    // model: id -> value (single partition; ids unique per table state);
+    // interval 3 so reconstruction crosses parquet checkpoints mid-run
+    spark.conf.set("spark.graft.logtable.checkpointInterval", "3")
+    try for (seed <- 0 until 4) {
+      val rnd = new scala.util.Random(1000 + seed)
+      val root = java.nio.file.Files.createTempDirectory(
+        s"graft_logmb$seed").toString + "/t"
+      val fs = new org.apache.hadoop.fs.Path(root)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var model = (1 to 12).map(i => s"e$i" -> i.toDouble).toMap
+      val history = scala.collection.mutable.Map[Long, Map[String, Double]]()
+      def frame(m: Map[String, Double]) = entries(
+        m.toSeq.map { case (k, v) => (k, "x", d, v) }: _*)
+      LogTable.init(frame(model).repartition(2), root,
+        statsCols = Seq("value"))
+      history(1L) = model
+      var nextId = 13
+      (1 to 8).foreach { _ =>
+        rnd.nextInt(6) match {
+          case 0 => // append fresh ids
+            val add = (0 until 1 + rnd.nextInt(3)).map { _ =>
+              val id = s"e$nextId"; nextId += 1
+              id -> (rnd.nextInt(1000) + 1).toDouble
+            }.toMap
+            LogTable.append(spark, root, frame(add).repartition(1))
+            model = model ++ add
+          case 1 => // merge: update a random subset + insert one
+            val upd = model.keys.toSeq.sorted
+              .filter(_ => rnd.nextBoolean()).take(4)
+              .map(k => k -> (rnd.nextInt(1000) + 2000).toDouble).toMap
+            val ins = { val id = s"e$nextId"; nextId += 1
+              Map(id -> (rnd.nextInt(1000) + 3000).toDouble) }
+            LogTable.merge(spark, root, frame(upd ++ ins), Seq("id"))
+            model = model ++ upd ++ ins
+          case 2 => // DV delete by value band (never emptying the table)
+            val lo = rnd.nextInt(3000).toDouble
+            val hi = lo + rnd.nextInt(1500)
+            val survivors = model.filterNot { case (_, v) =>
+              v >= lo && v <= hi }
+            if (survivors.nonEmpty) {
+              LogTable.delete(spark, root, col("value").between(lo, hi))
+              model = survivors
+            }
+          case 3 => // DV update: shift a value band
+            val lo = rnd.nextInt(3000).toDouble
+            val hi = lo + rnd.nextInt(1500)
+            LogTable.update(spark, root, col("value").between(lo, hi),
+              Map("value" -> (col("value") + 10000.0)))
+            model = model.map { case (k, v) =>
+              k -> (if (v >= lo && v <= hi) v + 10000.0 else v) }
+          case 4 => // compact (no semantic change)
+            LogTable.compact(spark, root, targetBytes = 1L << 30)
+          case 5 => // restore to a random retained version
+            val vs = history.keys.toSeq.sorted
+            val target = vs(rnd.nextInt(vs.size))
+            LogTable.restore(spark, root, target)
+            model = history(target)
+        }
+        val v = graft.operators.TableLog.currentVersion(spark, root)
+        history(v) = model
+        val got = LogTable.read(spark, root)
+          .select("id", "value").as[(String, Double)].collect().toMap
+        assert(got == model, s"seed=$seed v=$v: $got != $model")
+      }
+      // time travel: every recorded version still reads its own state
+      val probe = rnd.shuffle(history.keys.toSeq).take(3)
+      probe.foreach { v =>
+        val got = LogTable.read(spark, root, Some(v))
+          .select("id", "value").as[(String, Double)].collect().toMap
+        assert(got == history(v), s"seed=$seed time travel v=$v")
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+    } finally spark.conf.unset("spark.graft.logtable.checkpointInterval")
+  }
+
   test("LogTable concurrent appends: the data write stages OUTSIDE the " +
     "table lock, commits serialize to dense versions, every writer's " +
     "rows land exactly once, and no staging litter survives") {
