@@ -156,7 +156,8 @@ object LogTable {
                                  statsCols: Seq[String],
                                  schemaDdl: Option[String],
                                  adds: Map[String, Seq[FileStat]],
-                                 removes: Seq[String])
+                                 removes: Seq[String],
+                                 ts: Long)
 
   /** Reconstructed manifests are immutable → memoize. Keyed by
     * qualified root + version; [[manifest]] re-checks the version file
@@ -303,8 +304,43 @@ object LogTable {
         "\"([^\"]*)\"".r.findAllMatchIn(inner).map(_.group(1)).toSeq
       case _ => Seq.empty[String]
     }
-    Delta(v, action, statsCols, schemaDdl, adds, removes)
+    val ts = "\"ts\":(\\d+)".r.findFirstMatchIn(body)
+      .map(_.group(1).toLong).getOrElse(0L)
+    Delta(v, action, statsCols, schemaDdl, adds, removes, ts)
   }
+
+  /** The newest RETAINED version whose commit wall-clock timestamp is
+    * ≤ `tsMillis` — Delta's `TIMESTAMP AS OF` resolution, off the `ts`
+    * field every commit already records. Fails loudly when `tsMillis`
+    * predates the oldest retained commit (vacuum reclaimed the history)
+    * — never silently rounds up to a LATER state than asked for. Clock
+    * caveat (Delta's too): timestamps are the committing driver's
+    * clock; versions, not timestamps, are the authoritative order. */
+  def versionAsOf(spark: SparkSession, tableRoot: String,
+                  tsMillis: Long): Long = {
+    val (fs, root) = TableLog.fsFor(spark, tableRoot)
+    val ld = TableLog.logDir(root)
+    val versions =
+      (if (fs.exists(ld)) fs.listStatus(ld).map(_.getPath.getName)
+       else Array.empty[String])
+        .filter(n => n.startsWith("_v") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("_v").stripSuffix(".json").toLong)
+        .sorted.toSeq
+    require(versions.nonEmpty,
+      s"LogTable.versionAsOf: $tableRoot has no committed version")
+    val hit = versions.reverse.find(v =>
+      parseDelta(fs, deltaPath(ld, v), v).ts <= tsMillis)
+    hit.getOrElse(sys.error(
+      s"LogTable.versionAsOf: no retained commit of $tableRoot is as " +
+        s"old as $tsMillis — the oldest retained version " +
+        s"(${versions.head}) is newer (history may have been vacuumed)"))
+  }
+
+  /** [[read]] at the newest version committed at-or-before the given
+    * wall-clock instant — `TIMESTAMP AS OF` time travel. */
+  def readAsOfTimestamp(spark: SparkSession, tableRoot: String,
+                        tsMillis: Long): DataFrame =
+    read(spark, tableRoot, Some(versionAsOf(spark, tableRoot, tsMillis)))
 
   /** Write the full reconstructed live set of `m` as a parquet
     * checkpoint dir (`_cp%08d`) — columnar and executor-readable, the

@@ -1258,6 +1258,34 @@ class DedupMergeSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
 
+  test("LogTable TIMESTAMP AS OF: readAsOfTimestamp resolves to the " +
+    "newest commit at-or-before the instant, ties to versions not " +
+    "clocks, and an instant predating retained history fails loudly") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_logts")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    def batch(lo: Int, hi: Int) = entries(
+      (lo to hi).map(i => (s"e$i", "x", d, i.toDouble)): _*)
+    val t0 = System.currentTimeMillis() - 1
+    LogTable.init(batch(1, 10).repartition(1), root)
+    Thread.sleep(15)
+    val between = System.currentTimeMillis()
+    Thread.sleep(15)
+    LogTable.append(spark, root, batch(11, 20).repartition(1))
+    assert(LogTable.versionAsOf(spark, root, between) == 1L)
+    assert(LogTable.readAsOfTimestamp(spark, root, between).count() == 10L)
+    assert(LogTable.readAsOfTimestamp(spark, root,
+      System.currentTimeMillis()).count() == 20L)
+    val e = intercept[RuntimeException] {
+      LogTable.versionAsOf(spark, root, t0)
+    }
+    assert(e.getMessage.contains("as old"))
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
   test("LogTable UPDATE: one atomic commit kills matched rows via a " +
     "vector and re-inserts their transformed versions — unmatched rows " +
     "in hit files are not rewritten, time travel sees the old values, " +
