@@ -15,8 +15,7 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.operators.LogTable
-import graft.operators.LogTable.{FileStat, Manifest, NumRange, StrRange,
-  ZonePred}
+import graft.operators.LogTable.{FileStat, Manifest, NumRange, ZonePred}
 
 /** A manifest-backed [[FileIndex]] for [[LogTable]] snapshots — the
   * Catalyst hook that makes zone-map data skipping serve ORDINARY
@@ -255,11 +254,14 @@ private[graft] object ZoneFilters {
           Some(NumRange(c, nlo.foldLeft(Double.NegativeInfinity)(math.max),
             nhi.foldLeft(Double.PositiveInfinity)(math.min)))
         else None
+      // absent sides stay ABSENT (Option) \u2014 a sentinel max-string
+      // upper bound wrongly pruned files whose stored lo compared
+      // lexically above it (ADVICE r13)
       val str: Option[ZonePred] =
         if (slo.nonEmpty || shi.nonEmpty)
-          Some(StrRange(c,
-            if (slo.isEmpty) "" else slo.max,
-            if (shi.isEmpty) "\uD7FF" else shi.min))
+          Some(LogTable.StrBounds(c,
+            if (slo.isEmpty) None else Some(slo.max),
+            if (shi.isEmpty) None else Some(shi.min)))
         else None
       num.toSeq ++ str.toSeq
     }
@@ -270,24 +272,76 @@ private[graft] object ZoneFilters {
   * `HadoopFsRelation` whose location is a [[LogTableFileIndex]], then a
   * projection restoring the declared column order (a `HadoopFsRelation`
   * always emits partition columns last; the manifest's DDL order is the
-  * table's contract and what [[LogTable.read]] emits). */
+  * table's contract and what [[LogTable.read]] emits).
+  *
+  * `scanPreds` (optional) pre-prunes the SNAPSHOT by zone maps before
+  * the index is even built — the live set AND its deletion vectors
+  * shrink together (r13 verdict #2: the DV anti-join previously read
+  * every vector in the table even when pushed filters pruned the scan
+  * to one file; vectors are per-file, so restricting the planned files
+  * restricts the vectors SAFELY — no row from an unadmitted file can
+  * appear, so none can resurrect). An empty-table version returns the
+  * schema'd empty frame; `dateColOverride` documents (and validates)
+  * the partition column instead of trusting first-key inference. */
 object LogTableScan {
+
+  /** The zone-admitted subset of `m`'s live set (file-level
+    * [[LogTable.readSkippingPreds]] semantics, shared with the DV
+    * scoping — package-visible so the scoping contract is
+    * spec-testable). */
+  private[graft] def admittedParts(m: Manifest, preds: Seq[ZonePred])
+      : Map[String, Seq[FileStat]] =
+    if (preds.isEmpty) m.parts
+    else m.parts.map { case (p, fl) =>
+      p -> fl.filter(f => preds.forall(LogTable.zoneAdmits(f, _)))
+    }.filter(_._2.nonEmpty)
+
   def apply(spark: SparkSession, tableRoot: String,
-            asOf: Option[Long] = None): DataFrame = {
+            asOf: Option[Long] = None,
+            scanPreds: Seq[ZonePred] = Seq.empty,
+            dateColOverride: Option[String] = None): DataFrame = {
     val v = asOf.getOrElse(
       graft.operators.TableLog.currentVersion(spark, tableRoot))
     require(v > 0L,
       s"LogTable.readIndexed: $tableRoot has no committed version")
-    val m = LogTable.manifest(spark, tableRoot, v)
-    require(m.parts.nonEmpty,
-      s"LogTable.readIndexed: version $v of $tableRoot is empty")
-    val schema = StructType.fromDDL(m.schemaDdl.getOrElse(
+    val m0 = LogTable.manifest(spark, tableRoot, v)
+    val schema = StructType.fromDDL(m0.schemaDdl.getOrElse(
       sys.error(s"LogTable.readIndexed: version $v of $tableRoot " +
         "records no schema — commit with a current LogTable build")))
-    val dateCol = {
-      val p = m.parts.keys.head
-      p.substring(0, p.indexOf('='))
+    scanPreds.foreach { p =>
+      require(m0.statsCols.contains(p.column),
+        s"LogTable.readIndexed: version $v records zone maps for " +
+          s"[${m0.statsCols.mkString(",")}], not ${p.column}")
     }
+    val pruned = admittedParts(m0, scanPreds)
+    val m = m0.copy(parts = pruned)
+    if (m.parts.isEmpty) // empty version (or every zone missed):
+      // the schema'd empty frame, like read(...).limit(0) would give
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        schema)
+    // single-column `col=value` partition layout is the LogTable
+    // contract — validate it instead of silently misplanning, and
+    // honor an explicit override only when it matches
+    m.parts.keys.foreach { p =>
+      require(!p.contains('/') && p.indexOf('=') > 0,
+        s"LogTable.readIndexed: partition dir '$p' is not a " +
+          "single-column col=value layout — multi-level partitioning " +
+          "is not supported by the FileIndex path")
+    }
+    val prefixes = m.parts.keys
+      .map(p => p.substring(0, p.indexOf('='))).toSet
+    require(prefixes.size == 1,
+      s"LogTable.readIndexed: mixed partition columns " +
+        s"[${prefixes.toSeq.sorted.mkString(",")}] in one table — " +
+        "corrupt layout")
+    val dateCol = prefixes.head
+    dateColOverride.foreach(d => require(d == dateCol,
+      s"LogTable.readIndexed: dateCol '$d' does not match the " +
+        s"manifest's partition column '$dateCol'"))
+    require(schema.fieldNames.contains(dateCol),
+      s"LogTable.readIndexed: partition column '$dateCol' missing " +
+        "from the recorded schema — corrupt manifest")
     val partSchema = StructType(Seq(schema(dateCol)))
     val dataSchema = StructType(schema.filterNot(_.name == dateCol))
     val index = new LogTableFileIndex(spark, tableRoot, m, dateCol,
@@ -297,7 +351,8 @@ object LogTableScan {
     val base = org.apache.spark.sql.graftshim.PlanShim
       .ofRows(spark, LogicalRelation(rel))
     // merge-on-read deletion vectors apply here too — the FileIndex
-    // plans files, the anti-join kills dead positions (LogTable.applyDv)
+    // plans files, the anti-join kills dead positions
+    // (LogTable.applyDv); only the ADMITTED files' vectors are read
     val dvIds = m.parts.values.flatten.flatMap(_.dv).toSeq.distinct
     LogTable.applyDv(spark, tableRoot, dvIds, base)
       .select(schema.map(f => col(f.name)): _*)

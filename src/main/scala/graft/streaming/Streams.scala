@@ -2618,6 +2618,111 @@ object Streams {
       }
     }
 
+  /** STREAMING SOURCE over the [[graft.operators.LogTable]] change feed
+    * (st60 — r13 directive #2, Delta's streaming-CDF role): a
+    * micro-batch poller that tracks the last-consumed table version in
+    * a tiny watermark file and, per trigger, delivers
+    * `changes(vLast, vHead)` to the caller's fold — the missing piece
+    * that turns the x217 incremental-CDC composition into a LIVE
+    * pipeline a downstream consumer can subscribe to.
+    *
+    * Delivery contract: AT-LEAST-ONCE windows, EXACTLY-ONCE effects.
+    * The watermark advances only AFTER the fold returns (atomic
+    * tmp+rename), so a crash in between re-delivers the same
+    * `(vLast, vHead]` window on restart; a fold that commits its state
+    * transactionally under a window-derived txn id (the provided
+    * [[foldChangeFeedIntoAggregate]] uses `cdc:<from>-<to>` through
+    * LogTable's idempotent-replay ledger) collapses the re-delivery to
+    * a commit-level no-op — end-to-end exactly-once with no dedup in
+    * the data path, the Delta sink trick pointed at the feed side.
+    * One consumer per watermark file (the st4-family single-writer
+    * shape).
+    *
+    * The first poll BOOTSTRAPS: version 1's full contents are
+    * delivered as an all-`insert` feed `(0, 1]` (multiplicity 1 — the
+    * v1 snapshot is the only full scan the consumer ever pays, exactly
+    * x217's seed), then the remaining gap as one ordinary window.
+    * Returns the new watermark (= vHead, or vLast when nothing new).
+    * Per-poll cost is O(files changed in the window) — [[graft
+    * .operators.LogTable.changes]] never lists unchanged files. */
+  def pollLogTableChanges(spark: SparkSession, tableRoot: String,
+      watermarkFile: String)(
+      fold: (DataFrame, Long, Long) => Unit): Long = {
+    val p = new org.apache.hadoop.fs.Path(watermarkFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val vLast =
+      if (!fs.exists(p)) 0L
+      else {
+        val in = fs.open(p)
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          .trim.toLong
+        finally in.close()
+      }
+    val vHead = graft.operators.TableLog.currentVersion(spark, tableRoot)
+    if (vHead <= vLast) return vLast
+    if (vLast == 0L) {
+      val boot = graft.operators.LogTable.read(spark, tableRoot, Some(1L))
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("n_rows", lit(1L))
+      fold(boot, 0L, 1L)
+      if (vHead > 1L)
+        fold(graft.operators.LogTable.changes(spark, tableRoot, 1L, vHead),
+          1L, vHead)
+    } else
+      fold(graft.operators.LogTable.changes(spark, tableRoot, vLast, vHead),
+        vLast, vHead)
+    val tmp = new org.apache.hadoop.fs.Path(p.getParent,
+      s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(vHead.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      sys.error(s"pollLogTableChanges: watermark rename to $p failed")
+    vHead
+  }
+
+  /** The maintained-aggregate fold for [[pollLogTableChanges]]: a
+    * grouped (count, sum) aggregate table kept in its own LogTable and
+    * advanced PURELY from feed deltas — insert rows add, delete rows
+    * subtract, only touched groups merge (O(feed), never a recompute).
+    * The bootstrap window `(0, 1]` initializes the table; every later
+    * window commits under txnId `cdc:<from>-<to>`, so a re-delivered
+    * window (the at-least-once crash contract above) is a commit-level
+    * no-op. Aggregate columns: `grpCol`, `n_rows`, `sum_val` (+ the
+    * constant partition date LogTable requires). Groups folded to zero
+    * rows keep a 0-count row — filter `n_rows > 0` at read time. */
+  def foldChangeFeedIntoAggregate(spark: SparkSession, aggRoot: String,
+      feed: DataFrame, fromV: Long, toV: Long, grpCol: String,
+      valCol: String, dateCol: String = "start_date_oslo"): Unit = {
+    val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    val delta = feed.groupBy(col(grpCol))
+      .agg(sum(sign * col("n_rows")).as("__dn"),
+        sum(sign * col("n_rows") * col(valCol)).as("__ds"))
+    val d0 = lit(java.sql.Date.valueOf("1970-01-01")).as(dateCol)
+    if (graft.operators.TableLog.currentVersion(spark, aggRoot) == 0L) {
+      require(fromV == 0L,
+        s"foldChangeFeedIntoAggregate: $aggRoot has no aggregate yet " +
+          s"but the window ($fromV, $toV] is not the bootstrap — the " +
+          "feed must start at the v1 snapshot")
+      graft.operators.LogTable.init(
+        delta.select(col(grpCol), col("__dn").as("n_rows"),
+          col("__ds").as("sum_val"), d0), aggRoot, dateCol)
+    } else if (fromV == 0L) {
+      () // re-delivered bootstrap: the init already committed
+    } else {
+      val cur = graft.operators.LogTable.read(spark, aggRoot)
+        .select(col(grpCol), col("n_rows").as("__n0"),
+          col("sum_val").as("__s0"))
+      val upd = delta.join(cur, Seq(grpCol), "left")
+        .select(col(grpCol),
+          (coalesce(col("__n0"), lit(0L)) + col("__dn")).as("n_rows"),
+          (coalesce(col("__s0"), lit(0L)) + col("__ds")).as("sum_val"),
+          d0)
+      graft.operators.LogTable.merge(spark, aggRoot, upd, Seq(grpCol),
+        dateCol, txnId = Some(s"cdc:$fromV-$toV"))
+    }
+  }
+
   /** STREAMING Wilcoxon signed-rank (st51): the (|d|, tie count,
     * positive count) census is the WHOLE stream state — the Kruskal
     * discretized-census rule; zero differences ride as the |d| = 0

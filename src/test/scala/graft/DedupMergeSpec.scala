@@ -1847,4 +1847,279 @@ class DedupMergeSpec extends SparkSpec {
     assert(LogTable.read(spark, root).count() == 31L)
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
+
+  test("LogTable DV carry-forward provenance (ADVICE r13, high): when " +
+    "hit files reference DIFFERENT cumulative vectors with " +
+    "overlapping contents, dead positions are not double-counted and " +
+    "a file with live rows is never dropped") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_dvprov")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    def batch(lo: Int, hi: Int) = entries(
+      (lo to hi).map(i => (s"e$i", "x", d, i.toDouble)): _*)
+    // file A: values 1-10; file B: values 11-20 (statsCols records the
+    // per-file ROW COUNTS the fully-dead drop check reads)
+    LogTable.init(batch(1, 10).repartition(1), root,
+      statsCols = Seq("value"))
+    LogTable.append(spark, root, batch(11, 20).repartition(1))
+    // delete1 hits A and B -> dv1 carries A(4 dead) + B(1 dead);
+    // BOTH files point at dv1
+    LogTable.delete(spark, root,
+      col("value").between(1.0, 4.0) || col("value") === 11.0)
+    // delete2 hits ONLY A -> dv2 = A's 3 new + dv1's 4 carried;
+    // A -> dv2 (7 dead), B still -> dv1 (contents OVERLAP dv2 on A)
+    LogTable.delete(spark, root, col("value").between(5.0, 7.0))
+    // delete3 hits A and B again: the carried union must take A's
+    // positions from dv2 ONLY and B's from dv1 ONLY — a hitTails-wide
+    // union of both vectors double-counts A's first 4 dead positions
+    // (2+7+4 = 13 >= 10) and silently drops A despite e10 being alive
+    val v3 = LogTable.delete(spark, root,
+      col("value").between(8.0, 9.0) || col("value") === 12.0)
+    val m3 = LogTable.manifest(spark, root, v3)
+    assert(m3.parts.values.flatten.size == 2,
+      "file A still has a live row (e10) — it must not leave the live set")
+    val dvRows = m3.parts.values.flatten.map(_.dvRows).toSeq.sorted
+    assert(dvRows == Seq(2L, 9L),
+      s"A must count exactly 9 dead and B exactly 2, got $dvRows")
+    val alive = LogTable.read(spark, root).select("id").as[String]
+      .collect().toSet
+    assert(alive == ((13 to 20).map(i => s"e$i").toSet + "e10"), alive)
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
+  test("LogTable DELETE/UPDATE match probes are zone-pruned (r13 " +
+    "verdict #1): cond's conjuncts translate like pushed filters, " +
+    "explicit ZonePreds intersect, kind conflicts never prune, and " +
+    "the DML results are unchanged") {
+    import graft.operators.LogTable
+    import graft.operators.LogTable.NumRange
+    val root = java.nio.file.Files.createTempDirectory("graft_dmlzone")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    def batch(lo: Int, hi: Int) = spark.range(lo, hi + 1).select(
+      col("id").cast("long").as("k"),
+      col("id").cast("double").as("value"),
+      lit(d).as("start_date_oslo"))
+    LogTable.init(batch(1, 10).repartition(1), root, statsCols = Seq("k"))
+    LogTable.append(spark, root, batch(11, 20).repartition(1))
+    LogTable.append(spark, root, batch(21, 30).repartition(1))
+    def m() = LogTable.manifest(spark, root,
+      graft.operators.TableLog.currentVersion(spark, root))
+    // auto-translation: a range on the zone-mapped key plans 1 of 3
+    assert(LogTable.dmlCandidateFiles(spark, m(),
+      col("k").between(12L, 13L)).size == 1)
+    // untranslatable conjuncts are ignored, translatable ones prune
+    assert(LogTable.dmlCandidateFiles(spark, m(),
+      col("k") === 12L && col("value") % 2 === 0).size == 1)
+    // a condition on a non-stats column prunes nothing (superset)
+    assert(LogTable.dmlCandidateFiles(spark, m(),
+      col("value") > 5.0).size == 3)
+    // a kind-conflicting literal (string vs numeric zone) never prunes
+    assert(LogTable.dmlCandidateFiles(spark, m(),
+      col("k") === lit("12")).size == 3)
+    // explicit ZonePreds intersect on top of the auto-translation
+    assert(LogTable.dmlCandidateFiles(spark, m(), col("value") > 0.0,
+      Seq(NumRange("k", 25.0, 27.0))).size == 1)
+    // end-to-end: the pruned DELETE kills exactly the matched rows and
+    // vectors only the one zone-admitted file
+    val vDel = LogTable.delete(spark, root, col("k").between(12L, 13L))
+    val mDel = LogTable.manifest(spark, root, vDel)
+    assert(mDel.parts.values.flatten.count(_.dv.isDefined) == 1)
+    assert(LogTable.read(spark, root).count() == 28L)
+    // a probe-missing DELETE is a no-op commit-wise
+    assert(LogTable.delete(spark, root, col("k") > 100L) == vDel)
+    // the pruned UPDATE transforms exactly the matched rows
+    LogTable.update(spark, root, col("k") === 25L,
+      Map("value" -> lit(2500.0)))
+    val got = LogTable.read(spark, root).select("k", "value")
+      .as[(Long, Double)].collect().toMap
+    assert(got.size == 28 && got(25L) == 2500.0 && got(24L) == 24.0 &&
+      !got.contains(12L))
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
+  test("LogTable vacuum sweeps partitions whose adds live only in " +
+    "already-dropped deltas (ADVICE r13): a partition retired after " +
+    "an earlier vacuum cannot leak its files forever") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_vacleak")
+      .toString + "/t"
+    val fsP = new org.apache.hadoop.fs.Path(root)
+    val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    LogTable.init(entries(("a", "x", d1, 1.0), ("b", "x", d2, 2.0)), root)
+    (1 to 3).foreach(i => LogTable.append(spark, root,
+      entries((s"c$i", "x", d2, 10.0 + i))))
+    // first vacuum drops v1 (the only delta that ADDED partition d1);
+    // d1's files stay referenced by the kept manifests, so they survive
+    LogTable.vacuum(spark, root, keepLast = 2)
+    val p1 = new org.apache.hadoop.fs.Path(root,
+      "start_date_oslo=2024-01-01")
+    assert(fs.exists(p1), "d1 still referenced — must survive")
+    // now retire d1 and vacuum again: no RETAINED delta mentions d1,
+    // only the filesystem listing can find it
+    LogTable.removePartitions(spark, root,
+      Seq("start_date_oslo=2024-01-01"))
+    LogTable.vacuum(spark, root, keepLast = 1)
+    assert(!fs.exists(p1),
+      "d1's files are unreferenced — vacuum must reclaim the partition")
+    assert(LogTable.read(spark, root).count() == 4L)
+    fs.delete(fsP.getParent, true)
+  }
+
+  test("LogTable txnId validation (ADVICE r13): ids that would break " +
+    "the regex-parsed manifest (quotes, backslashes) fail loudly at " +
+    "the entry point instead of silently breaking replay dedup") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_txnval")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    LogTable.init(entries(("a", "x", d, 1.0)), root)
+    Seq("has\"quote", "has\\backslash", "has,comma", "has[bracket", "")
+      .foreach { bad =>
+        intercept[IllegalArgumentException] {
+          LogTable.append(spark, root, entries(("b", "x", d, 2.0)),
+            txnId = Some(bad))
+        }
+        intercept[IllegalArgumentException] {
+          LogTable.merge(spark, root, entries(("b", "x", d, 2.0)),
+            Seq("id"), txnId = Some(bad))
+        }
+        intercept[IllegalArgumentException] {
+          LogTable.delete(spark, root, col("value") === 99.0,
+            txnId = Some(bad))
+        }
+        intercept[IllegalArgumentException] {
+          LogTable.update(spark, root, col("value") === 99.0,
+            Map("value" -> lit(1.0)), txnId = Some(bad))
+        }
+      }
+    // a safe id (the st4c shape) still round-trips
+    val v = LogTable.append(spark, root, entries(("b", "x", d, 2.0)),
+      txnId = Some("st4c:42"))
+    assert(LogTable.append(spark, root, entries(("b", "x", d, 2.0)),
+      txnId = Some("st4c:42")) == v, "replay must be a no-op")
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
+  test("LogTable versionAsOf is a bounded binary search (r13 #7): " +
+    "resolving TIMESTAMP AS OF on a 40-version log reads O(log n) " +
+    "delta manifests, not the whole retained history") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_asofbin")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    LogTable.init(entries(("e1", "x", d, 1.0)), root)
+    var t20 = 0L
+    (2 to 40).foreach { i =>
+      LogTable.append(spark, root, entries((s"e$i", "x", d, i.toDouble)))
+      if (i == 20) { Thread.sleep(5); t20 = System.currentTimeMillis()
+        Thread.sleep(5) }
+    }
+    val before = LogTable.deltaReads.get()
+    assert(LogTable.versionAsOf(spark, root, t20) == 20L)
+    val reads = LogTable.deltaReads.get() - before
+    assert(reads <= 14L, // 1 floor probe + ceil(log2(40)) + slack
+      s"versionAsOf read $reads deltas on a 40-version log — " +
+        "expected a bounded binary search")
+    // readAsOfTimestamp still returns the pinned version's contents
+    assert(LogTable.readAsOfTimestamp(spark, root, t20).count() == 20L)
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
+  test("LogTable change-feed source (st60, r13 #2): the poller " +
+    "delivers each version window once, the maintained aggregate " +
+    "equals a full recompute after append/merge/delete, a crash " +
+    "between fold and watermark write re-delivers the window " +
+    "IDEMPOTENTLY, and an idle poll is a no-op") {
+    import graft.operators.{LogTable, TableLog}
+    import graft.streaming.Streams
+    val base = java.nio.file.Files.createTempDirectory("graft_st60spec")
+      .toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    val fact = s"$base/fact"
+    val agg = s"$base/agg"
+    val wm = s"$base/wm"
+    def rows(r: (String, String, Long)*) = r.toSeq
+      .map { case (id, g, c) => (id, g, c, d) }
+      .toDF("id", "grp", "cents", "start_date_oslo")
+    var folds = 0
+    def poll(): Long = Streams.pollLogTableChanges(spark, fact, wm) {
+      (feed, a, b) =>
+        folds += 1
+        Streams.foldChangeFeedIntoAggregate(spark, agg, feed, a, b,
+          "grp", "cents")
+    }
+    LogTable.init(rows(("e1", "a", 10L), ("e2", "a", 20L),
+      ("e3", "b", 30L)), fact)                                  // v1
+    assert(poll() == 1L && folds == 1)
+    assert(poll() == 1L && folds == 1, "idle poll must deliver nothing")
+    LogTable.append(spark, fact, rows(("e4", "b", 40L)))        // v2
+    LogTable.merge(spark, fact,
+      rows(("e2", "a", 200L)), Seq("id"))                       // v3
+    assert(poll() == 3L && folds == 2, "one window for the whole gap")
+    LogTable.delete(spark, fact, col("cents") === 30L)          // v4
+    assert(poll() == 4L && folds == 3)
+    def aggState(): Map[String, (Long, Long)] =
+      LogTable.read(spark, agg).filter(col("n_rows") > 0L)
+        .select("grp", "n_rows", "sum_val")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+    def recompute(): Map[String, (Long, Long)] =
+      LogTable.read(spark, fact).groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+    assert(aggState() == recompute(),
+      s"fold drifted: ${aggState()} vs ${recompute()}")
+    // crash contract: the watermark write was lost — the next poll
+    // re-delivers (3, 4], and the fold's cdc:<from>-<to> txn makes it
+    // a commit-level no-op
+    val vAgg = TableLog.currentVersion(spark, agg)
+    val wmP = new org.apache.hadoop.fs.Path(wm)
+    val out = fs.create(wmP, true)
+    out.write("3".getBytes("UTF-8")); out.close()
+    assert(poll() == 4L && folds == 4, "window must be re-delivered")
+    assert(TableLog.currentVersion(spark, agg) == vAgg,
+      "re-delivered window must commit NOTHING")
+    assert(aggState() == recompute())
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+  }
+
+  test("ZoneFilters one-sided string bounds (ADVICE r13): a " +
+    "lower-bound-only pushed filter must not prune a file whose " +
+    "stored lo compares above the old sentinel upper bound") {
+    import graft.operators.LogTable.{FileStat, StrBounds, Zone}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+      GreaterThanOrEqual, Literal}
+    import org.apache.spark.sql.types.StringType
+    val attr = AttributeReference("s", StringType)()
+    val preds = graft.sources.ZoneFilters.extract(
+      Seq(GreaterThanOrEqual(attr, Literal("a"))), Set("s"))
+    assert(preds == Seq(StrBounds("s", Some("a"), None)), preds.toString)
+    // strSafe admits U+D7FF; a zone starting there, with more chars,
+    // compares lexically ABOVE the old "퟿" sentinel — the absent
+    // upper bound must not prune it
+    val f = FileStat("f1", 1L, 1L,
+      Map("s" -> Zone("퟿퟿zz", "퟿퟿zz", num = false)))
+    assert(preds.forall(graft.operators.LogTable.zoneAdmits(f, _)),
+      "file above the sentinel must stay planned")
+    // an upper-bounded filter still prunes it
+    val both = graft.sources.ZoneFilters.extract(
+      Seq(org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
+        attr, Literal("m"))), Set("s"))
+    assert(!both.forall(graft.operators.LogTable.zoneAdmits(f, _)))
+  }
 }

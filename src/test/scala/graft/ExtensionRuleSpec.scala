@@ -415,4 +415,66 @@ class ExtensionRuleSpec extends SparkSpec {
     assert(feb.count() == 10L)
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
+
+  test("LogTable.readIndexed generality (r13 #5) + scoped DV anti-join " +
+    "(r13 #3): an empty version returns the schema'd empty frame, a " +
+    "non-default partition column works inferred and pinned (a wrong " +
+    "pin fails loudly), and scanPreds shrink the deletion-vector scan " +
+    "with the file set — identical rows, fewer planned files") {
+    import graft.operators.LogTable
+    import graft.operators.LogTable.NumRange
+    val root = java.nio.file.Files.createTempDirectory("graft_lfigen")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    def batch(lo: Int, hi: Int) = spark.range(lo, hi + 1).select(
+      $"id".cast("long").as("k"),
+      $"id".cast("double").as("value"),
+      lit(d1).as("event_date")).repartition(1)
+    // non-default partition column end to end
+    LogTable.init(batch(1, 10), root, dateCol = "event_date",
+      statsCols = Seq("k"))
+    LogTable.append(spark, root, batch(11, 20), dateCol = "event_date")
+    LogTable.append(spark, root, batch(21, 30), dateCol = "event_date")
+    assert(LogTable.readIndexed(spark, root).count() == 30L)
+    assert(LogTable.readIndexed(spark, root,
+      dateCol = Some("event_date")).count() == 30L)
+    intercept[IllegalArgumentException] {
+      LogTable.readIndexed(spark, root, dateCol = Some("start_date_oslo"))
+    }
+    // two deletes -> two per-file vectors (file2's and file3's)
+    LogTable.delete(spark, root, col("k") === 15L)
+    LogTable.delete(spark, root, col("k") === 25L)
+    val m = LogTable.manifest(spark, root,
+      graft.operators.TableLog.currentVersion(spark, root))
+    assert(m.parts.values.flatten.count(_.dv.isDefined) == 2)
+    // scanPreds admit only the middle file -> only ITS vector rides
+    val scoped = graft.sources.LogTableScan.admittedParts(m,
+      Seq(NumRange("k", 11.0, 20.0)))
+    assert(scoped.values.flatten.map(_.file).toSeq.size == 1)
+    assert(scoped.values.flatten.flatMap(_.dv).toSeq.size == 1)
+    // end to end: same rows as the classic path, strictly fewer
+    // planned files (base scan prunes EITHER way via the pushed
+    // filter; only the DV side differs)
+    val unscoped = LogTable.readIndexed(spark, root)
+      .filter($"k".between(11L, 20L))
+    val withPreds = LogTable.readIndexed(spark, root,
+      scanPreds = Seq(NumRange("k", 11.0, 20.0)))
+      .filter($"k".between(11L, 20L))
+    assert(withPreds.select("k").as[Long].collect().sorted.toSeq ==
+      unscoped.select("k").as[Long].collect().sorted.toSeq)
+    val (pU, pS) = (plannedFiles(unscoped), plannedFiles(withPreds))
+    assert(pS < pU, s"scoped DV scan must plan fewer files ($pS !< $pU)")
+    // preds that admit nothing: the schema'd empty frame
+    assert(LogTable.readIndexed(spark, root,
+      scanPreds = Seq(NumRange("k", 500.0, 600.0))).count() == 0L)
+    // a fully-emptied version reads as the schema'd empty frame
+    LogTable.removePartitions(spark, root,
+      Seq("event_date=2024-01-01"))
+    val empty = LogTable.readIndexed(spark, root)
+    assert(empty.columns.toSeq == Seq("k", "value", "event_date"))
+    assert(empty.count() == 0L)
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
 }

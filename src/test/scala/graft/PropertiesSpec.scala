@@ -1063,4 +1063,93 @@ class PropertiesSpec extends SparkSpec {
       mood.isNullAt(5), mood.toString)
     assert(mood.getLong(2) == 3L, s"median ${mood.get(2)}")
   }
+
+  test("ZoneFilters property (r13 #6): over random predicate trees " +
+    "(And/Or/Not, all comparison ops, IN lists, stats and non-stats " +
+    "columns, nulls, deletion vectors) readIndexed.filter returns " +
+    "EXACTLY read.filter's rows — pruning is always a superset — and " +
+    "supported shapes do measurably prune") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_zfprop")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    // 6 sorted files of 10 rows: k 0..59, s "s000".."s059" (every 7th
+    // null), dt walks 2024-01-01.., value non-stats double
+    def slice(lo: Int) = spark.range(lo, lo + 10).select(
+      $"id".as("rid"),
+      $"id".as("k"),
+      when($"id" % 7 === 3, lit(null).cast("string"))
+        .otherwise(format_string("s%03d", $"id")).as("s"),
+      date_add(lit(d), ($"id" / 2).cast("int")).as("dt"),
+      ($"id" * 1.5).as("value"),
+      lit(d).as("start_date_oslo")).repartition(1)
+    LogTable.init(slice(0), root, statsCols = Seq("k", "s", "dt"))
+    (1 to 5).foreach(i => LogTable.append(spark, root, slice(i * 10)))
+    // deletion vectors in play: both paths must hide the same rows
+    LogTable.delete(spark, root, col("rid").isin(14L, 27L, 50L))
+    val totalFiles = LogTable.read(spark, root).inputFiles.length.toLong
+    def plannedFiles(df: org.apache.spark.sql.DataFrame): Long = {
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(f)
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(q.plan)
+          case o => o.children.flatMap(scans)
+        }
+      df.collect() // force ONE action so numFiles is populated
+      scans(df.queryExecution.executedPlan)
+        .filterNot(_.relation.location.rootPaths.exists(
+          _.toString.contains("_graft_dv"))) // the base scan only
+        .map(_.metrics("numFiles").value).sum
+    }
+    val rnd = new scala.util.Random(421L)
+    def leaf(): org.apache.spark.sql.Column = rnd.nextInt(6) match {
+      case 0 =>
+        val (c, l) = (col("k"), lit(rnd.nextInt(70).toLong))
+        Seq(c > l, c >= l, c < l, c <= l, c === l)(rnd.nextInt(5))
+      case 1 =>
+        val (c, l) = (col("s"), lit(f"s${rnd.nextInt(70)}%03d"))
+        Seq(c > l, c >= l, c < l, c <= l, c === l)(rnd.nextInt(5))
+      case 2 =>
+        val (c, l) = (col("dt"), lit(java.sql.Date.valueOf(
+          java.time.LocalDate.parse("2024-01-01")
+            .plusDays(rnd.nextInt(35).toLong))))
+        Seq(c > l, c >= l, c < l, c <= l, c === l)(rnd.nextInt(5))
+      case 3 =>
+        col("k").isin(Seq.fill(1 + rnd.nextInt(4))(
+          rnd.nextInt(70).toLong): _*)
+      case 4 => // non-stats column: never prunes, must stay correct
+        col("value") <= lit(rnd.nextInt(100).toDouble)
+      case 5 => col("s").isNotNull
+    }
+    def tree(depth: Int): org.apache.spark.sql.Column =
+      if (depth == 0 || rnd.nextInt(3) == 0) leaf()
+      else rnd.nextInt(3) match {
+        case 0 => tree(depth - 1) && tree(depth - 1)
+        case 1 => tree(depth - 1) || tree(depth - 1)
+        case 2 => !tree(depth - 1)
+      }
+    var prunedSome = 0
+    (1 to 35).foreach { i =>
+      val cond = tree(2 + rnd.nextInt(2))
+      val viaIndex = LogTable.readIndexed(spark, root).filter(cond)
+      val exact = LogTable.read(spark, root).filter(cond)
+        .select("rid").as[Long].collect().sorted.toSeq
+      val got = viaIndex.select("rid").as[Long].collect().sorted.toSeq
+      assert(got == exact,
+        s"tree #$i: readIndexed returned ${got.size} rows, " +
+          s"read+filter ${exact.size} — $cond")
+      if (plannedFiles(viaIndex) < totalFiles) prunedSome += 1
+    }
+    assert(prunedSome >= 5,
+      s"only $prunedSome/35 trees pruned — generator too weak to " +
+        "exercise the translation")
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
 }
