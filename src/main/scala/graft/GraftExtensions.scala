@@ -18,6 +18,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(CosineSimilarity.registration)
     ext.injectFunction(SortedArrayIntersectCount.registration)
     ext.injectFunction(NfcNormalize.registration)
+    // SQL surface for LogTable snapshots: SELECT ... FROM
+    // logtable('/path'[, version | 'timestamp']) — time travel +
+    // zone-map file pruning through plain SQL (r13 directive #8)
+    ext.injectTableFunction(graft.sources.LogTableTvf.registration)
     ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.GlobalRankRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.RunningSumStrategy)

@@ -8550,6 +8550,153 @@ object ScaleQueries {
              |  CAST(sum(c) AS BIGINT) sum_cents
              |FROM t1 GROUP BY grp ORDER BY grp""".stripMargin)),
 
+    // STREAMING LogTable change-feed SOURCE (st60, new r14 — r13
+    // directive #2): the x217 incremental-CDC composition run as a
+    // LIVE pipeline. A micro-batch poller tracks the last-consumed
+    // version in a watermark file and delivers changes(vLast, vHead)
+    // per trigger to a maintained-aggregate fold that commits under
+    // txnId cdc:<from>-<to> — at-least-once window delivery,
+    // exactly-once effects. The folded aggregate (bootstrap v1 scan +
+    // three feed windows across an append, a COW merge and a DV
+    // delete) must equal DuckDB's recompute of the final table, and a
+    // RE-DELIVERED window must commit NOTHING (n_replay_commits = 0).
+    QuerySpec("st60_stream_cdc_feed", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_id"),
+          col("event_id").cast("string").as("id"),
+          col("event_type").as("grp"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          lit("2024-01-01").cast("date").as("start_date_oslo"))
+      val base = java.nio.file.Files.createTempDirectory("graft_st60")
+        .toString
+      val fact = s"$base/fact"
+      val agg = s"$base/agg"
+      val wm = s"$base/watermark"
+      def poll(): Long =
+        graft.streaming.Streams.pollLogTableChanges(s, fact, wm) {
+          (feed, a, b) =>
+            graft.streaming.Streams.foldChangeFeedIntoAggregate(
+              s, agg, feed, a, b, "grp", "cents")
+        }
+      graft.operators.LogTable.init(
+        ev.filter(col("event_id") % 3 === 0).drop("event_id")
+          .repartition(2), fact)                                // v1
+      poll() // bootstrap: the v1 snapshot seeds the aggregate
+      graft.operators.LogTable.append(s, fact,
+        ev.filter(col("event_id") % 3 === 1).drop("event_id")
+          .repartition(2))                                      // v2
+      graft.operators.LogTable.merge(s, fact,
+        ev.filter(col("event_id") % 30 === 0)
+          .withColumn("cents", col("cents") * 3 + 7)
+          .drop("event_id"), Seq("id"))                         // v3
+      poll() // window (1, 3]
+      graft.operators.LogTable.delete(s, fact,
+        col("cents") % 5 === 0)                                 // v4
+      poll() // window (3, 4]
+      // crash-replay contract: re-deliver the last window directly —
+      // the fold's txn ledger must make it a commit-level no-op
+      val vAgg = graft.operators.TableLog.currentVersion(s, agg)
+      graft.streaming.Streams.foldChangeFeedIntoAggregate(s, agg,
+        graft.operators.LogTable.changes(s, fact, 3L, 4L), 3L, 4L,
+        "grp", "cents")
+      val replayCommits =
+        graft.operators.TableLog.currentVersion(s, agg) - vAgg
+      val out = graft.operators.LogTable.read(s, agg)
+        .filter(col("n_rows") > 0L)
+        .select(col("grp"), col("n_rows"),
+          col("sum_val").as("sum_cents"),
+          lit(replayCommits).as("n_replay_commits"))
+        .orderBy(col("grp"))
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    },
+      Some("""WITH b AS (SELECT event_id, event_type grp,
+             |    CAST(round(value*100, 0) AS BIGINT) c
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+             |t0 AS (SELECT event_id, grp,
+             |    CASE WHEN event_id % 30 = 0 THEN 3*c + 7 ELSE c END c
+             |  FROM b WHERE event_id % 3 IN (0, 1)),
+             |t1 AS (SELECT * FROM t0 WHERE c % 5 <> 0)
+             |SELECT grp, CAST(count(*) AS BIGINT) n_rows,
+             |  CAST(sum(c) AS BIGINT) sum_cents,
+             |  CAST(0 AS BIGINT) n_replay_commits
+             |FROM t1 GROUP BY grp ORDER BY grp""".stripMargin)),
+
+    // LogTable SQL surface (x219, new r14 — r13 directive #8): pure
+    // SQL over the manifest-native table through the injected
+    // `logtable(path[, version])` table-valued function — the analyst
+    // entry point. The WHERE date band must prune to ONE planned file
+    // through the FileIndex (the scan's own numFiles metric, like
+    // x215), values must match DuckDB, and `logtable(path, 1)` must
+    // time-travel to the init snapshot — all without touching the
+    // Column API.
+    QuerySpec("x219_logtable_sql", (s, d) => {
+      val rows = t(s, d, "events")
+        .select(graft.functions.Coercers.osloDate(col("ts"))
+          .as("event_date"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          lit("2024-01-01").cast("date").as("start_date_oslo"))
+      val mm = rows.agg(min(col("event_date")), max(col("event_date")))
+        .head()
+      val (d0, d1) = (mm.getDate(0).toLocalDate, mm.getDate(1).toLocalDate)
+      val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1)
+      val q1 = java.sql.Date.valueOf(d0.plusDays(span / 3))
+      val q2 = java.sql.Date.valueOf(d0.plusDays(2 * span / 3))
+      val base = logTableTemplate(s, d, "x214") { dir =>
+        graft.operators.LogTable.init(
+          rows.filter(col("event_date") <= lit(q1)).repartition(1), dir,
+          statsCols = Seq("event_date"))
+        graft.operators.LogTable.append(s, dir,
+          rows.filter(col("event_date") > lit(q1) &&
+            col("event_date") <= lit(q2)).repartition(1))
+        graft.operators.LogTable.append(s, dir,
+          rows.filter(col("event_date") > lit(q2)).repartition(1))
+      }
+      val agg = s.sql(
+        s"""SELECT count(*) AS n_rows, sum(cents) AS sum_cents
+           |FROM logtable('$base')
+           |WHERE event_date > DATE'$q1' AND event_date <= DATE'$q2'"""
+          .stripMargin)
+      val row = agg.collect().head // ONE action, then read the metric
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(f)
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(q.plan)
+          case o => o.children.flatMap(scans)
+        }
+      val planned = scans(agg.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+      // VERSION AS OF through SQL: the pinned init snapshot
+      val v1n = s.sql(s"SELECT count(*) AS n FROM logtable('$base', 1)")
+        .collect().head.getLong(0)
+      import s.implicits._
+      Seq((planned, row.getLong(0), row.getLong(1), v1n))
+        .toDF("n_files_planned", "n_rows", "sum_cents", "n_rows_v1")
+    },
+      Some("""WITH b AS (SELECT
+             |    CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE) ed,
+             |    CAST(round(value*100, 0) AS BIGINT) cents FROM events),
+             |q AS (SELECT min(ed) + CAST(datediff('day', min(ed), max(ed))//3
+             |      AS INTEGER) q1,
+             |    min(ed) + CAST(2*datediff('day', min(ed), max(ed))//3
+             |      AS INTEGER) q2 FROM b)
+             |SELECT CAST(1 AS BIGINT) n_files_planned,
+             |  CAST((SELECT count(*) FROM b, q
+             |    WHERE ed > q1 AND ed <= q2) AS BIGINT) n_rows,
+             |  CAST((SELECT sum(cents) FROM b, q
+             |    WHERE ed > q1 AND ed <= q2) AS BIGINT) sum_cents,
+             |  CAST((SELECT count(*) FROM b, q WHERE ed <= q1) AS BIGINT)
+             |    n_rows_v1""".stripMargin)),
+
     // LogTable change-data-feed (x201): three versions — init, replace
     // the first week with cents*2+1 (always differs, so nothing
     // cancels), append a disjoint slice — then changes(1, 3) computed

@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
+  Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types._
+
+import graft.operators.LogTable
+
+/** SQL table-valued entry point for [[LogTable]] — what an analyst
+  * writes (r13 directive #8: the engine had SparkSessionExtensions but
+  * LogTable was API-only):
+  *
+  * {{{
+  *   SELECT * FROM logtable('/path/to/table')                 -- latest
+  *   SELECT * FROM logtable('/path/to/table', 3)              -- VERSION AS OF
+  *   SELECT * FROM logtable('/path', '2024-06-01 12:00:00')   -- TIMESTAMP AS OF
+  * }}}
+  *
+  * Registered through `SparkSessionExtensions.injectTableFunction`
+  * ([[graft.GraftExtensions]]), the public hook Spark resolves
+  * table-function references with. The plan returned is
+  * [[LogTable.readIndexed]]'s — a manifest-backed Catalyst FileIndex —
+  * so ordinary SQL `WHERE` predicates on declared stats columns prune
+  * FILES via zone maps at physical-plan time, partition predicates
+  * prune directories, and deletion vectors apply: SQL users get
+  * exactly the Column-API read path, time travel included.
+  *
+  * Arguments must be literals (the SQL-surface contract of a TVF):
+  * arg 1 the table root path; optional arg 2 either an integral
+  * version (`VERSION AS OF`) or a `'yyyy-MM-dd HH:mm:ss'` /
+  * `'yyyy-MM-dd'` timestamp string resolved through
+  * [[LogTable.versionAsOf]] (`TIMESTAMP AS OF`).
+  */
+object LogTableTvf {
+
+  private def fail(msg: String): Nothing =
+    throw new IllegalArgumentException(s"logtable(): $msg")
+
+  private def asVersion(spark: SparkSession, path: String,
+                        e: Expression): Long = e match {
+    case l: Literal if l.value != null => l.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        l.value.asInstanceOf[Number].longValue()
+      case StringType =>
+        val s = l.value.toString
+        val ts =
+          try {
+            if (s.length == 10) java.sql.Date.valueOf(s).getTime
+            else java.sql.Timestamp.valueOf(s).getTime
+          } catch {
+            case _: IllegalArgumentException => fail(
+              s"'$s' is neither an integral version nor a " +
+                "'yyyy-MM-dd[ HH:mm:ss]' timestamp")
+          }
+        LogTable.versionAsOf(spark, path, ts)
+      case other => fail(s"unsupported AS OF argument type " +
+        s"${other.simpleString} — pass an integral version or a " +
+        "timestamp string")
+    }
+    case _ => fail("AS OF argument must be a literal")
+  }
+
+  val registration: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("logtable"),
+    new ExpressionInfo(LogTableTvf.getClass.getName, "logtable"),
+    (args: Seq[Expression]) => {
+      if (args.isEmpty || args.size > 2)
+        fail(s"expects (path [, version | timestamp]), got ${args.size} " +
+          "arguments")
+      val spark = SparkSession.active
+      val path = args.head match {
+        case l: Literal if l.value != null && l.dataType == StringType =>
+          l.value.toString
+        case _ => fail("the table path must be a string literal")
+      }
+      val asOf = args.lift(1).map(asVersion(spark, path, _))
+      org.apache.spark.sql.graftshim.PlanShim.logical(
+        LogTable.readIndexed(spark, path, asOf))
+    })
+}
