@@ -75,8 +75,10 @@ object LogTable {
     * zones mean "no stats recorded" (pre-stats commit, or an all-null
     * file) — such a file is always planned, never skipped. A column
     * absent from `zones` (all-null in this file, added to statsCols
-    * after the file was committed, all-NaN, or a string bound that
-    * cannot be stored safely) likewise never skips this file.
+    * after the file was committed, containing ANY NaN — Spark orders
+    * NaN above every value, so no finite max bounds it — or a string
+    * bound that cannot be stored safely) likewise never skips this
+    * file.
     *
     * `dv` names the file's DELETION VECTOR (the Delta merge-on-read
     * DELETE idea): a parquet set of (file tail, row position) pairs
@@ -697,12 +699,20 @@ object LogTable {
   /** Zone-map the given files: ONE metadata-scale job computing per-file
     * (rows, min/max of EVERY stats column), TYPED by the column's
     * schema type (r12 directive #3): numeric columns record double
-    * zones (exact for |v| < 2⁵³; NaNs are EXCLUDED from the agg —
-    * ADVICE r12 — an all-NaN column records no zone); DATE / TIMESTAMP
-    * columns record their ISO string forms (lexical compare = temporal
-    * compare); STRING columns record raw min and an Iceberg-style
+    * zones (exact for |v| < 2⁵³); DATE / TIMESTAMP columns record
+    * their ISO string forms (lexical compare = temporal compare);
+    * STRING columns record raw min and an Iceberg-style
     * truncated-incremented max, dropped entirely when the bound cannot
-    * be stored safely. Keyed by "part/file" suffix. */
+    * be stored safely. Keyed by "part/file" suffix.
+    *
+    * A float/double column that contains ANY NaN in a file records NO
+    * zone for that file (r14 self-found bug, tightening ADVICE r12's
+    * NaN-exclusion): Spark's comparison semantics order NaN LARGER
+    * than every value (`NaN >= x` and `NaN = NaN` are TRUE), so a
+    * finite max computed by excluding NaN is NOT an upper bound for
+    * predicate purposes — a one-sided pushed filter (`v >= k`) or a
+    * DML probe could prune a file whose only matching rows are NaN.
+    * No zone → the file is always planned → superset preserved. */
   private def fileStats(spark: SparkSession, tableRoot: String,
                         statsCols: Seq[String],
                         parts: Map[String, Seq[FileStat]])
@@ -724,12 +734,16 @@ object LogTable {
             "timestamp and string columns carry zone maps")
         })
       }.toMap
+      val floaty: Set[String] = statsCols.filter(c =>
+        schema(c).dataType == FloatType ||
+          schema(c).dataType == DoubleType).toSet
       val aggs = statsCols.flatMap { c =>
         schema(c).dataType match {
           case FloatType | DoubleType =>
             val cd = col(c).cast("double")
             val clean = when(!isnan(cd), cd)
-            Seq(min(clean).as(s"__lo:$c"), max(clean).as(s"__hi:$c"))
+            Seq(min(clean).as(s"__lo:$c"), max(clean).as(s"__hi:$c"),
+              max(when(isnan(cd), 1).otherwise(0)).as(s"__nan:$c"))
           case _: NumericType =>
             val cd = col(c).cast("double")
             Seq(min(cd).as(s"__lo:$c"), max(cd).as(s"__hi:$c"))
@@ -749,7 +763,13 @@ object LogTable {
           val zones = statsCols.flatMap { c =>
             val (li, hi) =
               (r.fieldIndex(s"__lo:$c"), r.fieldIndex(s"__hi:$c"))
-            if (r.isNullAt(li) || r.isNullAt(hi)) None
+            // NaN anywhere in the file: no zone (NaN orders LARGER
+            // than every value in Spark predicates, so the clean max
+            // is not an upper bound — see the method Scaladoc)
+            val hasNan = floaty(c) &&
+              !r.isNullAt(r.fieldIndex(s"__nan:$c")) &&
+              r.getInt(r.fieldIndex(s"__nan:$c")) == 1
+            if (r.isNullAt(li) || r.isNullAt(hi) || hasNan) None
             else if (kinds(c) == 'n')
               Some(c -> Zone(jdouble(r.getDouble(li)),
                 jdouble(r.getDouble(hi)), num = true))
@@ -768,8 +788,210 @@ object LogTable {
     }
   }
 
+  /** Zone-map the given files from their parquet FOOTERS — per-file
+    * (rows, min/max) read from column-chunk statistics instead of a
+    * data-scanning aggregation job (r14): commit-time stats cost drops
+    * from O(new rows) to O(new files) metadata reads, the move that
+    * matters when a 100 TB ingest commits multi-GB batches (Delta
+    * computes stats inline at write; footers are the public
+    * equivalent). The reads run as a Spark job over the file list, so
+    * a large initial load's footers are fetched by EXECUTORS, not
+    * serialized through the driver.
+    *
+    * Returns None (caller falls back to the [[fileStats]] scan) when
+    * any stats column's physical type cannot be rendered
+    * bit-compatibly with the scan-based zones: INT64 timestamps (the
+    * scan renders session-timezone strings) and decimals. Per-file,
+    * per-column safety rules mirror the scan path exactly:
+    *
+    *  - FLOAT/DOUBLE: parquet-mr omits min/max when a NaN was written
+    *    (PARQUET-1222 hardening), which IS the r14 NaN contract — and
+    *    a NaN that does surface in a bound drops the zone anyway;
+    *    -0.0/+0.0 writer normalization renders identically through
+    *    [[jdouble]].
+    *  - BINARY strings: bounds must be [[strSafe]]. Parquet orders
+    *    binary stats by unsigned BYTES while zone probes compare Java
+    *    Strings (UTF-16 units) — the orders diverge only where
+    *    supplementary characters meet high-BMP ones. With BOTH bounds
+    *    strSafe (pure sub-surrogate BMP): any row's first divergence
+    *    from a bound compares either two sub-surrogate BMP units
+    *    (byte order ≡ String order there) or the row's surrogate unit
+    *    against the bound's sub-0xD800 unit — in which case the row
+    *    is String-larger than the min (fine) and cannot be byte-below
+    *    a strSafe max without that max failing strSafe at the same
+    *    position. Byte containment therefore implies String
+    *    containment; a bound that itself holds a supplementary char
+    *    fails strSafe and drops the zone (superset kept). Parquet's
+    *    own stats truncation yields valid bounds; they are
+    *    re-truncated through the [[StrZoneMax]]/[[strUpper]] rules.
+    *  - an all-null block contributes nothing; a block with values but
+    *    no usable stats drops the column's zone for the file.
+    */
+  private def fileStatsFooter(spark: SparkSession, tableRoot: String,
+                              statsCols: Seq[String],
+                              parts: Map[String, Seq[FileStat]])
+      : Option[Map[String, (Long, Map[String, Zone])]] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import scala.jdk.CollectionConverters._
+    val paths = parts.toSeq.flatMap { case (p, fl) =>
+      fl.map(f => s"$tableRoot/$p/${f.file}") }
+    if (paths.isEmpty) return Some(Map.empty)
+    val hconf = org.apache.spark.sql.graftshim.ConfShim.broadcast(
+      spark.sparkContext, spark.sparkContext.hadoopConfiguration)
+    val colSet = statsCols.toSet
+    val zMax = StrZoneMax
+    // (tail, rows, per-column Either[unsupported-type, Option[Zone]])
+    val perFile: Seq[(String, Long, Map[String, Either[Unit, Option[Zone]]])] =
+      spark.sparkContext
+        .parallelize(paths, math.min(paths.size,
+          spark.sparkContext.defaultParallelism).max(1))
+        .map { uri =>
+          val path = new org.apache.hadoop.fs.Path(uri)
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(path, hconf())
+          val reader = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          try {
+            val footer = reader.getFooter
+            val msg = footer.getFileMetaData.getSchema
+            val blocks = footer.getBlocks
+            val rows = {
+              var n = 0L
+              blocks.forEach(b => n += b.getRowCount)
+              n
+            }
+            def strSafeLocal(s: String): Boolean = s.forall(ch =>
+              ch >= 0x20 && ch < 0xD800 &&
+                "\"\\{}[],".indexOf(ch.toInt) < 0)
+            def strUpperLocal(s: String): Option[String] =
+              if (s.length <= zMax) Some(s)
+              else {
+                val p = s.substring(0, zMax).toCharArray
+                var i = p.length - 1
+                while (i >= 0 && p(i) == Char.MaxValue) i -= 1
+                if (i < 0) None
+                else Some(new String(p, 0, i) + (p(i) + 1).toChar)
+              }
+            val cols = colSet.toSeq.sorted.map { c =>
+              val fieldIdx = msg.getFields.asScala
+                .indexWhere(f => f.getName == c && f.isPrimitive)
+              if (fieldIdx < 0) c -> Left(()) // absent: let the scan decide
+              else {
+                val prim = msg.getFields.get(fieldIdx).asPrimitiveType()
+                val ann = prim.getLogicalTypeAnnotation
+                val kind: Either[Unit, Char] =
+                  (prim.getPrimitiveTypeName, ann) match {
+                    case (_, _: LogicalTypeAnnotation
+                        .DecimalLogicalTypeAnnotation) => Left(())
+                    case (INT32, _: LogicalTypeAnnotation
+                        .DateLogicalTypeAnnotation) => Right('d')
+                    case (INT32, _) => Right('n')
+                    case (INT64, _: LogicalTypeAnnotation
+                        .TimestampLogicalTypeAnnotation) => Left(())
+                    case (INT64, _) => Right('n')
+                    case (FLOAT, _) | (DOUBLE, _) => Right('n')
+                    case (BINARY, _: LogicalTypeAnnotation
+                        .StringLogicalTypeAnnotation) => Right('s')
+                    case _ => Left(())
+                  }
+                kind match {
+                  case Left(()) => c -> Left(())
+                  case Right(k) =>
+                    // fold the blocks: min of mins / max of maxes;
+                    // all-null blocks skip; unusable stats invalidate
+                    var lo: Any = null
+                    var hi: Any = null
+                    var ok = true
+                    blocks.forEach { b =>
+                      if (ok && b.getRowCount > 0) {
+                        val cc = b.getColumns.asScala.find(
+                          _.getPath.toDotString == c)
+                        cc match {
+                          case None => ok = false
+                          case Some(ch) =>
+                            val st = ch.getStatistics
+                            if (st == null || st.isEmpty) ok = false
+                            else if (!st.hasNonNullValue) {
+                              if (!(st.isNumNullsSet &&
+                                  st.getNumNulls == b.getRowCount))
+                                ok = false // values exist, stats unusable
+                            } else {
+                              val (mn, mx) =
+                                (st.genericGetMin, st.genericGetMax)
+                              def cmp(a: Any, b2: Any): Int = k match {
+                                case 's' =>
+                                  a.asInstanceOf[org.apache.parquet.io.api
+                                    .Binary].toStringUsingUTF8.compareTo(
+                                    b2.asInstanceOf[org.apache.parquet.io
+                                      .api.Binary].toStringUsingUTF8)
+                                case _ =>
+                                  val da = a.asInstanceOf[Number]
+                                    .doubleValue()
+                                  val db = b2.asInstanceOf[Number]
+                                    .doubleValue()
+                                  java.lang.Double.compare(da, db)
+                              }
+                              if (lo == null || cmp(mn, lo) < 0) lo = mn
+                              if (hi == null || cmp(mx, hi) > 0) hi = mx
+                            }
+                        }
+                      }
+                    }
+                    if (!ok) c -> Right(None)
+                    else if (lo == null || hi == null) c -> Right(None)
+                    else k match {
+                      case 'n' =>
+                        val (dl, dh) = (lo.asInstanceOf[Number]
+                          .doubleValue(), hi.asInstanceOf[Number]
+                          .doubleValue())
+                        if (dl.isNaN || dh.isNaN) c -> Right(None)
+                        else c -> Right(Some(Zone(jdouble(dl),
+                          jdouble(dh), num = true)))
+                      case 'd' =>
+                        val ds = java.time.LocalDate.ofEpochDay(
+                          lo.asInstanceOf[Number].longValue()).toString
+                        val dh = java.time.LocalDate.ofEpochDay(
+                          hi.asInstanceOf[Number].longValue()).toString
+                        c -> Right(Some(Zone(ds, dh, num = false)))
+                      case 's' =>
+                        val rawLo = lo.asInstanceOf[org.apache.parquet
+                          .io.api.Binary].toStringUsingUTF8
+                        val rawHi = hi.asInstanceOf[org.apache.parquet
+                          .io.api.Binary].toStringUsingUTF8
+                        val zlo = rawLo.substring(0,
+                          math.min(rawLo.length, zMax))
+                        // both bounds strSafe ⇒ no supplementary chars
+                        // in either bound, and (proof in the Scaladoc)
+                        // byte order ≡ String order over the whole
+                        // bounded range — the zone is valid even when
+                        // interior rows hold supplementary text
+                        strUpperLocal(rawHi) match {
+                          case Some(up) if strSafeLocal(zlo) &&
+                              strSafeLocal(up) =>
+                            c -> Right(Some(Zone(zlo, up, num = false)))
+                          case _ => c -> Right(None)
+                        }
+                    }
+                }
+              }
+            }.toMap
+            val tail = uri.split('/').takeRight(2).mkString("/")
+            (tail, rows, cols)
+          } finally reader.close()
+        }.collect().toSeq
+    if (perFile.exists(_._3.values.exists(_.isLeft))) None
+    else Some(perFile.map { case (tail, rows, cols) =>
+      tail -> (rows, cols.collect { case (c, Right(Some(z))) => c -> z })
+    }.toMap)
+  }
+
+  private def footerStatsEnabled(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.logtable.footerStats", "true").toBoolean
+
   /** Attach zone maps to the new files of a commit (no-op without
-    * stats columns). */
+    * stats columns): footer-based when enabled and type-compatible
+    * ([[fileStatsFooter]]), otherwise the scanning agg job
+    * ([[fileStats]]) — both produce the same zones (spec-pinned). */
   private def withStats(spark: SparkSession, tableRoot: String,
                         statsCols: Seq[String],
                         parts: Map[String, Seq[FileStat]])
@@ -779,7 +1001,11 @@ object LogTable {
       require(statsCols.forall(_.matches("[A-Za-z0-9_]+")),
         s"LogTable stats columns must be plain identifiers, got " +
           statsCols.mkString(","))
-      val stats = fileStats(spark, tableRoot, statsCols, parts)
+      val stats =
+        (if (footerStatsEnabled(spark))
+          fileStatsFooter(spark, tableRoot, statsCols, parts)
+         else None)
+          .getOrElse(fileStats(spark, tableRoot, statsCols, parts))
       parts.map { case (p, fl) =>
         p -> fl.map { f =>
           stats.get(s"$p/${f.file}") match {

@@ -55,6 +55,22 @@ object RddShim {
   }
 }
 
+/** Bridge to the `private[spark]` serializable Hadoop-configuration
+  * wrapper: broadcast the session conf once and hand executors an
+  * opaque serializable thunk — what a distributed parquet-footer read
+  * needs without re-deriving credentials/filesystem settings from a
+  * bare `new Configuration()` on each executor.
+  */
+object ConfShim {
+  def broadcast(sc: org.apache.spark.SparkContext,
+                conf: org.apache.hadoop.conf.Configuration)
+      : () => org.apache.hadoop.conf.Configuration = {
+    val b = sc.broadcast(
+      new org.apache.spark.util.SerializableConfiguration(conf))
+    () => b.value.value
+  }
+}
+
 /** Bridge to the `private[sql]` Dataset/LogicalPlan constructors, for
   * planting custom logical nodes (graft.plans.RunningSumPlan) into a
   * DataFrame. Same access-qualifier-only rationale as [[ColumnShim]].

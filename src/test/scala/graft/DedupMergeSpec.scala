@@ -2098,6 +2098,123 @@ class DedupMergeSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
   }
 
+  test("LogTable footer-based zone maps (r14): commit-time stats read " +
+    "from parquet FOOTERS equal the scanning agg job byte-for-byte — " +
+    "longs, NaN-infected doubles, dates, long/null strings — and a " +
+    "timestamp stats column falls back to the scan on both settings") {
+    import graft.operators.LogTable
+    val dir = java.nio.file.Files.createTempDirectory("graft_footz")
+      .toString
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    def slice(lo: Int, nan: Boolean, allNullS: Boolean) =
+      spark.range(lo, lo + 8).select(
+        $"id".as("k"),
+        (if (nan) when($"id" % 3 === 1, lit(Double.NaN))
+          .otherwise($"id" * 1.5) else $"id" * 1.5).as("f"),
+        date_add(lit(d), $"id".cast("int")).as("dt"),
+        (if (allNullS) lit(null).cast("string")
+         else when($"id" % 7 === 3, lit(null).cast("string"))
+           .otherwise(concat(format_string("s%03d", $"id"),
+             // one value beyond StrZoneMax exercises upper truncation
+             when($"id" % 5 === 0, lit("x" * 70)).otherwise(lit(""))))
+        ).as("s"),
+        lit(d).as("start_date_oslo")).repartition(1)
+    def build(root: String, footer: Boolean): Unit = {
+      spark.conf.set("spark.graft.logtable.footerStats", footer.toString)
+      try {
+        LogTable.init(slice(0, nan = false, allNullS = false), root,
+          statsCols = Seq("k", "f", "dt", "s"))
+        LogTable.append(spark, root,
+          slice(10, nan = true, allNullS = false))
+        LogTable.append(spark, root,
+          slice(20, nan = false, allNullS = true))
+      } finally
+        spark.conf.unset("spark.graft.logtable.footerStats")
+    }
+    build(s"$dir/ft", footer = true)
+    build(s"$dir/sc", footer = false)
+    def stats(root: String) = LogTable.manifest(spark, root,
+      graft.operators.TableLog.currentVersion(spark, root))
+      .parts.values.flatten.map(f => (f.rows, f.zones)).toSet
+    assert(stats(s"$dir/ft") == stats(s"$dir/sc"),
+      s"footer zones != scan zones:\n${stats(s"$dir/ft")}\nvs\n" +
+        s"${stats(s"$dir/sc")}")
+    // NaN contract holds on the footer path too: the NaN slice has no
+    // f-zone, the clean slices do
+    val fZones = LogTable.manifest(spark, s"$dir/ft",
+      graft.operators.TableLog.currentVersion(spark, s"$dir/ft"))
+      .parts.values.flatten.map(_.zones.get("f")).toSeq
+    assert(fZones.count(_.isEmpty) == 1 && fZones.count(_.isDefined) == 2,
+      fZones.toString)
+    // timestamp stats columns are scan-rendered (session-tz strings):
+    // the footer path must FALL BACK, yielding identical zones
+    def tsSlice(lo: Int) = spark.range(lo, lo + 8).select(
+      $"id".as("k"),
+      ($"id" * 3600).cast("timestamp").as("ts"),
+      lit(d).as("start_date_oslo")).repartition(1)
+    def buildTs(root: String, footer: Boolean): Unit = {
+      spark.conf.set("spark.graft.logtable.footerStats", footer.toString)
+      try {
+        LogTable.init(tsSlice(0), root, statsCols = Seq("ts"))
+        LogTable.append(spark, root, tsSlice(10))
+      } finally
+        spark.conf.unset("spark.graft.logtable.footerStats")
+    }
+    buildTs(s"$dir/ftts", footer = true)
+    buildTs(s"$dir/scts", footer = false)
+    assert(stats(s"$dir/ftts") == stats(s"$dir/scts"))
+    assert(stats(s"$dir/ftts").forall(_._2.contains("ts")))
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+  }
+
+  test("NaN-infected zone maps never prune (r14 self-found bug): " +
+    "Spark orders NaN ABOVE every value in predicates, so a file " +
+    "whose clean max is below a one-sided lower bound can still hold " +
+    "matching NaN rows — such files record NO zone and stay planned " +
+    "on every path (readIndexed, readSkipping contract, DML probe)") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_nanzone")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    // file A: clean values 1-3 PLUS one NaN row; file B: clean 10-12
+    val fileA = Seq(("a1", 1.0), ("a2", 2.0), ("a3", 3.0),
+      ("aN", Double.NaN))
+      .toDF("id", "v").withColumn("start_date_oslo", lit(d))
+    val fileB = Seq(("b1", 10.0), ("b2", 11.0), ("b3", 12.0))
+      .toDF("id", "v").withColumn("start_date_oslo", lit(d))
+    LogTable.init(fileA.repartition(1), root, statsCols = Seq("v"))
+    LogTable.append(spark, root, fileB.repartition(1))
+    val m = LogTable.manifest(spark, root,
+      graft.operators.TableLog.currentVersion(spark, root))
+    // A (NaN-infected) records no v-zone; B records [10, 12]
+    val zones = m.parts.values.flatten.map(_.zones.get("v")).toSeq
+    assert(zones.count(_.isEmpty) == 1 && zones.count(_.isDefined) == 1,
+      zones.toString)
+    // the one-sided pushed filter that used to lose the NaN row:
+    // v >= 100 matches ONLY the NaN (NaN >= 100 is TRUE in Spark)
+    val got = LogTable.readIndexed(spark, root)
+      .filter(col("v") >= 100.0).select("id").as[String].collect().toSet
+    assert(got == Set("aN"),
+      s"one-sided probe must keep the NaN-infected file planned: $got")
+    // equality at NaN: NaN = NaN is TRUE in Spark — same contract
+    assert(LogTable.readIndexed(spark, root)
+      .filter(col("v") === Double.NaN).select("id").as[String]
+      .collect().toSet == Set("aN"))
+    // the DML probe inherits the fix: a delete above the clean range
+    // must still kill the NaN row
+    assert(LogTable.dmlCandidateFiles(spark, m,
+      col("v") >= 100.0).size >= 1)
+    LogTable.delete(spark, root, col("v") >= 100.0)
+    assert(LogTable.read(spark, root).count() == 6L)
+    assert(!LogTable.read(spark, root).select("id").as[String]
+      .collect().contains("aN"))
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
   test("ZoneFilters one-sided string bounds (ADVICE r13): a " +
     "lower-bound-only pushed filter must not prune a file whose " +
     "stored lo compares above the old sentinel upper bound") {

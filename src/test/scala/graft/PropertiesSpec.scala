@@ -1076,16 +1076,20 @@ class PropertiesSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val d = java.sql.Date.valueOf("2024-01-01")
     // 6 sorted files of 10 rows: k 0..59, s "s000".."s059" (every 7th
-    // null), dt walks 2024-01-01.., value non-stats double
+    // null), dt walks 2024-01-01.., v2 a NaN-infected stats double
+    // (every 11th — Spark orders NaN ABOVE everything, the r14
+    // zone-creation fix), value non-stats double
     def slice(lo: Int) = spark.range(lo, lo + 10).select(
       $"id".as("rid"),
       $"id".as("k"),
       when($"id" % 7 === 3, lit(null).cast("string"))
         .otherwise(format_string("s%03d", $"id")).as("s"),
       date_add(lit(d), ($"id" / 2).cast("int")).as("dt"),
+      when($"id" % 11 === 4, lit(Double.NaN))
+        .otherwise($"id" * 2.0).as("v2"),
       ($"id" * 1.5).as("value"),
       lit(d).as("start_date_oslo")).repartition(1)
-    LogTable.init(slice(0), root, statsCols = Seq("k", "s", "dt"))
+    LogTable.init(slice(0), root, statsCols = Seq("k", "s", "dt", "v2"))
     (1 to 5).foreach(i => LogTable.append(spark, root, slice(i * 10)))
     // deletion vectors in play: both paths must hide the same rows
     LogTable.delete(spark, root, col("rid").isin(14L, 27L, 50L))
@@ -1109,7 +1113,7 @@ class PropertiesSpec extends SparkSpec {
         .map(_.metrics("numFiles").value).sum
     }
     val rnd = new scala.util.Random(421L)
-    def leaf(): org.apache.spark.sql.Column = rnd.nextInt(6) match {
+    def leaf(): org.apache.spark.sql.Column = rnd.nextInt(7) match {
       case 0 =>
         val (c, l) = (col("k"), lit(rnd.nextInt(70).toLong))
         Seq(c > l, c >= l, c < l, c <= l, c === l)(rnd.nextInt(5))
@@ -1127,6 +1131,12 @@ class PropertiesSpec extends SparkSpec {
       case 4 => // non-stats column: never prunes, must stay correct
         col("value") <= lit(rnd.nextInt(100).toDouble)
       case 5 => col("s").isNotNull
+      case 6 => // NaN-infected stats double, sometimes probed AT NaN
+        val l =
+          if (rnd.nextInt(5) == 0) lit(Double.NaN)
+          else lit(rnd.nextInt(140).toDouble)
+        val c = col("v2")
+        Seq(c > l, c >= l, c < l, c <= l, c === l)(rnd.nextInt(5))
     }
     def tree(depth: Int): org.apache.spark.sql.Column =
       if (depth == 0 || rnd.nextInt(3) == 0) leaf()
