@@ -8574,7 +8574,9 @@ object ScaleQueries {
       val agg = s"$base/agg"
       val wm = s"$base/watermark"
       def poll(): Long =
-        graft.streaming.Streams.pollLogTableChanges(s, fact, wm) {
+        graft.streaming.Streams.pollLogTableChanges(s, fact, wm,
+          recoverLast = Some(() =>
+            graft.streaming.Streams.cdcLastFolded(s, agg))) {
           (feed, a, b) =>
             graft.streaming.Streams.foldChangeFeedIntoAggregate(
               s, agg, feed, a, b, "grp", "cents")

@@ -2644,13 +2644,25 @@ object Streams {
     * x217's seed), then the remaining gap as one ordinary window.
     * Returns the new watermark (= vHead, or vLast when nothing new).
     * Per-poll cost is O(files changed in the window) — [[graft
-    * .operators.LogTable.changes]] never lists unchanged files. */
+    * .operators.LogTable.changes]] never lists unchanged files.
+    *
+    * `recoverLast` closes the watermark-LOSS hole the txn dedup alone
+    * cannot: a lost/corrupt watermark file would re-deliver an
+    * OVERLAPPING window (`(1, vHead]` after `(1,3]` and `(3,4]` were
+    * folded) whose fresh txn id the ledger has never seen — a double
+    * fold. A consumer whose fold commits transactionally (the provided
+    * aggregate fold) recovers its true last-consumed version from its
+    * OWN state ([[cdcLastFolded]] reads it off the aggregate table's
+    * txn ledger); the poller takes max(watermark, recovered), so the
+    * watermark file degrades to a cache and the pipeline is
+    * exactly-once even across its loss. */
   def pollLogTableChanges(spark: SparkSession, tableRoot: String,
-      watermarkFile: String)(
+      watermarkFile: String,
+      recoverLast: Option[() => Long] = None)(
       fold: (DataFrame, Long, Long) => Unit): Long = {
     val p = new org.apache.hadoop.fs.Path(watermarkFile)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val vLast =
+    val fromFile =
       if (!fs.exists(p)) 0L
       else {
         val in = fs.open(p)
@@ -2658,6 +2670,7 @@ object Streams {
           .trim.toLong
         finally in.close()
       }
+    val vLast = math.max(fromFile, recoverLast.map(_()).getOrElse(0L))
     val vHead = graft.operators.TableLog.currentVersion(spark, tableRoot)
     if (vHead <= vLast) return vLast
     if (vLast == 0L) {
@@ -2679,6 +2692,27 @@ object Streams {
     if (!fs.rename(tmp, p))
       sys.error(s"pollLogTableChanges: watermark rename to $p failed")
     vHead
+  }
+
+  /** The aggregate consumer's true last-folded fact version, read off
+    * its OWN LogTable's txn ledger (the `cdc:<from>-<to>` ids
+    * [[foldChangeFeedIntoAggregate]] commits under — transactional
+    * with the fold itself, so this survives any watermark-file loss).
+    * 0 when the aggregate doesn't exist yet; 1 right after the
+    * bootstrap init (which carries no txn — the init's existence IS
+    * the (0, 1] marker). */
+  def cdcLastFolded(spark: SparkSession, aggRoot: String): Long = {
+    val v = graft.operators.TableLog.currentVersion(spark, aggRoot)
+    if (v == 0L) 0L
+    else {
+      val folded = graft.operators.LogTable
+        .manifest(spark, aggRoot, v).txns
+        .flatMap { t =>
+          val m = "cdc:\\d+-(\\d+)".r.findFirstMatchIn(t)
+          m.map(_.group(1).toLong)
+        }
+      (folded :+ 1L).max // init = the (0,1] bootstrap
+    }
   }
 
   /** The maintained-aggregate fold for [[pollLogTableChanges]]: a

@@ -2039,9 +2039,10 @@ class DedupMergeSpec extends SparkSpec {
 
   test("LogTable change-feed source (st60, r13 #2): the poller " +
     "delivers each version window once, the maintained aggregate " +
-    "equals a full recompute after append/merge/delete, a crash " +
-    "between fold and watermark write re-delivers the window " +
-    "IDEMPOTENTLY, and an idle poll is a no-op") {
+    "equals a full recompute after append/merge/delete, a stale OR " +
+    "LOST watermark recovers from the aggregate's own txn ledger " +
+    "without double-folding, a re-delivered exact window folds " +
+    "idempotently, and an idle poll is a no-op") {
     import graft.operators.{LogTable, TableLog}
     import graft.streaming.Streams
     val base = java.nio.file.Files.createTempDirectory("graft_st60spec")
@@ -2056,7 +2057,8 @@ class DedupMergeSpec extends SparkSpec {
       .map { case (id, g, c) => (id, g, c, d) }
       .toDF("id", "grp", "cents", "start_date_oslo")
     var folds = 0
-    def poll(): Long = Streams.pollLogTableChanges(spark, fact, wm) {
+    def poll(): Long = Streams.pollLogTableChanges(spark, fact, wm,
+      recoverLast = Some(() => Streams.cdcLastFolded(spark, agg))) {
       (feed, a, b) =>
         folds += 1
         Streams.foldChangeFeedIntoAggregate(spark, agg, feed, a, b,
@@ -2091,10 +2093,24 @@ class DedupMergeSpec extends SparkSpec {
     val wmP = new org.apache.hadoop.fs.Path(wm)
     val out = fs.create(wmP, true)
     out.write("3".getBytes("UTF-8")); out.close()
-    assert(poll() == 4L && folds == 4, "window must be re-delivered")
-    assert(TableLog.currentVersion(spark, agg) == vAgg,
-      "re-delivered window must commit NOTHING")
+    assert(poll() == 4L, "stale watermark must be recovered")
+    assert(folds == 3,
+      "recovery reads the true last-folded version off the aggregate's " +
+        "txn ledger — the window is NOT re-delivered")
+    assert(TableLog.currentVersion(spark, agg) == vAgg)
     assert(aggState() == recompute())
+    // TOTAL watermark loss: without recovery this would deliver the
+    // OVERLAPPING window (1, 4] under a never-seen txn id — a double
+    // fold; cdcLastFolded makes it a no-op
+    fs.delete(wmP, false)
+    assert(poll() == 4L && folds == 3,
+      "a lost watermark must not double-fold overlapping windows")
+    assert(aggState() == recompute())
+    // the raw at-least-once contract still holds for a re-delivered
+    // EXACT window (the fold's own txn dedup)
+    Streams.foldChangeFeedIntoAggregate(spark, agg,
+      LogTable.changes(spark, fact, 3L, 4L), 3L, 4L, "grp", "cents")
+    assert(TableLog.currentVersion(spark, agg) == vAgg)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
   }
 
