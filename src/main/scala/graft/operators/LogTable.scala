@@ -1043,24 +1043,83 @@ object LogTable {
   // Mutations
   // ---------------------------------------------------------------------
 
+  /** Stage `rows` into a hidden unique `.stage_append_*` dir (invisible
+    * to every reader — manifests plan explicit files, listings skip
+    * dotted names) and return (stage path, its partition → files map).
+    * The write happens OUTSIDE any lock; shared by [[init]] and
+    * [[append]]. */
+  private def stageRows(spark: SparkSession,
+                        fs: org.apache.hadoop.fs.FileSystem,
+                        root: org.apache.hadoop.fs.Path, rows: DataFrame,
+                        dateCol: String)
+      : (org.apache.hadoop.fs.Path, Map[String, Seq[FileStat]]) = {
+    val stagePath = new org.apache.hadoop.fs.Path(root,
+      s".stage_append_${java.util.UUID.randomUUID()}")
+    rows.write.mode(SaveMode.Append).partitionBy(dateCol)
+      .parquet(stagePath.toString)
+    val stagedParts: Map[String, Seq[FileStat]] =
+      (if (fs.exists(stagePath)) fs.listStatus(stagePath).toSeq
+       else Seq.empty)
+        .filter(_.isDirectory).map(_.getPath)
+        .map(pd => pd.getName -> TableLog.liveFiles(fs, pd)
+          .map { case (f, len) => FileStat(f, len) })
+        .filter(_._2.nonEmpty).toMap
+    (stagePath, stagedParts)
+  }
+
+  /** Move every staged file into its partition dir under `root` (the
+    * staged part-file names are globally unique, so concurrent stagers
+    * cannot collide) and drop the stage dir. MUST be called under
+    * [[TableLog.withLock]]. */
+  private def promoteStage(fs: org.apache.hadoop.fs.FileSystem,
+                           root: org.apache.hadoop.fs.Path,
+                           stagePath: org.apache.hadoop.fs.Path,
+                           stagedParts: Map[String, Seq[FileStat]],
+                           op: String): Unit = {
+    stagedParts.foreach { case (p, fl) =>
+      val dest = new org.apache.hadoop.fs.Path(root, p)
+      fs.mkdirs(dest)
+      fl.foreach { f =>
+        if (!fs.rename(
+            new org.apache.hadoop.fs.Path(stagePath, s"$p/${f.file}"),
+            new org.apache.hadoop.fs.Path(dest, f.file)))
+          sys.error(s"LogTable.$op: staged file ${f.file} could not " +
+            s"move into $p — name collision?")
+      }
+    }
+    fs.delete(stagePath, true)
+  }
+
   /** Create the table: write `df` date-partitioned and commit delta v1
     * (adds = the full initial live set, removes = none). `statsCols`
     * (optional — numeric, date, timestamp or string) records per-file
     * zone maps of each named column for [[readSkipping]]. Returns the
-    * committed version (1). */
+    * committed version (1).
+    *
+    * The data write STAGES like [[append]]'s (r14): v1's adds are the
+    * staged files, never a directory listing — a crashed-and-retried
+    * init (or pre-existing litter in a partition dir) can no longer be
+    * absorbed into the initial manifest as phantom rows; such orphans
+    * stay unreferenced and [[vacuum]] reclaims them. */
   def init(df: DataFrame, tableRoot: String,
            dateCol: String = "start_date_oslo",
            statsCols: Seq[String] = Seq.empty): Long = {
     val spark = df.sparkSession
-    TableLog.withLock(spark, tableRoot, "init") {
-      require(TableLog.currentVersion(spark, tableRoot) == 0L,
-        s"LogTable.init: $tableRoot already has commits")
-      df.write.mode(SaveMode.Append).partitionBy(dateCol).parquet(tableRoot)
-      val parts = touchedParts(df, dateCol)
-      writeCommit(spark, tableRoot, "init", statsCols,
-        Some(df.schema.toDDL),
-        withStats(spark, tableRoot, statsCols,
-          listParts(spark, tableRoot, parts)), Seq.empty)
+    val (fs, root) = TableLog.fsFor(spark, tableRoot)
+    val (stagePath, stagedParts) = stageRows(spark, fs, root, df, dateCol)
+    try
+      TableLog.withLock(spark, tableRoot, "init") {
+        require(TableLog.currentVersion(spark, tableRoot) == 0L,
+          s"LogTable.init: $tableRoot already has commits")
+        promoteStage(fs, root, stagePath, stagedParts, "init")
+        writeCommit(spark, tableRoot, "init", statsCols,
+          Some(df.schema.toDDL),
+          withStats(spark, tableRoot, statsCols, stagedParts), Seq.empty)
+      }
+    catch {
+      case e: Throwable =>
+        try fs.delete(stagePath, true) catch { case _: Throwable => () }
+        throw e
     }
   }
 
@@ -1148,19 +1207,10 @@ object LogTable {
         manifest(spark, tableRoot, v0).txns.contains(action))
       return v0 // replay fast path: skip the staging write entirely
     val (fs, root) = TableLog.fsFor(spark, tableRoot)
-    val stagePath = new org.apache.hadoop.fs.Path(root,
-      s".stage_append_${java.util.UUID.randomUUID()}")
+    // the heavy part, OUTSIDE the lock
+    val (stagePath, stagedParts) = stageRows(spark, fs, root, rows,
+      dateCol)
     try {
-      // the heavy part, OUTSIDE the lock
-      rows.write.mode(SaveMode.Append).partitionBy(dateCol)
-        .parquet(stagePath.toString)
-      val stagedParts: Map[String, Seq[FileStat]] =
-        (if (fs.exists(stagePath)) fs.listStatus(stagePath).toSeq
-         else Seq.empty)
-          .filter(_.isDirectory).map(_.getPath)
-          .map(pd => pd.getName -> TableLog.liveFiles(fs, pd)
-            .map { case (f, len) => FileStat(f, len) })
-          .filter(_._2.nonEmpty).toMap
       TableLog.withLock(spark, tableRoot, "append") {
         val v = TableLog.currentVersion(spark, tableRoot)
         val prevM =
@@ -1171,18 +1221,7 @@ object LogTable {
         } else {
           val sc = prevM.map(_.statsCols).getOrElse(Seq.empty)
           val ddl = evolvedDdl(prevM, rows, "append")
-          stagedParts.foreach { case (p, fl) =>
-            val dest = new org.apache.hadoop.fs.Path(root, p)
-            fs.mkdirs(dest)
-            fl.foreach { f =>
-              if (!fs.rename(
-                  new org.apache.hadoop.fs.Path(stagePath, s"$p/${f.file}"),
-                  new org.apache.hadoop.fs.Path(dest, f.file)))
-                sys.error(s"LogTable.append: staged file ${f.file} " +
-                  s"could not move into $p — name collision?")
-            }
-          }
-          fs.delete(stagePath, true)
+          promoteStage(fs, root, stagePath, stagedParts, "append")
           writeCommit(spark, tableRoot, action, sc, Some(ddl),
             withStats(spark, tableRoot, sc, stagedParts), Seq.empty)
         }

@@ -2114,6 +2114,37 @@ class DedupMergeSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
   }
 
+  test("LogTable init stages like append (r14): orphan files from a " +
+    "crashed earlier init are NOT absorbed into v1 — the manifest " +
+    "holds exactly the staged rows, and vacuum reclaims the orphans") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_initstg")
+      .toString + "/t"
+    val fsP = new org.apache.hadoop.fs.Path(root)
+    val fs = fsP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    // simulate a crashed first init: data landed, no manifest
+    entries(("ghost1", "x", d, 99.0), ("ghost2", "x", d, 98.0))
+      .write.partitionBy("start_date_oslo").parquet(root)
+    assert(graft.operators.TableLog.currentVersion(spark, root) == 0L)
+    // the retry must seed v1 from ITS OWN staged files only
+    LogTable.init(entries(("a", "x", d, 1.0), ("b", "x", d, 2.0)), root)
+    val got = LogTable.read(spark, root).select("id").as[String]
+      .collect().sorted.toSeq
+    assert(got == Seq("a", "b"),
+      s"crashed-init orphans leaked into the manifest: $got")
+    // the orphan files still exist physically until vacuum reclaims
+    val dir = new org.apache.hadoop.fs.Path(root,
+      "start_date_oslo=2024-01-01")
+    val before = fs.listStatus(dir).length
+    LogTable.vacuum(spark, root, keepLast = 1)
+    val after = fs.listStatus(dir).length
+    assert(after < before, "vacuum must reclaim the unreferenced orphans")
+    assert(LogTable.read(spark, root).select("id").as[String]
+      .collect().sorted.toSeq == Seq("a", "b"))
+    fs.delete(fsP.getParent, true)
+  }
+
   test("LogTable footer-based zone maps (r14): commit-time stats read " +
     "from parquet FOOTERS equal the scanning agg job byte-for-byte — " +
     "longs, NaN-infected doubles, dates, long/null strings — and a " +
