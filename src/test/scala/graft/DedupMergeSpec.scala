@@ -1340,7 +1340,10 @@ class DedupMergeSpec extends SparkSpec {
 
   test("LogTable model-based property: random op sequences " +
     "(append/merge/update/delete/compact/restore) match a driver-side " +
-    "model table at EVERY version, including time travel") {
+    "model table at EVERY version through BOTH read paths (explicit " +
+    "files and the FileIndex), under per-op random stats collection " +
+    "modes (footer/scan/auto, r14), zone-pred-pruned deletes, and " +
+    "time travel") {
     import graft.operators.LogTable
     val d = java.sql.Date.valueOf("2024-01-01")
     // model: id -> value (single partition; ids unique per table state);
@@ -1361,6 +1364,10 @@ class DedupMergeSpec extends SparkSpec {
       history(1L) = model
       var nextId = 13
       (1 to 8).foreach { _ =>
+        // zones must stay consistent when collection modes interleave
+        // WITHIN one table history (footer == scan, spec-pinned above)
+        spark.conf.set("spark.graft.logtable.footerStats",
+          Seq("auto", "true", "false")(rnd.nextInt(3)))
         rnd.nextInt(6) match {
           case 0 => // append fresh ids
             val add = (0 until 1 + rnd.nextInt(3)).map { _ =>
@@ -1383,7 +1390,13 @@ class DedupMergeSpec extends SparkSpec {
             val survivors = model.filterNot { case (_, v) =>
               v >= lo && v <= hi }
             if (survivors.nonEmpty) {
-              LogTable.delete(spark, root, col("value").between(lo, hi))
+              // sometimes intersect an explicit (superset) zone pred
+              // on top of the auto-translated cond (r14 DML pruning)
+              val preds =
+                if (rnd.nextBoolean()) Seq.empty[LogTable.ZonePred]
+                else Seq(LogTable.NumRange("value", lo, hi))
+              LogTable.delete(spark, root,
+                col("value").between(lo, hi), zonePreds = preds)
               model = survivors
             }
           case 3 => // DV update: shift a value band
@@ -1406,14 +1419,25 @@ class DedupMergeSpec extends SparkSpec {
         val got = LogTable.read(spark, root)
           .select("id", "value").as[(String, Double)].collect().toMap
         assert(got == model, s"seed=$seed v=$v: $got != $model")
+        // the FileIndex path (manifest-planned scan + DV anti-join)
+        // must agree with the explicit-file path at every state
+        val gotIdx = LogTable.readIndexed(spark, root)
+          .select("id", "value").as[(String, Double)].collect().toMap
+        assert(gotIdx == model, s"seed=$seed v=$v readIndexed: $gotIdx")
       }
-      // time travel: every recorded version still reads its own state
+      // time travel: every recorded version still reads its own state,
+      // through both paths
       val probe = rnd.shuffle(history.keys.toSeq).take(3)
       probe.foreach { v =>
         val got = LogTable.read(spark, root, Some(v))
           .select("id", "value").as[(String, Double)].collect().toMap
         assert(got == history(v), s"seed=$seed time travel v=$v")
+        val gotIdx = LogTable.readIndexed(spark, root, Some(v))
+          .select("id", "value").as[(String, Double)].collect().toMap
+        assert(gotIdx == history(v),
+          s"seed=$seed indexed time travel v=$v")
       }
+      spark.conf.unset("spark.graft.logtable.footerStats")
       fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
     } finally spark.conf.unset("spark.graft.logtable.checkpointInterval")
   }
