@@ -20,8 +20,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(NfcNormalize.registration)
     // SQL surface for LogTable snapshots: SELECT ... FROM
     // logtable('/path'[, version | 'timestamp']) — time travel +
-    // zone-map file pruning through plain SQL (r13 directive #8)
+    // zone-map file pruning through plain SQL (r13 directive #8) —
+    // and the change feed: logtable_changes('/path', from, to)
     ext.injectTableFunction(graft.sources.LogTableTvf.registration)
+    ext.injectTableFunction(
+      graft.sources.LogTableTvf.changesRegistration)
     ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.GlobalRankRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.RunningSumStrategy)

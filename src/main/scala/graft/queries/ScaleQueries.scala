@@ -8750,6 +8750,56 @@ object ScaleQueries {
              |FROM b WHERE e % 3 = 1
              |ORDER BY _change_type, id""".stripMargin)),
 
+    // LogTable change feed through SQL (x220, new r14 — the SQL
+    // surface's CDC half): the SAME feed as x201, produced by
+    // `SELECT ... FROM logtable_changes('$dir', 1, 3)` through the
+    // injected table function — an analyst asks "what changed between
+    // these versions" in one SQL line, O(changed files) never
+    // O(table). Same template, same DuckDB oracle: the SQL hop must
+    // be value-exact against the Column-API feed.
+    QuerySpec("x220_logtable_sql_cdf", (s, d) => {
+      val ev = t(s, d, "events")
+        .select(col("event_id"),
+          col("event_id").cast("string").as("id"),
+          graft.functions.Coercers.osloDate(col("ts")).as("start_date_oslo"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val fact = ev.filter(col("event_id") % 3 === 0).drop("event_id")
+      val base = logTableTemplate(s, d, "x201") { dir =>
+        graft.operators.LogTable.init(fact, dir)
+        graft.operators.LogTable.replacePartitions(s, dir,
+          fact.filter(col("start_date_oslo") <=
+              lit(java.sql.Date.valueOf("2024-01-08")))
+            .withColumn("cents", col("cents") * 2 + 1))
+        graft.operators.LogTable.append(s, dir,
+          ev.filter(col("event_id") % 3 === 1)
+            .select(concat(lit("n"), col("id")).as("id"),
+              col("start_date_oslo"), col("cents")))
+      }
+      s.sql(
+        s"""SELECT id, CAST(start_date_oslo AS STRING) start_date_oslo,
+           |  cents, _change_type, n_rows
+           |FROM logtable_changes('$base', 1, 3)
+           |ORDER BY _change_type, id""".stripMargin)
+    },
+      Some("""WITH b AS (SELECT event_id e,
+             |    CAST(event_id AS VARCHAR) id,
+             |    CAST(timezone('Europe/Oslo', timezone('UTC', ts))
+             |      AS DATE) dt,
+             |    CAST(round(value*100, 0) AS BIGINT) c
+             |  FROM events)
+             |SELECT id, CAST(dt AS VARCHAR) start_date_oslo, c cents,
+             |  'delete' _change_type, CAST(1 AS BIGINT) n_rows
+             |FROM b WHERE e % 3 = 0 AND dt <= DATE '2024-01-08'
+             |UNION ALL
+             |SELECT id, CAST(dt AS VARCHAR), 2*c + 1, 'insert',
+             |  CAST(1 AS BIGINT)
+             |FROM b WHERE e % 3 = 0 AND dt <= DATE '2024-01-08'
+             |UNION ALL
+             |SELECT 'n' || id, CAST(dt AS VARCHAR), c, 'insert',
+             |  CAST(1 AS BIGINT)
+             |FROM b WHERE e % 3 = 1
+             |ORDER BY _change_type, id""".stripMargin)),
+
     // Wilcoxon signed-rank (x202): the PAIRED shift test on the SAME
     // documents — char length vs 25× whitespace-token count ("do
     // documents run longer than 25 chars per token") — judged on the

@@ -63,6 +63,14 @@ object LogTableTvf {
     case _ => fail("AS OF argument must be a literal")
   }
 
+  private def pathArg(args: Seq[Expression], fn: String): String =
+    args.head match {
+      case l: Literal if l.value != null && l.dataType == StringType =>
+        l.value.toString
+      case _ => throw new IllegalArgumentException(
+        s"$fn(): the table path must be a string literal")
+    }
+
   val registration: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("logtable"),
@@ -72,13 +80,34 @@ object LogTableTvf {
         fail(s"expects (path [, version | timestamp]), got ${args.size} " +
           "arguments")
       val spark = SparkSession.active
-      val path = args.head match {
-        case l: Literal if l.value != null && l.dataType == StringType =>
-          l.value.toString
-        case _ => fail("the table path must be a string literal")
-      }
+      val path = pathArg(args, "logtable")
       val asOf = args.lift(1).map(asVersion(spark, path, _))
       org.apache.spark.sql.graftshim.PlanShim.logical(
         LogTable.readIndexed(spark, path, asOf))
+    })
+
+  /** The change-data feed as a SQL table function —
+    * `SELECT * FROM logtable_changes('/path', 1, 3)` returns
+    * [[LogTable.changes]]' net multiset diff (the table's columns +
+    * `_change_type` + `n_rows`): O(files changed between the
+    * versions), never O(table). Version arguments accept integral
+    * literals or timestamp strings (each resolved through
+    * [[LogTable.versionAsOf]]), so
+    * `logtable_changes('/p', '2024-06-01', '2024-06-02')` is "what
+    * changed that day" in one SQL line. */
+  val changesRegistration: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("logtable_changes"),
+    new ExpressionInfo(LogTableTvf.getClass.getName, "logtable_changes"),
+    (args: Seq[Expression]) => {
+      if (args.size != 3)
+        fail(s"logtable_changes expects (path, fromVersion, toVersion), " +
+          s"got ${args.size} arguments")
+      val spark = SparkSession.active
+      val path = pathArg(args, "logtable_changes")
+      val fromV = asVersion(spark, path, args(1))
+      val toV = asVersion(spark, path, args(2))
+      org.apache.spark.sql.graftshim.PlanShim.logical(
+        LogTable.changes(spark, path, fromV, toV))
     })
 }

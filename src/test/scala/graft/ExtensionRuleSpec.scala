@@ -477,4 +477,58 @@ class ExtensionRuleSpec extends SparkSpec {
     assert(empty.count() == 0L)
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
+
+  test("logtable()/logtable_changes() SQL table functions (r13 #8): " +
+    "VERSION and TIMESTAMP AS OF resolve through pure SQL, the feed " +
+    "equals the Column-API changes, and malformed calls fail loudly") {
+    import graft.operators.LogTable
+    val root = java.nio.file.Files.createTempDirectory("graft_tvf")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    def batch(lo: Int, hi: Int) = spark.range(lo, hi + 1).select(
+      $"id".as("k"), ($"id" * 2).as("v"),
+      lit(d).as("start_date_oslo")).repartition(1)
+    LogTable.init(batch(1, 5), root, statsCols = Seq("k"))
+    Thread.sleep(5)
+    val tMid = new java.sql.Timestamp(System.currentTimeMillis())
+    Thread.sleep(5)
+    LogTable.append(spark, root, batch(6, 10))
+    LogTable.delete(spark, root, col("k") === 7L)
+    // latest, VERSION AS OF, TIMESTAMP AS OF — all pure SQL
+    assert(spark.sql(s"SELECT count(*) FROM logtable('$root')")
+      .collect().head.getLong(0) == 9L)
+    assert(spark.sql(s"SELECT count(*) FROM logtable('$root', 1)")
+      .collect().head.getLong(0) == 5L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM logtable('$root', '$tMid')")
+      .collect().head.getLong(0) == 5L)
+    // WHERE on the TVF pushes into the FileIndex like readIndexed
+    assert(spark.sql(
+      s"SELECT sum(v) FROM logtable('$root') WHERE k BETWEEN 2 AND 4")
+      .collect().head.getLong(0) == 18L)
+    // the SQL feed equals the Column-API feed
+    val sqlFeed = spark.sql(
+      s"""SELECT k, _change_type, n_rows FROM logtable_changes('$root', 2, 3)
+         |ORDER BY k""".stripMargin).collect().toSeq
+    val apiFeed = LogTable.changes(spark, root, 2L, 3L)
+      .select("k", "_change_type", "n_rows").orderBy("k")
+      .collect().toSeq
+    assert(sqlFeed == apiFeed)
+    assert(sqlFeed.map(r => (r.getLong(0), r.getString(1))) ==
+      Seq((7L, "delete")))
+    // loud failures: wrong arity, non-literal path, bad timestamp
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM logtable('$root', 1, 2, 3)").collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM logtable('$root', 'not-a-time')")
+        .collect()
+    }
+    intercept[Exception] {
+      spark.sql(s"SELECT * FROM logtable_changes('$root', 1)").collect()
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
 }
