@@ -1263,7 +1263,12 @@ object LogTable {
             "not a numeric range")
           val (zlo, zhi) = (z.lo.toDouble, z.hi.toDouble)
           if (zlo.isNaN || zhi.isNaN) true
-          else zhi >= lo && zlo <= hi
+          // a NaN PROBE bound means "unbounded on that side": Spark
+          // orders NaN above all values, so v <= NaN holds for every
+          // finite v — a NaN endpoint must never veto a zone
+          // (ADVICE r14; extraction also drops NaN, this guards
+          // caller-built probes)
+          else (hi.isNaN || zlo <= hi) && (lo.isNaN || zhi >= lo)
         case StrRange(c, lo, hi) =>
           require(!z.num, s"LogTable: zone map for $c is numeric — " +
             "probe it with NumRange / readSkipping, not a string range")

@@ -123,7 +123,15 @@ private[graft] object ZoneFilters {
 
   /** Render a literal as the zone-domain value: numeric → double,
     * DATE → ISO string (lexical = temporal), STRING → raw. None =
-    * untranslatable (null, or an unsupported type). */
+    * untranslatable (null, an unsupported type, or a NaN — Spark
+    * orders NaN ABOVE every value, so `x <= NaN` is true for all
+    * finite x and a NaN rendered as a range endpoint would make
+    * every zone test false, pruning files whose rows all match
+    * (ADVICE r14). A NaN bound is simply unbounded here; the
+    * superset contract keeps the row filter exact). The same
+    * rejection makes an IN list containing NaN drop its whole
+    * envelope (the forall-defined guard below), rather than letting
+    * Seq.max pick NaN as hi. */
   private def zoneValue(l: Literal): Option[Either[Double, String]] =
     if (l.value == null) None
     else l.dataType match {
@@ -136,6 +144,7 @@ private[graft] object ZoneFilters {
           .toDouble))
       case _: NumericType =>
         Some(Left(l.value.asInstanceOf[Number].doubleValue()))
+          .filterNot(_.left.exists(_.isNaN))
       case _ => None
     }
 

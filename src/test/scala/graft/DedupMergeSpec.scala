@@ -2275,6 +2275,16 @@ class DedupMergeSpec extends SparkSpec {
     assert(LogTable.readIndexed(spark, root)
       .filter(col("v") === Double.NaN).select("id").as[String]
       .collect().toSet == Set("aN"))
+    // the converse bug (ADVICE r14): a NaN LITERAL as a pushed bound
+    // must not prune CLEAN files — 'v <= NaN' is true for every
+    // finite v, so all 7 rows must come back through the FileIndex
+    assert(LogTable.readIndexed(spark, root)
+      .filter(col("v") <= Double.NaN).count() == 7L,
+      "'v <= NaN' must plan every file")
+    assert(LogTable.readIndexed(spark, root)
+      .filter(col("v").isin(10.0, Double.NaN)).select("id").as[String]
+      .collect().toSet == Set("b1", "aN"),
+      "IN with a NaN member must not poison the envelope")
     // the DML probe inherits the fix: a delete above the clean range
     // must still kill the NaN row
     assert(LogTable.dmlCandidateFiles(spark, m,
@@ -2309,5 +2319,45 @@ class DedupMergeSpec extends SparkSpec {
       Seq(org.apache.spark.sql.catalyst.expressions.LessThanOrEqual(
         attr, Literal("m"))), Set("s"))
     assert(!both.forall(graft.operators.LogTable.zoneAdmits(f, _)))
+  }
+
+  test("ZoneFilters NaN literal (ADVICE r14): a NaN comparison bound " +
+    "or IN member must never prune — Spark orders NaN above every " +
+    "value, so 'v <= NaN' matches all finite rows") {
+    import graft.operators.LogTable.{FileStat, NumRange, Zone}
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+      GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+    import org.apache.spark.sql.types.DoubleType
+    val attr = AttributeReference("v", DoubleType)()
+    val nan = Literal(Double.NaN, DoubleType)
+    // every comparison shape against a NaN literal extracts NOTHING
+    for (e <- Seq(LessThanOrEqual(attr, nan), LessThan(attr, nan),
+                  GreaterThanOrEqual(attr, nan),
+                  org.apache.spark.sql.catalyst.expressions
+                    .EqualTo(attr, nan))) {
+      val ps = graft.sources.ZoneFilters.extract(Seq(e), Set("v"))
+      assert(ps.isEmpty, s"NaN bound must be dropped, got $ps for $e")
+    }
+    // an IN list containing NaN drops the whole envelope (Seq.max
+    // would otherwise pick NaN as hi and veto every zone)
+    val inPs = graft.sources.ZoneFilters.extract(
+      Seq(In(attr, Seq(Literal(5.0, DoubleType), nan))), Set("v"))
+    assert(inPs.isEmpty, s"IN with NaN must extract nothing: $inPs")
+    // finite IN still extracts its envelope — the fix is surgical
+    val finPs = graft.sources.ZoneFilters.extract(
+      Seq(In(attr, Seq(Literal(5.0, DoubleType),
+        Literal(7.0, DoubleType)))), Set("v"))
+    assert(finPs == Seq(NumRange("v", 5.0, 7.0)), finPs.toString)
+    // belt-and-braces: a caller-built probe with a NaN endpoint is
+    // unbounded on that side, never a veto
+    val fClean = FileStat("f1", 1L, 1L,
+      Map("v" -> Zone("1.0", "9.0", num = true)))
+    assert(graft.operators.LogTable.zoneAdmits(fClean,
+      NumRange("v", Double.NegativeInfinity, Double.NaN)))
+    assert(graft.operators.LogTable.zoneAdmits(fClean,
+      NumRange("v", Double.NaN, Double.PositiveInfinity)))
+    // ...while a finite probe outside the zone still prunes
+    assert(!graft.operators.LogTable.zoneAdmits(fClean,
+      NumRange("v", 100.0, 200.0)))
   }
 }
