@@ -45,30 +45,54 @@ import graft.operators.LogTable.{FileStat, Manifest, NumRange, ZonePred}
   */
 final class LogTableFileIndex(
     spark: SparkSession,
-    tableRoot: String,
-    m: Manifest,
-    dateCol: String,
-    override val partitionSchema: StructType) extends FileIndex {
+    val tableRoot: String,
+    val manifest: Manifest,
+    override val partitionSchema: StructType,
+    val dvPending: Boolean = false) extends FileIndex {
+
+  private def m: Manifest = manifest
+
+  /** The snapshot's deletion-vector ids (what [[dvPending]] defers to
+    * [[LogTableDvRule]]) and its partition-path depth. */
+  def dvIds: Seq[String] =
+    m.parts.values.flatten.flatMap(_.dv).toSeq.distinct
+  def levels: Int = math.max(1, partitionSchema.length)
+
+  /** This index with the DV debt discharged (the rule wraps the scan
+    * in the anti-join and plans THIS index underneath). */
+  def dvApplied: LogTableFileIndex =
+    new LogTableFileIndex(spark, tableRoot, m, partitionSchema,
+      dvPending = false)
 
   private val rootPath = new Path(tableRoot)
-  private val partType = partitionSchema.fields.head.dataType
 
-  /** Parsed (partition dir, partition-value row, live files). */
+  /** Parsed (partition dir, partition-value row, live files) — one
+    * value per partition level (`k1=v1/k2=v2` dirs carry both), with
+    * string values path-unescaped exactly as Spark's writer escaped
+    * them. */
   private val dirs: Seq[(String, InternalRow, Seq[FileStat])] =
     m.parts.toSeq.sortBy(_._1).map { case (p, fl) =>
-      val raw = p.substring(p.indexOf('=') + 1)
-      val v: Any =
-        if (raw == "__HIVE_DEFAULT_PARTITION__") null
-        else partType match {
-          case DateType =>
-            java.time.LocalDate.parse(raw).toEpochDay.toInt
-          case StringType => UTF8String.fromString(raw)
-          case IntegerType => raw.toInt
-          case LongType => raw.toLong
-          case other => sys.error("LogTableFileIndex: unsupported " +
-            s"partition column type ${other.simpleString}")
-        }
-      (p, InternalRow(v), fl)
+      val segs = p.split('/')
+      require(segs.length == partitionSchema.length,
+        s"LogTableFileIndex: partition dir '$p' has ${segs.length} " +
+          s"levels, schema declares ${partitionSchema.length}")
+      val vals: Array[Any] = segs.zip(partitionSchema.fields).map {
+        case (seg, f) =>
+          val raw = org.apache.spark.sql.catalyst.catalog
+            .ExternalCatalogUtils
+            .unescapePathName(seg.substring(seg.indexOf('=') + 1))
+          if (raw == "__HIVE_DEFAULT_PARTITION__") null
+          else f.dataType match {
+            case DateType =>
+              java.time.LocalDate.parse(raw).toEpochDay.toInt
+            case StringType => UTF8String.fromString(raw)
+            case IntegerType => raw.toInt
+            case LongType => raw.toLong
+            case other => sys.error("LogTableFileIndex: unsupported " +
+              s"partition column type ${other.simpleString}")
+          }
+      }
+      (p, InternalRow(vals: _*), fl)
     }
 
   override def rootPaths: Seq[Path] = Seq(rootPath)
@@ -305,10 +329,18 @@ object LogTableScan {
       p -> fl.filter(f => preds.forall(LogTable.zoneAdmits(f, _)))
     }.filter(_._2.nonEmpty)
 
-  def apply(spark: SparkSession, tableRoot: String,
-            asOf: Option[Long] = None,
-            scanPreds: Seq[ZonePred] = Seq.empty,
-            dateColOverride: Option[String] = None): DataFrame = {
+  /** The snapshot's (recorded schema, manifest relation) — the
+    * relation half is None for an empty version (or when every zone
+    * missed `scanPreds`). Shared by [[apply]] (readIndexed) and the
+    * `logtable` DataSource provider ([[LogTableSource]]): both plan
+    * the SAME FileIndex; `dvPending = true` defers the
+    * deletion-vector anti-join to [[graft.plans.LogTableDvRule]] (the
+    * provider path — a BaseRelation cannot carry the join itself). */
+  private[graft] def relationFor(spark: SparkSession, tableRoot: String,
+      asOf: Option[Long], scanPreds: Seq[ZonePred],
+      dateColOverride: Option[String], dvPending: Boolean)
+      : (StructType,
+         Option[(HadoopFsRelation, Manifest, Seq[String])]) = {
     val v = asOf.getOrElse(
       graft.operators.TableLog.currentVersion(spark, tableRoot))
     require(v > 0L,
@@ -324,46 +356,54 @@ object LogTableScan {
     }
     val pruned = admittedParts(m0, scanPreds)
     val m = m0.copy(parts = pruned)
-    if (m.parts.isEmpty) // empty version (or every zone missed):
-      // the schema'd empty frame, like read(...).limit(0) would give
-      return spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        schema)
-    // single-column `col=value` partition layout is the LogTable
-    // contract — validate it instead of silently misplanning, and
-    // honor an explicit override only when it matches
-    m.parts.keys.foreach { p =>
-      require(!p.contains('/') && p.indexOf('=') > 0,
-        s"LogTable.readIndexed: partition dir '$p' is not a " +
-          "single-column col=value layout — multi-level partitioning " +
-          "is not supported by the FileIndex path")
-    }
-    val prefixes = m.parts.keys
-      .map(p => p.substring(0, p.indexOf('='))).toSet
-    require(prefixes.size == 1,
-      s"LogTable.readIndexed: mixed partition columns " +
-        s"[${prefixes.toSeq.sorted.mkString(",")}] in one table — " +
-        "corrupt layout")
-    val dateCol = prefixes.head
-    dateColOverride.foreach(d => require(d == dateCol,
+    if (m.parts.isEmpty) return (schema, None)
+    // a uniform `k1=v1[/k2=v2...]` layout is the LogTable contract —
+    // the manifest's own dir keys declare the partition columns
+    // (validated uniform by partColsOfManifest); honor an explicit
+    // override only when it matches (comma-joined for multi-level)
+    val partCols = LogTable.partColsOfManifest(m)
+    require(partCols.nonEmpty,
+      s"LogTable.readIndexed: no partition columns in the layout — " +
+        "corrupt manifest")
+    dateColOverride.foreach(d => require(
+      d.split(',').map(_.trim).toSeq == partCols,
       s"LogTable.readIndexed: dateCol '$d' does not match the " +
-        s"manifest's partition column '$dateCol'"))
-    require(schema.fieldNames.contains(dateCol),
-      s"LogTable.readIndexed: partition column '$dateCol' missing " +
-        "from the recorded schema — corrupt manifest")
-    val partSchema = StructType(Seq(schema(dateCol)))
-    val dataSchema = StructType(schema.filterNot(_.name == dateCol))
-    val index = new LogTableFileIndex(spark, tableRoot, m, dateCol,
-      partSchema)
+        s"manifest's partition columns '${partCols.mkString(",")}'"))
+    partCols.foreach(c => require(schema.fieldNames.contains(c),
+      s"LogTable.readIndexed: partition column '$c' missing " +
+        "from the recorded schema — corrupt manifest"))
+    val partSchema = StructType(partCols.map(schema(_)))
+    val dataSchema = StructType(
+      schema.filterNot(f => partCols.contains(f.name)))
+    val index = new LogTableFileIndex(spark, tableRoot, m, partSchema,
+      dvPending = dvPending)
     val rel = HadoopFsRelation(index, partSchema, dataSchema, None,
       new ParquetFileFormat, Map("basePath" -> tableRoot))(spark)
-    val base = org.apache.spark.sql.graftshim.PlanShim
-      .ofRows(spark, LogicalRelation(rel))
-    // merge-on-read deletion vectors apply here too — the FileIndex
-    // plans files, the anti-join kills dead positions
-    // (LogTable.applyDv); only the ADMITTED files' vectors are read
-    val dvIds = m.parts.values.flatten.flatMap(_.dv).toSeq.distinct
-    LogTable.applyDv(spark, tableRoot, dvIds, base)
-      .select(schema.map(f => col(f.name)): _*)
+    (schema, Some((rel, m, partCols)))
+  }
+
+  def apply(spark: SparkSession, tableRoot: String,
+            asOf: Option[Long] = None,
+            scanPreds: Seq[ZonePred] = Seq.empty,
+            dateColOverride: Option[String] = None): DataFrame = {
+    val (schema, relOpt) = relationFor(spark, tableRoot, asOf,
+      scanPreds, dateColOverride, dvPending = false)
+    relOpt match {
+      case None => // empty version (or every zone missed): the
+        // schema'd empty frame, like read(...).limit(0) would give
+        spark.createDataFrame(
+          java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+          schema)
+      case Some((rel, m, partCols)) =>
+        val base = org.apache.spark.sql.graftshim.PlanShim
+          .ofRows(spark, LogicalRelation(rel))
+        // merge-on-read deletion vectors apply here too — the
+        // FileIndex plans files, the anti-join kills dead positions
+        // (LogTable.applyDv); only the ADMITTED files' vectors are read
+        val dvIds = m.parts.values.flatten.flatMap(_.dv).toSeq.distinct
+        LogTable.applyDv(spark, tableRoot, dvIds, base,
+          levels = partCols.size)
+          .select(schema.map(f => col(f.name)): _*)
+    }
   }
 }

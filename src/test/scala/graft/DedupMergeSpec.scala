@@ -262,7 +262,7 @@ class DedupMergeSpec extends SparkSpec {
       .forall(_.toString.contains("fact_idx"))), "probe must scan the index only")
     val partsRead = scans.map(_.metrics("numPartitions").value).sum
     val totalBuckets = new java.io.File(idx).listFiles()
-      .count(_.getName.startsWith("__bucket="))
+      .count(_.getName.startsWith("gbucket="))
     assert(partsRead == 1 && totalBuckets > 1,
       s"expected 1 pruned bucket of $totalBuckets, read $partsRead")
   }
@@ -302,7 +302,7 @@ class DedupMergeSpec extends SparkSpec {
       (id, "y", java.sql.Date.valueOf("2024-02-26"), 3.0)): _*))
     def bucketFiles(): Map[String, Set[String]] =
       new java.io.File(idx).listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
+        .filter(f => f.isDirectory && f.getName.startsWith("gbucket="))
         .map(d => d.getName -> d.listFiles()
           .filter(_.getName.endsWith(".parquet"))
           .map(f => s"${f.getName}:${f.length}:${f.lastModified}").toSet)
@@ -322,7 +322,7 @@ class DedupMergeSpec extends SparkSpec {
       .select($"id", pmod(xxhash64($"id"), lit(32L)).cast("int").as("b"))
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     val touched = ((0 until 19).map(i => bucketOf(s"w$i")) :+ bucketOf("w19"))
-      .toSet.map((b: Int) => s"__bucket=$b")
+      .toSet.map((b: Int) => s"gbucket=$b")
     val untouched = before.keySet -- touched
     assert(untouched.nonEmpty, "fixture must leave some bucket untouched")
     for (b <- untouched)
@@ -2135,6 +2135,89 @@ class DedupMergeSpec extends SparkSpec {
     Streams.foldChangeFeedIntoAggregate(spark, agg,
       LogTable.changes(spark, fact, 3L, 4L), 3L, 4L, "grp", "cents")
     assert(TableLog.currentVersion(spark, agg) == vAgg)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+  }
+
+  test("foldChangeFeedIntoAggregate scale shape (r14 weak flag): the " +
+    "aggregate is hash-bucketed with grp zone maps, a narrow fold's " +
+    "merge probe plans STRICTLY fewer files than the aggregate " +
+    "holds, only the touched bucket's files rewrite, and the " +
+    "compaction cadence bounds per-bucket file growth") {
+    import graft.operators.{LogTable, TableLog}
+    import graft.streaming.Streams
+    val base = java.nio.file.Files.createTempDirectory("graft_st60sc")
+      .toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    val fact = s"$base/fact"
+    val agg = s"$base/agg"
+    def rows(r: (String, String, Long)*) = r.toSeq
+      .map { case (id, g, c) => (id, g, c, d) }
+      .toDF("id", "grp", "cents", "start_date_oslo")
+    def fold(fromV: Long, toV: Long, compactEvery: Int = 0): Unit =
+      Streams.foldChangeFeedIntoAggregate(spark, agg,
+        if (fromV == 0L)
+          LogTable.read(spark, fact, Some(1L))
+            .withColumn("_change_type", lit("insert"))
+            .withColumn("n_rows", lit(1L))
+        else LogTable.changes(spark, fact, fromV, toV),
+        fromV, toV, "grp", "cents", buckets = 8,
+        compactEvery = compactEvery)
+    val seed = (0 until 32).map(i => (s"e$i", f"g$i%02d", i.toLong * 10))
+    LogTable.init(rows(seed: _*).repartition(4), fact)          // v1
+    fold(0L, 1L)
+    def aggM() = LogTable.manifest(spark, agg,
+      TableLog.currentVersion(spark, agg))
+    val m1 = aggM()
+    assert(m1.statsCols == Seq("grp"), m1.statsCols.toString)
+    assert(m1.parts.keys.forall(_.startsWith("gbucket=")),
+      m1.parts.keys.toString)
+    assert(m1.parts.size > 1, "32 groups must spread across buckets")
+    // a narrow fold: one group touched
+    LogTable.append(spark, fact, rows(("x1", "g05", 1000L)))    // v2
+    val prev = aggM()
+    fold(1L, 2L)
+    val cur = aggM()
+    // probe contract, asserted on the very shape the fold merges: the
+    // scoped probe plans only g05's bucket — strictly fewer files
+    // than the table holds
+    val upd = Seq(("g05", 2L, 1050L)).toDF("grp", "n_rows", "sum_val")
+      .withColumn("gbucket", pmod(hash(col("grp")), lit(8)))
+    val probed = LogTable.mergeProbeTails(spark, agg, prev, upd,
+      Seq("grp"), Seq("gbucket"), keyScopedPartitions = true)
+    val total = prev.parts.values.map(_.size).sum
+    assert(probed.nonEmpty && probed.size < total,
+      s"probe must be scoped: $probed of $total")
+    val touchedBucket =
+      s"gbucket=${upd.select("gbucket").head.getInt(0)}"
+    assert(probed.forall(_.startsWith(s"$touchedBucket/")), probed)
+    // only the touched bucket's files changed in the fold's commit
+    def tails(m: graft.operators.LogTable.Manifest) =
+      m.parts.toSeq.flatMap { case (p, fl) =>
+        fl.map(f => s"$p/${f.file}") }.toSet
+    val moved = (tails(prev) -- tails(cur)) ++ (tails(cur) -- tails(prev))
+    assert(moved.nonEmpty &&
+      moved.forall(_.startsWith(s"$touchedBucket/")),
+      s"fold rewrote outside its bucket: $moved")
+    // six more single-group folds with compactEvery=2: the bucket's
+    // file count stays bounded instead of one-file-per-fold
+    (2 until 8).foreach { i =>
+      LogTable.append(spark, fact, rows((s"y$i", "g05", 10L))) // v(i+1)
+      fold(i.toLong, i + 1L, compactEvery = 2)
+    }
+    val mEnd = aggM()
+    val bucketFiles = mEnd.parts(touchedBucket).size
+    assert(bucketFiles <= 3,
+      s"compaction cadence failed: $bucketFiles files in the hot bucket")
+    // and the maintained state still equals a full recompute
+    val got = LogTable.read(spark, agg).filter(col("n_rows") > 0L)
+      .select("grp", "n_rows", "sum_val").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = LogTable.read(spark, fact).groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, s"fold drifted: $got vs $want")
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
   }
 
