@@ -25,6 +25,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(graft.sources.LogTableTvf.registration)
     ext.injectTableFunction(
       graft.sources.LogTableTvf.changesRegistration)
+    // catalog surface for the logtable DataSource (r14 directive #1):
+    // DV'd snapshots read by name need the anti-join rewrite, and
+    // INSERT INTO/OVERWRITE must route through the manifest commit
+    ext.injectResolutionRule(_ => graft.plans.LogTableDvRule)
+    ext.injectResolutionRule(_ => graft.plans.LogTableInsertRule)
     ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.GlobalRankRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.RunningSumStrategy)

@@ -272,6 +272,14 @@ object LogTable {
     if (!fs.rename(tmpP, finalP))
       sys.error(s"LogTable: commit $finalP already exists — concurrent " +
         "unserialized writer detected")
+    // a catalog table over this root caches its resolved relation
+    // (SessionCatalog.tableRelationCache) pinned to the PREVIOUS
+    // manifest — snapshot-consistent but stale forever; every commit
+    // therefore drops the cache so the next by-name read re-resolves
+    // (re-resolution is cheap: manifests are memoized). Blunt on
+    // purpose: the cache is not keyed by path, and a wrongly-kept
+    // entry would serve deleted rows after a DV commit.
+    spark.sessionState.catalog.invalidateAllCachedTables()
     val interval = checkpointInterval(spark)
     if (interval > 0 && v % interval == 0)
       writeCheckpoint(spark, tableRoot, v)

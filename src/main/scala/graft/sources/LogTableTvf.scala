@@ -45,12 +45,14 @@ object LogTableTvf {
       case ByteType | ShortType | IntegerType | LongType =>
         l.value.asInstanceOf[Number].longValue()
       case StringType =>
+        // parsed through the SESSION timezone (ADVICE r14: the old
+        // java.sql.Timestamp.valueOf used the JVM default zone, so the
+        // same literal could resolve to a different version under
+        // spark.sql.session.timeZone)
         val s = l.value.toString
         val ts =
-          try {
-            if (s.length == 10) java.sql.Date.valueOf(s).getTime
-            else java.sql.Timestamp.valueOf(s).getTime
-          } catch {
+          try LogTableSource.parseSessionTs(spark, s)
+          catch {
             case _: IllegalArgumentException => fail(
               s"'$s' is neither an integral version nor a " +
                 "'yyyy-MM-dd[ HH:mm:ss]' timestamp")
