@@ -8628,6 +8628,75 @@ object ScaleQueries {
              |  CAST(0 AS BIGINT) n_replay_commits
              |FROM t1 GROUP BY grp ORDER BY grp""".stripMargin)),
 
+    // STREAMING SOURCE over LogTable via Spark's OWN offset log
+    // (st61, new r15 — r14 directive #3): the same fold as st60, but
+    // the change feed arrives through readStream.format("logtable")
+    // with versions as offsets — no hand-rolled watermark file; the
+    // checkpoint's offset log carries delivery state, and a restart
+    // with nothing new commits NOTHING (n_replay_commits = 0). Runs
+    // the same append/merge/delete history as st60 and must equal
+    // DuckDB's recompute of the final table.
+    QuerySpec("st61_stream_cdc_source", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_id"),
+          col("event_id").cast("string").as("id"),
+          col("event_type").as("grp"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          lit("2024-01-01").cast("date").as("start_date_oslo"))
+      val base = java.nio.file.Files.createTempDirectory("graft_st61")
+        .toString
+      val fact = s"$base/fact"
+      val agg = s"$base/agg"
+      val ckpt = s"$base/ckpt"
+      def run(): Unit = graft.streaming.Streams
+        .runLogTableCdcFoldAvailableNow(s, fact, agg, ckpt, "grp",
+          "cents")
+      graft.operators.LogTable.init(
+        ev.filter(col("event_id") % 3 === 0).drop("event_id")
+          .repartition(2), fact)                                // v1
+      run() // batch 0: bootstrap (0, 1]
+      graft.operators.LogTable.append(s, fact,
+        ev.filter(col("event_id") % 3 === 1).drop("event_id")
+          .repartition(2))                                      // v2
+      graft.operators.LogTable.merge(s, fact,
+        ev.filter(col("event_id") % 30 === 0)
+          .withColumn("cents", col("cents") * 3 + 7)
+          .drop("event_id"), Seq("id"))                         // v3
+      run() // batch 1: (1, 3]
+      graft.operators.LogTable.delete(s, fact,
+        col("cents") % 5 === 0)                                 // v4
+      run() // batch 2: (3, 4]
+      // a restart with nothing new must fold and commit NOTHING —
+      // the offset log knows (3, 4] is consumed; no watermark file
+      val vAgg = graft.operators.TableLog.currentVersion(s, agg)
+      run()
+      val replayCommits =
+        graft.operators.TableLog.currentVersion(s, agg) - vAgg
+      val out = graft.operators.LogTable.read(s, agg)
+        .filter(col("n_rows") > 0L)
+        .select(col("grp"), col("n_rows"),
+          col("sum_val").as("sum_cents"),
+          lit(replayCommits).as("n_replay_commits"))
+        .orderBy(col("grp"))
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    },
+      Some("""WITH b AS (SELECT event_id, event_type grp,
+             |    CAST(round(value*100, 0) AS BIGINT) c
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+             |t0 AS (SELECT event_id, grp,
+             |    CASE WHEN event_id % 30 = 0 THEN 3*c + 7 ELSE c END c
+             |  FROM b WHERE event_id % 3 IN (0, 1)),
+             |t1 AS (SELECT * FROM t0 WHERE c % 5 <> 0)
+             |SELECT grp, CAST(count(*) AS BIGINT) n_rows,
+             |  CAST(sum(c) AS BIGINT) sum_cents,
+             |  CAST(0 AS BIGINT) n_replay_commits
+             |FROM t1 GROUP BY grp ORDER BY grp""".stripMargin)),
+
     // LogTable SQL surface (x219, new r14 — r13 directive #8): pure
     // SQL over the manifest-native table through the injected
     // `logtable(path[, version])` table-valued function — the analyst

@@ -296,9 +296,10 @@ private[graft] final class LogTableChangeSource(
        else Seq.empty) ++
       (math.max(from, 1L) + 1L to to).map(v =>
         stamped(LogTable.changes(spark, path, v - 1L, v), v))
-    windows.reduceLeftOption(_ unionByName _).getOrElse(
-      spark.createDataFrame(
-        java.util.Collections.emptyList[Row](), schema0))
+    org.apache.spark.sql.graftshim.PlanShim.asStreaming(
+      windows.reduceLeftOption(_ unionByName _).getOrElse(
+        spark.createDataFrame(
+          java.util.Collections.emptyList[Row](), schema0)))
   }
 
   override def commit(end: V1Offset): Unit = () // versions are durable

@@ -2756,6 +2756,27 @@ object Streams {
   def foldChangeFeedIntoAggregate(spark: SparkSession, aggRoot: String,
       feed: DataFrame, fromV: Long, toV: Long, grpCol: String,
       valCol: String, buckets: Int = 16, compactEvery: Int = 8,
+      compactTargetBytes: Long = 32L * 1024 * 1024): Unit =
+    foldFeedIntoAggregate(spark, aggRoot, feed,
+      txnId = s"cdc:$fromV-$toV", isBootstrap = fromV == 0L,
+      grpCol = grpCol, valCol = valCol, buckets = buckets,
+      compactEvery = compactEvery,
+      compactTargetBytes = compactTargetBytes)
+
+  /** [[foldChangeFeedIntoAggregate]] with caller-supplied idempotence
+    * — the `foreachBatch` twin (st61): `txnId` is derived from the
+    * BATCH ID Spark's own offset log replays stably (e.g.
+    * `s"st61:$batchId"`), so a restarted stream's re-delivered batch
+    * collapses at the aggregate's commit with no watermark file
+    * anywhere. `isBootstrap` marks the one batch allowed to CREATE
+    * the aggregate (batch 0 under `startingVersion=0` — its feed is
+    * the v1 snapshot plus the gap to the head); a REPLAYED bootstrap
+    * finds the table already created and skips, since init itself is
+    * the whole effect of that batch. */
+  def foldFeedIntoAggregate(spark: SparkSession, aggRoot: String,
+      feed: DataFrame, txnId: String, isBootstrap: Boolean,
+      grpCol: String, valCol: String, buckets: Int = 16,
+      compactEvery: Int = 8,
       compactTargetBytes: Long = 32L * 1024 * 1024): Unit = {
     val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
     val delta = feed.groupBy(col(grpCol))
@@ -2764,15 +2785,15 @@ object Streams {
     def bucketed(df: org.apache.spark.sql.DataFrame) =
       df.withColumn("gbucket", pmod(hash(col(grpCol)), lit(buckets)))
     if (graft.operators.TableLog.currentVersion(spark, aggRoot) == 0L) {
-      require(fromV == 0L,
-        s"foldChangeFeedIntoAggregate: $aggRoot has no aggregate yet " +
-          s"but the window ($fromV, $toV] is not the bootstrap — the " +
-          "feed must start at the v1 snapshot")
+      require(isBootstrap,
+        s"foldFeedIntoAggregate: $aggRoot has no aggregate yet but " +
+          s"'$txnId' is not the bootstrap batch — the feed must start " +
+          "at the v1 snapshot")
       graft.operators.LogTable.init(
         bucketed(delta.select(col(grpCol), col("__dn").as("n_rows"),
           col("__ds").as("sum_val"))), aggRoot, dateCol = "gbucket",
         statsCols = Seq(grpCol))
-    } else if (fromV == 0L) {
+    } else if (isBootstrap) {
       () // re-delivered bootstrap: the init already committed
     } else {
       val cur = graft.operators.LogTable.read(spark, aggRoot)
@@ -2784,16 +2805,54 @@ object Streams {
           (coalesce(col("__s0"), lit(0L)) + col("__ds")).as("sum_val"))
       graft.operators.LogTable.merge(spark, aggRoot, bucketed(upd),
         Seq(grpCol), dateCol = "gbucket",
-        txnId = Some(s"cdc:$fromV-$toV"), keyScopedPartitions = true)
+        txnId = Some(txnId), keyScopedPartitions = true)
       if (compactEvery > 0) {
         val vAgg = graft.operators.TableLog.currentVersion(spark, aggRoot)
         val folds = graft.operators.LogTable
-          .manifest(spark, aggRoot, vAgg).txns.count(_.contains("cdc:"))
+          .manifest(spark, aggRoot, vAgg).txns.count(_.contains(":txn="))
         if (folds % compactEvery == 0)
           graft.operators.LogTable.compact(spark, aggRoot,
             compactTargetBytes)
       }
     }
+  }
+
+  /** One `Trigger.AvailableNow` pass of the `logtable` STREAMING
+    * SOURCE folded into the maintained aggregate (st61 — r14
+    * directive #3, superseding the hand-rolled st60 poller): the
+    * change feed arrives through
+    * `readStream.format("logtable").option("startingVersion","0")`,
+    * so SPARK'S OWN offset log carries delivery state — triggers,
+    * restart-from-checkpoint and stable batch ids come from the
+    * engine, and there is NO watermark file anywhere. Each batch
+    * folds under txnId `cdcsrc:<batchId>`; a crash between the fold's
+    * commit and Spark's batch commit re-delivers the SAME batch id on
+    * restart, which the aggregate's txn ledger collapses to a no-op —
+    * end-to-end exactly-once from the offset log + the transactional
+    * sink alone. `crashAfterBatch` injects exactly that crash window
+    * for the spec. */
+  def runLogTableCdcFoldAvailableNow(spark: SparkSession,
+      factRoot: String, aggRoot: String, checkpoint: String,
+      grpCol: String, valCol: String,
+      crashAfterBatch: Option[Long] = None): Unit = {
+    val q = spark.readStream.format("logtable")
+      .option("startingVersion", "0").load(factRoot)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: java.lang.Long) =>
+          foldFeedIntoAggregate(spark, aggRoot, batch.toDF(),
+            txnId = s"cdcsrc:$id", isBootstrap = id == 0L,
+            grpCol = grpCol, valCol = valCol)
+          if (crashAfterBatch.contains(id.toLong))
+            throw new RuntimeException(
+              "injected crash: after the fold committed, before " +
+                "Spark recorded the batch")
+      }
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
   }
 
   /** STREAMING Wilcoxon signed-rank (st51): the (|d|, tie count,

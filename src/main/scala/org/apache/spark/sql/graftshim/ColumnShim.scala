@@ -81,4 +81,16 @@ object PlanShim {
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
   def logical(df: DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.queryExecution.analyzed
+
+  /** Re-tag a computed batch frame as a STREAMING frame — what a
+    * DSv1 `Source.getBatch` must return (MicroBatchExecution asserts
+    * `isStreaming`); the same `internalCreateDataFrame(_, _,
+    * isStreaming = true)` move Spark's own FileStreamSource makes,
+    * reachable only from this package. The plan executes lazily via
+    * its RDD, once per micro-batch. */
+  def asStreaming(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
+      isStreaming = true)
+  }
 }

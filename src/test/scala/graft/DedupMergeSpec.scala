@@ -2138,6 +2138,80 @@ class DedupMergeSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
   }
 
+  test("logtable streaming source kill-and-restart (st61, r14 #3): a " +
+    "crash AFTER the fold's commit but BEFORE Spark records the " +
+    "batch re-delivers the same batch id from the offset log on " +
+    "restart, and the aggregate's txn ledger collapses it — " +
+    "exactly-once with NO watermark file; the feed itself carries " +
+    "_commit_version") {
+    import graft.operators.{LogTable, TableLog}
+    import graft.streaming.Streams
+    val base = java.nio.file.Files.createTempDirectory("graft_st61kr")
+      .toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    val fact = s"$base/fact"
+    val agg = s"$base/agg"
+    val ckpt = s"$base/ckpt"
+    def rows(r: (String, String, Long)*) = r.toSeq
+      .map { case (id, g, c) => (id, g, c, d) }
+      .toDF("id", "grp", "cents", "start_date_oslo")
+    LogTable.init(rows(("e1", "a", 10L), ("e2", "a", 20L),
+      ("e3", "b", 30L)), fact)                                  // v1
+    // batch 0 (bootstrap) — clean pass
+    Streams.runLogTableCdcFoldAvailableNow(spark, fact, agg, ckpt,
+      "grp", "cents")
+    def aggState(): Map[String, (Long, Long)] =
+      LogTable.read(spark, agg).filter(col("n_rows") > 0L)
+        .select("grp", "n_rows", "sum_val")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+    def recompute(): Map[String, (Long, Long)] =
+      LogTable.read(spark, fact).groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+    assert(aggState() == recompute())
+    // more history, then the injected crash: the fold for batch 1
+    // COMMITS, the stream dies before Spark records the batch
+    LogTable.append(spark, fact, rows(("e4", "b", 40L)))        // v2
+    LogTable.merge(spark, fact, rows(("e2", "a", 200L)), Seq("id")) // v3
+    val crashed = intercept[org.apache.spark.sql.streaming
+        .StreamingQueryException] {
+      Streams.runLogTableCdcFoldAvailableNow(spark, fact, agg, ckpt,
+        "grp", "cents", crashAfterBatch = Some(1L))
+    }
+    assert(crashed.getMessage.contains("injected crash"),
+      crashed.getMessage)
+    // the fold's effect landed exactly once already...
+    assert(aggState() == recompute(), "the pre-crash fold committed")
+    val vAfterCrash = TableLog.currentVersion(spark, agg)
+    // ...and the RESTART re-delivers batch 1 from the offset log; the
+    // ledger's cdcsrc:1 txn makes the re-fold a commit-level no-op
+    Streams.runLogTableCdcFoldAvailableNow(spark, fact, agg, ckpt,
+      "grp", "cents")
+    assert(TableLog.currentVersion(spark, agg) == vAfterCrash,
+      "the replayed batch must not commit a second fold")
+    assert(aggState() == recompute(), "double fold after restart")
+    // no watermark file anywhere — delivery state lives in Spark's
+    // checkpoint offset log alone
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(base))
+      .map(_.getPath.getName).contains("watermark"))
+    // a later delete flows through a fresh restart, and the feed's
+    // rows carry their _commit_version
+    LogTable.delete(spark, fact, col("cents") === 30L)          // v4
+    Streams.runLogTableCdcFoldAvailableNow(spark, fact, agg, ckpt,
+      "grp", "cents")
+    assert(aggState() == recompute())
+    val feedCols = spark.readStream.format("logtable")
+      .option("startingVersion", "0").load(fact).schema.fieldNames
+    assert(feedCols.contains("_change_type") &&
+      feedCols.contains("n_rows") &&
+      feedCols.contains("_commit_version"), feedCols.mkString(","))
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+  }
+
   test("foldChangeFeedIntoAggregate scale shape (r14 weak flag): the " +
     "aggregate is hash-bucketed with grp zone maps, a narrow fold's " +
     "merge probe plans STRICTLY fewer files than the aggregate " +
