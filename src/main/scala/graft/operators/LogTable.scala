@@ -223,25 +223,56 @@ object LogTable {
     s"""{"file":${jstr(f.file)},"bytes":${f.bytes}$stats}"""
   }
 
-  /** Write commit version current+1 recording ONLY the delta: `adds`
-    * (new files, under `"parts"` so [[TableLog.snapshot]] renders the
-    * touch set) and `removes` (`"part/file"` strings leaving the live
-    * set). O(touch set) bytes — never the live set (r12 directive #1).
-    * The JSON streams to the output file piecewise (no single
-    * concatenated table-sized string). MUST be called under
-    * [[TableLog.withLock]]. After the commit, every
-    * `checkpointInterval`-th version also writes a parquet snapshot
-    * checkpoint. */
-  private def writeCommit(spark: SparkSession, tableRoot: String,
-                          action: String, statsCols: Seq[String],
-                          schemaDdl: Option[String],
-                          adds: Map[String, Seq[FileStat]],
-                          removes: Seq[String]): Long = {
+  /** A commit lost an optimistic race it cannot rebase across — the
+    * Delta ConcurrentModificationException role: a file this commit
+    * retires was already retired, or the schema moved incompatibly. */
+  final class ConcurrentWriteException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Atomically publish `tmp` as `dst`, failing when `dst` already
+    * exists — the commit CAS (r14 directive #4). HDFS-like stores:
+    * `rename` never clobbers an existing destination (atomic in the
+    * namenode). The LOCAL filesystem's rename REPLACES (POSIX
+    * rename(2)), so there the CAS is a hard LINK — createLink fails
+    * atomically with FileAlreadyExistsException when dst exists.
+    * Object stores without atomic create need a coordination service
+    * (the same caveat Delta's LogStore documents). */
+  private def publishIfAbsent(fs: org.apache.hadoop.fs.FileSystem,
+                              tmp: org.apache.hadoop.fs.Path,
+                              dst: org.apache.hadoop.fs.Path): Boolean =
+    if (fs.getScheme == "file") {
+      val tmpLocal = java.nio.file.Paths.get(
+        fs.makeQualified(tmp).toUri.getPath)
+      val dstLocal = java.nio.file.Paths.get(
+        fs.makeQualified(dst).toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(dstLocal, tmpLocal)
+        fs.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          fs.delete(tmp, false)
+          false
+      }
+    } else {
+      if (fs.exists(dst)) { fs.delete(tmp, false); false }
+      else if (fs.rename(tmp, dst)) true
+      else { fs.delete(tmp, false); false }
+    }
+
+  /** Render and CAS-publish delta `v`. True = this writer owns
+    * version v; false = another commit took it first. */
+  private def tryCommitDelta(spark: SparkSession, tableRoot: String,
+                             v: Long, action: String,
+                             statsCols: Seq[String],
+                             schemaDdl: Option[String],
+                             adds: Map[String, Seq[FileStat]],
+                             removes: Seq[String]): Boolean = {
     val (fs, root) = TableLog.fsFor(spark, tableRoot)
-    val v = TableLog.currentVersion(spark, tableRoot) + 1
     val ld = TableLog.logDir(root)
     val finalP = deltaPath(ld, v)
-    val tmpP = new org.apache.hadoop.fs.Path(ld, f"._v$v%08d.json.tmp")
+    val tmpP = new org.apache.hadoop.fs.Path(ld,
+      f"._v$v%08d.json.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     fs.mkdirs(ld)
     val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       fs.create(tmpP, true), "UTF-8"))
@@ -269,21 +300,111 @@ object LogTable {
       out.write(removes.sorted.map(jstr).mkString(","))
       out.write("]}")
     } finally out.close()
-    if (!fs.rename(tmpP, finalP))
-      sys.error(s"LogTable: commit $finalP already exists — concurrent " +
-        "unserialized writer detected")
-    // a catalog table over this root caches its resolved relation
-    // (SessionCatalog.tableRelationCache) pinned to the PREVIOUS
-    // manifest — snapshot-consistent but stale forever; every commit
-    // therefore drops the cache so the next by-name read re-resolves
-    // (re-resolution is cheap: manifests are memoized). Blunt on
-    // purpose: the cache is not keyed by path, and a wrongly-kept
-    // entry would serve deleted rows after a DV commit.
-    spark.sessionState.catalog.invalidateAllCachedTables()
-    val interval = checkpointInterval(spark)
-    if (interval > 0 && v % interval == 0)
-      writeCheckpoint(spark, tableRoot, v)
-    v
+    val won = publishIfAbsent(fs, tmpP, finalP)
+    if (won) {
+      // a catalog table over this root caches its resolved relation
+      // (SessionCatalog.tableRelationCache) pinned to the PREVIOUS
+      // manifest — snapshot-consistent but stale forever; every
+      // commit drops the cache so the next by-name read re-resolves
+      // (cheap: manifests are memoized). Blunt on purpose: the cache
+      // is not keyed by path, and a wrongly-kept entry would serve
+      // deleted rows after a DV commit.
+      spark.sessionState.catalog.invalidateAllCachedTables()
+      val interval = checkpointInterval(spark)
+      if (interval > 0 && v % interval == 0)
+        writeCheckpoint(spark, tableRoot, v)
+    }
+    won
+  }
+
+  /** Add-only schema reconciliation across a lost CAS race: two
+    * writers may each have evolved the schema (different new
+    * nullable columns); the union is well-defined exactly because
+    * evolution is add-only. A type conflict on a shared column is a
+    * genuine concurrent-write error. */
+  private def reconcileDdl(ours: Option[String], heads: Option[String])
+      : Option[String] = (ours, heads) match {
+    case (Some(o), Some(h)) if o == h => Some(o)
+    case (Some(o), Some(h)) =>
+      val os = StructType.fromDDL(o)
+      val hs = StructType.fromDDL(h)
+      val hByName = hs.fields.map(f => f.name -> f).toMap
+      os.fields.foreach { f =>
+        hByName.get(f.name).foreach(hf => if (hf.dataType != f.dataType)
+          throw new ConcurrentWriteException(
+            s"LogTable: column ${f.name} diverged under concurrent " +
+              s"writers (${f.dataType.simpleString} vs " +
+              s"${hf.dataType.simpleString})"))
+      }
+      Some(StructType(hs.fields ++
+        os.fields.filterNot(f => hByName.contains(f.name))).toDDL)
+    case (o, h) => o.orElse(h)
+  }
+
+  /** Commit the delta at the NEXT version via compare-and-swap,
+    * retrying on contention (r14 directive #4 — the table-wide mutex
+    * is no longer the commit gate; [[append]]/[[init]] skip it
+    * entirely, and ops still holding it for their heavy phase ride
+    * this loop safely against racing lock-free appenders). Per
+    * attempt the loop re-reads the head and validates the REBASE:
+    *
+    *  - every file this commit retires must still be live (a
+    *    concurrent retirement of the same file cannot be merged —
+    *    loud [[ConcurrentWriteException]], Delta's conflict rule);
+    *  - the schema reconciles add-only ([[reconcileDdl]]) so two
+    *    appends evolving different columns both land;
+    *  - interleaved ADDS never conflict with adds-only commits, and
+    *    for the DML ops they are SNAPSHOT-ISOLATION semantics: rows
+    *    appended while a delete/merge ran are not matched by it
+    *    (Delta's WriteSerializable default — the condition evaluated
+    *    against the snapshot the op read).
+    *
+    * Bounded retries keep pathological contention loud. */
+  private def writeCommit(spark: SparkSession, tableRoot: String,
+                          action: String, statsCols: Seq[String],
+                          schemaDdl: Option[String],
+                          adds: Map[String, Seq[FileStat]],
+                          removes: Seq[String],
+                          removesFor: Option[Manifest => Seq[String]] =
+                            None): Long = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      if (attempts > 50)
+        sys.error(s"LogTable.$action: 50 commit CAS attempts " +
+          s"exhausted on $tableRoot — pathological contention")
+      val head = TableLog.currentVersion(spark, tableRoot)
+      val headM =
+        if (head > 0L && (attempts > 1 || removesFor.isDefined))
+          Some(manifest(spark, tableRoot, head))
+        else None
+      val ddl =
+        if (attempts == 1 || headM.isEmpty) schemaDdl
+        else reconcileDdl(schemaDdl, headM.get.schemaDdl)
+      // whole-partition/whole-table ops REBASE their removes against
+      // the fresh head (a lock-free append that interleaved must not
+      // survive an overwrite/replace of its partition); everything
+      // else validates its read set is still live
+      val rm = removesFor match {
+        case Some(f) => headM.map(f).getOrElse(removes)
+        case None =>
+          if (removes.nonEmpty && attempts > 1) {
+            val live = fileKeys(headM.get.parts).toSet
+            val gone = removes.filterNot(live)
+            if (gone.nonEmpty)
+              throw new ConcurrentWriteException(
+                s"LogTable.$action: files ${gone.take(3).mkString(",")}" +
+                  s"${if (gone.size > 3) ",…" else ""} were retired by " +
+                  "a concurrent commit — the snapshot this operation " +
+                  "read is gone; re-run it")
+          }
+          removes
+      }
+      if (tryCommitDelta(spark, tableRoot, head + 1, action, statsCols,
+          ddl, adds, rm))
+        return head + 1
+    }
+    -1L // unreachable
   }
 
   /** Delta-manifest reads, counted so specs can pin access bounds
@@ -463,7 +584,22 @@ object LogTable {
     }
     val tmp = new org.apache.hadoop.fs.Path(ld, s".cp_tmp_$v")
     fs.delete(tmp, true)
-    out.coalesce(1).write.mode(SaveMode.Overwrite).parquet(tmp.toString)
+    // MULTI-PART checkpoints (r14 verdict note #3): a single coalesced
+    // file made the commit-path checkpoint a one-task O(live set)
+    // straggler at 10⁶ files — shard into ⌈rows / checkpointPartRows⌉
+    // parquet parts (Delta shards its checkpoints the same way). The
+    // carried-over row count comes from the PREVIOUS checkpoint's
+    // parquet metadata (a footer-only count job, no data read);
+    // readCheckpoint globs the dir, so reading is shape-agnostic.
+    val partRowsConf = spark.conf
+      .get("spark.graft.logtable.checkpointPartRows", "50000").toLong
+    val prevRows = cp.map(cv =>
+      spark.read.parquet(cpPath(ld, cv).toString).count()).getOrElse(0L)
+    val est = prevRows + addRows.size + txnRows.size
+    val k = math.max(1L, math.min(256L,
+      (est + partRowsConf - 1L) / partRowsConf)).toInt
+    val sharded = if (k == 1) out.coalesce(1) else out.repartition(k)
+    sharded.write.mode(SaveMode.Overwrite).parquet(tmp.toString)
     val fin = cpPath(ld, v)
     fs.delete(fin, true)
     if (!fs.rename(tmp, fin))
@@ -672,9 +808,18 @@ object LogTable {
   /** The schema a commit of `df` over `prev` yields: every existing
     * column must survive with its type (add-only evolution — drops and
     * retypes fail loudly); genuinely NEW columns append in `df` order
-    * and must be nullable (files predating them null-fill). */
+    * and must be nullable (files predating them null-fill).
+    *
+    * `allowMissingNullable` (the APPEND contract): a frame omitting an
+    * existing NULLABLE column is not a drop — the DDL carries the
+    * column forward and the new files null-fill it on read, exactly
+    * like old files null-fill a newly-added column. Concurrent
+    * lock-free appenders rely on this: writer B need not know about
+    * the column writer A added a moment ago. Full-content ops
+    * (replace/overwrite) stay strict. */
   private def evolvedDdl(prev: Option[Manifest], df: DataFrame,
-                         action: String): String = {
+                         action: String,
+                         allowMissingNullable: Boolean = false): String = {
     val incoming = df.schema
     prev.flatMap(_.schemaDdl) match {
       case None => incoming.toDDL
@@ -682,16 +827,19 @@ object LogTable {
         val old = StructType.fromDDL(ddl)
         val byName = incoming.fields.map(f => f.name -> f).toMap
         old.fields.foreach { f =>
-          val n = byName.get(f.name)
-          require(n.isDefined,
-            s"LogTable.$action: column ${f.name} missing from the " +
-              "incoming frame — evolution is add-only, columns cannot " +
-              "be dropped")
-          require(n.get.dataType == f.dataType,
-            s"LogTable.$action: column ${f.name} changes type " +
-              s"${f.dataType.simpleString} -> " +
-              s"${n.get.dataType.simpleString} — retypes are not " +
-              "supported")
+          byName.get(f.name) match {
+            case None =>
+              require(allowMissingNullable && f.nullable,
+                s"LogTable.$action: column ${f.name} missing from the " +
+                  "incoming frame — evolution is add-only, columns " +
+                  "cannot be dropped")
+            case Some(n) =>
+              require(n.dataType == f.dataType,
+                s"LogTable.$action: column ${f.name} changes type " +
+                  s"${f.dataType.simpleString} -> " +
+                  s"${n.dataType.simpleString} — retypes are not " +
+                  "supported")
+          }
         }
         val oldNames = old.fields.map(_.name).toSet
         val added = incoming.fields.filterNot(f => oldNames(f.name))
@@ -789,16 +937,6 @@ object LogTable {
     val i = t.lastIndexOf('/')
     require(i > 0, s"LogTable: corrupt file tail '$t'")
     (t.substring(0, i), t.substring(i + 1))
-  }
-
-  /** List the CURRENT physical files of the given partition dirs. */
-  private def listParts(spark: SparkSession, tableRoot: String,
-                        parts: Seq[String])
-      : Map[String, Seq[FileStat]] = {
-    val (fs, root) = TableLog.fsFor(spark, tableRoot)
-    parts.map(p => p -> TableLog.liveFiles(fs,
-      new org.apache.hadoop.fs.Path(root, p))
-      .map { case (f, len) => FileStat(f, len) }).toMap
   }
 
   /** "part/file" keys of a live-set map. */
@@ -1239,16 +1377,21 @@ object LogTable {
     val (fs, root) = TableLog.fsFor(spark, tableRoot)
     val (stagePath, stagedParts) = stageRows(spark, fs, root, df,
       partCols)
-    try
-      TableLog.withLock(spark, tableRoot, "init") {
-        require(TableLog.currentVersion(spark, tableRoot) == 0L,
-          s"LogTable.init: $tableRoot already has commits")
-        promoteStage(fs, root, stagePath, stagedParts, "init")
-        writeCommit(spark, tableRoot, "init", statsCols,
+    try {
+      // lock-free: creating _v00000001.json is itself the CAS — the
+      // loser of a double-init fails loudly, its promoted files are
+      // unreferenced orphans vacuum reclaims
+      require(TableLog.currentVersion(spark, tableRoot) == 0L,
+        s"LogTable.init: $tableRoot already has commits")
+      promoteStage(fs, root, stagePath, stagedParts, "init")
+      if (!tryCommitDelta(spark, tableRoot, 1L, "init", statsCols,
           Some(df.schema.toDDL),
-          withStats(spark, tableRoot, statsCols, stagedParts), Seq.empty)
-      }
-    catch {
+          withStats(spark, tableRoot, statsCols, stagedParts),
+          Seq.empty))
+        sys.error(s"LogTable.init: $tableRoot already has commits " +
+          "(a concurrent init won the v1 race)")
+      1L
+    } catch {
       case e: Throwable =>
         try fs.delete(stagePath, true) catch { case _: Throwable => () }
         throw e
@@ -1270,19 +1413,24 @@ object LogTable {
     val (fs, root) = TableLog.fsFor(spark, tableRoot)
     val (stagePath, stagedParts) = stageRows(spark, fs, root, rows,
       partCols)
-    try
-      TableLog.withLock(spark, tableRoot, "overwrite") {
-        val v = TableLog.currentVersion(spark, tableRoot)
-        val prevM =
-          if (v > 0L) Some(manifest(spark, tableRoot, v)) else None
-        val sc = prevM.map(_.statsCols).getOrElse(Seq.empty)
-        val ddl = evolvedDdl(prevM, rows, "overwrite")
-        promoteStage(fs, root, stagePath, stagedParts, "overwrite")
-        writeCommit(spark, tableRoot, "overwrite", sc, Some(ddl),
-          withStats(spark, tableRoot, sc, stagedParts),
-          prevM.map(m => fileKeys(m.parts)).getOrElse(Seq.empty))
-      }
-    catch {
+    try {
+      // lock-free like append: the CAS loop rebases the removes
+      // against each attempt's head, so an interleaved append's files
+      // are retired too — overwrite means the whole table as of the
+      // commit, whichever writer wins the version race
+      val v = TableLog.currentVersion(spark, tableRoot)
+      val prevM =
+        if (v > 0L) Some(manifest(spark, tableRoot, v)) else None
+      val sc = prevM.map(_.statsCols).getOrElse(Seq.empty)
+      val ddl = evolvedDdl(prevM, rows, "overwrite")
+      promoteStage(fs, root, stagePath, stagedParts, "overwrite")
+      val staged = stagedParts.values.flatten.map(_.file).toSet
+      writeCommit(spark, tableRoot, "overwrite", sc, Some(ddl),
+        withStats(spark, tableRoot, sc, stagedParts),
+        prevM.map(m => fileKeys(m.parts)).getOrElse(Seq.empty),
+        removesFor = Some(m => fileKeys(m.parts)
+          .filterNot(t => staged.contains(splitTail(t)._2))))
+    } catch {
       case e: Throwable =>
         try fs.delete(stagePath, true) catch { case _: Throwable => () }
         throw e
@@ -1305,20 +1453,22 @@ object LogTable {
       val ddl = evolvedDdl(Some(prev), updated, "replacePartitions")
       val partCols = partColsOf(dateCol)
       validatePartTypes(updated, partCols, "replacePartitions")
-      val touched = touchedParts(updated, partCols)
-      val pre = listParts(spark, tableRoot, touched)
-      updated.write.mode(SaveMode.Append).partitionBy(partCols: _*)
-        .parquet(tableRoot)
-      val post = listParts(spark, tableRoot, touched)
-      val newFiles = touched.map { p =>
-        val before = pre(p).map(_.file).toSet
-        p -> post(p).filterNot(f => before(f.file))
-      }.toMap
-      val removes = fileKeys(prev.parts.view.filterKeys(touched.contains)
-        .toMap)
+      val touched = touchedParts(updated, partCols).toSet
+      // staged adds (see merge); removes REBASE per CAS attempt so a
+      // lock-free append interleaving into a replaced partition is
+      // retired with the rest — replace means replace
+      val (fs, root) = TableLog.fsFor(spark, tableRoot)
+      val (stagePath, stagedParts) = stageRows(spark, fs, root,
+        updated, partCols)
+      promoteStage(fs, root, stagePath, stagedParts, "replace")
+      val staged = stagedParts.values.flatten.map(_.file).toSet
       writeCommit(spark, tableRoot, "replace", prev.statsCols,
-        Some(ddl), withStats(spark, tableRoot, prev.statsCols, newFiles),
-        removes)
+        Some(ddl),
+        withStats(spark, tableRoot, prev.statsCols, stagedParts),
+        Seq.empty,
+        removesFor = Some(m => fileKeys(m.parts.view
+          .filterKeys(touched.contains).toMap)
+          .filterNot(t => staged.contains(splitTail(t)._2))))
     }
 
   /** Metadata-only partition delete: the named partition dirs leave the
@@ -1351,20 +1501,24 @@ object LogTable {
     * ADVICE r12), and because txn ids ride checkpoints it SURVIVES
     * [[vacuum]] instead of depending on manifest retention.
     *
-    * **Concurrency (r13): the DATA WRITE happens OUTSIDE the table
-    * lock.** Rows stage into a hidden unique `.stage_append_*` dir
+    * **Concurrency (r14 directive #4): appends take NO table lock at
+    * all.** Rows stage into a hidden unique `.stage_append_*` dir
     * (invisible to every reader — manifests plan explicit files, and
-    * listings skip dotted names), and the lock covers only the
-    * metadata tail: per-file renames into the partition dirs (the
-    * staged part-file names are globally unique, so concurrent
-    * stagers cannot collide), the new files' zone-stat job (O(batch)),
-    * and the commit. N writers therefore overlap their heavy writes
-    * and serialize only at commit — the ingestion-throughput shape a
-    * 1000-executor stream needs; the old form held the lock across the
-    * whole write. A replayed txn is pre-checked BEFORE staging (cheap
-    * skip) and re-checked authoritatively under the lock; a crashed
-    * stager leaves only a dotted dir that [[vacuum]] reclaims once
-    * it has aged past its stale-writer threshold. */
+    * listings skip dotted names), promote by per-file rename (staged
+    * part-file names are globally unique, so concurrent stagers
+    * cannot collide), and COMMIT by create-if-absent on the next
+    * version file — an optimistic CAS. N writers overlap their heavy
+    * writes AND their commits; a CAS loser re-reads the head (fresh
+    * txn ledger, fresh schema) and retries at the next number, which
+    * is always valid because appends are adds-only and commute with
+    * every interleaving. A replayed txn is pre-checked BEFORE staging
+    * (cheap skip) and re-checked on every CAS attempt — two racing
+    * writers with the same txnId still land exactly one commit. A
+    * crashed stager leaves a dotted dir, and a crashed
+    * promoted-but-uncommitted writer leaves unreferenced files;
+    * [[vacuum]] reclaims both (set its `minAgeMs` above the longest
+    * stage-to-commit window when vacuuming concurrently with live
+    * writers). */
   def append(spark: SparkSession, tableRoot: String, rows: DataFrame,
              dateCol: String = "start_date_oslo",
              txnId: Option[String] = None): Long = {
@@ -1381,21 +1535,50 @@ object LogTable {
     val (stagePath, stagedParts) = stageRows(spark, fs, root, rows,
       partCols)
     try {
-      TableLog.withLock(spark, tableRoot, "append") {
+      // LOCK-FREE commit (r14 directive #4): creating _v(N+1).json
+      // via create-if-absent IS the serialization point — N appenders
+      // overlap their heavy writes AND their commits, colliding only
+      // on the version counter; a loser re-reads the head (fresh txn
+      // ledger + schema) and retries at the next number. Appends are
+      // adds-only, so every interleaving commutes; schema evolution
+      // re-derives against each attempt's head.
+      var promoted = false
+      var statted: Map[String, Seq[FileStat]] = Map.empty
+      var result = -1L
+      var attempts = 0
+      while (result < 0L) {
+        attempts += 1
+        if (attempts > 50)
+          sys.error(s"LogTable.append: 50 commit CAS attempts " +
+            s"exhausted on $tableRoot — pathological contention")
         val v = TableLog.currentVersion(spark, tableRoot)
         val prevM =
           if (v > 0L) Some(manifest(spark, tableRoot, v)) else None
         if (txnId.isDefined && prevM.exists(_.txns.contains(action))) {
-          fs.delete(stagePath, true)
-          v // lost the replay race after staging — drop the stage
+          // lost the replay race: our files (staged, or promoted but
+          // never committed) are unreferenced — vacuum reclaims them
+          if (!promoted) fs.delete(stagePath, true)
+          result = v
         } else {
           val sc = prevM.map(_.statsCols).getOrElse(Seq.empty)
-          val ddl = evolvedDdl(prevM, rows, "append")
-          promoteStage(fs, root, stagePath, stagedParts, "append")
-          writeCommit(spark, tableRoot, action, sc, Some(ddl),
-            withStats(spark, tableRoot, sc, stagedParts), Seq.empty)
+          // first attempt: strict add-only evolution against the head
+          // we read; retries: the head moved (a racing writer may have
+          // evolved it too) — reconcile the UNION, since our frame is
+          // still a valid evolution of the head we derived it from and
+          // files null-fill columns they predate
+          val ddl = evolvedDdl(prevM, rows, "append",
+            allowMissingNullable = true)
+          if (!promoted) {
+            promoteStage(fs, root, stagePath, stagedParts, "append")
+            statted = withStats(spark, tableRoot, sc, stagedParts)
+            promoted = true
+          }
+          if (tryCommitDelta(spark, tableRoot, v + 1L, action, sc,
+              Some(ddl), statted, Seq.empty))
+            result = v + 1L
         }
       }
+      result
     } catch {
       case e: Throwable =>
         try fs.delete(stagePath, true) catch { case _: Throwable => () }
@@ -1559,34 +1742,36 @@ object LogTable {
         fl.count(_.bytes < targetBytes) >= 2 }
       if (todo.isEmpty) v
       else {
-        val pre = listParts(spark, tableRoot, todo.keys.toSeq)
         // partition cols come off the manifest's own dir keys, so a
         // multi-level or non-date layout compacts without the caller
-        // restating it
+        // restating it; packed rows STAGE like every other writer
+        // (listing diffs race lock-free appends)
         val pCols = partColsOfManifest(prev)
+        val (fs, root) = TableLog.fsFor(spark, tableRoot)
+        var stagedAll = Map.empty[String, Seq[FileStat]]
         todo.toSeq.sortBy(_._1).foreach { case (p, fl) =>
           val small = fl.filter(_.bytes < targetBytes)
           val paths = small.map(f => s"$tableRoot/$p/${f.file}")
           val totalBytes = small.map(_.bytes).sum
           val nOut = math.max(1, (totalBytes / targetBytes).toInt +
             (if (totalBytes % targetBytes > 0) 1 else 0))
-          // pack into the SAME partition dir as new files; at-target
-          // files stay live untouched
-          scanFiles(spark, tableRoot, prev, paths)
-            .drop(pCols: _*) // partition cols are in the dir name
-            .coalesce(nOut)
-            .write.mode(SaveMode.Append).parquet(s"$tableRoot/$p")
-        }
-        val post = listParts(spark, tableRoot, todo.keys.toSeq)
-        val newFiles = todo.map { case (p, _) =>
-          val before = pre(p).map(_.file).toSet
-          p -> post(p).filterNot(f => before(f.file))
+          // pack into the SAME partition as new files (the partition
+          // cols ride the rows); at-target files stay live untouched
+          val (sp, sParts) = stageRows(spark, fs, root,
+            scanFiles(spark, tableRoot, prev, paths).coalesce(nOut),
+            pCols)
+          promoteStage(fs, root, sp, sParts, "compact")
+          sParts.foreach { case (sp2, sfl) =>
+            stagedAll = stagedAll +
+              (sp2 -> (stagedAll.getOrElse(sp2, Seq.empty) ++ sfl))
+          }
         }
         val removes = todo.toSeq.flatMap { case (p, fl) =>
           fl.filter(_.bytes < targetBytes).map(f => s"$p/${f.file}") }
         writeCommit(spark, tableRoot, "compact", prev.statsCols,
           prev.schemaDdl,
-          withStats(spark, tableRoot, prev.statsCols, newFiles), removes)
+          withStats(spark, tableRoot, prev.statsCols, stagedAll),
+          removes)
       }
     }
 
@@ -1676,12 +1861,12 @@ object LogTable {
           s"filesPerPartition=$filesPerPartition exceeds the curve's " +
             s"${zCols.size * bits}-bit cell resolution — raise bits")
         val shift = zCols.size * bits - cellBits
-        val pre = listParts(spark, tableRoot, todo.keys.toSeq)
         val pCols = partColsOfManifest(prev)
+        val (fs, root) = TableLog.fsFor(spark, tableRoot)
+        var stagedAll = Map.empty[String, Seq[FileStat]]
         todo.toSeq.sortBy(_._1).foreach { case (p, fl) =>
           val paths = fl.map(f => s"$tableRoot/$p/${f.file}")
           val withCell = scanFiles(spark, tableRoot, prev, paths)
-            .drop(pCols: _*)
             .withColumn("__z", zc)
             .withColumn("__cell", shiftright(col("__z"), shift))
           // EXACT cell → partition mapping: a range/quantile split can
@@ -1695,21 +1880,25 @@ object LogTable {
             .map(r => (r.getLong(cellIdx), r))
             .partitionBy(new org.apache.spark.HashPartitioner(nCells))
             .values
-          spark.createDataFrame(tiled, schema)
-            .sortWithinPartitions("__z")
-            .drop("__z", "__cell")
-            .write.mode(SaveMode.Append).parquet(s"$tableRoot/$p")
+          // clustered rows STAGE like every other writer (the
+          // partition cols ride the rows; one file per curve cell)
+          val (sp, sParts) = stageRows(spark, fs, root,
+            spark.createDataFrame(tiled, schema)
+              .sortWithinPartitions("__z")
+              .drop("__z", "__cell"),
+            pCols)
+          promoteStage(fs, root, sp, sParts, "zorder")
+          sParts.foreach { case (sp2, sfl) =>
+            stagedAll = stagedAll +
+              (sp2 -> (stagedAll.getOrElse(sp2, Seq.empty) ++ sfl))
+          }
         }
-        val post = listParts(spark, tableRoot, todo.keys.toSeq)
-        val newFiles = todo.keys.toSeq.map { p =>
-          val before = pre(p).map(_.file).toSet
-          p -> post(p).filterNot(f => before(f.file))
-        }.toMap
         val removes = todo.toSeq.flatMap { case (p, fl) =>
           fl.map(f => s"$p/${f.file}") }
         writeCommit(spark, tableRoot, "zorder", prev.statsCols,
           prev.schemaDdl,
-          withStats(spark, tableRoot, prev.statsCols, newFiles), removes)
+          withStats(spark, tableRoot, prev.statsCols, stagedAll),
+          removes)
       }
     }
 
@@ -1942,18 +2131,16 @@ object LogTable {
       }
       val partCols = partColsOf(dateCol)
       validatePartTypes(newData, partCols, "merge")
-      val touched = touchedParts(newData, partCols)
-      val pre = listParts(spark, tableRoot, touched)
-      newData.write.mode(SaveMode.Append).partitionBy(partCols: _*)
-        .parquet(tableRoot)
-      val post = listParts(spark, tableRoot, touched)
-      val newFiles = touched.map { p =>
-        val before = pre(p).map(_.file).toSet
-        p -> post(p).filterNot(f => before(f.file))
-      }.toMap
+      // staged adds, never a listing diff: a lock-free append's
+      // promote could land files in the same partition dirs
+      // mid-operation, and a pre/post listing would claim them
+      val (fs, root) = TableLog.fsFor(spark, tableRoot)
+      val (stagePath, stagedParts) = stageRows(spark, fs, root,
+        newData, partCols)
+      promoteStage(fs, root, stagePath, stagedParts, "merge")
       writeCommit(spark, tableRoot, action, prev.statsCols,
         prev.schemaDdl,
-        withStats(spark, tableRoot, prev.statsCols, newFiles),
+        withStats(spark, tableRoot, prev.statsCols, stagedParts),
         hitTails.toSeq)
     }
 
@@ -2111,16 +2298,13 @@ object LogTable {
         }
         val partCols = partColsOf(dateCol)
         validatePartTypes(transformed, partCols, "update")
-        val touched = touchedParts(transformed, partCols)
-        val pre = listParts(spark, tableRoot, touched)
-        transformed.write.mode(SaveMode.Append)
-          .partitionBy(partCols: _*).parquet(tableRoot)
-        val post = listParts(spark, tableRoot, touched)
-        val newFiles = touched.map { p =>
-          val before = pre(p).map(_.file).toSet
-          p -> post(p).filterNot(f => before(f.file))
-        }.toMap
-        val statted = withStats(spark, tableRoot, prev.statsCols, newFiles)
+        // staged adds (see merge: listing diffs race lock-free appends)
+        val (fs, root) = TableLog.fsFor(spark, tableRoot)
+        val (stagePath, stagedParts) = stageRows(spark, fs, root,
+          transformed, partCols)
+        promoteStage(fs, root, stagePath, stagedParts, "update")
+        val statted = withStats(spark, tableRoot, prev.statsCols,
+          stagedParts)
         val dvAdds = hitTails.toSeq.flatMap { t =>
           val f = statByTail(t)
           val dead = deadCounts(t)
@@ -2225,6 +2409,42 @@ object LogTable {
         target.statsCols, target.schemaDdl, adds, removes)
     }
 
+  /** Re-derive every live file's zone maps under the CURRENT stats
+    * contract and commit the re-pointed entries — the maintenance hook
+    * for tables whose manifests predate a stats-contract fix (ADVICE
+    * r14: zones committed before the NaN hardening may record finite
+    * min/max for NaN-infected float files, and a one-sided probe
+    * through readIndexed or the DML pruner would silently skip those
+    * rows; the current write path can no longer PRODUCE such zones,
+    * but old manifests keep them until re-statted). Metadata-wise
+    * this is a remove+re-add of every live tail in ONE commit (the
+    * restore-shaped re-point — readers see the old zones or the new,
+    * never a mix); the stats job itself reads the live data or its
+    * footers per the footerStats routing — O(live rows), the
+    * unavoidable cost of a full re-stat. Deletion vectors and the
+    * schema carry over untouched; prior versions still time-travel.
+    * Returns the committed version (unchanged when the table declares
+    * no stats columns). */
+  def recomputeStats(spark: SparkSession, tableRoot: String): Long =
+    TableLog.withLock(spark, tableRoot, "restat") {
+      val v = TableLog.currentVersion(spark, tableRoot)
+      require(v > 0L, s"LogTable.recomputeStats: $tableRoot has no " +
+        "manifest")
+      val prev = manifest(spark, tableRoot, v)
+      if (prev.statsCols.isEmpty || prev.parts.isEmpty) v
+      else {
+        // blank the recorded stats so withStats re-derives them from
+        // scratch; file identity, size and DVs ride along
+        val blank = prev.parts.map { case (p, fl) =>
+          p -> fl.map(f => f.copy(rows = -1L, zones = Map.empty))
+        }
+        writeCommit(spark, tableRoot, "restat", prev.statsCols,
+          prev.schemaDdl,
+          withStats(spark, tableRoot, prev.statsCols, blank),
+          fileKeys(prev.parts))
+      }
+    }
+
   /** Reclaim files no retained manifest references, keeping the newest
     * `keepLast` versions (and their time-travel reads) intact. Before
     * deleting any commit metadata a parquet checkpoint is written AT
@@ -2238,8 +2458,9 @@ object LogTable {
     * structurally safe). Returns (versions dropped, data files
     * deleted). */
   def vacuum(spark: SparkSession, tableRoot: String,
-             keepLast: Int): (Int, Int) = {
+             keepLast: Int, minAgeMs: Long = 0L): (Int, Int) = {
     require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast)")
+    require(minAgeMs >= 0L, s"minAgeMs must be >= 0 (got $minAgeMs)")
     TableLog.withLock(spark, tableRoot, "vacuum") {
       val (fs, root) = TableLog.fsFor(spark, tableRoot)
       val ld = TableLog.logDir(root)
@@ -2281,20 +2502,35 @@ object LogTable {
       var deleted = 0
       // deepest-first, so retired leaves vanish before their parents
       // are considered; a dir is removable only when NO kept manifest
-      // references it or anything nested under it
+      // references it or anything nested under it. `minAgeMs` shields
+      // a LOCK-FREE writer's promoted-but-not-yet-committed files
+      // (the append/overwrite CAS path takes no table lock): set it
+      // above the longest stage-to-commit window when vacuuming a
+      // table with live concurrent writers — the Delta retention
+      // contract, defaulted to 0 for the single-writer case.
+      val ageFloor = System.currentTimeMillis() - minAgeMs
       allParts.sortBy(p => (-p.count(_ == '/'), p)).foreach { p =>
         val dir = new org.apache.hadoop.fs.Path(root, p)
         val keep = referenced.getOrElse(p, Set.empty)
         if (fs.exists(dir))
           TableLog.liveFiles(fs, dir).foreach { case (f, _) =>
-            if (!keep(f)) {
-              fs.delete(new org.apache.hadoop.fs.Path(dir, f), false)
+            val fp = new org.apache.hadoop.fs.Path(dir, f)
+            if (!keep(f) &&
+                (minAgeMs == 0L ||
+                  fs.getFileStatus(fp).getModificationTime < ageFloor)) {
+              fs.delete(fp, false)
               deleted += 1
             }
           }
         val anyNested = referenced.keys
           .exists(k => k == p || k.startsWith(p + "/"))
-        if (keep.isEmpty && !anyNested && fs.exists(dir))
+        // "empty" = nothing visible left (checksum sidecars and
+        // hidden markers don't keep a retired dir alive; a young
+        // in-flight file under minAgeMs does)
+        if (keep.isEmpty && !anyNested && fs.exists(dir) &&
+            fs.listStatus(dir).forall(st => !st.isDirectory &&
+              (st.getPath.getName.startsWith(".") ||
+                st.getPath.getName.startsWith("_"))))
           fs.delete(dir, true) // partition (or level) fully retired
       }
       dropped.foreach(dv => fs.delete(deltaPath(ld, dv), false))

@@ -73,17 +73,57 @@ object LogTableTvf {
         s"$fn(): the table path must be a string literal")
     }
 
+  /** An options-map second argument (r14 verdict #8 — the common
+    * knobs reachable without new function names):
+    * `logtable('/p', map('versionAsOf', '3'))` /
+    * `map('timestampAsOf', '2024-06-01 12:00:00')`. Entries must be
+    * string literals; unknown keys fail loudly. */
+  private def optionsArg(e: Expression): Option[Map[String, String]] =
+    e match {
+      case cm: org.apache.spark.sql.catalyst.expressions.CreateMap =>
+        Some(cm.children.grouped(2).map {
+          case Seq(k: Literal, v: Literal)
+              if k.value != null && v.value != null =>
+            k.value.toString -> v.value.toString
+          case other => fail("option-map entries must be string " +
+            s"literals, got $other")
+        }.toMap)
+      case _ => None
+    }
+
+  private def asOfFromOptions(spark: SparkSession, path: String,
+                              opts: Map[String, String]): Option[Long] = {
+    val known = Set("versionAsOf", "timestampAsOf")
+    val unknown = opts.keySet -- known
+    if (unknown.nonEmpty)
+      fail(s"unknown options ${unknown.toSeq.sorted.mkString(",")} — " +
+        s"supported: ${known.toSeq.sorted.mkString(",")}")
+    if (opts.contains("versionAsOf") && opts.contains("timestampAsOf"))
+      fail("versionAsOf and timestampAsOf are mutually exclusive")
+    opts.get("versionAsOf").map { s =>
+      try s.trim.toLong catch {
+        case _: NumberFormatException =>
+          fail(s"versionAsOf must be an integral version, got '$s'")
+      }
+    }.orElse(opts.get("timestampAsOf").map(s =>
+      LogTable.versionAsOf(spark, path,
+        LogTableSource.parseSessionTs(spark, s))))
+  }
+
   val registration: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("logtable"),
     new ExpressionInfo(LogTableTvf.getClass.getName, "logtable"),
     (args: Seq[Expression]) => {
       if (args.isEmpty || args.size > 2)
-        fail(s"expects (path [, version | timestamp]), got ${args.size} " +
-          "arguments")
+        fail(s"expects (path [, version | timestamp | options map]), " +
+          s"got ${args.size} arguments")
       val spark = SparkSession.active
       val path = pathArg(args, "logtable")
-      val asOf = args.lift(1).map(asVersion(spark, path, _))
+      val asOf = args.lift(1).flatMap(a => optionsArg(a) match {
+        case Some(opts) => asOfFromOptions(spark, path, opts)
+        case None => Some(asVersion(spark, path, a))
+      })
       org.apache.spark.sql.graftshim.PlanShim.logical(
         LogTable.readIndexed(spark, path, asOf))
     })

@@ -262,7 +262,7 @@ class DedupMergeSpec extends SparkSpec {
       .forall(_.toString.contains("fact_idx"))), "probe must scan the index only")
     val partsRead = scans.map(_.metrics("numPartitions").value).sum
     val totalBuckets = new java.io.File(idx).listFiles()
-      .count(_.getName.startsWith("gbucket="))
+      .count(_.getName.startsWith("__bucket="))
     assert(partsRead == 1 && totalBuckets > 1,
       s"expected 1 pruned bucket of $totalBuckets, read $partsRead")
   }
@@ -302,7 +302,7 @@ class DedupMergeSpec extends SparkSpec {
       (id, "y", java.sql.Date.valueOf("2024-02-26"), 3.0)): _*))
     def bucketFiles(): Map[String, Set[String]] =
       new java.io.File(idx).listFiles()
-        .filter(f => f.isDirectory && f.getName.startsWith("gbucket="))
+        .filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
         .map(d => d.getName -> d.listFiles()
           .filter(_.getName.endsWith(".parquet"))
           .map(f => s"${f.getName}:${f.length}:${f.lastModified}").toSet)
@@ -322,7 +322,7 @@ class DedupMergeSpec extends SparkSpec {
       .select($"id", pmod(xxhash64($"id"), lit(32L)).cast("int").as("b"))
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     val touched = ((0 until 19).map(i => bucketOf(s"w$i")) :+ bucketOf("w19"))
-      .toSet.map((b: Int) => s"gbucket=$b")
+      .toSet.map((b: Int) => s"__bucket=$b")
     val untouched = before.keySet -- touched
     assert(untouched.nonEmpty, "fixture must leave some bucket untouched")
     for (b <- untouched)
@@ -1138,10 +1138,20 @@ class DedupMergeSpec extends SparkSpec {
     assert(packed.inputFiles.length == 1)
     assert(packed.select("id", "tag").collect()
       .map(r => (r.getString(0), Option(r.getString(1)))).toSet == rows)
-    // dropping a column fails loudly
+    // an APPEND omitting an existing NULLABLE column is not a drop
+    // (r15, the concurrent-writer contract): the DDL carries `tag`
+    // forward and the new rows null-fill it — writer B need not know
+    // about the column writer A added a moment ago
+    LogTable.append(spark, root,
+      Seq(("c1", 4.0, d)).toDF("id", "value", "start_date_oslo"))
+    assert(LogTable.read(spark, root).columns.contains("tag"))
+    assert(LogTable.read(spark, root).filter(col("id") === "c1")
+      .select("tag").collect().head.isNullAt(0))
+    // ...but a FULL-CONTENT op omitting a column is a real drop and
+    // fails loudly
     val eDrop = intercept[IllegalArgumentException] {
-      LogTable.append(spark, root,
-        Seq(("c1", 4.0, d)).toDF("id", "value", "start_date_oslo"))
+      LogTable.overwrite(spark, root,
+        Seq(("c2", 5.0, d)).toDF("id", "value", "start_date_oslo"))
     }
     assert(eDrop.getMessage.contains("add-only"))
     // retyping a column fails loudly
@@ -1368,7 +1378,7 @@ class DedupMergeSpec extends SparkSpec {
         // WITHIN one table history (footer == scan, spec-pinned above)
         spark.conf.set("spark.graft.logtable.footerStats",
           Seq("auto", "true", "false")(rnd.nextInt(3)))
-        rnd.nextInt(6) match {
+        rnd.nextInt(7) match {
           case 0 => // append fresh ids
             val add = (0 until 1 + rnd.nextInt(3)).map { _ =>
               val id = s"e$nextId"; nextId += 1
@@ -1376,6 +1386,25 @@ class DedupMergeSpec extends SparkSpec {
             }.toMap
             LogTable.append(spark, root, frame(add).repartition(1))
             model = model ++ add
+          case 6 => // INTERLEAVED writers (r14 #4): two lock-free
+            // appends race the commit CAS; both must land, in either
+            // order — adds-only commits commute
+            val addA = { val id = s"e$nextId"; nextId += 1
+              Map(id -> (rnd.nextInt(1000) + 4000).toDouble) }
+            val addB = { val id = s"e$nextId"; nextId += 1
+              Map(id -> (rnd.nextInt(1000) + 5000).toDouble) }
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration._
+            import scala.concurrent.ExecutionContext.Implicits.global
+            val fA = Future(LogTable.append(spark, root,
+              frame(addA).repartition(1)))
+            val fB = Future(LogTable.append(spark, root,
+              frame(addB).repartition(1)))
+            val vs = Seq(Await.result(fA, 180.seconds),
+              Await.result(fB, 180.seconds)).sorted
+            assert(vs(1) == vs(0) + 1,
+              s"seed=$seed interleaved appends not dense: $vs")
+            model = model ++ addA ++ addB
           case 1 => // merge: update a random subset + insert one
             val upd = model.keys.toSeq.sorted
               .filter(_ => rnd.nextBoolean()).take(4)
@@ -2136,6 +2165,184 @@ class DedupMergeSpec extends SparkSpec {
       LogTable.changes(spark, fact, 3L, 4L), 3L, 4L, "grp", "cents")
     assert(TableLog.currentVersion(spark, agg) == vAgg)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
+  }
+
+  test("recomputeStats (ADVICE r14): a LEGACY manifest carrying a " +
+    "finite zone over a NaN-infected file silently drops NaN rows on " +
+    "a one-sided probe; restat re-derives every zone under the " +
+    "current contract in one commit and the rows come back") {
+    import graft.operators.{LogTable, TableLog}
+    val root = java.nio.file.Files.createTempDirectory("graft_restat")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    val clean = Seq(("b1", 10.0), ("b2", 11.0), ("b3", 12.0))
+      .toDF("id", "v").withColumn("start_date_oslo", lit(d))
+    val nanny = Seq(("a1", 1.0), ("a2", 2.0), ("a3", 3.0),
+      ("aN", Double.NaN))
+      .toDF("id", "v").withColumn("start_date_oslo", lit(d))
+    LogTable.init(clean.repartition(1), root, statsCols = Seq("v"))
+    LogTable.append(spark, root, nanny.repartition(1))          // v2
+    // simulate a pre-r14 manifest: hand the NaN file a FINITE zone
+    // (the old write path recorded NaN-excluding min/max) by editing
+    // v2's delta BEFORE anything parses it
+    val deltaP = new org.apache.hadoop.fs.Path(
+      s"$root/_graft_log/_v00000002.json")
+    val in = fs.open(deltaP)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    assert(!body.contains("min:v"),
+      "current contract must record NO zone for the NaN file")
+    val poisoned = body.replace(""""rows":4""",
+      """"rows":4,"min:v":1,"max:v":3""")
+    assert(poisoned != body, "fixture drift: rows:4 not found")
+    fs.delete(deltaP, false)
+    val out = fs.create(deltaP, true)
+    out.write(poisoned.getBytes("UTF-8")); out.close()
+    // the legacy bug, reproduced: NaN orders above every value, so
+    // v >= 100 matches ONLY the NaN row — and the finite zone [1,3]
+    // prunes its file
+    assert(LogTable.readIndexed(spark, root)
+      .filter(col("v") >= 100.0).count() == 0L,
+      "fixture must reproduce the legacy silent miss")
+    // one maintenance commit re-derives the zones under the current
+    // contract (NaN-infected file → no zone → unprunable)
+    val v3 = LogTable.recomputeStats(spark, root)
+    assert(v3 == 3L)
+    assert(LogTable.readIndexed(spark, root)
+      .filter(col("v") >= 100.0).select("id").as[String]
+      .collect().toSeq == Seq("aN"),
+      "restat must resurrect the NaN row")
+    // everything else is untouched: same rows; the CLEAN file's fresh
+    // zone still prunes (a [100, 200] probe excludes it), while the
+    // NaN file is unprunable by design — exactly one file planned
+    assert(LogTable.read(spark, root).count() == 7L)
+    assert(LogTable.readSkipping(spark, root, "v", 100.0, 200.0)
+      .inputFiles.length == 1)
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
+  test("multi-part checkpoints (r14 verdict #3): a checkpoint shards " +
+    "into multiple parquet parts under a forced small part size, " +
+    "reconstruction is value-identical through it, and versions " +
+    "beneath the checkpoint still time-travel") {
+    import graft.operators.{LogTable, TableLog}
+    val root = java.nio.file.Files.createTempDirectory("graft_mpcp")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    spark.conf.set("spark.graft.logtable.checkpointInterval", "3")
+    spark.conf.set("spark.graft.logtable.checkpointPartRows", "4")
+    try {
+      def batch(lo: Int) = entries((lo until lo + 4)
+        .map(i => (s"e$i", "x", d, i.toDouble)): _*)
+      LogTable.init(batch(0).repartition(2), root)              // v1
+      (1 to 5).foreach(i =>                                      // v2..v6
+        LogTable.append(spark, root, batch(i * 10).repartition(2)))
+      // v3 and v6 checkpointed; 12 live files / partRows 4 → >1 part
+      val ld = new org.apache.hadoop.fs.Path(s"$root/_graft_log")
+      val cps = fs.listStatus(ld).filter(_.isDirectory)
+        .map(_.getPath).filter(_.getName.startsWith("_cp"))
+      assert(cps.nonEmpty, "no checkpoint written")
+      val newest = cps.maxBy(_.getName)
+      val parts = fs.listStatus(newest)
+        .count(_.getPath.getName.endsWith(".parquet"))
+      assert(parts > 1, s"expected a sharded checkpoint, got $parts part")
+      // reconstruction through the sharded checkpoint is exact
+      val got = LogTable.read(spark, root).select("id").as[String]
+        .collect().toSet
+      val want = (Seq(0) ++ (1 to 5).map(_ * 10))
+        .flatMap(lo => (lo until lo + 4).map(i => s"e$i")).toSet
+      assert(got == want)
+      assert(LogTable.readIndexed(spark, root).count() == 24L)
+      // a version beneath the newest checkpoint still reconstructs
+      assert(LogTable.read(spark, root, Some(2L)).count() == 8L)
+      assert(TableLog.currentVersion(spark, root) == 6L)
+    } finally {
+      spark.conf.unset("spark.graft.logtable.checkpointInterval")
+      spark.conf.unset("spark.graft.logtable.checkpointPartRows")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
+  test("optimistic lock-free commits (r14 directive #4): concurrent " +
+    "appenders to DIFFERENT partitions both commit while the table " +
+    "lock is HELD by someone else (proof they never touch it), CAS " +
+    "contention stays dense and exact, a same-txnId race lands " +
+    "exactly once, and two concurrent schema evolutions UNION") {
+    import graft.operators.{LogTable, TableLog}
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val root = java.nio.file.Files.createTempDirectory("graft_cas")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def day(i: Int) = java.sql.Date.valueOf(f"2024-01-${i + 1}%02d")
+    def slice(tag: String, d: java.sql.Date, n: Int = 10) =
+      spark.range(0, n).select(concat(lit(tag), $"id").as("id"),
+        $"id".as("v"), lit(d).as("start_date_oslo")).repartition(1)
+    LogTable.init(slice("a", day(0)), root)                     // v1
+    // someone ELSE holds the table lock (a long-running locked op) —
+    // under the old mutex design every append would block on it
+    val lockP = new org.apache.hadoop.fs.Path(s"$root/_graft_log/_lock")
+    val out = fs.create(lockP, false)
+    out.write("{\"owner\":\"held-by-spec\"}".getBytes("UTF-8"))
+    out.close()
+    try {
+      val f1 = Future(LogTable.append(spark, root, slice("b", day(1))))
+      val f2 = Future(LogTable.append(spark, root, slice("c", day(2))))
+      val (v1, v2) = (Await.result(f1, 120.seconds),
+        Await.result(f2, 120.seconds))
+      assert(Set(v1, v2) == Set(2L, 3L),
+        s"both appenders must commit dense versions: $v1, $v2")
+    } finally fs.delete(lockP, false)
+    assert(LogTable.read(spark, root).count() == 30L)
+    // CAS contention: 6 more appenders at once — versions stay dense,
+    // every row lands exactly once
+    val fs6 = (3 until 9).map(i =>
+      Future(LogTable.append(spark, root, slice(s"p$i", day(i)))))
+    fs6.foreach(Await.result(_, 180.seconds))
+    assert(TableLog.currentVersion(spark, root) == 9L)
+    assert(LogTable.read(spark, root).count() == 90L)
+    // same-txnId race: the linearization argument — a loser's retry
+    // re-reads the head its CAS lost to, whose ledger then contains
+    // the winner's txn, so exactly one commit can ever carry it
+    val vBefore = TableLog.currentVersion(spark, root)
+    val dupes = (0 until 4).map(_ => Future(LogTable.append(spark, root,
+      slice("once", day(10)), txnId = Some("race-once"))))
+    val got = dupes.map(Await.result(_, 180.seconds))
+    assert(got.toSet == Set(vBefore + 1),
+      s"all racers must converge on the one committed version: $got")
+    assert(TableLog.currentVersion(spark, root) == vBefore + 1)
+    assert(LogTable.read(spark, root)
+      .filter($"id".startsWith("once")).count() == 10L)
+    // concurrent schema evolutions: one writer adds colX, the other
+    // colY — the CAS loser reconciles the UNION (add-only world)
+    val withX = slice("x", day(11)).withColumn("colX",
+      when($"v" >= 0L, $"v".cast("string"))) // when() => nullable
+    val withY = slice("y", day(12)).withColumn("colY",
+      when($"v" >= 0L, $"v" * 2L))
+    val e1 = Future(LogTable.append(spark, root, withX))
+    val e2 = Future(LogTable.append(spark, root, withY))
+    Await.result(e1, 180.seconds); Await.result(e2, 180.seconds)
+    val cols = LogTable.read(spark, root).columns.toSet
+    assert(cols.contains("colX") && cols.contains("colY"),
+      s"union evolution lost a column: $cols")
+    // rows null-fill the column the OTHER writer added
+    assert(LogTable.read(spark, root)
+      .filter($"id".startsWith("x") && $"colY".isNull).count() == 10L)
+    assert(LogTable.read(spark, root)
+      .filter($"id".startsWith("y") && $"colX".isNull).count() == 10L)
+    // vacuum with an age floor leaves young in-flight-shaped files
+    // alone; with none it reclaims orphans as before
+    val (_, keptYoung) = LogTable.vacuum(spark, root, keepLast = 1,
+      minAgeMs = 3600000L)
+    assert(keptYoung == 0, s"minAgeMs must shield young files: $keptYoung")
+    assert(LogTable.read(spark, root).count() == 120L)
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
 
   test("logtable streaming source kill-and-restart (st61, r14 #3): a " +

@@ -518,6 +518,26 @@ class ExtensionRuleSpec extends SparkSpec {
     assert(sqlFeed == apiFeed)
     assert(sqlFeed.map(r => (r.getLong(0), r.getString(1))) ==
       Seq((7L, "delete")))
+    // options-map second argument (r14 #8): the same knobs without
+    // positional guessing
+    assert(spark.sql(
+      s"SELECT count(*) FROM logtable('$root', map('versionAsOf', '1'))")
+      .collect().head.getLong(0) ==
+      spark.sql(s"SELECT count(*) FROM logtable('$root', 1)")
+        .collect().head.getLong(0))
+    assert(spark.sql(
+      s"""SELECT count(*) FROM
+         |logtable('$root', map('timestampAsOf', '$tMid'))"""
+        .stripMargin).collect().head.getLong(0) == 5L)
+    intercept[Exception] { // unknown option key
+      spark.sql(s"SELECT * FROM logtable('$root', map('nope', '1'))")
+        .collect()
+    }
+    intercept[Exception] { // mutually exclusive knobs
+      spark.sql(s"SELECT * FROM logtable('$root', " +
+        "map('versionAsOf', '1', 'timestampAsOf', '2024-01-01'))")
+        .collect()
+    }
     // loud failures: wrong arity, non-literal path, bad timestamp
     intercept[Exception] {
       spark.sql(s"SELECT * FROM logtable('$root', 1, 2, 3)").collect()
