@@ -1061,7 +1061,13 @@ object LogTable {
     *    (PARQUET-1222 hardening), which IS the r14 NaN contract — and
     *    a NaN that does surface in a bound drops the zone anyway;
     *    -0.0/+0.0 writer normalization renders identically through
-    *    [[jdouble]].
+    *    [[jdouble]]. This relies on the BUNDLED writer's behavior
+    *    (every file on the commit path is one we just wrote, staged —
+    *    foreign writers cannot inject files), and the footer==scan
+    *    equality spec in DedupMergeSpec pins it across parquet
+    *    upgrades: a parquet-mr drift that starts surfacing finite
+    *    NaN-excluding bounds fails that spec before it could
+    *    reintroduce the pruning bug (ADVICE r14).
     *  - BINARY strings: bounds must be [[strSafe]]. Parquet orders
     *    binary stats by unsigned BYTES while zone probes compare Java
     *    Strings (UTF-16 units) — the orders diverge only where

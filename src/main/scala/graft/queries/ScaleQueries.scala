@@ -8955,6 +8955,57 @@ object ScaleQueries {
              |  CAST((SELECT count(*) + 1 FROM b) AS BIGINT) n_total,
              |  CAST(300 AS BIGINT) ins_cents""".stripMargin)),
 
+    // LogTable MULTI-COLUMN partitioning (x222, new r15 — r14 verdict
+    // missing #4): a (event_type, month) two-level layout where the
+    // manifest keys are full grp=g/m=YYYY-MM-01 paths and the
+    // FileIndex prunes DIRECTORIES on both levels — a both-level
+    // filter must plan exactly the one leaf file (numFiles asserted),
+    // values against DuckDB.
+    QuerySpec("x222_logtable_multicol", (s, d) => {
+      val rows = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_type").as("grp"),
+          date_trunc("month", graft.functions.Coercers
+            .osloDate(col("ts"))).cast("date").as("m"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val base = logTableTemplate(s, d, "x222") { dir =>
+        graft.operators.LogTable.init(rows.repartition(1), dir,
+          dateCol = "grp,m", statsCols = Seq("cents"))
+      }
+      val m0 = rows.agg(min(col("m"))).head.getDate(0)
+      val agg = graft.operators.LogTable.readIndexed(s, base)
+        .filter(col("grp") === "click" && col("m") === lit(m0))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+      val row = agg.collect().head // ONE action, then read the metric
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(f)
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(q.plan)
+          case o => o.children.flatMap(scans)
+        }
+      val planned = scans(agg.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+      import s.implicits._
+      Seq((planned, row.getLong(0), row.getLong(1)))
+        .toDF("n_files_planned", "n_rows", "sum_cents")
+    },
+      Some("""WITH b AS (SELECT event_type grp,
+             |    CAST(date_trunc('month',
+             |      timezone('Europe/Oslo', timezone('UTC', ts))) AS DATE) m,
+             |    CAST(round(value*100, 0) AS BIGINT) cents
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+             |m0 AS (SELECT min(m) mm FROM b)
+             |SELECT CAST(1 AS BIGINT) n_files_planned,
+             |  CAST(count(*) AS BIGINT) n_rows,
+             |  CAST(sum(cents) AS BIGINT) sum_cents
+             |FROM b, m0 WHERE grp = 'click' AND m = mm""".stripMargin)),
+
     // Wilcoxon signed-rank (x202): the PAIRED shift test on the SAME
     // documents — char length vs 25× whitespace-token count ("do
     // documents run longer than 25 chars per token") — judged on the

@@ -66,6 +66,14 @@ import graft.operators.{LogTable, TableLog}
   * intercepted by [[graft.plans.LogTableInsertRule]] before Spark's
   * generic `InsertIntoHadoopFsRelationCommand` could bypass the log.
   *
+  * Freshness: a catalog table's resolved relation is cached by the
+  * session (`tableRelationCache`) pinned to the manifest it resolved
+  * — a consistent snapshot, never a torn read. Commits made through
+  * THIS process invalidate the cache automatically; commits from
+  * ANOTHER process are picked up on the next resolution or after
+  * `REFRESH TABLE t` (the standard Spark contract for externally
+  * mutated tables).
+  *
   * STREAMING (r14 directive #3): `readStream.format("logtable")` is a
   * version-offset change-feed source ([[LogTableChangeSource]]) under
   * Spark's OWN offset log — triggers, restart-from-checkpoint and
