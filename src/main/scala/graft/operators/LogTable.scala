@@ -343,10 +343,22 @@ object LogTable {
 
   /** Commit the delta at the NEXT version via compare-and-swap,
     * retrying on contention (r14 directive #4 — the table-wide mutex
-    * is no longer the commit gate; [[append]]/[[init]] skip it
-    * entirely, and ops still holding it for their heavy phase ride
-    * this loop safely against racing lock-free appenders). Per
-    * attempt the loop re-reads the head and validates the REBASE:
+    * is no longer the commit gate; [[append]]/[[init]]/[[overwrite]]
+    * skip it entirely, and ops still holding it for their heavy phase
+    * ride this loop safely against racing lock-free appenders).
+    *
+    * Why the DML ops (merge/delete/update/compact/zorder) KEEP the
+    * lock: their conflicts are not tail-name-level but FileStat-
+    * identity-level — two concurrent deletes hitting the same file
+    * would each carry forward the OTHER's superseded deletion vector
+    * (the tail stays "live" under a new vector, so a name-level
+    * liveness check passes while one writer's dead rows silently
+    * resurrect). Detecting that needs Delta's full concurrent-DML
+    * exception taxonomy; a lock converts those aborts into waiting at
+    * identical throughput for genuinely conflicting work, while the
+    * INGEST path — the only one that must scale writers at 100 TB —
+    * runs lock-free. Per attempt the loop re-reads the head and
+    * validates the REBASE:
     *
     *  - every file this commit retires must still be live (a
     *    concurrent retirement of the same file cannot be merged —

@@ -255,6 +255,17 @@ private[graft] final class EmptyLogTableRelation(
   * version window, and a fold that commits under a batch-derived txn
   * id collapses the replay to a no-op (st61).
   *
+  * Design choice — DSv1 `Source`, not a DSv2 `MicroBatchStream`: a
+  * MicroBatchStream must hand Spark `InputPartition`s plus a
+  * `PartitionReaderFactory` producing `InternalRow`s, i.e. reimplement
+  * distributed parquet reading + the DV anti-join per partition; a
+  * v1 Source returns the batch as a DATAFRAME, so each micro-batch IS
+  * the existing [[LogTable.changes]] plan — whole-stage codegen,
+  * zone/partition pruning and deletion vectors included. Delta's own
+  * streaming source ships on exactly this interface for the same
+  * reason. Everything the DSv2 form would buy (engine offset log,
+  * triggers, restart, stable batch ids) this form already has.
+  *
   *  - `getOffset` = the table's current version (None until it passes
   *    `startingVersion`) — one metadata listing, no data I/O.
   *  - `getBatch(start, end]` = the per-version change feeds

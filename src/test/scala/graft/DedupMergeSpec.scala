@@ -1349,7 +1349,8 @@ class DedupMergeSpec extends SparkSpec {
   }
 
   test("LogTable model-based property: random op sequences " +
-    "(append/merge/update/delete/compact/restore) match a driver-side " +
+    "(append/merge/update/delete/compact/restore/overwrite/restat, " +
+    "with interleaved lock-free appenders) match a driver-side " +
     "model table at EVERY version through BOTH read paths (explicit " +
     "files and the FileIndex), under per-op random stats collection " +
     "modes (footer/scan/auto, r14), zone-pred-pruned deletes, and " +
@@ -1378,7 +1379,7 @@ class DedupMergeSpec extends SparkSpec {
         // WITHIN one table history (footer == scan, spec-pinned above)
         spark.conf.set("spark.graft.logtable.footerStats",
           Seq("auto", "true", "false")(rnd.nextInt(3)))
-        rnd.nextInt(7) match {
+        rnd.nextInt(9) match {
           case 0 => // append fresh ids
             val add = (0 until 1 + rnd.nextInt(3)).map { _ =>
               val id = s"e$nextId"; nextId += 1
@@ -1405,6 +1406,15 @@ class DedupMergeSpec extends SparkSpec {
             assert(vs(1) == vs(0) + 1,
               s"seed=$seed interleaved appends not dense: $vs")
             model = model ++ addA ++ addB
+          case 7 => // OVERWRITE (r15): one atomic truncate-load
+            val fresh = (0 until 3 + rnd.nextInt(4)).map { _ =>
+              val id = s"e$nextId"; nextId += 1
+              id -> (rnd.nextInt(1000) + 6000).toDouble
+            }.toMap
+            LogTable.overwrite(spark, root, frame(fresh).repartition(1))
+            model = fresh
+          case 8 => // RESTAT (r15): re-derive zones, no semantic change
+            LogTable.recomputeStats(spark, root)
           case 1 => // merge: update a random subset + insert one
             val upd = model.keys.toSeq.sorted
               .filter(_ => rnd.nextBoolean()).take(4)
