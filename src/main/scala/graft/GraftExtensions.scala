@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // INSERT INTO/OVERWRITE must route through the manifest commit
     ext.injectResolutionRule(_ => graft.plans.LogTableDvRule)
     ext.injectResolutionRule(_ => graft.plans.LogTableInsertRule)
+    ext.injectResolutionRule(_ => graft.plans.LogTableDmlRule)
     ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.GlobalRankRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.RunningSumStrategy)

@@ -1,8 +1,13 @@
 package graft.plans
 
 import org.apache.spark.sql.{Row, SparkSession}
-import org.apache.spark.sql.catalyst.plans.logical.{InsertIntoStatement,
-  LogicalPlan}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+  EqualTo, Expression, SubqueryExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment,
+  DeleteFromTable, InsertAction, InsertIntoStatement, InsertStarAction,
+  LogicalPlan, MergeIntoTable, SubqueryAlias, UpdateAction,
+  UpdateStarAction, UpdateTable}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
 import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
@@ -24,6 +29,32 @@ object LogTableRules {
     }
     case _ => None
   }
+
+  /** A DML target resolves as the relation, possibly under an alias. */
+  private[plans] def unwrapTarget(p: LogicalPlan)
+      : Option[(LogicalRelation, LogTableFileIndex)] = p match {
+    case lr: LogicalRelation => indexOf(lr).map(lr -> _)
+    case sa: SubqueryAlias => unwrapTarget(sa.child)
+    case _ => None
+  }
+
+  /** Detach a resolved predicate/value from its plan as SQL TEXT:
+    * re-parsed with `expr()` against the fresh scan the DML op builds
+    * internally, attribute references re-resolve by NAME (exprIds
+    * never survive across plans), and the command plan carries no
+    * expression nodes for CheckAnalysis to flag as dangling.
+    * Subqueries are rejected loudly — a DML condition is evaluated
+    * file-by-file by the zone pruner and row-by-row by the scan
+    * filter, neither of which can host a correlated plan. */
+  private[plans] def detach(e: Expression, what: String): String = {
+    require(!e.exists(_.isInstanceOf[SubqueryExpression]),
+      s"logtable: subqueries are not supported in a $what")
+    // resolved attributes render FULLY QUALIFIED (catalog.db.table.col)
+    // which the internal scan cannot resolve — strip to the bare name
+    e.transform {
+      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+    }.sql
+  }
 }
 
 /** Discharges a `dvPending` LogTable scan: the DataSource provider can
@@ -37,9 +68,30 @@ object LogTableRules {
   * untouched; the discharged index cannot match again — one-shot,
   * fixed-point safe. */
 object LogTableDvRule extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan transformUp {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // DML TARGETS are left alone: DeleteFromTable/UpdateTable/
+    // MergeIntoTable hold their target as a CHILD, but the rewritten
+    // commands (LogTableDmlRule) only need the relation to find the
+    // table root — wrapping the target in the anti-join would hide it
+    // from that rule. (InsertIntoStatement's table is a field, not a
+    // child, so it was never at risk.) Identity-based, since the same
+    // relation object may legitimately appear in the SOURCE side too.
+    val shield = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[LogicalPlan, java.lang.Boolean]())
+    def mark(p: LogicalPlan): Unit = p.foreach {
+      case lr: LogicalRelation => shield.add(lr)
+      case _ => ()
+    }
+    plan.foreach {
+      case d: DeleteFromTable => mark(d.table)
+      case u: UpdateTable => mark(u.table)
+      case m: MergeIntoTable => mark(m.targetTable)
+      case _ => ()
+    }
+    plan transformUp {
     case lr: LogicalRelation
-        if LogTableRules.indexOf(lr).exists(_.dvPending) =>
+        if LogTableRules.indexOf(lr).exists(_.dvPending) &&
+          !shield.contains(lr) =>
       val idx = LogTableRules.indexOf(lr).get
       val spark = SparkSession.active
       val hfs = lr.relation.asInstanceOf[HadoopFsRelation]
@@ -51,6 +103,161 @@ object LogTableDvRule extends Rule[LogicalPlan] {
         idx.tableRoot, idx.dvIds, df, levels = idx.levels)
         .select(lr.output.map(a => col(a.name)): _*)
       org.apache.spark.sql.graftshim.PlanShim.logical(filtered)
+    }
+  }
+}
+
+/** SQL row-level DML on a named logtable — `DELETE FROM t WHERE …`,
+  * `UPDATE t SET … WHERE …` and the keyed-upsert
+  * `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *
+  * WHEN NOT MATCHED THEN INSERT *` — rewritten at analysis into the
+  * manifest DML ops (deletion-vector delete, atomic DV+reinsert
+  * update, file-granular COW merge). Spark itself has no v1 path for
+  * these nodes (they exist for DSv2 connectors), so without this rule
+  * they fail as unsupported; with it the analyst's mutation statements
+  * run with exactly the Column-API semantics, zone-pruned probes
+  * included. MERGE supports the reference's shape — equality key
+  * conjunctions with SET * / INSERT * — and rejects anything fancier
+  * loudly rather than approximating it. */
+object LogTableDmlRule extends Rule[LogicalPlan] {
+  import LogTableRules.{detach, unwrapTarget}
+
+  /** ON-clause → key columns: a conjunction of same-name equality
+    * comparisons between the two sides. */
+  private def keyColsOf(cond: Expression, targetOut: Set[Long],
+                        what: String): Seq[String] = cond match {
+    case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+      keyColsOf(a, targetOut, what) ++ keyColsOf(b, targetOut, what)
+    case EqualTo(a: AttributeReference, b: AttributeReference) =>
+      val (t, s) =
+        if (targetOut.contains(a.exprId.id)) (a, b) else (b, a)
+      require(targetOut.contains(t.exprId.id) &&
+        !targetOut.contains(s.exprId.id),
+        s"logtable MERGE: ON must compare a target column with a " +
+          s"source column, got $cond")
+      require(t.name == s.name,
+        s"logtable MERGE: ON keys must share the column name " +
+          s"(keyed upsert) — got ${t.name} = ${s.name}")
+      Seq(t.name)
+    case other => throw new IllegalArgumentException(
+      s"logtable MERGE: unsupported ON clause '$other' — use a " +
+        "conjunction of same-name equality comparisons")
+  }
+
+  /** SET * / INSERT * — either the star action itself or the
+    * analyzer's expansion into one same-name assignment per column. */
+  private def isStarShaped(actions: Seq[Any]): Boolean = actions match {
+    case Seq(UpdateStarAction(None)) | Seq(InsertStarAction(None)) =>
+      true
+    case Seq(UpdateAction(None, assigns, _)) => sameNameAssigns(assigns)
+    case Seq(InsertAction(None, assigns)) => sameNameAssigns(assigns)
+    case _ => false
+  }
+
+  /** The bare source column under the wrappers star expansion adds
+    * (AssertNotNull on non-nullable targets, widening casts). */
+  private def bare(e: Expression): Option[AttributeReference] = e match {
+    case a: AttributeReference => Some(a)
+    case n: org.apache.spark.sql.catalyst.expressions.objects
+        .AssertNotNull => bare(n.child)
+    case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+      bare(c.child)
+    case _ => None
+  }
+
+  private def sameNameAssigns(assigns: Seq[Assignment]): Boolean =
+    assigns.forall {
+      case Assignment(k: AttributeReference, v) =>
+        bare(v).exists(_.name == k.name)
+      case _ => false
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transformDown {
+    case DeleteFromTable(t, cond)
+        if unwrapTarget(t).isDefined && cond.resolved =>
+      val (_, idx) = unwrapTarget(t).get
+      LogTableDeleteCommand(idx.tableRoot,
+        detach(cond, "DELETE condition"))
+
+    case UpdateTable(t, assignments, condOpt)
+        if unwrapTarget(t).isDefined &&
+          assignments.forall(_.resolved) &&
+          condOpt.forall(_.resolved) =>
+      val (_, idx) = unwrapTarget(t).get
+      val sets = assignments.map {
+        case Assignment(k: AttributeReference, v) =>
+          k.name -> detach(v, "UPDATE assignment")
+        case other => throw new IllegalArgumentException(
+          s"logtable UPDATE: unsupported assignment target '$other' — " +
+            "assign to plain columns")
+      }
+      val cond = condOpt.map(detach(_, "UPDATE condition"))
+        .getOrElse("true")
+      LogTableUpdateCommand(idx.tableRoot, sets, cond,
+        idx.partitionSchema.fieldNames.toSeq)
+
+    case MergeIntoTable(t, source, mergeCond, matched, notMatched,
+        notMatchedBySource, withSchemaEvolution)
+        if unwrapTarget(t).isDefined && source.resolved &&
+          mergeCond.resolved =>
+      val (lr, idx) = unwrapTarget(t).get
+      require(notMatchedBySource.isEmpty,
+        "logtable MERGE: WHEN NOT MATCHED BY SOURCE is not supported")
+      require(!withSchemaEvolution,
+        "logtable MERGE: WITH SCHEMA EVOLUTION is not supported")
+      require(isStarShaped(matched),
+        "logtable MERGE: exactly WHEN MATCHED THEN UPDATE SET * is " +
+          s"supported, got $matched")
+      require(isStarShaped(notMatched),
+        "logtable MERGE: exactly WHEN NOT MATCHED THEN INSERT * is " +
+          s"supported, got $notMatched")
+      val targetIds = lr.output.map(_.exprId.id).toSet
+      val keys = keyColsOf(mergeCond, targetIds, "MERGE").distinct
+      require(keys.nonEmpty, "logtable MERGE: no key columns in ON")
+      LogTableMergeCommand(idx.tableRoot, source, keys,
+        idx.partitionSchema.fieldNames.toSeq)
+  }
+}
+
+/** DELETE FROM — deletion-vector delete through
+  * [[graft.operators.LogTable.delete]] (zone-pruned probe included). */
+final case class LogTableDeleteCommand(tableRoot: String,
+    condSql: String) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.operators.LogTable.delete(spark, tableRoot,
+      org.apache.spark.sql.functions.expr(condSql))
+    Seq.empty
+  }
+}
+
+/** UPDATE — atomic DV + transformed re-insert through
+  * [[graft.operators.LogTable.update]]. */
+final case class LogTableUpdateCommand(tableRoot: String,
+    sets: Seq[(String, String)], condSql: String,
+    partCols: Seq[String]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.operators.LogTable.update(spark, tableRoot,
+      org.apache.spark.sql.functions.expr(condSql),
+      sets.map { case (k, v) =>
+        k -> org.apache.spark.sql.functions.expr(v)
+      }.toMap,
+      dateCol = partCols.mkString(","))
+    Seq.empty
+  }
+}
+
+/** MERGE INTO (keyed upsert, SET * / INSERT *) — file-granular
+  * copy-on-write through [[graft.operators.LogTable.merge]]. */
+final case class LogTableMergeCommand(tableRoot: String,
+    source: LogicalPlan, keyCols: Seq[String],
+    partCols: Seq[String]) extends LeafRunnableCommand {
+  override def innerChildren: Seq[LogicalPlan] = Seq(source)
+  override def run(spark: SparkSession): Seq[Row] = {
+    val src = org.apache.spark.sql.graftshim.PlanShim.ofRows(spark,
+      source)
+    graft.operators.LogTable.merge(spark, tableRoot, src, keyCols,
+      dateCol = partCols.mkString(","))
+    Seq.empty
   }
 }
 

@@ -8955,6 +8955,70 @@ object ScaleQueries {
              |  CAST((SELECT count(*) + 1 FROM b) AS BIGINT) n_total,
              |  CAST(300 AS BIGINT) ins_cents""".stripMargin)),
 
+    // LogTable SQL row-level DML (x223, new r15): the analyst's
+    // mutation statements — DELETE FROM, UPDATE, MERGE INTO (keyed
+    // upsert, SET */INSERT *) — run by NAME through the injected
+    // rewrite rules onto the manifest DML ops; the final grouped
+    // state must equal DuckDB's re-derivation of the same three
+    // mutations from the event axioms.
+    QuerySpec("x223_logtable_sql_dml", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_id"),
+          col("event_id").cast("string").as("id"),
+          col("event_type").as("grp"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          lit("2024-01-01").cast("date").as("start_date_oslo"))
+      val base = java.nio.file.Files.createTempDirectory("graft_x223")
+        .toString + "/t"
+      graft.operators.LogTable.init(
+        ev.filter(col("event_id") % 3 === 0).drop("event_id")
+          .repartition(2), base, statsCols = Seq("cents"))
+      s.sql("DROP TABLE IF EXISTS graft_x223")
+      s.sql(s"CREATE TABLE graft_x223 USING logtable LOCATION '$base'")
+      s.sql("DELETE FROM graft_x223 WHERE cents % 5 = 0")
+      s.sql("UPDATE graft_x223 SET cents = cents * 2 + 1 " +
+        "WHERE grp = 'click'")
+      ev.filter(col("event_id") % 6 === 0 || col("event_id") % 3 === 2)
+        .select(col("id"), col("grp"), lit(777L).as("cents"),
+          col("start_date_oslo"))
+        .createOrReplaceTempView("graft_x223_src")
+      s.sql(
+        """MERGE INTO graft_x223 t USING graft_x223_src s
+          |ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val out = s.sql(
+        """SELECT grp, CAST(count(*) AS BIGINT) n_rows,
+          |  CAST(sum(cents) AS BIGINT) sum_cents
+          |FROM graft_x223 GROUP BY grp ORDER BY grp""".stripMargin)
+        .localCheckpoint(true)
+      s.sql("DROP TABLE graft_x223")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p.getParent, true)
+      out
+    },
+      Some("""WITH b AS (SELECT event_id e,
+             |    CAST(event_id AS VARCHAR) id, event_type grp,
+             |    CAST(round(value*100, 0) AS BIGINT) cents
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+             |t0 AS (SELECT * FROM b WHERE e % 3 = 0),
+             |t1 AS (SELECT * FROM t0 WHERE cents % 5 <> 0),
+             |t2 AS (SELECT id, grp,
+             |    CASE WHEN grp = 'click' THEN 2*cents + 1 ELSE cents
+             |    END cents
+             |  FROM t1),
+             |src AS (SELECT id, grp, CAST(777 AS BIGINT) cents
+             |  FROM b WHERE e % 6 = 0 OR e % 3 = 2),
+             |f AS (SELECT * FROM t2
+             |    WHERE id NOT IN (SELECT id FROM src)
+             |  UNION ALL SELECT * FROM src)
+             |SELECT grp, CAST(count(*) AS BIGINT) n_rows,
+             |  CAST(sum(cents) AS BIGINT) sum_cents
+             |FROM f GROUP BY grp ORDER BY grp""".stripMargin)),
+
     // LogTable MULTI-COLUMN partitioning (x222, new r15 — r14 verdict
     // missing #4): a (event_type, month) two-level layout where the
     // manifest keys are full grp=g/m=YYYY-MM-01 paths and the
