@@ -605,8 +605,19 @@ object LogTable {
     // readCheckpoint globs the dir, so reading is shape-agnostic.
     val partRowsConf = spark.conf
       .get("spark.graft.logtable.checkpointPartRows", "50000").toLong
-    val prevRows = cp.map(cv =>
-      spark.read.parquet(cpPath(ld, cv).toString).count()).getOrElse(0L)
+    // footer record counts, driver-side: a handful of checkpoint part
+    // files, metadata-only — no Spark job, and no spurious
+    // hidden-path warning from reading an underscore-named dir
+    val prevRows = cp.map { cv =>
+      fs.listStatus(cpPath(ld, cv)).map(_.getPath)
+        .filter(_.getName.endsWith(".parquet"))
+        .map { p =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+              p, spark.sparkContext.hadoopConfiguration))
+          try r.getRecordCount finally r.close()
+        }.sum
+    }.getOrElse(0L)
     val est = prevRows + addRows.size + txnRows.size
     val k = math.max(1L, math.min(256L,
       (est + partRowsConf - 1L) / partRowsConf)).toInt

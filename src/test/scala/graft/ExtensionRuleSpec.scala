@@ -657,6 +657,19 @@ class ExtensionRuleSpec extends SparkSpec {
     slice("w", d1, 1L).write.format("logtable").mode("overwrite")
       .save(root)
     assert(spark.table("graft_cat_t").count() == 10L)
+    // CTAS: CREATE TABLE ... USING logtable ... AS SELECT — the
+    // CreatableRelationProvider path seeds a fresh manifest table
+    val root2 = root + "_ctas"
+    spark.sql("DROP TABLE IF EXISTS graft_cat_ctas")
+    spark.sql(s"CREATE TABLE graft_cat_ctas USING logtable " +
+      s"LOCATION '$root2' AS SELECT * FROM graft_cat_t WHERE v <= 5")
+    assert(TableLog.currentVersion(spark, root2) == 1L,
+      "CTAS must land as a manifest init")
+    assert(spark.table("graft_cat_ctas").count() ==
+      spark.table("graft_cat_t").filter($"v" <= 5L).count())
+    assert(LogTable.read(spark, root2).columns.sorted.toSeq ==
+      spark.table("graft_cat_t").columns.sorted.toSeq)
+    spark.sql("DROP TABLE graft_cat_ctas")
     spark.sql("DROP TABLE graft_cat_t")
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
