@@ -25,6 +25,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(graft.sources.LogTableTvf.registration)
     ext.injectTableFunction(
       graft.sources.LogTableTvf.changesRegistration)
+    // ...and the commit log: logtable_history('/path') — the
+    // DESCRIBE HISTORY role (r15)
+    ext.injectTableFunction(
+      graft.sources.LogTableTvf.historyRegistration)
     // catalog surface for the logtable DataSource (r14 directive #1):
     // DV'd snapshots read by name need the anti-join rewrite, and
     // INSERT INTO/OVERWRITE must route through the manifest commit

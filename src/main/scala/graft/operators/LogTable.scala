@@ -87,10 +87,24 @@ object LogTable {
     * DVs are CUMULATIVE per file (a newer delete's vector carries the
     * older positions forward), so one id per file suffices; `dvRows`
     * counts the dead positions. Zone maps stay valid under deletion
-    * (still a superset). */
+    * (still a superset).
+    *
+    * `bloom` names the file's BLOOM SIDECAR (the Delta bloom-filter-
+    * index idea): per-column membership filters for the table's
+    * declared `bloomCols`, stored OUTSIDE the manifest at
+    * `root/_graft_bloom/<id>/<enc(tail)>.bin` (filters are KBs–MBs —
+    * manifest deltas stay metadata-thin; the blob is fetched lazily,
+    * only for files that survive zone pruning and only under an
+    * equality probe). Zone maps prune range predicates on CLUSTERED
+    * columns; blooms prune `col = k` / `col IN (...)` point lookups on
+    * columns the files are NOT sorted by — the scattered-id case where
+    * every zone spans everything. Bloom admission stays a superset
+    * under deletion (a DV'd row may still hit the filter — never
+    * wrongly prunes); a file without a sidecar is always planned. */
   final case class FileStat(file: String, bytes: Long, rows: Long = -1L,
                             zones: Map[String, Zone] = Map.empty,
-                            dv: Option[String] = None, dvRows: Long = 0L)
+                            dv: Option[String] = None, dvRows: Long = 0L,
+                            bloom: Option[String] = None)
 
   /** One version's reconstructed snapshot: partition dir name → live
     * files, the stats columns the zone maps describe, the table schema
@@ -104,7 +118,8 @@ object LogTable {
                             statsCols: Seq[String],
                             schemaDdl: Option[String],
                             parts: Map[String, Seq[FileStat]],
-                            txns: Seq[String] = Seq.empty)
+                            txns: Seq[String] = Seq.empty,
+                            bloomCols: Seq[String] = Seq.empty)
 
   /** A zone-map probe predicate: inclusive [lo, hi] on one stats
     * column. [[NumRange]] probes numeric zones, [[StrRange]] probes
@@ -178,7 +193,8 @@ object LogTable {
                                  schemaDdl: Option[String],
                                  adds: Map[String, Seq[FileStat]],
                                  removes: Seq[String],
-                                 ts: Long)
+                                 ts: Long,
+                                 bloomCols: Seq[String] = Seq.empty)
 
   /** Reconstructed manifests are immutable → memoize. Keyed by
     * qualified root + version; [[manifest]] re-checks the version file
@@ -216,6 +232,7 @@ object LogTable {
       (if (f.rows >= 0L) s""","rows":${f.rows}""" else "") +
       f.dv.map(id => s""","dv":${jstr(id)},"dvRows":${f.dvRows}""")
         .getOrElse("") +
+      f.bloom.map(id => s""","bloom":${jstr(id)}""").getOrElse("") +
       f.zones.toSeq.sortBy(_._1).map { case (c, z) =>
         val (lo, hi) = if (z.num) (z.lo, z.hi) else (jstr(z.lo), jstr(z.hi))
         s""","min:${c}":$lo,"max:${c}":$hi"""
@@ -267,7 +284,8 @@ object LogTable {
                              statsCols: Seq[String],
                              schemaDdl: Option[String],
                              adds: Map[String, Seq[FileStat]],
-                             removes: Seq[String]): Boolean = {
+                             removes: Seq[String],
+                             bloomCols: Seq[String]): Boolean = {
     val (fs, root) = TableLog.fsFor(spark, tableRoot)
     val ld = TableLog.logDir(root)
     val finalP = deltaPath(ld, v)
@@ -282,6 +300,9 @@ object LogTable {
       if (statsCols.nonEmpty)
         out.write(statsCols.map(jstr)
           .mkString(""""statsCols":[""", ",", "],"))
+      if (bloomCols.nonEmpty)
+        out.write(bloomCols.map(jstr)
+          .mkString(""""bloomCols":[""", ",", "],"))
       out.write(s""""ts":${System.currentTimeMillis()},"parts":[""")
       var firstPart = true
       adds.toSeq.sortBy(_._1).foreach { case (part, files) =>
@@ -378,7 +399,9 @@ object LogTable {
                           adds: Map[String, Seq[FileStat]],
                           removes: Seq[String],
                           removesFor: Option[Manifest => Seq[String]] =
-                            None): Long = {
+                            None,
+                          bloomColsOv: Option[Seq[String]] = None)
+      : Long = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -390,6 +413,14 @@ object LogTable {
         if (head > 0L && (attempts > 1 || removesFor.isDefined))
           Some(manifest(spark, tableRoot, head))
         else None
+      // the bloom-column declaration is table-level and sticky: every
+      // commit re-states the HEAD's declaration (like statsCols, the
+      // header rides each version's own delta) unless an op
+      // explicitly re-declares it (declareBloomCols)
+      val bc = bloomColsOv.getOrElse(
+        if (head > 0L)
+          headM.getOrElse(manifest(spark, tableRoot, head)).bloomCols
+        else Seq.empty)
       val ddl =
         if (attempts == 1 || headM.isEmpty) schemaDdl
         else reconcileDdl(schemaDdl, headM.get.schemaDdl)
@@ -413,7 +444,7 @@ object LogTable {
           removes
       }
       if (tryCommitDelta(spark, tableRoot, head + 1, action, statsCols,
-          ddl, adds, rm))
+          ddl, adds, rm, bc))
         return head + 1
     }
     -1L // unreachable
@@ -432,12 +463,15 @@ object LogTable {
       finally in.close()
     val action = "\"action\":\"([^\"]*)\"".r.findFirstMatchIn(body)
       .map(_.group(1)).getOrElse("")
-    val statsCols = "\"statsCols\":\\[([^\\]]*)\\]".r
-      .findFirstMatchIn(body).map(_.group(1)) match {
-      case Some(inner) if inner.nonEmpty =>
-        "\"([^\"]*)\"".r.findAllMatchIn(inner).map(_.group(1)).toSeq
-      case _ => Seq.empty[String]
-    }
+    def strArray(key: String): Seq[String] =
+      s""""$key":\\[([^\\]]*)\\]""".r
+        .findFirstMatchIn(body).map(_.group(1)) match {
+        case Some(inner) if inner.nonEmpty =>
+          "\"([^\"]*)\"".r.findAllMatchIn(inner).map(_.group(1)).toSeq
+        case _ => Seq.empty[String]
+      }
+    val statsCols = strArray("statsCols")
+    val bloomCols = strArray("bloomCols")
     val schemaDdl = "\"schemaDdl\":\"([^\"]*)\"".r
       .findFirstMatchIn(body).map(_.group(1))
     // the parts array starts after the statsCols array (if any), so the
@@ -462,7 +496,8 @@ object LogTable {
         FileStat(unq(fields("file")), fields("bytes").toLong,
           fields.get("rows").map(_.toLong).getOrElse(-1L), zones,
           fields.get("dv").map(unq),
-          fields.get("dvRows").map(_.toLong).getOrElse(0L))
+          fields.get("dvRows").map(_.toLong).getOrElse(0L),
+          fields.get("bloom").map(unq))
       }.toSeq
     }.toMap
     val removes = "\"removes\":\\[([^\\]]*)\\]".r
@@ -473,7 +508,7 @@ object LogTable {
     }
     val ts = "\"ts\":(\\d+)".r.findFirstMatchIn(body)
       .map(_.group(1).toLong).getOrElse(0L)
-    Delta(v, action, statsCols, schemaDdl, adds, removes, ts)
+    Delta(v, action, statsCols, schemaDdl, adds, removes, ts, bloomCols)
   }
 
   /** The newest RETAINED version whose commit wall-clock timestamp is
@@ -520,6 +555,36 @@ object LogTable {
   def readAsOfTimestamp(spark: SparkSession, tableRoot: String,
                         tsMillis: Long): DataFrame =
     read(spark, tableRoot, Some(versionAsOf(spark, tableRoot, tsMillis)))
+
+  /** The commit log as a frame — the `DESCRIBE HISTORY` role: one row
+    * per RETAINED version with (version, op, the raw action incl. any
+    * txn tag, commit timestamp, files added/removed by the delta).
+    * Driver-side over O(retained versions) delta reads (each delta is
+    * KB-scale metadata — the same reads reconstruction makes), so the
+    * cost is the log's, never the data's. Vacuumed versions are
+    * absent by construction. */
+  def history(spark: SparkSession, tableRoot: String): DataFrame = {
+    val (fs, root) = TableLog.fsFor(spark, tableRoot)
+    val ld = TableLog.logDir(root)
+    val versions =
+      (if (fs.exists(ld)) fs.listStatus(ld).map(_.getPath.getName)
+       else Array.empty[String])
+        .filter(n => n.startsWith("_v") && n.endsWith(".json"))
+        .map(n => n.stripPrefix("_v").stripSuffix(".json").toLong)
+        .sorted.toSeq
+    require(versions.nonEmpty,
+      s"LogTable.history: $tableRoot has no committed version")
+    val rows = versions.map { v =>
+      val d = parseDelta(fs, deltaPath(ld, v), v)
+      val op = d.action.split(':').head
+      (v, op, d.action, new java.sql.Timestamp(d.ts),
+        d.adds.values.map(_.size.toLong).sum,
+        d.removes.size.toLong)
+    }
+    import spark.implicits._
+    rows.toDF("version", "op", "action", "commit_ts",
+      "n_added_files", "n_removed_files")
+  }
 
   /** Write version `v`'s full live set as a parquet checkpoint dir
     * (`_cp%08d`) — columnar and executor-readable, the Delta
@@ -574,20 +639,26 @@ object LogTable {
     val addRows = addsAcc.values.toSeq.map { case (p, f) =>
       val zs = f.zones.toSeq.sortBy(_._1)
       (p, f.file, f.bytes, f.rows, zs.map(_._1), zs.map(_._2.lo),
-        zs.map(_._2.hi), zs.map(_._2.num), f.dv.getOrElse(""), f.dvRows)
+        zs.map(_._2.hi), zs.map(_._2.num), f.dv.getOrElse(""), f.dvRows,
+        f.bloom.getOrElse(""))
     }
     val txnRows = txns.zipWithIndex.map { case (t, i) =>
       ("__txn", t, i.toLong, -1L, Seq.empty[String], Seq.empty[String],
-        Seq.empty[String], Seq.empty[Boolean], "", 0L)
+        Seq.empty[String], Seq.empty[Boolean], "", 0L, "")
     }
     val cpCols = Seq("part", "file", "bytes", "rows", "zcols", "zlos",
-      "zhis", "znums", "dv", "dvRows")
+      "zhis", "znums", "dv", "dvRows", "bloom")
     val localDf = (addRows ++ txnRows).toDF(cpCols: _*)
     val out = cp match {
       case Some(cv) =>
         val retired = removedFromCp.toSeq.map(splitTail)
           .toDF("part", "file")
-        spark.read.parquet(cpPath(ld, cv).toString)
+        val prevCp0 = spark.read.parquet(cpPath(ld, cv).toString)
+        // a pre-bloom checkpoint carries forward with empty pointers
+        val prevCp =
+          if (prevCp0.schema.fieldNames.contains("bloom")) prevCp0
+          else prevCp0.withColumn("bloom", lit(""))
+        prevCp
           .filter(col("part") =!= "__txn")
           .join(broadcast(retired), Seq("part", "file"), "left_anti")
           .select(cpCols.map(col): _*)
@@ -634,7 +705,10 @@ object LogTable {
       : (Map[String, Seq[FileStat]], Seq[String]) = {
     val (_, root) = TableLog.fsFor(spark, tableRoot)
     val ld = TableLog.logDir(root)
-    val rows = spark.read.parquet(cpPath(ld, v).toString).collect()
+    val df = spark.read.parquet(cpPath(ld, v).toString)
+    // pre-bloom checkpoints (r15) lack the trailing pointer column
+    val hasBloom = df.schema.fieldNames.contains("bloom")
+    val rows = df.collect()
     val (txnRows, fileRows) = rows.partition(_.getString(0) == "__txn")
     val parts = fileRows.map { r =>
       val zcols = r.getSeq[String](4)
@@ -645,7 +719,10 @@ object LogTable {
         .map(i => zcols(i) -> Zone(zlos(i), zhis(i), znums(i))).toMap
       r.getString(0) -> FileStat(r.getString(1), r.getLong(2),
         r.getLong(3), zones,
-        Option(r.getString(8)).filter(_.nonEmpty), r.getLong(9))
+        Option(r.getString(8)).filter(_.nonEmpty), r.getLong(9),
+        if (hasBloom)
+          Option(r.getString(r.fieldIndex("bloom"))).filter(_.nonEmpty)
+        else None)
     }.groupBy(_._1).map { case (p, fl) =>
       p -> fl.map(_._2).sortBy(_.file).toSeq }
     val txns = txnRows.sortBy(_.getLong(2)).map(_.getString(1)).toSeq
@@ -698,7 +775,7 @@ object LogTable {
     // replay loop is EMPTY when a checkpoint sits exactly at `version`)
     val head = parseDelta(fs, deltaPath(ld, version), version)
     val m = Manifest(version, head.action, head.statsCols,
-      head.schemaDdl, parts, txns)
+      head.schemaDdl, parts, txns, head.bloomCols)
     if (manifestCache.size > 4096) manifestCache.clear()
     manifestCache.put(key, m)
     m
@@ -1323,6 +1400,298 @@ object LogTable {
     }
 
   // ---------------------------------------------------------------------
+  // Bloom sidecars: per-file membership filters for point-lookup
+  // file pruning (the Delta bloom-filter-index / Iceberg puffin idea)
+  // ---------------------------------------------------------------------
+
+  private[graft] val BloomDirName = "_graft_bloom"
+  private val BloomBlobMagic = 0x47424C31 // "GBL1"
+
+  /** Bloom-indexable columns are integral or string — the id-lookup
+    * shapes ([[org.apache.spark.util.sketch.BloomFilter]] hashes longs
+    * and UTF-8 strings; floats don't point-probe meaningfully and
+    * dates range-probe through zone maps). */
+  private def validateBloomCols(schema: StructType,
+                                cols: Seq[String], op: String): Unit = {
+    require(cols.forall(_.matches("[A-Za-z0-9_]+")),
+      s"LogTable.$op: bloom columns must be plain identifiers, got " +
+        cols.mkString(","))
+    cols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"LogTable.$op: bloom column $c is not in the schema")
+      schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType | StringType =>
+        case other => sys.error(s"LogTable.$op: bloom column $c has " +
+          s"unsupported type ${other.simpleString} — integral and " +
+          "string columns carry bloom filters (use zone-map statsCols " +
+          "for range-prunable numerics/dates)")
+      }
+    }
+  }
+
+  /** Path-safe encoding of a `part/file` tail for the per-file blob
+    * name inside a sidecar dir: percent-encode everything outside
+    * `[A-Za-z0-9._-]` (including `/`), so any partition value maps to
+    * exactly one flat file name. */
+  private def encTail(tail: String): String =
+    tail.map {
+      case ch if ch.isLetterOrDigit && ch < 0x80 => ch.toString
+      case '.' => "."
+      case '_' => "_"
+      case '-' => "-"
+      case ch => f"%%${ch.toInt}%04X"
+    }.mkString
+
+  private def bloomBlobPath(tableRoot: String, id: String,
+                            tail: String): String =
+    s"$tableRoot/$BloomDirName/$id/${encTail(tail)}.bin"
+
+  /** Build per-file bloom filters for `bloomCols` over the given files
+    * and attach a sidecar pointer to each [[FileStat]] — the commit-
+    * time twin of [[withStats]], run AFTER it so per-file row counts
+    * size each filter. One Spark job scans the files once; each
+    * merged (file → filters) entry is serialized by the EXECUTOR that
+    * reduced it, directly into `_graft_bloom/<commit-uuid>/<enc
+    * (tail)>.bin` — the driver sees only the written tails (bloom
+    * blobs are KBs–MBs per file; collecting them would make the
+    * driver the bottleneck a 1000-file commit can't afford). Filters
+    * are sized by the file's known row count (else a bytes-based
+    * estimate), capped by `spark.graft.logtable.bloomMaxItems`, at
+    * `spark.graft.logtable.bloomFpp` (default 1 %). A column absent
+    * from a file's frame (pre-evolution files) or with no rows simply
+    * yields no/empty filters — absent filters never prune, empty ones
+    * prune correctly (no non-null value can equal a probe).
+    *
+    * Task retries overwrite the same blob path with byte-identical
+    * content (filter bits are a pure function of the inserted values
+    * and the fixed sizing), so the write is idempotent. */
+  private def withBlooms(spark: SparkSession, tableRoot: String,
+                         bloomCols: Seq[String],
+                         parts: Map[String, Seq[FileStat]])
+      : Map[String, Seq[FileStat]] =
+    if (bloomCols.isEmpty || parts.isEmpty) parts
+    else {
+      val paths = parts.toSeq.flatMap { case (p, fl) =>
+        fl.map(f => s"$tableRoot/$p/${f.file}") }
+      if (paths.isEmpty) return parts
+      val df = spark.read.option("basePath", tableRoot).parquet(paths: _*)
+      val present = bloomCols.filter(df.columns.contains)
+      val usable = present.filter(c => df.schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             StringType => true
+        case _ => false
+      })
+      if (usable.isEmpty) return parts
+      val lvl = levelsOfParts(parts)
+      val fpp = spark.conf
+        .get("spark.graft.logtable.bloomFpp", "0.01").toDouble
+      val maxItems = spark.conf
+        .get("spark.graft.logtable.bloomMaxItems", "4000000").toLong
+      val sizing: Map[String, Long] = parts.toSeq.flatMap {
+        case (p, fl) => fl.map { f =>
+          val est = if (f.rows >= 0L) f.rows else f.bytes / 32L
+          s"$p/${f.file}" -> math.min(maxItems, math.max(64L, est))
+        }
+      }.toMap
+      val id = java.util.UUID.randomUUID().toString.replace("-", "")
+      val fs0 = new org.apache.hadoop.fs.Path(tableRoot)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs0.mkdirs(new org.apache.hadoop.fs.Path(
+        s"$tableRoot/$BloomDirName/$id"))
+      val confThunk = org.apache.spark.sql.graftshim.ConfShim
+        .broadcast(spark.sparkContext,
+          spark.sparkContext.hadoopConfiguration)
+      val sizingB = spark.sparkContext.broadcast(sizing)
+      val nCols = usable.length
+      val kinds: Array[Char] = usable.map(c =>
+        if (df.schema(c).dataType == StringType) 's' else 'l').toArray
+      val widths: Array[DataType] = usable.map(df.schema(_).dataType)
+        .toArray
+      val colNames = usable.toArray
+      val rootStr = tableRoot
+      // UNRESOLVED InternalRow scan (queryExecution.toRdd), not .rdd:
+      // the Row-boxing conversion costs ~5× on a multi-million-row
+      // commit (measured in tools/ProfileBloom) — hashing reads the
+      // unsafe row directly
+      val written: Array[String] = df
+        .select((input_file_name().as("__f") +: usable.map(col)): _*)
+        .queryExecution.toRdd.mapPartitions { it =>
+          val acc = scala.collection.mutable.HashMap[
+            String, Array[org.apache.spark.util.sketch.BloomFilter]]()
+          // the file-name column is constant over long runs: compare
+          // the (buffer-backed) UTF8String view against a cloned copy
+          // so the per-row work is a byte compare, not a String alloc
+          var lastUri: org.apache.spark.unsafe.types.UTF8String = null
+          var lastTail: String = null
+          it.foreach { row =>
+            val uri = row.getUTF8String(0)
+            if (lastUri == null || !uri.equals(lastUri)) {
+              lastUri = uri.clone()
+              lastTail = decodeTail(uri.toString, lvl)
+            }
+            val filters = acc.getOrElseUpdate(lastTail, {
+              val n = sizingB.value(lastTail)
+              Array.fill(nCols)(org.apache.spark.util.sketch
+                .BloomFilter.create(n, fpp))
+            })
+            var i = 0
+            while (i < nCols) {
+              if (!row.isNullAt(i + 1)) {
+                if (kinds(i) == 's')
+                  filters(i).putString(row.getUTF8String(i + 1).toString)
+                else filters(i).putLong(widths(i) match {
+                  case LongType => row.getLong(i + 1)
+                  case IntegerType => row.getInt(i + 1).toLong
+                  case ShortType => row.getShort(i + 1).toLong
+                  case _ => row.getByte(i + 1).toLong
+                })
+              }
+              i += 1
+            }
+          }
+          acc.iterator
+        }
+        .reduceByKey { (a, b) =>
+          var i = 0
+          while (i < a.length) { a(i).mergeInPlace(b(i)); i += 1 }
+          a
+        }
+        .map { case (tail, filters) =>
+          val fs = new org.apache.hadoop.fs.Path(rootStr)
+            .getFileSystem(confThunk())
+          val out = new java.io.DataOutputStream(
+            new java.io.BufferedOutputStream(fs.create(
+              new org.apache.hadoop.fs.Path(
+                bloomBlobPath(rootStr, id, tail)), true)))
+          try {
+            out.writeInt(BloomBlobMagic)
+            out.writeInt(nCols)
+            var i = 0
+            while (i < nCols) {
+              out.writeUTF(colNames(i))
+              out.writeChar(kinds(i))
+              // length-prefixed filter block: readFrom may buffer
+              // ahead on a raw stream, so the reader hands it an
+              // exactly-sized slice instead of the live stream
+              val buf = new java.io.ByteArrayOutputStream()
+              filters(i).writeTo(buf)
+              out.writeInt(buf.size())
+              buf.writeTo(out)
+              i += 1
+            }
+          } finally out.close()
+          tail
+        }.collect()
+      val tagged = written.toSet
+      parts.map { case (p, fl) =>
+        p -> fl.map { f =>
+          if (tagged(s"$p/${f.file}")) f.copy(bloom = Some(id)) else f
+        }
+      }
+    }
+
+  /** Blob cache: sidecar blobs are immutable (new stats → new sidecar
+    * id), so cache by qualified path. Bounded bluntly like
+    * [[manifestCache]] — blobs are MB-scale, keep the bound small. */
+  private val bloomBlobCache = new java.util.concurrent.ConcurrentHashMap[
+    String, Map[String, (Char, org.apache.spark.util.sketch.BloomFilter)]]()
+
+  private def loadBloomBlob(fs: org.apache.hadoop.fs.FileSystem,
+                            path: String)
+      : Option[Map[String,
+          (Char, org.apache.spark.util.sketch.BloomFilter)]] = {
+    val key = fs.makeQualified(new org.apache.hadoop.fs.Path(path))
+      .toString
+    val hit = bloomBlobCache.get(key)
+    if (hit != null) return Some(hit)
+    val p = new org.apache.hadoop.fs.Path(path)
+    if (!fs.exists(p)) return None // lost sidecar: never prune on it
+    val in = new java.io.DataInputStream(
+      new java.io.BufferedInputStream(fs.open(p)))
+    val m = try {
+      require(in.readInt() == BloomBlobMagic,
+        s"LogTable: $path is not a bloom sidecar blob")
+      val n = in.readInt()
+      (0 until n).map { _ =>
+        val c = in.readUTF()
+        val kind = in.readChar()
+        val len = in.readInt()
+        val buf = new Array[Byte](len)
+        in.readFully(buf)
+        c -> (kind, org.apache.spark.util.sketch.BloomFilter.readFrom(
+          new java.io.ByteArrayInputStream(buf)))
+      }.toMap
+    } finally in.close()
+    if (bloomBlobCache.size > 128) bloomBlobCache.clear()
+    bloomBlobCache.put(key, m)
+    Some(m)
+  }
+
+  /** Can this file contain a row matching every equality probe?
+    * `probes` = per-column conjuncts, each an OR-set of candidate
+    * values (`c = 5` → Set(5); `c IN (a,b)` → Set(a,b); two conjuncts
+    * on one column must BOTH admit). Superset contract like
+    * [[zoneAdmits]]: no sidecar, a lost blob, a column the blob lacks,
+    * or a value shape the filter can't hash → admit. A definite
+    * bloom miss on EVERY value of some conjunct ⇒ no row can satisfy
+    * that equality ⇒ skip is exact (deleted-but-present rows only
+    * widen admission, never narrow it). */
+  private[graft] def bloomAdmits(spark: SparkSession, tableRoot: String,
+                                 tail: String, f: FileStat,
+                                 probes: Map[String, Seq[Set[Any]]])
+      : Boolean =
+    f.bloom match {
+      case None => true
+      case Some(id) =>
+        val fs = new org.apache.hadoop.fs.Path(tableRoot)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        loadBloomBlob(fs, bloomBlobPath(tableRoot, id, tail)) match {
+          case None => true
+          case Some(blob) =>
+            probes.forall { case (c, conjuncts) =>
+              blob.get(c) match {
+                case None => true
+                case Some((kind, bf)) =>
+                  conjuncts.forall(_.exists {
+                    case s: String if kind == 's' => bf.mightContainString(s)
+                    case n: java.lang.Long if kind == 'l' =>
+                      bf.mightContainLong(n)
+                    case _ => true // shape mismatch: cannot skip safely
+                  })
+              }
+            }
+        }
+    }
+
+  /** Declare (or re-declare, or drop with `cols = Seq.empty`) the
+    * table's bloom-indexed columns and (re)build every live file's
+    * sidecar under the new declaration — the bloom twin of
+    * [[recomputeStats]], and the way to enable point-lookup pruning
+    * on an existing table. One commit re-points every live tail;
+    * prior versions keep their old sidecars ([[vacuum]] reclaims
+    * unreferenced ones). Returns the committed version. */
+  def declareBloomCols(spark: SparkSession, tableRoot: String,
+                       cols: Seq[String]): Long =
+    TableLog.withLock(spark, tableRoot, "bloomcols") {
+      val v = TableLog.currentVersion(spark, tableRoot)
+      require(v > 0L, s"LogTable.declareBloomCols: $tableRoot has no " +
+        "manifest")
+      val prev = manifest(spark, tableRoot, v)
+      prev.schemaDdl.foreach(ddl =>
+        validateBloomCols(StructType.fromDDL(ddl), cols,
+          "declareBloomCols"))
+      if (prev.parts.isEmpty && cols == prev.bloomCols) v
+      else {
+        val blank = prev.parts.map { case (p, fl) =>
+          p -> fl.map(f => f.copy(bloom = None))
+        }
+        writeCommit(spark, tableRoot, "bloomcols", prev.statsCols,
+          prev.schemaDdl, withBlooms(spark, tableRoot, cols, blank),
+          fileKeys(prev.parts), bloomColsOv = Some(cols))
+      }
+    }
+
+  // ---------------------------------------------------------------------
   // Mutations
   // ---------------------------------------------------------------------
 
@@ -1396,11 +1765,27 @@ object LogTable {
     * staged files, never a directory listing — a crashed-and-retried
     * init (or pre-existing litter in a partition dir) can no longer be
     * absorbed into the initial manifest as phantom rows; such orphans
-    * stay unreferenced and [[vacuum]] reclaims them. */
+    * stay unreferenced and [[vacuum]] reclaims them.
+    *
+    * `txnId` makes the CREATE itself idempotent (the streaming sink's
+    * bootstrap batch, r15): the id rides the v1 action
+    * (`init:txn=<id>`) into the txn ledger, and a replayed call that
+    * finds the ledger already carrying it returns the current version
+    * as a no-op instead of failing the already-has-commits check —
+    * exactly [[append]]'s replay contract, extended to batch 0. */
   def init(df: DataFrame, tableRoot: String,
            dateCol: String = "start_date_oslo",
-           statsCols: Seq[String] = Seq.empty): Long = {
+           statsCols: Seq[String] = Seq.empty,
+           txnId: Option[String] = None,
+           bloomCols: Seq[String] = Seq.empty): Long = {
+    validateBloomCols(df.schema, bloomCols, "init")
+    txnId.foreach(validTxnId("init", _))
+    val action = txnId.map(t => s"init:txn=$t").getOrElse("init")
     val spark = df.sparkSession
+    val v0 = TableLog.currentVersion(spark, tableRoot)
+    if (txnId.isDefined && v0 > 0L &&
+        manifest(spark, tableRoot, v0).txns.contains(action))
+      return v0 // replayed bootstrap: the create already committed
     val partCols = partColsOf(dateCol)
     validatePartTypes(df, partCols, "init")
     val (fs, root) = TableLog.fsFor(spark, tableRoot)
@@ -1413,10 +1798,11 @@ object LogTable {
       require(TableLog.currentVersion(spark, tableRoot) == 0L,
         s"LogTable.init: $tableRoot already has commits")
       promoteStage(fs, root, stagePath, stagedParts, "init")
-      if (!tryCommitDelta(spark, tableRoot, 1L, "init", statsCols,
+      if (!tryCommitDelta(spark, tableRoot, 1L, action, statsCols,
           Some(df.schema.toDDL),
-          withStats(spark, tableRoot, statsCols, stagedParts),
-          Seq.empty))
+          withBlooms(spark, tableRoot, bloomCols,
+            withStats(spark, tableRoot, statsCols, stagedParts)),
+          Seq.empty, bloomCols))
         sys.error(s"LogTable.init: $tableRoot already has commits " +
           "(a concurrent init won the v1 race)")
       1L
@@ -1455,7 +1841,9 @@ object LogTable {
       promoteStage(fs, root, stagePath, stagedParts, "overwrite")
       val staged = stagedParts.values.flatten.map(_.file).toSet
       writeCommit(spark, tableRoot, "overwrite", sc, Some(ddl),
-        withStats(spark, tableRoot, sc, stagedParts),
+        withBlooms(spark, tableRoot,
+          prevM.map(_.bloomCols).getOrElse(Seq.empty),
+          withStats(spark, tableRoot, sc, stagedParts)),
         prevM.map(m => fileKeys(m.parts)).getOrElse(Seq.empty),
         removesFor = Some(m => fileKeys(m.parts)
           .filterNot(t => staged.contains(splitTail(t)._2))))
@@ -1493,7 +1881,8 @@ object LogTable {
       val staged = stagedParts.values.flatten.map(_.file).toSet
       writeCommit(spark, tableRoot, "replace", prev.statsCols,
         Some(ddl),
-        withStats(spark, tableRoot, prev.statsCols, stagedParts),
+        withBlooms(spark, tableRoot, prev.bloomCols,
+          withStats(spark, tableRoot, prev.statsCols, stagedParts)),
         Seq.empty,
         removesFor = Some(m => fileKeys(m.parts.view
           .filterKeys(touched.contains).toMap)
@@ -1590,6 +1979,7 @@ object LogTable {
           result = v
         } else {
           val sc = prevM.map(_.statsCols).getOrElse(Seq.empty)
+          val bc = prevM.map(_.bloomCols).getOrElse(Seq.empty)
           // first attempt: strict add-only evolution against the head
           // we read; retries: the head moved (a racing writer may have
           // evolved it too) — reconcile the UNION, since our frame is
@@ -1599,11 +1989,12 @@ object LogTable {
             allowMissingNullable = true)
           if (!promoted) {
             promoteStage(fs, root, stagePath, stagedParts, "append")
-            statted = withStats(spark, tableRoot, sc, stagedParts)
+            statted = withBlooms(spark, tableRoot, bc,
+              withStats(spark, tableRoot, sc, stagedParts))
             promoted = true
           }
           if (tryCommitDelta(spark, tableRoot, v + 1L, action, sc,
-              Some(ddl), statted, Seq.empty))
+              Some(ddl), statted, Seq.empty, bc))
             result = v + 1L
         }
       }
@@ -1799,7 +2190,8 @@ object LogTable {
           fl.filter(_.bytes < targetBytes).map(f => s"$p/${f.file}") }
         writeCommit(spark, tableRoot, "compact", prev.statsCols,
           prev.schemaDdl,
-          withStats(spark, tableRoot, prev.statsCols, stagedAll),
+          withBlooms(spark, tableRoot, prev.bloomCols,
+            withStats(spark, tableRoot, prev.statsCols, stagedAll)),
           removes)
       }
     }
@@ -1926,7 +2318,8 @@ object LogTable {
           fl.map(f => s"$p/${f.file}") }
         writeCommit(spark, tableRoot, "zorder", prev.statsCols,
           prev.schemaDdl,
-          withStats(spark, tableRoot, prev.statsCols, stagedAll),
+          withBlooms(spark, tableRoot, prev.bloomCols,
+            withStats(spark, tableRoot, prev.statsCols, stagedAll)),
           removes)
       }
     }
@@ -1939,44 +2332,106 @@ object LogTable {
     * `updates`), typed per column like the zones themselves. None =
     * zones cannot prune (a key column without zone maps, or a bound
     * that cannot be computed) — the caller probes the full live set.
-    * Package-visible so the pruning contract is spec-testable. */
+    * Package-visible so the pruning contract is spec-testable.
+    *
+    * r15: when a key column is also a declared BLOOM column and the
+    * update batch's distinct key set is small (≤
+    * `spark.graft.logtable.bloomMergeMaxKeys`, default 10 000 — the
+    * incremental-upsert shape), the exact keys are collected and each
+    * zone-admitted file is additionally bloom-probed: a file whose
+    * filter definitely misses EVERY key of some key column cannot
+    * hold a matching tuple. This is what makes a narrow COW merge
+    * into a SCATTERED table O(files actually hit) instead of O(files
+    * whose [min,max] happens to straddle the keys) — the zone
+    * bounding box of hash-distributed keys typically spans every
+    * file. Per-column OR-set semantics stay a superset of the tuple
+    * match, like everywhere else. */
   private[graft] def mergeCandidateFiles(spark: SparkSession,
                                          tableRoot: String, m: Manifest,
                                          updates: DataFrame,
                                          keyCols: Seq[String])
       : Option[Seq[String]] = {
-    if (!keyCols.forall(m.statsCols.contains)) return None
     val schema = updates.schema
-    val aggs = keyCols.flatMap { c =>
-      schema(c).dataType match {
-        case FloatType | DoubleType =>
-          val cd = col(c).cast("double")
-          val clean = when(!isnan(cd), cd)
-          Seq(min(clean).as(s"__lo:$c"), max(clean).as(s"__hi:$c"))
-        case _: NumericType =>
-          val cd = col(c).cast("double")
-          Seq(min(cd).as(s"__lo:$c"), max(cd).as(s"__hi:$c"))
-        case DateType | TimestampType | TimestampNTZType =>
-          Seq(min(col(c)).cast("string").as(s"__lo:$c"),
-            max(col(c)).cast("string").as(s"__hi:$c"))
-        case StringType =>
-          Seq(min(col(c)).as(s"__lo:$c"), max(col(c)).as(s"__hi:$c"))
-        case _ => return None
+    val bloomable = keyCols.filter(c => m.bloomCols.contains(c) &&
+      (schema(c).dataType match {
+        case ByteType | ShortType | IntegerType | LongType |
+             StringType => true
+        case _ => false
+      }))
+    val bloomProbes: Map[String, Seq[Set[Any]]] =
+      if (bloomable.isEmpty ||
+          !spark.conf.get("spark.graft.logtable.bloomPrune", "true")
+            .toBoolean) Map.empty
+      else {
+        val maxKeys = spark.conf
+          .get("spark.graft.logtable.bloomMergeMaxKeys", "10000").toInt
+        bloomable.flatMap { c =>
+          val distinct = updates.select(col(c)).filter(col(c).isNotNull)
+            .distinct().limit(maxKeys + 1).collect()
+          if (distinct.length > maxKeys) None // too wide: zones only
+          else {
+            val vals: Set[Any] = distinct.map(_.get(0) match {
+              case s: String => s: Any
+              case n: Number => java.lang.Long.valueOf(n.longValue())
+              case other => other
+            }).toSet
+            if (vals.isEmpty) None else Some(c -> Seq(vals))
+          }
+        }.toMap
       }
-    }
-    val row = updates.agg(aggs.head, aggs.tail: _*).collect().head
-    val preds: Seq[ZonePred] = keyCols.flatMap { c =>
-      val (li, hi) = (row.fieldIndex(s"__lo:$c"), row.fieldIndex(s"__hi:$c"))
-      if (row.isNullAt(li) || row.isNullAt(hi)) None
-      else schema(c).dataType match {
-        case _: NumericType =>
-          Some(NumRange(c, row.getDouble(li), row.getDouble(hi)))
-        case _ => Some(StrRange(c, row.getString(li), row.getString(hi)))
+    if (!keyCols.forall(m.statsCols.contains) && bloomProbes.isEmpty)
+      return None
+    val preds: Seq[ZonePred] =
+      if (!keyCols.forall(m.statsCols.contains)) Seq.empty
+      else {
+        val aggsOpt: Option[Seq[org.apache.spark.sql.Column]] =
+          keyCols.foldLeft(
+              Option(Seq.empty[org.apache.spark.sql.Column])) {
+            case (None, _) => None
+            case (Some(acc), c) => schema(c).dataType match {
+              case FloatType | DoubleType =>
+                val cd = col(c).cast("double")
+                val clean = when(!isnan(cd), cd)
+                Some(acc ++ Seq(min(clean).as(s"__lo:$c"),
+                  max(clean).as(s"__hi:$c")))
+              case _: NumericType =>
+                val cd = col(c).cast("double")
+                Some(acc ++ Seq(min(cd).as(s"__lo:$c"),
+                  max(cd).as(s"__hi:$c")))
+              case DateType | TimestampType | TimestampNTZType =>
+                Some(acc ++ Seq(min(col(c)).cast("string")
+                  .as(s"__lo:$c"),
+                  max(col(c)).cast("string").as(s"__hi:$c")))
+              case StringType =>
+                Some(acc ++ Seq(min(col(c)).as(s"__lo:$c"),
+                  max(col(c)).as(s"__hi:$c")))
+              case _ => None
+            }
+          }
+        aggsOpt match {
+          case None => Seq.empty
+          case Some(aggs) =>
+            val row = updates.agg(aggs.head, aggs.tail: _*)
+              .collect().head
+            val ps = keyCols.flatMap { c =>
+              val (li, hi) =
+                (row.fieldIndex(s"__lo:$c"), row.fieldIndex(s"__hi:$c"))
+              if (row.isNullAt(li) || row.isNullAt(hi)) None
+              else schema(c).dataType match {
+                case _: NumericType =>
+                  Some(NumRange(c, row.getDouble(li), row.getDouble(hi)))
+                case _ =>
+                  Some(StrRange(c, row.getString(li), row.getString(hi)))
+              }
+            }
+            if (ps.size != keyCols.size) Seq.empty else ps
+        }
       }
-    }
-    if (preds.size != keyCols.size) None
+    if (preds.isEmpty && bloomProbes.isEmpty) None
     else Some(m.parts.toSeq.sortBy(_._1).flatMap { case (p, fl) =>
       fl.filter(f => preds.forall(zoneAdmits(f, _)))
+        .filter(f => bloomProbes.isEmpty ||
+          bloomAdmits(spark, tableRoot, s"$p/${f.file}", f, bloomProbes))
         .map(f => s"$p/${f.file}")
     })
   }
@@ -2004,8 +2459,10 @@ object LogTable {
     * same resolved shape FileSourceScanExec pushes to the FileIndex. */
   private[graft] def dmlCandidateFiles(spark: SparkSession, m: Manifest,
       cond: org.apache.spark.sql.Column,
-      preds: Seq[ZonePred] = Seq.empty): Seq[String] = {
-    val auto: Seq[ZonePred] = m.schemaDdl match {
+      preds: Seq[ZonePred] = Seq.empty,
+      tableRoot: Option[String] = None): Seq[String] = {
+    val (auto: Seq[ZonePred],
+         bloomProbes: Map[String, Seq[Set[Any]]]) = m.schemaDdl match {
       case Some(ddl) =>
         try {
           val empty = spark.createDataFrame(
@@ -2017,11 +2474,22 @@ object LogTable {
               case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
                 f.condition
             }
-          graft.sources.ZoneFilters.extract(conds, m.statsCols.toSet)
+          (graft.sources.ZoneFilters.extract(conds, m.statsCols.toSet),
+           // bloom point probes narrow the DML touch set too (a
+           // definite miss means no row of the file can match the
+           // equality) — only when the caller names the root (the
+           // sidecar blobs live under it)
+           if (tableRoot.isDefined && m.bloomCols.nonEmpty &&
+               spark.conf.get("spark.graft.logtable.bloomPrune", "true")
+                 .toBoolean)
+             graft.sources.BloomProbes.extract(conds, m.bloomCols.toSet)
+           else Map.empty[String, Seq[Set[Any]]])
         } catch {
-          case scala.util.control.NonFatal(_) => Seq.empty[ZonePred]
+          case scala.util.control.NonFatal(_) =>
+            (Seq.empty[ZonePred], Map.empty[String, Seq[Set[Any]]])
         }
-      case None => Seq.empty[ZonePred]
+      case None =>
+        (Seq.empty[ZonePred], Map.empty[String, Seq[Set[Any]]])
     }
     val all = auto ++ preds
     def admitsLenient(f: FileStat, p: ZonePred): Boolean =
@@ -2034,6 +2502,8 @@ object LogTable {
       }
     m.parts.toSeq.sortBy(_._1).flatMap { case (p, fl) =>
       fl.filter(f => all.forall(admitsLenient(f, _)))
+        .filter(f => bloomProbes.isEmpty || tableRoot.forall(root =>
+          bloomAdmits(spark, root, s"$p/${f.file}", f, bloomProbes)))
         .map(f => s"$p/${f.file}")
     }
   }
@@ -2169,7 +2639,8 @@ object LogTable {
       promoteStage(fs, root, stagePath, stagedParts, "merge")
       writeCommit(spark, tableRoot, action, prev.statsCols,
         prev.schemaDdl,
-        withStats(spark, tableRoot, prev.statsCols, stagedParts),
+        withBlooms(spark, tableRoot, prev.bloomCols,
+          withStats(spark, tableRoot, prev.statsCols, stagedParts)),
         hitTails.toSeq)
     }
 
@@ -2213,7 +2684,8 @@ object LogTable {
       // zone-pruned match probe (r13 verdict #1) — then a DV-filtered
       // scan KEEPING each live row's (file, position) identity, built
       // directly on the relation (metadata columns resolve only there)
-      val probeTails = dmlCandidateFiles(spark, prev, cond, zonePreds)
+      val probeTails = dmlCandidateFiles(spark, prev, cond, zonePreds,
+        tableRoot = Some(tableRoot))
       val hitTails: Set[String] =
         if (probeTails.isEmpty) Set.empty // no zone admits any match
         else scanWithIdentity(spark, tableRoot, prev,
@@ -2292,7 +2764,8 @@ object LogTable {
         s"LogTable.update: SET column $c is not a table column — add " +
           "columns via append's schema evolution"))
       // zone-pruned match probe (r13 verdict #1)
-      val probeTails = dmlCandidateFiles(spark, prev, cond, zonePreds)
+      val probeTails = dmlCandidateFiles(spark, prev, cond, zonePreds,
+        tableRoot = Some(tableRoot))
       val live =
         if (probeTails.isEmpty)
           read(spark, tableRoot, Some(v)).limit(0)
@@ -2332,8 +2805,8 @@ object LogTable {
         val (stagePath, stagedParts) = stageRows(spark, fs, root,
           transformed, partCols)
         promoteStage(fs, root, stagePath, stagedParts, "update")
-        val statted = withStats(spark, tableRoot, prev.statsCols,
-          stagedParts)
+        val statted = withBlooms(spark, tableRoot, prev.bloomCols,
+          withStats(spark, tableRoot, prev.statsCols, stagedParts))
         val dvAdds = hitTails.toSeq.flatMap { t =>
           val f = statByTail(t)
           val dead = deadCounts(t)
@@ -2435,7 +2908,8 @@ object LogTable {
           curByTail.get(s"$p/${f.file}").contains(f))
       }.filter(_._2.nonEmpty)
       writeCommit(spark, tableRoot, s"restore:v$toVersion",
-        target.statsCols, target.schemaDdl, adds, removes)
+        target.statsCols, target.schemaDdl, adds, removes,
+        bloomColsOv = Some(target.bloomCols))
     }
 
   /** Re-derive every live file's zone maps under the CURRENT stats
@@ -2460,16 +2934,20 @@ object LogTable {
       require(v > 0L, s"LogTable.recomputeStats: $tableRoot has no " +
         "manifest")
       val prev = manifest(spark, tableRoot, v)
-      if (prev.statsCols.isEmpty || prev.parts.isEmpty) v
+      if ((prev.statsCols.isEmpty && prev.bloomCols.isEmpty) ||
+          prev.parts.isEmpty) v
       else {
         // blank the recorded stats so withStats re-derives them from
-        // scratch; file identity, size and DVs ride along
+        // scratch (bloom sidecars included — the same maintenance
+        // contract); file identity, size and DVs ride along
         val blank = prev.parts.map { case (p, fl) =>
-          p -> fl.map(f => f.copy(rows = -1L, zones = Map.empty))
+          p -> fl.map(f =>
+            f.copy(rows = -1L, zones = Map.empty, bloom = None))
         }
         writeCommit(spark, tableRoot, "restat", prev.statsCols,
           prev.schemaDdl,
-          withStats(spark, tableRoot, prev.statsCols, blank),
+          withBlooms(spark, tableRoot, prev.bloomCols,
+            withStats(spark, tableRoot, prev.statsCols, blank)),
           fileKeys(prev.parts))
       }
     }
@@ -2573,6 +3051,15 @@ object LogTable {
       if (fs.exists(dvDir))
         fs.listStatus(dvDir).map(_.getPath)
           .filterNot(p => referencedDvs(p.getName))
+          .foreach(fs.delete(_, true))
+      // bloom sidecar dirs likewise: a sidecar id no kept manifest
+      // points at serves no retained version
+      val referencedBlooms = keptManifests
+        .flatMap(_.parts.values.flatten.flatMap(_.bloom)).toSet
+      val bloomDir = new org.apache.hadoop.fs.Path(root, BloomDirName)
+      if (fs.exists(bloomDir))
+        fs.listStatus(bloomDir).map(_.getPath)
+          .filterNot(p => referencedBlooms(p.getName))
           .foreach(fs.delete(_, true))
       // crashed appends leave dotted .stage_append_* dirs — invisible
       // to readers, reclaimed once aged past the stale-writer threshold

@@ -8697,6 +8697,67 @@ object ScaleQueries {
              |  CAST(0 AS BIGINT) n_replay_commits
              |FROM t1 GROUP BY grp ORDER BY grp""".stripMargin)),
 
+    // STREAMING SINK (st62, new r15): a logtable→logtable replication
+    // pipeline with BOTH ends engine-managed —
+    // readStream.format("logtable") feeding
+    // writeStream.format("logtable"), no foreachBatch anywhere.
+    // Exactly-once is the offset log plus the sink's
+    // sink:<queryId>:<batchId> txn-ledger commits: the mirror of an
+    // append-only fact must be row-identical to DuckDB's recompute of
+    // the inserted rows, and a restarted pass with nothing new must
+    // commit NOTHING to the mirror (n_replay_commits = 0).
+    QuerySpec("st62_stream_sink", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_id"),
+          col("event_type").as("grp"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          lit("2024-01-01").cast("date").as("start_date_oslo"))
+      val base = java.nio.file.Files.createTempDirectory("graft_st62")
+        .toString
+      val fact = s"$base/fact"
+      val mirror = s"$base/mirror"
+      val ckpt = s"$base/ckpt"
+      def run(): Unit = graft.streaming.Streams
+        .runLogTableMirrorAvailableNow(s, fact, mirror, ckpt,
+          dateCol = "start_date_oslo", statsCols = Seq("cents"))
+      graft.operators.LogTable.init(
+        ev.filter(col("event_id") % 3 === 0).drop("event_id")
+          .repartition(2), fact)                                // v1
+      graft.operators.LogTable.append(s, fact,
+        ev.filter(col("event_id") % 3 === 1).drop("event_id")
+          .repartition(2))                                      // v2
+      run() // batch 0: bootstrap (0, 2] creates the mirror
+      graft.operators.LogTable.append(s, fact,
+        ev.filter(col("event_id") % 3 === 2).drop("event_id")
+          .repartition(2))                                      // v3
+      run() // batch 1: (2, 3] appends
+      // a restart with nothing new must commit NOTHING: the offset
+      // log knows (2, 3] is consumed, and no replay reaches the sink
+      val vMirror = graft.operators.TableLog.currentVersion(s, mirror)
+      run()
+      val replayCommits =
+        graft.operators.TableLog.currentVersion(s, mirror) - vMirror
+      val out = graft.operators.LogTable.read(s, mirror)
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("sum_cents"))
+        .select(col("grp"), col("n_rows"), col("sum_cents"),
+          lit(replayCommits).as("n_replay_commits"))
+        .orderBy(col("grp"))
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    },
+      Some("""SELECT event_type grp, CAST(count(*) AS BIGINT) n_rows,
+             |  CAST(sum(CAST(round(value*100, 0) AS BIGINT))
+             |    AS BIGINT) sum_cents,
+             |  CAST(0 AS BIGINT) n_replay_commits
+             |FROM events
+             |WHERE event_type IS NOT NULL AND value IS NOT NULL
+             |GROUP BY grp ORDER BY grp""".stripMargin)),
+
     // LogTable SQL surface (x219, new r14 — r13 directive #8): pure
     // SQL over the manifest-native table through the injected
     // `logtable(path[, version])` table-valued function — the analyst
@@ -9018,6 +9079,109 @@ object ScaleQueries {
              |SELECT grp, CAST(count(*) AS BIGINT) n_rows,
              |  CAST(sum(cents) AS BIGINT) sum_cents
              |FROM f GROUP BY grp ORDER BY grp""".stripMargin)),
+
+    // LogTable BLOOM point-lookup pruning (x224, new r15): per-file
+    // bloom sidecars prune `id IN (...)` on a SCATTERED high-card
+    // column — the round-robin layout gives every file an id zone
+    // spanning the whole range, so zone maps admit ALL files and the
+    // blooms are the only thing narrowing the plan. Graded: the IN
+    // probe's rows match DuckDB AND the scan plans strictly fewer
+    // files than the table holds (emitted as the `pruned` flag —
+    // the planned count itself is data-dependent through bloom FPs).
+    QuerySpec("x224_logtable_bloom", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_id"),
+          col("event_type").as("grp"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          lit("2024-01-01").cast("date").as("start_date_oslo"))
+      val base = java.nio.file.Files.createTempDirectory("graft_x224")
+        .toString + "/t"
+      graft.operators.LogTable.init(ev.repartition(8), base,
+        statsCols = Seq("cents"), bloomCols = Seq("event_id"))
+      val nLive = graft.operators.LogTable
+        .manifest(s, base, graft.operators.TableLog.currentVersion(s,
+          base)).parts.values.map(_.size.toLong).sum
+      val ids = Seq(7L, 203L, 401L, 607L, 809L)
+      val probe = graft.operators.LogTable.readIndexed(s, base)
+        .filter(col("event_id").isin(ids: _*))
+        .select(col("event_id"), col("grp"), col("cents"))
+        .orderBy(col("event_id"))
+      val rows = probe.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(f)
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(q.plan)
+          case o => o.children.flatMap(scans)
+        }
+      val planned = scans(probe.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+      import s.implicits._
+      val out = rows.toSeq.map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2),
+          planned < nLive))
+        .toDF("event_id", "grp", "cents", "pruned")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p.getParent, true)
+      out
+    },
+      Some("""SELECT event_id, event_type grp,
+             |  CAST(round(value*100, 0) AS BIGINT) cents, true pruned
+             |FROM events
+             |WHERE event_type IS NOT NULL AND value IS NOT NULL
+             |  AND event_id IN (7, 203, 401, 607, 809)
+             |ORDER BY event_id""".stripMargin)),
+
+    // LogTable commit-log SQL surface (x225, new r15): `SELECT ...
+    // FROM logtable_history('/path')` — the DESCRIBE HISTORY role —
+    // over a fixed init → append → overwrite → DV delete → compact
+    // history; per-version op and file-delta counts are structural
+    // invariants of those ops (staged writes are repartition-pinned),
+    // so DuckDB grades them as literal rows.
+    QuerySpec("x225_logtable_history", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_id"),
+          col("event_type").as("grp"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          lit("2024-01-01").cast("date").as("start_date_oslo"))
+      val base = java.nio.file.Files.createTempDirectory("graft_x225")
+        .toString + "/t"
+      graft.operators.LogTable.init(
+        ev.filter(col("event_id") % 3 === 0).drop("event_id")
+          .repartition(2), base)                                   // v1
+      graft.operators.LogTable.append(s, base,
+        ev.filter(col("event_id") % 3 === 1).drop("event_id")
+          .repartition(2))                                         // v2
+      graft.operators.LogTable.overwrite(s, base,
+        ev.filter(col("event_id") % 3 === 2).drop("event_id")
+          .repartition(2))                                         // v3
+      graft.operators.LogTable.delete(s, base,
+        col("cents") % 2 === 0)                                    // v4
+      graft.operators.LogTable.compact(s, base,
+        targetBytes = 1L << 30)                                    // v5
+      val out = s.sql(
+        s"""SELECT version, op, n_added_files, n_removed_files
+           |FROM logtable_history('$base') ORDER BY version""".stripMargin)
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p.getParent, true)
+      out
+    },
+      Some("""SELECT CAST(v AS BIGINT) "version", op,
+             |  CAST(a AS BIGINT) n_added_files,
+             |  CAST(r AS BIGINT) n_removed_files
+             |FROM (VALUES (1, 'init', 2, 0), (2, 'append', 2, 0),
+             |  (3, 'overwrite', 2, 4), (4, 'delete', 2, 2),
+             |  (5, 'compact', 1, 2)) t(v, op, a, r)
+             |ORDER BY v""".stripMargin)),
 
     // LogTable MULTI-COLUMN partitioning (x222, new r15 — r14 verdict
     // missing #4): a (event_type, month) two-level layout where the

@@ -4,9 +4,9 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, Attribute,
-  AttributeReference, BoundReference, Cast, EqualTo, Expression,
-  GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual,
-  Literal, Predicate}
+  AttributeReference, BoundReference, Cast, EqualNullSafe, EqualTo,
+  Expression, GreaterThan, GreaterThanOrEqual, In, InSet, LessThan,
+  LessThanOrEqual, Literal, Predicate}
 import org.apache.spark.sql.execution.datasources.{FileIndex,
   HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
@@ -124,16 +124,88 @@ final class LogTableFileIndex(
         dirs.filter { case (_, row, _) => pred.eval(row) }
       }
     val preds = ZoneFilters.extract(dataFilters, m.statsCols.toSet)
+    // equality probes against the declared bloom columns — the
+    // scattered-id point lookup zone maps can't prune. Blob reads
+    // happen only for files that SURVIVE zone pruning, only when a
+    // probe exists, and only once per sidecar blob (cached).
+    val bloomProbes =
+      if (m.bloomCols.isEmpty ||
+          !spark.conf.get("spark.graft.logtable.bloomPrune", "true")
+            .toBoolean) Map.empty[String, Seq[Set[Any]]]
+      else BloomProbes.extract(dataFilters, m.bloomCols.toSet)
     partPruned.map { case (p, row, fl) =>
-      val admitted =
+      val admitted0 =
         if (preds.isEmpty) fl
         else fl.filter(f => preds.forall(LogTable.zoneAdmits(f, _)))
+      val admitted =
+        if (bloomProbes.isEmpty) admitted0
+        else admitted0.filter(f => LogTable.bloomAdmits(spark,
+          tableRoot, s"$p/${f.file}", f, bloomProbes))
       val statuses = admitted.map { f =>
         new FileStatus(f.bytes, false, 1, 128L * 1024 * 1024, 0L,
           new Path(s"$tableRoot/$p/${f.file}"))
       }.toArray
       PartitionDirectory(row, statuses)
     }.filter(_.files.nonEmpty)
+  }
+}
+
+/** Pushed-filter → bloom-probe translation: conjunctive equality
+  * shapes (`c = lit`, `lit = c`, `c <=> lit`, `c IN (lits)`, the
+  * optimizer's `InSet`) against a declared bloom column become
+  * per-column OR-sets of candidate values; every other shape (an OR,
+  * a partially-literal IN, a cast column, a null literal) contributes
+  * NOTHING — dropping values from an OR-set could wrongly prune a
+  * file holding one of the dropped values, so extraction is
+  * all-or-nothing per conjunct (superset contract, as everywhere).
+  * Values are canonicalized to what [[LogTable.bloomAdmits]] hashes:
+  * `java.lang.Long` for integral columns, `String` for string columns
+  * (Catalyst string literals are UTF8String). */
+private[graft] object BloomProbes {
+
+  private def probeValue(l: Literal): Option[Any] =
+    if (l.value == null) None
+    else l.dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some(java.lang.Long.valueOf(
+          l.value.asInstanceOf[Number].longValue()))
+      case StringType => Some(l.value.toString)
+      case _ => None
+    }
+
+  def extract(filters: Seq[Expression], bloomCols: Set[String])
+      : Map[String, Seq[Set[Any]]] = {
+    val probes =
+      scala.collection.mutable.ArrayBuffer[(String, Set[Any])]()
+    def attr(e: Expression): Option[Attribute] = e match {
+      case a: Attribute if bloomCols.contains(a.name) => Some(a)
+      case _ => None
+    }
+    def add(a: Expression, vs: Seq[Option[Any]]): Unit =
+      attr(a).foreach { at =>
+        if (vs.nonEmpty && vs.forall(_.isDefined))
+          probes += (at.name -> vs.flatten.toSet)
+      }
+    def walk(e: Expression): Unit = e match {
+      case And(x, y) => walk(x); walk(y)
+      case EqualTo(a, l: Literal) => add(a, Seq(probeValue(l)))
+      case EqualTo(l: Literal, a) => add(a, Seq(probeValue(l)))
+      case EqualNullSafe(a, l: Literal) if l.value != null =>
+        add(a, Seq(probeValue(l)))
+      case EqualNullSafe(l: Literal, a) if l.value != null =>
+        add(a, Seq(probeValue(l)))
+      case In(a, vs) if vs.nonEmpty &&
+          vs.forall(_.isInstanceOf[Literal]) =>
+        add(a, vs.map(v => probeValue(v.asInstanceOf[Literal])))
+      case ins @ InSet(a, hset) if hset.nonEmpty =>
+        add(a, hset.toSeq.map(v =>
+          probeValue(Literal(v, ins.child.dataType))))
+      case _ => () // unsupported shape: prunes nothing
+    }
+    filters.foreach(walk)
+    probes.groupBy(_._1).map { case (c, ps) =>
+      c -> ps.map(_._2).toSeq
+    }
   }
 }
 

@@ -4,12 +4,13 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.{DataFrame, Row, SQLContext, SaveMode,
   SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => V1Offset,
-  Source}
+  Sink, Source}
 import org.apache.spark.sql.execution.streaming.runtime.LongOffset
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources.{BaseRelation,
   CreatableRelationProvider, DataSourceRegister, RelationProvider,
-  StreamSourceProvider, TableScan}
+  StreamSinkProvider, StreamSourceProvider, TableScan}
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.{LongType, StringType, StructField,
   StructType}
 
@@ -83,7 +84,7 @@ import graft.operators.{LogTable, TableLog}
   */
 class LogTableSource extends RelationProvider
     with CreatableRelationProvider with DataSourceRegister
-    with StreamSourceProvider {
+    with StreamSourceProvider with StreamSinkProvider {
 
   override def shortName(): String = "logtable"
 
@@ -155,20 +156,26 @@ class LogTableSource extends RelationProvider
           .mkString(",")
       } else "start_date_oslo")
     val statsCols = parameters.get("statsCols")
-      .map(_.split(',').map(_.trim).toSeq).getOrElse(Seq.empty)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    val bloomCols = parameters.get("bloomCols")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    def create(): Long = LogTable.init(data, path, dateCol, statsCols,
+      bloomCols = bloomCols)
     mode match {
       case SaveMode.Append =>
         if (exists) LogTable.append(spark, path, data, dateCol)
-        else LogTable.init(data, path, dateCol, statsCols)
+        else create()
       case SaveMode.Overwrite =>
         if (exists) LogTable.overwrite(spark, path, data, dateCol)
-        else LogTable.init(data, path, dateCol, statsCols)
+        else create()
       case SaveMode.ErrorIfExists =>
         require(!exists,
           s"logtable: $path already has commits (SaveMode.ErrorIfExists)")
-        LogTable.init(data, path, dateCol, statsCols)
+        create()
       case SaveMode.Ignore =>
-        if (!exists) LogTable.init(data, path, dateCol, statsCols)
+        if (!exists) create()
     }
     createRelation(sqlContext, parameters)
   }
@@ -197,6 +204,55 @@ class LogTableSource extends RelationProvider
     require(starting >= 0L,
       s"logtable: startingVersion must be >= 0, got $starting")
     new LogTableChangeSource(spark, path, starting)
+  }
+
+  /** `writeStream.format("logtable")` — the EXACTLY-ONCE streaming
+    * sink closing the streaming loop the r14 directive-#3 source
+    * opened (reads already stream through Spark's offset log; until
+    * now writes needed a hand-rolled `foreachBatch`). Each
+    * micro-batch commits through the manifest append path under
+    * `txnId = sink:<queryId>:<batchId>` — the Delta streaming-sink
+    * idempotence move: Spark's offset log replays a crashed batch
+    * under the SAME stable batch id, and the table's txn ledger
+    * collapses the replay to a commit-level no-op, so offset log +
+    * transactional commit give end-to-end exactly-once with no
+    * user-visible dedup code. `queryId` is the checkpoint-stable
+    * streaming query id (constant across restarts); override it with
+    * `option("txnAppId", ...)` when two queries must share one dedup
+    * namespace. `Append` mode appends (creating the table on the
+    * first batch, idempotently — [[LogTable.init]]'s `txnId`);
+    * `Complete` mode rewrites the table each trigger through the
+    * atomic-swap [[LogTable.overwrite]] — content-idempotent under
+    * replay (the same final state rewrites), though each replay costs
+    * a version. `Update` mode has no manifest translation (an upsert
+    * needs keys the mode doesn't declare) and is rejected loudly. */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: OutputMode): Sink = {
+    val path = pathOf(parameters)
+    require(outputMode != OutputMode.Update(),
+      "logtable sink: Update mode is not supported — use Append " +
+        "(new rows only) or Complete (atomic whole-table swap), or " +
+        "foreachBatch + LogTable.merge for keyed upserts")
+    // partitionBy(...) and option("dateCol", ...) are the same
+    // declaration; when both appear they must agree
+    val dateCol = (partitionColumns, parameters.get("dateCol")) match {
+      case (Nil, opt) => opt // None → manifest / default at addBatch
+      case (pc, None) => Some(pc.mkString(","))
+      case (pc, Some(dc)) =>
+        require(pc.mkString(",") == dc.split(',').map(_.trim)
+            .mkString(","),
+          s"logtable sink: partitionBy(${pc.mkString(",")}) and " +
+            s"option(dateCol=$dc) disagree")
+        Some(dc)
+    }
+    def colsOpt(key: String): Seq[String] = parameters.get(key)
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    new LogTableStreamSink(path, dateCol, colsOpt("statsCols"),
+      colsOpt("bloomCols"), parameters.get("txnAppId"),
+      complete = outputMode == OutputMode.Complete())
   }
 }
 
@@ -324,4 +380,68 @@ private[graft] final class LogTableChangeSource(
   override def commit(end: V1Offset): Unit = () // versions are durable
 
   override def stop(): Unit = ()
+}
+
+/** The exactly-once streaming sink behind
+  * `writeStream.format("logtable")` — see
+  * [[LogTableSource.createSink]] for the contract. A DSv1 `Sink` for
+  * the same reason the source is a DSv1 `Source`: `addBatch` receives
+  * the micro-batch as a DATAFRAME, so the existing staged-append
+  * commit path (distributed write, zone-map stats, CAS commit, txn
+  * ledger) is reused verbatim instead of re-implemented behind a DSv2
+  * `StreamingWrite`'s per-partition writer/commit-message protocol.
+  *
+  * Exactly-once: Spark persists the batch's offsets BEFORE calling
+  * `addBatch` and records completion AFTER it returns, so a crash
+  * anywhere in between re-delivers the same `batchId` on restart —
+  * and the append/init txn ledger turns that replay into a no-op.
+  * The id must be stable across restarts: `txnAppId` option if given,
+  * else the streaming query id (checkpoint-pinned, unlike the
+  * per-run `runId`), read from the local property `MicroBatchExecution`
+  * sets for the batch's jobs. */
+private[graft] final class LogTableStreamSink(
+    path: String, dateColOpt: Option[String], statsCols: Seq[String],
+    bloomCols: Seq[String], txnAppId: Option[String],
+    complete: Boolean) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val spark = data.sparkSession
+    val appId = txnAppId.orElse(Option(spark.sparkContext
+      .getLocalProperty(org.apache.spark.sql.execution.streaming
+        .runtime.StreamExecution.QUERY_ID_KEY))).getOrElse(
+      throw new IllegalStateException("logtable sink: no streaming " +
+        "query id on this thread and no txnAppId option — cannot " +
+        "form a replay-stable txn id"))
+    val txn = s"sink:$appId:$batchId"
+    val batch = org.apache.spark.sql.graftshim.PlanShim.asBatch(data)
+    val exists = TableLog.currentVersion(spark, path) > 0L
+    val dateCol = dateColOpt.getOrElse(
+      if (exists) {
+        val v = TableLog.currentVersion(spark, path)
+        LogTable.partColsOfManifest(LogTable.manifest(spark, path, v))
+          .mkString(",")
+      } else "start_date_oslo")
+    if (complete) {
+      // whole-result mode: each trigger swaps the table atomically;
+      // a replayed trigger rewrites the same state (content-
+      // idempotent), it does not double anything
+      if (exists) LogTable.overwrite(spark, path, batch, dateCol)
+      else LogTable.init(batch, path, dateCol, statsCols,
+        txnId = Some(txn), bloomCols = bloomCols)
+    } else if (!exists) {
+      LogTable.init(batch, path, dateCol, statsCols,
+        txnId = Some(txn), bloomCols = bloomCols)
+    } else {
+      // the bootstrap batch may replay AFTER its init committed: the
+      // ledger carries init:txn=<id>, which append's own probe would
+      // not match — check the create's action form first
+      val v = TableLog.currentVersion(spark, path)
+      if (!LogTable.manifest(spark, path, v).txns
+          .contains(s"init:txn=$txn"))
+        LogTable.append(spark, path, batch, dateCol,
+          txnId = Some(txn))
+    }
+  }
+
+  override def toString: String = s"LogTableSink[$path]"
 }

@@ -152,4 +152,23 @@ object LogTableTvf {
       org.apache.spark.sql.graftshim.PlanShim.logical(
         LogTable.changes(spark, path, fromV, toV))
     })
+
+  /** The commit log as a SQL table function — the `DESCRIBE HISTORY`
+    * role: `SELECT * FROM logtable_history('/path')` returns one row
+    * per retained version (version, op, raw action, commit_ts, files
+    * added/removed). Driver-side O(retained versions) metadata reads
+    * ([[LogTable.history]]). */
+  val historyRegistration: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("logtable_history"),
+    new ExpressionInfo(LogTableTvf.getClass.getName, "logtable_history"),
+    (args: Seq[Expression]) => {
+      if (args.size != 1)
+        fail(s"logtable_history expects (path), got ${args.size} " +
+          "arguments")
+      val spark = SparkSession.active
+      val path = pathArg(args, "logtable_history")
+      org.apache.spark.sql.graftshim.PlanShim.logical(
+        LogTable.history(spark, path))
+    })
 }

@@ -2792,7 +2792,12 @@ object Streams {
       graft.operators.LogTable.init(
         bucketed(delta.select(col(grpCol), col("__dn").as("n_rows"),
           col("__ds").as("sum_val"))), aggRoot, dateCol = "gbucket",
-        statsCols = Seq(grpCol))
+        statsCols = Seq(grpCol),
+        // r15: the fold's merge keys are hash-scattered within each
+        // bucket, so the zone bounding box of a narrow window often
+        // admits every file — per-file blooms on the group key keep
+        // the probe O(files actually holding touched groups)
+        bloomCols = Seq(grpCol))
     } else if (isBootstrap) {
       () // re-delivered bootstrap: the init already committed
     } else {
@@ -2852,6 +2857,40 @@ object Streams {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .start()
+    q.awaitTermination()
+  }
+
+  /** One `Trigger.AvailableNow` pass of a FULLY ENGINE-MANAGED
+    * logtable→logtable replication pipeline (st62, new r15): the
+    * change feed arrives through the streaming SOURCE and lands
+    * through the streaming SINK (`writeStream.format("logtable")`) —
+    * no `foreachBatch`, no user-visible txn ids; exactly-once is the
+    * offset log plus the sink's own `sink:<queryId>:<batchId>` ledger
+    * commits. Insert rows are expanded by their feed multiplicity
+    * (`n_rows` — the feed is distinct-row × count) so the mirror is
+    * row-identical to the source's inserts; an append-only source
+    * never emits deletes, which a mirror could not express anyway
+    * ([[graft.sources.LogTableStreamSink]] is Append/Complete).
+    * `statsCols` declares the mirror's zone-map columns at its
+    * bootstrap, proving sink options reach the created table. */
+  def runLogTableMirrorAvailableNow(spark: SparkSession,
+      srcRoot: String, dstRoot: String, checkpoint: String,
+      dateCol: String, statsCols: Seq[String] = Seq.empty): Unit = {
+    val feed = spark.readStream.format("logtable")
+      .option("startingVersion", "0").load(srcRoot)
+    require(feed.columns.contains("n_rows"),
+      "runLogTableMirrorAvailableNow: not a change feed")
+    val rows = feed
+      .filter(col("_change_type") === "insert")
+      .withColumn("__i", explode(sequence(lit(1L), col("n_rows"))))
+      .drop("_change_type", "_commit_version", "n_rows", "__i")
+    val q = rows.writeStream.format("logtable")
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .option("dateCol", dateCol)
+      .option("statsCols", statsCols.mkString(","))
+      .trigger(Trigger.AvailableNow())
+      .start(dstRoot)
     q.awaitTermination()
   }
 

@@ -93,4 +93,18 @@ object PlanShim {
     spark.internalCreateDataFrame(df.queryExecution.toRdd, df.schema,
       isStreaming = true)
   }
+
+  /** The inverse move, for a DSv1 `Sink.addBatch`: the frame Spark
+    * hands a sink is bound to the micro-batch's IncrementalExecution
+    * and cannot be re-planned by an ordinary batch write (Spark
+    * forbids new queries over a streaming logical plan). Rebase the
+    * already-planned RDD into a fresh batch frame — rows are copied
+    * out of the operator's reused buffers because the downstream
+    * table write repartitions (buffering) before it writes. */
+  def asBatch(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession.asInstanceOf[classic.SparkSession]
+    spark.internalCreateDataFrame(
+      df.queryExecution.toRdd.map(_.copy()), df.schema,
+      isStreaming = false)
+  }
 }

@@ -1370,8 +1370,11 @@ class DedupMergeSpec extends SparkSpec {
       val history = scala.collection.mutable.Map[Long, Map[String, Double]]()
       def frame(m: Map[String, Double]) = entries(
         m.toSeq.map { case (k, v) => (k, "x", d, v) }: _*)
+      // bloom sidecars on the string id (r15): every op's rewrite path
+      // must keep per-file filters consistent with the model, and the
+      // per-state point probe below polices bloom admission
       LogTable.init(frame(model).repartition(2), root,
-        statsCols = Seq("value"))
+        statsCols = Seq("value"), bloomCols = Seq("id"))
       history(1L) = model
       var nextId = 13
       (1 to 8).foreach { _ =>
@@ -1379,7 +1382,7 @@ class DedupMergeSpec extends SparkSpec {
         // WITHIN one table history (footer == scan, spec-pinned above)
         spark.conf.set("spark.graft.logtable.footerStats",
           Seq("auto", "true", "false")(rnd.nextInt(3)))
-        rnd.nextInt(9) match {
+        rnd.nextInt(10) match {
           case 0 => // append fresh ids
             val add = (0 until 1 + rnd.nextInt(3)).map { _ =>
               val id = s"e$nextId"; nextId += 1
@@ -1415,6 +1418,10 @@ class DedupMergeSpec extends SparkSpec {
             model = fresh
           case 8 => // RESTAT (r15): re-derive zones, no semantic change
             LogTable.recomputeStats(spark, root)
+          case 9 => // BLOOM re-declare / drop (r15): no semantic change;
+            // a drop leaves point probes un-pruned, never wrong
+            LogTable.declareBloomCols(spark, root,
+              if (rnd.nextBoolean()) Seq("id") else Seq.empty)
           case 1 => // merge: update a random subset + insert one
             val upd = model.keys.toSeq.sorted
               .filter(_ => rnd.nextBoolean()).take(4)
@@ -1463,6 +1470,19 @@ class DedupMergeSpec extends SparkSpec {
         val gotIdx = LogTable.readIndexed(spark, root)
           .select("id", "value").as[(String, Double)].collect().toMap
         assert(gotIdx == model, s"seed=$seed v=$v readIndexed: $gotIdx")
+        // bloom-admission police (r15): a point probe — sometimes a
+        // live id, sometimes an absent one — through the FileIndex
+        // must equal the model at EVERY state, whatever sidecar
+        // generation each file carries after the op above
+        val probeId =
+          if (model.nonEmpty && rnd.nextBoolean())
+            model.keys.toSeq.sorted.apply(rnd.nextInt(model.size))
+          else s"absent${rnd.nextInt(100)}"
+        val gotPt = LogTable.readIndexed(spark, root)
+          .filter(col("id") === probeId)
+          .select("id", "value").as[(String, Double)].collect().toMap
+        assert(gotPt == model.filter(_._1 == probeId),
+          s"seed=$seed v=$v point probe $probeId: $gotPt")
       }
       // time travel: every recorded version still reads its own state,
       // through both paths
@@ -2493,6 +2513,135 @@ class DedupMergeSpec extends SparkSpec {
     assert(feedCols.contains("_change_type") &&
       feedCols.contains("n_rows") &&
       feedCols.contains("_commit_version"), feedCols.mkString(","))
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+  }
+
+  test("logtable streaming SINK exactly-once (st62, r15): writeStream" +
+    ".format(\"logtable\") commits each batch under " +
+    "sink:<queryId>:<batchId>; a re-delivered batch (commit-log " +
+    "surgery on the checkpoint) is a ledger-level no-op, the " +
+    "bootstrap CREATE replays idempotently through init's txn, sink " +
+    "options reach the created table, and Update mode is rejected") {
+    import graft.operators.{LogTable, TableLog}
+    import graft.streaming.Streams
+    val base = java.nio.file.Files.createTempDirectory("graft_st62kr")
+      .toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    val fact = s"$base/fact"
+    val mirror = s"$base/mirror"
+    val ckpt = s"$base/ckpt"
+    def rows(r: (String, String, Long)*) = r.toSeq
+      .map { case (id, g, c) => (id, g, c, d) }
+      .toDF("id", "grp", "cents", "start_date_oslo")
+    def mirrorRun(): Unit = Streams.runLogTableMirrorAvailableNow(
+      spark, fact, mirror, ckpt, dateCol = "start_date_oslo",
+      statsCols = Seq("cents"))
+    def state(root: String): Set[(String, String, Long)] =
+      LogTable.read(spark, root).select("id", "grp", "cents")
+        .collect().map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    LogTable.init(rows(("e1", "a", 10L), ("e2", "a", 20L)), fact) // v1
+    LogTable.append(spark, fact, rows(("e3", "b", 30L)))         // v2
+    mirrorRun() // batch 0: bootstrap (0, 2] CREATES the mirror
+    assert(state(mirror) == state(fact))
+    // sink options reached the created table: declared zone-map
+    // column and partition layout
+    val m0 = LogTable.manifest(spark, mirror,
+      TableLog.currentVersion(spark, mirror))
+    assert(m0.statsCols == Seq("cents"), m0.statsCols)
+    assert(LogTable.partColsOfManifest(m0) == Seq("start_date_oslo"))
+    // ...and the bootstrap commit is the sink's txn-tagged init
+    assert(m0.txns.exists(t => t.startsWith("init:txn=sink:") &&
+      t.endsWith(":0")), m0.txns)
+    LogTable.append(spark, fact, rows(("e4", "b", 40L)))         // v3
+    mirrorRun() // batch 1: (2, 3]
+    assert(state(mirror) == state(fact))
+    val v1 = TableLog.currentVersion(spark, mirror)
+    // crash simulation: Spark wrote offsets/1 and ran the batch (the
+    // sink committed) but died before commits/1 — erase the batch
+    // commit and restart; the engine re-delivers batch 1, and the
+    // mirror's sink:<qid>:1 ledger entry must collapse it
+    val c1 = new org.apache.hadoop.fs.Path(s"$ckpt/commits/1")
+    assert(fs.exists(c1), "checkpoint layout moved?")
+    fs.delete(c1, false)
+    mirrorRun()
+    assert(TableLog.currentVersion(spark, mirror) == v1,
+      "replayed batch must not append a second time")
+    assert(state(mirror) == state(fact))
+    // bootstrap replay: same surgery on batch 0 of a FRESH pipeline —
+    // the re-delivered CREATE must be a no-op via init's txn, not an
+    // already-has-commits failure
+    val mirror2 = s"$base/mirror2"
+    val ckpt2 = s"$base/ckpt2"
+    def mirror2Run(): Unit = Streams.runLogTableMirrorAvailableNow(
+      spark, fact, mirror2, ckpt2, dateCol = "start_date_oslo")
+    mirror2Run()
+    assert(state(mirror2) == state(fact))
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ckpt2/commits/0"), false)
+    mirror2Run()
+    assert(TableLog.currentVersion(spark, mirror2) == 1L,
+      "replayed bootstrap must stay a single init commit")
+    assert(state(mirror2) == state(fact))
+    // loud contracts: Update mode has no manifest translation, and a
+    // partitionBy/dateCol disagreement is a caller bug
+    val src = spark.readStream.format("logtable")
+      .option("startingVersion", "0").load(fact)
+      .filter(col("_change_type") === "insert")
+      .drop("_change_type", "_commit_version", "n_rows")
+    val eUpd = intercept[Exception] {
+      src.writeStream.format("logtable").outputMode("update")
+        .option("checkpointLocation", s"$base/ckpt3")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(s"$base/mirror3").awaitTermination()
+    }
+    assert(eUpd.getMessage.contains("Update mode is not supported"),
+      eUpd.getMessage)
+    val eDisagree = intercept[Exception] {
+      src.writeStream.format("logtable").outputMode("append")
+        .partitionBy("grp")
+        .option("dateCol", "start_date_oslo")
+        .option("checkpointLocation", s"$base/ckpt4")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(s"$base/mirror4").awaitTermination()
+    }
+    assert(eDisagree.getMessage.contains("disagree"),
+      eDisagree.getMessage)
+    // Complete mode: each trigger swaps the WHOLE result atomically
+    // (LogTable.overwrite under the hood) — a maintained aggregate
+    // table with time travel across triggers
+    val aggT = s"$base/aggT"
+    val ckptC = s"$base/ckptC"
+    def completeRun(): Unit = {
+      val q = spark.readStream.format("logtable")
+        .option("startingVersion", "0").load(fact)
+        .filter(col("_change_type") === "insert")
+        .groupBy(col("grp"))
+        .agg(sum(col("cents") * col("n_rows")).as("sum_cents"))
+        .withColumn("start_date_oslo", lit(d))
+        .writeStream.format("logtable").outputMode("complete")
+        .option("checkpointLocation", ckptC)
+        .option("dateCol", "start_date_oslo")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start(aggT)
+      q.awaitTermination()
+    }
+    completeRun()
+    def aggState(): Map[String, Long] =
+      LogTable.read(spark, aggT).select("grp", "sum_cents")
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def aggRecompute(): Map[String, Long] =
+      LogTable.read(spark, fact).groupBy(col("grp"))
+        .agg(sum(col("cents")).as("s"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(aggState() == aggRecompute())
+    LogTable.append(spark, fact, rows(("e5", "a", 50L)))
+    val vA = TableLog.currentVersion(spark, aggT)
+    completeRun()
+    assert(aggState() == aggRecompute())
+    assert(TableLog.currentVersion(spark, aggT) > vA,
+      "Complete must commit a fresh swap for the new trigger")
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
   }
 

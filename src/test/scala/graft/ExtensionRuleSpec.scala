@@ -387,6 +387,174 @@ class ExtensionRuleSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
 
+  test("LogTable bloom sidecars (r15): per-file membership filters " +
+    "prune point lookups on SCATTERED columns zone maps cannot — " +
+    "id = k / IN probes plan a strict subset through the FileIndex, " +
+    "values always equal the full scan, appends and compaction carry " +
+    "fresh sidecars, the DML probe narrows, declareBloomCols " +
+    "enables/drops on a live table, checkpoints carry the pointer, " +
+    "and vacuum sweeps unreferenced sidecar dirs") {
+    import graft.operators.{LogTable, TableLog}
+    val root = java.nio.file.Files.createTempDirectory("graft_bloom")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    def rows(lo: Long, hi: Long) = spark.range(lo, hi).select(
+      $"id",
+      concat(lit("u"), $"id").as("name"),
+      ($"id" % 7).cast("double").as("value"),
+      lit(d).as("start_date_oslo"))
+      .repartition(8) // round-robin: every file spans ~the full id range
+    LogTable.init(rows(0L, 800L), root, statsCols = Seq("id"),
+      bloomCols = Seq("id", "name"))
+    def liveFiles(): Long = LogTable.manifest(spark, root,
+      TableLog.currentVersion(spark, root))
+      .parts.values.map(_.size.toLong).sum
+    assert(liveFiles() == 8L)
+    // like plannedFiles, but counting only the TABLE's scans — after
+    // the DV delete below, the anti-join adds a sidecar parquet scan
+    // that must not pollute the file counts
+    def tablePlanned(df: org.apache.spark.sql.DataFrame): Long = {
+      df.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(f)
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive
+              .QueryStageExec => scans(q.plan)
+          case o => o.children.flatMap(scans)
+        }
+      scans(df.queryExecution.executedPlan)
+        .filter(_.relation.location
+          .isInstanceOf[graft.sources.LogTableFileIndex])
+        .map(_.metrics("numFiles").value).sum
+    }
+    def probe(c: org.apache.spark.sql.Column): (Long, Seq[Long]) = {
+      val df = LogTable.readIndexed(spark, root).filter(c)
+      val vals = LogTable.readIndexed(spark, root).filter(c)
+        .select("id").as[Long].collect().sorted.toSeq
+      (tablePlanned(df), vals)
+    }
+    // zones are useless here (every file's id zone spans ~[0,800)) —
+    // the ZONE-only planned count is all files; the bloom probe is
+    // what narrows
+    val (eqPlanned, eqVals) = probe($"id" === 123L)
+    assert(eqVals == Seq(123L))
+    assert(eqPlanned < 8L, s"bloom must narrow a point probe: $eqPlanned")
+    val (namePlanned, nameVals) = probe($"name" === "u77")
+    assert(nameVals == Seq(77L))
+    assert(namePlanned < 8L, s"string bloom: $namePlanned")
+    val (inPlanned, inVals) = probe($"id".isin(5L, 105L))
+    assert(inVals == Seq(5L, 105L))
+    assert(inPlanned < 8L, s"IN probe: $inPlanned")
+    // an OR is not a conjunctive probe: prunes nothing, misses nothing
+    val (orPlanned, orVals) = probe($"id" === 5L || $"id" === 700L)
+    assert(orVals == Seq(5L, 700L))
+    assert(orPlanned == 8L)
+    // a definitely-absent value: (near-)empty plan, zero rows
+    val (absPlanned, absVals) = probe($"id" === 999999L)
+    assert(absVals.isEmpty)
+    assert(absPlanned <= 1L, s"absent probe planned $absPlanned")
+    // appended files get their own sidecars (pointer carried through
+    // the head's declaration, no re-declare needed)
+    LogTable.append(spark, root, rows(800L, 900L))
+    val m2 = LogTable.manifest(spark, root,
+      TableLog.currentVersion(spark, root))
+    assert(m2.bloomCols == Seq("id", "name"))
+    assert(m2.parts.values.flatten.forall(_.bloom.isDefined))
+    val (ePlanned2, eVals2) = probe($"id" === 850L)
+    assert(eVals2 == Seq(850L))
+    assert(ePlanned2 < liveFiles(), s"post-append probe: $ePlanned2")
+    // the DML probe narrows through the same blooms: a point DELETE
+    // plans strictly fewer candidate files than the table holds
+    val mD = LogTable.manifest(spark, root,
+      TableLog.currentVersion(spark, root))
+    val cand = LogTable.dmlCandidateFiles(spark, mD, $"id" === 123L,
+      tableRoot = Some(root))
+    assert(cand.size.toLong < liveFiles(),
+      s"DML probe ${cand.size} of ${liveFiles()}")
+    // ...and the COW merge probe collects a narrow key set and
+    // bloom-probes it: candidates ⊂ the zone-only candidates (the
+    // keys' [min,max] box admits whole ranges the blooms rule out)
+    val updRows = Seq((7L, "u7", 0.0d),
+      (850L, "u850", 0.0d)).toDF("id", "name", "value")
+      .withColumn("start_date_oslo", lit(d))
+    val candM = LogTable.mergeCandidateFiles(spark, root, mD,
+      updRows, Seq("id")).get
+    spark.conf.set("spark.graft.logtable.bloomPrune", "false")
+    val candZoneOnly = LogTable.mergeCandidateFiles(spark, root, mD,
+      updRows, Seq("id")).get
+    spark.conf.set("spark.graft.logtable.bloomPrune", "true")
+    assert(candM.size < candZoneOnly.size,
+      s"merge bloom probe: ${candM.size} !< ${candZoneOnly.size}")
+    LogTable.delete(spark, root, $"id" === 123L)
+    assert(LogTable.read(spark, root).filter($"id" === 123L).count() == 0L)
+    // deletion keeps the (superset-valid) old sidecar: the dead id
+    // still bloom-hits, which only widens planning — and rows stay
+    // correct
+    val (_, postDel) = probe($"id" === 123L)
+    assert(postDel.isEmpty)
+    // checkpoint carry: pointer survives reconstruction through a
+    // parquet checkpoint (+1 commit so the read path crosses it)
+    LogTable.checkpoint(spark, root)
+    LogTable.append(spark, root, rows(900L, 920L))
+    val (cpPlanned, cpVals) = probe($"id" === 77L)
+    assert(cpVals == Seq(77L))
+    assert(cpPlanned < liveFiles(), s"post-checkpoint probe: $cpPlanned")
+    // the zone-only baseline for the same probe (id zones DO prune
+    // the disjoint-range appends; blooms narrow WITHIN the remainder)
+    // — also exercises the kill-switch conf
+    spark.conf.set("spark.graft.logtable.bloomPrune", "false")
+    val (zoneOnly, zVals) = probe($"id" === 77L)
+    spark.conf.set("spark.graft.logtable.bloomPrune", "true")
+    assert(zVals == Seq(77L))
+    assert(cpPlanned < zoneOnly,
+      s"blooms must narrow beyond zones: $cpPlanned vs $zoneOnly")
+    // drop the declaration: probes fall back to zone-only planning
+    // (and stop reading sidecars), values unchanged
+    LogTable.declareBloomCols(spark, root, Seq.empty)
+    val (offPlanned, offVals) = probe($"id" === 77L)
+    assert(offVals == Seq(77L))
+    assert(offPlanned == zoneOnly, s"dropped blooms: $offPlanned")
+    // re-declare (id only): full rebuild re-enables pruning
+    LogTable.declareBloomCols(spark, root, Seq("id"))
+    val (onPlanned, onVals) = probe($"id" === 77L)
+    assert(onVals == Seq(77L))
+    assert(onPlanned < zoneOnly)
+    // name lost its filter under the narrower declaration: no pruning,
+    // correct rows
+    val (namePlanned2, nameVals2) = probe($"name" === "u88")
+    assert(nameVals2 == Seq(88L))
+    assert(namePlanned2 == liveFiles())
+    // compaction rewrites into fresh bloom'd files
+    LogTable.compact(spark, root, targetBytes = 512L * 1024 * 1024)
+    val mC = LogTable.manifest(spark, root,
+      TableLog.currentVersion(spark, root))
+    assert(mC.parts.values.flatten.forall(_.bloom.isDefined))
+    val (cPlanned, cVals) = probe($"id" === 850L)
+    assert(cVals == Seq(850L))
+    assert(cPlanned <= liveFiles())
+    // vacuum sweeps sidecar dirs no retained manifest references
+    val before = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$root/${LogTable.BloomDirName}")).length
+    assert(before > 1)
+    LogTable.vacuum(spark, root, keepLast = 1)
+    val referenced = LogTable.manifest(spark, root,
+      TableLog.currentVersion(spark, root))
+      .parts.values.flatten.flatMap(_.bloom).toSet
+    val after = fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$root/${LogTable.BloomDirName}")).map(_.getPath.getName).toSet
+    assert(after == referenced, s"$after != $referenced")
+    val (vPlanned, vVals) = probe($"id" === 850L)
+    assert(vVals == Seq(850L))
+    assert(vPlanned <= liveFiles())
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
   test("LogTable.readIndexed prunes on DATE zone predicates (typed " +
     "zones through the FileIndex): a date between-filter plans exactly " +
     "the files readSkippingStr plans") {
@@ -548,6 +716,28 @@ class ExtensionRuleSpec extends SparkSpec {
     }
     intercept[Exception] {
       spark.sql(s"SELECT * FROM logtable_changes('$root', 1)").collect()
+    }
+    // the commit log through SQL (r15): one row per retained version,
+    // ops and file deltas as committed, txn tags ride `action`
+    val hist = spark.sql(
+      s"""SELECT version, op, n_added_files, n_removed_files
+         |FROM logtable_history('$root') ORDER BY version""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        r.getLong(2), r.getLong(3))).toSeq
+    assert(hist == Seq((1L, "init", 1L, 0L), (2L, "append", 1L, 0L),
+      (3L, "delete", 1L, 1L)), hist)
+    // commit timestamps are non-decreasing and real
+    val ts = spark.sql(
+      s"SELECT commit_ts FROM logtable_history('$root') ORDER BY version")
+      .collect().map(_.getTimestamp(0).getTime).toSeq
+    assert(ts == ts.sorted && ts.forall(_ > 0L))
+    // a txn-tagged commit surfaces its raw action
+    LogTable.append(spark, root, batch(11, 12), txnId = Some("h1"))
+    assert(spark.sql(
+      s"SELECT action FROM logtable_history('$root') WHERE version = 4")
+      .collect().head.getString(0) == "append:txn=h1")
+    intercept[Exception] { // wrong arity
+      spark.sql(s"SELECT * FROM logtable_history('$root', 1)").collect()
     }
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }

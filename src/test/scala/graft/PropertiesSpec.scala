@@ -1089,7 +1089,13 @@ class PropertiesSpec extends SparkSpec {
         .otherwise($"id" * 2.0).as("v2"),
       ($"id" * 1.5).as("value"),
       lit(d).as("start_date_oslo")).repartition(1)
-    LogTable.init(slice(0), root, statsCols = Seq("k", "s", "dt", "v2"))
+    // bloom sidecars on k and s (r15): the same random trees now also
+    // exercise bloom admission — equality/IN leaves under And prune
+    // through the filters, Or/Not-wrapped ones must extract NOTHING
+    // (a bloom miss under negation would wrongly prune), and the
+    // readIndexed ≡ read+filter invariant polices both directions
+    LogTable.init(slice(0), root, statsCols = Seq("k", "s", "dt", "v2"),
+      bloomCols = Seq("k", "s"))
     (1 to 5).foreach(i => LogTable.append(spark, root, slice(i * 10)))
     // deletion vectors in play: both paths must hide the same rows
     LogTable.delete(spark, root, col("rid").isin(14L, 27L, 50L))
