@@ -28,7 +28,12 @@ object Bench {
     // envelope reproducibly; a single pass cannot.
     val passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
     require(passes >= 1, s"SPARK_GRAFT_BENCH_PASSES must be >= 1, got $passes")
+    // dev-only subset filter (comma-separated name prefixes) for A/B
+    // re-measurement of individual queries; the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // Throwaway warm pass for the cache-mode-sensitive family (r6 VERDICT
     // item 4): the streaming micro-batch queries (st*) and the
     // checkpoint-heavy near-dup/cluster queries read 1.5-2.5x slower on

@@ -26,9 +26,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(
       graft.sources.LogTableTvf.changesRegistration)
     // ...and the commit log: logtable_history('/path') — the
-    // DESCRIBE HISTORY role (r15)
+    // DESCRIBE HISTORY role (r15) — plus the keyed CDF classification
     ext.injectTableFunction(
       graft.sources.LogTableTvf.historyRegistration)
+    ext.injectTableFunction(
+      graft.sources.LogTableTvf.changesKeyedRegistration)
     // catalog surface for the logtable DataSource (r14 directive #1):
     // DV'd snapshots read by name need the anti-join rewrite, and
     // INSERT INTO/OVERWRITE must route through the manifest commit

@@ -1813,6 +1813,85 @@ object LogTable {
     }
   }
 
+  /** ADOPT an existing Hive-partitioned parquet directory in place as
+    * version 1 — the `CONVERT TO DELTA` role, the migration path for
+    * a table some other writer laid out: ZERO data files move or
+    * rewrite; the commit manifest simply references what is already
+    * there. The directory layout must match `dateCol`'s
+    * comma-separated partition columns level for level
+    * (`k1=v1/k2=v2/…`); hidden/underscore entries are skipped.
+    * `statsCols` zone maps (and `bloomCols` sidecars) are computed by
+    * the SCAN path regardless of the `footerStats` conf — the footer
+    * fast path's NaN/ordering contract is proven only for files THIS
+    * engine staged, and adopted files come from a foreign writer.
+    * After conversion the table is an ordinary logtable: appends,
+    * DML, time travel and vacuum all apply (vacuum will not touch the
+    * adopted files while any retained version references them).
+    * Returns 1. */
+  def convert(spark: SparkSession, tableRoot: String,
+              dateCol: String = "start_date_oslo",
+              statsCols: Seq[String] = Seq.empty,
+              bloomCols: Seq[String] = Seq.empty): Long = {
+    val partCols = partColsOf(dateCol)
+    val (fs, root) = TableLog.fsFor(spark, tableRoot)
+    require(fs.exists(root), s"LogTable.convert: $tableRoot not found")
+    require(TableLog.currentVersion(spark, tableRoot) == 0L,
+      s"LogTable.convert: $tableRoot already has commits")
+    def hidden(n: String) = n.startsWith(".") || n.startsWith("_")
+    def walk(dir: org.apache.hadoop.fs.Path, depth: Int,
+             prefix: String): Seq[(String, Seq[FileStat])] =
+      if (depth == partCols.length) {
+        val files = fs.listStatus(dir)
+          .filter(st => st.isFile && !hidden(st.getPath.getName))
+          .map(st => FileStat(st.getPath.getName, st.getLen))
+          .toSeq
+        if (files.isEmpty) Seq.empty else Seq(prefix -> files)
+      } else fs.listStatus(dir)
+        .filter(st => st.isDirectory && !hidden(st.getPath.getName))
+        .toSeq.flatMap { st =>
+          val seg = st.getPath.getName
+          require(seg.startsWith(partCols(depth) + "="),
+            s"LogTable.convert: directory '$seg' at level $depth does " +
+              s"not match partition column '${partCols(depth)}' — the " +
+              "layout must be Hive-style k=v for every declared level")
+          walk(st.getPath,
+            depth + 1, if (prefix.isEmpty) seg else s"$prefix/$seg")
+        }
+    val parts: Map[String, Seq[FileStat]] = walk(root, 0, "").toMap
+    require(parts.nonEmpty,
+      s"LogTable.convert: no '${partCols.head}=' partition " +
+        s"directories with data files under $tableRoot")
+    // schema (incl. typed partition columns) from the files themselves
+    val paths = parts.toSeq.flatMap { case (p, fl) =>
+      fl.map(f => s"$tableRoot/$p/${f.file}") }
+    val df = spark.read.option("basePath", tableRoot).parquet(paths: _*)
+    validatePartTypes(df, partCols, "convert")
+    validateBloomCols(df.schema, bloomCols, "convert")
+    // scan-path stats, never footers (foreign writer — see Scaladoc)
+    val statted =
+      if (statsCols.isEmpty) parts
+      else {
+        require(statsCols.forall(_.matches("[A-Za-z0-9_]+")),
+          "LogTable.convert: stats columns must be plain identifiers")
+        val stats = fileStats(spark, tableRoot, statsCols, parts)
+        parts.map { case (p, fl) =>
+          p -> fl.map { f =>
+            stats.get(s"$p/${f.file}") match {
+              case Some((n, zones)) => f.copy(rows = n, zones = zones)
+              case None => f
+            }
+          }
+        }
+      }
+    if (!tryCommitDelta(spark, tableRoot, 1L, "convert", statsCols,
+        Some(df.schema.toDDL),
+        withBlooms(spark, tableRoot, bloomCols, statted),
+        Seq.empty, bloomCols))
+      sys.error(s"LogTable.convert: $tableRoot already has commits " +
+        "(a concurrent init won the v1 race)")
+    1L
+  }
+
   /** Replace the WHOLE table's contents in one atomic commit (the
     * `INSERT OVERWRITE` / `SaveMode.Overwrite` semantics): the new
     * rows stage outside the lock like [[append]]'s, and a single
@@ -2872,6 +2951,41 @@ object LogTable {
         abs(col("__net")).as("n_rows")): _*)
   }
 
+  /** [[changes]] classified BY KEY — the Delta-CDF row shape: a key
+    * appearing on both sides of the net diff is an UPDATE, emitted as
+    * paired `update_preimage` / `update_postimage` rows; one-sided
+    * keys stay `insert` / `delete`. Three O(feed) joins over the
+    * (already net, already O(files changed)) change frame — the fact
+    * table is never re-read, and at fold scale the key sides
+    * broadcast. Assumes the upsert discipline the key columns imply
+    * (the reference's M1/M2 shape: one live row per key); rows whose
+    * key is NULL never pair (non-null-safe join) and classify as
+    * plain insert/delete. A no-op rewrite (same row in, same row out)
+    * nets to zero upstream and appears as nothing here. */
+  def changesKeyed(spark: SparkSession, tableRoot: String,
+                   fromV: Long, toV: Long,
+                   keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "LogTable.changesKeyed: keyCols is empty")
+    val d = changes(spark, tableRoot, fromV, toV)
+    keyCols.foreach(c => require(d.columns.contains(c),
+      s"LogTable.changesKeyed: key column $c is not in the table"))
+    val pre = d.filter(col("_change_type") === "delete")
+      .drop("_change_type")
+    val post = d.filter(col("_change_type") === "insert")
+      .drop("_change_type")
+    val preKeys = pre.select(keyCols.map(col): _*).distinct()
+    val postKeys = post.select(keyCols.map(col): _*).distinct()
+    def typed(df: DataFrame, t: String) =
+      df.withColumn("_change_type", lit(t))
+    typed(pre.join(postKeys, keyCols, "left_semi"), "update_preimage")
+      .unionByName(typed(pre.join(postKeys, keyCols, "left_anti"),
+        "delete"))
+      .unionByName(typed(post.join(preKeys, keyCols, "left_semi"),
+        "update_postimage"))
+      .unionByName(typed(post.join(preKeys, keyCols, "left_anti"),
+        "insert"))
+  }
+
   /** RESTORE the table to retained version `toVersion` — as a NEW
     * commit whose live set, stats columns, and schema are the target
     * version's, byte-for-byte (Delta's RESTORE semantics): the commit
@@ -3053,14 +3167,21 @@ object LogTable {
           .filterNot(p => referencedDvs(p.getName))
           .foreach(fs.delete(_, true))
       // bloom sidecar dirs likewise: a sidecar id no kept manifest
-      // points at serves no retained version
+      // points at serves no retained version. minAgeMs shields the
+      // LOCK-FREE append's window (sidecars write BEFORE the commit
+      // CAS, so an in-flight append's dir is unreferenced until its
+      // commit lands — the same young-file contract as data files;
+      // a swept-anyway blob only loses pruning, never correctness,
+      // since a missing blob always admits)
       val referencedBlooms = keptManifests
         .flatMap(_.parts.values.flatten.flatMap(_.bloom)).toSet
       val bloomDir = new org.apache.hadoop.fs.Path(root, BloomDirName)
       if (fs.exists(bloomDir))
-        fs.listStatus(bloomDir).map(_.getPath)
-          .filterNot(p => referencedBlooms(p.getName))
-          .foreach(fs.delete(_, true))
+        fs.listStatus(bloomDir)
+          .filterNot(st => referencedBlooms(st.getPath.getName))
+          .filter(st => minAgeMs == 0L ||
+            st.getModificationTime < ageFloor)
+          .foreach(st => fs.delete(st.getPath, true))
       // crashed appends leave dotted .stage_append_* dirs — invisible
       // to readers, reclaimed once aged past the stale-writer threshold
       // (a LIVE stager outside the lock keeps its newest mtime fresh —

@@ -9138,6 +9138,113 @@ object ScaleQueries {
              |  AND event_id IN (7, 203, 401, 607, 809)
              |ORDER BY event_id""".stripMargin)),
 
+    // CONVERT in place (x227, new r15 — the CONVERT TO DELTA role):
+    // a FOREIGN writer's Hive-partitioned parquet directory is
+    // adopted as logtable v1 with zero data movement, then queried
+    // through the SQL TVF — the partition filter must prune to one
+    // directory's files (emitted as the `pruned` flag) and the values
+    // must match DuckDB reading the same events directly.
+    QuerySpec("x227_logtable_convert", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_type").as("grp"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      val base = java.nio.file.Files.createTempDirectory("graft_x227")
+        .toString + "/t"
+      // plain Spark parquet, NOT a logtable write
+      ev.repartition(2).write.partitionBy("grp").parquet(base)
+      graft.operators.LogTable.convert(s, base, dateCol = "grp",
+        statsCols = Seq("cents"))
+      val nLive = graft.operators.LogTable
+        .manifest(s, base, 1L).parts.values.map(_.size.toLong).sum
+      val probe = s.sql(
+        s"""SELECT grp, count(*) n_rows, sum(cents) sum_cents
+           |FROM logtable('$base') WHERE grp = 'click'
+           |GROUP BY grp""".stripMargin)
+      val rows = probe.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] =
+        p match {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            Seq(f)
+          case a: org.apache.spark.sql.execution.adaptive
+              .AdaptiveSparkPlanExec => scans(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            scans(q.plan)
+          case o => o.children.flatMap(scans)
+        }
+      val planned = scans(probe.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum
+      import s.implicits._
+      val out = rows.toSeq.map(r =>
+        (r.getString(0), r.getLong(1), r.getLong(2), planned < nLive))
+        .toDF("grp", "n_rows", "sum_cents", "pruned")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p.getParent, true)
+      out
+    },
+      Some("""SELECT event_type grp, CAST(count(*) AS BIGINT) n_rows,
+             |  CAST(sum(CAST(round(value*100, 0) AS BIGINT))
+             |    AS BIGINT) sum_cents, true pruned
+             |FROM events
+             |WHERE event_type = 'click' AND value IS NOT NULL
+             |GROUP BY grp""".stripMargin)),
+
+    // Keyed CDC classification (x226, new r15 — the Delta-CDF row
+    // shape): changesKeyed splits the net change feed by key into
+    // update_preimage / update_postimage pairs vs plain
+    // inserts/deletes. A keyed MERGE that rewrites whole files must
+    // surface ONLY the rows that semantically changed, with both
+    // images — DuckDB re-derives all four classes from the event
+    // axioms.
+    QuerySpec("x226_logtable_cdc_keyed", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_id"),
+          col("event_id").cast("string").as("id"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          lit("2024-01-01").cast("date").as("start_date_oslo"))
+      val base = java.nio.file.Files.createTempDirectory("graft_x226")
+        .toString + "/t"
+      graft.operators.LogTable.init(
+        ev.filter(col("event_id") % 3 === 0).drop("event_id")
+          .repartition(2), base)                                   // v1
+      // one keyed MERGE: updates (%30 == 0, cents -> 3c+7) + inserts
+      // (%3 == 1)
+      graft.operators.LogTable.merge(s, base,
+        ev.filter(col("event_id") % 30 === 0 ||
+            col("event_id") % 3 === 1)
+          .withColumn("cents",
+            when(col("event_id") % 30 === 0, col("cents") * 3 + 7)
+              .otherwise(col("cents")))
+          .drop("event_id"), Seq("id"))                            // v2
+      val out = graft.operators.LogTable
+        .changesKeyed(s, base, 1L, 2L, Seq("id"))
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("cents")).as("sum_cents"))
+        .orderBy(col("_change_type"))
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p.getParent, true)
+      out
+    },
+      Some("""WITH b AS (SELECT event_id e,
+             |    CAST(round(value*100, 0) AS BIGINT) c FROM events
+             |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+             |pre AS (SELECT 'update_preimage' t, c
+             |  FROM b WHERE e % 3 = 0 AND e % 30 = 0),
+             |post AS (SELECT 'update_postimage' t, 3*c + 7 c
+             |  FROM b WHERE e % 30 = 0),
+             |ins AS (SELECT 'insert' t, c FROM b WHERE e % 3 = 1)
+             |SELECT t _change_type, CAST(count(*) AS BIGINT) n_rows,
+             |  CAST(sum(c) AS BIGINT) sum_cents
+             |FROM (SELECT * FROM pre UNION ALL SELECT * FROM post
+             |  UNION ALL SELECT * FROM ins)
+             |GROUP BY t ORDER BY t""".stripMargin)),
+
     // LogTable commit-log SQL surface (x225, new r15): `SELECT ...
     // FROM logtable_history('/path')` — the DESCRIBE HISTORY role —
     // over a fixed init → append → overwrite → DV delete → compact

@@ -153,6 +153,35 @@ object LogTableTvf {
         LogTable.changes(spark, path, fromV, toV))
     })
 
+  /** [[changesRegistration]] with Delta-CDF row classification —
+    * `SELECT * FROM logtable_changes_keyed('/p', 1, 3, 'id')`: keys
+    * appearing on both sides of the net diff become
+    * `update_preimage`/`update_postimage` pairs, one-sided keys stay
+    * insert/delete ([[LogTable.changesKeyed]]). The key list is a
+    * comma-separated string literal. */
+  val changesKeyedRegistration: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("logtable_changes_keyed"),
+    new ExpressionInfo(LogTableTvf.getClass.getName,
+      "logtable_changes_keyed"),
+    (args: Seq[Expression]) => {
+      if (args.size != 4)
+        fail("logtable_changes_keyed expects (path, fromVersion, " +
+          s"toVersion, 'k1[,k2…]'), got ${args.size} arguments")
+      val spark = SparkSession.active
+      val path = pathArg(args, "logtable_changes_keyed")
+      val fromV = asVersion(spark, path, args(1))
+      val toV = asVersion(spark, path, args(2))
+      val keys = args(3) match {
+        case l: Literal if l.value != null && l.dataType == StringType =>
+          l.value.toString.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        case _ => fail("logtable_changes_keyed: the key list must be " +
+          "a comma-separated string literal")
+      }
+      org.apache.spark.sql.graftshim.PlanShim.logical(
+        LogTable.changesKeyed(spark, path, fromV, toV, keys))
+    })
+
   /** The commit log as a SQL table function — the `DESCRIBE HISTORY`
     * role: `SELECT * FROM logtable_history('/path')` returns one row
     * per retained version (version, op, raw action, commit_ts, files

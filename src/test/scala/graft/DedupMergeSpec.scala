@@ -1070,6 +1070,25 @@ class DedupMergeSpec extends SparkSpec {
       "a pure compaction must produce an empty change feed")
     assert(LogTable.changes(spark, root, v2, v3)
       .select("id").as[String].collect().toSeq == Seq("a5"))
+    // keyed CDC classification (r15, the Delta-CDF row shape): across
+    // v1 -> v2 the a1 delete+insert pair becomes update pre/post
+    // images, c9 stays a plain insert
+    val keyed = LogTable.changesKeyed(spark, root, 1L, 2L, Seq("id"))
+      .select("id", "value", "_change_type").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getString(2))).toSet
+    assert(keyed == Set(("a1", 1.0, "update_preimage"),
+      ("a1", 10.0, "update_postimage"), ("c9", 9.0, "insert")),
+      s"keyed feed was $keyed")
+    // ...and across a DV delete the one-sided key classifies as a
+    // true delete
+    val vD = LogTable.delete(spark, root, col("id") === "b1")
+    val keyedD = LogTable.changesKeyed(spark, root, vD - 1L, vD,
+      Seq("id")).select("id", "_change_type").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(keyedD == Set(("b1", "delete")), s"was $keyedD")
+    intercept[IllegalArgumentException] {
+      LogTable.changesKeyed(spark, root, 1L, 2L, Seq("nope"))
+    }
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
 

@@ -538,10 +538,17 @@ class ExtensionRuleSpec extends SparkSpec {
     val (cPlanned, cVals) = probe($"id" === 850L)
     assert(cVals == Seq(850L))
     assert(cPlanned <= liveFiles())
-    // vacuum sweeps sidecar dirs no retained manifest references
+    // vacuum sweeps sidecar dirs no retained manifest references —
+    // but minAgeMs shields young ones (a lock-free append writes its
+    // sidecar BEFORE the commit CAS, so an in-flight dir is
+    // unreferenced until the commit lands)
     val before = fs.listStatus(new org.apache.hadoop.fs.Path(
       s"$root/${LogTable.BloomDirName}")).length
     assert(before > 1)
+    LogTable.vacuum(spark, root, keepLast = 1, minAgeMs = 3600000L)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(
+      s"$root/${LogTable.BloomDirName}")).length == before,
+      "minAgeMs must shield young unreferenced sidecar dirs")
     LogTable.vacuum(spark, root, keepLast = 1)
     val referenced = LogTable.manifest(spark, root,
       TableLog.currentVersion(spark, root))
@@ -553,6 +560,90 @@ class ExtensionRuleSpec extends SparkSpec {
     assert(vVals == Seq(850L))
     assert(vPlanned <= liveFiles())
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
+  test("LogTable.convert (r15, the CONVERT TO DELTA role): an existing " +
+    "Hive-partitioned parquet dir is adopted in place as v1 — zero " +
+    "data files move, stats come from the SCAN path even under " +
+    "footerStats=true (foreign writer), reads/pruning/DML/time-travel " +
+    "all work afterwards, and non-Hive layouts fail loudly") {
+    import graft.operators.{LogTable, TableLog}
+    val root = java.nio.file.Files.createTempDirectory("graft_conv")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    // a FOREIGN writer's layout: plain partitionBy parquet, including
+    // a NaN-infected double (the footer-contract hazard)
+    spark.range(0, 40).select(
+      $"id".as("k"),
+      when($"id" % 11 === 4, lit(Double.NaN))
+        .otherwise($"id" * 2.0).as("v"),
+      when($"id" < 20, lit(d1)).otherwise(lit(d2))
+        .as("start_date_oslo"))
+      .repartition(2)
+      .write.partitionBy("start_date_oslo").parquet(root)
+    val filesBefore = fs.listStatus(new org.apache.hadoop.fs.Path(
+      root, s"start_date_oslo=$d1"))
+      .filter(_.isFile).filterNot(_.getPath.getName.startsWith("_"))
+      .map(s => (s.getPath.getName, s.getModificationTime)).toSet
+    spark.conf.set("spark.graft.logtable.footerStats", "true")
+    try {
+      assert(LogTable.convert(spark, root,
+        statsCols = Seq("k", "v")) == 1L)
+    } finally spark.conf.unset("spark.graft.logtable.footerStats")
+    // adopted, not rewritten
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(
+      root, s"start_date_oslo=$d1"))
+      .filter(_.isFile).filterNot(_.getPath.getName.startsWith("_"))
+      .map(s => (s.getPath.getName, s.getModificationTime)).toSet ==
+      filesBefore, "convert must not touch data files")
+    // content and schema
+    assert(LogTable.read(spark, root).count() == 40L)
+    assert(LogTable.readIndexed(spark, root)
+      .filter($"k" === 7L).select("v").as[Double].collect().toSeq ==
+      Seq(14.0))
+    // NaN-infected foreign files must have NO v-zone (the scan path's
+    // NaN census — the footer path could not promise this for a
+    // foreign writer, which is why convert forces the scan), so a
+    // one-sided probe above the clean range still returns every NaN
+    // row through the pruned plan
+    val m1 = LogTable.manifest(spark, root, 1L)
+    assert(m1.action == "convert")
+    assert(m1.parts.values.flatten.exists(f => !f.zones.contains("v")),
+      "no adopted file dropped its v zone — NaN census missing")
+    assert(m1.parts.values.flatten.forall(_.zones.contains("k")))
+    val nanProbe = LogTable.readIndexed(spark, root)
+      .filter($"v" >= 1000.0).select("k").as[Long].collect().sorted
+    assert(nanProbe.toSeq ==
+      LogTable.read(spark, root).filter($"v" >= 1000.0)
+        .select("k").as[Long].collect().sorted.toSeq)
+    assert(nanProbe.nonEmpty, "the NaN rows must survive pruning")
+    // partition pruning through the adopted layout
+    val d2Scan = LogTable.readIndexed(spark, root)
+      .filter($"start_date_oslo" === lit(d2))
+    assert(d2Scan.count() == 20L)
+    // the table is now an ordinary logtable: append + DV delete +
+    // time travel
+    LogTable.append(spark, root, Seq((100L, 1.0, d1))
+      .toDF("k", "v", "start_date_oslo"))
+    LogTable.delete(spark, root, $"k" === 3L)
+    assert(LogTable.read(spark, root).count() == 40L) // +1 −1
+    assert(LogTable.read(spark, root, Some(1L)).count() == 40L)
+    // loud contracts: double convert, and a non-Hive layout
+    intercept[IllegalArgumentException] {
+      LogTable.convert(spark, root)
+    }
+    val flat = java.nio.file.Files.createTempDirectory("graft_convflat")
+      .toString + "/t"
+    spark.range(0, 5).select($"id".as("k"), lit(d1).as("start_date_oslo"))
+      .write.parquet(flat) // NOT partitioned: files sit at the root
+    intercept[Exception] {
+      LogTable.convert(spark, flat)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+    fs.delete(new org.apache.hadoop.fs.Path(flat).getParent, true)
   }
 
   test("LogTable.readIndexed prunes on DATE zone predicates (typed " +
@@ -738,6 +829,18 @@ class ExtensionRuleSpec extends SparkSpec {
       .collect().head.getString(0) == "append:txn=h1")
     intercept[Exception] { // wrong arity
       spark.sql(s"SELECT * FROM logtable_history('$root', 1)").collect()
+    }
+    // keyed CDF classification through SQL (r15): the k=7 DV delete
+    // between v2 and v3 is a one-sided key — a plain delete
+    val keyedSql = spark.sql(
+      s"""SELECT k, _change_type
+         |FROM logtable_changes_keyed('$root', 2, 3, 'k')"""
+        .stripMargin).collect().map(r =>
+      (r.getLong(0), r.getString(1))).toSeq
+    assert(keyedSql == Seq((7L, "delete")), keyedSql)
+    intercept[Exception] { // key list must be a string literal
+      spark.sql(s"SELECT * FROM logtable_changes_keyed('$root', 2, 3, 7)")
+        .collect()
     }
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
