@@ -210,6 +210,15 @@ object LogTable {
     * whole life). */
   private val MaxTxns = 100000
 
+  /** Manifest FORMAT version (Delta's protocol-versioning role, r15):
+    * every commit records the format it was written under, and a
+    * reader refuses a delta stamped with a NEWER format instead of
+    * regex-walking JSON whose semantics it cannot know (absent = 1,
+    * the pre-r15 deltas). Bump when a change would make an older
+    * reader silently WRONG (not merely unaware of an additive field —
+    * additive fields like `bloom` degrade safely by construction). */
+  private val FmtVersion = 1
+
   private def deltaPath(ld: org.apache.hadoop.fs.Path, v: Long) =
     new org.apache.hadoop.fs.Path(ld, f"_v$v%08d.json")
 
@@ -295,7 +304,8 @@ object LogTable {
     val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
       fs.create(tmpP, true), "UTF-8"))
     try {
-      out.write(s"""{"version":$v,"action":${jstr(action)},""")
+      out.write(s"""{"version":$v,"fmt":$FmtVersion,""")
+      out.write(s""""action":${jstr(action)},""")
       schemaDdl.foreach(ddl => out.write(s""""schemaDdl":${jstr(ddl)},"""))
       if (statsCols.nonEmpty)
         out.write(statsCols.map(jstr)
@@ -461,6 +471,13 @@ object LogTable {
     val in = fs.open(p)
     val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
       finally in.close()
+    val fmt = "\"fmt\":(\\d+)".r.findFirstMatchIn(body)
+      .map(_.group(1).toInt).getOrElse(1)
+    if (fmt > FmtVersion)
+      sys.error(s"LogTable: $p was committed under manifest format " +
+        s"$fmt, but this engine reads format <= $FmtVersion — " +
+        "reading on would silently misinterpret the log; upgrade the " +
+        "reader")
     val action = "\"action\":\"([^\"]*)\"".r.findFirstMatchIn(body)
       .map(_.group(1)).getOrElse("")
     def strArray(key: String): Seq[String] =

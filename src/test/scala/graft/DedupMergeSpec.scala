@@ -1391,9 +1391,19 @@ class DedupMergeSpec extends SparkSpec {
         m.toSeq.map { case (k, v) => (k, "x", d, v) }: _*)
       // bloom sidecars on the string id (r15): every op's rewrite path
       // must keep per-file filters consistent with the model, and the
-      // per-state point probe below polices bloom admission
-      LogTable.init(frame(model).repartition(2), root,
-        statsCols = Seq("value"), bloomCols = Seq("id"))
+      // per-state point probe below polices bloom admission. Odd
+      // seeds create v1 by CONVERT over a foreign parquet layout
+      // (r15) instead of init — the whole random op sequence then
+      // runs over adopted files
+      if (seed % 2 == 1) {
+        frame(model).repartition(2)
+          .write.partitionBy("start_date_oslo").parquet(root)
+        LogTable.convert(spark, root, statsCols = Seq("value"),
+          bloomCols = Seq("id"))
+      } else {
+        LogTable.init(frame(model).repartition(2), root,
+          statsCols = Seq("value"), bloomCols = Seq("id"))
+      }
       history(1L) = model
       var nextId = 13
       (1 to 8).foreach { _ =>
@@ -2458,6 +2468,35 @@ class DedupMergeSpec extends SparkSpec {
       minAgeMs = 3600000L)
     assert(keptYoung == 0, s"minAgeMs must shield young files: $keptYoung")
     assert(LogTable.read(spark, root).count() == 120L)
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
+  test("manifest format versioning (r15, Delta's protocol role): a " +
+    "delta stamped with a NEWER fmt fails loudly at parse instead of " +
+    "being regex-walked into silent misreads; current-format tables " +
+    "read normally") {
+    import graft.operators.{LogTable, TableLog}
+    val root = java.nio.file.Files.createTempDirectory("graft_fmt")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    LogTable.init(entries(("e1", "x", d, 1.0)), root)
+    assert(LogTable.read(spark, root).count() == 1L)
+    // a FUTURE engine's commit lands in the log
+    val ld = new org.apache.hadoop.fs.Path(s"$root/_graft_log")
+    val out = fs.create(
+      new org.apache.hadoop.fs.Path(ld, "_v00000002.json"), false)
+    out.write(
+      ("""{"version":2,"fmt":99,"action":"append","shiny":true,""" +
+        s""""ts":${System.currentTimeMillis()},"parts":[],""" +
+        """"removes":[]}""").getBytes("UTF-8"))
+    out.close()
+    val e = intercept[RuntimeException] {
+      LogTable.read(spark, root)
+    }
+    assert(e.getMessage.contains("manifest format 99"), e.getMessage)
+    assert(TableLog.currentVersion(spark, root) == 2L)
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
 
