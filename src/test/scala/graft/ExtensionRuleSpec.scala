@@ -845,6 +845,35 @@ class ExtensionRuleSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
 
+  test("bloom pruning reaches the writer option and the by-name SQL " +
+    "surface (r15): df.write.option(bloomCols) declares filters at " +
+    "create, and a catalog table's WHERE id = k plans a pruned scan " +
+    "through the shared FileIndex") {
+    import graft.operators.{LogTable, TableLog}
+    val root = java.nio.file.Files.createTempDirectory("graft_blsql")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    spark.range(0, 400).select($"id",
+      lit(d).as("start_date_oslo"))
+      .repartition(8)
+      .write.format("logtable").option("bloomCols", "id").save(root)
+    val m = LogTable.manifest(spark, root,
+      TableLog.currentVersion(spark, root))
+    assert(m.bloomCols == Seq("id"))
+    assert(m.parts.values.flatten.forall(_.bloom.isDefined))
+    spark.sql("DROP TABLE IF EXISTS graft_blsql")
+    spark.sql(s"CREATE TABLE graft_blsql USING logtable LOCATION '$root'")
+    val q = spark.sql("SELECT id FROM graft_blsql WHERE id = 123")
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(123L))
+    assert(plannedFiles(spark.sql(
+      "SELECT id FROM graft_blsql WHERE id = 123")) < 8L,
+      "by-name SQL point probe must prune through the blooms")
+    spark.sql("DROP TABLE graft_blsql")
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
   test("logtable DataSource + catalog surface (r14 directive #1): " +
     "format('logtable') reads plan the manifest FileIndex (pruned " +
     "numFiles), AS OF options time-travel, writes route through the " +
