@@ -32,6 +32,13 @@ object Bench {
     // re-measurement of individual queries; the driver never sets it
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+    // a filtered run must never land on the official artifact path: it
+    // would overwrite the full-suite totals (and the noise_factor
+    // baseline) with a subset sum (ADVICE r15)
+    require(only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT"),
+      "SPARK_GRAFT_BENCH_ONLY is a dev subset filter — set " +
+        "SPARK_GRAFT_BENCH_OUT to a non-default path so the filtered " +
+        "run cannot overwrite BENCH_FULL.json")
     val named = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.exists(n.startsWith)) }
     // Throwaway warm pass for the cache-mode-sensitive family (r6 VERDICT

@@ -1576,10 +1576,18 @@ object LogTable {
         .map { case (tail, filters) =>
           val fs = new org.apache.hadoop.fs.Path(rootStr)
             .getFileSystem(confThunk())
+          // temp-file + rename: a crashed close or a duplicate
+          // (speculative) attempt must never leave a TORN blob at the
+          // referenced path — readers degrade a missing blob to
+          // "admit", but only an atomic publish guarantees the path
+          // holds either nothing or a whole blob (ADVICE r15)
+          val dst = new org.apache.hadoop.fs.Path(
+            bloomBlobPath(rootStr, id, tail))
+          val tmp = new org.apache.hadoop.fs.Path(
+            dst.getParent,
+            s".${dst.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
           val out = new java.io.DataOutputStream(
-            new java.io.BufferedOutputStream(fs.create(
-              new org.apache.hadoop.fs.Path(
-                bloomBlobPath(rootStr, id, tail)), true)))
+            new java.io.BufferedOutputStream(fs.create(tmp, true)))
           try {
             out.writeInt(BloomBlobMagic)
             out.writeInt(nCols)
@@ -1597,6 +1605,9 @@ object LogTable {
               i += 1
             }
           } finally out.close()
+          // a lost rename race (another attempt published the same
+          // deterministic content first) is a win, not an error
+          if (!fs.rename(tmp, dst)) fs.delete(tmp, false)
           tail
         }.collect()
       val tagged = written.toSet
@@ -1608,10 +1619,23 @@ object LogTable {
     }
 
   /** Blob cache: sidecar blobs are immutable (new stats → new sidecar
-    * id), so cache by qualified path. Bounded bluntly like
-    * [[manifestCache]] — blobs are MB-scale, keep the bound small. */
-  private val bloomBlobCache = new java.util.concurrent.ConcurrentHashMap[
-    String, Map[String, (Char, org.apache.spark.util.sketch.BloomFilter)]]()
+    * id), so cache by qualified path. A true LRU (access-order
+    * LinkedHashMap, eldest-out) rather than a blunt clear: a point
+    * probe over a table with more than [[BloomBlobCacheMax]]
+    * zone-surviving bloom'd files must keep its hot working set
+    * instead of refetching MB-scale blobs every planning pass
+    * (ADVICE r15). */
+  private val BloomBlobCacheMax = 128
+  private val bloomBlobCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[
+        String,
+        Map[String, (Char, org.apache.spark.util.sketch.BloomFilter)]](
+        BloomBlobCacheMax, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String,
+            Map[String, (Char, org.apache.spark.util.sketch.BloomFilter)]])
+          : Boolean = size() > BloomBlobCacheMax
+    })
 
   private def loadBloomBlob(fs: org.apache.hadoop.fs.FileSystem,
                             path: String)
@@ -1622,26 +1646,41 @@ object LogTable {
     val hit = bloomBlobCache.get(key)
     if (hit != null) return Some(hit)
     val p = new org.apache.hadoop.fs.Path(path)
-    if (!fs.exists(p)) return None // lost sidecar: never prune on it
-    val in = new java.io.DataInputStream(
-      new java.io.BufferedInputStream(fs.open(p)))
-    val m = try {
-      require(in.readInt() == BloomBlobMagic,
-        s"LogTable: $path is not a bloom sidecar blob")
-      val n = in.readInt()
-      (0 until n).map { _ =>
-        val c = in.readUTF()
-        val kind = in.readChar()
-        val len = in.readInt()
-        val buf = new Array[Byte](len)
-        in.readFully(buf)
-        c -> (kind, org.apache.spark.util.sketch.BloomFilter.readFrom(
-          new java.io.ByteArrayInputStream(buf)))
-      }.toMap
-    } finally in.close()
-    if (bloomBlobCache.size > 128) bloomBlobCache.clear()
-    bloomBlobCache.put(key, m)
-    Some(m)
+    // the documented contract is "a lost/missing blob only loses
+    // pruning, never correctness": a missing, torn or corrupt sidecar
+    // degrades to admit (no pruning) rather than failing the query
+    // (ADVICE r15 — writes are temp+rename now, but pre-fix blobs and
+    // partial copies must still read safely)
+    val parsed = try {
+      if (!fs.exists(p)) None
+      else {
+        val in = new java.io.DataInputStream(
+          new java.io.BufferedInputStream(fs.open(p)))
+        val m = try {
+          require(in.readInt() == BloomBlobMagic,
+            s"LogTable: $path is not a bloom sidecar blob")
+          val n = in.readInt()
+          (0 until n).map { _ =>
+            val c = in.readUTF()
+            val kind = in.readChar()
+            val len = in.readInt()
+            val buf = new Array[Byte](len)
+            in.readFully(buf)
+            c -> (kind, org.apache.spark.util.sketch.BloomFilter.readFrom(
+              new java.io.ByteArrayInputStream(buf)))
+          }.toMap
+        } finally in.close()
+        Some(m)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        org.slf4j.LoggerFactory.getLogger("graft.operators.LogTable")
+          .warn(s"LogTable: unreadable bloom sidecar $path — " +
+            s"admitting without pruning (${e.getMessage})")
+        None
+    }
+    parsed.foreach(m => bloomBlobCache.put(key, m))
+    parsed
   }
 
   /** Can this file contain a row matching every equality probe?
@@ -1717,11 +1756,18 @@ object LogTable {
     * dotted names) and return (stage path, its partition → files map).
     * The write happens OUTSIDE any lock; shared by [[init]] and
     * [[append]]. */
+  /** Staged writes, counted so specs can pin job-submission bounds
+    * (r15 verdict #2: [[compact]] must stage ALL touched partitions
+    * in ONE write, not one per partition). */
+  private[graft] val stagedWrites =
+    new java.util.concurrent.atomic.AtomicLong(0L)
+
   private def stageRows(spark: SparkSession,
                         fs: org.apache.hadoop.fs.FileSystem,
                         root: org.apache.hadoop.fs.Path, rows: DataFrame,
                         partCols: Seq[String])
       : (org.apache.hadoop.fs.Path, Map[String, Seq[FileStat]]) = {
+    stagedWrites.incrementAndGet()
     val stagePath = new org.apache.hadoop.fs.Path(root,
       s".stage_append_${java.util.UUID.randomUUID()}")
     rows.write.mode(SaveMode.Append).partitionBy(partCols: _*)
@@ -1863,9 +1909,24 @@ object LogTable {
           .map(st => FileStat(st.getPath.getName, st.getLen))
           .toSeq
         if (files.isEmpty) Seq.empty else Seq(prefix -> files)
-      } else fs.listStatus(dir)
-        .filter(st => st.isDirectory && !hidden(st.getPath.getName))
-        .toSeq.flatMap { st =>
+      } else {
+        val entries = fs.listStatus(dir)
+          .filterNot(st => hidden(st.getPath.getName)).toSeq
+        // a DATA FILE above the leaf level (a stray parquet at the
+        // table root or an intermediate level) cannot be expressed in
+        // the manifest's k=v partition map — silently omitting it
+        // would drop rows vs spark.read.parquet(root) AND a later
+        // vacuum would reclaim it as unreferenced. Non-Hive layouts
+        // fail loudly at every level, not just the flat case
+        // (ADVICE r15)
+        val strays = entries.filter(_.isFile)
+        require(strays.isEmpty,
+          s"LogTable.convert: data file '${strays.head.getPath.getName}'" +
+            s" sits at partition level $depth of $dir, above the leaf " +
+            s"level ${partCols.length} — every data file must live " +
+            s"under ${partCols.mkString("=…/")}=… directories; move or " +
+            "remove it before converting")
+        entries.filter(_.isDirectory).flatMap { st =>
           val seg = st.getPath.getName
           require(seg.startsWith(partCols(depth) + "="),
             s"LogTable.convert: directory '$seg' at level $depth does " +
@@ -1874,6 +1935,7 @@ object LogTable {
           walk(st.getPath,
             depth + 1, if (prefix.isEmpty) seg else s"$prefix/$seg")
         }
+      }
     val parts: Map[String, Seq[FileStat]] = walk(root, 0, "").toMap
     require(parts.nonEmpty,
       s"LogTable.convert: no '${partCols.head}=' partition " +
@@ -2117,6 +2179,53 @@ object LogTable {
     scanFiles(spark, tableRoot, m, files)
   }
 
+  /** [[readKeyed]]'s planned file set, spec-testable: the same
+    * zone+bloom candidate machinery [[merge]]'s match probe uses
+    * ([[mergeProbeTails]]), so a keyed lookup plans O(files actually
+    * holding the keys), never O(table). Superset contract throughout:
+    * every file possibly holding a key IS admitted. */
+  private[graft] def keyedReadTails(spark: SparkSession,
+      tableRoot: String, m: Manifest, keys: DataFrame,
+      keyCols: Seq[String], keyScopedPartitions: Boolean)
+      : Seq[String] =
+    mergeProbeTails(spark, tableRoot, m, keys, keyCols,
+      partColsOfManifest(m), keyScopedPartitions)
+
+  /** Probe-scoped read: plan ONLY the live files that can hold rows
+    * whose `keyCols` value appears in `keys` — zone maps bound the
+    * keys' bounding box, per-file blooms (when `keyCols` are declared
+    * bloom columns and the distinct key set is ≤
+    * `spark.graft.logtable.bloomMergeMaxKeys`) drop files that
+    * definitely miss every key, and `keyScopedPartitions = true`
+    * additionally restricts to the partitions the keys' own rows land
+    * in (sound only when every partition column is a pure function of
+    * the keys — the `gbucket = hash(key) % N` layout). Falls back to
+    * the full live set when nothing can prune (no stats/blooms on the
+    * key columns, or the key set is too wide to collect) — graceful
+    * degradation, never a miss. The scan is a SUPERSET of the matching
+    * rows: callers join/filter exactly on the returned frame.
+    *
+    * This is the CURRENT-VALUE LOOKUP primitive for incremental
+    * maintenance (r15 verdict #1): a maintained aggregate's fold reads
+    * the touched groups' prior values through this instead of scanning
+    * the whole aggregate per micro-batch — at 10⁹ groups a narrow
+    * window plans O(files holding touched keys), never O(aggregate). */
+  def readKeyed(spark: SparkSession, tableRoot: String, keys: DataFrame,
+                keyCols: Seq[String],
+                keyScopedPartitions: Boolean = false,
+                asOf: Option[Long] = None): DataFrame = {
+    require(keyCols.nonEmpty, "LogTable.readKeyed needs key columns")
+    val v = asOf.getOrElse(TableLog.currentVersion(spark, tableRoot))
+    require(v > 0L,
+      s"LogTable.readKeyed: $tableRoot has no committed version")
+    val m = manifest(spark, tableRoot, v)
+    val tails = keyedReadTails(spark, tableRoot, m, keys, keyCols,
+      keyScopedPartitions)
+    if (tails.isEmpty) read(spark, tableRoot, Some(v)).limit(0)
+    else scanFiles(spark, tableRoot, m,
+      tails.sorted.map(t => s"$tableRoot/$t"))
+  }
+
   /** Can this file's zone admit a row matching `pred`? No zone for the
     * column → true (cannot skip safely); a numeric zone with non-finite
     * bounds → true (legacy NaN zones never skip — ADVICE r12); a KIND
@@ -2261,27 +2370,49 @@ object LogTable {
         // partition cols come off the manifest's own dir keys, so a
         // multi-level or non-date layout compacts without the caller
         // restating it; packed rows STAGE like every other writer
-        // (listing diffs race lock-free appends)
+        // (listing diffs race lock-free appends).
+        //
+        // ONE job for ALL touched partitions (r15 verdict #2): a
+        // per-partition loop submits one Spark job per fragmented
+        // partition — 10⁴ serial submissions at 10⁴ partitions. Here
+        // every packed partition's small files scan in a single frame;
+        // each row lands in one of its partition's ⌈bytes/target⌉
+        // output slots via a DETERMINISTIC row-content hash (the frame
+        // re-evaluates across planning and write — rand()/monotonic
+        // ids would tear), a tiny broadcast map supplies each
+        // partition's slot count, and one staged write splits the
+        // shuffled rows into per-partition files itself.
         val pCols = partColsOfManifest(prev)
         val (fs, root) = TableLog.fsFor(spark, tableRoot)
-        var stagedAll = Map.empty[String, Seq[FileStat]]
-        todo.toSeq.sortBy(_._1).foreach { case (p, fl) =>
-          val small = fl.filter(_.bytes < targetBytes)
-          val paths = small.map(f => s"$tableRoot/$p/${f.file}")
-          val totalBytes = small.map(_.bytes).sum
-          val nOut = math.max(1, (totalBytes / targetBytes).toInt +
-            (if (totalBytes % targetBytes > 0) 1 else 0))
-          // pack into the SAME partition as new files (the partition
-          // cols ride the rows); at-target files stay live untouched
-          val (sp, sParts) = stageRows(spark, fs, root,
-            scanFiles(spark, tableRoot, prev, paths).coalesce(nOut),
-            pCols)
-          promoteStage(fs, root, sp, sParts, "compact")
-          sParts.foreach { case (sp2, sfl) =>
-            stagedAll = stagedAll +
-              (sp2 -> (stagedAll.getOrElse(sp2, Seq.empty) ++ sfl))
-          }
+        val levels = pCols.size
+        val nOutByPart = todo.toSeq.sortBy(_._1).map { case (p, fl) =>
+          val totalBytes = fl.filter(_.bytes < targetBytes)
+            .map(_.bytes).sum
+          p -> math.max(1L, (totalBytes + targetBytes - 1) /
+            targetBytes).toInt
         }
+        val totalSlots = nOutByPart.map(_._2).sum
+        val allPaths = todo.toSeq.sortBy(_._1).flatMap { case (p, fl) =>
+          fl.filter(_.bytes < targetBytes)
+            .map(f => s"$tableRoot/$p/${f.file}") }
+        // identity scan: __dvf carries "part/.../file", whose dir
+        // prefix keys the slot-count lookup (DV-filtered — packing
+        // folds deletion vectors away, like before)
+        val src = scanWithIdentity(spark, tableRoot, prev, allPaths)
+        val dataCols = src.columns.filterNot(Set("__dvf", "__dvp"))
+        import spark.implicits._
+        val nOutDf = nOutByPart.toDF("__part", "__nout")
+        val packed = src
+          .withColumn("__part",
+            substring_index(col("__dvf"), "/", levels))
+          .join(broadcast(nOutDf), "__part")
+          .withColumn("__slot",
+            pmod(hash(dataCols.map(col).toSeq: _*), col("__nout")))
+          .repartition(math.max(totalSlots, 1),
+            col("__part"), col("__slot"))
+          .select(dataCols.map(col).toSeq: _*)
+        val (sp, stagedAll) = stageRows(spark, fs, root, packed, pCols)
+        promoteStage(fs, root, sp, stagedAll, "compact")
         val removes = todo.toSeq.flatMap { case (p, fl) =>
           fl.filter(_.bytes < targetBytes).map(f => s"$p/${f.file}") }
         writeCommit(spark, tableRoot, "compact", prev.statsCols,

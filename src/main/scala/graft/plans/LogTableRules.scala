@@ -69,6 +69,16 @@ object LogTableRules {
   * fixed-point safe. */
 object LogTableDvRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
+    // INVARIANT (r15 verdict): this rule is injected session-wide and
+    // runs on every analyzer invocation of EVERY query — a plan with
+    // no dv-pending logtable scan must pay exactly one allocation-free
+    // traversal and bail before the shield set is even built.
+    val pending = plan.exists {
+      case lr: LogicalRelation =>
+        LogTableRules.indexOf(lr).exists(_.dvPending)
+      case _ => false
+    }
+    if (!pending) return plan
     // DML TARGETS are left alone: DeleteFromTable/UpdateTable/
     // MergeIntoTable hold their target as a CHILD, but the rewritten
     // commands (LogTableDmlRule) only need the relation to find the
@@ -172,7 +182,15 @@ object LogTableDmlRule extends Rule[LogicalPlan] {
       case _ => false
     }
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan transformDown {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // session-wide rule: non-DML plans (the overwhelming majority)
+    // bail with one allocation-free type scan (r15 verdict)
+    val hasDml = plan.exists {
+      case _: DeleteFromTable | _: UpdateTable | _: MergeIntoTable => true
+      case _ => false
+    }
+    if (!hasDml) return plan
+    plan transformDown {
     case DeleteFromTable(t, cond)
         if unwrapTarget(t).isDefined && cond.resolved =>
       val (_, idx) = unwrapTarget(t).get
@@ -216,6 +234,7 @@ object LogTableDmlRule extends Rule[LogicalPlan] {
       require(keys.nonEmpty, "logtable MERGE: no key columns in ON")
       LogTableMergeCommand(idx.tableRoot, source, keys,
         idx.partitionSchema.fieldNames.toSeq)
+    }
   }
 }
 
@@ -270,7 +289,11 @@ final case class LogTableMergeCommand(tableRoot: String,
   * reader. Column matching is positional with lenient casts (the SQL
   * `INSERT` contract; `byName` inserts align by name first). */
 object LogTableInsertRule extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan transformDown {
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    // session-wide rule: non-INSERT plans bail with one
+    // allocation-free type scan (r15 verdict)
+    if (!plan.exists(_.isInstanceOf[InsertIntoStatement])) return plan
+    plan transformDown {
     case InsertIntoStatement(lr: LogicalRelation, partSpec, userCols,
         query, overwrite, ifPartitionNotExists, byName)
         if LogTableRules.indexOf(lr).isDefined && query.resolved =>
@@ -286,6 +309,7 @@ object LogTableInsertRule extends Rule[LogicalPlan] {
       LogTableWriteCommand(idx.tableRoot, query, overwrite,
         lr.schema,
         idx.partitionSchema.fieldNames.toSeq, byName)
+    }
   }
 }
 

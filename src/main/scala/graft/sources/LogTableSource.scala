@@ -203,7 +203,19 @@ class LogTableSource extends RelationProvider
       .getOrElse(TableLog.currentVersion(spark, path))
     require(starting >= 0L,
       s"logtable: startingVersion must be >= 0, got $starting")
-    new LogTableChangeSource(spark, path, starting)
+    val maxPerTrigger = parameters.get("maxVersionsPerTrigger")
+      .map { s =>
+        val n = try s.trim.toLong catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              "logtable: maxVersionsPerTrigger must be a positive " +
+                s"integer, got '$s'")
+        }
+        require(n > 0L,
+          s"logtable: maxVersionsPerTrigger must be > 0, got $n")
+        n
+      }
+    new LogTableChangeSource(spark, path, starting, maxPerTrigger)
   }
 
   /** `writeStream.format("logtable")` — the EXACTLY-ONCE streaming
@@ -339,16 +351,31 @@ private[graft] final class EmptyLogTableRelation(
   * start; later add-only table columns are projected away until the
   * stream restarts (documented Delta-CDF behavior too). */
 private[graft] final class LogTableChangeSource(
-    spark: SparkSession, path: String, startingVersion: Long)
+    spark: SparkSession, path: String, startingVersion: Long,
+    maxVersionsPerTrigger: Option[Long] = None)
     extends Source {
 
   private val schema0 = LogTableSource.changeFeedSchema(spark, path)
 
   override def schema: StructType = schema0
 
+  /** The newest version already OFFERED to the engine — the admission
+    * base (r15 verdict #4: without a cap, a 10⁴-version backlog drains
+    * as one giant micro-batch). Starts at `startingVersion`; getBatch
+    * advances it too, because on RESTART Spark re-plays the recovered
+    * offsets through getBatch before ever calling getOffset — the V1
+    * re-initialization contract FileStreamSource/KafkaSource use — so
+    * a restarted stream resumes rate-limiting from its checkpointed
+    * position, not from `startingVersion`. */
+  @volatile private var offered: Long = startingVersion
+
   override def getOffset: Option[V1Offset] = {
-    val v = TableLog.currentVersion(spark, path)
-    if (v <= startingVersion) None else Some(LongOffset(v))
+    val head = TableLog.currentVersion(spark, path)
+    val base = math.max(offered, startingVersion)
+    val capped =
+      maxVersionsPerTrigger.fold(head)(n => math.min(head, base + n))
+    if (capped <= base) None
+    else { offered = capped; Some(LongOffset(capped)) }
   }
 
   private def ver(o: V1Offset): Long = o match {
@@ -360,6 +387,7 @@ private[graft] final class LogTableChangeSource(
                         end: V1Offset): DataFrame = {
     val from = start.map(ver).getOrElse(startingVersion)
     val to = ver(end)
+    if (to > offered) offered = to // restart re-initialization
     def stamped(df: DataFrame, v: Long): DataFrame =
       df.withColumn("_commit_version", lit(v))
         .select(schema0.fieldNames.map(col).toSeq: _*)

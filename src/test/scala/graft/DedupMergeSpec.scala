@@ -2574,6 +2574,80 @@ class DedupMergeSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
   }
 
+  test("logtable streaming source admission control (r15 verdict " +
+    "#4): maxVersionsPerTrigger=1 drains a multi-version backlog in " +
+    "one-version micro-batches instead of one giant batch, a restart " +
+    "resumes rate-limiting from the CHECKPOINTED position, and the " +
+    "folded aggregate stays exactly-once across the split") {
+    import graft.operators.{LogTable, TableLog}
+    import graft.streaming.Streams
+    val base = java.nio.file.Files.createTempDirectory("graft_mvpt")
+      .toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    val fact = s"$base/fact"
+    val agg = s"$base/agg"
+    val ckpt = s"$base/ckpt"
+    def rows(r: (String, String, Long)*) = r.toSeq
+      .map { case (id, g, c) => (id, g, c, d) }
+      .toDF("id", "grp", "cents", "start_date_oslo")
+    LogTable.init(rows(("e1", "a", 10L)), fact)                 // v1
+    LogTable.append(spark, fact, rows(("e2", "a", 20L)))        // v2
+    LogTable.append(spark, fact, rows(("e3", "b", 30L)))        // v3
+    LogTable.append(spark, fact, rows(("e4", "b", 40L)))        // v4
+    // batch log: (batchId, the distinct _commit_versions in the batch)
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Set[Long])]
+    def run(): Unit = {
+      val q = spark.readStream.format("logtable")
+        .option("startingVersion", "0")
+        .option("maxVersionsPerTrigger", "1")
+        .load(fact)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           id: java.lang.Long) =>
+            val vs = batch.select("_commit_version").distinct()
+              .collect().map(_.getLong(0)).toSet
+            seen.synchronized { seen += ((id.toLong, vs)) }
+            Streams.foldFeedIntoAggregate(spark, agg, batch.toDF(),
+              txnId = s"mvpt:$id", isBootstrap = id == 0L,
+              grpCol = "grp", valCol = "cents")
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.processAllAvailable()
+      q.stop()
+    }
+    run()
+    // a 4-version backlog drains as 4 one-version batches, in order
+    assert(seen.map(_._2) == Seq(Set(1L), Set(2L), Set(3L), Set(4L)),
+      s"backlog must split one version per trigger: $seen")
+    def aggState(): Map[String, (Long, Long)] =
+      LogTable.read(spark, agg).filter(col("n_rows") > 0L)
+        .select("grp", "n_rows", "sum_val")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+    def recompute(): Map[String, (Long, Long)] =
+      LogTable.read(spark, fact).groupBy(col("grp"))
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2))).toMap
+    assert(aggState() == recompute(), "fold drifted across the split")
+    // restart from the checkpoint: rate limiting resumes from the
+    // committed position (v4), not startingVersion — two new versions
+    // arrive as two fresh one-version batches, exactly once
+    LogTable.append(spark, fact, rows(("e5", "a", 50L)))        // v5
+    LogTable.merge(spark, fact, rows(("e3", "b", 300L)), Seq("id")) // v6
+    seen.clear()
+    run()
+    assert(seen.map(_._2) == Seq(Set(5L), Set(6L)),
+      s"restart must resume from the checkpoint: $seen")
+    assert(aggState() == recompute(), "post-restart fold drifted")
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+  }
+
   test("logtable streaming SINK exactly-once (st62, r15): writeStream" +
     ".format(\"logtable\") commits each batch under " +
     "sink:<queryId>:<batchId>; a re-delivered batch (commit-log " +
@@ -2783,6 +2857,110 @@ class DedupMergeSpec extends SparkSpec {
       .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).collect()
       .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(got == want, s"fold drifted: $got vs $want")
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+  }
+
+  test("readKeyed prunes the fold's CURRENT-VALUE read (r15 verdict " +
+    "#1): on a multi-bucket aggregate, a one-group lookup plans " +
+    "STRICTLY fewer files than the table holds — scoped to the " +
+    "touched bucket — returns exactly the matching rows, and a " +
+    "too-wide key set degrades to the full scan, never a miss") {
+    import graft.operators.{LogTable, TableLog}
+    import graft.streaming.Streams
+    val base = java.nio.file.Files.createTempDirectory("graft_rk")
+      .toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    val fact = s"$base/fact"
+    val agg = s"$base/agg"
+    val seed = (0 until 64).map(i => (s"e$i", f"g$i%02d", i.toLong * 10, d))
+    LogTable.init(seed.toDF("id", "grp", "cents", "start_date_oslo")
+      .repartition(4), fact)
+    Streams.foldChangeFeedIntoAggregate(spark, agg,
+      LogTable.read(spark, fact, Some(1L))
+        .withColumn("_change_type", lit("insert"))
+        .withColumn("n_rows", lit(1L)),
+      0L, 1L, "grp", "cents", buckets = 8)
+    val m = LogTable.manifest(spark, agg,
+      TableLog.currentVersion(spark, agg))
+    val total = m.parts.values.map(_.size).sum
+    assert(m.parts.size > 1, "64 groups must spread across buckets")
+    val oneKey = Seq("g05").toDF("grp")
+      .withColumn("gbucket", pmod(hash(col("grp")), lit(8)))
+    // the planned file set — the exact tails the fold's lookup scans
+    val tails = LogTable.keyedReadTails(spark, agg, m, oneKey,
+      Seq("grp"), keyScopedPartitions = true)
+    assert(tails.nonEmpty && tails.size < total,
+      s"the current-value read must be scoped: ${tails.size} of $total")
+    val bucket = s"gbucket=${oneKey.select("gbucket").head.getInt(0)}"
+    assert(tails.forall(_.startsWith(s"$bucket/")), tails.toString)
+    // values through the scoped read match the full read exactly
+    val got = LogTable.readKeyed(spark, agg, oneKey, Seq("grp"),
+        keyScopedPartitions = true)
+      .filter(col("grp") === "g05")
+      .select("grp", "n_rows", "sum_val").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val want = LogTable.read(spark, agg)
+      .filter(col("grp") === "g05")
+      .select("grp", "n_rows", "sum_val").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == want && got.nonEmpty, s"$got vs $want")
+    // degradation path: a key set wider than bloomMergeMaxKeys falls
+    // back to zones (here: the full bucket-scoped superset) and still
+    // returns every matching row
+    spark.conf.set("spark.graft.logtable.bloomMergeMaxKeys", "1")
+    try {
+      val wide = (0 until 64).map(i => f"g$i%02d").toDF("grp")
+        .withColumn("gbucket", pmod(hash(col("grp")), lit(8)))
+      val all = LogTable.readKeyed(spark, agg, wide, Seq("grp"),
+          keyScopedPartitions = true)
+        .filter(col("n_rows") > 0L).count()
+      assert(all == 64L, s"wide-key fallback lost rows: $all")
+    } finally
+      spark.conf.unset("spark.graft.logtable.bloomMergeMaxKeys")
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+  }
+
+  test("compact stages ALL touched partitions in ONE write (r15 " +
+    "verdict #2): a 3-partition 9-file table packs to 3 files under " +
+    "exactly one staged job, values and time travel intact") {
+    import graft.operators.{LogTable, TableLog}
+    val base = java.nio.file.Files.createTempDirectory("graft_cpk")
+      .toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val root = s"$base/t"
+    def batch(tag: Int) = (1 to 3).flatMap { p =>
+      (1 to 20).map(i =>
+        (s"e$tag-$p-$i", java.sql.Date.valueOf(f"2024-01-0$p%d"),
+          i.toLong))
+    }.toDF("id", "start_date_oslo", "v")
+    // 3 appends × 3 partitions → 3 files per partition
+    LogTable.init(batch(0).repartition(1), root)
+    LogTable.append(spark, root, batch(1).repartition(1))
+    LogTable.append(spark, root, batch(2).repartition(1))
+    val vPre = TableLog.currentVersion(spark, root)
+    val mPre = LogTable.manifest(spark, root, vPre)
+    assert(mPre.parts.size == 3 &&
+      mPre.parts.values.forall(_.size == 3), mPre.parts.toString)
+    val before = LogTable.read(spark, root).select("id").as[String]
+      .collect().toSet
+    val writes0 = LogTable.stagedWrites.get()
+    val v = LogTable.compact(spark, root, targetBytes = 1L << 30)
+    assert(LogTable.stagedWrites.get() - writes0 == 1L,
+      "compact must stage all touched partitions in ONE write, " +
+        s"staged ${LogTable.stagedWrites.get() - writes0}")
+    assert(v == vPre + 1)
+    val mPost = LogTable.manifest(spark, root, v)
+    assert(mPost.parts.size == 3 &&
+      mPost.parts.values.forall(_.size == 1),
+      s"each partition must pack to one file: ${mPost.parts.map {
+        case (p, fl) => p -> fl.size }}")
+    assert(LogTable.read(spark, root).select("id").as[String]
+      .collect().toSet == before)
+    // time travel to the pre-compact version still plans 9 files
+    assert(LogTable.read(spark, root, Some(vPre)).inputFiles.length == 9)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
   }
 
