@@ -37,6 +37,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => graft.plans.LogTableDvRule)
     ext.injectResolutionRule(_ => graft.plans.LogTableInsertRule)
     ext.injectResolutionRule(_ => graft.plans.LogTableDmlRule)
+    // SQL time travel on NAMED logtables (r15): VERSION AS OF /
+    // TIMESTAMP AS OF resolve through the manifest FileIndex. Hint
+    // batch, not Resolution: Spark's own ResolveRelations throws
+    // "does not support time travel" for v1 session-catalog tables
+    // in the SAME pass, so the rewrite must win the race by running
+    // in the earlier Hints batch
+    ext.injectHintResolutionRule(_ =>
+      graft.plans.LogTableTimeTravelRule)
     ext.injectOptimizerRule(_ => graft.plans.IntervalJoinRule)
     ext.injectOptimizerRule(_ => graft.plans.GlobalRankRewrite)
     ext.injectPlannerStrategy(_ => graft.plans.RunningSumStrategy)

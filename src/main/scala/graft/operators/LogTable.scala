@@ -378,18 +378,18 @@ object LogTable {
     * skip it entirely, and ops still holding it for their heavy phase
     * ride this loop safely against racing lock-free appenders).
     *
-    * Why the DML ops (merge/delete/update/compact/zorder) KEEP the
-    * lock: their conflicts are not tail-name-level but FileStat-
-    * identity-level — two concurrent deletes hitting the same file
-    * would each carry forward the OTHER's superseded deletion vector
-    * (the tail stays "live" under a new vector, so a name-level
-    * liveness check passes while one writer's dead rows silently
-    * resurrect). Detecting that needs Delta's full concurrent-DML
-    * exception taxonomy; a lock converts those aborts into waiting at
-    * identical throughput for genuinely conflicting work, while the
-    * INGEST path — the only one that must scale writers at 100 TB —
-    * runs lock-free. Per attempt the loop re-reads the head and
-    * validates the REBASE:
+    * The row-level DML ops (merge/delete/update) are lock-free too
+    * (r15 directive #2): their FileStat-identity conflicts — two
+    * concurrent deletes hitting the same file would each carry
+    * forward the OTHER's superseded deletion vector — are detected by
+    * the `readSet` check below, so DISJOINT DML commits concurrently
+    * and only genuinely overlapping work aborts with
+    * [[ConcurrentWriteException]] (Delta's conflict taxonomy). The
+    * table lock remains only on whole-table maintenance
+    * (compact/zorder/restore/restat/bloomcols/vacuum/checkpoint),
+    * serializing those against EACH OTHER; against lock-free DML they
+    * carry the same readSet validation. Per attempt the loop re-reads
+    * the head and validates the REBASE:
     *
     *  - every file this commit retires must still be live (a
     *    concurrent retirement of the same file cannot be merged —
@@ -403,6 +403,28 @@ object LogTable {
     *    against the snapshot the op read).
     *
     * Bounded retries keep pathological contention loud. */
+  /** `snapshotV` + `readSet` + `conflictCheck` — the concurrent-DML
+    * conflict taxonomy (r15 directive #2): merge/delete/update commit
+    * through the CAS loop WITHOUT the table lock, and whenever the
+    * head moved past the op's snapshot, every attempt validates the
+    * rebase at FileStat-identity granularity before publishing:
+    *
+    *  - `readSet` (touched tail → its snapshot [[FileStat]]): each
+    *    must still be LIVE at the head with an UNCHANGED deletion
+    *    vector — a concurrent DV on the same file would be carried
+    *    forward superseded (dead rows silently resurrect), the exact
+    *    hazard the old lock existed for; loud
+    *    [[ConcurrentWriteException]] instead.
+    *  - a txn-tagged action already in the head's ledger → the commit
+    *    collapses to a no-op at the HEAD version (the same-txn race
+    *    window the lock used to close).
+    *  - `conflictCheck(headManifest)` — op-specific validation run
+    *    against every rebase head (merge's phantom-insert probe:
+    *    files added since the snapshot that actually CONTAIN one of
+    *    the merge's keys would make the planned insert a duplicate).
+    *
+    * Disjoint DML therefore commits concurrently (Delta's conflict
+    * taxonomy); only genuinely overlapping work aborts. */
   private def writeCommit(spark: SparkSession, tableRoot: String,
                           action: String, statsCols: Seq[String],
                           schemaDdl: Option[String],
@@ -410,7 +432,10 @@ object LogTable {
                           removes: Seq[String],
                           removesFor: Option[Manifest => Seq[String]] =
                             None,
-                          bloomColsOv: Option[Seq[String]] = None)
+                          bloomColsOv: Option[Seq[String]] = None,
+                          snapshotV: Option[Long] = None,
+                          readSet: Map[String, FileStat] = Map.empty,
+                          conflictCheck: Option[Manifest => Unit] = None)
       : Long = {
     var attempts = 0
     while (true) {
@@ -419,10 +444,37 @@ object LogTable {
         sys.error(s"LogTable.$action: 50 commit CAS attempts " +
           s"exhausted on $tableRoot — pathological contention")
       val head = TableLog.currentVersion(spark, tableRoot)
+      val moved = snapshotV.exists(_ != head)
       val headM =
-        if (head > 0L && (attempts > 1 || removesFor.isDefined))
+        if (head > 0L && (attempts > 1 || removesFor.isDefined || moved))
           Some(manifest(spark, tableRoot, head))
         else None
+      if (moved) {
+        val hm = headM.get
+        // same-txn race: another writer already committed this txn
+        if (action.contains(":txn=") && hm.txns.contains(action))
+          return head
+        if (readSet.nonEmpty) {
+          val liveByTail: Map[String, FileStat] =
+            hm.parts.toSeq.flatMap { case (p, fl) =>
+              fl.map(f => s"$p/${f.file}" -> f) }.toMap
+          readSet.foreach { case (t, snap) =>
+            liveByTail.get(t) match {
+              case None => throw new ConcurrentWriteException(
+                s"LogTable.$action: $t was retired by a concurrent " +
+                  "commit — the snapshot this operation read is gone; " +
+                  "re-run it")
+              case Some(h) if h.dv != snap.dv || h.dvRows != snap.dvRows =>
+                throw new ConcurrentWriteException(
+                  s"LogTable.$action: the deletion vector of $t moved " +
+                    "under this operation (concurrent row-level DML on " +
+                    "the same file) — re-run it")
+              case _ => ()
+            }
+          }
+        }
+        conflictCheck.foreach(_(hm))
+      }
       // the bloom-column declaration is table-level and sticky: every
       // commit re-states the HEAD's declaration (like statsCols, the
       // header rides each version's own delta) unless an op
@@ -1741,9 +1793,14 @@ object LogTable {
         val blank = prev.parts.map { case (p, fl) =>
           p -> fl.map(f => f.copy(bloom = None))
         }
+        // re-points EVERY live entry with its snapshot DV — abort if
+        // a lock-free DML moved one concurrently (readSet)
         writeCommit(spark, tableRoot, "bloomcols", prev.statsCols,
           prev.schemaDdl, withBlooms(spark, tableRoot, cols, blank),
-          fileKeys(prev.parts), bloomColsOv = Some(cols))
+          fileKeys(prev.parts), bloomColsOv = Some(cols),
+          snapshotV = Some(v),
+          readSet = prev.parts.toSeq.flatMap { case (p, fl) =>
+            fl.map(f => s"$p/${f.file}" -> f) }.toMap)
       }
     }
 
@@ -1797,8 +1854,11 @@ object LogTable {
 
   /** Move every staged file into its partition dir under `root` (the
     * staged part-file names are globally unique, so concurrent stagers
-    * cannot collide) and drop the stage dir. MUST be called under
-    * [[TableLog.withLock]]. */
+    * cannot collide) and drop the stage dir. Lock-free safe: promoted
+    * files stay invisible until a manifest commit references them, and
+    * an op that later loses its CAS conflict check leaves them
+    * unreferenced for [[vacuum]] (the same contract as a crashed
+    * promoted-but-uncommitted appender). */
   private def promoteStage(fs: org.apache.hadoop.fs.FileSystem,
                            root: org.apache.hadoop.fs.Path,
                            stagePath: org.apache.hadoop.fs.Path,
@@ -2415,11 +2475,19 @@ object LogTable {
         promoteStage(fs, root, sp, stagedAll, "compact")
         val removes = todo.toSeq.flatMap { case (p, fl) =>
           fl.filter(_.bytes < targetBytes).map(f => s"$p/${f.file}") }
+        // compact holds the table lock (vs other maintenance) but
+        // lock-free DML can interleave: packed rows came from THIS
+        // snapshot's vectors, so a concurrent DV on a packed file
+        // must abort the pack, never resurrect rows (readSet)
+        val statByTail = prev.parts.toSeq.flatMap { case (p, fl) =>
+          fl.map(f => s"$p/${f.file}" -> f) }.toMap
         writeCommit(spark, tableRoot, "compact", prev.statsCols,
           prev.schemaDdl,
           withBlooms(spark, tableRoot, prev.bloomCols,
             withStats(spark, tableRoot, prev.statsCols, stagedAll)),
-          removes)
+          removes,
+          snapshotV = Some(v),
+          readSet = removes.map(t => t -> statByTail(t)).toMap)
       }
     }
 
@@ -2543,11 +2611,18 @@ object LogTable {
         }
         val removes = todo.toSeq.flatMap { case (p, fl) =>
           fl.map(f => s"$p/${f.file}") }
+        // same contract as compact: clustered rows came from this
+        // snapshot's vectors — abort on a concurrent DV, never
+        // resurrect (readSet)
+        val statByTail = prev.parts.toSeq.flatMap { case (p, fl) =>
+          fl.map(f => s"$p/${f.file}" -> f) }.toMap
         writeCommit(spark, tableRoot, "zorder", prev.statsCols,
           prev.schemaDdl,
           withBlooms(spark, tableRoot, prev.bloomCols,
             withStats(spark, tableRoot, prev.statsCols, stagedAll)),
-          removes)
+          removes,
+          snapshotV = Some(v),
+          readSet = removes.map(t => t -> statByTail(t)).toMap)
       }
     }
 
@@ -2809,12 +2884,29 @@ object LogTable {
     }
   }
 
+  /** `deleteUnmatchedCond` (r15 verdict #5 — the reference's M1 MERGE
+    * shape, fetch_clickup_data.py:1318-1321): target rows matching the
+    * condition that have NO key match in `updates` are dropped in the
+    * SAME commit — `WHEN NOT MATCHED BY SOURCE AND <cond> THEN DELETE`,
+    * the windowed-delete refresh. Atomic: a reader sees the upsert and
+    * the windowed delete together or not at all. The delete probe plans
+    * only zone-admitted files ([[dmlCandidateFiles]] on the condition);
+    * a matched key inside the window is REPLACED, not deleted (the
+    * MATCHED action wins, the SQL MERGE contract). A row where the
+    * condition evaluates to NULL survives (SQL three-valued `AND`). */
   def merge(spark: SparkSession, tableRoot: String, updates: DataFrame,
             keyCols: Seq[String],
             dateCol: String = "start_date_oslo",
             txnId: Option[String] = None,
-            keyScopedPartitions: Boolean = false): Long =
-    TableLog.withLock(spark, tableRoot, "merge") {
+            keyScopedPartitions: Boolean = false,
+            deleteUnmatchedCond: Option[org.apache.spark.sql.Column] =
+              None): Long =
+    // LOCK-FREE (r15 directive #2): the heavy probe + staging run
+    // against this op's snapshot; the commit rides the CAS loop with
+    // the FileStat-identity read set + the phantom-insert conflict
+    // check below — disjoint DML commits concurrently, overlapping
+    // work aborts loudly instead of resurrecting rows
+    {
       val v = TableLog.currentVersion(spark, tableRoot)
       require(v > 0L, s"LogTable.merge: $tableRoot has no manifest — " +
         "init first")
@@ -2839,18 +2931,40 @@ object LogTable {
       // the updates' own partitions (see [[mergeProbeTails]])
       val probeTails = mergeProbeTails(spark, tableRoot, prev, updates,
         keyCols, partColsOf(dateCol), keyScopedPartitions)
-      val hitTails: Set[String] =
+      val hitByKey: Set[String] =
         if (probeTails.isEmpty) Set.empty // no zone admits any key
         else scanWithIdentity(spark, tableRoot, prev,
             probeTails.sorted.map(t => s"$tableRoot/$t"))
           .join(keyFrame, keyCols, "left_semi")
           .select("__dvf").distinct().collect()
           .map(_.getString(0)).toSet
+      // files holding a windowed-delete victim (condition true, key
+      // unmatched) rewrite too — probed through the DML zone pruner
+      val hitByDel: Set[String] = deleteUnmatchedCond match {
+        case None => Set.empty
+        case Some(c) =>
+          val delTails = dmlCandidateFiles(spark, prev, c,
+            tableRoot = Some(tableRoot))
+          if (delTails.isEmpty) Set.empty
+          else scanWithIdentity(spark, tableRoot, prev,
+              delTails.map(t => s"$tableRoot/$t"))
+            .filter(c)
+            .join(keyFrame, keyCols, "left_anti")
+            .select("__dvf").distinct().collect()
+            .map(_.getString(0)).toSet
+      }
+      val hitTails = hitByKey ++ hitByDel
       val survivors =
         if (hitTails.isEmpty) None
-        else Some(scanFiles(spark, tableRoot, prev,
-          hitTails.toSeq.sorted.map(t => s"$tableRoot/$t"))
-          .join(keyFrame, keyCols, "left_anti"))
+        else Some {
+          val sv = scanFiles(spark, tableRoot, prev,
+            hitTails.toSeq.sorted.map(t => s"$tableRoot/$t"))
+            .join(keyFrame, keyCols, "left_anti")
+          deleteUnmatchedCond match {
+            case None => sv
+            case Some(c) => sv.filter(!coalesce(c, lit(false)))
+          }
+        }
       val newData = survivors match {
         case Some(sv) => sv.unionByName(updates)
         case None => updates
@@ -2864,11 +2978,46 @@ object LogTable {
       val (stagePath, stagedParts) = stageRows(spark, fs, root,
         newData, partCols)
       promoteStage(fs, root, stagePath, stagedParts, "merge")
+      // identity read set: every retired tail at its snapshot stat
+      val statByTail = prev.parts.toSeq.flatMap { case (p, fl) =>
+        fl.map(f => s"$p/${f.file}" -> f) }.toMap
+      // phantom-insert check (run per rebase head): a file added since
+      // this op's snapshot that actually CONTAINS one of the merge's
+      // keys makes the planned write wrong — a row the merge would
+      // have replaced (or a duplicate of a row it inserts) slipped in.
+      // Zone/bloom candidates narrow first; only admitted phantom
+      // files are scanned (O(interleaved adds), never O(table)).
+      val snapTails = statByTail.keySet
+      val phantomCheck: Manifest => Unit = { hm =>
+        val phantomParts = hm.parts.map { case (p, fl) =>
+          p -> fl.filter(f => !snapTails.contains(s"$p/${f.file}"))
+        }.filter(_._2.nonEmpty)
+        if (phantomParts.nonEmpty) {
+          val pm = hm.copy(parts = phantomParts)
+          val cand = mergeCandidateFiles(spark, tableRoot, pm, updates,
+              keyCols)
+            .getOrElse(fileKeys(phantomParts))
+          if (cand.nonEmpty) {
+            val clash = scanFiles(spark, tableRoot, pm,
+                cand.sorted.map(t => s"$tableRoot/$t"))
+              .join(keyFrame, keyCols, "left_semi").limit(1).count()
+            if (clash > 0L)
+              throw new ConcurrentWriteException(
+                s"LogTable.$action: a concurrent commit added rows " +
+                  "whose keys this merge reads — re-run against the " +
+                  "new head")
+          }
+        }
+      }
+      graft.operators.TableLog.dmlCommitHook(action)
       writeCommit(spark, tableRoot, action, prev.statsCols,
         prev.schemaDdl,
         withBlooms(spark, tableRoot, prev.bloomCols,
           withStats(spark, tableRoot, prev.statsCols, stagedParts)),
-        hitTails.toSeq)
+        hitTails.toSeq,
+        snapshotV = Some(v),
+        readSet = hitTails.toSeq.map(t => t -> statByTail(t)).toMap,
+        conflictCheck = Some(phantomCheck))
     }
 
   /** Row-level DELETE with merge-on-read deletion vectors — the Delta
@@ -2899,7 +3048,14 @@ object LogTable {
              cond: org.apache.spark.sql.Column,
              txnId: Option[String] = None,
              zonePreds: Seq[ZonePred] = Seq.empty): Long =
-    TableLog.withLock(spark, tableRoot, "delete") {
+    // LOCK-FREE (r15 directive #2): commit rides the CAS loop with the
+    // FileStat-identity read set — two deletes on DISJOINT files both
+    // commit; a delete whose hit file gained a concurrent DV aborts
+    // loudly (its carried-forward vector would resurrect the other's
+    // dead rows). Interleaved adds are snapshot-isolation semantics:
+    // rows appended while this ran are not matched (Delta's
+    // WriteSerializable default).
+    {
       val v = TableLog.currentVersion(spark, tableRoot)
       require(v > 0L, s"LogTable.delete: $tableRoot has no manifest")
       txnId.foreach(validTxnId("delete", _))
@@ -2949,8 +3105,11 @@ object LogTable {
           else Some(splitTail(t)._1 ->
             f.copy(dv = Some(dvId), dvRows = dead))
         }.groupBy(_._1).map { case (p, l) => p -> l.map(_._2) }
+        graft.operators.TableLog.dmlCommitHook(action)
         writeCommit(spark, tableRoot, action, prev.statsCols,
-          prev.schemaDdl, adds, removes)
+          prev.schemaDdl, adds, removes,
+          snapshotV = Some(v),
+          readSet = hitTails.toSeq.map(t => t -> statByTail(t)).toMap)
       }
     }
 
@@ -2976,7 +3135,10 @@ object LogTable {
              dateCol: String = "start_date_oslo",
              txnId: Option[String] = None,
              zonePreds: Seq[ZonePred] = Seq.empty): Long =
-    TableLog.withLock(spark, tableRoot, "update") {
+    // LOCK-FREE (r15 directive #2) — the same contract as [[delete]]:
+    // FileStat-identity read set at commit, snapshot isolation for
+    // interleaved adds, loud abort on a concurrent DV to a hit file
+    {
       require(set.nonEmpty, "LogTable.update: empty SET")
       val v = TableLog.currentVersion(spark, tableRoot)
       require(v > 0L, s"LogTable.update: $tableRoot has no manifest")
@@ -3043,8 +3205,11 @@ object LogTable {
         }.groupBy(_._1).map { case (p, l) => p -> l.map(_._2) }
         val adds = (statted.toSeq ++ dvAdds.toSeq)
           .groupBy(_._1).map { case (p, ls) => p -> ls.flatMap(_._2) }
+        graft.operators.TableLog.dmlCommitHook(action)
         writeCommit(spark, tableRoot, action, prev.statsCols,
-          prev.schemaDdl, adds, hitTails.toSeq)
+          prev.schemaDdl, adds, hitTails.toSeq,
+          snapshotV = Some(v),
+          readSet = hitTails.toSeq.map(t => t -> statByTail(t)).toMap)
       }
     }
 
@@ -3169,9 +3334,12 @@ object LogTable {
         p -> fl.filterNot(f =>
           curByTail.get(s"$p/${f.file}").contains(f))
       }.filter(_._2.nonEmpty)
+      // the diff was computed against THIS snapshot — a lock-free DML
+      // landing mid-restore must abort it, not be silently undone
       writeCommit(spark, tableRoot, s"restore:v$toVersion",
         target.statsCols, target.schemaDdl, adds, removes,
-        bloomColsOv = Some(target.bloomCols))
+        bloomColsOv = Some(target.bloomCols),
+        snapshotV = Some(v), readSet = curByTail)
     }
 
   /** Re-derive every live file's zone maps under the CURRENT stats
@@ -3206,11 +3374,16 @@ object LogTable {
           p -> fl.map(f =>
             f.copy(rows = -1L, zones = Map.empty, bloom = None))
         }
+        // re-points EVERY live entry with its snapshot DV — abort if
+        // a lock-free DML moved one concurrently (readSet)
         writeCommit(spark, tableRoot, "restat", prev.statsCols,
           prev.schemaDdl,
           withBlooms(spark, tableRoot, prev.bloomCols,
             withStats(spark, tableRoot, prev.statsCols, blank)),
-          fileKeys(prev.parts))
+          fileKeys(prev.parts),
+          snapshotV = Some(v),
+          readSet = prev.parts.toSeq.flatMap { case (p, fl) =>
+            fl.map(f => s"$p/${f.file}" -> f) }.toMap)
       }
     }
 

@@ -55,6 +55,13 @@ object TableLog {
   private val LogDirName = "_graft_log"
   private val LockName = "_lock"
 
+  /** Test seam (r15 directive #2): invoked with the action name right
+    * before a lock-free DML op's commit, so specs can interleave a
+    * COMPETING commit into the exact race window deterministically
+    * (the window is otherwise sub-millisecond and thread-timing
+    * flaky). No-op in production. */
+  @volatile private[graft] var dmlCommitHook: String => Unit = _ => ()
+
   /** Same-process serialization: one lock object per normalized root. */
   private val jvmLocks =
     new java.util.concurrent.ConcurrentHashMap[String,

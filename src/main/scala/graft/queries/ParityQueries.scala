@@ -778,6 +778,56 @@ object ParityQueries {
     },
       Some(m1OracleSql)),
 
+    // M1 as PURE SQL MERGE on a named logtable (r15 verdict #5): the
+    // reference's refresh statement ports VERBATIM — hand-listed
+    // UPDATE SET assignments (fetch_clickup_data.py:1286-1316),
+    // INSERT, and the windowed `WHEN NOT MATCHED BY SOURCE AND
+    // start_date_oslo BETWEEN ... THEN DELETE` guard (:1318-1321) —
+    // and commits ATOMICALLY through the manifest merge. Graded
+    // against the IDENTICAL oracle as m1_merge_refresh: the SQL
+    // surface must not change a byte of the Scala API's output.
+    QuerySpec("m1b_merge_refresh_sql", (s, d) => {
+      val ev = t(s, d, "events")
+      val fact = ev.filter(col("ts") < tsLit("2024-01-28"))
+        .select(col("event_id").as("id"), col("ts"),
+          osloDate(col("ts")).as("start_date_oslo"),
+          col("event_type"), col("value"))
+      val staging = ev.filter(col("event_type") =!= "error")
+        .select(col("event_id").as("id"), col("ts"),
+          osloDate(col("ts")).as("start_date_oslo"), col("event_type"),
+          (col("value") * 2).as("value"))
+      val base = java.nio.file.Files.createTempDirectory("graft_m1b")
+        .toString + "/t"
+      graft.operators.LogTable.init(fact, base)
+      s.sql("DROP TABLE IF EXISTS graft_m1b")
+      s.sql(s"CREATE TABLE graft_m1b USING logtable LOCATION '$base'")
+      // the reference's USING subquery: staging windowed to
+      // [today - days, today] in Oslo civil days
+      staging.filter(col("start_date_oslo").between(
+          lit("2024-01-23").cast("date"), lit("2024-01-30").cast("date")))
+        .createOrReplaceTempView("graft_m1b_src")
+      s.sql(
+        """MERGE INTO graft_m1b T USING graft_m1b_src S
+          |ON T.id = S.id
+          |WHEN MATCHED THEN UPDATE SET
+          |  ts = S.ts, start_date_oslo = S.start_date_oslo,
+          |  event_type = S.event_type, value = S.value
+          |WHEN NOT MATCHED THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE
+          |  AND T.start_date_oslo BETWEEN DATE '2024-01-23'
+          |                            AND DATE '2024-01-30'
+          |THEN DELETE""".stripMargin)
+      val out = s.sql(
+        """SELECT id, ts, CAST(start_date_oslo AS STRING) start_date_oslo,
+          |  event_type, value FROM graft_m1b ORDER BY id""".stripMargin)
+        .localCheckpoint(true)
+      s.sql("DROP TABLE graft_m1b")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p.getParent, true)
+      out
+    }, Some(m1OracleSql)),
+
     // ST4 — the SAME M1 semantics with staging replayed as a sliced
     // micro-batch stream (maxFilesPerTrigger=1 over a 2-file staging dump)
     // through Streams.streamingMergeIncrementalPartitioned: per-batch

@@ -9191,6 +9191,70 @@ object ScaleQueries {
              |WHERE event_type = 'click' AND value IS NOT NULL
              |GROUP BY grp""".stripMargin)),
 
+    // SQL time travel on NAMED tables (x228, new r16 — r15 verdict
+    // missing #4): `VERSION AS OF` / `TIMESTAMP AS OF` on a catalog
+    // logtable resolve through LogTableTimeTravelRule onto the
+    // manifest FileIndex. Three states — v1 (init), v2 (append),
+    // head (post-SQL-DELETE) — each read back by NAME with temporal
+    // syntax; DuckDB re-derives every state from the event axioms.
+    QuerySpec("x228_logtable_time_travel", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_id"),
+          col("event_id").cast("string").as("id"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          lit("2024-01-01").cast("date").as("start_date_oslo"))
+      val base = java.nio.file.Files.createTempDirectory("graft_x228")
+        .toString + "/t"
+      graft.operators.LogTable.init(
+        ev.filter(col("event_id") % 3 === 0).drop("event_id")
+          .repartition(2), base, statsCols = Seq("cents"))      // v1
+      graft.operators.LogTable.append(s, base,
+        ev.filter(col("event_id") % 3 === 1).drop("event_id")
+          .repartition(2))                                      // v2
+      s.sql("DROP TABLE IF EXISTS graft_x228")
+      s.sql(s"CREATE TABLE graft_x228 USING logtable LOCATION '$base'")
+      s.sql("DELETE FROM graft_x228 WHERE cents % 7 = 0")       // v3
+      val out = s.sql(
+        """SELECT 'head' state, CAST(count(*) AS BIGINT) n,
+          |  CAST(sum(cents) AS BIGINT) sc FROM graft_x228
+          |UNION ALL
+          |SELECT 'ts_latest', CAST(count(*) AS BIGINT),
+          |  CAST(sum(cents) AS BIGINT)
+          |FROM graft_x228 TIMESTAMP AS OF '2099-01-01'
+          |UNION ALL
+          |SELECT 'v1', CAST(count(*) AS BIGINT),
+          |  CAST(sum(cents) AS BIGINT)
+          |FROM graft_x228 VERSION AS OF 1
+          |UNION ALL
+          |SELECT 'v2', CAST(count(*) AS BIGINT),
+          |  CAST(sum(cents) AS BIGINT)
+          |FROM graft_x228 VERSION AS OF 2
+          |ORDER BY state""".stripMargin)
+        .localCheckpoint(true)
+      s.sql("DROP TABLE graft_x228")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p.getParent, true)
+      out
+    },
+      Some("""WITH b AS (SELECT event_id e,
+             |    CAST(round(value*100, 0) AS BIGINT) cents
+             |  FROM events
+             |  WHERE event_type IS NOT NULL AND value IS NOT NULL),
+             |v1 AS (SELECT * FROM b WHERE e % 3 = 0),
+             |v2 AS (SELECT * FROM b WHERE e % 3 IN (0, 1)),
+             |v3 AS (SELECT * FROM v2 WHERE cents % 7 <> 0)
+             |SELECT 'head' state, CAST(count(*) AS BIGINT) n,
+             |  CAST(sum(cents) AS BIGINT) sc FROM v3
+             |UNION ALL SELECT 'ts_latest', CAST(count(*) AS BIGINT),
+             |  CAST(sum(cents) AS BIGINT) FROM v3
+             |UNION ALL SELECT 'v1', CAST(count(*) AS BIGINT),
+             |  CAST(sum(cents) AS BIGINT) FROM v1
+             |UNION ALL SELECT 'v2', CAST(count(*) AS BIGINT),
+             |  CAST(sum(cents) AS BIGINT) FROM v2
+             |ORDER BY state""".stripMargin)),
+
     // Keyed CDC classification (x226, new r15 — the Delta-CDF row
     // shape): changesKeyed splits the net change feed by key into
     // update_preimage / update_postimage pairs vs plain

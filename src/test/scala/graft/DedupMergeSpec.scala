@@ -1411,7 +1411,37 @@ class DedupMergeSpec extends SparkSpec {
         // WITHIN one table history (footer == scan, spec-pinned above)
         spark.conf.set("spark.graft.logtable.footerStats",
           Seq("auto", "true", "false")(rnd.nextInt(3)))
-        rnd.nextInt(10) match {
+        rnd.nextInt(11) match {
+          case 10 => // INTERLEAVED lock-free DML (r15 directive #2):
+            // two concurrent deletes on disjoint value bands; on this
+            // single-partition fixture they usually hit the SAME
+            // files, so a loser aborts with ConcurrentWriteException
+            // and retries serially — both bands always end applied,
+            // exactly once, whatever the interleaving
+            val lo = rnd.nextInt(2000).toDouble
+            val bandA = (lo, lo + 200.0)
+            val bandB = (lo + 500.0, lo + 700.0)
+            val survivors = model.filterNot { case (_, v) =>
+              (v >= bandA._1 && v <= bandA._2) ||
+                (v >= bandB._1 && v <= bandB._2) }
+            if (survivors.nonEmpty) {
+              import scala.concurrent.{Await, Future}
+              import scala.concurrent.duration._
+              import scala.concurrent.ExecutionContext.Implicits.global
+              def del(b: (Double, Double)): Unit =
+                try LogTable.delete(spark, root,
+                  col("value").between(b._1, b._2))
+                catch {
+                  case _: LogTable.ConcurrentWriteException =>
+                    LogTable.delete(spark, root,
+                      col("value").between(b._1, b._2))
+                }
+              val fA = Future(del(bandA))
+              val fB = Future(del(bandB))
+              Await.result(fA, 180.seconds)
+              Await.result(fB, 180.seconds)
+              model = survivors
+            }
           case 0 => // append fresh ids
             val add = (0 until 1 + rnd.nextInt(3)).map { _ =>
               val id = s"e$nextId"; nextId += 1
@@ -2347,6 +2377,145 @@ class DedupMergeSpec extends SparkSpec {
         s"round $round: low-v rows lost")
       fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
     }
+  }
+
+  test("conflict-checked concurrent DML (r15 directive #2): two " +
+    "deletes on DISJOINT partitions both commit lock-free — even " +
+    "while someone else HOLDS the table lock — an overlapping pair " +
+    "aborts loudly with ConcurrentWriteException, a merge racing an " +
+    "insert of one of its keys aborts, and a same-txnId DML race " +
+    "lands exactly once") {
+    import graft.operators.{LogTable, TableLog}
+    val base = java.nio.file.Files.createTempDirectory("graft_cdml")
+      .toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    def rows(d: java.sql.Date, r: (String, Long)*) = r.toSeq
+      .map { case (id, v) => (id, v, d) }
+      .toDF("id", "v", "start_date_oslo")
+    def fresh(tag: String): String = {
+      val root = s"$base/$tag"
+      // ONE file per partition: the overlap case needs its two
+      // victims co-located so the DVs genuinely collide
+      LogTable.init(rows(d1, (0 until 8).map(i =>
+        s"a$i" -> i.toLong): _*).repartition(1), root)
+      LogTable.append(spark, root, rows(d2, (0 until 8).map(i =>
+        s"b$i" -> (100L + i)): _*).repartition(1))
+      root
+    }
+    // 1) DISJOINT partitions, deterministic interleave: delete A's
+    // commit window runs delete B (other partition) to completion
+    // first — both commit, no serialization, no lock taken (the table
+    // lock is HELD by a bystander the whole time)
+    locally {
+      val root = fresh("disjoint")
+      val lockP = new org.apache.hadoop.fs.Path(
+        s"$root/_graft_log/_lock")
+      val out = fs.create(lockP, false)
+      out.write("{\"owner\":\"held-by-spec\"}".getBytes("UTF-8"))
+      out.close()
+      try {
+        @volatile var fired = false
+        TableLog.dmlCommitHook = { _ =>
+          if (!fired) {
+            fired = true // one-shot: the inner delete skips the hook
+            LogTable.delete(spark, root,
+              col("start_date_oslo") === lit(d2) && col("v") >= 106L)
+          }
+        }
+        try LogTable.delete(spark, root,
+          col("start_date_oslo") === lit(d1) && col("v") >= 6L)
+        finally TableLog.dmlCommitHook = _ => ()
+        assert(fired, "the race window hook must have fired")
+      } finally fs.delete(lockP, false)
+      assert(TableLog.currentVersion(spark, root) == 4L,
+        "both deletes must commit (v3 inner, v4 outer)")
+      assert(LogTable.read(spark, root).select("id").as[String]
+        .collect().toSet ==
+        ((0 until 6).map(i => s"a$i") ++
+          (0 until 6).map(i => s"b$i")).toSet)
+    }
+    // 2) OVERLAPPING files: the interleaved delete DVs the same file
+    // the outer delete read — the outer commit must abort loudly,
+    // and the inner delete's rows must stay exactly-once dead
+    locally {
+      val root = fresh("overlap")
+      @volatile var fired = false
+      TableLog.dmlCommitHook = { _ =>
+        if (!fired) { fired = true
+          LogTable.delete(spark, root, col("v") === 1L)
+        }
+      }
+      val e = try intercept[Exception] {
+        LogTable.delete(spark, root, col("v") === 2L)
+      } finally TableLog.dmlCommitHook = _ => ()
+      assert(e.getMessage.contains("deletion vector") ||
+        e.getMessage.contains("retired"), e.getMessage)
+      val ids = LogTable.read(spark, root).select("id").as[String]
+        .collect().toSet
+      assert(!ids.contains("a1") && ids.contains("a2"),
+        s"inner delete applied once, outer aborted cleanly: $ids")
+      // the aborted op committed NOTHING: re-running it succeeds
+      LogTable.delete(spark, root, col("v") === 2L)
+      assert(!LogTable.read(spark, root).select("id").as[String]
+        .collect().toSet.contains("a2"))
+    }
+    // 3) MERGE vs a phantom insert of one of its keys: the interleaved
+    // append lands a row with a key the merge plans to INSERT — the
+    // merge must abort (committing would duplicate the key)
+    locally {
+      val root = fresh("phantom")
+      @volatile var fired = false
+      TableLog.dmlCommitHook = { _ =>
+        if (!fired) { fired = true
+          LogTable.append(spark, root, rows(d1, "n1" -> 900L))
+        }
+      }
+      val e = try intercept[graft.operators.LogTable
+          .ConcurrentWriteException] {
+        LogTable.merge(spark, root, rows(d1, "n1" -> 999L), Seq("id"))
+      } finally TableLog.dmlCommitHook = _ => ()
+      assert(e.getMessage.contains("keys"), e.getMessage)
+      // exactly one n1 row (the append's), never two
+      assert(LogTable.read(spark, root).filter(col("id") === "n1")
+        .count() == 1L)
+      // and a phantom append of an UNRELATED key does NOT abort the
+      // merge (disjoint work flows)
+      @volatile var fired2 = false
+      TableLog.dmlCommitHook = { _ =>
+        if (!fired2) { fired2 = true
+          LogTable.append(spark, root, rows(d1, "z9" -> 901L))
+        }
+      }
+      try LogTable.merge(spark, root, rows(d1, "n2" -> 998L), Seq("id"))
+      finally TableLog.dmlCommitHook = _ => ()
+      val m = LogTable.read(spark, root).select("id", "v")
+        .as[(String, Long)].collect().toMap
+      assert(m.get("n2").contains(998L) && m.get("z9").contains(901L), m)
+    }
+    // 4) same-txnId race: the interleaved twin commits the txn first;
+    // the outer op collapses to a no-op at the head — exactly once
+    locally {
+      val root = fresh("txn")
+      @volatile var fired = false
+      TableLog.dmlCommitHook = { _ =>
+        if (!fired) { fired = true
+          LogTable.delete(spark, root, col("v") === 3L,
+            txnId = Some("tw1"))
+        }
+      }
+      val vOut = try LogTable.delete(spark, root, col("v") === 3L,
+        txnId = Some("tw1"))
+      finally TableLog.dmlCommitHook = _ => ()
+      assert(vOut == TableLog.currentVersion(spark, root))
+      assert(TableLog.currentVersion(spark, root) == 3L,
+        "the twin's commit is the only one")
+      assert(LogTable.read(spark, root).filter(col("v") === 3L)
+        .count() == 0L)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
   }
 
   test("multi-part checkpoints (r14 verdict #3): a checkpoint shards " +
