@@ -2779,9 +2779,17 @@ object Streams {
       compactEvery: Int = 8,
       compactTargetBytes: Long = 32L * 1024 * 1024): Unit = {
     val sign = when(col("_change_type") === "insert", 1L).otherwise(-1L)
+    // PINNED (r16): the grouped delta is touched-groups-sized but its
+    // lineage re-scans the whole CHANGE FEED (file-diff scans +
+    // DV anti-joins); downstream it is evaluated many times per
+    // trigger — the keyed-read probe's distinct/bounding-box jobs,
+    // the merge's dup check, its own probe, and the staged write.
+    // One eager localCheckpoint makes every re-evaluation a block
+    // read instead of a feed re-scan.
     val delta = feed.groupBy(col(grpCol))
       .agg(sum(sign * col("n_rows")).as("__dn"),
         sum(sign * col("n_rows") * col(valCol)).as("__ds"))
+      .localCheckpoint(true)
     def bucketed(df: org.apache.spark.sql.DataFrame) =
       df.withColumn("gbucket", pmod(hash(col(grpCol)), lit(buckets)))
     if (graft.operators.TableLog.currentVersion(spark, aggRoot) == 0L) {
@@ -2817,10 +2825,14 @@ object Streams {
           keyScopedPartitions = true)
         .select(col(grpCol), col("n_rows").as("__n0"),
           col("sum_val").as("__s0"))
+      // pinned for the same reason as delta: the merge evaluates its
+      // updates several times (dup check, probe, write), and each
+      // would otherwise re-run the keyed read + join
       val upd = delta.join(cur, Seq(grpCol), "left")
         .select(col(grpCol),
           (coalesce(col("__n0"), lit(0L)) + col("__dn")).as("n_rows"),
           (coalesce(col("__s0"), lit(0L)) + col("__ds")).as("sum_val"))
+        .localCheckpoint(true)
       graft.operators.LogTable.merge(spark, aggRoot, bucketed(upd),
         Seq(grpCol), dateCol = "gbucket",
         txnId = Some(txnId), keyScopedPartitions = true)
