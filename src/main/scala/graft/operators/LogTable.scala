@@ -655,6 +655,17 @@ object LogTable {
       "n_added_files", "n_removed_files")
   }
 
+  /** Bytes of data files ADDED by version `v`'s commit — the
+    * admission-control weight for the streaming source's
+    * `maxBytesPerTrigger` (one KB-scale delta read; versions are
+    * immutable, so callers may cache the answer). */
+  private[graft] def commitAddedBytes(spark: SparkSession,
+                                      tableRoot: String, v: Long): Long = {
+    val (fs, root) = TableLog.fsFor(spark, tableRoot)
+    parseDelta(fs, deltaPath(TableLog.logDir(root), v), v)
+      .adds.values.flatten.map(_.bytes).sum
+  }
+
   /** Write version `v`'s full live set as a parquet checkpoint dir
     * (`_cp%08d`) — columnar and executor-readable, the Delta
     * checkpoint move that lets reconstruction start from a snapshot

@@ -203,19 +203,18 @@ class LogTableSource extends RelationProvider
       .getOrElse(TableLog.currentVersion(spark, path))
     require(starting >= 0L,
       s"logtable: startingVersion must be >= 0, got $starting")
-    val maxPerTrigger = parameters.get("maxVersionsPerTrigger")
+    def posLong(key: String): Option[Long] = parameters.get(key)
       .map { s =>
         val n = try s.trim.toLong catch {
           case _: NumberFormatException =>
             throw new IllegalArgumentException(
-              "logtable: maxVersionsPerTrigger must be a positive " +
-                s"integer, got '$s'")
+              s"logtable: $key must be a positive integer, got '$s'")
         }
-        require(n > 0L,
-          s"logtable: maxVersionsPerTrigger must be > 0, got $n")
+        require(n > 0L, s"logtable: $key must be > 0, got $n")
         n
       }
-    new LogTableChangeSource(spark, path, starting, maxPerTrigger)
+    new LogTableChangeSource(spark, path, starting,
+      posLong("maxVersionsPerTrigger"), posLong("maxBytesPerTrigger"))
   }
 
   /** `writeStream.format("logtable")` — the EXACTLY-ONCE streaming
@@ -336,6 +335,11 @@ private[graft] final class EmptyLogTableRelation(
   *
   *  - `getOffset` = the table's current version (None until it passes
   *    `startingVersion`) — one metadata listing, no data I/O.
+  *    ADMISSION CONTROL (r15 verdict #4): `maxVersionsPerTrigger`
+  *    and/or `maxBytesPerTrigger` cap each micro-batch's window (by
+  *    version count / by the versions' added-file bytes, always ≥ 1
+  *    version for progress), so a 10⁴-version backfill drains in
+  *    bounded batches instead of one giant getBatch.
   *  - `getBatch(start, end]` = the per-version change feeds
   *    ([[LogTable.changes]] of each (v-1, v]), each stamped with its
   *    `_commit_version` — O(files changed), never O(table). With
@@ -352,7 +356,8 @@ private[graft] final class EmptyLogTableRelation(
   * stream restarts (documented Delta-CDF behavior too). */
 private[graft] final class LogTableChangeSource(
     spark: SparkSession, path: String, startingVersion: Long,
-    maxVersionsPerTrigger: Option[Long] = None)
+    maxVersionsPerTrigger: Option[Long] = None,
+    maxBytesPerTrigger: Option[Long] = None)
     extends Source {
 
   private val schema0 = LogTableSource.changeFeedSchema(spark, path)
@@ -369,11 +374,37 @@ private[graft] final class LogTableChangeSource(
     * position, not from `startingVersion`. */
   @volatile private var offered: Long = startingVersion
 
+  /** Per-version added-bytes, cached — versions are immutable, so a
+    * delta's weight never changes once read (one KB-scale metadata
+    * read per version, ever). */
+  private val bytesOf =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
+  private def versionBytes(v: Long): Long =
+    bytesOf.computeIfAbsent(v,
+      _ => LogTable.commitAddedBytes(spark, path, v)).longValue()
+
   override def getOffset: Option[V1Offset] = {
     val head = TableLog.currentVersion(spark, path)
     val base = math.max(offered, startingVersion)
-    val capped =
+    val verCap =
       maxVersionsPerTrigger.fold(head)(n => math.min(head, base + n))
+    // bytes-based admission (r16): admit versions until adding the
+    // NEXT one would exceed the budget — but always at least one
+    // (progress guarantee: a single version larger than the budget
+    // still drains, exactly Delta's maxBytesPerTrigger contract)
+    val capped = maxBytesPerTrigger match {
+      case None => verCap
+      case Some(budget) =>
+        var end = base
+        var bytes = 0L
+        var stop = false
+        while (!stop && end < verCap) {
+          val b = versionBytes(end + 1L)
+          if (end > base && bytes + b > budget) stop = true
+          else { end += 1L; bytes += b }
+        }
+        end
+    }
     if (capped <= base) None
     else { offered = capped; Some(LongOffset(capped)) }
   }

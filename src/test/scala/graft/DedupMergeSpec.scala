@@ -2814,6 +2814,69 @@ class DedupMergeSpec extends SparkSpec {
     assert(seen.map(_._2) == Seq(Set(5L), Set(6L)),
       s"restart must resume from the checkpoint: $seen")
     assert(aggState() == recompute(), "post-restart fold drifted")
+    // BYTES-based admission (r16): with a budget of exactly two
+    // versions' added bytes, the 6-version backlog drains as
+    // two-version batches; a budget smaller than any single version
+    // still makes progress one version at a time (the ≥1 guarantee)
+    locally {
+      import graft.operators.LogTable
+      def b(v: Long) = LogTable.commitAddedBytes(spark, fact, v)
+      val twoV = b(2L) + b(3L)
+      val seenB = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+      val q = spark.readStream.format("logtable")
+        .option("startingVersion", "1")
+        .option("maxBytesPerTrigger", twoV.toString)
+        .load(fact)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: java.lang.Long) =>
+            seenB.synchronized {
+              seenB += batch.select("_commit_version").distinct()
+                .collect().map(_.getLong(0)).toSet
+            }
+            ()
+        }
+        .option("checkpointLocation", s"$base/ckptB")
+        .start()
+      q.processAllAvailable(); q.stop()
+      // contract, not exact grouping (parquet sizes vary by a few
+      // bytes between versions): all versions arrive in order, no
+      // multi-version batch exceeds the budget, and the first batch
+      // fills it exactly (b2+b3 = budget, +b4 would exceed)
+      val batches = seenB.toSeq
+      assert(batches.flatMap(_.toSeq.sorted) == (2L to 6L),
+        s"all versions once, in order: $batches")
+      batches.foreach(vs => assert(
+        vs.size == 1 || vs.toSeq.map(b).sum <= twoV,
+        s"multi-version batch over budget: $vs of $batches"))
+      assert(batches.head == Set(2L, 3L),
+        s"the first batch must fill the byte budget: $batches")
+      assert(batches.size < 5,
+        s"the budget must group versions, not degrade to 1/trigger: " +
+          s"$batches")
+      val seenB1 = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+      val q1 = spark.readStream.format("logtable")
+        .option("startingVersion", "1")
+        .option("maxBytesPerTrigger", "1")
+        .load(fact)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: java.lang.Long) =>
+            seenB1.synchronized {
+              seenB1 += batch.select("_commit_version").distinct()
+                .collect().map(_.getLong(0)).toSet
+            }
+            ()
+        }
+        .option("checkpointLocation", s"$base/ckptB1")
+        .start()
+      q1.processAllAvailable(); q1.stop()
+      assert(seenB1.toSeq ==
+        (2L to 6L).map(Set(_)).toSeq,
+        s"a 1-byte budget still progresses one version/trigger: $seenB1")
+    }
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
   }
 
