@@ -34,8 +34,13 @@ object Bench {
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
     // a filtered run must never land on the official artifact path: it
     // would overwrite the full-suite totals (and the noise_factor
-    // baseline) with a subset sum (ADVICE r15)
-    require(only.isEmpty || sys.env.contains("SPARK_GRAFT_BENCH_OUT"),
+    // baseline) with a subset sum (ADVICE r15) — and naming the
+    // default path explicitly is the same mistake, so compare the
+    // RESOLVED path, not mere presence
+    val defaultOut = "/root/repo/BENCH_FULL.json"
+    require(only.isEmpty || sys.env.get("SPARK_GRAFT_BENCH_OUT")
+        .exists(p => java.nio.file.Paths.get(p).toAbsolutePath !=
+          java.nio.file.Paths.get(defaultOut).toAbsolutePath),
       "SPARK_GRAFT_BENCH_ONLY is a dev subset filter — set " +
         "SPARK_GRAFT_BENCH_OUT to a non-default path so the filtered " +
         "run cannot overwrite BENCH_FULL.json")
@@ -96,7 +101,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val nFailed = results.count(_._3.nonEmpty)
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_FULL.json")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     // Host-noise self-calibration (r9 verdict #8): the driver host's
     // speed drifts round over round (±40% observed), so raw totals
     // mislead. noise_factor = median per-query ratio of THIS run against

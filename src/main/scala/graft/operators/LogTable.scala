@@ -985,6 +985,20 @@ object LogTable {
       rawScan(spark, tableRoot, m, files), keepIdentity = true,
       levels = partLevels(m))
 
+  /** `dt` with every nested nullability flag forced true — the
+    * comparison form for schema-evolution type checks (DDL cannot
+    * express containsNull/valueContainsNull=false, so round-tripped
+    * types differ from encoder-derived ones only there). */
+  private def normalizedType(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = normalizedType(f.dataType), nullable = true)))
+    case a: ArrayType => ArrayType(normalizedType(a.elementType), true)
+    case m: MapType =>
+      MapType(normalizedType(m.keyType), normalizedType(m.valueType),
+        true)
+    case o => o
+  }
+
   /** The schema a commit of `df` over `prev` yields: every existing
     * column must survive with its type (add-only evolution — drops and
     * retypes fail loudly); genuinely NEW columns append in `df` order
@@ -1014,7 +1028,14 @@ object LogTable {
                   "incoming frame — evolution is add-only, columns " +
                   "cannot be dropped")
             case Some(n) =>
-              require(n.dataType == f.dataType,
+              // nullability-normalized: the manifest DDL round-trip
+              // loses containsNull/valueContainsNull=false (DDL has
+              // no syntax for them), so a frame whose map/array
+              // encoder declares tight nullability would otherwise
+              // read as a "retype" of itself (r16 review — any
+              // append to a map-typed table failed)
+              require(normalizedType(n.dataType) ==
+                  normalizedType(f.dataType),
                 s"LogTable.$action: column ${f.name} changes type " +
                   s"${f.dataType.simpleString} -> " +
                   s"${n.dataType.simpleString} — retypes are not " +
@@ -2471,6 +2492,19 @@ object LogTable {
         // folds deletion vectors away, like before)
         val src = scanWithIdentity(spark, tableRoot, prev, allPaths)
         val dataCols = src.columns.filterNot(Set("__dvf", "__dvp"))
+        // the slot only needs SOME deterministic function of the row:
+        // hash() rejects MapType (and anything nesting one), so those
+        // columns are left out; a schema that is ALL maps degrades to
+        // one slot (one larger file per partition — packed, not broken)
+        def hashable(dt: DataType): Boolean = dt match {
+          case _: MapType => false
+          case s: StructType => s.fields.forall(f => hashable(f.dataType))
+          case a: ArrayType => hashable(a.elementType)
+          case _ => true
+        }
+        val slotCols = src.schema.fields
+          .filter(f => dataCols.contains(f.name) && hashable(f.dataType))
+          .map(f => col(f.name)).toSeq
         import spark.implicits._
         val nOutDf = nOutByPart.toDF("__part", "__nout")
         val packed = src
@@ -2478,7 +2512,8 @@ object LogTable {
             substring_index(col("__dvf"), "/", levels))
           .join(broadcast(nOutDf), "__part")
           .withColumn("__slot",
-            pmod(hash(dataCols.map(col).toSeq: _*), col("__nout")))
+            if (slotCols.isEmpty) lit(0)
+            else pmod(hash(slotCols: _*), col("__nout")))
           .repartition(math.max(totalSlots, 1),
             col("__part"), col("__slot"))
           .select(dataCols.map(col).toSeq: _*)
@@ -2905,13 +2940,21 @@ object LogTable {
     * a matched key inside the window is REPLACED, not deleted (the
     * MATCHED action wins, the SQL MERGE contract). A row where the
     * condition evaluates to NULL survives (SQL three-valued `AND`). */
+  /** `expectSnapshotV`: abort with [[ConcurrentWriteException]] when
+    * the table's head differs from the version the CALLER derived
+    * `updates` from — for callers whose update rows were computed
+    * against a pinned snapshot (the SQL MERGE command's
+    * matched/unmatched split): a commit landing in between would make
+    * the pre-computed rows stale in ways the merge's own read-set
+    * cannot see. The caller re-derives and retries. */
   def merge(spark: SparkSession, tableRoot: String, updates: DataFrame,
             keyCols: Seq[String],
             dateCol: String = "start_date_oslo",
             txnId: Option[String] = None,
             keyScopedPartitions: Boolean = false,
             deleteUnmatchedCond: Option[org.apache.spark.sql.Column] =
-              None): Long =
+              None,
+            expectSnapshotV: Option[Long] = None): Long =
     // LOCK-FREE (r15 directive #2): the heavy probe + staging run
     // against this op's snapshot; the commit rides the CAS loop with
     // the FileStat-identity read set + the phantom-insert conflict
@@ -2921,6 +2964,11 @@ object LogTable {
       val v = TableLog.currentVersion(spark, tableRoot)
       require(v > 0L, s"LogTable.merge: $tableRoot has no manifest — " +
         "init first")
+      expectSnapshotV.foreach(e => if (e != v)
+        throw new ConcurrentWriteException(
+          s"LogTable.merge: $tableRoot moved from v$e to v$v between " +
+            "the caller's snapshot and the merge — re-derive the " +
+            "updates and re-run"))
       txnId.foreach(validTxnId("merge", _))
       val action = txnId.map(t => s"merge:txn=$t").getOrElse("merge")
       val prev = manifest(spark, tableRoot, v)
@@ -3017,6 +3065,25 @@ object LogTable {
                 s"LogTable.$action: a concurrent commit added rows " +
                   "whose keys this merge reads — re-run against the " +
                   "new head")
+          }
+          // a windowed-delete merge READS the whole window, not just
+          // its keys: a concurrent add of an in-window row would
+          // escape the delete this merge contracted to perform (it
+          // serialized first) — Delta's ConcurrentAppendException
+          // for NOT-MATCHED-BY-SOURCE merges
+          deleteUnmatchedCond.foreach { c =>
+            val delCand = dmlCandidateFiles(spark, pm, c,
+              tableRoot = Some(tableRoot))
+            if (delCand.nonEmpty) {
+              val hit = scanFiles(spark, tableRoot, pm,
+                  delCand.map(t => s"$tableRoot/$t"))
+                .filter(c).limit(1).count()
+              if (hit > 0L)
+                throw new ConcurrentWriteException(
+                  s"LogTable.$action: a concurrent commit added rows " +
+                    "inside this merge's NOT-MATCHED-BY-SOURCE delete " +
+                    "window — re-run against the new head")
+            }
           }
         }
       }
@@ -3490,14 +3557,23 @@ object LogTable {
       // checkpoints below the floor serve no retained version
       checkpointVersions(fs, ld).filter(_ < floor)
         .foreach(cv => fs.delete(cpPath(ld, cv), true))
-      // deletion vectors no kept manifest references are dead metadata
+      // deletion vectors no kept manifest references are dead
+      // metadata. minAgeMs shields the LOCK-FREE DML window (r16:
+      // delete/update write their vector BEFORE the commit CAS and no
+      // longer hold the table lock, so an in-flight op's dir is
+      // unreferenced until its commit lands — sweeping it would make
+      // the committed table UNREADABLE at head, unlike a swept bloom
+      // which only loses pruning); the same young-file contract as
+      // data files
       val referencedDvs = keptManifests
         .flatMap(_.parts.values.flatten.flatMap(_.dv)).toSet
       val dvDir = new org.apache.hadoop.fs.Path(root, DvDirName)
       if (fs.exists(dvDir))
-        fs.listStatus(dvDir).map(_.getPath)
-          .filterNot(p => referencedDvs(p.getName))
-          .foreach(fs.delete(_, true))
+        fs.listStatus(dvDir)
+          .filterNot(st => referencedDvs(st.getPath.getName))
+          .filter(st => minAgeMs == 0L ||
+            st.getModificationTime < ageFloor)
+          .foreach(st => fs.delete(st.getPath, true))
       // bloom sidecar dirs likewise: a sidecar id no kept manifest
       // points at serves no retained version. minAgeMs shields the
       // LOCK-FREE append's window (sidecars write BEFORE the commit

@@ -231,6 +231,15 @@ object LogTableDmlRule extends Rule[LogicalPlan] {
           s"logtable $what: the assignment to ${k.name} references " +
             "target columns — explicit assignments must be computable " +
             "from the source row alone")
+        // assigning a KEY column to anything but its same-name source
+        // twin would change row identity: the keyed-upsert rewrite
+        // probes by the ON keys, so the matched row would silently
+        // survive alongside the re-keyed one
+        if (keys.contains(k.name))
+          require(bare(v).exists(_.name == k.name),
+            s"logtable $what: assigning key column ${k.name} would " +
+              "change row identity and leave the matched row alive — " +
+              "keys are equal by ON; drop the assignment")
         k.name -> detach(v, s"$what assignment")
       case other => throw new IllegalArgumentException(
         s"logtable $what: unsupported assignment target '$other' — " +
@@ -388,30 +397,55 @@ final case class LogTableMergeCommand(tableRoot: String,
     import org.apache.spark.sql.functions.expr
     val src = org.apache.spark.sql.graftshim.PlanShim.ofRows(spark,
       source)
-    val updates = (updateSets, insertSets) match {
-      case (None, None) => src
+    (updateSets, insertSets) match {
+      case (None, None) =>
+        // star actions: the source row IS both the update and the
+        // insert — no snapshot-dependent split, pass it through whole
+        graft.operators.LogTable.merge(spark, tableRoot, src, keyCols,
+          dateCol = partCols.mkString(","),
+          deleteUnmatchedCond = deleteCondSql.map(expr))
       case _ =>
         // matched rows take the UPDATE assignments, unmatched the
-        // INSERT row; the split is pinned to the current version so
-        // the frame stays deterministic across re-evaluation
-        val v0 = graft.operators.TableLog.currentVersion(spark,
-          tableRoot)
-        val tblKeys = graft.operators.LogTable.readKeyed(spark,
-            tableRoot, src.select(keyCols.map(col): _*), keyCols,
-            asOf = Some(v0))
-          .select(keyCols.map(col): _*)
-        def rowOf(sets: Option[Seq[(String, String)]]) = {
-          val m = sets.getOrElse(Seq.empty).toMap
-          tableCols.map(c => expr(m.getOrElse(c, s"`$c`")).as(c))
+        // INSERT row. The split reads the table at a pinned version
+        // and is CHECKPOINTED (the merge evaluates its updates
+        // several times — dup check, probe, write); the merge then
+        // verifies the head is STILL that version (expectSnapshotV)
+        // — a commit landing in between could flip a key's
+        // matched/unmatched class, and the update/insert rows differ
+        // — and on a lost race the whole split re-derives against
+        // the new head, bounded like every CAS loop here.
+        var attempts = 0
+        var done = false
+        while (!done) {
+          attempts += 1
+          val v0 = graft.operators.TableLog.currentVersion(spark,
+            tableRoot)
+          val tblKeys = graft.operators.LogTable.readKeyed(spark,
+              tableRoot, src.select(keyCols.map(col): _*), keyCols,
+              asOf = Some(v0))
+            .select(keyCols.map(col): _*)
+          def rowOf(sets: Option[Seq[(String, String)]]) = {
+            val m = sets.getOrElse(Seq.empty).toMap
+            tableCols.map(c => expr(m.getOrElse(c, s"`$c`")).as(c))
+          }
+          val updates = src.join(tblKeys, keyCols, "left_semi")
+            .select(rowOf(updateSets): _*)
+            .unionByName(src.join(tblKeys, keyCols, "left_anti")
+              .select(rowOf(insertSets): _*))
+            .localCheckpoint(true)
+          try {
+            graft.operators.LogTable.merge(spark, tableRoot, updates,
+              keyCols, dateCol = partCols.mkString(","),
+              deleteUnmatchedCond = deleteCondSql.map(expr),
+              expectSnapshotV = Some(v0))
+            done = true
+          } catch {
+            case e: graft.operators.LogTable.ConcurrentWriteException
+                if attempts < 5 =>
+              () // head moved: re-derive the split and retry
+          }
         }
-        src.join(tblKeys, keyCols, "left_semi")
-          .select(rowOf(updateSets): _*)
-          .unionByName(src.join(tblKeys, keyCols, "left_anti")
-            .select(rowOf(insertSets): _*))
     }
-    graft.operators.LogTable.merge(spark, tableRoot, updates, keyCols,
-      dateCol = partCols.mkString(","),
-      deleteUnmatchedCond = deleteCondSql.map(expr))
     Seq.empty
   }
 }

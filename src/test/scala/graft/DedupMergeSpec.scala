@@ -3193,6 +3193,54 @@ class DedupMergeSpec extends SparkSpec {
       .collect().toSet == before)
     // time travel to the pre-compact version still plans 9 files
     assert(LogTable.read(spark, root, Some(vPre)).inputFiles.length == 9)
+    // a MAP-typed column must not break the pack's slot hash (hash()
+    // rejects MapType — the slot simply skips it)
+    val rootM = s"$base/tm"
+    def mbatch(tag: Int) = (1 to 10).map(i =>
+      (s"m$tag-$i", Map("k" -> i.toLong),
+        java.sql.Date.valueOf("2024-01-01")))
+      .toDF("id", "attrs", "start_date_oslo")
+    LogTable.init(mbatch(0).repartition(1), rootM)
+    LogTable.append(spark, rootM, mbatch(1).repartition(1))
+    LogTable.compact(spark, rootM, targetBytes = 1L << 30)
+    assert(LogTable.read(spark, rootM).count() == 20L)
+    assert(LogTable.read(spark, rootM).inputFiles.length == 1)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+  }
+
+  test("vacuum shields an in-flight lock-free DML's deletion vector " +
+    "(r16 review): an unreferenced young DV dir survives a " +
+    "minAgeMs vacuum — the window between a delete's vector write " +
+    "and its commit CAS — and is reclaimed once aged") {
+    import graft.operators.{LogTable, TableLog}
+    val base = java.nio.file.Files.createTempDirectory("graft_dvage")
+      .toString
+    val root = s"$base/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    LogTable.init((0 until 10).map(i => (s"e$i", i.toLong, d))
+      .toDF("id", "v", "start_date_oslo").repartition(1), root)
+    // simulate the race window: a DV dir written, commit not yet landed
+    val orphan = new org.apache.hadoop.fs.Path(
+      s"$root/_graft_dv/dv_v00000002_inflight")
+    Seq(("part", 0L)).toDF("__dvf", "__dvp")
+      .write.parquet(orphan.toString)
+    LogTable.vacuum(spark, root, keepLast = 1, minAgeMs = 3600000L)
+    assert(fs.exists(orphan),
+      "a young unreferenced DV dir must survive a minAgeMs vacuum")
+    // aged out (mtime pushed past the floor) → reclaimed
+    def ageAll(p: org.apache.hadoop.fs.Path): Unit = {
+      fs.setTimes(p, 1000L, -1)
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) ageAll(st.getPath)
+        else fs.setTimes(st.getPath, 1000L, -1)
+      }
+    }
+    ageAll(orphan)
+    LogTable.vacuum(spark, root, keepLast = 1, minAgeMs = 3600000L)
+    assert(!fs.exists(orphan),
+      "an aged unreferenced DV dir must be reclaimed")
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
   }
 
