@@ -2450,13 +2450,17 @@ object LogTable {
     * the committed version, or the current one when nothing qualified. */
   def compact(spark: SparkSession, tableRoot: String,
               targetBytes: Long,
-              dateCol: String = "start_date_oslo"): Long =
+              dateCol: String = "start_date_oslo",
+              parts: Option[Seq[String]] = None): Long =
     TableLog.withLock(spark, tableRoot, "compact") {
       val v = TableLog.currentVersion(spark, tableRoot)
       require(v > 0L, s"LogTable.compact: $tableRoot has no manifest")
       val prev = manifest(spark, tableRoot, v)
-      val todo = prev.parts.filter { case (_, fl) =>
-        fl.count(_.bytes < targetBytes) >= 2 }
+      // `parts` limits the pack to named partitions — incremental
+      // maintenance at 100 TB (the same knob [[optimizeZorder]] has);
+      // None packs every fragmented partition
+      val todo = prev.parts.filter { case (p, fl) =>
+        fl.count(_.bytes < targetBytes) >= 2 && parts.forall(_.contains(p)) }
       if (todo.isEmpty) v
       else {
         // partition cols come off the manifest's own dir keys, so a

@@ -3178,12 +3178,23 @@ class DedupMergeSpec extends SparkSpec {
       mPre.parts.values.forall(_.size == 3), mPre.parts.toString)
     val before = LogTable.read(spark, root).select("id").as[String]
       .collect().toSet
+    // incremental maintenance: packing ONE named partition leaves the
+    // other two untouched (their files byte-identical)
+    val onePart = mPre.parts.keys.toSeq.sorted.head
+    val vOne = LogTable.compact(spark, root, targetBytes = 1L << 30,
+      parts = Some(Seq(onePart)))
+    val mOne = LogTable.manifest(spark, root, vOne)
+    assert(mOne.parts(onePart).size == 1 &&
+      mOne.parts.filterNot(_._1 == onePart)
+        .forall { case (p, fl) => fl.toSet == mPre.parts(p).toSet },
+      s"parts-scoped compact must touch only $onePart: ${mOne.parts
+        .map { case (p, fl) => p -> fl.size }}")
     val writes0 = LogTable.stagedWrites.get()
     val v = LogTable.compact(spark, root, targetBytes = 1L << 30)
     assert(LogTable.stagedWrites.get() - writes0 == 1L,
       "compact must stage all touched partitions in ONE write, " +
         s"staged ${LogTable.stagedWrites.get() - writes0}")
-    assert(v == vPre + 1)
+    assert(v == vOne + 1)
     val mPost = LogTable.manifest(spark, root, v)
     assert(mPost.parts.size == 3 &&
       mPost.parts.values.forall(_.size == 1),
