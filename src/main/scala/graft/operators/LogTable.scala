@@ -385,11 +385,13 @@ object LogTable {
     * the `readSet` check below, so DISJOINT DML commits concurrently
     * and only genuinely overlapping work aborts with
     * [[ConcurrentWriteException]] (Delta's conflict taxonomy). The
-    * table lock remains only on whole-table maintenance
-    * (compact/zorder/restore/restat/bloomcols/vacuum/checkpoint),
-    * serializing those against EACH OTHER; against lock-free DML they
-    * carry the same readSet validation. Per attempt the loop re-reads
-    * the head and validates the REBASE:
+    * table lock remains only on WHOLE-TABLE maintenance
+    * (compact/zorder without `parts`, restore/restat/bloomcols/
+    * vacuum/checkpoint), serializing those against EACH OTHER;
+    * parts-SCOPED compact/zorder ride the same lock-free CAS path as
+    * DML (r16 verdict #4), and against lock-free writers every
+    * maintenance op carries the same readSet validation. Per attempt
+    * the loop re-reads the head and validates the REBASE:
     *
     *  - every file this commit retires must still be live (a
     *    concurrent retirement of the same file cannot be merged —
@@ -664,6 +666,30 @@ object LogTable {
     val (fs, root) = TableLog.fsFor(spark, tableRoot)
     parseDelta(fs, deltaPath(TableLog.logDir(root), v), v)
       .adds.values.flatten.map(_.bytes).sum
+  }
+
+  /** (action, added-file bytes) of version `v`'s delta — the
+    * streaming source's admission metadata, one KB-scale delta read
+    * (r16 advice: the action lets the source zero-weight and skip
+    * no-data-change maintenance commits, Delta's `dataChange=false`).
+    */
+  private[graft] def commitMeta(spark: SparkSession, tableRoot: String,
+                                v: Long): (String, Long) = {
+    val (fs, root) = TableLog.fsFor(spark, tableRoot)
+    val d = parseDelta(fs, deltaPath(TableLog.logDir(root), v), v)
+    (d.action, d.adds.values.flatten.map(_.bytes).sum)
+  }
+
+  /** Scan an explicit subset of version `v`'s live files (tails as
+    * `part/file`), DV-filtered under that version — the streaming
+    * bootstrap's file-group reader (r16 verdict #2: version 1's
+    * snapshot splits into byte-bounded micro-batches; the manifest's
+    * sorted file list gives the stable prefixes the offsets encode).
+    */
+  private[graft] def readFiles(spark: SparkSession, tableRoot: String,
+                               v: Long, tails: Seq[String]): DataFrame = {
+    val m = manifest(spark, tableRoot, v)
+    scanFiles(spark, tableRoot, m, tails.map(t => s"$tableRoot/$t"))
   }
 
   /** Write version `v`'s full live set as a parquet checkpoint dir
@@ -2448,11 +2474,25 @@ object LogTable {
     * a file disappear. Only partitions with ≥ 2 sub-target files are
     * rewritten (an already-compact partition costs zero I/O). Returns
     * the committed version, or the current one when nothing qualified. */
+  /** Parts-SCOPED maintenance (an explicit `parts` list) rides the
+    * lock-free CAS path like row-level DML (r16 verdict #4): the op's
+    * `readSet` already validates every retired file is still live at
+    * the head with an unchanged deletion vector, so maintenance over
+    * DISJOINT partition sets commits concurrently and an overlapping
+    * pair aborts loudly with [[ConcurrentWriteException]]. Whole-table
+    * runs (`parts = None`) keep the table lock, serializing against
+    * other whole-table maintenance. */
+  private def maybeLocked[T](spark: SparkSession, tableRoot: String,
+                             action: String, locked: Boolean)
+                            (body: => T): T =
+    if (locked) TableLog.withLock(spark, tableRoot, action)(body)
+    else body
+
   def compact(spark: SparkSession, tableRoot: String,
               targetBytes: Long,
               dateCol: String = "start_date_oslo",
               parts: Option[Seq[String]] = None): Long =
-    TableLog.withLock(spark, tableRoot, "compact") {
+    maybeLocked(spark, tableRoot, "compact", locked = parts.isEmpty) {
       val v = TableLog.currentVersion(spark, tableRoot)
       require(v > 0L, s"LogTable.compact: $tableRoot has no manifest")
       val prev = manifest(spark, tableRoot, v)
@@ -2525,12 +2565,15 @@ object LogTable {
         promoteStage(fs, root, sp, stagedAll, "compact")
         val removes = todo.toSeq.flatMap { case (p, fl) =>
           fl.filter(_.bytes < targetBytes).map(f => s"$p/${f.file}") }
-        // compact holds the table lock (vs other maintenance) but
-        // lock-free DML can interleave: packed rows came from THIS
-        // snapshot's vectors, so a concurrent DV on a packed file
-        // must abort the pack, never resurrect rows (readSet)
+        // a whole-table compact holds the table lock (vs other
+        // whole-table maintenance); a parts-scoped one is lock-free
+        // (r16 verdict #4) and lock-free DML can interleave either
+        // way: packed rows came from THIS snapshot's vectors, so a
+        // concurrent DV on a packed file must abort the pack, never
+        // resurrect rows (readSet)
         val statByTail = prev.parts.toSeq.flatMap { case (p, fl) =>
           fl.map(f => s"$p/${f.file}" -> f) }.toMap
+        TableLog.dmlCommitHook("compact")
         writeCommit(spark, tableRoot, "compact", prev.statsCols,
           prev.schemaDdl,
           withBlooms(spark, tableRoot, prev.bloomCols,
@@ -2578,7 +2621,7 @@ object LogTable {
                      filesPerPartition: Int,
                      dateCol: String = "start_date_oslo",
                      parts: Option[Seq[String]] = None): Long =
-    TableLog.withLock(spark, tableRoot, "zorder") {
+    maybeLocked(spark, tableRoot, "zorder", locked = parts.isEmpty) {
       require(zCols.size >= 2, "optimizeZorder needs >= 2 cluster columns")
       require(!zCols.contains(dateCol),
         "the partition column is clustered by the directory layout " +
@@ -2628,44 +2671,63 @@ object LogTable {
             s"${zCols.size * bits}-bit cell resolution — raise bits")
         val shift = zCols.size * bits - cellBits
         val pCols = partColsOfManifest(prev)
+        val levels = pCols.size
         val (fs, root) = TableLog.fsFor(spark, tableRoot)
-        var stagedAll = Map.empty[String, Seq[FileStat]]
-        todo.toSeq.sortBy(_._1).foreach { case (p, fl) =>
-          val paths = fl.map(f => s"$tableRoot/$p/${f.file}")
-          val withCell = scanFiles(spark, tableRoot, prev, paths)
-            .withColumn("__z", zc)
-            .withColumn("__cell", shiftright(col("__z"), shift))
-          // EXACT cell → partition mapping: a range/quantile split can
-          // merge cells under sampling noise (observed), and hash
-          // partitioning happens to be the identity for Long keys in
-          // [0, nCells) — Long.hashCode is the value itself there, so
-          // each curve cell lands in its own output file, guaranteed.
-          val schema = withCell.schema
-          val cellIdx = schema.fieldIndex("__cell")
-          val tiled = withCell.rdd
-            .map(r => (r.getLong(cellIdx), r))
-            .partitionBy(new org.apache.spark.HashPartitioner(nCells))
-            .values
-          // clustered rows STAGE like every other writer (the
-          // partition cols ride the rows; one file per curve cell)
-          val (sp, sParts) = stageRows(spark, fs, root,
-            spark.createDataFrame(tiled, schema)
-              .sortWithinPartitions("__z")
-              .drop("__z", "__cell"),
-            pCols)
-          promoteStage(fs, root, sp, sParts, "zorder")
-          sParts.foreach { case (sp2, sfl) =>
-            stagedAll = stagedAll +
-              (sp2 -> (stagedAll.getOrElse(sp2, Seq.empty) ++ sfl))
-          }
-        }
+        // ONE job for ALL touched partitions (r16 verdict #1 — the
+        // same shape compact fixed in r16): a per-partition loop
+        // submits one Spark job per clustered partition — 10⁴ serial
+        // submissions at 10⁴ partitions. Here every partition's live
+        // files scan in a single frame and each row lands in the
+        // COMPOSITE slot `partIdx * nCells + cell`: hash partitioning
+        // is the identity for Long keys in [0, totalCells)
+        // (Long.hashCode is the value itself there), so each curve
+        // cell of each partition still owns exactly one output file —
+        // the guarantee the per-partition loop existed for. A
+        // range/quantile split can merge cells under sampling noise
+        // (observed), hence the exact partitioner, not repartition().
+        val partList = todo.toSeq.sortBy(_._1).map(_._1)
+        val totalCells = math.multiplyExact(nCells, partList.size)
+        val allPaths = todo.toSeq.sortBy(_._1).flatMap { case (p, fl) =>
+          fl.map(f => s"$tableRoot/$p/${f.file}") }
+        // identity scan: __dvf's dir prefix keys the partition-index
+        // lookup (DV-filtered — clustering folds vectors away)
+        val src = scanWithIdentity(spark, tableRoot, prev, allPaths)
+        val dataCols = src.columns.filterNot(Set("__dvf", "__dvp"))
+        import spark.implicits._
+        val idxDf = partList.zipWithIndex.toDF("__part", "__pidx")
+        val withSlot = src
+          .withColumn("__part",
+            substring_index(col("__dvf"), "/", levels))
+          .join(broadcast(idxDf), "__part")
+          .withColumn("__z", zc)
+          .withColumn("__slot",
+            col("__pidx").cast("long") * lit(nCells.toLong) +
+              shiftright(col("__z"), shift))
+          .select((dataCols.map(col) :+ col("__z") :+
+            col("__slot")): _*)
+        val schema = withSlot.schema
+        val slotIdx = schema.fieldIndex("__slot")
+        val tiled = withSlot.rdd
+          .map(r => (r.getLong(slotIdx), r))
+          .partitionBy(
+            new org.apache.spark.HashPartitioner(totalCells))
+          .values
+        // clustered rows STAGE like every other writer (the partition
+        // cols ride the rows; one file per (partition, curve cell))
+        val (sp, stagedAll) = stageRows(spark, fs, root,
+          spark.createDataFrame(tiled, schema)
+            .sortWithinPartitions("__z")
+            .drop("__z", "__slot"),
+          pCols)
+        promoteStage(fs, root, sp, stagedAll, "zorder")
         val removes = todo.toSeq.flatMap { case (p, fl) =>
           fl.map(f => s"$p/${f.file}") }
         // same contract as compact: clustered rows came from this
         // snapshot's vectors — abort on a concurrent DV, never
-        // resurrect (readSet)
+        // resurrect (readSet); parts-scoped runs are lock-free
         val statByTail = prev.parts.toSeq.flatMap { case (p, fl) =>
           fl.map(f => s"$p/${f.file}" -> f) }.toMap
+        TableLog.dmlCommitHook("zorder")
         writeCommit(spark, tableRoot, "zorder", prev.statsCols,
           prev.schemaDdl,
           withBlooms(spark, tableRoot, prev.bloomCols,
@@ -2951,6 +3013,15 @@ object LogTable {
     * matched/unmatched split): a commit landing in between would make
     * the pre-computed rows stale in ways the merge's own read-set
     * cannot see. The caller re-derives and retries. */
+  /** `deleteMatchedKeys` (r16 verdict #3 — the generic SQL MERGE's
+    * `WHEN MATCHED … THEN DELETE`): target rows whose key tuple
+    * appears in this frame are DROPPED in the same atomic commit —
+    * they join the probe and the survivor anti-join but are never
+    * re-inserted. Keys must be disjoint from `updates`' keys
+    * (first-match-wins is the CALLER's classification); a delete key
+    * matching no target row is a no-op, like SQL. Incompatible with
+    * `keyScopedPartitions` (the partition scoping derives from the
+    * update rows, which a key-only delete frame does not carry). */
   def merge(spark: SparkSession, tableRoot: String, updates: DataFrame,
             keyCols: Seq[String],
             dateCol: String = "start_date_oslo",
@@ -2958,7 +3029,8 @@ object LogTable {
             keyScopedPartitions: Boolean = false,
             deleteUnmatchedCond: Option[org.apache.spark.sql.Column] =
               None,
-            expectSnapshotV: Option[Long] = None): Long =
+            expectSnapshotV: Option[Long] = None,
+            deleteMatchedKeys: Option[DataFrame] = None): Long =
     // LOCK-FREE (r15 directive #2): the heavy probe + staging run
     // against this op's snapshot; the commit rides the CAS loop with
     // the FileStat-identity read set + the phantom-insert conflict
@@ -2981,19 +3053,47 @@ object LogTable {
       require(updates.columns.toSet == cur.columns.toSet,
         s"LogTable.merge: updates columns ${updates.columns.sorted.mkString(",")} " +
           s"!= table columns ${cur.columns.sorted.mkString(",")}")
-      val dup = updates.groupBy(keyCols.map(col): _*)
+      require(!(keyScopedPartitions && deleteMatchedKeys.isDefined),
+        "LogTable.merge: deleteMatchedKeys cannot ride " +
+          "keyScopedPartitions — the scoping derives from update rows")
+      // PINNED (r16 advice): the key frame feeds the match probe, the
+      // survivor anti-joins AND the phantom conflict check — and the
+      // last one re-runs on EVERY CAS rebase attempt, so an unpinned
+      // caller lineage would re-compute the full upstream computation
+      // per retry. One eager keys-sized checkpoint makes each reuse a
+      // block read; the dup check below rides the same pin.
+      val upsertKeys = updates.select(keyCols.map(col): _*)
+        .localCheckpoint(true)
+      val dup = upsertKeys.groupBy(keyCols.map(col): _*)
         .agg(count(lit(1)).as("__c")).filter(col("__c") > 1L)
         .limit(1).collect()
       require(dup.isEmpty, "LogTable.merge: updates contain duplicate " +
         s"keys (e.g. ${dup.headOption.mkString}) — multiple source rows " +
         "would match the same target row")
-      val keyFrame = updates.select(keyCols.map(col): _*)
+      val delKeys = deleteMatchedKeys.map(_.select(keyCols.map(col): _*)
+        .distinct().localCheckpoint(true))
+      delKeys.foreach { dk =>
+        val overlap = dk.join(upsertKeys, keyCols, "left_semi")
+          .limit(1).collect()
+        require(overlap.isEmpty, "LogTable.merge: key " +
+          s"${overlap.headOption.mkString} is both updated and deleted " +
+          "— first-match-wins classification is the caller's job")
+      }
+      // the probe/survivor key set: updated AND matched-delete keys
+      // (a deleted row's file must rewrite too)
+      val keyFrame = delKeys.map(upsertKeys.unionByName(_))
+        .getOrElse(upsertKeys)
       // which live files hold a matched key? names only — and when the
       // keys carry zone maps, only zone-admitted candidates are
       // scanned; keyScopedPartitions further restricts the probe to
       // the updates' own partitions (see [[mergeProbeTails]])
-      val probeTails = mergeProbeTails(spark, tableRoot, prev, updates,
-        keyCols, partColsOf(dateCol), keyScopedPartitions)
+      val probeTails = delKeys match {
+        case None => mergeProbeTails(spark, tableRoot, prev, updates,
+          keyCols, partColsOf(dateCol), keyScopedPartitions)
+        case Some(_) => // candidates from BOTH key sets
+          mergeCandidateFiles(spark, tableRoot, prev, keyFrame, keyCols)
+            .getOrElse(fileKeys(prev.parts))
+      }
       val hitByKey: Set[String] =
         if (probeTails.isEmpty) Set.empty // no zone admits any key
         else scanWithIdentity(spark, tableRoot, prev,
@@ -3057,7 +3157,11 @@ object LogTable {
         }.filter(_._2.nonEmpty)
         if (phantomParts.nonEmpty) {
           val pm = hm.copy(parts = phantomParts)
-          val cand = mergeCandidateFiles(spark, tableRoot, pm, updates,
+          // probe from the PINNED key frame (r16 advice): candidate
+          // pruning's distinct/bounding-box collects re-run per rebase
+          // attempt — against checkpoint blocks, never the caller's
+          // updates lineage
+          val cand = mergeCandidateFiles(spark, tableRoot, pm, keyFrame,
               keyCols)
             .getOrElse(fileKeys(phantomParts))
           if (cand.nonEmpty) {
@@ -3469,6 +3573,53 @@ object LogTable {
       }
     }
 
+  /** The default vacuum age shield: one hour. NONZERO by default
+    * (r16 advice) because the lock-free writers (append/overwrite and
+    * the DML trio) publish files BEFORE their commit CAS — a
+    * deletion vector, a staged-and-promoted data file or a bloom
+    * sidecar is unreferenced until its commit lands, and a
+    * zero-shield vacuum racing that window reclaims it, leaving the
+    * just-committed head UNREADABLE. Delta defaults the same shield
+    * to 7 days; an hour covers any plausible stage-to-commit window
+    * while letting maintenance reclaim same-day garbage. `minAgeMs =
+    * 0` disables the shield and is safe ONLY with no concurrent
+    * writer (single-writer maintenance windows, tests). */
+  val DefaultVacuumMinAgeMs: Long = 3600000L
+
+  /** Consumer markers: `_graft_log/_consumer_<id>` — one tiny JSON
+    * heartbeat per registered streaming consumer, overwritten each
+    * trigger with the last source version that consumer committed
+    * (opt-in via the `logtable` source's `consumerId` option).
+    * [[vacuum]] reads FRESH markers to warn — or refuse, with
+    * `guardConsumers = true` — before dropping versions a lagging
+    * stream still needs. A marker not refreshed within
+    * [[ConsumerMarkerTtlMs]] is presumed dead and ignored, so an
+    * abandoned stream never blocks maintenance forever. */
+  private[graft] val ConsumerMarkerPrefix = "_consumer_"
+
+  /** How long a consumer marker stays authoritative without a
+    * refresh: 24 h — generous for hourly-trigger streams, small
+    * enough that an abandoned consumer unblocks maintenance within a
+    * day. */
+  val ConsumerMarkerTtlMs: Long = 86400000L
+
+  /** Heartbeat `consumerId`'s position: the last source version its
+    * stream has committed (the streaming source calls this from
+    * `getBatch`; tests may call it directly). Overwrite-in-place —
+    * the marker is advisory metadata, never part of any manifest. */
+  def recordConsumerPosition(spark: SparkSession, tableRoot: String,
+                             consumerId: String, version: Long): Unit = {
+    require(consumerId.nonEmpty &&
+      consumerId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"consumerId must be [A-Za-z0-9_-]+ (got '$consumerId')")
+    val (fs, root) = TableLog.fsFor(spark, tableRoot)
+    val p = new org.apache.hadoop.fs.Path(TableLog.logDir(root),
+      s"$ConsumerMarkerPrefix$consumerId")
+    val out = fs.create(p, true)
+    try out.write(s"""{"version":$version}""".getBytes("UTF-8"))
+    finally out.close()
+  }
+
   /** Reclaim files no retained manifest references, keeping the newest
     * `keepLast` versions (and their time-travel reads) intact. Before
     * deleting any commit metadata a parquet checkpoint is written AT
@@ -3479,10 +3630,23 @@ object LogTable {
     * Delta's: `keepLast` must cover the longest concurrently running
     * reader (a reader planned at a version vacuumed mid-scan fails
     * loudly on its next file open; a reader inside retention is
-    * structurally safe). Returns (versions dropped, data files
-    * deleted). */
+    * structurally safe). `minAgeMs` defaults to
+    * [[DefaultVacuumMinAgeMs]] — see its scaladoc for why 0 is
+    * single-writer-only. Returns (versions dropped, data files
+    * deleted).
+    *
+    * Streaming-consumer guard (r16 verdict #7): a `logtable` source
+    * started with `option("consumerId", id)` heartbeats its consumed
+    * version to `_graft_log/_consumer_<id>`; vacuum compares each
+    * FRESH marker (refreshed within [[ConsumerMarkerTtlMs]]) against
+    * the versions it is about to drop and `log.warn`s when a lagging
+    * consumer would lose its next read — with `guardConsumers = true`
+    * it REFUSES loudly instead, so a slow stream fails at vacuum
+    * time, not at its next trigger. Default behavior (no markers, or
+    * `guardConsumers = false`) is unchanged. */
   def vacuum(spark: SparkSession, tableRoot: String,
-             keepLast: Int, minAgeMs: Long = 0L): (Int, Int) = {
+             keepLast: Int, minAgeMs: Long = DefaultVacuumMinAgeMs,
+             guardConsumers: Boolean = false): (Int, Int) = {
     require(keepLast >= 1, s"keepLast must be >= 1 (got $keepLast)")
     require(minAgeMs >= 0L, s"minAgeMs must be >= 0 (got $minAgeMs)")
     TableLog.withLock(spark, tableRoot, "vacuum") {
@@ -3494,6 +3658,41 @@ object LogTable {
         .sorted.toSeq
       val kept = versions.takeRight(keepLast)
       val dropped = versions.dropRight(keepLast)
+      // streaming-consumer guard (r16 verdict #7): a consumer marker
+      // records the last source version its stream committed — its
+      // next read starts at marker+1, so dropping any version above
+      // the marker strands it at its NEXT trigger. Only fresh markers
+      // count (a dead consumer's stale marker must not block
+      // maintenance forever).
+      if (dropped.nonEmpty) {
+        val now = System.currentTimeMillis()
+        val lagging = fs.listStatus(ld)
+          .filter(_.getPath.getName.startsWith(ConsumerMarkerPrefix))
+          .filter(st =>
+            now - st.getModificationTime <= ConsumerMarkerTtlMs)
+          .flatMap { st =>
+            val in = fs.open(st.getPath)
+            val body = try scala.io.Source
+              .fromInputStream(in, "UTF-8").mkString finally in.close()
+            "\"version\":(\\d+)".r.findFirstMatchIn(body)
+              .map(_.group(1).toLong)
+              .filter(pos => dropped.last > pos)
+              .map(pos => st.getPath.getName
+                .stripPrefix(ConsumerMarkerPrefix) -> pos)
+          }
+        if (lagging.nonEmpty) {
+          val msg = s"LogTable.vacuum: $tableRoot would drop " +
+            s"versions ${dropped.head}..${dropped.last} that active " +
+            "streaming consumers still need: " +
+            lagging.map { case (id, pos) => s"'$id' at v$pos" }
+              .mkString(", ") +
+            " — their next trigger would fail; raise keepLast to " +
+            "cover the lag (or pass guardConsumers=false to proceed)"
+          if (guardConsumers) sys.error(msg)
+          else org.slf4j.LoggerFactory
+            .getLogger("graft.operators.LogTable").warn(msg)
+        }
+      }
       // every partition dir ANY commit ever added to (walk the delta
       // adds — O(commits), no full-manifest reconstruction needed) ∪
       // the table root's physical partition dirs (ADVICE r13: a

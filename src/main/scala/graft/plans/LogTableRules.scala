@@ -46,7 +46,14 @@ object LogTableRules {
     * Subqueries are rejected loudly — a DML condition is evaluated
     * file-by-file by the zone pruner and row-by-row by the scan
     * filter, neither of which can host a correlated plan. */
-  private[plans] def detach(e: Expression, what: String): String = {
+  /** `targetIds`: attribute ids of the MERGE target — their
+    * references render as `__t_<name>` so a matched-row frame can
+    * carry BOTH sides' columns without collision (the generic MERGE
+    * path joins source rows to their current target rows and
+    * evaluates conditions/assignments over the pair — r16 verdict
+    * #3). Empty set = plain bare-name detachment. */
+  private[plans] def detach(e: Expression, what: String,
+                            targetIds: Set[Long] = Set.empty): String = {
     require(!e.exists(_.isInstanceOf[SubqueryExpression]),
       s"logtable: subqueries are not supported in a $what")
     // RuntimeReplaceable nodes (BETWEEN, nullif, …) render their sql
@@ -70,8 +77,11 @@ object LogTableRules {
     }
     // resolved attributes render FULLY QUALIFIED (catalog.db.table.col)
     // which the internal scan cannot resolve — strip to the bare name
+    // (target-side refs to the __t_ rename, see above)
     unwrapped.transform {
-      case a: AttributeReference => UnresolvedAttribute.quoted(a.name)
+      case a: AttributeReference => UnresolvedAttribute.quoted(
+        if (targetIds.contains(a.exprId.id)) s"__t_${a.name}"
+        else a.name)
     }.sql
   }
 }
@@ -249,8 +259,8 @@ object LogTableDmlRule extends Rule[LogicalPlan] {
     val missing = tableCols.filterNot(c => assigned(c) || keys.contains(c))
     require(missing.isEmpty,
       s"logtable $what: columns ${missing.mkString(",")} are not " +
-        "assigned — assign every non-key column (a partial SET would " +
-        "need target values the keyed-upsert rewrite does not read)")
+        "assigned — an inserted row must supply every non-key column " +
+        "(unassigned keys default to the source's same-name column)")
     sets
   }
 
@@ -300,31 +310,76 @@ object LogTableDmlRule extends Rule[LogicalPlan] {
       val tableCols = lr.schema.fieldNames.toSeq
       val keys = keyColsOf(mergeCond, targetIds, "MERGE").distinct
       require(keys.nonEmpty, "logtable MERGE: no key columns in ON")
-      // WHEN MATCHED: SET * (None) or one unconditional explicit
-      // full-coverage assignment list (the reference's hand-listed
-      // form, r15 verdict #5)
-      val updateSets: Option[Seq[(String, String)]] =
-        if (isStarShaped(matched, tableCols)) None
-        else matched match {
-          case Seq(UpdateAction(None, assigns, _)) =>
-            Some(explicitSets(assigns, sourceIds, tableCols, keys,
-              "MERGE UPDATE"))
+      // FAST PATH — the reference's own shape (one unconditional
+      // star-shaped update + one star-shaped insert): the source row
+      // IS both the update and the insert, so the source frame passes
+      // through whole with no snapshot-dependent split.
+      val starFast = isStarShaped(matched, tableCols) &&
+        isStarShaped(notMatched, tableCols)
+      // GENERIC matched clauses (r16 verdict #3): conditional
+      // UPDATE/DELETE, PARTIAL SET (unassigned columns keep the
+      // target's current value, fetched through readKeyed), multiple
+      // clauses first-match-wins. Conditions and update RHS may
+      // reference BOTH sides; target refs detach as __t_<name>.
+      def updateSetsOf(assigns: Seq[Assignment], what: String)
+          : Seq[(String, String)] = assigns.map {
+        case Assignment(k: AttributeReference, v) =>
+          // assigning a KEY column to anything but its same-name
+          // source/target twin would change row identity: the
+          // keyed-upsert rewrite probes by the ON keys, so the
+          // matched row would silently survive alongside the re-keyed
+          // one
+          if (keys.contains(k.name))
+            require(bare(v).exists(_.name == k.name),
+              s"logtable $what: assigning key column ${k.name} would " +
+                "change row identity and leave the matched row alive " +
+                "— keys are equal by ON; drop the assignment")
+          k.name -> detach(v, s"$what assignment", targetIds)
+        case other => throw new IllegalArgumentException(
+          s"logtable $what: unsupported assignment target '$other' — " +
+            "assign to plain columns")
+      }
+      val matchedActions: Seq[(String, Option[Seq[(String, String)]])] =
+        if (starFast) Seq.empty
+        else matched.map {
+          case UpdateStarAction(condOpt) =>
+            (condOpt.map(detach(_, "MERGE matched condition", targetIds))
+              .getOrElse("true"),
+              Some(tableCols.map(c => c -> s"`$c`")))
+          case UpdateAction(condOpt, assigns, _) =>
+            (condOpt.map(detach(_, "MERGE matched condition", targetIds))
+              .getOrElse("true"),
+              Some(updateSetsOf(assigns, "MERGE UPDATE")))
+          case DeleteAction(condOpt) =>
+            (condOpt.map(detach(_, "MERGE matched condition", targetIds))
+              .getOrElse("true"), None)
           case other => throw new IllegalArgumentException(
-            "logtable MERGE: WHEN MATCHED supports UPDATE SET * or " +
-              "one unconditional UPDATE SET with explicit source-only " +
-              s"assignments, got $other")
+            s"logtable MERGE: unsupported WHEN MATCHED action $other")
         }
-      // WHEN NOT MATCHED: INSERT * (None) or explicit assignments
-      val insertSets: Option[Seq[(String, String)]] =
-        if (isStarShaped(notMatched, tableCols)) None
-        else notMatched match {
-          case Seq(InsertAction(None, assigns)) =>
-            Some(explicitSets(assigns, sourceIds, tableCols, keys,
-              "MERGE INSERT"))
-          case other => throw new IllegalArgumentException(
-            "logtable MERGE: WHEN NOT MATCHED supports INSERT * or " +
-              "one unconditional INSERT with explicit source-only " +
-              s"assignments, got $other")
+      // WHEN NOT MATCHED: INSERT * or explicit full-coverage
+      // assignments; conditions/values reference the SOURCE row only
+      // (there is no target row on this side)
+      val insertActions: Seq[(String, Option[Seq[(String, String)]])] =
+        if (starFast) Seq.empty
+        else notMatched.map { a =>
+          def condSql(condOpt: Option[Expression]): String = {
+            condOpt.foreach(c => require(
+              c.references.forall(r => sourceIds.contains(r.exprId.id)),
+              "logtable MERGE: a NOT MATCHED condition must reference " +
+                "source columns only"))
+            condOpt.map(detach(_, "MERGE insert condition"))
+              .getOrElse("true")
+          }
+          a match {
+            case InsertStarAction(condOpt) => (condSql(condOpt), None)
+            case InsertAction(condOpt, assigns) =>
+              (condSql(condOpt),
+                Some(explicitSets(assigns, sourceIds, tableCols, keys,
+                  "MERGE INSERT")))
+            case other => throw new IllegalArgumentException(
+              s"logtable MERGE: unsupported WHEN NOT MATCHED action " +
+                s"$other")
+          }
         }
       // WHEN NOT MATCHED BY SOURCE [AND <target guard>] THEN DELETE —
       // the reference's windowed-delete refresh (fetch_clickup_data
@@ -346,7 +401,7 @@ object LogTableDmlRule extends Rule[LogicalPlan] {
       }
       LogTableMergeCommand(idx.tableRoot, source, keys,
         idx.partitionSchema.fieldNames.toSeq, tableCols,
-        updateSets, insertSets, deleteCondSql)
+        matchedActions, insertActions, deleteCondSql, starFast)
     }
   }
 }
@@ -379,72 +434,122 @@ final case class LogTableUpdateCommand(tableRoot: String,
 }
 
 /** MERGE INTO — file-granular copy-on-write through
-  * [[graft.operators.LogTable.merge]]. Star actions pass the source
-  * through whole; explicit assignments build the matched/unmatched
-  * rows by splitting the source against the table's CURRENT key set
-  * (version-pinned, probe-scoped via
-  * [[graft.operators.LogTable.readKeyed]]); the optional
-  * NOT-MATCHED-BY-SOURCE guard rides into the merge's atomic
-  * windowed-delete commit. */
+  * [[graft.operators.LogTable.merge]]. The star fast path passes the
+  * source through whole; the GENERIC path (r16 verdict #3) joins the
+  * source to its current target rows (version-pinned, probe-scoped
+  * via [[graft.operators.LogTable.readKeyed]], target columns carried
+  * as `__t_<name>`), classifies each row FIRST-MATCH-WINS across the
+  * conditional matched/not-matched clauses, builds update rows
+  * (partial SET keeps `__t_` values), insert rows, and a
+  * matched-DELETE key set — all committed atomically by one merge;
+  * the optional NOT-MATCHED-BY-SOURCE guard rides the same commit. */
 final case class LogTableMergeCommand(tableRoot: String,
     source: LogicalPlan, keyCols: Seq[String],
     partCols: Seq[String], tableCols: Seq[String],
-    updateSets: Option[Seq[(String, String)]],
-    insertSets: Option[Seq[(String, String)]],
-    deleteCondSql: Option[String]) extends LeafRunnableCommand {
+    matchedActions: Seq[(String, Option[Seq[(String, String)]])],
+    insertActions: Seq[(String, Option[Seq[(String, String)]])],
+    deleteCondSql: Option[String],
+    starFast: Boolean) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
-    import org.apache.spark.sql.functions.expr
+    import org.apache.spark.sql.functions.{expr, lit, when}
     val src = org.apache.spark.sql.graftshim.PlanShim.ofRows(spark,
       source)
-    (updateSets, insertSets) match {
-      case (None, None) =>
-        // star actions: the source row IS both the update and the
-        // insert — no snapshot-dependent split, pass it through whole
-        graft.operators.LogTable.merge(spark, tableRoot, src, keyCols,
-          dateCol = partCols.mkString(","),
-          deleteUnmatchedCond = deleteCondSql.map(expr))
-      case _ =>
-        // matched rows take the UPDATE assignments, unmatched the
-        // INSERT row. The split reads the table at a pinned version
-        // and is CHECKPOINTED (the merge evaluates its updates
-        // several times — dup check, probe, write); the merge then
-        // verifies the head is STILL that version (expectSnapshotV)
-        // — a commit landing in between could flip a key's
-        // matched/unmatched class, and the update/insert rows differ
-        // — and on a lost race the whole split re-derives against
-        // the new head, bounded like every CAS loop here.
-        var attempts = 0
-        var done = false
-        while (!done) {
-          attempts += 1
-          val v0 = graft.operators.TableLog.currentVersion(spark,
-            tableRoot)
-          val tblKeys = graft.operators.LogTable.readKeyed(spark,
-              tableRoot, src.select(keyCols.map(col): _*), keyCols,
-              asOf = Some(v0))
-            .select(keyCols.map(col): _*)
-          def rowOf(sets: Option[Seq[(String, String)]]) = {
-            val m = sets.getOrElse(Seq.empty).toMap
-            tableCols.map(c => expr(m.getOrElse(c, s"`$c`")).as(c))
-          }
-          val updates = src.join(tblKeys, keyCols, "left_semi")
-            .select(rowOf(updateSets): _*)
-            .unionByName(src.join(tblKeys, keyCols, "left_anti")
-              .select(rowOf(insertSets): _*))
-            .localCheckpoint(true)
-          try {
-            graft.operators.LogTable.merge(spark, tableRoot, updates,
-              keyCols, dateCol = partCols.mkString(","),
-              deleteUnmatchedCond = deleteCondSql.map(expr),
-              expectSnapshotV = Some(v0))
-            done = true
-          } catch {
-            case e: graft.operators.LogTable.ConcurrentWriteException
-                if attempts < 5 =>
-              () // head moved: re-derive the split and retry
+    if (starFast) {
+      // star actions: the source row IS both the update and the
+      // insert — no snapshot-dependent split, pass it through whole
+      graft.operators.LogTable.merge(spark, tableRoot, src, keyCols,
+        dateCol = partCols.mkString(","),
+        deleteUnmatchedCond = deleteCondSql.map(expr))
+    } else {
+      // The classification reads the table at a pinned version and
+      // is CHECKPOINTED (the merge evaluates its updates several
+      // times — dup check, probe, write); the merge then verifies
+      // the head is STILL that version (expectSnapshotV) — a commit
+      // landing in between could flip a key's matched/unmatched
+      // class — and on a lost race the whole split re-derives
+      // against the new head, bounded like every CAS loop here.
+      var attempts = 0
+      var done = false
+      while (!done) {
+        attempts += 1
+        val v0 = graft.operators.TableLog.currentVersion(spark,
+          tableRoot)
+        // current target rows for the source's keys (probe-scoped;
+        // a superset scan — the inner join below exacts the match),
+        // target columns renamed to the __t_ side
+        val tgt = graft.operators.LogTable.readKeyed(spark, tableRoot,
+            src.select(keyCols.map(col): _*), keyCols, asOf = Some(v0))
+          .select(keyCols.map(col) ++
+            tableCols.map(c => col(c).as(s"__t_$c")): _*)
+        val matchedDf = src.join(tgt, keyCols, "inner")
+        val unmatchedDf = src.join(tgt.select(keyCols.map(col): _*),
+          keyCols, "left_anti")
+        // first-match-wins: the row's action is the FIRST clause
+        // whose condition holds; no clause → -1 → untouched (matched)
+        // or not inserted (unmatched) — the SQL MERGE contract
+        def classify(df: org.apache.spark.sql.DataFrame,
+            acts: Seq[(String, Option[Seq[(String, String)]])]) = {
+          val c = acts.zipWithIndex.foldLeft(
+              when(lit(false), lit(-1))) {
+            case (acc, ((cond, _), i)) => acc.when(expr(cond), lit(i))
+          }.otherwise(lit(-1))
+          df.withColumn("__act", c)
+        }
+        val mCls = classify(matchedDf, matchedActions)
+        val iCls = classify(unmatchedDf, insertActions)
+        def project(sets: Option[Seq[(String, String)]],
+            matchedSide: Boolean) = {
+          val m = sets.getOrElse(Seq.empty).toMap
+          tableCols.map { c =>
+            // partial SET: unassigned columns keep the TARGET's
+            // current value on the matched side, the source's
+            // same-name column on the insert side
+            val dflt = if (matchedSide) s"`__t_$c`" else s"`$c`"
+            expr(m.getOrElse(c, dflt)).as(c)
           }
         }
+        val updParts = matchedActions.zipWithIndex.collect {
+          case ((_, Some(sets)), i) =>
+            mCls.filter(col("__act") === i)
+              .select(project(Some(sets), matchedSide = true): _*)
+        }
+        val insParts = insertActions.zipWithIndex.map {
+          case ((_, setsOpt), i) =>
+            iCls.filter(col("__act") === i)
+              .select(project(setsOpt, matchedSide = false): _*)
+        }
+        val delIdxs = matchedActions.zipWithIndex.collect {
+          case ((_, None), i) => i }
+        val delKeysDf =
+          if (delIdxs.isEmpty) None
+          else Some(mCls.filter(col("__act")
+              .isin(delIdxs.map(Integer.valueOf): _*))
+            .select(keyCols.map(col): _*))
+        val updates = (updParts ++ insParts)
+          .reduceLeftOption(_ unionByName _)
+          .getOrElse(src.select(
+            project(None, matchedSide = false): _*).limit(0))
+          .localCheckpoint(true)
+        try {
+          graft.operators.LogTable.merge(spark, tableRoot, updates,
+            keyCols, dateCol = partCols.mkString(","),
+            deleteUnmatchedCond = deleteCondSql.map(expr),
+            expectSnapshotV = Some(v0),
+            deleteMatchedKeys = delKeysDf)
+          done = true
+        } catch {
+          case e: graft.operators.LogTable.ConcurrentWriteException
+              if attempts < 5 =>
+            // head moved: log the lost race, free the stale
+            // attempt's checkpoint blocks (they can never be read
+            // again — r16 advice), re-derive against the new head
+            logInfo(s"logtable MERGE on $tableRoot lost the commit " +
+              s"race at v$v0 (attempt $attempts): ${e.getMessage}")
+            org.apache.spark.sql.graftshim.PlanShim
+              .freeLocalCheckpoint(updates)
+        }
+      }
     }
     Seq.empty
   }
@@ -552,7 +657,16 @@ object LogTableTimeTravelRule extends Rule[LogicalPlan] {
           Some(meta.location.toString)
         else None
       }
-    } catch { case scala.util.control.NonFatal(_) => None }
+    } catch {
+      // only the EXPECTED misses fall through to Spark's own handling
+      // (r16 advice: a transient metastore/IO failure swallowed to
+      // None would reroute a valid query into the misleading "does
+      // not support time travel" error — let those propagate)
+      case _: org.apache.spark.sql.catalyst.analysis
+          .NoSuchTableException => None
+      case _: org.apache.spark.sql.catalyst.analysis
+          .NoSuchDatabaseException => None
+    }
 }
 
 /** Routes `INSERT INTO` / `INSERT OVERWRITE` on a named logtable

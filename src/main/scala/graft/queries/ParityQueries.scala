@@ -828,6 +828,76 @@ object ParityQueries {
       out
     }, Some(m1OracleSql)),
 
+    // GENERIC SQL MERGE (r16 verdict #3): conditional matched DELETE,
+    // conditional PARTIAL SET (ts / start_date_oslo keep the target's
+    // values; the condition reads BOTH sides), first-match-wins
+    // clause order (an in-window 'error' row deletes even where the
+    // update condition also holds), and a conditional INSERT — one
+    // atomic manifest commit, graded against a DuckDB oracle that
+    // re-derives the same classification relationally (DuckDB 1.0 has
+    // no MERGE syntax).
+    QuerySpec("m1c_merge_generic_sql", (s, d) => {
+      val ev = t(s, d, "events")
+      val fact = ev.filter(col("ts") < tsLit("2024-01-28"))
+        .select(col("event_id").as("id"), col("ts"),
+          osloDate(col("ts")).as("start_date_oslo"),
+          col("event_type"), col("value"))
+      val base = java.nio.file.Files.createTempDirectory("graft_m1c")
+        .toString + "/t"
+      graft.operators.LogTable.init(fact, base)
+      s.sql("DROP TABLE IF EXISTS graft_m1c")
+      s.sql(s"CREATE TABLE graft_m1c USING logtable LOCATION '$base'")
+      ev.filter(osloDate(col("ts")).between(
+          lit("2024-01-23").cast("date"), lit("2024-01-30").cast("date")))
+        .select(col("event_id").as("id"), col("ts"),
+          osloDate(col("ts")).as("start_date_oslo"), col("event_type"),
+          (col("value") * 2).as("value"))
+        .createOrReplaceTempView("graft_m1c_src")
+      s.sql(
+        """MERGE INTO graft_m1c T USING graft_m1c_src S
+          |ON T.id = S.id
+          |WHEN MATCHED AND S.event_type = 'error' THEN DELETE
+          |WHEN MATCHED AND S.value > T.value + 5 THEN UPDATE SET
+          |  value = S.value, event_type = S.event_type
+          |WHEN NOT MATCHED AND S.event_type <> 'error'
+          |THEN INSERT *""".stripMargin)
+      val out = s.sql(
+        """SELECT id, ts, CAST(start_date_oslo AS STRING) start_date_oslo,
+          |  event_type, value FROM graft_m1c ORDER BY id""".stripMargin)
+        .localCheckpoint(true)
+      s.sql("DROP TABLE graft_m1c")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p.getParent, true)
+      out
+    }, Some(
+      """WITH fact AS (SELECT event_id id, ts,
+        |    CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE) d,
+        |    event_type, value v FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-28'),
+        |sw AS (SELECT event_id id, ts,
+        |    CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE) d,
+        |    event_type, value*2 v FROM events
+        |  WHERE CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE)
+        |    BETWEEN DATE '2024-01-23' AND DATE '2024-01-30'),
+        |m AS (
+        |  SELECT f.id, f.ts, f.d,
+        |    CASE WHEN s.v > f.v + 5 THEN s.event_type
+        |         ELSE f.event_type END event_type,
+        |    CASE WHEN s.v > f.v + 5 THEN s.v ELSE f.v END v
+        |  FROM fact f JOIN sw s USING (id)
+        |  WHERE s.event_type <> 'error'
+        |  UNION ALL
+        |  SELECT f.id, f.ts, f.d, f.event_type, f.v FROM fact f
+        |  WHERE f.id NOT IN (SELECT id FROM sw)
+        |  UNION ALL
+        |  SELECT s.id, s.ts, s.d, s.event_type, s.v FROM sw s
+        |  WHERE s.event_type <> 'error'
+        |    AND s.id NOT IN (SELECT id FROM fact))
+        |SELECT id, ts, CAST(d AS VARCHAR) start_date_oslo, event_type,
+        |  v AS "value"
+        |FROM m ORDER BY id""".stripMargin)),
+
     // ST4 — the SAME M1 semantics with staging replayed as a sliced
     // micro-batch stream (maxFilesPerTrigger=1 over a 2-file staging dump)
     // through Streams.streamingMergeIncrementalPartitioned: per-batch

@@ -214,7 +214,8 @@ class LogTableSource extends RelationProvider
         n
       }
     new LogTableChangeSource(spark, path, starting,
-      posLong("maxVersionsPerTrigger"), posLong("maxBytesPerTrigger"))
+      posLong("maxVersionsPerTrigger"), posLong("maxBytesPerTrigger"),
+      parameters.get("consumerId"))
   }
 
   /** `writeStream.format("logtable")` — the EXACTLY-ONCE streaming
@@ -357,88 +358,193 @@ private[graft] final class EmptyLogTableRelation(
 private[graft] final class LogTableChangeSource(
     spark: SparkSession, path: String, startingVersion: Long,
     maxVersionsPerTrigger: Option[Long] = None,
-    maxBytesPerTrigger: Option[Long] = None)
+    maxBytesPerTrigger: Option[Long] = None,
+    consumerId: Option[String] = None)
     extends Source {
 
   private val schema0 = LogTableSource.changeFeedSchema(spark, path)
 
   override def schema: StructType = schema0
 
-  /** The newest version already OFFERED to the engine — the admission
+  /** A feed position: `v` = the newest FULLY-delivered version; `f`
+    * > 0 only while the BOOTSTRAP snapshot is splitting (r16 verdict
+    * #2 — `startingVersion = 0` under `maxBytesPerTrigger`), meaning
+    * the first `f` files of version 1's snapshot (manifest order,
+    * stable — v1 is immutable) are delivered while v1 itself is not
+    * complete. Serialized as the legacy plain version when `f = 0`,
+    * so existing checkpoints and the uncapped path are untouched. */
+  private case class Pos(v: Long, f: Long) extends Ordered[Pos] {
+    def compare(that: Pos): Int =
+      if (v != that.v) java.lang.Long.compare(v, that.v)
+      else java.lang.Long.compare(f, that.f)
+  }
+
+  /** The newest position already OFFERED to the engine — the admission
     * base (r15 verdict #4: without a cap, a 10⁴-version backlog drains
     * as one giant micro-batch). Starts at `startingVersion`; getBatch
     * advances it too, because on RESTART Spark re-plays the recovered
     * offsets through getBatch before ever calling getOffset — the V1
     * re-initialization contract FileStreamSource/KafkaSource use — so
     * a restarted stream resumes rate-limiting from its checkpointed
-    * position, not from `startingVersion`. */
-  @volatile private var offered: Long = startingVersion
+    * position (including MID-SNAPSHOT file positions), not from
+    * `startingVersion`. */
+  @volatile private var offered: Pos = Pos(startingVersion, 0L)
 
-  /** Per-version added-bytes, cached — versions are immutable, so a
-    * delta's weight never changes once read (one KB-scale metadata
-    * read per version, ever). */
-  private val bytesOf =
-    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.Long]()
-  private def versionBytes(v: Long): Long =
-    bytesOf.computeIfAbsent(v,
-      _ => LogTable.commitAddedBytes(spark, path, v)).longValue()
+  /** No-data-change maintenance actions: their commit re-points or
+    * re-states live rows without changing table content, so their
+    * change feed is EMPTY by construction — the source zero-weights
+    * them in admission (r16 advice: one compact used to eat the whole
+    * byte budget) and skips their feed scan in getBatch entirely
+    * (Delta's `dataChange = false` contract). */
+  private val noDataChange = Set("compact", "zorder", "restat",
+    "bloomcols")
+
+  /** Per-version (action, added-bytes), cached — versions are
+    * immutable, so a delta's weight never changes once read (one
+    * KB-scale metadata read per version). Entries at or below the
+    * committed position are evicted in [[commit]], bounding the cache
+    * over the stream's life (r16 advice). */
+  private val metaOf = new java.util.concurrent
+    .ConcurrentHashMap[Long, (String, Long)]()
+  private def versionMeta(v: Long): (String, Long) =
+    metaOf.computeIfAbsent(v, _ => LogTable.commitMeta(spark, path, v))
+  private def versionWeight(v: Long): Long = {
+    val (action, bytes) = versionMeta(v)
+    if (noDataChange(action)) 0L else bytes
+  }
+
+  /** Version 1's live files in manifest order — the stable prefixes
+    * the bootstrap-split offsets index. Lazy: only a capped bootstrap
+    * ever forces it. */
+  private lazy val bootFiles: IndexedSeq[(String, Long)] = {
+    val m = LogTable.manifest(spark, path, 1L)
+    m.parts.toSeq.sortBy(_._1).flatMap { case (p, fl) =>
+      fl.sortBy(_.file).map(f => (s"$p/${f.file}", f.bytes))
+    }.toIndexedSeq
+  }
 
   override def getOffset: Option[V1Offset] = {
     val head = TableLog.currentVersion(spark, path)
-    val base = math.max(offered, startingVersion)
-    val verCap =
-      maxVersionsPerTrigger.fold(head)(n => math.min(head, base + n))
-    // bytes-based admission (r16): admit versions until adding the
-    // NEXT one would exceed the budget — but always at least one
-    // (progress guarantee: a single version larger than the budget
-    // still drains, exactly Delta's maxBytesPerTrigger contract)
-    val capped = maxBytesPerTrigger match {
-      case None => verCap
-      case Some(budget) =>
-        var end = base
+    val base = if (offered < Pos(startingVersion, 0L))
+      Pos(startingVersion, 0L) else offered
+    val capped: Pos = maxBytesPerTrigger match {
+      case Some(budget) if base.v == 0L && base.f < bootFiles.size =>
+        // MID-BOOTSTRAP (r16 verdict #2): admit file groups of the
+        // v1 snapshot until the byte budget — always at least one
+        // file (the progress guarantee, like version admission)
+        var f = base.f
         var bytes = 0L
-        var stop = false
-        while (!stop && end < verCap) {
-          val b = versionBytes(end + 1L)
-          if (end > base && bytes + b > budget) stop = true
-          else { end += 1L; bytes += b }
+        while (f < bootFiles.size &&
+            (f == base.f ||
+              bytes + bootFiles(f.toInt)._2 <= budget)) {
+          bytes += bootFiles(f.toInt)._2
+          f += 1L
         }
-        end
+        if (f >= bootFiles.size) Pos(1L, 0L) else Pos(0L, f)
+      case _ =>
+        val baseV = base.v
+        val verCap = maxVersionsPerTrigger
+          .fold(head)(n => math.min(head, baseV + n))
+        // bytes-based admission (r16): admit versions until adding
+        // the NEXT one would exceed the budget — but always at least
+        // one (a single version larger than the budget still drains,
+        // exactly Delta's maxBytesPerTrigger contract)
+        val endV = maxBytesPerTrigger match {
+          case None => verCap
+          case Some(budget) =>
+            var end = baseV
+            var bytes = 0L
+            var stop = false
+            while (!stop && end < verCap) {
+              val b = versionWeight(end + 1L)
+              if (end > baseV && bytes + b > budget) stop = true
+              else { end += 1L; bytes += b }
+            }
+            end
+        }
+        Pos(endV, 0L)
     }
     if (capped <= base) None
-    else { offered = capped; Some(LongOffset(capped)) }
+    else { offered = capped; Some(toOffset(capped)) }
   }
 
-  private def ver(o: V1Offset): Long = o match {
-    case l: LongOffset => l.offset
-    case other => other.json.trim.toLong // SerializedOffset on restart
+  private def toOffset(p: Pos): V1Offset =
+    if (p.f == 0L) LongOffset(p.v) else FileSplitOffset(p.v, p.f)
+
+  private def pos(o: V1Offset): Pos = o match {
+    case l: LongOffset => Pos(l.offset, 0L)
+    case FileSplitOffset(v, f) => Pos(v, f)
+    case other => // SerializedOffset on restart
+      val j = other.json.trim
+      if (j.startsWith("{")) {
+        def field(k: String): Long =
+          s""""$k":(\\d+)""".r.findFirstMatchIn(j).map(_.group(1).toLong)
+            .getOrElse(throw new IllegalStateException(
+              s"logtable: unreadable stream offset '$j'"))
+        Pos(field("v"), field("f"))
+      } else Pos(j.toLong, 0L)
   }
 
   override def getBatch(start: Option[V1Offset],
                         end: V1Offset): DataFrame = {
-    val from = start.map(ver).getOrElse(startingVersion)
-    val to = ver(end)
+    val from = start.map(pos).getOrElse(Pos(startingVersion, 0L))
+    val to = pos(end)
     if (to > offered) offered = to // restart re-initialization
     def stamped(df: DataFrame, v: Long): DataFrame =
       df.withColumn("_commit_version", lit(v))
         .select(schema0.fieldNames.map(col).toSeq: _*)
-    val windows: Seq[DataFrame] =
-      (if (from == 0L)
-        Seq(stamped(LogTable.read(spark, path, Some(1L))
-          .withColumn("_change_type", lit("insert"))
-          .withColumn("n_rows", lit(1L)), 1L))
-       else Seq.empty) ++
-      (math.max(from, 1L) + 1L to to).map(v =>
-        stamped(LogTable.changes(spark, path, v - 1L, v), v))
+    def asInserts(df: DataFrame): DataFrame = df
+      .withColumn("_change_type", lit("insert"))
+      .withColumn("n_rows", lit(1L))
+    // the bootstrap slice of this window: under a byte cap the v1
+    // snapshot splits at file-group boundaries; uncapped it rides
+    // whole (from.f == 0, hi == all files — the legacy batch, row-
+    // identical to the old full-snapshot read)
+    val bootPart: Seq[DataFrame] =
+      if (from.v == 0L) {
+        val hi = if (to.v == 0L) to.f else bootFiles.size.toLong
+        if (hi > from.f)
+          Seq(stamped(asInserts(LogTable.readFiles(spark, path, 1L,
+            bootFiles.slice(from.f.toInt, hi.toInt).map(_._1))), 1L))
+        else Seq.empty
+      } else Seq.empty
+    val feeds = (math.max(from.v, 1L) + 1L to to.v)
+      // no-data-change maintenance commits feed NOTHING — skipping
+      // the scan outright saves re-reading every packed file to net
+      // it to zero (Delta skips dataChange=false the same way)
+      .filterNot(v => noDataChange(versionMeta(v)._1))
+      .map(v => stamped(LogTable.changes(spark, path, v - 1L, v), v))
+    val windows = bootPart ++ feeds
     org.apache.spark.sql.graftshim.PlanShim.asStreaming(
       windows.reduceLeftOption(_ unionByName _).getOrElse(
         spark.createDataFrame(
           java.util.Collections.emptyList[Row](), schema0)))
   }
 
-  override def commit(end: V1Offset): Unit = () // versions are durable
+  override def commit(end: V1Offset): Unit = {
+    val p = pos(end)
+    // consumer heartbeat (r16 verdict #7): advertise the newest
+    // version this stream has fully committed so vacuum can warn —
+    // or refuse — before reclaiming versions the stream still needs
+    // (mid-bootstrap p.v = 0: everything is still needed)
+    consumerId.foreach(id =>
+      LogTable.recordConsumerPosition(spark, path, id, p.v))
+    // admission metadata at or below the committed position is dead —
+    // evicting it bounds the cache over the stream's life
+    val it = metaOf.keySet.iterator
+    while (it.hasNext) if (it.next() <= p.v) it.remove()
+  }
 
   override def stop(): Unit = ()
+}
+
+/** A mid-bootstrap offset: version `v`'s feed is split at file index
+  * `f` (see [[LogTableChangeSource]]'s `Pos`). Serializes as
+  * `{"v":0,"f":7}`; whole-version offsets keep the legacy plain-long
+  * form. */
+private[graft] final case class FileSplitOffset(v: Long, f: Long)
+    extends V1Offset {
+  override val json: String = s"""{"v":$v,"f":$f}"""
 }
 
 /** The exactly-once streaming sink behind

@@ -2837,12 +2837,25 @@ object Streams {
         Seq(grpCol), dateCol = "gbucket",
         txnId = Some(txnId), keyScopedPartitions = true)
       if (compactEvery > 0) {
+        // fragmentation-aware cadence (r16 verdict #8): under
+        // admission control every trigger is ONE fold-txn, so the old
+        // every-N-folds counter compacted on boundaries that said
+        // nothing about actual file growth (a 32-version backlog at
+        // 1/trigger folds 32 times where an uncapped stream folds
+        // once). Counting each bucket's SMALL files instead compacts
+        // exactly when fragmentation crosses `compactEvery` files —
+        // and only the fragmented buckets, through the parts-scoped
+        // (lock-free, r16 #4) compact. Per-bucket live-file counts
+        // stay bounded by compactEvery regardless of trigger batching.
         val vAgg = graft.operators.TableLog.currentVersion(spark, aggRoot)
-        val folds = graft.operators.LogTable
-          .manifest(spark, aggRoot, vAgg).txns.count(_.contains(":txn="))
-        if (folds % compactEvery == 0)
+        val frag = graft.operators.LogTable
+          .manifest(spark, aggRoot, vAgg).parts
+          .filter { case (_, fl) =>
+            fl.count(_.bytes < compactTargetBytes) >= compactEvery }
+          .keys.toSeq
+        if (frag.nonEmpty)
           graft.operators.LogTable.compact(spark, aggRoot,
-            compactTargetBytes)
+            compactTargetBytes, parts = Some(frag.sorted))
       }
     }
   }

@@ -107,4 +107,20 @@ object PlanShim {
       df.queryExecution.toRdd.map(_.copy()), df.schema,
       isStreaming = false)
   }
+
+  /** Drop the blocks of an eagerly `localCheckpoint`'d frame that
+    * will NEVER be read again (a lost-race retry's stale attempt —
+    * r16 advice: without this, up to 5 checkpointed copies of a
+    * contended SQL MERGE's update set linger until the
+    * ContextCleaner notices). Spark exposes no public unpersist for
+    * local checkpoints; the checkpointed RDD sits behind the
+    * returned frame's `LogicalRDD`. No-op on any other plan shape.
+    * UNSAFE on a frame that is still needed — the truncated lineage
+    * cannot recompute the dropped blocks. */
+  def freeLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

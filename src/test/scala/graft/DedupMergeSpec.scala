@@ -934,7 +934,7 @@ class DedupMergeSpec extends SparkSpec {
       .contains(("b1", 3.0)))
     // vacuum to the latest version only: v1's superseded 01-01 files and
     // the retired 01-02 partition go away; old reads now fail LOUDLY
-    val (droppedV, deletedF) = LogTable.vacuum(spark, root, keepLast = 1)
+    val (droppedV, deletedF) = LogTable.vacuum(spark, root, keepLast = 1, minAgeMs = 0L)
     assert(droppedV == 2 && deletedF >= 2, s"($droppedV, $deletedF)")
     assert(rows(LogTable.read(spark, root)) ==
       Set(("a1", 10.0), ("a3", 30.0)))
@@ -1001,7 +1001,7 @@ class DedupMergeSpec extends SparkSpec {
     // an already-compact table is a no-op commit-wise
     assert(LogTable.compact(spark, root, 1L << 30) == v)
     // vacuum reclaims the three superseded files
-    val (_, deleted) = LogTable.vacuum(spark, root, keepLast = 1)
+    val (_, deleted) = LogTable.vacuum(spark, root, keepLast = 1, minAgeMs = 0L)
     assert(deleted == 3, s"vacuum deleted $deleted")
     assert(LogTable.read(spark, root).select("id").as[String].collect()
       .toSet.size == 30)
@@ -1216,7 +1216,7 @@ class DedupMergeSpec extends SparkSpec {
     assert(rows(LogTable.read(spark, root)) == Set(("a1", 10.0)))
     // vacuum to the head only, then restoring to a reclaimed version
     // fails loudly instead of committing a torn live set
-    LogTable.vacuum(spark, root, keepLast = 1)
+    LogTable.vacuum(spark, root, keepLast = 1, minAgeMs = 0L)
     val e = intercept[RuntimeException] {
       LogTable.restore(spark, root, 1L)
     }
@@ -1281,9 +1281,228 @@ class DedupMergeSpec extends SparkSpec {
       col("x").between(2L, 3L)).select("id").as[String].collect().toSet ==
       Set("e12", "e13"))
     // vacuum reclaims the 3 superseded arrival-order files
-    val (_, deleted) = LogTable.vacuum(spark, root, keepLast = 1)
+    val (_, deleted) = LogTable.vacuum(spark, root, keepLast = 1, minAgeMs = 0L)
     assert(deleted == 3, s"vacuum deleted $deleted")
     assert(LogTable.read(spark, root).count() == 60L)
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
+  test("OPTIMIZE ZORDER stages ALL touched partitions in ONE write " +
+    "(r16 verdict #1): a 3-partition rewrite submits exactly one " +
+    "staged job, every (partition, curve-cell) still owns its own " +
+    "file, zones tighten per partition, and values are intact") {
+    import graft.operators.{LogTable, TableLog}
+    val root = java.nio.file.Files.createTempDirectory("graft_zo1j")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // 3 partitions × 2 interleaved appends: every file's value zone
+    // spans nearly the full range in every partition
+    def slice(m: Int) = (1 to 3).flatMap { p =>
+      (1 to 60).filter(_ % 2 == m).map(i =>
+        (s"e$p-$i", i.toLong % 10L, i.toDouble,
+          java.sql.Date.valueOf(f"2024-01-0$p%d")))
+    }.toDF("id", "x", "value", "start_date_oslo")
+    LogTable.init(slice(0).repartition(1), root,
+      statsCols = Seq("value", "x"))
+    LogTable.append(spark, root, slice(1).repartition(1))
+    val preV = TableLog.currentVersion(spark, root)
+    val before = LogTable.read(spark, root).select("id").as[String]
+      .collect().toSet
+    val writes0 = LogTable.stagedWrites.get()
+    val v = LogTable.optimizeZorder(spark, root, Seq("value", "x"),
+      bits = 6, filesPerPartition = 4)
+    assert(LogTable.stagedWrites.get() - writes0 == 1L,
+      "zorder must stage all touched partitions in ONE write, " +
+        s"staged ${LogTable.stagedWrites.get() - writes0}")
+    assert(v == preV + 1)
+    val m = LogTable.manifest(spark, root, v)
+    // exact cell→file mapping survives the composite slot: each of
+    // the 3 partitions lands its own 4 cell files
+    assert(m.parts.size == 3 && m.parts.values.forall(_.size == 4),
+      s"per-partition cell files: ${m.parts.map { case (p, fl) =>
+        p -> fl.size }}")
+    assert(LogTable.read(spark, root).select("id").as[String]
+      .collect().toSet == before)
+    // zones tightened in EVERY partition: a narrow value probe plans
+    // fewer than all 12 files
+    val probe = LogTable.readSkipping(spark, root, "value", 12.0, 13.0)
+    assert(probe.inputFiles.length < 12,
+      s"zones did not tighten (${probe.inputFiles.length} planned)")
+    // time travel: the pre-rewrite version still plans its 6 files
+    assert(LogTable.read(spark, root, Some(preV)).inputFiles.length == 6)
+    // parts-scoped rewrite: clustering ONE named partition leaves the
+    // other two byte-identical
+    val onePart = m.parts.keys.toSeq.sorted.head
+    val v2 = LogTable.optimizeZorder(spark, root, Seq("value", "x"),
+      bits = 6, filesPerPartition = 2, parts = Some(Seq(onePart)))
+    val m2 = LogTable.manifest(spark, root, v2)
+    assert(m2.parts(onePart).size == 2 &&
+      m2.parts.filterNot(_._1 == onePart)
+        .forall { case (p, fl) => fl.toSet == m.parts(p).toSet },
+      s"parts-scoped zorder must touch only $onePart")
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
+  test("parts-scoped maintenance is lock-free (r16 verdict #4): a " +
+    "compact of partition A and a zorder of partition B both commit " +
+    "concurrently — even while a bystander HOLDS the table lock — " +
+    "and an overlapping pair aborts loudly with " +
+    "ConcurrentWriteException") {
+    import graft.operators.{LogTable, TableLog}
+    val base = java.nio.file.Files.createTempDirectory("graft_pmx")
+      .toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fresh(tag: String): String = {
+      val root = s"$base/$tag"
+      def batch(m: Int) = (1 to 3).flatMap { p =>
+        (1 to 20).filter(_ % 2 == m).map(i =>
+          (s"e$p-$m-$i", i.toLong % 5L, i.toDouble,
+            java.sql.Date.valueOf(f"2024-01-0$p%d")))
+      }.toDF("id", "x", "value", "start_date_oslo")
+      LogTable.init(batch(0).repartition(1), root,
+        statsCols = Seq("value", "x"))
+      LogTable.append(spark, root, batch(1).repartition(1))
+      root
+    }
+    // 1) DISJOINT parts, deterministic interleave: compact(p1)'s
+    // commit window runs zorder(p2) to completion first — both
+    // commit, no serialization, no lock taken (the table lock is
+    // HELD by a bystander the whole time)
+    locally {
+      val root = fresh("disjoint")
+      val m0 = LogTable.manifest(spark, root,
+        TableLog.currentVersion(spark, root))
+      val Seq(p1, p2, p3) = m0.parts.keys.toSeq.sorted
+      val before = LogTable.read(spark, root).select("id").as[String]
+        .collect().toSet
+      val lockP = new org.apache.hadoop.fs.Path(
+        s"$root/_graft_log/_lock")
+      val out = fs.create(lockP, false)
+      out.write("{\"owner\":\"held-by-spec\"}".getBytes("UTF-8"))
+      out.close()
+      try {
+        @volatile var fired = false
+        TableLog.dmlCommitHook = { _ =>
+          if (!fired) {
+            fired = true // one-shot: the inner zorder skips the hook
+            LogTable.optimizeZorder(spark, root, Seq("value", "x"),
+              bits = 4, filesPerPartition = 2,
+              parts = Some(Seq(p2)))
+          }
+        }
+        try LogTable.compact(spark, root, targetBytes = 1L << 30,
+          parts = Some(Seq(p1)))
+        finally TableLog.dmlCommitHook = _ => ()
+        assert(fired, "the race window hook must have fired")
+      } finally fs.delete(lockP, false)
+      val v = TableLog.currentVersion(spark, root)
+      assert(v == 4L, s"both maintenance ops must commit, head=$v")
+      val m = LogTable.manifest(spark, root, v)
+      assert(m.parts(p1).size == 1, "p1 must be packed to one file")
+      assert(m.parts(p2).size == 2, "p2 must hold its 2 cell files")
+      assert(m.parts(p3).toSet == m0.parts(p3).toSet,
+        "p3 must be untouched")
+      assert(LogTable.read(spark, root).select("id").as[String]
+        .collect().toSet == before)
+    }
+    // 2) OVERLAPPING parts: the interleaved compact retires the same
+    // files the outer compact read — the outer must abort loudly and
+    // commit nothing
+    locally {
+      val root = fresh("overlap")
+      val m0 = LogTable.manifest(spark, root,
+        TableLog.currentVersion(spark, root))
+      val p1 = m0.parts.keys.toSeq.sorted.head
+      val before = LogTable.read(spark, root).select("id").as[String]
+        .collect().toSet
+      @volatile var fired = false
+      TableLog.dmlCommitHook = { _ =>
+        if (!fired) { fired = true
+          LogTable.compact(spark, root, targetBytes = 1L << 30,
+            parts = Some(Seq(p1)))
+        }
+      }
+      val e = try intercept[graft.operators.LogTable
+          .ConcurrentWriteException] {
+        LogTable.compact(spark, root, targetBytes = 1L << 30,
+          parts = Some(Seq(p1)))
+      } finally TableLog.dmlCommitHook = _ => ()
+      assert(e.getMessage.contains("retired") ||
+        e.getMessage.contains("deletion vector"), e.getMessage)
+      // the inner compact's result stands; values intact
+      val m = LogTable.manifest(spark, root,
+        TableLog.currentVersion(spark, root))
+      assert(m.parts(p1).size == 1)
+      assert(LogTable.read(spark, root).select("id").as[String]
+        .collect().toSet == before)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+  }
+
+  test("vacuum streaming-consumer guard (r16 verdict #7) and the " +
+    "nonzero DEFAULT age shield (r16 advice): a fresh lagging " +
+    "consumer marker warns by default and REFUSES under " +
+    "guardConsumers=true, a caught-up or stale marker never blocks, " +
+    "and the default minAgeMs shields young unreferenced files") {
+    import graft.operators.{LogTable, TableLog}
+    val root = java.nio.file.Files.createTempDirectory("graft_vcg")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    def batch(tag: Int) = entries(
+      (1 to 5).map(i => (s"e$tag-$i", "x", d, i.toDouble)): _*)
+    LogTable.init(batch(0).repartition(1), root)
+    (1 to 3).foreach(t =>
+      LogTable.append(spark, root, batch(t).repartition(1)))
+    assert(TableLog.currentVersion(spark, root) == 4L)
+    // a consumer stuck at v1 still needs v2..4; keepLast=1 would drop
+    // v1..3 — the guard refuses loudly
+    LogTable.recordConsumerPosition(spark, root, "cdc1", 1L)
+    val e = intercept[RuntimeException] {
+      LogTable.vacuum(spark, root, keepLast = 1, minAgeMs = 0L,
+        guardConsumers = true)
+    }
+    assert(e.getMessage.contains("still need") &&
+      e.getMessage.contains("cdc1"), e.getMessage)
+    assert(TableLog.currentVersion(spark, root) == 4L &&
+      LogTable.read(spark, root, Some(1L)).count() == 5L,
+      "a refused vacuum must not have swept anything")
+    // caught-up consumer (needs only the kept head) → guard passes
+    LogTable.recordConsumerPosition(spark, root, "cdc1", 3L)
+    val (droppedV, _) = LogTable.vacuum(spark, root, keepLast = 1,
+      minAgeMs = 0L, guardConsumers = true)
+    assert(droppedV == 3)
+    // stale marker: a dead consumer's lagging marker past the TTL is
+    // ignored (maintenance never blocks forever)
+    LogTable.append(spark, root, batch(4).repartition(1))
+    LogTable.recordConsumerPosition(spark, root, "cdc1", 4L)
+    LogTable.recordConsumerPosition(spark, root, "dead", 1L)
+    val mp = new org.apache.hadoop.fs.Path(
+      s"$root/_graft_log/_consumer_dead")
+    fs.setTimes(mp, System.currentTimeMillis() -
+      LogTable.ConsumerMarkerTtlMs - 60000L, -1)
+    LogTable.vacuum(spark, root, keepLast = 1, minAgeMs = 0L,
+      guardConsumers = true) // must not throw
+    // DEFAULT minAgeMs: a young unreferenced file (the in-flight
+    // lock-free writer shape) survives the default-shield vacuum and
+    // falls to an explicit zero-shield one
+    val pdir = new org.apache.hadoop.fs.Path(root,
+      "start_date_oslo=2024-01-01")
+    val orphan = new org.apache.hadoop.fs.Path(pdir,
+      "part-orphan-in-flight.snappy.parquet")
+    val out = fs.create(orphan, false)
+    out.write(Array.fill(64)(0x42.toByte)); out.close()
+    LogTable.vacuum(spark, root, keepLast = 1)
+    assert(fs.exists(orphan),
+      "the default age shield must spare a young unreferenced file")
+    val (_, reclaimed) = LogTable.vacuum(spark, root, keepLast = 1,
+      minAgeMs = 0L)
+    assert(!fs.exists(orphan) && reclaimed >= 1,
+      "a zero-shield vacuum reclaims the orphan (single-writer mode)")
+    assert(LogTable.read(spark, root).count() == 25L)
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
 
@@ -1411,7 +1630,29 @@ class DedupMergeSpec extends SparkSpec {
         // WITHIN one table history (footer == scan, spec-pinned above)
         spark.conf.set("spark.graft.logtable.footerStats",
           Seq("auto", "true", "false")(rnd.nextInt(3)))
-        rnd.nextInt(11) match {
+        rnd.nextInt(12) match {
+          case 11 => // INTERLEAVED parts-scoped maintenance (r16 #4):
+            // a LOCK-FREE compact (explicit parts) races a lock-free
+            // append; the append always lands, the compact either
+            // packs or aborts loudly on a genuine conflict — never a
+            // torn state, and the model is unchanged by the pack
+            val add = { val id = s"e$nextId"; nextId += 1
+              Map(id -> (rnd.nextInt(1000) + 7000).toDouble) }
+            val pnames = LogTable.manifest(spark, root,
+              graft.operators.TableLog.currentVersion(spark, root))
+              .parts.keys.toSeq
+            import scala.concurrent.{Await, Future}
+            import scala.concurrent.duration._
+            import scala.concurrent.ExecutionContext.Implicits.global
+            val fC = Future(
+              try LogTable.compact(spark, root,
+                targetBytes = 1L << 30, parts = Some(pnames))
+              catch { case _: LogTable.ConcurrentWriteException => -1L })
+            val fA = Future(LogTable.append(spark, root,
+              frame(add).repartition(1)))
+            Await.result(fC, 180.seconds)
+            Await.result(fA, 180.seconds)
+            model = model ++ add
           case 10 => // INTERLEAVED lock-free DML (r15 directive #2):
             // two concurrent deletes on disjoint value bands; on this
             // single-partition fixture they usually hit the SAME
@@ -1680,7 +1921,7 @@ class DedupMergeSpec extends SparkSpec {
       "compaction must fold deletion vectors into plain files")
     assert(LogTable.read(spark, root).count() == 16L)
     // vacuum reclaims the now-unreferenced vectors
-    LogTable.vacuum(spark, root, keepLast = 1)
+    LogTable.vacuum(spark, root, keepLast = 1, minAgeMs = 0L)
     val dvDir = new org.apache.hadoop.fs.Path(root, "_graft_dv")
     assert(!fs.exists(dvDir) || fs.listStatus(dvDir).isEmpty,
       "vacuum must reclaim unreferenced deletion vectors")
@@ -1834,7 +2075,7 @@ class DedupMergeSpec extends SparkSpec {
         txnId = Some("q1-b0")) == 7L)
       // vacuum to the last 2 versions: floor checkpoint at v6 already
       // exists; v1..v5 deltas go away, kept versions still reconstruct
-      LogTable.vacuum(spark, root, keepLast = 2)
+      LogTable.vacuum(spark, root, keepLast = 2, minAgeMs = 0L)
       assert(!fs.exists(new org.apache.hadoop.fs.Path(root,
         "_graft_log/_v00000003.json")))
       assert(LogTable.read(spark, root, Some(6L)).count() == 60L)
@@ -1873,7 +2114,7 @@ class DedupMergeSpec extends SparkSpec {
     // reader INSIDE retention: planned at v2, vacuum keeps v2..v3 →
     // its files are retained, the concurrent scan must succeed
     val inRetention = LogTable.read(spark, root, Some(2L))
-    LogTable.vacuum(spark, root, keepLast = 2)
+    LogTable.vacuum(spark, root, keepLast = 2, minAgeMs = 0L)
     assert(inRetention.count() == 20L,
       "in-retention reader must survive a concurrent vacuum")
     // reader OUTSIDE retention: version gone → loud plan-time error
@@ -1884,7 +2125,7 @@ class DedupMergeSpec extends SparkSpec {
     // a frame planned BEFORE the vacuum at the now-reclaimed version
     // must fail on scan (files deleted), never silently return rows
     val doomed = LogTable.read(spark, root, Some(2L))
-    LogTable.vacuum(spark, root, keepLast = 1)
+    LogTable.vacuum(spark, root, keepLast = 1, minAgeMs = 0L)
     intercept[Throwable] { doomed.count() }
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
@@ -2100,7 +2341,7 @@ class DedupMergeSpec extends SparkSpec {
       entries((s"c$i", "x", d2, 10.0 + i))))
     // first vacuum drops v1 (the only delta that ADDED partition d1);
     // d1's files stay referenced by the kept manifests, so they survive
-    LogTable.vacuum(spark, root, keepLast = 2)
+    LogTable.vacuum(spark, root, keepLast = 2, minAgeMs = 0L)
     val p1 = new org.apache.hadoop.fs.Path(root,
       "start_date_oslo=2024-01-01")
     assert(fs.exists(p1), "d1 still referenced — must survive")
@@ -2108,7 +2349,7 @@ class DedupMergeSpec extends SparkSpec {
     // only the filesystem listing can find it
     LogTable.removePartitions(spark, root,
       Seq("start_date_oslo=2024-01-01"))
-    LogTable.vacuum(spark, root, keepLast = 1)
+    LogTable.vacuum(spark, root, keepLast = 1, minAgeMs = 0L)
     assert(!fs.exists(p1),
       "d1's files are unreferenced — vacuum must reclaim the partition")
     assert(LogTable.read(spark, root).count() == 4L)
@@ -2877,6 +3118,124 @@ class DedupMergeSpec extends SparkSpec {
         (2L to 6L).map(Set(_)).toSeq,
         s"a 1-byte budget still progresses one version/trigger: $seenB1")
     }
+    // no-data-change maintenance (r16 advice): a compact re-adds every
+    // live file, but its change feed is empty by construction — it
+    // must weigh ZERO in byte admission (not eat the whole budget)
+    // and its feed scan must be skipped outright
+    locally {
+      LogTable.compact(spark, fact, targetBytes = 1L << 30)  // v7
+      LogTable.append(spark, fact, rows(("e7", "c", 70L)))   // v8
+      val budget = LogTable.commitAddedBytes(spark, fact, 8L)
+      val seenM = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+      val q = spark.readStream.format("logtable")
+        .option("startingVersion", "6")
+        .option("maxBytesPerTrigger", budget.toString)
+        .load(fact)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: java.lang.Long) =>
+            seenM.synchronized {
+              seenM += batch.select("_commit_version").distinct()
+                .collect().map(_.getLong(0)).toSet
+            }
+            ()
+        }
+        .option("checkpointLocation", s"$base/ckptM")
+        .start()
+      q.processAllAvailable(); q.stop()
+      // one batch: the zero-weighted compact rides along with v8 under
+      // a budget sized for v8 alone, and emits NO rows of its own
+      assert(seenM.toSeq == Seq(Set(8L)),
+        s"compact must be zero-weighted and feed-skipped: $seenM")
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+  }
+
+  test("logtable streaming bootstrap SPLIT (r16 verdict #2): with " +
+    "startingVersion=0 under maxBytesPerTrigger, version 1's " +
+    "snapshot drains as multiple FILE-GROUP micro-batches, a restart " +
+    "mid-snapshot resumes exactly-once from the checkpointed file " +
+    "position, the feed then advances per-version, and consumerId " +
+    "heartbeats the committed position for vacuum's guard") {
+    import graft.operators.{LogTable, TableLog}
+    val base = java.nio.file.Files.createTempDirectory("graft_boot")
+      .toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    val fact = s"$base/fact"
+    val ckpt = s"$base/ckpt"
+    def rows(ids: Range, g: String) = ids
+      .map(i => (s"e$i", g, i.toLong, d))
+      .toDF("id", "grp", "cents", "start_date_oslo")
+    LogTable.init(rows(1 to 40, "a").repartition(4), fact) // v1: 4 files
+    LogTable.append(spark, fact, rows(41 to 45, "b").repartition(1))
+    val sizes = LogTable.manifest(spark, fact, 1L)
+      .parts.toSeq.sortBy(_._1)
+      .flatMap(_._2.sortBy(_.file).map(_.bytes))
+    assert(sizes.size == 4, s"fixture needs 4 v1 files: $sizes")
+    val budget = sizes(0) + sizes(1) // two file-groups per trigger
+    val seen = scala.collection.mutable.ArrayBuffer
+      .empty[(Set[Long], Set[String])] // (versions, ids) per batch
+    def run(once: Boolean): Unit = {
+      val w = spark.readStream.format("logtable")
+        .option("startingVersion", "0")
+        .option("maxBytesPerTrigger", budget.toString)
+        .option("consumerId", "boot1")
+        .load(fact)
+        .writeStream
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+           _: java.lang.Long) =>
+            seen.synchronized {
+              seen += ((batch.select("_commit_version").distinct()
+                .collect().map(_.getLong(0)).toSet,
+                batch.select("id").collect().map(_.getString(0)).toSet))
+            }
+            ()
+        }
+        .option("checkpointLocation", ckpt)
+      val q = if (once)
+        w.trigger(org.apache.spark.sql.streaming.Trigger.Once()).start()
+      else w.start()
+      if (once) q.awaitTermination() else {
+        q.processAllAvailable(); q.stop()
+      }
+    }
+    // first trigger only: a strict PREFIX of the snapshot arrives
+    run(once = true)
+    assert(seen.size == 1 && seen.head._1 == Set(1L),
+      s"first batch must be a v1 slice: $seen")
+    val firstIds = seen.head._2
+    assert(firstIds.nonEmpty && firstIds.size < 40,
+      s"the byte cap must split the snapshot (got ${firstIds.size})")
+    // restart mid-snapshot: the stream resumes from the checkpointed
+    // FILE position and drains the rest + v2, exactly once
+    run(once = false)
+    val v1Batches = seen.filter(_._1 == Set(1L))
+    assert(v1Batches.size >= 2,
+      s"the snapshot must drain in >1 micro-batches: $seen")
+    val v1Ids = v1Batches.map(_._2)
+    assert(v1Ids.map(_.size).sum == 40 &&
+      v1Ids.reduce(_ ++ _) == (1 to 40).map(i => s"e$i").toSet,
+      s"mid-snapshot restart must be exactly-once: $v1Ids")
+    assert(seen.last._1 == Set(2L) &&
+      seen.last._2 == (41 to 45).map(i => s"e$i").toSet,
+      s"after the snapshot the feed advances per-version: $seen")
+    // the consumer heartbeat recorded the committed head — vacuum's
+    // guard passes for a caught-up stream and refuses once the
+    // stream would lose its next read
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$fact/_graft_log/_consumer_boot1")
+    assert(fs.exists(marker), "consumerId must write its marker")
+    LogTable.append(spark, fact, rows(46 to 47, "b").repartition(1))
+    LogTable.append(spark, fact, rows(48 to 49, "b").repartition(1))
+    val e = intercept[RuntimeException] {
+      LogTable.vacuum(spark, fact, keepLast = 1, minAgeMs = 0L,
+        guardConsumers = true)
+    }
+    assert(e.getMessage.contains("boot1"), e.getMessage)
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
   }
 
@@ -3092,6 +3451,64 @@ class DedupMergeSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
   }
 
+  test("fold-compaction cadence under admission control (r16 verdict " +
+    "#8): a 32-version backlog draining at 1 version/trigger keeps " +
+    "every aggregate bucket's live file count bounded by the " +
+    "fragmentation threshold — one fold-txn per trigger no longer " +
+    "outruns the old every-N-folds counter — and the folded state " +
+    "equals a full recompute") {
+    import graft.operators.{LogTable, TableLog}
+    import graft.streaming.Streams
+    val base = java.nio.file.Files.createTempDirectory("graft_cad")
+      .toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    val fact = s"$base/fact"
+    val agg = s"$base/agg"
+    val ckpt = s"$base/ckpt"
+    def rows(r: (String, String, Long)*) = r.toSeq
+      .map { case (id, g, c) => (id, g, c, d) }
+      .toDF("id", "grp", "cents", "start_date_oslo")
+    LogTable.init(rows(("seed", "g0", 1L)).repartition(1), fact) // v1
+    // 32-version backlog, all hammering the same two groups (the
+    // worst fragmentation case: every fold rewrites the same bucket)
+    (1 to 32).foreach(i =>
+      LogTable.append(spark, fact,
+        rows((s"e$i", if (i % 2 == 0) "g0" else "g1", i.toLong))
+          .repartition(1)))
+    val q = spark.readStream.format("logtable")
+      .option("startingVersion", "0")
+      .option("maxVersionsPerTrigger", "1")
+      .load(fact)
+      .writeStream
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+         id: java.lang.Long) =>
+          Streams.foldFeedIntoAggregate(spark, agg, batch.toDF(),
+            txnId = s"cad:$id", isBootstrap = id == 0L,
+            grpCol = "grp", valCol = "cents", buckets = 2,
+            compactEvery = 4, compactTargetBytes = 32L * 1024 * 1024)
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.processAllAvailable(); q.stop()
+    val m = LogTable.manifest(spark, agg,
+      TableLog.currentVersion(spark, agg))
+    val counts = m.parts.map { case (p, fl) => p -> fl.size }
+    assert(counts.values.forall(_ <= 5),
+      s"per-bucket file counts must stay bounded at 1 fold/trigger: " +
+        s"$counts")
+    val got = LogTable.read(spark, agg).filter(col("n_rows") > 0L)
+      .select("grp", "n_rows", "sum_val").collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val want = LogTable.read(spark, fact).groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("s")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == want, s"fold drifted across the backlog: $got vs $want")
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+  }
+
   test("readKeyed prunes the fold's CURRENT-VALUE read (r15 verdict " +
     "#1): on a multi-bucket aggregate, a one-group lookup plans " +
     "STRICTLY fewer files than the table holds — scoped to the " +
@@ -3278,7 +3695,7 @@ class DedupMergeSpec extends SparkSpec {
     val dir = new org.apache.hadoop.fs.Path(root,
       "start_date_oslo=2024-01-01")
     val before = fs.listStatus(dir).length
-    LogTable.vacuum(spark, root, keepLast = 1)
+    LogTable.vacuum(spark, root, keepLast = 1, minAgeMs = 0L)
     val after = fs.listStatus(dir).length
     assert(after < before, "vacuum must reclaim the unreferenced orphans")
     assert(LogTable.read(spark, root).select("id").as[String]

@@ -549,7 +549,7 @@ class ExtensionRuleSpec extends SparkSpec {
     assert(fs.listStatus(new org.apache.hadoop.fs.Path(
       s"$root/${LogTable.BloomDirName}")).length == before,
       "minAgeMs must shield young unreferenced sidecar dirs")
-    LogTable.vacuum(spark, root, keepLast = 1)
+    LogTable.vacuum(spark, root, keepLast = 1, minAgeMs = 0L)
     val referenced = LogTable.manifest(spark, root,
       TableLog.currentVersion(spark, root))
       .parts.values.flatten.flatMap(_.bloom).toSet
@@ -1055,12 +1055,6 @@ class ExtensionRuleSpec extends SparkSpec {
       spark.sql("DELETE FROM graft_dml_t WHERE v IN " +
         "(SELECT v FROM graft_dml_src)")
     }
-    intercept[Exception] { // non-star merge action
-      spark.sql(
-        """MERGE INTO graft_dml_t t USING graft_dml_src s
-          |ON t.id = s.id
-          |WHEN MATCHED THEN DELETE""".stripMargin)
-    }
     intercept[Exception] { // non-equality ON
       spark.sql(
         """MERGE INTO graft_dml_t t USING graft_dml_src s
@@ -1077,8 +1071,8 @@ class ExtensionRuleSpec extends SparkSpec {
     "source-only UPDATE assignments, INSERT *, and WHEN NOT MATCHED " +
     "BY SOURCE AND <window> THEN DELETE land as ONE atomic commit — " +
     "matched-in-window rows replace (never delete), unmatched " +
-    "in-window rows drop, out-of-window rows survive; partial SET " +
-    "and target-referencing assignments fail loudly") {
+    "in-window rows drop, out-of-window rows survive; a non-DELETE " +
+    "not-matched-by-source action fails loudly") {
     import graft.operators.{LogTable, TableLog}
     val root = java.nio.file.Files.createTempDirectory("graft_m1sql")
       .toString + "/t"
@@ -1122,24 +1116,11 @@ class ExtensionRuleSpec extends SparkSpec {
     assert(LogTable.read(spark, root, Some(vPre))
       .select("id").as[String].collect().toSet ==
       Set("e1", "e2", "e3"))
-    // loud rejections: partial SET; assignment reading the target;
-    // a non-DELETE not-matched-by-source action
+    // partial SET and target-referencing assignments are SUPPORTED
+    // since r17 (the generic-MERGE spec below exercises them); the
+    // remaining loud rejection here: a non-DELETE
+    // not-matched-by-source action
     val vStable = TableLog.currentVersion(spark, root)
-    intercept[Exception] {
-      spark.sql(
-        """MERGE INTO graft_m1sql_t T USING graft_m1sql_src S
-          |ON T.id = S.id
-          |WHEN MATCHED THEN UPDATE SET v = S.v
-          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    }
-    intercept[Exception] {
-      spark.sql(
-        """MERGE INTO graft_m1sql_t T USING graft_m1sql_src S
-          |ON T.id = S.id
-          |WHEN MATCHED THEN UPDATE SET
-          |  v = T.v + S.v, start_date_oslo = S.start_date_oslo
-          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
-    }
     intercept[Exception] {
       spark.sql(
         """MERGE INTO graft_m1sql_t T USING graft_m1sql_src S
@@ -1151,6 +1132,89 @@ class ExtensionRuleSpec extends SparkSpec {
     assert(TableLog.currentVersion(spark, root) == vStable,
       "rejected statements must not commit")
     spark.sql("DROP TABLE graft_m1sql_t")
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
+  test("SQL MERGE generic forms (r16 verdict #3): conditional " +
+    "matched UPDATE and DELETE, PARTIAL SET keeping target values, " +
+    "target-referencing assignments, first-match-wins across " +
+    "multiple clauses, conditional INSERT — one atomic commit, " +
+    "unclassified rows untouched") {
+    import graft.operators.{LogTable, TableLog}
+    val root = java.nio.file.Files.createTempDirectory("graft_gmrg")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d1 = java.sql.Date.valueOf("2024-01-05")
+    val d2 = java.sql.Date.valueOf("2024-02-01")
+    // e1: matched, S.v > T.v      → conditional partial UPDATE
+    // e2: matched, S.v < 0        → conditional DELETE
+    // e3: matched, neither true   → UNTOUCHED
+    // e4: matched, BOTH true      → first clause (DELETE) wins
+    // n1: unmatched, S.v > 100    → conditional INSERT
+    // n2: unmatched, S.v <= 100   → NOT inserted
+    Seq(("e1", 1L, d1), ("e2", 2L, d1), ("e3", 300L, d2),
+      ("e4", -10L, d1))
+      .toDF("id", "v", "start_date_oslo")
+      .createOrReplaceTempView("graft_gmrg_seed")
+    LogTable.init(spark.table("graft_gmrg_seed").repartition(1), root,
+      statsCols = Seq("v"))
+    spark.sql("DROP TABLE IF EXISTS graft_gmrg_t")
+    spark.sql(s"CREATE TABLE graft_gmrg_t USING logtable " +
+      s"LOCATION '$root'")
+    Seq(("e1", 100L, d1), ("e2", -1L, d1), ("e3", 5L, d1),
+      ("e4", -5L, d1), ("n1", 500L, d1), ("n2", 7L, d1))
+      .toDF("id", "v", "start_date_oslo")
+      .createOrReplaceTempView("graft_gmrg_src")
+    val vPre = TableLog.currentVersion(spark, root)
+    spark.sql(
+      """MERGE INTO graft_gmrg_t T USING graft_gmrg_src S
+        |ON T.id = S.id
+        |WHEN MATCHED AND S.v < 0 THEN DELETE
+        |WHEN MATCHED AND S.v > T.v THEN UPDATE SET v = S.v + T.v
+        |WHEN NOT MATCHED AND S.v > 100 THEN INSERT *""".stripMargin)
+    assert(TableLog.currentVersion(spark, root) == vPre + 1,
+      "the generic MERGE must land as ONE atomic commit")
+    val got = spark.table("graft_gmrg_t")
+      .select("id", "v", "start_date_oslo")
+      .as[(String, Long, java.sql.Date)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      "e1" -> ((101L, d1)), // partial SET: v updated, date kept
+      "e3" -> ((300L, d2)), // matched, no clause true → untouched
+      "n1" -> ((500L, d1))  // conditional insert
+    ), got.toString)
+    // first-match-wins: e4 satisfied BOTH clauses and was deleted
+    assert(!got.contains("e4") && !got.contains("e2") &&
+      !got.contains("n2"))
+    // the pre-merge state still time-travels
+    assert(LogTable.read(spark, root, Some(vPre))
+      .select("id").as[String].collect().toSet ==
+      Set("e1", "e2", "e3", "e4"))
+    // a second identical merge is a no-op on the matched side (e1's
+    // S.v=100 is no longer > T.v=101) and re-inserts nothing
+    spark.sql(
+      """MERGE INTO graft_gmrg_t T USING graft_gmrg_src S
+        |ON T.id = S.id
+        |WHEN MATCHED AND S.v < 0 THEN DELETE
+        |WHEN MATCHED AND S.v > T.v THEN UPDATE SET v = S.v + T.v
+        |WHEN NOT MATCHED AND S.v > 100 THEN INSERT *""".stripMargin)
+    val got2 = spark.table("graft_gmrg_t").select("id", "v")
+      .as[(String, Long)].collect().toMap
+    // e2/e4 unmatched now; n1 matched with S.v=500 == T.v=500 → no
+    // clause fires; e1: 100 > 101 false → untouched
+    assert(got2 == Map("e1" -> 101L, "e3" -> 300L, "n1" -> 500L), got2)
+    // key reassignment still fails loudly
+    val vStable = TableLog.currentVersion(spark, root)
+    intercept[Exception] {
+      spark.sql(
+        """MERGE INTO graft_gmrg_t T USING graft_gmrg_src S
+          |ON T.id = S.id
+          |WHEN MATCHED THEN UPDATE SET id = concat(S.id, '_x')
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(TableLog.currentVersion(spark, root) == vStable)
+    spark.sql("DROP TABLE graft_gmrg_t")
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
 
@@ -1292,7 +1356,7 @@ class ExtensionRuleSpec extends SparkSpec {
       .collect().toSeq == Seq(34L))
     // vacuum sweeps retired files out of the nested layout and keeps
     // every live leaf intact
-    val (_, reclaimed) = LogTable.vacuum(spark, root, keepLast = 1)
+    val (_, reclaimed) = LogTable.vacuum(spark, root, keepLast = 1, minAgeMs = 0L)
     assert(reclaimed >= 1, s"vacuum reclaimed $reclaimed")
     assert(LogTable.read(spark, root).count() == 36L)
     assert(LogTable.readIndexed(spark, root)
