@@ -662,11 +662,8 @@ object LogTable {
     * `maxBytesPerTrigger` (one KB-scale delta read; versions are
     * immutable, so callers may cache the answer). */
   private[graft] def commitAddedBytes(spark: SparkSession,
-                                      tableRoot: String, v: Long): Long = {
-    val (fs, root) = TableLog.fsFor(spark, tableRoot)
-    parseDelta(fs, deltaPath(TableLog.logDir(root), v), v)
-      .adds.values.flatten.map(_.bytes).sum
-  }
+                                      tableRoot: String, v: Long): Long =
+    commitMeta(spark, tableRoot, v)._2
 
   /** (action, added-file bytes) of version `v`'s delta — the
     * streaming source's admission metadata, one KB-scale delta read
@@ -3021,7 +3018,25 @@ object LogTable {
     * (first-match-wins is the CALLER's classification); a delete key
     * matching no target row is a no-op, like SQL. Incompatible with
     * `keyScopedPartitions` (the partition scoping derives from the
-    * update rows, which a key-only delete frame does not carry). */
+    * update rows, which a key-only delete frame does not carry).
+    *
+    * `deleteUnmatchedAgainst`: the key set that defines "MATCHED BY
+    * SOURCE" for `deleteUnmatchedCond` when it is WIDER than the
+    * rows this merge writes — the generic SQL MERGE's case, where a
+    * matched source row whose conditional clauses all failed is
+    * UNTOUCHED (absent from `updates`/`deleteMatchedKeys`) yet still
+    * matched, so the windowed delete must NOT claim it. None = the
+    * update/delete key frame (the star path, where updates carry
+    * every source row).
+    *
+    * `updateUnmatched` (r17 — the SQL `WHEN NOT MATCHED BY SOURCE
+    * [AND cond] THEN UPDATE SET …` form): target rows with NO source
+    * match satisfying the condition are REWRITTEN with the given
+    * per-column replacements in the same atomic commit (columns
+    * absent from the map keep their values; expressions reference
+    * target columns only — they evaluate over the target scan).
+    * Composable with `deleteUnmatchedCond`: the delete is checked
+    * FIRST (clause order is the caller's contract). */
   def merge(spark: SparkSession, tableRoot: String, updates: DataFrame,
             keyCols: Seq[String],
             dateCol: String = "start_date_oslo",
@@ -3030,7 +3045,10 @@ object LogTable {
             deleteUnmatchedCond: Option[org.apache.spark.sql.Column] =
               None,
             expectSnapshotV: Option[Long] = None,
-            deleteMatchedKeys: Option[DataFrame] = None): Long =
+            deleteMatchedKeys: Option[DataFrame] = None,
+            deleteUnmatchedAgainst: Option[DataFrame] = None,
+            updateUnmatched: Option[(org.apache.spark.sql.Column,
+              Map[String, org.apache.spark.sql.Column])] = None): Long =
     // LOCK-FREE (r15 directive #2): the heavy probe + staging run
     // against this op's snapshot; the commit rides the CAS loop with
     // the FileStat-identity read set + the phantom-insert conflict
@@ -3101,32 +3119,63 @@ object LogTable {
           .join(keyFrame, keyCols, "left_semi")
           .select("__dvf").distinct().collect()
           .map(_.getString(0)).toSet
-      // files holding a windowed-delete victim (condition true, key
-      // unmatched) rewrite too — probed through the DML zone pruner
-      val hitByDel: Set[String] = deleteUnmatchedCond match {
-        case None => Set.empty
-        case Some(c) =>
-          val delTails = dmlCandidateFiles(spark, prev, c,
-            tableRoot = Some(tableRoot))
-          if (delTails.isEmpty) Set.empty
-          else scanWithIdentity(spark, tableRoot, prev,
-              delTails.map(t => s"$tableRoot/$t"))
-            .filter(c)
-            .join(keyFrame, keyCols, "left_anti")
-            .select("__dvf").distinct().collect()
-            .map(_.getString(0)).toSet
+      // the "matched by source" key set for the windowed delete: the
+      // caller's full source keys when given (generic MERGE — a
+      // matched-but-untouched row must NOT read as unmatched), else
+      // the write keys (star path: updates carry every source row)
+      val nmbsKeys = deleteUnmatchedAgainst
+        .map(_.select(keyCols.map(col): _*).distinct()
+          .localCheckpoint(true))
+      // files holding a NOT-MATCHED-BY-SOURCE victim (delete) or
+      // target (update) rewrite too — probed through the DML zone
+      // pruner
+      def nmbsHit(c: org.apache.spark.sql.Column): Set[String] = {
+        val tails = dmlCandidateFiles(spark, prev, c,
+          tableRoot = Some(tableRoot))
+        if (tails.isEmpty) Set.empty
+        else scanWithIdentity(spark, tableRoot, prev,
+            tails.map(t => s"$tableRoot/$t"))
+          .filter(c)
+          .join(nmbsKeys.getOrElse(keyFrame), keyCols, "left_anti")
+          .select("__dvf").distinct().collect()
+          .map(_.getString(0)).toSet
       }
-      val hitTails = hitByKey ++ hitByDel
+      val hitByDel = deleteUnmatchedCond.map(nmbsHit).getOrElse(Set.empty)
+      val hitByUpd = updateUnmatched.map(u => nmbsHit(u._1))
+        .getOrElse(Set.empty)
+      val hitTails = hitByKey ++ hitByDel ++ hitByUpd
       val survivors =
         if (hitTails.isEmpty) None
         else Some {
-          val sv = scanFiles(spark, tableRoot, prev,
+          val sv0 = scanFiles(spark, tableRoot, prev,
             hitTails.toSeq.sorted.map(t => s"$tableRoot/$t"))
             .join(keyFrame, keyCols, "left_anti")
-          deleteUnmatchedCond match {
-            case None => sv
-            case Some(c) => sv.filter(!coalesce(c, lit(false)))
+          val svCols = sv0.columns.toSeq
+          // "unmatched by source" for the NMBS actions: with a wider
+          // source key set (generic SQL MERGE), a matched-but-
+          // untouched row is NOT unmatched — mark membership once
+          val (sv, unmatched) = nmbsKeys match {
+            case None => (sv0, lit(true)) // anti keyFrame = unmatched
+            case Some(nk) =>
+              (sv0.join(nk.withColumn("__nm", lit(1)), keyCols,
+                "left"), col("__nm").isNull)
           }
+          // delete first, then update — the CALLER composes clause
+          // order into the effective conditions (SQL first-match-wins)
+          val afterDel = deleteUnmatchedCond match {
+            case None => sv
+            case Some(c) =>
+              sv.filter(!(coalesce(c, lit(false)) && unmatched))
+          }
+          val afterUpd = updateUnmatched match {
+            case None => afterDel
+            case Some((c, sets)) =>
+              val applies = coalesce(c, lit(false)) && unmatched
+              afterDel.select(svCols.map(cn =>
+                when(applies, sets.getOrElse(cn, col(cn)))
+                  .otherwise(col(cn)).as(cn)): _*)
+          }
+          afterUpd.select(svCols.map(col): _*)
         }
       val newData = survivors match {
         case Some(sv) => sv.unionByName(updates)
@@ -3174,12 +3223,13 @@ object LogTable {
                   "whose keys this merge reads — re-run against the " +
                   "new head")
           }
-          // a windowed-delete merge READS the whole window, not just
-          // its keys: a concurrent add of an in-window row would
-          // escape the delete this merge contracted to perform (it
-          // serialized first) — Delta's ConcurrentAppendException
+          // a NOT-MATCHED-BY-SOURCE merge READS the whole window, not
+          // just its keys: a concurrent add of an in-window row would
+          // escape the delete/update this merge contracted to perform
+          // (it serialized first) — Delta's ConcurrentAppendException
           // for NOT-MATCHED-BY-SOURCE merges
-          deleteUnmatchedCond.foreach { c =>
+          (deleteUnmatchedCond.toSeq ++
+              updateUnmatched.map(_._1).toSeq).foreach { c =>
             val delCand = dmlCandidateFiles(spark, pm, c,
               tableRoot = Some(tableRoot))
             if (delCand.nonEmpty) {
@@ -3189,7 +3239,7 @@ object LogTable {
               if (hit > 0L)
                 throw new ConcurrentWriteException(
                   s"LogTable.$action: a concurrent commit added rows " +
-                    "inside this merge's NOT-MATCHED-BY-SOURCE delete " +
+                    "inside this merge's NOT-MATCHED-BY-SOURCE " +
                     "window — re-run against the new head")
             }
           }
@@ -3604,20 +3654,34 @@ object LogTable {
   val ConsumerMarkerTtlMs: Long = 86400000L
 
   /** Heartbeat `consumerId`'s position: the last source version its
-    * stream has committed (the streaming source calls this from
-    * `getBatch`; tests may call it directly). Overwrite-in-place —
-    * the marker is advisory metadata, never part of any manifest. */
+    * stream has committed (the streaming source calls this from its
+    * `commit`; tests may call it directly). Written temp-then-rename
+    * so a concurrently-reading vacuum never sees a truncated marker
+    * (a half-written body parsing to nothing would silently drop the
+    * consumer from the guard — r17 review); the marker is advisory
+    * metadata, never part of any manifest. */
   def recordConsumerPosition(spark: SparkSession, tableRoot: String,
                              consumerId: String, version: Long): Unit = {
     require(consumerId.nonEmpty &&
       consumerId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
       s"consumerId must be [A-Za-z0-9_-]+ (got '$consumerId')")
     val (fs, root) = TableLog.fsFor(spark, tableRoot)
-    val p = new org.apache.hadoop.fs.Path(TableLog.logDir(root),
+    val ld = TableLog.logDir(root)
+    val p = new org.apache.hadoop.fs.Path(ld,
       s"$ConsumerMarkerPrefix$consumerId")
-    val out = fs.create(p, true)
+    val tmp = new org.apache.hadoop.fs.Path(ld,
+      s".$ConsumerMarkerPrefix$consumerId.${
+        java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
     try out.write(s"""{"version":$version}""".getBytes("UTF-8"))
     finally out.close()
+    // atomic replace — FileSystem.rename cannot overwrite and a
+    // delete-then-rename window would read as "no consumer"
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(p.toUri,
+        spark.sparkContext.hadoopConfiguration)
+      .rename(fs.makeQualified(tmp), fs.makeQualified(p),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Reclaim files no retained manifest references, keeping the newest
@@ -3674,9 +3738,13 @@ object LogTable {
             val in = fs.open(st.getPath)
             val body = try scala.io.Source
               .fromInputStream(in, "UTF-8").mkString finally in.close()
+            // >= not >: a consumer at pos still needs manifest(pos)
+            // as its next change-diff BASE (changes(pos, pos+1)
+            // reconstructs both endpoints), so dropping pos itself
+            // strands it too (r17 review)
             "\"version\":(\\d+)".r.findFirstMatchIn(body)
               .map(_.group(1).toLong)
-              .filter(pos => dropped.last > pos)
+              .filter(pos => dropped.last >= pos)
               .map(pos => st.getPath.getName
                 .stripPrefix(ConsumerMarkerPrefix) -> pos)
           }
@@ -3727,10 +3795,11 @@ object LogTable {
       // are considered; a dir is removable only when NO kept manifest
       // references it or anything nested under it. `minAgeMs` shields
       // a LOCK-FREE writer's promoted-but-not-yet-committed files
-      // (the append/overwrite CAS path takes no table lock): set it
+      // (the append/overwrite CAS path takes no table lock): keep it
       // above the longest stage-to-commit window when vacuuming a
       // table with live concurrent writers — the Delta retention
-      // contract, defaulted to 0 for the single-writer case.
+      // contract, defaulted to [[DefaultVacuumMinAgeMs]] (one hour);
+      // 0 disables the shield and is single-writer-only.
       val ageFloor = System.currentTimeMillis() - minAgeMs
       allParts.sortBy(p => (-p.count(_ == '/'), p)).foreach { p =>
         val dir = new org.apache.hadoop.fs.Path(root, p)
@@ -3810,6 +3879,16 @@ object LogTable {
         .filter(st =>
           System.currentTimeMillis() - newestMtime(st.getPath) > staleMs)
         .foreach(st => fs.delete(st.getPath, true))
+      // a crashed consumer-marker write leaves a dotted tmp in the
+      // log dir (the publish is temp-then-atomic-rename) — reclaimed
+      // once stale, same contract as stage litter
+      fs.listStatus(ld)
+        .filter(st => !st.isDirectory &&
+          st.getPath.getName.startsWith(s".$ConsumerMarkerPrefix") &&
+          st.getPath.getName.endsWith(".tmp"))
+        .filter(st =>
+          System.currentTimeMillis() - st.getModificationTime > staleMs)
+        .foreach(st => fs.delete(st.getPath, false))
       (dropped.size, deleted)
     }
   }

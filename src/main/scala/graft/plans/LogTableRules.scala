@@ -381,27 +381,60 @@ object LogTableDmlRule extends Rule[LogicalPlan] {
                 s"$other")
           }
         }
-      // WHEN NOT MATCHED BY SOURCE [AND <target guard>] THEN DELETE —
-      // the reference's windowed-delete refresh (fetch_clickup_data
-      // .py:1318-1321); the guard re-resolves against the table scan
-      // inside the merge, so it must reference target columns only
-      val deleteCondSql: Option[String] = notMatchedBySource match {
-        case Seq() => None
-        case Seq(DeleteAction(condOpt)) =>
-          condOpt.foreach(c =>
-            require(c.references.forall(a =>
-              targetIds.contains(a.exprId.id)),
-              "logtable MERGE: the NOT MATCHED BY SOURCE condition " +
-                "must reference target columns only"))
-          Some(condOpt.map(detach(_, "MERGE delete condition"))
-            .getOrElse("true"))
+      // WHEN NOT MATCHED BY SOURCE clauses — the reference's
+      // windowed-delete refresh (fetch_clickup_data.py:1318-1321)
+      // plus the UPDATE form (r17): at most one DELETE and one
+      // UPDATE SET, in any order, first-match-wins composed into
+      // effective conditions (clause ∧ ¬ prior clauses). Everything
+      // re-resolves against the TARGET scan inside the merge, so
+      // conditions and assignments must reference target columns only.
+      var nmbsDelete: Option[String] = None
+      var nmbsUpdate: Option[(String, Seq[(String, String)])] = None
+      var nmbsPriors: Seq[String] = Seq.empty
+      def targetOnlyCond(condOpt: Option[Expression]): String = {
+        condOpt.foreach(c =>
+          require(c.references.forall(a =>
+            targetIds.contains(a.exprId.id)),
+            "logtable MERGE: the NOT MATCHED BY SOURCE condition " +
+              "must reference target columns only"))
+        condOpt.map(detach(_, "MERGE NMBS condition")).getOrElse("true")
+      }
+      def nmbsEff(c: String): String =
+        (Seq(s"($c)") ++ nmbsPriors.map(p =>
+          s"(NOT coalesce(($p), false))")).mkString(" AND ")
+      notMatchedBySource.foreach {
+        case DeleteAction(condOpt) =>
+          require(nmbsDelete.isEmpty, "logtable MERGE: at most one " +
+            "NOT MATCHED BY SOURCE DELETE clause")
+          val c = targetOnlyCond(condOpt)
+          nmbsDelete = Some(nmbsEff(c))
+          nmbsPriors :+= c
+        case UpdateAction(condOpt, assigns, _) =>
+          require(nmbsUpdate.isEmpty, "logtable MERGE: at most one " +
+            "NOT MATCHED BY SOURCE UPDATE clause")
+          val c = targetOnlyCond(condOpt)
+          val sets = assigns.map {
+            case Assignment(k: AttributeReference, v) =>
+              require(v.references.forall(a =>
+                targetIds.contains(a.exprId.id)),
+                "logtable MERGE: a NOT MATCHED BY SOURCE assignment " +
+                  "must reference target columns only (there is no " +
+                  s"source row) — offending column: ${k.name}")
+              k.name -> detach(v, "MERGE NMBS assignment")
+            case other => throw new IllegalArgumentException(
+              "logtable MERGE: unsupported NOT MATCHED BY SOURCE " +
+                s"assignment target '$other'")
+          }
+          nmbsUpdate = Some((nmbsEff(c), sets))
+          nmbsPriors :+= c
         case other => throw new IllegalArgumentException(
           "logtable MERGE: WHEN NOT MATCHED BY SOURCE supports " +
-            s"exactly one (optionally AND-guarded) DELETE, got $other")
+            s"DELETE and UPDATE SET clauses, got $other")
       }
       LogTableMergeCommand(idx.tableRoot, source, keys,
         idx.partitionSchema.fieldNames.toSeq, tableCols,
-        matchedActions, insertActions, deleteCondSql, starFast)
+        matchedActions, insertActions, nmbsDelete, nmbsUpdate,
+        starFast)
     }
   }
 }
@@ -449,10 +482,16 @@ final case class LogTableMergeCommand(tableRoot: String,
     matchedActions: Seq[(String, Option[Seq[(String, String)]])],
     insertActions: Seq[(String, Option[Seq[(String, String)]])],
     deleteCondSql: Option[String],
+    updateUnmatchedSql: Option[(String, Seq[(String, String)])],
     starFast: Boolean) extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{expr, lit, when}
+    def nmbsUpd: Option[(org.apache.spark.sql.Column,
+        Map[String, org.apache.spark.sql.Column])] =
+      updateUnmatchedSql.map { case (c, sets) =>
+        (expr(c), sets.map { case (k, v) => k -> expr(v) }.toMap)
+      }
     val src = org.apache.spark.sql.graftshim.PlanShim.ofRows(spark,
       source)
     if (starFast) {
@@ -460,7 +499,8 @@ final case class LogTableMergeCommand(tableRoot: String,
       // insert — no snapshot-dependent split, pass it through whole
       graft.operators.LogTable.merge(spark, tableRoot, src, keyCols,
         dateCol = partCols.mkString(","),
-        deleteUnmatchedCond = deleteCondSql.map(expr))
+        deleteUnmatchedCond = deleteCondSql.map(expr),
+        updateUnmatched = nmbsUpd)
     } else {
       // The classification reads the table at a pinned version and
       // is CHECKPOINTED (the merge evaluates its updates several
@@ -487,14 +527,18 @@ final case class LogTableMergeCommand(tableRoot: String,
           keyCols, "left_anti")
         // first-match-wins: the row's action is the FIRST clause
         // whose condition holds; no clause → -1 → untouched (matched)
-        // or not inserted (unmatched) — the SQL MERGE contract
+        // or not inserted (unmatched) — the SQL MERGE contract.
+        // PINNED: updParts/insParts/delKeys below each re-filter
+        // these frames, so an unpinned lineage would re-run the keyed
+        // target probe + the source plan once per clause per CAS
+        // attempt (r17 review)
         def classify(df: org.apache.spark.sql.DataFrame,
             acts: Seq[(String, Option[Seq[(String, String)]])]) = {
           val c = acts.zipWithIndex.foldLeft(
               when(lit(false), lit(-1))) {
             case (acc, ((cond, _), i)) => acc.when(expr(cond), lit(i))
           }.otherwise(lit(-1))
-          df.withColumn("__act", c)
+          df.withColumn("__act", c).localCheckpoint(true)
         }
         val mCls = classify(matchedDf, matchedActions)
         val iCls = classify(unmatchedDf, insertActions)
@@ -528,15 +572,27 @@ final case class LogTableMergeCommand(tableRoot: String,
             .select(keyCols.map(col): _*))
         val updates = (updParts ++ insParts)
           .reduceLeftOption(_ unionByName _)
-          .getOrElse(src.select(
-            project(None, matchedSide = false): _*).limit(0))
+          // delete-only MERGE: the source may carry ONLY the key
+          // columns, so the empty write frame takes the TARGET's
+          // shape (tgt carries __t_<col> for every table column)
+          .getOrElse(tgt.select(tableCols.map(c =>
+            col(s"__t_$c").as(c)): _*).limit(0))
           .localCheckpoint(true)
         try {
           graft.operators.LogTable.merge(spark, tableRoot, updates,
             keyCols, dateCol = partCols.mkString(","),
             deleteUnmatchedCond = deleteCondSql.map(expr),
+            updateUnmatched = nmbsUpd,
             expectSnapshotV = Some(v0),
-            deleteMatchedKeys = delKeysDf)
+            deleteMatchedKeys = delKeysDf,
+            // "matched by source" for the NMBS actions is the FULL
+            // source key set — a matched row whose clauses all failed
+            // is untouched, not unmatched (r17 review: without this,
+            // an in-window matched-but-unclassified row was deleted)
+            deleteUnmatchedAgainst =
+              if (deleteCondSql.isDefined || updateUnmatchedSql.isDefined)
+                Some(src.select(keyCols.map(col): _*))
+              else None)
           done = true
         } catch {
           case e: graft.operators.LogTable.ConcurrentWriteException
@@ -546,8 +602,9 @@ final case class LogTableMergeCommand(tableRoot: String,
             // again — r16 advice), re-derive against the new head
             logInfo(s"logtable MERGE on $tableRoot lost the commit " +
               s"race at v$v0 (attempt $attempts): ${e.getMessage}")
-            org.apache.spark.sql.graftshim.PlanShim
-              .freeLocalCheckpoint(updates)
+            Seq(updates, mCls, iCls).foreach(
+              org.apache.spark.sql.graftshim.PlanShim
+                .freeLocalCheckpoint)
         }
       }
     }

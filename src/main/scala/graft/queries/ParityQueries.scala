@@ -860,7 +860,11 @@ object ParityQueries {
           |WHEN MATCHED AND S.value > T.value + 5 THEN UPDATE SET
           |  value = S.value, event_type = S.event_type
           |WHEN NOT MATCHED AND S.event_type <> 'error'
-          |THEN INSERT *""".stripMargin)
+          |THEN INSERT *
+          |WHEN NOT MATCHED BY SOURCE
+          |  AND T.start_date_oslo BETWEEN DATE '2024-01-20'
+          |                            AND DATE '2024-01-30'
+          |THEN UPDATE SET event_type = concat(T.event_type, '_stale')""".stripMargin)
       val out = s.sql(
         """SELECT id, ts, CAST(start_date_oslo AS STRING) start_date_oslo,
           |  event_type, value FROM graft_m1c ORDER BY id""".stripMargin)
@@ -888,7 +892,10 @@ object ParityQueries {
         |  FROM fact f JOIN sw s USING (id)
         |  WHERE s.event_type <> 'error'
         |  UNION ALL
-        |  SELECT f.id, f.ts, f.d, f.event_type, f.v FROM fact f
+        |  SELECT f.id, f.ts, f.d,
+        |    CASE WHEN f.d BETWEEN DATE '2024-01-20' AND DATE '2024-01-30'
+        |         THEN f.event_type || '_stale' ELSE f.event_type END,
+        |    f.v FROM fact f
         |  WHERE f.id NOT IN (SELECT id FROM sw)
         |  UNION ALL
         |  SELECT s.id, s.ts, s.d, s.event_type, s.v FROM sw s

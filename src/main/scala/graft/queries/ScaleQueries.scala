@@ -8758,6 +8758,60 @@ object ScaleQueries {
              |WHERE event_type IS NOT NULL AND value IS NOT NULL
              |GROUP BY grp ORDER BY grp""".stripMargin)),
 
+    // STREAMING SINK, UPDATE MODE (st63, new r17): the maintained
+    // aggregate with ZERO user code — the logtable change feed into
+    // an Update-mode groupBy into the sink's keyed upsert
+    // (option("mergeKeys")); each trigger merges only the CHANGED
+    // groups, a restarted pass with nothing new commits NOTHING, and
+    // the maintained table must equal DuckDB's one-shot recompute.
+    QuerySpec("st63_stream_update_sink", (s, d) => {
+      val ev = t(s, d, "events")
+        .filter(col("event_type").isNotNull && col("value").isNotNull)
+        .select(col("event_id"),
+          col("event_type").as("grp"),
+          round(col("value") * 100, 0).cast("long").as("cents"),
+          lit("2024-01-01").cast("date").as("start_date_oslo"))
+      val base = java.nio.file.Files.createTempDirectory("graft_st63")
+        .toString
+      val fact = s"$base/fact"
+      val agg = s"$base/agg"
+      val ckpt = s"$base/ckpt"
+      def run(): Unit = graft.streaming.Streams
+        .runLogTableUpdateAggAvailableNow(s, fact, agg, ckpt,
+          grpCol = "grp", valCol = "cents")
+      graft.operators.LogTable.init(
+        ev.filter(col("event_id") % 3 === 0).drop("event_id")
+          .repartition(2), fact)                                // v1
+      graft.operators.LogTable.append(s, fact,
+        ev.filter(col("event_id") % 3 === 1).drop("event_id")
+          .repartition(2))                                      // v2
+      run() // batch 0: bootstrap aggregate CREATES the table
+      graft.operators.LogTable.append(s, fact,
+        ev.filter(col("event_id") % 3 === 2).drop("event_id")
+          .repartition(2))                                      // v3
+      run() // the delta trigger upserts only the changed groups
+      val vAgg = graft.operators.TableLog.currentVersion(s, agg)
+      run() // nothing new: the offset log must keep the sink silent
+      val replayCommits =
+        graft.operators.TableLog.currentVersion(s, agg) - vAgg
+      val out = graft.operators.LogTable.read(s, agg)
+        .select(col("grp"), col("n_rows"),
+          col("sum_val").as("sum_cents"),
+          lit(replayCommits).as("n_replay_commits"))
+        .orderBy(col("grp"))
+        .localCheckpoint(true)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      out
+    },
+      Some("""SELECT event_type grp, CAST(count(*) AS BIGINT) n_rows,
+             |  CAST(sum(CAST(round(value*100, 0) AS BIGINT))
+             |    AS BIGINT) sum_cents,
+             |  CAST(0 AS BIGINT) n_replay_commits
+             |FROM events
+             |WHERE event_type IS NOT NULL AND value IS NOT NULL
+             |GROUP BY grp ORDER BY grp""".stripMargin)),
+
     // LogTable SQL surface (x219, new r14 — r13 directive #8): pure
     // SQL over the manifest-native table through the injected
     // `logtable(path[, version])` table-valued function — the analyst

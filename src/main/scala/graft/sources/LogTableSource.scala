@@ -236,17 +236,28 @@ class LogTableSource extends RelationProvider
     * `Complete` mode rewrites the table each trigger through the
     * atomic-swap [[LogTable.overwrite]] — content-idempotent under
     * replay (the same final state rewrites), though each replay costs
-    * a version. `Update` mode has no manifest translation (an upsert
-    * needs keys the mode doesn't declare) and is rejected loudly. */
+    * a version. `Update` mode (r17) upserts each trigger's changed
+    * rows through the keyed copy-on-write [[LogTable.merge]] — the
+    * natural sink for an Update-mode streaming AGGREGATION (one
+    * changed row per key per trigger) — and needs
+    * `option("mergeKeys", "k1,k2")` to declare the upsert key; the
+    * same `txnId` contract makes a replayed batch a commit-level
+    * no-op, so exactly-once holds through crashes like Append's. */
   override def createSink(sqlContext: SQLContext,
                           parameters: Map[String, String],
                           partitionColumns: Seq[String],
                           outputMode: OutputMode): Sink = {
     val path = pathOf(parameters)
-    require(outputMode != OutputMode.Update(),
-      "logtable sink: Update mode is not supported — use Append " +
-        "(new rows only) or Complete (atomic whole-table swap), or " +
-        "foreachBatch + LogTable.merge for keyed upserts")
+    val mergeKeys = parameters.get("mergeKeys")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+    require(outputMode != OutputMode.Update() || mergeKeys.nonEmpty,
+      "logtable sink: Update mode is not supported without " +
+        "option(\"mergeKeys\", \"k1,k2\") — each trigger's changed " +
+        "rows then upsert by those keys through the manifest merge " +
+        "(or use Append / Complete / foreachBatch)")
+    require(mergeKeys.isEmpty || outputMode == OutputMode.Update(),
+      "logtable sink: mergeKeys applies to Update mode only")
     // partitionBy(...) and option("dateCol", ...) are the same
     // declaration; when both appear they must agree
     val dateCol = (partitionColumns, parameters.get("dateCol")) match {
@@ -264,7 +275,8 @@ class LogTableSource extends RelationProvider
       .getOrElse(Seq.empty)
     new LogTableStreamSink(path, dateCol, colsOpt("statsCols"),
       colsOpt("bloomCols"), parameters.get("txnAppId"),
-      complete = outputMode == OutputMode.Complete())
+      complete = outputMode == OutputMode.Complete(),
+      mergeKeys = mergeKeys)
   }
 }
 
@@ -567,7 +579,8 @@ private[graft] final case class FileSplitOffset(v: Long, f: Long)
 private[graft] final class LogTableStreamSink(
     path: String, dateColOpt: Option[String], statsCols: Seq[String],
     bloomCols: Seq[String], txnAppId: Option[String],
-    complete: Boolean) extends Sink {
+    complete: Boolean, mergeKeys: Seq[String] = Seq.empty)
+    extends Sink {
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val spark = data.sparkSession
@@ -586,7 +599,21 @@ private[graft] final class LogTableStreamSink(
         LogTable.partColsOfManifest(LogTable.manifest(spark, path, v))
           .mkString(",")
       } else "start_date_oslo")
-    if (complete) {
+    if (mergeKeys.nonEmpty) {
+      // Update mode (r17): the trigger's changed rows upsert by the
+      // declared keys — one idempotent keyed COW merge per batch (a
+      // replayed batch collapses in the txn ledger, exactly like
+      // Append); batch 0 CREATES the table through init's own txn
+      if (exists) {
+        val v = TableLog.currentVersion(spark, path)
+        if (!LogTable.manifest(spark, path, v).txns
+            .contains(s"init:txn=$txn"))
+          LogTable.merge(spark, path, batch, mergeKeys, dateCol,
+            txnId = Some(txn))
+      } else
+        LogTable.init(batch, path, dateCol, statsCols,
+          txnId = Some(txn), bloomCols = bloomCols)
+    } else if (complete) {
       // whole-result mode: each trigger swaps the table atomically;
       // a replayed trigger rewrites the same state (content-
       // idempotent), it does not double anything

@@ -2848,10 +2848,14 @@ object Streams {
         // (lock-free, r16 #4) compact. Per-bucket live-file counts
         // stay bounded by compactEvery regardless of trigger batching.
         val vAgg = graft.operators.TableLog.currentVersion(spark, aggRoot)
+        // floor of 2: compact itself only rewrites partitions with
+        // ≥2 sub-target files, so a threshold of 1 would fire a
+        // no-op pack every trigger forever (r17 review)
+        val thresh = math.max(compactEvery, 2)
         val frag = graft.operators.LogTable
           .manifest(spark, aggRoot, vAgg).parts
           .filter { case (_, fl) =>
-            fl.count(_.bytes < compactTargetBytes) >= compactEvery }
+            fl.count(_.bytes < compactTargetBytes) >= thresh }
           .keys.toSeq
         if (frag.nonEmpty)
           graft.operators.LogTable.compact(spark, aggRoot,
@@ -2929,6 +2933,35 @@ object Streams {
       .option("statsCols", statsCols.mkString(","))
       .trigger(Trigger.AvailableNow())
       .start(dstRoot)
+    q.awaitTermination()
+  }
+
+  /** One `Trigger.AvailableNow` pass of a FULLY ENGINE-MANAGED
+    * maintained AGGREGATE (st63, r17): the change feed streams in
+    * through the logtable SOURCE, an Update-mode groupBy aggregates
+    * the inserted rows, and each trigger's CHANGED groups land
+    * through the sink's keyed upsert (`outputMode("update")` +
+    * `option("mergeKeys", …)`) — the [[foldFeedIntoAggregate]] shape
+    * with ZERO user code: no foreachBatch, no txn ids, exactly-once
+    * from the offset log + the sink's merge ledger. Append-only
+    * sources (the engine-level aggregation sums inserts). */
+  def runLogTableUpdateAggAvailableNow(spark: SparkSession,
+      srcRoot: String, aggRoot: String, checkpoint: String,
+      grpCol: String, valCol: String, buckets: Int = 8): Unit = {
+    val feed = spark.readStream.format("logtable")
+      .option("startingVersion", "0").load(srcRoot)
+    val q = feed.filter(col("_change_type") === "insert")
+      .groupBy(col(grpCol))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col(valCol) * col("n_rows")).as("sum_val"))
+      .withColumn("gbucket", pmod(hash(col(grpCol)), lit(buckets)))
+      .writeStream.format("logtable")
+      .outputMode("update")
+      .option("mergeKeys", grpCol)
+      .option("dateCol", "gbucket")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .start(aggRoot)
     q.awaitTermination()
   }
 

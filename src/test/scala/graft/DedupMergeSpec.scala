@@ -1470,15 +1470,23 @@ class DedupMergeSpec extends SparkSpec {
     assert(TableLog.currentVersion(spark, root) == 4L &&
       LogTable.read(spark, root, Some(1L)).count() == 5L,
       "a refused vacuum must not have swept anything")
-    // caught-up consumer (needs only the kept head) → guard passes
+    // off-by-one guard (r17 review): a consumer at v3 still needs
+    // manifest(3) as its next change-diff BASE — dropping v3 itself
+    // must refuse too
     LogTable.recordConsumerPosition(spark, root, "cdc1", 3L)
+    intercept[RuntimeException] {
+      LogTable.vacuum(spark, root, keepLast = 1, minAgeMs = 0L,
+        guardConsumers = true)
+    }
+    // caught-up consumer (committed the head) → guard passes
+    LogTable.recordConsumerPosition(spark, root, "cdc1", 4L)
     val (droppedV, _) = LogTable.vacuum(spark, root, keepLast = 1,
       minAgeMs = 0L, guardConsumers = true)
     assert(droppedV == 3)
     // stale marker: a dead consumer's lagging marker past the TTL is
     // ignored (maintenance never blocks forever)
     LogTable.append(spark, root, batch(4).repartition(1))
-    LogTable.recordConsumerPosition(spark, root, "cdc1", 4L)
+    LogTable.recordConsumerPosition(spark, root, "cdc1", 5L)
     LogTable.recordConsumerPosition(spark, root, "dead", 1L)
     val mp = new org.apache.hadoop.fs.Path(
       s"$root/_graft_log/_consumer_dead")
@@ -3236,6 +3244,61 @@ class DedupMergeSpec extends SparkSpec {
         guardConsumers = true)
     }
     assert(e.getMessage.contains("boot1"), e.getMessage)
+    fs.delete(new org.apache.hadoop.fs.Path(base), true)
+  }
+
+  test("logtable streaming sink UPDATE mode (r17): an Update-mode " +
+    "aggregation upserts each trigger's changed groups through the " +
+    "keyed manifest merge (option mergeKeys) — the table equals a " +
+    "batch recompute after every trigger, and a re-delivered batch " +
+    "collapses in the txn ledger") {
+    import graft.operators.{LogTable, TableLog}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = java.nio.file.Files.createTempDirectory("graft_updsink")
+      .toString
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val agg = s"$base/agg"
+    val ckpt = s"$base/ckpt"
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext =
+      spark.sqlContext
+    val ms = MemoryStream[(String, Long)]
+    def start() = ms.toDF().toDF("grp", "v")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+      .withColumn("gb", pmod(hash(col("grp")), lit(4)))
+      .writeStream.format("logtable")
+      .outputMode("update")
+      .option("mergeKeys", "grp")
+      .option("dateCol", "gb")
+      .option("checkpointLocation", ckpt)
+      .start(agg)
+    def state(): Set[(String, Long, Long)] =
+      LogTable.read(spark, agg).select("grp", "n", "s")
+        .collect().map(r =>
+          (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val q = start()
+    ms.addData(("a", 1L), ("a", 2L), ("b", 3L))
+    q.processAllAvailable()
+    assert(state() == Set(("a", 2L, 3L), ("b", 1L, 3L)), state())
+    // second trigger: only the CHANGED groups ride the batch; the
+    // upsert must replace a's row and insert c's, leaving b alone
+    ms.addData(("a", 10L), ("c", 5L))
+    q.processAllAvailable()
+    assert(state() ==
+      Set(("a", 3L, 13L), ("b", 1L, 3L), ("c", 1L, 5L)), state())
+    q.stop()
+    // crash simulation: erase batch 1's commit marker — the engine
+    // re-delivers it and the sink's merge txn (sink:<qid>:1) must
+    // collapse to a no-op, not double-apply
+    val vNow = TableLog.currentVersion(spark, agg)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$ckpt/commits/1"), false)
+    val q2 = start()
+    q2.processAllAvailable(); q2.stop()
+    assert(TableLog.currentVersion(spark, agg) == vNow,
+      "replayed Update batch must not commit a second time")
+    assert(state() ==
+      Set(("a", 3L, 13L), ("b", 1L, 3L), ("c", 1L, 5L)), state())
     fs.delete(new org.apache.hadoop.fs.Path(base), true)
   }
 

@@ -1116,10 +1116,10 @@ class ExtensionRuleSpec extends SparkSpec {
     assert(LogTable.read(spark, root, Some(vPre))
       .select("id").as[String].collect().toSet ==
       Set("e1", "e2", "e3"))
-    // partial SET and target-referencing assignments are SUPPORTED
-    // since r17 (the generic-MERGE spec below exercises them); the
-    // remaining loud rejection here: a non-DELETE
-    // not-matched-by-source action
+    // partial SET, target-referencing assignments and NMBS UPDATE are
+    // SUPPORTED since r17 (the generic-MERGE spec below exercises
+    // them); the remaining loud rejection here: an NMBS assignment
+    // reading the SOURCE row (there is none on that side)
     val vStable = TableLog.currentVersion(spark, root)
     intercept[Exception] {
       spark.sql(
@@ -1127,7 +1127,7 @@ class ExtensionRuleSpec extends SparkSpec {
           |ON T.id = S.id
           |WHEN MATCHED THEN UPDATE SET *
           |WHEN NOT MATCHED THEN INSERT *
-          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 0""".stripMargin)
+          |WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = S.v""".stripMargin)
     }
     assert(TableLog.currentVersion(spark, root) == vStable,
       "rejected statements must not commit")
@@ -1204,6 +1204,58 @@ class ExtensionRuleSpec extends SparkSpec {
     // e2/e4 unmatched now; n1 matched with S.v=500 == T.v=500 → no
     // clause fires; e1: 100 > 101 false → untouched
     assert(got2 == Map("e1" -> 101L, "e3" -> 300L, "n1" -> 500L), got2)
+    // NOT MATCHED BY SOURCE on the generic path (r17 review): a
+    // matched row whose conditional clauses all failed is UNTOUCHED,
+    // not "unmatched" — the windowed delete must claim only rows with
+    // NO source match (e5, target-only, in window)
+    spark.sql(
+      "INSERT INTO graft_gmrg_t VALUES ('e5', 9, DATE '2024-01-05')")
+    spark.sql(
+      """MERGE INTO graft_gmrg_t T USING graft_gmrg_src S
+        |ON T.id = S.id
+        |WHEN MATCHED AND S.v > T.v THEN UPDATE SET v = S.v
+        |WHEN NOT MATCHED BY SOURCE
+        |  AND T.start_date_oslo = DATE '2024-01-05'
+        |THEN DELETE""".stripMargin)
+    val got3 = spark.table("graft_gmrg_t").select("id", "v")
+      .as[(String, Long)].collect().toMap
+    // e1/n1 are matched-in-window with no fired clause — they SURVIVE
+    // untouched; e5 (unmatched, in window) is deleted
+    assert(got3 == Map("e1" -> 101L, "e3" -> 300L, "n1" -> 500L),
+      s"matched-but-unclassified rows must survive the windowed " +
+        s"delete: $got3")
+    // NMBS UPDATE (r17): unmatched-by-source rows can be REWRITTEN,
+    // and clause ORDER composes first-match-wins — e7 satisfies both
+    // NMBS clauses and takes the UPDATE (listed first); e6 satisfies
+    // only the DELETE
+    spark.sql(
+      "INSERT INTO graft_gmrg_t VALUES " +
+        "('e6', 50, DATE '2024-01-05'), ('e7', 60, DATE '2024-01-05')")
+    spark.sql(
+      """MERGE INTO graft_gmrg_t T USING graft_gmrg_src S
+        |ON T.id = S.id
+        |WHEN MATCHED AND S.v > T.v THEN UPDATE SET v = S.v
+        |WHEN NOT MATCHED BY SOURCE AND T.v > 55
+        |  THEN UPDATE SET v = T.v + 1000
+        |WHEN NOT MATCHED BY SOURCE
+        |  AND T.start_date_oslo = DATE '2024-01-05'
+        |THEN DELETE""".stripMargin)
+    val got4 = spark.table("graft_gmrg_t").select("id", "v")
+      .as[(String, Long)].collect().toMap
+    assert(got4 == Map("e1" -> 101L, "e3" -> 300L, "n1" -> 500L,
+      "e7" -> 1060L),
+      s"NMBS update/delete first-match-wins: $got4")
+    // delete-only MERGE with a KEYS-ONLY source (no update/insert
+    // clause): the source carries nothing but the key, and the write
+    // frame must take the TARGET's shape
+    Seq("e1").toDF("id").createOrReplaceTempView("graft_gmrg_delsrc")
+    spark.sql(
+      """MERGE INTO graft_gmrg_t T USING graft_gmrg_delsrc S
+        |ON T.id = S.id
+        |WHEN MATCHED THEN DELETE""".stripMargin)
+    assert(spark.table("graft_gmrg_t").select("id").as[String]
+      .collect().toSet == Set("e3", "n1", "e7"),
+      "keys-only delete-only MERGE must drop exactly its key")
     // key reassignment still fails loudly
     val vStable = TableLog.currentVersion(spark, root)
     intercept[Exception] {
