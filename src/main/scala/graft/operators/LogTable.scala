@@ -3126,24 +3126,42 @@ object LogTable {
       val nmbsKeys = deleteUnmatchedAgainst
         .map(_.select(keyCols.map(col): _*).distinct()
           .localCheckpoint(true))
-      // files holding a NOT-MATCHED-BY-SOURCE victim (delete) or
-      // target (update) rewrite too — probed through the DML zone
-      // pruner
-      def nmbsHit(c: org.apache.spark.sql.Column): Set[String] = {
-        val tails = dmlCandidateFiles(spark, prev, c,
-          tableRoot = Some(tableRoot))
-        if (tails.isEmpty) Set.empty
-        else scanWithIdentity(spark, tableRoot, prev,
-            tails.map(t => s"$tableRoot/$t"))
-          .filter(c)
-          .join(nmbsKeys.getOrElse(keyFrame), keyCols, "left_anti")
-          .select("__dvf").distinct().collect()
-          .map(_.getString(0)).toSet
+      updateUnmatched.foreach { case (_, sets) =>
+        // misassignments fail loudly like every other merge misuse:
+        // an unknown column would silently no-op (sets.getOrElse
+        // falls back to the existing value), and re-keying an
+        // unmatched row could duplicate a key another file holds
+        val unknown = sets.keys.filterNot(updates.columns.contains)
+        require(unknown.isEmpty, "LogTable.merge: updateUnmatched " +
+          s"assigns unknown columns ${unknown.mkString(",")}")
+        val rekeyed = sets.keys.filter(keyCols.contains)
+        require(rekeyed.isEmpty, "LogTable.merge: updateUnmatched " +
+          s"must not reassign key columns (${rekeyed.mkString(",")}) " +
+          "— re-keying an unmatched row can duplicate a live key")
       }
-      val hitByDel = deleteUnmatchedCond.map(nmbsHit).getOrElse(Set.empty)
-      val hitByUpd = updateUnmatched.map(u => nmbsHit(u._1))
-        .getOrElse(Set.empty)
-      val hitTails = hitByKey ++ hitByDel ++ hitByUpd
+      // files holding a NOT-MATCHED-BY-SOURCE victim (delete) or
+      // target (update) rewrite too — ONE zone-pruned probe over the
+      // OR of the two windows (the hit sets overlap heavily)
+      val nmbsConds = deleteUnmatchedCond.toSeq ++
+        updateUnmatched.map(_._1).toSeq
+      val hitByNmbs: Set[String] = nmbsConds
+        .reduceLeftOption(_ || _) match {
+        case None => Set.empty
+        case Some(c) =>
+          // zone-prune each window separately (an OR extracts no
+          // conjuncts), scan their union once
+          val tails = nmbsConds.flatMap(cc =>
+            dmlCandidateFiles(spark, prev, cc,
+              tableRoot = Some(tableRoot))).distinct
+          if (tails.isEmpty) Set.empty
+          else scanWithIdentity(spark, tableRoot, prev,
+              tails.map(t => s"$tableRoot/$t"))
+            .filter(c)
+            .join(nmbsKeys.getOrElse(keyFrame), keyCols, "left_anti")
+            .select("__dvf").distinct().collect()
+            .map(_.getString(0)).toSet
+      }
+      val hitTails = hitByKey ++ hitByNmbs
       val survivors =
         if (hitTails.isEmpty) None
         else Some {
@@ -3246,14 +3264,25 @@ object LogTable {
         }
       }
       graft.operators.TableLog.dmlCommitHook(action)
-      writeCommit(spark, tableRoot, action, prev.statsCols,
-        prev.schemaDdl,
-        withBlooms(spark, tableRoot, prev.bloomCols,
-          withStats(spark, tableRoot, prev.statsCols, stagedParts)),
-        hitTails.toSeq,
-        snapshotV = Some(v),
-        readSet = hitTails.toSeq.map(t => t -> statByTail(t)).toMap,
-        conflictCheck = Some(phantomCheck))
+      try
+        writeCommit(spark, tableRoot, action, prev.statsCols,
+          prev.schemaDdl,
+          withBlooms(spark, tableRoot, prev.bloomCols,
+            withStats(spark, tableRoot, prev.statsCols, stagedParts)),
+          hitTails.toSeq,
+          snapshotV = Some(v),
+          readSet = hitTails.toSeq.map(t => t -> statByTail(t)).toMap,
+          conflictCheck = Some(phantomCheck))
+      catch {
+        case e: Throwable =>
+          // an aborted merge's pinned key frames can never be read
+          // again — free their blocks instead of waiting for the
+          // ContextCleaner (the same hygiene the SQL command applies
+          // to its own checkpoints)
+          (Seq(upsertKeys) ++ delKeys.toSeq ++ nmbsKeys.toSeq).foreach(
+            org.apache.spark.sql.graftshim.PlanShim.freeLocalCheckpoint)
+          throw e
+      }
     }
 
   /** Row-level DELETE with merge-on-read deletion vectors — the Delta
@@ -3672,16 +3701,30 @@ object LogTable {
     val tmp = new org.apache.hadoop.fs.Path(ld,
       s".$ConsumerMarkerPrefix$consumerId.${
         java.util.UUID.randomUUID().toString.take(8)}.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(s"""{"version":$version}""".getBytes("UTF-8"))
-    finally out.close()
-    // atomic replace — FileSystem.rename cannot overwrite and a
-    // delete-then-rename window would read as "no consumer"
-    org.apache.hadoop.fs.FileContext
-      .getFileContext(p.toUri,
+    val body = s"""{"version":$version}""".getBytes("UTF-8")
+    // atomic replace via FileContext (FileSystem.rename cannot
+    // overwrite, and a delete-then-rename window would read as "no
+    // consumer"); the tmp is written through the SAME FileContext so
+    // no checksum sidecar litter accumulates per heartbeat (a
+    // FileSystem-created tmp leaves a stranded .crc on local fs —
+    // r17 review). Stores without an AbstractFileSystem binding fall
+    // back to a plain overwrite: the marker is advisory, and the
+    // worst case is one heartbeat reading as absent.
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        fs.makeQualified(p).toUri,
         spark.sparkContext.hadoopConfiguration)
-      .rename(fs.makeQualified(tmp), fs.makeQualified(p),
+      val out = fc.create(fs.makeQualified(tmp),
+        java.util.EnumSet.of(org.apache.hadoop.fs.CreateFlag.CREATE,
+          org.apache.hadoop.fs.CreateFlag.OVERWRITE))
+      try out.write(body) finally out.close()
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(p),
         org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        val out = fs.create(p, true)
+        try out.write(body) finally out.close()
+    }
   }
 
   /** Reclaim files no retained manifest references, keeping the newest

@@ -420,6 +420,11 @@ object LogTableDmlRule extends Rule[LogicalPlan] {
                 "logtable MERGE: a NOT MATCHED BY SOURCE assignment " +
                   "must reference target columns only (there is no " +
                   s"source row) — offending column: ${k.name}")
+              // re-keying an in-place-rewritten row could duplicate a
+              // key a surviving file still holds
+              require(!keys.contains(k.name),
+                "logtable MERGE: a NOT MATCHED BY SOURCE UPDATE must " +
+                  s"not reassign key column ${k.name}")
               k.name -> detach(v, "MERGE NMBS assignment")
             case other => throw new IllegalArgumentException(
               "logtable MERGE: unsupported NOT MATCHED BY SOURCE " +
@@ -588,10 +593,16 @@ final case class LogTableMergeCommand(tableRoot: String,
             // "matched by source" for the NMBS actions is the FULL
             // source key set — a matched row whose clauses all failed
             // is untouched, not unmatched (r17 review: without this,
-            // an in-window matched-but-unclassified row was deleted)
+            // an in-window matched-but-unclassified row was deleted).
+            // Derived from the PINNED classification frames (matched
+            // keys ∪ unmatched keys = every source key), not the raw
+            // src plan — per-CAS-attempt re-evaluation reads blocks,
+            // and a nondeterministic source cannot diverge from the
+            // classification it was judged by
             deleteUnmatchedAgainst =
               if (deleteCondSql.isDefined || updateUnmatchedSql.isDefined)
-                Some(src.select(keyCols.map(col): _*))
+                Some(mCls.select(keyCols.map(col): _*)
+                  .unionByName(iCls.select(keyCols.map(col): _*)))
               else None)
           done = true
         } catch {

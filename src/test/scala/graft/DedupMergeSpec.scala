@@ -1638,7 +1638,21 @@ class DedupMergeSpec extends SparkSpec {
         // WITHIN one table history (footer == scan, spec-pinned above)
         spark.conf.set("spark.graft.logtable.footerStats",
           Seq("auto", "true", "false")(rnd.nextInt(3)))
-        rnd.nextInt(12) match {
+        rnd.nextInt(13) match {
+          case 12 => // generic-merge matched DELETE + upsert in ONE
+            // commit (r17): random existing keys drop via
+            // deleteMatchedKeys while an unrelated insert rides the
+            // same atomic merge — the SQL MERGE WHEN MATCHED DELETE
+            // shape exercised against the model
+            if (model.size >= 3) {
+              val toDel = rnd.shuffle(model.keys.toSeq.sorted)
+                .take(1 + rnd.nextInt(2))
+              val ins = { val id = s"e$nextId"; nextId += 1
+                Map(id -> (rnd.nextInt(1000) + 8000).toDouble) }
+              LogTable.merge(spark, root, frame(ins), Seq("id"),
+                deleteMatchedKeys = Some(toDel.toDF("id")))
+              model = (model -- toDel) ++ ins
+            }
           case 11 => // INTERLEAVED parts-scoped maintenance (r16 #4):
             // a LOCK-FREE compact (explicit parts) races a lock-free
             // append; the append always lands, the compact either
