@@ -71,6 +71,15 @@ object ConfShim {
   }
 }
 
+/** Bridge to the `private[spark]` listener bus, for specs that assert
+  * job-submission invariants: flush pending listener events before
+  * reading a listener-maintained counter (the bus is async — a count
+  * read without the flush races the delivery thread). */
+object ListenerShim {
+  def waitUntilEmpty(sc: org.apache.spark.SparkContext): Unit =
+    sc.listenerBus.waitUntilEmpty()
+}
+
 /** Bridge to the `private[sql]` Dataset/LogicalPlan constructors, for
   * planting custom logical nodes (graft.plans.RunningSumPlan) into a
   * DataFrame. Same access-qualifier-only rationale as [[ColumnShim]].

@@ -1344,6 +1344,97 @@ class DedupMergeSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
 
+  test("zorder grid bounds FOLD from manifest zones (r17 verdict #1): " +
+    "a parts-scoped zorder on a stats-column table runs ZERO bounds " +
+    "scans and zero Spark jobs for its bounds, the folded bounds " +
+    "equal the scan's, the fallback path still scans once, and a " +
+    "slot-capped run chunks its jobs while landing ONE commit") {
+    import graft.operators.{LogTable, TableLog}
+    val root = java.nio.file.Files.createTempDirectory("graft_zob")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def slice(m: Int) = (1 to 3).flatMap { p =>
+      (1 to 60).filter(_ % 2 == m).map(i =>
+        (s"e$p-$i", i.toLong % 10L, i.toDouble,
+          java.sql.Date.valueOf(f"2024-01-0$p%d")))
+    }.toDF("id", "x", "value", "start_date_oslo")
+    LogTable.init(slice(0).repartition(1), root,
+      statsCols = Seq("value", "x"))
+    LogTable.append(spark, root, slice(1).repartition(1))
+    val v = TableLog.currentVersion(spark, root)
+    val m = LogTable.manifest(spark, root, v)
+    // 1) the fold itself: correct bounds, zero jobs submitted
+    val jobs = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      org.apache.spark.sql.graftshim.ListenerShim
+        .waitUntilEmpty(spark.sparkContext)
+      val j0 = jobs.get()
+      val (bounds, folded) = LogTable.zorderBounds(spark, root, m,
+        Seq("value", "x"), v)
+      org.apache.spark.sql.graftshim.ListenerShim
+        .waitUntilEmpty(spark.sparkContext)
+      assert(folded, "stats-column bounds must fold from the manifest")
+      assert(jobs.get() == j0,
+        s"manifest fold submitted ${jobs.get() - j0} Spark job(s)")
+      // scan-derived truth (no DVs here, so fold == scan exactly)
+      assert(bounds == Seq((1.0, 60.0), (0.0, 9.0)), bounds.toString)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // 2) a parts-scoped zorder takes the fold path: no bounds scan
+    val scans0 = LogTable.zorderBoundsScans.get()
+    val before = LogTable.read(spark, root).select("id").as[String]
+      .collect().toSet
+    val onePart = m.parts.keys.toSeq.sorted.head
+    val v2 = LogTable.optimizeZorder(spark, root, Seq("value", "x"),
+      bits = 6, filesPerPartition = 4, parts = Some(Seq(onePart)))
+    assert(LogTable.zorderBoundsScans.get() == scans0,
+      "a stats-column zorder must not scan the table for grid bounds")
+    assert(LogTable.manifest(spark, root, v2).parts(onePart).size == 4)
+    assert(LogTable.read(spark, root).select("id").as[String]
+      .collect().toSet == before)
+    // 3) a NON-stats cluster column falls back to exactly one scan —
+    // value2 has no zones (not declared), so the fold cannot prove
+    // bounds
+    val withExtra = LogTable.read(spark, root)
+      .withColumn("value2", col("value") * 3)
+    LogTable.overwrite(spark, root, withExtra)
+    val v3 = TableLog.currentVersion(spark, root)
+    val m3 = LogTable.manifest(spark, root, v3)
+    val (b2, folded2) = LogTable.zorderBounds(spark, root, m3,
+      Seq("value2", "x"), v3)
+    assert(!folded2 &&
+      LogTable.zorderBoundsScans.get() == scans0 + 1L)
+    assert(b2.head == ((3.0, 180.0)), b2.toString)
+    // 4) slot-capped chunking (r17 advice): nCells = 4 with a cap of
+    // 4 slots/job → one partition per chunk → 3 staged writes, but
+    // still ONE commit and the exact per-(partition, cell) layout
+    spark.conf.set("spark.graft.logtable.zorderMaxSlotsPerJob", "4")
+    try {
+      val writes0 = LogTable.stagedWrites.get()
+      val preV = TableLog.currentVersion(spark, root)
+      val v4 = LogTable.optimizeZorder(spark, root, Seq("value", "x"),
+        bits = 6, filesPerPartition = 4)
+      assert(v4 == preV + 1, "chunked zorder must land ONE commit")
+      assert(LogTable.stagedWrites.get() - writes0 == 3L,
+        s"cap 4/nCells 4 over 3 partitions must stage 3 chunks, " +
+          s"staged ${LogTable.stagedWrites.get() - writes0}")
+      val m4 = LogTable.manifest(spark, root, v4)
+      assert(m4.parts.size == 3 && m4.parts.values.forall(_.size == 4),
+        s"per-partition cell files: ${m4.parts.map { case (p, fl) =>
+          p -> fl.size }}")
+      assert(LogTable.read(spark, root).select("id").as[String]
+        .collect().toSet == before)
+    } finally
+      spark.conf.unset("spark.graft.logtable.zorderMaxSlotsPerJob")
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
   test("parts-scoped maintenance is lock-free (r16 verdict #4): a " +
     "compact of partition A and a zorder of partition B both commit " +
     "concurrently — even while a bystander HOLDS the table lock — " +
