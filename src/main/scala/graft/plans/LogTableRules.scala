@@ -703,38 +703,11 @@ object LogTableTimeTravelRule extends Rule[LogicalPlan] {
 
   /** The table's location iff `ident` names a session-catalog table
     * whose provider is `logtable` (temp views win, like everywhere in
-    * Spark — a shadowed name falls through to Spark's own handling). */
+    * Spark — a shadowed name falls through to Spark's own handling).
+    * Shared with the maintenance TVFs ([[LogTableMaintenance]]). */
   private def logTableLocation(spark: SparkSession,
                                ident: Seq[String]): Option[String] =
-    try {
-      val cat = spark.sessionState.catalog
-      val ti = ident match {
-        case Seq(t) =>
-          if (cat.getTempView(t).isDefined) return None
-          TableIdentifier(t)
-        case Seq(db, t) => TableIdentifier(t, Some(db))
-        case Seq(c, db, t)
-            if c.equalsIgnoreCase("spark_catalog") =>
-          TableIdentifier(t, Some(db))
-        case _ => return None
-      }
-      if (!cat.tableExists(ti)) None
-      else {
-        val meta = cat.getTableMetadata(ti)
-        if (meta.provider.exists(_.equalsIgnoreCase("logtable")))
-          Some(meta.location.toString)
-        else None
-      }
-    } catch {
-      // only the EXPECTED misses fall through to Spark's own handling
-      // (r16 advice: a transient metastore/IO failure swallowed to
-      // None would reroute a valid query into the misleading "does
-      // not support time travel" error — let those propagate)
-      case _: org.apache.spark.sql.catalyst.analysis
-          .NoSuchTableException => None
-      case _: org.apache.spark.sql.catalyst.analysis
-          .NoSuchDatabaseException => None
-    }
+    LogTableMaintenance.namedLogTableLocation(spark, ident)
 }
 
 /** Routes `INSERT INTO` / `INSERT OVERWRITE` on a named logtable
