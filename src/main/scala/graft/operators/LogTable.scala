@@ -591,6 +591,17 @@ object LogTable {
     * clock; versions, not timestamps, are the authoritative order. */
   def versionAsOf(spark: SparkSession, tableRoot: String,
                   tsMillis: Long): Long = {
+    val (versions, at) = versionsAtOrBefore(spark, tableRoot, tsMillis)
+    at.getOrElse(sys.error(
+      s"LogTable.versionAsOf: no retained commit of $tableRoot is as " +
+        s"old as $tsMillis — the oldest retained version " +
+        s"(${versions.head}) is newer (history may have been vacuumed)"))
+  }
+
+  /** (retained versions, newest version committed at-or-before the
+    * instant — None when every retained commit is newer). */
+  private def versionsAtOrBefore(spark: SparkSession, tableRoot: String,
+      tsMillis: Long): (Seq[Long], Option[Long]) = {
     val (fs, root) = TableLog.fsFor(spark, tableRoot)
     val ld = TableLog.logDir(root)
     val versions =
@@ -607,19 +618,38 @@ object LogTable {
     // version at-or-before the instant BINARY-SEARCHES in
     // O(log versions) delta reads — a long-lived table's timestamp
     // lookup must not walk its whole retained log (r13 verdict note)
-    if (tsOf(versions.head) > tsMillis)
-      sys.error(
-        s"LogTable.versionAsOf: no retained commit of $tableRoot is as " +
-          s"old as $tsMillis — the oldest retained version " +
-          s"(${versions.head}) is newer (history may have been vacuumed)")
-    var lo = 0
-    var hi = versions.size - 1 // invariant: tsOf(versions(lo)) <= tsMillis
-    while (lo < hi) {
-      val mid = (lo + hi + 1) / 2
-      if (tsOf(versions(mid)) <= tsMillis) lo = mid else hi = mid - 1
+    if (tsOf(versions.head) > tsMillis) (versions, None)
+    else {
+      var lo = 0
+      var hi = versions.size - 1 // invariant: tsOf(versions(lo)) <= ts
+      while (lo < hi) {
+        val mid = (lo + hi + 1) / 2
+        if (tsOf(versions(mid)) <= tsMillis) lo = mid else hi = mid - 1
+      }
+      (versions, Some(versions(lo)))
     }
-    versions(lo)
   }
+
+  /** The streaming `startingTimestamp` base position: the newest
+    * retained version committed STRICTLY before `tsMillis`, so the
+    * stream delivers every commit at-or-after the instant (Delta's
+    * inclusive `startingTimestamp` contract). 0 — the bootstrap
+    * position, full v1 snapshot first — when the instant predates all
+    * retained history, which requires version 1 retained: if vacuum
+    * already reclaimed it, some commits the caller asked for are gone
+    * and this fails loudly rather than silently skipping them. */
+  def startingVersionAsOf(spark: SparkSession, tableRoot: String,
+                          tsMillis: Long): Long =
+    versionsAtOrBefore(spark, tableRoot, tsMillis - 1L) match {
+      case (_, Some(v)) => v
+      case (versions, None) =>
+        require(versions.head <= 1L,
+          s"LogTable.startingVersionAsOf: $tableRoot retains no commit " +
+            s"before $tsMillis and version 1 was vacuumed (oldest " +
+            s"retained: ${versions.head}) — commits at-or-after the " +
+            "instant are incomplete; start by version instead")
+        0L
+    }
 
   /** [[read]] at the newest version committed at-or-before the given
     * wall-clock instant — `TIMESTAMP AS OF` time travel. */
@@ -1034,10 +1064,9 @@ object LogTable {
     * lock-free appenders rely on this: writer B need not know about
     * the column writer A added a moment ago. Full-content ops
     * (replace/overwrite) stay strict. */
-  private def evolvedDdl(prev: Option[Manifest], df: DataFrame,
+  private def evolvedDdl(prev: Option[Manifest], incoming: StructType,
                          action: String,
                          allowMissingNullable: Boolean = false): String = {
-    val incoming = df.schema
     prev.flatMap(_.schemaDdl) match {
       case None => incoming.toDDL
       case Some(ddl) =>
@@ -2110,7 +2139,7 @@ object LogTable {
       val prevM =
         if (v > 0L) Some(manifest(spark, tableRoot, v)) else None
       val sc = prevM.map(_.statsCols).getOrElse(Seq.empty)
-      val ddl = evolvedDdl(prevM, rows, "overwrite")
+      val ddl = evolvedDdl(prevM, rows.schema, "overwrite")
       promoteStage(fs, root, stagePath, stagedParts, "overwrite")
       val staged = stagedParts.values.flatten.map(_.file).toSet
       writeCommit(spark, tableRoot, "overwrite", sc, Some(ddl),
@@ -2140,7 +2169,8 @@ object LogTable {
       require(v > 0L, s"LogTable.replacePartitions: $tableRoot has no " +
         "manifest — init first")
       val prev = manifest(spark, tableRoot, v)
-      val ddl = evolvedDdl(Some(prev), updated, "replacePartitions")
+      val ddl = evolvedDdl(Some(prev), updated.schema,
+        "replacePartitions")
       val partCols = partColsOf(dateCol)
       validatePartTypes(updated, partCols, "replacePartitions")
       val touched = touchedParts(updated, partCols).toSet
@@ -2258,7 +2288,7 @@ object LogTable {
           // evolved it too) — reconcile the UNION, since our frame is
           // still a valid evolution of the head we derived it from and
           // files null-fill columns they predate
-          val ddl = evolvedDdl(prevM, rows, "append",
+          val ddl = evolvedDdl(prevM, rows.schema, "append",
             allowMissingNullable = true)
           if (!promoted) {
             promoteStage(fs, root, stagePath, stagedParts, "append")
@@ -3123,7 +3153,8 @@ object LogTable {
             deleteMatchedKeys: Option[DataFrame] = None,
             deleteUnmatchedAgainst: Option[DataFrame] = None,
             updateUnmatched: Option[(org.apache.spark.sql.Column,
-              Map[String, org.apache.spark.sql.Column])] = None): Long =
+              Map[String, org.apache.spark.sql.Column])] = None,
+            evolveSchema: Boolean = false): Long =
     // LOCK-FREE (r15 directive #2): the heavy probe + staging run
     // against this op's snapshot; the commit rides the CAS loop with
     // the FileStat-identity read set + the phantom-insert conflict
@@ -3143,9 +3174,34 @@ object LogTable {
       val prev = manifest(spark, tableRoot, v)
       if (txnId.isDefined && prev.txns.contains(action)) return v
       val cur = read(spark, tableRoot, Some(v))
-      require(updates.columns.toSet == cur.columns.toSet,
+      // `evolveSchema` (the MERGE WITH SCHEMA EVOLUTION contract,
+      // r17 verdict missing #2): the updates may carry NEW nullable
+      // columns on top of every table column — the commit's DDL
+      // evolves add-only through the same [[evolvedDdl]] gate appends
+      // use, survivors null-fill the additions, and files written
+      // before the column existed null-fill it on read. Without the
+      // flag the column sets must match exactly, as before.
+      if (evolveSchema) {
+        val missing = cur.columns.filterNot(updates.columns.contains)
+        require(missing.isEmpty,
+          s"LogTable.merge: updates are missing table columns " +
+            s"${missing.sorted.mkString(",")} — schema evolution is " +
+            "add-only; every existing column must ride the updates")
+      } else require(updates.columns.toSet == cur.columns.toSet,
         s"LogTable.merge: updates columns ${updates.columns.sorted.mkString(",")} " +
           s"!= table columns ${cur.columns.sorted.mkString(",")}")
+      val commitDdl =
+        if (evolveSchema) {
+          // MERGE-evolved columns are ALWAYS nullable — files written
+          // before them null-fill on read — even when the source
+          // frame's encoder declares them required (e.g. a primitive
+          // Scala field)
+          val curCols = cur.columns.toSet
+          val relaxed = StructType(updates.schema.fields.map(f =>
+            if (curCols(f.name) || f.nullable) f
+            else f.copy(nullable = true)))
+          Some(evolvedDdl(Some(prev), relaxed, "merge"))
+        } else prev.schemaDdl
       require(!(keyScopedPartitions && deleteMatchedKeys.isDefined),
         "LogTable.merge: deleteMatchedKeys cannot ride " +
           "keyScopedPartitions — the scoping derives from update rows")
@@ -3271,7 +3327,10 @@ object LogTable {
           afterUpd.select(svCols.map(col): _*)
         }
       val newData = survivors match {
-        case Some(sv) => sv.unionByName(updates)
+        // under evolution the survivors (old schema) null-fill the
+        // new columns — the same semantics their files get on read
+        case Some(sv) => sv.unionByName(updates,
+          allowMissingColumns = evolveSchema)
         case None => updates
       }
       val partCols = partColsOf(dateCol)
@@ -3341,7 +3400,7 @@ object LogTable {
       graft.operators.TableLog.dmlCommitHook(action)
       try
         writeCommit(spark, tableRoot, action, prev.statsCols,
-          prev.schemaDdl,
+          commitDdl,
           withBlooms(spark, tableRoot, prev.bloomCols,
             withStats(spark, tableRoot, prev.statsCols, stagedParts)),
           hitTails.toSeq,
@@ -3764,11 +3823,17 @@ object LogTable {
     * (a half-written body parsing to nothing would silently drop the
     * consumer from the guard — r17 review); the marker is advisory
     * metadata, never part of any manifest. */
-  def recordConsumerPosition(spark: SparkSession, tableRoot: String,
-                             consumerId: String, version: Long): Unit = {
+  /** Marker names embed the id in a filename — restrict to filesystem
+    * -safe characters. Public so stream setup can fail fast instead of
+    * surfacing this at the first commit's heartbeat (r17 advice). */
+  def validateConsumerId(consumerId: String): Unit =
     require(consumerId.nonEmpty &&
       consumerId.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
       s"consumerId must be [A-Za-z0-9_-]+ (got '$consumerId')")
+
+  def recordConsumerPosition(spark: SparkSession, tableRoot: String,
+                             consumerId: String, version: Long): Unit = {
+    validateConsumerId(consumerId)
     val (fs, root) = TableLog.fsFor(spark, tableRoot)
     val ld = TableLog.logDir(root)
     val p = new org.apache.hadoop.fs.Path(ld,
@@ -3853,6 +3918,8 @@ object LogTable {
           .filter(st =>
             now - st.getModificationTime <= ConsumerMarkerTtlMs)
           .flatMap { st =>
+            val name = st.getPath.getName
+              .stripPrefix(ConsumerMarkerPrefix)
             val in = fs.open(st.getPath)
             val body = try scala.io.Source
               .fromInputStream(in, "UTF-8").mkString finally in.close()
@@ -3861,17 +3928,33 @@ object LogTable {
             // reconstructs both endpoints), so dropping pos itself
             // strands it too (r17 review)
             "\"version\":(\\d+)".r.findFirstMatchIn(body)
-              .map(_.group(1).toLong)
-              .filter(pos => dropped.last >= pos)
-              .map(pos => st.getPath.getName
-                .stripPrefix(ConsumerMarkerPrefix) -> pos)
+              .map(_.group(1).toLong) match {
+              case Some(pos) =>
+                if (dropped.last >= pos) Some(name -> pos) else None
+              case None if guardConsumers =>
+                // a FRESH marker with an unparsable body (torn write
+                // via the plain-overwrite fallback for stores without
+                // FileContext) belongs to a LIVE consumer at an
+                // unknown position — under refuse mode it must count
+                // as lagging, or the guard silently fails the one
+                // consumer it was asked to protect (r17 advice)
+                Some(name -> -1L)
+              case None =>
+                org.slf4j.LoggerFactory
+                  .getLogger("graft.operators.LogTable").warn(
+                    s"LogTable.vacuum: skipping unreadable consumer " +
+                      s"marker '$name' on $tableRoot")
+                None
+            }
           }
         if (lagging.nonEmpty) {
           val msg = s"LogTable.vacuum: $tableRoot would drop " +
             s"versions ${dropped.head}..${dropped.last} that active " +
             "streaming consumers still need: " +
-            lagging.map { case (id, pos) => s"'$id' at v$pos" }
-              .mkString(", ") +
+            lagging.map {
+              case (id, -1L) => s"'$id' (unreadable marker)"
+              case (id, pos) => s"'$id' at v$pos"
+            }.mkString(", ") +
             " — their next trigger would fail; raise keepLast to " +
             "cover the lag (or pass guardConsumers=false to proceed)"
           if (guardConsumers) sys.error(msg)

@@ -224,6 +224,35 @@ object LogTableDmlRule extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** The assigned column's name (resolved target reference). An
+    * assignment key naming a column the v1 target does not hold never
+    * reaches this rule: Spark's own resolver throws UNRESOLVED_COLUMN
+    * first (schema evolution of assignment KEYS is a DSv2-only
+    * analyzer capability — `MergeIntoTable.schemaEvolutionEnabled`
+    * requires a DataSourceV2Relation — so explicit lists stay strict
+    * and the reject is Spark's, loud and suggestive). */
+  private def assignName(k: Expression, what: String): String = k match {
+    case a: AttributeReference => a.name
+    case other => throw new IllegalArgumentException(
+      s"logtable $what: unsupported assignment target '$other' — " +
+        "assign to plain columns")
+  }
+
+  /** Star-LIKE: a star action (conditional or not) or the analyzer's
+    * expansion of one — same-name assignments covering every
+    * PRE-EVOLUTION target column. Under WITH SCHEMA EVOLUTION these
+    * widen to the new source columns (the Delta contract: `SET *` /
+    * `INSERT *` reference every source column). */
+  private def starLike(a: Any, targetCols: Seq[String]): Boolean =
+    a match {
+      case UpdateStarAction(_) | InsertStarAction(_) => true
+      case UpdateAction(_, assigns, _) =>
+        sameNameAssigns(assigns) && coversAll(assigns, targetCols)
+      case InsertAction(_, assigns) =>
+        sameNameAssigns(assigns) && coversAll(assigns, targetCols)
+      case _ => false
+    }
+
   /** Explicit (non-star) assignments — the reference's own MERGE shape
     * (fetch_clickup_data.py:1286-1316 lists every column by hand).
     * Each RHS must be computable from the SOURCE row alone (it is
@@ -235,25 +264,23 @@ object LogTableDmlRule extends Rule[LogicalPlan] {
   private def explicitSets(assigns: Seq[Assignment], sourceIds: Set[Long],
                            tableCols: Seq[String], keys: Seq[String],
                            what: String): Seq[(String, String)] = {
-    val sets = assigns.map {
-      case Assignment(k: AttributeReference, v) =>
-        require(v.references.forall(a => sourceIds.contains(a.exprId.id)),
-          s"logtable $what: the assignment to ${k.name} references " +
-            "target columns — explicit assignments must be computable " +
-            "from the source row alone")
-        // assigning a KEY column to anything but its same-name source
-        // twin would change row identity: the keyed-upsert rewrite
-        // probes by the ON keys, so the matched row would silently
-        // survive alongside the re-keyed one
-        if (keys.contains(k.name))
-          require(bare(v).exists(_.name == k.name),
-            s"logtable $what: assigning key column ${k.name} would " +
-              "change row identity and leave the matched row alive — " +
-              "keys are equal by ON; drop the assignment")
-        k.name -> detach(v, s"$what assignment")
-      case other => throw new IllegalArgumentException(
-        s"logtable $what: unsupported assignment target '$other' — " +
-          "assign to plain columns")
+    val sets = assigns.map { as =>
+      val n = assignName(as.key, what)
+      val v = as.value
+      require(v.references.forall(a => sourceIds.contains(a.exprId.id)),
+        s"logtable $what: the assignment to $n references " +
+          "target columns — explicit assignments must be computable " +
+          "from the source row alone")
+      // assigning a KEY column to anything but its same-name source
+      // twin would change row identity: the keyed-upsert rewrite
+      // probes by the ON keys, so the matched row would silently
+      // survive alongside the re-keyed one
+      if (keys.contains(n))
+        require(bare(v).exists(_.name == n),
+          s"logtable $what: assigning key column $n would " +
+            "change row identity and leave the matched row alive — " +
+            "keys are equal by ON; drop the assignment")
+      n -> detach(v, s"$what assignment")
     }
     val assigned = sets.map(_._1).toSet
     val missing = tableCols.filterNot(c => assigned(c) || keys.contains(c))
@@ -303,62 +330,94 @@ object LogTableDmlRule extends Rule[LogicalPlan] {
           notMatched.forall(_.resolved) &&
           notMatchedBySource.forall(_.resolved) =>
       val (lr, idx) = unwrapTarget(t).get
-      require(!withSchemaEvolution,
-        "logtable MERGE: WITH SCHEMA EVOLUTION is not supported")
       val targetIds = lr.output.map(_.exprId.id).toSet
       val sourceIds = source.output.map(_.exprId.id).toSet
-      val tableCols = lr.schema.fieldNames.toSeq
+      val targetCols = lr.schema.fieldNames.toSeq
+      // MERGE WITH SCHEMA EVOLUTION (r17 verdict missing #2): new
+      // SOURCE columns become ADD-ONLY nullable table columns — the
+      // x207/x222 table-evolution machinery, committed atomically by
+      // the merge itself. Which columns evolve follows the Delta
+      // contract restricted to what the v1 analyzer admits: a
+      // star-like action references every source column, so ANY star
+      // widens the table to ALL new source columns; explicit lists
+      // stay strict (an assignment KEY naming a not-yet-existing
+      // column never reaches this rule — Spark's resolver throws
+      // UNRESOLVED_COLUMN first, because assignment-key evolution is
+      // a DSv2-only analyzer capability). Without the keyword an
+      // extra source column fails the merge's column check loudly, as
+      // before.
+      val anyStar = (matched ++ notMatched)
+        .exists(starLike(_, targetCols))
+      val evolveCols: Seq[(String, String)] =
+        if (!withSchemaEvolution || !anyStar) Seq.empty
+        else source.output
+          .filterNot(a => targetCols.contains(a.name))
+          .map(a => a.name -> a.dataType.catalogString)
+      val tableCols = targetCols ++ evolveCols.map(_._1)
       val keys = keyColsOf(mergeCond, targetIds, "MERGE").distinct
       require(keys.nonEmpty, "logtable MERGE: no key columns in ON")
       // FAST PATH — the reference's own shape (one unconditional
       // star-shaped update + one star-shaped insert): the source row
       // IS both the update and the insert, so the source frame passes
-      // through whole with no snapshot-dependent split.
-      val starFast = isStarShaped(matched, tableCols) &&
-        isStarShaped(notMatched, tableCols)
+      // through whole with no snapshot-dependent split (and, under
+      // evolution, carries every new source column with it).
+      val starFast = isStarShaped(matched, targetCols) &&
+        isStarShaped(notMatched, targetCols)
       // GENERIC matched clauses (r16 verdict #3): conditional
       // UPDATE/DELETE, PARTIAL SET (unassigned columns keep the
       // target's current value, fetched through readKeyed), multiple
       // clauses first-match-wins. Conditions and update RHS may
       // reference BOTH sides; target refs detach as __t_<name>.
       def updateSetsOf(assigns: Seq[Assignment], what: String)
-          : Seq[(String, String)] = assigns.map {
-        case Assignment(k: AttributeReference, v) =>
-          // assigning a KEY column to anything but its same-name
-          // source/target twin would change row identity: the
-          // keyed-upsert rewrite probes by the ON keys, so the
-          // matched row would silently survive alongside the re-keyed
-          // one
-          if (keys.contains(k.name))
-            require(bare(v).exists(_.name == k.name),
-              s"logtable $what: assigning key column ${k.name} would " +
-                "change row identity and leave the matched row alive " +
-                "— keys are equal by ON; drop the assignment")
-          k.name -> detach(v, s"$what assignment", targetIds)
-        case other => throw new IllegalArgumentException(
-          s"logtable $what: unsupported assignment target '$other' — " +
-            "assign to plain columns")
+          : Seq[(String, String)] = assigns.map { as =>
+        val n = assignName(as.key, what)
+        val v = as.value
+        // assigning a KEY column to anything but its same-name
+        // source/target twin would change row identity: the
+        // keyed-upsert rewrite probes by the ON keys, so the
+        // matched row would silently survive alongside the re-keyed
+        // one
+        if (keys.contains(n))
+          require(bare(v).exists(_.name == n),
+            s"logtable $what: assigning key column $n would " +
+              "change row identity and leave the matched row alive " +
+              "— keys are equal by ON; drop the assignment")
+        n -> detach(v, s"$what assignment", targetIds)
       }
       val matchedActions: Seq[(String, Option[Seq[(String, String)]])] =
         if (starFast) Seq.empty
         else matched.map {
           case UpdateStarAction(condOpt) =>
+            // star takes every source column — evolved columns
+            // included (they all come from the source by construction)
             (condOpt.map(detach(_, "MERGE matched condition", targetIds))
               .getOrElse("true"),
               Some(tableCols.map(c => c -> s"`$c`")))
-          case UpdateAction(condOpt, assigns, _) =>
+          case ua @ UpdateAction(condOpt, assigns, _) =>
+            val sets0 = updateSetsOf(assigns, "MERGE UPDATE")
+            // an analyzer-expanded SET * covers only the
+            // PRE-EVOLUTION columns — widen it to the new source
+            // columns, the star contract
+            val sets =
+              if (starLike(ua, targetCols))
+                sets0 ++ evolveCols.map(_._1)
+                  .filterNot(sets0.map(_._1).toSet)
+                  .map(c => c -> s"`$c`")
+              else sets0
             (condOpt.map(detach(_, "MERGE matched condition", targetIds))
-              .getOrElse("true"),
-              Some(updateSetsOf(assigns, "MERGE UPDATE")))
+              .getOrElse("true"), Some(sets))
           case DeleteAction(condOpt) =>
             (condOpt.map(detach(_, "MERGE matched condition", targetIds))
               .getOrElse("true"), None)
           case other => throw new IllegalArgumentException(
             s"logtable MERGE: unsupported WHEN MATCHED action $other")
         }
-      // WHEN NOT MATCHED: INSERT * or explicit full-coverage
-      // assignments; conditions/values reference the SOURCE row only
-      // (there is no target row on this side)
+      // WHEN NOT MATCHED: INSERT * or explicit assignments covering
+      // every pre-evolution non-key column; conditions/values
+      // reference the SOURCE row only (there is no target row on this
+      // side). Under evolution, star-like inserts take the source's
+      // new columns; an explicit list's unassigned new columns insert
+      // as NULL (the user enumerated exactly what to insert).
       val insertActions: Seq[(String, Option[Seq[(String, String)]])] =
         if (starFast) Seq.empty
         else notMatched.map { a =>
@@ -370,12 +429,23 @@ object LogTableDmlRule extends Rule[LogicalPlan] {
             condOpt.map(detach(_, "MERGE insert condition"))
               .getOrElse("true")
           }
+          def newColSets(sets: Seq[(String, String)], star: Boolean)
+              : Seq[(String, String)] =
+            evolveCols.collect {
+              case (c, dt) if !sets.exists(_._1 == c) =>
+                c -> (if (star) s"`$c`" else s"CAST(NULL AS $dt)")
+            }
           a match {
-            case InsertStarAction(condOpt) => (condSql(condOpt), None)
-            case InsertAction(condOpt, assigns) =>
+            case InsertStarAction(condOpt) =>
               (condSql(condOpt),
-                Some(explicitSets(assigns, sourceIds, tableCols, keys,
-                  "MERGE INSERT")))
+                if (evolveCols.isEmpty) None
+                else Some(tableCols.map(c => c -> s"`$c`")))
+            case ia @ InsertAction(condOpt, assigns) =>
+              val sets0 = explicitSets(assigns, sourceIds, targetCols,
+                keys, "MERGE INSERT")
+              (condSql(condOpt),
+                Some(sets0 ++ newColSets(sets0,
+                  starLike(ia, targetCols))))
             case other => throw new IllegalArgumentException(
               s"logtable MERGE: unsupported WHEN NOT MATCHED action " +
                 s"$other")
@@ -383,13 +453,20 @@ object LogTableDmlRule extends Rule[LogicalPlan] {
         }
       // WHEN NOT MATCHED BY SOURCE clauses — the reference's
       // windowed-delete refresh (fetch_clickup_data.py:1318-1321)
-      // plus the UPDATE form (r17): at most one DELETE and one
-      // UPDATE SET, in any order, first-match-wins composed into
-      // effective conditions (clause ∧ ¬ prior clauses). Everything
-      // re-resolves against the TARGET scan inside the merge, so
-      // conditions and assignments must reference target columns only.
-      var nmbsDelete: Option[String] = None
-      var nmbsUpdate: Option[(String, Seq[(String, String)])] = None
+      // plus the UPDATE form (r17), generalized to ANY number of
+      // DELETE / UPDATE SET clauses in any order (r17 verdict #7):
+      // first-match-wins composed into effective conditions (clause ∧
+      // ¬ prior clauses), then folded into ONE delete predicate (OR
+      // of the delete clauses' effective conditions) and ONE
+      // conditional update (per assigned column, a CASE over the
+      // update clauses' effective conditions — disjoint by
+      // construction — keeping the target's value when no clause
+      // assigns it). Everything re-resolves against the TARGET scan
+      // inside the merge, so conditions and assignments must
+      // reference target columns only.
+      var nmbsDelConds: Seq[String] = Seq.empty
+      var nmbsUpdClauses: Seq[(String, Seq[(String, String)])] =
+        Seq.empty
       var nmbsPriors: Seq[String] = Seq.empty
       def targetOnlyCond(condOpt: Option[Expression]): String = {
         condOpt.foreach(c =>
@@ -404,14 +481,10 @@ object LogTableDmlRule extends Rule[LogicalPlan] {
           s"(NOT coalesce(($p), false))")).mkString(" AND ")
       notMatchedBySource.foreach {
         case DeleteAction(condOpt) =>
-          require(nmbsDelete.isEmpty, "logtable MERGE: at most one " +
-            "NOT MATCHED BY SOURCE DELETE clause")
           val c = targetOnlyCond(condOpt)
-          nmbsDelete = Some(nmbsEff(c))
+          nmbsDelConds :+= nmbsEff(c)
           nmbsPriors :+= c
         case UpdateAction(condOpt, assigns, _) =>
-          require(nmbsUpdate.isEmpty, "logtable MERGE: at most one " +
-            "NOT MATCHED BY SOURCE UPDATE clause")
           val c = targetOnlyCond(condOpt)
           val sets = assigns.map {
             case Assignment(k: AttributeReference, v) =>
@@ -430,16 +503,38 @@ object LogTableDmlRule extends Rule[LogicalPlan] {
               "logtable MERGE: unsupported NOT MATCHED BY SOURCE " +
                 s"assignment target '$other'")
           }
-          nmbsUpdate = Some((nmbsEff(c), sets))
+          nmbsUpdClauses :+= ((nmbsEff(c), sets))
           nmbsPriors :+= c
         case other => throw new IllegalArgumentException(
           "logtable MERGE: WHEN NOT MATCHED BY SOURCE supports " +
             s"DELETE and UPDATE SET clauses, got $other")
       }
+      val nmbsDelete: Option[String] =
+        if (nmbsDelConds.isEmpty) None
+        else Some(nmbsDelConds.map(c => s"($c)").mkString(" OR "))
+      val nmbsUpdate: Option[(String, Seq[(String, String)])] =
+        if (nmbsUpdClauses.isEmpty) None
+        else if (nmbsUpdClauses.sizeIs == 1) Some(nmbsUpdClauses.head)
+        else {
+          val cond = nmbsUpdClauses.map(c => s"(${c._1})")
+            .mkString(" OR ")
+          val cols = nmbsUpdClauses.flatMap(_._2.map(_._1)).distinct
+          val sets = cols.map { c =>
+            val branches = nmbsUpdClauses.flatMap { case (ec, ss) =>
+              ss.find(_._1 == c).map(v => s"WHEN ($ec) THEN (${v._2})")
+            }
+            // ELSE keeps the target's value: a row claimed by clause
+            // j but assigned column c only by clause i != j rewrites
+            // with c untouched
+            c -> s"CASE ${branches.mkString(" ")} ELSE `$c` END"
+          }
+          Some((cond, sets))
+        }
       LogTableMergeCommand(idx.tableRoot, source, keys,
         idx.partitionSchema.fieldNames.toSeq, tableCols,
         matchedActions, insertActions, nmbsDelete, nmbsUpdate,
-        starFast)
+        starFast, evolveCols,
+        catalogIdent = lr.catalogTable.map(_.identifier))
     }
   }
 }
@@ -488,8 +583,31 @@ final case class LogTableMergeCommand(tableRoot: String,
     insertActions: Seq[(String, Option[Seq[(String, String)]])],
     deleteCondSql: Option[String],
     updateUnmatchedSql: Option[(String, Seq[(String, String)])],
-    starFast: Boolean) extends LeafRunnableCommand {
+    starFast: Boolean,
+    evolveCols: Seq[(String, String)] = Seq.empty,
+    catalogIdent: Option[org.apache.spark.sql.catalyst
+      .TableIdentifier] = None)
+    extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
+
+  /** After an evolving merge on a CATALOG table, the metastore's
+    * recorded schema must follow the manifest's — Spark's
+    * `FindDataSourceTable` passes the catalog schema as the
+    * user-specified schema on the next by-name read and fails loudly
+    * on any mismatch. The relation's own post-merge schema (manifest
+    * DDL + partition-column placement) is authoritative. */
+  private def evolveCatalogSchema(spark: SparkSession): Unit =
+    catalogIdent.foreach { ti =>
+      val cat = spark.sessionState.catalog
+      val newSchema =
+        graft.operators.LogTable.readIndexed(spark, tableRoot).schema
+      val meta = cat.getTableMetadata(ti)
+      val pc = meta.partitionColumnNames.toSet
+      cat.alterTableDataSchema(ti, StructType(
+        newSchema.fields.filterNot(f => pc.contains(f.name))))
+      spark.catalog.refreshTable(ti.quotedString)
+    }
+
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{expr, lit, when}
     def nmbsUpd: Option[(org.apache.spark.sql.Column,
@@ -505,7 +623,8 @@ final case class LogTableMergeCommand(tableRoot: String,
       graft.operators.LogTable.merge(spark, tableRoot, src, keyCols,
         dateCol = partCols.mkString(","),
         deleteUnmatchedCond = deleteCondSql.map(expr),
-        updateUnmatched = nmbsUpd)
+        updateUnmatched = nmbsUpd,
+        evolveSchema = evolveCols.nonEmpty)
     } else {
       // The classification reads the table at a pinned version and
       // is CHECKPOINTED (the merge evaluates its updates several
@@ -522,11 +641,21 @@ final case class LogTableMergeCommand(tableRoot: String,
           tableRoot)
         // current target rows for the source's keys (probe-scoped;
         // a superset scan — the inner join below exacts the match),
-        // target columns renamed to the __t_ side
-        val tgt = graft.operators.LogTable.readKeyed(spark, tableRoot,
-            src.select(keyCols.map(col): _*), keyCols, asOf = Some(v0))
-          .select(keyCols.map(col) ++
-            tableCols.map(c => col(c).as(s"__t_$c")): _*)
+        // target columns renamed to the __t_ side. Under evolution a
+        // column the target does not hold YET null-fills (typed from
+        // the source) — per-attempt against the CURRENT head, so a
+        // lost race against a writer who already evolved it reads
+        // that writer's real values instead of clobbering with nulls
+        val tgtRaw = graft.operators.LogTable.readKeyed(spark,
+          tableRoot, src.select(keyCols.map(col): _*), keyCols,
+          asOf = Some(v0))
+        val have = tgtRaw.columns.toSet
+        val evolveType = evolveCols.toMap
+        val tgt = tgtRaw.select(keyCols.map(col) ++
+          tableCols.map { c =>
+            if (have(c)) col(c).as(s"__t_$c")
+            else lit(null).cast(evolveType(c)).as(s"__t_$c")
+          }: _*)
         val matchedDf = src.join(tgt, keyCols, "inner")
         val unmatchedDf = src.join(tgt.select(keyCols.map(col): _*),
           keyCols, "left_anti")
@@ -589,6 +718,7 @@ final case class LogTableMergeCommand(tableRoot: String,
             deleteUnmatchedCond = deleteCondSql.map(expr),
             updateUnmatched = nmbsUpd,
             expectSnapshotV = Some(v0),
+            evolveSchema = evolveCols.nonEmpty,
             deleteMatchedKeys = delKeysDf,
             // "matched by source" for the NMBS actions is the FULL
             // source key set — a matched row whose clauses all failed
@@ -619,6 +749,7 @@ final case class LogTableMergeCommand(tableRoot: String,
         }
       }
     }
+    if (evolveCols.nonEmpty) evolveCatalogSchema(spark)
     Seq.empty
   }
 }

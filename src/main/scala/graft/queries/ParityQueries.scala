@@ -905,6 +905,74 @@ object ParityQueries {
         |  v AS "value"
         |FROM m ORDER BY id""".stripMargin)),
 
+    // M1d — MERGE WITH SCHEMA EVOLUTION (r17 verdict missing #2): the
+    // source carries a NEW column (src_tag) the target lacks; the
+    // star-shaped actions widen add-only, pre-existing rows null-fill
+    // it, and the CONDITIONAL matched clause routes the merge down the
+    // generic keyed-upsert path (rewrite only files holding touched
+    // keys) — graded against an independent relational DuckDB
+    // re-derivation modeling the POST-evolution schema.
+    QuerySpec("m1d_merge_schema_evolution", (s, d) => {
+      val ev = t(s, d, "events")
+      val fact = ev.filter(col("ts") < tsLit("2024-01-28"))
+        .select(col("event_id").as("id"), col("ts"),
+          osloDate(col("ts")).as("start_date_oslo"),
+          col("event_type"), col("value"))
+      val base = java.nio.file.Files.createTempDirectory("graft_m1d")
+        .toString + "/t"
+      graft.operators.LogTable.init(fact, base)
+      s.sql("DROP TABLE IF EXISTS graft_m1d")
+      s.sql(s"CREATE TABLE graft_m1d USING logtable LOCATION '$base'")
+      ev.filter(osloDate(col("ts")).between(
+          lit("2024-01-23").cast("date"), lit("2024-01-30").cast("date")))
+        .select(col("event_id").as("id"), col("ts"),
+          osloDate(col("ts")).as("start_date_oslo"), col("event_type"),
+          (col("value") * 2).as("value"),
+          concat(lit("t_"), col("event_type")).as("src_tag"))
+        .createOrReplaceTempView("graft_m1d_src")
+      s.sql(
+        """MERGE WITH SCHEMA EVOLUTION INTO graft_m1d T
+          |USING graft_m1d_src S ON T.id = S.id
+          |WHEN MATCHED AND S.event_type <> 'error'
+          |THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      val out = s.sql(
+        """SELECT id, ts, CAST(start_date_oslo AS STRING) start_date_oslo,
+          |  event_type, value, src_tag FROM graft_m1d ORDER BY id"""
+          .stripMargin)
+        .localCheckpoint(true)
+      s.sql("DROP TABLE graft_m1d")
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration)
+        .delete(p.getParent, true)
+      out
+    }, Some(
+      """WITH fact AS (SELECT event_id id, ts,
+        |    CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE) d,
+        |    event_type, value v FROM events
+        |  WHERE ts < TIMESTAMP '2024-01-28'),
+        |sw AS (SELECT event_id id, ts,
+        |    CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE) d,
+        |    event_type, value*2 v, 't_' || event_type tag FROM events
+        |  WHERE CAST(timezone('Europe/Oslo', timezone('UTC', ts)) AS DATE)
+        |    BETWEEN DATE '2024-01-23' AND DATE '2024-01-30'),
+        |m AS (
+        |  SELECT f.id, f.ts, f.d,
+        |    CASE WHEN s.event_type <> 'error' THEN s.event_type
+        |         ELSE f.event_type END event_type,
+        |    CASE WHEN s.event_type <> 'error' THEN s.v ELSE f.v END v,
+        |    CASE WHEN s.event_type <> 'error' THEN s.tag END tag
+        |  FROM fact f JOIN sw s USING (id)
+        |  UNION ALL
+        |  SELECT f.id, f.ts, f.d, f.event_type, f.v, NULL FROM fact f
+        |  WHERE f.id NOT IN (SELECT id FROM sw)
+        |  UNION ALL
+        |  SELECT s.id, s.ts, s.d, s.event_type, s.v, s.tag FROM sw s
+        |  WHERE s.id NOT IN (SELECT id FROM fact))
+        |SELECT id, ts, CAST(d AS VARCHAR) start_date_oslo, event_type,
+        |  v AS "value", tag AS src_tag
+        |FROM m ORDER BY id""".stripMargin)),
+
     // ST4 — the SAME M1 semantics with staging replayed as a sliced
     // micro-batch stream (maxFilesPerTrigger=1 over a 2-file staging dump)
     // through Streams.streamingMergeIncrementalPartitioned: per-batch

@@ -1270,6 +1270,141 @@ class ExtensionRuleSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
 
+  test("MERGE NOT MATCHED BY SOURCE generalizes to N clauses (r17 " +
+    "verdict #7): two conditional UPDATEs + a DELETE compose " +
+    "first-match-wins in ONE commit, and the per-column fold keeps " +
+    "columns the claiming clause does not assign") {
+    import graft.operators.{LogTable, TableLog}
+    val root = java.nio.file.Files.createTempDirectory("graft_nmbs")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-05")
+    // m1: matched            → matched UPDATE
+    // u1: NMBS, v > 1500     → clause A (v += 1); ALSO satisfies B —
+    //                          first-match-wins, so w stays
+    // u2: NMBS, 800 < v      → clause B (w += 5); v stays
+    // u3: NMBS, v < 650      → clause C DELETE
+    // u4: NMBS, none true    → untouched
+    Seq(("m1", 10L, 100L, d), ("u1", 2000L, 100L, d),
+      ("u2", 1000L, 100L, d), ("u3", 600L, 100L, d),
+      ("u4", 700L, 100L, d))
+      .toDF("id", "v", "w", "start_date_oslo")
+      .createOrReplaceTempView("graft_nmbs_seed")
+    LogTable.init(spark.table("graft_nmbs_seed").repartition(1), root,
+      statsCols = Seq("v"))
+    spark.sql("DROP TABLE IF EXISTS graft_nmbs_t")
+    spark.sql(s"CREATE TABLE graft_nmbs_t USING logtable " +
+      s"LOCATION '$root'")
+    Seq(("m1", 999L, 100L, d))
+      .toDF("id", "v", "w", "start_date_oslo")
+      .createOrReplaceTempView("graft_nmbs_src")
+    val vPre = TableLog.currentVersion(spark, root)
+    spark.sql(
+      """MERGE INTO graft_nmbs_t T USING graft_nmbs_src S
+        |ON T.id = S.id
+        |WHEN MATCHED AND S.v > T.v THEN UPDATE SET v = S.v
+        |WHEN NOT MATCHED BY SOURCE AND T.v > 1500
+        |  THEN UPDATE SET v = T.v + 1
+        |WHEN NOT MATCHED BY SOURCE AND T.v > 800
+        |  THEN UPDATE SET w = T.w + 5
+        |WHEN NOT MATCHED BY SOURCE AND T.v < 650
+        |THEN DELETE""".stripMargin)
+    assert(TableLog.currentVersion(spark, root) == vPre + 1,
+      "N-clause NMBS must land as ONE atomic commit")
+    val got = spark.table("graft_nmbs_t").select("id", "v", "w")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(
+      "m1" -> ((999L, 100L)),  // matched update
+      "u1" -> ((2001L, 100L)), // clause A; B suppressed, w kept
+      "u2" -> ((1000L, 105L)), // clause B; v kept
+      "u4" -> ((700L, 100L))   // unclaimed → untouched
+    ), got.toString)
+    // pre-merge state still time-travels
+    assert(LogTable.read(spark, root, Some(vPre))
+      .select("id").as[String].collect().toSet ==
+      Set("m1", "u1", "u2", "u3", "u4"))
+    spark.sql("DROP TABLE graft_nmbs_t")
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
+  test("SQL MERGE lost-race attempts free their checkpoint blocks " +
+    "(r16 directive #5 spec-pin): a forced CAS retry leaves exactly " +
+    "as many persistent RDDs as an unraced merge, and " +
+    "freeLocalCheckpoint is a no-op on a non-checkpointed plan") {
+    import graft.operators.{LogTable, TableLog}
+    // no-op on a plan that is not a LogicalRDD checkpoint
+    org.apache.spark.sql.graftshim.PlanShim.freeLocalCheckpoint(
+      Seq(1).toDF("x")) // must not throw
+    val d = java.sql.Date.valueOf("2024-01-05")
+    def mkTable(tag: String): String = {
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_race_$tag").toString + "/t"
+      LogTable.init(Seq(("e1", 1L, d), ("e2", 2L, d))
+        .toDF("id", "v", "start_date_oslo").repartition(1), root)
+      spark.sql(s"DROP TABLE IF EXISTS graft_race_$tag")
+      spark.sql(s"CREATE TABLE graft_race_$tag USING logtable " +
+        s"LOCATION '$root'")
+      root
+    }
+    // conditional clause → the generic path, which pins its
+    // classification frames with localCheckpoint(true)
+    def mergeSql(tag: String): String =
+      s"""MERGE INTO graft_race_$tag T USING graft_race_src S
+         |ON T.id = S.id
+         |WHEN MATCHED AND S.v > T.v THEN UPDATE SET v = S.v
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    Seq(("e1", 100L, d), ("n1", 5L, d))
+      .toDF("id", "v", "start_date_oslo")
+      .createOrReplaceTempView("graft_race_src")
+    def persisted(): Set[Int] =
+      spark.sparkContext.getPersistentRDDs.keySet.toSet
+    // unraced baseline: how many blocks one clean attempt leaves
+    val rootA = mkTable("a")
+    val beforeA = persisted()
+    spark.sql(mergeSql("a"))
+    val deltaA = (persisted() -- beforeA).size
+    // raced: a one-shot hook lands a concurrent append between the
+    // merge's snapshot and its commit → CAS conflict → one stale
+    // attempt that must free updates/mCls/iCls AND the aborted
+    // merge's own key-frame pins
+    val rootB = mkTable("b")
+    val beforeB = persisted()
+    @volatile var fired = false
+    TableLog.dmlCommitHook = { action =>
+      if (!fired && action.startsWith("merge")) {
+        fired = true
+        LogTable.append(spark, rootB, Seq(("x9", 9L, d))
+          .toDF("id", "v", "start_date_oslo"))
+      }
+    }
+    try spark.sql(mergeSql("b"))
+    finally TableLog.dmlCommitHook = _ => ()
+    assert(fired, "the race-window hook must have fired")
+    // unpersist is async (blocking = false): poll until converged
+    val deadline = System.currentTimeMillis() + 20000L
+    var deltaB = (persisted() -- beforeB).size
+    while (deltaB > deltaA && System.currentTimeMillis() < deadline) {
+      Thread.sleep(100L); deltaB = (persisted() -- beforeB).size
+    }
+    assert(deltaB == deltaA,
+      s"the raced merge must not leak stale-attempt checkpoint " +
+        s"blocks: raced delta $deltaB vs clean delta $deltaA")
+    // and the retry converged on the RIGHT result: clause semantics
+    // applied on the post-append head, the raced row intact
+    val got = spark.table("graft_race_b").select("id", "v")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("e1" -> 100L, "e2" -> 2L, "n1" -> 5L,
+      "x9" -> 9L), got.toString)
+    Seq("a", "b").foreach(t => spark.sql(s"DROP TABLE graft_race_$t"))
+    Seq(rootA, rootB).foreach { r =>
+      val p = new org.apache.hadoop.fs.Path(r)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(p.getParent, true)
+    }
+  }
+
   test("SQL time travel on named logtables (r15 verdict missing #4): " +
     "VERSION AS OF and TIMESTAMP AS OF resolve through the manifest " +
     "FileIndex with zone pruning intact, a DV'd head still applies " +
@@ -1413,6 +1548,95 @@ class ExtensionRuleSpec extends SparkSpec {
     assert(LogTable.read(spark, root).count() == 36L)
     assert(LogTable.readIndexed(spark, root)
       .filter($"region" === "eu west").count() == 18L)
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+  }
+
+  test("MERGE WITH SCHEMA EVOLUTION (r17 verdict missing #2): a new " +
+    "source column evolves the table add-only — star shape widens, " +
+    "survivors and pre-existing files null-fill, the generic " +
+    "conditional path sees the new column as __t_ null, and the " +
+    "keyword-less merge still rejects extra columns loudly") {
+    import graft.operators.{LogTable, TableLog}
+    val root = java.nio.file.Files.createTempDirectory("graft_mse")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-01")
+    LogTable.init((1 to 6).map(i => (s"e$i", i * 10L, d))
+      .toDF("id", "cents", "start_date_oslo"), root)
+    spark.sql("DROP TABLE IF EXISTS graft_mse")
+    spark.sql(s"CREATE TABLE graft_mse USING logtable LOCATION '$root'")
+    // source carries a NEW column `note`
+    Seq(("e2", 999L, d, "upd"), ("e9", 90L, d, "new"))
+      .toDF("id", "cents", "start_date_oslo", "note")
+      .createOrReplaceTempView("graft_mse_src")
+    // without the keyword: loud reject, table untouched
+    val e = intercept[Exception](spark.sql(
+      """MERGE INTO graft_mse T USING graft_mse_src S ON T.id = S.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e.getMessage.contains("column") ||
+      e.getMessage.contains("SCHEMA"), e.getMessage)
+    assert(LogTable.read(spark, root).columns.toSeq ==
+      Seq("id", "cents", "start_date_oslo"))
+    // star shape + evolution: matched row takes the source note,
+    // unmatched-by-source survivors null-fill it, insert lands whole
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft_mse T
+        |USING graft_mse_src S ON T.id = S.id
+        |WHEN MATCHED THEN UPDATE SET *
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = spark.sql(
+      "SELECT id, cents, note FROM graft_mse ORDER BY id")
+      .as[(String, Long, Option[String])].collect().toSeq
+    assert(got == Seq(("e1", 10L, None), ("e2", 999L, Some("upd")),
+      ("e3", 30L, None), ("e4", 40L, None), ("e5", 50L, None),
+      ("e6", 60L, None), ("e9", 90L, Some("new"))), got.toString)
+    // pre-evolution versions still read with their own schema
+    assert(LogTable.read(spark, root, Some(1L)).columns.toSeq ==
+      Seq("id", "cents", "start_date_oslo"))
+    // explicit lists stay STRICT even under the keyword: an
+    // assignment KEY naming a not-yet-existing column is rejected by
+    // Spark's own resolver (assignment-key evolution is DSv2-only)
+    Seq(("e3", 333L, d, Option.empty[String], true),
+        ("e2", 1L, d, Some("x"), true))
+      .toDF("id", "cents", "start_date_oslo", "note", "flag")
+      .createOrReplaceTempView("graft_mse_src2")
+    val e2 = intercept[Exception](spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft_mse T
+        |USING graft_mse_src2 S ON T.id = S.id
+        |WHEN MATCHED THEN UPDATE SET bogus = S.flag""".stripMargin))
+    assert(e2.getMessage.toLowerCase.contains("bogus"), e2.getMessage)
+    // generic CONDITIONAL star + a SECOND new column (flag): the
+    // conditional clause routes down the generic path, the condition
+    // reads the first-round-evolved column's __t_ side (null-filled
+    // for rows whose files predate it), and the star widens to flag
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft_mse T
+        |USING graft_mse_src2 S ON T.id = S.id
+        |WHEN MATCHED AND T.note IS NULL THEN UPDATE SET *""".stripMargin)
+    val got2 = spark.sql(
+      "SELECT id, cents, note, flag FROM graft_mse ORDER BY id")
+      .as[(String, Long, Option[String], Option[Boolean])].collect()
+      .toSeq
+    assert(got2 == Seq(
+      ("e1", 10L, None, None),
+      ("e2", 999L, Some("upd"), None), // note set -> condition false
+      ("e3", 333L, None, Some(true)),  // updated + evolved flag
+      ("e4", 40L, None, None), ("e5", 50L, None, None),
+      ("e6", 60L, None, None), ("e9", 90L, Some("new"), None)),
+      got2.toString)
+    // idempotent re-merge with the keyword and NO new columns: plain
+    // merge semantics, no spurious schema commit
+    val ddlBefore = LogTable.manifest(spark, root,
+      TableLog.currentVersion(spark, root)).schemaDdl
+    spark.sql(
+      """MERGE WITH SCHEMA EVOLUTION INTO graft_mse T
+        |USING graft_mse_src2 S ON T.id = S.id
+        |WHEN MATCHED AND T.note IS NULL THEN UPDATE SET *""".stripMargin)
+    assert(LogTable.manifest(spark, root,
+      TableLog.currentVersion(spark, root)).schemaDdl == ddlBefore)
+    spark.sql("DROP TABLE graft_mse")
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
 
