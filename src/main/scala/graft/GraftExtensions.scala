@@ -48,6 +48,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectResolutionRule(_ => graft.plans.LogTableDvRule)
     ext.injectResolutionRule(_ => graft.plans.LogTableInsertRule)
     ext.injectResolutionRule(_ => graft.plans.LogTableDmlRule)
+    // ALTER TABLE ... ADD COLUMNS (r18): swap Spark's v1 command —
+    // which whitelists only the built-in file formats — for the
+    // manifest's metadata-only add-only schema evolution
+    ext.injectResolutionRule(_ => graft.plans.LogTableAlterRule)
     // SQL time travel on NAMED logtables (r15): VERSION AS OF /
     // TIMESTAMP AS OF resolve through the manifest FileIndex. Hint
     // batch, not Resolution: Spark's own ResolveRelations throws

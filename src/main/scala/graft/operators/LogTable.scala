@@ -3757,6 +3757,51 @@ object LogTable {
     * schema carry over untouched; prior versions still time-travel.
     * Returns the committed version (unchanged when the table declares
     * no stats columns). */
+  /** The `ALTER TABLE … ADD COLUMNS` role: evolve the schema ADD-ONLY
+    * with a METADATA-ONLY commit — no data file is touched or
+    * re-pointed; every existing file null-fills the new columns on
+    * read (the same contract appends carrying new columns already
+    * commit implicitly, reference: fetch_clickup_data.py:1190-1214's
+    * ensure-table column adds). New columns are always NULLABLE (the
+    * null-fill contract requires it). Types are Spark DDL strings
+    * (`BIGINT`, `ARRAY<STRING>`, …). Prior versions keep their own
+    * schema (time travel reads the old DDL); the commit rides the
+    * normal CAS loop, so a racing append's DDL reconciles add-only.
+    * Returns the committed version. */
+  def addColumns(spark: SparkSession, tableRoot: String,
+                 cols: Seq[(String, String)]): Long =
+    TableLog.withLock(spark, tableRoot, "addcols") {
+      require(cols.nonEmpty, "LogTable.addColumns: no columns given")
+      val v = TableLog.currentVersion(spark, tableRoot)
+      require(v > 0L, s"LogTable.addColumns: $tableRoot has no " +
+        "manifest — init first")
+      val prev = manifest(spark, tableRoot, v)
+      val ddl = prev.schemaDdl.getOrElse(sys.error(
+        s"LogTable.addColumns: version $v of $tableRoot records no " +
+          "schema — re-commit through a schema-carrying write first"))
+      val old = StructType.fromDDL(ddl)
+      val taken = old.fieldNames.map(_.toLowerCase).toSet
+      val added = cols.map { case (n, t) =>
+        require(!taken(n.toLowerCase),
+          s"LogTable.addColumns: column $n already exists")
+        val dt =
+          try org.apache.spark.sql.catalyst.parser.CatalystSqlParser
+            .parseDataType(t)
+          catch { case e: org.apache.spark.sql.catalyst.parser
+              .ParseException =>
+            throw new IllegalArgumentException(
+              s"LogTable.addColumns: '$t' is not a Spark DDL type " +
+                s"for column $n", e)
+          }
+        StructField(n, dt, nullable = true)
+      }
+      require(added.map(_.name.toLowerCase).distinct.size ==
+        added.size, "LogTable.addColumns: duplicate column names")
+      writeCommit(spark, tableRoot, "addcols", prev.statsCols,
+        Some(StructType(old.fields ++ added).toDDL),
+        Map.empty, Seq.empty, snapshotV = Some(v))
+    }
+
   def recomputeStats(spark: SparkSession, tableRoot: String): Long =
     TableLog.withLock(spark, tableRoot, "restat") {
       val v = TableLog.currentVersion(spark, tableRoot)

@@ -224,6 +224,26 @@ object LogTableDmlRule extends Rule[LogicalPlan] {
       case _ => false
     }
 
+  /** After an evolving commit on a CATALOG table, the metastore's
+    * recorded schema must follow the manifest's — Spark's
+    * `FindDataSourceTable` passes the catalog schema as the
+    * user-specified schema on the next by-name read and fails loudly
+    * on any mismatch. The relation's own post-commit schema (manifest
+    * DDL + partition-column placement) is authoritative. Shared by
+    * the evolving MERGE and the ALTER ADD COLUMNS command. */
+  private[plans] def syncCatalogSchema(spark: SparkSession,
+      ti: org.apache.spark.sql.catalyst.TableIdentifier,
+      tableRoot: String): Unit = {
+    val cat = spark.sessionState.catalog
+    val newSchema =
+      graft.operators.LogTable.readIndexed(spark, tableRoot).schema
+    val meta = cat.getTableMetadata(ti)
+    val pc = meta.partitionColumnNames.toSet
+    cat.alterTableDataSchema(ti, StructType(
+      newSchema.fields.filterNot(f => pc.contains(f.name))))
+    spark.catalog.refreshTable(ti.quotedString)
+  }
+
   /** The assigned column's name (resolved target reference). An
     * assignment key naming a column the v1 target does not hold never
     * reaches this rule: Spark's own resolver throws UNRESOLVED_COLUMN
@@ -566,6 +586,52 @@ final case class LogTableUpdateCommand(tableRoot: String,
   }
 }
 
+/** `ALTER TABLE … ADD COLUMNS` on logtables (r18): Spark resolves the
+  * statement to the v1 [[AlterTableAddColumnsCommand]], whose run()
+  * whitelists only the built-in file formats (csv/json/parquet/orc/
+  * avro/hive) — a custom provider fails at execution. For tables
+  * whose provider is `logtable` the resolved command is swapped for
+  * the manifest's METADATA-ONLY add-only evolution
+  * ([[graft.operators.LogTable.addColumns]]) plus the catalog schema
+  * sync; every other table keeps Spark's own handling. Columns must
+  * be nullable — existing files null-fill them on read. */
+object LogTableAlterRule extends Rule[LogicalPlan] {
+  import org.apache.spark.sql.execution.command
+    .AlterTableAddColumnsCommand
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!plan.exists(_.isInstanceOf[AlterTableAddColumnsCommand]))
+      return plan
+    plan transformDown {
+      case a @ AlterTableAddColumnsCommand(ti, cols) =>
+        val spark = SparkSession.active
+        LogTableMaintenance.namedLogTableLocation(spark,
+          ti.database.toSeq :+ ti.table) match {
+          case None => a // not ours — Spark's own handling applies
+          case Some(root) =>
+            cols.foreach(f => require(f.nullable,
+              s"logtable ALTER TABLE ADD COLUMNS: ${f.name} must be " +
+                "nullable — files written before the column exists " +
+                "null-fill it on read"))
+            LogTableAddColumnsCommand(root, ti,
+              cols.map(f => f.name -> f.dataType.catalogString))
+        }
+    }
+  }
+}
+
+/** ALTER TABLE ADD COLUMNS — one metadata-only manifest commit (no
+  * file touched), then the catalog's recorded schema follows. */
+final case class LogTableAddColumnsCommand(tableRoot: String,
+    ident: org.apache.spark.sql.catalyst.TableIdentifier,
+    cols: Seq[(String, String)]) extends LeafRunnableCommand {
+  override def run(spark: SparkSession): Seq[Row] = {
+    graft.operators.LogTable.addColumns(spark, tableRoot, cols)
+    LogTableDmlRule.syncCatalogSchema(spark, ident, tableRoot)
+    Seq.empty
+  }
+}
+
 /** MERGE INTO — file-granular copy-on-write through
   * [[graft.operators.LogTable.merge]]. The star fast path passes the
   * source through whole; the GENERIC path (r16 verdict #3) joins the
@@ -590,23 +656,9 @@ final case class LogTableMergeCommand(tableRoot: String,
     extends LeafRunnableCommand {
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
 
-  /** After an evolving merge on a CATALOG table, the metastore's
-    * recorded schema must follow the manifest's — Spark's
-    * `FindDataSourceTable` passes the catalog schema as the
-    * user-specified schema on the next by-name read and fails loudly
-    * on any mismatch. The relation's own post-merge schema (manifest
-    * DDL + partition-column placement) is authoritative. */
   private def evolveCatalogSchema(spark: SparkSession): Unit =
-    catalogIdent.foreach { ti =>
-      val cat = spark.sessionState.catalog
-      val newSchema =
-        graft.operators.LogTable.readIndexed(spark, tableRoot).schema
-      val meta = cat.getTableMetadata(ti)
-      val pc = meta.partitionColumnNames.toSet
-      cat.alterTableDataSchema(ti, StructType(
-        newSchema.fields.filterNot(f => pc.contains(f.name))))
-      spark.catalog.refreshTable(ti.quotedString)
-    }
+    catalogIdent.foreach(ti =>
+      LogTableDmlRule.syncCatalogSchema(spark, ti, tableRoot))
 
   override def run(spark: SparkSession): Seq[Row] = {
     import org.apache.spark.sql.functions.{expr, lit, when}

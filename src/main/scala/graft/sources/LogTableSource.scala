@@ -438,7 +438,7 @@ private[graft] final class LogTableChangeSource(
     * byte budget) and skips their feed scan in getBatch entirely
     * (Delta's `dataChange = false` contract). */
   private val noDataChange = Set("compact", "zorder", "restat",
-    "bloomcols")
+    "bloomcols", "addcols")
 
   /** Per-version (action, added-bytes), cached — versions are
     * immutable, so a delta's weight never changes once read (one

@@ -1329,6 +1329,82 @@ class ExtensionRuleSpec extends SparkSpec {
     fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
   }
 
+  test("ALTER TABLE ADD COLUMNS on a logtable (r18): a METADATA-ONLY " +
+    "commit evolves the schema add-only — no file is touched, old " +
+    "rows null-fill, inserts with the new column work, time travel " +
+    "keeps the old schema, and duplicate / NOT NULL columns are " +
+    "rejected loudly") {
+    import graft.operators.{LogTable, TableLog}
+    val root = java.nio.file.Files.createTempDirectory("graft_alter")
+      .toString + "/t"
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val d = java.sql.Date.valueOf("2024-01-05")
+    LogTable.init(Seq(("e1", 1L, d), ("e2", 2L, d))
+      .toDF("id", "v", "start_date_oslo").repartition(1), root)
+    spark.sql("DROP TABLE IF EXISTS graft_alter_t")
+    spark.sql(s"CREATE TABLE graft_alter_t USING logtable " +
+      s"LOCATION '$root'")
+    val vPre = TableLog.currentVersion(spark, root)
+    def liveFiles(): Set[String] =
+      LogTable.manifest(spark, root,
+          TableLog.currentVersion(spark, root))
+        .parts.toSeq.flatMap { case (p, fl) =>
+          fl.map(f => s"$p/${f.file}") }.toSet
+    val filesPre = liveFiles()
+    spark.sql(
+      "ALTER TABLE graft_alter_t ADD COLUMNS (note STRING, n BIGINT)")
+    assert(TableLog.currentVersion(spark, root) == vPre + 1,
+      "ALTER must land as ONE commit")
+    assert(liveFiles() == filesPre,
+      "ALTER must be metadata-only — no file re-pointed or written")
+    // old rows null-fill through the by-name read (catalog followed)
+    val got = spark.sql(
+      "SELECT id, v, note, n FROM graft_alter_t ORDER BY id")
+      .as[(String, Long, Option[String], Option[Long])].collect().toSeq
+    assert(got == Seq(("e1", 1L, None, None), ("e2", 2L, None, None)),
+      got.toString)
+    // inserts may now carry the new columns
+    // the evolved catalog schema orders the partition column LAST
+    // (data schema ++ partition schema) — positional VALUES follow it
+    spark.sql("INSERT INTO graft_alter_t VALUES " +
+      "('e3', 3, 'x', 30, DATE '2024-01-05')")
+    val got2 = spark.sql(
+      "SELECT note, n FROM graft_alter_t WHERE id = 'e3'")
+      .as[(Option[String], Option[Long])].collect().toSeq
+    assert(got2 == Seq((Some("x"), Some(30L))), got2.toString)
+    // time travel still reads the PRE-alter schema
+    assert(LogTable.read(spark, root, Some(vPre)).columns.toSeq ==
+      Seq("id", "v", "start_date_oslo"))
+    // duplicate column → loud, nothing committed
+    val vStable = TableLog.currentVersion(spark, root)
+    val e1 = intercept[Exception](spark.sql(
+      "ALTER TABLE graft_alter_t ADD COLUMNS (v BIGINT)"))
+    assert(e1.getMessage.contains("already exists"), e1.getMessage)
+    // NOT NULL → loud (existing files null-fill, so nullable only;
+    // Spark's own v1 ALTER path already rejects it upstream, and the
+    // rule's guard backstops any path that slips through)
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE graft_alter_t ADD COLUMNS (m BIGINT NOT NULL)"))
+    assert(e2.getMessage.contains("nullable") ||
+      e2.getMessage.contains("NOT NULL"), e2.getMessage)
+    assert(TableLog.currentVersion(spark, root) == vStable)
+    // a non-logtable table keeps Spark's own handling (parquet is
+    // whitelisted there — the statement must still work)
+    spark.sql("DROP TABLE IF EXISTS graft_alter_pq")
+    val pqDir = java.nio.file.Files
+      .createTempDirectory("graft_alter_pq").toString + "/p"
+    spark.sql(s"CREATE TABLE graft_alter_pq (a INT) USING parquet " +
+      s"LOCATION '$pqDir'")
+    spark.sql("ALTER TABLE graft_alter_pq ADD COLUMNS (b STRING)")
+    assert(spark.table("graft_alter_pq").columns.toSeq ==
+      Seq("a", "b"))
+    spark.sql("DROP TABLE graft_alter_pq")
+    spark.sql("DROP TABLE graft_alter_t")
+    fs.delete(new org.apache.hadoop.fs.Path(root).getParent, true)
+    fs.delete(new org.apache.hadoop.fs.Path(pqDir).getParent, true)
+  }
+
   test("SQL MERGE lost-race attempts free their checkpoint blocks " +
     "(r16 directive #5 spec-pin): a forced CAS retry leaves exactly " +
     "as many persistent RDDs as an unraced merge, and " +
