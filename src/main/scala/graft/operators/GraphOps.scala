@@ -143,39 +143,58 @@ object GraphOps {
     val deg = e.select(col("__u").as("node"))
       .union(e.select(col("__v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("__d"))
-    // Orient low-rank → high-rank where rank = (degree, id) — a strict
-    // total order, so exactly one direction survives per edge. The
-    // target's rank rides along for the wedge filter below.
-    val withDeg = e
-      .join(deg.select(col("node").as("__u"), col("__d").as("__du")), "__u")
-      .join(deg.select(col("node").as("__v"), col("__d").as("__dv")), "__v")
-    val oriented = withDeg.select(
-      when(col("__du") < col("__dv") ||
-          (col("__du") === col("__dv") && col("__u") < col("__v")),
-        struct(col("__u").as("s"), col("__v").as("t"), col("__dv").as("td")))
-        .otherwise(
-          struct(col("__v").as("s"), col("__u").as("t"), col("__du").as("td")))
+    // r18 (guide §2.3 "narrower types" / "shuffle keys instead of
+    // payloads"): the wedge frame — the O(m^1.5) giant every byte of
+    // which crosses the closing join's exchange — used to carry THREE
+    // STRING node ids plus a degree tiebreak column. Nodes are now
+    // dictionary-encoded once into their dense (degree, id) RANK (the
+    // range-partitioned prefix-sum kernel — no single-task window at any
+    // node count), and the whole wedge/close pipeline runs on BIGINT
+    // ranks: a wedge row shrinks ~80 B → 32 B, the rank IS the
+    // orientation order (one integer compare replaces the two-column
+    // lexicographic tiebreak), and join hashing/sorting work on longs
+    // instead of UTF8Strings. The triangle SET is invariant under any
+    // strict total order (each triangle is owned by its lowest-rank
+    // corner), so per-node counts are bit-identical; the rank→node map
+    // is node-sized and joins back once at the end. (A bloom prefilter
+    // on the wedge frame was measured instead and REJECTED: the 4 MB+
+    // filter literal's random probes are DRAM-latency-bound per row and
+    // cost more than the exchange they save — tools/ProfileTri.)
+    val ranked = graft.operators.ScaleOps.globalRankAndSum(deg, "__d",
+        Seq(col("__d").asc, col("node").asc))
+      .select(col("node"), col("__rank").as("__r"))
+    val (dict, releaseDict) = Checkpoints.tracked(ranked)
+    // Orient low-rank → high-rank: strict total order (rank is unique),
+    // so exactly one direction survives per edge.
+    val withR = e
+      .join(dict.select(col("node").as("__u"), col("__r").as("__ru")), "__u")
+      .join(dict.select(col("node").as("__v"), col("__r").as("__rv")), "__v")
+    val oriented = withR.select(
+      when(col("__ru") < col("__rv"),
+        struct(col("__ru").as("s"), col("__rv").as("t")))
+        .otherwise(struct(col("__rv").as("s"), col("__ru").as("t")))
         .as("__e"))
-      .select(col("__e.s").as("__s"), col("__e.t").as("__t"),
-        col("__e.td").as("__td"))
+      .select(col("__e.s").as("__s"), col("__e.t").as("__t"))
     val (o, releaseO) = Checkpoints.tracked(oriented)
     // Wedges (x, y) centered at s with rank(x) < rank(y): the closing
     // edge, if present, is oriented x → y (orientation always points up
     // the rank order), so one equi-join on BOTH endpoints closes it.
-    val wedges = o.select(col("__s"), col("__t").as("__x"), col("__td").as("__dx"))
-      .join(o.select(col("__s"), col("__t").as("__y"), col("__td").as("__dy")),
-        "__s")
-      .filter(col("__dx") < col("__dy") ||
-        (col("__dx") === col("__dy") && col("__x") < col("__y")))
+    val wedges = o.select(col("__s"), col("__t").as("__x"))
+      .join(o.select(col("__s"), col("__t").as("__y")), "__s")
+      .filter(col("__x") < col("__y"))
     val tri = wedges
       .join(o.select(col("__s").as("__x"), col("__t").as("__y")),
         Seq("__x", "__y"))
       .select(col("__s"), col("__x"), col("__y"))
-    val out = tri
-      .select(explode(array(col("__s"), col("__x"), col("__y"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+    val counts = tri
+      .select(explode(array(col("__s"), col("__x"), col("__y"))).as("__r"))
+      .groupBy(col("__r")).agg(count(lit(1)).as("n_tri"))
+    val out = counts
+      .join(dict, Seq("__r"))
+      .select(col("node"), col("n_tri"))
       .localCheckpoint(true)
     releaseO()
+    releaseDict()
     releaseE()
     out
   }

@@ -1025,20 +1025,33 @@ object TextOps {
     require(window >= 1 && maskBits >= 1,
       s"window and maskBits must be >= 1 (got $window, $maskBits)")
     val mod = lit(1000000007L)
+    // r18 optimization (guide §1.2 step 2, per-task work): the boundary
+    // probe at each position used to be `aggregate(sequence(1, window), …)`
+    // — per POSITION that allocated a sequence array, ran an interpreted
+    // lambda fold, and re-evaluated `ascii(element_at(cs, …))` window
+    // times: O(len·window) ascii() calls plus O(len) array allocs per
+    // document. Now the ascii codes are computed ONCE per character
+    // (letArray-bound, so the transform runs once per row) and the window
+    // fold is UNROLLED into a fixed expression chain — the exact same
+    // `pmod(acc·31 + code, 1e9+7)` step sequence, so boundaries are
+    // bit-identical, but each probe is `window` adds/muls/pmods over
+    // lambda-variable reads with zero per-position allocation.
     val spans = letArray(filter(split(col(textCol), ""),
       c => length(c) > 0), { cs =>
-      val n = size(cs)
-      val bounds = filter(
-        when(n >= window, sequence(lit(window), n))
-          .otherwise(array().cast("array<int>")),
-        p => pmod(aggregate(sequence(lit(1), lit(window)), lit(0L),
-          (acc, j) => pmod(acc * 31 +
-            ascii(element_at(cs, (p + j - window).cast("int"))), mod)),
-          lit(1L << maskBits)) === 0)
-      val starts = concat(array(lit(0)), bounds)
-      val ends = concat(bounds, array(n))
-      zip_with(starts, ends, (s, e) => struct(s.as("s"), e.as("e"),
-        array_join(slice(cs, s + 1, e - s), "").as("txt")))
+      letArray(transform(cs, c => ascii(c)), { codes =>
+        val n = size(cs)
+        val bounds = filter(
+          when(n >= window, sequence(lit(window), n))
+            .otherwise(array().cast("array<int>")),
+          p => pmod((1 to window).foldLeft(lit(0L): Column) { (acc, j) =>
+            pmod(acc * 31 + element_at(codes,
+              if (j == window) p else p - lit(window - j)), mod)
+          }, lit(1L << maskBits)) === 0)
+        val starts = concat(array(lit(0)), bounds)
+        val ends = concat(bounds, array(n))
+        zip_with(starts, ends, (s, e) => struct(s.as("s"), e.as("e"),
+          array_join(slice(cs, s + 1, e - s), "").as("txt")))
+      })
     })
     docs.filter(col(textCol).isNotNull)
       .select(col(idCol), posexplode(spans).as(Seq("chunk_idx", "__sp")))
