@@ -33,6 +33,22 @@ object GraphOps {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** r18 (guide §2.3 "narrower types"): dense BIGINT dictionary for node
+    * ids, ORDER-ISOMORPHIC to the string ids (rank 1 = smallest id), via
+    * the range-partitioned prefix-sum kernel — no single-task window at
+    * any node count. Every iterative operator's per-round frames are
+    * keyed by node, so running the rounds on 8-byte ranks instead of
+    * UTF8Strings halves the bytes each round shuffles/checkpoints and
+    * makes hash/compare integer ops. Order isomorphism keeps ordering
+    * semantics EXACT where they matter (label propagation breaks ties by
+    * the SMALLEST label: min over ranks == min over ids).
+    * Input: one `node` column; output: (node, __id).
+    */
+  private def rankDict(nodes: DataFrame): DataFrame =
+    graft.operators.ScaleOps.globalRankAndSum(
+        nodes.withColumn("__unit", lit(1L)), "__unit", Seq(col("node").asc))
+      .select(col("node"), col("__rank").as("__id"))
+
   /** Fixed-iteration PageRank with damping `d`:
     * `pr_{k+1}(v) = (1-d)/N + d * Σ_{u→v} pr_k(u)/outdeg(u)`, from the
     * uniform start `pr_0 = 1/N`. Nodes = distinct sources ∪ targets.
@@ -68,14 +84,25 @@ object GraphOps {
                iterations: Int, damping: Double = 0.85): DataFrame =
     withCappedShuffle(edges) {
     require(iterations >= 1, s"iterations must be >= 1 (got $iterations)")
-    val (e, releaseE) = Checkpoints.tracked(edges
+    val (e0, releaseE0) = Checkpoints.tracked(edges
       .select(col(srcCol).cast("string").as("__s"),
         col(dstCol).cast("string").as("__t"))
       .distinct())
-    val (nodes, releaseNodes) = Checkpoints.tracked(
-      e.select(col("__s").as("node"))
-        .union(e.select(col("__t").as("node"))).distinct())
-    val n = nodes.count()
+    // r18: the iteration runs on BIGINT node ranks (see [[rankDict]]) —
+    // the edge frame is encoded ONCE; every per-iteration join/aggregate
+    // hashes longs; the string ids rejoin once at the end. Ranks are a
+    // bijection, so every sum/div/min in the fixed-point chain sees the
+    // same groups and the result is bit-identical (oracle-verified).
+    val (dict, releaseDict) = Checkpoints.tracked(rankDict(
+      e0.select(col("__s").as("node"))
+        .union(e0.select(col("__t").as("node"))).distinct()))
+    val (e, releaseE) = Checkpoints.tracked(e0
+      .join(dict.select(col("node").as("__s"), col("__id").as("__si")), "__s")
+      .join(dict.select(col("node").as("__t"), col("__id").as("__ti")), "__t")
+      .select(col("__si").as("__s"), col("__ti").as("__t")))
+    releaseE0()
+    val nodes = dict.select(col("__id").as("node"))
+    val n = dict.count()
     val deg = e.groupBy(col("__s").as("node")).agg(count(lit(1)).as("__deg"))
     val base12 = math.round((1.0 - damping) / n * 1e12)
     val d6 = math.round(damping * 1e6)
@@ -98,11 +125,13 @@ object GraphOps {
       pr = next
       releasePrev = releaseNext
     }
-    val out = pr.select(col("node"),
+    val out = pr.select(col("node").as("__id"), col("__pr12"))
+      .join(dict, Seq("__id"))
+      .select(col("node"),
         (col("__pr12").cast("double") / lit(1e12)).as("pagerank"))
       .localCheckpoint(true)
     releasePrev()
-    releaseNodes()
+    releaseDict()
     releaseE()
     out
     }
@@ -217,17 +246,30 @@ object GraphOps {
   def kCore(edges: DataFrame, srcCol: String, dstCol: String,
             k: Int, rounds: Int): DataFrame = withCappedShuffle(edges) {
     require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1 (got $k, $rounds)")
-    val init = edges
+    val (init, releaseInit) = Checkpoints.tracked(edges
       .select(col(srcCol).cast("string").as("__a"),
         col(dstCol).cast("string").as("__b"))
       .filter(col("__a").isNotNull && col("__b").isNotNull &&
         col("__a") =!= col("__b"))
       .select(least(col("__a"), col("__b")).as("__u"),
         greatest(col("__a"), col("__b")).as("__v"))
-      .distinct()
+      .distinct())
+    // r18: peel on BIGINT node ranks (see [[rankDict]]) — each round
+    // checkpoints and semi-joins the edge frame, so halving its row
+    // width halves every round's materialization; ids rejoin once at
+    // the end. Ranks are a bijection: degrees and the ≥k set are the
+    // same sets each round, so the result is bit-identical.
+    val (dict, releaseDict) = Checkpoints.tracked(rankDict(
+      init.select(col("__u").as("node"))
+        .union(init.select(col("__v").as("node"))).distinct()))
+    val enc = init
+      .join(dict.select(col("node").as("__u"), col("__id").as("__ui")), "__u")
+      .join(dict.select(col("node").as("__v"), col("__id").as("__vi")), "__v")
+      .select(col("__ui").as("__u"), col("__vi").as("__v"))
     var (e, releaseE) = Checkpoints.tracked(
-      init.select(col("__u").as("__s"), col("__v").as("__t"))
-        .union(init.select(col("__v").as("__s"), col("__u").as("__t"))))
+      enc.select(col("__u").as("__s"), col("__v").as("__t"))
+        .union(enc.select(col("__v").as("__s"), col("__u").as("__t"))))
+    releaseInit()
     for (_ <- 1 to rounds) {
       val keep = e.groupBy(col("__s")).agg(count(lit(1)).as("__dg"))
         .filter(col("__dg") >= k).select(col("__s"))
@@ -238,10 +280,13 @@ object GraphOps {
       e = next
       releaseE = releaseNext
     }
-    val out = e.groupBy(col("__s").as("node"))
+    val out = e.groupBy(col("__s").as("__id"))
       .agg(count(lit(1)).as("degree"))
+      .join(dict, Seq("__id"))
+      .select(col("node"), col("degree"))
       .localCheckpoint(true)
     releaseE()
+    releaseDict()
     out
   }
 
@@ -266,14 +311,26 @@ object GraphOps {
                        iterations: Int): DataFrame =
     withCappedShuffle(edges) {
     require(iterations >= 1, s"iterations must be >= 1 (got $iterations)")
-    val (e, releaseE) = Checkpoints.tracked(edges
+    val (e0, releaseE0) = Checkpoints.tracked(edges
       .select(col(srcCol).cast("string").as("__s"),
         col(dstCol).cast("string").as("__t"))
       .filter(col("__s").isNotNull && col("__t").isNotNull)
       .distinct())
-    val (nodes, releaseNodes) = Checkpoints.tracked(
-      e.select(col("__s").as("node"))
-        .union(e.select(col("__t").as("node"))).distinct())
+    // r18: iterate on BIGINT node ranks (see [[rankDict]]). The rank
+    // dictionary is ORDER-ISOMORPHIC to the string ids, so the
+    // smallest-label tiebreak (min over labels) picks the SAME winner on
+    // ranks as on ids, and the per-iteration (node, label) count frame —
+    // the big one — shuffles two longs instead of two strings. Node and
+    // community ids rejoin once at the end.
+    val (dict, releaseDict) = Checkpoints.tracked(rankDict(
+      e0.select(col("__s").as("node"))
+        .union(e0.select(col("__t").as("node"))).distinct()))
+    val (e, releaseE) = Checkpoints.tracked(e0
+      .join(dict.select(col("node").as("__s"), col("__id").as("__si")), "__s")
+      .join(dict.select(col("node").as("__t"), col("__id").as("__ti")), "__t")
+      .select(col("__si").as("__s"), col("__ti").as("__t")))
+    releaseE0()
+    val nodes = dict.select(col("__id").as("node"))
     var lbl = nodes.withColumn("__l", col("node"))
     var releasePrev: () => Unit = () => ()
     for (_ <- 1 to iterations) {
@@ -292,10 +349,15 @@ object GraphOps {
       lbl = next
       releasePrev = releaseNext
     }
-    val out = lbl.select(col("node"), col("__l").as("community"))
+    val out = lbl
+      .join(dict.select(col("__id").as("node"), col("node").as("__n")),
+        Seq("node"))
+      .join(dict.select(col("__id").as("__l"), col("node").as("__c")),
+        Seq("__l"))
+      .select(col("__n").as("node"), col("__c").as("community"))
       .localCheckpoint(true)
     releasePrev()
-    releaseNodes()
+    releaseDict()
     releaseE()
     out
   }
