@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 import graft.operators.{Analytics, ClusterOps, Dedup, DedupOps, GraphOps, Multimodal, SimilarityOps, TextOps}
-import graft.queries.QuerySpec.t
+import graft.queries.QuerySpec.{t, tw}
 import graft.streaming.Streams
 
 /** LLM-training-data-pipeline queries over `documents`/`embeddings`/`events`
@@ -574,7 +574,7 @@ object ScaleQueries {
     // 0.06. A regenerated corpus with pairs in the (0.5, 0.7) band would
     // need more bands (recall) or the exact x3 operator instead.
     QuerySpec("x2_minhash_lsh_neardup",
-      (s, d) => DedupOps.minhashLshPairs(t(s, d, "documents"), "doc_id", "text",
+      (s, d) => DedupOps.minhashLshPairs(tw(s, d, "documents"), "doc_id", "text",
         shingleWords = 5, numHashes = 16, bands = 8, threshold = 0.5)
         .orderBy("id_a", "id_b"),
       Some("""WITH toks AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') tk
@@ -594,7 +594,7 @@ object ScaleQueries {
              |ORDER BY 1,2""".stripMargin)),
 
     QuerySpec("x3_ngram_jaccard_neardup",
-      (s, d) => DedupOps.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+      (s, d) => DedupOps.ngramJaccardPairs(tw(s, d, "documents"), "doc_id", "text",
         blockCol = "lang", shingleWords = 3, threshold = 0.5)
         .orderBy("id_a", "id_b"),
       Some("""WITH toks AS (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\s+') tk
@@ -614,7 +614,7 @@ object ScaleQueries {
              |ORDER BY 1,2""".stripMargin)),
 
     QuerySpec("x13_neardup_clusters", (s, d) => {
-      val pairs = DedupOps.ngramJaccardPairs(t(s, d, "documents"),
+      val pairs = DedupOps.ngramJaccardPairs(tw(s, d, "documents"),
         "doc_id", "text", blockCol = "lang", shingleWords = 3, threshold = 0.5)
       DedupOps.connectedComponents(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("cluster_root"), col("is_canonical"))
@@ -627,7 +627,7 @@ object ScaleQueries {
     // the identical recursive-CTE oracle (both implementations share one
     // output contract).
     QuerySpec("x13b_neardup_clusters_star", (s, d) => {
-      val pairs = DedupOps.ngramJaccardPairs(t(s, d, "documents"),
+      val pairs = DedupOps.ngramJaccardPairs(tw(s, d, "documents"),
         "doc_id", "text", blockCol = "lang", shingleWords = 3, threshold = 0.5)
       DedupOps.connectedComponentsStar(pairs, "id_a", "id_b")
         .select(col("id").as("doc_id"), col("cluster_root"), col("is_canonical"))
@@ -642,7 +642,7 @@ object ScaleQueries {
     // identical pair set. The per-bit SUM columns are generated, not
     // hand-written.
     QuerySpec("x4_simhash_neardup",
-      (s, d) => DedupOps.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+      (s, d) => DedupOps.simhashPairs(tw(s, d, "documents"), "doc_id", "text",
         shingleWords = 3, maxHamming = 3)
         .orderBy("id_a", "id_b"),
       Some(simhashOracleSql)),
@@ -1810,7 +1810,7 @@ object ScaleQueries {
     QuerySpec("x17_training_selection", (s, d) => {
       // capstone composition: quality filter → exact dedup → drop
       // non-canonical near-dups — the "select the training set" pipeline
-      val docs = t(s, d, "documents")
+      val docs = tw(s, d, "documents")
       val quality = docs.withColumn("q", TextOps.qualityScore(col("text"), stopwords))
         .filter(col("q") >= 0.7)
       val deduped = DedupOps.exactDedup(quality, "doc_id", "text")
@@ -2577,7 +2577,7 @@ object ScaleQueries {
     // DuckDB list machinery, independent of the engine's
     // posexplode/anti-join plan.
     QuerySpec("x28_dup_span_removal", (s, d) =>
-      TextOps.removeDuplicateSpans(t(s, d, "documents"), "doc_id", "text", n = 4)
+      TextOps.removeDuplicateSpans(tw(s, d, "documents"), "doc_id", "text", n = 4)
         .orderBy("doc_id"),
       x28OracleSql),
 
@@ -2589,7 +2589,7 @@ object ScaleQueries {
     // or any keying bug shows up as a value mismatch, not a weaker
     // rows-only pass.
     QuerySpec("x28b_dup_span_hashed", (s, d) =>
-      TextOps.removeDuplicateSpans(t(s, d, "documents"), "doc_id", "text",
+      TextOps.removeDuplicateSpans(tw(s, d, "documents"), "doc_id", "text",
         n = 4, hashGrams = true)
         .orderBy("doc_id"),
       x28OracleSql),
@@ -4496,7 +4496,7 @@ object ScaleQueries {
     // digit-by-digit (x4 convention) and replays the window min +
     // full-window filter + frequency cap with SQL window functions.
     QuerySpec("x102_winnowing_neardup", (s, d) =>
-      DedupOps.winnowingPairs(t(s, d, "documents"), "doc_id", "text",
+      DedupOps.winnowingPairs(tw(s, d, "documents"), "doc_id", "text",
         shingleWords = 4, window = 4, minShared = 3)
         .orderBy("id_a", "id_b"),
       Some("""WITH toks AS (SELECT doc_id,
@@ -4648,7 +4648,7 @@ object ScaleQueries {
     // bounded by |sources|, never the corpus.
     QuerySpec("x109_source_contamination", (s, d) =>
       graft.operators.TextOps.crossSourceContamination(
-        t(s, d, "documents"), "source", "text", gramWords = 5)
+        tw(s, d, "documents"), "source", "text", gramWords = 5)
         .orderBy("source_a", "source_b"),
       Some("""WITH toks AS (SELECT source,
              |    regexp_split_to_array(trim(text), '\s+') tk
@@ -4801,7 +4801,7 @@ object ScaleQueries {
     // counts + one rounded division.
     QuerySpec("x113_ngram_novelty", (s, d) =>
       graft.operators.TextOps.ngramNovelty(
-        t(s, d, "documents"), "doc_id", "text", gramWords = 8)
+        tw(s, d, "documents"), "doc_id", "text", gramWords = 8)
         .orderBy("doc_id"),
       Some("""WITH toks AS (SELECT doc_id,
              |    regexp_split_to_array(trim(text), '\s+') tk
@@ -5272,7 +5272,7 @@ object ScaleQueries {
     // rounded division (row share).
     QuerySpec("x124_lang_confusion", (s, d) =>
       graft.operators.TextOps.labelConfusion(
-        t(s, d, "documents")
+        tw(s, d, "documents")
           .select(col("lang"),
             TextOps.langIdNgram(col("text"), langNgramProfiles)
               .as("predicted")),
@@ -6113,7 +6113,7 @@ object ScaleQueries {
     // the rolling window hash masks to zero — revision-stable chunk
     // dedup, ~64-char expected chunks; exact integer hash both engines.
     QuerySpec("x146_cdc_chunking", (s, d) =>
-      TextOps.cdcChunks(t(s, d, "documents"), "doc_id", "text",
+      TextOps.cdcChunks(tw(s, d, "documents"), "doc_id", "text",
         window = 8, maskBits = 6)
         .orderBy("doc_id", "chunk_idx"),
       Some("""WITH t AS (SELECT doc_id, text, length(text) n
@@ -6144,7 +6144,7 @@ object ScaleQueries {
     // content; md5-keyed census, one-row reduce.
     QuerySpec("x147_cdc_dedup_savings", (s, d) =>
       TextOps.cdcDedupSavings(
-        TextOps.cdcChunks(t(s, d, "documents"), "doc_id", "text",
+        TextOps.cdcChunks(tw(s, d, "documents"), "doc_id", "text",
           window = 8, maskBits = 6), "chunk_text", "chunk_chars"),
       Some("""WITH t AS (SELECT doc_id, text, length(text) n
              |  FROM documents WHERE text IS NOT NULL),
@@ -6182,7 +6182,7 @@ object ScaleQueries {
     // replica sums, order-statistic 94% interval per priority. The
     // reproducible bootstrap: same CI on any engine, any run.
     QuerySpec("x148_bootstrap_ci", (s, d) =>
-      Analytics.bootstrapMeanCi(t(s, d, "orders"), "o_orderpriority",
+      Analytics.bootstrapMeanCi(tw(s, d, "orders"), "o_orderpriority",
         "o_orderkey", "o_totalprice", salt = "boot:")
         .orderBy("o_orderpriority"),
       Some(bootstrapOracleSql)),
