@@ -2687,7 +2687,7 @@ object ScaleQueries {
     // oracle is exhaustive: md5 equality + true string-set Jaccard over
     // all batch × corpus pairs.
     QuerySpec("x32_incremental_dedup", (s, d) => {
-      val docs = t(s, d, "documents")
+      val docs = tw(s, d, "documents")
       DedupOps.incrementalDedup(
         docs.filter(col("doc_id") % 5 =!= 0),
         docs.filter(col("doc_id") % 5 === 0),
@@ -6526,7 +6526,7 @@ object ScaleQueries {
     // pairs. Prefix-vs-FULL inverted index candidates, exact native
     // merge-scan verify; oracle is exhaustive string-set containment.
     QuerySpec("x155_containment_pairs", (s, d) =>
-      DedupOps.containmentPairs(t(s, d, "documents"), "doc_id", "text",
+      DedupOps.containmentPairs(tw(s, d, "documents"), "doc_id", "text",
         blockCol = "lang", shingleWords = 3, threshold = 0.5)
         .orderBy("id_a", "id_b"),
       Some("""WITH toks AS (SELECT doc_id, lang,
